@@ -1,0 +1,41 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source catalog: resolves logical table names to parquet paths under a
+  * scale-factor directory, mirroring the reference's external-table layer
+  * (terraform/a2_config_second_apply/main.tf:289-306 — BigQuery external
+  * tables over a parquet glob with autodetected schema). Spark-native
+  * equivalent: `spark.read.parquet` (schema inference + partition/glob
+  * discovery handled by the datasource).
+  *
+  * At 100 TB each logical table would be a partitioned directory tree;
+  * `spark.read.parquet(root)` picks up partition columns automatically, so
+  * nothing here changes at scale — only the paths do.
+  */
+final case class Catalog(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+
+  /** The events table carries a parquet TIMESTAMP(NANOS) column, which
+    * Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    * Read nanos as a raw long (legacy conf, set here so any session —
+    * including driver-built ones — gets it) and convert to a session-TZ
+    * microsecond TimestampType, truncating exactly like DuckDB's
+    * nanos->micros parquet conversion does. `div` is integral division
+    * (ANSI-safe, no double round-trip). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

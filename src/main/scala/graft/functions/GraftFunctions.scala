@@ -1,0 +1,260 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function layer. Every function here composes built-in
+  * `org.apache.spark.sql.functions` Columns — no UDFs — so the whole
+  * surface stays inside Catalyst optimization and whole-stage codegen.
+  * This is the Spark-native rendering of the reference's Jinja macro
+  * layer (its only "UDF surface"):
+  *   - dist_lat_lng       -> [[distLatLng]]   (macros/dist_lat_lng.sql:1-23)
+  *   - tlc_payment_type   -> [[tlcPaymentType]] (macros/tlc_payment_type.sql:5-16)
+  *   - replace(col,'a','b') literal substitution -> [[replaceLit]]
+  *     (models/2_DIM___AUX_TLC/LOCATION_ID_TO_NEIGHBORHOOD.sql:8)
+  *
+  * All functions are ANSI-mode safe (Spark 4 default): no unguarded
+  * divisions, no narrowing casts that can overflow, no string->number
+  * casts of dirty data.
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------------
+  // Reference-parity scalar functions
+  // ---------------------------------------------------------------------
+
+  /** Literal (non-regex) string substitution.
+    * Reference: `replace(service_zone,'Boro','Green')`
+    * (LOCATION_ID_TO_NEIGHBORHOOD.sql:8). Uses the literal-safe
+    * `replace` built-in, not `regexp_replace`.
+    */
+  def replaceLit(c: Column, search: String, replacement: String): Column =
+    replace(c, lit(search), lit(replacement))
+
+  /** TLC payment-type code decode (macros/tlc_payment_type.sql:5-16).
+    * No `otherwise` — unmapped codes yield NULL, matching the macro's
+    * CASE with no ELSE. (The reference call site AUX_TLC_RIDES.sql:64
+    * invokes a misnamed macro and would not compile; we implement the
+    * intended behavior — see SURVEY.md §2.2.)
+    */
+  def tlcPaymentType(code: Column): Column =
+    when(code === 1, "Credit card")
+      .when(code === 2, "Cash")
+      .when(code === 3, "No charge")
+      .when(code === 4, "Dispute")
+      .when(code === 5, "Unknown")
+      .when(code === 6, "Voided trip")
+
+  /** Great-circle (haversine, spherical-law-of-cosines form) distance
+    * between two lat/lng pairs, unit "km" or "mi".
+    * Reference: macros/dist_lat_lng.sql:1-23 — which is buggy as written
+    * (the 'mi' branch emits empty SQL, the 'km' branch references a
+    * nonexistent `radius` column); we implement the intended formula with
+    * R=6371 km / 3959 mi and keep the macro's compile-time unit guard as
+    * a plan-build-time require (exceptions.raise_compiler_error ->
+    * IllegalArgumentException).
+    */
+  def distLatLng(lat1: Column, lng1: Column, lat2: Column, lng2: Column,
+                 unit: String = "km"): Column = {
+    require(unit == "km" || unit == "mi",
+      s"distLatLng: unit must be 'km' or 'mi', got '$unit'")
+    val r = if (unit == "km") 6371.0 else 3959.0
+    // clamp the cos argument into [-1,1]: identical points can produce
+    // 1.0000000000000002 from float error, and acos of that is NaN.
+    val cosArg =
+      cos(radians(lat1)) * cos(radians(lat2)) *
+        cos(radians(lng2) - radians(lng1)) +
+        sin(radians(lat1)) * sin(radians(lat2))
+    lit(r) * acos(least(lit(1.0), greatest(lit(-1.0), cosArg)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Cross-engine deterministic hashing
+  // ---------------------------------------------------------------------
+
+  /** Deterministic 60-bit non-negative hash of a string column, identical
+    * in Spark and DuckDB (both expose md5 as lowercase hex):
+    *   Spark : conv(substr(md5(x),1,15),16,10)::long
+    *   DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT)
+    * Used everywhere determinism across engines matters (minhash seeds,
+    * simhash bit sampling, dedup keys) instead of engine-native hash()
+    * (murmur3 in Spark, different in DuckDB).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant: hash of `<seed>|<value>`. */
+  def md5Long(c: Column, seed: Int): Column =
+    md5Long(concat(lit(seed.toString), lit("|"), c))
+
+  // ---------------------------------------------------------------------
+  // Exact-arithmetic aggregation helpers (oracle-stable at any scale)
+  // ---------------------------------------------------------------------
+
+  /** Sum a double column exactly: cast to DECIMAL(18,2) (exact, order-
+    * independent), sum, present as double. Bit-identical between Spark
+    * and DuckDB regardless of partitioning / accumulation order — the
+    * property that makes aggregate results hash-stable from sf0.001 to
+    * 100 TB. DuckDB oracle form:
+    *   CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+    */
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact average: decimal sum divided by count in double space.
+    * DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT(x). */
+  def exactAvg(c: Column): Column =
+    exactSum(c) / count(c)
+
+  // ---------------------------------------------------------------------
+  // Text analysis (documents table; training-data pipeline surface)
+  // ---------------------------------------------------------------------
+
+  /** Whitespace tokens, empty strings removed. DuckDB twin:
+    * list_filter(string_split_regex(x,'\s+'), t -> t <> ''). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-ish token count: runs of word chars or single
+    * non-space punctuation, the standard pre-tokenizer regex shape.
+    * DuckDB twin: len(regexp_extract_all(x, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that appear in `words`. */
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-language function-word marker lists for the n-gram-free
+    * language-ID heuristic. Public-knowledge function words; the
+    * heuristic is what it is — the oracle replicates it exactly.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "los", "de", "la", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+  )
+
+  /** Language-ID: argmax of marker-word counts with a fixed priority
+    * order (en > de > es > fr > und). Deterministic; ties resolve to the
+    * earlier language in the list; all-zero scores -> 'und' (undetermined,
+    * ISO 639-2 convention).
+    */
+  def langId(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val scores = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    // lang wins if its score >= every other score (priority order on ties)
+    val cases = scores.zipWithIndex.map { case ((l, s), i) =>
+      val others = scores.zipWithIndex.collect { case ((_, o), j) if j != i => o }
+      (l, others.map(o => s >= o).reduce(_ && _))
+    }
+    val decided = cases.foldLeft(when(lit(false), lit("und"))) {
+      case (acc, (l, cond)) => acc.when(cond, lit(l))
+    }
+    when(anyHit, decided).otherwise(lit("und"))
+  }
+
+  /** Punctuation character count (anything not alnum/space). DuckDB twin:
+    * len(regexp_extract_all(x, '[^A-Za-z0-9\s]')). */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** English stopword ratio among whitespace tokens (guarded division). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Heuristic document-quality score in [0,1]:
+    *   0.25 * (length in [50,10000])
+    * + 0.25 * (mean token length in [2,12])
+    * + 0.25 * (stopword ratio in [0.01,0.6])
+    * + 0.25 * (punct ratio < 0.2)
+    * Pure arithmetic on counts -> integer/boolean ops, exactly
+    * reproducible in the DuckDB oracle.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val n = length(textCol)
+    val toks = tokens(lower(textCol))
+    val nTok = size(toks)
+    val nStop = markerCount(toks, stopwords)
+    val nPunct = punctCount(textCol)
+    val safeTok = when(nTok > 0, nTok).otherwise(lit(1))
+    val meanTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      .cast(DoubleType) / safeTok
+    val stopRatio = nStop.cast(DoubleType) / safeTok
+    val punctRatio = nPunct.cast(DoubleType) / when(n > 0, n).otherwise(lit(1))
+    val b = (c: Column) => c.cast(IntegerType)
+    (b(n >= 50 && n <= 10000) + b(meanTokLen >= 2.0 && meanTokLen <= 12.0) +
+      b(stopRatio >= 0.01 && stopRatio <= 0.6) + b(punctRatio < 0.2))
+      .cast(DoubleType) * 0.25
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key. DuckDB twin:
+    *   md5(trim(regexp_replace(lower(x), '\s+', ' ', 'g'))). */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Rolling polynomial hash over whitespace tokens, mod 1e9+7 (keeps the
+    * accumulator ANSI-overflow-safe: max acc*31 + h < 31e9 + 1e9 << 2^63).
+    * Left fold, so DuckDB's list_reduce with a prepended 0 matches:
+    *   list_reduce(list_prepend(0, list_transform(toks, t -> h(t) % 1000000007)),
+    *               (a, b) -> (a * 31 + b) % 1000000007)
+    */
+  def rollingHash(textCol: Column): Column = {
+    val m = 1000000007L
+    aggregate(
+      tokens(lower(textCol)),
+      lit(0L),
+      (acc, t) => (acc * 31L + pmod(md5Long(t), lit(m))) % m)
+  }
+
+  // ---------------------------------------------------------------------
+  // Vector functions (embeddings table; ANN / near-dup surface)
+  // ---------------------------------------------------------------------
+
+  /** Dot product of two double-array columns (zip_with + left-fold sum —
+    * same accumulation order as DuckDB's list ops). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity of two double-array columns; null-safe on zero
+    * norms (returns NULL rather than ANSI div-by-zero). */
+  def cosineSim(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dotProduct(a, b) / denom)
+  }
+
+  /** Cast a float-array column to double-array (embeddings are
+    * list<float> on disk; all arithmetic happens in double to match the
+    * DuckDB oracle). */
+  def toDoubleArray(a: Column): Column =
+    transform(a, x => x.cast(DoubleType))
+
+  /** Signed random-hyperplane sketch bit for LSH bucketing: sign of the
+    * dot product with a deterministic pseudo-random hyperplane derived
+    * from md5(seed, index) — reproducible on any cluster, no RNG state.
+    */
+  def hyperplaneBit(vec: Column, seed: Int): Column = {
+    // component i of the hyperplane: md5Long("seed|i") scaled to [-1,1]
+    val proj = aggregate(
+      zip_with(
+        vec,
+        transform(sequence(lit(0), size(vec) - 1),
+          i => pmod(md5Long(concat(lit(seed.toString), lit("|"), i.cast(StringType))), lit(2000001L))
+            .cast(DoubleType) / 1000000.0 - 1.0),
+        (x, h) => x * h),
+      lit(0.0), (acc, v) => acc + v)
+    when(proj >= 0, 1).otherwise(0)
+  }
+}

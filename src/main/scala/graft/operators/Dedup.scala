@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  * All hashing is md5-derived ([[GraftFunctions.md5Long]]) so results are
+  * deterministic across engines and cluster sizes — no RNG state, no
+  * engine-native murmur.
+  *
+  * Scale notes (the design constraint for every operator here):
+  *  - exact dedup = one hash-partitioned groupBy on the fingerprint; at
+  *    100 TB this is a single shuffle keyed by a 128-bit digest with near
+  *    perfect key distribution.
+  *  - minhash/simhash candidate generation is linear: each doc emits a
+  *    constant number of (band-key, doc) rows, and only docs sharing a
+  *    band bucket are pair-joined. Pairwise work is confined to buckets —
+  *    the LSH contract — so the self-join never goes quadratic globally.
+  *  - verification (exact jaccard / hamming) runs only on candidates.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact dedup on the normalized-text fingerprint: one row per distinct
+    * fingerprint with the keeper (min id) and duplicate count. */
+  def exactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+
+  /** The deduplicated relation itself: keep exactly the keeper rows. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keepers = exactDuplicates(df, textCol, idCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------------------
+  // Shingles
+  // -------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles of the lowercased text, as an array
+    * column. DuckDB twin (n=3):
+    *   list_distinct(list_transform(range(1, len(toks)-1),
+    *     i -> array_to_string(toks[i:i+2], ' ')))
+    */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val toks = tokens(lower(textCol))
+    val cnt = size(toks) - (n - 1)
+    // guard: Spark sequence(1, 0) DESCENDS ([1,0]) rather than returning
+    // empty, so short docs must short-circuit to an empty array.
+    val grams = when(cnt >= 1,
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    array_distinct(grams)
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** k-permutation minhash signature over the shingle set, as an array of
+    * k longs: sig[s] = min over shingles of md5Long("s|" + shingle).
+    * Empty shingle set -> signature of k nulls (array_min of empty). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingles,
+        sh => md5Long(concat(s.cast(StringType), lit("|"), sh)))))
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `k/bands` rows each, each band hashed to one bucket key string.
+    * A pair of docs is a candidate iff it shares >= 1 band key. */
+  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast(StringType), lit(":"),
+        concat_ws(",",
+          transform(slice(sig, b * lit(r) + 1, lit(r)), x => x.cast(StringType)))))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact jaccard verification.
+    *
+    * Pipeline: doc -> shingles -> k-minhash -> band keys -> explode ->
+    * bucket self-join (id1 < id2) -> distinct candidate pair -> exact
+    * jaccard on the shingle sets -> threshold.
+    *
+    * Returns (id1, id2, jaccard). Deterministic, order by caller.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = base
+      .withColumn("band", explode(lshBandKeys(minhashSignature(col("sh"), k), k, bands)))
+    val l = banded.select(col("id").as("id1"), col("sh").as("sh1"), col("band"))
+    val r = banded.select(col("id").as("id2"), col("sh").as("sh2"), col("band"))
+    l.join(r, Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2").distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 48-bit simhash over whitespace tokens (48 keeps every intermediate
+    * comfortably inside a signed 64-bit long under ANSI arithmetic).
+    * bit i of md5Long(token) votes +1/-1; majority sign sets bit i.
+    * Input: (id, text); output: (id, simhash long).
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+              bits: Int = 48): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    // shiftright/shiftleft with a COLUMN shift amount aren't exposed in
+    // the Scala functions API (only Int literals) — go through expr().
+    val votes = toks.select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .withColumn("vote",
+        when(expr("shiftright(h, bit)").bitwiseAND(1L) === 1L, 1).otherwise(-1))
+      .groupBy("id", "bit").agg(sum("vote").as("s"))
+    votes.groupBy("id").agg(
+      sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of `chunks` equal bit
+    * chunks (Hamming pigeonhole: distance < chunks implies >= 1 equal
+    * chunk), verified by exact popcount of xor <= maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   bits: Int = 48, chunks: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    val w = bits / chunks
+    val sigs = simhash(df, textCol, idCol, bits)
+    val chunkCols = (0 until chunks).map(c =>
+      concat(lit(s"$c:"),
+        shiftright(col("simhash"), w * c).bitwiseAND((1L << w) - 1)
+          .cast(StringType)))
+    val banded = sigs.withColumn("chunk", explode(array(chunkCols: _*)))
+    val l = banded.select(col("id").as("id1"), col("simhash").as("h1"), col("chunk"))
+    val r = banded.select(col("id").as("id2"), col("simhash").as("h2"), col("chunk"))
+    l.join(r, Seq("chunk"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "h1", "h2").distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming").cast(LongType).as("hamming"))
+  }
+
+  // -------------------------------------------------------------------
+  // N-gram Jaccard (direct, bucketed)
+  // -------------------------------------------------------------------
+
+  /** N-gram Jaccard similarity pairs, candidates bucketed by their
+    * minimum shingle hash (cheap single-band LSH: near-identical docs
+    * almost surely share the global min shingle). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bucket", array_min(transform(col("sh"), s => md5Long(s))))
+    val l = base.select(col("id").as("id1"), col("sh").as("sh1"), col("bucket"))
+    val r = base.select(col("id").as("id2"), col("sh").as("sh2"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding near-dup
+  // -------------------------------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`.
+    * Plain self-join: at 100 TB this must be preceded by LSH bucketing
+    * ([[Similarity.lshBuckets]]) — `bucketed=true` applies a
+    * random-hyperplane prefilter so only same-sketch pairs are compared.
+    */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double,
+                            bucketed: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      toDoubleArray(col(vecCol)).as("v"))
+    val withB =
+      if (bucketed)
+        base.withColumn("b",
+          concat_ws("", (0 until 8).map(s => hyperplaneBit(col("v"), s).cast(StringType)): _*))
+      else base.withColumn("b", lit("all"))
+    val l = withB.select(col("id").as("id1"), col("v").as("v1"), col("b"))
+    val r = withB.select(col("id").as("id2"), col("v").as("v2"), col("b"))
+    l.join(r, Seq("b"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosineSim(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+  }
+}

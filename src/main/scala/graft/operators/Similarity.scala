@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]` on disk).
+  *
+  * Two paths, as a 100 TB engine needs both:
+  *  - [[bruteForceTopK]]: exact top-k by cosine — broadcast the (small)
+  *    query set against the full corpus; one scan, no shuffle of the
+  *    corpus, per-partition partial top-k then a final merge. Correctness
+  *    baseline and the right tool when |queries| is small.
+  *  - [[ivfTopK]]: IVF-style approximate search — corpus assigned to
+  *    coarse cells (nearest of `nCells` deterministic centroids), queries
+  *    probe only `nProbe` nearest cells. Cell assignment is one linear
+  *    pass; the search join hits ~nProbe/nCells of the corpus. At scale
+  *    the corpus would be written bucketed/partitioned BY cell so a probe
+  *    reads only its partitions (partition pruning on the scan).
+  */
+object Similarity {
+
+  private def rankWindow = Window.partitionBy("query_id")
+    .orderBy(col("cos_r").desc, col("id").asc)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Ranking uses cosine rounded to 6 dp with id as tiebreak, so the
+    * result is stable under float accumulation-order differences.
+    * Output: (query_id, rank, id, cosine). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos_r", round(cosineSim(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("cos_r").as("cosine"))
+  }
+
+  /** Assign each vector to its nearest coarse centroid. Centroids are the
+    * vectors whose id is in `centroidIds` (deterministic coarse
+    * quantizer — a k-means fit would slot in identically). */
+  def cellAssignments(corpus: DataFrame, vecCol: String, idCol: String,
+                      centroidIds: Seq[Long]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+    val cents = c.filter(col("id").isInCollection(centroidIds))
+      .select(col("id").as("cell"), col("v").as("cv"))
+    c.join(broadcast(cents), col("id") =!= lit(-1L)) // cross vs small cents
+      .withColumn("d", round(cosineSim(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("d").desc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` best cells per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              centroidIds: Seq[Long], nProbe: Int = 2): DataFrame = {
+    val assigned = cellAssignments(corpus, vecCol, idCol, centroidIds)
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+    val cents = assigned.filter(col("id").isInCollection(centroidIds))
+      .select(col("cell").as("qcell"), col("v").as("cv")).distinct()
+    val probes = q.join(broadcast(cents), col("query_id") =!= lit(-1L))
+      .withColumn("d", round(cosineSim(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qcell").as("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos_r", round(cosineSim(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("cos_r").as("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket key (8-bit sketch by default): the
+    * scale path for near-dup joins — only same-bucket pairs compared. */
+  def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
+                 nBits: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("bucket", concat_ws("",
+        (0 until nBits).map(s => hyperplaneBit(col("v"), s).cast(StringType)): _*))
+}

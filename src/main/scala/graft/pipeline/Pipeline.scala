@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{Executors, TimeUnit}
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+/** dbt-runtime semantics rebuilt Spark-native (SURVEY.md §2.7 D1-D9):
+  *
+  *  - `ref('MODEL')` DAG + topological schedule with bounded concurrency
+  *    (profiles.yml:6 `threads: 4`) -> model registry + Futures; each
+  *    model materializes as a concurrent Spark job, downstream models
+  *    consume the upstream's DataFrame.
+  *  - `config(materialized=...)` -> [[Materialization]]: View = lazily
+  *    recomputed DataFrame (dbt view), Table = parquet write + re-read
+  *    (dbt table / CTAS, LOCATION_ID_TO_NEIGHBORHOOD.sql:1), Ephemeral =
+  *    plan inlined into consumers.
+  *  - env-based schema routing (CORE_/DEV_ dataset prefixes,
+  *    macros/generate_custom_schema_names.md) -> [[Env]] + warehouse path
+  *    `<root>/<env>/<layer>/<name>`.
+  *  - adapter `retries: 1` (profiles.yml:9) -> per-model retry wrapper.
+  *
+  * At scale: Table materializations are the DAG's shuffle cut-points —
+  * each writes partitioned parquet once and every consumer reads the
+  * materialized copy instead of recomputing the lineage, exactly the
+  * role dbt tables play in a warehouse.
+  */
+object Pipeline {
+
+  sealed trait Materialization
+  case object View extends Materialization
+  case object Table extends Materialization
+  case object Ephemeral extends Materialization
+
+  sealed abstract class Env(val prefix: String)
+  case object Core extends Env("CORE") // prod (profiles.yml target PROD)
+  case object Dev extends Env("DEV")
+
+  /** A model: name, warehouse layer, dependencies by name, and a build
+    * function from resolved upstream DataFrames. */
+  final case class Model(
+      name: String,
+      layer: String,
+      deps: Seq[String],
+      materialization: Materialization = View,
+      partitionBy: Seq[String] = Nil)(
+      val build: Map[String, DataFrame] => DataFrame)
+
+  final case class RunConfig(
+      env: Env = Core,
+      warehouseRoot: String = "",
+      threads: Int = 4,   // profiles.yml:6
+      retries: Int = 1)   // profiles.yml:9
+
+  final class CycleException(msg: String) extends RuntimeException(msg)
+
+  final case class RunResult(
+      resolved: Map[String, DataFrame],
+      order: Seq[String])
+
+  /** Registry + scheduler. Register models, then `run` materializes the
+    * whole DAG (or the subgraph reaching `targets`) in topological order
+    * with `threads`-bounded parallelism and per-model retries. */
+  final class Registry(spark: SparkSession) {
+    private val models = mutable.LinkedHashMap.empty[String, Model]
+
+    def register(m: Model): this.type = {
+      require(!models.contains(m.name), s"duplicate model '${m.name}'")
+      models += m.name -> m; this
+    }
+    def model(name: String): Model = models(name)
+    def names: Seq[String] = models.keys.toSeq
+
+    /** Kahn topological order over the requested subgraph; throws
+      * [[CycleException]] on a cycle, mirroring dbt's compile error. */
+    def topoOrder(targets: Seq[String]): Seq[String] = {
+      val wanted = mutable.LinkedHashSet.empty[String]
+      def visit(n: String): Unit = if (!wanted.contains(n)) {
+        val m = models.getOrElse(n,
+          throw new NoSuchElementException(s"unknown model '$n'"))
+        m.deps.foreach(visit); wanted += n
+      }
+      targets.foreach(visit)
+      val indeg = mutable.Map(wanted.toSeq.map(n =>
+        n -> models(n).deps.count(wanted.contains)): _*)
+      val order = mutable.ArrayBuffer.empty[String]
+      val ready = mutable.Queue(wanted.filter(indeg(_) == 0).toSeq: _*)
+      while (ready.nonEmpty) {
+        val n = ready.dequeue(); order += n
+        wanted.foreach { d =>
+          if (models(d).deps.contains(n)) {
+            indeg(d) -= 1; if (indeg(d) == 0) ready.enqueue(d)
+          }
+        }
+      }
+      if (order.size != wanted.size)
+        throw new CycleException(
+          s"model cycle among: ${wanted.diff(order.toSet).mkString(", ")}")
+      order.toSeq
+    }
+
+    private def materialize(m: Model, df: DataFrame, cfg: RunConfig): DataFrame =
+      m.materialization match {
+        case View | Ephemeral => df
+        case Table =>
+          val path = s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
+          val w = df.write.mode("overwrite")
+          (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
+            .parquet(path)
+          spark.read.parquet(path)
+      }
+
+    private def withRetry[T](retries: Int)(body: => T): T =
+      Try(body) match {
+        case Success(v) => v
+        case Failure(e) if retries > 0 => withRetry(retries - 1)(body)
+        case Failure(e) => throw e
+      }
+
+    /** Materialize the DAG. Independent models run concurrently on a
+      * `threads`-sized pool (each occupies the Spark scheduler with its
+      * own job, so this is real pipeline parallelism in local and
+      * cluster mode alike). */
+    def run(cfg: RunConfig, targets: Seq[String] = Nil): RunResult = {
+      val order = topoOrder(if (targets.isEmpty) names else targets)
+      val pool = Executors.newFixedThreadPool(math.max(1, cfg.threads))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val done = mutable.Map.empty[String, Future[DataFrame]]
+      try {
+        order.foreach { n =>
+          val m = models(n)
+          val upstream = Future.sequence(m.deps.map(d => done(d).map(d -> _)))
+          done(n) = upstream.map { resolvedDeps =>
+            withRetry(cfg.retries) {
+              materialize(m, m.build(resolvedDeps.toMap), cfg)
+            }
+          }
+        }
+        val all = Await.result(
+          Future.sequence(order.map(n => done(n).map(n -> _))), Duration.Inf)
+        RunResult(all.toMap, order)
+      } finally {
+        pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
+      }
+    }
+  }
+}

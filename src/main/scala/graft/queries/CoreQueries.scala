@@ -1,0 +1,450 @@
+package graft.queries
+
+import graft.catalog.Catalog
+import graft.functions.GraftFunctions._
+import graft.harmonize.Harmonize._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational query surface over the harness testdata — one query
+  * per operator family in SURVEY.md §2 (scan/project/rename/replace,
+  * filter-then-left-join with an aliased dim, harmonized UNION ALL,
+  * CASE decode, haversine, plus the declared-but-unbuilt 3_PREP/4_MART
+  * surface: aggregation, windows, rollup, top-k, distinct, semi/anti,
+  * date functions, sessionization).
+  *
+  * Every query ends in a deterministic ORDER BY and uses exact decimal
+  * arithmetic for double sums ([[GraftFunctions.exactSum]]) so results
+  * hash-match the DuckDB oracle at any scale / partitioning.
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shape pricing summary: hash-aggregate with map-side
+    * partial aggregation; one shuffle on the (tiny) group key. */
+  val q01AggPricing: Q = (s, dir) => {
+    val li = Catalog(s, dir).lineitem
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_price"),
+        exactSum(col("l_discount")).as("sum_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Project + rename + literal replace (P1/P2: LOCATION_ID_TO_
+    * NEIGHBORHOOD shape) over nation x region; dim join broadcasts. */
+  val q02ProjectRename: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val n = c.nation
+    val r = c.region
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        col("n_nationkey").cast(LongType).as("nation_id"),
+        col("n_name").as("nation"),
+        replaceLit(col("r_name"), "_", "-").as("region_mod"))
+      .orderBy(col("nation_id"))
+  }
+
+  val q02Sql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS nation_id, n_name AS nation,
+      |  replace(r_name, '_', '-') AS region_mod
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY nation_id""".stripMargin
+
+  /** The reference's flagship join shape (F1+J1): dim filtered BEFORE a
+    * left join, and the same dim joined twice under two roles (customer
+    * nation / supplier nation). The 24-row dim broadcasts; the fact-side
+    * orders join shuffles on l_orderkey. */
+  val q03DimDoubleJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val n = c.nation.filter(col("n_name") =!= "NATION_7")
+    val cn = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val li = c.lineitem
+    val o = c.orders
+    val cu = c.customer
+    val su = c.supplier
+    li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cu, col("o_custkey") === cu("c_custkey"))
+      .join(su, col("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"), "left")
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"), "left")
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_rows"),
+           exactSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("cust_nation").asc_nulls_first, col("supp_nation").asc_nulls_first)
+  }
+
+  val q03Sql: String =
+    """WITH n AS (SELECT * FROM nation WHERE n_name <> 'NATION_7')
+      |SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+      |LEFT JOIN n cn ON c.c_nationkey = cn.n_nationkey
+      |LEFT JOIN n sn ON sp.s_nationkey = sn.n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** Harmonized UNION ALL (P3-P6/U1): three heterogeneous "feeds" carved
+    * from events, projected onto one canonical schema with typed NULL
+    * padding and a non-null '' default, then unioned. Column pruning
+    * reaches each feed's scan. */
+  val q04HarmonizeUnion: Q = (s, dir) => {
+    val ev = Catalog(s, dir).events
+    val canon = Seq(
+      CanonicalCol("event_id", LongType),
+      CanonicalCol("ts_date", DateType),
+      CanonicalCol("user_id", LongType),
+      CanonicalCol("amount", DoubleType),
+      CanonicalCol("props", StringType, default = lit("")),
+      CanonicalCol("kind", StringType))
+    val clicks = SourceFeed("clicks",
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id").as("uid"), col("value"), col("props").as("p")),
+      Map("event_id" -> "click_id", "user_id" -> "uid",
+          "amount" -> "value", "props" -> "p"),
+      Map("ts_date" -> col("click_ts").cast(DateType), "kind" -> lit("click")))
+    val purchases = SourceFeed("purchases",
+      ev.filter(col("event_type") === "purchase"),
+      Map("event_id" -> "event_id", "user_id" -> "user_id",
+          "amount" -> "value", "props" -> "props"),
+      Map("ts_date" -> col("ts").cast(DateType), "kind" -> lit("purchase")))
+    val signups = SourceFeed("signups",
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("ts"), col("user_id")),
+      Map("event_id" -> "event_id", "user_id" -> "user_id"),
+      Map("ts_date" -> col("ts").cast(DateType), "kind" -> lit("signup")))
+    unionHarmonized(canon, Seq(clicks, purchases, signups))
+      .orderBy(col("event_id"))
+  }
+
+  val q04Sql: String =
+    """SELECT event_id, CAST(ts AS DATE) AS ts_date, user_id,
+      |  value AS amount, props, 'click' AS kind
+      |FROM events WHERE event_type = 'click'
+      |UNION ALL
+      |SELECT event_id, CAST(ts AS DATE), user_id, value, props, 'purchase'
+      |FROM events WHERE event_type = 'purchase'
+      |UNION ALL
+      |SELECT event_id, CAST(ts AS DATE), user_id, CAST(NULL AS DOUBLE), '', 'signup'
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY event_id""".stripMargin
+
+  /** CASE-decode (P7, tlc_payment_type shape) with no ELSE: unmapped
+    * code 7 yields NULL. */
+  val q05CaseDecode: Q = (s, dir) =>
+    Catalog(s, dir).lineitem
+      .select(tlcPaymentType(col("l_linenumber")).as("payment_label"))
+      .groupBy(col("payment_label"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("payment_label").asc_nulls_first)
+
+  val q05Sql: String =
+    """SELECT CASE WHEN l_linenumber = 1 THEN 'Credit card'
+      |  WHEN l_linenumber = 2 THEN 'Cash'
+      |  WHEN l_linenumber = 3 THEN 'No charge'
+      |  WHEN l_linenumber = 4 THEN 'Dispute'
+      |  WHEN l_linenumber = 5 THEN 'Unknown'
+      |  WHEN l_linenumber = 6 THEN 'Voided trip' END AS payment_label,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** Haversine (P8, dist_lat_lng) over synthetic lat/lng derived from
+    * keys; both km and mi branches exercised. */
+  val q06Haversine: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val cu = c.customer.select(col("c_custkey"), col("c_nationkey"),
+      ((col("c_custkey") % 179).cast(DoubleType) - 89.0 + 0.5).as("lat1"),
+      ((col("c_custkey") % 359).cast(DoubleType) - 179.0 + 0.5).as("lng1"))
+    val su = c.supplier.select(col("s_suppkey"), col("s_nationkey"),
+      ((col("s_suppkey") % 179).cast(DoubleType) - 89.0 + 0.5).as("lat2"),
+      ((col("s_suppkey") % 359).cast(DoubleType) - 179.0 + 0.5).as("lng2"))
+    cu.join(su, col("c_nationkey") === col("s_nationkey"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        round(distLatLng(col("lat1"), col("lng1"), col("lat2"), col("lng2"), "km"), 3).as("dist_km"),
+        round(distLatLng(col("lat1"), col("lng1"), col("lat2"), col("lng2"), "mi"), 3).as("dist_mi"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  val q06Sql: String =
+    """WITH cu AS (SELECT c_custkey, c_nationkey,
+      |    (c_custkey % 179)::DOUBLE - 89.0 + 0.5 AS lat1,
+      |    (c_custkey % 359)::DOUBLE - 179.0 + 0.5 AS lng1 FROM customer),
+      |  su AS (SELECT s_suppkey, s_nationkey,
+      |    (s_suppkey % 179)::DOUBLE - 89.0 + 0.5 AS lat2,
+      |    (s_suppkey % 359)::DOUBLE - 179.0 + 0.5 AS lng2 FROM supplier)
+      |SELECT c_custkey, s_suppkey,
+      |  round(6371.0 * acos(least(1.0, greatest(-1.0,
+      |    cos(radians(lat1))*cos(radians(lat2))*cos(radians(lng2)-radians(lng1))
+      |    + sin(radians(lat1))*sin(radians(lat2))))), 3) AS dist_km,
+      |  round(3959.0 * acos(least(1.0, greatest(-1.0,
+      |    cos(radians(lat1))*cos(radians(lat2))*cos(radians(lng2)-radians(lng1))
+      |    + sin(radians(lat1))*sin(radians(lat2))))), 3) AS dist_mi
+      |FROM cu JOIN su ON c_nationkey = s_nationkey
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
+  /** Window functions: row_number / rank / lag per customer. */
+  val q07Window: Q = (s, dir) => {
+    val o = Catalog(s, dir).orders
+    val wRn = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wRk = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val wLag = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(wRn).cast(LongType).as("rn"),
+        rank().over(wRk).cast(LongType).as("rk"),
+        lag(col("o_orderdate"), 1).over(wLag).cast(DateType).as("prev_order_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q07Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+      |  CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS prev_order_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Top-k: global sort + limit (Spark executes as per-partition top-k
+    * then a single-reducer merge — no full sort at scale). */
+  val q08TopK: Q = (s, dir) =>
+    Catalog(s, dir).orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q08Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** DISTINCT (dropDuplicates == one hash aggregate). */
+  val q09Distinct: Q = (s, dir) =>
+    Catalog(s, dir).orders
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val q09Sql: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY 1, 2""".stripMargin
+
+  /** ROLLUP hierarchy totals (region -> nation -> grand total). */
+  val q10Rollup: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    c.customer
+      .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           exactSum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q10Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** Anti join: customers with no large order (NOT EXISTS). */
+  val q11AntiJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val cu = c.customer
+    val big = c.orders.filter(col("o_totalprice") > 300000.0)
+    cu.join(big, cu("c_custkey") === big("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_no_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_no_orders FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Semi join: customers with at least one big order (EXISTS). */
+  val q12SemiJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val cu = c.customer
+    val big = c.orders.filter(col("o_totalprice") > 100000.0)
+    cu.join(big, cu("c_custkey") === big("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_big"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q12Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_big FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Date-part aggregation (year/month partition keys — the shape a
+    * date-partitioned 100 TB table prunes on). */
+  val q13DateAgg: Q = (s, dir) =>
+    Catalog(s, dir).lineitem
+      .groupBy(year(col("l_shipdate")).cast(LongType).as("y"),
+               month(col("l_shipdate")).cast(LongType).as("m"))
+      .agg(count(lit(1)).as("n_rows"), exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("y"), col("m"))
+
+  val q13Sql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+      |  CAST(month(l_shipdate) AS BIGINT) AS m,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * sum — the batch twin of the streaming session operator. */
+  val q14Sessionize: Q = (s, dir) => {
+    val ev = Catalog(s, dir).events
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess")).cast(LongType).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q14Sql: String =
+    """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |y AS (SELECT user_id, event_id, us,
+      |  CASE WHEN us - lag(us, 1) OVER w IS NULL
+      |         OR us - lag(us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |z AS (SELECT user_id, SUM(new_sess) OVER
+      |  (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM y)
+      |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact multi-column COUNT(DISTINCT). */
+  val q15CountDistinct: Q = (s, dir) =>
+    Catalog(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  val q15Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** approx_count_distinct (HLL sketch) — engine-specific estimate, so
+    * no SQL oracle (rows-only check): at 100 TB this replaces the exact
+    * distinct's full shuffle with a constant-size sketch merge. */
+  val q16ApproxDistinct: Q = (s, dir) =>
+    Catalog(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** String function battery (upper/substr/length/concat/trim). */
+  val q17StringFuncs: Q = (s, dir) =>
+    Catalog(s, dir).part
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  val q17Sql: String =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |  substr(p_type, 1, 5) AS type5,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  p_brand || '-' || p_type AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Conditional (pivot-style) aggregation. */
+  val q18ConditionalAgg: Q = (s, dir) =>
+    Catalog(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        exactSum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0))).as("sum_f_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val q18Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_f_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q01_agg_pricing" -> q01AggPricing,
+    "q02_project_rename" -> q02ProjectRename,
+    "q03_dim_double_join" -> q03DimDoubleJoin,
+    "q04_harmonize_union" -> q04HarmonizeUnion,
+    "q05_case_decode" -> q05CaseDecode,
+    "q06_haversine" -> q06Haversine,
+    "q07_window" -> q07Window,
+    "q08_topk" -> q08TopK,
+    "q09_distinct" -> q09Distinct,
+    "q10_rollup" -> q10Rollup,
+    "q11_anti_join" -> q11AntiJoin,
+    "q12_semi_join" -> q12SemiJoin,
+    "q13_date_agg" -> q13DateAgg,
+    "q14_sessionize" -> q14Sessionize,
+    "q15_count_distinct" -> q15CountDistinct,
+    "q16_approx_distinct" -> q16ApproxDistinct,
+    "q17_string_funcs" -> q17StringFuncs,
+    "q18_conditional_agg" -> q18ConditionalAgg,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" -> q01Sql,
+    "q02_project_rename" -> q02Sql,
+    "q03_dim_double_join" -> q03Sql,
+    "q04_harmonize_union" -> q04Sql,
+    "q05_case_decode" -> q05Sql,
+    "q06_haversine" -> q06Sql,
+    "q07_window" -> q07Sql,
+    "q08_topk" -> q08Sql,
+    "q09_distinct" -> q09Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_anti_join" -> q11Sql,
+    "q12_semi_join" -> q12Sql,
+    "q13_date_agg" -> q13Sql,
+    "q14_sessionize" -> q14Sql,
+    "q15_count_distinct" -> q15Sql,
+    "q17_string_funcs" -> q17Sql,
+    "q18_conditional_agg" -> q18Sql,
+    // q16_approx_distinct: engine-specific sketch -> rows-only check
+  )
+}

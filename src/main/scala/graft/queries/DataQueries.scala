@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.catalog.Catalog
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline query surface over `documents` / `embeddings`:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search (brute-force and IVF top-k), and text
+  * analysis (language-ID, quality, tokens, fingerprints).
+  *
+  * Each DuckDB oracle replays the *same* md5-derived hash pipeline
+  * (see [[graft.functions.GraftFunctions.md5Long]]), so even the LSH
+  * operators get full hash-match verification, not rows-only checks.
+  */
+object DataQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared DuckDB CTE fragments (tokens / shingles), kept identical
+  // across oracles so a semantics change only happens in one place.
+  private val toksCte =
+    """toks AS (SELECT doc_id, list_filter(
+      |  string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+  private val shCte =
+    """sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks)-1),
+      |       i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE [] END) AS sh FROM toks),
+      |base AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0)""".stripMargin
+  private val h60 = // cross-engine md5 60-bit hash of a varchar expr
+    (e: String) => s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
+
+  // -------------------------------------------------------------------
+  // Dedup
+  // -------------------------------------------------------------------
+
+  val d01DedupExact: Q = (s, dir) =>
+    Dedup.exactDuplicates(Catalog(s, dir).documents, "text", "doc_id")
+      .orderBy(col("fp"))
+
+  val d01Sql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val d02MinhashPairs: Q = (s, dir) =>
+    Dedup.minhashPairs(Catalog(s, dir).documents, "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.2)
+      .orderBy(col("id1"), col("id2"))
+
+  val d02Sql: String =
+    s"""WITH $toksCte,
+       |$shCte,
+       |sig AS (SELECT doc_id, sh, list_transform(range(0,16), s ->
+       |  list_min(list_transform(sh, g -> ${h60("s::VARCHAR||'|'||g")}))) AS sig
+       |  FROM base),
+       |banded AS (SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |  b::VARCHAR||':'||array_to_string(sig[b*4+1:b*4+4], ','))) AS band
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id),
+       |j AS (SELECT id1, id2,
+       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |  FROM cand JOIN base a ON a.doc_id = id1 JOIN base b ON b.doc_id = id2)
+       |SELECT id1, id2, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.2 ORDER BY id1, id2""".stripMargin
+
+  val d03Simhash: Q = (s, dir) =>
+    Dedup.simhash(Catalog(s, dir).documents, "text", "doc_id", bits = 48)
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  val d03Sql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+       |h AS (SELECT doc_id, ${h60("t")} AS h FROM tok),
+       |votes AS (SELECT doc_id, bit,
+       |  SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h CROSS JOIN (SELECT unnest(range(0,48)) AS bit) bits
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+       |  THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val d04NgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Catalog(s, dir).documents, "text", "doc_id",
+        n = 3, threshold = 0.2)
+      .orderBy(col("id1"), col("id2"))
+
+  val d04Sql: String =
+    s"""WITH $toksCte,
+       |$shCte,
+       |b AS (SELECT doc_id, sh,
+       |  list_min(list_transform(sh, g -> ${h60("g")})) AS bucket FROM base),
+       |p AS (SELECT l.doc_id AS id1, r.doc_id AS id2, l.sh AS sh1, r.sh AS sh2
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |j AS (SELECT id1, id2, len(list_intersect(sh1, sh2))::DOUBLE /
+       |  (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS jac FROM p)
+       |SELECT id1, id2, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.2 ORDER BY id1, id2""".stripMargin
+
+  val d05EmbedNearDup: Q = (s, dir) =>
+    Dedup.embeddingNearDupPairs(Catalog(s, dir).embeddings,
+        "embedding", "vec_id", threshold = 0.3)
+      .orderBy(col("id1"), col("id2"))
+
+  val d05Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+      |ORDER BY id1, id2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Similarity search
+  // -------------------------------------------------------------------
+
+  val e01AnnBruteForce: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val e01Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+      |sc AS (SELECT q.query_id, e.vec_id AS id,
+      |  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT query_id, id, cosine, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val ivfCentroids: Seq[Long] = (0L until 16L)
+
+  val e02AnnIvf: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, centroidIds = ivfCentroids, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val e02Sql: String =
+    """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT id AS cell, v AS cv FROM e
+      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |asg AS (SELECT id, v, cell FROM (
+      |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
+      |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |probes AS (SELECT query_id, qv, cell FROM (
+      |  SELECT q.query_id, q.qv, c.cell, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+      |sc AS (SELECT p.query_id, a.id,
+      |  round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+      |  FROM asg a JOIN probes p ON a.cell = p.cell AND a.id <> p.query_id),
+      |r AS (SELECT query_id, id, cosine, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Text analysis
+  // -------------------------------------------------------------------
+
+  val t01LangId: Q = (s, dir) =>
+    TextAnalysis.profile(Catalog(s, dir).documents, "text", "doc_id")
+      .select(col("doc_id"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  val t01Sql: String =
+    s"""WITH $toksCte,
+       |s AS (SELECT doc_id,
+       |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+       |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+       |  len(list_filter(toks, x -> x IN ('el','los','de','la','que','es'))) AS s_es,
+       |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr
+       |  FROM toks)
+       |SELECT doc_id, CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |  WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |  ELSE 'fr' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  val t02Quality: Q = (s, dir) =>
+    TextAnalysis.profile(Catalog(s, dir).documents, "text", "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("n_bpe_tokens"), col("n_punct"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val t02Sql: String =
+    s"""WITH t AS (SELECT doc_id, text, list_filter(
+       |  string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+       |  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE /
+       |    (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END) AS mean_tok_len,
+       |  len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is',
+       |    'it','that','for','on','with','as','at','by','be','this')))::DOUBLE /
+       |    (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END) AS stop_ratio
+       |  FROM t),
+       |f AS (SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct,
+       |  ((CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1 ELSE 0 END) +
+       |   (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1 ELSE 0 END) +
+       |   (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END) +
+       |   (CASE WHEN n_punct::DOUBLE /
+       |      (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) < 0.2
+       |    THEN 1 ELSE 0 END))::DOUBLE * 0.25 AS quality
+       |  FROM m)
+       |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, quality
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  val t03Fingerprint: Q = (s, dir) =>
+    TextAnalysis.profile(Catalog(s, dir).documents, "text", "doc_id")
+      .select(col("doc_id"), col("fp"), col("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  val t03Sql: String =
+    s"""WITH $toksCte,
+       |t2 AS (SELECT t.doc_id, d.text, t.toks
+       |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id)
+       |SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, x -> ${h60("x")} % 1000000007)),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+       |FROM t2 ORDER BY doc_id""".stripMargin
+
+  val t04TokenStats: Q = (s, dir) =>
+    TextAnalysis.tokenStats(Catalog(s, dir).documents, "text", "lang")
+      .orderBy(col("lang"))
+
+  val t04Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+      |    x -> x <> ''))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(MAX(length(text)) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01DedupExact,
+    "d02_dedup_minhash" -> d02MinhashPairs,
+    "d03_dedup_simhash" -> d03Simhash,
+    "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
+    "d05_dedup_embed_cosine" -> d05EmbedNearDup,
+    "e01_ann_bruteforce" -> e01AnnBruteForce,
+    "e02_ann_ivf" -> e02AnnIvf,
+    "t01_lang_id" -> t01LangId,
+    "t02_quality_score" -> t02Quality,
+    "t03_fingerprint" -> t03Fingerprint,
+    "t04_token_stats" -> t04TokenStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql,
+    "d02_dedup_minhash" -> d02Sql,
+    "d03_dedup_simhash" -> d03Sql,
+    "d04_dedup_ngram_jaccard" -> d04Sql,
+    "d05_dedup_embed_cosine" -> d05Sql,
+    "e01_ann_bruteforce" -> e01Sql,
+    "e02_ann_ivf" -> e02Sql,
+    "t01_lang_id" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_fingerprint" -> t03Sql,
+    "t04_token_stats" -> t04Sql,
+  )
+}
