@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.{TextExpressions, VectorExpressions, WordShinglesExpr}
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -46,21 +47,15 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Distinct word n-gram shingles of the lowercased text, as an array
-    * column. DuckDB twin (n=3):
+    * column. One compiled call per row ([[WordShinglesExpr]]); the
+    * higher-order formulation (transform+slice+concat_ws) paid an
+    * interpreted lambda dispatch per shingle and dominated the MinHash
+    * bench. DuckDB twin (n=3):
     *   list_distinct(list_transform(range(1, len(toks)-1),
     *     i -> array_to_string(toks[i:i+2], ' ')))
     */
-  def wordShingles(textCol: Column, n: Int): Column = {
-    val toks = tokens(lower(textCol))
-    val cnt = size(toks) - (n - 1)
-    // guard: Spark sequence(1, 0) DESCENDS ([1,0]) rather than returning
-    // empty, so short docs must short-circuit to an empty array.
-    val grams = when(cnt >= 1,
-      transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    array_distinct(grams)
-  }
+  def wordShingles(textCol: Column, n: Int): Column =
+    TextExpressions.wordShingles(lower(textCol), n)
 
   // -------------------------------------------------------------------
   // MinHash + LSH
@@ -85,33 +80,64 @@ object Dedup {
           transform(slice(sig, b * lit(r) + 1, lit(r)), x => x.cast(StringType)))))
   }
 
+  /** Exact jaccard on the shingle sets of a candidate-pair relation:
+    * joins the (id, sh) base back onto (id1, id2) and thresholds. */
+  private def jaccardVerify(cand: DataFrame, base: DataFrame,
+                            threshold: Double): DataFrame = {
+    val b1 = base.select(col("id").as("id1"), col("sh").as("sh1"))
+    val b2 = base.select(col("id").as("id2"), col("sh").as("sh2"))
+    cand.join(b1, Seq("id1")).join(b2, Seq("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact jaccard verification.
     *
     * Pipeline: doc -> shingles -> k-minhash -> band keys -> explode ->
     * bucket self-join (id1 < id2) -> distinct candidate pair -> exact
     * jaccard on the shingle sets -> threshold.
     *
+    * The signature is computed from EXPLODED shingles with k codegen'd
+    * `min` aggregates (one shuffle on doc id), not per-array lambda
+    * transforms — higher-order functions evaluate interpreted and were
+    * the bench hot spot. The band join carries only (id, band); shingle
+    * arrays are joined back for the (few) surviving candidates.
+    *
     * Returns (id1, id2, jaccard). Deterministic, order by caller.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    val base = df.select(
+    val r = k / bands
+    // hash-partition by id up front: parallelizes the CPU-dense shingle
+    // and md5 stages even when the source is a single parquet split, and
+    // co-locates each doc's shingles so the signature aggregation's
+    // map-side combine is total (no partial-agg shuffle).
+    val base = df.repartition(col(idCol)).select(
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val banded = base
-      .withColumn("band", explode(lshBandKeys(minhashSignature(col("sh"), k), k, bands)))
-    val l = banded.select(col("id").as("id1"), col("sh").as("sh1"), col("band"))
-    val r = banded.select(col("id").as("id2"), col("sh").as("sh2"), col("band"))
-    l.join(r, Seq("band"))
+      .persist()
+    val exploded = base.select(col("id"), explode(col("sh")).as("g"))
+    // sig[s] = min over shingles of md5Long("s|" + shingle), as k agg cols
+    val sigCols = (0 until k).map(s =>
+      min(md5Long(concat(lit(s"$s|"), col("g")))).as(s"m$s"))
+    val sigs = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    // band key format identical to lshBandKeys: "<b>:<m0>,<m1>,..."
+    val bandCols = (0 until bands).map(b =>
+      concat(lit(s"$b:"), concat_ws(",",
+        (b * r until (b + 1) * r).map(i => col(s"m$i").cast(StringType)): _*)))
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .persist()
+    val l = banded.select(col("id").as("id1"), col("band"))
+    val rt = banded.select(col("id").as("id2"), col("band"))
+    val cand = l.join(rt, Seq("band"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2").distinct()
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-          size(array_union(col("sh1"), col("sh2"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .select("id1", "id2").distinct()
+    jaccardVerify(cand, base, threshold)
   }
 
   // -------------------------------------------------------------------
@@ -169,22 +195,23 @@ object Dedup {
 
   /** N-gram Jaccard similarity pairs, candidates bucketed by their
     * minimum shingle hash (cheap single-band LSH: near-identical docs
-    * almost surely share the global min shingle). */
+    * almost surely share the global min shingle). Bucket hash comes from
+    * the exploded shingles (codegen'd min aggregate), same rationale as
+    * [[minhashPairs]]. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val base = df.repartition(col(idCol)).select(col(idCol).as("id"),
         wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("bucket", array_min(transform(col("sh"), s => md5Long(s))))
-    val l = base.select(col("id").as("id1"), col("sh").as("sh1"), col("bucket"))
-    val r = base.select(col("id").as("id2"), col("sh").as("sh2"), col("bucket"))
-    l.join(r, Seq("bucket"))
+      .persist()
+    val buckets = base.select(col("id"), explode(col("sh")).as("g"))
+      .groupBy(col("id")).agg(min(md5Long(col("g"))).as("bucket"))
+    val l = buckets.select(col("id").as("id1"), col("bucket"))
+    val r = buckets.select(col("id").as("id2"), col("bucket"))
+    val cand = l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-          size(array_union(col("sh1"), col("sh2"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .select("id1", "id2")
+    jaccardVerify(cand, base, threshold)
   }
 
   // -------------------------------------------------------------------
@@ -210,7 +237,7 @@ object Dedup {
     val r = withB.select(col("id").as("id2"), col("v").as("v2"), col("b"))
     l.join(r, Seq("b"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", cosineSim(col("v1"), col("v2")))
+      .withColumn("cosine", VectorExpressions.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
   }

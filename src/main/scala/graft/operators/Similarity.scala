@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.VectorExpressions
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -34,7 +35,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
     c.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("cos_r", round(cosineSim(col("v"), col("qv")), 6))
+      .withColumn("cos_r", round(VectorExpressions.cosine(col("v"), col("qv")), 6))
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
@@ -50,7 +51,7 @@ object Similarity {
     val cents = c.filter(col("id").isInCollection(centroidIds))
       .select(col("id").as("cell"), col("v").as("cv"))
     c.join(broadcast(cents), col("id") =!= lit(-1L)) // cross vs small cents
-      .withColumn("d", round(cosineSim(col("v"), col("cv")), 6))
+      .withColumn("d", round(VectorExpressions.cosine(col("v"), col("cv")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("d").desc, col("cell").asc)))
       .filter(col("rn") === 1)
@@ -66,14 +67,14 @@ object Similarity {
     val cents = assigned.filter(col("id").isInCollection(centroidIds))
       .select(col("cell").as("qcell"), col("v").as("cv")).distinct()
     val probes = q.join(broadcast(cents), col("query_id") =!= lit(-1L))
-      .withColumn("d", round(cosineSim(col("qv"), col("cv")), 6))
+      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qcell").as("cell"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("cos_r", round(cosineSim(col("v"), col("qv")), 6))
+      .withColumn("cos_r", round(VectorExpressions.cosine(col("v"), col("qv")), 6))
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),

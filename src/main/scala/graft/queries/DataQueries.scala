@@ -37,8 +37,13 @@ object DataQueries {
   // Dedup
   // -------------------------------------------------------------------
 
+  // documents.parquet is one split at test scale: repartition before the
+  // CPU-dense md5/regex stages so all cores participate. (At 100 TB the
+  // scan has thousands of splits and the repartition is already keyed
+  // work distribution, not a fix.)
   val d01DedupExact: Q = (s, dir) =>
-    Dedup.exactDuplicates(Catalog(s, dir).documents, "text", "doc_id")
+    Dedup.exactDuplicates(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
       .orderBy(col("fp"))
 
   val d01Sql: String =
@@ -70,7 +75,8 @@ object DataQueries {
        |WHERE jac >= 0.2 ORDER BY id1, id2""".stripMargin
 
   val d03Simhash: Q = (s, dir) =>
-    Dedup.simhash(Catalog(s, dir).documents, "text", "doc_id", bits = 48)
+    Dedup.simhash(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id", bits = 48)
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
@@ -173,7 +179,8 @@ object DataQueries {
   // -------------------------------------------------------------------
 
   val t01LangId: Q = (s, dir) =>
-    TextAnalysis.profile(Catalog(s, dir).documents, "text", "doc_id")
+    TextAnalysis.profile(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
       .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
@@ -193,7 +200,8 @@ object DataQueries {
        |FROM s ORDER BY doc_id""".stripMargin
 
   val t02Quality: Q = (s, dir) =>
-    TextAnalysis.profile(Catalog(s, dir).documents, "text", "doc_id")
+    TextAnalysis.profile(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("n_bpe_tokens"), col("n_punct"), col("quality"))
       .orderBy(col("doc_id"))
@@ -225,7 +233,8 @@ object DataQueries {
        |FROM f ORDER BY doc_id""".stripMargin
 
   val t03Fingerprint: Q = (s, dir) =>
-    TextAnalysis.profile(Catalog(s, dir).documents, "text", "doc_id")
+    TextAnalysis.profile(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
       .select(col("doc_id"), col("fp"), col("rolling_fp"))
       .orderBy(col("doc_id"))
 
