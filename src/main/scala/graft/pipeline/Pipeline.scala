@@ -77,10 +77,15 @@ object Pipeline {
       * [[CycleException]] on a cycle, mirroring dbt's compile error. */
     def topoOrder(targets: Seq[String]): Seq[String] = {
       val wanted = mutable.LinkedHashSet.empty[String]
+      val inProgress = mutable.Set.empty[String]
       def visit(n: String): Unit = if (!wanted.contains(n)) {
+        if (!inProgress.add(n))
+          throw new CycleException(s"model cycle through '$n'")
         val m = models.getOrElse(n,
           throw new NoSuchElementException(s"unknown model '$n'"))
-        m.deps.foreach(visit); wanted += n
+        m.deps.foreach(visit)
+        inProgress -= n
+        wanted += n
       }
       targets.foreach(visit)
       val indeg = mutable.Map(wanted.toSeq.map(n =>

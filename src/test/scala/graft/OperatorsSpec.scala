@@ -1,0 +1,93 @@
+package graft
+
+import graft.expressions.VectorExpressions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles: distinct 3-grams, short docs -> empty") {
+    val got = Seq("a b c d a b c d", "a b", "").toDF("t")
+      .select(Dedup.wordShingles($"t", 3)).collect().map(_.getSeq[String](0))
+    assert(got(0).toSet == Set("a b c", "b c d", "c d a", "d a b"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("exact dedup: copies collapse to keeper with count") {
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val d = Dedup.exactDuplicates(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(d == Set((1L, 2L), (3L, 1L)),
+      "case/whitespace-normalized copies share a fingerprint; keeper = min id")
+    assert(Dedup.dropExactDuplicates(docs, "text", "doc_id").count() == 2)
+  }
+
+  test("minhashPairs: planted near-dup found, unrelated docs not paired") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = "completely different words here about spark catalyst optimizer internals"
+    val docs = Seq((1L, near1), (2L, near2), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs identical signature; near-dups small hamming") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("cosine expression: parallel=1, orthogonal=0, zero vector -> null") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(2.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 3.0)),
+      (Array(1.0, 1.0), Array(0.0, 0.0))).toDF("a", "b")
+    val got = df.select(VectorExpressions.cosine($"a", $"b")).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).getDouble(0) == 0.0)
+    assert(got(2).isNullAt(0), "zero-norm pair yields null, not NaN/error")
+  }
+
+  test("bruteForceTopK: nearest neighbor ranked first, query excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "embedding", "vec_id", k = 2).collect()
+    assert(res.map(_.getLong(2)).toSeq == Seq(1L, 2L),
+      "ranked by cosine desc; self excluded")
+    assert(res.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("embedding near-dup: threshold filters, id1 < id2") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.04f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("ivfTopK: results come from probed cells only and rank correctly") {
+    val vecs = (0 until 40).map { i =>
+      val angle = i * math.Pi / 40.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 20),
+      "embedding", "vec_id", k = 3, centroidIds = Seq(0L, 10L, 20L, 30L), nProbe = 2)
+    val ids = res.collect().map(_.getLong(2)).toSeq
+    assert(ids.length == 3)
+    assert(ids.forall(i => math.abs(i - 20) <= 12), s"neighbors near query: $ids")
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.models.TlcModels
+import graft.pipeline.Pipeline._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Golden-semantics spec for the reference-parity TLC pipeline
+  * (AUX_TLC_RIDES + LOCATION_ID_TO_NEIGHBORHOOD + seed), on synthetic
+  * fixtures shaped per FIXTURES.md §1/§3. */
+class TlcModelsSpec extends SparkSpec {
+
+  private def df(cols: (String, DataType)*)(rows: Row*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(cols.map { case (n, t) => StructField(n, t, nullable = true) }))
+
+  private val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+
+  private lazy val seedCsv: String = {
+    val dir = Files.createTempDirectory("graft-seed")
+    val f = dir.resolve("zones.csv")
+    Files.writeString(f,
+      """locationid,borough,zone,service_zone
+        |1,TestBoroA,ZoneA,Boro Zone
+        |2,TestBoroB,ZoneB,Yellow Zone
+        |3,Unknown,NV,N/A
+        |4,EWR,Newark,EWR
+        |""".stripMargin)
+    f.toString
+  }
+
+  private lazy val feeds: Map[String, DataFrame] = Map(
+    "RIDES_YELLOW" -> df(
+      "tpep_pickup_datetime" -> TimestampType, "tpep_dropoff_datetime" -> TimestampType,
+      "PULocationID" -> LongType, "DOLocationID" -> LongType,
+      "passenger_count" -> LongType, "trip_distance" -> DoubleType,
+      "RatecodeID" -> LongType, "fare_amount" -> DoubleType,
+      "tip_amount" -> DoubleType, "tolls_amount" -> DoubleType,
+      "Airport_fee" -> DoubleType, "congestion_surcharge" -> DoubleType,
+      "improvement_surcharge" -> DoubleType, "mta_tax" -> DoubleType,
+      "extra" -> DoubleType, "total_amount" -> DoubleType,
+      "payment_type" -> LongType, "store_and_fwd_flag" -> StringType,
+      "VendorID" -> LongType)(
+      Row(ts, ts, 1L, 2L, 2L, 3.5, 1L, 10.0, 2.0, 0.0, 1.25, 2.5, 0.3, 0.5,
+        1.0, 17.55, 2L, "N", 42L),
+      Row(ts, ts, 3L, 1L, 1L, 1.0, 1L, 5.0, 0.0, 0.0, 0.0, 0.0, 0.3, 0.5,
+        0.0, 5.8, 9L, "Y", 43L)),
+    "RIDES_GREEN" -> df(
+      "lpep_pickup_datetime" -> TimestampType, "lpep_dropoff_datetime" -> TimestampType,
+      "PULocationID" -> LongType, "DOLocationID" -> LongType,
+      "passenger_count" -> LongType, "trip_distance" -> DoubleType,
+      "trip_type" -> LongType, "ehail_fee" -> DoubleType,
+      "RatecodeID" -> LongType, "fare_amount" -> DoubleType,
+      "tip_amount" -> DoubleType, "tolls_amount" -> DoubleType,
+      "congestion_surcharge" -> DoubleType, "improvement_surcharge" -> DoubleType,
+      "mta_tax" -> DoubleType, "extra" -> DoubleType,
+      "total_amount" -> DoubleType, "payment_type" -> LongType,
+      "store_and_fwd_flag" -> StringType, "VendorID" -> LongType)(
+      Row(ts, ts, 2L, 2L, 1L, 2.0, 1L, 0.5, 1L, 8.0, 1.0, 0.0, 0.0, 0.3,
+        0.5, 0.0, 9.8, 1L, "N", 44L)),
+    "RIDES_FHV" -> df(
+      "pickup_datetime" -> TimestampType, "dropOff_datetime" -> TimestampType,
+      "PUlocationID" -> LongType, "DOlocationID" -> LongType,
+      "SR_Flag" -> LongType, "dispatching_base_num" -> StringType,
+      "Affiliated_base_number" -> StringType)(
+      Row(ts, ts, 1L, 99L, 1L, "B00001", "B00002")),
+    "RIDES_FHVHV" -> df(
+      "Hvfhs_license_num" -> StringType, "Pickup_datetime" -> TimestampType,
+      "DropOff_datetime" -> TimestampType, "PULocationID" -> LongType,
+      "DOLocationID" -> LongType, "trip_miles" -> DoubleType,
+      "base_passenger_fare" -> DoubleType, "tips" -> DoubleType,
+      "tolls" -> DoubleType, "airport_fee" -> DoubleType,
+      "congestion_surcharge" -> DoubleType, "Dispatching_base_num" -> StringType)(
+      Row("HV0003", ts, ts, 4L, 1L, 7.1, 20.0, 3.0, 0.0, 0.0, 2.75, "B02764")))
+
+  private lazy val rides: DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wh").toString
+    val reg = TlcModels.registry(spark, seedCsv, feeds)
+    reg.run(RunConfig(env = Core, warehouseRoot = tmp)).resolved("AUX_TLC_RIDES")
+  }
+
+  test("row count = sum of feeds (UNION ALL, no dedup)") {
+    assert(rides.count() == 5)
+  }
+
+  test("dim rename + literal replace (Boro -> Green) in LOCATION_ID_TO_NEIGHBORHOOD") {
+    val tmp = Files.createTempDirectory("graft-wh2").toString
+    val dim = TlcModels.registry(spark, seedCsv, feeds)
+      .run(RunConfig(warehouseRoot = tmp), Seq("LOCATION_ID_TO_NEIGHBORHOOD"))
+      .resolved("LOCATION_ID_TO_NEIGHBORHOOD")
+    assert(dim.columns.toSeq ==
+      Seq("location_id", "borough", "neighborhood", "service_zone"))
+    val z1 = dim.filter(dim("location_id") === 1).head
+    assert(z1.getString(3) == "Green Zone", "Boro Zone -> Green Zone")
+    assert(dim.schema("location_id").dataType == LongType, "decimal seed key cast to long")
+  }
+
+  test("left join preserves rides into filtered-out Unknown zones with null borough") {
+    val r = rides.filter(rides("pickup_location_id") === 3).head
+    assert(r.isNullAt(r.fieldIndex("pickup_borough")),
+      "Unknown zone filtered from dim BEFORE join -> null borough, row kept")
+    val r2 = rides.filter(rides("dropoff_location_id") === 99).head
+    assert(r2.isNullAt(r2.fieldIndex("dropoff_borough")),
+      "unseeded location id -> null borough")
+  }
+
+  test("vendor_id: '' for FHV (never null), cast-to-string for yellow, license for FHVHV") {
+    val v = rides.select("vendor_id", "dispatching_base_num").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(v.contains("") && v("") == Some("B00001"), "FHV vendor_id is '' not null")
+    assert(v.contains("42") && v.contains("HV0003"))
+  }
+
+  test("payment decode: 2 -> Cash, unmapped 9 -> null, FHV (absent) -> null") {
+    val labels = rides
+      .select("payment_type", "payment_type_label").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(labels(2L) == "Cash")
+    assert(labels(9L) == null)
+    assert(labels(null.asInstanceOf[Any]) == null)
+  }
+
+  test("typed null padding: FHV fare_amount is null double, green airport_fee null") {
+    val fhv = rides.filter(rides("sr_flag") === 1).head
+    assert(fhv.isNullAt(fhv.fieldIndex("fare_amount")))
+    assert(rides.schema("fare_amount").dataType == DoubleType)
+    val green = rides.filter(rides("trip_type").isNotNull).head
+    assert(green.isNullAt(green.fieldIndex("airport_fee")))
+    assert(green.getDouble(green.fieldIndex("ehail_fee")) == 0.5)
+  }
+}
