@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by per-partition batch
+  * functions (the Scala analog of pandas-batched UDFs: one iterator per
+  * partition, amortized setup, no per-row dispatch).
+  *
+  * The actual media codecs are NOT available in this build environment,
+  * so the decode kernels are STUBS — clearly marked below — that produce
+  * deterministic fake features from the bytes. Everything around them is
+  * real and tested: schema, partitioning, batch iteration shape, and the
+  * feature pipeline. Swapping a real decoder in changes only the stub
+  * body.
+  *
+  * Scale notes: media rows are large; operators repartition by id so
+  * one task never holds a skewed byte total, and feature extraction is a
+  * map-only stage (no shuffle of the bytes themselves beyond the keyed
+  * repartition).
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,            // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      mime: String,
+      meta: Map[String, String])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      features: Array[Float])
+
+  final case class FrameSample(
+      media_id: Long,
+      frame_index: Int,
+      frame_bytes: Array[Byte])
+
+  // -------------------------------------------------------------------
+  // STUB decode kernels — deterministic fakes; replace with real codecs.
+  // -------------------------------------------------------------------
+
+  /** STUB: stands in for a real image/audio decode + embedding model.
+    * Produces `dim` deterministic floats from a rolling checksum of the
+    * bytes, so tests are stable and the pipeline shape is real. */
+  private[multimodal] def stubDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val out = new Array[Float](dim)
+    var j = 0
+    var s = h
+    while (j < dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(j) = ((s >>> 33).toInt % 1000) / 1000.0f
+      j += 1
+    }
+    out
+  }
+
+  /** STUB: stands in for real video frame extraction — slices the byte
+    * stream into `every`-th fixed-size windows as fake "frames". */
+  private[multimodal] def stubSampleFrames(bytes: Array[Byte], frameSize: Int,
+                                           every: Int): Iterator[(Int, Array[Byte])] =
+    bytes.grouped(frameSize).zipWithIndex.collect {
+      case (frame, idx) if idx % every == 0 => (idx, frame)
+    }
+
+  private def checksum(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes)
+    c.getValue
+  }
+
+  // -------------------------------------------------------------------
+  // Real Spark plumbing
+  // -------------------------------------------------------------------
+
+  /** Per-partition batched feature extraction over a media Dataset.
+    * mapPartitions gives the batch-iterator shape: decoder init happens
+    * once per task, rows stream through without per-row setup. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        // (real impl: open codec/model context here, once per partition)
+        rows.map { r =>
+          MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+            checksum(r.bytes), stubDecodeFeatures(r.bytes, dim))
+        }
+      }
+  }
+
+  /** Frame sampling for "video" rows: one input row fans out to many
+    * frame rows (flatMap over the partition iterator). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 1024,
+                   every: Int = 2)(
+      implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media
+      .filter(col("kind") === "video")
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          stubSampleFrames(r.bytes, frameSize, every).map {
+            case (idx, frame) => FrameSample(r.media_id, idx, frame)
+          }
+        }
+      }
+  }
+
+  /** Join extracted media features back onto a relational table — the
+    * shape a multimodal training pipeline ends in (metadata + features
+    * co-located, bytes dropped before any wide shuffle). */
+  def featureTable(media: Dataset[MediaRow], dim: Int = 64)(
+      implicit spark: SparkSession): DataFrame =
+    extractFeatures(media, dim)
+      .withColumnRenamed("features", "embedding")
+      .drop("kind")
+}

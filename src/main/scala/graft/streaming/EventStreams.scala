@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is a cron-refreshed batch
+  * pipeline (Cloud Scheduler -> dbt run, SURVEY.md §3); its Spark-native
+  * streaming rendering is a file-source stream processed with
+  * `Trigger.AvailableNow` — each "cron tick" drains whatever files have
+  * landed, exactly-once, then stops. The same transforms then scale to a
+  * continuous stream unchanged.
+  *
+  * At 100 TB/day the source would be a partitioned landing zone (or
+  * Kafka); everything below is already expressed against the unbounded
+  * table model: watermarks bound state, windows pre-aggregate map-side,
+  * and sessionization state is per-key and eagerly timed out.
+  */
+object EventStreams {
+
+  /** On-disk schema of the events table; ts arrives as TIMESTAMP(NANOS)
+    * parquet which Spark only reads as a raw long (see Catalog.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events directory (parquet). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Windowed aggregation with a watermark: 5-minute tumbling windows of
+    * count/sum(value) per event_type. Append-mode compatible (closed
+    * windows only); state bounded by the 10-minute watermark. */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: the streaming
+    * twin of CoreQueries.q14Sessionize (30-minute inactivity gap). Emits
+    * a session row when a gap closes it; trailing sessions stay open in
+    * state. State per user is one 3-field struct — O(active users).
+    *
+    * `withTimeout=true` additionally closes idle sessions on a
+    * processing-time timeout — for CONTINUOUS operation only: pending
+    * timeouts force extra micro-batches under Trigger.AvailableNow
+    * (observed: the drain never terminates), so batch-drain runs must
+    * leave it off. */
+  def sessionize(events: DataFrame, gapMicros: Long = 30L * 60 * 1000000,
+                 withTimeout: Boolean = false)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros")).as[SessionEvent]
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.start, s.last, s.n))
+      }
+      val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      var cur = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsMicros - s.last <= gapMicros =>
+            cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, s.start, s.last, s.n)
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          case None =>
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (withTimeout) state.setTimeoutDuration("30 minutes")
+      }
+      closed.result().iterator
+    }
+
+    val timeout =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+
+  /** Drain-everything-now runner (the cron-tick semantics): starts the
+    * query with Trigger.AvailableNow on a memory sink and blocks until
+    * the backlog is processed. Returns the sink contents. */
+  def runAvailableNow(spark: SparkSession, out: DataFrame,
+                      queryName: String, outputMode: String = "append"): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
