@@ -406,6 +406,100 @@ object CoreQueries {
       |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_f_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join (operator Spark lacks natively): latest order at or
+    * before each event's timestamp, per user. Composed scalably as
+    * union-sort-window ([[graft.operators.AsOfJoin]]); the oracle uses
+    * DuckDB's native ASOF LEFT JOIN, so the two implementations verify
+    * each other. Right side pre-aggregated unique per (key, time). */
+  val q19AsofJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val right = c.orders
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+    val left = c.events.select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin
+      .asofBackward(left, right, "user_id", "ts", "o_orderdate",
+        Seq("last_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("last_orderkey"),
+        col("o_orderdate").cast(DateType).as("last_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val q19Sql: String =
+    """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+      |    max(o_orderkey) AS last_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, ts FROM events)
+      |SELECT e.event_id, e.user_id, r.last_orderkey,
+      |  CAST(r.o_orderdate AS DATE) AS last_orderdate
+      |FROM e ASOF LEFT JOIN r
+      |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  /** CUBE with grouping indicators over the region/segment hierarchy. */
+  val q20Cube: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    c.customer
+      .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        exactSum(col("c_acctbal")).as("sum_acctbal"),
+        grouping(col("n_name")).cast(LongType).as("g_nation"),
+        grouping(col("c_mktsegment")).cast(LongType).as("g_segment"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  val q20Sql: String =
+    """SELECT n_name, c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (n_name, c_mktsegment)
+      |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  /** INTERSECT / EXCEPT set operations tagged into one relation. */
+  val q21SetOps: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val custN = c.customer.select(col("c_nationkey").cast(LongType).as("nationkey"))
+    val suppN = c.supplier.select(col("s_nationkey").cast(LongType).as("nationkey"))
+    custN.intersect(suppN).withColumn("tag", lit("both"))
+      .unionByName(custN.except(suppN).withColumn("tag", lit("cust_only")))
+      .select(col("tag"), col("nationkey"))
+      .orderBy(col("tag"), col("nationkey"))
+  }
+
+  val q21Sql: String =
+    """SELECT 'both' AS tag, nationkey FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      |UNION ALL
+      |SELECT 'cust_only', nationkey FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |  EXCEPT
+      |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      |ORDER BY tag, nationkey""".stripMargin
+
+  /** Predicate battery: LIKE / BETWEEN / IN, all pushable to the scan. */
+  val q22Predicates: Q = (s, dir) =>
+    Catalog(s, dir).part
+      .filter(col("p_name").like("%a%"))
+      .filter(col("p_size").between(10, 40))
+      .filter(col("p_brand").isInCollection(Seq("Brand#1", "Brand#2", "Brand#3")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        exactSum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+
+  val q22Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part
+      |WHERE p_name LIKE '%a%' AND p_size BETWEEN 10 AND 40
+      |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_agg_pricing" -> q01AggPricing,
     "q02_project_rename" -> q02ProjectRename,
@@ -425,6 +519,10 @@ object CoreQueries {
     "q16_approx_distinct" -> q16ApproxDistinct,
     "q17_string_funcs" -> q17StringFuncs,
     "q18_conditional_agg" -> q18ConditionalAgg,
+    "q19_asof_join" -> q19AsofJoin,
+    "q20_cube" -> q20Cube,
+    "q21_set_ops" -> q21SetOps,
+    "q22_predicates" -> q22Predicates,
   )
 
   val oracles: Map[String, String] = Map(
@@ -445,6 +543,10 @@ object CoreQueries {
     "q15_count_distinct" -> q15Sql,
     "q17_string_funcs" -> q17Sql,
     "q18_conditional_agg" -> q18Sql,
+    "q19_asof_join" -> q19Sql,
+    "q20_cube" -> q20Sql,
+    "q21_set_ops" -> q21Sql,
+    "q22_predicates" -> q22Sql,
     // q16_approx_distinct: engine-specific sketch -> rows-only check
   )
 }

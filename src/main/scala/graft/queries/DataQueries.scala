@@ -46,6 +46,18 @@ object DataQueries {
         Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
       .orderBy(col("fp"))
 
+  /** The deduplicated relation itself (keeper rows, full schema). */
+  val d06DedupDrop: Q = (s, dir) =>
+    Dedup.dropExactDuplicates(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val d06Sql: String =
+    """SELECT * FROM documents WHERE doc_id IN (
+      |  SELECT min(doc_id) FROM documents
+      |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+      |ORDER BY doc_id""".stripMargin
+
   val d01Sql: String =
     """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
       |  min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -269,6 +281,7 @@ object DataQueries {
     "d03_dedup_simhash" -> d03Simhash,
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
     "d05_dedup_embed_cosine" -> d05EmbedNearDup,
+    "d06_dedup_drop" -> d06DedupDrop,
     "e01_ann_bruteforce" -> e01AnnBruteForce,
     "e02_ann_ivf" -> e02AnnIvf,
     "t01_lang_id" -> t01LangId,
@@ -283,6 +296,7 @@ object DataQueries {
     "d03_dedup_simhash" -> d03Sql,
     "d04_dedup_ngram_jaccard" -> d04Sql,
     "d05_dedup_embed_cosine" -> d05Sql,
+    "d06_dedup_drop" -> d06Sql,
     "e01_ann_bruteforce" -> e01Sql,
     "e02_ann_ivf" -> e02Sql,
     "t01_lang_id" -> t01Sql,
