@@ -1,0 +1,58 @@
+package graft
+
+import graft.expressions.{CosineSimilarityExpr, DotProductExpr, WordShinglesExpr}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SparkSessionExtensions entry point: registers the graft custom
+  * expressions as SQL functions, so SQL users get the same codegen'd
+  * kernels the DataFrame API uses:
+  *
+  *   spark.sql("SELECT graft_cosine(a, b) FROM vecs")
+  *   spark.sql("SELECT graft_word_shingles(text, 3) FROM docs")
+  *
+  * Wire-up (either way):
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (ident, i, b) => ext.injectFunction((ident, i, b)) }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private def intLit(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
+      (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles",
+        "graft_word_shingles(text, n) - distinct word n-gram shingles"),
+      (children: Seq[Expression]) =>
+        WordShinglesExpr(children(0), intLit(children(1), "n"))))
+
+  /** Register on an already-running session (the extensions conf is
+    * static; see Bridge.registerFunction). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, i, b) =>
+      Bridge.registerFunction(spark, ident.funcName, i, b)
+    }
+}

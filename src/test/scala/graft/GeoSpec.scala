@@ -1,0 +1,55 @@
+package graft
+
+import graft.geo.{GeoJoin, Wkb}
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def square(x0: Double, y0: Double, x1: Double, y1: Double) =
+    Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
+
+  test("WKB round-trip: polygon with hole, multipolygon, both parse") {
+    val donut = Wkb.writePolygon(Seq(
+      square(0, 0, 10, 10), square(4, 4, 6, 6)))
+    val g = Wkb.parse(donut)
+    assert(g.polygons.size == 1 && g.polygons.head.holes.size == 1)
+    assert(Wkb.contains(g, 2, 2), "in outer ring")
+    assert(!Wkb.contains(g, 5, 5), "inside the hole")
+    assert(!Wkb.contains(g, 11, 5), "outside bbox")
+
+    val multi = Wkb.writeMultiPolygon(Seq(
+      Seq(square(0, 0, 1, 1)), Seq(square(10, 10, 11, 11))))
+    val mg = Wkb.parse(multi)
+    assert(mg.polygons.size == 2)
+    assert(Wkb.contains(mg, 0.5, 0.5) && Wkb.contains(mg, 10.5, 10.5))
+    assert(!Wkb.contains(mg, 5, 5))
+  }
+
+  test("WKB: big-endian and unsupported types") {
+    // big-endian point at (3,4)
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte).putInt(1).putDouble(3.0).putDouble(4.0)
+    val p = Wkb.parse(be.array())
+    assert(p.points == Seq((3.0, 4.0)))
+    // unsupported type code errors clearly
+    val bad = java.nio.ByteBuffer.allocate(5)
+      .put(0.toByte).putInt(2) // LineString
+    intercept[IllegalArgumentException] { Wkb.parse(bad.array()) }
+  }
+
+  test("broadcast point-in-polygon join assigns zones, null for no match") {
+    val zones = Seq(
+      ("zoneA", Wkb.writePolygon(Seq(square(0, 0, 5, 5)))),
+      ("zoneB", Wkb.writePolygon(Seq(square(5, 0, 10, 5)))))
+      .toDF("zone_key", "wkb")
+    val points = Seq(
+      (1L, 2.0, 2.0),   // zoneA
+      (2L, 7.0, 1.0),   // zoneB
+      (3L, 20.0, 20.0)) // nowhere
+      .toDF("id", "lng", "lat")
+    val got = GeoJoin.assignZones(points, zones, "id", "lng", "lat",
+        "zone_key", "wkb")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got == Map(1L -> Some("zoneA"), 2L -> Some("zoneB"), 3L -> None))
+  }
+}
