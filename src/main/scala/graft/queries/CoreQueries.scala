@@ -500,6 +500,96 @@ object CoreQueries {
       |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Window-function battery: lead / ntile / percent_rank / cume_dist /
+    * first_value (exact integer-ratio doubles — engine-stable). */
+  val q23WindowBattery: Q = (s, dir) => {
+    val o = Catalog(s, dir).orders
+    val wDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wPriceVal = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+    o.select(col("o_orderkey"), col("o_custkey"),
+        lead(col("o_totalprice"), 1).over(wDate).as("next_price"),
+        ntile(4).over(wPrice).cast(LongType).as("quartile"),
+        percent_rank().over(wPriceVal).as("pr"),
+        cume_dist().over(wPriceVal).as("cd"),
+        first_value(col("o_orderkey")).over(wDate).as("first_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q23Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+      |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile,
+      |  percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr,
+      |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd,
+      |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Date/time battery; dayofweek aligned to Spark's 1=Sunday. */
+  val q24Datetime: Q = (s, dir) =>
+    Catalog(s, dir).orders
+      .select(col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since_95"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        weekofyear(col("o_orderdate")).cast(LongType).as("woy"))
+      .orderBy(col("o_orderkey"))
+
+  val q24Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Null-handling battery: coalesce / nullif / greatest / least. */
+  val q25NullFuncs: Q = (s, dir) =>
+    Catalog(s, dir).customer
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg_or_other"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap1k"),
+        when(col("c_acctbal") < 0, lit(null).cast(DoubleType))
+          .otherwise(col("c_acctbal")).as("bal_or_null"))
+      .orderBy(col("c_custkey"))
+
+  val q25Sql: String =
+    """SELECT c_custkey,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+      |  greatest(c_acctbal, 0.0) AS bal_floor0,
+      |  least(c_acctbal, 1000.0) AS bal_cap1k,
+      |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Exact interpolated percentiles + sample stddev (rounded: the two
+    * engines interpolate/accumulate with different fp op order). */
+  val q26Percentile: Q = (s, dir) =>
+    Catalog(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(stddev_samp(col("l_quantity")), 3).as("sd_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q26Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      |  round(stddev_samp(l_quantity), 3) AS sd_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_agg_pricing" -> q01AggPricing,
     "q02_project_rename" -> q02ProjectRename,
@@ -523,6 +613,10 @@ object CoreQueries {
     "q20_cube" -> q20Cube,
     "q21_set_ops" -> q21SetOps,
     "q22_predicates" -> q22Predicates,
+    "q23_window_battery" -> q23WindowBattery,
+    "q24_datetime" -> q24Datetime,
+    "q25_null_funcs" -> q25NullFuncs,
+    "q26_percentile" -> q26Percentile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -547,6 +641,10 @@ object CoreQueries {
     "q20_cube" -> q20Sql,
     "q21_set_ops" -> q21Sql,
     "q22_predicates" -> q22Sql,
+    "q23_window_battery" -> q23Sql,
+    "q24_datetime" -> q24Sql,
+    "q25_null_funcs" -> q25Sql,
+    "q26_percentile" -> q26Sql,
     // q16_approx_distinct: engine-specific sketch -> rows-only check
   )
 }
