@@ -154,8 +154,11 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", md5Long(col("tok")))
-    // shiftright/shiftleft with a COLUMN shift amount aren't exposed in
-    // the Scala functions API (only Int literals) — go through expr().
+    // (id, bit) explode + single-buffer aggregate. Measured FASTER than
+    // the "one sum aggregate per bit" formulation (48 agg buffers per
+    // row fall out of tight codegen; the exploded rows stay in one
+    // hot generated loop). shiftright with a COLUMN shift amount isn't
+    // exposed in the Scala API — go through expr().
     val votes = toks.select(col("id"), col("h"),
         explode(sequence(lit(0), lit(bits - 1))).as("bit"))
       .withColumn("vote",

@@ -104,6 +104,35 @@ object DataQueries {
        |  THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SimHash near-dup pairs: pigeonhole chunk candidates + exact
+    * hamming verification (xor + popcount). */
+  val d07SimhashPairs: Q = (s, dir) =>
+    Dedup.simhashPairs(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id",
+        bits = 48, chunks = 4, maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+
+  val d07Sql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+       |h AS (SELECT doc_id, ${h60("t")} AS h FROM tok),
+       |votes AS (SELECT doc_id, bit,
+       |  SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h CROSS JOIN (SELECT unnest(range(0,48)) AS bit) bits
+       |  GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+       |  THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |chunks AS (SELECT doc_id, simhash, c, (simhash >> (12*c)) & 4095 AS chunk
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0,4)) AS c) cs),
+       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+       |    l.simhash AS h1, r.simhash AS h2
+       |  FROM chunks l JOIN chunks r
+       |    ON l.c = r.c AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+
   val d04NgramJaccard: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(Catalog(s, dir).documents, "text", "doc_id",
         n = 3, threshold = 0.2)
@@ -282,6 +311,7 @@ object DataQueries {
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
     "d05_dedup_embed_cosine" -> d05EmbedNearDup,
     "d06_dedup_drop" -> d06DedupDrop,
+    "d07_dedup_simhash_pairs" -> d07SimhashPairs,
     "e01_ann_bruteforce" -> e01AnnBruteForce,
     "e02_ann_ivf" -> e02AnnIvf,
     "t01_lang_id" -> t01LangId,
@@ -297,6 +327,7 @@ object DataQueries {
     "d04_dedup_ngram_jaccard" -> d04Sql,
     "d05_dedup_embed_cosine" -> d05Sql,
     "d06_dedup_drop" -> d06Sql,
+    "d07_dedup_simhash_pairs" -> d07Sql,
     "e01_ann_bruteforce" -> e01Sql,
     "e02_ann_ivf" -> e02Sql,
     "t01_lang_id" -> t01Sql,
