@@ -107,6 +107,40 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Streaming exact dedup: drops rows whose key was already seen,
+    * with state bounded by the watermark (a duplicate arriving later
+    * than `withinWatermark` after the original may pass — the standard
+    * streaming-dedup contract; exact global dedup is the batch
+    * operator's job). */
+  def dedupEvents(events: DataFrame, withinWatermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", withinWatermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming harmonized union — the TLC-union shape on an unbounded
+    * source (SURVEY.md §7.2 slice 5): per-feed projections with typed
+    * NULL padding, unioned; all map-only, so watermarks/state are not
+    * involved and the plan scales like the batch one. */
+  def harmonizedUnion(events: DataFrame): DataFrame = {
+    import graft.harmonize.Harmonize._
+    import org.apache.spark.sql.types._
+    val canon = Seq(
+      CanonicalCol("event_id", LongType),
+      CanonicalCol("ts", TimestampType),
+      CanonicalCol("user_id", LongType),
+      CanonicalCol("amount", DoubleType),
+      CanonicalCol("kind", StringType))
+    unionHarmonized(canon, Seq(
+      SourceFeed("clicks", events.filter(col("event_type") === "click"),
+        Map("event_id" -> "event_id", "ts" -> "ts", "user_id" -> "user_id",
+            "amount" -> "value"),
+        Map("kind" -> lit("click"))),
+      SourceFeed("signups", events.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        Map("event_id" -> "event_id", "ts" -> "ts", "user_id" -> "user_id"),
+        Map("kind" -> lit("signup")))))
+  }
+
   /** Drain-everything-now runner (the cron-tick semantics): starts the
     * query with Trigger.AvailableNow on a memory sink and blocks until
     * the backlog is processed. Returns the sink contents. */

@@ -124,6 +124,30 @@ class TlcModelsSpec extends SparkSpec {
     assert(labels(null.asInstanceOf[Any]) == null)
   }
 
+  test("date-partitioned table materialization lays out partition dirs") {
+    // SURVEY §4: the reference CANNOT partition its external tables; the
+    // Spark warehouse can and should (documented divergence).
+    val tmp = Files.createTempDirectory("graft-wh3").toString
+    val reg = TlcModels.registry(spark, seedCsv, feeds)
+    val rides = reg.run(RunConfig(warehouseRoot = tmp)).resolved("AUX_TLC_RIDES")
+    val r2 = new graft.pipeline.Pipeline.Registry(spark)
+    r2.register(graft.pipeline.Pipeline.Model(
+      "RIDES_BY_DATE", "3_PREP", Nil, graft.pipeline.Pipeline.Table,
+      partitionBy = Seq("pickup_date")) { _ =>
+      rides.withColumn("pickup_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("pickup_datetime")))
+    })
+    r2.run(RunConfig(warehouseRoot = tmp), Seq("RIDES_BY_DATE"))
+    val dir = new java.io.File(s"$tmp/CORE/3_PREP/RIDES_BY_DATE")
+    val parts = dir.listFiles().map(_.getName).filter(_.startsWith("pickup_date="))
+    assert(parts.nonEmpty, s"expected hive-style partition dirs in $dir")
+    // partition pruning: reading one date reads only that partition
+    val one = spark.read.parquet(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("pickup_date") === "2024-01-01")
+    assert(one.count() == 5)
+  }
+
   test("typed null padding: FHV fare_amount is null double, green airport_fee null") {
     val fhv = rides.filter(rides("sr_flag") === 1).head
     assert(fhv.isNullAt(fhv.fieldIndex("fare_amount")))
