@@ -241,20 +241,27 @@ object GraftFunctions {
   def toDoubleArray(a: Column): Column =
     transform(a, x => x.cast(DoubleType))
 
+  /** Deterministic pseudo-random hyperplane: component i is
+    * md5("seed|i") (15 hex chars -> long, exactly [[md5Long]]) mod
+    * 2000001 scaled to [-1, 1]. Computed driver-side — the hyperplane is
+    * row-independent, so materializing it as a literal array lets the
+    * per-row work be one codegen'd dot product instead of regenerating
+    * 64 hash components through interpreted lambdas per row. */
+  def hyperplane(seed: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val hex = md.digest(s"$seed|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L) / 1000000.0 - 1.0
+    }.toArray
+  }
+
   /** Signed random-hyperplane sketch bit for LSH bucketing: sign of the
-    * dot product with a deterministic pseudo-random hyperplane derived
-    * from md5(seed, index) — reproducible on any cluster, no RNG state.
-    */
-  def hyperplaneBit(vec: Column, seed: Int): Column = {
-    // component i of the hyperplane: md5Long("seed|i") scaled to [-1,1]
-    val proj = aggregate(
-      zip_with(
-        vec,
-        transform(sequence(lit(0), size(vec) - 1),
-          i => pmod(md5Long(concat(lit(seed.toString), lit("|"), i.cast(StringType))), lit(2000001L))
-            .cast(DoubleType) / 1000000.0 - 1.0),
-        (x, h) => x * h),
-      lit(0.0), (acc, v) => acc + v)
+    * dot product with [[hyperplane]] — reproducible on any cluster, no
+    * RNG state. `dim` must match the vector length. */
+  def hyperplaneBit(vec: Column, seed: Int, dim: Int): Column = {
+    val proj = graft.expressions.VectorExpressions.dot(
+      vec, typedlit(hyperplane(seed, dim)))
     when(proj >= 0, 1).otherwise(0)
   }
 }

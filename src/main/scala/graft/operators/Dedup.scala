@@ -228,13 +228,14 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             threshold: Double,
-                            bucketed: Boolean = false): DataFrame = {
+                            bucketed: Boolean = false,
+                            dim: Int = 64): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       toDoubleArray(col(vecCol)).as("v"))
     val withB =
       if (bucketed)
         base.withColumn("b",
-          concat_ws("", (0 until 8).map(s => hyperplaneBit(col("v"), s).cast(StringType)): _*))
+          concat_ws("", (0 until 8).map(s => hyperplaneBit(col("v"), s, dim).cast(StringType)): _*))
       else base.withColumn("b", lit("all"))
     val l = withB.select(col("id").as("id1"), col("v").as("v1"), col("b"))
     val r = withB.select(col("id").as("id2"), col("v").as("v2"), col("b"))

@@ -84,8 +84,8 @@ object Similarity {
   /** Random-hyperplane LSH bucket key (8-bit sketch by default): the
     * scale path for near-dup joins — only same-bucket pairs compared. */
   def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
-                 nBits: Int = 8): DataFrame =
+                 nBits: Int = 8, dim: Int = 64): DataFrame =
     df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .withColumn("bucket", concat_ws("",
-        (0 until nBits).map(s => hyperplaneBit(col("v"), s).cast(StringType)): _*))
+        (0 until nBits).map(s => hyperplaneBit(col("v"), s, dim).cast(StringType)): _*))
 }

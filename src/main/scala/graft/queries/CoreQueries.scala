@@ -590,6 +590,31 @@ object CoreQueries {
       |  round(stddev_samp(l_quantity), 3) AS sd_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Scalar-aggregate-subquery shape (TPC-H Q17): rows under 20% of
+    * their group's average — expressed as a pre-aggregated broadcast
+    * join (the scalable form of a correlated scalar subquery). */
+  val q27ScalarSubquery: Q = (s, dir) => {
+    val li = Catalog(s, dir).lineitem
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg((exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_small"),
+        exactSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q27Sql: String =
+    """WITH a AS (SELECT l_partkey AS ap_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN a ON l_partkey = ap_key
+      |WHERE l_quantity < 0.5 * avg_qty
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_agg_pricing" -> q01AggPricing,
     "q02_project_rename" -> q02ProjectRename,
@@ -617,6 +642,7 @@ object CoreQueries {
     "q24_datetime" -> q24Datetime,
     "q25_null_funcs" -> q25NullFuncs,
     "q26_percentile" -> q26Percentile,
+    "q27_scalar_subquery" -> q27ScalarSubquery,
   )
 
   val oracles: Map[String, String] = Map(
@@ -645,6 +671,7 @@ object CoreQueries {
     "q24_datetime" -> q24Sql,
     "q25_null_funcs" -> q25Sql,
     "q26_percentile" -> q26Sql,
+    "q27_scalar_subquery" -> q27Sql,
     // q16_approx_distinct: engine-specific sketch -> rows-only check
   )
 }

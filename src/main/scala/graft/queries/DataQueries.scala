@@ -215,6 +215,30 @@ object DataQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The ANN *scale path*: random-hyperplane LSH bucketing (8 md5-seeded
+    * deterministic hyperplanes -> 256 buckets), pairwise cosine only
+    * within a bucket. The oracle replays the full hyperplane pipeline in
+    * SQL — even the approximate path is hash-verified. */
+  val e03LshBucketPairs: Q = (s, dir) =>
+    Dedup.embeddingNearDupPairs(Catalog(s, dir).embeddings,
+        "embedding", "vec_id", threshold = 0.2, bucketed = true)
+      .orderBy(col("id1"), col("id2"))
+
+  val e03Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |  (SELECT string_agg(CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+      |     i -> v[i] * ((CAST(('0x'||substr(md5(s.s::VARCHAR||'|'||(i-1)::VARCHAR),1,15)) AS BIGINT)
+      |            % 2000001)/1000000.0 - 1.0))) >= 0
+      |     THEN '1' ELSE '0' END, '' ORDER BY s.s)
+      |   FROM (SELECT unnest(range(0,8)) AS s) s) AS bucket
+      |  FROM e),
+      |p AS (SELECT a.vec_id AS id1, b2.vec_id AS id2,
+      |    list_cosine_similarity(a.v, b2.v) AS c
+      |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      |SELECT id1, id2, round(c, 6) AS cosine FROM p
+      |WHERE c >= 0.2 ORDER BY id1, id2""".stripMargin
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
@@ -314,6 +338,7 @@ object DataQueries {
     "d07_dedup_simhash_pairs" -> d07SimhashPairs,
     "e01_ann_bruteforce" -> e01AnnBruteForce,
     "e02_ann_ivf" -> e02AnnIvf,
+    "e03_ann_lsh_buckets" -> e03LshBucketPairs,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -330,6 +355,7 @@ object DataQueries {
     "d07_dedup_simhash_pairs" -> d07Sql,
     "e01_ann_bruteforce" -> e01Sql,
     "e02_ann_ivf" -> e02Sql,
+    "e03_ann_lsh_buckets" -> e03Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,
