@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SCD2 snapshots — the reference declares a dbt `snapshots/` directory
+  * but ships none (SURVEY.md §2.7 D7). This is the Spark-native
+  * equivalent of dbt's timestamp-strategy snapshot: track every version
+  * of a mutable dimension row with [valid_from, valid_to) ranges and an
+  * `is_current` flag.
+  *
+  * Storage is plain parquet (no table format in this environment), so a
+  * snapshot tick rewrites the snapshot table — correct and idempotent;
+  * on a real deployment the same merge would target a Delta/Iceberg
+  * table with MERGE INTO and only touched files rewrite. The merge
+  * itself is one hash join on the business key + a union: shuffle cost
+  * O(|snapshot| + |incoming|), no driver-side row handling.
+  */
+object Snapshots {
+
+  val validTo999: java.sql.Timestamp = java.sql.Timestamp.valueOf("9999-12-31 00:00:00")
+
+  /** Initialize a snapshot from the first observed state. */
+  def initialize(current: DataFrame, updatedAtCol: String): DataFrame =
+    current
+      .withColumn("valid_from", col(updatedAtCol).cast(TimestampType))
+      .withColumn("valid_to", lit(validTo999))
+      .withColumn("is_current", lit(true))
+
+  /** Merge one new observation of the source into the snapshot.
+    *
+    * Rules (dbt timestamp strategy):
+    *  - unchanged rows (same key, same updatedAt) pass through;
+    *  - changed rows (same key, newer updatedAt) close the current
+    *    version (valid_to = new updatedAt, is_current = false) and add
+    *    the new version;
+    *  - new keys are inserted as current;
+    *  - keys absent from `incoming` are left open (dbt semantics: a
+    *    snapshot records what it sees, absence is not deletion).
+    */
+  def merge(snapshot: DataFrame, incoming: DataFrame, key: String,
+            updatedAtCol: String): DataFrame = {
+    val cur = snapshot.filter(col("is_current"))
+    val hist = snapshot.filter(!col("is_current"))
+    val inc = incoming
+      .withColumnRenamed(key, "__k")
+      .withColumnRenamed(updatedAtCol, "__ts")
+
+    val joined = cur.join(inc,
+      cur(key) === col("__k") && cur(updatedAtCol) < col("__ts"), "left")
+
+    val dataCols = snapshot.columns.filterNot(
+      Seq("valid_from", "valid_to", "is_current").contains(_))
+
+    // current rows with a newer incoming version -> closed
+    val closed = joined.filter(col("__k").isNotNull)
+      .select(dataCols.map(cur(_)) :+ cur("valid_from") :+
+        col("__ts").cast(TimestampType).as("valid_to") :+
+        lit(false).as("is_current"): _*)
+    // current rows without a newer version -> unchanged
+    val untouched = joined.filter(col("__k").isNull)
+      .select(cur.columns.map(cur(_)): _*)
+
+    // incoming versions that are NEW relative to the snapshot:
+    // either a brand-new key, or newer than the current version
+    val curKeys = cur.select(col(key).as("__ck"), col(updatedAtCol).as("__cts"))
+    val fresh = inc.join(curKeys, col("__k") === col("__ck"), "left")
+      .filter(col("__ck").isNull || col("__cts") < col("__ts"))
+      .drop("__ck", "__cts")
+      .withColumnRenamed("__k", key)
+      .withColumnRenamed("__ts", updatedAtCol)
+    val opened = initialize(fresh, updatedAtCol)
+
+    hist.unionByName(closed).unionByName(untouched).unionByName(opened)
+  }
+
+  /** Point-in-time view: the version of each row valid at `asOf`. */
+  def asOf(snapshot: DataFrame, asOf: java.sql.Timestamp): DataFrame =
+    snapshot.filter(col("valid_from") <= lit(asOf) && lit(asOf) < col("valid_to"))
+}

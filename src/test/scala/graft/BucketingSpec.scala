@@ -1,0 +1,43 @@
+package graft
+
+import graft.io.Bucketing
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-key join plans with zero shuffles") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(o, "o_b", "l_orderkey", 4)
+    // force a merge join: at test scale the small side would broadcast
+    // and bucketing wouldn't matter (the planner even says "Bucketed:
+    // false (disabled by query planner)" under BHJ)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "l_orderkey")
+      val plain = li.join(o, "l_orderkey")
+      assert(joined.count() == plain.count())
+      // no SHUFFLE exchange: write-time bucketing replaced the per-query
+      // shuffle on both sides
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle; plan was:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+      // the same join on raw parquet DOES shuffle under the same conf
+      val raw = plain.queryExecution.executedPlan.toString
+      assert(raw.contains("Exchange hashpartitioning"),
+        "raw-table merge join shuffles both sides")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.Snapshots
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("SCD2 lifecycle: init, change closes version, new key opens, absence keeps") {
+    val day1 = Seq(
+      (1L, "Bronx", ts("2024-01-01 00:00:00")),
+      (2L, "Queens", ts("2024-01-01 00:00:00")))
+      .toDF("zone_id", "borough", "updated_at")
+    val snap1 = Snapshots.initialize(day1, "updated_at")
+    assert(snap1.filter(col("is_current")).count() == 2)
+
+    val day2 = Seq(
+      (1L, "Bronx-Renamed", ts("2024-02-01 00:00:00")), // changed
+      (3L, "EWR", ts("2024-02-01 00:00:00")))           // new key; 2 absent
+      .toDF("zone_id", "borough", "updated_at")
+    val snap2 = Snapshots.merge(snap1, day2, "zone_id", "updated_at").cache()
+
+    assert(snap2.count() == 4, "2 current day1 + 1 closed + 1 new = 4 versions")
+    val cur = snap2.filter(col("is_current"))
+      .select("zone_id", "borough").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "Bronx-Renamed", 2L -> "Queens", 3L -> "EWR"))
+
+    val closed = snap2.filter(!col("is_current")).collect()
+    assert(closed.length == 1)
+    assert(closed.head.getAs[String]("borough") == "Bronx")
+    assert(closed.head.getAs[Timestamp]("valid_to") == ts("2024-02-01 00:00:00"))
+
+    // point-in-time reads
+    val jan = Snapshots.asOf(snap2, ts("2024-01-15 00:00:00"))
+      .select("zone_id", "borough").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(jan == Map(1L -> "Bronx", 2L -> "Queens"))
+    val feb = Snapshots.asOf(snap2, ts("2024-02-15 00:00:00"))
+    assert(feb.count() == 3)
+  }
+
+  test("idempotent: merging the same observation twice changes nothing") {
+    val day1 = Seq((1L, "A", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
+    val snap = Snapshots.initialize(day1, "updated_at")
+    val again = Snapshots.merge(snap, day1, "k", "updated_at")
+    assert(again.count() == 1)
+    assert(again.filter(col("is_current")).count() == 1)
+  }
+}
