@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicates the documents corpus N times (with offset
+  * ids and a salt token so replicas are near- but not exact dups) and
+  * times the dedup/text operators at 1x vs Nx — evidence that the
+  * operator costs scale near-linearly with corpus size.
+  * Usage: runMain graft.tools.ScaleProbe [replicas]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = (0 until replicas).map { r =>
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"))
+    }.reduce(_ unionByName _)
+    val dir = s"/tmp/graft_scale_${replicas}x"
+    big.repartition(32).write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    println(s"[scale] corpus: ${docs.count()} docs (${replicas}x)")
+
+    def t(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    t("exact_dedup")(Dedup.exactDuplicates(docs, "text", "doc_id").count())
+    t("minhash_pairs")(Dedup.minhashPairs(docs, "text", "doc_id",
+      n = 3, k = 16, bands = 4, threshold = 0.2).count())
+    t("simhash_sigs")(Dedup.simhash(docs, "text", "doc_id").count())
+    t("text_profile")(TextAnalysis.profile(docs, "text", "doc_id").count())
+    spark.stop()
+  }
+}
