@@ -148,6 +148,33 @@ class TlcModelsSpec extends SparkSpec {
     assert(one.count() == 5)
   }
 
+  test("full 4-layer DAG: seed -> dim -> stg -> mart materializes in topo order") {
+    // the mart layer the reference declares (3_PREP/4_MART) but never
+    // built: borough-level ride rollup on top of AUX_TLC_RIDES
+    val tmp = Files.createTempDirectory("graft-wh4").toString
+    val reg = TlcModels.registry(spark, seedCsv, feeds)
+    reg.register(Model("MART_RIDES_BY_BOROUGH", "4_MART",
+        Seq("AUX_TLC_RIDES"), Table) { deps =>
+      import org.apache.spark.sql.functions._
+      deps("AUX_TLC_RIDES")
+        .groupBy(col("pickup_borough"))
+        .agg(count(lit(1)).as("n_rides"),
+          sum(col("total_amount")).as("sum_total"))
+    })
+    val res = reg.run(RunConfig(warehouseRoot = tmp))
+    val order = res.order
+    assert(order.indexOf("x_seed_taxi_zone_lookup") <
+      order.indexOf("LOCATION_ID_TO_NEIGHBORHOOD"))
+    assert(order.indexOf("LOCATION_ID_TO_NEIGHBORHOOD") <
+      order.indexOf("AUX_TLC_RIDES"))
+    assert(order.indexOf("AUX_TLC_RIDES") <
+      order.indexOf("MART_RIDES_BY_BOROUGH"))
+    val mart = res.resolved("MART_RIDES_BY_BOROUGH")
+    assert(mart.count() > 0)
+    // mart persisted as a table under the env prefix
+    assert(new java.io.File(s"$tmp/CORE/4_MART/MART_RIDES_BY_BOROUGH").exists())
+  }
+
   test("typed null padding: FHV fare_amount is null double, green airport_fee null") {
     val fhv = rides.filter(rides("sr_flag") === 1).head
     assert(fhv.isNullAt(fhv.fieldIndex("fare_amount")))
