@@ -48,6 +48,12 @@ object GraftExtensions {
         "graft_word_shingles(text, n) - distinct word n-gram shingles"),
       (children: Seq[Expression]) =>
         WordShinglesExpr(children(0), intLit(children(1), "n"))))
+  // NOTE: Column-combinator functions (distLatLng, md5Long, ...) cannot
+  // be SQL-registered by round-tripping Columns through the bridge: the
+  // round-trip yields a ColumnNodeExpression carrying UnresolvedFunction
+  // nodes the analyzer will not resolve inside a registered builder.
+  // Only native Expressions go in the registry; combinators stay a
+  // Scala-API surface.
 
   /** Register on an already-running session (the extensions conf is
     * static; see Bridge.registerFunction). Idempotent. */

@@ -39,12 +39,17 @@ object AsOfJoin {
                    leftTime: String, rightTime: String,
                    payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // SQL join semantics: a NULL key matches nothing. The union-window
+    // formulation would otherwise co-partition left/right NULL keys and
+    // "match" them, so drop NULL-key right rows (left NULL-key rows
+    // keep flowing and get NULL payloads — left-join behavior).
+    val rightNonNull = right.filter(col(key).isNotNull)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
       .select((leftCols.map(col) :+ col("__t") :+ col("__tag")) ++
         payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
-    val r = right
+    val r = rightNonNull
       .withColumn("__t", col(rightTime))
       .withColumn("__tag", lit(0))
       .select((leftCols.map(c => (if (c == key) col(key) else lit(null).cast(left.schema(c).dataType)).as(c)) :+

@@ -43,7 +43,16 @@ object Snapshots {
             updatedAtCol: String): DataFrame = {
     val cur = snapshot.filter(col("is_current"))
     val hist = snapshot.filter(!col("is_current"))
-    val inc = incoming
+    // one observation per key per merge: keep only the LATEST incoming
+    // version (ties broken arbitrarily would corrupt the chain — a
+    // deterministic row_number on (ts desc) guards batches that carry
+    // several versions of one key).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(updatedAtCol).desc)
+    val latest = incoming
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val inc = latest
       .withColumnRenamed(key, "__k")
       .withColumnRenamed(updatedAtCol, "__ts")
 

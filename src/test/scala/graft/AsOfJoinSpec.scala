@@ -31,4 +31,19 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> null,  // nothing at or before 07:00
       4L -> null)) // key absent from right
   }
+
+  test("NULL keys never match (SQL join semantics)") {
+    val left = Seq((1L, Option(10L), ts("2024-01-01 10:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "t")
+    val right = Seq((Option(10L), ts("2024-01-01 08:00:00"), 100L),
+      (Option.empty[Long], ts("2024-01-01 08:00:00"), 999L))
+      .toDF("user_id", "rt", "payload")
+    val got = AsOfJoin.asofBackward(left, right, "user_id", "t", "rt",
+        Seq("payload"))
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(got.toSeq == Seq(1L -> 100L, 2L -> null),
+      "NULL-key left row gets NULL payload; NULL-key right row matches nothing")
+  }
 }

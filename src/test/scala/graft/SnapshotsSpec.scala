@@ -43,6 +43,19 @@ class SnapshotsSpec extends SparkSpec {
     assert(feb.count() == 3)
   }
 
+  test("a batch carrying several versions of one key keeps only the latest") {
+    val day1 = Seq((1L, "v1", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
+    val snap = Snapshots.initialize(day1, "updated_at")
+    val multi = Seq(
+      (1L, "v2", ts("2024-01-02 00:00:00")),
+      (1L, "v3", ts("2024-01-03 00:00:00"))).toDF("k", "v", "updated_at")
+    val merged = Snapshots.merge(snap, multi, "k", "updated_at")
+    val cur = merged.filter(col("is_current")).collect()
+    assert(cur.length == 1 && cur.head.getAs[String]("v") == "v3",
+      "only the latest incoming version opens")
+    assert(merged.count() == 2, "v2 is skipped, not opened-and-closed")
+  }
+
   test("idempotent: merging the same observation twice changes nothing") {
     val day1 = Seq((1L, "A", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
     val snap = Snapshots.initialize(day1, "updated_at")
