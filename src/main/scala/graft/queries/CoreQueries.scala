@@ -615,6 +615,40 @@ object CoreQueries {
       |WHERE l_quantity < 0.5 * avg_qty
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q3 shape: segment + date predicates (pushed to the scans),
+    * customer->orders->lineitem join, exact-decimal revenue, top-20 by
+    * revenue. The full classic OLAP pipeline in one query. */
+  val q28Tpch3: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val cutoff = lit("1998-01-01").cast(TimestampType)
+    val d = DecimalType(18, 2)
+    val cu = c.customer.filter(col("c_mktsegment") === "BUILDING")
+    val o = c.orders.filter(col("o_orderdate") < cutoff)
+    val li = c.lineitem.filter(col("l_shipdate") >= cutoff)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("odate"))
+      .agg(sum(col("l_extendedprice").cast(d) *
+        (lit(1).cast(d) - col("l_discount").cast(d)))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(20)
+  }
+
+  val q28Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_agg_pricing" -> q01AggPricing,
     "q02_project_rename" -> q02ProjectRename,
@@ -643,6 +677,7 @@ object CoreQueries {
     "q25_null_funcs" -> q25NullFuncs,
     "q26_percentile" -> q26Percentile,
     "q27_scalar_subquery" -> q27ScalarSubquery,
+    "q28_tpch_q3" -> q28Tpch3,
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,6 +707,7 @@ object CoreQueries {
     "q25_null_funcs" -> q25Sql,
     "q26_percentile" -> q26Sql,
     "q27_scalar_subquery" -> q27Sql,
+    "q28_tpch_q3" -> q28Sql,
     // q16_approx_distinct: engine-specific sketch -> rows-only check
   )
 }
