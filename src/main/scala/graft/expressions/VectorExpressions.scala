@@ -19,6 +19,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Results are bit-identical to the higher-order formulation: same
   * left-to-right double accumulation, same dot/(||a||*||b||) form.
+  *
+  * Mismatched array lengths truncate to the shorter input (lenient by
+  * design; the corpora here are fixed-width). Note DuckDB's
+  * list_cosine_similarity ERRORS on mismatch, so corrupt-width data
+  * fails loudly on the oracle side rather than silently diverging.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {

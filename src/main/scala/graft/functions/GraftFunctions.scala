@@ -262,6 +262,8 @@ object GraftFunctions {
   def hyperplaneBit(vec: Column, seed: Int, dim: Int): Column = {
     val proj = graft.expressions.VectorExpressions.dot(
       vec, typedlit(hyperplane(seed, dim)))
-    when(proj >= 0, 1).otherwise(0)
+    // empty vector -> 0, matching the oracle (list_sum([]) is NULL,
+    // which fails the >= 0 test); dot() would report 0.0 >= 0 -> 1
+    when(size(vec) > 0 && proj >= 0, 1).otherwise(0)
   }
 }

@@ -44,14 +44,22 @@ object GeoJoin {
       .mapPartitions { rows =>
         val zs = bc.value
         rows.map { r =>
-          val x = r.getDouble(1); val y = r.getDouble(2)
-          var zone: String = null
-          var i = 0
-          while (zone == null && i < zs.length) {
-            if (Wkb.contains(zs(i)._2, x, y)) zone = zs(i)._1
-            i += 1
+          // NULL coords (exactly the rows a staging validity flag marks)
+          // must yield a NULL zone, not an NPE from getDouble on null
+          if (r.isNullAt(1) || r.isNullAt(2)) {
+            Row(if (r.isNullAt(0)) null else r.getLong(0),
+              if (r.isNullAt(1)) null else r.getDouble(1),
+              if (r.isNullAt(2)) null else r.getDouble(2), null)
+          } else {
+            val x = r.getDouble(1); val y = r.getDouble(2)
+            var zone: String = null
+            var i = 0
+            while (zone == null && i < zs.length) {
+              if (Wkb.contains(zs(i)._2, x, y)) zone = zs(i)._1
+              i += 1
+            }
+            Row(if (r.isNullAt(0)) null else r.getLong(0), x, y, zone)
           }
-          Row(r.getLong(0), x, y, zone)
         }
       }(enc)
   }

@@ -69,7 +69,10 @@ object Wkb {
       while (i < nPts * 2) { ring(i) = buf.getDouble(); i += 1 }
       ring
     }
-    Polygon(rings.head, rings.tail)
+    // POLYGON EMPTY (nRings=0) is legal WKB: empty outer ring gives an
+    // inverted bbox, so contains() is always false — no crash.
+    if (rings.isEmpty) Polygon(Array.empty[Double], Nil)
+    else Polygon(rings.head, rings.tail)
   }
 
   /** Ray-casting point-in-ring test (crossing number, half-open edges —

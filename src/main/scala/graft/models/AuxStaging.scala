@@ -47,7 +47,11 @@ object AuxStaging {
   /** Nearest-zone assignment by haversine distance to zone centroids —
     * the first geo-ish mart the reference's staged data implies
     * (SURVEY.md §7.2 slice 4): broadcast the (small) centroid dim,
-    * pick argmin distance per point; map-only over the fact side. */
+    * pick argmin distance per point; map-only over the fact side.
+    * Points with a NULL coordinate are excluded up front (callers
+    * pre-flag them via the staging validity columns) — a NULL lng
+    * would otherwise produce NULL distances and an arbitrary
+    * nulls-first argmin "assignment". */
   def nearestZone(points: DataFrame, zones: DataFrame,
                   idCol: String, latCol: String, lngCol: String,
                   zoneKeyCol: String, zoneLatCol: String,
@@ -57,7 +61,8 @@ object AuxStaging {
       col(zoneLatCol).as("zlat"), col(zoneLngCol).as("zlng"))
     val joined = points
       .select(col(idCol).as("id"), col(latCol).as("lat"), col(lngCol).as("lng"))
-      .join(broadcast(z), col("lat").isNotNull)
+      .filter(col("lat").isNotNull && col("lng").isNotNull)
+      .crossJoin(broadcast(z))
       .withColumn("dist_km",
         round(distLatLng(col("lat"), col("lng"), col("zlat"), col("zlng"), "km"), 6))
     val w = Window.partitionBy("id").orderBy(col("dist_km").asc, col("zone").asc)

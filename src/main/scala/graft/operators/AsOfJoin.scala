@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join: for each left row, attach the latest
   * right row with the same key and rightTime <= leftTime.
@@ -39,27 +40,33 @@ object AsOfJoin {
                    leftTime: String, rightTime: String,
                    payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // SQL join semantics: a NULL key matches nothing. The union-window
-    // formulation would otherwise co-partition left/right NULL keys and
-    // "match" them, so drop NULL-key right rows (left NULL-key rows
-    // keep flowing and get NULL payloads — left-join behavior).
-    val rightNonNull = right.filter(col(key).isNotNull)
+    // SQL join semantics: a NULL key matches nothing, and a NULL right
+    // time satisfies no `leftTime >= rightTime` bound. The union-window
+    // formulation would otherwise co-partition NULL keys (matching them)
+    // and sort NULL times FIRST (matching everything), so both are
+    // dropped from the right side. NULL-key/time left rows keep flowing
+    // and get NULL payloads — left-join behavior.
+    val rightNonNull = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+    // the payload travels as ONE struct so the window carries whole
+    // right ROWS: per-column last(ignoreNulls) would stitch non-null
+    // values from DIFFERENT right rows into one that never existed.
+    val payloadT = StructType(payload.map(p =>
+      StructField(p, right.schema(p).dataType, nullable = true)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
-      .select((leftCols.map(col) :+ col("__t") :+ col("__tag")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+      .select((leftCols.map(col) :+ col("__t") :+ col("__tag")) :+
+        lit(null).cast(payloadT).as("__p"): _*)
     val r = rightNonNull
       .withColumn("__t", col(rightTime))
       .withColumn("__tag", lit(0))
       .select((leftCols.map(c => (if (c == key) col(key) else lit(null).cast(left.schema(c).dataType)).as(c)) :+
-        col("__t") :+ col("__tag")) ++ payload.map(p => col(p).as(s"__p_$p")): _*)
+        col("__t") :+ col("__tag")) :+ struct(payload.map(col): _*).as("__p"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(col("*") +: payload.map(p =>
-        last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p)): _*)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__last.$p").as(p)): _*)
   }
 }

@@ -111,6 +111,11 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
+    // NOTE: persists two bounded intermediates (shingle base + skinny
+    // band relation) for the duration of the session; callers running
+    // many dedup passes in one long-lived session should
+    // spark.catalog.clearCache() between passes, or materialize
+    // signatures to the warehouse (the at-scale shape anyway).
     val r = k / bands
     // hash-partition by id up front: parallelizes the CPU-dense shingle
     // and md5 stages even when the source is a single parquet split, and

@@ -64,8 +64,14 @@ object Similarity {
               centroidIds: Seq[Long], nProbe: Int = 2): DataFrame = {
     val assigned = cellAssignments(corpus, vecCol, idCol, centroidIds)
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
-    val cents = assigned.filter(col("id").isInCollection(centroidIds))
-      .select(col("cell").as("qcell"), col("v").as("cv")).distinct()
+    // centroids come straight from the corpus, NOT from the assignment
+    // output: a centroid whose rounded self-similarity ties another
+    // centroid can be ASSIGNED to the other's cell, which would drop a
+    // probe cell and silently diverge from the oracle (and re-running
+    // cellAssignments here would recompute the corpus-x-centroid join).
+    val cents = corpus
+      .select(col(idCol).as("qcell"), toDoubleArray(col(vecCol)).as("cv"))
+      .filter(col("qcell").isInCollection(centroidIds))
     val probes = q.join(broadcast(cents), col("query_id") =!= lit(-1L))
       .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(

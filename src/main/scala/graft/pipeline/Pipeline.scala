@@ -110,6 +110,9 @@ object Pipeline {
       m.materialization match {
         case View | Ephemeral => df
         case Table =>
+          require(cfg.warehouseRoot.nonEmpty,
+            s"RunConfig.warehouseRoot must be set to materialize table '${m.name}' " +
+              "(an empty root would write to the filesystem root)")
           val path = s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
           val w = df.write.mode("overwrite")
           (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
