@@ -26,10 +26,13 @@ object GeoJoin {
                   idCol: String, lngCol: String, latCol: String,
                   zoneKeyCol: String, wkbCol: String): DataFrame = {
     val spark = points.sparkSession
-    // dim is small by contract: parse once, broadcast parsed form
+    // dim is small by contract: parse once, broadcast parsed form.
+    // Sorted by zone key so first-containing-polygon wins DETERMINISTICALLY
+    // for boundary/overlap points (collect() order is partitioning-dependent).
     val parsed: Array[(String, Wkb.Geometry)] = zones
       .select(col(zoneKeyCol), col(wkbCol)).collect()
       .map { r: Row => (r.getString(0), Wkb.parse(r.getAs[Array[Byte]](1))) }
+      .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(parsed)
 
     val outSchema = StructType(Seq(

@@ -104,6 +104,7 @@ object TlcModels {
     "airport_fee" -> "airport_fee",
     "congestion_surcharge" -> "congestion_surcharge",
     "dispatching_base_num" -> "Dispatching_base_num",
+    "affiliated_base_number" -> "originating_base_num",
   )
 
   /** Seed schema: locationid is NUMERIC in the reference
@@ -163,11 +164,41 @@ object TlcModels {
         col("location_id").as("do_location_id"),
         col("borough").as("dropoff_borough"),
         col("neighborhood").as("dropoff_neighborhood"))
+      // Final select list mirrors AUX_TLC_RIDES.sql:41-69: 28 columns in
+      // the reference's order, and the decoded label emitted AS
+      // payment_type (string) — the raw code does not survive the view.
       facts
         .join(broadcast(pu), facts("pickup_location_id") === pu("pu_location_id"), "left")
         .join(broadcast(doo), facts("dropoff_location_id") === doo("do_location_id"), "left")
-        .drop("pu_location_id", "do_location_id")
-        .withColumn("payment_type_label", tlcPaymentType(col("payment_type")))
+        .select(
+          col("pickup_datetime"),
+          col("dropoff_datetime"),
+          col("pickup_location_id"),
+          col("pickup_borough"),
+          col("pickup_neighborhood"),
+          col("dropoff_location_id"),
+          col("dropoff_borough"),
+          col("dropoff_neighborhood"),
+          col("passenger_count"),
+          col("trip_distance"),
+          col("trip_type"),
+          col("rate_code_id"),
+          col("fare_amount"),
+          col("tip_amount"),
+          col("tolls_amount"),
+          col("airport_fee"),
+          col("ehail_fee"),
+          col("congestion_surcharge"),
+          col("improvement_surcharge"),
+          col("mta_tax"),
+          col("extra"),
+          col("total_amount"),
+          tlcPaymentType(col("payment_type")).as("payment_type"),
+          col("store_and_fwd_flag"),
+          col("sr_flag"),
+          col("vendor_id"),
+          col("dispatching_base_num"),
+          col("affiliated_base_number"))
     })
     r
   }

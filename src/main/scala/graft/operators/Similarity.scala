@@ -50,7 +50,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
     val cents = c.filter(col("id").isInCollection(centroidIds))
       .select(col("id").as("cell"), col("v").as("cv"))
-    c.join(broadcast(cents), col("id") =!= lit(-1L)) // cross vs small cents
+    c.crossJoin(broadcast(cents)) // every corpus row x small centroid set
       .withColumn("d", round(VectorExpressions.cosine(col("v"), col("cv")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("d").desc, col("cell").asc)))
@@ -72,7 +72,7 @@ object Similarity {
     val cents = corpus
       .select(col(idCol).as("qcell"), toDoubleArray(col(vecCol)).as("cv"))
       .filter(col("qcell").isInCollection(centroidIds))
-    val probes = q.join(broadcast(cents), col("query_id") =!= lit(-1L))
+    val probes = q.crossJoin(broadcast(cents))
       .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))

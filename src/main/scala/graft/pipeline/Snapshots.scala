@@ -37,7 +37,10 @@ object Snapshots {
     *    the new version;
     *  - new keys are inserted as current;
     *  - keys absent from `incoming` are left open (dbt semantics: a
-    *    snapshot records what it sees, absence is not deletion).
+    *    snapshot records what it sees, absence is not deletion);
+    *  - a NULL business key is treated as one key value (null-safe
+    *    `<=>` joins), so NULL-key rows version-chain normally instead
+    *    of being re-inserted as brand-new on every merge tick.
     */
   def merge(snapshot: DataFrame, incoming: DataFrame, key: String,
             updatedAtCol: String): DataFrame = {
@@ -57,26 +60,31 @@ object Snapshots {
       .withColumnRenamed(updatedAtCol, "__ts")
 
     val joined = cur.join(inc,
-      cur(key) === col("__k") && cur(updatedAtCol) < col("__ts"), "left")
+      cur(key) <=> col("__k") && cur(updatedAtCol) < col("__ts"), "left")
 
     val dataCols = snapshot.columns.filterNot(
       Seq("valid_from", "valid_to", "is_current").contains(_))
 
-    // current rows with a newer incoming version -> closed
-    val closed = joined.filter(col("__k").isNotNull)
+    // current rows with a newer incoming version -> closed. (__ts is
+    // non-null on every matched row, so it keys "did the join match"
+    // even when the business key itself is NULL.)
+    val closed = joined.filter(col("__ts").isNotNull)
       .select(dataCols.map(cur(_)) :+ cur("valid_from") :+
         col("__ts").cast(TimestampType).as("valid_to") :+
         lit(false).as("is_current"): _*)
     // current rows without a newer version -> unchanged
-    val untouched = joined.filter(col("__k").isNull)
+    val untouched = joined.filter(col("__ts").isNull)
       .select(cur.columns.map(cur(_)): _*)
 
     // incoming versions that are NEW relative to the snapshot:
     // either a brand-new key, or newer than the current version
+    // explicit match marker: neither __ck (NULL keys legal) nor __cts
+    // (NULL timestamps legal) can distinguish "no match" on their own
     val curKeys = cur.select(col(key).as("__ck"), col(updatedAtCol).as("__cts"))
-    val fresh = inc.join(curKeys, col("__k") === col("__ck"), "left")
-      .filter(col("__ck").isNull || col("__cts") < col("__ts"))
-      .drop("__ck", "__cts")
+      .withColumn("__matched", lit(1))
+    val fresh = inc.join(curKeys, col("__k") <=> col("__ck"), "left")
+      .filter(col("__matched").isNull || col("__cts") < col("__ts"))
+      .drop("__ck", "__cts", "__matched")
       .withColumnRenamed("__k", key)
       .withColumnRenamed("__ts", updatedAtCol)
     val opened = initialize(fresh, updatedAtCol)

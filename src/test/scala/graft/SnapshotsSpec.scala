@@ -56,6 +56,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(merged.count() == 2, "v2 is skipped, not opened-and-closed")
   }
 
+  test("NULL business key version-chains as one key (no duplicate currents)") {
+    val day1 = Seq(
+      (Some(1L), "A", ts("2024-01-01 00:00:00")),
+      (None, "null-key-v1", ts("2024-01-01 00:00:00")))
+      .toDF("k", "v", "updated_at")
+    val snap = Snapshots.initialize(day1, "updated_at")
+
+    // re-observe the SAME null-key row: idempotent, nothing new opens
+    val again = Snapshots.merge(snap, day1, "k", "updated_at")
+    assert(again.count() == 2, "same observation -> no new versions")
+    assert(again.filter(col("is_current")).count() == 2)
+
+    // a NEWER null-key version closes the old one and opens the new
+    val day2 = Seq((Option.empty[Long], "null-key-v2", ts("2024-02-01 00:00:00")))
+      .toDF("k", "v", "updated_at")
+    val merged = Snapshots.merge(again, day2, "k", "updated_at")
+    assert(merged.count() == 3, "1 key-1 current + closed null-v1 + open null-v2")
+    val curNull = merged.filter(col("is_current") && col("k").isNull).collect()
+    assert(curNull.length == 1 && curNull.head.getAs[String]("v") == "null-key-v2")
+  }
+
   test("idempotent: merging the same observation twice changes nothing") {
     val day1 = Seq((1L, "A", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
     val snap = Snapshots.initialize(day1, "updated_at")

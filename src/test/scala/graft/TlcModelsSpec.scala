@@ -73,8 +73,9 @@ class TlcModelsSpec extends SparkSpec {
       "DOLocationID" -> LongType, "trip_miles" -> DoubleType,
       "base_passenger_fare" -> DoubleType, "tips" -> DoubleType,
       "tolls" -> DoubleType, "airport_fee" -> DoubleType,
-      "congestion_surcharge" -> DoubleType, "Dispatching_base_num" -> StringType)(
-      Row("HV0003", ts, ts, 4L, 1L, 7.1, 20.0, 3.0, 0.0, 0.0, 2.75, "B02764")))
+      "congestion_surcharge" -> DoubleType, "Dispatching_base_num" -> StringType,
+      "originating_base_num" -> StringType)(
+      Row("HV0003", ts, ts, 4L, 1L, 7.1, 20.0, 3.0, 0.0, 0.0, 2.75, "B02764", "B03001")))
 
   private lazy val rides: DataFrame = {
     val tmp = Files.createTempDirectory("graft-wh").toString
@@ -114,14 +115,33 @@ class TlcModelsSpec extends SparkSpec {
     assert(v.contains("42") && v.contains("HV0003"))
   }
 
-  test("payment decode: 2 -> Cash, unmapped 9 -> null, FHV (absent) -> null") {
-    val labels = rides
-      .select("payment_type", "payment_type_label").collect()
-      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
-        (if (r.isNullAt(1)) null else r.getString(1))).toMap
-    assert(labels(2L) == "Cash")
-    assert(labels(9L) == null)
-    assert(labels(null.asInstanceOf[Any]) == null)
+  test("payment decode emitted AS payment_type: 2 -> Cash, unmapped 9 -> null, FHV -> null") {
+    // AUX_TLC_RIDES.sql:64: the decoded label IS the payment_type column
+    // (string) in the 28-col output; the raw code does not survive.
+    assert(rides.schema("payment_type").dataType == StringType)
+    val byVendor = rides.select("vendor_id", "payment_type").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(byVendor("42") == "Cash", "code 2 -> Cash")
+    assert(byVendor("43") == null, "unmapped code 9 -> null (CASE with no ELSE)")
+    assert(byVendor("") == null, "FHV has no payment_type column -> null")
+  }
+
+  test("28-column output schema in the reference's order") {
+    assert(rides.columns.toSeq == Seq(
+      "pickup_datetime", "dropoff_datetime",
+      "pickup_location_id", "pickup_borough", "pickup_neighborhood",
+      "dropoff_location_id", "dropoff_borough", "dropoff_neighborhood",
+      "passenger_count", "trip_distance", "trip_type", "rate_code_id",
+      "fare_amount", "tip_amount", "tolls_amount", "airport_fee",
+      "ehail_fee", "congestion_surcharge", "improvement_surcharge",
+      "mta_tax", "extra", "total_amount", "payment_type",
+      "store_and_fwd_flag", "sr_flag", "vendor_id",
+      "dispatching_base_num", "affiliated_base_number"))
+  }
+
+  test("FHVHV affiliated_base_number maps from originating_base_num") {
+    val hv = rides.filter(rides("vendor_id") === "HV0003").head
+    assert(hv.getString(hv.fieldIndex("affiliated_base_number")) == "B03001")
   }
 
   test("date-partitioned table materialization lays out partition dirs") {
