@@ -1,0 +1,173 @@
+package graft.expressions
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row hash-sketch expressions for the dedup hot path.
+  *
+  * All three reproduce EXACTLY the md5-derived 60-bit hash used across
+  * the engine and its DuckDB oracles ([[graft.functions.GraftFunctions
+  * .md5Long]]): `conv(substr(md5(x),1,15),16,10)` = the first 15 hex
+  * nibbles of the md5 digest as a non-negative long.
+  *
+  * Rationale (measured in round 1, PLANS.md): sketch signatures built
+  * from built-ins need explode + aggregate — a full shuffle of exploded
+  * token/shingle rows per sketch — or per-element interpreted lambdas.
+  * One compiled call per ROW that loops tokens×bits (or shingles×seeds)
+  * in tight JVM code turns signature computation into a map-only stage:
+  * zero shuffles, and at 100 TB the sketch stage becomes embarrassingly
+  * parallel over scan splits. CodegenFallback costs one virtual call per
+  * row — noise next to the md5 work inside.
+  */
+object HashExpressions {
+
+  /** First 15 hex nibbles of md5(bytes) as a non-negative long
+    * (= first 8 digest bytes as big-endian u64, shifted right 4). */
+  @inline private[expressions] def md5Long60(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private[expressions] val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private[expressions] val whitespace = Pattern.compile("\\s+")
+
+  // Column wrappers
+  def simhash(text: Column, bits: Int): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(text), bits))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
+  def md5Min(strings: Column): Column =
+    Bridge.column(Md5MinExpr(Bridge.expression(strings)))
+}
+
+/** SimHash of a (pre-lowercased) text: whitespace-tokenize, md5 each
+  * token occurrence (repeats vote repeatedly, matching the exploded
+  * formulation), bit i of the 60-bit hash votes +1/-1, majority sign
+  * sets bit i of the result. `bits` must be <= 60.
+  *
+  * Oracle twin (DataQueries.d03Sql): votes CTE over unnested tokens.
+  */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = HashExpressions.localMd5.get()
+    val s = input.asInstanceOf[UTF8String].toString
+    val votes = new Array[Int](bits)
+    val it = HashExpressions.whitespace.split(s, -1)
+    var t = 0
+    while (t < it.length) {
+      val tok = it(t)
+      if (!tok.isEmpty) {
+        val h = HashExpressions.md5Long60(md, tok.getBytes("UTF-8"))
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** k-permutation minhash signature of a shingle array:
+  * sig[s] = min over shingles of md5Long("s|" + shingle), s in [0,k).
+  * Empty array -> null (callers filter empty shingle sets upstream).
+  *
+  * Oracle twin (DataQueries.d02Sql): sig CTE with list_min/list_transform.
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"minhash k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  // UTF-8 bytes of the "<seed>|" prefixes, precomputed once per instance
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(s => s"$s|".getBytes("UTF-8"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = HashExpressions.localMd5.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i).getBytes
+      var s = 0
+      while (s < k) {
+        md.reset()
+        md.update(prefixes(s))
+        val d = md.digest(g)
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        v = v >>> 4
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Minimum md5Long over a string array (single-band LSH bucket key).
+  * Empty array -> null. Oracle twin: list_min(list_transform(sh, g -> h(g))).
+  */
+case class Md5MinExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_min"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = HashExpressions.localMd5.get()
+    var best = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val h = HashExpressions.md5Long60(md, arr.getUTF8String(i).getBytes)
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -35,11 +35,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"),
            count(lit(1)).as("n_copies"))
 
-  /** The deduplicated relation itself: keep exactly the keeper rows. */
+  /** The deduplicated relation itself: keep exactly the keeper rows
+    * (min id per fingerprint). One window pass = one shuffle on the
+    * fingerprint, vs. the groupBy + semi-join formulation's two. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keepers = exactDuplicates(df, textCol, idCol)
-      .select(col("keeper_id").as(idCol))
-    df.join(keepers, Seq(idCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("graft_fp_"))
+    df.withColumn("graft_fp_", fingerprint(col(textCol)))
+      .withColumn("graft_keep_", col(idCol) === min(col(idCol)).over(w))
+      .filter(col("graft_keep_"))
+      .drop("graft_fp_", "graft_keep_")
   }
 
   // -------------------------------------------------------------------
@@ -118,23 +122,22 @@ object Dedup {
     // signatures to the warehouse (the at-scale shape anyway).
     val r = k / bands
     // hash-partition by id up front: parallelizes the CPU-dense shingle
-    // and md5 stages even when the source is a single parquet split, and
-    // co-locates each doc's shingles so the signature aggregation's
-    // map-side combine is total (no partial-agg shuffle).
+    // and md5 stages even when the source is a single parquet split.
     val base = df.repartition(col(idCol)).select(
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    val exploded = base.select(col("id"), explode(col("sh")).as("g"))
-    // sig[s] = min over shingles of md5Long("s|" + shingle), as k agg cols
-    val sigCols = (0 until k).map(s =>
-      min(md5Long(concat(lit(s"$s|"), col("g")))).as(s"m$s"))
-    val sigs = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    // k-min signature in ONE compiled call per doc (MinHashSigExpr):
+    // map-only, no explode/aggregate shuffle of shingle rows (round-1
+    // formulation; see PLANS.md). Same md5-seeded semantics.
+    val sigs = base.select(col("id"),
+      graft.expressions.HashExpressions.minhashSignature(col("sh"), k).as("sig"))
     // band key format identical to lshBandKeys: "<b>:<m0>,<m1>,..."
     val bandCols = (0 until bands).map(b =>
       concat(lit(s"$b:"), concat_ws(",",
-        (b * r until (b + 1) * r).map(i => col(s"m$i").cast(StringType)): _*)))
+        (b * r until (b + 1) * r).map(i =>
+          element_at(col("sig"), i + 1).cast(StringType)): _*)))
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
       .persist()
     val l = banded.select(col("id").as("id1"), col("band"))
@@ -155,24 +158,16 @@ object Dedup {
     * Input: (id, text); output: (id, simhash long).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String,
-              bits: Int = 48): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        explode(tokens(lower(col(textCol)))).as("tok"))
-      .withColumn("h", md5Long(col("tok")))
-    // (id, bit) explode + single-buffer aggregate. Measured FASTER than
-    // the "one sum aggregate per bit" formulation (48 agg buffers per
-    // row fall out of tight codegen; the exploded rows stay in one
-    // hot generated loop). shiftright with a COLUMN shift amount isn't
-    // exposed in the Scala API — go through expr().
-    val votes = toks.select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .withColumn("vote",
-        when(expr("shiftright(h, bit)").bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      .groupBy("id", "bit").agg(sum("vote").as("s"))
-    votes.groupBy("id").agg(
-      sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
-  }
+              bits: Int = 48): DataFrame =
+    // One compiled call per document (SimHashExpr: tokenize + md5 +
+    // bit votes in a tight loop) — map-only, zero shuffles. The round-1
+    // explode formulation moved tokens×bits rows through TWO aggregate
+    // shuffles and was the single most expensive bench query (d07);
+    // identical results (repeated tokens vote repeatedly, same md5Long
+    // bit sampling — pinned by the unchanged DuckDB oracle).
+    df.select(col(idCol).as("id"),
+      graft.expressions.HashExpressions.simhash(lower(col(textCol)), bits)
+        .as("simhash"))
 
   /** SimHash near-dup pairs: candidates share one of `chunks` equal bit
     * chunks (Hamming pigeonhole: distance < chunks implies >= 1 equal
