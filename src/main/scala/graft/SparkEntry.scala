@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, DataQueries}
+import graft.queries.{CoreQueries, DataQueries, ExtQueries, MediaQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,10 +20,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ DataQueries.all
+    CoreQueries.all ++ ExtQueries.all ++ DataQueries.all ++ MediaQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ DataQueries.oracles
+    CoreQueries.oracles ++ ExtQueries.oracles ++ DataQueries.oracles ++
+      MediaQueries.oracles
 }

@@ -31,7 +31,7 @@ object HashExpressions {
 
   /** First 15 hex nibbles of md5(bytes) as a non-negative long
     * (= first 8 digest bytes as big-endian u64, shifted right 4). */
-  @inline private[expressions] def md5Long60(md: MessageDigest, bytes: Array[Byte]): Long = {
+  @inline def md5Long60(md: MessageDigest, bytes: Array[Byte]): Long = {
     md.reset()
     val d = md.digest(bytes)
     var v = 0L

@@ -71,15 +71,35 @@ object Multimodal {
       case (frame, idx) if idx % every == 0 => (idx, frame)
     }
 
-  private def checksum(bytes: Array[Byte]): Long = {
-    val c = new java.util.zip.CRC32()
-    c.update(bytes)
-    c.getValue
-  }
+  /** 60-bit md5 checksum of the payload — the engine's cross-engine
+    * hash ([[graft.expressions.HashExpressions.md5Long60]]), so media
+    * checksums are verifiable from SQL: for UTF-8 payloads the DuckDB
+    * twin is CAST(('0x'||substr(md5(text),1,15)) AS BIGINT). */
+  private def checksum(bytes: Array[Byte]): Long =
+    graft.expressions.HashExpressions.md5Long60(
+      java.security.MessageDigest.getInstance("MD5"), bytes)
 
   // -------------------------------------------------------------------
   // Real Spark plumbing
   // -------------------------------------------------------------------
+
+  /** Deterministic media table derived from the `documents` table: the
+    * text payload becomes the opaque binary column (UTF-8 bytes), kind
+    * cycles image/audio/video by id. This is the fixture constructor the
+    * m* queries use — the binary-column plumbing is exactly what a real
+    * media table gets; only the payload provenance is synthetic. */
+  def fromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (col("doc_id") % 3).cast("int") + 1).as("mime"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+      .as[MediaRow]
+  }
 
   /** Per-partition batched feature extraction over a media Dataset.
     * mapPartitions gives the batch-iterator shape: decoder init happens

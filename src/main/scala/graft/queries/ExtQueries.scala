@@ -1,0 +1,296 @@
+package graft.queries
+
+import graft.catalog.Catalog
+import graft.functions.GraftFunctions._
+import graft.operators.SkewJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 extension of the core relational surface: reshaping (pivot /
+  * unpivot / explode), grouping sets, correlated EXISTS, inequality
+  * (range/banding) joins, ordered string aggregation, regex battery,
+  * array functions, interval-range window frames, and the salted skew
+  * join exposed as a checked query (its oracle is the PLAIN join — the
+  * salt must be invisible in results by construction).
+  *
+  * Same contract as CoreQueries: deterministic final ORDER BY, exact
+  * decimal arithmetic for double sums, aliases identical between the
+  * Spark plan and the DuckDB oracle.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Pivot: order counts per priority × status. Explicit value list so
+    * the output schema is fixed at plan time (required at scale: no
+    * driver-side distinct scan), null-filled to 0 to match the
+    * conditional-aggregation oracle on empty cells. */
+  val q29Pivot: Q = (s, dir) => {
+    Catalog(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Unpivot (melt): wide per-line metrics to long (metric, val) rows.
+    * Map-only — at scale this is a free reshape, no shuffle. */
+  val q30Unpivot: Q = (s, dir) => {
+    Catalog(s, dir).lineitem
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+  }
+
+  val q30Sql: String =
+    """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 100)
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       'l_quantity' AS metric, l_quantity AS val FROM li
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice FROM li
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM li
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** posexplode: token stream with positions (the UDTF/generator shape).
+    * Generator runs inside the scan stage — map-side fan-out. */
+  val q31ExplodePos: Q = (s, dir) => {
+    Catalog(s, dir).documents
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q31Sql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT * FROM (SELECT doc_id, unnest(list_transform(range(len(toks)),
+      |  i -> {'pos': i, 'tok': toks[i+1]}), recursive := true)
+      |FROM toks) ORDER BY doc_id, pos""".stripMargin
+
+  /** GROUPING SETS: detail, subtotal and grand-total groupings in one
+    * pass (single shuffle; Spark expands the sets in the aggregate). */
+  val q32GroupingSets: Q = (s, dir) => {
+    Catalog(s, dir).lineitem.createOrReplaceTempView("gs_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q32Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Salted skew join ([[SkewJoin.saltedInnerJoin]]) aggregated to a
+    * stable result. The oracle is the PLAIN join: salting is a physical
+    * fan-out that must not change semantics — this query checks that. */
+  val q33SaltedJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val li = c.lineitem.select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val o = c.orders.select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    SkewJoin.saltedInnerJoin(li, o, "okey", saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+           exactSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ordered string aggregation (LISTAGG shape): deterministic via
+    * sort-before-join rather than relying on input order. */
+  val q34StringAgg: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val n = c.nation
+    val sp = c.supplier
+    sp.join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_supp"),
+           array_join(array_sort(collect_list(col("s_name"))), "|").as("suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  val q34Sql: String =
+    """SELECT n_name, count(*) AS n_supp,
+      |  string_agg(s_name, '|' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Regex battery: extract / global replace / match-test / token pick.
+    * All codegen'd built-ins; patterns are literals so Catalyst compiles
+    * them once. */
+  val q35Regex: Q = (s, dir) => {
+    Catalog(s, dir).part
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        col("p_brand").rlike("[0-9]").as("brand_has_digit"),
+        element_at(split(col("p_type"), " "), -1).as("type_last"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q35Sql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+      |  regexp_matches(p_brand, '[0-9]') AS brand_has_digit,
+      |  string_split(p_type, ' ')[-1] AS type_last
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS subqueries (rewritten by Catalyst to
+    * semi/anti joins — the declarative form of q11/q12). */
+  val q36Exists: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    c.customer.createOrReplaceTempView("ex_customer")
+    c.orders.createOrReplaceTempView("ex_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM ex_customer c
+        |WHERE EXISTS (SELECT 1 FROM ex_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM ex_orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q36Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Inequality (banding / range) join against a tiny broadcast tier
+    * dim: BroadcastNestedLoopJoin with the band predicate — the right
+    * plan, since no equi-key exists. At 100 TB the tier side stays
+    * bounded, so the broadcast holds at any fact scale. */
+  val q37RangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val tiers = Seq(
+      ("T1_low", 0.0, 100000.0),
+      ("T2_mid", 100000.0, 300000.0),
+      ("T3_high", 300000.0, 600000.0)).toDF("tier", "lo", "hi")
+    Catalog(s, dir).orders
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("tier"))
+  }
+
+  val q37Sql: String =
+    """WITH tiers(tier, lo, hi) AS (VALUES
+      |  ('T1_low', 0.0, 100000.0), ('T2_mid', 100000.0, 300000.0),
+      |  ('T3_high', 300000.0, 600000.0))
+      |SELECT tier, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Array function battery over the token array: distinct count,
+    * slice+join, membership, null-safe sorted head. */
+  val q38ArrayFuncs: Q = (s, dir) => {
+    Catalog(s, dir).documents
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+        array_join(slice(col("toks"), 1, 3), " ").as("first3"),
+        array_contains(col("toks"), "the").as("has_the"),
+        get(sort_array(col("toks")), lit(0)).as("first_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q38Sql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT doc_id,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  array_to_string(toks[1:3], ' ') AS first3,
+      |  list_contains(toks, 'the') AS has_the,
+      |  list_sort(toks)[1] AS first_sorted
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Interval RANGE window frame: 30-day trailing revenue per customer,
+    * frame bounds by VALUE (calendar interval), not row count — ties in
+    * the order key land in the same frame, so the result is partition-
+    * order independent (the property that matters under shuffles). */
+  val q39IntervalWindow: Q = (s, dir) => {
+    Catalog(s, dir).orders.filter(col("o_custkey") <= 100)
+      .createOrReplaceTempView("win_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS sum_30d
+        |FROM win_orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val q39Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      |  AS DOUBLE) AS sum_30d
+      |FROM orders WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q29_pivot" -> q29Pivot,
+    "q30_unpivot" -> q30Unpivot,
+    "q31_explode_pos" -> q31ExplodePos,
+    "q32_grouping_sets" -> q32GroupingSets,
+    "q33_salted_skew_join" -> q33SaltedJoin,
+    "q34_string_agg" -> q34StringAgg,
+    "q35_regex_funcs" -> q35Regex,
+    "q36_exists_subquery" -> q36Exists,
+    "q37_range_join" -> q37RangeJoin,
+    "q38_array_funcs" -> q38ArrayFuncs,
+    "q39_interval_window" -> q39IntervalWindow,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_pivot" -> q29Sql,
+    "q30_unpivot" -> q30Sql,
+    "q31_explode_pos" -> q31Sql,
+    "q32_grouping_sets" -> q32Sql,
+    "q33_salted_skew_join" -> q33Sql,
+    "q34_string_agg" -> q34Sql,
+    "q35_regex_funcs" -> q35Sql,
+    "q36_exists_subquery" -> q36Sql,
+    "q37_range_join" -> q37Sql,
+    "q38_array_funcs" -> q38Sql,
+    "q39_interval_window" -> q39Sql,
+  )
+}

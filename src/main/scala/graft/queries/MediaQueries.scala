@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.catalog.Catalog
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column query surface (m*): binary media payloads with
+  * typed metadata, batch feature extraction, and frame sampling — the
+  * plumbing a training pipeline needs for image/audio/video columns.
+  *
+  * The media table is derived deterministically from `documents`
+  * ([[Multimodal.fromDocuments]]): text bytes stand in for the opaque
+  * payload, so every byte-level result (lengths, md5 checksums, frame
+  * slicing) is verifiable from SQL on the source table. The decode
+  * kernel itself is the clearly-marked STUB in [[Multimodal]] — its
+  * embedding output is checked rows-only (m02), exactly like the HLL
+  * sketch in q16.
+  */
+object MediaQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Media metadata + md5 checksum after batched feature extraction.
+    * Everything here is byte-level truth (no stub outputs), so the
+    * oracle hash-checks the full binary-column round trip: encode ->
+    * mapPartitions batch -> checksum/length. */
+  val m01MediaMeta: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.extractFeatures(
+        Multimodal.fromDocuments(Catalog(s, dir).documents))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val m01Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS checksum
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Stub-decoded feature vectors (the embedding a real codec+model
+    * would produce). The stub is deterministic but not SQL-expressible
+    * (64-bit LCG) -> rows-only check, by design. */
+  val m02MediaFeatures: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.extractFeatures(
+        Multimodal.fromDocuments(Catalog(s, dir).documents))
+      .select(col("media_id"),
+        size(col("features")).cast(LongType).as("feature_dim"),
+        element_at(col("features"), 1).as("f0"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Frame sampling over "video" payloads: fixed-size byte windows,
+    * every 2nd kept. Output is (media_id, frame_index, n_frame_bytes) —
+    * the slicing arithmetic is exact, so the fan-out is hash-checked
+    * even though the "frames" are stub slices. */
+  val m03FrameSample: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.sampleFrames(
+        Multimodal.fromDocuments(Catalog(s, dir).documents),
+        frameSize = 64, every = 2)
+      .select(col("media_id"),
+        col("frame_index").cast(LongType).as("frame_index"),
+        length(col("frame_bytes")).cast(LongType).as("n_frame_bytes"))
+      .orderBy(col("media_id"), col("frame_index"))
+  }
+
+  val m03Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    octet_length(encode(text)) AS n FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+      |f AS (SELECT media_id, n, unnest(range(0, (n + 63) // 64)) AS fi FROM m)
+      |SELECT media_id, fi AS frame_index,
+      |  least(64, n - fi * 64) AS n_frame_bytes
+      |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_index""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "m01_media_meta" -> m01MediaMeta,
+    "m02_media_features" -> m02MediaFeatures,
+    "m03_frame_sample" -> m03FrameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_meta" -> m01Sql,
+    // m02: stub LCG features — rows-only by design
+    "m03_frame_sample" -> m03Sql,
+  )
+}
