@@ -218,6 +218,57 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Transitive near-dup groups (connected components)
+  // -------------------------------------------------------------------
+
+  /** Connected components over a candidate-pair relation — the step
+    * that turns pairwise near-dup hits into dedup GROUPS (keep one doc
+    * per component, drop the rest). Input: (id1, id2) pairs; output:
+    * (id, group_id) for every id that appears in a pair, where group_id
+    * is the component's minimum id.
+    *
+    * Algorithm: iterative min-label propagation ("hash-to-min"): each
+    * node adopts the min label among itself and its neighbors until a
+    * fixpoint. Each iteration is one join + one aggregate — fully
+    * distributed, converges in O(component diameter) rounds (near-dup
+    * components are shallow: dozens of rounds would mean a pathological
+    * chain, which `maxIter` guards). localCheckpoint() cuts the growing
+    * lineage so round N doesn't replay rounds 1..N-1.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    def labSum(df: DataFrame): Long =
+      df.agg(sum(col("lab"))).head.getLong(0)
+    var prevSum = labSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("lab"))
+      val next = labels.union(nbr)
+        .groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      // fixpoint test: labels only ever decrease (min over self +
+      // neighbors), so an unchanged label SUM means no label moved —
+      // one scalar aggregate per round instead of a join + isEmpty.
+      val nextSum = labSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    System.err.println(s"[graft] connectedComponents converged in $iter rounds")
+    labels.select(col("id"), col("lab").as("group_id"))
+  }
+
+  // -------------------------------------------------------------------
   // Embedding near-dup
   // -------------------------------------------------------------------
 

@@ -163,6 +163,49 @@ object DataQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
       |ORDER BY id1, id2""".stripMargin
 
+  /** Transitive near-dup GROUPS: MinHash pair hits chased to connected
+    * components ([[Dedup.connectedComponents]]), each doc labeled with
+    * its component's min id + component size — the relation a dedup
+    * "keep one per group" pass consumes. Oracle: the same closure via a
+    * recursive CTE over the identical pair pipeline. */
+  val d08NearDupGroups: Q = (s, dir) => {
+    val pairs = Dedup.minhashPairs(Catalog(s, dir).documents, "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.2)
+      .select(col("id1"), col("id2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("group_id"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .orderBy(col("group_id"), col("doc_id"))
+  }
+
+  val d08Sql: String =
+    s"""WITH RECURSIVE $toksCte,
+       |$shCte,
+       |sig AS (SELECT doc_id, sh, list_transform(range(0,16), s ->
+       |  list_min(list_transform(sh, g -> ${h60("s::VARCHAR||'|'||g")}))) AS sig
+       |  FROM base),
+       |banded AS (SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |  b::VARCHAR||':'||array_to_string(sig[b*4+1:b*4+4], ','))) AS band
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id),
+       |j AS (SELECT id1, id2,
+       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |  FROM cand JOIN base a ON a.doc_id = id1 JOIN base b ON b.doc_id = id2),
+       |pairs AS (SELECT id1, id2 FROM j WHERE jac >= 0.2),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+       |grp AS (SELECT id, min(lab) AS group_id FROM reach GROUP BY 1)
+       |SELECT id AS doc_id, group_id,
+       |  count(*) OVER (PARTITION BY group_id) AS group_size
+       |FROM grp ORDER BY group_id, doc_id""".stripMargin
+
   // -------------------------------------------------------------------
   // Similarity search
   // -------------------------------------------------------------------
@@ -328,8 +371,26 @@ object DataQueries {
       |  CAST(MAX(length(text)) AS BIGINT) AS max_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus-level token frequency top-k (vocabulary head): explode ->
+    * count -> TakeOrderedAndProject (per-partition top-k, k-row merge —
+    * no global sort at any scale). */
+  val t05TokenTopK: Q = (s, dir) =>
+    Catalog(s, dir).documents
+      .select(explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(30)
+
+  val t05Sql: String =
+    s"""WITH $toksCte,
+       |t AS (SELECT unnest(toks) AS tok FROM toks)
+       |SELECT tok, count(*) AS n FROM t
+       |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01DedupExact,
+    "d08_neardup_groups" -> d08NearDupGroups,
+    "t05_token_topk" -> t05TokenTopK,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
@@ -347,6 +408,8 @@ object DataQueries {
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
+    "d08_neardup_groups" -> d08Sql,
+    "t05_token_topk" -> t05Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
     "d04_dedup_ngram_jaccard" -> d04Sql,

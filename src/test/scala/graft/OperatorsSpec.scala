@@ -79,6 +79,27 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("connectedComponents: chain + triangle + isolated pair label to min id") {
+    // components: {1,2,3,4} (a 4-chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long chain needs multiple propagation rounds") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 13 && got.forall(_._2 == 0L))
+  }
+
   test("ivfTopK: results come from probed cells only and rank correctly") {
     val vecs = (0 until 40).map { i =>
       val angle = i * math.Pi / 40.0
