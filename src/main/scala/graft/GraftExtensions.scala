@@ -1,6 +1,7 @@
 package graft
 
-import graft.expressions.{CosineSimilarityExpr, DotProductExpr, WordShinglesExpr}
+import graft.expressions.{CosineSimilarityExpr, DotProductExpr, Md5MinExpr,
+  MinHashSigExpr, SimHashExpr, WordShinglesExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -47,7 +48,21 @@ object GraftExtensions {
       info("graft_word_shingles",
         "graft_word_shingles(text, n) - distinct word n-gram shingles"),
       (children: Seq[Expression]) =>
-        WordShinglesExpr(children(0), intLit(children(1), "n"))))
+        WordShinglesExpr(children(0), intLit(children(1), "n"))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(text, bits) - simhash of whitespace tokens, md5 bit votes"),
+      (children: Seq[Expression]) =>
+        SimHashExpr(children(0), intLit(children(1), "bits"))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(shingles, k) - k-permutation md5 minhash signature"),
+      (children: Seq[Expression]) =>
+        MinHashSigExpr(children(0), intLit(children(1), "k"))),
+    (FunctionIdentifier("graft_md5_min"),
+      info("graft_md5_min",
+        "graft_md5_min(strings) - min 60-bit md5 over a string array"),
+      (children: Seq[Expression]) => Md5MinExpr(children(0))))
   // NOTE: Column-combinator functions (distLatLng, md5Long, ...) cannot
   // be SQL-registered by round-tripping Columns through the bridge: the
   // round-trip yields a ColumnNodeExpression carrying UnresolvedFunction

@@ -30,16 +30,19 @@ object ScaleProbe {
     val docs = spark.read.parquet(dir)
     println(s"[scale] corpus: ${docs.count()} docs (${replicas}x)")
 
-    def t(name: String)(body: => Long): Unit = {
+    // noop sink, not count(): for map-only operators (simhash, text
+    // profile) Catalyst prunes the projection under a bare count and
+    // the probe would time an empty scan.
+    def t(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = body
-      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      body.write.format("noop").mode("overwrite").save()
+      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    t("exact_dedup")(Dedup.exactDuplicates(docs, "text", "doc_id").count())
+    t("exact_dedup")(Dedup.exactDuplicates(docs, "text", "doc_id"))
     t("minhash_pairs")(Dedup.minhashPairs(docs, "text", "doc_id",
-      n = 3, k = 16, bands = 4, threshold = 0.2).count())
-    t("simhash_sigs")(Dedup.simhash(docs, "text", "doc_id").count())
-    t("text_profile")(TextAnalysis.profile(docs, "text", "doc_id").count())
+      n = 3, k = 16, bands = 4, threshold = 0.2))
+    t("simhash_sigs")(Dedup.simhash(docs, "text", "doc_id"))
+    t("text_profile")(TextAnalysis.profile(docs, "text", "doc_id"))
     spark.stop()
   }
 }

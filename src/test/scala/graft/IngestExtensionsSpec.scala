@@ -77,5 +77,22 @@ class IngestExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_word_shingles(t, length(t)) FROM docs").collect()
     }
+    // the sketch expressions match their DataFrame-path twins
+    val sim = spark.sql("SELECT graft_simhash(t, 48) AS h FROM docs").head.getLong(0)
+    val simDf = graft.operators.Dedup.simhash(
+      Seq((1L, "x y z w")).toDF("id", "t"), "t", "id").head.getLong(1)
+    assert(sim == simDf)
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(graft_word_shingles(t, 3), 4) AS s FROM docs")
+      .head.getSeq[Long](0)
+    assert(sig.length == 4 && sig.forall(_ >= 0))
+    val mmin = spark.sql(
+      "SELECT graft_md5_min(graft_word_shingles(t, 3)) AS m FROM docs")
+      .head.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = Seq("x y z", "y z w")
+      .map(g => graft.expressions.HashExpressions.md5Long60(md, g.getBytes("UTF-8")))
+      .min
+    assert(mmin == expected)
   }
 }
