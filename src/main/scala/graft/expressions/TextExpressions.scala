@@ -74,7 +74,142 @@ case class WordShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Count of whitespace tokens of lower(text) that appear in `words`.
+  * One compiled pass (tokenize + hash-set membership); replaces the
+  * interpreted `filter(toks, isInCollection)` higher-order chain that
+  * dominated the text-profile bench. Token semantics identical to
+  * [[graft.functions.GraftFunctions.tokens]] over lower(text).
+  */
+case class MarkerCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_marker_count"
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashExpressions.whitespace
+      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (!toks(i).isEmpty && wordSet.contains(toks(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Language-ID over marker-word scores in ONE tokenize pass: argmax of
+  * per-language function-word counts with first-in-list tie priority;
+  * all-zero -> "und". Must stay aligned with the DuckDB oracle in
+  * DataQueries.t01Sql (same lists, same >= tie rule).
+  */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+
+  @transient private lazy val wordToLang: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    markers.zipWithIndex.foreach { case ((_, ws), i) =>
+      // a word may mark several languages (e.g. 'la' in es+fr): encode
+      // membership as a bitmask
+      ws.foreach { w =>
+        val prev = m.getOrDefault(w, 0)
+        m.put(w, prev | (1 << i))
+      }
+    }
+    m
+  }
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+  private val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashExpressions.whitespace
+      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    val scores = new Array[Long](langs.length)
+    var i = 0
+    while (i < toks.length) {
+      if (!toks(i).isEmpty) {
+        val mask = wordToLang.getOrDefault(toks(i), 0)
+        if (mask != 0) {
+          var l = 0
+          while (l < scores.length) {
+            if ((mask & (1 << l)) != 0) scores(l) += 1
+            l += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var any = false
+    var best = 0
+    var l = 0
+    while (l < scores.length) {
+      if (scores(l) > 0) any = true
+      // strict > keeps the EARLIER language on ties == the combinator's
+      // ">= every other" priority chain
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    if (!any) und else langs(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial token hash mod 1e9+7 in one compiled pass:
+  * left fold of (acc * 31 + md5Long60(token) % M) % M over whitespace
+  * tokens of lower(text). Twin of the DuckDB list_reduce oracle
+  * (DataQueries.t03Sql).
+  */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  private val M = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = HashExpressions.localMd5.get()
+    val toks = HashExpressions.whitespace
+      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (!toks(i).isEmpty) {
+        val h = HashExpressions.md5Long60(md, toks(i).getBytes("UTF-8")) % M
+        acc = (acc * 31L + h) % M
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
+  def markerCount(text: Column, words: Seq[String]): Column =
+    Bridge.column(MarkerCountExpr(Bridge.expression(text), words))
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangIdExpr(Bridge.expression(text), markers))
+  def rollingHash(text: Column): Column =
+    Bridge.column(RollingHashExpr(Bridge.expression(text)))
 }

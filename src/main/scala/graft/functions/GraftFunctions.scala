@@ -112,9 +112,12 @@ object GraftFunctions {
   // ---------------------------------------------------------------------
 
   /** Whitespace tokens, empty strings removed. DuckDB twin:
-    * list_filter(string_split_regex(x,'\s+'), t -> t <> ''). */
+    * list_filter(string_split_regex(x,'\s+'), t -> t <> '').
+    * array_remove, not the filter() higher-order fn: identical result
+    * (split yields no nulls), but fully codegen'd — HOFs dispatch an
+    * interpreted lambda per element (PLANS.md round-1 lesson). */
   def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
+    array_remove(split(c, "\\s+"), "")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -128,6 +131,12 @@ object GraftFunctions {
   /** Count of tokens that appear in `words`. */
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
+
+  /** Count of whitespace tokens of lower(text) appearing in `words`, as
+    * ONE compiled pass over the raw text ([[graft.expressions
+    * .MarkerCountExpr]]) — the hot-path form of [[markerCount]]. */
+  def markerCountText(text: Column, words: Seq[String]): Column =
+    graft.expressions.TextExpressions.markerCount(text, words)
 
   /** Per-language function-word marker lists for the n-gram-free
     * language-ID heuristic. Public-knowledge function words; the
@@ -145,20 +154,8 @@ object GraftFunctions {
     * earlier language in the list; all-zero scores -> 'und' (undetermined,
     * ISO 639-2 convention).
     */
-  def langId(textCol: Column): Column = {
-    val toks = tokens(lower(textCol))
-    val scores = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
-    val anyHit = scores.map(_._2).reduce(_ + _) > 0
-    // lang wins if its score >= every other score (priority order on ties)
-    val cases = scores.zipWithIndex.map { case ((l, s), i) =>
-      val others = scores.zipWithIndex.collect { case ((_, o), j) if j != i => o }
-      (l, others.map(o => s >= o).reduce(_ && _))
-    }
-    val decided = cases.foldLeft(when(lit(false), lit("und"))) {
-      case (acc, (l, cond)) => acc.when(cond, lit(l))
-    }
-    when(anyHit, decided).otherwise(lit("und"))
-  }
+  def langId(textCol: Column): Column =
+    graft.expressions.TextExpressions.langId(textCol, langMarkers)
 
   /** Punctuation character count (anything not alnum/space). DuckDB twin:
     * len(regexp_extract_all(x, '[^A-Za-z0-9\s]')). */
@@ -180,12 +177,13 @@ object GraftFunctions {
     */
   def qualityScore(textCol: Column): Column = {
     val n = length(textCol)
-    val toks = tokens(lower(textCol))
-    val nTok = size(toks)
-    val nStop = markerCount(toks, stopwords)
+    val nTok = tokenCount(textCol)
+    val nStop = markerCountText(textCol, stopwords)
     val nPunct = punctCount(textCol)
     val safeTok = when(nTok > 0, nTok).otherwise(lit(1))
-    val meanTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    // Σ token lengths == count of non-whitespace chars: one codegen'd
+    // regexp_replace instead of an interpreted per-token aggregate()
+    val meanTokLen = length(regexp_replace(lower(textCol), "\\s+", ""))
       .cast(DoubleType) / safeTok
     val stopRatio = nStop.cast(DoubleType) / safeTok
     val punctRatio = nPunct.cast(DoubleType) / when(n > 0, n).otherwise(lit(1))
@@ -207,13 +205,8 @@ object GraftFunctions {
     *   list_reduce(list_prepend(0, list_transform(toks, t -> h(t) % 1000000007)),
     *               (a, b) -> (a * 31 + b) % 1000000007)
     */
-  def rollingHash(textCol: Column): Column = {
-    val m = 1000000007L
-    aggregate(
-      tokens(lower(textCol)),
-      lit(0L),
-      (acc, t) => (acc * 31L + pmod(md5Long(t), lit(m))) % m)
-  }
+  def rollingHash(textCol: Column): Column =
+    graft.expressions.TextExpressions.rollingHash(textCol)
 
   // ---------------------------------------------------------------------
   // Vector functions (embeddings table; ANN / near-dup surface)
