@@ -136,6 +136,31 @@ object Multimodal {
       }
   }
 
+  /** STUB: stands in for a real image resize/downsample — keeps every
+    * `factor`-th byte (deterministic, size = ceil(n/factor)). A real
+    * impl swaps in a codec resize; the batch shape is identical. */
+  private[multimodal] def stubResize(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Batched resize over "image" rows: per-partition batch kernel, one
+    * decoder/scaler context per task (mapPartitions), map-only after
+    * the keyed repartition. */
+  def resizeImages(media: Dataset[MediaRow], factor: Int = 4)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image")
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        // (real impl: init image codec/scaler here, once per partition)
+        rows.map(r => r.copy(bytes = stubResize(r.bytes, factor)))
+      }
+  }
+
   /** Join extracted media features back onto a relational table — the
     * shape a multimodal training pipeline ends in (metadata + features
     * co-located, bytes dropped before any wide shuffle). */

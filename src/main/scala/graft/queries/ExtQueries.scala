@@ -266,7 +266,22 @@ object ExtQueries {
       |FROM orders WHERE o_custkey <= 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Approximate percentiles (KLL-style quantile sketch, the q16
+    * counterpart for quantiles): constant-size mergeable state per
+    * group — the operator you run at 100 TB where exact percentiles
+    * (q26) would need a full sort. Engine-specific sketch -> rows-only
+    * check, like q16. */
+  val q40ApproxPercentile: Q = (s, dir) =>
+    Catalog(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, Q] = Map(
+    "q40_approx_percentile" -> q40ApproxPercentile,
     "q29_pivot" -> q29Pivot,
     "q30_unpivot" -> q30Unpivot,
     "q31_explode_pos" -> q31ExplodePos,

@@ -79,15 +79,35 @@ object MediaQueries {
       |  least(64, n - fi * 64) AS n_frame_bytes
       |FROM f WHERE fi % 2 = 0 ORDER BY media_id, frame_index""".stripMargin
 
+  /** Batched resize over "image" payloads: stub kernel keeps every 4th
+    * byte, so the output size arithmetic is exact and the fan-in is
+    * hash-checked end-to-end (plumbing real, kernel stub). */
+  val m04Resize: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.resizeImages(
+        Multimodal.fromDocuments(Catalog(s, dir).documents), factor = 4)
+      .select(col("media_id"), col("kind"),
+        length(col("bytes")).cast(LongType).as("n_bytes_resized"))
+      .orderBy(col("media_id"))
+  }
+
+  val m04Sql: String =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  (octet_length(encode(text)) + 3) // 4 AS n_bytes_resized
+      |FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+      |ORDER BY media_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
+    "m04_resize" -> m04Resize,
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_meta" -> m01Sql,
     // m02: stub LCG features — rows-only by design
     "m03_frame_sample" -> m03Sql,
+    "m04_resize" -> m04Sql,
   )
 }

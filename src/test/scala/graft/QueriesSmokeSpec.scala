@@ -18,8 +18,10 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is a documented rows-only check") {
-    // q16: engine-specific HLL sketch; m02: stub LCG decode features
-    val rowsOnly = Set("q16_approx_distinct", "m02_media_features")
+    // q16/q40: engine-specific sketches (HLL, quantile); m02: stub LCG
+    // decode features
+    val rowsOnly = Set("q16_approx_distinct", "q40_approx_percentile",
+      "m02_media_features")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
