@@ -47,7 +47,8 @@ object Bench {
     runOne("e01_ann_bruteforce")
 
     // SPARK_GRAFT_ONLY=d01_x,q01_y runs a subset (local profiling aid)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>

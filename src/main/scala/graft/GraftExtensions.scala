@@ -51,7 +51,7 @@ object GraftExtensions {
         WordShinglesExpr(children(0), intLit(children(1), "n"))),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
-        "graft_simhash(text, bits) - simhash of whitespace tokens, md5 bit votes"),
+        "graft_simhash(text, bits) - simhash of whitespace tokens (lowercased internally), md5 bit votes; NULL if no tokens"),
       (children: Seq[Expression]) =>
         SimHashExpr(children(0), intLit(children(1), "bits"))),
     (FunctionIdentifier("graft_minhash_sig"),

@@ -40,7 +40,7 @@ object HashExpressions {
     v >>> 4
   }
 
-  private[expressions] val localMd5 = new ThreadLocal[MessageDigest] {
+  val localMd5: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
@@ -55,10 +55,15 @@ object HashExpressions {
     Bridge.column(Md5MinExpr(Bridge.expression(strings)))
 }
 
-/** SimHash of a (pre-lowercased) text: whitespace-tokenize, md5 each
-  * token occurrence (repeats vote repeatedly, matching the exploded
+/** SimHash of a text (lowercased internally, so the SQL-registered form
+  * and the DataFrame path agree): whitespace-tokenize, md5 each token
+  * occurrence (repeats vote repeatedly, matching the exploded
   * formulation), bit i of the 60-bit hash votes +1/-1, majority sign
   * sets bit i of the result. `bits` must be <= 60.
+  *
+  * Token-less text -> NULL (the exploded formulation produced no row
+  * for such docs; NULL lets callers drop them and keeps two empty docs
+  * from pairing at hamming 0).
   *
   * Oracle twin (DataQueries.d03Sql): votes CTE over unnested tokens.
   */
@@ -67,17 +72,21 @@ case class SimHashExpr(child: Expression, bits: Int)
   require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
 
   override def nullSafeEval(input: Any): Any = {
     val md = HashExpressions.localMd5.get()
     val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](bits)
     val it = HashExpressions.whitespace.split(s, -1)
     var t = 0
+    var nTok = 0
     while (t < it.length) {
       val tok = it(t)
       if (!tok.isEmpty) {
+        nTok += 1
         val h = HashExpressions.md5Long60(md, tok.getBytes("UTF-8"))
         var b = 0
         while (b < bits) {
@@ -87,6 +96,7 @@ case class SimHashExpr(child: Expression, bits: Int)
       }
       t += 1
     }
+    if (nTok == 0) return null
     var out = 0L
     var b = 0
     while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
@@ -108,6 +118,8 @@ case class MinHashSigExpr(child: Expression, k: Int)
   require(k >= 1, s"minhash k must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty input array -> null result, independent of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
 
   // UTF-8 bytes of the "<seed>|" prefixes, precomputed once per instance
@@ -151,6 +163,8 @@ case class Md5MinExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+  // empty input array -> null result, independent of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_md5_min"
 
   override def nullSafeEval(input: Any): Any = {

@@ -155,7 +155,10 @@ object GraftFunctions {
     * ISO 639-2 convention).
     */
   def langId(textCol: Column): Column =
-    graft.expressions.TextExpressions.langId(textCol, langMarkers)
+    // NULL text -> 'und', matching the original combinator's
+    // when(anyHit, ...).otherwise('und') null behavior
+    coalesce(graft.expressions.TextExpressions.langId(textCol, langMarkers),
+      lit("und"))
 
   /** Punctuation character count (anything not alnum/space). DuckDB twin:
     * len(regexp_extract_all(x, '[^A-Za-z0-9\s]')). */

@@ -77,7 +77,7 @@ object Multimodal {
     * twin is CAST(('0x'||substr(md5(text),1,15)) AS BIGINT). */
   private def checksum(bytes: Array[Byte]): Long =
     graft.expressions.HashExpressions.md5Long60(
-      java.security.MessageDigest.getInstance("MD5"), bytes)
+      graft.expressions.HashExpressions.localMd5.get(), bytes)
 
   // -------------------------------------------------------------------
   // Real Spark plumbing

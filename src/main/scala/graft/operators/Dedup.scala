@@ -65,25 +65,6 @@ object Dedup {
   // MinHash + LSH
   // -------------------------------------------------------------------
 
-  /** k-permutation minhash signature over the shingle set, as an array of
-    * k longs: sig[s] = min over shingles of md5Long("s|" + shingle).
-    * Empty shingle set -> signature of k nulls (array_min of empty). */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingles,
-        sh => md5Long(concat(s.cast(StringType), lit("|"), sh)))))
-
-  /** LSH band keys: the signature split into `bands` bands of
-    * `k/bands` rows each, each band hashed to one bucket key string.
-    * A pair of docs is a candidate iff it shares >= 1 band key. */
-  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
-    val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat(b.cast(StringType), lit(":"),
-        concat_ws(",",
-          transform(slice(sig, b * lit(r) + 1, lit(r)), x => x.cast(StringType)))))
-  }
-
   /** Exact jaccard on the shingle sets of a candidate-pair relation:
     * joins the (id, sh) base back onto (id1, id2) and thresholds. */
   private def jaccardVerify(cand: DataFrame, base: DataFrame,
@@ -104,11 +85,11 @@ object Dedup {
     * bucket self-join (id1 < id2) -> distinct candidate pair -> exact
     * jaccard on the shingle sets -> threshold.
     *
-    * The signature is computed from EXPLODED shingles with k codegen'd
-    * `min` aggregates (one shuffle on doc id), not per-array lambda
-    * transforms — higher-order functions evaluate interpreted and were
-    * the bench hot spot. The band join carries only (id, band); shingle
-    * arrays are joined back for the (few) surviving candidates.
+    * The signature is ONE compiled call per doc ([[graft.expressions
+    * .MinHashSigExpr]]) — map-only, no shuffle of shingle rows (the
+    * round-1 exploded-aggregate formulation is recorded in PLANS.md).
+    * The band join carries only (id, band); shingle arrays are joined
+    * back for the (few) surviving candidates.
     *
     * Returns (id1, id2, jaccard). Deterministic, order by caller.
     */
@@ -159,15 +140,18 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String, idCol: String,
               bits: Int = 48): DataFrame =
-    // One compiled call per document (SimHashExpr: tokenize + md5 +
-    // bit votes in a tight loop) — map-only, zero shuffles. The round-1
-    // explode formulation moved tokens×bits rows through TWO aggregate
-    // shuffles and was the single most expensive bench query (d07);
-    // identical results (repeated tokens vote repeatedly, same md5Long
-    // bit sampling — pinned by the unchanged DuckDB oracle).
+    // One compiled call per document (SimHashExpr: lowercase + tokenize
+    // + md5 + bit votes in a tight loop) — map-only, zero shuffles. The
+    // round-1 explode formulation moved tokens×bits rows through TWO
+    // aggregate shuffles and was the single most expensive bench query
+    // (d07). Identical results, pinned by the unchanged DuckDB oracle:
+    // repeated tokens vote repeatedly, and token-less docs are DROPPED
+    // (SimHashExpr yields null) exactly as explode produced no rows —
+    // keeping empty docs from all pairing at hamming 0 in simhashPairs.
     df.select(col(idCol).as("id"),
-      graft.expressions.HashExpressions.simhash(lower(col(textCol)), bits)
+      graft.expressions.HashExpressions.simhash(col(textCol), bits)
         .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: candidates share one of `chunks` equal bit
     * chunks (Hamming pigeonhole: distance < chunks implies >= 1 equal
@@ -243,8 +227,10 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint()
+    // coalesce: sum over an EMPTY label relation (no pairs at all) is
+    // null — treat as 0 so the loop converges immediately
     def labSum(df: DataFrame): Long =
-      df.agg(sum(col("lab"))).head.getLong(0)
+      df.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
     var prevSum = labSum(labels)
     var iter = 0
     var converged = false
@@ -264,6 +250,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silently truncated closure would return WRONG group labels —
+    // fail loudly instead (a diameter-20+ component means the pair
+    // generator produced a pathological chain worth investigating)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "component diameter exceeds maxIter — raise maxIter or inspect the pair input")
     System.err.println(s"[graft] connectedComponents converged in $iter rounds")
     labels.select(col("id"), col("lab").as("group_id"))
   }

@@ -93,6 +93,41 @@ class OperatorsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: empty pair input yields empty labels, no NPE") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("simhash: token-less docs dropped (parity with exploded formulation)") {
+    val docs = Seq((1L, "real text here"), (2L, "   "), (3L, "")).toDF("id", "text")
+    val got = Dedup.simhash(docs, "text", "id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+    // and two empty docs must NOT pair at hamming 0
+    val pairs = Dedup.simhashPairs(
+      Seq((1L, " "), (2L, ""), (3L, "x")).toDF("id", "text"), "text", "id")
+    assert(pairs.count() == 0)
+  }
+
+  test("sketch expressions honor nullable on empty input (coalesce works)") {
+    graft.GraftExtensions.register(spark)
+    Seq("a b").toDF("t").createOrReplaceTempView("short_docs")
+    val r = spark.sql(
+      """SELECT coalesce(graft_md5_min(graft_word_shingles(t, 3)), -1) AS m,
+        |       graft_md5_min(graft_word_shingles(t, 3)) IS NULL AS isnull
+        |FROM short_docs""".stripMargin).head
+    assert(r.getLong(0) == -1L && r.getBoolean(1))
+  }
+
+  test("SQL graft_simhash lowercases internally: matches DataFrame path on mixed case") {
+    graft.GraftExtensions.register(spark)
+    Seq("Mixed CASE Text here").toDF("t").createOrReplaceTempView("mc_docs")
+    val sqlH = spark.sql("SELECT graft_simhash(t, 48) FROM mc_docs").head.getLong(0)
+    val dfH = Dedup.simhash(
+      Seq((1L, "Mixed CASE Text here")).toDF("id", "text"), "text", "id")
+      .head.getLong(1)
+    assert(sqlH == dfH)
+  }
+
   test("connectedComponents: long chain needs multiple propagation rounds") {
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
     val got = Dedup.connectedComponents(pairs).collect()
