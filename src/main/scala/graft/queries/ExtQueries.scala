@@ -280,8 +280,29 @@ object ExtQueries {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Semi-structured JSON extraction (events.props is a JSON string):
+    * path extraction + typed cast + aggregation. The extraction is a
+    * codegen'd per-row parse — map-only before the tiny group-key
+    * shuffle. */
+  val q41JsonFuncs: Q = (s, dir) =>
+    Catalog(s, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"),
+           sum(col("k")).as("sum_k"),
+           count(when(col("k") > 50, 1)).as("n_big"))
+      .orderBy(col("event_type"))
+
+  val q41Sql: String =
+    """WITH j AS (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
+    "q41_json_funcs" -> q41JsonFuncs,
     "q29_pivot" -> q29Pivot,
     "q30_unpivot" -> q30Unpivot,
     "q31_explode_pos" -> q31ExplodePos,
@@ -296,6 +317,7 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_json_funcs" -> q41Sql,
     "q29_pivot" -> q29Sql,
     "q30_unpivot" -> q30Sql,
     "q31_explode_pos" -> q31Sql,
