@@ -1,0 +1,112 @@
+package graft
+
+import graft.expressions.HashExpressions
+import graft.functions.GraftFunctions._
+import graft.harmonize.Harmonize._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Random
+
+/** Property-style invariants (SURVEY §5.4), evaluated SET-wise: each
+  * property generates hundreds of seeded-random cases into ONE
+  * DataFrame and asserts the invariant over all rows in one job —
+  * property coverage without per-sample Spark-job overhead.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("haversine: symmetry, zero at identical points, km/mi radius ratio") {
+    val rows = Seq.fill(500)((
+      rnd.nextDouble() * 178 - 89, rnd.nextDouble() * 358 - 179,
+      rnd.nextDouble() * 178 - 89, rnd.nextDouble() * 358 - 179))
+      .toDF("lat1", "lng1", "lat2", "lng2")
+    val checked = rows.select(
+      distLatLng(col("lat1"), col("lng1"), col("lat2"), col("lng2"), "km").as("ab"),
+      distLatLng(col("lat2"), col("lng2"), col("lat1"), col("lng1"), "km").as("ba"),
+      distLatLng(col("lat1"), col("lng1"), col("lat1"), col("lng1"), "km").as("self"),
+      distLatLng(col("lat1"), col("lng1"), col("lat2"), col("lng2"), "mi").as("ab_mi"))
+    val bad = checked.filter(
+      abs(col("ab") - col("ba")) > 1e-9 ||
+      // acos near 1.0 amplifies float error to sqrt scale: ~2e-8 rad
+      // -> ~1e-4 km; assert "within a meter", not exact zero
+      abs(col("self")) > 1e-3 ||
+      // d_km / d_mi must equal R_km / R_mi everywhere (same central angle)
+      (col("ab_mi") > 1e-3 &&
+        abs(col("ab") / col("ab_mi") - lit(6371.0 / 3959.0)) > 1e-9))
+    assert(bad.count() == 0)
+  }
+
+  test("minhash signature: sig(A ∪ B) = elementwise min(sig(A), sig(B))") {
+    def randToks(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(40)}")
+    val rows = Seq.fill(200)((randToks(rnd.nextInt(8) + 1), randToks(rnd.nextInt(8) + 1)))
+      .toDF("a", "b")
+    val k = 8
+    val sig = (c: org.apache.spark.sql.Column) =>
+      HashExpressions.minhashSignature(c, k)
+    val bad = rows.select(
+        sig(concat(col("a"), col("b"))).as("su"),
+        zip_with(sig(col("a")), sig(col("b")), (x, y) => least(x, y)).as("sm"))
+      .filter(col("su") =!= col("sm"))
+    assert(bad.count() == 0)
+  }
+
+  test("rolling hash and md5 hashes stay in their documented ranges") {
+    val docs = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(100)}").mkString(" "))
+      .toDF("text")
+    val bad = docs.select(
+        rollingHash(col("text")).as("rh"),
+        md5Long(col("text")).as("h"))
+      .filter(col("rh") < 0 || col("rh") >= 1000000007L ||
+              col("h") < 0 || col("h") >= (1L << 60))
+    assert(bad.count() == 0)
+  }
+
+  test("union harmonization: row count = Σ inputs, schema canonical under permutation/absence") {
+    val canon = Seq(
+      CanonicalCol("id", LongType),
+      CanonicalCol("v", DoubleType),
+      CanonicalCol("tag", StringType, default = lit("")))
+    val f1 = Seq((1L, 0.5, "x"), (2L, 1.5, "y")).toDF("id0", "v0", "tag0")
+    val f2 = Seq((7.25, 3L), (8.5, 4L), (9.0, 5L)).toDF("vv", "idx") // permuted, tag absent
+    val out = unionHarmonized(canon, Seq(
+      SourceFeed("f1", f1, Map("id" -> "id0", "v" -> "v0", "tag" -> "tag0"), Map.empty),
+      SourceFeed("f2", f2, Map("id" -> "idx", "v" -> "vv"), Map.empty)))
+    assert(out.count() == f1.count() + f2.count())
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("id", LongType), ("v", DoubleType), ("tag", StringType)))
+    // absent-with-default lands '' not null
+    assert(out.filter(col("tag").isNull).count() == 0)
+  }
+
+  test("connected components: every edge's endpoints share a group, label = component min") {
+    val n = 60
+    val pairs = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val cc = Dedup.connectedComponents(pairs.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge internal to one group
+    pairs.foreach { case (a, b) =>
+      assert(cc(a) == cc(b), s"edge ($a,$b) split across groups")
+    }
+    // label is a member of the component and <= every member
+    cc.groupBy(_._2).foreach { case (lab, members) =>
+      assert(members.keySet.contains(lab) && lab == members.keySet.min)
+    }
+  }
+
+  test("exact dedup drop: keeps exactly one doc per fingerprint, the min id") {
+    val texts = Seq.fill(120)(s"doc ${rnd.nextInt(25)}") // forced collisions
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = texts.zipWithIndex.groupBy(_._1).map { case (_, g) => g.map(_._2).min.toLong }.toSet
+    assert(kept.map(_._1).toSet == expected)
+  }
+}
