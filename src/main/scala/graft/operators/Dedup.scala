@@ -191,8 +191,10 @@ object Dedup {
         wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    val buckets = base.select(col("id"), explode(col("sh")).as("g"))
-      .groupBy(col("id")).agg(min(md5Long(col("g"))).as("bucket"))
+    // min shingle hash in one compiled call per doc (Md5MinExpr):
+    // map-only, no explode/aggregate shuffle — same md5Long semantics
+    val buckets = base.select(col("id"),
+      graft.expressions.HashExpressions.md5Min(col("sh")).as("bucket"))
     val l = buckets.select(col("id").as("id1"), col("bucket"))
     val r = buckets.select(col("id").as("id2"), col("bucket"))
     val cand = l.join(r, Seq("bucket"))
