@@ -109,7 +109,8 @@ case class SimHashExpr(child: Expression, bits: Int)
 
 /** k-permutation minhash signature of a shingle array:
   * sig[s] = min over shingles of md5Long("s|" + shingle), s in [0,k).
-  * Empty array -> null (callers filter empty shingle sets upstream).
+  * Empty (or all-null-element) array -> null; null elements are
+  * skipped (callers filter empty shingle sets upstream).
   *
   * Oracle twin (DataQueries.d02Sql): sig CTE with list_min/list_transform.
   */
@@ -132,23 +133,29 @@ case class MinHashSigExpr(child: Expression, k: Int)
     if (n == 0) return null
     val md = HashExpressions.localMd5.get()
     val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val g = arr.getUTF8String(i).getBytes
-      var s = 0
-      while (s < k) {
-        md.reset()
-        md.update(prefixes(s))
-        val d = md.digest(g)
-        var v = 0L
-        var j = 0
-        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-        v = v >>> 4
-        if (v < mins(s)) mins(s) = v
-        s += 1
+      val u = arr.getUTF8String(i)
+      if (u != null) { // null elements skipped, not NPE
+        any = true
+        val g = u.getBytes
+        var s = 0
+        while (s < k) {
+          md.reset()
+          md.update(prefixes(s))
+          val d = md.digest(g)
+          var v = 0L
+          var j = 0
+          while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+          v = v >>> 4
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
       }
       i += 1
     }
+    if (!any) return null
     new GenericArrayData(mins)
   }
 
@@ -157,7 +164,8 @@ case class MinHashSigExpr(child: Expression, k: Int)
 }
 
 /** Minimum md5Long over a string array (single-band LSH bucket key).
-  * Empty array -> null. Oracle twin: list_min(list_transform(sh, g -> h(g))).
+  * Empty (or all-null-element) array -> null; null elements skipped.
+  * Oracle twin: list_min(list_transform(sh, g -> h(g))).
   */
 case class Md5MinExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -173,12 +181,18 @@ case class Md5MinExpr(child: Expression)
     if (n == 0) return null
     val md = HashExpressions.localMd5.get()
     var best = Long.MaxValue
+    var any = false
     var i = 0
     while (i < n) {
-      val h = HashExpressions.md5Long60(md, arr.getUTF8String(i).getBytes)
-      if (h < best) best = h
+      val u = arr.getUTF8String(i)
+      if (u != null) { // null elements skipped, not NPE
+        any = true
+        val h = HashExpressions.md5Long60(md, u.getBytes)
+        if (h < best) best = h
+      }
       i += 1
     }
+    if (!any) return null
     best
   }
 

@@ -114,7 +114,8 @@ object Dedup {
     // formulation; see PLANS.md). Same md5-seeded semantics.
     val sigs = base.select(col("id"),
       graft.expressions.HashExpressions.minhashSignature(col("sh"), k).as("sig"))
-    // band key format identical to lshBandKeys: "<b>:<m0>,<m1>,..."
+    // band key format "<b>:<m0>,<m1>,..." — the contract the d02/d08
+    // DuckDB oracles replay (banded CTE in DataQueries)
     val bandCols = (0 until bands).map(b =>
       concat(lit(s"$b:"), concat_ws(",",
         (b * r until (b + 1) * r).map(i =>
@@ -182,9 +183,9 @@ object Dedup {
 
   /** N-gram Jaccard similarity pairs, candidates bucketed by their
     * minimum shingle hash (cheap single-band LSH: near-identical docs
-    * almost surely share the global min shingle). Bucket hash comes from
-    * the exploded shingles (codegen'd min aggregate), same rationale as
-    * [[minhashPairs]]. */
+    * almost surely share the global min shingle). The bucket is one
+    * compiled call per doc ([[graft.expressions.Md5MinExpr]]) — map-
+    * only, same rationale as [[minhashPairs]]. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val base = df.repartition(col(idCol)).select(col(idCol).as("id"),
@@ -216,12 +217,14 @@ object Dedup {
     * Algorithm: iterative min-label propagation ("hash-to-min"): each
     * node adopts the min label among itself and its neighbors until a
     * fixpoint. Each iteration is one join + one aggregate — fully
-    * distributed, converges in O(component diameter) rounds (near-dup
-    * components are shallow: dozens of rounds would mean a pathological
-    * chain, which `maxIter` guards). localCheckpoint() cuts the growing
-    * lineage so round N doesn't replay rounds 1..N-1.
+    * distributed, needs diameter+1 rounds (the +1 confirms the
+    * fixpoint), so `maxIter` supports component diameters up to
+    * maxIter-1 (near-dup components are shallow: dozens of rounds
+    * would mean a pathological chain, which the guard turns into a
+    * loud error). localCheckpoint() cuts the growing lineage so round
+    * N doesn't replay rounds 1..N-1.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
@@ -256,8 +259,9 @@ object Dedup {
     // fail loudly instead (a diameter-20+ component means the pair
     // generator produced a pathological chain worth investigating)
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds; " +
-        "component diameter exceeds maxIter — raise maxIter or inspect the pair input")
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(supports component diameter <= ${maxIter - 1}) — " +
+        "raise maxIter or inspect the pair input for pathological chains")
     System.err.println(s"[graft] connectedComponents converged in $iter rounds")
     labels.select(col("id"), col("lab").as("group_id"))
   }

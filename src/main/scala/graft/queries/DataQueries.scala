@@ -300,7 +300,8 @@ object DataQueries {
        |  len(list_filter(toks, x -> x IN ('el','los','de','la','que','es'))) AS s_es,
        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr
        |  FROM toks)
-       |SELECT doc_id, CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |SELECT doc_id, CASE WHEN s_en IS NULL THEN 'und'
+       |  WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
        |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |  WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'

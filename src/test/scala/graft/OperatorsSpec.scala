@@ -118,6 +118,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(0) == -1L && r.getBoolean(1))
   }
 
+  test("md5Min/minhashSig: null array elements skipped, all-null yields null") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_md5_min(array('a', CAST(NULL AS STRING))) AS m,
+        |       graft_md5_min(array(CAST(NULL AS STRING))) AS mn,
+        |       graft_minhash_sig(array('a', CAST(NULL AS STRING)), 2) AS s,
+        |       graft_minhash_sig(array(CAST(NULL AS STRING)), 2) AS sn""".stripMargin).head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(r.getLong(0) ==
+      graft.expressions.HashExpressions.md5Long60(md, "a".getBytes("UTF-8")))
+    assert(r.isNullAt(1) && !r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("SQL graft_simhash lowercases internally: matches DataFrame path on mixed case") {
     graft.GraftExtensions.register(spark)
     Seq("Mixed CASE Text here").toDF("t").createOrReplaceTempView("mc_docs")
