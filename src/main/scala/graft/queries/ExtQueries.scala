@@ -300,9 +300,29 @@ object ExtQueries {
       |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic hash-based stratified sampling: keep a row iff
+    * md5Long(id) % 100 < rate(stratum). Unlike rand()/TABLESAMPLE this
+    * is reproducible across engines, partitionings and cluster sizes —
+    * the only sampling you can audit at 100 TB — and it needs no
+    * shuffle (pure filter, pushed to the scan's batch). Strata: 20% of
+    * 'en' documents, 5% of everything else. */
+  val q42DetSample: Q = (s, dir) =>
+    Catalog(s, dir).documents
+      .filter(pmod(md5Long(col("doc_id").cast(StringType)), lit(100L)) <
+        when(col("lang") === "en", 20L).otherwise(5L))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val q42Sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100
+      |  < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q41_json_funcs" -> q41JsonFuncs,
+    "q42_det_sample" -> q42DetSample,
     "q29_pivot" -> q29Pivot,
     "q30_unpivot" -> q30Unpivot,
     "q31_explode_pos" -> q31ExplodePos,
@@ -318,6 +338,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q41_json_funcs" -> q41Sql,
+    "q42_det_sample" -> q42Sql,
     "q29_pivot" -> q29Sql,
     "q30_unpivot" -> q30Sql,
     "q31_explode_pos" -> q31Sql,
