@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** dbt-style generic data tests, Spark-native (SURVEY.md §2.7 D6).
+  *
+  * The reference invokes a data-test phase (`dbt test --data`,
+  * setup_script.sh:8) with zero tests behind it — this module supplies
+  * the four generic test types dbt ships (not_null, unique,
+  * accepted_values, relationships) as runnable checks. Each check
+  * returns the VIOLATING rows as a DataFrame (empty = pass), so a
+  * failure is inspectable, not just a boolean; [[runAll]] evaluates a
+  * suite and reports per-check violation counts.
+  *
+  * Scale notes: every check is one aggregate or anti-join over the
+  * model — the same shapes the query layer optimizes (map-side combine
+  * for unique, broadcast/shuffled anti-join for relationships). No
+  * collects; counts happen on the executors.
+  */
+object DataTests {
+
+  /** A named check over a named model. */
+  final case class Check(model: String, name: String, violations: DataFrame)
+
+  final case class CheckResult(model: String, name: String, nViolations: Long) {
+    def passed: Boolean = nViolations == 0
+  }
+
+  /** Rows where `col` is NULL (dbt `not_null`). */
+  def notNull(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNull)
+
+  /** Key groups appearing more than once, with their counts
+    * (dbt `unique`, multi-column supported). NULL keys participate —
+    * two NULL-key rows are duplicates, matching dbt's SQL (GROUP BY
+    * groups NULLs together). */
+  def unique(df: DataFrame, columns: Seq[String]): DataFrame =
+    df.groupBy(columns.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** Rows whose `col` value is outside `allowed` (dbt `accepted_values`).
+    * NULLs are NOT violations (dbt semantics: pair with not_null to
+    * forbid them). */
+  def acceptedValues(df: DataFrame, column: String, allowed: Seq[Any]): DataFrame =
+    df.filter(col(column).isNotNull && !col(column).isInCollection(allowed))
+
+  /** Child rows whose foreign key has no match in the parent
+    * (dbt `relationships`). NULL FKs are not violations (dbt
+    * semantics); the probe is a left-anti join, broadcast when the
+    * parent key set is small. */
+  def relationships(child: DataFrame, fk: String,
+                    parent: DataFrame, pk: String): DataFrame = {
+    val keys = parent.select(col(pk).as("__pk")).distinct()
+    child.filter(col(fk).isNotNull)
+      .join(keys, col(fk) === col("__pk"), "left_anti")
+  }
+
+  /** Arbitrary predicate check: rows FAILING `expectation` (the dbt
+    * singular-test escape hatch). */
+  def expect(df: DataFrame, expectation: Column): DataFrame =
+    df.filter(!coalesce(expectation, lit(false)))
+
+  /** Evaluate a suite; returns per-check results (one count job per
+    * check). `failFast=false` mirrors `dbt test` running everything and
+    * reporting all failures. */
+  def runAll(checks: Seq[Check], failFast: Boolean = false): Seq[CheckResult] = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[CheckResult]
+    val it = checks.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val c = it.next()
+      val n = c.violations.count()
+      results += CheckResult(c.model, c.name, n)
+      if (failFast && n > 0) stop = true
+    }
+    results.toSeq
+  }
+}
