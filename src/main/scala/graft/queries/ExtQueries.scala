@@ -319,10 +319,39 @@ object ExtQueries {
       |  < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
       |ORDER BY doc_id""".stripMargin
 
+  /** FULL OUTER join with unmatched rows on BOTH sides (disjoint key
+    * ranges force left-only and right-only outputs): coalesced key +
+    * typed nulls, the reconciliation-report shape. */
+  val q43FullOuter: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val cu = c.customer.filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oa = c.orders.filter(col("o_custkey") >= 500)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("sum_price"))
+    cu.join(oa, cu("c_custkey") === oa("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), col("n_orders"), col("sum_price"))
+      .orderBy(col("custkey"))
+  }
+
+  val q43Sql: String =
+    """WITH cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000),
+      |oa AS (SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM orders WHERE o_custkey >= 500 GROUP BY 1)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  c_mktsegment, n_orders, sum_price
+      |FROM cu FULL OUTER JOIN oa ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q41_json_funcs" -> q41JsonFuncs,
     "q42_det_sample" -> q42DetSample,
+    "q43_full_outer" -> q43FullOuter,
     "q29_pivot" -> q29Pivot,
     "q30_unpivot" -> q30Unpivot,
     "q31_explode_pos" -> q31ExplodePos,
@@ -339,6 +368,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q41_json_funcs" -> q41Sql,
     "q42_det_sample" -> q42Sql,
+    "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,
     "q30_unpivot" -> q30Sql,
     "q31_explode_pos" -> q31Sql,
