@@ -32,11 +32,13 @@ object DataTests {
     df.filter(col(column).isNull)
 
   /** Key groups appearing more than once, with their counts
-    * (dbt `unique`, multi-column supported). NULL keys participate —
-    * two NULL-key rows are duplicates, matching dbt's SQL (GROUP BY
-    * groups NULLs together). */
+    * (dbt `unique`, multi-column supported). Rows with a NULL in any
+    * key column are excluded first — dbt's unique test filters
+    * `WHERE column IS NOT NULL` before grouping, so NULL keys are
+    * never duplicates (pair with [[notNull]] to forbid them). */
   def unique(df: DataFrame, columns: Seq[String]): DataFrame =
-    df.groupBy(columns.map(col): _*)
+    df.filter(columns.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(columns.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
 

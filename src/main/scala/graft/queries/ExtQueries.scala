@@ -319,14 +319,16 @@ object ExtQueries {
       |  < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
       |ORDER BY doc_id""".stripMargin
 
-  /** FULL OUTER join with unmatched rows on BOTH sides (disjoint key
-    * ranges force left-only and right-only outputs): coalesced key +
-    * typed nulls, the reconciliation-report shape. */
+  /** FULL OUTER join with unmatched rows on BOTH sides (offset key
+    * ranges force left-only and right-only outputs at EVERY scale
+    * factor — custkeys start at 0 and grow with sf, so <=100 / >=50
+    * always leaves 0-49 left-only and 101+ right-only): coalesced key
+    * + typed nulls, the reconciliation-report shape. */
   val q43FullOuter: Q = (s, dir) => {
     val c = Catalog(s, dir)
-    val cu = c.customer.filter(col("c_custkey") <= 1000)
+    val cu = c.customer.filter(col("c_custkey") <= 100)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val oa = c.orders.filter(col("o_custkey") >= 500)
+    val oa = c.orders.filter(col("o_custkey") >= 50)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
            exactSum(col("o_totalprice")).as("sum_price"))
@@ -338,10 +340,10 @@ object ExtQueries {
   }
 
   val q43Sql: String =
-    """WITH cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000),
+    """WITH cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100),
       |oa AS (SELECT o_custkey, count(*) AS n_orders,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      |  FROM orders WHERE o_custkey >= 500 GROUP BY 1)
+      |  FROM orders WHERE o_custkey >= 50 GROUP BY 1)
       |SELECT coalesce(c_custkey, o_custkey) AS custkey,
       |  c_mktsegment, n_orders, sum_price
       |FROM cu FULL OUTER JOIN oa ON c_custkey = o_custkey

@@ -22,6 +22,12 @@ class DataTestsSpec extends SparkSpec {
     assert(DataTests.unique(zones, Seq("location_id", "svc")).count() == 0)
   }
 
+  test("unique: NULL keys excluded before grouping (dbt semantics)") {
+    val df = Seq(Option("a"), None, None).toSeq.toDF("k")
+    // two NULL rows are NOT a duplicate pair under dbt's unique test
+    assert(DataTests.unique(df, Seq("k")).count() == 0)
+  }
+
   test("acceptedValues: out-of-domain flagged, NULL tolerated (dbt semantics)") {
     val v = DataTests.acceptedValues(zones, "borough",
       Seq("Bronx", "Queens", "Brooklyn", "Manhattan", "Staten Island"))
