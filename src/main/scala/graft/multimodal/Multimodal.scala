@@ -90,7 +90,11 @@ object Multimodal {
     * media table gets; only the payload provenance is synthetic. */
   def fromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
+    // NULL text would become NULL bytes and NPE in every downstream
+    // kernel (r.bytes.length / grouped / digest): a row with no payload
+    // is not a media row — drop it here, mirrored by the m01/m03/m04
+    // oracles' `text IS NOT NULL`.
+    docs.filter(col("text").isNotNull).select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3).cast("int") + 1).as("kind"),

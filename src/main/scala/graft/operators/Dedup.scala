@@ -79,29 +79,29 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash-LSH near-duplicate pairs with exact jaccard verification.
-    *
-    * Pipeline: doc -> shingles -> k-minhash -> band keys -> explode ->
-    * bucket self-join (id1 < id2) -> distinct candidate pair -> exact
-    * jaccard on the shingle sets -> threshold.
+  /** Shared banded-MinHash candidate pipeline: doc -> shingles ->
+    * k-minhash -> band keys -> explode -> bucket self-join (id1 < id2)
+    * -> distinct candidate pair -> exact jaccard on the shingle sets ->
+    * threshold. [[minhashPairs]] and [[ngramJaccardPairs]] are both
+    * instances (different k/bands recall points).
     *
     * The signature is ONE compiled call per doc ([[graft.expressions
     * .MinHashSigExpr]]) — map-only, no shuffle of shingle rows (the
     * round-1 exploded-aggregate formulation is recorded in PLANS.md).
     * The band join carries only (id, band); shingle arrays are joined
     * back for the (few) surviving candidates.
-    *
-    * Returns (id1, id2, jaccard). Deterministic, order by caller.
     */
-  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3, k: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+  private def bandedJaccardPairs(df: DataFrame, textCol: String,
+                                 idCol: String, n: Int, k: Int,
+                                 bands: Int, threshold: Double): DataFrame = {
     // NOTE: persists two bounded intermediates (shingle base + skinny
     // band relation) for the duration of the session; callers running
     // many dedup passes in one long-lived session should
     // spark.catalog.clearCache() between passes, or materialize
     // signatures to the warehouse (the at-scale shape anyway).
     val r = k / bands
+    require(r >= 2, s"bands of r=1 degrade to single-min-shingle buckets " +
+      s"(corpus-common shingles collect quadratic buckets); got k=$k bands=$bands")
     // hash-partition by id up front: parallelizes the CPU-dense shingle
     // and md5 stages even when the source is a single parquet split.
     val base = df.repartition(col(idCol)).select(
@@ -114,7 +114,7 @@ object Dedup {
     // formulation; see PLANS.md). Same md5-seeded semantics.
     val sigs = base.select(col("id"),
       graft.expressions.HashExpressions.minhashSignature(col("sh"), k).as("sig"))
-    // band key format "<b>:<m0>,<m1>,..." — the contract the d02/d08
+    // band key format "<b>:<m0>,<m1>,..." — the contract the d02/d04/d08
     // DuckDB oracles replay (banded CTE in DataQueries)
     val bandCols = (0 until bands).map(b =>
       concat(lit(s"$b:"), concat_ws(",",
@@ -129,6 +129,15 @@ object Dedup {
       .select("id1", "id2").distinct()
     jaccardVerify(cand, base, threshold)
   }
+
+  /** MinHash-LSH near-duplicate pairs with exact jaccard verification
+    * (k=16 hashes in 4 bands of 4 — the precision-leaning recall point).
+    * Returns (id1, id2, jaccard). Deterministic, order by caller.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame =
+    bandedJaccardPairs(df, textCol, idCol, n, k, bands, threshold)
 
   // -------------------------------------------------------------------
   // SimHash
@@ -181,28 +190,25 @@ object Dedup {
   // N-gram Jaccard (direct, bucketed)
   // -------------------------------------------------------------------
 
-  /** N-gram Jaccard similarity pairs, candidates bucketed by their
-    * minimum shingle hash (cheap single-band LSH: near-identical docs
-    * almost surely share the global min shingle). The bucket is one
-    * compiled call per doc ([[graft.expressions.Md5MinExpr]]) — map-
-    * only, same rationale as [[minhashPairs]]. */
+  /** N-gram Jaccard similarity pairs: the high-RECALL banding point of
+    * the shared [[bandedJaccardPairs]] pipeline (k=8 minhashes in 4
+    * bands of r=2; a pair collides when it agrees on any 2-hash band —
+    * far looser than [[minhashPairs]]' 4-hash bands), verified by exact
+    * jaccard.
+    *
+    * The round-2 formulation bucketed on the single global-min shingle
+    * hash ([[graft.expressions.Md5MinExpr]]): one corpus-common shingle
+    * (boilerplate header, license text) collected a huge bucket whose
+    * within-bucket self-join went quadratic — VERDICT r2 flagged it as
+    * the skew scale-killer. r=2 bands require agreement on two
+    * independent min-hashes, so a single common shingle no longer
+    * creates a mega-bucket, while per-band recall stays well above a
+    * 4-hash band's. Bucket-size distribution is probed in
+    * [[graft.tools.ScaleProbe]]. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val base = df.repartition(col(idCol)).select(col(idCol).as("id"),
-        wordShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    // min shingle hash in one compiled call per doc (Md5MinExpr):
-    // map-only, no explode/aggregate shuffle — same md5Long semantics
-    val buckets = base.select(col("id"),
-      graft.expressions.HashExpressions.md5Min(col("sh")).as("bucket"))
-    val l = buckets.select(col("id").as("id1"), col("bucket"))
-    val r = buckets.select(col("id").as("id2"), col("bucket"))
-    val cand = l.join(r, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-    jaccardVerify(cand, base, threshold)
-  }
+                        n: Int = 3, threshold: Double = 0.3,
+                        k: Int = 8, bands: Int = 4): DataFrame =
+    bandedJaccardPairs(df, textCol, idCol, n, k, bands, threshold)
 
   // -------------------------------------------------------------------
   // Transitive near-dup groups (connected components)
@@ -233,9 +239,14 @@ object Dedup {
       .withColumn("lab", col("id"))
       .localCheckpoint()
     // coalesce: sum over an EMPTY label relation (no pairs at all) is
-    // null — treat as 0 so the loop converges immediately
-    def labSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
+    // null — treat as 0 so the loop converges immediately. Decimal(38,0)
+    // sum: ids are caller-supplied 64-bit values (the engine's own
+    // md5-derived 60-bit ids among them) — a LongType sum overflows at
+    // exactly the at-scale inputs this operator targets (ANSI throw, or
+    // with ANSI off an improbable-but-possible wrapped false fixpoint).
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lab").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0)))).head.getDecimal(0)
     var prevSum = labSum(labels)
     var iter = 0
     var converged = false
@@ -249,7 +260,7 @@ object Dedup {
       // neighbors), so an unchanged label SUM means no label moved —
       // one scalar aggregate per round instead of a join + isEmpty.
       val nextSum = labSum(next)
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       iter += 1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation joins. AQE's skew-join handling covers sort-merge
@@ -13,19 +13,84 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join with the left side's hot keys spread over
-    * `saltBuckets` partitions: left rows get a salt in [0, n); the
-    * (smaller) right side is replicated n times so every salted left
-    * partition finds its match. Join key co-location cost becomes
-    * max(|hot key| / n) instead of |hot key|.
+  /** Two-path salted inner equi-join.
+    *
+    * 1. HOT-KEY DETECTION: a deterministic sample of the left (probe)
+    *    side is frequency-counted; a key is "hot" when its sampled
+    *    frequency is >= `hotFactor` x the mean key frequency (default
+    *    hotFactor = saltBuckets: a key only benefits from an n-way salt
+    *    split if it is at least n-fold over-represented). At most
+    *    `maxHotKeys` keys qualify (top by count) so the hot-key set is
+    *    always driver-bounded — the same contract AQE's skew stats use.
+    * 2. HOT PATH: only hot-key left rows are salted into [0, n); only
+    *    the hot-key subset of the right side (bounded: <= maxHotKeys
+    *    keys) is replicated x n. Co-location cost for a hot key becomes
+    *    max(|key|/n) instead of |key|.
+    * 3. COLD PATH: everything else is a plain equi-join — zero
+    *    replication, zero extra columns.
+    * 4. UNION of the two paths.
+    *
+    * With no skew detected this degenerates to exactly the plain join
+    * plus one sampled aggregate — the round-2 formulation's wholesale
+    * x n replication of the right side (and its 8x shuffle write) is
+    * gone. Result semantics are split-invariant: every (left, right)
+    * key pair lands in exactly one path, so the union equals the plain
+    * inner join row-for-row regardless of which keys were called hot.
+    *
+    * NULL join keys match nothing in an inner equi-join; both paths
+    * drop them (the cold path's `isin` filter evaluates NULL -> row
+    * filtered), preserving plain-join semantics.
     */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
-                      saltBuckets: Int): DataFrame = {
+                      saltBuckets: Int,
+                      sampleFraction: Double = 0.05,
+                      maxHotKeys: Int = 1000,
+                      hotFactor: Double = -1): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val salted = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
-    val replicated = right.withColumn("__salt",
-      explode(lit((0 until saltBuckets).toArray)))
-    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    val factor = if (hotFactor > 0) hotFactor else saltBuckets.toDouble
+
+    // 1. sampled key-frequency stats (one small agg job, like AQE's
+    // runtime stats; seed fixed so reruns probe the same sample)
+    val freq = left.select(col(key).as("__hk"))
+      .filter(col("__hk").isNotNull)
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col("__hk")).agg(count(lit(1)).as("__n"))
+      .persist()
+    val stat = freq.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("t"),
+      count(lit(1)).as("d")).head()
+    val total = stat.getLong(0)
+    val distinctKeys = stat.getLong(1)
+    val hotKeys: Array[Any] =
+      if (distinctKeys == 0) Array.empty
+      else {
+        val mean = total.toDouble / distinctKeys
+        freq.filter(col("__n") >= lit(mean * factor))
+          .orderBy(col("__n").desc, col("__hk"))
+          .limit(maxHotKeys)
+          .select(col("__hk")).collect().map(_.get(0))
+      }
+    freq.unpersist()
+
+    if (hotKeys.isEmpty) {
+      // no skew: the plain join IS the optimal plan
+      left.join(right, Seq(key), "inner")
+    } else {
+      val isHot = col(key).isin(hotKeys: _*)
+      // hot path: salt left hot rows; replicate ONLY the hot-key subset
+      // of the right side (bounded by maxHotKeys — broadcastable)
+      val leftHot = left.filter(isHot).withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
+      val rightHot = right.filter(isHot).withColumn("__salt",
+        explode(lit((0 until saltBuckets).toArray)))
+      val hotJoined = leftHot.join(rightHot, Seq(key, "__salt"), "inner")
+        .drop("__salt")
+      // cold path: plain join of the non-hot remainder
+      val coldJoined = left.filter(!isHot).join(
+        right.filter(!isHot), Seq(key), "inner")
+      hotJoined.unionByName(coldJoined)
+    }
   }
 }

@@ -59,8 +59,15 @@ object Snapshots {
       .withColumnRenamed(key, "__k")
       .withColumnRenamed(updatedAtCol, "__ts")
 
+    // "newer": a NULL current timestamp is treated as -infinity (any
+    // timestamped incoming version supersedes it) — without the isNull
+    // branch both this predicate and the `fresh` filter evaluate NULL
+    // and a NULL-ts current row could never be superseded, silently
+    // dropping its newer incoming versions. A NULL incoming timestamp
+    // never supersedes (isNotNull guard), so NULL-vs-NULL is "unchanged".
     val joined = cur.join(inc,
-      cur(key) <=> col("__k") && cur(updatedAtCol) < col("__ts"), "left")
+      cur(key) <=> col("__k") && col("__ts").isNotNull &&
+        (cur(updatedAtCol).isNull || cur(updatedAtCol) < col("__ts")), "left")
 
     val dataCols = snapshot.columns.filterNot(
       Seq("valid_from", "valid_to", "is_current").contains(_))
@@ -83,7 +90,9 @@ object Snapshots {
     val curKeys = cur.select(col(key).as("__ck"), col(updatedAtCol).as("__cts"))
       .withColumn("__matched", lit(1))
     val fresh = inc.join(curKeys, col("__k") <=> col("__ck"), "left")
-      .filter(col("__matched").isNull || col("__cts") < col("__ts"))
+      .filter(col("__matched").isNull ||
+        (col("__ts").isNotNull &&
+          (col("__cts").isNull || col("__cts") < col("__ts"))))
       .drop("__ck", "__cts", "__matched")
       .withColumnRenamed("__k", key)
       .withColumnRenamed("__ts", updatedAtCol)

@@ -339,6 +339,38 @@ object ExtQueries {
       .orderBy(col("custkey"))
   }
 
+  /** Hot-key salted join with REAL skew: 75% of lineitem rows map to
+    * one key (the remainder spread over 97), joined to a small dim.
+    * Exercises [[SkewJoin.saltedInnerJoin]]'s HOT path end-to-end —
+    * sampled hot-key detection, salted fan-out of the hot rows, bounded
+    * replication of the hot-key dim subset, cold-path plain join, and
+    * the union — against a plain-join oracle (the salt must be
+    * invisible). q33 covers the complementary no-skew case, where the
+    * operator must degenerate to exactly the plain join. */
+  val q45HotKeyJoin: Q = (s, dir) => {
+    val li = Catalog(s, dir).lineitem.select(
+      when(pmod(col("l_orderkey"), lit(4L)) =!= 0, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(97L))).as("grp"),
+      col("l_extendedprice"))
+    val dim = s.range(97).select(col("id").as("grp"),
+      concat(lit("g"), col("id")).as("label"))
+    SkewJoin.saltedInnerJoin(li, dim, "grp", saltBuckets = 8)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_rows"),
+           exactSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("label"))
+  }
+
+  val q45Sql: String =
+    """WITH dim AS (SELECT g AS grp, 'g'||g AS label
+      |    FROM (SELECT unnest(range(0,97)) AS g)),
+      |li AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+      |    ELSE l_orderkey % 97 END AS grp, l_extendedprice FROM lineitem)
+      |SELECT label, count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM li JOIN dim USING (grp)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q43Sql: String =
     """WITH cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100),
       |oa AS (SELECT o_custkey, count(*) AS n_orders,
@@ -359,6 +391,7 @@ object ExtQueries {
     "q31_explode_pos" -> q31ExplodePos,
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_salted_skew_join" -> q33SaltedJoin,
+    "q45_hot_key_join" -> q45HotKeyJoin,
     "q34_string_agg" -> q34StringAgg,
     "q35_regex_funcs" -> q35Regex,
     "q36_exists_subquery" -> q36Exists,
@@ -376,6 +409,7 @@ object ExtQueries {
     "q31_explode_pos" -> q31Sql,
     "q32_grouping_sets" -> q32Sql,
     "q33_salted_skew_join" -> q33Sql,
+    "q45_hot_key_join" -> q45Sql,
     "q34_string_agg" -> q34Sql,
     "q35_regex_funcs" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,

@@ -40,7 +40,7 @@ object MediaQueries {
       |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS checksum
-      |FROM documents ORDER BY media_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin
 
   /** Stub-decoded feature vectors (the embedding a real codec+model
     * would produce). The stub is deterministic but not SQL-expressible
@@ -73,7 +73,7 @@ object MediaQueries {
   val m03Sql: String =
     """WITH m AS (SELECT doc_id AS media_id,
       |    octet_length(encode(text)) AS n FROM documents
-      |  WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND text IS NOT NULL),
       |f AS (SELECT media_id, n, unnest(range(0, (n + 63) // 64)) AS fi FROM m)
       |SELECT media_id, fi AS frame_index,
       |  least(64, n - fi * 64) AS n_frame_bytes
@@ -95,6 +95,7 @@ object MediaQueries {
     """SELECT doc_id AS media_id, 'image' AS kind,
       |  (octet_length(encode(text)) + 3) // 4 AS n_bytes_resized
       |FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+      |  AND text IS NOT NULL
       |ORDER BY media_id""".stripMargin
 
   val all: Map[String, Q] = Map(

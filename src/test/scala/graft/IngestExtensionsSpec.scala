@@ -49,16 +49,50 @@ class IngestExtensionsSpec extends SparkSpec {
       Seq("camis_id", "DBA", "SCORE", "grade_date", "Latitude"))
   }
 
-  test("salted join equals plain join on skewed data") {
+  test("skew join: hot path engages on skewed data and equals plain join") {
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot: 90% of rows
     val right = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
     val plain = left.join(right, Seq("k")).select("k", "v", "name")
-    val salted = SkewJoin.saltedInnerJoin(left, right, "k", 8)
-      .select("k", "v", "name")
-    assert(salted.count() == plain.count())
-    assert(salted.exceptAll(plain).count() == 0)
-    assert(plain.exceptAll(salted).count() == 0)
+    // sampleFraction=1.0: exact frequencies, so hot detection is
+    // deterministic in the test (mean≈9.9, key 1 at 900 >> 8x mean)
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", 8,
+      sampleFraction = 1.0)
+    assert(salted.queryExecution.analyzed.toString.contains("Union"),
+      "a 90%-hot key must route through the salted union path")
+    val s2 = salted.select("k", "v", "name")
+    assert(s2.count() == plain.count())
+    assert(s2.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(s2).count() == 0)
+  }
+
+  test("skew join: uniform keys degenerate to the plain join (no union)") {
+    val left = (1 to 500).map(i => (i.toLong % 50, i)).toDF("k", "v")
+    val right = (0L until 50L).map(k => (k, s"n$k")).toDF("k", "name")
+    val j = SkewJoin.saltedInnerJoin(left, right, "k", 8,
+      sampleFraction = 1.0)
+    assert(!j.queryExecution.analyzed.toString.contains("Union"),
+      "no skew -> the operator must be exactly the plain join")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+    assert(j.select("k", "v", "name").exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(j.select("k", "v", "name")).count() == 0)
+  }
+
+  test("skew join: NULL keys drop exactly as in a plain inner join") {
+    val left = (1 to 100)
+      .map(i => (if (i % 2 == 0) Some(1L) else None, i))
+      .toDF("k", "v") // 50 rows of hot key 1, 50 NULL-key rows
+    val right = Seq((Option(1L), "hot"), (Option.empty[Long], "null"))
+      .toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+    // hotFactor forced low so key 1 takes the salted path with NULLs present
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", 4,
+      sampleFraction = 1.0, hotFactor = 0.5)
+    assert(salted.queryExecution.analyzed.toString.contains("Union"))
+    assert(plain.count() == 50, "inner equi-join drops NULL keys")
+    val s2 = salted.select("k", "v", "name")
+    assert(s2.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(s2).count() == 0)
   }
 
   test("GraftExtensions: SQL functions usable after runtime registration") {

@@ -77,6 +77,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(curNull.length == 1 && curNull.head.getAs[String]("v") == "null-key-v2")
   }
 
+  test("NULL updated_at current row IS superseded by a timestamped version") {
+    // ADVICE r2: NULL __cts made both the closed-join predicate and the
+    // fresh filter evaluate NULL — the newer incoming version was
+    // silently dropped. NULL current ts now means -infinity.
+    val day1 = Seq((1L, "untimed", Option.empty[Timestamp]))
+      .toDF("k", "v", "updated_at")
+    val snap = Snapshots.initialize(day1, "updated_at")
+    val day2 = Seq((1L, "timed", Option(ts("2024-02-01 00:00:00"))))
+      .toDF("k", "v", "updated_at")
+    val merged = Snapshots.merge(snap, day2, "k", "updated_at").cache()
+    assert(merged.count() == 2, "closed NULL-ts version + opened timed version")
+    val cur = merged.filter(col("is_current")).collect()
+    assert(cur.length == 1 && cur.head.getAs[String]("v") == "timed")
+    val closed = merged.filter(!col("is_current")).collect()
+    assert(closed.length == 1 && closed.head.getAs[String]("v") == "untimed")
+    assert(closed.head.getAs[Timestamp]("valid_to") == ts("2024-02-01 00:00:00"))
+
+    // a NULL-ts incoming version never supersedes (NULL vs NULL or NULL
+    // vs timed = "not newer"): merging day1 again changes nothing
+    val again = Snapshots.merge(merged, day1, "k", "updated_at")
+    assert(again.count() == 2)
+    assert(again.filter(col("is_current")).head.getAs[String]("v") == "timed")
+  }
+
   test("idempotent: merging the same observation twice changes nothing") {
     val day1 = Seq((1L, "A", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
     val snap = Snapshots.initialize(day1, "updated_at")
