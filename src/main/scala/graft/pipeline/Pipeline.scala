@@ -127,6 +127,32 @@ object Pipeline {
         case Failure(e) => throw e
       }
 
+    /** Resolve every model's DataFrame under `cfg`'s env WITHOUT
+      * materializing anything — the `dbt test` resolution mode: tests
+      * reference the target's existing relations, they never build
+      * them. Table models whose env path is already materialized are
+      * READ from it; everything else (Views, Ephemerals, never-built
+      * Tables) recomputes its lineage lazily. */
+    def resolve(cfg: RunConfig, targets: Seq[String] = Nil): Map[String, DataFrame] = {
+      val order = topoOrder(if (targets.isEmpty) names else targets)
+      val resolved = mutable.Map.empty[String, DataFrame]
+      order.foreach { n =>
+        val m = models(n)
+        val built = m.build(m.deps.map(d => d -> resolved(d)).toMap)
+        resolved(n) = m.materialization match {
+          case Table if cfg.warehouseRoot.nonEmpty =>
+            val path = s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
+            val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+              spark.read.parquet(path)
+            else built
+          case _ => built
+        }
+      }
+      resolved.toMap
+    }
+
     /** Materialize the DAG. Independent models run concurrently on a
       * `threads`-sized pool (each occupies the Spark scheduler with its
       * own job, so this is real pipeline parallelism in local and
