@@ -44,6 +44,68 @@ object AuxStaging {
           abs(col("lat")) <= 90 && abs(col("lng")) <= 180)
       .withColumn("date_valid", col("executed_date").isNotNull)
 
+  /** Stage an NTA-demographics-shaped relation (the reference's
+    * `ref/1_SRC___AUX_NYC_DEMOGRAPHIC|dict_nyc_econ_by_nta.csv` /
+    * `xlsx_nyc_econ_data_by_nta.xlsx` `final_data` sheet: GeoType /
+    * NTAType / GeoID / Borough STRING, employment counts INTEGER,
+    * MnTrvTmE mean-travel-time numeric). Keeps NTA2020 rows, types the
+    * employment columns, derives the unemployment rate from integer
+    * sums (deterministic under any partitioning — no float agg), and
+    * flags unparseable travel times instead of dropping rows. */
+  def stageDemographics(raw: DataFrame): DataFrame =
+    raw.filter(col("GeoType") === "NTA2020")
+      .select(
+        col("GeoID").as("nta_code"),
+        // GeoID encodes the geography key ("NTA" + numeric suffix in
+        // the derived feeds; BK0101-style in the civic upload, whose
+        // trailing digits are NOT a key — pattern-guarded so only true
+        // NTA<n> ids produce nta_num, everything else joins on nta_code)
+        when(col("GeoID").rlike("^NTA[0-9]+$"),
+          substring(col("GeoID"), 4, 12).try_cast(LongType)).as("nta_num"),
+        col("Borough").as("borough"),
+        parseLong(col("Pop16plE")).as("pop_16plus"),
+        parseLong(col("LFE")).as("labor_force"),
+        parseLong(col("CvLFUEm1E")).as("unemployed"),
+        parseDouble(col("MnTrvTmE")).as("mean_travel_time_min"))
+      .withColumn("unemployment_rate",
+        when(col("labor_force") > 0,
+          round(col("unemployed").cast(DoubleType) / col("labor_force"), 6)))
+      .withColumn("counts_valid",
+        col("pop_16plus").isNotNull && col("labor_force").isNotNull &&
+          col("unemployed").isNotNull &&
+          col("labor_force") <= col("pop_16plus") &&
+          col("unemployed") <= col("labor_force"))
+      .withColumn("tt_valid", col("mean_travel_time_min").isNotNull)
+
+  /** Stage a restaurant-inspections-shaped relation (the reference's
+    * `ref/1_SRC___AUX_NYC_RESTAURANT|dict_nyc_restaurant_inspections.csv`:
+    * CAMIS INTEGER, BORO coded 1-5, INSPECTION DATE STRING M/d/yyyy,
+    * SCORE NUMERIC, GRADE STRING, Latitude/Longitude FLOAT). BORO is
+    * decoded per the dictionary's code list with no ELSE (unknown
+    * codes -> NULL, the reference's CASE idiom); GRADE outside the
+    * accepted set is flagged, not nulled. */
+  def stageRestaurantInspections(raw: DataFrame): DataFrame =
+    raw.select(
+      parseLong(col("CAMIS")).as("camis_id"),
+      col("DBA").as("dba"),
+      when(col("BORO") === "1", "MANHATTAN")
+        .when(col("BORO") === "2", "BRONX")
+        .when(col("BORO") === "3", "BROOKLYN")
+        .when(col("BORO") === "4", "QUEENS")
+        .when(col("BORO") === "5", "STATEN ISLAND").as("borough"),
+      col("CUISINE DESCRIPTION").as("cuisine"),
+      parseDate(col("INSPECTION DATE")).as("inspection_date"),
+      col("SCORE").try_cast(DecimalType(38, 9)).as("score"),
+      col("GRADE").as("grade"),
+      parseDouble(col("Latitude")).as("lat"),
+      parseDouble(col("Longitude")).as("lng"),
+      col("NTA").as("nta"))
+      .withColumn("grade_valid",
+        col("grade").isin("A", "B", "C", "N", "Z", "P"))
+      .withColumn("coords_valid",
+        col("lat").isNotNull && col("lng").isNotNull &&
+          abs(col("lat")) <= 90 && abs(col("lng")) <= 180)
+
   /** Nearest-zone assignment by haversine distance to zone centroids —
     * the first geo-ish mart the reference's staged data implies
     * (SURVEY.md §7.2 slice 4): broadcast the (small) centroid dim,

@@ -23,6 +23,62 @@ class AuxStagingSpec extends SparkSpec {
     assert(!byId("C3").getAs[Boolean]("coords_valid"), "lat 140 out of range")
   }
 
+  test("demographic staging: typed columns, rate from integer sums, flags") {
+    val raw = Seq(
+      ("NTA2020", "NTA7", "B2", "33164", "26053", "1938", "36.9"),
+      ("NTA2020", "BK0102", "B3", "52924", "41524", "2507", "NA"),
+      ("NTA2020", "NTA9", "B4", "100", "200", "10", "20.0"), // lf > pop
+      ("Boro2020", "NTA8", "B3", "1", "1", "1", "1.0"))       // wrong GeoType
+      .toDF("GeoType", "GeoID", "Borough", "Pop16plE", "LFE",
+        "CvLFUEm1E", "MnTrvTmE")
+    val staged = AuxStaging.stageDemographics(raw).cache()
+    assert(staged.count() == 3, "non-NTA2020 geo rows excluded")
+    val byCode = staged.collect().map(r => r.getString(0) -> r).toMap
+    val r7 = byCode("NTA7")
+    assert(r7.getAs[Long]("nta_num") == 7L)
+    assert(r7.getAs[Long]("pop_16plus") == 33164L)
+    assert(r7.getAs[Double]("unemployment_rate") == 0.074387)
+    assert(r7.getAs[Boolean]("counts_valid") && r7.getAs[Boolean]("tt_valid"))
+    val bk = byCode("BK0102")
+    assert(bk.isNullAt(bk.fieldIndex("nta_num")),
+      "civic-style GeoID has no numeric suffix -> NULL key, row kept")
+    assert(!bk.getAs[Boolean]("tt_valid"), "'NA' travel time flagged")
+    assert(!byCode("NTA9").getAs[Boolean]("counts_valid"),
+      "labor force > population flagged")
+  }
+
+  test("demographic staging consumes the REAL reference xlsx via graft.io.Xlsx") {
+    val real = "/root/reference/ref/xlsx_nyc_econ_data_by_nta.xlsx"
+    assume(new java.io.File(real).exists())
+    val raw = graft.io.Xlsx.readSheetDF(spark, real, "final_data")
+    val staged = AuxStaging.stageDemographics(raw).cache()
+    assert(staged.count() > 100, "real NTA2020 rows staged")
+    assert(staged.filter(col("pop_16plus").isNull).count() == 0,
+      "every real population value parses as a long")
+    assert(staged.filter(col("unemployment_rate").isNotNull).count() > 100)
+    assert(staged.filter(!col("counts_valid")).count() <
+      staged.count() / 10, "real data overwhelmingly passes validity")
+  }
+
+  test("restaurant staging: BORO decode, date/score parse, grade flags") {
+    val raw = Seq(
+      ("41234567", "CAFE A", "1", "Coffee", "5/14/2023", "12", "A", "40.71", "-74.00", "MN13"),
+      ("4891", "CAFE B", "9", "Tea", "bad date", "not_a_score", "Q", "91.0", "-74.0", "QN31"))
+      .toDF("CAMIS", "DBA", "BORO", "CUISINE DESCRIPTION", "INSPECTION DATE",
+        "SCORE", "GRADE", "Latitude", "Longitude", "NTA")
+    val staged = AuxStaging.stageRestaurantInspections(raw).cache()
+    val a = staged.filter(col("dba") === "CAFE A").head
+    assert(a.getAs[String]("borough") == "MANHATTAN", "dict code 1 decoded")
+    assert(a.getAs[java.sql.Date]("inspection_date").toString == "2023-05-14")
+    assert(a.getAs[java.math.BigDecimal]("score").longValue == 12L)
+    assert(a.getAs[Boolean]("grade_valid") && a.getAs[Boolean]("coords_valid"))
+    val b = staged.filter(col("dba") === "CAFE B").head
+    assert(b.getAs[String]("borough") == null, "unknown BORO code -> NULL (no ELSE)")
+    assert(b.isNullAt(b.fieldIndex("inspection_date")) &&
+      b.isNullAt(b.fieldIndex("score")), "dirty values null, row kept")
+    assert(!b.getAs[Boolean]("grade_valid") && !b.getAs[Boolean]("coords_valid"))
+  }
+
   test("nearestZone assigns argmin-haversine centroid deterministically") {
     val zones = Seq(("bronx", 40.85, -73.88), ("bk", 40.65, -73.95),
       ("si", 40.58, -74.15)).toDF("zone", "zlat", "zlng")
