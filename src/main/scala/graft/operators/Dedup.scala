@@ -220,15 +220,17 @@ object Dedup {
     * (id, group_id) for every id that appears in a pair, where group_id
     * is the component's minimum id.
     *
-    * Algorithm: iterative min-label propagation ("hash-to-min"): each
-    * node adopts the min label among itself and its neighbors until a
-    * fixpoint. Each iteration is one join + one aggregate — fully
-    * distributed, needs diameter+1 rounds (the +1 confirms the
-    * fixpoint), so `maxIter` supports component diameters up to
-    * maxIter-1 (near-dup components are shallow: dozens of rounds
-    * would mean a pathological chain, which the guard turns into a
-    * loud error). localCheckpoint() cuts the growing lineage so round
-    * N doesn't replay rounds 1..N-1.
+    * Algorithm: min-label propagation with POINTER DOUBLING: each round
+    * a node adopts the min label among (a) itself, (b) its neighbors'
+    * labels, and (c) its label's label (shortcutting — the label value
+    * is always a real node id, so chasing it one hop halves the
+    * remaining chain). Rounds needed: O(log diameter) instead of the
+    * plain formulation's O(diameter), so `maxIter`=30 comfortably
+    * covers even a pathological million-node chain; near-dup
+    * components are usually diameter <= 2 and converge in 2-3 rounds.
+    * Each round is two joins + one aggregate — fully distributed;
+    * localCheckpoint() cuts the growing lineage so round N doesn't
+    * replay rounds 1..N-1. Non-convergence still fails loudly.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
@@ -253,7 +255,12 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbr = edges.join(labels, edges("b") === labels("id"))
         .select(edges("a").as("id"), col("lab"))
-      val next = labels.union(nbr)
+      // pointer doubling: lab(lab(id)) — labels are node ids (min over
+      // node ids stays a node id), so every label has a labels entry
+      val ptr = labels.as("x").join(labels.as("y"),
+          col("x.lab") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.lab").as("lab"))
+      val next = labels.union(nbr).union(ptr)
         .groupBy("id").agg(min("lab").as("lab"))
         .localCheckpoint()
       // fixpoint test: labels only ever decrease (min over self +

@@ -41,8 +41,32 @@ object ScaleProbe {
     t("exact_dedup")(Dedup.exactDuplicates(docs, "text", "doc_id"))
     t("minhash_pairs")(Dedup.minhashPairs(docs, "text", "doc_id",
       n = 3, k = 16, bands = 4, threshold = 0.2))
+    t("ngram_jaccard_pairs")(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.2, k = 8, bands = 4))
     t("simhash_sigs")(Dedup.simhash(docs, "text", "doc_id"))
     t("text_profile")(TextAnalysis.profile(docs, "text", "doc_id"))
+
+    // d04 bucket-size distribution: the r2 single-min-shingle bucket
+    // collected corpus-common shingles into one mega-bucket (quadratic
+    // self-join); r=2 banding must keep the max bucket bounded by the
+    // true near-dup group size, not corpus-wide boilerplate. Printed as
+    // evidence alongside the timing (VERDICT r2 next-#2).
+    val sh = docs.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh.select(col("doc_id"),
+      graft.expressions.HashExpressions.minhashSignature(col("sh"), 8).as("sig"))
+    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+      concat(lit(s"$b:"), concat_ws(",",
+        element_at(col("sig"), b * 2 + 1).cast("string"),
+        element_at(col("sig"), b * 2 + 2).cast("string")))): _*)).as("band"))
+    val dist = bands.groupBy("band").count()
+      .agg(max("count").as("max"),
+        expr("percentile(count, 0.99)").as("p99"),
+        avg("count").as("mean"), count(lit(1)).as("n_buckets")).head()
+    println(f"[scale] d04_buckets: max=${dist.getLong(0)} " +
+      f"p99=${dist.getDouble(1)}%.1f mean=${dist.getDouble(2)}%.2f " +
+      f"n=${dist.getLong(3)} (replica groups are ${replicas + 1} true dups)")
     spark.stop()
   }
 }

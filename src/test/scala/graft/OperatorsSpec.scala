@@ -148,6 +148,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == 13 && got.forall(_._2 == 0L))
   }
 
+  test("connectedComponents: 1000-node chain converges within maxIter (pointer doubling)") {
+    // plain min-propagation would need ~1000 rounds; shortcutting must
+    // close the chain in O(log n) — well inside the default maxIter=30
+    val pairs = (0L until 1000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1001 && got.forall(_._2 == 0L))
+  }
+
   test("ivfTopK: results come from probed cells only and rank correctly") {
     val vecs = (0 until 40).map { i =>
       val angle = i * math.Pi / 40.0
