@@ -33,6 +33,20 @@ object Pipeline {
   case object View extends Materialization
   case object Table extends Materialization
   case object Ephemeral extends Materialization
+  /** dbt `materialized='incremental'`: first run builds the full table;
+    * later runs merge the model's output into the existing relation —
+    * rows matching `uniqueKey` are REPLACED (dbt's delete+insert merge),
+    * the rest appended; with no key the output is appended wholesale.
+    * The model's build function receives the existing relation under
+    * the [[This]] dep key (dbt's `{{ this }}` / `is_incremental()`), so
+    * it can compute only the delta (e.g. filter source rows newer than
+    * `max(ts)` of [[This]]) instead of rescanning history — the whole
+    * point of incremental models at 100 TB. */
+  final case class Incremental(uniqueKey: Seq[String] = Nil) extends Materialization
+
+  /** Dep-map key under which an Incremental model's build function sees
+    * its own existing relation (absent on the first run). */
+  val This = "this"
 
   sealed abstract class Env(val prefix: String)
   case object Core extends Env("CORE") // prod (profiles.yml target PROD)
@@ -106,18 +120,64 @@ object Pipeline {
       order.toSeq
     }
 
+    private def envPath(m: Model, cfg: RunConfig): String = {
+      require(cfg.warehouseRoot.nonEmpty,
+        s"RunConfig.warehouseRoot must be set to materialize table '${m.name}' " +
+          "(an empty root would write to the filesystem root)")
+      s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
+    }
+
+    private def fs(path: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def exists(path: String): Boolean =
+      fs(path).exists(new org.apache.hadoop.fs.Path(path))
+
+    private def writeParquet(m: Model, df: DataFrame, path: String): DataFrame = {
+      val w = df.write.mode("overwrite")
+      (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
+        .parquet(path)
+      spark.read.parquet(path)
+    }
+
+    /** The model's existing env relation, for Incremental models whose
+      * path is already materialized — exposed to `build` as [[This]]. */
+    private def existingRelation(m: Model, cfg: RunConfig): Option[DataFrame] =
+      m.materialization match {
+        case Incremental(_) if cfg.warehouseRoot.nonEmpty && exists(envPath(m, cfg)) =>
+          Some(spark.read.parquet(envPath(m, cfg)))
+        case _ => None
+      }
+
     private def materialize(m: Model, df: DataFrame, cfg: RunConfig): DataFrame =
       m.materialization match {
         case View | Ephemeral => df
-        case Table =>
-          require(cfg.warehouseRoot.nonEmpty,
-            s"RunConfig.warehouseRoot must be set to materialize table '${m.name}' " +
-              "(an empty root would write to the filesystem root)")
-          val path = s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
-          val w = df.write.mode("overwrite")
-          (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
-            .parquet(path)
-          spark.read.parquet(path)
+        case Table => writeParquet(m, df, envPath(m, cfg))
+        case Incremental(uniqueKey) =>
+          val path = envPath(m, cfg)
+          if (!exists(path)) writeParquet(m, df, path) // first run: full build
+          else {
+            // dbt's delete+insert merge: existing rows whose key appears
+            // in the increment are dropped (plain-equality anti join —
+            // NULL-keyed existing rows never match, so they survive,
+            // exactly like SQL `key IN (...)`), then the increment is
+            // appended. The merge is written to a sibling tmp path FIRST
+            // (the plan reads the live path; overwriting in place would
+            // read-while-truncate), then swapped in.
+            val existing = spark.read.parquet(path)
+            val keep =
+              if (uniqueKey.isEmpty) existing
+              else existing.join(df.select(uniqueKey.map(df(_)): _*).distinct(),
+                uniqueKey, "left_anti")
+            val tmp = s"$path.__incremental_tmp"
+            writeParquet(m, keep.unionByName(df), tmp)
+            val f = fs(path)
+            f.delete(new org.apache.hadoop.fs.Path(path), true)
+            f.rename(new org.apache.hadoop.fs.Path(tmp),
+              new org.apache.hadoop.fs.Path(path))
+            spark.read.parquet(path)
+          }
       }
 
     private def withRetry[T](retries: Int)(body: => T): T =
@@ -138,15 +198,13 @@ object Pipeline {
       val resolved = mutable.Map.empty[String, DataFrame]
       order.foreach { n =>
         val m = models(n)
-        val built = m.build(m.deps.map(d => d -> resolved(d)).toMap)
+        def built = m.build(
+          m.deps.map(d => d -> resolved(d)).toMap ++
+            existingRelation(m, cfg).map(This -> _))
         resolved(n) = m.materialization match {
-          case Table if cfg.warehouseRoot.nonEmpty =>
-            val path = s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
-            val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-              spark.read.parquet(path)
-            else built
+          case (Table | Incremental(_)) if cfg.warehouseRoot.nonEmpty =>
+            val path = envPath(m, cfg)
+            if (exists(path)) spark.read.parquet(path) else built
           case _ => built
         }
       }
@@ -168,7 +226,9 @@ object Pipeline {
           val upstream = Future.sequence(m.deps.map(d => done(d).map(d -> _)))
           done(n) = upstream.map { resolvedDeps =>
             withRetry(cfg.retries) {
-              materialize(m, m.build(resolvedDeps.toMap), cfg)
+              val deps = resolvedDeps.toMap ++
+                existingRelation(m, cfg).map(This -> _)
+              materialize(m, m.build(deps), cfg)
             }
           }
         }
