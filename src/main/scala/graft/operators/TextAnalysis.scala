@@ -36,4 +36,53 @@ object TextAnalysis {
         sum(bpeTokenCount(col(textCol)).cast(LongType)).as("total_bpe_tokens"),
         min(length(col(textCol))).cast(LongType).as("min_chars"),
         max(length(col(textCol))).cast(LongType).as("max_chars"))
+
+  /** Sequence packing — concat-and-chunk assignment for pretraining:
+    * documents are concatenated in `idCol` order within each `shardCol`
+    * shard and split into fixed-`cap`-token training sequences; each doc
+    * gets (seq_id, seq_offset) = where its first token lands. Pure
+    * arithmetic on one running-total window, so the layout is
+    * deterministic and reproducible on any engine/partitioning.
+    *
+    * At scale: ONE shuffle, keyed by the shard column — exactly the
+    * per-worker packing a real pipeline runs (each worker packs its own
+    * shard; a global ORDER BY window would be a single-partition
+    * scale-killer and is deliberately not offered).
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    shardCol: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"), col(shardCol),
+        tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col(shardCol), col("n_tokens"),
+        expr(s"start_tok div $cap").as("seq_id"),
+        pmod(col("start_tok"), lit(cap.toLong)).as("seq_offset"))
+  }
+
+  /** Decontamination — benchmark n-gram overlap: flags training docs
+    * sharing any word `n`-gram with the benchmark/eval set, with the
+    * count of distinct shared shingles (the eval-leakage report every
+    * pretraining corpus needs).
+    *
+    * At scale: the benchmark side is eval suites — tiny vs the corpus —
+    * so its distinct-shingle relation is BROADCAST; the training side
+    * stays a map-side hash-join over one explode pass, no corpus
+    * shuffle before the per-doc count.
+    */
+  def ngramOverlap(train: DataFrame, bench: DataFrame, textCol: String,
+                   idCol: String, n: Int): DataFrame = {
+    val benchSh = bench
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+    // wordShingles is distinct-per-doc, so count(*) counts distinct
+    // shared shingles without a second distinct pass
+    train.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .join(broadcast(benchSh), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
 }

@@ -424,8 +424,58 @@ object DataQueries {
        |SELECT tok, count(*) AS n FROM t
        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin
 
+  /** Sequence packing: concat-and-chunk (seq_id, seq_offset) assignment
+    * from running token totals, per language shard, cap 512 — see
+    * [[TextAnalysis.packSequences]] for the at-scale shape. */
+  val t06SeqPack: Q = (s, dir) =>
+    TextAnalysis.packSequences(Catalog(s, dir).documents,
+        "text", "doc_id", "lang", cap = 512)
+      .orderBy(col("doc_id"))
+
+  val t06Sql: String =
+    """WITH n AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+      |  FROM n)
+      |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+      |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Decontamination: training docs sharing any 5-token shingle with the
+    * benchmark set (deterministic 5% md5 sample, q42's auditable-sample
+    * contract) — benchmark shingles broadcast, see
+    * [[TextAnalysis.ngramOverlap]]. */
+  val d09Decontaminate: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val isBench =
+      pmod(md5Long(col("doc_id").cast(StringType)), lit(100L)) < 5L
+    TextAnalysis.ngramOverlap(
+        docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val d09Sql: String =
+    s"""WITH $toksCte,
+       |sh5 AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+       |  THEN list_distinct(list_transform(range(1, len(toks)-3),
+       |       i -> array_to_string(toks[i:i+4], ' ')))
+       |  ELSE [] END AS sh FROM toks),
+       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh5
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 5),
+       |train AS (SELECT doc_id, unnest(sh) AS g FROM sh5
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 >= 5)
+       |SELECT doc_id, count(*) AS n_shared_shingles
+       |FROM train JOIN bench USING (g)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01DedupExact,
+    "d09_decontaminate" -> d09Decontaminate,
+    "t06_seq_pack" -> t06SeqPack,
     "d08_neardup_groups" -> d08NearDupGroups,
     "t05_token_topk" -> t05TokenTopK,
     "d02_dedup_minhash" -> d02MinhashPairs,
@@ -445,6 +495,8 @@ object DataQueries {
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
+    "d09_decontaminate" -> d09Sql,
+    "t06_seq_pack" -> t06Sql,
     "d08_neardup_groups" -> d08Sql,
     "t05_token_topk" -> t05Sql,
     "d02_dedup_minhash" -> d02Sql,
