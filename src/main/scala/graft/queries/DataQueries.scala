@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.catalog.Catalog
-import graft.functions.GraftFunctions.md5Long
+import graft.functions.GraftFunctions.{md5Long, qualityScore, tokenCount}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -472,10 +472,58 @@ object DataQueries {
        |FROM train JOIN bench USING (g)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus-curation yield report: docs and tokens surviving the
+    * quality gate (quality >= 0.75, [[graft.functions.GraftFunctions
+    * .qualityScore]]), per source — the filter-decision summary every
+    * curation run reports. One partial-agg groupBy: map-side combine,
+    * single shuffle on the (low-cardinality) source key. */
+  val t07QualityYield: Q = (s, dir) => {
+    val q = qualityScore(col("text"))
+    val nt = tokenCount(col("text")).cast(LongType)
+    Catalog(s, dir).documents.repartition(col("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(q >= 0.75, lit(1))).as("n_kept"),
+        coalesce(sum(when(q >= 0.75, nt)), lit(0L)).as("kept_tokens"),
+        sum(nt).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val t07Sql: String =
+    """WITH t AS (SELECT source, text, list_filter(
+      |  string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |m AS (SELECT source,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+      |  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE /
+      |    (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END) AS mean_tok_len,
+      |  len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is',
+      |    'it','that','for','on','with','as','at','by','be','this')))::DOUBLE /
+      |    (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END) AS stop_ratio
+      |  FROM t),
+      |f AS (SELECT source, n_tokens,
+      |  ((CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1 ELSE 0 END) +
+      |   (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1 ELSE 0 END) +
+      |   (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END) +
+      |   (CASE WHEN n_punct::DOUBLE /
+      |      (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) < 0.2
+      |    THEN 1 ELSE 0 END))::DOUBLE * 0.25 AS quality
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  count(CASE WHEN quality >= 0.75 THEN 1 END) AS n_kept,
+      |  COALESCE(CAST(SUM(CASE WHEN quality >= 0.75 THEN n_tokens END) AS BIGINT), 0)
+      |    AS kept_tokens,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01DedupExact,
     "d09_decontaminate" -> d09Decontaminate,
     "t06_seq_pack" -> t06SeqPack,
+    "t07_quality_yield" -> t07QualityYield,
     "d08_neardup_groups" -> d08NearDupGroups,
     "t05_token_topk" -> t05TokenTopK,
     "d02_dedup_minhash" -> d02MinhashPairs,
@@ -497,6 +545,7 @@ object DataQueries {
     "d01_dedup_exact" -> d01Sql,
     "d09_decontaminate" -> d09Sql,
     "t06_seq_pack" -> t06Sql,
+    "t07_quality_yield" -> t07Sql,
     "d08_neardup_groups" -> d08Sql,
     "t05_token_topk" -> t05Sql,
     "d02_dedup_minhash" -> d02Sql,
