@@ -1,0 +1,48 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Size-targeted parquet export — the write-side scale discipline a
+  * 100 TB pipeline needs and naive `.write.parquet` does not give:
+  *
+  *  - too MANY output files (one per task of an upstream wide stage,
+  *    e.g. thousands of near-empty files after an aggressively
+  *    partitioned shuffle) poison every downstream scan with per-file
+  *    open/footer costs and overload the namenode/listing;
+  *  - too FEW (a `.coalesce(1)`-style funnel) serialize the write and
+  *    produce unsplittable row groups.
+  *
+  * `sharded` targets a row count per output file: range-repartition on
+  * the sort columns into `ceil(rows / rowsPerShard)` partitions, then
+  * cap file size with `maxRecordsPerFile` (so skewed ranges still split
+  * rather than fattening one file). Range partitioning — not
+  * round-robin — so each shard covers a contiguous key range and the
+  * parquet min/max column stats actually prune downstream scans that
+  * filter on the sort key (a round-robin shard has the full key domain
+  * in every file: stats prune nothing).
+  *
+  * The row count comes from a `count()` pre-pass: one extra job, but a
+  * cheap columnar one, and the alternative — guessing a partition
+  * count — is exactly the naive-write failure mode. Callers that
+  * already know the cardinality can pass `knownRows` to skip it.
+  */
+object Export {
+
+  final case class ShardReport(path: String, rows: Long, shards: Int)
+
+  def sharded(df: DataFrame, path: String, sortCols: Seq[String],
+              rowsPerShard: Long, knownRows: Option[Long] = None): ShardReport = {
+    require(sortCols.nonEmpty, "sharded export needs at least one sort column")
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    val rows = knownRows.getOrElse(df.count())
+    val shards = math.max(1, math.ceil(rows.toDouble / rowsPerShard).toInt)
+    df.repartitionByRange(shards, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerShard)
+      .parquet(path)
+    ShardReport(path, rows, shards)
+  }
+}

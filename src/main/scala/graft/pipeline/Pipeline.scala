@@ -48,6 +48,43 @@ object Pipeline {
     * its own existing relation (absent on the first run). */
   val This = "this"
 
+  /** dbt's delete+insert merge of `increment` into the parquet relation
+    * at `path`, creating it on first write: existing rows whose key
+    * appears in the increment are dropped (plain-equality anti join —
+    * NULL-keyed existing rows never match, so they survive, exactly like
+    * SQL `key IN (...)`), then the increment is appended; empty
+    * `uniqueKey` appends wholesale. The merge lands on a sibling tmp
+    * path FIRST (the plan reads the live path; overwriting in place
+    * would read-while-truncate), then swaps in.
+    *
+    * Shared by the Incremental materialization and the streaming upsert
+    * sink ([[graft.streaming.EventStreams.upsertStream]]) — one merge
+    * semantics for both write paths. Idempotent per increment: replaying
+    * the same batch (streaming at-least-once) converges to the same
+    * relation. */
+  def mergeIntoParquet(spark: SparkSession, path: String, increment: DataFrame,
+                       uniqueKey: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    def write(df: DataFrame, to: String): Unit = {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(to)
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) write(increment, path)
+    else {
+      val existing = spark.read.parquet(path)
+      val keep =
+        if (uniqueKey.isEmpty) existing
+        else existing.join(
+          increment.select(uniqueKey.map(increment(_)): _*).distinct(),
+          uniqueKey, "left_anti")
+      val tmp = s"$path.__incremental_tmp"
+      write(keep.unionByName(increment), tmp)
+      f.delete(p, true)
+      f.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    }
+  }
+
   sealed abstract class Env(val prefix: String)
   case object Core extends Env("CORE") // prod (profiles.yml target PROD)
   case object Dev extends Env("DEV")
@@ -156,28 +193,8 @@ object Pipeline {
         case Table => writeParquet(m, df, envPath(m, cfg))
         case Incremental(uniqueKey) =>
           val path = envPath(m, cfg)
-          if (!exists(path)) writeParquet(m, df, path) // first run: full build
-          else {
-            // dbt's delete+insert merge: existing rows whose key appears
-            // in the increment are dropped (plain-equality anti join —
-            // NULL-keyed existing rows never match, so they survive,
-            // exactly like SQL `key IN (...)`), then the increment is
-            // appended. The merge is written to a sibling tmp path FIRST
-            // (the plan reads the live path; overwriting in place would
-            // read-while-truncate), then swapped in.
-            val existing = spark.read.parquet(path)
-            val keep =
-              if (uniqueKey.isEmpty) existing
-              else existing.join(df.select(uniqueKey.map(df(_)): _*).distinct(),
-                uniqueKey, "left_anti")
-            val tmp = s"$path.__incremental_tmp"
-            writeParquet(m, keep.unionByName(df), tmp)
-            val f = fs(path)
-            f.delete(new org.apache.hadoop.fs.Path(path), true)
-            f.rename(new org.apache.hadoop.fs.Path(tmp),
-              new org.apache.hadoop.fs.Path(path))
-            spark.read.parquet(path)
-          }
+          mergeIntoParquet(spark, path, df, uniqueKey, m.partitionBy)
+          spark.read.parquet(path)
       }
 
     private def withRetry[T](retries: Int)(body: => T): T =

@@ -141,6 +141,31 @@ object EventStreams {
         Map("kind" -> lit("signup")))))
   }
 
+  /** Streaming upsert sink: drains the stream with Trigger.AvailableNow
+    * and merges every micro-batch into the parquet relation at `path`
+    * with the SAME delete+insert semantics as the batch DAG's
+    * Incremental materialization ([[graft.pipeline.Pipeline
+    * .mergeIntoParquet]]) — the streaming path into the warehouse
+    * contract. Use outputMode "update" for upserting a streaming
+    * aggregation (each batch emits changed keys, the merge replaces
+    * them) or "append" for keyed fact streams (redelivered keys
+    * converge to one row). foreachBatch is at-least-once; the merge is
+    * idempotent per key set, so a replayed batch lands the same state. */
+  def upsertStream(spark: SparkSession, out: DataFrame, path: String,
+                   uniqueKey: Seq[String],
+                   outputMode: String = "update"): Unit = {
+    val q = out.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.Pipeline.mergeIntoParquet(
+          spark, path, batch.toDF(), uniqueKey)
+      }
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$path.__checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain-everything-now runner (the cron-tick semantics): starts the
     * query with Trigger.AvailableNow on a memory sink and blocks until
     * the backlog is processed. Returns the sink contents. */

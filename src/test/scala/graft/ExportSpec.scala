@@ -1,0 +1,53 @@
+package graft
+
+import graft.io.Export
+import org.apache.spark.sql.functions._
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(path: String): Seq[java.io.File] =
+    new java.io.File(path).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+
+  test("sharded: file count tracks rowsPerShard, each file within the cap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    val rep = Export.sharded(df, s"$tmp/out", Seq("id"), rowsPerShard = 300)
+    assert(rep.rows == 1000 && rep.shards == 4)
+    val files = parquetFiles(s"$tmp/out")
+    assert(files.size == 4, s"expected 4 shards, got ${files.size}")
+    val counts = files.map(f => spark.read.parquet(f.getPath).count())
+    assert(counts.forall(_ <= 300), s"file over cap: $counts")
+    assert(counts.sum == 1000)
+  }
+
+  test("sharded: range partitioning clusters the sort key (stats prunable)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+    Export.sharded(
+      spark.range(900).select(col("id")), s"$tmp/out", Seq("id"), 300)
+    // each file's [min,max] id range must be disjoint from the others:
+    // that is what makes parquet min/max stats prune a filter on id
+    val ranges = parquetFiles(s"$tmp/out").map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min("id"), max("id")).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"overlapping shard ranges: $ranges")
+      case _ =>
+    }
+  }
+
+  test("sharded: skewed range still splits via maxRecordsPerFile") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+    // all rows share one sort-key value -> one range partition; the
+    // file cap must still split the output
+    val df = spark.range(500).select(lit(1L).as("k"), col("id"))
+    Export.sharded(df, s"$tmp/out", Seq("k"), rowsPerShard = 100)
+    val counts = parquetFiles(s"$tmp/out")
+      .map(f => spark.read.parquet(f.getPath).count())
+    assert(counts.forall(_ <= 100), s"file over cap: $counts")
+    assert(counts.sum == 500)
+  }
+}
