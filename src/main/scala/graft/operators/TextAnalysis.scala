@@ -51,8 +51,10 @@ object TextAnalysis {
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
                     shardCol: String, cap: Int): DataFrame = {
+    // window ordering references the post-projection name ("doc_id"),
+    // not idCol — the select below renames idCol away
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .partitionBy(col(shardCol)).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.select(col(idCol).as("doc_id"), col(shardCol),
         tokenCount(col(textCol)).cast(LongType).as("n_tokens"))

@@ -48,6 +48,16 @@ object Pipeline {
     * its own existing relation (absent on the first run). */
   val This = "this"
 
+  private def writeParquet(df: DataFrame, path: String,
+                           partitionBy: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** dbt's delete+insert merge of `increment` into the parquet relation
     * at `path`, creating it on first write: existing rows whose key
     * appears in the increment are dropped (plain-equality anti join —
@@ -55,7 +65,21 @@ object Pipeline {
     * SQL `key IN (...)`), then the increment is appended; empty
     * `uniqueKey` appends wholesale. The merge lands on a sibling tmp
     * path FIRST (the plan reads the live path; overwriting in place
-    * would read-while-truncate), then swaps in.
+    * would read-while-truncate), then swaps in; every delete/rename is
+    * checked (Hadoop FileSystems report most failures by returning
+    * false, not throwing) so a failed swap aborts loudly with the merged
+    * data preserved at the tmp path instead of silently dropping the
+    * relation. The swap itself is not atomic; rerunning the merge after
+    * a crash converges (see idempotence below).
+    *
+    * When `partitionBy` is set AND the partition columns cannot migrate
+    * under the key contract (append-only, or partitionBy ⊆ uniqueKey —
+    * dbt insert_overwrite's assumption), the merge is PARTITION-SCOPED:
+    * only partitions present in the increment are rewritten and swapped,
+    * O(affected partitions) instead of O(table) — the shape that keeps a
+    * per-micro-batch streaming upsert viable on a 100 TB relation. A key
+    * that CAN migrate across partitions falls back to the full-table
+    * swap, preserving exact global delete+insert semantics.
     *
     * Shared by the Incremental materialization and the streaming upsert
     * sink ([[graft.streaming.EventStreams.upsertStream]]) — one merge
@@ -64,24 +88,66 @@ object Pipeline {
     * relation. */
   def mergeIntoParquet(spark: SparkSession, path: String, increment: DataFrame,
                        uniqueKey: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
-    def write(df: DataFrame, to: String): Unit = {
-      val w = df.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(to)
-    }
     val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) write(increment, path)
-    else {
-      val existing = spark.read.parquet(path)
-      val keep =
-        if (uniqueKey.isEmpty) existing
-        else existing.join(
-          increment.select(uniqueKey.map(increment(_)): _*).distinct(),
-          uniqueKey, "left_anti")
-      val tmp = s"$path.__incremental_tmp"
-      write(keep.unionByName(increment), tmp)
-      f.delete(p, true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    val f = fsFor(spark, path)
+    if (!f.exists(p)) { writeParquet(increment, path, partitionBy); return }
+    // Pin the on-disk schema to the increment's: partition-column type
+    // inference would otherwise re-type numeric-looking string partition
+    // values ("007" -> 7) and corrupt them through the merge round-trip.
+    val existing = spark.read.schema(increment.schema).parquet(path)
+    def dropKeyed(df: DataFrame): DataFrame =
+      if (uniqueKey.isEmpty) df
+      else df.join(
+        increment.select(uniqueKey.map(increment(_)): _*).distinct(),
+        uniqueKey, "left_anti")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__incremental_tmp")
+    val partitionScoped = partitionBy.nonEmpty &&
+      (uniqueKey.isEmpty || partitionBy.forall(uniqueKey.contains))
+    if (!partitionScoped) {
+      writeParquet(dropKeyed(existing).unionByName(increment), tmp.toString,
+        partitionBy)
+      require(f.delete(p, true), s"failed to delete $p during incremental swap")
+      require(f.rename(tmp, p),
+        s"failed to swap $tmp into $p — merged data preserved at $tmp")
+    } else {
+      import org.apache.spark.sql.functions.broadcast
+      // partition dirs are rebuilt from the affected values below; the
+      // writer's own dir encoding for date/timestamp keys differs from
+      // toString, so scope the fast path to non-temporal key types
+      partitionBy.foreach { c =>
+        val dt = increment.schema(c).dataType
+        require(!dt.isInstanceOf[org.apache.spark.sql.types.DateType] &&
+          !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+          s"partition-scoped merge supports string/numeric/boolean keys, '$c' is $dt")
+      }
+      // affected partitions are few by contract (a merge touches the
+      // partitions its increment lands in) — safe to collect
+      val aliased = partitionBy.map(c => s"__aff_$c")
+      val affected = increment.select(partitionBy.map(increment(_)): _*)
+        .distinct().toDF(aliased: _*)
+      val cond = partitionBy.zip(aliased)
+        .map { case (c, a) => existing(c) <=> affected(a) }.reduce(_ && _)
+      val touched = existing.join(broadcast(affected), cond, "left_semi")
+      writeParquet(dropKeyed(touched).unionByName(increment), tmp.toString,
+        partitionBy)
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      affected.collect().foreach { row =>
+        val dir = partitionBy.indices.map { i =>
+          val v = row.get(i)
+          val vs = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+                   else escapePathName(v.toString)
+          s"${escapePathName(partitionBy(i))}=$vs"
+        }.mkString("/")
+        val live = new org.apache.hadoop.fs.Path(s"$path/$dir")
+        val stage = new org.apache.hadoop.fs.Path(s"$tmp/$dir")
+        require(f.exists(stage), s"staged partition missing: $stage")
+        if (f.exists(live))
+          require(f.delete(live, true), s"failed to delete $live during swap")
+        if (!f.exists(live.getParent)) f.mkdirs(live.getParent)
+        require(f.rename(stage, live),
+          s"failed to swap $stage into $live — staged merge left at $tmp")
+      }
+      f.delete(tmp, true)
     }
   }
 
@@ -119,6 +185,8 @@ object Pipeline {
 
     def register(m: Model): this.type = {
       require(!models.contains(m.name), s"duplicate model '${m.name}'")
+      require(m.name != This,
+        s"'$This' is reserved (Incremental models see their own relation under it)")
       models += m.name -> m; this
     }
     def model(name: String): Model = models(name)
@@ -164,19 +232,8 @@ object Pipeline {
       s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
     }
 
-    private def fs(path: String): org.apache.hadoop.fs.FileSystem =
-      new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
     private def exists(path: String): Boolean =
-      fs(path).exists(new org.apache.hadoop.fs.Path(path))
-
-    private def writeParquet(m: Model, df: DataFrame, path: String): DataFrame = {
-      val w = df.write.mode("overwrite")
-      (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
-        .parquet(path)
-      spark.read.parquet(path)
-    }
+      fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
     /** The model's existing env relation, for Incremental models whose
       * path is already materialized — exposed to `build` as [[This]]. */
@@ -190,7 +247,10 @@ object Pipeline {
     private def materialize(m: Model, df: DataFrame, cfg: RunConfig): DataFrame =
       m.materialization match {
         case View | Ephemeral => df
-        case Table => writeParquet(m, df, envPath(m, cfg))
+        case Table =>
+          val path = envPath(m, cfg)
+          Pipeline.writeParquet(df, path, m.partitionBy)
+          spark.read.parquet(path)
         case Incremental(uniqueKey) =>
           val path = envPath(m, cfg)
           mergeIntoParquet(spark, path, df, uniqueKey, m.partitionBy)

@@ -475,8 +475,12 @@ object DataQueries {
   /** Corpus-curation yield report: docs and tokens surviving the
     * quality gate (quality >= 0.75, [[graft.functions.GraftFunctions
     * .qualityScore]]), per source — the filter-decision summary every
-    * curation run reports. One partial-agg groupBy: map-side combine,
-    * single shuffle on the (low-cardinality) source key. */
+    * curation run reports. The aggregation itself is one partial-agg
+    * groupBy on the low-cardinality source key; the doc_id repartition
+    * before it exists ONLY to spread the CPU-dense quality regexes
+    * across cores at test scale (single-split input, same rationale as
+    * d01) — at 100 TB the scan has thousands of splits and the
+    * repartition would be dropped. */
   val t07QualityYield: Q = (s, dir) => {
     val q = qualityScore(col("text"))
     val nt = tokenCount(col("text")).cast(LongType)

@@ -16,7 +16,11 @@ class ExportSpec extends SparkSpec {
     val rep = Export.sharded(df, s"$tmp/out", Seq("id"), rowsPerShard = 300)
     assert(rep.rows == 1000 && rep.shards == 4)
     val files = parquetFiles(s"$tmp/out")
-    assert(files.size == 4, s"expected 4 shards, got ${files.size}")
+    // RangePartitioner boundaries are sample-based: a fat range can be
+    // split by maxRecordsPerFile into one extra file — 4 or 5 both
+    // honor the contract (counts are the hard assertion below)
+    assert(files.size >= 4 && files.size <= 5,
+      s"expected ~4 shards, got ${files.size}")
     val counts = files.map(f => spark.read.parquet(f.getPath).count())
     assert(counts.forall(_ <= 300), s"file over cap: $counts")
     assert(counts.sum == 1000)

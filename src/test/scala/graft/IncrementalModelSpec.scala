@@ -75,6 +75,39 @@ class IncrementalModelSpec extends SparkSpec {
       .collect().toSeq == Seq((Some(1L), 2L, "a2")), "keyed row replaced")
   }
 
+  test("incremental: partitioned merge rewrites only the affected partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    var data = Seq((1L, Option("a"), 10L), (2L, Option("b"), 10L),
+      (3L, Option.empty[String], 10L)).toDF("id", "part", "ts")
+    val r = new Registry(spark)
+    // partitionBy ⊆ uniqueKey -> keys cannot migrate -> partition-scoped
+    r.register(Model("inc", "3_MART", Nil, Incremental(Seq("id", "part")),
+      partitionBy = Seq("part")) { _ => data })
+    r.run(cfg, Seq("inc"))
+    val path = s"$tmp/DEV/3_MART/inc"
+    def filesOf(dir: String): Set[(String, Long)] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val aBefore = filesOf(s"$path/part=a")
+
+    // second run touches only partition b and the NULL partition
+    data = Seq((2L, Option("b"), 20L), (4L, Option.empty[String], 20L))
+      .toDF("id", "part", "ts")
+    r.run(cfg, Seq("inc"))
+    assert(filesOf(s"$path/part=a") == aBefore,
+      "untouched partition's files must not be rewritten")
+    val rows = spark.read.parquet(path)
+      .select("id", "part", "ts").orderBy("id")
+      .as[(Long, Option[String], Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, Some("a"), 10L),  // untouched
+      (2L, Some("b"), 20L),  // replaced in its partition
+      (3L, None, 10L),       // NULL partition: other keys survive
+      (4L, None, 20L)))      // NULL partition: new key appended
+  }
+
   test("incremental: build sees only the delta via This (is_incremental)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
