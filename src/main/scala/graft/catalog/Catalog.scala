@@ -24,7 +24,18 @@ final case class Catalog(spark: SparkSession, dir: String) {
   // inert for every other table.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Memoized per (session, path): `spark.read.parquet` re-lists the
+    * directory and re-reads footers for schema inference on EVERY call,
+    * a fixed metadata cost each of the ~68 driver queries pays 1-3
+    * times. The cached DataFrame is an immutable lazy plan — reuse is
+    * safe — and this is exactly the catalog-metadata cache a warehouse
+    * engine keeps (the reference's external tables cache autodetected
+    * schemas the same way). Contract: source directories are immutable
+    * within a session (they are — the driver's testdata is read-only).
+    */
+  def table(name: String): DataFrame =
+    Catalog.cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -42,4 +53,9 @@ final case class Catalog(spark: SparkSession, dir: String) {
     table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Catalog {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 }
