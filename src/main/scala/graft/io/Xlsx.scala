@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -97,17 +97,22 @@ object Xlsx {
       val out = mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var inT = false
+      var inPhonetic = false // <rPh>/<rPhoneticPr>: furigana hints, NOT cell text
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
           cur.clear()
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "rPh" =>
+          inPhonetic = true
         case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" =>
-          inT = true
+          inT = !inPhonetic
         case XMLStreamConstants.CHARACTERS if inT =>
           cur.append(r.getText)
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "t" =>
           inT = false
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" =>
+          inPhonetic = false
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
-          out += cur.toString // rich-text runs concatenated
+          out += cur.toString // rich-text runs concatenated (rPh excluded)
         case _ =>
       }
       out.toIndexedSeq
@@ -132,6 +137,10 @@ object Xlsx {
         val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Int, String)]]
         var row: mutable.ArrayBuffer[(Int, String)] = null
         var cellCol = -1
+        var nextCol = 0 // next column for ref-less <c> — counts EVERY
+                        // cell, including empty ones (inferring from the
+                        // last KEPT cell would shift values left past
+                        // blanks and land them under the wrong header)
         var cellType = ""
         var inV = false
         var inIs = false
@@ -139,11 +148,10 @@ object Xlsx {
         val v = new StringBuilder
         while (r.hasNext) r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-            case "row" => row = mutable.ArrayBuffer.empty
+            case "row" => row = mutable.ArrayBuffer.empty; nextCol = 0
             case "c" if row != null =>
               val ref = r.getAttributeValue(null, "r")
-              cellCol = if (ref != null) colIndex(ref)
-                        else row.lastOption.map(_._1 + 1).getOrElse(0)
+              cellCol = if (ref != null) colIndex(ref) else nextCol
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
               v.clear()
             case "f" => inF = true  // formula body: skip, keep cached <v>
@@ -166,6 +174,7 @@ object Xlsx {
                 case _ => raw // "str", "inlineStr", numbers: as written
               }
               if (value != null) row += cellCol -> value
+              nextCol = cellCol + 1
               cellCol = -1
             case "row" =>
               rows += row; row = null
@@ -223,16 +232,43 @@ object Xlsx {
     * declared cast land the whole ROW's raw form in `_corrupt_record`
     * (try_cast, so ANSI mode doesn't abort the scan), good rows get
     * typed columns. */
+  /** Typed value of one string cell column. Date/timestamp columns also
+    * accept xlsx DATE SERIALS (days since 1899-12-30, time as the
+    * fractional day) — that is how xlsx physically stores dates, so a
+    * dictionary-declared Date column over a raw workbook would
+    * otherwise quarantine 100% of its rows. ISO strings are tried
+    * first; 25569 = serial of 1970-01-01. */
+  private def typedCell(name: String, dt: DataType): Column = {
+    // purely-numeric strings MUST take the serial path: Spark's
+    // try_cast happily parses "45061" as the YEAR 45061 for both date
+    // and timestamp, so a coalesce(direct-cast, serial) would silently
+    // produce year-45061 dates instead of 2023-05-15
+    val isSerial = col(name).rlike("^-?[0-9]+(\\.[0-9]+)?$")
+    dt match {
+      case DateType =>
+        when(isSerial,
+          date_add(lit(java.sql.Date.valueOf("1899-12-30")),
+            floor(col(name).try_cast(DoubleType)).cast(IntegerType)))
+          .otherwise(col(name).try_cast(DateType))
+      case TimestampType =>
+        when(isSerial,
+          timestamp_seconds(round(
+            (col(name).try_cast(DoubleType) - lit(25569.0)) * 86400)
+            .cast(LongType)))
+          .otherwise(col(name).try_cast(TimestampType))
+      case _ => col(name).try_cast(dt)
+    }
+  }
+
   def castWithDictionary(df: DataFrame, dict: Seq[(String, String)]): DataFrame = {
     val typed = dict.map { case (name, t) =>
-      val dt = DictionaryIngest.toSparkType(t)
-      (name, col(name).try_cast(dt).as(name))
+      typedCell(name, DictionaryIngest.toSparkType(t)).as(name)
     }
     val corrupt = dict.map { case (name, t) =>
-      val dt = DictionaryIngest.toSparkType(t)
-      col(name).isNotNull && col(name).try_cast(dt).isNull
+      col(name).isNotNull &&
+        typedCell(name, DictionaryIngest.toSparkType(t)).isNull
     }.reduce(_ || _)
-    df.select(typed.map(_._2) :+
+    df.select(typed :+
       when(corrupt, to_json(struct(dict.map(d => col(d._1)): _*)))
         .as("_corrupt_record"): _*)
   }

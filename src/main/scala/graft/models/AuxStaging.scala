@@ -100,8 +100,12 @@ object AuxStaging {
       parseDouble(col("Latitude")).as("lat"),
       parseDouble(col("Longitude")).as("lng"),
       col("NTA").as("nta"))
+      // coalesce to a definite boolean: isin is NULL (not false) for
+      // NULL grade, and ungraded inspections are common in the real
+      // feed — a NULL flag would slip through !grade_valid quarantine
+      // filters (every other validity flag here resolves definitely)
       .withColumn("grade_valid",
-        col("grade").isin("A", "B", "C", "N", "Z", "P"))
+        coalesce(col("grade").isin("A", "B", "C", "N", "Z", "P"), lit(false)))
       .withColumn("coords_valid",
         col("lat").isNotNull && col("lng").isNotNull &&
           abs(col("lat")) <= 90 && abs(col("lng")) <= 180)

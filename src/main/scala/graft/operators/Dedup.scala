@@ -94,11 +94,29 @@ object Dedup {
   private def bandedJaccardPairs(df: DataFrame, textCol: String,
                                  idCol: String, n: Int, k: Int,
                                  bands: Int, threshold: Double): DataFrame = {
-    // NOTE: persists two bounded intermediates (shingle base + skinny
-    // band relation) for the duration of the session; callers running
-    // many dedup passes in one long-lived session should
-    // spark.catalog.clearCache() between passes, or materialize
-    // signatures to the warehouse (the at-scale shape anyway).
+    val (base, banded) = bandedRelations(df, textCol, idCol, n, k, bands)
+    val l = banded.select(col("id").as("id1"), col("band"))
+    val rt = banded.select(col("id").as("id2"), col("band"))
+    val cand = l.join(rt, Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    jaccardVerify(cand, base, threshold)
+  }
+
+  /** The banded-minhash intermediate relations: (id, sh) shingle base
+    * and (id, band) band keys. Package-visible so [[graft.tools
+    * .ScaleProbe]] measures the EXACT bucket layout the dedup operators
+    * use (an inline re-derivation would silently drift if seeds, k, or
+    * the band-key format changed).
+    *
+    * NOTE: persists two bounded intermediates (shingle base + skinny
+    * band relation) for the duration of the session; callers running
+    * many dedup passes in one long-lived session should
+    * spark.catalog.clearCache() between passes, or materialize
+    * signatures to the warehouse (the at-scale shape anyway). */
+  private[graft] def bandedRelations(df: DataFrame, textCol: String,
+                                     idCol: String, n: Int, k: Int,
+                                     bands: Int): (DataFrame, DataFrame) = {
     val r = k / bands
     require(r >= 2, s"bands of r=1 degrade to single-min-shingle buckets " +
       s"(corpus-common shingles collect quadratic buckets); got k=$k bands=$bands")
@@ -122,12 +140,7 @@ object Dedup {
           element_at(col("sig"), i + 1).cast(StringType)): _*)))
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
       .persist()
-    val l = banded.select(col("id").as("id1"), col("band"))
-    val rt = banded.select(col("id").as("id2"), col("band"))
-    val cand = l.join(rt, Seq("band"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    jaccardVerify(cand, base, threshold)
+    (base, banded)
   }
 
   /** MinHash-LSH near-duplicate pairs with exact jaccard verification

@@ -17,11 +17,20 @@ object SkewJoin {
     *
     * 1. HOT-KEY DETECTION: a deterministic sample of the left (probe)
     *    side is frequency-counted; a key is "hot" when its sampled
-    *    frequency is >= `hotFactor` x the mean key frequency (default
-    *    hotFactor = saltBuckets: a key only benefits from an n-way salt
-    *    split if it is at least n-fold over-represented). At most
-    *    `maxHotKeys` keys qualify (top by count) so the hot-key set is
-    *    always driver-bounded — the same contract AQE's skew stats use.
+    *    frequency is >= `hotFactor` x the MEDIAN key frequency (the
+    *    robust baseline AQE's skew detection uses — a mean baseline
+    *    provably never fires on the worst skew: with one 99%-dominant
+    *    key the mean is inflated by the hot key's own mass, and with a
+    *    single distinct key freq == mean always), OR when one key holds
+    *    >= 1/saltBuckets of ALL sampled rows (absolute-share guard:
+    *    catches the single/dominant-key cases where the median IS the
+    *    hot key; low-cardinality uniform keys caught by this guard
+    *    genuinely underuse the cluster and benefit from the salt
+    *    fan-out). Default hotFactor = saltBuckets: a key only benefits
+    *    from an n-way salt split if it is n-fold over-represented. At
+    *    most `maxHotKeys` keys qualify (top by count) so the hot-key
+    *    set is always driver-bounded — the same contract AQE's skew
+    *    stats use.
     * 2. HOT PATH: only hot-key left rows are salted into [0, n); only
     *    the hot-key subset of the right side (bounded: <= maxHotKeys
     *    keys) is replicated x n. Co-location cost for a hot key becomes
@@ -60,14 +69,17 @@ object SkewJoin {
       .persist()
     val stat = freq.agg(
       coalesce(sum(col("__n")), lit(0L)).as("t"),
-      count(lit(1)).as("d")).head()
+      count(lit(1)).as("d"),
+      coalesce(percentile_approx(col("__n"), lit(0.5), lit(10000)), lit(0L))
+        .as("med")).head()
     val total = stat.getLong(0)
     val distinctKeys = stat.getLong(1)
+    val median = stat.getLong(2)
     val hotKeys: Array[Any] =
       if (distinctKeys == 0) Array.empty
       else {
-        val mean = total.toDouble / distinctKeys
-        freq.filter(col("__n") >= lit(mean * factor))
+        freq.filter(col("__n") >= lit(median * factor) ||
+            col("__n") >= lit(total.toDouble / saltBuckets))
           .orderBy(col("__n").desc, col("__hk"))
           .limit(maxHotKeys)
           .select(col("__hk")).collect().map(_.get(0))

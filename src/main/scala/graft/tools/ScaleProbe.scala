@@ -51,15 +51,10 @@ object ScaleProbe {
     // self-join); r=2 banding must keep the max bucket bounded by the
     // true near-dup group size, not corpus-wide boilerplate. Printed as
     // evidence alongside the timing (VERDICT r2 next-#2).
-    val sh = docs.select(col("doc_id"),
-      Dedup.wordShingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = sh.select(col("doc_id"),
-      graft.expressions.HashExpressions.minhashSignature(col("sh"), 8).as("sig"))
-    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
-      concat(lit(s"$b:"), concat_ws(",",
-        element_at(col("sig"), b * 2 + 1).cast("string"),
-        element_at(col("sig"), b * 2 + 2).cast("string")))): _*)).as("band"))
+    // the SAME banded relation d04 uses (shared helper — an inline
+    // re-derivation would silently drift from the operator under test)
+    val (_, bands) = Dedup.bandedRelations(docs, "text", "doc_id",
+      n = 3, k = 8, bands = 4)
     val dist = bands.groupBy("band").count()
       .agg(max("count").as("max"),
         expr("percentile(count, 0.99)").as("p99"),

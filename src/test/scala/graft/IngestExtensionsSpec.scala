@@ -78,6 +78,32 @@ class IngestExtensionsSpec extends SparkSpec {
     assert(plain.exceptAll(j.select("k", "v", "name")).count() == 0)
   }
 
+  test("skew join: dominant-key and single-key skew get mitigation (median + share guard)") {
+    // 2 distinct keys, 99%/1%: a MEAN-relative threshold provably never
+    // fires here (mean is inflated by the hot key's own mass); the
+    // median baseline + absolute-share guard must
+    val left = (1 to 1000).map(i => (if (i <= 990) 1L else 2L, i)).toDF("k", "v")
+    val right = Seq((1L, "dom"), (2L, "rare")).toDF("k", "name")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", 8,
+      sampleFraction = 1.0)
+    assert(salted.queryExecution.analyzed.toString.contains("Union"),
+      "a 99%-dominant key must route through the salted path")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+    val s2 = salted.select("k", "v", "name")
+    assert(s2.exceptAll(plain).count() == 0 && plain.exceptAll(s2).count() == 0)
+
+    // single distinct key: freq == median == total — only the share
+    // guard can catch it, and it must (one reducer takes ALL rows
+    // otherwise, the worst case the operator exists for)
+    val left1 = (1 to 400).map(i => (7L, i)).toDF("k", "v")
+    val right1 = Seq((7L, "only")).toDF("k", "name")
+    val salted1 = SkewJoin.saltedInnerJoin(left1, right1, "k", 8,
+      sampleFraction = 1.0)
+    assert(salted1.queryExecution.analyzed.toString.contains("Union"),
+      "a single-key relation is maximal skew and must be salted")
+    assert(salted1.count() == 400)
+  }
+
   test("skew join: NULL keys drop exactly as in a plain inner join") {
     val left = (1 to 100)
       .map(i => (if (i % 2 == 0) Some(1L) else None, i))

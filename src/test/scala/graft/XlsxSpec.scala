@@ -97,6 +97,68 @@ class XlsxSpec extends SparkSpec {
     assert(bad.head.getAs[String]("_corrupt_record").contains("not_a_number"))
   }
 
+  /** Second fixture: ref-less cells (writers may omit the r attribute),
+    * phonetic <rPh> runs, and date serials. */
+  private def writeEdgeFixture(): String = {
+    val path = Files.createTempFile("graft-xlsx-edge", ".xlsx").toString
+    val zip = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="edge" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    // si[0] carries a phonetic <rPh> run that must NOT reach cell text
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><r><t>Tokyo</t></r><rPh sb="0" eb="2"><t>TOUKYOU</t></rPh></si>
+        |<si><t>name</t></si><si><t>d</t></si><si><t>ts</t></si>
+        |</sst>""".stripMargin)
+    // rows are entirely ref-less; row 2 has an EMPTY middle cell — the
+    // value after it must still land in column 2, not shift left
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c t="s"><v>1</v></c><c t="s"><v>2</v></c><c t="s"><v>3</v></c></row>
+        |<row><c t="s"><v>0</v></c><c/><c><v>45061.5</v></c></row>
+        |<row><c t="str"><v>iso</v></c><c><v>45061</v></c><c t="str"><v>2023-05-15 12:00:00</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    path
+  }
+
+  test("xlsx: ref-less cells keep their column past gaps; rPh excluded; date serials cast") {
+    val path = writeEdgeFixture()
+    val df = Xlsx.readSheetDF(spark, path, "edge")
+    assert(df.columns.toSeq == Seq("name", "d", "ts"))
+    val rows = df.orderBy("name").collect()
+    // phonetic run excluded: "Tokyo", not "TokyoTOUKYOU"
+    assert(rows.map(_.getString(0)).toSeq == Seq("Tokyo", "iso"))
+    // the empty ref-less middle cell did not shift 45061.5 into col d
+    assert(rows(0).isNullAt(1) && rows(0).getString(2) == "45061.5")
+
+    val typed = Xlsx.castWithDictionary(df,
+      Seq(("name", "string"), ("d", "date"), ("ts", "datetime")))
+      .orderBy("name").collect()
+    assert(typed.forall(_.isNullAt(3)), "no quarantined rows")
+    // serial 45061 = 1899-12-30 + 45061 days; .5 = noon (session UTC)
+    val expectDate = java.time.LocalDate.of(1899, 12, 30).plusDays(45061)
+    assert(typed(1).getDate(1).toLocalDate == expectDate)
+    assert(typed(0).getTimestamp(2).toInstant.getEpochSecond ==
+      math.round((45061.5 - 25569.0) * 86400))
+    // ISO strings still take the direct-cast path
+    assert(typed(1).getTimestamp(2).toString.startsWith("2023-05-15 12:00:00"))
+  }
+
   test("xlsx: reads the reference's real staged workbooks") {
     val real = "/root/reference/ref/xlsx_nyc_econ_data_by_nta.xlsx"
     assume(new java.io.File(real).exists())
