@@ -36,6 +36,53 @@ class SeqPackDecontamSpec extends SparkSpec {
     assert(out(2).getLong(out(2).fieldIndex("seq_offset")) == 2L)
   }
 
+  test("packSequences invariants on the real corpus, stable under repartitioning") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val cap = 128
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(df, "text", "doc_id", "lang", cap)
+        .orderBy("doc_id").collect().toSeq
+    val out = run(docs)
+    assert(out.nonEmpty)
+    // offsets always inside a sequence
+    assert(out.forall { r =>
+      val off = r.getLong(r.fieldIndex("seq_offset")); off >= 0 && off < cap })
+    // within a shard, (seq_id, seq_offset) is the running token total:
+    // recompute it row-by-row in doc_id order and compare
+    out.groupBy(r => Option(r.getString(r.fieldIndex("lang")))).foreach {
+      case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          assert(r.getLong(r.fieldIndex("seq_id")) == cum / cap)
+          assert(r.getLong(r.fieldIndex("seq_offset")) == cum % cap)
+          if (!r.isNullAt(r.fieldIndex("n_tokens")))
+            cum += r.getLong(r.fieldIndex("n_tokens"))
+        }
+    }
+    // the layout is a pure function of the data — any input partitioning
+    // (13-way here vs the scan's) must produce the identical packing
+    assert(run(docs.repartition(13)) == out,
+      "packing must be partitioning-invariant")
+  }
+
+  test("ngramOverlap: counts bounded by each side's shingle count; partitioning-invariant") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val isBench = pmod(graft.functions.GraftFunctions.md5Long(
+      col("doc_id").cast("string")), lit(100L)) < 10L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.ngramOverlap(df.filter(!isBench), df.filter(isBench),
+        "text", "doc_id", n = 3).orderBy("doc_id").collect().toSeq
+    val out = run(docs)
+    assert(out.nonEmpty, "the corpus has near-dups; overlap must be non-empty")
+    val shingleCounts = docs
+      .select(col("doc_id"), size(graft.operators.Dedup.wordShingles(col("text"), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall { r =>
+      r.getLong(r.fieldIndex("n_shared_shingles")) <= shingleCounts(r.getLong(0)) },
+      "a doc cannot share more shingles than it has")
+    assert(run(docs.repartition(7)) == out)
+  }
+
   test("ngramOverlap: flags only docs sharing an n-gram, counts distinct shingles") {
     val train = Seq(
       (1L, "a b c d e"),        // shingles {a b c, b c d, c d e}
