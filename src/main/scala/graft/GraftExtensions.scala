@@ -31,6 +31,10 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  private def castToDoubleArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+
   private def intLit(e: Expression, arg: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -39,11 +43,18 @@ object GraftExtensions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
-      (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
+      // explicit Cast to array<double>, matching the DataFrame wrappers:
+      // a raw float array passed through would read 8-byte strides over
+      // 4-byte elements (checkInputDataTypes would reject it; the Cast
+      // makes the documented `graft_cosine(a, b)` on float embeddings
+      // just work)
+      (children: Seq[Expression]) => CosineSimilarityExpr(
+        castToDoubleArray(children(0)), castToDoubleArray(children(1)))),
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))),
+      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays"),
+      (children: Seq[Expression]) => DotProductExpr(
+        castToDoubleArray(children(0)), castToDoubleArray(children(1)))),
     (FunctionIdentifier("graft_word_shingles"),
       info("graft_word_shingles",
         "graft_word_shingles(text, n) - distinct word n-gram shingles"),

@@ -44,7 +44,11 @@ object HashExpressions {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private[expressions] val whitespace = Pattern.compile("\\s+")
+  // Explicit char class, NOT Java \s: Java \s includes vertical tab
+  // (\x0B) but DuckDB's RE2 \s is exactly [\t\n\f\r ] — a corpus doc
+  // containing \x0B would tokenize differently from the oracle's
+  // string_split_regex('\s+') under Java semantics.
+  private[expressions] val whitespace = Pattern.compile("[ \\t\\n\\f\\r]+")
 
   // Column wrappers
   def simhash(text: Column, bits: Int): Column =

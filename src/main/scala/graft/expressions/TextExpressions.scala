@@ -32,10 +32,17 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
-  @transient private lazy val ws = Pattern.compile("\\s+")
+  // RE2-equivalent \s (see HashExpressions.whitespace: Java \s adds \x0B)
+  @transient private lazy val ws = Pattern.compile("[ \\t\\n\\f\\r]+")
 
   override def nullSafeEval(input: Any): Any = {
+    // lowercase INTERNALLY (Locale.ROOT, matching Spark's lower()):
+    // the SQL-registered graft_word_shingles must produce the same
+    // shingles as the engine's Dedup.wordShingles path — SimHashExpr
+    // documents the same invariant. Callers that already lowered are
+    // unaffected (lower is idempotent).
     val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val raw = ws.split(s, -1)
     // drop empties (leading separator yields one)
     var m = 0
@@ -115,6 +122,9 @@ case class MarkerCountExpr(child: Expression, words: Seq[String])
   */
 case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
     extends UnaryExpression with CodegenFallback {
+
+  require(markers.size <= 32,
+    s"language membership is an Int bitmask: max 32 languages, got ${markers.size}")
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_lang_id"

@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -29,7 +30,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs must be array<double>; the Column wrappers below enforce it
-  // upstream with an explicit cast (ExpectsInputTypes is private[sql]).
+  // upstream with an explicit cast (ExpectsInputTypes is private[sql]),
+  // and checkInputDataTypes rejects anything else at ANALYSIS time — the
+  // SQL-registered form would otherwise read 8-byte strides over a
+  // 4-byte-packed float array and return garbage without erroring.
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkDoubleArrays(prettyName, left, right)
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
@@ -38,9 +45,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    // NULL array element -> NULL result (reading the null ordinal would
+    // silently yield 0.0; DuckDB's list distance functions return
+    // NULL/error on NULL elements — never fabricate a similarity)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -61,13 +72,16 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       int $n = java.lang.Math.min($a.numElements(), $b.numElements());
       double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      boolean ${ev.isNull}_el = false;
       for (int $i = 0; $i < $n; $i++) {
+        if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_el = true; break; }
         double $xv = $a.getDouble($i);
         double $yv = $b.getDouble($i);
         $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
       }
       double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-      if ($denom > 0.0) { ${ev.value} = $dot / $denom; } else { ${ev.isNull} = true; }
+      if (!${ev.isNull}_el && $denom > 0.0) { ${ev.value} = $dot / $denom; }
+      else { ${ev.isNull} = true; }
     """)
   }
 
@@ -80,7 +94,11 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkDoubleArrays(prettyName, left, right)
+
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // NULL array element -> NULL
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -88,7 +106,10 @@ case class DotProductExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     dot
   }
 
@@ -99,8 +120,12 @@ case class DotProductExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       int $n = java.lang.Math.min($a.numElements(), $b.numElements());
       double $dot = 0.0;
-      for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
-      ${ev.value} = $dot;
+      boolean ${ev.isNull}_el = false;
+      for (int $i = 0; $i < $n; $i++) {
+        if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_el = true; break; }
+        $dot += $a.getDouble($i) * $b.getDouble($i);
+      }
+      if (${ev.isNull}_el) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
     """)
   }
 
@@ -110,6 +135,23 @@ case class DotProductExpr(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+
+  /** Analysis-time input check shared by the vector expressions: both
+    * children must already be array<double> (the Column wrappers cast;
+    * SQL users must CAST explicitly — accepting array<float> silently
+    * would read misaligned bytes at runtime). */
+  private[expressions] def checkDoubleArrays(
+      name: String, left: Expression, right: Expression): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires two array<double> arguments " +
+        s"(got ${left.dataType.simpleString}, ${right.dataType.simpleString}); " +
+        "CAST(x AS ARRAY<DOUBLE>) float embeddings first")
+  }
   /** Column wrappers (inputs must already be array<double>). Spark 4's
     * Column is API-agnostic; the classic bridge converts to/from the
     * catalyst Expression world. */

@@ -117,7 +117,9 @@ object GraftFunctions {
     * (split yields no nulls), but fully codegen'd — HOFs dispatch an
     * interpreted lambda per element (PLANS.md round-1 lesson). */
   def tokens(c: Column): Column =
-    array_remove(split(c, "\\s+"), "")
+    // explicit char class == RE2 \s; Java \s would also split on \x0B
+    // and diverge from the oracle (see HashExpressions.whitespace)
+    array_remove(split(c, "[ \\t\\n\\f\\r]+"), "")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -126,7 +128,11 @@ object GraftFunctions {
     * non-space punctuation, the standard pre-tokenizer regex shape.
     * DuckDB twin: len(regexp_extract_all(x, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')). */
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    // explicit whitespace class inside the negation == RE2 \s (Java \s
+    // adds \x0B, which would count as punctuation here but not in the
+    // oracle's RE2 regexp_extract_all)
+    size(regexp_extract_all(c,
+      lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0)))
 
   /** Count of tokens that appear in `words`. */
   def markerCount(toks: Column, words: Seq[String]): Column =
@@ -163,7 +169,7 @@ object GraftFunctions {
   /** Punctuation character count (anything not alnum/space). DuckDB twin:
     * len(regexp_extract_all(x, '[^A-Za-z0-9\s]')). */
   def punctCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0)))
 
   /** English stopword ratio among whitespace tokens (guarded division). */
   val stopwords: Seq[String] = Seq(
@@ -186,7 +192,7 @@ object GraftFunctions {
     val safeTok = when(nTok > 0, nTok).otherwise(lit(1))
     // Σ token lengths == count of non-whitespace chars: one codegen'd
     // regexp_replace instead of an interpreted per-token aggregate()
-    val meanTokLen = length(regexp_replace(lower(textCol), "\\s+", ""))
+    val meanTokLen = length(regexp_replace(lower(textCol), "[ \\t\\n\\f\\r]+", ""))
       .cast(DoubleType) / safeTok
     val stopRatio = nStop.cast(DoubleType) / safeTok
     val punctRatio = nPunct.cast(DoubleType) / when(n > 0, n).otherwise(lit(1))
@@ -200,7 +206,9 @@ object GraftFunctions {
     * the exact-dedup key. DuckDB twin:
     *   md5(trim(regexp_replace(lower(x), '\s+', ' ', 'g'))). */
   def fingerprint(c: Column): Column =
-    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+    // explicit char class == RE2 \s (see tokens); the oracle twin uses
+    // RE2 regexp_replace(..., '\s+', ' ', 'g')
+    md5(trim(regexp_replace(lower(c), "[ \\t\\n\\f\\r]+", " ")))
 
   /** Rolling polynomial hash over whitespace tokens, mod 1e9+7 (keeps the
     * accumulator ANSI-overflow-safe: max acc*31 + h < 31e9 + 1e9 << 2^63).
@@ -235,7 +243,11 @@ object GraftFunctions {
     * list<float> on disk; all arithmetic happens in double to match the
     * DuckDB oracle). */
   def toDoubleArray(a: Column): Column =
-    transform(a, x => x.cast(DoubleType))
+    // native array cast, codegen'd element-wise — NOT the transform()
+    // higher-order form, which dispatches an interpreted lambda per
+    // element (the exact overhead class the vector expressions exist
+    // to remove; this sat on every ANN hot path)
+    a.cast(ArrayType(DoubleType))
 
   /** Deterministic pseudo-random hyperplane: component i is
     * md5("seed|i") (15 hex chars -> long, exactly [[md5Long]]) mod

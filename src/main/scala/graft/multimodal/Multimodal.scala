@@ -97,10 +97,13 @@ object Multimodal {
     docs.filter(col("text").isNotNull).select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3).cast("int") + 1).as("kind"),
+          pmod(col("doc_id"), lit(3L)).cast("int") + 1).as("kind"),
         encode(col("text"), "UTF-8").as("bytes"),
+        // pmod, not %: Spark % keeps the dividend's sign, so a negative
+        // id would hit element_at index 0 (runtime error) or -1
+        // (counts from the END - silently wrong kind)
         element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-          (col("doc_id") % 3).cast("int") + 1).as("mime"),
+          pmod(col("doc_id"), lit(3L)).cast("int") + 1).as("mime"),
         map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
       .as[MediaRow]
   }
@@ -110,6 +113,7 @@ object Multimodal {
     * once per task, rows stream through without per-row setup. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     import spark.implicits._
     media
       .repartition(col("media_id"))
@@ -127,6 +131,10 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 1024,
                    every: Int = 2)(
       implicit spark: SparkSession): Dataset[FrameSample] = {
+    // fail fast on the driver: a zero/negative parameter would otherwise
+    // throw mid-job inside an executor task (idx % every, grouped(0))
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    require(every >= 1, s"every must be >= 1, got $every")
     import spark.implicits._
     media
       .filter(col("kind") === "video")
@@ -155,6 +163,7 @@ object Multimodal {
     * the keyed repartition. */
   def resizeImages(media: Dataset[MediaRow], factor: Int = 4)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     import spark.implicits._
     media
       .filter(col("kind") === "image")

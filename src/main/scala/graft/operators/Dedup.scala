@@ -310,13 +310,16 @@ object Dedup {
                             threshold: Double,
                             bucketed: Boolean = false,
                             dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      toDoubleArray(col(vecCol)).as("v"))
     val withB =
       if (bucketed)
-        base.withColumn("b",
-          concat_ws("", (0 until 8).map(s => hyperplaneBit(col("v"), s, dim).cast(StringType)): _*))
-      else base.withColumn("b", lit("all"))
+        // the SAME bucket pipeline as the e03 scale path — routed
+        // through Similarity.lshBuckets so the key format / bit count /
+        // degenerate-vector contract can never drift between the two
+        Similarity.lshBuckets(df, vecCol, idCol, nBits = 8, dim = dim)
+          .withColumnRenamed("bucket", "b")
+      else df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+        .filter(Similarity.nonDegenerate(col("v")))
+        .withColumn("b", lit("all"))
     val l = withB.select(col("id").as("id1"), col("v").as("v1"), col("b"))
     val r = withB.select(col("id").as("id2"), col("v").as("v2"), col("b"))
     l.join(r, Seq("b"))

@@ -26,6 +26,15 @@ object Similarity {
   private def rankWindow = Window.partitionBy("query_id")
     .orderBy(col("cos_r").desc, col("id").asc)
 
+  /** Zero-norm embeddings are excluded BY CONTRACT everywhere cosine is
+    * ranked or thresholded: cosine is undefined for them, and the
+    * engines disagree on the degenerate value (Spark NULL sorts last in
+    * DESC, DuckDB NaN sorts FIRST and compares greater-than-everything)
+    * — exclusion is the only cross-engine-stable semantics. Every
+    * oracle mirrors it with list_inner_product(v, v) > 0. */
+  private[operators] def nonDegenerate(v: Column): Column =
+    VectorExpressions.dot(v, v) > 0
+
   /** Exact top-k cosine neighbors for each query vector.
     * Ranking uses cosine rounded to 6 dp with id as tiebreak, so the
     * result is stable under float accumulation-order differences.
@@ -33,7 +42,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
     c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cos_r", round(VectorExpressions.cosine(col("v"), col("qv")), 6))
       .withColumn("rank", row_number().over(rankWindow))
@@ -48,6 +59,7 @@ object Similarity {
   def cellAssignments(corpus: DataFrame, vecCol: String, idCol: String,
                       centroidIds: Seq[Long]): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
     val cents = c.filter(col("id").isInCollection(centroidIds))
       .select(col("id").as("cell"), col("v").as("cv"))
     c.crossJoin(broadcast(cents)) // every corpus row x small centroid set
@@ -64,6 +76,7 @@ object Similarity {
               centroidIds: Seq[Long], nProbe: Int = 2): DataFrame = {
     val assigned = cellAssignments(corpus, vecCol, idCol, centroidIds)
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
     // centroids come straight from the corpus, NOT from the assignment
     // output: a centroid whose rounded self-similarity ties another
     // centroid can be ASSIGNED to the other's cell, which would drop a
@@ -71,7 +84,7 @@ object Similarity {
     // cellAssignments here would recompute the corpus-x-centroid join).
     val cents = corpus
       .select(col(idCol).as("qcell"), toDoubleArray(col(vecCol)).as("cv"))
-      .filter(col("qcell").isInCollection(centroidIds))
+      .filter(col("qcell").isInCollection(centroidIds) && nonDegenerate(col("cv")))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(
@@ -92,6 +105,7 @@ object Similarity {
   def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
                  nBits: Int = 8, dim: Int = 64): DataFrame =
     df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
       .withColumn("bucket", concat_ws("",
         (0 until nBits).map(s => hyperplaneBit(col("v"), s, dim).cast(StringType)): _*))
 }

@@ -204,8 +204,9 @@ object DataQueries {
       .orderBy(col("id1"), col("id2"))
 
   val d05Sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |  WHERE CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0)
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0)
       |SELECT a.vec_id AS id1, b.vec_id AS id2,
       |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -266,7 +267,8 @@ object DataQueries {
   }
 
   val e01Sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
       |sc AS (SELECT q.query_id, e.vec_id AS id,
       |  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
@@ -286,7 +288,8 @@ object DataQueries {
   }
 
   val e02Sql: String =
-    """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
       |cents AS (SELECT id AS cell, v AS cv FROM e
       |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
       |asg AS (SELECT id, v, cell FROM (
@@ -316,7 +319,8 @@ object DataQueries {
       .orderBy(col("id1"), col("id2"))
 
   val e03Sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
       |b AS (SELECT vec_id, v,
       |  (SELECT string_agg(CASE WHEN list_sum(list_transform(range(1, len(v)+1),
       |     i -> v[i] * ((CAST(('0x'||substr(md5(s.s::VARCHAR||'|'||(i-1)::VARCHAR),1,15)) AS BIGINT)

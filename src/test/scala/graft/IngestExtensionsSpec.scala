@@ -155,4 +155,39 @@ class IngestExtensionsSpec extends SparkSpec {
       .min
     assert(mmin == expected)
   }
+
+  test("GraftExtensions: float arrays auto-cast; shingles case-match the engine path") {
+    GraftExtensions.register(spark)
+    // raw array<float> embeddings: the builder's explicit Cast must make
+    // this correct, not silently read misaligned bytes
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .createOrReplaceTempView("fvecs")
+    val cos = spark.sql("SELECT graft_cosine(a, b) AS c FROM fvecs").head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // SQL-built shingles on MIXED-CASE text must equal the engine's
+    // Dedup.wordShingles (which lowercases) — signatures built from SQL
+    // and DataFrame paths must never diverge
+    Seq("The Quick Brown fox").toDF("t").createOrReplaceTempView("mixed")
+    val sqlSh = spark.sql("SELECT graft_word_shingles(t, 3) AS s FROM mixed")
+      .head.getSeq[String](0).toSet
+    val dfSh = Seq("The Quick Brown fox").toDF("t")
+      .select(graft.operators.Dedup.wordShingles(col("t"), 3).as("s"))
+      .head.getSeq[String](0).toSet
+    assert(sqlSh == dfSh && sqlSh == Set("the quick brown", "quick brown fox"))
+  }
+
+  test("vector expressions: NULL array element yields NULL, never a fabricated value") {
+    val df = Seq(
+      (Array(Option(1.0), Option(0.0)), Array(Option(1.0), Option(0.0))),
+      (Array(Option(1.0), Option.empty[Double]), Array(Option(1.0), Option(0.0))))
+      .toDF("a", "b")
+    val out = df.select(
+      graft.expressions.VectorExpressions.cosine(col("a"), col("b")).as("c"),
+      graft.expressions.VectorExpressions.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12 &&
+      math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1),
+      "a NULL element would read as 0.0 and fabricate a similarity")
+  }
 }
