@@ -99,7 +99,11 @@ object Wkb {
       inRing(p.outer, x, y) && !p.holes.exists(inRing(_, x, y))
 
   def contains(g: Geometry, x: Double, y: Double): Boolean =
-    g.polygons.exists(contains(_, x, y))
+    g.polygons.exists(contains(_, x, y)) ||
+      // a Point geometry (parse() accepts WKB type 1) "contains" exactly
+      // its own coordinates — without this branch a point-typed zone
+      // could never match anything, silently
+      g.points.exists { case (px, py) => px == x && py == y }
 
   // -------------------------------------------------------------------
   // WKB writer (tests/fixtures only — builds the bytes we then parse)

@@ -48,6 +48,18 @@ object Harmonize {
     */
   def unionHarmonized(canon: Seq[CanonicalCol], feeds: Seq[SourceFeed]): DataFrame = {
     require(feeds.nonEmpty, "unionHarmonized: at least one source feed required")
+    val names = canon.map(_.name).toSet
+    feeds.foreach { f =>
+      // a mapping/exprs key that names no canonical column is a feed
+      // typo: without this check the entry is silently ignored and the
+      // real column NULL-pads — the exact silent-data failure the
+      // type-safe-absence design exists to prevent
+      val unknown = (f.mapping.keySet ++ f.exprs.keySet).diff(names)
+      require(unknown.isEmpty,
+        s"feed '${f.name}' maps unknown canonical column(s): " +
+          s"${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(canonical: ${canon.map(_.name).mkString(", ")})")
+    }
     val projected = feeds.map { f =>
       val cols = canon.map { c =>
         f.exprs.get(c.name).map(c.fromExpr)

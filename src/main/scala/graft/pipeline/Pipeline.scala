@@ -86,10 +86,79 @@ object Pipeline {
     * semantics for both write paths. Idempotent per increment: replaying
     * the same batch (streaming at-least-once) converges to the same
     * relation. */
+  /** Swap `stage` into `live` crash-safely: rename live ASIDE (never
+    * delete-then-rename — a crash or failed rename in that window makes
+    * the relation vanish, and an at-least-once REPLAY of the merge then
+    * sees "first write" and silently truncates history to the
+    * increment), rename stage in, drop the aside copy last. */
+  private def swapIn(f: org.apache.hadoop.fs.FileSystem,
+                     live: org.apache.hadoop.fs.Path,
+                     stage: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(live.toString + ".__incremental_old")
+    require(f.rename(live, aside), s"failed to move $live aside during swap")
+    require(f.rename(stage, live),
+      s"failed to swap $stage into $live — original preserved at $aside")
+    f.delete(aside, true)
+  }
+
+  /** Heal a swap that crashed between its two renames: the aside copy
+    * exists and the live path does not -> restore it; both exist ->
+    * the swap completed, drop the aside leftover. */
+  private def recoverSwap(f: org.apache.hadoop.fs.FileSystem,
+                          live: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(live.toString + ".__incremental_old")
+    if (f.exists(aside)) {
+      if (!f.exists(live))
+        require(f.rename(aside, live), s"failed to restore $aside after crash")
+      else
+        require(f.delete(aside, true), s"failed to clean up $aside")
+    }
+  }
+
   def mergeIntoParquet(spark: SparkSession, path: String, increment: DataFrame,
                        uniqueKey: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val p = new org.apache.hadoop.fs.Path(path)
     val f = fsFor(spark, path)
+    recoverSwap(f, p) // heal a previous merge that crashed mid-swap
+    val partitionScoped = partitionBy.nonEmpty &&
+      (uniqueKey.isEmpty || partitionBy.forall(uniqueKey.contains))
+    // Partition-scoped preliminaries run BEFORE the existing relation is
+    // read: per-dir crash recovery must restore any aside-moved
+    // partition first, or the merge would be computed WITHOUT that
+    // partition's rows and then replace it.
+    // (partition dirs are rebuilt from the affected values; the writer's
+    // own dir encoding for date/timestamp keys differs from toString, so
+    // the fast path is scoped to non-temporal key types. Affected
+    // partitions are few by contract — a merge touches the partitions
+    // its increment lands in — so collecting them is driver-safe.)
+    val aliased = partitionBy.map(c => s"__aff_$c")
+    val (affected, dirs) = if (partitionScoped) {
+      partitionBy.foreach { c =>
+        val dt = increment.schema(c).dataType
+        require(!dt.isInstanceOf[org.apache.spark.sql.types.DateType] &&
+          !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+          s"partition-scoped merge supports string/numeric/boolean keys, '$c' is $dt")
+      }
+      val aff = increment.select(partitionBy.map(increment(_)): _*)
+        .distinct().toDF(aliased: _*)
+      val ds = aff.collect().map { row =>
+        partitionBy.indices.map { i =>
+          val v = row.get(i)
+          val vs = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+                   else escapePathName(v.toString)
+          s"${escapePathName(partitionBy(i))}=$vs"
+        }.mkString("/")
+      }.toSeq
+      // heal per-dir crashed swaps from a prior run of THIS increment
+      // (at-least-once replay re-runs the same increment; checkpoint
+      // replay guarantees a crashed merge re-runs before a different
+      // increment arrives)
+      if (f.exists(p))
+        ds.foreach(d => recoverSwap(f, new org.apache.hadoop.fs.Path(s"$path/$d")))
+      (aff, ds)
+    } else (null, Seq.empty[String])
+
     if (!f.exists(p)) { writeParquet(increment, path, partitionBy); return }
     // Pin the on-disk schema to the increment's: partition-column type
     // inference would otherwise re-type numeric-looking string partition
@@ -101,51 +170,27 @@ object Pipeline {
         increment.select(uniqueKey.map(increment(_)): _*).distinct(),
         uniqueKey, "left_anti")
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__incremental_tmp")
-    val partitionScoped = partitionBy.nonEmpty &&
-      (uniqueKey.isEmpty || partitionBy.forall(uniqueKey.contains))
     if (!partitionScoped) {
       writeParquet(dropKeyed(existing).unionByName(increment), tmp.toString,
         partitionBy)
-      require(f.delete(p, true), s"failed to delete $p during incremental swap")
-      require(f.rename(tmp, p),
-        s"failed to swap $tmp into $p — merged data preserved at $tmp")
+      swapIn(f, p, tmp)
     } else {
       import org.apache.spark.sql.functions.broadcast
-      // partition dirs are rebuilt from the affected values below; the
-      // writer's own dir encoding for date/timestamp keys differs from
-      // toString, so scope the fast path to non-temporal key types
-      partitionBy.foreach { c =>
-        val dt = increment.schema(c).dataType
-        require(!dt.isInstanceOf[org.apache.spark.sql.types.DateType] &&
-          !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType],
-          s"partition-scoped merge supports string/numeric/boolean keys, '$c' is $dt")
-      }
-      // affected partitions are few by contract (a merge touches the
-      // partitions its increment lands in) — safe to collect
-      val aliased = partitionBy.map(c => s"__aff_$c")
-      val affected = increment.select(partitionBy.map(increment(_)): _*)
-        .distinct().toDF(aliased: _*)
       val cond = partitionBy.zip(aliased)
         .map { case (c, a) => existing(c) <=> affected(a) }.reduce(_ && _)
       val touched = existing.join(broadcast(affected), cond, "left_semi")
       writeParquet(dropKeyed(touched).unionByName(increment), tmp.toString,
         partitionBy)
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-      affected.collect().foreach { row =>
-        val dir = partitionBy.indices.map { i =>
-          val v = row.get(i)
-          val vs = if (v == null) "__HIVE_DEFAULT_PARTITION__"
-                   else escapePathName(v.toString)
-          s"${escapePathName(partitionBy(i))}=$vs"
-        }.mkString("/")
+      dirs.foreach { dir =>
         val live = new org.apache.hadoop.fs.Path(s"$path/$dir")
         val stage = new org.apache.hadoop.fs.Path(s"$tmp/$dir")
         require(f.exists(stage), s"staged partition missing: $stage")
-        if (f.exists(live))
-          require(f.delete(live, true), s"failed to delete $live during swap")
         if (!f.exists(live.getParent)) f.mkdirs(live.getParent)
-        require(f.rename(stage, live),
-          s"failed to swap $stage into $live — staged merge left at $tmp")
+        // same crash-safe rename-aside protocol as the full-table swap,
+        // per partition dir
+        if (f.exists(live)) swapIn(f, live, stage)
+        else require(f.rename(stage, live),
+          s"failed to move $stage into $live — staged merge left at $tmp")
       }
       f.delete(tmp, true)
     }

@@ -44,14 +44,23 @@ object Snapshots {
     */
   def merge(snapshot: DataFrame, incoming: DataFrame, key: String,
             updatedAtCol: String): DataFrame = {
-    val cur = snapshot.filter(col("is_current"))
-    val hist = snapshot.filter(!col("is_current"))
+    // coalesce makes the cur/hist partition TOTAL: a row with NULL
+    // is_current (hand-repaired table, external writer) would match
+    // neither filter and silently vanish from the merged output
+    val cur = snapshot.filter(coalesce(col("is_current"), lit(false)))
+    val hist = snapshot.filter(!coalesce(col("is_current"), lit(false)))
     // one observation per key per merge: keep only the LATEST incoming
     // version (ties broken arbitrarily would corrupt the chain — a
     // deterministic row_number on (ts desc) guards batches that carry
     // several versions of one key).
+    // xxhash64 over the full row as the tiebreak: equal-timestamp
+    // versions of one key would otherwise be picked by shuffle-internal
+    // order, so a retry could open a DIFFERENT version than the first
+    // attempt (deterministic within Spark is all that is needed here —
+    // snapshots have no cross-engine oracle)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(updatedAtCol).desc)
+      .partitionBy(col(key)).orderBy(col(updatedAtCol).desc,
+        xxhash64(incoming.columns.map(col): _*).asc)
     val latest = incoming
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -101,7 +110,13 @@ object Snapshots {
     hist.unionByName(closed).unionByName(untouched).unionByName(opened)
   }
 
-  /** Point-in-time view: the version of each row valid at `asOf`. */
+  /** Point-in-time view: the version of each row valid at `asOf`.
+    * NULL valid_from (a key first observed with a NULL timestamp) is
+    * -infinity — the same rule merge() applies to NULL current
+    * timestamps — so such rows are visible at every point in time
+    * instead of being invisible at all of them. */
   def asOf(snapshot: DataFrame, asOf: java.sql.Timestamp): DataFrame =
-    snapshot.filter(col("valid_from") <= lit(asOf) && lit(asOf) < col("valid_to"))
+    snapshot.filter(
+      (col("valid_from").isNull || col("valid_from") <= lit(asOf)) &&
+        lit(asOf) < col("valid_to"))
 }

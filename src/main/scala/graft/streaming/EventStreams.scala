@@ -85,7 +85,15 @@ object EventStreams {
       sorted.foreach { e =>
         cur match {
           case Some(s) if e.tsMicros - s.last <= gapMicros =>
-            cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+            // min/max, never plain assignment: a LATE event from an
+            // earlier micro-batch window (cross-batch arrival order is
+            // not sorted) must widen the session bounds, not regress
+            // `last` below `start` — the regressed state both inverts
+            // the emitted session and mis-measures the next gap. A late
+            // event is folded into the open session (streaming
+            // best-effort; the batch q14 operator is the exact one).
+            cur = Some(SessionState(math.min(s.start, e.tsMicros),
+              math.max(s.last, e.tsMicros), s.n + 1))
           case Some(s) =>
             closed += SessionOut(userId, s.start, s.last, s.n)
             cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
@@ -135,8 +143,7 @@ object EventStreams {
         Map("event_id" -> "event_id", "ts" -> "ts", "user_id" -> "user_id",
             "amount" -> "value"),
         Map("kind" -> lit("click"))),
-      SourceFeed("signups", events.filter(col("event_type") === "signup")
-          .select(col("event_id"), col("ts"), col("user_id")),
+      SourceFeed("signups", events.filter(col("event_type") === "signup"),
         Map("event_id" -> "event_id", "ts" -> "ts", "user_id" -> "user_id"),
         Map("kind" -> lit("signup")))))
   }

@@ -25,6 +25,17 @@ class GeoSpec extends SparkSpec {
     assert(!Wkb.contains(mg, 5, 5))
   }
 
+  test("WKB: a Point geometry contains exactly its own coordinates") {
+    val le = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    le.put(1.toByte); le.putInt(1); le.putDouble(3.0); le.putDouble(4.0)
+    val g = Wkb.parse(le.array())
+    assert(g.points == Seq((3.0, 4.0)))
+    assert(Wkb.contains(g, 3.0, 4.0),
+      "a point-typed zone must match its own coordinates, not nothing")
+    assert(!Wkb.contains(g, 3.0, 4.1))
+  }
+
   test("WKB: big-endian and unsupported types") {
     // big-endian point at (3,4)
     val be = java.nio.ByteBuffer.allocate(21)

@@ -30,6 +30,17 @@ class HarmonizePipelineSpec extends SparkSpec {
     assert(sch("amount").dataType == DoubleType)
   }
 
+  test("unionHarmonized: a mapping key naming no canonical column throws") {
+    val canon = Seq(CanonicalCol("id", LongType), CanonicalCol("rate_code", StringType))
+    val feed = SourceFeed("a", Seq((1L, "x")).toDF("x", "rc"),
+      Map("id" -> "x", "ratecode" -> "rc")) // typo: 'ratecode'
+    val e = intercept[IllegalArgumentException] {
+      unionHarmonized(canon, Seq(feed))
+    }
+    assert(e.getMessage.contains("ratecode"),
+      "the typo'd key must be named, not silently NULL-padded")
+  }
+
   test("registry: topological order respects deps, cycle throws") {
     val r = new Registry(spark)
     r.register(Model("c", "l", Seq("a", "b")) { d => d("a") })

@@ -108,4 +108,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(again.count() == 1)
     assert(again.filter(col("is_current")).count() == 1)
   }
+
+  test("NULL is_current row survives a merge (total cur/hist partition)") {
+    val snap = Seq((1L, "A", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
+      .withColumn("valid_from", col("updated_at"))
+      .withColumn("valid_to", lit(Snapshots.validTo999))
+      .withColumn("is_current", lit(null).cast("boolean")) // damaged flag
+    val inc = Seq((2L, "B", ts("2024-02-01 00:00:00"))).toDF("k", "v", "updated_at")
+    val merged = Snapshots.merge(snap, inc, "k", "updated_at")
+    assert(merged.count() == 2,
+      "a NULL-flag row must land in hist, not vanish from the union")
+    assert(merged.filter(col("k") === 1L).count() == 1)
+  }
+
+  test("equal-timestamp versions of one key pick a deterministic survivor") {
+    val t = ts("2024-01-01 00:00:00")
+    // same key, same ts, different payloads, shuffled input orders
+    val inc1 = Seq((1L, "a", t), (1L, "b", t)).toDF("k", "v", "updated_at")
+    val inc2 = Seq((1L, "b", t), (1L, "a", t)).toDF("k", "v", "updated_at")
+      .repartition(3)
+    val empty = Snapshots.initialize(
+      Seq.empty[(Long, String, Timestamp)].toDF("k", "v", "updated_at"), "updated_at")
+    val v1 = Snapshots.merge(empty, inc1, "k", "updated_at")
+      .head.getAs[String]("v")
+    val v2 = Snapshots.merge(empty, inc2, "k", "updated_at")
+      .head.getAs[String]("v")
+    assert(v1 == v2, "survivor must not depend on input/partition order")
+  }
+
+  test("asOf sees a key first observed with NULL timestamp (valid_from -infinity)") {
+    val inc = Seq((1L, "A", Option.empty[Timestamp])).toDF("k", "v", "updated_at")
+    val snap = Snapshots.initialize(inc, "updated_at")
+    val visible = Snapshots.asOf(snap, ts("2024-06-01 00:00:00"))
+    assert(visible.count() == 1,
+      "NULL valid_from is -infinity, not invisible-at-every-time")
+  }
 }

@@ -81,4 +81,24 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2,
       "at-least-once replay converges to the same relation")
   }
+
+  test("merge heals a swap that crashed between its two renames") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ups-out").toString + "/crash"
+    val inc1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    graft.pipeline.Pipeline.mergeIntoParquet(spark, out, inc1, Seq("k"))
+    // simulate the crash window: live moved aside, replacement never
+    // landed — the state an at-least-once replay walks into
+    val f = new java.io.File(out)
+    val aside = new java.io.File(out + ".__incremental_old")
+    assert(f.renameTo(aside))
+    val inc2 = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    graft.pipeline.Pipeline.mergeIntoParquet(spark, out, inc2, Seq("k"))
+    val rows = spark.read.parquet(out).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b2"), (3L, "c")),
+      "history restored from the aside copy, then merged — NOT truncated " +
+        "to the increment")
+    assert(!aside.exists(), "aside copy cleaned up after the healed swap")
+  }
 }
