@@ -64,48 +64,60 @@ object Snapshots {
     val latest = incoming
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val inc = latest
-      .withColumnRenamed(key, "__k")
-      .withColumnRenamed(updatedAtCol, "__ts")
+    // alias EVERY incoming column (fresh attribute ids): snapshot and
+    // incoming frequently share lineage (merge(initialize(df), df, ...)),
+    // and a full-outer self-join with shared attributes trips Spark's
+    // ambiguous-self-join detection on any same-named data column
+    val inc = latest.select(latest.columns.map { c =>
+      val nc = if (c == key) "__k"
+               else if (c == updatedAtCol) "__ts"
+               else s"__i_$c"
+      col(c).as(nc)
+    }: _*)
+
+    // ONE full-outer join on the business key; closed / untouched /
+    // opened all derive from it with filters, so the planner's exchange
+    // reuse shares the key shuffle across branches — the previous
+    // two-left-joins + two-windows formulation scanned the snapshot ~3x
+    // and re-windowed incoming 2x per tick. Explicit side markers:
+    // neither the key (NULLs legal) nor the timestamps (NULLs legal)
+    // can distinguish "no match" on their own.
+    val curM = cur.withColumn("__c", lit(1))
+    val incM = inc.withColumn("__i", lit(1))
+    val joined = curM.join(incM, curM(key) <=> incM("__k"), "full_outer")
 
     // "newer": a NULL current timestamp is treated as -infinity (any
     // timestamped incoming version supersedes it) — without the isNull
-    // branch both this predicate and the `fresh` filter evaluate NULL
-    // and a NULL-ts current row could never be superseded, silently
-    // dropping its newer incoming versions. A NULL incoming timestamp
-    // never supersedes (isNotNull guard), so NULL-vs-NULL is "unchanged".
-    val joined = cur.join(inc,
-      cur(key) <=> col("__k") && col("__ts").isNotNull &&
-        (cur(updatedAtCol).isNull || cur(updatedAtCol) < col("__ts")), "left")
+    // branch the predicate evaluates NULL and a NULL-ts current row
+    // could never be superseded, silently dropping its newer incoming
+    // versions. A NULL incoming timestamp never supersedes (isNotNull
+    // guard), so NULL-vs-NULL is "unchanged". Every branch of this
+    // predicate is definite (no NULL booleans leak into the filters).
+    val newer = curM("__c").isNotNull && incM("__i").isNotNull &&
+      incM("__ts").isNotNull &&
+      (curM(updatedAtCol).isNull || curM(updatedAtCol) < incM("__ts"))
 
     val dataCols = snapshot.columns.filterNot(
       Seq("valid_from", "valid_to", "is_current").contains(_))
 
-    // current rows with a newer incoming version -> closed. (__ts is
-    // non-null on every matched row, so it keys "did the join match"
-    // even when the business key itself is NULL.)
-    val closed = joined.filter(col("__ts").isNotNull)
-      .select(dataCols.map(cur(_)) :+ cur("valid_from") :+
-        col("__ts").cast(TimestampType).as("valid_to") :+
+    // current rows with a newer incoming version -> closed
+    val closed = joined.filter(newer)
+      .select(dataCols.map(curM(_)) :+ curM("valid_from") :+
+        incM("__ts").cast(TimestampType).as("valid_to") :+
         lit(false).as("is_current"): _*)
     // current rows without a newer version -> unchanged
-    val untouched = joined.filter(col("__ts").isNull)
-      .select(cur.columns.map(cur(_)): _*)
-
+    val untouched = joined.filter(curM("__c").isNotNull && !newer)
+      .select(cur.columns.map(curM(_)): _*)
     // incoming versions that are NEW relative to the snapshot:
     // either a brand-new key, or newer than the current version
-    // explicit match marker: neither __ck (NULL keys legal) nor __cts
-    // (NULL timestamps legal) can distinguish "no match" on their own
-    val curKeys = cur.select(col(key).as("__ck"), col(updatedAtCol).as("__cts"))
-      .withColumn("__matched", lit(1))
-    val fresh = inc.join(curKeys, col("__k") <=> col("__ck"), "left")
-      .filter(col("__matched").isNull ||
-        (col("__ts").isNotNull &&
-          (col("__cts").isNull || col("__cts") < col("__ts"))))
-      .drop("__ck", "__cts", "__matched")
-      .withColumnRenamed("__k", key)
-      .withColumnRenamed("__ts", updatedAtCol)
-    val opened = initialize(fresh, updatedAtCol)
+    val opened = initialize(
+      joined.filter((incM("__i").isNotNull && curM("__c").isNull) || newer)
+        .select(dataCols.map { c =>
+          if (c == key) incM("__k").as(key)
+          else if (c == updatedAtCol) incM("__ts").as(updatedAtCol)
+          else incM(s"__i_$c").as(c)
+        }: _*),
+      updatedAtCol)
 
     hist.unionByName(closed).unionByName(untouched).unionByName(opened)
   }
