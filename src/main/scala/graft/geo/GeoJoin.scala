@@ -35,14 +35,17 @@ object GeoJoin {
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(parsed)
 
+    // the id column keeps its OWN type: force-casting to Long would
+    // silently null every non-numeric id (e.g. Citibike's string
+    // ride_id), destroying row identity with no error
     val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
+      StructField(idCol, points.schema(idCol).dataType),
       StructField("lng", DoubleType),
       StructField("lat", DoubleType),
       StructField("zone", StringType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
-    points.select(col(idCol).cast(LongType), col(lngCol).cast(DoubleType),
+    points.select(col(idCol), col(lngCol).cast(DoubleType),
         col(latCol).cast(DoubleType))
       .mapPartitions { rows =>
         val zs = bc.value
@@ -50,7 +53,7 @@ object GeoJoin {
           // NULL coords (exactly the rows a staging validity flag marks)
           // must yield a NULL zone, not an NPE from getDouble on null
           if (r.isNullAt(1) || r.isNullAt(2)) {
-            Row(if (r.isNullAt(0)) null else r.getLong(0),
+            Row(r.get(0),
               if (r.isNullAt(1)) null else r.getDouble(1),
               if (r.isNullAt(2)) null else r.getDouble(2), null)
           } else {
@@ -61,7 +64,7 @@ object GeoJoin {
               if (Wkb.contains(zs(i)._2, x, y)) zone = zs(i)._1
               i += 1
             }
-            Row(if (r.isNullAt(0)) null else r.getLong(0), x, y, zone)
+            Row(r.get(0), x, y, zone)
           }
         }
       }(enc)

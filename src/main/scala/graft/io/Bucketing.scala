@@ -26,8 +26,16 @@ object Bucketing {
 
   /** Join two bucketed tables on their bucket key. When both sides have
     * the same bucket count, Catalyst plans a SortMergeJoin with NO
-    * Exchange on either side. */
+    * Exchange on either side — and that contract is CHECKED: mismatched
+    * bucket counts or a non-bucket join key silently degrade to a full
+    * shuffle, wasting the pre-shuffle investment with no signal. */
   def bucketedJoin(spark: SparkSession, leftTable: String,
-                   rightTable: String, key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), key)
+                   rightTable: String, key: String): DataFrame = {
+    val j = spark.table(leftTable).join(spark.table(rightTable), key)
+    val plan = j.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"bucketedJoin($leftTable, $rightTable, $key) planned a shuffle — " +
+        "both tables must be bucketed on the join key with EQUAL bucket counts")
+    j
+  }
 }

@@ -22,9 +22,13 @@ object DictionaryIngest {
   /** Map the dictionary's type vocabulary onto Spark types. The
     * reference dictionaries use loose names (STRING, NUMBER, Plain
     * Text, Date...); unknown types conservatively land on String. */
-  def toSparkType(t: String): DataType = t.trim.toLowerCase match {
+  def toSparkType(t: String): DataType =
+    Option(t).getOrElse("").trim.toLowerCase match {
     case "string" | "text" | "plain text" | "varchar" => StringType
-    case "integer" | "int" | "long" | "bigint" | "number" => LongType
+    case "integer" | "int" | "long" | "bigint" => LongType
+    // Socrata/NYC "Number" columns routinely hold decimals — a Long
+    // mapping would mass-quarantine every '2.35' under PERMISSIVE
+    case "number" => DecimalType(38, 9)
     case "double" | "float" | "real" => DoubleType
     case "decimal" | "numeric" => DecimalType(38, 9) // BigQuery NUMERIC
     case "date" => DateType
@@ -45,7 +49,13 @@ object DictionaryIngest {
     spark.read.option("header", "true").csv(path)
       .select(col("column_name"), col("type"))
       .collect()  // dictionaries are tens of rows — driver-side is correct
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+      // dirty dictionary rows: a blank name cell is dropped (no column
+      // to declare), a blank type cell falls back to string — Spark
+      // reads empty CSV cells as null and a bare null would NPE later
+      .flatMap { r =>
+        Option(r.getString(0)).map(_.trim).filter(_.nonEmpty)
+          .map(n => (n, Option(r.getString(1)).getOrElse("string")))
+      }.toSeq
 
   /** Schema'd CSV read with quarantine: malformed rows keep their raw
     * text in `_corrupt_record` instead of silently nulling (PERMISSIVE),
@@ -56,6 +66,10 @@ object DictionaryIngest {
       .add(StructField("_corrupt_record", StringType, nullable = true))
     spark.read
       .option("header", "true")
+      // validate the CSV header NAMES against the dictionary schema:
+      // the default (enforceSchema=true) binds purely by position, so a
+      // header/dictionary order mismatch silently swaps column values
+      .option("enforceSchema", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema)

@@ -74,8 +74,15 @@ object CitibikeModels {
         .filter(col("station_id").isNotNull)
         .groupBy(col("station_id"))
         .agg(min(col("station_name")).as("station_name"),
-          min(col("lat")).as("lat"), min(col("lng")).as("lng"),
+          // ONE coherent (lat,lng) pair from an actual observed row —
+          // independent min(lat)/min(lng) could stitch coordinates
+          // from two different rows (one GPS-glitch row hijacks an
+          // axis and the pair lands in the ocean)
+          min(struct(col("lat"), col("lng"))).as("__pos"),
           count(lit(1)).as("n_trip_endpoints"))
+        .select(col("station_id"), col("station_name"),
+          col("__pos.lat").as("lat"), col("__pos.lng").as("lng"),
+          col("n_trip_endpoints"))
     })
     r
   }

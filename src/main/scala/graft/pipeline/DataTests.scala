@@ -36,11 +36,13 @@ object DataTests {
     * key column are excluded first — dbt's unique test filters
     * `WHERE column IS NOT NULL` before grouping, so NULL keys are
     * never duplicates (pair with [[notNull]] to forbid them). */
-  def unique(df: DataFrame, columns: Seq[String]): DataFrame =
+  def unique(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "unique: at least one key column required")
     df.filter(columns.map(c => col(c).isNotNull).reduce(_ && _))
       .groupBy(columns.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
+  }
 
   /** Rows whose `col` value is outside `allowed` (dbt `accepted_values`).
     * NULLs are NOT violations (dbt semantics: pair with not_null to

@@ -57,10 +57,17 @@ object ProductionRun {
   private def debugProbe(spark: SparkSession, warehouseRoot: String,
                          env: Pipeline.Env): String = {
     require(warehouseRoot.nonEmpty, "warehouseRoot must be set")
-    val path = s"$warehouseRoot/${env.prefix}/_debug/probe"
+    // per-run unique probe path: the trigger is an HTTP-fired cron, so
+    // two overlapping runs on a fixed path would race (B's overwrite
+    // truncates while A reads back -> spurious debug failure aborts a
+    // healthy run)
+    val path = s"$warehouseRoot/${env.prefix}/_debug/" +
+      s"probe-${java.util.UUID.randomUUID().toString.take(8)}"
     spark.range(1).write.mode("overwrite").parquet(path)
     val n = spark.read.parquet(path).count()
     require(n == 1, s"probe read back $n rows")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     s"write+read ok at $path"
   }
 
