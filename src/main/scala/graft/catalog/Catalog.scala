@@ -33,9 +33,16 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * schemas the same way). Contract: source directories are immutable
     * within a session (they are — the driver's testdata is read-only).
     */
-  def table(name: String): DataFrame =
+  def table(name: String): DataFrame = {
+    // evict entries whose session is stopped: the map would otherwise
+    // hold strong references to dead SparkSessions (and their plans) in
+    // a long-lived JVM that creates many sessions
+    Catalog.cache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) Catalog.cache.remove(k)
+    }
     Catalog.cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")

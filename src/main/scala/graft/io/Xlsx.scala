@@ -251,10 +251,24 @@ object Xlsx {
             floor(col(name).try_cast(DoubleType)).cast(IntegerType)))
           .otherwise(col(name).try_cast(DateType))
       case TimestampType =>
+        // xlsx serials encode timezone-LESS local datetimes; build the
+        // timestamp from wall-clock components so it lands in the
+        // session timezone like the ISO-string path does (epoch
+        // arithmetic via timestamp_seconds would shift serial values by
+        // the session offset relative to string inputs). Identical under
+        // a UTC session.
+        val serial = col(name).try_cast(DoubleType)
+        val day0 = date_add(lit(java.sql.Date.valueOf("1899-12-30")),
+          floor(serial).cast(IntegerType))
+        val totSecs = round((serial - floor(serial)) * 86400).cast(LongType)
+        // 0.9999999-day fractions round to 86400s — roll into the date
+        val day = date_add(day0, (totSecs / 86400).cast(IntegerType))
+        val rem = totSecs % 86400
         when(isSerial,
-          timestamp_seconds(round(
-            (col(name).try_cast(DoubleType) - lit(25569.0)) * 86400)
-            .cast(LongType)))
+          make_timestamp(year(day), month(day), dayofmonth(day),
+            (rem / 3600).cast(IntegerType),
+            ((rem % 3600) / 60).cast(IntegerType),
+            (rem % 60).cast(DecimalType(16, 6))))
           .otherwise(col(name).try_cast(TimestampType))
       case _ => col(name).try_cast(dt)
     }

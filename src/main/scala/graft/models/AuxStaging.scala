@@ -77,6 +77,70 @@ object AuxStaging {
           col("unemployed") <= col("labor_force"))
       .withColumn("tt_valid", col("mean_travel_time_min").isNotNull)
 
+  /** Stage an NTA-housing-shaped relation (the reference's
+    * `ref/1_SRC___AUX_NYC_DEMOGRAPHIC|dict_nyc_housing_by_nta.csv` /
+    * `xlsx_nyc_housing_data_nta.xlsx` `housing_data_for_csv` sheet:
+    * same GeoType/GeoID/Borough geography prefix as the econ dataset,
+    * then HOUSING OCCUPANCY counts — HU1E total / OcHU1E occupied /
+    * VacHUE vacant units — and the two vacancy-rate numerics). The
+    * occupancy rate is derived from integer sums (deterministic under
+    * any partitioning); occupied+vacant=total is checked as a validity
+    * flag, not an assertion — ACS suppression can blank cells. */
+  def stageHousing(raw: DataFrame): DataFrame =
+    raw.filter(col("GeoType") === "NTA2020")
+      .select(
+        col("GeoID").as("nta_code"),
+        when(col("GeoID").rlike("^NTA[0-9]+$"),
+          substring(col("GeoID"), 4, 12).try_cast(LongType)).as("nta_num"),
+        col("GeogName").as("nta_name"),
+        col("Borough").as("borough"),
+        parseLong(col("HU1E")).as("total_units"),
+        parseLong(col("OcHU1E")).as("occupied_units"),
+        parseLong(col("VacHUE")).as("vacant_units"),
+        parseDouble(col("HOVacRtE")).as("homeowner_vacancy_rate"),
+        parseDouble(col("RntVacRtE")).as("rental_vacancy_rate"))
+      .withColumn("occupancy_rate",
+        when(col("total_units") > 0,
+          round(col("occupied_units").cast(DoubleType) / col("total_units"), 6)))
+      .withColumn("units_valid",
+        col("total_units").isNotNull && col("occupied_units").isNotNull &&
+          col("vacant_units").isNotNull &&
+          col("occupied_units") + col("vacant_units") === col("total_units"))
+
+  /** Stage an NTA-social-shaped relation (the reference's
+    * `ref/1_SRC___AUX_NYC_DEMOGRAPHIC|dict_nyc_social_by_nta.csv` /
+    * `xlsx_nyc_social_data_by_nta.xlsx` `final_data` sheet: geography
+    * prefix, HOUSEHOLD TYPE counts — HH1E total / Fam1E family /
+    * HH1plU18E with-under-18 / HH1pl65plE with-65-plus, AvgHHSzE
+    * average size — and EDUCATIONAL ATTAINMENT, EA_P25plE population
+    * 25+ / EA_BchDHE bachelor's-or-higher). The attainment rate is
+    * derived from integer sums; family<=total households is a validity
+    * flag (quarantine semantics, rows kept). */
+  def stageSocial(raw: DataFrame): DataFrame =
+    raw.filter(col("GeoType") === "NTA2020")
+      .select(
+        col("GeoID").as("nta_code"),
+        when(col("GeoID").rlike("^NTA[0-9]+$"),
+          substring(col("GeoID"), 4, 12).try_cast(LongType)).as("nta_num"),
+        col("GeogName").as("nta_name"),
+        col("Borough").as("borough"),
+        parseLong(col("HH1E")).as("households"),
+        parseLong(col("Fam1E")).as("family_households"),
+        parseLong(col("HH1plU18E")).as("hh_with_under18"),
+        parseLong(col("HH1pl65plE")).as("hh_with_65plus"),
+        parseDouble(col("AvgHHSzE")).as("avg_household_size"),
+        parseLong(col("EA_P25plE")).as("pop_25plus"),
+        parseLong(col("EA_BchDHE")).as("bachelors_or_higher"))
+      .withColumn("bachelors_rate",
+        when(col("pop_25plus") > 0,
+          round(col("bachelors_or_higher").cast(DoubleType) / col("pop_25plus"), 6)))
+      .withColumn("hh_valid",
+        col("households").isNotNull && col("family_households").isNotNull &&
+          col("family_households") <= col("households"))
+      .withColumn("ea_valid",
+        col("pop_25plus").isNotNull && col("bachelors_or_higher").isNotNull &&
+          col("bachelors_or_higher") <= col("pop_25plus"))
+
   /** Stage a restaurant-inspections-shaped relation (the reference's
     * `ref/1_SRC___AUX_NYC_RESTAURANT|dict_nyc_restaurant_inspections.csv`:
     * CAMIS INTEGER, BORO coded 1-5, INSPECTION DATE STRING M/d/yyyy,

@@ -246,6 +246,17 @@ object Dedup {
     * replay rounds 1..N-1. Non-convergence still fails loudly.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // the label-sum fixpoint below casts ids to DECIMAL(38,0); a
+    // non-integral id column (e.g. string) would cast to NULL, the sum
+    // would coalesce to 0 every round, and the loop would declare
+    // convergence after one iteration — silently wrong groups. Fail
+    // fast instead: ids must be integral (the documented contract).
+    Seq("id1", "id2").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt == ByteType || dt == ShortType ||
+          dt == IntegerType || dt == LongType,
+        s"connectedComponents requires integral id columns; '$c' is $dt")
+    }
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()

@@ -60,6 +60,63 @@ class AuxStagingSpec extends SparkSpec {
       staged.count() / 10, "real data overwhelmingly passes validity")
   }
 
+  test("housing staging: typed counts, occupancy rate, units-sum flag") {
+    val raw = Seq(
+      ("NTA2020", "NTA7", "Name7", "B2", "1000", "900", "100", "2.1", "3.5"),
+      ("NTA2020", "BK0102", "NameBK", "B3", "500", "450", "60", "NA", "1.0"), // 450+60 != 500
+      ("Boro2020", "NTA8", "Name8", "B3", "1", "1", "0", "1.0", "1.0"))
+      .toDF("GeoType", "GeoID", "GeogName", "Borough", "HU1E", "OcHU1E",
+        "VacHUE", "HOVacRtE", "RntVacRtE")
+    val staged = AuxStaging.stageHousing(raw).cache()
+    assert(staged.count() == 2, "non-NTA2020 geo rows excluded")
+    val byCode = staged.collect().map(r => r.getString(0) -> r).toMap
+    val r7 = byCode("NTA7")
+    assert(r7.getAs[Long]("nta_num") == 7L)
+    assert(r7.getAs[Long]("total_units") == 1000L)
+    assert(r7.getAs[Double]("occupancy_rate") == 0.9)
+    assert(r7.getAs[Boolean]("units_valid"))
+    val bk = byCode("BK0102")
+    assert(bk.isNullAt(bk.fieldIndex("nta_num")))
+    assert(bk.isNullAt(bk.fieldIndex("homeowner_vacancy_rate")),
+      "'NA' rate nulled, row kept")
+    assert(!bk.getAs[Boolean]("units_valid"), "occupied+vacant != total flagged")
+  }
+
+  test("social staging: household/attainment counts, rates, flags") {
+    val raw = Seq(
+      ("NTA2020", "NTA3", "Name3", "B1", "2000", "1200", "600", "500", "2.5", "3000", "1500"),
+      ("NTA2020", "QN0201", "NameQN", "B4", "100", "200", "10", "10", "NA", "300", "400"))
+      .toDF("GeoType", "GeoID", "GeogName", "Borough", "HH1E", "Fam1E",
+        "HH1plU18E", "HH1pl65plE", "AvgHHSzE", "EA_P25plE", "EA_BchDHE")
+    val staged = AuxStaging.stageSocial(raw).cache()
+    val byCode = staged.collect().map(r => r.getString(0) -> r).toMap
+    val r3 = byCode("NTA3")
+    assert(r3.getAs[Long]("nta_num") == 3L)
+    assert(r3.getAs[Double]("bachelors_rate") == 0.5)
+    assert(r3.getAs[Boolean]("hh_valid") && r3.getAs[Boolean]("ea_valid"))
+    val qn = byCode("QN0201")
+    assert(!qn.getAs[Boolean]("hh_valid"), "family > total households flagged")
+    assert(!qn.getAs[Boolean]("ea_valid"), "bachelors > pop 25+ flagged")
+    assert(qn.isNullAt(qn.fieldIndex("avg_household_size")))
+  }
+
+  test("housing + social staging consume the REAL reference xlsx files") {
+    val housing = "/root/reference/ref/xlsx_nyc_housing_data_nta.xlsx"
+    val social = "/root/reference/ref/xlsx_nyc_social_data_by_nta.xlsx"
+    assume(new java.io.File(housing).exists() && new java.io.File(social).exists())
+    val h = AuxStaging.stageHousing(
+      graft.io.Xlsx.readSheetDF(spark, housing, "housing_data_for_csv")).cache()
+    assert(h.count() > 100, "real NTA2020 housing rows staged")
+    assert(h.filter(col("total_units").isNull).count() == 0)
+    assert(h.filter(col("occupancy_rate").isNotNull).count() > 100)
+    val s = AuxStaging.stageSocial(
+      graft.io.Xlsx.readSheetDF(spark, social, "final_data")).cache()
+    assert(s.count() > 100, "real NTA2020 social rows staged")
+    assert(s.filter(col("households").isNull).count() == 0)
+    assert(s.filter(!col("hh_valid")).count() < s.count() / 10,
+      "real data overwhelmingly passes validity")
+  }
+
   test("restaurant staging: BORO decode, date/score parse, grade flags") {
     val raw = Seq(
       ("41234567", "CAFE A", "1", "Coffee", "5/14/2023", "12", "A", "40.71", "-74.00", "MN13"),

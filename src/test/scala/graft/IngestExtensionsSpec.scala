@@ -156,6 +156,59 @@ class IngestExtensionsSpec extends SparkSpec {
     assert(mmin == expected)
   }
 
+  test("GraftExtensions: combinator functions (md5_long/dist/exact_sum) match the Column API") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      ("a", 40.7128, -74.0060, 41.8781, -87.6298, 1.10),
+      ("b", 40.7128, -74.0060, 40.7128, -74.0060, 2.20),
+      ("c", 51.5074, -0.1278, 48.8566, 2.3522, 3.33))
+      .toDF("id", "lat1", "lng1", "lat2", "lng2", "x")
+    df.createOrReplaceTempView("combi")
+    // md5_long: SQL form == Column combinator, row for row
+    val viaSql = spark.sql("SELECT graft_md5_long(id) AS h FROM combi ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(graft.functions.GraftFunctions.md5Long(col("id")).as("h"))
+      .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol && viaSql.forall(_ >= 0))
+    // dist_lat_lng: km default, mi via the 5th literal arg — bit-equal
+    // to the Column API (same tree, same clamp)
+    val dSql = spark.sql(
+      "SELECT graft_dist_lat_lng(lat1, lng1, lat2, lng2) AS d, " +
+      "graft_dist_lat_lng(lat1, lng1, lat2, lng2, 'mi') AS dmi " +
+      "FROM combi ORDER BY id").collect()
+    val dCol = df.select(
+      graft.functions.GraftFunctions.distLatLng(
+        col("lat1"), col("lng1"), col("lat2"), col("lng2"), "km").as("d"),
+      graft.functions.GraftFunctions.distLatLng(
+        col("lat1"), col("lng1"), col("lat2"), col("lng2"), "mi").as("dmi"))
+      .orderBy(col("id")).collect()
+    dSql.zip(dCol).foreach { case (s, c) =>
+      assert(s.getDouble(0) == c.getDouble(0), "km bit-equal")
+      assert(s.getDouble(1) == c.getDouble(1), "mi bit-equal")
+    }
+    assert(dSql(1).getDouble(0) == 0.0, "identical points -> 0, acos clamped")
+    // a bad unit literal fails at PLAN time with the contract message
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dist_lat_lng(lat1, lng1, lat2, lng2, 'furlong') FROM combi")
+        .collect()
+    }
+    assert(err.getMessage.contains("km") || err.getMessage.contains("unit"))
+    // exact_sum / exact_avg: aggregate trees, decimal-exact like the API
+    val aggSql = spark.sql(
+      "SELECT graft_exact_sum(x) AS s, graft_exact_avg(x) AS a FROM combi").head
+    val aggCol = df.agg(
+      graft.functions.GraftFunctions.exactSum(col("x")).as("s"),
+      graft.functions.GraftFunctions.exactAvg(col("x")).as("a")).head
+    assert(aggSql.getDouble(0) == aggCol.getDouble(0))
+    assert(aggSql.getDouble(0) == 6.63, "decimal-exact: 1.10+2.20+3.33")
+    assert(aggSql.getDouble(1) == aggCol.getDouble(1))
+    // and it groups like any aggregate
+    val grouped = spark.sql(
+      "SELECT id, graft_exact_sum(x) AS s FROM combi GROUP BY id ORDER BY id")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(grouped == Seq(1.10, 2.20, 3.33))
+  }
+
   test("GraftExtensions: float arrays auto-cast; shingles case-match the engine path") {
     GraftExtensions.register(spark)
     // raw array<float> embeddings: the builder's explicit Cast must make
