@@ -39,6 +39,12 @@ object GraftExtensions {
     org.apache.spark.sql.catalyst.expressions.Cast(e,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
+  /** Contract arity error instead of IndexOutOfBoundsException when a
+    * SQL call passes the wrong argument count (ADVICE r4). */
+  private def arity(children: Seq[Expression], n: Int, name: String): Unit =
+    require(children.length == n,
+      s"$name takes $n argument${if (n == 1) "" else "s"}, got ${children.length}")
+
   private def intLit(e: Expression, arg: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -53,31 +59,32 @@ object GraftExtensions {
       // 4-byte elements (checkInputDataTypes would reject it; the Cast
       // makes the documented `graft_cosine(a, b)` on float embeddings
       // just work)
-      (children: Seq[Expression]) => CosineSimilarityExpr(
-        castToDoubleArray(children(0)), castToDoubleArray(children(1)))),
+      (children: Seq[Expression]) => { arity(children, 2, "graft_cosine"); CosineSimilarityExpr(
+        castToDoubleArray(children(0)), castToDoubleArray(children(1))) }),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays"),
-      (children: Seq[Expression]) => DotProductExpr(
-        castToDoubleArray(children(0)), castToDoubleArray(children(1)))),
+      (children: Seq[Expression]) => { arity(children, 2, "graft_dot"); DotProductExpr(
+        castToDoubleArray(children(0)), castToDoubleArray(children(1))) }),
     (FunctionIdentifier("graft_word_shingles"),
       info("graft_word_shingles",
         "graft_word_shingles(text, n) - distinct word n-gram shingles"),
-      (children: Seq[Expression]) =>
-        WordShinglesExpr(children(0), intLit(children(1), "n"))),
+      (children: Seq[Expression]) => { arity(children, 2, "graft_word_shingles")
+        WordShinglesExpr(children(0), intLit(children(1), "n")) }),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(text, bits) - simhash of whitespace tokens (lowercased internally), md5 bit votes; NULL if no tokens"),
-      (children: Seq[Expression]) =>
-        SimHashExpr(children(0), intLit(children(1), "bits"))),
+      (children: Seq[Expression]) => { arity(children, 2, "graft_simhash")
+        SimHashExpr(children(0), intLit(children(1), "bits")) }),
     (FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(shingles, k) - k-permutation md5 minhash signature"),
-      (children: Seq[Expression]) =>
-        MinHashSigExpr(children(0), intLit(children(1), "k"))),
+      (children: Seq[Expression]) => { arity(children, 2, "graft_minhash_sig")
+        MinHashSigExpr(children(0), intLit(children(1), "k")) }),
     (FunctionIdentifier("graft_md5_min"),
       info("graft_md5_min",
         "graft_md5_min(strings) - min 60-bit md5 over a string array"),
-      (children: Seq[Expression]) => Md5MinExpr(children(0))),
+      (children: Seq[Expression]) => { arity(children, 1, "graft_md5_min")
+        Md5MinExpr(children(0)) }),
     // Column COMBINATORS below are registered by building their Catalyst
     // expression TREES directly (round-tripping Columns through the
     // bridge yields UnresolvedFunction nodes the analyzer will not
@@ -87,7 +94,8 @@ object GraftExtensions {
     (FunctionIdentifier("graft_md5_long"),
       info("graft_md5_long",
         "graft_md5_long(str) - deterministic non-negative 60-bit md5 hash (cross-engine: DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT))"),
-      (children: Seq[Expression]) => md5LongExpr(children(0))),
+      (children: Seq[Expression]) => { arity(children, 1, "graft_md5_long")
+        md5LongExpr(children(0)) }),
     (FunctionIdentifier("graft_dist_lat_lng"),
       info("graft_dist_lat_lng",
         "graft_dist_lat_lng(lat1, lng1, lat2, lng2[, unit]) - great-circle distance, unit 'km' (default) or 'mi'"),
@@ -103,16 +111,17 @@ object GraftExtensions {
     (FunctionIdentifier("graft_exact_sum"),
       info("graft_exact_sum",
         "graft_exact_sum(x) - order-independent exact double sum via DECIMAL(18,2) (DuckDB CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE))"),
-      (children: Seq[Expression]) => Cast(
+      (children: Seq[Expression]) => { arity(children, 1, "graft_exact_sum"); Cast(
         new Sum(Cast(children(0), DecimalType(18, 2))).toAggregateExpression(),
-        DoubleType)),
+        DoubleType) }),
     (FunctionIdentifier("graft_exact_avg"),
       info("graft_exact_avg",
         "graft_exact_avg(x) - exact decimal sum divided by count, in double space"),
-      (children: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Divide(
-        Cast(new Sum(Cast(children(0), DecimalType(18, 2))).toAggregateExpression(),
-          DoubleType),
-        Cast(Count(children(0)).toAggregateExpression(), DoubleType))))
+      (children: Seq[Expression]) => { arity(children, 1, "graft_exact_avg")
+        org.apache.spark.sql.catalyst.expressions.Divide(
+          Cast(new Sum(Cast(children(0), DecimalType(18, 2))).toAggregateExpression(),
+            DoubleType),
+          Cast(Count(children(0)).toAggregateExpression(), DoubleType)) }))
 
   /** conv(substr(md5(x),1,15),16,10)::long — [[graft.functions
     * .GraftFunctions.md5Long]] as a raw expression tree. */

@@ -25,14 +25,43 @@ object Scratch {
   private val cleanupRegistered =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Pure resolution of the scratch BASE (unit-testable):
+    * `graftTmp` conf wins; single-JVM masters use tmpdir; multi-JVM
+    * masters use the warehouse dir ONLY when the user set it explicitly.
+    *
+    * Fail-fast guard (ADVICE r4): on a multi-JVM master the DEFAULT
+    * warehouse dir is file:$CWD/spark-warehouse — driver-local on a real
+    * cluster, so executors would write scratch parquet to their OWN
+    * disks and the driver's read-back would see a partial relation.
+    * Refusing loudly beats silently corrupting the cut-point; the user
+    * who sets the conf owns the claim that it is shared storage. */
+  private[graft] def resolveBase(master: String, graftTmp: Option[String],
+      warehouseDir: => String, warehouseExplicit: => Boolean): String =
+    graftTmp.getOrElse {
+      if (master == "local" || master.startsWith("local["))
+        sys.props("java.io.tmpdir")
+      else {
+        val wh = warehouseDir
+        val looksDefault = wh.replaceFirst("^file:/*", "/")
+          .stripSuffix("/").endsWith("/spark-warehouse")
+        if (!warehouseExplicit && looksDefault) throw new IllegalStateException(
+          s"graft.io.Scratch: master '$master' runs executors in separate " +
+          s"JVMs but the scratch base would resolve to the default " +
+          s"warehouse dir '$wh', which is driver-local storage on a " +
+          s"multi-node cluster. Set spark.graft.tmp (or " +
+          s"spark.sql.warehouse.dir) to a SHARED filesystem path " +
+          s"(HDFS/S3/NFS) visible to every executor.")
+        wh
+      }
+    }
+
   /** App-scoped scratch root under the resolved base (see class doc). */
   def root(spark: SparkSession): String = {
-    val base = spark.conf.getOption("spark.graft.tmp").getOrElse {
-      val m = spark.sparkContext.master
-      if (m == "local" || m.startsWith("local["))
-        sys.props("java.io.tmpdir")
-      else spark.conf.get("spark.sql.warehouse.dir")
-    }
+    val base = resolveBase(
+      spark.sparkContext.master,
+      spark.conf.getOption("spark.graft.tmp"),
+      spark.conf.get("spark.sql.warehouse.dir"),
+      spark.sparkContext.getConf.contains("spark.sql.warehouse.dir"))
     val scoped =
       s"${base.stripSuffix("/")}/graft-scratch-${spark.sparkContext.applicationId}"
     registerCleanup(spark, scoped)

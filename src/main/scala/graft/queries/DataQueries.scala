@@ -93,8 +93,13 @@ object DataQueries {
       // multi-JVM masters (warehouse root / spark.graft.tmp) — a
       // driver-local tmp path is only used when driver and executors
       // share one filesystem by construction (local[*]).
-      val out = graft.io.Scratch.dir(s,
-        "pairs_" + Integer.toHexString(dir.hashCode))
+      // collision-resistant key (ADVICE r4): a 32-bit String.hashCode
+      // collision between two sf dirs in one application would let the
+      // second overwrite clobber the first dir's parquet while its
+      // memoized DataFrame still lazily reads that path
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = graft.io.Scratch.dir(s, "pairs_" + dirKey)
       pairs.write.mode("overwrite").parquet(out)
       s.read.parquet(out)
     })

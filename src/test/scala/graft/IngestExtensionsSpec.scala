@@ -209,6 +209,27 @@ class IngestExtensionsSpec extends SparkSpec {
     assert(grouped == Seq(1.10, 2.20, 3.33))
   }
 
+  test("GraftExtensions: wrong argument counts raise contract errors, not IndexOutOfBounds") {
+    GraftExtensions.register(spark)
+    Seq(("a", 1.0)).toDF("id", "x").createOrReplaceTempView("arity_t")
+    // one under- and one over-application per builder family
+    val cases = Seq(
+      "SELECT graft_md5_long() FROM arity_t",
+      "SELECT graft_md5_long(id, x) FROM arity_t",
+      "SELECT graft_exact_sum(x, x) FROM arity_t",
+      "SELECT graft_exact_avg() FROM arity_t",
+      "SELECT graft_cosine(array(1.0)) FROM arity_t",
+      "SELECT graft_simhash(id) FROM arity_t",
+      "SELECT graft_md5_min() FROM arity_t")
+    cases.foreach { q =>
+      val err = intercept[Exception] { spark.sql(q).collect() }
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("argument"), s"$q -> $msgs")
+      assert(!msgs.contains("IndexOutOfBounds"), s"$q -> $msgs")
+    }
+  }
+
   test("GraftExtensions: float arrays auto-cast; shingles case-match the engine path") {
     GraftExtensions.register(spark)
     // raw array<float> embeddings: the builder's explicit Cast must make
