@@ -213,9 +213,76 @@ case class RollingHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document repetition statistics in ONE tokenize pass:
+  * (n_tokens, n_distinct tokens, occurrences of the most frequent
+  * token, occurrences of the most frequent word bigram) over whitespace
+  * tokens of lower(text) — the inputs to Gopher-style repetition
+  * quality signals (duplicate-token fraction, top-unigram/-bigram
+  * fraction). Per-doc counting needs no cross-document data, so this
+  * stays a map-only projection at any corpus size — no exploded token
+  * shuffle, no per-element interpreted lambdas.
+  *
+  * Must stay aligned with the DuckDB oracle in DataQueries.t09Sql
+  * (same tokens, bigrams joined with a single space).
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_token",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_bigram",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = HashExpressions.whitespace
+      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    var m = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
+      i += 1
+    }
+    val counts = new java.util.HashMap[String, Integer](m * 2)
+    var topTok = 0L
+    i = 0
+    while (i < m) {
+      val prev = counts.get(toks(i))
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(toks(i), c)
+      if (c > topTok) topTok = c
+      i += 1
+    }
+    val bigrams = new java.util.HashMap[String, Integer](m * 2)
+    var topBg = 0L
+    i = 0
+    while (i < m - 1) {
+      val g = toks(i) + " " + toks(i + 1)
+      val prev = bigrams.get(g)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      bigrams.put(g, c)
+      if (c > topBg) topBg = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      m.toLong, counts.size.toLong, topTok, topBg)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
   def markerCount(text: Column, words: Seq[String]): Column =
     Bridge.column(MarkerCountExpr(Bridge.expression(text), words))
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =

@@ -210,6 +210,36 @@ object GraftFunctions {
     // RE2 regexp_replace(..., '\s+', ' ', 'g')
     md5(trim(regexp_replace(lower(c), "[ \\t\\n\\f\\r]+", " ")))
 
+  // ---------------------------------------------------------------------
+  // PII detection / redaction (regex surface shared with the oracle)
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, written to evaluate IDENTICALLY under Java regex
+    * (Spark) and RE2 (DuckDB oracle): explicit char classes only — no
+    * \d/\s/\w (Java's are Unicode-tinged), no lookaround (RE2 has
+    * none). \b is the ASCII word boundary in both engines here because
+    * every boundary-adjacent char in the patterns is ASCII. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NNN-NNN-NNNN with -, . or space separators (NANP shape). */
+  val phoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Count of pattern matches in a string column (non-overlapping,
+    * leftmost-first — same in Java and RE2). */
+  def patternCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast(LongType)
+
+  /** Redact PII in-place: emails, then phones, then IPv4s, replaced by
+    * type tags. Sequential replacement on the running text, so the
+    * oracle twin is the same three nested regexp_replace(..., 'g')
+    * calls in the same order. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
   /** Rolling polynomial hash over whitespace tokens, mod 1e9+7 (keeps the
     * accumulator ANSI-overflow-safe: max acc*31 + h < 31e9 + 1e9 << 2^63).
     * Left fold, so DuckDB's list_reduce with a prepended 0 matches:

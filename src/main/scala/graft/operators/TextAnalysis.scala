@@ -64,6 +64,52 @@ object TextAnalysis {
         pmod(col("start_tok"), lit(cap.toLong)).as("seq_offset"))
   }
 
+  /** PII profile + redaction: per-pattern match counts (on the original
+    * text) and the text with emails/phones/IPv4s replaced by type tags —
+    * the scrub pass a training corpus runs before anything else ships.
+    * All regex built-ins, so the whole operator is one codegen'd
+    * map-only projection: zero shuffles at any corpus size.
+    */
+  def piiProfile(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      patternCount(col(textCol), emailRe).as("n_emails"),
+      patternCount(col(textCol), phoneRe).as("n_phones"),
+      patternCount(col(textCol), ipv4Re).as("n_ips"),
+      redactPii(col(textCol)).as("redacted"))
+
+  /** Gopher-style repetition-quality signals per document:
+    * duplicate-token fraction (1 - distinct/total), top-unigram
+    * fraction, top-bigram fraction (of bigram slots). High values mark
+    * boilerplate/spam for the curation filter. One compiled pass per
+    * doc ([[graft.expressions.RepetitionStatsExpr]]) — per-doc counting
+    * needs no cross-document data, so the operator is map-only; the
+    * exploded-token groupBy alternative would shuffle the entire token
+    * stream for a per-key answer that fits in one row.
+    */
+  def repetitionProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = graft.expressions.TextExpressions.repetitionStats(col(textCol))
+    // two-step select: the struct is one projected column; field
+    // extraction below stays CSE-deduped even if Catalyst collapses the
+    // projections (fallback-expression CSE measured in PLANS.md r3)
+    df.select(col(idCol).as("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        when(col("st.n_tokens") > 0L,
+          lit(1.0) - col("st.n_distinct").cast(DoubleType) /
+            col("st.n_tokens").cast(DoubleType)).otherwise(0.0)
+          .as("dup_token_frac"),
+        when(col("st.n_tokens") > 0L,
+          col("st.top_token").cast(DoubleType) /
+            col("st.n_tokens").cast(DoubleType)).otherwise(0.0)
+          .as("top_token_frac"),
+        when(col("st.n_tokens") > 1L,
+          col("st.top_bigram").cast(DoubleType) /
+            (col("st.n_tokens") - 1L).cast(DoubleType)).otherwise(0.0)
+          .as("top_bigram_frac"))
+  }
+
   /** Decontamination — benchmark n-gram overlap: flags training docs
     * sharing any word `n`-gram with the benchmark/eval set, with the
     * count of distinct shared shingles (the eval-leakage report every

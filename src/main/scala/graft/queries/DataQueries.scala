@@ -561,8 +561,84 @@ object DataQueries {
       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       |FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
+  /** PII scrub pass over an enriched corpus: the synthetic `documents`
+    * text carries no PII, so the query appends a DETERMINISTIC
+    * doc_id-derived suffix (an email, a NANP phone, an IPv4) before
+    * profiling — every pattern is exercised on every row, and the
+    * oracle replays the identical enrichment, so detection counts AND
+    * the redacted text get full cross-engine hash verification. A real
+    * corpus runs [[TextAnalysis.piiProfile]] on its text as-is. */
+  val t08PiiRedact: Q = (s, dir) => {
+    val enriched = Catalog(s, dir).documents.withColumn("text",
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast(StringType),
+        lit("@example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(1000L)).cast(StringType), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast(StringType), 4, "0"),
+        lit(" from 10.0."),
+        pmod(col("doc_id"), lit(256L)).cast(StringType),
+        lit(".7 today")))
+    TextAnalysis.piiProfile(enriched.repartition(col("doc_id")), "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val t08Sql: String = {
+    import graft.functions.GraftFunctions.{emailRe, phoneRe, ipv4Re}
+    s"""WITH e AS (SELECT doc_id, text || ' Contact user' ||
+       |  CAST(doc_id AS VARCHAR) || '@example.com or call 555-' ||
+       |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+       |  CAST(doc_id % 256 AS VARCHAR) || '.7 today' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g'),
+       |    '$ipv4Re', '<IP>', 'g') AS redacted
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** Gopher-style repetition signals; see
+    * [[TextAnalysis.repetitionProfile]]. */
+  val t09Repetition: Q = (s, dir) =>
+    TextAnalysis.repetitionProfile(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val t09Sql: String =
+    s"""WITH $toksCte,
+       |bg AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2
+       |  THEN list_transform(range(1, len(toks)),
+       |       i -> toks[i] || ' ' || toks[i+1])
+       |  ELSE [] END AS bgs FROM toks),
+       |m AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  COALESCE(list_max(list_transform(list_distinct(toks),
+       |    t -> len(list_filter(toks, x -> x = t)))), 0) AS top_token,
+       |  COALESCE(list_max(list_transform(list_distinct(bgs),
+       |    t -> len(list_filter(bgs, x -> x = t)))), 0) AS top_bigram
+       |  FROM bg)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens > 0
+       |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS dup_token_frac,
+       |  CASE WHEN n_tokens > 0
+       |    THEN CAST(top_token AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS top_token_frac,
+       |  CASE WHEN n_tokens > 1
+       |    THEN CAST(top_bigram AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+       |    ELSE 0.0 END AS top_bigram_frac
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01DedupExact,
+    "t08_pii_redact" -> t08PiiRedact,
+    "t09_repetition" -> t09Repetition,
     "d09_decontaminate" -> d09Decontaminate,
     "t06_seq_pack" -> t06SeqPack,
     "t07_quality_yield" -> t07QualityYield,
@@ -585,6 +661,8 @@ object DataQueries {
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
+    "t08_pii_redact" -> t08Sql,
+    "t09_repetition" -> t09Sql,
     "d09_decontaminate" -> d09Sql,
     "t06_seq_pack" -> t06Sql,
     "t07_quality_yield" -> t07Sql,

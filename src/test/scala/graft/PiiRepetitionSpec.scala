@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** PII profile/redaction (t08) and Gopher-style repetition signals
+  * (t09) — the curation-filter operators. */
+class PiiRepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiProfile: detects and redacts emails, phones, IPv4s") {
+    val docs = Seq(
+      (1L, "mail alice.smith+x@sub.example.org and bob@ex.io now"),
+      (2L, "call 555-123-4567 or 555 987 6543 today"),
+      (3L, "host 192.168.1.10 gateway 10.0.0.1"),
+      (4L, "clean text with no identifiers at all"),
+      (5L, "mixed a@b.co 555-000-1111 127.0.0.1 end")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiProfile(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 0 && out(0).getLong(3) == 0)
+    assert(out(0).getString(4) == "mail <EMAIL> and <EMAIL> now")
+    assert(out(1).getLong(2) == 2, "both separator styles")
+    assert(out(1).getString(4) == "call <PHONE> or <PHONE> today")
+    assert(out(2).getLong(3) == 2)
+    assert(out(2).getString(4) == "host <IP> gateway <IP>")
+    assert(out(3).getLong(1) == 0 && out(3).getLong(2) == 0 && out(3).getLong(3) == 0)
+    assert(out(3).getString(4) == "clean text with no identifiers at all")
+    assert(out(4).getString(4) == "mixed <EMAIL> <PHONE> <IP> end")
+  }
+
+  test("piiProfile: version strings and bare numbers are not IPs/phones") {
+    val docs = Seq(
+      (1L, "version 1.2.3 is out"),          // 3 octets, not 4
+      (2L, "id 1234567890 plain digits"),    // no separators
+      (3L, "semver 1.2.3.4 IS an ipv4 shape") // documented false positive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiProfile(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 0 && out(1).getLong(2) == 0 && out(1).getLong(3) == 0)
+    assert(out(2).getLong(3) == 1)
+  }
+
+  test("repetitionProfile: fractions match hand-computed counts") {
+    val docs = Seq(
+      (1L, "a a a a"),            // 4 tokens, 1 distinct, top tok 4, top bg "a a" x3
+      (2L, "a b a b a"),          // 5 toks, 2 distinct, top tok 3, bgs: ab,ba,ab,ba -> top 2 of 4
+      (3L, "w x y z"),            // all distinct, all bigrams unique
+      (4L, "solo"),               // 1 token, no bigrams
+      (5L, "")                    // empty -> all zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_token_frac", "top_token_frac", "top_bigram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out(0) == ((1L, 4L, 0.75, 1.0, 1.0)))
+    assert(out(1) == ((2L, 5L, 0.6, 0.6, 0.5)))
+    assert(out(2) == ((3L, 4L, 0.0, 0.25, 1.0 / 3.0)))
+    assert(out(3) == ((4L, 1L, 0.0, 1.0, 0.0)))
+    assert(out(4) == ((5L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("repetitionProfile: case-insensitive tokens; map-only plan (no Exchange)") {
+    val docs = Seq((1L, "The THE the")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(docs, "text", "doc_id").head
+    assert(out.getDouble(out.fieldIndex("top_token_frac")) == 1.0)
+    // per-doc stats must stay a map-only projection at any corpus size
+    val plan = TextAnalysis.repetitionProfile(
+      graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents,
+      "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val piiPlan = TextAnalysis.piiProfile(
+      graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents,
+      "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"), s"unexpected shuffle:\n$piiPlan")
+  }
+}
