@@ -169,18 +169,38 @@ object EventStreams {
   def upsertStream(spark: SparkSession, out: DataFrame, path: String,
                    uniqueKey: Seq[String],
                    outputMode: String = "update",
-                   partitionBy: Seq[String] = Nil): Unit = {
-    val q = out.writeStream
+                   partitionBy: Seq[String] = Nil): Unit =
+    upsertStreamQuery(spark, out, path, uniqueKey, outputMode, partitionBy,
+      Trigger.AvailableNow()).awaitTermination()
+
+  /** Trigger-parameterized form of [[upsertStream]], returning the
+    * running query: `Trigger.ProcessingTime(...)` gives the continuous
+    * micro-batch upsert (caller stops the query), `AvailableNow` the
+    * drain-and-stop cron tick. Merge semantics are identical — each
+    * micro-batch goes through the same crash-safe
+    * [[graft.pipeline.Pipeline.mergeIntoParquet]] swap.
+    *
+    * Concurrent-reader contract (pinned by StreamingSoakSpec): the
+    * merge publishes via whole-directory rename, so a concurrent
+    * parquet read sees the OLD state, the NEW state, or a transient
+    * missing-path error during the swap window (retry) — never a
+    * partial or mixed key set. A transactional table format would
+    * remove the transient-miss window; plain parquet dirs cannot. */
+  def upsertStreamQuery(spark: SparkSession, out: DataFrame, path: String,
+                        uniqueKey: Seq[String],
+                        outputMode: String = "update",
+                        partitionBy: Seq[String] = Nil,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.pipeline.Pipeline.mergeIntoParquet(
           spark, path, batch.toDF(), uniqueKey, partitionBy)
       }
       .outputMode(outputMode)
       .option("checkpointLocation", s"$path.__checkpoint")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
-  }
 
   /** Drain-everything-now runner (the cron-tick semantics): starts the
     * query with Trigger.AvailableNow on a memory sink and blocks until
