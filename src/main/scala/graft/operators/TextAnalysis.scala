@@ -64,6 +64,71 @@ object TextAnalysis {
         pmod(col("start_tok"), lit(cap.toLong)).as("seq_offset"))
   }
 
+  /** Containment decontamination — the directional complement of
+    * [[ngramOverlap]]: containment(train, bench) = |shared shingles| /
+    * |bench doc's shingles|. Jaccard misses an eval document EMBEDDED in
+    * a much larger training document (the union denominator swamps the
+    * intersection); containment flags it at ~1.0 regardless of the
+    * training doc's size — the standard leakage measure for
+    * partial-inclusion contamination.
+    *
+    * At scale: the benchmark side is tiny, so its shingle relation (and
+    * its per-doc shingle counts) BROADCAST; the corpus side is one
+    * explode pass into a map-side join, then ONE shuffle keyed
+    * (doc_id, bench_id) with map-side partial counts.
+    */
+  def containmentPairs(train: DataFrame, bench: DataFrame, textCol: String,
+                       idCol: String, n: Int,
+                       minContainment: Double = 0.0): DataFrame = {
+    val benchSh = bench.select(col(idCol).as("bench_id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+    val benchCt = benchSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("bench_shingles"))
+    // wordShingles is distinct-per-doc, so count(*) per (doc, bench)
+    // pair counts distinct shared shingles without a second distinct
+    val shared = train.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .join(broadcast(benchSh), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+    shared.join(broadcast(benchCt), Seq("bench_id"))
+      .withColumn("containment",
+        round(col("n_shared").cast(DoubleType) / col("bench_shingles"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        col("containment"))
+  }
+
+  /** Domain-mixture report: per-domain token shares and the α-smoothed
+    * sampling weights a pretraining run draws with (w_i ∝ share_i^α,
+    * normalized — α<1 upsamples small domains, the standard
+    * multilingual/multi-domain temperature trick). The per-domain
+    * aggregate is one partial-agg groupBy; the normalization joins
+    * against a broadcast single-row total, so nothing in the plan grows
+    * with corpus size — only with domain count.
+    */
+  def domainMixture(df: DataFrame, textCol: String, domainCol: String,
+                    alpha: Double): DataFrame = {
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast(LongType)).as("total_tokens"))
+    val smoothed = perDomain.withColumn("smoothed",
+      pow(col("total_tokens").cast(DoubleType), alpha))
+    // the smoothed total is a sum of DOUBLES — accumulate in decimal
+    // space so the result is order/partitioning-independent (the same
+    // contract as GraftFunctions.exactSum; a raw double sum would
+    // hash-diverge from the oracle on accumulation order)
+    val totals = smoothed.agg(
+      sum(col("total_tokens")).as("all_tokens"),
+      sum(col("smoothed").cast(DecimalType(28, 12))).cast(DoubleType)
+        .as("all_smoothed"))
+    smoothed.crossJoin(broadcast(totals))
+      .select(col(domainCol), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast(DoubleType) / col("all_tokens"), 6)
+          .as("token_share"),
+        round(col("smoothed") / col("all_smoothed"), 6).as("mix_weight"))
+  }
+
   /** PII profile + redaction: per-pattern match counts (on the original
     * text) and the text with emails/phones/IPv4s replaced by type tags —
     * the scrub pass a training corpus runs before anything else ships.

@@ -510,6 +510,62 @@ object DataQueries {
        |FROM train JOIN bench USING (g)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Containment decontamination (directional leakage): per
+    * (train doc, benchmark doc) pair, the fraction of the BENCHMARK
+    * doc's 4-token shingles found in the training doc — flags an eval
+    * set embedded inside a larger training document, which symmetric
+    * Jaccard (d02/d04) misses. Same deterministic 5% md5 benchmark
+    * split as d09; see [[TextAnalysis.containmentPairs]]. */
+  val d10ContainmentPairs: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val isBench =
+      pmod(md5Long(col("doc_id").cast(StringType)), lit(100L)) < 5L
+    TextAnalysis.containmentPairs(
+        docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", n = 4)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val d10Sql: String =
+    s"""WITH $toksCte,
+       |sh4 AS (SELECT doc_id, CASE WHEN len(toks) >= 4
+       |  THEN list_distinct(list_transform(range(1, len(toks)-2),
+       |       i -> array_to_string(toks[i:i+3], ' ')))
+       |  ELSE [] END AS sh FROM toks),
+       |bench AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM sh4
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 5),
+       |bct AS (SELECT bench_id, count(*) AS bench_shingles FROM bench GROUP BY 1),
+       |train AS (SELECT doc_id, unnest(sh) AS g FROM sh4
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 >= 5),
+       |shared AS (SELECT doc_id, bench_id, count(*) AS n_shared
+       |  FROM train JOIN bench USING (g) GROUP BY 1, 2)
+       |SELECT s.doc_id, s.bench_id, s.n_shared,
+       |  round(CAST(s.n_shared AS DOUBLE) / b.bench_shingles, 6) AS containment
+       |FROM shared s JOIN bct b USING (bench_id)
+       |ORDER BY s.doc_id, s.bench_id""".stripMargin
+
+  /** Domain-mixture sampling weights (α = 0.7 temperature); see
+    * [[TextAnalysis.domainMixture]]. */
+  val t10DomainMixture: Q = (s, dir) =>
+    TextAnalysis.domainMixture(Catalog(s, dir).documents, "text", "source",
+        alpha = 0.7)
+      .orderBy(col("source"))
+
+  val t10Sql: String =
+    """WITH d AS (SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+      |    x -> x <> ''))) AS BIGINT) AS total_tokens
+      |  FROM documents GROUP BY 1),
+      |sm AS (SELECT *, power(CAST(total_tokens AS DOUBLE), 0.7) AS smoothed
+      |  FROM d),
+      |tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS all_tokens,
+      |  CAST(SUM(CAST(smoothed AS DECIMAL(28,12))) AS DOUBLE) AS all_smoothed
+      |  FROM sm)
+      |SELECT source, n_docs, total_tokens,
+      |  round(CAST(total_tokens AS DOUBLE) / all_tokens, 6) AS token_share,
+      |  round(smoothed / all_smoothed, 6) AS mix_weight
+      |FROM sm, tot ORDER BY source NULLS FIRST""".stripMargin
+
   /** Corpus-curation yield report: docs and tokens surviving the
     * quality gate (quality >= 0.75, [[graft.functions.GraftFunctions
     * .qualityScore]]), per source — the filter-decision summary every
@@ -639,7 +695,9 @@ object DataQueries {
     "d01_dedup_exact" -> d01DedupExact,
     "t08_pii_redact" -> t08PiiRedact,
     "t09_repetition" -> t09Repetition,
+    "t10_domain_mixture" -> t10DomainMixture,
     "d09_decontaminate" -> d09Decontaminate,
+    "d10_containment" -> d10ContainmentPairs,
     "t06_seq_pack" -> t06SeqPack,
     "t07_quality_yield" -> t07QualityYield,
     "d08_neardup_groups" -> d08NearDupGroups,
@@ -663,7 +721,9 @@ object DataQueries {
     "d01_dedup_exact" -> d01Sql,
     "t08_pii_redact" -> t08Sql,
     "t09_repetition" -> t09Sql,
+    "t10_domain_mixture" -> t10Sql,
     "d09_decontaminate" -> d09Sql,
+    "d10_containment" -> d10Sql,
     "t06_seq_pack" -> t06Sql,
     "t07_quality_yield" -> t07Sql,
     "d08_neardup_groups" -> d08Sql,

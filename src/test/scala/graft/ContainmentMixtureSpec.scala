@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Containment decontamination (d10) and domain-mixture weights (t10). */
+class ContainmentMixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containmentPairs: an embedded eval doc scores ~1.0 where Jaccard would miss it") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // train doc 1 CONTAINS the bench doc verbatim inside much more text;
+    // train doc 2 shares nothing
+    val train = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 alpha beta gamma delta epsilon y1 y2 y3 y4 y5 y6 y7 y8"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.containmentPairs(train, bench, "text", "doc_id", n = 3)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 100L)
+    // bench has 3 trigram shingles, all present in train doc 1
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.0)
+    // the symmetric Jaccard over the same shingles would be 3/(19+3) —
+    // far below any dedup threshold; containment is the right measure
+  }
+
+  test("containmentPairs: threshold filters, partial overlap is fractional") {
+    val bench = Seq((9L, "a b c d e f")).toDF("doc_id", "text") // 4 trigrams
+    val train = Seq((1L, "a b c d zz")).toDF("doc_id", "text")  // shares 2 of 4
+    val out = TextAnalysis.containmentPairs(train, bench, "text", "doc_id", n = 3)
+      .collect()
+    assert(out.head.getLong(2) == 2L && out.head.getDouble(3) == 0.5)
+    assert(TextAnalysis.containmentPairs(
+      train, bench, "text", "doc_id", n = 3, minContainment = 0.6).isEmpty)
+  }
+
+  test("domainMixture: alpha<1 upsamples small domains; weights sum to ~1") {
+    // 90 vs 10 tokens across two domains
+    val docs = Seq(
+      (1L, Seq.fill(90)("w").mkString(" "), "big"),
+      (2L, Seq.fill(10)("w").mkString(" "), "small")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.domainMixture(docs, "text", "source", alpha = 0.5)
+      .orderBy("source").collect()
+    val big = out.find(_.getString(0) == "big").get
+    val small = out.find(_.getString(0) == "small").get
+    assert(big.getLong(1) == 1 && big.getLong(2) == 90L)
+    assert(big.getDouble(3) == 0.9 && small.getDouble(3) == 0.1)
+    // sqrt smoothing: 9.4868/(9.4868+3.1623) = 0.75, 0.25
+    assert(math.abs(big.getDouble(4) - 0.75) < 1e-4)
+    assert(math.abs(small.getDouble(4) - 0.25) < 1e-4)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+    // alpha = 1 degenerates to raw token shares
+    val raw = TextAnalysis.domainMixture(docs, "text", "source", alpha = 1.0)
+      .orderBy("source").collect()
+    raw.foreach(r => assert(r.getDouble(3) == r.getDouble(4)))
+  }
+}
