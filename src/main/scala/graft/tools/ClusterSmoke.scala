@@ -29,9 +29,12 @@ object ClusterSmoke {
 
   /** Queries exercising the constructs that can break across JVMs: the
     * shared scratch cut-point (d02/d08), a multi-join shuffle (q03), a
-    * window (q07), a broadcast-dim ANN (e02), and a text kernel (t03). */
+    * window (q07), a broadcast-dim ANN (e02), a text kernel (t03), a
+    * struct-returning compiled expression (t09), a broadcast-normalized
+    * aggregate (t10), and a broadcast containment join (d10). */
   private val subset = Seq("d02_dedup_minhash", "d08_neardup_groups",
-    "q03_dim_double_join", "q07_window", "e02_ann_ivf", "t03_fingerprint")
+    "q03_dim_double_join", "q07_window", "e02_ann_ivf", "t03_fingerprint",
+    "t09_repetition", "t10_domain_mixture", "d10_containment")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
