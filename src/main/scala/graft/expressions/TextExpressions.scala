@@ -278,9 +278,58 @@ case class RepetitionStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Unigram-LM document scoring in ONE tokenize pass: per whitespace
+  * token of lower(text), look up a QUANTIZED log-probability (scaled to
+  * integer nano-nats: floor(ln(p)*1e9 + 0.5), out-of-vocabulary tokens
+  * take `oovLogpU`) and return (n_tokens, Σ logp_u). Integer
+  * accumulation makes the per-doc sum exact and order-independent — a
+  * double Σ ln(p) would hash-diverge from the oracle on accumulation
+  * order. The vocab map is a driver-built literal (bounded by the
+  * vocab-size contract), so scoring is map-only at any corpus size.
+  * Twin of the DuckDB vocab-join oracle (DataQueries.t11Sql).
+  */
+case class LmScoreExpr(child: Expression, logpU: Map[String, Long], oovLogpU: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_logp_u",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_lm_score"
+
+  @transient private lazy val lookup: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](logpU.size * 2)
+    logpU.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashExpressions.whitespace
+      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    var n = 0L
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (!toks(i).isEmpty) {
+        n += 1
+        val lp = lookup.get(toks(i))
+        sum += (if (lp == null) oovLogpU else lp.longValue())
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
+  def lmScore(text: Column, logpU: Map[String, Long], oovLogpU: Long): Column =
+    Bridge.column(LmScoreExpr(Bridge.expression(text), logpU, oovLogpU))
   def repetitionStats(text: Column): Column =
     Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
   def markerCount(text: Column, words: Seq[String]): Column =

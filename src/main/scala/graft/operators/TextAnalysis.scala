@@ -129,6 +129,54 @@ object TextAnalysis {
         round(col("smoothed") / col("all_smoothed"), 6).as("mix_weight"))
   }
 
+  /** Unigram language model from a (sampled) corpus: top-`vocab` tokens
+    * by count with quantized log-probs relative to the TOTAL token count
+    * (so OOV mass is implicit: p_oov = 1/total). Returned driver-side —
+    * the LM is bounded by `vocab` (the same small-by-contract collect as
+    * a broadcast dim); the build itself is one explode+groupBy shuffle
+    * over the LM sample plus a TakeOrderedAndProject top-k, so at 100 TB
+    * you build the LM from a deterministic sample, never the full
+    * corpus.
+    *
+    * Log-probs are quantized to integer nano-nats via
+    * floor(ln(p)*1e9 + 0.5) — floor(x+0.5), NOT round(): Scala/Java
+    * round and DuckDB round disagree on negative half-way values
+    * (half-up vs half-away-from-zero), floor(x+0.5) is identical
+    * everywhere. */
+  def unigramLm(lmCorpus: DataFrame, textCol: String,
+                vocab: Int): (Map[String, Long], Long) = {
+    val counts = lmCorpus
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    require(total > 0, "unigramLm: LM corpus has no tokens")
+    def quant(p: Double): Long = math.floor(math.log(p) * 1e9 + 0.5).toLong
+    val top = counts.orderBy(col("n").desc, col("tok"))
+      .limit(vocab).collect()
+    val lm = top.map(r =>
+      r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
+    (lm, quant(1.0 / total))
+  }
+
+  /** Per-document cross-entropy under a unigram LM (CCNet-style quality
+    * signal: low = in-distribution, high = noise/foreign): mean negative
+    * log-prob per token in nats, OOV at the 1/total floor. Scoring is
+    * ONE compiled map-only pass per doc ([[graft.expressions
+    * .LmScoreExpr]] with the LM as a literal) — no join, no shuffle, at
+    * any corpus size. */
+  def lmCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+                     lm: Map[String, Long], oovLogpU: Long): DataFrame = {
+    val st = graft.expressions.TextExpressions.lmScore(col(textCol), lm, oovLogpU)
+    df.select(col(idCol).as("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        when(col("st.n_tokens") > 0L,
+          round((-col("st.sum_logp_u").cast(DoubleType) / 1e9) /
+            col("st.n_tokens").cast(DoubleType), 6)).otherwise(0.0)
+          .as("cross_entropy"))
+  }
+
   /** PII profile + redaction: per-pattern match counts (on the original
     * text) and the text with emails/phones/IPv4s replaced by type tags —
     * the scrub pass a training corpus runs before anything else ships.

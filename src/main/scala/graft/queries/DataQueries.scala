@@ -566,6 +566,42 @@ object DataQueries {
       |  round(smoothed / all_smoothed, 6) AS mix_weight
       |FROM sm, tot ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Unigram-LM cross-entropy (CCNet-style quality signal): LM built
+    * from a deterministic 5% md5 sample (d09's split contract), every
+    * doc scored map-only against the broadcast-literal vocab; see
+    * [[TextAnalysis.unigramLm]] / [[TextAnalysis.lmCrossEntropy]]. */
+  val t11LmScore: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val isLm = pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L
+    val (lm, oov) = TextAnalysis.unigramLm(docs.filter(isLm), "text", vocab = 1000)
+    TextAnalysis.lmCrossEntropy(
+        docs.repartition(col("doc_id")), "text", "doc_id", lm, oov)
+      .orderBy(col("doc_id"))
+  }
+
+  val t11Sql: String =
+    s"""WITH $toksCte,
+       |lmd AS (SELECT toks FROM toks
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
+       |cnt AS (SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest(toks) AS tok FROM lmd) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+       |vcb AS (SELECT tok,
+       |  CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM cnt, tot ORDER BY n DESC, tok LIMIT 1000),
+       |oov AS (SELECT CAST(floor(ln(1.0 / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM tot),
+       |nn AS (SELECT doc_id, len(toks) AS n_tokens FROM toks),
+       |tr AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+       |ps AS (SELECT tr.doc_id, SUM(COALESCE(v.lp, o.lp)) AS sum_lp
+       |  FROM tr LEFT JOIN vcb v USING (tok) CROSS JOIN oov o GROUP BY 1)
+       |SELECT nn.doc_id, CAST(nn.n_tokens AS BIGINT) AS n_tokens,
+       |  CASE WHEN nn.n_tokens > 0
+       |    THEN round((-CAST(ps.sum_lp AS DOUBLE) / 1e9) / nn.n_tokens, 6)
+       |    ELSE 0.0 END AS cross_entropy
+       |FROM nn LEFT JOIN ps USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus-curation yield report: docs and tokens surviving the
     * quality gate (quality >= 0.75, [[graft.functions.GraftFunctions
     * .qualityScore]]), per source — the filter-decision summary every
@@ -696,6 +732,7 @@ object DataQueries {
     "t08_pii_redact" -> t08PiiRedact,
     "t09_repetition" -> t09Repetition,
     "t10_domain_mixture" -> t10DomainMixture,
+    "t11_lm_score" -> t11LmScore,
     "d09_decontaminate" -> d09Decontaminate,
     "d10_containment" -> d10ContainmentPairs,
     "t06_seq_pack" -> t06SeqPack,
@@ -722,6 +759,7 @@ object DataQueries {
     "t08_pii_redact" -> t08Sql,
     "t09_repetition" -> t09Sql,
     "t10_domain_mixture" -> t10Sql,
+    "t11_lm_score" -> t11Sql,
     "d09_decontaminate" -> d09Sql,
     "d10_containment" -> d10Sql,
     "t06_seq_pack" -> t06Sql,

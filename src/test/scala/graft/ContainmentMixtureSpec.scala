@@ -37,6 +37,41 @@ class ContainmentMixtureSpec extends SparkSpec {
       train, bench, "text", "doc_id", n = 3, minContainment = 0.6).isEmpty)
   }
 
+  test("unigramLm + lmCrossEntropy: in-distribution text scores lower than OOV text") {
+    // LM corpus: heavily "the cat sat" flavored
+    val lmCorpus = Seq.tabulate(10)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val (lm, oov) = TextAnalysis.unigramLm(lmCorpus, "text", vocab = 100)
+    assert(lm.size == 5, "vocab: the/cat/sat/on/mat")
+    // p(the) = 20/60; quantized nano-nats match floor(ln(p)*1e9 + 0.5)
+    assert(lm("the") == math.floor(math.log(20.0 / 60) * 1e9 + 0.5).toLong)
+    assert(oov == math.floor(math.log(1.0 / 60) * 1e9 + 0.5).toLong)
+
+    val docs = Seq(
+      (1L, "the cat sat"),           // fully in-vocab
+      (2L, "zebra quark flux"),      // fully OOV
+      (3L, "")                       // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossEntropy(docs, "text", "doc_id", lm, oov)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cross_entropy")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0)._3 < out(1)._3, "in-distribution < OOV")
+    // OOV doc: every token at the floor => ce == -ln(1/60)
+    assert(math.abs(out(1)._3 - (-math.log(1.0 / 60))) < 1e-6)
+    assert(out(2) == ((3L, 0L, 0.0)))
+    // scoring is map-only: no Exchange in the plan
+    val plan = TextAnalysis.lmCrossEntropy(docs, "text", "doc_id", lm, oov)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("unigramLm: vocab cutoff is deterministic (count desc, token asc)") {
+    val lmCorpus = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val (lm, _) = TextAnalysis.unigramLm(lmCorpus, "text", vocab = 2)
+    assert(lm.keySet == Set("a", "b"), "tie at count 2 -> lexicographic; c cut")
+  }
+
   test("domainMixture: alpha<1 upsamples small domains; weights sum to ~1") {
     // 90 vs 10 tokens across two domains
     val docs = Seq(
