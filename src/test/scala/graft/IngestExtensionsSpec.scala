@@ -209,6 +209,24 @@ class IngestExtensionsSpec extends SparkSpec {
     assert(grouped == Seq(1.10, 2.20, 3.33))
   }
 
+  test("GraftExtensions: repetition stats and PII redaction SQL forms match the engine path") {
+    GraftExtensions.register(spark)
+    Seq((1L, "a a B b Contact x@y.io or 555-123-4567 at 10.0.0.1 now"))
+      .toDF("doc_id", "text").createOrReplaceTempView("rep_t")
+    val st = spark.sql(
+      "SELECT graft_repetition_stats(text) AS st FROM rep_t").head
+      .getStruct(0)
+    // 11 tokens lowercased: a a b b contact x@y.io or 555-123-4567 at 10.0.0.1 now
+    assert(st.getLong(0) == 11L, "n_tokens")
+    assert(st.getLong(2) == 2L, "top token (a or b) x2")
+    val red = spark.sql("SELECT graft_redact_pii(text) AS r FROM rep_t").head.getString(0)
+    assert(red == "a a B b Contact <EMAIL> or <PHONE> at <IP> now")
+    // bit-equal to the Column API
+    val viaCol = spark.table("rep_t")
+      .select(graft.functions.GraftFunctions.redactPii(col("text"))).head.getString(0)
+    assert(red == viaCol)
+  }
+
   test("GraftExtensions: wrong argument counts raise contract errors, not IndexOutOfBounds") {
     GraftExtensions.register(spark)
     Seq(("a", 1.0)).toDF("id", "x").createOrReplaceTempView("arity_t")
