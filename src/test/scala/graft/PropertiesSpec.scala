@@ -109,4 +109,60 @@ class PropertiesSpec extends SparkSpec {
     val expected = texts.zipWithIndex.groupBy(_._1).map { case (_, g) => g.map(_._2).min.toLong }.toSet
     assert(kept.map(_._1).toSet == expected)
   }
+
+  test("repetition stats: count bounds hold on random token streams") {
+    val docs = Seq.fill(400)(
+      Seq.fill(rnd.nextInt(30))(s"t${rnd.nextInt(8)}").mkString(" "))
+      .toDF("text")
+    val st = graft.expressions.TextExpressions.repetitionStats(col("text"))
+    val bad = docs.select(st.as("st")).filter(
+      col("st.n_distinct") > col("st.n_tokens") ||
+      col("st.top_token") > col("st.n_tokens") ||
+      // the top token appears at least ceil(n/distinct) times (pigeonhole)
+      (col("st.n_tokens") > 0 &&
+        col("st.top_token") * col("st.n_distinct") < col("st.n_tokens")) ||
+      col("st.top_bigram") > greatest(col("st.n_tokens") - 1, lit(0L)) ||
+      (col("st.n_tokens") === 0 &&
+        (col("st.n_distinct") =!= 0 || col("st.top_token") =!= 0 ||
+         col("st.top_bigram") =!= 0)))
+    assert(bad.count() == 0)
+  }
+
+  test("PII redaction: a redacted text contains no remaining matches; counts non-negative") {
+    def piiish(): String = {
+      val bits = Seq(
+        s"user${rnd.nextInt(99)}@ex${rnd.nextInt(9)}.org",
+        s"${100 + rnd.nextInt(900)}-${100 + rnd.nextInt(900)}-${1000 + rnd.nextInt(9000)}",
+        s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}",
+        s"word${rnd.nextInt(50)}", s"x@y.io${rnd.nextInt(256)}.0.0.1") // adjacent PII
+      Seq.fill(rnd.nextInt(8))(bits(rnd.nextInt(bits.size))).mkString(" ")
+    }
+    val docs = Seq.fill(300)(piiish()).toDF("text")
+    val red = docs.select(redactPii(col("text")).as("r"),
+      patternCount(col("text"), emailRe).as("ne"),
+      patternCount(col("text"), phoneRe).as("np"),
+      patternCount(col("text"), ipv4Re).as("ni"))
+    val bad = red.filter(
+      patternCount(col("r"), emailRe) =!= 0 ||
+      patternCount(col("r"), phoneRe) =!= 0 ||
+      patternCount(col("r"), ipv4Re) =!= 0 ||
+      col("ne") < 0 || col("np") < 0 || col("ni") < 0)
+    assert(bad.count() == 0)
+  }
+
+  test("LM score: fully-OOV text scores exactly the floor; sum bounded by n * floor") {
+    val lm = Map("a" -> -100L, "b" -> -200L)
+    val oov = -5000L
+    val docs = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(20))(
+        Seq("a", "b", "zz", "qq")(rnd.nextInt(4))).mkString(" "))
+      .toDF("text")
+    val st = graft.expressions.TextExpressions.lmScore(col("text"), lm, oov)
+    // every token contributes in [oov, max(lm)] (all logps negative);
+    // n_tokens * oov is the worst case, n_tokens * -100 the best
+    val bad = docs.select(st.as("st")).filter(
+      col("st.sum_logp_u") < col("st.n_tokens") * oov ||
+      col("st.sum_logp_u") > col("st.n_tokens") * -100L)
+    assert(bad.count() == 0)
+  }
 }
