@@ -163,6 +163,10 @@ object Pipeline {
     // Pin the on-disk schema to the increment's: partition-column type
     // inference would otherwise re-type numeric-looking string partition
     // values ("007" -> 7) and corrupt them through the merge round-trip.
+    // This also makes the increment's schema AUTHORITATIVE under schema
+    // evolution: a column the increment adds is NULL-backfilled on
+    // retained rows (reading old footers through the wider schema), and
+    // a column the increment dropped disappears from the relation.
     val existing = spark.read.schema(increment.schema).parquet(path)
     def dropKeyed(df: DataFrame): DataFrame =
       if (uniqueKey.isEmpty) df
@@ -170,7 +174,18 @@ object Pipeline {
         increment.select(uniqueKey.map(increment(_)): _*).distinct(),
         uniqueKey, "left_anti")
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__incremental_tmp")
-    if (!partitionScoped) {
+    // The partition-scoped fast path rewrites ONLY the affected dirs, so
+    // a schema-CHANGING increment would leave untouched partitions with
+    // the old footer schema — a mixed-schema relation that plain readers
+    // resolve arbitrarily (parquet picks one footer unless mergeSchema).
+    // A schema change therefore falls back to the full-table merge,
+    // which rewrites every file under the new schema in one crash-safe
+    // swap. Schema migrations are rare; per-migration full rewrite is
+    // the correct price.
+    val sameDiskSchema = !partitionScoped ||
+      spark.read.parquet(path).schema.fieldNames.toSet ==
+        increment.schema.fieldNames.toSet
+    if (!partitionScoped || !sameDiskSchema) {
       writeParquet(dropKeyed(existing).unionByName(increment), tmp.toString,
         partitionBy)
       swapIn(f, p, tmp)

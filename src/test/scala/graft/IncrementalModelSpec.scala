@@ -47,6 +47,53 @@ class IncrementalModelSpec extends SparkSpec {
       "matching key replaced, new appended, untouched kept")
   }
 
+  test("schema evolution: added column NULL-backfills retained rows; dropped column disappears") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc-ev").toString + "/rel"
+    mergeIntoParquet(spark,
+      tmp, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    // increment ADDS column w and updates id=2
+    mergeIntoParquet(spark,
+      tmp, Seq((2L, "b2", 9.9), (3L, "c", 1.1)).toDF("id", "v", "w"), Seq("id"))
+    val rows = spark.read.parquet(tmp).orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b2", Some(9.9)), (3L, "c", Some(1.1))),
+      "retained row NULL-backfilled, merged rows carry the new column")
+    // increment DROPS column w: the increment's schema is authoritative
+    mergeIntoParquet(spark, tmp, Seq((4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(spark.read.parquet(tmp).columns.toSeq == Seq("id", "v"),
+      "dropped column disappears from the relation")
+    assert(spark.read.parquet(tmp).count() == 4)
+  }
+
+  test("schema evolution on a PARTITIONED relation falls back to a full rewrite (no mixed footers)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc-evp").toString + "/rel"
+    mergeIntoParquet(spark,
+      tmp, Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("id", "part", "v"),
+      uniqueKey = Seq("id", "part"), partitionBy = Seq("part"))
+    // schema-changing increment touches ONLY partition p2; the fast path
+    // would leave p1's footers without column w
+    mergeIntoParquet(spark,
+      tmp, Seq((2L, "p2", "b2", 7.0)).toDF("id", "part", "v", "w"),
+      uniqueKey = Seq("id", "part"), partitionBy = Seq("part"))
+    // a PLAIN read (no pinned schema, no mergeSchema) must already see
+    // the new column on every row — i.e. every footer was rewritten
+    val plain = spark.read.parquet(tmp)
+    assert(plain.columns.contains("w"), "new column visible to plain readers")
+    val rows = plain.orderBy("id")
+      .select("id", "part", "v", "w")
+      .as[(Long, String, String, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, "p1", "a", None), (2L, "p2", "b2", Some(7.0))))
+    // and the untouched-partition file itself carries the new schema
+    val p1Only = spark.read.parquet(s"$tmp/part=p1")
+    assert(p1Only.columns.contains("w"), "p1 footers rewritten under the new schema")
+    // a SAME-schema partitioned increment still takes the scoped path
+    // (sanity: semantics unchanged)
+    mergeIntoParquet(spark,
+      tmp, Seq((3L, "p1", "e", 2.0)).toDF("id", "part", "v", "w"),
+      uniqueKey = Seq("id", "part"), partitionBy = Seq("part"))
+    assert(spark.read.parquet(tmp).count() == 3)
+  }
+
   test("incremental: no unique key appends wholesale; NULL-keyed rows survive") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
