@@ -74,7 +74,13 @@ object DataQueries {
     * lineage recomputes the identical deterministic result. */
   private val sharedPairs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def minhashPairsShared(s: SparkSession, dir: String): DataFrame = {
+  private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the thunk more
+    // than once under concurrent first callers — here the thunk WRITES
+    // parquet, and two racing overwrite writes to the same scratch dir
+    // could interleave into a corrupt relation. Coarse lock is fine:
+    // after the first build every call is a map hit.
+    synchronized {
     // entries for stopped sessions are dead weight in a long-lived JVM
     // that creates many sessions — drop them before (possibly) adding one
     sharedPairs.keys.foreach { case k @ (sess, _) =>
