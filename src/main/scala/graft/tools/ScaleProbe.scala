@@ -86,6 +86,25 @@ object ScaleProbe {
     t(s"connected_components_${nChains * 999}edges")(
       Dedup.connectedComponents(chain, maxIter = 30))
 
+    // round-5 curation operators: t08/t09 claim map-only linearity;
+    // t11's LM build is bounded by the 5% sample + top-1000 cutoff and
+    // scoring is map-only; d10's bench side is 5% (grows here, but
+    // real benchmarks are fixed-size eval suites)
+    t("pii_profile")(TextAnalysis.piiProfile(docs, "text", "doc_id"))
+    t("repetition_profile")(TextAnalysis.repetitionProfile(docs, "text", "doc_id"))
+    t("lm_build_and_score") {
+      val isLm = pmod(graft.functions.GraftFunctions.md5Long(
+        col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
+      val (lm, oov) = TextAnalysis.unigramLm(docs.filter(isLm), "text", vocab = 1000)
+      TextAnalysis.lmCrossEntropy(docs, "text", "doc_id", lm, oov)
+    }
+    t("containment_pairs") {
+      val isBench = pmod(graft.functions.GraftFunctions.md5Long(
+        col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(100L)) < 5L
+      TextAnalysis.containmentPairs(
+        docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", n = 4)
+    }
+
     // d05 audit-budget flatness: the exact all-pairs recall audit
     // samples an ABSOLUTE ~128-row budget via a corpus-size-derived
     // modulus, so its cost must stay flat as the corpus grows
