@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed by per-partition batch
@@ -172,6 +173,34 @@ object Multimodal {
         // (real impl: init image codec/scaler here, once per partition)
         rows.map(r => r.copy(bytes = stubResize(r.bytes, factor)))
       }
+  }
+
+  /** Fixed-size byte-range chunking — the media SHARDING step a
+    * training pipeline runs before transport or batch assembly (split
+    * oversized payloads into cache-line-friendly ranges; reassembly is
+    * ordered concat by chunk_index). Unlike the decode kernels this is
+    * byte-level truth, fully hash-verified by the m05 oracle.
+    *
+    * All built-ins (codegen'd): explode of a computed index range plus
+    * a binary substring — a map-side fan-out inside the scan stage, no
+    * shuffle, no per-element lambdas. Empty payloads emit no chunks
+    * (explicit filter: `sequence(0, -1)` would DESCEND and fabricate
+    * phantom chunks, the classic Spark sequence gotcha). */
+  def chunk(media: Dataset[MediaRow], chunkSize: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    media.toDF()
+      .withColumn("__n_chunks",
+        ceil(length(col("bytes")).cast(DoubleType) / chunkSize).cast(IntegerType))
+      .filter(col("__n_chunks") > 0)
+      .select(col("media_id"), col("bytes"),
+        explode(sequence(lit(0), col("__n_chunks") - 1)).as("chunk_index"))
+      .select(col("media_id"), col("chunk_index").cast(LongType).as("chunk_index"),
+        col("bytes").substr(col("chunk_index") * chunkSize + 1, lit(chunkSize))
+          .as("chunk_bytes"))
+      .select(col("media_id"), col("chunk_index"),
+        length(col("chunk_bytes")).cast(LongType).as("n_chunk_bytes"),
+        md5(col("chunk_bytes")).as("chunk_md5"))
   }
 
   /** Join extracted media features back onto a relational table — the

@@ -98,11 +98,37 @@ object MediaQueries {
       |  AND text IS NOT NULL
       |ORDER BY media_id""".stripMargin
 
+  /** Byte-range chunking (media sharding for transport / batch
+    * assembly): every chunk's length AND md5 hash-checked, so the
+    * slicing arithmetic and the bytes themselves are verified. The
+    * oracle slices VARCHAR — byte == char offsets because the corpus is
+    * ASCII (asserted: octet_length == length on every doc; a non-ASCII
+    * corpus would need a BLOB-slicing oracle). */
+  val m05Chunk: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.chunk(
+        Multimodal.fromDocuments(Catalog(s, dir).documents), chunkSize = 256)
+      .orderBy(col("media_id"), col("chunk_index"))
+  }
+
+  val m05Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0),
+      |c AS (SELECT doc_id, text,
+      |  unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS chunk_index
+      |  FROM d)
+      |SELECT doc_id AS media_id, chunk_index,
+      |  CAST(length(substring(text, chunk_index * 256 + 1, 256)) AS BIGINT)
+      |    AS n_chunk_bytes,
+      |  md5(substring(text, chunk_index * 256 + 1, 256)) AS chunk_md5
+      |FROM c ORDER BY media_id, chunk_index""".stripMargin
+
   val all: Map[String, Q] = Map(
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
     "m04_resize" -> m04Resize,
+    "m05_chunk" -> m05Chunk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -110,5 +136,6 @@ object MediaQueries {
     // m02: stub LCG features — rows-only by design
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
+    "m05_chunk" -> m05Sql,
   )
 }

@@ -90,4 +90,28 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(table.columns.toSet ==
       Set("media_id", "n_bytes", "checksum", "embedding"))
   }
+
+  test("multimodal chunking: exact coverage, ordered reassembly, no phantom chunks on empty payloads") {
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    val media = Seq(
+      MediaRow(1L, "image", payload, "image/fake", Map()),
+      MediaRow(2L, "audio", Array.tabulate(256)(_.toByte), "audio/fake", Map()), // exact multiple
+      MediaRow(3L, "video", Array[Byte](7), "video/fake", Map()),                // single byte
+      MediaRow(4L, "image", Array.empty[Byte], "image/fake", Map()))             // empty
+      .toDS()
+    val chunks = Multimodal.chunk(media, chunkSize = 256)
+      .orderBy("media_id", "chunk_index").collect()
+    // 1000 -> 4 chunks (256,256,256,232); 256 -> 1; 1 -> 1; empty -> none
+    assert(chunks.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L, 1L, 2L, 3L))
+    assert(chunks.map(_.getLong(2)).toSeq == Seq(256L, 256L, 256L, 232L, 256L, 1L))
+    // md5 of each range matches a direct digest of the same byte slice
+    val md = java.security.MessageDigest.getInstance("MD5")
+    chunks.filter(_.getLong(0) == 1L).foreach { r =>
+      val i = r.getLong(1).toInt
+      val slice = payload.slice(i * 256, math.min((i + 1) * 256, payload.length))
+      val hex = md.digest(slice).map("%02x".format(_)).mkString
+      md.reset()
+      assert(r.getString(3) == hex, s"chunk $i md5")
+    }
+  }
 }
