@@ -134,6 +134,88 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encode: split a `dim`-vector into `m`
+  * subvectors; per subspace pick the codebook row with minimum squared
+  * L2 distance (computed as ip(a,a) - 2ip(a,b) + ip(b,b), each inner
+  * product a sequential left fold — bit-matching DuckDB's
+  * list_inner_product over the same slices). Ties keep the LOWEST
+  * codebook index. Returns struct(codes array<long>, err double) where
+  * err is the left-fold (by subspace order) sum of per-subspace minimum
+  * distances — the reconstruction error.
+  *
+  * The codebook is a driver-built literal (k rows, bounded by the
+  * quantizer-size contract), so encoding is MAP-ONLY at any corpus
+  * size — the property that makes PQ the memory-scale path for ANN
+  * (codes are m bytes-ish per vector instead of dim doubles).
+  * A vector whose width differs from the codebook's -> null.
+  * CodegenFallback: the per-row m*k*sub flop loop dominates the one
+  * virtual call.
+  */
+case class PqEncodeExpr(child: Expression, codebook: Seq[Seq[Double]], m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(m >= 1, s"pq m must be >= 1, got $m")
+  require(codebook.nonEmpty, "pq codebook must be non-empty")
+  private val dim = codebook.head.length
+  require(codebook.forall(_.length == dim),
+    "pq codebook rows must share one width")
+  require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes",
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("err", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val sub = dim / m
+    val codes = new Array[Long](m)
+    var err = 0.0
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = 0.0
+      var c = 0
+      while (c < cb.length) {
+        var ipaa = 0.0; var ipab = 0.0; var ipbb = 0.0
+        var i = j * sub
+        val end = (j + 1) * sub
+        while (i < end) {
+          if (v.isNullAt(i)) return null
+          val a = v.getDouble(i); val b = cb(c)(i)
+          ipaa += a * a; ipab += a * b; ipbb += b * b
+          i += 1
+        }
+        val d2 = ipaa - 2 * ipab + ipbb
+        if (best < 0 || d2 < bestD) { best = c; bestD = d2 }
+        c += 1
+      }
+      codes(j) = best.toLong
+      err += bestD
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), err)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Analysis-time input check shared by the vector expressions: both
@@ -163,4 +245,7 @@ object VectorExpressions {
     Bridge.column(DotProductExpr(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+  def pqEncode(v: Column, codebook: Seq[Seq[Double]], m: Int): Column =
+    Bridge.column(PqEncodeExpr(
+      Bridge.expression(v.cast("array<double>")), codebook, m))
 }

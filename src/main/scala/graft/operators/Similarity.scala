@@ -100,6 +100,32 @@ object Similarity {
         col("id"), col("cos_r").as("cosine"))
   }
 
+  /** Product-quantization encode — the memory-scale path for ANN
+    * (IVF-PQ's second half): each vector compresses to `m` codebook
+    * indices plus a reconstruction error. The codebook rows are the
+    * corpus vectors named by `centroidIds` in id order (the same
+    * deterministic stand-in contract as [[cellAssignments]]'s coarse
+    * quantizer — a trained k-means codebook slots in identically),
+    * collected driver-side (bounded by the quantizer-size contract,
+    * like a broadcast dim) so encoding is ONE compiled map-only pass —
+    * no join, no shuffle, at any corpus size. Degenerate (zero-norm)
+    * vectors are excluded, as everywhere in the cosine operators. */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+               m: Int, centroidIds: Seq[Long]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val codebook: Seq[Seq[Double]] = c
+      .filter(col("id").isInCollection(centroidIds))
+      .orderBy(col("id"))
+      .collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val st = graft.expressions.VectorExpressions.pqEncode(col("v"), codebook, m)
+    c.select(col("id"), st.as("st"))
+      .filter(col("st").isNotNull) // width-mismatched vectors drop, not NPE
+      .select(col("id"), col("st.codes").as("codes"),
+        round(col("st.err"), 6).as("recon_err"))
+  }
+
   /** Random-hyperplane LSH bucket key (8-bit sketch by default): the
     * scale path for near-dup joins — only same-bucket pairs compared. */
   def lshBuckets(df: DataFrame, vecCol: String, idCol: String,

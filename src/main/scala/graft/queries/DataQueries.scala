@@ -337,6 +337,36 @@ object DataQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Product-quantization codes (IVF-PQ's memory half): every vector
+    * compressed to 4 codebook indices + reconstruction error, encoding
+    * map-only against the driver-collected codebook; see
+    * [[Similarity.pqEncode]]. */
+  val e04PqEncode: Q = (s, dir) =>
+    Similarity.pqEncode(Catalog(s, dir).embeddings, "embedding", "vec_id",
+        m = 4, centroidIds = ivfCentroids)
+      .orderBy(col("id"))
+
+  val e04Sql: String =
+    """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
+      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |d AS (SELECT e.id, js.j, cb.cidx,
+      |  list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], e.v[js.j*16+1 : (js.j+1)*16])
+      |  - 2 * list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16])
+      |  + list_inner_product(cb.cv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16]) AS d2
+      |  FROM e CROSS JOIN js CROSS JOIN cb),
+      |best AS (SELECT id, j, cidx, d2,
+      |  row_number() OVER (PARTITION BY id, j ORDER BY d2, cidx) AS rn FROM d),
+      |b1 AS (SELECT id, j, cidx, d2 FROM best WHERE rn = 1),
+      |agg AS (SELECT id,
+      |  list(CAST(cidx AS BIGINT) ORDER BY j) AS codes,
+      |  round(((MAX(CASE WHEN j=0 THEN d2 END) + MAX(CASE WHEN j=1 THEN d2 END))
+      |    + MAX(CASE WHEN j=2 THEN d2 END)) + MAX(CASE WHEN j=3 THEN d2 END), 6) AS recon_err
+      |  FROM b1 GROUP BY 1)
+      |SELECT id, codes, recon_err FROM agg ORDER BY id""".stripMargin
+
   /** The ANN *scale path*: random-hyperplane LSH bucketing (8 md5-seeded
     * deterministic hyperplanes -> 256 buckets), pairwise cosine only
     * within a bucket. The oracle replays the full hyperplane pipeline in
@@ -754,6 +784,7 @@ object DataQueries {
     "e01_ann_bruteforce" -> e01AnnBruteForce,
     "e02_ann_ivf" -> e02AnnIvf,
     "e03_ann_lsh_buckets" -> e03LshBucketPairs,
+    "e04_pq_encode" -> e04PqEncode,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -781,6 +812,7 @@ object DataQueries {
     "e01_ann_bruteforce" -> e01Sql,
     "e02_ann_ivf" -> e02Sql,
     "e03_ann_lsh_buckets" -> e03Sql,
+    "e04_pq_encode" -> e04Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,

@@ -168,4 +168,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ids.length == 3)
     assert(ids.forall(i => math.abs(i - 20) <= 12), s"neighbors near query: $ids")
   }
+
+  test("pqEncode: centroids self-encode at zero error; codes pick the nearest sub-codebook row") {
+    // dim 4, m 2 -> subvectors of 2. Centroids 0/1 are axis-aligned.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 1f, 0f)),   // centroid 0
+      (1L, Array(0f, 1f, 0f, 1f)),   // centroid 1
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // sub0 near c0, sub1 near c1
+      (3L, Array(0f, 1f, 1f, 0f))    // sub0 = c1's, sub1 = c0's
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(vecs, "embedding", "vec_id",
+      m = 2, centroidIds = Seq(0L, 1L))
+      .orderBy("id").collect()
+    def codes(r: org.apache.spark.sql.Row) = r.getSeq[Long](1).toSeq
+    assert(codes(out(0)) == Seq(0L, 0L) && out(0).getDouble(2) == 0.0)
+    assert(codes(out(1)) == Seq(1L, 1L) && out(1).getDouble(2) == 0.0)
+    assert(codes(out(2)) == Seq(0L, 1L))
+    assert(out(2).getDouble(2) > 0.0, "off-centroid vector has reconstruction error")
+    assert(codes(out(3)) == Seq(1L, 0L))
+    // map-only: no Exchange in the encode plan
+    val plan = Similarity.pqEncode(vecs, "embedding", "vec_id",
+      m = 2, centroidIds = Seq(0L, 1L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
