@@ -105,6 +105,15 @@ object ScaleProbe {
         docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", n = 4)
     }
 
+    // m05 chunking: map-side fan-out, must track payload bytes linearly
+    t("media_chunk") {
+      implicit val sp: SparkSession = spark
+      graft.multimodal.Multimodal.chunk(
+        graft.multimodal.Multimodal.fromDocuments(
+          docs.withColumn("lang", lit("en")).withColumn("source", lit("probe"))),
+        chunkSize = 256)
+    }
+
     // d05 audit-budget flatness: the exact all-pairs recall audit
     // samples an ABSOLUTE ~128-row budget via a corpus-size-derived
     // modulus, so its cost must stay flat as the corpus grows
@@ -118,6 +127,12 @@ object ScaleProbe {
     bigEmb.repartition(32).write.mode("overwrite").parquet(embDir)
     val embBig = spark.read.parquet(embDir)
     val nEmb = embBig.count()
+    // e04 PQ encode: map-only against the driver-collected codebook,
+    // must scale linearly with vector count
+    t(s"pq_encode_${nEmb}vecs")(
+      graft.operators.Similarity.pqEncode(embBig, "embedding", "vec_id",
+        m = 4, centroidIds = (0L until 16L)))
+
     val kMod = math.max(1L, math.ceil(nEmb / 128.0).toLong)
     t(s"d05_audit_${nEmb}vecs_mod$kMod")(
       Dedup.embeddingNearDupPairs(
