@@ -1,0 +1,96 @@
+package graft.models
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.pipeline.Pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data curation pipeline as a dbt-style DAG — the
+  * integration layer tying the reference-parity pipeline runtime
+  * (Registry, materializations, env routing, data tests) to the
+  * training-data operators. A user runs their whole curation flow
+  * through the same `run`/`test`/`ProductionRun` machinery as the
+  * reference's warehouse models:
+  *
+  *   DOCS_PROFILED (view)    text profile + repetition + PII counts
+  *   DOCS_FILTERED (table)   quality/repetition/PII gates, redacted text
+  *   DOCS_DEDUPED  (table)   exact-dup keeper drop over the filtered set
+  *   DOCS_CLEAN    (table)   decontaminated (benchmark 5-shingle overlap)
+  *   DOCS_PACKED   (table)   sequence packing per language shard
+  *
+  * Every stage is the library operator, not a re-implementation — the
+  * DAG adds materialization, lineage, and testability. Filter
+  * thresholds are conservative defaults; a real deployment tunes them.
+  */
+object CurationModels {
+
+  def registry(spark: SparkSession, documents: DataFrame,
+               benchmark: DataFrame): Registry = {
+    val r = new Registry(spark)
+
+    r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
+      val prof = TextAnalysis.profile(documents, "text", "doc_id")
+      val rep = TextAnalysis.repetitionProfile(documents, "text", "doc_id")
+        .select(col("doc_id"), col("dup_token_frac"), col("top_bigram_frac"))
+      val pii = TextAnalysis.piiProfile(documents, "text", "doc_id")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), col("redacted"))
+      documents.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .join(prof.drop("lang_pred"), Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .join(pii, Seq("doc_id"))
+    })
+
+    r.register(Model("DOCS_FILTERED", "3_MART___CURATION",
+        Seq("DOCS_PROFILED"), Table) { deps =>
+      deps("DOCS_PROFILED")
+        .filter(col("quality") >= 0.5 &&
+          col("dup_token_frac") <= 0.9 && col("top_bigram_frac") <= 0.9)
+        // ship the REDACTED text forward; raw text stops here
+        .select(col("doc_id"), col("redacted").as("text"), col("lang"),
+          col("source"), col("n_tokens"))
+    })
+
+    r.register(Model("DOCS_DEDUPED", "3_MART___CURATION",
+        Seq("DOCS_FILTERED"), Table) { deps =>
+      Dedup.dropExactDuplicates(deps("DOCS_FILTERED"), "text", "doc_id")
+    })
+
+    r.register(Model("DOCS_CLEAN", "3_MART___CURATION",
+        Seq("DOCS_DEDUPED"), Table) { deps =>
+      val d = deps("DOCS_DEDUPED")
+      val contaminated = TextAnalysis.ngramOverlap(
+        d, benchmark, "text", "doc_id", n = 5)
+      d.join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    })
+
+    r.register(Model("DOCS_PACKED", "3_MART___CURATION",
+        Seq("DOCS_CLEAN"), Table) { deps =>
+      TextAnalysis.packSequences(deps("DOCS_CLEAN"),
+        "text", "doc_id", "lang", cap = 512)
+    })
+
+    r
+  }
+
+  /** The generic data-test suite for the curation DAG outputs (one
+    * batched job, dbt-test semantics). */
+  def tests(r: Registry, cfg: RunConfig): Seq[graft.pipeline.DataTests.CheckResult] = {
+    val rel = r.resolve(cfg)
+    import graft.pipeline.DataTests._
+    import graft.functions.GraftFunctions.{emailRe, patternCount}
+    runAll(Seq(
+      Check("DOCS_FILTERED", "doc_id_not_null",
+        notNull(rel("DOCS_FILTERED"), "doc_id")),
+      Check("DOCS_FILTERED", "text_not_null",
+        notNull(rel("DOCS_FILTERED"), "text")),
+      Check("DOCS_DEDUPED", "doc_id_unique",
+        unique(rel("DOCS_DEDUPED"), Seq("doc_id"))),
+      Check("DOCS_PACKED", "seq_id_not_null",
+        notNull(rel("DOCS_PACKED"), "seq_id")),
+      // singular test: the shipped text was redacted upstream, so no
+      // email pattern may survive to the clean relation
+      Check("DOCS_CLEAN", "no_email_pii",
+        rel("DOCS_CLEAN").filter(patternCount(col("text"), emailRe) > 0))))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.models.CurationModels
+import graft.pipeline.Pipeline._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The curation DAG end-to-end through the dbt-style Registry: profile
+  * -> filter (redacted text) -> dedup -> decontaminate -> pack, with
+  * the generic data-test suite green over the materialized outputs. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stopwords interleaved with per-doc unique tokens: every doc passes
+    * the quality gate (length, stopword ratio, punct), and every
+    * 5-token shingle contains a doc-unique token — so benchmark overlap
+    * flags ONLY the genuinely shared doc, not a common template. */
+  private def docText(i: Long): String =
+    Seq("the", s"w${i}a", "of", s"w${i}b", "and", s"w${i}c", "to",
+      s"w${i}d", "in", s"w${i}e", "is", s"w${i}f", "it", s"w${i}g",
+      "that", s"w${i}h", "for", s"w${i}j", "a", s"w${i}k").mkString(" ")
+
+  private def corpus() = {
+    val good = (0L until 40L).map(i => (i, docText(i), "en", "web"))
+    val dupes = Seq( // exact duplicates of doc 0's text under new ids
+      (100L, docText(0), "en", "web"), (101L, docText(0), "en", "web"))
+    val junk = Seq( // fails the quality gate (too short / all punct)
+      (200L, "!!! ??? !!!", "en", "spam"),
+      (201L, "x", "en", "spam"))
+    val pii = Seq(
+      (300L, docText(300) + " leak@example.com", "en", "web"))
+    (good ++ dupes ++ junk ++ pii)
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("curation DAG: materialized stages enforce gates; data tests green") {
+    val docs = corpus()
+    // benchmark shares doc 1's exact text -> doc 1 is contaminated
+    val bench = Seq((9001L, docs.filter($"doc_id" === 1L)
+      .head.getString(1))).toDF("doc_id", "text")
+
+    val tmp = Files.createTempDirectory("graft-curation").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    val r = CurationModels.registry(spark, docs, bench)
+    val res = r.run(cfg, Seq("DOCS_PACKED"))
+    assert(res.order.nonEmpty && res.resolved.contains("DOCS_PACKED"),
+      s"pipeline run incomplete: ${res.order}")
+
+    val filtered = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_FILTERED")
+    assert(!filtered.select("doc_id").as[Long].collect()
+      .exists(id => id >= 200 && id < 300),
+      "junk docs fail the quality gate")
+    assert(filtered.filter($"doc_id" === 300L).head.getString(1)
+      .contains("<EMAIL>"), "only redacted text ships forward")
+
+    val deduped = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_DEDUPED")
+    val dupIds = deduped.select("doc_id").as[Long].collect().toSet
+    assert(dupIds.contains(0L) && !dupIds.contains(100L) && !dupIds.contains(101L),
+      "exact duplicates collapse to the keeper")
+
+    val clean = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_CLEAN")
+    val cleanIds = clean.select("doc_id").as[Long].collect().toSet
+    assert(!cleanIds.contains(1L), "benchmark-contaminated doc removed")
+    assert(cleanIds.contains(2L), "uncontaminated docs kept")
+
+    val packed = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_PACKED")
+    assert(packed.count() == clean.count(), "every clean doc gets a packing slot")
+    assert(packed.columns.contains("seq_id") && packed.columns.contains("seq_offset"))
+
+    val tests = CurationModels.tests(r, cfg)
+    assert(tests.forall(_.passed),
+      s"data tests failed: ${tests.filterNot(_.passed)}")
+  }
+}
