@@ -256,6 +256,49 @@ object DataQueries {
       .orderBy(col("group_id"), col("doc_id"))
   }
 
+  /** Soft-dedup sampling weights (FineWeb-style): near-duplicate docs
+    * are KEPT but down-weighted by their transitive cluster size
+    * (weight = 1/group_size; singletons weigh 1.0) — the
+    * duplicate-aware alternative to dropping, for corpora where copies
+    * carry signal. Composition: the d08 groups left-join back onto the
+    * corpus — the group relation is the (small) near-dup subset, so the
+    * join broadcasts; everything else is the shared pairs pipeline. */
+  val d11SoftDedupWeights: Q = (s, dir) => {
+    val pairs = minhashPairsShared(s, dir).select(col("id1"), col("id2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
+    val groups = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("group_id"))
+      .withColumn("group_size", count(lit(1)).over(w))
+    Catalog(s, dir).documents.select(col("doc_id"))
+      .join(broadcast(groups), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"),
+        round(lit(1.0) / coalesce(col("group_size"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The d08 closure CTEs verbatim, joined back onto the full corpus.
+    * `lazy`: d08Sql is declared later in this object and vals
+    * initialize in declaration order. */
+  lazy val d11Sql: String = {
+    val finalSelect =
+      """SELECT id AS doc_id, group_id,
+        |  count(*) OVER (PARTITION BY group_id) AS group_size
+        |FROM grp ORDER BY group_id, doc_id""".stripMargin
+    val d08Body = d08Sql.stripSuffix(finalSelect).trim
+    require(d08Body.length < d08Sql.length,
+      "d08Sql final SELECT drifted; update d11Sql's suffix strip")
+    s"""$d08Body,
+       |gs AS (SELECT id AS doc_id,
+       |  count(*) OVER (PARTITION BY group_id) AS group_size FROM grp)
+       |SELECT d.doc_id,
+       |  COALESCE(gs.group_size, 1) AS group_size,
+       |  round(CAST(1.0 AS DOUBLE) / COALESCE(gs.group_size, 1), 6) AS weight
+       |FROM documents d LEFT JOIN gs USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val d08Sql: String =
     s"""WITH RECURSIVE $toksCte,
        |$shCte,
@@ -774,6 +817,7 @@ object DataQueries {
     "t06_seq_pack" -> t06SeqPack,
     "t07_quality_yield" -> t07QualityYield,
     "d08_neardup_groups" -> d08NearDupGroups,
+    "d11_softdedup_weights" -> d11SoftDedupWeights,
     "t05_token_topk" -> t05TokenTopK,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
@@ -802,6 +846,7 @@ object DataQueries {
     "t06_seq_pack" -> t06Sql,
     "t07_quality_yield" -> t07Sql,
     "d08_neardup_groups" -> d08Sql,
+    "d11_softdedup_weights" -> d11Sql,
     "t05_token_topk" -> t05Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
