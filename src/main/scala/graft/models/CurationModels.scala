@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object CurationModels {
 
+  /** `incrementalFilter=true` switches DOCS_FILTERED to the Incremental
+    * materialization: per-doc gates are embarrassingly incremental
+    * (each doc's verdict depends only on itself), so a grown corpus
+    * re-profiles ONLY unseen doc_ids. The corpus-GLOBAL stages
+    * (dedup, decontamination, packing) stay full rebuilds by design —
+    * their answers depend on the whole corpus, and pretending otherwise
+    * would silently miss cross-batch duplicates. That split (cheap
+    * incremental gates, periodic global passes) is how a production
+    * curation pipeline actually runs. */
   def registry(spark: SparkSession, documents: DataFrame,
-               benchmark: DataFrame): Registry = {
+               benchmark: DataFrame,
+               incrementalFilter: Boolean = false): Registry = {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
@@ -41,9 +51,19 @@ object CurationModels {
         .join(pii, Seq("doc_id"))
     })
 
+    val filteredMat =
+      if (incrementalFilter) Incremental(Seq("doc_id")) else Table
     r.register(Model("DOCS_FILTERED", "3_MART___CURATION",
-        Seq("DOCS_PROFILED"), Table) { deps =>
-      deps("DOCS_PROFILED")
+        Seq("DOCS_PROFILED"), filteredMat) { deps =>
+      val profiled = deps("DOCS_PROFILED")
+      val delta = deps.get(This) match {
+        // is_incremental(): gate only doc_ids not already materialized
+        case Some(existing) =>
+          profiled.join(existing.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+        case None => profiled
+      }
+      delta
         .filter(col("quality") >= 0.5 &&
           col("dup_token_frac") <= 0.9 && col("top_bigram_frac") <= 0.9)
         // ship the REDACTED text forward; raw text stops here

@@ -71,4 +71,36 @@ class CurationPipelineSpec extends SparkSpec {
     assert(tests.forall(_.passed),
       s"data tests failed: ${tests.filterNot(_.passed)}")
   }
+
+  test("incremental curation: grown corpus gates only unseen docs; global stages rebuild") {
+    val tmp = Files.createTempDirectory("graft-curation-inc").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    val bench = Seq((9001L, "nothing shared here at all with anyone"))
+      .toDF("doc_id", "text")
+
+    var docs = corpus()
+    CurationModels.registry(spark, docs, bench, incrementalFilter = true)
+      .run(cfg, Seq("DOCS_PACKED"))
+    val path = s"$tmp/DEV/3_MART___CURATION/DOCS_FILTERED"
+    val n1 = spark.read.parquet(path).count()
+
+    // the corpus grows: new good docs + one new junk doc; existing rows
+    // unchanged (re-running their gates would be wasted work)
+    docs = docs.unionByName(
+      Seq((400L, docText(400), "en", "web"),
+          (401L, docText(401), "en", "web"),
+          (402L, "???", "en", "spam")).toDF("doc_id", "text", "lang", "source"))
+    val r2 = CurationModels.registry(spark, docs, bench, incrementalFilter = true)
+    r2.run(cfg, Seq("DOCS_PACKED"))
+
+    val filtered = spark.read.parquet(path)
+    assert(filtered.count() == n1 + 2, "only the two new good docs appended")
+    val ids = filtered.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(400L) && ids.contains(401L) && !ids.contains(402L))
+    // downstream global stages rebuilt over the grown relation
+    val packed = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_PACKED")
+    val packedIds = packed.select("doc_id").as[Long].collect().toSet
+    assert(packedIds.contains(400L) && packedIds.contains(401L))
+    assert(CurationModels.tests(r2, cfg).forall(_.passed))
+  }
 }
