@@ -39,16 +39,32 @@ object CurationModels {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
-      val prof = TextAnalysis.profile(documents, "text", "doc_id")
-      val rep = TextAnalysis.repetitionProfile(documents, "text", "doc_id")
-        .select(col("doc_id"), col("dup_token_frac"), col("top_bigram_frac"))
-      val pii = TextAnalysis.piiProfile(documents, "text", "doc_id")
-        .select(col("doc_id"), col("n_emails"), col("n_phones"),
-          col("n_ips"), col("redacted"))
-      documents.select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .join(prof.drop("lang_pred"), Seq("doc_id"))
-        .join(rep, Seq("doc_id"))
-        .join(pii, Seq("doc_id"))
+      // ONE map-only projection, not three doc_id self-joins: every
+      // profile family is a per-row function of the same text, so
+      // joining the standalone operators' outputs would buy three
+      // shuffles for nothing. The columns reuse the SAME library
+      // functions the standalone operators project (GraftFunctions /
+      // TextExpressions), so semantics cannot drift.
+      import graft.functions.GraftFunctions._
+      val rep = graft.expressions.TextExpressions.repetitionStats(col("text"))
+      documents.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          qualityScore(col("text")).as("quality"),
+          tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_tokens"),
+          rep.as("rep"),
+          patternCount(col("text"), emailRe).as("n_emails"),
+          patternCount(col("text"), phoneRe).as("n_phones"),
+          patternCount(col("text"), ipv4Re).as("n_ips"),
+          redactPii(col("text")).as("redacted"))
+        .withColumn("dup_token_frac",
+          when(col("rep.n_tokens") > 0L,
+            lit(1.0) - col("rep.n_distinct").cast("double") /
+              col("rep.n_tokens").cast("double")).otherwise(0.0))
+        .withColumn("top_bigram_frac",
+          when(col("rep.n_tokens") > 1L,
+            col("rep.top_bigram").cast("double") /
+              (col("rep.n_tokens") - 1L).cast("double")).otherwise(0.0))
+        .drop("rep")
     })
 
     val filteredMat =

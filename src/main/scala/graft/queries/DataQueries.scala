@@ -269,8 +269,12 @@ object DataQueries {
     val groups = Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("group_id"))
       .withColumn("group_size", count(lit(1)).over(w))
+    // NO broadcast hint: the group relation scales with corpus
+    // duplication (every member of every near-dup cluster), so forcing
+    // a broadcast would be wrong at 100 TB — Catalyst broadcasts it at
+    // test scale via the threshold, AQE decides at runtime otherwise
     Catalog(s, dir).documents.select(col("doc_id"))
-      .join(broadcast(groups), Seq("doc_id"), "left_outer")
+      .join(groups, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("group_size"), lit(1L)).as("group_size"),
         round(lit(1.0) / coalesce(col("group_size"), lit(1L)).cast("double"), 6)

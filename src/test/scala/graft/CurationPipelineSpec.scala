@@ -42,6 +42,11 @@ class CurationPipelineSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft-curation").toString
     val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
     val r = CurationModels.registry(spark, docs, bench)
+    // profiling is ONE map-only projection — a shuffle here would mean
+    // the stage regressed to joining the standalone operators' outputs
+    val profPlan = r.resolve(cfg)("DOCS_PROFILED")
+      .queryExecution.executedPlan.toString
+    assert(!profPlan.contains("Exchange"), s"unexpected shuffle:\n$profPlan")
     val res = r.run(cfg, Seq("DOCS_PACKED"))
     assert(res.order.nonEmpty && res.resolved.contains("DOCS_PACKED"),
       s"pipeline run incomplete: ${res.order}")
