@@ -110,20 +110,102 @@ object Similarity {
     * like a broadcast dim) so encoding is ONE compiled map-only pass —
     * no join, no shuffle, at any corpus size. Degenerate (zero-norm)
     * vectors are excluded, as everywhere in the cosine operators. */
+  /** Codebook rows = the corpus vectors named by `centroidIds`, in id
+    * order — driver-collected, bounded by the quantizer-size contract. */
+  private def collectCodebook(c: DataFrame,
+                              centroidIds: Seq[Long]): Seq[Seq[Double]] =
+    c.filter(col("id").isInCollection(centroidIds))
+      .orderBy(col("id"))
+      .collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
   def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
                m: Int, centroidIds: Seq[Long]): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
-    val codebook: Seq[Seq[Double]] = c
-      .filter(col("id").isInCollection(centroidIds))
-      .orderBy(col("id"))
-      .collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    val codebook = collectCodebook(c, centroidIds)
     val st = graft.expressions.VectorExpressions.pqEncode(col("v"), codebook, m)
     c.select(col("id"), st.as("st"))
       .filter(col("st").isNotNull) // width-mismatched vectors drop, not NPE
       .select(col("id"), col("st.codes").as("codes"),
         round(col("st.err"), 6).as("recon_err"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k — IVF-PQ's search half: each
+    * query precomputes a per-subspace distance TABLE against the
+    * codebook (m×k doubles, driver-side — queries are a bounded batch,
+    * the same contract as [[bruteForceTopK]]'s broadcast), and scoring
+    * a corpus vector is m table lookups over its CODES — never touching
+    * the original embedding. That is the PQ payoff: the scored relation
+    * carries m small ints per vector instead of `dim` doubles, and the
+    * scan+score pass is bandwidth-bound on ~2% of the raw bytes.
+    *
+    * Plan shape: codes (map-only encode) × broadcast query tables →
+    * codegen'd element_at lookups (no higher-order functions) → per-
+    * query top-k window. Distances are the approximate d² implied by
+    * the quantization, rounded to 6dp with id tiebreak for cross-engine
+    * rank stability. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int,
+                m: Int, centroidIds: Seq[Long]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val codebook = collectCodebook(c, centroidIds)
+    val dim = codebook.head.length
+    val sub = dim / m
+    val kCent = codebook.length
+    val codes = pqEncode(corpus, vecCol, idCol, m, centroidIds)
+      .select(col("id"), col("codes"))
+
+    // per-query distance tables, flat [j * kCent + cidx] — the i-loop
+    // accumulation order matches the oracle's list_inner_product slices
+    val qRows = queries
+      .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+      .collect()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tables = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      require(qv.length == dim,
+        s"query ${r.getLong(0)} has dim ${qv.length}, codebook has $dim")
+      val dt = new Array[Double](m * kCent)
+      var j = 0
+      while (j < m) {
+        var cidx = 0
+        while (cidx < kCent) {
+          var ipaa = 0.0; var ipab = 0.0; var ipbb = 0.0
+          var i = j * sub
+          val end = (j + 1) * sub
+          while (i < end) {
+            val a = qv(i); val b = codebook(cidx)(i)
+            ipaa += a * a; ipab += a * b; ipbb += b * b
+            i += 1
+          }
+          dt(j * kCent + cidx) = ipaa - 2 * ipab + ipbb
+          cidx += 1
+        }
+        j += 1
+      }
+      (r.getLong(0), dt.toSeq)
+    }.toDF("query_id", "dt")
+
+    // score = Σ_j dt[j*kCent + codes[j]] — explicit left-assoc chain of
+    // codegen'd element_at lookups (1-based), matching the oracle's
+    // chained additions
+    val score = (0 until m)
+      .map(j => element_at(col("dt"),
+        (col("codes").getItem(j) + lit(j * kCent) + 1).cast(IntegerType)))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("id").asc)
+    codes.crossJoin(broadcast(tables))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("adc_d2"))
   }
 
   /** Random-hyperplane LSH bucket key (8-bit sketch by default): the

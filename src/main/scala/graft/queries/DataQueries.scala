@@ -414,6 +414,49 @@ object DataQueries {
       |  FROM b1 GROUP BY 1)
       |SELECT id, codes, recon_err FROM agg ORDER BY id""".stripMargin
 
+  /** PQ asymmetric-distance top-k (IVF-PQ's search half): queries score
+    * the corpus through m table lookups over its PQ codes — see
+    * [[Similarity.pqAdcTopK]]. Same query split as e02. */
+  val e05PqAdcTopK: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, m = 4, centroidIds = ivfCentroids)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val e05Sql: String =
+    """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
+      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |d AS (SELECT e.id, js.j, cb.cidx,
+      |  list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], e.v[js.j*16+1 : (js.j+1)*16])
+      |  - 2 * list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16])
+      |  + list_inner_product(cb.cv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16]) AS d2
+      |  FROM e CROSS JOIN js CROSS JOIN cb),
+      |best AS (SELECT id, j, cidx, d2,
+      |  row_number() OVER (PARTITION BY id, j ORDER BY d2, cidx) AS rn FROM d),
+      |b1 AS (SELECT id, j, cidx FROM best WHERE rn = 1),
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |qd AS (SELECT q.query_id, js.j, cb.cidx,
+      |  list_inner_product(q.qv[js.j*16+1 : (js.j+1)*16], q.qv[js.j*16+1 : (js.j+1)*16])
+      |  - 2 * list_inner_product(q.qv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16])
+      |  + list_inner_product(cb.cv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16]) AS d2
+      |  FROM q CROSS JOIN js CROSS JOIN cb),
+      |sc AS (SELECT qd.query_id, b1.id,
+      |  round(((MAX(CASE WHEN b1.j = 0 THEN qd.d2 END)
+      |    + MAX(CASE WHEN b1.j = 1 THEN qd.d2 END))
+      |    + MAX(CASE WHEN b1.j = 2 THEN qd.d2 END))
+      |    + MAX(CASE WHEN b1.j = 3 THEN qd.d2 END), 6) AS adc_d2
+      |  FROM b1 JOIN qd ON b1.j = qd.j AND b1.cidx = qd.cidx
+      |    AND b1.id <> qd.query_id
+      |  GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, adc_d2, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY adc_d2, id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, adc_d2
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The ANN *scale path*: random-hyperplane LSH bucketing (8 md5-seeded
     * deterministic hyperplanes -> 256 buckets), pairwise cosine only
     * within a bucket. The oracle replays the full hyperplane pipeline in
@@ -833,6 +876,7 @@ object DataQueries {
     "e02_ann_ivf" -> e02AnnIvf,
     "e03_ann_lsh_buckets" -> e03LshBucketPairs,
     "e04_pq_encode" -> e04PqEncode,
+    "e05_pq_adc_topk" -> e05PqAdcTopK,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -862,6 +906,7 @@ object DataQueries {
     "e02_ann_ivf" -> e02Sql,
     "e03_ann_lsh_buckets" -> e03Sql,
     "e04_pq_encode" -> e04Sql,
+    "e05_pq_adc_topk" -> e05Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,

@@ -191,4 +191,27 @@ class OperatorsSpec extends SparkSpec {
       m = 2, centroidIds = Seq(0L, 1L)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("pqAdcTopK: table-lookup distances rank codebook-identical vectors first") {
+    // corpus on a circle; centroids at 4 compass points. ADC distance of
+    // a query to a vector sharing its codes must be the MINIMUM (both
+    // quantize to the same cells -> identical lookups).
+    val vecs = (0 until 40).map { i =>
+      val angle = i * 2 * math.Pi / 40.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        math.cos(angle + 1).toFloat, math.sin(angle + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.pqAdcTopK(vecs, vecs.filter($"vec_id" === 7),
+      "embedding", "vec_id", k = 5, m = 2, centroidIds = Seq(0L, 10L, 20L, 30L))
+      .collect()
+    assert(res.length == 5)
+    assert(res.map(_.getLong(1)).toSeq == (1L to 5L), "ranks dense from 1")
+    // neighbors on the circle quantize like the query; far points do not
+    val ids = res.map(_.getLong(2)).toSeq
+    assert(ids.forall(i => math.abs((i - 7 + 20) % 40 - 20) <= 10),
+      s"ADC neighbors should come from the query's quadrant-ish: $ids")
+    // scores are non-decreasing with rank
+    val scores = res.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted)
+  }
 }
