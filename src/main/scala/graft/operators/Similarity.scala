@@ -113,11 +113,19 @@ object Similarity {
   /** Codebook rows = the corpus vectors named by `centroidIds`, in id
     * order — driver-collected, bounded by the quantizer-size contract. */
   private def collectCodebook(c: DataFrame,
-                              centroidIds: Seq[Long]): Seq[Seq[Double]] =
-    c.filter(col("id").isInCollection(centroidIds))
+                              centroidIds: Seq[Long]): Seq[Seq[Double]] = {
+    val rows = c.filter(col("id").isInCollection(centroidIds))
       .orderBy(col("id"))
       .collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
+    // A silently shrunken codebook (missing or zero-norm centroid id)
+    // would encode against fewer rows than the contract names — and an
+    // EMPTY one would surface as an opaque codebook.head NPE in ADC.
+    require(rows.size == centroidIds.distinct.size,
+      s"codebook resolved ${rows.size} of ${centroidIds.distinct.size} " +
+        s"centroid ids — missing or degenerate (zero-norm) centroid vectors")
+    rows
+  }
 
   def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
                m: Int, centroidIds: Seq[Long]): DataFrame = {

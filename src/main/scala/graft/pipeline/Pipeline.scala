@@ -182,9 +182,21 @@ object Pipeline {
     // which rewrites every file under the new schema in one crash-safe
     // swap. Schema migrations are rare; per-migration full rewrite is
     // the correct price.
-    val sameDiskSchema = !partitionScoped ||
-      spark.read.parquet(path).schema.fieldNames.toSet ==
-        increment.schema.fieldNames.toSet
+    // Name-only comparison is not enough (ADVICE r5): a same-name TYPE
+    // change is exactly as mixed-footer-hazardous as a rename. Data
+    // (footer) columns compare name->dataType; partition columns compare
+    // by name only — their on-disk "type" is a directory-name inference,
+    // not a footer, so inferred-vs-declared drift ("007" dirs inferred
+    // INT vs a declared STRING column) must not force a spurious full
+    // rewrite.
+    def footerSig(s: org.apache.spark.sql.types.StructType) =
+      s.filterNot(fd => partitionBy.contains(fd.name))
+        .map(fd => fd.name -> fd.dataType).toSet
+    val sameDiskSchema = !partitionScoped || {
+      val disk = spark.read.parquet(path).schema
+      disk.fieldNames.toSet == increment.schema.fieldNames.toSet &&
+        footerSig(disk) == footerSig(increment.schema)
+    }
     if (!partitionScoped || !sameDiskSchema) {
       writeParquet(dropKeyed(existing).unionByName(increment), tmp.toString,
         partitionBy)

@@ -387,10 +387,16 @@ object DataQueries {
   /** Product-quantization codes (IVF-PQ's memory half): every vector
     * compressed to 4 codebook indices + reconstruction error, encoding
     * map-only against the driver-collected codebook; see
-    * [[Similarity.pqEncode]]. */
+    * [[Similarity.pqEncode]]. The code array is projected as a
+    * comma-joined string for the oracle compare (the driver's pandas
+    * row-sort cannot order array cells — r5's e04 err); [[e05PqAdcTopK]]
+    * consumes the native array form. */
   val e04PqEncode: Q = (s, dir) =>
     Similarity.pqEncode(Catalog(s, dir).embeddings, "embedding", "vec_id",
         m = 4, centroidIds = ivfCentroids)
+      .select(col("id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+        col("recon_err"))
       .orderBy(col("id"))
 
   val e04Sql: String =
@@ -408,7 +414,7 @@ object DataQueries {
       |  row_number() OVER (PARTITION BY id, j ORDER BY d2, cidx) AS rn FROM d),
       |b1 AS (SELECT id, j, cidx, d2 FROM best WHERE rn = 1),
       |agg AS (SELECT id,
-      |  list(CAST(cidx AS BIGINT) ORDER BY j) AS codes,
+      |  string_agg(CAST(cidx AS VARCHAR), ',' ORDER BY j) AS codes,
       |  round(((MAX(CASE WHEN j=0 THEN d2 END) + MAX(CASE WHEN j=1 THEN d2 END))
       |    + MAX(CASE WHEN j=2 THEN d2 END)) + MAX(CASE WHEN j=3 THEN d2 END), 6) AS recon_err
       |  FROM b1 GROUP BY 1)

@@ -101,9 +101,11 @@ object MediaQueries {
   /** Byte-range chunking (media sharding for transport / batch
     * assembly): every chunk's length AND md5 hash-checked, so the
     * slicing arithmetic and the bytes themselves are verified. The
-    * oracle slices VARCHAR — byte == char offsets because the corpus is
-    * ASCII (asserted: octet_length == length on every doc; a non-ASCII
-    * corpus would need a BLOB-slicing oracle). */
+    * oracle slices VARCHAR — byte == char offsets ONLY for an ASCII
+    * corpus, so the oracle ENFORCES the assumption: its source CTE
+    * errors on any doc where octet_length <> length instead of
+    * silently hash-diverging (a non-ASCII corpus would need a
+    * BLOB-slicing oracle). */
   val m05Chunk: Q = (s, dir) => {
     implicit val sp: SparkSession = s
     Multimodal.chunk(
@@ -112,7 +114,11 @@ object MediaQueries {
   }
 
   val m05Sql: String =
-    """WITH d AS (SELECT doc_id, text FROM documents
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN octet_length(encode(text)) = length(text) THEN text
+      |       ELSE error('non-ASCII doc ' || doc_id ||
+      |                  ': VARCHAR-slicing oracle invalid') END AS text
+      |  FROM documents
       |  WHERE text IS NOT NULL AND length(text) > 0),
       |c AS (SELECT doc_id, text,
       |  unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS chunk_index

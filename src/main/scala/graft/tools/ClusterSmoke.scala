@@ -83,6 +83,7 @@ object ClusterSmoke {
     val localRes = runAll(builder.master("local[8]").getOrCreate(), sfDir)
 
     var failed = false
+    var emptyCount = 0
     subset.foreach { name =>
       val (cRows, cSum) = clusterRes(name)
       val (lRows, lSum) = localRes(name)
@@ -93,11 +94,23 @@ object ClusterSmoke {
       val ok = cRows == lRows &&
         (cSum == null && lSum == null || cSum != null && cSum.compareTo(lSum) == 0)
       if (!ok) failed = true
+      if (ok && cRows == 0) emptyCount += 1
       val tag = if (!ok) "MISMATCH"
         else if (cRows == 0) "OK (both empty — weak evidence)"
         else "OK "
       println(f"[cluster-smoke] $name%-24s $tag " +
         s"cluster=($cRows, $cSum) local=($lRows, $lSum)")
+    }
+    // An isolated empty agreement can be legitimate at smoke scale, but
+    // a systemic one (bad sf dir, broken filter constant) must not green
+    // the gate on 0==0 equality alone (ADVICE r5): more than 2 empty
+    // subset queries fails outright.
+    if (emptyCount > 2) {
+      println(s"[cluster-smoke] FAIL: $emptyCount of ${subset.size} subset " +
+        "queries returned zero rows on both sides — systemic empty-relation " +
+        "suspicion (bad sfDir or filter constant); equality-only evidence " +
+        "is insufficient at this rate")
+      failed = true
     }
     if (failed) sys.exit(1)
     println(s"[cluster-smoke] all ${subset.size} queries match across " +

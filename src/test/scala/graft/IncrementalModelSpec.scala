@@ -94,6 +94,27 @@ class IncrementalModelSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() == 3)
   }
 
+  test("TYPE-changing partitioned increment (same names) also falls back to a full rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc-evt").toString + "/rel"
+    mergeIntoParquet(spark,
+      tmp, Seq((1L, "p1", 7), (2L, "p2", 8)).toDF("id", "part", "v"),
+      uniqueKey = Seq("id", "part"), partitionBy = Seq("part"))
+    assert(spark.read.parquet(s"$tmp/part=p1").schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // v widens INT -> BIGINT while every field NAME stays identical, and
+    // the increment touches ONLY p2 — the name-set check alone (ADVICE
+    // r5) would take the scoped path and leave p1 with INT32 footers
+    mergeIntoParquet(spark,
+      tmp, Seq((2L, "p2", 80L)).toDF("id", "part", "v"),
+      uniqueKey = Seq("id", "part"), partitionBy = Seq("part"))
+    val p1 = spark.read.parquet(s"$tmp/part=p1")
+    assert(p1.schema("v").dataType == org.apache.spark.sql.types.LongType,
+      "untouched partition's footers rewritten under the widened type")
+    val rows = spark.read.parquet(tmp).select("id", "part", "v").orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "p1", 7L), (2L, "p2", 80L)))
+  }
+
   test("incremental: no unique key appends wholesale; NULL-keyed rows survive") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
