@@ -325,9 +325,135 @@ case class LmScoreExpr(child: Expression, logpU: Map[String, Long], oovLogpU: Lo
     copy(child = newChild)
 }
 
+/** 60-bit md5 hashes of every k-token span (ALL positions, duplicates
+  * included — unlike [[WordShinglesExpr]]'s distinct set): result[p] =
+  * md5Long of tokens p..p+k-1 of lower(text) joined with one space.
+  * Fewer than k tokens -> empty array. One compiled call per row turns
+  * span-occurrence generation into a map-only stage — the window/lead
+  * formulation costs a per-doc_id shuffle+sort BEFORE any spans exist.
+  * Twin of the DuckDB spans CTE (DataQueries.d12Sql).
+  */
+case class SpanHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2, s"span width must be >= 2, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val raw = HashExpressions.whitespace.split(s, -1)
+    var m = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
+      i += 1
+    }
+    val count = m - k + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = HashExpressions.localMd5.get()
+    val out = new Array[Long](count)
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(p + j))
+        j += 1
+      }
+      out(p) = HashExpressions.md5Long60(md, sb.toString.getBytes("UTF-8"))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Token-position removal + rebuild in ONE pass: tokenize text (RAW
+  * case — removal positions were decided on lowercased hashes, rebuild
+  * preserves the original tokens), drop the positions listed in
+  * `removedPos` (any order, duplicates fine; NULL means none — a left
+  * join miss), join survivors with single spaces. Returns
+  * (n_tokens, n_kept, text_dedup); token-less text -> NULL so callers
+  * can keep the token-bearing-docs contract with one filter.
+  * Out-of-range positions are ignored (impossible by construction —
+  * they come from this text's own span positions).
+  */
+case class DropTokensExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_kept",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("text_dedup", StringType,
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_drop_tokens"
+
+  // NULL removedPos must still rebuild (BinaryExpression's default eval
+  // would null the whole row), so eval is overridden directly
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val raw = HashExpressions.whitespace
+      .split(t.asInstanceOf[UTF8String].toString, -1)
+    var m = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return null
+    val removed = new Array[Boolean](m)
+    val r = right.eval(input)
+    if (r != null) {
+      val arr = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var j = 0
+      while (j < arr.numElements()) {
+        val p = arr.getInt(j)
+        if (p >= 0 && p < m) removed(p) = true
+        j += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var kept = 0L
+    var p = 0
+    while (p < m) {
+      if (!removed(p)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(p))
+        kept += 1
+      }
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong, kept,
+      UTF8String.fromString(sb.toString))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
+  def spanHashes(text: Column, k: Int): Column =
+    Bridge.column(SpanHashesExpr(Bridge.expression(text), k))
+  def dropTokens(text: Column, removedPos: Column): Column =
+    Bridge.column(DropTokensExpr(
+      Bridge.expression(text), Bridge.expression(removedPos)))
   def lmScore(text: Column, logpU: Map[String, Long], oovLogpU: Long): Column =
     Bridge.column(LmScoreExpr(Bridge.expression(text), logpU, oovLogpU))
   def repetitionStats(text: Column): Column =

@@ -246,4 +246,63 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
+
+  /** Cross-document duplicate-SPAN removal (the C4 / RefinedWeb rewrite
+    * pass): any `k`-token span occurring in ≥2 distinct documents is
+    * kept only in the lowest-doc_id document; every other document has
+    * the covered token positions cut out, and the text is rebuilt from
+    * the surviving tokens. Doc-level dedup (d01–d08) drops whole
+    * near-dup documents; THIS operator removes boilerplate stretches
+    * (headers, licenses, templated paragraphs) shared across otherwise
+    * distinct documents — the rewrite step between the two.
+    *
+    * Semantics: spans are hashed on LOWERCASED whitespace tokens
+    * ([[graft.functions.GraftFunctions.md5Long]] for cross-engine
+    * determinism); rebuild uses the ORIGINAL tokens; removal is
+    * keep-first (min doc_id), position-union over overlapping duplicated
+    * spans; a document's internal repeats are NOT removed (cross-doc
+    * contract — per-doc repetition is t09's signal). Only token-bearing
+    * documents appear in the output.
+    *
+    * Scale shape: span-occurrence generation is ONE compiled call per
+    * document ([[graft.expressions.SpanHashesExpr]]) + posexplode —
+    * map-only, no token-level window shuffle; the span-stats exchange
+    * is keyed by the 60-bit span hash and carries (hash, doc, pos)
+    * triples — linear in corpus tokens; the duplicated-span relation is
+    * bounded by the corpus's DUPLICATED text volume (the thing being
+    * removed), not its size, as is the per-doc removal-position set;
+    * the rebuild is one compiled pass per AFFECTED doc against its
+    * removal set ([[graft.expressions.DropTokensExpr]]) after a join
+    * whose right side holds only affected docs (broadcastable whenever
+    * duplicated text is sparse — AQE decides). No stage ever holds a
+    * whole document's token rows in one group.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 10): DataFrame = {
+    import graft.expressions.TextExpressions.{dropTokens, spanHashes}
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val spanOcc = base.select(col("doc_id"),
+      posexplode(spanHashes(col("text"), k)).as(Seq("pos", "h")))
+    // cross-doc duplicated spans: min != max over doc_id is the
+    // distinct-count>=2 test without a count-distinct expand
+    val dup = spanOcc.groupBy("h")
+      .agg(min("doc_id").as("keeper"), max("doc_id").as("mx"))
+      .filter(col("keeper") =!= col("mx"))
+      .select("h", "keeper")
+    // per-affected-doc removal-position sets (collect_set dedups the
+    // overlapping-span positions; order irrelevant — DropTokensExpr
+    // flags a boolean array)
+    val removed = spanOcc.join(dup, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("rpos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("rpos")).as("rpos"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        dropTokens(col("text"), col("rpos")).as("st"))
+      .filter(col("st").isNotNull) // token-bearing docs only
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.n_kept").as("n_kept"), col("st.text_dedup").as("text_dedup"))
+  }
 }

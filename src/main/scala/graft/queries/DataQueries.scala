@@ -859,8 +859,45 @@ object DataQueries {
        |    ELSE 0.0 END AS top_bigram_frac
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicate-span removal (C4/RefinedWeb rewrite):
+    * 10-token spans appearing in ≥2 docs survive only in the lowest
+    * doc_id; other docs' texts are rebuilt without them. The rebuilt
+    * TEXT is hash-compared, so the rewrite itself — not just counts —
+    * is verified; see [[TextAnalysis.spanDedup]]. */
+  val d12SpanDedup: Q = (s, dir) =>
+    TextAnalysis.spanDedup(
+        Catalog(s, dir).documents.repartition(col("doc_id")),
+        "text", "doc_id", k = 10)
+      .orderBy(col("doc_id"))
+
+  val d12Sql: String =
+    s"""WITH rt0 AS (SELECT doc_id, list_filter(
+       |  string_split_regex(text, '\\s+'), t -> t <> '') AS rt FROM documents),
+       |rt AS (SELECT doc_id, rt FROM rt0 WHERE len(rt) > 0),
+       |p AS (SELECT doc_id, rt, unnest(range(0, len(rt))) AS pos FROM rt),
+       |tok AS (SELECT doc_id, pos, rt[pos+1] AS tok FROM p),
+       |spans AS (SELECT doc_id, pos,
+       |  ${h60("lower(array_to_string(rt[pos+1:pos+10], ' '))")} AS h
+       |  FROM p WHERE pos + 10 <= len(rt)),
+       |dup AS (SELECT h, min(doc_id) AS keeper FROM spans
+       |  GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+       |rem AS (SELECT DISTINCT s.doc_id, s.pos + u.i AS pos
+       |  FROM spans s JOIN dup d USING (h)
+       |  CROSS JOIN (SELECT unnest(range(0, 10)) AS i) u
+       |  WHERE s.doc_id <> d.keeper),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+       |    WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
+       |o AS (SELECT doc_id, count(*) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY pos) AS text_dedup FROM kept GROUP BY 1)
+       |SELECT b.doc_id, CAST(len(b.rt) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(o.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(o.text_dedup, '') AS text_dedup
+       |FROM rt b LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01DedupExact,
+    "d12_span_dedup" -> d12SpanDedup,
     "t08_pii_redact" -> t08PiiRedact,
     "t09_repetition" -> t09Repetition,
     "t10_domain_mixture" -> t10DomainMixture,
@@ -891,6 +928,7 @@ object DataQueries {
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
+    "d12_span_dedup" -> d12Sql,
     "t08_pii_redact" -> t08Sql,
     "t09_repetition" -> t09Sql,
     "t10_domain_mixture" -> t10Sql,

@@ -35,7 +35,8 @@ object ClusterSmoke {
   private val subset = Seq("d02_dedup_minhash", "d08_neardup_groups",
     "q03_dim_double_join", "q07_window", "e02_ann_ivf", "t03_fingerprint",
     "t09_repetition", "t10_domain_mixture", "d10_containment",
-    "e04_pq_encode", "m05_chunk", "d11_softdedup_weights")
+    "e04_pq_encode", "m05_chunk", "d11_softdedup_weights",
+    "d12_span_dedup")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

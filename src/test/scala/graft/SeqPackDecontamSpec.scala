@@ -97,4 +97,51 @@ class SeqPackDecontamSpec extends SparkSpec {
       "doc1 shares {a b c, b c d}; doc3's repeated 'a b c' counts once; " +
         "doc2 absent entirely")
   }
+
+  private def runSpanDedup(df: org.apache.spark.sql.DataFrame, k: Int) =
+    TextAnalysis.spanDedup(df, "text", "doc_id", k)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("spanDedup: keep-first removal, overlap union, short docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // keeper of the duplicated span "b c d"
+      (2L, "x b c d y"),          // loses positions 1-3 (span b c d)
+      (3L, "b c d"),              // exact dup span, fully removed
+      (4L, "p q r s t"),          // no duplicated span: untouched
+      (5L, "x b c d e f"))        // "x b c" (keeper doc2), "b c d" and
+      .toDF("doc_id", "text")     //   "c d e" (keeper doc1) union to 0-4
+    val out = runSpanDedup(docs, k = 3)
+    assert(out == Seq(
+      (1L, 5L, 5L, "a b c d e"),
+      (2L, 5L, 2L, "x y"),        // keeper of "x b c", loses "b c d"
+      (3L, 3L, 0L, ""),
+      (4L, 5L, 5L, "p q r s t"),
+      (5L, 6L, 1L, "f")))
+  }
+
+  test("spanDedup: within-doc repeats are kept; case-insensitive matching rebuilds original case") {
+    val docs = Seq(
+      (1L, "m n o m n o"),   // internal repeat only -> kept whole
+      (2L, "A B C z"),       // case-variant of doc3's span
+      (3L, "a b c w"))       // loses "a b c" to doc2 (lowercased hash match)
+      .toDF("doc_id", "text")
+    val out = runSpanDedup(docs, k = 3)
+    assert(out == Seq(
+      (1L, 6L, 6L, "m n o m n o"),
+      (2L, 4L, 4L, "A B C z"),    // keeper, ORIGINAL case preserved
+      (3L, 4L, 1L, "w")))
+  }
+
+  test("spanDedup: partitioning-invariant and null/empty docs absent") {
+    val docs = Seq(
+      (1L, Option("a b c d e")), (2L, Option("z a b c d")),
+      (3L, Option.empty[String]), (4L, Option("")))
+      .toDF("doc_id", "text")
+    val out = runSpanDedup(docs, k = 4)
+    assert(out.map(_._1) == Seq(1L, 2L),
+      "null/empty docs have no tokens and are absent by contract")
+    assert(runSpanDedup(docs.repartition(7), k = 4) == out)
+  }
 }
