@@ -278,6 +278,156 @@ case class RepetitionStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Gopher-rule inputs in ONE tokenize pass (Rae et al. 2021, Gopher
+  * §A1.1.2 data pipeline): per document —
+  * (n_tokens, sum_tok_len, n_alpha_toks, n_symbol_hits, n_lines,
+  * n_bullet_lines, n_ellipsis_lines) over whitespace tokens of the RAW
+  * text (token content is case-independent for every counted property;
+  * stopword hits are a separate [[MarkerCountExpr]] which lowercases).
+  * Lines split on \n; a bullet line starts with '-' or '*' after
+  * space/tab trim; an ellipsis line ends with "..."; symbol hits count
+  * '#' characters plus non-overlapping "..." occurrences anywhere.
+  * Per-doc counting needs no cross-document data — map-only at any
+  * corpus size. Must stay aligned with the DuckDB oracle
+  * (DataQueries.t13Sql).
+  */
+case class GopherStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_tok_len",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_alpha_toks",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_symbol_hits",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_lines",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bullet_lines",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_ellipsis_lines",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_gopher_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = HashExpressions.whitespace.split(s, -1)
+    var nTok = 0L; var sumLen = 0L; var nAlpha = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        nTok += 1
+        sumLen += t.length
+        var j = 0; var alpha = false
+        while (j < t.length && !alpha) {
+          val c = t.charAt(j)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+      }
+      i += 1
+    }
+    // symbol hits: '#' chars + non-overlapping "..." occurrences
+    var nSym = 0L
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '#') { nSym += 1; i += 1 }
+      else if (c == '.' && i + 2 < s.length &&
+        s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') { nSym += 1; i += 3 }
+      else i += 1
+    }
+    // line battery: split on \n (KEEP empty lines — a blank line is a
+    // line; -1 limit keeps trailing empties, matching the oracle's
+    // string_split on chr(10))
+    val lines = s.split("\n", -1)
+    val nLines = lines.length.toLong
+    var nBullet = 0L; var nEllipsis = 0L
+    i = 0
+    while (i < lines.length) {
+      val ln = lines(i)
+      var st = 0
+      while (st < ln.length && (ln.charAt(st) == ' ' || ln.charAt(st) == '\t')) st += 1
+      if (st < ln.length && (ln.charAt(st) == '-' || ln.charAt(st) == '*')) nBullet += 1
+      if (ln.length >= 3 && ln.endsWith("...")) nEllipsis += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTok, sumLen, nAlpha, nSym, nLines, nBullet, nEllipsis)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bigram-LM document scoring with stupid-backoff in ONE tokenize pass
+  * (the t11 unigram contract extended one order): token 0 scores
+  * unigram; token i>0 scores the QUANTIZED conditional log-prob
+  * ln(c(w_{i-1} w_i)/c(w_{i-1})) when the bigram is in the (driver-
+  * built, literal) bigram table, else backoff-penalty + unigram(w_i).
+  * All log-probs pre-quantized to integer nano-nats — the per-doc sum
+  * is exact integer arithmetic, order-independent on any engine.
+  * Returns (n_tokens, sum_logp_u). Twin of the DuckDB bigram-join
+  * oracle (DataQueries.t14Sql).
+  */
+case class BigramLmScoreExpr(child: Expression,
+                             bigramLogpU: Map[String, Long],
+                             unigramLogpU: Map[String, Long],
+                             oovLogpU: Long, backoffU: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_logp_u",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_bigram_lm_score"
+
+  @transient private lazy val bi: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](bigramLogpU.size * 2)
+    bigramLogpU.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  @transient private lazy val uni: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](unigramLogpU.size * 2)
+    unigramLogpU.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  private def uniLp(t: String): Long = {
+    val lp = uni.get(t)
+    if (lp == null) oovLogpU else lp.longValue()
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = HashExpressions.whitespace
+      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    var m = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
+      i += 1
+    }
+    var sum = 0L
+    if (m > 0) sum += uniLp(toks(0))
+    i = 1
+    while (i < m) {
+      val lp = bi.get(toks(i - 1) + " " + toks(i))
+      sum += (if (lp != null) lp.longValue() else backoffU + uniLp(toks(i)))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unigram-LM document scoring in ONE tokenize pass: per whitespace
   * token of lower(text), look up a QUANTIZED log-probability (scaled to
   * integer nano-nats: floor(ln(p)*1e9 + 0.5), out-of-vocabulary tokens

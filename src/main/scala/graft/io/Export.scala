@@ -45,4 +45,34 @@ object Export {
       .parquet(path)
     ShardReport(path, rows, shards)
   }
+
+  /** Deterministic training-order shuffle + shard assignment: every row
+    * gets (shard, pos) — shard = md5(id) mod `nShards`, pos = the row's
+    * 0-based position within its shard when the shard is ordered by
+    * (md5(id), id). That is the global random permutation a pretraining
+    * data loader needs, made REPRODUCIBLE: hash order is independent of
+    * input partitioning/engine, and the id tiebreak pins hash
+    * collisions. (`rand()`-based shuffles are neither reproducible nor
+    * auditable; this is the q42 hash-sampling contract applied to
+    * ordering.)
+    *
+    * Scale shape: ONE shuffle keyed by shard; position is a
+    * within-partition sort + row_number per shard — no global ordering
+    * stage anywhere (a full ORDER BY md5 would funnel the corpus
+    * through a single range-sort; with nShards sized to the cluster,
+    * each shard sorts locally, which is exactly how training shards are
+    * written).
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = graft.functions.GraftFunctions.md5Long(
+      col(idCol).cast(org.apache.spark.sql.types.StringType))
+    df.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("h"), col(idCol)))
+        .cast(org.apache.spark.sql.types.LongType) - 1L)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -339,4 +339,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest coarse
+    * centroid ([[Similarity.cellAssignments]] — a trained k-means fit
+    * slots in identically), then compare pairs only WITHIN a cluster and
+    * drop any vector whose cosine to a lower-id cluster-mate reaches
+    * `threshold`. The keeper reported for a dropped vector is its
+    * LOWEST-id over-threshold neighbor (greedy keep-first — the same
+    * deterministic keep rule as d01/d12), so the decision is stable on
+    * any engine or partitioning.
+    *
+    * Output: (drop_id, keeper_id, cell, cosine-to-keeper).
+    *
+    * Scale shape: cell assignment is one linear broadcast-centroid pass;
+    * the pairwise stage is confined to cluster buckets — O(Σ cell²), the
+    * published SemDeDup contract where k (number of clusters) is sized
+    * to keep cells small (50k clusters at 100 TB). The keeper-selection
+    * exchange is keyed by drop_id and carries only over-threshold pairs
+    * — bounded by the corpus's near-duplicate volume, not its size.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    centroidIds: Seq[Long], threshold: Double): DataFrame = {
+    val assigned = Similarity.cellAssignments(df, vecCol, idCol, centroidIds)
+    val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val r = assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      // threshold on the ROUNDED cosine: a raw-double boundary compare
+      // could ULP-diverge between engines for pairs landing exactly on
+      // the threshold; the oracle mirrors round(...,6) >= t
+      .withColumn("cos_r", round(VectorExpressions.cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos_r") >= threshold)
+    pairs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id2").orderBy(col("id1"))))
+      .filter(col("rn") === 1)
+      .select(col("id2").as("drop_id"), col("id1").as("keeper_id"),
+        col("cell"), col("cos_r").as("cosine"))
+  }
 }

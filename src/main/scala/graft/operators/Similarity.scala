@@ -216,6 +216,39 @@ object Similarity {
         col("id"), col("adc_d2"))
   }
 
+  /** Two-stage retrieval — PQ shortlist + exact rerank (the standard
+    * production ANN shape: ADC over compressed codes prunes the corpus
+    * to `shortlist` candidates per query, then ONLY those candidates'
+    * full vectors are read for an exact-cosine rerank to top-`k`).
+    *
+    * Scale shape: stage 1 is [[pqAdcTopK]] — bandwidth-bound on ~2% of
+    * the raw bytes; stage 2 joins the (|queries| × shortlist)-row
+    * candidate relation back to the corpus ON ID — a semi-join-sized
+    * probe, broadcastable whenever the query batch is bounded, so the
+    * full-width vectors are fetched for shortlist rows only, never
+    * scanned wholesale. Rerank cost is |queries| × shortlist exact
+    * kernels — independent of corpus size.
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame,
+                   vecCol: String, idCol: String, k: Int, shortlist: Int,
+                   m: Int, centroidIds: Seq[Long]): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = pqAdcTopK(corpus, queries, vecCol, idCol,
+        k = shortlist, m = m, centroidIds = centroidIds)
+      .select(col("query_id"), col("id"))
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    short.join(c, Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_r", round(VectorExpressions.cosine(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("cos_r").as("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket key (8-bit sketch by default): the
     * scale path for near-dup joins — only same-bucket pairs compared. */
   def lshBuckets(df: DataFrame, vecCol: String, idCol: String,

@@ -463,6 +463,77 @@ object DataQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, adc_d2
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Two-stage retrieval: PQ-ADC shortlist (20 candidates/query over
+    * compressed codes) -> exact-cosine rerank of ONLY those candidates
+    * to top-5 — the production IVF-PQ search shape; see
+    * [[Similarity.pqRerankTopK]]. Same query split as e02/e05. */
+  val e06PqRerank: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, shortlist = 20,
+        m = 4, centroidIds = ivfCentroids)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e06Sql: String = {
+    val suffix = "SELECT query_id, CAST(rank AS BIGINT) AS rank, id, adc_d2\n" +
+      "FROM r WHERE rank <= 5 ORDER BY query_id, rank"
+    require(e05Sql.endsWith(suffix),
+      "e05Sql final SELECT drifted; update e06Sql's suffix strip")
+    e05Sql.stripSuffix(suffix) +
+      """,sl AS (SELECT query_id, id FROM r WHERE rank <= 20),
+        |rr AS (SELECT sl.query_id, sl.id,
+        |  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+        |  FROM sl JOIN e ON e.id = sl.id JOIN q ON q.query_id = sl.query_id),
+        |r2 AS (SELECT query_id, id, cosine, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM rr)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
+    * the higher id, keeper = lowest-id over-threshold cluster-mate; see
+    * [[Dedup.semanticDedup]]. Same 16-centroid coarse quantizer as
+    * e02's IVF. */
+  val d13SemanticDedup: Q = (s, dir) =>
+    Dedup.semanticDedup(Catalog(s, dir).embeddings, "embedding", "vec_id",
+        centroidIds = ivfCentroids, threshold = 0.3)
+      .orderBy(col("drop_id"))
+
+  val d13Sql: String =
+    """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |cents AS (SELECT id AS cell, v AS cv FROM e
+      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |asg AS (SELECT id, v, cell FROM (
+      |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
+      |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |f AS (SELECT a.id AS id1, b.id AS id2, b.cell,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS c
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+      |k AS (SELECT id2 AS drop_id, min(id1) AS keeper_id FROM f GROUP BY 1)
+      |SELECT k.drop_id, k.keeper_id, f.cell, f.c AS cosine
+      |FROM k JOIN f ON f.id2 = k.drop_id AND f.id1 = k.keeper_id
+      |ORDER BY drop_id""".stripMargin
+
+  /** Deterministic training-order shuffle: md5-hash shard + in-shard
+    * position for every doc — the reproducible global permutation a
+    * training data loader consumes; see [[graft.io.Export.assignShards]]. */
+  val t12ShardShuffle: Q = (s, dir) =>
+    graft.io.Export.assignShards(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "doc_id", 8)
+      .orderBy(col("shard"), col("pos"))
+
+  val t12Sql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+       |SELECT doc_id, h % 8 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+       |    AS BIGINT) AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+
   /** The ANN *scale path*: random-hyperplane LSH bucketing (8 md5-seeded
     * deterministic hyperplanes -> 256 buckets), pairwise cosine only
     * within a bucket. The oracle replays the full hyperplane pipeline in
@@ -920,6 +991,9 @@ object DataQueries {
     "e03_ann_lsh_buckets" -> e03LshBucketPairs,
     "e04_pq_encode" -> e04PqEncode,
     "e05_pq_adc_topk" -> e05PqAdcTopK,
+    "e06_pq_rerank" -> e06PqRerank,
+    "d13_semantic_dedup" -> d13SemanticDedup,
+    "t12_shard_shuffle" -> t12ShardShuffle,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -951,6 +1025,9 @@ object DataQueries {
     "e03_ann_lsh_buckets" -> e03Sql,
     "e04_pq_encode" -> e04Sql,
     "e05_pq_adc_topk" -> e05Sql,
+    "e06_pq_rerank" -> e06Sql,
+    "d13_semantic_dedup" -> d13Sql,
+    "t12_shard_shuffle" -> t12Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,

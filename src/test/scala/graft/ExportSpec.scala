@@ -43,6 +43,28 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("assignShards: total cover, dense per-shard positions, hash-consistent shards") {
+    val df = spark.range(777).select(col("id"))
+    val out = Export.assignShards(df, "id", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 777, "every row assigned")
+    assert(out.map(_._1).distinct.length == 777)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions dense 0..n-1 within each shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (0L until rows.length).toSeq, s"shard $s positions: $ps")
+    }
+  }
+
+  test("assignShards: assignment and order are invariant to input partitioning") {
+    val df = spark.range(300).select(col("id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Export.assignShards(d, "id", 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(df) == run(df.repartition(13)))
+  }
+
   test("sharded: skewed range still splits via maxRecordsPerFile") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
     // all rows share one sort-key value -> one range partition; the

@@ -214,4 +214,70 @@ class OperatorsSpec extends SparkSpec {
     val scores = res.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
     assert(scores == scores.sorted)
   }
+
+  test("pqRerankTopK: with shortlist = corpus size the rerank equals exact brute force") {
+    val vecs = (0 until 30).map { i =>
+      val angle = i * 2 * math.Pi / 30.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        math.cos(angle * 2).toFloat, math.sin(angle * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 3)
+    val rer = Similarity.pqRerankTopK(vecs, q, "embedding", "vec_id",
+        k = 5, shortlist = 29, m = 2, centroidIds = Seq(0L, 8L, 15L, 23L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val bf = Similarity.bruteForceTopK(vecs, q, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(rer.toSeq == bf.toSeq,
+      s"full-shortlist rerank must equal exact search:\n$rer\nvs\n$bf")
+  }
+
+  test("pqRerankTopK: rerank orders the shortlist by TRUE cosine, not ADC distance") {
+    val vecs = (0 until 40).map { i =>
+      val angle = i * 2 * math.Pi / 40.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        math.cos(angle + 1).toFloat, math.sin(angle + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.pqRerankTopK(vecs, vecs.filter($"vec_id" === 7),
+        "embedding", "vec_id", k = 5, shortlist = 15, m = 2,
+        centroidIds = Seq(0L, 10L, 20L, 30L))
+      .collect()
+    assert(res.length == 5)
+    assert(res.map(_.getLong(1)).toSeq.sorted == (1L to 5L))
+    val byRank = res.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+    assert(byRank == byRank.sorted.reverse, "cosine non-increasing with rank")
+  }
+
+  test("semanticDedup: drops only within-cluster near-dups, keeper is lowest id") {
+    // two tight clusters around orthogonal axes + one lone outlier;
+    // ids 0 and 10 are the centroids
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 3) eps else 0f) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val rows = Seq(
+      0L -> a, 1L -> jitter(a, 0.05f), 2L -> jitter(a, 0.1f),
+      10L -> b, 11L -> jitter(b, 0.07f),
+      20L -> Array(0f, 0f, 1f, 0f)) // alone in whichever cell it lands
+    val vecs = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        centroidIds = Seq(0L, 10L), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // cluster A: 1 and 2 drop with keeper 0; cluster B: 11 drops with
+    // keeper 10; the outlier survives (no over-threshold cluster-mate)
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (11L, 10L)), out.toSeq.toString)
+  }
+
+  test("semanticDedup: result is invariant to input partitioning") {
+    val vecs = (0 until 60).map { i =>
+      val angle = (i % 12) * 2 * math.Pi / 12.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        (i / 12).toFloat * 0.01f, 1f))
+    }.toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedup(df, "embedding", "vec_id",
+          centroidIds = Seq(0L, 3L, 6L, 9L), threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    assert(run(vecs) == run(vecs.repartition(7)))
+  }
 }
