@@ -526,6 +526,53 @@ case class SpanHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** ALL k-token spans of lower(text) as strings — every position,
+  * duplicates included (unlike [[WordShinglesExpr]]'s distinct set;
+  * the string twin of [[SpanHashesExpr]]): result[p] = tokens p..p+k-1
+  * joined with one space. Fewer than k tokens -> empty array. Used for
+  * n-gram COUNTING (bigram LM builds), where multiplicity matters.
+  */
+case class WordSpansExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"span width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_spans"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val raw = HashExpressions.whitespace.split(s, -1)
+    var m = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
+      i += 1
+    }
+    val count = m - k + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(p + j))
+        j += 1
+      }
+      out(p) = UTF8String.fromString(sb.toString)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Token-position removal + rebuild in ONE pass: tokenize text (RAW
   * case — removal positions were decided on lowercased hashes, rebuild
   * preserves the original tokens), drop the positions listed in
@@ -606,6 +653,15 @@ object TextExpressions {
       Bridge.expression(text), Bridge.expression(removedPos)))
   def lmScore(text: Column, logpU: Map[String, Long], oovLogpU: Long): Column =
     Bridge.column(LmScoreExpr(Bridge.expression(text), logpU, oovLogpU))
+  def bigramLmScore(text: Column, bigramLogpU: Map[String, Long],
+                    unigramLogpU: Map[String, Long],
+                    oovLogpU: Long, backoffU: Long): Column =
+    Bridge.column(BigramLmScoreExpr(Bridge.expression(text),
+      bigramLogpU, unigramLogpU, oovLogpU, backoffU))
+  def gopherStats(text: Column): Column =
+    Bridge.column(GopherStatsExpr(Bridge.expression(text)))
+  def wordSpans(text: Column, k: Int): Column =
+    Bridge.column(WordSpansExpr(Bridge.expression(text), k))
   def repetitionStats(text: Column): Column =
     Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
   def markerCount(text: Column, words: Seq[String]): Column =

@@ -177,6 +177,119 @@ object TextAnalysis {
           .as("cross_entropy"))
   }
 
+  /** Gopher-rule document filter (Rae et al. 2021, §A1.1.2): the
+    * published rule battery with its published thresholds — word count
+    * in [50, 100000], mean word length in [3, 10], symbol-to-word ratio
+    * ('#' + '...') <= 0.1, <= 90% of lines bullet-started, <= 30% of
+    * lines ellipsis-ended, >= 80% of words containing an alphabetic
+    * character, >= 2 stopword hits. Emits the measured fields, each
+    * rule's verdict, and the conjunction (`gopher_pass`).
+    *
+    * All counting happens in ONE compiled pass per document
+    * ([[graft.expressions.GopherStatsExpr]] + [[graft.expressions
+    * .MarkerCountExpr]]); flags are derived from the ROUNDED ratios so
+    * a boundary document cannot flip its verdict across engines.
+    * Map-only at any corpus size.
+    */
+  def gopherProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = graft.expressions.TextExpressions.gopherStats(col(textCol))
+    val stops = graft.expressions.TextExpressions.markerCount(col(textCol),
+      gopherStopwords)
+    val n = col("st.n_tokens").cast(DoubleType)
+    df.select(col(idCol).as("doc_id"), st.as("st"), stops.as("n_stop_hits"))
+      .select(
+        col("doc_id"),
+        col("st.n_tokens").as("n_words"),
+        when(col("st.n_tokens") > 0L,
+          round(col("st.sum_tok_len").cast(DoubleType) / n, 6)).otherwise(0.0)
+          .as("mean_word_len"),
+        when(col("st.n_tokens") > 0L,
+          round(col("st.n_symbol_hits").cast(DoubleType) / n, 6)).otherwise(0.0)
+          .as("symbol_ratio"),
+        when(col("st.n_tokens") > 0L,
+          round(col("st.n_alpha_toks").cast(DoubleType) / n, 6)).otherwise(0.0)
+          .as("alpha_frac"),
+        round(col("st.n_bullet_lines").cast(DoubleType) /
+          col("st.n_lines").cast(DoubleType), 6).as("bullet_frac"),
+        round(col("st.n_ellipsis_lines").cast(DoubleType) /
+          col("st.n_lines").cast(DoubleType), 6).as("ellipsis_frac"),
+        col("n_stop_hits"))
+      .withColumn("pass_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("pass_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("pass_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("pass_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("pass_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("pass_stop", col("n_stop_hits") >= 2L)
+      .withColumn("gopher_pass",
+        col("pass_word_count") && col("pass_mean_len") && col("pass_symbol") &&
+          col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("pass_stop"))
+  }
+
+  /** Gopher's stopword list (the rule asks for >= 2 hits). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Bigram LM with stupid backoff, built from a (sampled) corpus:
+    * unigram part identical to [[unigramLm]] (top-`vocab` tokens,
+    * quantized nano-nat log-probs, OOV at the 1/total floor); bigram
+    * part = the top-`bigramVocab` adjacent-pair counts with quantized
+    * conditional log-probs ln(c(w1 w2) / c(w1)). Score of a non-tabled
+    * bigram backs off to quant(ln 0.4) + unigram(w2) — Brants et al.
+    * 2007's stupid backoff, the standard web-scale choice (no
+    * discounting state to shuffle). All model pieces are driver-built
+    * literals bounded by the vocab contracts; the build is two
+    * explode+groupBy shuffles over the LM SAMPLE plus two
+    * TakeOrderedAndProject top-k collects — never over the full corpus.
+    */
+  def bigramLm(lmCorpus: DataFrame, textCol: String,
+               vocab: Int, bigramVocab: Int)
+      : (Map[String, Long], Map[String, Long], Long, Long) = {
+    val uniCounts = lmCorpus
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = uniCounts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    require(total > 0, "bigramLm: LM corpus has no tokens")
+    def quant(p: Double): Long = math.floor(math.log(p) * 1e9 + 0.5).toLong
+    val uni = uniCounts.orderBy(col("n").desc, col("tok")).limit(vocab).collect()
+      .map(r => r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
+    val bgTop = lmCorpus
+      .select(explode(
+        graft.expressions.TextExpressions.wordSpans(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg")).limit(bigramVocab).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val w1s = bgTop.map(_._1.split(' ')(0)).distinct.toSeq
+    val w1Counts = uniCounts.filter(col("tok").isInCollection(w1s)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = bgTop.map { case (bg, n) =>
+      bg -> quant(n.toDouble / w1Counts(bg.split(' ')(0)))
+    }.toMap
+    (bi, uni, quant(1.0 / total), quant(0.4))
+  }
+
+  /** Per-document cross-entropy under the bigram-backoff LM — one
+    * compiled map-only pass per doc ([[graft.expressions
+    * .BigramLmScoreExpr]] with the model as literals), same contract as
+    * [[lmCrossEntropy]]. */
+  def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+                         bigram: Map[String, Long], unigram: Map[String, Long],
+                         oovLogpU: Long, backoffU: Long): DataFrame = {
+    val st = graft.expressions.TextExpressions.bigramLmScore(
+      col(textCol), bigram, unigram, oovLogpU, backoffU)
+    df.select(col(idCol).as("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        when(col("st.n_tokens") > 0L,
+          round((-col("st.sum_logp_u").cast(DoubleType) / 1e9) /
+            col("st.n_tokens").cast(DoubleType), 6)).otherwise(0.0)
+          .as("cross_entropy"))
+  }
+
   /** PII profile + redaction: per-pattern match counts (on the original
     * text) and the text with emails/phones/IPv4s replaced by type tags —
     * the scrub pass a training corpus runs before anything else ships.

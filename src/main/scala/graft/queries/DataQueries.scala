@@ -805,6 +805,116 @@ object DataQueries {
        |FROM nn LEFT JOIN ps USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher rule battery (published thresholds) per document; see
+    * [[TextAnalysis.gopherProfile]]. */
+  val t13GopherRules: Q = (s, dir) =>
+    TextAnalysis.gopherProfile(
+        Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val t13Sql: String =
+    """WITH rt AS (SELECT doc_id, text, list_filter(
+      |  string_split_regex(text, '\s+'), t -> t <> '') AS rt FROM documents),
+      |lns AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM documents),
+      |m AS (SELECT r.doc_id,
+      |  CAST(len(r.rt) AS BIGINT) AS n_words,
+      |  COALESCE(list_sum(list_transform(r.rt, t -> length(t))), 0) AS sum_len,
+      |  len(list_filter(r.rt, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+      |  len(regexp_extract_all(r.text, '#|\.\.\.')) AS n_sym,
+      |  CAST(len(list_filter(r.rt,
+      |    t -> lower(t) IN ('the','be','to','of','and','that','have','with')))
+      |    AS BIGINT) AS n_stop_hits,
+      |  len(l.lns) AS n_lines,
+      |  len(list_filter(l.lns, x -> regexp_matches(x, '^[ \t]*[-*]'))) AS n_bullet,
+      |  len(list_filter(l.lns, x -> regexp_matches(x, '\.\.\.$'))) AS n_ellipsis
+      |  FROM rt r JOIN lns l USING (doc_id)),
+      |f AS (SELECT doc_id, n_words,
+      |  CASE WHEN n_words > 0
+      |    THEN round(CAST(sum_len AS DOUBLE) / n_words, 6) ELSE 0.0 END
+      |    AS mean_word_len,
+      |  CASE WHEN n_words > 0
+      |    THEN round(CAST(n_sym AS DOUBLE) / n_words, 6) ELSE 0.0 END
+      |    AS symbol_ratio,
+      |  CASE WHEN n_words > 0
+      |    THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6) ELSE 0.0 END
+      |    AS alpha_frac,
+      |  round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
+      |  round(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+      |  n_stop_hits FROM m)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+      |  bullet_frac, ellipsis_frac, n_stop_hits,
+      |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+      |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+      |  (symbol_ratio <= 0.1) AS pass_symbol,
+      |  (bullet_frac <= 0.9) AS pass_bullet,
+      |  (ellipsis_frac <= 0.3) AS pass_ellipsis,
+      |  (alpha_frac >= 0.8) AS pass_alpha,
+      |  (n_stop_hits >= 2) AS pass_stop,
+      |  (n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+      |    AND n_stop_hits >= 2) AS gopher_pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Bigram-backoff LM cross-entropy (t11's contract one order up):
+    * model from the same 5% md5 sample, top-1000 unigrams + top-2000
+    * bigrams, stupid backoff at quant(ln 0.4); see
+    * [[TextAnalysis.bigramLm]] / [[TextAnalysis.bigramCrossEntropy]]. */
+  val t14BigramLm: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val isLm = pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L
+    val (bi, uni, oov, backoff) =
+      TextAnalysis.bigramLm(docs.filter(isLm), "text",
+        vocab = 1000, bigramVocab = 2000)
+    TextAnalysis.bigramCrossEntropy(
+        docs.repartition(col("doc_id")), "text", "doc_id",
+        bi, uni, oov, backoff)
+      .orderBy(col("doc_id"))
+  }
+
+  val t14Sql: String =
+    s"""WITH $toksCte,
+       |lmd AS (SELECT toks FROM toks
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
+       |cnt AS (SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest(toks) AS tok FROM lmd) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+       |vcb AS (SELECT tok,
+       |  CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM cnt, tot ORDER BY n DESC, tok LIMIT 1000),
+       |oov AS (SELECT CAST(floor(ln(1.0 / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM tot),
+       |pen AS (SELECT CAST(floor(ln(0.4) * 1e9 + 0.5) AS BIGINT) AS lp),
+       |bcnt AS (SELECT bg, count(*) AS n FROM (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM lmd) GROUP BY 1),
+       |bvcb AS (SELECT b.bg,
+       |  CAST(floor(ln(CAST(b.n AS DOUBLE) / c.n) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM bcnt b JOIN cnt c ON c.tok = split_part(b.bg, ' ', 1)
+       |  ORDER BY b.n DESC, b.bg LIMIT 2000),
+       |nn AS (SELECT doc_id, len(toks) AS n_tokens FROM toks),
+       |fs AS (SELECT t.doc_id, COALESCE(v.lp, o.lp) AS lp
+       |  FROM toks t LEFT JOIN vcb v ON v.tok = t.toks[1] CROSS JOIN oov o
+       |  WHERE len(t.toks) > 0),
+       |sl AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i+1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toks)),
+       |ss AS (SELECT sl.doc_id,
+       |  SUM(COALESCE(b.lp, pen.lp + COALESCE(v.lp, o.lp))) AS sum_lp
+       |  FROM sl LEFT JOIN bvcb b USING (bg)
+       |  LEFT JOIN vcb v ON v.tok = sl.w2
+       |  CROSS JOIN oov o CROSS JOIN pen
+       |  GROUP BY 1),
+       |ps AS (SELECT nn.doc_id,
+       |  COALESCE(fs.lp, 0) + COALESCE(ss.sum_lp, 0) AS sum_lp
+       |  FROM nn LEFT JOIN fs USING (doc_id) LEFT JOIN ss USING (doc_id))
+       |SELECT nn.doc_id, CAST(nn.n_tokens AS BIGINT) AS n_tokens,
+       |  CASE WHEN nn.n_tokens > 0
+       |    THEN round((-CAST(ps.sum_lp AS DOUBLE) / 1e9) / nn.n_tokens, 6)
+       |    ELSE 0.0 END AS cross_entropy
+       |FROM nn JOIN ps USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus-curation yield report: docs and tokens surviving the
     * quality gate (quality >= 0.75, [[graft.functions.GraftFunctions
     * .qualityScore]]), per source — the filter-decision summary every
@@ -994,6 +1104,8 @@ object DataQueries {
     "e06_pq_rerank" -> e06PqRerank,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
+    "t13_gopher_rules" -> t13GopherRules,
+    "t14_bigram_lm" -> t14BigramLm,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -1028,6 +1140,8 @@ object DataQueries {
     "e06_pq_rerank" -> e06Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
+    "t13_gopher_rules" -> t13Sql,
+    "t14_bigram_lm" -> t14Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,

@@ -36,7 +36,12 @@ object ClusterSmoke {
     "q03_dim_double_join", "q07_window", "e02_ann_ivf", "t03_fingerprint",
     "t09_repetition", "t10_domain_mixture", "d10_containment",
     "e04_pq_encode", "m05_chunk", "d11_softdedup_weights",
-    "d12_span_dedup")
+    "d12_span_dedup",
+    // round-6 shapes: within-cluster pairwise + greedy keeper (d13),
+    // PQ shortlist -> exact rerank two-stage (e06), hash-shard window
+    // (t12), driver-built bigram-LM literals scoring map-only (t14)
+    "d13_semantic_dedup", "e06_pq_rerank", "t12_shard_shuffle",
+    "t14_bigram_lm")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -72,6 +72,49 @@ class ContainmentMixtureSpec extends SparkSpec {
     assert(lm.keySet == Set("a", "b"), "tie at count 2 -> lexicographic; c cut")
   }
 
+  test("bigramLm: conditional probs quantize from pair/unigram counts; backoff at ln 0.4") {
+    val lmCorpus = Seq.tabulate(10)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val (bi, uni, oov, backoff) =
+      TextAnalysis.bigramLm(lmCorpus, "text", vocab = 100, bigramVocab = 100)
+    def q(p: Double) = math.floor(math.log(p) * 1e9 + 0.5).toLong
+    assert(bi.size == 5, "the cat/cat sat/sat on/on the/the mat")
+    // c("the cat")=10, c("the")=20 -> p = 1/2
+    assert(bi("the cat") == q(10.0 / 20))
+    assert(bi("on the") == q(10.0 / 10))
+    assert(uni("the") == q(20.0 / 60))
+    assert(oov == q(1.0 / 60) && backoff == q(0.4))
+  }
+
+  test("bigramCrossEntropy: tabled bigrams beat backoff; unseen pairs take penalty + unigram") {
+    val lmCorpus = Seq.tabulate(10)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val (bi, uni, oov, backoff) =
+      TextAnalysis.bigramLm(lmCorpus, "text", vocab = 100, bigramVocab = 100)
+    val docs = Seq(
+      (1L, "the cat sat"),   // both bigrams tabled
+      (2L, "mat sat cat"),   // in-vocab words, no tabled bigram -> backoff
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(
+        docs, "text", "doc_id", bi, uni, oov, backoff)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1 exact: uni(the) + bi(the cat) + bi(cat sat), 3 tokens
+    val exp1 = -(uni("the") + bi("the cat") + bi("cat sat")).toDouble / 1e9 / 3
+    assert(math.abs(out(0)._3 - r6(exp1)) < 1e-9)
+    // doc 2 exact: uni(mat) + 2 backoff steps
+    val exp2 = -(uni("mat") + (backoff + uni("sat")) + (backoff + uni("cat"))).toDouble / 1e9 / 3
+    assert(math.abs(out(1)._3 - r6(exp2)) < 1e-9)
+    assert(out(0)._3 < out(1)._3, "phrase-consistent text scores lower")
+    assert(out(2) == ((3L, 0L, 0.0)))
+    val plan = TextAnalysis.bigramCrossEntropy(
+        docs, "text", "doc_id", bi, uni, oov, backoff)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must be map-only:\n$plan")
+  }
+
   test("domainMixture: alpha<1 upsamples small domains; weights sum to ~1") {
     // 90 vs 10 tokens across two domains
     val docs = Seq(

@@ -8,6 +8,45 @@ import org.apache.spark.sql.functions._
 class PiiRepetitionSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherProfile: each rule trips on its crafted violator") {
+    val fiftyGood = (Seq.fill(12)("the cat sat with") ++ Seq("and", "end"))
+      .mkString(" ") // 50 words, mean len in range, 12+ stopword hits
+    val docs = Seq(
+      (1L, fiftyGood),                                   // passes everything
+      (2L, "too short but the and with stopwords"),      // fails word count
+      (3L, (Seq.fill(25)("a b") ++ Seq.fill(13)("the with")).mkString(" ")), // mean len < 3 (76 words)
+      (4L, fiftyGood + " " + Seq.fill(20)("###").mkString(" ")), // symbol ratio > 0.1
+      (5L, (1 to 12).map(i => s"- bullet $i the with").mkString("\n")), // >90% bullet lines
+      (6L, fiftyGood.split(" ").map(w => w + "...").mkString("\n")), // ellipsis lines
+      (7L, (Seq.fill(48)("123 456") ++ Seq.fill(2)("the with")).mkString(" ")), // alpha < 0.8
+      (8L, Seq.fill(50)("word").mkString(" "))           // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherProfile(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def flag(r: org.apache.spark.sql.Row, name: String): Boolean =
+      r.getBoolean(r.fieldIndex(name))
+    assert(flag(out(0), "gopher_pass"), s"doc 1 must pass: ${out(0)}")
+    assert(!flag(out(1), "pass_word_count") && !flag(out(1), "gopher_pass"))
+    assert(!flag(out(2), "pass_mean_len"), s"mean_word_len=${out(2)}")
+    assert(!flag(out(3), "pass_symbol"))
+    assert(!flag(out(4), "pass_bullet"))
+    assert(!flag(out(5), "pass_ellipsis"))
+    assert(!flag(out(6), "pass_alpha"))
+    assert(!flag(out(7), "pass_stop"))
+  }
+
+  test("gopherProfile: map-only plan; empty text yields zeroed fields") {
+    val docs = Seq((1L, ""), (2L, "the cat with and of that be to have sat"))
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.gopherProfile(docs, "text", "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val r = df.orderBy("doc_id").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_words")) == 0L)
+    assert(r.getDouble(r.fieldIndex("mean_word_len")) == 0.0)
+    assert(!r.getBoolean(r.fieldIndex("gopher_pass")))
+  }
+
   test("piiProfile: detects and redacts emails, phones, IPv4s") {
     val docs = Seq(
       (1L, "mail alice.smith+x@sub.example.org and bob@ex.io now"),
