@@ -1,7 +1,8 @@
 package graft
 
-import graft.expressions.{CosineSimilarityExpr, DotProductExpr, Md5MinExpr,
-  MinHashSigExpr, RepetitionStatsExpr, SimHashExpr, WordShinglesExpr}
+import graft.expressions.{CosineSimilarityExpr, DotProductExpr,
+  GopherStatsExpr, Md5MinExpr, MinHashSigExpr, RepetitionStatsExpr,
+  SimHashExpr, SpanHashesExpr, WordShinglesExpr, WordSpansExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Acos, Add, Cast, Conv, Cos,
@@ -96,6 +97,21 @@ object GraftExtensions {
         "graft_repetition_stats(text) - struct(n_tokens, n_distinct, top_token, top_bigram) over whitespace tokens of lower(text)"),
       (children: Seq[Expression]) => { arity(children, 1, "graft_repetition_stats")
         RepetitionStatsExpr(children(0)) }),
+    (FunctionIdentifier("graft_gopher_stats"),
+      info("graft_gopher_stats",
+        "graft_gopher_stats(text) - struct(n_tokens, sum_tok_len, n_alpha_toks, n_symbol_hits, n_lines, n_bullet_lines, n_ellipsis_lines): the Gopher-rule inputs in one pass"),
+      (children: Seq[Expression]) => { arity(children, 1, "graft_gopher_stats")
+        GopherStatsExpr(children(0)) }),
+    (FunctionIdentifier("graft_word_spans"),
+      info("graft_word_spans",
+        "graft_word_spans(text, k) - ALL k-token spans of lower(text) as strings, duplicates kept (n-gram counting)"),
+      (children: Seq[Expression]) => { arity(children, 2, "graft_word_spans")
+        WordSpansExpr(children(0), intLit(children(1), "k")) }),
+    (FunctionIdentifier("graft_span_hashes"),
+      info("graft_span_hashes",
+        "graft_span_hashes(text, k) - 60-bit md5 hashes of every k-token span of lower(text), all positions"),
+      (children: Seq[Expression]) => { arity(children, 2, "graft_span_hashes")
+        SpanHashesExpr(children(0), intLit(children(1), "k")) }),
     (FunctionIdentifier("graft_redact_pii"),
       info("graft_redact_pii",
         "graft_redact_pii(text) - emails, then NANP phones, then IPv4s replaced by <EMAIL>/<PHONE>/<IP> tags"),

@@ -141,6 +141,33 @@ object ScaleProbe {
             col("vec_id").cast(org.apache.spark.sql.types.StringType)),
           lit(kMod)) === 0),
         "embedding", "vec_id", threshold = 0.3))
+
+    // round-6 operators: d13's pairwise stage is confined to cluster
+    // buckets (cost tracks Σ cell², bounded by keeping cells small as k
+    // scales with the corpus); e06's rerank cost is |queries|×shortlist,
+    // independent of corpus size; t12 is one shard-keyed shuffle with
+    // per-shard local sorts; t13 map-only; t14's model build is bounded
+    // by the 5% sample + vocab cutoffs, scoring map-only
+    // centroid count scales WITH the corpus (16 per replica): SemDeDup's
+    // contract is k growing to hold cell size ~constant — a fixed k
+    // would make the within-cell stage quadratic by construction
+    t(s"semantic_dedup_${nEmb}vecs_${16 * replicas}cells")(
+      Dedup.semanticDedup(embBig, "embedding", "vec_id",
+        centroidIds = (0L until (16L * replicas)), threshold = 0.3))
+    t(s"pq_rerank_${nEmb}vecs")(
+      graft.operators.Similarity.pqRerankTopK(embBig,
+        embBig.filter(pmod(col("vec_id"), lit(10000L)) === 0),
+        "embedding", "vec_id", k = 5, shortlist = 20,
+        m = 4, centroidIds = (0L until 16L)))
+    t("shard_shuffle")(graft.io.Export.assignShards(docs, "doc_id", 64))
+    t("gopher_profile")(TextAnalysis.gopherProfile(docs, "text", "doc_id"))
+    t("bigram_lm_build_and_score") {
+      val isLm = pmod(graft.functions.GraftFunctions.md5Long(
+        col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
+      val (bi, uni, oov, backoff) = TextAnalysis.bigramLm(
+        docs.filter(isLm), "text", vocab = 1000, bigramVocab = 2000)
+      TextAnalysis.bigramCrossEntropy(docs, "text", "doc_id", bi, uni, oov, backoff)
+    }
     spark.stop()
   }
 }

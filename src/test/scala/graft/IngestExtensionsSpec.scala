@@ -227,6 +227,31 @@ class IngestExtensionsSpec extends SparkSpec {
     assert(red == viaCol)
   }
 
+  test("GraftExtensions: gopher stats / word spans / span hashes SQL forms match the engine path") {
+    GraftExtensions.register(spark)
+    Seq((1L, "The cat... sat #on the mat"))
+      .toDF("doc_id", "text").createOrReplaceTempView("gop_t")
+    val st = spark.sql("SELECT graft_gopher_stats(text) AS st FROM gop_t")
+      .head.getStruct(0)
+    assert(st.getLong(0) == 6L, "n_tokens")
+    assert(st.getLong(3) == 2L, "symbol hits: one '...' + one '#'")
+    val viaColSt = spark.table("gop_t")
+      .select(graft.expressions.TextExpressions.gopherStats(col("text"))).head.getStruct(0)
+    assert(st == viaColSt)
+    val spans = spark.sql("SELECT graft_word_spans(text, 2) AS s FROM gop_t")
+      .head.getSeq[String](0)
+    assert(spans == spark.table("gop_t")
+      .select(graft.expressions.TextExpressions.wordSpans(col("text"), 2))
+      .head.getSeq[String](0))
+    assert(spans.head == "the cat...", "lowercased internally, all positions")
+    val hashes = spark.sql("SELECT graft_span_hashes(text, 2) AS h FROM gop_t")
+      .head.getSeq[Long](0)
+    assert(hashes == spark.table("gop_t")
+      .select(graft.expressions.TextExpressions.spanHashes(col("text"), 2))
+      .head.getSeq[Long](0))
+    assert(hashes.length == spans.length)
+  }
+
   test("GraftExtensions: wrong argument counts raise contract errors, not IndexOutOfBounds") {
     GraftExtensions.register(spark)
     Seq(("a", 1.0)).toDF("id", "x").createOrReplaceTempView("arity_t")
