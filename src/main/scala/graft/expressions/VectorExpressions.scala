@@ -216,6 +216,88 @@ case class PqEncodeExpr(child: Expression, codebook: Seq[Seq[Double]], m: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid cell assignment in ONE compiled call per row: the
+  * cell id whose centroid has the highest round-6dp cosine to the input
+  * vector, lowest cell id on ties — EXACTLY the semantics of the
+  * cross-join + row_number window formulation it replaces
+  * (`round(cosine) DESC, cell ASC, rn = 1`), with the centroids as a
+  * driver-built literal codebook (rows aligned with `cellIds`, which
+  * must be ascending). The window version shuffles corpus×k rows on id
+  * to pick a per-row argmax; this is a map-only projection — zero
+  * shuffle at any corpus size, the same literal-codebook contract as
+  * [[PqEncodeExpr]].
+  *
+  * Rounding matches Spark's round(x, 6) (BigDecimal HALF_UP) and
+  * DuckDB's round (half away from zero — identical for the halves that
+  * can arise here). Cosine is the same left-fold dot/(||a||·||b||) as
+  * [[CosineSimilarityExpr]], truncating to the shorter width. NULL
+  * element or degenerate input -> NULL (upstream filters exclude both).
+  */
+case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
+                           cellIds: Seq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(codebook.nonEmpty, "nearest-cell codebook must be non-empty")
+  require(codebook.length == cellIds.length,
+    s"codebook has ${codebook.length} rows for ${cellIds.length} cell ids")
+  require(cellIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "cellIds must be strictly ascending (tie rule: lowest cell id wins)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_cell"
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+  @transient private lazy val cbNorm: Array[Double] =
+    cb.map(r => math.sqrt(r.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    var best = -1
+    var bestD = 0.0
+    var c = 0
+    while (c < cb.length) {
+      val row = cb(c)
+      val n = math.min(nv, row.length)
+      var dot = 0.0; var na = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val xv = v.getDouble(i)
+        dot += xv * row(i); na += xv * xv
+        i += 1
+      }
+      // norm of the TRUNCATED centroid slice when widths differ — the
+      // same lenient-truncation semantics as CosineSimilarityExpr
+      val nb = if (n == row.length) cbNorm(c) else {
+        var s = 0.0; var k = 0
+        while (k < n) { s += row(k) * row(k); k += 1 }
+        math.sqrt(s)
+      }
+      val denom = math.sqrt(na) * nb
+      if (denom > 0.0) {
+        val d = java.math.BigDecimal.valueOf(dot / denom)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (best < 0 || d > bestD) { best = c; bestD = d }
+      }
+      c += 1
+    }
+    if (best < 0) null else cellIds(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Analysis-time input check shared by the vector expressions: both
@@ -248,4 +330,8 @@ object VectorExpressions {
   def pqEncode(v: Column, codebook: Seq[Seq[Double]], m: Int): Column =
     Bridge.column(PqEncodeExpr(
       Bridge.expression(v.cast("array<double>")), codebook, m))
+  def nearestCell(v: Column, codebook: Seq[Seq[Double]],
+                  cellIds: Seq[Long]): Column =
+    Bridge.column(NearestCellExpr(
+      Bridge.expression(v.cast("array<double>")), codebook, cellIds))
 }

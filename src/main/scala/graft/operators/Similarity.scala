@@ -55,18 +55,24 @@ object Similarity {
 
   /** Assign each vector to its nearest coarse centroid. Centroids are the
     * vectors whose id is in `centroidIds` (deterministic coarse
-    * quantizer — a k-means fit would slot in identically). */
+    * quantizer — a k-means fit would slot in identically).
+    *
+    * Assignment is ONE compiled map-only call per row against the
+    * driver-collected centroid codebook ([[graft.expressions
+    * .NearestCellExpr]], same literal-codebook contract as PQ): zero
+    * shuffle at any corpus size. The previous cross-join + per-id
+    * row_number window shuffled corpus×k rows just to pick each row's
+    * argmax — a full-corpus exchange a 100 TB assignment pass cannot
+    * afford; the expression preserves its exact semantics
+    * (round-6dp cosine DESC, lowest cell id on ties). */
   def cellAssignments(corpus: DataFrame, vecCol: String, idCol: String,
                       centroidIds: Seq[Long]): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
-    val cents = c.filter(col("id").isInCollection(centroidIds))
-      .select(col("id").as("cell"), col("v").as("cv"))
-    c.crossJoin(broadcast(cents)) // every corpus row x small centroid set
-      .withColumn("d", round(VectorExpressions.cosine(col("v"), col("cv")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("d").desc, col("cell").asc)))
-      .filter(col("rn") === 1)
+    val ids = centroidIds.distinct.sorted
+    val codebook = collectCodebook(c, ids) // rows in id order = ids order
+    c.withColumn("cell",
+        VectorExpressions.nearestCell(col("v"), codebook, ids))
       .select(col("id"), col("v"), col("cell"))
   }
 

@@ -247,6 +247,36 @@ class OperatorsSpec extends SparkSpec {
     assert(byRank == byRank.sorted.reverse, "cosine non-increasing with rank")
   }
 
+  test("cellAssignments: map-only plan, identical to the window-formulation reference") {
+    val vecs = (0 until 120).map { i =>
+      val angle = i * 2 * math.Pi / 120.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        math.cos(angle * 3).toFloat, math.sin(angle * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(0L, 30L, 60L, 90L)
+    val got = Similarity.cellAssignments(vecs, "embedding", "vec_id", cents)
+    // zero Exchange: assignment must stay inside the scan stage
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be map-only:\n$plan")
+    // reference: the cross-join + row_number window formulation
+    import graft.functions.GraftFunctions.toDoubleArray
+    val c = vecs.select(col("vec_id").as("id"),
+      toDoubleArray(col("embedding")).as("v"))
+    val cc = c.filter(col("id").isInCollection(cents))
+      .select(col("id").as("cell"), col("v").as("cv"))
+    val ref = c.crossJoin(broadcast(cc))
+      .withColumn("d", round(
+        graft.expressions.VectorExpressions.cosine(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("d").desc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cell"))
+    val gotM = got.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val refM = ref.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotM == refM, "compiled argmax must equal the window formulation")
+  }
+
   test("semanticDedup: drops only within-cluster near-dups, keeper is lowest id") {
     // two tight clusters around orthogonal axes + one lone outlier;
     // ids 0 and 10 are the centroids
