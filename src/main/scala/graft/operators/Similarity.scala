@@ -159,27 +159,22 @@ object Similarity {
     * query top-k window. Distances are the approximate d² implied by
     * the quantization, rounded to 6dp with id tiebreak for cross-engine
     * rank stability. */
-  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
-                vecCol: String, idCol: String, k: Int,
-                m: Int, centroidIds: Seq[Long]): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .filter(nonDegenerate(col("v")))
-    val codebook = collectCodebook(c, centroidIds)
+  /** Per-query ADC distance tables, flat [j * kCent + cidx] — the
+    * i-loop accumulation order matches the oracle's list_inner_product
+    * slices. Driver-side: queries are a bounded batch, the same
+    * contract as [[bruteForceTopK]]'s broadcast. */
+  private def adcTables(queries: DataFrame, vecCol: String, idCol: String,
+                        codebook: Seq[Seq[Double]], m: Int): DataFrame = {
     val dim = codebook.head.length
     val sub = dim / m
     val kCent = codebook.length
-    val codes = pqEncode(corpus, vecCol, idCol, m, centroidIds)
-      .select(col("id"), col("codes"))
-
-    // per-query distance tables, flat [j * kCent + cidx] — the i-loop
-    // accumulation order matches the oracle's list_inner_product slices
     val qRows = queries
       .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
       .collect()
-    val spark = corpus.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
-    val tables = qRows.toSeq.map { r =>
+    qRows.toSeq.map { r =>
       val qv = r.getSeq[Double](1).toArray
       require(qv.length == dim,
         s"query ${r.getLong(0)} has dim ${qv.length}, codebook has $dim")
@@ -203,19 +198,84 @@ object Similarity {
       }
       (r.getLong(0), dt.toSeq)
     }.toDF("query_id", "dt")
+  }
 
-    // score = Σ_j dt[j*kCent + codes[j]] — explicit left-assoc chain of
-    // codegen'd element_at lookups (1-based), matching the oracle's
-    // chained additions
-    val score = (0 until m)
-      .map(j => element_at(col("dt"),
-        (col("codes").getItem(j) + lit(j * kCent) + 1).cast(IntegerType)))
-      .reduce(_ + _)
+  /** score = Σ_j dt[j*kCent + codes[j]] — explicit left-assoc chain of
+    * codegen'd element_at lookups (1-based), matching the oracle's
+    * chained additions. */
+  private def adcScore(m: Int, kCent: Int): Column = (0 until m)
+    .map(j => element_at(col("dt"),
+      (col("codes").getItem(j) + lit(j * kCent) + 1).cast(IntegerType)))
+    .reduce(_ + _)
+
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int,
+                m: Int, centroidIds: Seq[Long]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val codebook = collectCodebook(c, centroidIds)
+    val codes = pqEncode(corpus, vecCol, idCol, m, centroidIds)
+      .select(col("id"), col("codes"))
+    val tables = adcTables(queries, vecCol, idCol, codebook, m)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_d2").asc, col("id").asc)
     codes.crossJoin(broadcast(tables))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("adc_d2", round(score, 6))
+      .withColumn("adc_d2", round(adcScore(m, codebook.length), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("adc_d2"))
+  }
+
+  /** The full IVF-PQ search — the production ANN shape at 100 TB:
+    * coarse cells prune WHICH corpus rows are scored (e02's half),
+    * PQ codes compress WHAT is read to score them (e05's half).
+    * Each query probes its `nProbe` nearest coarse cells and
+    * ADC-scores only the code rows in those cells: per query the scan
+    * touches ~nProbe/nCells of the corpus at ~2% of the raw bytes.
+    *
+    * Plan shape: map-only cell assignment + PQ encode in ONE projection
+    * over the corpus scan (both literal-codebook expressions, zero
+    * shuffle); probes + ADC tables are driver/broadcast-side (bounded
+    * query batch); the probe join is an equi-join on cell against a
+    * broadcast; top-k via per-query window. At warehouse scale the code
+    * table is written partitioned BY cell, so probes prune partitions
+    * at the scan (IvfStorageSpec pins that property).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int,
+                cellIds: Seq[Long], nProbe: Int,
+                m: Int, pqCentroidIds: Seq[Long]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val codebook = collectCodebook(c, pqCentroidIds)
+    // one map-only projection: cell + codes per corpus row
+    val coded = cellAssignments(corpus, vecCol, idCol, cellIds)
+      .select(col("id"), col("cell"),
+        graft.expressions.VectorExpressions
+          .pqEncode(col("v"), codebook, m).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("id"), col("cell"), col("st.codes").as("codes"))
+    // probe cells per query — same formulation as ivfTopK (query side
+    // is the bounded batch; its window exchange carries |queries|×k rows)
+    val cents = corpus
+      .select(col(idCol).as("qcell"), toDoubleArray(col(vecCol)).as("cv"))
+      .filter(col("qcell").isInCollection(cellIds) && nonDegenerate(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qcell").as("cell"))
+    val tables = adcTables(queries, vecCol, idCol, codebook, m)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("id").asc)
+    coded.join(broadcast(probes.join(tables, Seq("query_id"))), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(adcScore(m, codebook.length), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),

@@ -491,6 +491,63 @@ object DataQueries {
         |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full IVF-PQ search: coarse cells prune WHICH rows are scored,
+    * PQ codes compress WHAT is read to score them — the production ANN
+    * shape; see [[Similarity.ivfPqTopK]]. Same query split, coarse
+    * quantizer, and PQ codebook stand-ins as e02/e04/e05. */
+  val e07IvfPq: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, cellIds = ivfCentroids, nProbe = 2,
+        m = 4, pqCentroidIds = ivfCentroids)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val e07Sql: String =
+    """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |cents AS (SELECT id AS cell, v AS cv FROM e
+      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |asg AS (SELECT id, cell FROM (
+      |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+      |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |probes AS (SELECT query_id, cell FROM (
+      |  SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+      |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
+      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |d AS (SELECT e.id, js.j, cb.cidx,
+      |  list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], e.v[js.j*16+1 : (js.j+1)*16])
+      |  - 2 * list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16])
+      |  + list_inner_product(cb.cv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16]) AS d2
+      |  FROM e CROSS JOIN js CROSS JOIN cb),
+      |best AS (SELECT id, j, cidx, d2,
+      |  row_number() OVER (PARTITION BY id, j ORDER BY d2, cidx) AS rn FROM d),
+      |b1 AS (SELECT id, j, cidx FROM best WHERE rn = 1),
+      |qd AS (SELECT q.query_id, js.j, cb.cidx,
+      |  list_inner_product(q.qv[js.j*16+1 : (js.j+1)*16], q.qv[js.j*16+1 : (js.j+1)*16])
+      |  - 2 * list_inner_product(q.qv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16])
+      |  + list_inner_product(cb.cv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16]) AS d2
+      |  FROM q CROSS JOIN js CROSS JOIN cb),
+      |cand AS (SELECT p.query_id, a.id FROM asg a
+      |  JOIN probes p ON a.cell = p.cell WHERE a.id <> p.query_id),
+      |sc AS (SELECT c2.query_id, b1.id,
+      |  round(((MAX(CASE WHEN b1.j = 0 THEN qd.d2 END)
+      |    + MAX(CASE WHEN b1.j = 1 THEN qd.d2 END))
+      |    + MAX(CASE WHEN b1.j = 2 THEN qd.d2 END))
+      |    + MAX(CASE WHEN b1.j = 3 THEN qd.d2 END), 6) AS adc_d2
+      |  FROM cand c2 JOIN b1 ON b1.id = c2.id
+      |  JOIN qd ON qd.query_id = c2.query_id AND qd.j = b1.j AND qd.cidx = b1.cidx
+      |  GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, adc_d2, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY adc_d2, id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, adc_d2
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
     * the higher id, keeper = lowest-id over-threshold cluster-mate; see
     * [[Dedup.semanticDedup]]. Same 16-centroid coarse quantizer as
@@ -1102,6 +1159,7 @@ object DataQueries {
     "e04_pq_encode" -> e04PqEncode,
     "e05_pq_adc_topk" -> e05PqAdcTopK,
     "e06_pq_rerank" -> e06PqRerank,
+    "e07_ivf_pq" -> e07IvfPq,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1138,6 +1196,7 @@ object DataQueries {
     "e04_pq_encode" -> e04Sql,
     "e05_pq_adc_topk" -> e05Sql,
     "e06_pq_rerank" -> e06Sql,
+    "e07_ivf_pq" -> e07Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

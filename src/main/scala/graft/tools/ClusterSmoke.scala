@@ -41,7 +41,9 @@ object ClusterSmoke {
     // PQ shortlist -> exact rerank two-stage (e06), hash-shard window
     // (t12), driver-built bigram-LM literals scoring map-only (t14)
     "d13_semantic_dedup", "e06_pq_rerank", "t12_shard_shuffle",
-    "t14_bigram_lm")
+    "t14_bigram_lm",
+    // combined cell-pruned + compressed-code search
+    "e07_ivf_pq")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -277,6 +277,34 @@ class OperatorsSpec extends SparkSpec {
     assert(gotM == refM, "compiled argmax must equal the window formulation")
   }
 
+  test("ivfPqTopK: probing ALL cells equals plain ADC; fewer probes restrict candidates") {
+    val vecs = (0 until 40).map { i =>
+      val angle = i * 2 * math.Pi / 40.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        math.cos(angle + 1).toFloat, math.sin(angle + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 7)
+    val cells = Seq(0L, 10L, 20L, 30L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    // nProbe = all cells -> candidate set = whole corpus = pqAdcTopK
+    val full = rows(Similarity.ivfPqTopK(vecs, q, "embedding", "vec_id",
+      k = 5, cellIds = cells, nProbe = 4, m = 2, pqCentroidIds = cells))
+    val adc = rows(Similarity.pqAdcTopK(vecs, q, "embedding", "vec_id",
+      k = 5, m = 2, centroidIds = cells))
+    assert(full == adc, "all-probe IVF-PQ must equal plain ADC")
+    // nProbe = 1 -> results confined to the query's own cell
+    val one = Similarity.ivfPqTopK(vecs, q, "embedding", "vec_id",
+      k = 5, cellIds = cells, nProbe = 1, m = 2, pqCentroidIds = cells)
+      .collect().map(_.getLong(2)).toSet
+    val asg = Similarity.cellAssignments(vecs, "embedding", "vec_id", cells)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val qCell = asg(7L)
+    assert(one.forall(id => asg(id) == qCell),
+      s"nProbe=1 results must come from the query's cell: $one")
+  }
+
   test("semanticDedup: drops only within-cluster near-dups, keeper is lowest id") {
     // two tight clusters around orthogonal axes + one lone outlier;
     // ids 0 and 10 are the centroids
