@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *   DOCS_DEDUPED  (table)   exact-dup keeper drop over the filtered set
   *   DOCS_CLEAN    (table)   decontaminated (benchmark 5-shingle overlap)
   *   DOCS_PACKED   (table)   sequence packing per language shard
+  *   DOCS_SHARDED  (table)   deterministic training-order shard/position
   *
   * Every stage is the library operator, not a re-implementation — the
   * DAG adds materialization, lineage, and testability. Filter
@@ -47,11 +48,13 @@ object CurationModels {
       // TextExpressions), so semantics cannot drift.
       import graft.functions.GraftFunctions._
       val rep = graft.expressions.TextExpressions.repetitionStats(col("text"))
+      val gop = graft.expressions.TextExpressions.gopherStats(col("text"))
       documents.select(col("doc_id"), col("text"), col("lang"), col("source"),
           qualityScore(col("text")).as("quality"),
           tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
             .as("n_tokens"),
           rep.as("rep"),
+          gop.as("gop"),
           patternCount(col("text"), emailRe).as("n_emails"),
           patternCount(col("text"), phoneRe).as("n_phones"),
           patternCount(col("text"), ipv4Re).as("n_ips"),
@@ -64,7 +67,18 @@ object CurationModels {
           when(col("rep.n_tokens") > 1L,
             col("rep.top_bigram").cast("double") /
               (col("rep.n_tokens") - 1L).cast("double")).otherwise(0.0))
-        .drop("rep")
+        // gopher-rule signals (t13's library semantics, same one-pass
+        // projection): symbol density and alphabetic-word fraction are
+        // the two rules safe to gate on without corpus-specific tuning
+        .withColumn("symbol_ratio",
+          when(col("gop.n_tokens") > 0L,
+            col("gop.n_symbol_hits").cast("double") /
+              col("gop.n_tokens").cast("double")).otherwise(0.0))
+        .withColumn("alpha_frac",
+          when(col("gop.n_tokens") > 0L,
+            col("gop.n_alpha_toks").cast("double") /
+              col("gop.n_tokens").cast("double")).otherwise(0.0))
+        .drop("rep").drop("gop")
     })
 
     val filteredMat =
@@ -81,7 +95,9 @@ object CurationModels {
       }
       delta
         .filter(col("quality") >= 0.5 &&
-          col("dup_token_frac") <= 0.9 && col("top_bigram_frac") <= 0.9)
+          col("dup_token_frac") <= 0.9 && col("top_bigram_frac") <= 0.9 &&
+          // the corpus-agnostic Gopher rules (published thresholds)
+          col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8)
         // ship the REDACTED text forward; raw text stops here
         .select(col("doc_id"), col("redacted").as("text"), col("lang"),
           col("source"), col("n_tokens"))
@@ -106,6 +122,18 @@ object CurationModels {
         "text", "doc_id", "lang", cap = 512)
     })
 
+    r.register(Model("DOCS_SHARDED", "3_MART___CURATION",
+        Seq("DOCS_CLEAN"), Table) { deps =>
+      // deterministic training-order shuffle (t12's library operator):
+      // the terminal relation a data loader reads shard by shard, in
+      // position order — reproducible on any engine or partitioning
+      val d = deps("DOCS_CLEAN")
+      graft.io.Export.assignShards(d, "doc_id", nShards = 8)
+        .join(d, Seq("doc_id"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("text"),
+          col("lang"), col("source"))
+    })
+
     r
   }
 
@@ -124,6 +152,8 @@ object CurationModels {
         unique(rel("DOCS_DEDUPED"), Seq("doc_id"))),
       Check("DOCS_PACKED", "seq_id_not_null",
         notNull(rel("DOCS_PACKED"), "seq_id")),
+      Check("DOCS_SHARDED", "shard_pos_unique",
+        unique(rel("DOCS_SHARDED"), Seq("shard", "pos"))),
       // singular test: the shipped text was redacted upstream, so no
       // email pattern may survive to the clean relation
       Check("DOCS_CLEAN", "no_email_pii",

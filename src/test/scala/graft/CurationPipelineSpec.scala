@@ -47,7 +47,7 @@ class CurationPipelineSpec extends SparkSpec {
     val profPlan = r.resolve(cfg)("DOCS_PROFILED")
       .queryExecution.executedPlan.toString
     assert(!profPlan.contains("Exchange"), s"unexpected shuffle:\n$profPlan")
-    val res = r.run(cfg, Seq("DOCS_PACKED"))
+    val res = r.run(cfg, Seq("DOCS_PACKED", "DOCS_SHARDED"))
     assert(res.order.nonEmpty && res.resolved.contains("DOCS_PACKED"),
       s"pipeline run incomplete: ${res.order}")
 
@@ -72,6 +72,15 @@ class CurationPipelineSpec extends SparkSpec {
     assert(packed.count() == clean.count(), "every clean doc gets a packing slot")
     assert(packed.columns.contains("seq_id") && packed.columns.contains("seq_offset"))
 
+    val sharded = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_SHARDED")
+    assert(sharded.count() == clean.count(), "every clean doc gets a shard slot")
+    // positions dense 0..n-1 within each shard (the loader contract)
+    sharded.select("shard", "pos").as[(Long, Long)].collect()
+      .groupBy(_._1).foreach { case (s, rows) =>
+        val ps = rows.map(_._2).sorted.toSeq
+        assert(ps == (0L until rows.length).toSeq, s"shard $s positions: $ps")
+      }
+
     val tests = CurationModels.tests(r, cfg)
     assert(tests.forall(_.passed),
       s"data tests failed: ${tests.filterNot(_.passed)}")
@@ -85,7 +94,7 @@ class CurationPipelineSpec extends SparkSpec {
 
     var docs = corpus()
     CurationModels.registry(spark, docs, bench, incrementalFilter = true)
-      .run(cfg, Seq("DOCS_PACKED"))
+      .run(cfg, Seq("DOCS_PACKED", "DOCS_SHARDED"))
     val path = s"$tmp/DEV/3_MART___CURATION/DOCS_FILTERED"
     val n1 = spark.read.parquet(path).count()
 
@@ -96,7 +105,7 @@ class CurationPipelineSpec extends SparkSpec {
           (401L, docText(401), "en", "web"),
           (402L, "???", "en", "spam")).toDF("doc_id", "text", "lang", "source"))
     val r2 = CurationModels.registry(spark, docs, bench, incrementalFilter = true)
-    r2.run(cfg, Seq("DOCS_PACKED"))
+    r2.run(cfg, Seq("DOCS_PACKED", "DOCS_SHARDED"))
 
     val filtered = spark.read.parquet(path)
     assert(filtered.count() == n1 + 2, "only the two new good docs appended")
