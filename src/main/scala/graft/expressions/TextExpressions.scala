@@ -320,7 +320,11 @@ case class GopherStatsExpr(child: Expression)
       val t = toks(i)
       if (!t.isEmpty) {
         nTok += 1
-        sumLen += t.length
+        // CODE POINTS, not UTF-16 units: the DuckDB oracle's length(t)
+        // counts code points, and a supplementary-plane char (emoji)
+        // would otherwise count 2 here vs 1 there — mean_word_len and
+        // pass_mean_len would hash-diverge
+        sumLen += t.codePointCount(0, t.length)
         var j = 0; var alpha = false
         while (j < t.length && !alpha) {
           val c = t.charAt(j)

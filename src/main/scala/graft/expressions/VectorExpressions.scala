@@ -243,6 +243,9 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
     s"codebook has ${codebook.length} rows for ${cellIds.length} cell ids")
   require(cellIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
     "cellIds must be strictly ascending (tie rule: lowest cell id wins)")
+  private val cbDim = codebook.head.length
+  require(codebook.forall(_.length == cbDim),
+    "nearest-cell codebook rows must share one width")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -261,21 +264,29 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val nv = v.numElements()
+    // hoist the centroid-independent work out of the per-centroid loop:
+    // one null scan + unbox + norm accumulation per ROW, not per
+    // (row × centroid) — this is the hot map-only path the expression
+    // exists to keep cheap. Codebook rows share one width (require
+    // above), so the truncation length is fixed per row.
+    val n = math.min(v.numElements(), cbDim)
+    val xs = new Array[Double](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val xv = v.getDouble(i)
+      xs(i) = xv; na += xv * xv
+      i += 1
+    }
     var best = -1
     var bestD = 0.0
     var c = 0
     while (c < cb.length) {
       val row = cb(c)
-      val n = math.min(nv, row.length)
-      var dot = 0.0; var na = 0.0
-      var i = 0
-      while (i < n) {
-        if (v.isNullAt(i)) return null
-        val xv = v.getDouble(i)
-        dot += xv * row(i); na += xv * xv
-        i += 1
-      }
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += xs(i) * row(i); i += 1 }
       // norm of the TRUNCATED centroid slice when widths differ — the
       // same lenient-truncation semantics as CosineSimilarityExpr
       val nb = if (n == row.length) cbNorm(c) else {
@@ -285,9 +296,16 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
       }
       val denom = math.sqrt(na) * nb
       if (denom > 0.0) {
-        val d = java.math.BigDecimal.valueOf(dot / denom)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (best < 0 || d > bestD) { best = c; bestD = d }
+        val raw = dot / denom
+        // a non-finite embedding element (Inf passes the dot(v,v)>0
+        // degeneracy filter) yields NaN here; BigDecimal.valueOf(NaN)
+        // would throw and fail the whole stage — skip the candidate
+        // instead (all-NaN rows return NULL and drop from the join)
+        if (java.lang.Double.isFinite(raw)) {
+          val d = java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (best < 0 || d > bestD) { best = c; bestD = d }
+        }
       }
       c += 1
     }

@@ -76,27 +76,37 @@ object Similarity {
       .select(col("id"), col("v"), col("cell"))
   }
 
-  /** IVF approximate top-k: probe the `nProbe` best cells per query. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              vecCol: String, idCol: String, k: Int,
-              centroidIds: Seq[Long], nProbe: Int = 2): DataFrame = {
-    val assigned = cellAssignments(corpus, vecCol, idCol, centroidIds)
+  /** Per-query probe cells: the `nProbe` nearest coarse cells, by
+    * round-6dp cosine DESC with lowest-cell tiebreak — the e02/e07
+    * oracles pin these exact semantics, so both consumers must share
+    * ONE formulation. Centroids come straight from the corpus, NOT
+    * from the assignment output: a centroid whose rounded
+    * self-similarity ties another centroid can be ASSIGNED to the
+    * other's cell, which would drop a probe cell and silently diverge
+    * from the oracle. The query side is the bounded batch, so its
+    * window exchange carries |queries|×k rows. */
+  private def probeCells(corpus: DataFrame, queries: DataFrame,
+                         vecCol: String, idCol: String,
+                         centroidIds: Seq[Long], nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
-    // centroids come straight from the corpus, NOT from the assignment
-    // output: a centroid whose rounded self-similarity ties another
-    // centroid can be ASSIGNED to the other's cell, which would drop a
-    // probe cell and silently diverge from the oracle (and re-running
-    // cellAssignments here would recompute the corpus-x-centroid join).
     val cents = corpus
       .select(col(idCol).as("qcell"), toDoubleArray(col(vecCol)).as("cv"))
       .filter(col("qcell").isInCollection(centroidIds) && nonDegenerate(col("cv")))
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qcell").as("cell"))
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` best cells per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              centroidIds: Seq[Long], nProbe: Int = 2): DataFrame = {
+    val assigned = cellAssignments(corpus, vecCol, idCol, centroidIds)
+    val probes = probeCells(corpus, queries, vecCol, idCol, centroidIds, nProbe)
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos_r", round(VectorExpressions.cosine(col("v"), col("qv")), 6))
@@ -257,19 +267,8 @@ object Similarity {
           .pqEncode(col("v"), codebook, m).as("st"))
       .filter(col("st").isNotNull)
       .select(col("id"), col("cell"), col("st.codes").as("codes"))
-    // probe cells per query — same formulation as ivfTopK (query side
-    // is the bounded batch; its window exchange carries |queries|×k rows)
-    val cents = corpus
-      .select(col(idCol).as("qcell"), toDoubleArray(col(vecCol)).as("cv"))
-      .filter(col("qcell").isInCollection(cellIds) && nonDegenerate(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
-      .filter(nonDegenerate(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qcell").as("cell"))
+    val probes = probeCells(corpus, queries, vecCol, idCol, cellIds, nProbe)
+      .select(col("query_id"), col("cell"))
     val tables = adcTables(queries, vecCol, idCol, codebook, m)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_d2").asc, col("id").asc)

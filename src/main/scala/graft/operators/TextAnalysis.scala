@@ -248,27 +248,33 @@ object TextAnalysis {
   def bigramLm(lmCorpus: DataFrame, textCol: String,
                vocab: Int, bigramVocab: Int)
       : (Map[String, Long], Map[String, Long], Long, Long) = {
+    // persist: three driver actions consume this relation (total agg,
+    // top-k collect, w1-count collect) — unpersisted, each would re-run
+    // the tokenize+shuffle over the LM sample
     val uniCounts = lmCorpus
       .select(explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
-    val total = uniCounts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
-    require(total > 0, "bigramLm: LM corpus has no tokens")
-    def quant(p: Double): Long = math.floor(math.log(p) * 1e9 + 0.5).toLong
-    val uni = uniCounts.orderBy(col("n").desc, col("tok")).limit(vocab).collect()
-      .map(r => r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
-    val bgTop = lmCorpus
-      .select(explode(
-        graft.expressions.TextExpressions.wordSpans(col(textCol), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bg")).limit(bigramVocab).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val w1s = bgTop.map(_._1.split(' ')(0)).distinct.toSeq
-    val w1Counts = uniCounts.filter(col("tok").isInCollection(w1s)).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bi = bgTop.map { case (bg, n) =>
-      bg -> quant(n.toDouble / w1Counts(bg.split(' ')(0)))
-    }.toMap
-    (bi, uni, quant(1.0 / total), quant(0.4))
+      .persist()
+    try {
+      val total = uniCounts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+      require(total > 0, "bigramLm: LM corpus has no tokens")
+      def quant(p: Double): Long = math.floor(math.log(p) * 1e9 + 0.5).toLong
+      val uni = uniCounts.orderBy(col("n").desc, col("tok")).limit(vocab).collect()
+        .map(r => r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
+      val bgTop = lmCorpus
+        .select(explode(
+          graft.expressions.TextExpressions.wordSpans(col(textCol), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg")).limit(bigramVocab).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val w1s = bgTop.map(_._1.split(' ')(0)).distinct.toSeq
+      val w1Counts = uniCounts.filter(col("tok").isInCollection(w1s)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bi = bgTop.map { case (bg, n) =>
+        bg -> quant(n.toDouble / w1Counts(bg.split(' ')(0)))
+      }.toMap
+      (bi, uni, quant(1.0 / total), quant(0.4))
+    } finally uniCounts.unpersist(blocking = false)
   }
 
   /** Per-document cross-entropy under the bigram-backoff LM — one
