@@ -296,6 +296,35 @@ object TextAnalysis {
           .as("cross_entropy"))
   }
 
+  /** Deterministic stratified sample: at most `perStratum` documents
+    * per `byCol` stratum, selected by md5-hash order with id tiebreak —
+    * the step that APPLIES a mixture plan (t10 computes the weights;
+    * this takes the per-domain budgets). Hash order makes the sample a
+    * fixed, auditable subset: re-running on any engine, partitioning,
+    * or day picks the same documents (the q42/t12 hash contract), and
+    * growing a stratum only ever ADDS documents competing below the
+    * cut, never reshuffles the kept set's order.
+    *
+    * Scale shape: ONE shuffle keyed by the stratum column; per-stratum
+    * top-N via rank over the hash order — a WindowGroupLimit plan, so
+    * each partition keeps only its running top-N (no stratum ever
+    * materializes fully in memory). Skewed strata are bounded by
+    * perStratum on the output side; the input side is the same keyed
+    * exchange any per-domain aggregate pays.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, byCol: String,
+                       perStratum: Int): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive, got $perStratum")
+    val h = graft.functions.GraftFunctions.md5Long(
+      col(idCol).cast(org.apache.spark.sql.types.StringType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col("h"), col(idCol))
+    df.withColumn("h", h)
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .filter(col("sample_rank") <= perStratum.toLong)
+      .drop("h")
+  }
+
   /** PII profile + redaction: per-pattern match counts (on the original
     * text) and the text with emails/phones/IPv4s replaced by type tags —
     * the scrub pass a training corpus runs before anything else ships.

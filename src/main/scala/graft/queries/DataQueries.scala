@@ -972,6 +972,26 @@ object DataQueries {
        |FROM nn JOIN ps USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sample — at most 15 docs per source by
+    * md5-hash order (the step that applies t10's mixture budgets); see
+    * [[TextAnalysis.stratifiedSample]]. */
+  val t15StratifiedSample: Q = (s, dir) =>
+    TextAnalysis.stratifiedSample(
+        Catalog(s, dir).documents.repartition(col("doc_id")),
+        "doc_id", "source", perStratum = 15)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+
+  val t15Sql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+       |r AS (SELECT doc_id, source, CAST(row_number() OVER
+       |  (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+       |  FROM h)
+       |SELECT doc_id, source, sample_rank FROM r
+       |WHERE sample_rank <= 15
+       |ORDER BY source NULLS FIRST, sample_rank""".stripMargin
+
   /** Corpus-curation yield report: docs and tokens surviving the
     * quality gate (quality >= 0.75, [[graft.functions.GraftFunctions
     * .qualityScore]]), per source — the filter-decision summary every
@@ -1164,6 +1184,7 @@ object DataQueries {
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
     "t14_bigram_lm" -> t14BigramLm,
+    "t15_stratified_sample" -> t15StratifiedSample,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -1201,6 +1222,7 @@ object DataQueries {
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,
     "t14_bigram_lm" -> t14Sql,
+    "t15_stratified_sample" -> t15Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,

@@ -115,6 +115,43 @@ class ContainmentMixtureSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be map-only:\n$plan")
   }
 
+  test("stratifiedSample: budget per stratum, growth only adds below the cut") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i", if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val s1 = TextAnalysis.stratifiedSample(docs, "doc_id", "source", perStratum = 20)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(s1.count(_._2 == "a") == 20 && s1.count(_._2 == "b") == 20)
+    // deterministic under repartitioning
+    val s2 = TextAnalysis.stratifiedSample(docs.repartition(7), "doc_id",
+        "source", perStratum = 20)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(s1 == s2)
+    // a grown stratum keeps every previously-kept doc whose hash still
+    // makes the cut — the kept set can only lose docs to NEW hash-lower
+    // arrivals, never reshuffle among survivors: verify rank order of
+    // survivors is preserved
+    val grown = docs.unionByName((1000L until 1050L)
+      .map(i => (i, s"doc $i", "a")).toDF("doc_id", "text", "source"))
+    val g = TextAnalysis.stratifiedSample(grown, "doc_id", "source", 20)
+      .filter(col("source") === "a")
+      .orderBy(col("sample_rank"))
+      .collect().map(_.getLong(0)).toSeq
+    val old = TextAnalysis.stratifiedSample(docs, "doc_id", "source", 20)
+      .filter(col("source") === "a")
+      .orderBy(col("sample_rank"))
+      .collect().map(_.getLong(0)).toSeq
+    // survivors appear in the same relative (hash) order in both runs
+    val survivors = old.filter(g.contains)
+    assert(g.filter(survivors.contains) == survivors,
+      "hash order of surviving docs is stable under corpus growth")
+    // top-N is rank-limited inside the window (WindowGroupLimit), not a
+    // full sort + filter
+    val plan = TextAnalysis.stratifiedSample(docs, "doc_id", "source", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-limit pushdown:\n$plan")
+  }
+
   test("domainMixture: alpha<1 upsamples small domains; weights sum to ~1") {
     // 90 vs 10 tokens across two domains
     val docs = Seq(
