@@ -50,6 +50,31 @@ object HashExpressions {
   // string_split_regex('\s+') under Java semantics.
   private[expressions] val whitespace = Pattern.compile("[ \\t\\n\\f\\r]+")
 
+  /** THE tokenizer every text expression shares: whitespace-split
+    * (explicit RE2-parity class above) with empty tokens dropped —
+    * the oracle-parity-critical semantics single-sourced, so a future
+    * whitespace correction cannot silently miss one of the expression
+    * copies. Case handling stays with the CALLER (some tokenize the
+    * lowercased string, DropTokensExpr tokenizes raw). */
+  private[expressions] def tokenize(s: String): Array[String] = {
+    val raw = whitespace.split(s, -1)
+    var m = 0
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) m += 1
+      i += 1
+    }
+    if (m == raw.length) return raw
+    val toks = new Array[String](m)
+    var p = 0
+    i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { toks(p) = raw(i); p += 1 }
+      i += 1
+    }
+    toks
+  }
+
   // Column wrappers
   def simhash(text: Column, bits: Int): Column =
     Bridge.column(SimHashExpr(Bridge.expression(text), bits))
@@ -84,23 +109,18 @@ case class SimHashExpr(child: Expression, bits: Int)
     val s = input.asInstanceOf[UTF8String].toString
       .toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](bits)
-    val it = HashExpressions.whitespace.split(s, -1)
+    val toks = HashExpressions.tokenize(s)
     var t = 0
-    var nTok = 0
-    while (t < it.length) {
-      val tok = it(t)
-      if (!tok.isEmpty) {
-        nTok += 1
-        val h = HashExpressions.md5Long60(md, tok.getBytes("UTF-8"))
-        var b = 0
-        while (b < bits) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+    while (t < toks.length) {
+      val h = HashExpressions.md5Long60(md, toks(t).getBytes("UTF-8"))
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       t += 1
     }
-    if (nTok == 0) return null
+    if (toks.isEmpty) return null
     var out = 0L
     var b = 0
     while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }

@@ -32,26 +32,16 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
-  // RE2-equivalent \s (see HashExpressions.whitespace: Java \s adds \x0B)
-  @transient private lazy val ws = Pattern.compile("[ \\t\\n\\f\\r]+")
-
   override def nullSafeEval(input: Any): Any = {
     // lowercase INTERNALLY (Locale.ROOT, matching Spark's lower()):
     // the SQL-registered graft_word_shingles must produce the same
     // shingles as the engine's Dedup.wordShingles path — SimHashExpr
     // documents the same invariant. Callers that already lowered are
     // unaffected (lower is idempotent).
-    val s = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
-    val raw = ws.split(s, -1)
-    // drop empties (leading separator yields one)
-    var m = 0
-    val toks = new Array[String](raw.length)
-    var i = 0
-    while (i < raw.length) {
-      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
-      i += 1
-    }
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT))
+    val m = toks.length
     val count = m - n + 1
     if (count <= 0) new GenericArrayData(Array.empty[Any])
     else {
@@ -100,12 +90,12 @@ case class MarkerCountExpr(child: Expression, words: Seq[String])
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = HashExpressions.whitespace
-      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
     var n = 0L
     var i = 0
     while (i < toks.length) {
-      if (!toks(i).isEmpty && wordSet.contains(toks(i))) n += 1
+      if (wordSet.contains(toks(i))) n += 1
       i += 1
     }
     n
@@ -146,19 +136,17 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   private val und = UTF8String.fromString("und")
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = HashExpressions.whitespace
-      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
     val scores = new Array[Long](langs.length)
     var i = 0
     while (i < toks.length) {
-      if (!toks(i).isEmpty) {
-        val mask = wordToLang.getOrDefault(toks(i), 0)
-        if (mask != 0) {
-          var l = 0
-          while (l < scores.length) {
-            if ((mask & (1 << l)) != 0) scores(l) += 1
-            l += 1
-          }
+      val mask = wordToLang.getOrDefault(toks(i), 0)
+      if (mask != 0) {
+        var l = 0
+        while (l < scores.length) {
+          if ((mask & (1 << l)) != 0) scores(l) += 1
+          l += 1
         }
       }
       i += 1
@@ -195,15 +183,13 @@ case class RollingHashExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val md = HashExpressions.localMd5.get()
-    val toks = HashExpressions.whitespace
-      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
     var acc = 0L
     var i = 0
     while (i < toks.length) {
-      if (!toks(i).isEmpty) {
-        val h = HashExpressions.md5Long60(md, toks(i).getBytes("UTF-8")) % M
-        acc = (acc * 31L + h) % M
-      }
+      val h = HashExpressions.md5Long60(md, toks(i).getBytes("UTF-8")) % M
+      acc = (acc * 31L + h) % M
       i += 1
     }
     acc
@@ -240,18 +226,12 @@ case class RepetitionStatsExpr(child: Expression)
   override def prettyName: String = "graft_repetition_stats"
 
   override def nullSafeEval(input: Any): Any = {
-    val raw = HashExpressions.whitespace
-      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
-    var m = 0
-    val toks = new Array[String](raw.length)
-    var i = 0
-    while (i < raw.length) {
-      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
-      i += 1
-    }
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
+    val m = toks.length
     val counts = new java.util.HashMap[String, Integer](m * 2)
     var topTok = 0L
-    i = 0
+    var i = 0
     while (i < m) {
       val prev = counts.get(toks(i))
       val c = if (prev == null) 1 else prev.intValue() + 1
@@ -313,26 +293,24 @@ case class GopherStatsExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val toks = HashExpressions.whitespace.split(s, -1)
-    var nTok = 0L; var sumLen = 0L; var nAlpha = 0L
+    val toks = HashExpressions.tokenize(s)
+    val nTok = toks.length.toLong
+    var sumLen = 0L; var nAlpha = 0L
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      if (!t.isEmpty) {
-        nTok += 1
-        // CODE POINTS, not UTF-16 units: the DuckDB oracle's length(t)
-        // counts code points, and a supplementary-plane char (emoji)
-        // would otherwise count 2 here vs 1 there — mean_word_len and
-        // pass_mean_len would hash-diverge
-        sumLen += t.codePointCount(0, t.length)
-        var j = 0; var alpha = false
-        while (j < t.length && !alpha) {
-          val c = t.charAt(j)
-          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
-          j += 1
-        }
-        if (alpha) nAlpha += 1
+      // CODE POINTS, not UTF-16 units: the DuckDB oracle's length(t)
+      // counts code points, and a supplementary-plane char (emoji)
+      // would otherwise count 2 here vs 1 there — mean_word_len and
+      // pass_mean_len would hash-diverge
+      sumLen += t.codePointCount(0, t.length)
+      var j = 0; var alpha = false
+      while (j < t.length && !alpha) {
+        val c = t.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
+        j += 1
       }
+      if (alpha) nAlpha += 1
       i += 1
     }
     // symbol hits: '#' chars + non-overlapping "..." occurrences
@@ -408,18 +386,12 @@ case class BigramLmScoreExpr(child: Expression,
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val raw = HashExpressions.whitespace
-      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
-    var m = 0
-    val toks = new Array[String](raw.length)
-    var i = 0
-    while (i < raw.length) {
-      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
-      i += 1
-    }
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
+    val m = toks.length
     var sum = 0L
     if (m > 0) sum += uniLp(toks(0))
-    i = 1
+    var i = 1
     while (i < m) {
       val lp = bi.get(toks(i - 1) + " " + toks(i))
       sum += (if (lp != null) lp.longValue() else backoffU + uniLp(toks(i)))
@@ -459,20 +431,16 @@ case class LmScoreExpr(child: Expression, logpU: Map[String, Long], oovLogpU: Lo
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = HashExpressions.whitespace
-      .split(input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT), -1)
-    var n = 0L
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
     var sum = 0L
     var i = 0
     while (i < toks.length) {
-      if (!toks(i).isEmpty) {
-        n += 1
-        val lp = lookup.get(toks(i))
-        sum += (if (lp == null) oovLogpU else lp.longValue())
-      }
+      val lp = lookup.get(toks(i))
+      sum += (if (lp == null) oovLogpU else lp.longValue())
       i += 1
     }
-    org.apache.spark.sql.catalyst.InternalRow(n, sum)
+    org.apache.spark.sql.catalyst.InternalRow(toks.length.toLong, sum)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -496,16 +464,10 @@ case class SpanHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_span_hashes"
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
-    val raw = HashExpressions.whitespace.split(s, -1)
-    var m = 0
-    val toks = new Array[String](raw.length)
-    var i = 0
-    while (i < raw.length) {
-      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
-      i += 1
-    }
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT))
+    val m = toks.length
     val count = m - k + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val md = HashExpressions.localMd5.get()
@@ -544,16 +506,10 @@ case class WordSpansExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_word_spans"
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
-    val raw = HashExpressions.whitespace.split(s, -1)
-    var m = 0
-    val toks = new Array[String](raw.length)
-    var i = 0
-    while (i < raw.length) {
-      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
-      i += 1
-    }
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT))
+    val m = toks.length
     val count = m - k + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
@@ -606,15 +562,8 @@ case class DropTokensExpr(left: Expression, right: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val t = left.eval(input)
     if (t == null) return null
-    val raw = HashExpressions.whitespace
-      .split(t.asInstanceOf[UTF8String].toString, -1)
-    var m = 0
-    val toks = new Array[String](raw.length)
-    var i = 0
-    while (i < raw.length) {
-      if (!raw(i).isEmpty) { toks(m) = raw(i); m += 1 }
-      i += 1
-    }
+    val toks = HashExpressions.tokenize(t.asInstanceOf[UTF8String].toString)
+    val m = toks.length
     if (m == 0) return null
     val removed = new Array[Boolean](m)
     val r = right.eval(input)

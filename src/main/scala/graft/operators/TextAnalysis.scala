@@ -429,8 +429,16 @@ object TextAnalysis {
                 k: Int = 10): DataFrame = {
     import graft.expressions.TextExpressions.{dropTokens, spanHashes}
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // persist: the span-occurrence relation feeds TWO plan subtrees
+    // (the dup aggregation and the removal join probe) whose exchanges
+    // are not identical, so ReusedExchange cannot dedup them —
+    // unpersisted, the corpus-wide tokenize+md5 pass (the dominant
+    // map-only stage) would run twice. Same session-cache contract as
+    // the LSH signature relations (PLANS.md "Known divergences": at
+    // warehouse scale this is a materialized table).
     val spanOcc = base.select(col("doc_id"),
       posexplode(spanHashes(col("text"), k)).as(Seq("pos", "h")))
+      .persist()
     // cross-doc duplicated spans: min != max over doc_id is the
     // distinct-count>=2 test without a count-distinct expand
     val dup = spanOcc.groupBy("h")

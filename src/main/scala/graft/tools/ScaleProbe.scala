@@ -161,6 +161,15 @@ object ScaleProbe {
         m = 4, centroidIds = (0L until 16L)))
     t("shard_shuffle")(graft.io.Export.assignShards(docs, "doc_id", 64))
     t("gopher_profile")(TextAnalysis.gopherProfile(docs, "text", "doc_id"))
+    t("stratified_sample")(
+      TextAnalysis.stratifiedSample(docs.withColumn("source",
+        pmod(col("doc_id"), lit(20L))), "doc_id", "source", perStratum = 100))
+    // d12 span dedup: span generation map-only, the span-stats exchange
+    // is linear in corpus tokens, and the removal/rebuild relations are
+    // bounded by DUPLICATED text volume — with replicas as true
+    // near-dups the duplicated volume here grows with the corpus, so
+    // time tracks the rewrite output (like minhash_pairs tracks pairs)
+    t("span_dedup")(TextAnalysis.spanDedup(docs, "text", "doc_id", k = 10))
     t("bigram_lm_build_and_score") {
       val isLm = pmod(graft.functions.GraftFunctions.md5Long(
         col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
