@@ -57,6 +57,15 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("assignShards: exactly one exchange (shard-keyed), no global sort") {
+    val plan = Export.assignShards(spark.range(100).select(col("id")), "id", 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected ONE shard-keyed exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a global sort would funnel the corpus through a range exchange:\n$plan")
+  }
+
   test("assignShards: assignment and order are invariant to input partitioning") {
     val df = spark.range(300).select(col("id"))
     def run(d: org.apache.spark.sql.DataFrame) =
