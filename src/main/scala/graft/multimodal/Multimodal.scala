@@ -109,6 +109,25 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Exact media dedup by payload digest — d01's one-shuffle shape on
+    * binary columns: group by (60-bit md5 of the bytes, byte length),
+    * keeper = lowest media_id. The (fp, n_bytes) pair key makes an md5
+    * collision ALSO require a length collision before two distinct
+    * payloads merge. The digest is a codegen'd column expression (the
+    * same md5Long the text dedups use), so fingerprinting rides the
+    * scan — the only exchange carries (fp, n_bytes, media_id) triples,
+    * never the payload bytes. At 100 TB that is the difference between
+    * shuffling 16-byte fingerprints and shuffling the media lake. */
+  def dedupMedia(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .select(graft.functions.GraftFunctions.md5Long(col("bytes")).as("fp"),
+        length(col("bytes")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_bytes"),
+        col("media_id"))
+      .groupBy(col("fp"), col("n_bytes"))
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Per-partition batched feature extraction over a media Dataset.
     * mapPartitions gives the batch-iterator shape: decoder init happens
     * once per task, rows stream through without per-row setup. */

@@ -129,12 +129,43 @@ object MediaQueries {
       |  md5(substring(text, chunk_index * 256 + 1, 256)) AS chunk_md5
       |FROM c ORDER BY media_id, chunk_index""".stripMargin
 
+  /** Exact media dedup by payload digest (d01's shape on binary): the
+    * synthetic corpus has no duplicate payloads, so the query replays a
+    * deterministic DUPLICATE DELIVERY — every media_id % 7 == 0 payload
+    * arrives a second time under a shifted id (t08's enrichment
+    * contract: synthesize the phenomenon so the operator is exercised,
+    * replayed identically in the oracle). Only (fp, n_bytes, media_id)
+    * triples shuffle — never the payload bytes; see
+    * [[Multimodal.dedupMedia]]. */
+  val m06MediaDedup: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val media = Multimodal.fromDocuments(Catalog(s, dir).documents)
+    val redelivered = media.toDF()
+      .filter(pmod(col("media_id"), lit(7L)) === 0)
+      .withColumn("media_id", col("media_id") + 1000000L)
+      .as[Multimodal.MediaRow]
+    Multimodal.dedupMedia(media.unionByName(redelivered))
+      .orderBy(col("fp"))
+  }
+
+  val m06Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |a AS (SELECT media_id, text FROM m
+      |  UNION ALL SELECT media_id + 1000000, text FROM m WHERE media_id % 7 = 0)
+      |SELECT CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS fp,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  min(media_id) AS keeper_id, count(*) AS n_copies
+      |FROM a GROUP BY 1, 2 ORDER BY fp""".stripMargin
+
   val all: Map[String, Q] = Map(
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
     "m04_resize" -> m04Resize,
     "m05_chunk" -> m05Chunk,
+    "m06_media_dedup" -> m06MediaDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,5 +174,6 @@ object MediaQueries {
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
     "m05_chunk" -> m05Sql,
+    "m06_media_dedup" -> m06Sql,
   )
 }

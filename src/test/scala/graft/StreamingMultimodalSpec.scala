@@ -91,6 +91,28 @@ class StreamingMultimodalSpec extends SparkSpec {
       Set("media_id", "n_bytes", "checksum", "embedding"))
   }
 
+  test("multimodal dedup: identical payloads collapse to the lowest id; bytes never shuffle") {
+    val payload = Array.tabulate(300)(_.toByte)
+    val media = Seq(
+      MediaRow(5L, "image", payload, "image/fake", Map()),
+      MediaRow(2L, "image", payload.clone(), "image/fake", Map()),   // dup, lower id
+      MediaRow(9L, "audio", Array.tabulate(300)(i => (i + 1).toByte), "audio/fake", Map()),
+      MediaRow(7L, "video", Array.tabulate(10)(_.toByte), "video/fake", Map()))
+      .toDS()
+    val out = Multimodal.dedupMedia(media).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 2L), (7L, 1L), (9L, 1L)),
+      s"keeper = lowest id, copies counted: ${out.toSeq}")
+    // the exchange carries fingerprints, not payloads: no 'bytes'
+    // attribute may survive into the aggregation subtree
+    val plan = Multimodal.dedupMedia(media).queryExecution.executedPlan.toString
+    val aggPart = plan.substring(plan.indexOf("Exchange"))
+    // the payload attribute prints as `bytes#<id>`; `n_bytes#` is the
+    // length column and is allowed
+    assert(!"(?<![_a-zA-Z])bytes#".r.findFirstIn(aggPart).isDefined,
+      s"payload bytes must not reach the shuffle:\n$plan")
+  }
+
   test("multimodal chunking: exact coverage, ordered reassembly, no phantom chunks on empty payloads") {
     val payload = Array.tabulate(1000)(i => (i % 251).toByte)
     val media = Seq(
