@@ -297,10 +297,12 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
       val denom = math.sqrt(na) * nb
       if (denom > 0.0) {
         val raw = dot / denom
-        // a non-finite embedding element (Inf passes the dot(v,v)>0
-        // degeneracy filter) yields NaN here; BigDecimal.valueOf(NaN)
-        // would throw and fail the whole stage — skip the candidate
-        // instead (all-NaN rows return NULL and drop from the join)
+        // defense-in-depth: Similarity.nonDegenerate excludes non-finite
+        // vectors upstream (dot(v,v) must be finite — ADVICE r6, mirrored
+        // in every oracle's e CTE), so a NaN here is unreachable through
+        // the operators; SQL users bypassing that filter still must not
+        // crash the stage (BigDecimal.valueOf(NaN) throws) — skip the
+        // candidate (all-NaN rows return NULL and drop from the join)
         if (java.lang.Double.isFinite(raw)) {
           val d = java.math.BigDecimal.valueOf(raw)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -26,14 +26,23 @@ object Similarity {
   private def rankWindow = Window.partitionBy("query_id")
     .orderBy(col("cos_r").desc, col("id").asc)
 
-  /** Zero-norm embeddings are excluded BY CONTRACT everywhere cosine is
-    * ranked or thresholded: cosine is undefined for them, and the
-    * engines disagree on the degenerate value (Spark NULL sorts last in
-    * DESC, DuckDB NaN sorts FIRST and compares greater-than-everything)
-    * — exclusion is the only cross-engine-stable semantics. Every
-    * oracle mirrors it with list_inner_product(v, v) > 0. */
-  private[operators] def nonDegenerate(v: Column): Column =
-    VectorExpressions.dot(v, v) > 0
+  /** Degenerate embeddings are excluded BY CONTRACT everywhere cosine is
+    * ranked or thresholded: zero-norm vectors have no defined cosine,
+    * and NON-FINITE vectors (an Inf/NaN element, or a norm that
+    * overflows to Inf) produce NaN cosines that the engines RANK
+    * differently (Spark sorts NaN greatest in DESC windows but
+    * NearestCellExpr skips non-finite candidates; DuckDB's NaN compares
+    * greater-than-everything) — exclusion is the only
+    * cross-engine-stable semantics (ADVICE r6). dot(v,v) is finite iff
+    * every element is finite and the norm doesn't overflow, so one
+    * kernel covers both conditions; NaN > 0 is TRUE in both engines but
+    * NaN < Inf is FALSE, so the upper bound excludes NaN norms too.
+    * Every oracle mirrors it with
+    * list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE. */
+  private[operators] def nonDegenerate(v: Column): Column = {
+    val n2 = VectorExpressions.dot(v, v)
+    n2 > 0 && n2 < Double.PositiveInfinity
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * Ranking uses cosine rounded to 6 dp with id as tiebreak, so the
@@ -137,6 +146,13 @@ object Similarity {
     // A silently shrunken codebook (missing or zero-norm centroid id)
     // would encode against fewer rows than the contract names — and an
     // EMPTY one would surface as an opaque codebook.head NPE in ADC.
+    // DECLARED DIVERGENCE from the oracles (ADVICE r6): the e04-e07/d13
+    // cb/cents CTEs silently continue with fewer centroid rows on the
+    // same degenerate input — a shrunken-quantizer result, where this
+    // engine fails the job. Fail-loud is the intended production
+    // contract (a missing centroid means the quantizer inputs are
+    // corrupt); the oracle comparison is only defined on inputs where
+    // every named centroid resolves, which the driver corpora satisfy.
     require(rows.size == centroidIds.distinct.size,
       s"codebook resolved ${rows.size} of ${centroidIds.distinct.size} " +
         s"centroid ids — missing or degenerate (zero-norm) centroid vectors")

@@ -429,16 +429,20 @@ object TextAnalysis {
                 k: Int = 10): DataFrame = {
     import graft.expressions.TextExpressions.{dropTokens, spanHashes}
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // persist: the span-occurrence relation feeds TWO plan subtrees
-    // (the dup aggregation and the removal join probe) whose exchanges
-    // are not identical, so ReusedExchange cannot dedup them —
-    // unpersisted, the corpus-wide tokenize+md5 pass (the dominant
-    // map-only stage) would run twice. Same session-cache contract as
-    // the LSH signature relations (PLANS.md "Known divergences": at
-    // warehouse scale this is a materialized table).
+    // localCheckpoint (lazy): the span-occurrence relation feeds TWO
+    // plan subtrees (the dup aggregation and the removal join probe)
+    // whose exchanges are not identical, so ReusedExchange cannot dedup
+    // them — unmaterialized, the corpus-wide tokenize+md5 pass (the
+    // dominant map-only stage) would run twice. Unlike persist(), the
+    // checkpointed blocks are NOT pinned in the CacheManager for the
+    // session lifetime: once the returned plan is unreferenced the
+    // ContextCleaner frees them (ADVICE r6 — repeated spanDedup calls
+    // no longer accumulate cached partitions until LRU pressure). At
+    // warehouse scale this cut-point is a materialized table
+    // (PLANS.md "Known divergences").
     val spanOcc = base.select(col("doc_id"),
       posexplode(spanHashes(col("text"), k)).as(Seq("pos", "h")))
-      .persist()
+      .localCheckpoint(false)
     // cross-doc duplicated spans: min != max over doc_id is the
     // distinct-count>=2 test without a count-distinct expand
     val dup = spanOcc.groupBy("h")

@@ -234,7 +234,7 @@ object DataQueries {
       |  FROM embeddings),
       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings, kk
       |  WHERE CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % kk.k = 0),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0)
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE)
       |SELECT a.vec_id AS id1, b.vec_id AS id2,
       |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -343,7 +343,7 @@ object DataQueries {
 
   val e01Sql: String =
     """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
       |sc AS (SELECT q.query_id, e.vec_id AS id,
       |  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
@@ -364,7 +364,7 @@ object DataQueries {
 
   val e02Sql: String =
     """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |cents AS (SELECT id AS cell, v AS cv FROM e
       |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
       |asg AS (SELECT id, v, cell FROM (
@@ -401,7 +401,7 @@ object DataQueries {
 
   val e04Sql: String =
     """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
       |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
       |js AS (SELECT unnest(range(0, 4)) AS j),
@@ -432,7 +432,7 @@ object DataQueries {
 
   val e05Sql: String =
     """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
       |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
       |js AS (SELECT unnest(range(0, 4)) AS j),
@@ -505,7 +505,7 @@ object DataQueries {
 
   val e07Sql: String =
     """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |cents AS (SELECT id AS cell, v AS cv FROM e
       |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
       |asg AS (SELECT id, cell FROM (
@@ -559,7 +559,7 @@ object DataQueries {
 
   val d13Sql: String =
     """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |cents AS (SELECT id AS cell, v AS cv FROM e
       |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
       |asg AS (SELECT id, v, cell FROM (
@@ -602,7 +602,7 @@ object DataQueries {
 
   val e03Sql: String =
     """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |b AS (SELECT vec_id, v,
       |  (SELECT string_agg(CASE WHEN list_sum(list_transform(range(1, len(v)+1),
       |     i -> v[i] * ((CAST(('0x'||substr(md5(s.s::VARCHAR||'|'||(i-1)::VARCHAR),1,15)) AS BIGINT)
