@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.expressions.VectorExpressions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic distributed k-means — the TRAINED coarse quantizer for
+  * the IVF cells (e02/e07) and SemDeDup clusters (d13), replacing the
+  * id-named stand-in centroids (VERDICT r6 next-#1). Spherical form:
+  * assignment is by round-6dp cosine (the exact [[graft.expressions
+  * .NearestCellExpr]] contract every consumer already pins), so the fit
+  * optimizes the same geometry the cells are used with.
+  *
+  * Published algorithm, deterministic derandomization:
+  *  - init is k-means|| (Bahmani et al. 2012, arXiv:1203.6402): start
+  *    from one seed, then `initRounds` rounds of oversampling where
+  *    point x is selected with probability min(1, l·d(x,C)/φ) — here the
+  *    random draw is replaced by the md5 hash of the point id (uniform,
+  *    engine-independent, reproducible), and the final reduction to k
+  *    picks the k candidates with the largest attraction weights
+  *    (points-assigned count; ties by lowest id) instead of a weighted
+  *    k-means++ pass — a deterministic simplification, documented, not
+  *    claimed as the paper's reduction step.
+  *  - Lloyd's iterations: a FIXED count (no data-dependent convergence
+  *    test), each one map-only assignment pass + ONE partial-aggregated
+  *    groupBy — the DataFrame-aggregate shape, no RDD loops.
+  *
+  * Cross-engine determinism (the property that makes e08 hash-checkable
+  * and lets a DuckDB oracle replay the whole fit):
+  *  - distances/assignments use the shared round-6dp cosine kernel;
+  *  - the selection threshold is evaluated in EXACT int64 space:
+  *    dis = round((1 − maxcos)·10^6) and the draw h ∈ [0,10^6) satisfy
+  *    "h·φ < l·dis·10^6" with φ = Σ dis an exact integer sum — no
+  *    float accumulation order anywhere;
+  *  - centroid update: per-dimension EXACT int64 sums of elements on a
+  *    10^-9 grid (round(v_i·10^9)); cosine is scale-invariant, so the
+  *    un-divided SUM is used as the centroid directly — no mean
+  *    division, no decimal/double division-rounding divergence. int64 →
+  *    double conversion is correctly rounded in both engines, so even
+  *    sums past 2^53 stay bit-identical.
+  *
+  * Scale shape: every pass over the corpus is map-only against a
+  * driver-literal candidate/centroid set plus one partial-aggregated
+  * groupBy (k×(dim+1) longs per partition); driver state is O(k·dim +
+  * l·initRounds·dim). At 100 TB the fit runs on a bounded deterministic
+  * sample (md5-hash filter — the standard quantizer-training practice;
+  * faiss trains IVF cells on ~10^6 vectors), both because a sample is
+  * statistically sufficient and because the int64 selection threshold
+  * has headroom for ~4·10^6 sampled rows (h·φ < 2^63); the ANSI sum
+  * would fail loudly, not silently wrap, if that contract were
+  * violated. Assignment of the FULL corpus to the trained cells stays
+  * the zero-shuffle NearestCellExpr pass.
+  */
+object KMeans {
+
+  /** Trained quantizer: centroid row i is cell id i (0..k-1). The
+    * centroid vectors are integer-valued doubles (un-normalized
+    * per-dimension member sums on the 10^-9 grid — cosine assignment is
+    * scale-invariant, so they rank identically to the mean vectors). */
+  final case class Model(centroids: Seq[Seq[Double]]) {
+    def k: Int = centroids.size
+    def cellIds: Seq[Long] = centroids.indices.map(_.toLong)
+  }
+
+  /** Fit `k` cells on the (id, vector) relation. `dim` is the embedding
+    * width; vectors of any other width are excluded by the degeneracy
+    * filter downstream (NearestCellExpr truncates — corpora here are
+    * fixed-width). Fails loudly if fewer than `k` candidates emerge
+    * (a corpus of near-identical vectors — no meaningful quantizer).
+    * NOTE for oracle authors: the SQL replay of that failure mode is a
+    * SHRUNKEN cent relation (same declared divergence as
+    * [[Similarity.collectCodebook]] — fail-loud engine, degrade-silent
+    * oracle; comparison is only defined where the contract holds). */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, dim: Int,
+          initRounds: Int = 2, oversample: Int = 32, iters: Int = 3): Model = {
+    require(k >= 1 && initRounds >= 1 && iters >= 0 && oversample >= 1,
+      s"bad kmeans params: k=$k initRounds=$initRounds iters=$iters l=$oversample")
+    val e = df.select(col(idCol).cast(LongType).as("id"),
+        toDoubleArray(col(vecCol)).as("v"))
+      .filter(Similarity.nonDegenerate(col("v")))
+      // the fit drives 2·initRounds + iters + 2 bounded jobs over this
+      // relation; materialize once (freed before return)
+      .persist()
+    try fitOn(e, k, dim, initRounds, oversample, iters)
+    finally { e.unpersist(false); () }
+  }
+
+  private def fitOn(e: DataFrame, k: Int, dim: Int,
+                    initRounds: Int, l: Int, iters: Int): Model = {
+    // ---- seed: the row with the smallest md5("km|seed|"+id), id asc --
+    val seedRow = e.orderBy(
+        md5Long(concat(lit("km|seed|"), col("id").cast(StringType))).asc,
+        col("id").asc)
+      .limit(1).collect()
+    require(seedRow.nonEmpty, "kmeans fit on an empty (or all-degenerate) corpus")
+    var cands: Vector[(Long, Seq[Double])] =
+      Vector((seedRow(0).getLong(0), seedRow(0).getSeq[Double](1).toVector))
+
+    // ---- k-means|| oversampling rounds --------------------------------
+    for (r <- 1 to initRounds) {
+      val disI = distToSetI(cands)
+      // exact-integer selection: h·φ < l·dis·10^6, h = md5(round|id) mod 10^6
+      val phi = e.select(disI.as("disI"))
+        .agg(coalesce(sum("disI"), lit(0L))).head.getLong(0)
+      val h = md5Long(concat(lit(s"km|r$r|"), col("id").cast(StringType)))
+      val selected = e.withColumn("disI", disI)
+        .filter((h % 1000000L) * lit(phi) < lit(l.toLong) * col("disI") * 1000000L)
+        .select("id", "v").collect()
+      val known = cands.map(_._1).toSet
+      cands = cands ++ selected.toVector
+        .map(row => (row.getLong(0), row.getSeq[Double](1).toVector))
+        .filter(c => !known.contains(c._1)) // dis=0 makes this a no-op; belt+braces
+        .sortBy(_._1)
+    }
+    require(cands.size >= k,
+      s"k-means|| produced ${cands.size} candidates for k=$k — " +
+        "corpus too small/uniform for this quantizer size")
+
+    // ---- reduce to k: attraction weight = points assigned ------------
+    val cs = cands.sortBy(_._1) // NearestCellExpr wants ascending cell ids
+    val wRows = e.withColumn("cand",
+        VectorExpressions.nearestCell(col("v"), cs.map(_._2), cs.map(_._1)))
+      .groupBy("cand").count().collect()
+    val w = wRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cents: IndexedSeq[Seq[Double]] = cs
+      .map { case (id, v) => (id, v, w.getOrElse(id, 0L)) }
+      .sortBy { case (id, _, wt) => (-wt, id) }
+      .take(k).map(_._2).toIndexedSeq
+
+    // ---- Lloyd's: fixed iterations, one partial-agg groupBy each -----
+    val sumCols = (0 until dim).map(i =>
+      sum(round(element_at(col("v"), i + 1) * lit(1000000000.0), 0)
+        .cast(LongType)).as(s"s$i")) :+ count(lit(1)).as("n")
+    for (_ <- 1 to iters) {
+      val byCell = e.withColumn("cell", VectorExpressions.nearestCell(
+          col("v"), cents, cents.indices.map(_.toLong)))
+        .groupBy("cell").agg(sumCols.head, sumCols.tail: _*)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      cents = cents.indices.map { c =>
+        byCell.get(c.toLong)
+          // int64 member-sum as the (un-normalized) centroid — exact,
+          // and long→double is correctly rounded in both engines
+          .map(r => (0 until dim).map(i => r.getLong(i + 1).toDouble): Seq[Double])
+          .getOrElse(cents(c)) // empty cell keeps its previous centroid
+      }
+    }
+    Model(cents)
+  }
+
+  /** Integer cosine-distance to the current candidate set:
+    * round((1 − max_c round6(cos(v, c)))·10^6) as a long — the exact
+    * int64 the selection threshold and φ are computed in. */
+  private def distToSetI(cands: Vector[(Long, Seq[Double])]) = {
+    val cos = cands.map(c =>
+      round(VectorExpressions.cosine(col("v"), typedLit(c._2)), 6))
+    val best = if (cos.size == 1) cos.head else greatest(cos: _*)
+    round((lit(1.0) - best) * 1000000, 0).cast(LongType)
+  }
+}

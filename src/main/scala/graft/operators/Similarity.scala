@@ -85,6 +85,21 @@ object Similarity {
       .select(col("id"), col("v"), col("cell"))
   }
 
+  /** Trained-quantizer form: the codebook is an explicit centroid list
+    * (e.g. a [[KMeans.Model]].centroids fit), cells are its indices
+    * 0..k-1. Same zero-shuffle NearestCellExpr pass; the id-named
+    * overload above is the stand-in special case where centroids are
+    * corpus rows. (Separate name: Seq[Long] and Seq[Seq[Double]] erase
+    * to the same JVM signature, so a true overload cannot compile.) */
+  def cellAssignmentsTrained(corpus: DataFrame, vecCol: String, idCol: String,
+                             codebook: Seq[Seq[Double]]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    c.withColumn("cell", VectorExpressions.nearestCell(
+        col("v"), codebook, codebook.indices.map(_.toLong)))
+      .select(col("id"), col("v"), col("cell"))
+  }
+
   /** Per-query probe cells: the `nProbe` nearest coarse cells, by
     * round-6dp cosine DESC with lowest-cell tiebreak — the e02/e07
     * oracles pin these exact semantics, so both consumers must share

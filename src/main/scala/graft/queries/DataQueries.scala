@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.catalog.Catalog
 import graft.functions.GraftFunctions.{md5Long, qualityScore, tokenCount}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -574,6 +574,106 @@ object DataQueries {
       |SELECT k.drop_id, k.keeper_id, f.cell, f.c AS cosine
       |FROM k JOIN f ON f.id2 = k.drop_id AND f.id1 = k.keeper_id
       |ORDER BY drop_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Trained coarse quantizer (deterministic k-means — e08)
+  // -------------------------------------------------------------------
+
+  // fit hyperparameters — shared verbatim by the Spark fit and the
+  // DuckDB replay below; change them ONLY in lockstep
+  private val kmK = 16      // cells (matches the stand-in quantizer size)
+  private val kmRounds = 2  // k-means|| oversampling rounds
+  private val kmL = 32      // oversampling factor l (= 2k)
+  private val kmIters = 3   // fixed Lloyd iterations
+  private val kmDim = 64    // embedding width
+
+  /** One trained model per (session, sf dir): the fit is an eager
+    * driver-orchestrated procedure (~2·rounds+iters bounded jobs), so
+    * e08 and any trained-cell consumers share a single fit instead of
+    * re-running it per query. Same lifecycle contract as
+    * [[minhashPairsShared]] (entries for stopped sessions dropped). */
+  private val kmModels =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), KMeans.Model]
+  private[queries] def kmModel(s: SparkSession, dir: String): KMeans.Model =
+    synchronized {
+      kmModels.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) kmModels.remove(kk)
+      }
+      kmModels.getOrElseUpdate((s, dir),
+        KMeans.fit(Catalog(s, dir).embeddings, "embedding", "vec_id",
+          k = kmK, dim = kmDim, initRounds = kmRounds,
+          oversample = kmL, iters = kmIters))
+    }
+
+  /** Trained-cell assignment (vec_id, cell, cell_size) under the
+    * deterministic k-means fit — e08. The oracle replays the ENTIRE
+    * fit in SQL (seed → k-means|| rounds → weight reduction → fixed
+    * Lloyd iterations → final assignment), so the trained quantizer is
+    * hash-verified end-to-end, not rows-only. */
+  val e08KmeansCells: Q = (s, dir) =>
+    Similarity.cellAssignmentsTrained(Catalog(s, dir).embeddings,
+        "embedding", "vec_id", kmModel(s, dir).centroids)
+      .withColumn("cell_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .select(col("id").as("vec_id"), col("cell"), col("cell_size"))
+      .orderBy(col("vec_id"))
+
+  /** DuckDB replay of [[KMeans.fit]], ending in `cents(cell, cv)`.
+    * Assumes a CTE `e(id, v)` (degeneracy-filtered double vectors) is
+    * already in scope. Every arithmetic step mirrors the Scala fit's
+    * exact-integer contract: selection thresholds in int64
+    * (h·φ < l·dis·10^6), centroid updates as int64 sums on the 10^-9
+    * element grid, assignment by round-6dp cosine with lowest-cell
+    * tiebreak. See KMeans.scala for why each is cross-engine stable. */
+  private def kmCtes: String = {
+    val rounds = (1 to kmRounds).map { r =>
+      s"""d$r AS (SELECT e.id,
+         |  CAST(round((1 - max(round(list_cosine_similarity(e.v, c.v), 6))) * 1000000, 0) AS BIGINT) AS dis
+         |  FROM e CROSS JOIN c${r - 1} c GROUP BY e.id),
+         |phi$r AS (SELECT CAST(sum(dis) AS BIGINT) AS phi FROM d$r),
+         |c$r AS (SELECT id, v FROM c${r - 1} UNION ALL
+         |  SELECT e.id, e.v FROM e JOIN d$r d USING (id) CROSS JOIN phi$r p
+         |  WHERE (${h60(s"'km|r$r|'||e.id::VARCHAR")} % 1000000) * p.phi < $kmL * d.dis * 1000000
+         |    AND e.id NOT IN (SELECT id FROM c${r - 1}))""".stripMargin
+    }.mkString(",\n")
+    val lloyd = (1 to kmIters).map { t =>
+      s"""a$t AS (SELECT id, cell FROM (
+         |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+         |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+         |  FROM e CROSS JOIN cent${t - 1} c) WHERE rn = 1),
+         |u$t AS (SELECT a.cell, x.i, CAST(sum(x.ei) AS BIGINT) AS s
+         |  FROM a$t a JOIN ex x USING (id) GROUP BY 1, 2),
+         |nc$t AS (SELECT cell, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM u$t GROUP BY cell),
+         |cent$t AS (SELECT c.cell, coalesce(n.cv, c.cv) AS cv
+         |  FROM cent${t - 1} c LEFT JOIN nc$t n USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""sd AS (SELECT id, v, row_number() OVER (ORDER BY ${h60("'km|seed|'||id::VARCHAR")}, id) AS rn FROM e),
+       |c0 AS (SELECT id, v FROM sd WHERE rn = 1),
+       |ex AS (SELECT id, i, CAST(round(v[i] * 1000000000, 0) AS BIGINT) AS ei
+       |  FROM e, range(1, ${kmDim + 1}) t(i)),
+       |$rounds,
+       |wasg AS (SELECT id, cid FROM (
+       |  SELECT e.id, c.id AS cid, row_number() OVER (PARTITION BY e.id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC, c.id) AS rn
+       |  FROM e CROSS JOIN c$kmRounds c) WHERE rn = 1),
+       |wts AS (SELECT cid, count(*) AS w FROM wasg GROUP BY 1),
+       |fin AS (SELECT c.id, c.v, row_number() OVER (ORDER BY coalesce(w.w, 0) DESC, c.id) - 1 AS cell
+       |  FROM c$kmRounds c LEFT JOIN wts w ON w.cid = c.id),
+       |cent0 AS (SELECT cell, v AS cv FROM fin WHERE cell < $kmK),
+       |$lloyd,
+       |cents AS (SELECT cell, cv FROM cent$kmIters)""".stripMargin
+  }
+
+  val e08Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |$kmCtes,
+       |afin AS (SELECT id, cell FROM (
+       |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+       |  FROM e CROSS JOIN cents c) WHERE rn = 1)
+       |SELECT id AS vec_id, cell, count(*) OVER (PARTITION BY cell) AS cell_size
+       |FROM afin ORDER BY vec_id""".stripMargin
 
   /** Deterministic training-order shuffle: md5-hash shard + in-shard
     * position for every doc — the reproducible global permutation a
@@ -1180,6 +1280,7 @@ object DataQueries {
     "e05_pq_adc_topk" -> e05PqAdcTopK,
     "e06_pq_rerank" -> e06PqRerank,
     "e07_ivf_pq" -> e07IvfPq,
+    "e08_kmeans_cells" -> e08KmeansCells,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1218,6 +1319,7 @@ object DataQueries {
     "e05_pq_adc_topk" -> e05Sql,
     "e06_pq_rerank" -> e06Sql,
     "e07_ivf_pq" -> e07Sql,
+    "e08_kmeans_cells" -> e08Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,
