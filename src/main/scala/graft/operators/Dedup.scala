@@ -360,8 +360,21 @@ object Dedup {
     * — bounded by the corpus's near-duplicate volume, not its size.
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
-                    centroidIds: Seq[Long], threshold: Double): DataFrame = {
-    val assigned = Similarity.cellAssignments(df, vecCol, idCol, centroidIds)
+                    centroidIds: Seq[Long], threshold: Double): DataFrame =
+    semanticDedupOn(
+      Similarity.cellAssignments(df, vecCol, idCol, centroidIds), threshold)
+
+  /** SemDeDup over a TRAINED coarse quantizer ([[KMeans.Model]]
+    * codebook, cells 0..k-1) — the published contract proper: the
+    * paper's clusters are a k-means fit, not named corpus rows. */
+  def semanticDedupTrained(df: DataFrame, vecCol: String, idCol: String,
+                           codebook: Seq[Seq[Double]],
+                           threshold: Double): DataFrame =
+    semanticDedupOn(
+      Similarity.cellAssignmentsTrained(df, vecCol, idCol, codebook), threshold)
+
+  private def semanticDedupOn(assigned: DataFrame,
+                              threshold: Double): DataFrame = {
     val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
     val r = assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
     val pairs = l.join(r, Seq("cell"))

@@ -112,11 +112,20 @@ object Similarity {
   private def probeCells(corpus: DataFrame, queries: DataFrame,
                          vecCol: String, idCol: String,
                          centroidIds: Seq[Long], nProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
-      .filter(nonDegenerate(col("qv")))
     val cents = corpus
       .select(col(idCol).as("qcell"), toDoubleArray(col(vecCol)).as("cv"))
       .filter(col("qcell").isInCollection(centroidIds) && nonDegenerate(col("cv")))
+    probeCellsOn(cents, queries, vecCol, idCol, nProbe)
+  }
+
+  /** Probe ranking against an explicit (qcell, cv) centroid relation —
+    * shared by the stand-in path (centroids are corpus rows) and the
+    * trained path (centroids are a [[KMeans.Model]] codebook). */
+  private def probeCellsOn(cents: DataFrame, queries: DataFrame,
+                           vecCol: String, idCol: String,
+                           nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
     q.crossJoin(broadcast(cents))
       .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(
@@ -125,12 +134,35 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qcell").as("cell"))
   }
 
+  /** The trained-codebook centroid relation: (qcell 0..k-1, cv) built
+    * from driver-literal centroid rows — a tiny broadcastable dim. */
+  private def centsOf(spark: org.apache.spark.sql.SparkSession,
+                      codebook: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("qcell", "cv")
+  }
+
   /** IVF approximate top-k: probe the `nProbe` best cells per query. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              centroidIds: Seq[Long], nProbe: Int = 2): DataFrame = {
-    val assigned = cellAssignments(corpus, vecCol, idCol, centroidIds)
-    val probes = probeCells(corpus, queries, vecCol, idCol, centroidIds, nProbe)
+              centroidIds: Seq[Long], nProbe: Int = 2): DataFrame =
+    ivfSearch(cellAssignments(corpus, vecCol, idCol, centroidIds),
+      probeCells(corpus, queries, vecCol, idCol, centroidIds, nProbe), k)
+
+  /** IVF top-k over a TRAINED coarse quantizer ([[KMeans.Model]]
+    * codebook, cells 0..k-1) — same plan shape as [[ivfTopK]]; only the
+    * centroid source differs (driver-literal fit instead of id-named
+    * corpus rows). */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     codebook: Seq[Seq[Double]], nProbe: Int = 2): DataFrame =
+    ivfSearch(cellAssignmentsTrained(corpus, vecCol, idCol, codebook),
+      probeCellsOn(centsOf(corpus.sparkSession, codebook),
+        queries, vecCol, idCol, nProbe), k)
+
+  private def ivfSearch(assigned: DataFrame, probes: DataFrame,
+                        k: Int): DataFrame =
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos_r", round(VectorExpressions.cosine(col("v"), col("qv")), 6))
@@ -138,7 +170,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("id"), col("cos_r").as("cosine"))
-  }
 
   /** Product-quantization encode — the memory-scale path for ANN
     * (IVF-PQ's second half): each vector compresses to `m` codebook
@@ -287,18 +318,42 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
                 vecCol: String, idCol: String, k: Int,
                 cellIds: Seq[Long], nProbe: Int,
-                m: Int, pqCentroidIds: Seq[Long]): DataFrame = {
+                m: Int, pqCentroidIds: Seq[Long]): DataFrame =
+    ivfPqSearch(corpus, queries, vecCol, idCol, k,
+      cellAssignments(corpus, vecCol, idCol, cellIds),
+      () => probeCells(corpus, queries, vecCol, idCol, cellIds, nProbe),
+      m, pqCentroidIds)
+
+  /** Full IVF-PQ over a TRAINED coarse quantizer: cells come from a
+    * [[KMeans.Model]] codebook (0..k-1); the PQ sub-codebook stays the
+    * id-named contract (its training is a per-subspace k-means — same
+    * machinery, separate concern). */
+  def ivfPqTopKTrained(corpus: DataFrame, queries: DataFrame,
+                       vecCol: String, idCol: String, k: Int,
+                       cellCodebook: Seq[Seq[Double]], nProbe: Int,
+                       m: Int, pqCentroidIds: Seq[Long]): DataFrame =
+    ivfPqSearch(corpus, queries, vecCol, idCol, k,
+      cellAssignmentsTrained(corpus, vecCol, idCol, cellCodebook),
+      () => probeCellsOn(centsOf(corpus.sparkSession, cellCodebook),
+        queries, vecCol, idCol, nProbe),
+      m, pqCentroidIds)
+
+  private def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, k: Int,
+                          assigned: DataFrame,
+                          probesOf: () => DataFrame,
+                          m: Int, pqCentroidIds: Seq[Long]): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
     val codebook = collectCodebook(c, pqCentroidIds)
     // one map-only projection: cell + codes per corpus row
-    val coded = cellAssignments(corpus, vecCol, idCol, cellIds)
+    val coded = assigned
       .select(col("id"), col("cell"),
         graft.expressions.VectorExpressions
           .pqEncode(col("v"), codebook, m).as("st"))
       .filter(col("st").isNotNull)
       .select(col("id"), col("cell"), col("st.codes").as("codes"))
-    val probes = probeCells(corpus, queries, vecCol, idCol, cellIds, nProbe)
+    val probes = probesOf()
       .select(col("query_id"), col("cell"))
     val tables = adcTables(queries, vecCol, idCol, codebook, m)
     val w = Window.partitionBy("query_id")
