@@ -159,6 +159,29 @@ object ScaleProbe {
         embBig.filter(pmod(col("vec_id"), lit(10000L)) === 0),
         "embedding", "vec_id", k = 5, shortlist = 20,
         m = 4, centroidIds = (0L until 16L)))
+
+    // e08 trained quantizer: fit cost = (2·rounds + iters + 2) bounded
+    // jobs over the corpus (at warehouse scale, over a deterministic
+    // sample — the int64-threshold contract in KMeans.scala); the
+    // payoff evidence is CELL BALANCE — trained cells must spread the
+    // corpus better than arbitrary id-named rows, because IVF probe
+    // cost and SemDeDup's Σ cell² both ride the largest cell
+    // (VERDICT r6 next-#1 probe entry)
+    val kmT0 = System.nanoTime()
+    val kmModel = graft.operators.KMeans.fit(
+      embBig, "embedding", "vec_id", k = 16, dim = 64)
+    println(f"[scale] kmeans_fit_${nEmb}vecs ${(System.nanoTime() - kmT0) / 1e9}%8.2f s")
+    def cellStats(asg: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = asg.groupBy("cell").count()
+        .agg(max("count").as("mx"), avg("count").as("mean")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (trMax, trMean) = cellStats(graft.operators.Similarity
+      .cellAssignmentsTrained(embBig, "embedding", "vec_id", kmModel.centroids))
+    val (siMax, siMean) = cellStats(graft.operators.Similarity
+      .cellAssignments(embBig, "embedding", "vec_id", 0L until 16L))
+    println(f"[scale] kmeans_cells: trained max=$trMax mean=$trMean%.1f | " +
+      f"stand-in max=$siMax mean=$siMean%.1f (lower max = better balance)")
     t("shard_shuffle")(graft.io.Export.assignShards(docs, "doc_id", 64))
     t("gopher_profile")(TextAnalysis.gopherProfile(docs, "text", "doc_id"))
     t("stratified_sample")(
