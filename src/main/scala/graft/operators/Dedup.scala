@@ -79,10 +79,24 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Shared banded-MinHash candidate pipeline: doc -> shingles ->
-    * k-minhash -> band keys -> explode -> bucket self-join (id1 < id2)
-    * -> distinct candidate pair -> exact jaccard on the shingle sets ->
-    * threshold. [[minhashPairs]] and [[ngramJaccardPairs]] are both
+  /** Shared banded-MinHash candidate pipeline, EXACT-DEDUP-FIRST
+    * (VERDICT r6 next-#2): group the corpus by normalized-text
+    * fingerprint, then shingle / minhash / band / pair only the DISTINCT
+    * fingerprints' keeper docs. Exact copies are d01's findings — the
+    * pair stage stops paying signature + bucket + verify cost for them
+    * (a web crawl's duplication is mostly exact, so at 100 TB this is
+    * the difference between pairing the crawl and pairing its distinct
+    * content). Each surviving pair carries `weight` = n_copies(id1) ×
+    * n_copies(id2) — the number of underlying document pairs it
+    * represents; same-fingerprint pairs (all jaccard 1.0) are NOT
+    * reported here, exactly because [[exactDuplicates]] already names
+    * them.
+    *
+    * Pipeline: fp keeper/count window (one fp-keyed shuffle — the same
+    * exchange d01 pays) -> shingles -> k-minhash -> band keys ->
+    * explode -> bucket self-join (id1 < id2) -> distinct candidate pair
+    * -> exact jaccard on the shingle sets -> threshold -> copy-count
+    * weights. [[minhashPairs]] and [[ngramJaccardPairs]] are both
     * instances (different k/bands recall points).
     *
     * The signature is ONE compiled call per doc ([[graft.expressions
@@ -94,14 +108,76 @@ object Dedup {
   private def bandedJaccardPairs(df: DataFrame, textCol: String,
                                  idCol: String, n: Int, k: Int,
                                  bands: Int, threshold: Double): DataFrame = {
-    val (base, banded) = bandedRelations(df, textCol, idCol, n, k, bands)
+    val reps = fingerprintReps(df, textCol, idCol)
+    val (base, banded) = bandedRelations(reps, "text", "id", n, k, bands)
     val l = banded.select(col("id").as("id1"), col("band"))
     val rt = banded.select(col("id").as("id2"), col("band"))
     val cand = l.join(rt, Seq("band"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+    // copy-count weights: the verified pair relation is the SMALL side
+    // (true near-dup volume), the rep relation one row per distinct
+    // fingerprint — AQE broadcasts whichever side is bounded
+    val w1 = reps.select(col("id").as("id1"), col("n_copies").as("nc1"))
+    val w2 = reps.select(col("id").as("id2"), col("n_copies").as("nc2"))
     jaccardVerify(cand, base, threshold)
+      .join(w1, Seq("id1")).join(w2, Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (col("nc1") * col("nc2")).as("weight"))
   }
+
+  /** One keeper row per distinct normalized-text fingerprint:
+    * (id = keeper, text, n_copies). One fp-keyed window shuffle. */
+  private def fingerprintReps(df: DataFrame, textCol: String,
+                              idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("graft_fp_"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("graft_fp_", fingerprint(col("text")))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("graft_keep_", col("id") === min(col("id")).over(w))
+      .filter(col("graft_keep_"))
+      .select(col("id"), col("text"), col("n_copies"))
+  }
+
+  /** Fingerprint-group membership for expanding keeper-level results
+    * back to the full corpus: (id, keeper, n_copies, has_sh) where
+    * has_sh marks texts that yield >= 1 shingle at width `n` (docs
+    * below that width never enter the pair pipeline, so their exact
+    * copies must not fabricate a group either). Same single fp-keyed
+    * window as [[fingerprintReps]]. */
+  def fingerprintMembership(df: DataFrame, textCol: String, idCol: String,
+                            n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("graft_fp_"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("graft_fp_", fingerprint(col("text")))
+      .withColumn("keeper", min(col("id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("id"), col("keeper"), col("n_copies"),
+        (size(wordShingles(col("text"), n)) > 0).as("has_sh"))
+  }
+
+  /** Expand keeper-level connected components back to every document:
+    * a doc joins its keeper's component; exact-copy groups whose keeper
+    * is in no near-dup component still form their own group (they are
+    * pairwise jaccard-1 — connected by definition) provided the text
+    * shingles at all. Component minimums are preserved: a keeper is the
+    * min id of its fingerprint group, so the min over keepers IS the
+    * min over all member docs. The rep-level pair graph reaches exactly
+    * the components the all-docs graph would: an exact copy's edges are
+    * its keeper's edges (identical shingle sets), so dropping copy
+    * edges never disconnects anything.
+    *
+    * Inputs: `repGroups` = [[connectedComponents]] over keeper pairs
+    * (id, group_id); `membership` = [[fingerprintMembership]].
+    * Output: (doc_id, group_id) over the full corpus. */
+  def expandGroups(repGroups: DataFrame, membership: DataFrame): DataFrame =
+    membership.join(
+        repGroups.select(col("id").as("keeper"), col("group_id")),
+        Seq("keeper"), "left")
+      .filter(col("group_id").isNotNull ||
+        (col("n_copies") >= 2 && col("has_sh")))
+      .select(col("id").as("doc_id"),
+        coalesce(col("group_id"), col("keeper")).as("group_id"))
 
   /** The banded-minhash intermediate relations: (id, sh) shingle base
     * and (id, band) band keys. Package-visible so [[graft.tools
@@ -144,8 +220,10 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs with exact jaccard verification
-    * (k=16 hashes in 4 bands of 4 — the precision-leaning recall point).
-    * Returns (id1, id2, jaccard). Deterministic, order by caller.
+    * (k=16 hashes in 4 bands of 4 — the precision-leaning recall point),
+    * over distinct fingerprints (exact-dedup-first). Returns keeper
+    * pairs (id1, id2, jaccard, weight = copy-count product).
+    * Deterministic, order by caller.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 16, bands: Int = 4,
@@ -217,7 +295,8 @@ object Dedup {
     * independent min-hashes, so a single common shingle no longer
     * creates a mega-bucket, while per-band recall stays well above a
     * 4-hash band's. Bucket-size distribution is probed in
-    * [[graft.tools.ScaleProbe]]. */
+    * [[graft.tools.ScaleProbe]]. Like [[minhashPairs]], pairs are over
+    * distinct fingerprints with copy-count weights. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.3,
                         k: Int = 8, bands: Int = 4): DataFrame =

@@ -22,10 +22,23 @@ object DataQueries {
 
   // Shared DuckDB CTE fragments (tokens / shingles), kept identical
   // across oracles so a semantics change only happens in one place.
-  private val toksCte =
+  private def toksCteOn(src: String): String =
     """toks AS (SELECT doc_id, list_filter(
       |  string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-      |  FROM documents)""".stripMargin
+      |  FROM """.stripMargin + src + ")"
+  private val toksCte = toksCteOn("documents")
+  /** Exact-dedup-first keeper relation for the banded pair oracles:
+    * one rdocs row per distinct normalized-text fingerprint (keeper =
+    * min doc_id) with its copy count — mirrors
+    * [[Dedup]].fingerprintReps. */
+  private val repsCtes =
+    """fps AS (SELECT doc_id, text,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |reps AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+      |  FROM fps GROUP BY fp),
+      |rdocs AS (SELECT r.doc_id, f.text, r.n_copies FROM reps r
+      |  JOIN fps f ON f.doc_id = r.doc_id)""".stripMargin
   private val shCte =
     """sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
       |  THEN list_transform(range(1, len(toks)-1),
@@ -116,7 +129,8 @@ object DataQueries {
       .orderBy(col("id1"), col("id2"))
 
   val d02Sql: String =
-    s"""WITH $toksCte,
+    s"""WITH $repsCtes,
+       |${toksCteOn("rdocs")},
        |$shCte,
        |sig AS (SELECT doc_id, sh, list_transform(range(0,16), s ->
        |  list_min(list_transform(sh, g -> ${h60("s::VARCHAR||'|'||g")}))) AS sig
@@ -130,7 +144,9 @@ object DataQueries {
        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
        |  FROM cand JOIN base a ON a.doc_id = id1 JOIN base b ON b.doc_id = id2)
-       |SELECT id1, id2, round(jac, 6) AS jaccard FROM j
+       |SELECT id1, id2, round(jac, 6) AS jaccard,
+       |  r1.n_copies * r2.n_copies AS weight
+       |FROM j JOIN reps r1 ON r1.doc_id = id1 JOIN reps r2 ON r2.doc_id = id2
        |WHERE jac >= 0.2 ORDER BY id1, id2""".stripMargin
 
   val d03Simhash: Q = (s, dir) =>
@@ -190,7 +206,8 @@ object DataQueries {
       .orderBy(col("id1"), col("id2"))
 
   val d04Sql: String =
-    s"""WITH $toksCte,
+    s"""WITH $repsCtes,
+       |${toksCteOn("rdocs")},
        |$shCte,
        |sig AS (SELECT doc_id, sh, list_transform(range(0,8), s ->
        |  list_min(list_transform(sh, g -> ${h60("s::VARCHAR||'|'||g")}))) AS sig
@@ -204,7 +221,9 @@ object DataQueries {
        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
        |  FROM cand JOIN base a ON a.doc_id = id1 JOIN base b ON b.doc_id = id2)
-       |SELECT id1, id2, round(jac, 6) AS jaccard FROM j
+       |SELECT id1, id2, round(jac, 6) AS jaccard,
+       |  r1.n_copies * r2.n_copies AS weight
+       |FROM j JOIN reps r1 ON r1.doc_id = id1 JOIN reps r2 ON r2.doc_id = id2
        |WHERE jac >= 0.2 ORDER BY id1, id2""".stripMargin
 
   /** EXACT all-pairs cosine — the audit baseline for the LSH-bucketed
@@ -244,14 +263,22 @@ object DataQueries {
   /** Transitive near-dup GROUPS: MinHash pair hits chased to connected
     * components ([[Dedup.connectedComponents]]), each doc labeled with
     * its component's min id + component size — the relation a dedup
-    * "keep one per group" pass consumes. Oracle: the same closure via a
-    * recursive CTE over the identical pair pipeline. */
+    * "keep one per group" pass consumes. The pair pipeline is
+    * exact-dedup-first (keeper pairs only), so the CC runs on the
+    * DISTINCT-fingerprint graph and [[Dedup.expandGroups]] restores the
+    * full-corpus relation — provably identical to the all-docs closure
+    * (an exact copy's edges are its keeper's edges), which is what the
+    * UNCHANGED oracle still replays over all docs. */
+  private def expandedGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsShared(s, dir).select(col("id1"), col("id2"))
+    val mem = Dedup.fingerprintMembership(
+      Catalog(s, dir).documents, "text", "doc_id", n = 3)
+    Dedup.expandGroups(Dedup.connectedComponents(pairs), mem)
+  }
+
   val d08NearDupGroups: Q = (s, dir) => {
-    val pairs = minhashPairsShared(s, dir)
-      .select(col("id1"), col("id2"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
-    Dedup.connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("group_id"))
+    expandedGroups(s, dir)
       .withColumn("group_size", count(lit(1)).over(w))
       .orderBy(col("group_id"), col("doc_id"))
   }
@@ -264,10 +291,8 @@ object DataQueries {
     * corpus — the group relation is the (small) near-dup subset, so the
     * join broadcasts; everything else is the shared pairs pipeline. */
   val d11SoftDedupWeights: Q = (s, dir) => {
-    val pairs = minhashPairsShared(s, dir).select(col("id1"), col("id2"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
-    val groups = Dedup.connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("group_id"))
+    val groups = expandedGroups(s, dir)
       .withColumn("group_size", count(lit(1)).over(w))
     // NO broadcast hint: the group relation scales with corpus
     // duplication (every member of every near-dup cluster), so forcing

@@ -43,6 +43,22 @@ object ScaleProbe {
       n = 3, k = 16, bands = 4, threshold = 0.2))
     t("ngram_jaccard_pairs")(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       n = 3, threshold = 0.2, k = 8, bands = 4))
+
+    // dedup-before-pairing payoff (VERDICT r6 next-#2): the salted
+    // replicas above are NEAR-dups (worst case — every replica must
+    // pair); this corpus replicates EXACTLY, the common-crawl case.
+    // The pair pipeline runs on distinct fingerprints, so cost must
+    // track the 1x distinct content + one fp-keyed window, not the
+    // Nx crawl
+    val exactDir = s"/tmp/graft_scale_exact_${replicas}x"
+    (0 until replicas).map { r =>
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(exactDir)
+    val exactDocs = spark.read.parquet(exactDir)
+    t("minhash_pairs_exactdup")(Dedup.minhashPairs(exactDocs, "text",
+      "doc_id", n = 3, k = 16, bands = 4, threshold = 0.2))
     t("simhash_sigs")(Dedup.simhash(docs, "text", "doc_id"))
     t("text_profile")(TextAnalysis.profile(docs, "text", "doc_id"))
 

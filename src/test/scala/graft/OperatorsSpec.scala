@@ -34,6 +34,43 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("minhashPairs is exact-dedup-first: keeper pairs carry copy-count weights") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq(
+      (1L, near1), (2L, near1), (3L, "The  Quick brown fox jumps over " +
+        "the lazy dog again and again today"), // 3 normalized copies of near1
+      (4L, near2), (5L, near2),                // 2 copies of near2
+      (6L, "completely different words here about spark catalyst internals")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // exact copies never pair (d01's findings); the single keeper pair
+    // represents 3x2 underlying doc pairs
+    assert(got.toSeq == Seq((1L, 4L, 6L)))
+  }
+
+  test("expandGroups: keeper components reach every copy; exact-copy-only groups kept") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq(
+      (1L, near1), (2L, near2), (3L, near1),  // near-dup component {1,2} + copy 3 of 1
+      (4L, "an unrelated exact duplicate pair of documents right here"),
+      (5L, "an unrelated exact duplicate pair of documents right here"),
+      (6L, "short doc"),                       // <3 tokens: never shingles
+      (7L, "short doc"),                       // its exact copy: no fabricated group
+      (8L, "completely different words here about spark catalyst internals")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select(col("id1"), col("id2"))
+    val mem = Dedup.fingerprintMembership(docs, "text", "doc_id", n = 3)
+    val got = Dedup.expandGroups(Dedup.connectedComponents(pairs), mem)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L),
+      "copies join their keeper's component; unpaired exact-dup group {4,5} " +
+        "self-groups; shingle-less copies {6,7} and singleton 8 stay out")
+  }
+
   test("simhash: identical docs identical signature; near-dups small hamming") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text")
