@@ -410,6 +410,170 @@ object ExtQueries {
       |JOIN region ON r_regionkey = n_regionkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Social demographic mart (VERDICT r6 next-#4): the NTA SOCIAL
+    * staging ([[AuxStaging.stageSocial]], typed per the reference's
+    * dict_nyc_social_by_nta dictionary) exercised end-to-end like q44's
+    * econ path. A raw ALL-STRING social-by-NTA feed is derived
+    * deterministically from `customer` — including planted
+    * family>households violations (every 7th NTA) and unparseable 'NA'
+    * average household sizes (every 5th) — try-parsed and
+    * validity-flagged by the staging model (quarantine semantics: rows
+    * kept, flagged), joined to the broadcast nation/region dims, and
+    * aggregated to a per-region household/education mart. Rates come
+    * from integer sums with one double division at the end. */
+  val q46SocialMart: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val agg = c.customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("hh"),
+           count(when(col("c_acctbal") > 0, 1)).as("fam"),
+           count(when(col("c_acctbal") < 0, 1)).as("u18"),
+           count(when(col("c_mktsegment") === "BUILDING", 1)).as("s65"),
+           count(when(col("c_acctbal") > 2000, 1)).as("bach"))
+    val raw = agg.select(
+      lit("NTA2020").as("GeoType"),
+      concat(lit("NTA"), col("c_nationkey").cast(StringType)).as("GeoID"),
+      concat(lit("N"), col("c_nationkey").cast(StringType)).as("GeogName"),
+      concat(lit("B"), pmod(col("c_nationkey"), lit(5L)).cast(StringType))
+        .as("Borough"),
+      col("hh").cast(StringType).as("HH1E"),
+      when(pmod(col("c_nationkey"), lit(7L)) === 0, col("hh") + 1)
+        .otherwise(col("fam")).cast(StringType).as("Fam1E"),
+      col("u18").cast(StringType).as("HH1plU18E"),
+      col("s65").cast(StringType).as("HH1pl65plE"),
+      when(pmod(col("c_nationkey"), lit(5L)) === 0, lit("NA"))
+        .otherwise((pmod(col("hh"), lit(30L)) + 20).cast(StringType))
+        .as("AvgHHSzE"),
+      col("hh").cast(StringType).as("EA_P25plE"),
+      col("bach").cast(StringType).as("EA_BchDHE"))
+    val staged = AuxStaging.stageSocial(raw)
+    val n = c.nation.select(col("n_nationkey"), col("n_regionkey"))
+    val r = c.region.select(col("r_regionkey"), col("r_name"))
+    staged.join(broadcast(n), staged("nta_num") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_ntas"),
+           sum(col("households")).as("households"),
+           sum(col("family_households")).as("family_households"),
+           sum(col("hh_with_65plus")).as("hh_with_65plus"),
+           sum(col("pop_25plus")).as("pop_25plus"),
+           sum(col("bachelors_or_higher")).as("bachelors_or_higher"),
+           round(sum(col("bachelors_or_higher")).cast(DoubleType) /
+             sum(col("pop_25plus")), 6).as("bachelors_rate"),
+           count(when(!col("hh_valid"), 1)).as("n_invalid_hh"),
+           count(when(col("avg_household_size").isNull, 1)).as("n_missing_avg"))
+      .withColumnRenamed("r_name", "region")
+      .orderBy(col("region"))
+  }
+
+  val q46Sql: String =
+    """WITH agg AS (SELECT c_nationkey, count(*) AS hh,
+      |    count(*) FILTER (c_acctbal > 0) AS fam,
+      |    count(*) FILTER (c_mktsegment = 'BUILDING') AS s65,
+      |    count(*) FILTER (c_acctbal > 2000) AS bach
+      |  FROM customer GROUP BY 1),
+      |raw AS (SELECT 'NTA'||c_nationkey AS geoid,
+      |    CAST(hh AS VARCHAR) AS hh_s,
+      |    CAST(CASE WHEN c_nationkey % 7 = 0 THEN hh + 1 ELSE fam END
+      |      AS VARCHAR) AS fam_s,
+      |    CAST(s65 AS VARCHAR) AS s65_s,
+      |    CASE WHEN c_nationkey % 5 = 0 THEN 'NA'
+      |         ELSE CAST(hh % 30 + 20 AS VARCHAR) END AS avg_s,
+      |    CAST(hh AS VARCHAR) AS p25_s, CAST(bach AS VARCHAR) AS bach_s
+      |  FROM agg),
+      |staged AS (SELECT TRY_CAST(substr(geoid, 4) AS BIGINT) AS nta_num,
+      |    TRY_CAST(hh_s AS BIGINT) AS hh, TRY_CAST(fam_s AS BIGINT) AS fam,
+      |    TRY_CAST(s65_s AS BIGINT) AS s65,
+      |    TRY_CAST(avg_s AS DOUBLE) AS avg_sz,
+      |    TRY_CAST(p25_s AS BIGINT) AS p25, TRY_CAST(bach_s AS BIGINT) AS bach
+      |  FROM raw)
+      |SELECT r_name AS region, count(*) AS n_ntas,
+      |  CAST(SUM(hh) AS BIGINT) AS households,
+      |  CAST(SUM(fam) AS BIGINT) AS family_households,
+      |  CAST(SUM(s65) AS BIGINT) AS hh_with_65plus,
+      |  CAST(SUM(p25) AS BIGINT) AS pop_25plus,
+      |  CAST(SUM(bach) AS BIGINT) AS bachelors_or_higher,
+      |  round(CAST(SUM(bach) AS DOUBLE) / SUM(p25), 6) AS bachelors_rate,
+      |  count(*) FILTER (NOT (hh IS NOT NULL AND fam IS NOT NULL
+      |    AND fam <= hh)) AS n_invalid_hh,
+      |  count(*) FILTER (avg_sz IS NULL) AS n_missing_avg
+      |FROM staged JOIN nation ON n_nationkey = nta_num
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Housing demographic mart (VERDICT r6 next-#4, housing half): the
+    * NTA HOUSING staging ([[AuxStaging.stageHousing]], typed per the
+    * reference's dict_nyc_housing_by_nta dictionary), same derived-feed
+    * contract as q44/q46 — planted occupied+vacant!=total violations
+    * (every 6th NTA) and 'NA' homeowner vacancy rates (every 5th) —
+    * staged, joined to broadcast dims, aggregated per region with the
+    * occupancy rate from integer sums. */
+  val q47HousingMart: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val agg = c.customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("tot"),
+           count(when(col("c_acctbal") > 0, 1)).as("occ"),
+           count(when(col("c_acctbal") <= 0, 1)).as("vac"))
+    val raw = agg.select(
+      lit("NTA2020").as("GeoType"),
+      concat(lit("NTA"), col("c_nationkey").cast(StringType)).as("GeoID"),
+      concat(lit("N"), col("c_nationkey").cast(StringType)).as("GeogName"),
+      concat(lit("B"), pmod(col("c_nationkey"), lit(5L)).cast(StringType))
+        .as("Borough"),
+      col("tot").cast(StringType).as("HU1E"),
+      col("occ").cast(StringType).as("OcHU1E"),
+      when(pmod(col("c_nationkey"), lit(6L)) === 0, col("vac") + 1)
+        .otherwise(col("vac")).cast(StringType).as("VacHUE"),
+      when(pmod(col("c_nationkey"), lit(5L)) === 0, lit("NA"))
+        .otherwise((pmod(col("tot"), lit(90L)) + 5).cast(StringType))
+        .as("HOVacRtE"),
+      (pmod(col("tot"), lit(80L)) + 3).cast(StringType).as("RntVacRtE"))
+    val staged = AuxStaging.stageHousing(raw)
+    val n = c.nation.select(col("n_nationkey"), col("n_regionkey"))
+    val r = c.region.select(col("r_regionkey"), col("r_name"))
+    staged.join(broadcast(n), staged("nta_num") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_ntas"),
+           sum(col("total_units")).as("total_units"),
+           sum(col("occupied_units")).as("occupied_units"),
+           sum(col("vacant_units")).as("vacant_units"),
+           round(sum(col("occupied_units")).cast(DoubleType) /
+             sum(col("total_units")), 6).as("occupancy_rate"),
+           count(when(!col("units_valid"), 1)).as("n_invalid_units"),
+           count(when(col("homeowner_vacancy_rate").isNull, 1))
+             .as("n_missing_hov"))
+      .withColumnRenamed("r_name", "region")
+      .orderBy(col("region"))
+  }
+
+  val q47Sql: String =
+    """WITH agg AS (SELECT c_nationkey, count(*) AS tot,
+      |    count(*) FILTER (c_acctbal > 0) AS occ,
+      |    count(*) FILTER (c_acctbal <= 0) AS vac
+      |  FROM customer GROUP BY 1),
+      |raw AS (SELECT 'NTA'||c_nationkey AS geoid,
+      |    CAST(tot AS VARCHAR) AS tot_s, CAST(occ AS VARCHAR) AS occ_s,
+      |    CAST(CASE WHEN c_nationkey % 6 = 0 THEN vac + 1 ELSE vac END
+      |      AS VARCHAR) AS vac_s,
+      |    CASE WHEN c_nationkey % 5 = 0 THEN 'NA'
+      |         ELSE CAST(tot % 90 + 5 AS VARCHAR) END AS hov_s
+      |  FROM agg),
+      |staged AS (SELECT TRY_CAST(substr(geoid, 4) AS BIGINT) AS nta_num,
+      |    TRY_CAST(tot_s AS BIGINT) AS tot, TRY_CAST(occ_s AS BIGINT) AS occ,
+      |    TRY_CAST(vac_s AS BIGINT) AS vac, TRY_CAST(hov_s AS DOUBLE) AS hov
+      |  FROM raw)
+      |SELECT r_name AS region, count(*) AS n_ntas,
+      |  CAST(SUM(tot) AS BIGINT) AS total_units,
+      |  CAST(SUM(occ) AS BIGINT) AS occupied_units,
+      |  CAST(SUM(vac) AS BIGINT) AS vacant_units,
+      |  round(CAST(SUM(occ) AS DOUBLE) / SUM(tot), 6) AS occupancy_rate,
+      |  count(*) FILTER (NOT (tot IS NOT NULL AND occ IS NOT NULL
+      |    AND vac IS NOT NULL AND occ + vac = tot)) AS n_invalid_units,
+      |  count(*) FILTER (hov IS NULL) AS n_missing_hov
+      |FROM staged JOIN nation ON n_nationkey = nta_num
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hot-key salted join with REAL skew: 75% of lineitem rows map to
     * one key (the remainder spread over 97), joined to a small dim.
     * Exercises [[SkewJoin.saltedInnerJoin]]'s HOT path end-to-end —
@@ -464,6 +628,8 @@ object ExtQueries {
     "q33_salted_skew_join" -> q33SaltedJoin,
     "q44_demographic_mart" -> q44DemographicMart,
     "q45_hot_key_join" -> q45HotKeyJoin,
+    "q46_social_mart" -> q46SocialMart,
+    "q47_housing_mart" -> q47HousingMart,
     "q34_string_agg" -> q34StringAgg,
     "q35_regex_funcs" -> q35Regex,
     "q36_exists_subquery" -> q36Exists,
@@ -483,6 +649,8 @@ object ExtQueries {
     "q33_salted_skew_join" -> q33Sql,
     "q44_demographic_mart" -> q44Sql,
     "q45_hot_key_join" -> q45Sql,
+    "q46_social_mart" -> q46Sql,
+    "q47_housing_mart" -> q47Sql,
     "q34_string_agg" -> q34Sql,
     "q35_regex_funcs" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,
