@@ -47,18 +47,25 @@ object Multimodal {
   // -------------------------------------------------------------------
 
   /** STUB: stands in for a real image/audio decode + embedding model.
-    * Produces `dim` deterministic floats from a rolling checksum of the
-    * bytes, so tests are stable and the pipeline shape is real. */
+    * Produces `dim` deterministic floats from the payload's md5 — the
+    * t03/q42 md5-derived-arithmetic contract, so the m02 oracle replays
+    * every dimension byte-for-byte in SQL (VERDICT r6 next-#6; the
+    * former 64-bit LCG was not SQL-expressible and forced a rows-only
+    * check): feature j = (md5_60("<payload md5 hex>|f<j>") mod 10^6) /
+    * 10^6 as float, i.e. the nearest float of an exact integer/10^6 —
+    * DuckDB twin CAST((h60(md5(text)||'|f'||j) % 1000000) / 1000000.0
+    * AS REAL). A real decoder swaps in at exactly this point; only this
+    * body changes. */
   private[multimodal] def stubDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val md = graft.expressions.HashExpressions.localMd5.get()
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
     val out = new Array[Float](dim)
     var j = 0
-    var s = h
     while (j < dim) {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((s >>> 33).toInt % 1000) / 1000.0f
+      val h = graft.expressions.HashExpressions.md5Long60(md,
+        (hex + "|f" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(j) = ((h % 1000000L).toDouble / 1000000.0).toFloat
       j += 1
     }
     out

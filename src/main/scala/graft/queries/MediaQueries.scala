@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * ([[Multimodal.fromDocuments]]): text bytes stand in for the opaque
   * payload, so every byte-level result (lengths, md5 checksums, frame
   * slicing) is verifiable from SQL on the source table. The decode
-  * kernel itself is the clearly-marked STUB in [[Multimodal]] — its
-  * embedding output is checked rows-only (m02), exactly like the HLL
-  * sketch in q16.
+  * kernel itself is the clearly-marked STUB in [[Multimodal]] — since
+  * round 7 it is md5-derived arithmetic, so even the stub embedding is
+  * hash-checked dimension-by-dimension (m02); swapping a real codec in
+  * flips m02 back to a rows-only check at the same point.
   */
 object MediaQueries {
 
@@ -43,17 +44,34 @@ object MediaQueries {
       |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin
 
   /** Stub-decoded feature vectors (the embedding a real codec+model
-    * would produce). The stub is deterministic but not SQL-expressible
-    * (64-bit LCG) -> rows-only check, by design. */
+    * would produce). The stub is md5-derived arithmetic (see
+    * [[Multimodal.stubDecodeFeatures]]), so every dimension is
+    * hash-checked: each float is integer/10^6, projected back to its
+    * exact micro-integer (round(f·10^6) recovers it — 10^6 < 2^24, so
+    * the float roundtrip is lossless) and comma-joined for the
+    * driver's row compare. A real decoder flips this back to a
+    * rows-only check at the same swap point. */
   val m02MediaFeatures: Q = (s, dir) => {
     implicit val sp: SparkSession = s
     Multimodal.extractFeatures(
         Multimodal.fromDocuments(Catalog(s, dir).documents))
       .select(col("media_id"),
         size(col("features")).cast(LongType).as("feature_dim"),
-        element_at(col("features"), 1).as("f0"))
+        concat_ws(",", transform(col("features"),
+          f => round(f.cast(DoubleType) * 1000000, 0).cast(LongType)
+            .cast(StringType))).as("features_micro"))
       .orderBy(col("media_id"))
   }
+
+  val m02Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT media_id, j,
+      |    CAST(('0x'||substr(md5(hx||'|f'||j),1,15)) AS BIGINT) % 1000000 AS v
+      |  FROM m, range(0, 64) t(j))
+      |SELECT media_id, count(*) AS feature_dim,
+      |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS features_micro
+      |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin
 
   /** Frame sampling over "video" payloads: fixed-size byte windows,
     * every 2nd kept. Output is (media_id, frame_index, n_frame_bytes) —
@@ -170,7 +188,7 @@ object MediaQueries {
 
   val oracles: Map[String, String] = Map(
     "m01_media_meta" -> m01Sql,
-    // m02: stub LCG features — rows-only by design
+    "m02_media_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
     "m05_chunk" -> m05Sql,
