@@ -3,10 +3,20 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Skew-mitigation joins. AQE's skew-join handling covers sort-merge
-  * joins automatically (left enabled); this explicit salted join is for
-  * the cases AQE can't fix — e.g. a hot key so large that even one
-  * split of it overwhelms a task, or non-SMJ plans.
+/** Skew-mitigation joins — NOT the default path. Measured on q45's
+  * 75%-single-key workload at 40M rows (PLANS.md "SkewJoin vs AQE",
+  * `graft.tools.SkewProbe`): plain SMJ 16.3 s, AQE skew split 3.5 s,
+  * this salted join 5.4 s. **Use AQE first** — it right-sizes splits
+  * from runtime byte stats where the salt count here is a guess. The
+  * operator remains for the shapes AQE cannot rewrite:
+  *  - AQE-unavailable/restricted plans (e.g. Structured Streaming
+  *    micro-batches);
+  *  - join shapes outside AQE's skew rewrite (skewed FULL OUTER, or a
+  *    downstream-required output partitioning, where AQE skips the
+  *    split unless forceOptimizeSkewedJoin pays an extra shuffle);
+  *  - when the mitigation itself must be engine-independent and
+  *    reproducible (the salted plan is the same plan everywhere; AQE's
+  *    split decisions are runtime-stat-dependent).
   *
   * Semantics: identical to `left.join(right, key, inner)`; the salt is
   * an internal fan-out column, never visible in the result.

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SkewJoin vs AQE measurement (VERDICT r6 next-#3): q45's workload —
+  * 75% of fact rows on ONE key, the rest spread over 996 — joined to a
+  * 1000-key dim, under three plans:
+  *
+  *   1. plain        — sort-merge join, no mitigation (AQE skew off)
+  *   2. aqe_skew     — plain join with AQE skew-join splitting enabled
+  *                     (thresholds lowered so the hot partition
+  *                     qualifies at probe scale; at warehouse scale the
+  *                     defaults fire on >256MB partitions)
+  *   3. salted       — graft.operators.SkewJoin.saltedInnerJoin
+  *
+  * The dim side is forced OFF the broadcast path
+  * (autoBroadcastJoinThreshold = -1): a broadcastable dim makes skew a
+  * non-problem (broadcast-hash join never co-locates by key) and
+  * neither AQE-skew nor salting would have anything to do. The probe
+  * therefore measures the regime the custom operator exists for — and
+  * AQE's split applies ONLY to sort-merge plans, so this is also AQE's
+  * best case. Results + the design verdict live in PLANS.md
+  * ("SkewJoin vs AQE").
+  *
+  * Usage: runMain graft.tools.SkewProbe [factRows]
+  */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(40000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // q45's skew shape: 75% of rows -> key 0, remainder over 1..996
+    val fact = spark.range(n).select(
+      when(pmod(col("id"), lit(4L)) =!= 0, lit(0L))
+        .otherwise(pmod(col("id"), lit(997L))).as("k"),
+      col("id").as("payload"))
+    val dim = spark.range(1000).select(col("id").as("k"),
+      concat(lit("dim-payload-string-"), col("id")).as("label"))
+
+    def timed(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      println(f"[skew] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (n=$n)")
+    }
+    def conf(kvs: (String, String)*): Unit = kvs.foreach {
+      case (k, v) => spark.conf.set(k, v)
+    }
+
+    // every scenario: dim not broadcastable (the regime under test)
+    conf("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+    conf("spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")
+    timed("plain")(fact.join(dim, Seq("k"), "inner"))
+
+    conf("spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // probe-scale hot partition is ~100s of MB; defaults (5x median
+      // AND >256MB) already fire at warehouse scale — lowering the byte
+      // floor gives AQE its best case here rather than handicapping it
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")
+    timed("aqe_skew")(fact.join(dim, Seq("k"), "inner"))
+
+    timed("salted")(graft.operators.SkewJoin.saltedInnerJoin(
+      fact, dim, "k", saltBuckets = 8))
+
+    // reference point: the broadcastable-dim regime, where skew is a
+    // non-problem by plan shape (no co-location by key at all)
+    conf("spark.sql.autoBroadcastJoinThreshold" -> "10485760")
+    timed("broadcast")(fact.join(dim, Seq("k"), "inner"))
+
+    spark.stop()
+  }
+}
