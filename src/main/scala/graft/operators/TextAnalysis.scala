@@ -458,11 +458,88 @@ object TextAnalysis {
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("rpos"))
       .groupBy("doc_id")
       .agg(collect_set(col("rpos")).as("rpos"))
+    rebuildDocs(base, removed)
+  }
+
+  /** Shared rebuild tail of the span-dedup paths: cut each doc's
+    * removal positions out and re-emit (doc_id, n_tokens, n_kept,
+    * text_dedup); token-less docs drop. */
+  private def rebuildDocs(base: DataFrame, removed: DataFrame): DataFrame = {
+    import graft.expressions.TextExpressions.dropTokens
     base.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         dropTokens(col("text"), col("rpos")).as("st"))
       .filter(col("st").isNotNull) // token-bearing docs only
       .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
         col("st.n_kept").as("n_kept"), col("st.text_dedup").as("text_dedup"))
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental span dedup (the daily-crawl shape — VERDICT r6 next-#5)
+  // -------------------------------------------------------------------
+
+  /** The materialized cut-point for DELTA span dedup: one row per
+    * distinct span hash with its keeper (min doc_id). Includes
+    * single-occurrence spans — a future appended doc matching a span
+    * seen once must still lose to it. This is the warehouse table a
+    * daily-crawl pipeline maintains instead of re-deriving the span
+    * relation per run; [[mergeSpanKeepers]] folds a new batch in. */
+  def spanKeepers(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 10): DataFrame = {
+    import graft.expressions.TextExpressions.spanHashes
+    df.select(col(idCol).as("doc_id"),
+        explode(spanHashes(col(textCol), k)).as("h"))
+      .groupBy("h").agg(min("doc_id").as("keeper"))
+  }
+
+  /** Fold an appended batch into the keeper table: min of the old
+    * keeper and the batch's min per span hash. One keyed shuffle
+    * bounded by |old distinct spans| + |batch spans|. */
+  def mergeSpanKeepers(keepers: DataFrame, newDocs: DataFrame,
+                       textCol: String, idCol: String,
+                       k: Int = 10): DataFrame =
+    keepers.unionByName(spanKeepers(newDocs, textCol, idCol, k))
+      .groupBy("h").agg(min("keeper").as("keeper"))
+
+  /** DELTA span dedup: rewrite ONLY an appended batch against the
+    * materialized [[spanKeepers]] table — the realistic daily-crawl
+    * shape (full [[spanDedup]] re-tokenizes the entire corpus; this
+    * touches the batch plus one keyed join into the keeper table).
+    *
+    * APPEND CONTRACT (caller-owned, spec-pinned): batch doc ids must
+    * exceed every id already in the keeper table. Under that contract
+    * existing outputs are STABLE — a new doc can never out-rank an old
+    * keeper (keeper = min id), so a span newly shared with an old doc
+    * removes text from the NEW doc only, and
+    *   full_rebuild(old ∪ batch) == spanDedup(old) ∪ spanDedupDelta(batch)
+    * (SpanDedupDeltaSpec proves it). An occurrence of span h in batch
+    * doc n is removed iff keeper(h) < n over old ∪ batch — identical to
+    * the full rebuild's "not the keeper of a cross-doc span" test: if h
+    * is batch-only and n is its min, n keeps it; internal repeats are
+    * kept, as in the full pass.
+    *
+    * Scale shape: span generation is one compiled call per BATCH doc;
+    * the only exchange keyed by span hash carries the batch's spans
+    * plus the matching keeper rows — independent of old-corpus size
+    * given a keeper table partitioned/bucketed by h. */
+  def spanDedupDelta(newDocs: DataFrame, textCol: String, idCol: String,
+                     keepers: DataFrame, k: Int = 10): DataFrame = {
+    import graft.expressions.TextExpressions.spanHashes
+    val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // same two-subtree reuse as spanDedup (dup test + removal probe)
+    val newOcc = base.select(col("doc_id"),
+      posexplode(spanHashes(col("text"), k)).as(Seq("pos", "h")))
+      .localCheckpoint(false)
+    val combinedMin = newOcc.groupBy("h").agg(min("doc_id").as("nm"))
+      .join(keepers, Seq("h"), "left")
+      .select(col("h"),
+        least(coalesce(col("keeper"), col("nm")), col("nm")).as("keeper"))
+    val removed = newOcc.join(combinedMin, "h")
+      .filter(col("doc_id") > col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("rpos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("rpos")).as("rpos"))
+    rebuildDocs(base, removed)
   }
 }
