@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * through the same `run`/`test`/`ProductionRun` machinery as the
   * reference's warehouse models:
   *
-  *   DOCS_PROFILED (view)    text profile + repetition + PII counts
-  *   DOCS_FILTERED (table)   quality/repetition/PII gates, redacted text
-  *   DOCS_DEDUPED  (table)   exact-dup keeper drop over the filtered set
-  *   DOCS_CLEAN    (table)   decontaminated (benchmark 5-shingle overlap)
-  *   DOCS_PACKED   (table)   sequence packing per language shard
-  *   DOCS_SHARDED  (table)   deterministic training-order shard/position
+  *   DOCS_PROFILED   (view)  text profile + repetition + PII counts
+  *   DOCS_FILTERED   (table) quality/repetition/PII gates, redacted text
+  *   DOCS_DEDUPED    (table) exact-dup keeper drop over the filtered set
+  *   DOCS_CLEAN      (table) decontaminated (benchmark 5-shingle overlap)
+  *   MIXTURE_SAMPLED (table) t10 α-tempered per-source budgets applied
+  *                           by t15's deterministic stratified sample —
+  *                           the actual pretraining export cut (identity
+  *                           pass-through when no budget is configured)
+  *   DOCS_PACKED     (table) sequence packing per language shard
+  *   DOCS_SHARDED    (table) deterministic training-order shard/position
   *
   * Every stage is the library operator, not a re-implementation — the
   * DAG adds materialization, lineage, and testability. Filter
@@ -34,9 +38,14 @@ object CurationModels {
     * would silently miss cross-batch duplicates. That split (cheap
     * incremental gates, periodic global passes) is how a production
     * curation pipeline actually runs. */
+  /** `exportBudget`: total docs the MIXTURE_SAMPLED export cut should
+    * ship; per-source budgets are the t10 α-tempered mixture weights
+    * times this total (at least 1 per surviving source). None = no
+    * sampling — MIXTURE_SAMPLED passes DOCS_CLEAN through unchanged. */
   def registry(spark: SparkSession, documents: DataFrame,
                benchmark: DataFrame,
-               incrementalFilter: Boolean = false): Registry = {
+               incrementalFilter: Boolean = false,
+               exportBudget: Option[Long] = None): Registry = {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
@@ -116,18 +125,40 @@ object CurationModels {
       d.join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
     })
 
-    r.register(Model("DOCS_PACKED", "3_MART___CURATION",
+    r.register(Model("MIXTURE_SAMPLED", "3_MART___CURATION",
         Seq("DOCS_CLEAN"), Table) { deps =>
-      TextAnalysis.packSequences(deps("DOCS_CLEAN"),
+      // the pretraining export cut (VERDICT r6 next-#7): t10 computes
+      // α-tempered mixture weights over the gated corpus, t15's
+      // deterministic md5-rank sample applies the derived per-source
+      // budgets — so what ships downstream is the MIXTURE, not the raw
+      // gated crawl. Budget floor 1: a source that survived the gates
+      // is never silently zeroed by rounding.
+      val d = deps("DOCS_CLEAN")
+      exportBudget match {
+        case None => d
+        case Some(b) =>
+          val budgets = TextAnalysis
+            .domainMixture(d, "text", "source", alpha = 0.7)
+            .select(col("source"),
+              greatest(lit(1L), round(col("mix_weight") * lit(b.toDouble), 0)
+                .cast(org.apache.spark.sql.types.LongType)).as("budget"))
+          TextAnalysis.stratifiedSampleWeighted(d, "doc_id", "source", budgets)
+            .drop("sample_rank")
+      }
+    })
+
+    r.register(Model("DOCS_PACKED", "3_MART___CURATION",
+        Seq("MIXTURE_SAMPLED"), Table) { deps =>
+      TextAnalysis.packSequences(deps("MIXTURE_SAMPLED"),
         "text", "doc_id", "lang", cap = 512)
     })
 
     r.register(Model("DOCS_SHARDED", "3_MART___CURATION",
-        Seq("DOCS_CLEAN"), Table) { deps =>
+        Seq("MIXTURE_SAMPLED"), Table) { deps =>
       // deterministic training-order shuffle (t12's library operator):
       // the terminal relation a data loader reads shard by shard, in
       // position order — reproducible on any engine or partitioning
-      val d = deps("DOCS_CLEAN")
+      val d = deps("MIXTURE_SAMPLED")
       graft.io.Export.assignShards(d, "doc_id", nShards = 8)
         .join(d, Seq("doc_id"))
         .select(col("shard"), col("pos"), col("doc_id"), col("text"),

@@ -325,6 +325,29 @@ object TextAnalysis {
       .drop("h")
   }
 
+  /** Per-stratum BUDGETED variant of [[stratifiedSample]] — the t10→t15
+    * composition: `budgets` is a small (byCol, budget) relation (e.g.
+    * α-tempered mixture weights times an export budget), and each
+    * stratum keeps its first `budget` docs in the same deterministic
+    * md5-rank order. Strata absent from `budgets` are DROPPED (budget
+    * 0 — an excluded source). Same plan shape as the fixed-N variant
+    * plus one join against the broadcast-sized budget relation; the
+    * rank filter cannot use WindowGroupLimit here (the limit is no
+    * longer a literal), so each stratum pays its window sort — still
+    * one exchange, keyed by stratum. */
+  def stratifiedSampleWeighted(df: DataFrame, idCol: String, byCol: String,
+                               budgets: DataFrame): DataFrame = {
+    val h = graft.functions.GraftFunctions.md5Long(
+      col(idCol).cast(org.apache.spark.sql.types.StringType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col("h"), col(idCol))
+    df.withColumn("h", h)
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .join(budgets, Seq(byCol))
+      .filter(col("sample_rank") <= col("budget"))
+      .drop("h", "budget")
+  }
+
   /** PII profile + redaction: per-pattern match counts (on the original
     * text) and the text with emails/phones/IPv4s replaced by type tags —
     * the scrub pass a training corpus runs before anything else ships.

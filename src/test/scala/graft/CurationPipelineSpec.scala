@@ -86,6 +86,48 @@ class CurationPipelineSpec extends SparkSpec {
       s"data tests failed: ${tests.filterNot(_.passed)}")
   }
 
+  test("mixture-sampled export: DOCS_SHARDED per-source counts match the t10 budgets") {
+    // three sources with very different volumes: abundant web, smaller
+    // books, and a scarce source that cannot fill its budget
+    val docs = (
+      (0L until 60L).map(i => (i, docText(i), "en", "web")) ++
+      (100L until 115L).map(i => (i, docText(i), "en", "books")) ++
+      Seq((200L, docText(200), "en", "ref"), (201L, docText(201), "en", "ref"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((9001L, "nothing shared here at all with anyone"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-curation-mix").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    val budget = 30L
+    CurationModels.registry(spark, docs, bench, exportBudget = Some(budget))
+      .run(cfg, Seq("DOCS_PACKED", "DOCS_SHARDED"))
+
+    val clean = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_CLEAN")
+    // the budgets the DAG must have applied: t10's α-tempered weights
+    // over the SAME gated relation, times the export budget, floor 1,
+    // capped by what the source actually has
+    val weights = graft.operators.TextAnalysis
+      .domainMixture(clean, "text", "source", alpha = 0.7)
+      .select($"source", $"mix_weight").as[(String, Double)].collect().toMap
+    val avail = clean.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val expected = weights.map { case (src, w) =>
+      src -> math.min(math.max(1L, math.round(w * budget)), avail(src))
+    }
+
+    val sharded = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_SHARDED")
+    val got = sharded.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got == expected,
+      s"shard export must ship the t10 mixture, got $got expected $expected")
+    // the scarce source is capped by availability, not its budget
+    assert(got("ref") == 2L)
+    // and the mixture genuinely resampled: fewer web docs than gated
+    assert(got("web") < avail("web"))
+    // packing runs over the SAMPLED set too
+    val packed = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_PACKED")
+    assert(packed.count() == got.values.sum)
+  }
+
   test("incremental curation: grown corpus gates only unseen docs; global stages rebuild") {
     val tmp = Files.createTempDirectory("graft-curation-inc").toString
     val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
