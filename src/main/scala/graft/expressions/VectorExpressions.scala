@@ -234,7 +234,7 @@ case class PqEncodeExpr(child: Expression, codebook: Seq[Seq[Double]], m: Int)
   * element or degenerate input -> NULL (upstream filters exclude both).
   */
 case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
-                           cellIds: Seq[Long])
+                           cellIds: Seq[Long], metric: String = "cos")
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -243,6 +243,11 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
     s"codebook has ${codebook.length} rows for ${cellIds.length} cell ids")
   require(cellIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
     "cellIds must be strictly ascending (tie rule: lowest cell id wins)")
+  // "cos": highest round-6dp cosine wins (the IVF/SemDeDup contract).
+  // "l2": lowest round-6dp squared-L2 wins (the PQ-training geometry —
+  // the same ipaa − 2·ipab + ipbb fold as PqEncodeExpr, so a k-means
+  // trained under this metric optimizes exactly what encoding argmins).
+  require(metric == "cos" || metric == "l2", s"unknown metric '$metric'")
   private val cbDim = codebook.head.length
   require(codebook.forall(_.length == cbDim),
     "nearest-cell codebook rows must share one width")
@@ -261,6 +266,16 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
     codebook.map(_.toArray).toArray
   @transient private lazy val cbNorm: Array[Double] =
     cb.map(r => math.sqrt(r.map(x => x * x).sum))
+  // Σ c² per row as a sequential left fold — must match the oracle's
+  // list_inner_product(c, c) accumulation exactly (the sqrt-based
+  // cbNorm above cannot be squared back: sqrt then square re-rounds)
+  @transient private lazy val cbSq: Array[Double] =
+    cb.map { r =>
+      var s = 0.0; var k = 0
+      while (k < r.length) { s += r(k) * r(k); k += 1 }
+      s
+    }
+  private val isCos = metric == "cos"
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -287,26 +302,41 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
       var dot = 0.0
       i = 0
       while (i < n) { dot += xs(i) * row(i); i += 1 }
-      // norm of the TRUNCATED centroid slice when widths differ — the
-      // same lenient-truncation semantics as CosineSimilarityExpr
-      val nb = if (n == row.length) cbNorm(c) else {
-        var s = 0.0; var k = 0
-        while (k < n) { s += row(k) * row(k); k += 1 }
-        math.sqrt(s)
-      }
-      val denom = math.sqrt(na) * nb
-      if (denom > 0.0) {
-        val raw = dot / denom
-        // defense-in-depth: Similarity.nonDegenerate excludes non-finite
-        // vectors upstream (dot(v,v) must be finite — ADVICE r6, mirrored
-        // in every oracle's e CTE), so a NaN here is unreachable through
-        // the operators; SQL users bypassing that filter still must not
-        // crash the stage (BigDecimal.valueOf(NaN) throws) — skip the
-        // candidate (all-NaN rows return NULL and drop from the join)
-        if (java.lang.Double.isFinite(raw)) {
-          val d = java.math.BigDecimal.valueOf(raw)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (best < 0 || d > bestD) { best = c; bestD = d }
+      // TRUNCATED centroid slice when widths differ — the same
+      // lenient-truncation semantics as CosineSimilarityExpr
+      val truncated = n != row.length
+      val raw =
+        if (isCos) {
+          val nb = if (truncated) {
+            var s = 0.0; var k = 0
+            while (k < n) { s += row(k) * row(k); k += 1 }
+            math.sqrt(s)
+          } else cbNorm(c)
+          val denom = math.sqrt(na) * nb
+          if (denom > 0.0) dot / denom else Double.NaN // skip below
+        } else {
+          val nbSq = if (truncated) {
+            var s = 0.0; var k = 0
+            while (k < n) { s += row(k) * row(k); k += 1 }
+            s
+          } else cbSq(c)
+          na - 2 * dot + nbSq // the PqEncodeExpr / e04-oracle d² fold
+        }
+      // defense-in-depth: Similarity.nonDegenerate excludes non-finite
+      // vectors upstream (dot(v,v) must be finite — ADVICE r6, mirrored
+      // in every oracle's e CTE), so a NaN here is unreachable through
+      // the operators; SQL users bypassing that filter still must not
+      // crash the stage (BigDecimal.valueOf(NaN) throws) — skip the
+      // candidate (all-NaN rows return NULL and drop from the join).
+      // Cosine's zero-denominator candidates skip through the same
+      // guard (NaN above).
+      if (java.lang.Double.isFinite(raw)) {
+        val d = java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // cos maximizes, l2 minimizes; strict compare keeps the lowest
+        // cell id on round-6dp ties in both
+        if (best < 0 || (if (isCos) d > bestD else d < bestD)) {
+          best = c; bestD = d
         }
       }
       c += 1
@@ -351,7 +381,7 @@ object VectorExpressions {
     Bridge.column(PqEncodeExpr(
       Bridge.expression(v.cast("array<double>")), codebook, m))
   def nearestCell(v: Column, codebook: Seq[Seq[Double]],
-                  cellIds: Seq[Long]): Column =
+                  cellIds: Seq[Long], metric: String = "cos"): Column =
     Bridge.column(NearestCellExpr(
-      Bridge.expression(v.cast("array<double>")), codebook, cellIds))
+      Bridge.expression(v.cast("array<double>")), codebook, cellIds, metric))
 }

@@ -35,11 +35,14 @@ import org.apache.spark.sql.types._
   *    "h·φ < l·dis·10^6" with φ = Σ dis an exact integer sum — no
   *    float accumulation order anywhere;
   *  - centroid update: per-dimension EXACT int64 sums of elements on a
-  *    10^-9 grid (round(v_i·10^9)); cosine is scale-invariant, so the
-  *    un-divided SUM is used as the centroid directly — no mean
-  *    division, no decimal/double division-rounding divergence. int64 →
-  *    double conversion is correctly rounded in both engines, so even
-  *    sums past 2^53 stay bit-identical.
+  *    10^-9 grid (round(v_i·10^9)), then ONE double division per
+  *    coordinate: mean_i = double(S_i) / double(n·10^9). Both operands
+  *    are exact integers whose double conversions are correctly
+  *    rounded, and correctly-rounded division of identical doubles is
+  *    identical in both engines — so the means are bit-equal to the
+  *    oracle's, with no float accumulation order anywhere. (Means, not
+  *    raw sums: the L2 metric below needs centroids in the data's
+  *    scale; cosine is scale-invariant either way.)
   *
   * Scale shape: every pass over the corpus is map-only against a
   * driver-literal candidate/centroid set plus one partial-aggregated
@@ -55,26 +58,40 @@ import org.apache.spark.sql.types._
   */
 object KMeans {
 
-  /** Trained quantizer: centroid row i is cell id i (0..k-1). The
-    * centroid vectors are integer-valued doubles (un-normalized
-    * per-dimension member sums on the 10^-9 grid — cosine assignment is
-    * scale-invariant, so they rank identically to the mean vectors). */
+  /** Trained quantizer: centroid row i is cell id i (0..k-1). Centroid
+    * vectors are per-cell MEANS on the deterministic division grid
+    * above (cells never updated by any Lloyd round keep their init
+    * vector — a raw corpus row). */
   final case class Model(centroids: Seq[Seq[Double]]) {
     def k: Int = centroids.size
     def cellIds: Seq[Long] = centroids.indices.map(_.toLong)
   }
+
+  /** Assignment metric. [[Cosine]] is the spherical form the IVF /
+    * SemDeDup cells use (round-6dp cosine DESC — the NearestCellExpr
+    * contract). [[L2]] is squared euclidean (round-6dp d² ASC, same
+    * ipaa − 2·ipab + ipbb fold as [[graft.expressions.PqEncodeExpr]])
+    * — the geometry PQ sub-codebooks must be trained in, because PQ
+    * encoding is an L2 argmin. */
+  sealed trait Metric { private[operators] def tag: String }
+  case object Cosine extends Metric { private[operators] val tag = "cos" }
+  case object L2 extends Metric { private[operators] val tag = "l2" }
 
   /** Fit `k` cells on the (id, vector) relation. `dim` is the embedding
     * width; vectors of any other width are excluded by the degeneracy
     * filter downstream (NearestCellExpr truncates — corpora here are
     * fixed-width). Fails loudly if fewer than `k` candidates emerge
     * (a corpus of near-identical vectors — no meaningful quantizer).
+    * `seedTag` namespaces the md5 draws so independent fits (e.g. PQ
+    * sub-codebooks per subspace) draw independent pseudo-randomness;
+    * the oracle replay must use the identical tag.
     * NOTE for oracle authors: the SQL replay of that failure mode is a
     * SHRUNKEN cent relation (same declared divergence as
     * [[Similarity.collectCodebook]] — fail-loud engine, degrade-silent
     * oracle; comparison is only defined where the contract holds). */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, dim: Int,
-          initRounds: Int = 2, oversample: Int = 32, iters: Int = 3): Model = {
+          initRounds: Int = 2, oversample: Int = 32, iters: Int = 3,
+          metric: Metric = Cosine, seedTag: String = "km"): Model = {
     require(k >= 1 && initRounds >= 1 && iters >= 0 && oversample >= 1,
       s"bad kmeans params: k=$k initRounds=$initRounds iters=$iters l=$oversample")
     val e = df.select(col(idCol).cast(LongType).as("id"),
@@ -83,15 +100,16 @@ object KMeans {
       // the fit drives 2·initRounds + iters + 2 bounded jobs over this
       // relation; materialize once (freed before return)
       .persist()
-    try fitOn(e, k, dim, initRounds, oversample, iters)
+    try fitOn(e, k, dim, initRounds, oversample, iters, metric, seedTag)
     finally { e.unpersist(false); () }
   }
 
   private def fitOn(e: DataFrame, k: Int, dim: Int,
-                    initRounds: Int, l: Int, iters: Int): Model = {
-    // ---- seed: the row with the smallest md5("km|seed|"+id), id asc --
+                    initRounds: Int, l: Int, iters: Int,
+                    metric: Metric, tag: String): Model = {
+    // ---- seed: the row with the smallest md5("<tag>|seed|"+id), id asc
     val seedRow = e.orderBy(
-        md5Long(concat(lit("km|seed|"), col("id").cast(StringType))).asc,
+        md5Long(concat(lit(s"$tag|seed|"), col("id").cast(StringType))).asc,
         col("id").asc)
       .limit(1).collect()
     require(seedRow.nonEmpty, "kmeans fit on an empty (or all-degenerate) corpus")
@@ -100,11 +118,11 @@ object KMeans {
 
     // ---- k-means|| oversampling rounds --------------------------------
     for (r <- 1 to initRounds) {
-      val disI = distToSetI(cands)
+      val disI = distToSetI(cands, metric)
       // exact-integer selection: h·φ < l·dis·10^6, h = md5(round|id) mod 10^6
       val phi = e.select(disI.as("disI"))
         .agg(coalesce(sum("disI"), lit(0L))).head.getLong(0)
-      val h = md5Long(concat(lit(s"km|r$r|"), col("id").cast(StringType)))
+      val h = md5Long(concat(lit(s"$tag|r$r|"), col("id").cast(StringType)))
       val selected = e.withColumn("disI", disI)
         .filter((h % 1000000L) * lit(phi) < lit(l.toLong) * col("disI") * 1000000L)
         .select("id", "v").collect()
@@ -120,8 +138,8 @@ object KMeans {
 
     // ---- reduce to k: attraction weight = points assigned ------------
     val cs = cands.sortBy(_._1) // NearestCellExpr wants ascending cell ids
-    val wRows = e.withColumn("cand",
-        VectorExpressions.nearestCell(col("v"), cs.map(_._2), cs.map(_._1)))
+    val wRows = e.withColumn("cand", VectorExpressions.nearestCell(
+        col("v"), cs.map(_._2), cs.map(_._1), metric.tag))
       .groupBy("cand").count().collect()
     val w = wRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     var cents: IndexedSeq[Seq[Double]] = cs
@@ -135,27 +153,74 @@ object KMeans {
         .cast(LongType)).as(s"s$i")) :+ count(lit(1)).as("n")
     for (_ <- 1 to iters) {
       val byCell = e.withColumn("cell", VectorExpressions.nearestCell(
-          col("v"), cents, cents.indices.map(_.toLong)))
+          col("v"), cents, cents.indices.map(_.toLong), metric.tag))
         .groupBy("cell").agg(sumCols.head, sumCols.tail: _*)
         .collect().map(r => r.getLong(0) -> r).toMap
       cents = cents.indices.map { c =>
         byCell.get(c.toLong)
-          // int64 member-sum as the (un-normalized) centroid — exact,
-          // and long→double is correctly rounded in both engines
-          .map(r => (0 until dim).map(i => r.getLong(i + 1).toDouble): Seq[Double])
+          // mean on the deterministic grid: double(S_i) / double(n·10^9)
+          // — both operands exact integers, conversions and the one
+          // division correctly rounded in both engines
+          .map { r =>
+            val n = r.getLong(dim + 1)
+            val div = (n * 1000000000L).toDouble
+            (0 until dim).map(i => r.getLong(i + 1).toDouble / div): Seq[Double]
+          }
           .getOrElse(cents(c)) // empty cell keeps its previous centroid
       }
     }
     Model(cents)
   }
 
-  /** Integer cosine-distance to the current candidate set:
-    * round((1 − max_c round6(cos(v, c)))·10^6) as a long — the exact
-    * int64 the selection threshold and φ are computed in. */
-  private def distToSetI(cands: Vector[(Long, Seq[Double])]) = {
-    val cos = cands.map(c =>
-      round(VectorExpressions.cosine(col("v"), typedLit(c._2)), 6))
-    val best = if (cos.size == 1) cos.head else greatest(cos: _*)
-    round((lit(1.0) - best) * 1000000, 0).cast(LongType)
+  /** Train a PRODUCT-QUANTIZATION codebook: `m` independent [[L2]]
+    * k-means fits (the geometry PQ encoding argmins), one per
+    * sub-vector slice, packed into `kCent` FULL-width rows — slice j of
+    * packed row c is sub-centroid (j, c). [[graft.expressions
+    * .PqEncodeExpr]] argmins each subspace independently against its
+    * slice of the codebook rows, so the packed form encodes exactly as
+    * per-subspace codebooks would, with zero expression changes (the
+    * id-named stand-in contract packed corpus rows the same way).
+    * Each sub-fit draws independent pseudo-randomness via its seed tag
+    * ("pq0".."pq<m-1>"); sub-slices that are zero-norm/non-finite are
+    * excluded from that subspace's TRAINING set (the shared degeneracy
+    * contract — encoding still handles them). Cost: m fits, each the
+    * bounded-pass shape of [[fit]]. */
+  def fitPqCodebook(df: DataFrame, vecCol: String, idCol: String,
+                    m: Int, kCent: Int, dim: Int,
+                    initRounds: Int = 2, oversample: Int = 32,
+                    iters: Int = 3): Seq[Seq[Double]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val e = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(Similarity.nonDegenerate(col("v")))
+    val fits = (0 until m).map { j =>
+      val sliced = e.select(col("id"), slice(col("v"), j * sub + 1, sub).as("sv"))
+      fit(sliced, "sv", "id", kCent, sub, initRounds, oversample, iters,
+        metric = L2, seedTag = s"pq$j")
+    }
+    (0 until kCent).map(c => fits.flatMap(_.centroids(c)).toVector)
+  }
+
+  /** Integer distance to the current candidate set on the 10^-6 grid —
+    * the exact int64 the selection threshold and φ are computed in.
+    * Cosine: round((1 − max_c round6(cos))·10^6); L2:
+    * round(min_c round6(d²)·10^6) with the ipaa − 2·ipab + ipbb fold. */
+  private def distToSetI(cands: Vector[(Long, Seq[Double])],
+                         metric: Metric) = {
+    val dis = metric match {
+      case Cosine =>
+        val cos = cands.map(c =>
+          round(VectorExpressions.cosine(col("v"), typedLit(c._2)), 6))
+        lit(1.0) - (if (cos.size == 1) cos.head else greatest(cos: _*))
+      case L2 =>
+        val vv = VectorExpressions.dot(col("v"), col("v"))
+        val d2 = cands.map { c =>
+          val cc = c._2.foldLeft(0.0)((a, x) => a + x * x)
+          round(vv - lit(2.0) * VectorExpressions.dot(col("v"), typedLit(c._2))
+            + lit(cc), 6)
+        }
+        if (d2.size == 1) d2.head else least(d2: _*)
+    }
+    round(dis * 1000000, 0).cast(LongType)
   }
 }

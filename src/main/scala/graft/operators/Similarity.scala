@@ -322,12 +322,14 @@ object Similarity {
     ivfPqSearch(corpus, queries, vecCol, idCol, k,
       cellAssignments(corpus, vecCol, idCol, cellIds),
       () => probeCells(corpus, queries, vecCol, idCol, cellIds, nProbe),
-      m, pqCentroidIds)
+      m, collectCodebook(
+        corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+          .filter(nonDegenerate(col("v"))), pqCentroidIds.distinct.sorted))
 
-  /** Full IVF-PQ over a TRAINED coarse quantizer: cells come from a
+  /** IVF-PQ over a TRAINED coarse quantizer: cells come from a
     * [[KMeans.Model]] codebook (0..k-1); the PQ sub-codebook stays the
-    * id-named contract (its training is a per-subspace k-means — same
-    * machinery, separate concern). */
+    * id-named contract. For the fully-trained form (PQ sub-codebooks
+    * from per-subspace L2 k-means too) see [[ivfPqTopKFullyTrained]]. */
   def ivfPqTopKTrained(corpus: DataFrame, queries: DataFrame,
                        vecCol: String, idCol: String, k: Int,
                        cellCodebook: Seq[Seq[Double]], nProbe: Int,
@@ -336,16 +338,33 @@ object Similarity {
       cellAssignmentsTrained(corpus, vecCol, idCol, cellCodebook),
       () => probeCellsOn(centsOf(corpus.sparkSession, cellCodebook),
         queries, vecCol, idCol, nProbe),
-      m, pqCentroidIds)
+      m, collectCodebook(
+        corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+          .filter(nonDegenerate(col("v"))), pqCentroidIds.distinct.sorted))
+
+  /** The production IVF-PQ: BOTH quantizers trained — coarse cells from
+    * the spherical k-means fit, PQ sub-codebooks from `m` independent
+    * L2 k-means fits on the sub-vector slices ([[graft.operators
+    * .KMeans]] with the L2 metric — the geometry PQ encoding argmins),
+    * packed into full-width codebook rows (slice j of packed row c is
+    * sub-centroid (j, c) — [[graft.expressions.PqEncodeExpr]] slices
+    * subspaces independently, so the packed form encodes identically
+    * to per-subspace codebooks with zero expression changes). */
+  def ivfPqTopKFullyTrained(corpus: DataFrame, queries: DataFrame,
+                            vecCol: String, idCol: String, k: Int,
+                            cellCodebook: Seq[Seq[Double]], nProbe: Int,
+                            m: Int, pqCodebook: Seq[Seq[Double]]): DataFrame =
+    ivfPqSearch(corpus, queries, vecCol, idCol, k,
+      cellAssignmentsTrained(corpus, vecCol, idCol, cellCodebook),
+      () => probeCellsOn(centsOf(corpus.sparkSession, cellCodebook),
+        queries, vecCol, idCol, nProbe),
+      m, pqCodebook)
 
   private def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
                           vecCol: String, idCol: String, k: Int,
                           assigned: DataFrame,
                           probesOf: () => DataFrame,
-                          m: Int, pqCentroidIds: Seq[Long]): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .filter(nonDegenerate(col("v")))
-    val codebook = collectCodebook(c, pqCentroidIds)
+                          m: Int, codebook: Seq[Seq[Double]]): DataFrame = {
     // one map-only projection: cell + codes per corpus row
     val coded = assigned
       .select(col("id"), col("cell"),

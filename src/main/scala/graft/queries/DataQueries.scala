@@ -532,7 +532,11 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  lazy val e07Sql: String =
+  /** Shared IVF-PQ oracle body: everything from the corpus CTEs through
+    * the final top-k, with the PQ codebook CTE (`cb(cidx, cv)`)
+    * injected — e07 uses the id-named stand-in rows, e09 the packed
+    * per-subspace trained centroids. */
+  private def ivfPqSql(cbCtes: String): String =
     s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |$kmCtes,
@@ -545,8 +549,7 @@ object DataQueries {
       |  SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id
       |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
       |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
-      |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
-      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |$cbCtes,
       |js AS (SELECT unnest(range(0, 4)) AS j),
       |d AS (SELECT e.id, js.j, cb.cidx,
       |  list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], e.v[js.j*16+1 : (js.j+1)*16])
@@ -575,6 +578,43 @@ object DataQueries {
       |  (PARTITION BY query_id ORDER BY adc_d2, id) AS rank FROM sc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, adc_d2
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  lazy val e07Sql: String = ivfPqSql(
+    """cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
+      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15))""".stripMargin)
+
+  /** FULLY-trained IVF-PQ (e09): coarse cells from the e08 spherical
+    * fit, PQ sub-codebooks from 4 independent L2 k-means fits on the
+    * 16-dim sub-vector slices, packed into full-width codebook rows —
+    * see [[Similarity.ivfPqTopKFullyTrained]] / [[KMeans
+    * .fitPqCodebook]]. Same query split as e02/e05/e07. The oracle
+    * replays BOTH quantizer trainings (5 k-means blocks total). */
+  val e09IvfPqTrained: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfPqTopKFullyTrained(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5,
+        cellCodebook = kmModel(s, dir).centroids, nProbe = 2,
+        m = 4, pqCodebook = pqModel(s, dir))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e09Sql: String = {
+    val sub = kmDim / 4
+    val subFits = (0 until 4).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""p${j}sub0 AS (SELECT id, v[$lo:$hi] AS sv FROM e),
+         |p${j}src AS (SELECT id, sv AS v FROM p${j}sub0
+         |  WHERE list_inner_product(sv, sv) > 0 AND list_inner_product(sv, sv) < 'Infinity'::DOUBLE),
+         |${kmCtesFor(s"p$j", s"p${j}src", sub, "l2", s"pq$j")}""".stripMargin
+    }.mkString(",\n")
+    ivfPqSql(
+      s"""$subFits,
+         |cb AS (SELECT p0.cell AS cidx, ((p0.cv || p1.cv) || p2.cv) || p3.cv AS cv
+         |  FROM p0cents p0 JOIN p1cents p1 ON p1.cell = p0.cell
+         |  JOIN p2cents p2 ON p2.cell = p0.cell
+         |  JOIN p3cents p3 ON p3.cell = p0.cell)""".stripMargin)
+  }
 
   /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
     * the higher id, keeper = lowest-id over-threshold cluster-mate; see
@@ -637,6 +677,21 @@ object DataQueries {
           oversample = kmL, iters = kmIters))
     }
 
+  /** One trained PACKED PQ codebook per (session, sf dir) — 4 L2
+    * sub-fits; same memoization contract as [[kmModel]]. */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Double]]]
+  private[queries] def pqModel(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    synchronized {
+      pqModels.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) pqModels.remove(kk)
+      }
+      pqModels.getOrElseUpdate((s, dir),
+        KMeans.fitPqCodebook(Catalog(s, dir).embeddings, "embedding",
+          "vec_id", m = 4, kCent = kmK, dim = kmDim,
+          initRounds = kmRounds, oversample = kmL, iters = kmIters))
+    }
+
   /** Trained-cell assignment (vec_id, cell, cell_size) under the
     * deterministic k-means fit — e08. The oracle replays the ENTIRE
     * fit in SQL (seed → k-means|| rounds → weight reduction → fixed
@@ -650,51 +705,73 @@ object DataQueries {
       .select(col("id").as("vec_id"), col("cell"), col("cell_size"))
       .orderBy(col("vec_id"))
 
-  /** DuckDB replay of [[KMeans.fit]], ending in `cents(cell, cv)`.
-    * Assumes a CTE `e(id, v)` (degeneracy-filtered double vectors) is
-    * already in scope. Every arithmetic step mirrors the Scala fit's
-    * exact-integer contract: selection thresholds in int64
-    * (h·φ < l·dis·10^6), centroid updates as int64 sums on the 10^-9
-    * element grid, assignment by round-6dp cosine with lowest-cell
-    * tiebreak. See KMeans.scala for why each is cross-engine stable. */
-  private def kmCtes: String = {
+  /** DuckDB replay of [[KMeans.fit]], ending in `<p>cents(cell, cv)`.
+    * `src` must be a CTE with (id, v) — degeneracy-filtered double
+    * vectors; `p` prefixes every internal CTE name so multiple fits
+    * coexist in one statement (the PQ sub-fits); `tag` must equal the
+    * Scala fit's seedTag; `metric` is "cos" (round-6dp cosine DESC) or
+    * "l2" (round-6dp d² ASC, the e04-oracle ipaa−2·ipab+ipbb form).
+    * Every arithmetic step mirrors the Scala fit's exact contract:
+    * selection thresholds in int64 (h·φ < l·dis·10^6), centroid means
+    * as int64 sums on the 10^-9 grid divided once in double space.
+    * See KMeans.scala for why each is cross-engine stable. */
+  private def kmCtesFor(p: String, src: String, dim: Int,
+                        metric: String, tag: String): String = {
+    def rankBy(cvExpr: String) = metric match {
+      case "cos" => s"round(list_cosine_similarity(e.v, $cvExpr), 6) DESC"
+      case "l2" => "round(list_inner_product(e.v, e.v) " +
+        s"- 2*list_inner_product(e.v, $cvExpr) " +
+        s"+ list_inner_product($cvExpr, $cvExpr), 6) ASC"
+    }
+    val disExpr = metric match {
+      case "cos" =>
+        "CAST(round((1 - max(round(list_cosine_similarity(e.v, c.v), 6))) * 1000000, 0) AS BIGINT)"
+      case "l2" =>
+        "CAST(round(min(round(list_inner_product(e.v, e.v) " +
+          "- 2*list_inner_product(e.v, c.v) " +
+          "+ list_inner_product(c.v, c.v), 6)) * 1000000, 0) AS BIGINT)"
+    }
     val rounds = (1 to kmRounds).map { r =>
-      s"""d$r AS (SELECT e.id,
-         |  CAST(round((1 - max(round(list_cosine_similarity(e.v, c.v), 6))) * 1000000, 0) AS BIGINT) AS dis
-         |  FROM e CROSS JOIN c${r - 1} c GROUP BY e.id),
-         |phi$r AS (SELECT CAST(sum(dis) AS BIGINT) AS phi FROM d$r),
-         |c$r AS (SELECT id, v FROM c${r - 1} UNION ALL
-         |  SELECT e.id, e.v FROM e JOIN d$r d USING (id) CROSS JOIN phi$r p
-         |  WHERE (${h60(s"'km|r$r|'||e.id::VARCHAR")} % 1000000) * p.phi < $kmL * d.dis * 1000000
-         |    AND e.id NOT IN (SELECT id FROM c${r - 1}))""".stripMargin
+      s"""${p}d$r AS MATERIALIZED (SELECT e.id, $disExpr AS dis
+         |  FROM $src e CROSS JOIN ${p}c${r - 1} c GROUP BY e.id),
+         |${p}phi$r AS MATERIALIZED (SELECT CAST(sum(dis) AS BIGINT) AS phi FROM ${p}d$r),
+         |${p}c$r AS MATERIALIZED (SELECT id, v FROM ${p}c${r - 1} UNION ALL
+         |  SELECT e.id, e.v FROM $src e JOIN ${p}d$r d USING (id) CROSS JOIN ${p}phi$r p
+         |  WHERE (${h60(s"'$tag|r$r|'||e.id::VARCHAR")} % 1000000) * p.phi < $kmL * d.dis * 1000000
+         |    AND e.id NOT IN (SELECT id FROM ${p}c${r - 1}))""".stripMargin
     }.mkString(",\n")
     val lloyd = (1 to kmIters).map { t =>
-      s"""a$t AS (SELECT id, cell FROM (
+      s"""${p}a$t AS MATERIALIZED (SELECT id, cell FROM (
          |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
-         |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
-         |  FROM e CROSS JOIN cent${t - 1} c) WHERE rn = 1),
-         |u$t AS (SELECT a.cell, x.i, CAST(sum(x.ei) AS BIGINT) AS s
-         |  FROM a$t a JOIN ex x USING (id) GROUP BY 1, 2),
-         |nc$t AS (SELECT cell, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM u$t GROUP BY cell),
-         |cent$t AS (SELECT c.cell, coalesce(n.cv, c.cv) AS cv
-         |  FROM cent${t - 1} c LEFT JOIN nc$t n USING (cell))""".stripMargin
+         |    ORDER BY ${rankBy("c.cv")}, c.cell) AS rn
+         |  FROM $src e CROSS JOIN ${p}cent${t - 1} c) WHERE rn = 1),
+         |${p}u$t AS MATERIALIZED (SELECT a.cell, x.i, CAST(sum(x.ei) AS BIGINT) AS s, count(*) AS n
+         |  FROM ${p}a$t a JOIN ${p}ex x USING (id) GROUP BY 1, 2),
+         |${p}nc$t AS MATERIALIZED (SELECT cell,
+         |  list(CAST(s AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) ORDER BY i) AS cv
+         |  FROM ${p}u$t GROUP BY cell),
+         |${p}cent$t AS MATERIALIZED (SELECT c.cell, coalesce(n.cv, c.cv) AS cv
+         |  FROM ${p}cent${t - 1} c LEFT JOIN ${p}nc$t n USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""sd AS (SELECT id, v, row_number() OVER (ORDER BY ${h60("'km|seed|'||id::VARCHAR")}, id) AS rn FROM e),
-       |c0 AS (SELECT id, v FROM sd WHERE rn = 1),
-       |ex AS (SELECT id, i, CAST(round(v[i] * 1000000000, 0) AS BIGINT) AS ei
-       |  FROM e, range(1, ${kmDim + 1}) t(i)),
+    s"""${p}sd AS MATERIALIZED (SELECT id, v, row_number() OVER (ORDER BY ${h60(s"'$tag|seed|'||id::VARCHAR")}, id) AS rn FROM $src),
+       |${p}c0 AS MATERIALIZED (SELECT id, v FROM ${p}sd WHERE rn = 1),
+       |${p}ex AS MATERIALIZED (SELECT id, i, CAST(round(v[i] * 1000000000, 0) AS BIGINT) AS ei
+       |  FROM $src, range(1, ${dim + 1}) t(i)),
        |$rounds,
-       |wasg AS (SELECT id, cid FROM (
+       |${p}wasg AS MATERIALIZED (SELECT id, cid FROM (
        |  SELECT e.id, c.id AS cid, row_number() OVER (PARTITION BY e.id
-       |    ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC, c.id) AS rn
-       |  FROM e CROSS JOIN c$kmRounds c) WHERE rn = 1),
-       |wts AS (SELECT cid, count(*) AS w FROM wasg GROUP BY 1),
-       |fin AS (SELECT c.id, c.v, row_number() OVER (ORDER BY coalesce(w.w, 0) DESC, c.id) - 1 AS cell
-       |  FROM c$kmRounds c LEFT JOIN wts w ON w.cid = c.id),
-       |cent0 AS (SELECT cell, v AS cv FROM fin WHERE cell < $kmK),
+       |    ORDER BY ${rankBy("c.v")}, c.id) AS rn
+       |  FROM $src e CROSS JOIN ${p}c$kmRounds c) WHERE rn = 1),
+       |${p}wts AS MATERIALIZED (SELECT cid, count(*) AS w FROM ${p}wasg GROUP BY 1),
+       |${p}fin AS MATERIALIZED (SELECT c.id, c.v, row_number() OVER (ORDER BY coalesce(w.w, 0) DESC, c.id) - 1 AS cell
+       |  FROM ${p}c$kmRounds c LEFT JOIN ${p}wts w ON w.cid = c.id),
+       |${p}cent0 AS MATERIALIZED (SELECT cell, v AS cv FROM ${p}fin WHERE cell < $kmK),
        |$lloyd,
-       |cents AS (SELECT cell, cv FROM cent$kmIters)""".stripMargin
+       |${p}cents AS MATERIALIZED (SELECT cell, cv FROM ${p}cent$kmIters)""".stripMargin
   }
+
+  /** The coarse (cosine) fit over `e` — the e08/e02/e07/d13 quantizer. */
+  private def kmCtes: String = kmCtesFor("", "e", kmDim, "cos", "km")
 
   val e08Sql: String =
     s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1313,6 +1390,7 @@ object DataQueries {
     "e06_pq_rerank" -> e06PqRerank,
     "e07_ivf_pq" -> e07IvfPq,
     "e08_kmeans_cells" -> e08KmeansCells,
+    "e09_ivf_pq_trained" -> e09IvfPqTrained,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1352,6 +1430,7 @@ object DataQueries {
     "e06_pq_rerank" -> e06Sql,
     "e07_ivf_pq" -> e07Sql,
     "e08_kmeans_cells" -> e08Sql,
+    "e09_ivf_pq_trained" -> e09Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

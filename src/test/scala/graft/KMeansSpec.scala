@@ -21,12 +21,37 @@ class KMeansSpec extends SparkSpec {
       "same corpus, different partitioning -> different centroids")
   }
 
-  test("model shape: k centroids of width dim, integer-valued") {
+  test("model shape: k centroids of width dim, finite, in the data's scale") {
     assert(model.k == 16)
     assert(model.centroids.forall(_.length == 64))
-    // centroid coordinates are exact int64 member-sums on the 1e-9
-    // grid (the cross-engine determinism contract) — integral doubles
-    assert(model.centroids.flatten.forall(x => x == math.rint(x)))
+    // centroids are MEANS on the deterministic division grid — finite
+    // and bounded by the data's element range (the L2 consumers' need;
+    // the former un-divided int64 sums sat ~1e12 off-scale)
+    assert(model.centroids.flatten.forall(x =>
+      java.lang.Double.isFinite(x) && math.abs(x) <= 1.0))
+  }
+
+  test("L2-metric fit is deterministic and distinct from the cosine fit") {
+    val l2 = KMeans.fit(emb, "embedding", "vec_id", k = 16, dim = 64,
+      metric = KMeans.L2, seedTag = "pq0")
+    val again = KMeans.fit(emb.repartition(5, col("vec_id")), "embedding",
+      "vec_id", k = 16, dim = 64, metric = KMeans.L2, seedTag = "pq0")
+    assert(l2.centroids == again.centroids)
+    assert(l2.centroids != model.centroids,
+      "different metric/tag must not reproduce the cosine fit")
+  }
+
+  test("packed PQ codebook: m sub-fits pack into k full-width rows") {
+    val cb = KMeans.fitPqCodebook(emb, "embedding", "vec_id",
+      m = 4, kCent = 16, dim = 64)
+    assert(cb.size == 16 && cb.forall(_.length == 64))
+    // slice j of packed row c is sub-centroid (j, c): the sub-fit on
+    // slice 0 must reappear verbatim as the first 16 coords
+    val sub0 = KMeans.fit(
+      emb.select(col("vec_id"), slice(col("embedding").cast("array<double>"),
+        1, 16).as("sv")),
+      "sv", "vec_id", k = 16, dim = 16, metric = KMeans.L2, seedTag = "pq0")
+    assert(cb.map(_.take(16)) == sub0.centroids.map(_.toSeq))
   }
 
   test("assignment covers the corpus with cells in 0..k-1") {
