@@ -43,7 +43,15 @@ object ClusterSmoke {
     "d13_semantic_dedup", "e06_pq_rerank", "t12_shard_shuffle",
     "t14_bigram_lm",
     // combined cell-pruned + compressed-code search
-    "e07_ivf_pq")
+    "e07_ivf_pq",
+    // round-7 shapes: the TRAINED quantizer paths — the k-means fit
+    // collects sums/counts from executor partial aggregates, so a
+    // multi-JVM run is exactly where a non-deterministic accumulation
+    // would surface (the exact-int64 contract says it cannot)
+    "e08_kmeans_cells", "e09_ivf_pq_trained",
+    // exact-dedup-first pairing (fp window + weight join), mixture
+    // weights application, and the social mart's staged try-parse path
+    "d04_dedup_ngram_jaccard", "q46_social_mart", "m02_media_features")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
