@@ -108,7 +108,11 @@ object Dedup {
   private def bandedJaccardPairs(df: DataFrame, textCol: String,
                                  idCol: String, n: Int, k: Int,
                                  bands: Int, threshold: Double): DataFrame = {
-    val reps = fingerprintReps(df, textCol, idCol)
+    // lazy localCheckpoint: the keeper relation feeds THREE subtrees
+    // (the shingle base and both copy-count weight joins) — without a
+    // cut the fp-keyed window would run once per subtree. Same
+    // GC-freed contract as spanDedup's occurrence relation (ADVICE r6).
+    val reps = fingerprintReps(df, textCol, idCol).localCheckpoint(false)
     val (base, banded) = bandedRelations(reps, "text", "id", n, k, bands)
     val l = banded.select(col("id").as("id1"), col("band"))
     val rt = banded.select(col("id").as("id2"), col("band"))
