@@ -75,4 +75,36 @@ object Export {
         .cast(org.apache.spark.sql.types.LongType) - 1L)
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Deterministic train/validation/test split assignment — the
+    * HOLDOUT cut every training pipeline makes before export. Each
+    * row's split is a pure function of its id: md5("split|"+id) modulo
+    * the total weight falls into a named cumulative range (e.g.
+    * weights train=98, val=1, test=1 → buckets [0,98), [98,99),
+    * [99,100)). Properties a random() split cannot give:
+    * reproducible on any engine/partitioning, STABLE UNDER APPEND
+    * (an existing doc never migrates between splits when the corpus
+    * grows — no leakage of yesterday's test set into today's train
+    * set), and map-only (no shuffle, no state). Split names keep
+    * their given order for the cumulative ranges. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split weights must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: $splits")
+    val total = splits.map(_._2.toLong).sum
+    val h = graft.functions.GraftFunctions.md5Long(
+      concat(lit("split|"), col(idCol).cast(org.apache.spark.sql.types.StringType)))
+    val bucket = pmod(h, lit(total))
+    // chained CASE: the FIRST matching cumulative upper bound wins
+    // (CASE short-circuits), so each bucket lands in exactly one range;
+    // bucket < total always holds, so no ELSE branch is reachable
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    val expr = splits.tail.zip(cum.tail)
+      .foldLeft(when(bucket < cum.head, lit(splits.head._1))) {
+        case (acc, ((name, _), upper)) => acc.when(bucket < upper, lit(name))
+      }
+    df.withColumn("split", expr)
+  }
 }

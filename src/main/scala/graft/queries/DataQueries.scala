@@ -800,6 +800,26 @@ object DataQueries {
        |    AS BIGINT) AS pos
        |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Deterministic train/val/test holdout assignment (t16): each doc's
+    * split is a pure function of its id — reproducible on any engine,
+    * stable under append (no test-set leakage into tomorrow's train
+    * set), map-only; see [[graft.io.Export.assignSplits]]. */
+  val t16SplitAssign: Q = (s, dir) =>
+    graft.io.Export.assignSplits(
+        Catalog(s, dir).documents.select(col("doc_id")), "doc_id",
+        Seq("train" -> 98, "val" -> 1, "test" -> 1))
+      .withColumn("split_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("split")))
+      .orderBy(col("doc_id"))
+
+  val t16Sql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  ${h60("'split|'||doc_id::VARCHAR")} % 100 AS b FROM documents),
+       |a AS (SELECT doc_id, CASE WHEN b < 98 THEN 'train'
+       |  WHEN b < 99 THEN 'val' WHEN b < 100 THEN 'test' END AS split FROM h)
+       |SELECT doc_id, split, count(*) OVER (PARTITION BY split) AS split_size
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** The ANN *scale path*: random-hyperplane LSH bucketing (8 md5-seeded
     * deterministic hyperplanes -> 256 buckets), pairwise cosine only
     * within a bucket. The oracle replays the full hyperplane pipeline in
@@ -1396,6 +1416,7 @@ object DataQueries {
     "t13_gopher_rules" -> t13GopherRules,
     "t14_bigram_lm" -> t14BigramLm,
     "t15_stratified_sample" -> t15StratifiedSample,
+    "t16_split_assign" -> t16SplitAssign,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -1436,6 +1457,7 @@ object DataQueries {
     "t13_gopher_rules" -> t13Sql,
     "t14_bigram_lm" -> t14Sql,
     "t15_stratified_sample" -> t15Sql,
+    "t16_split_assign" -> t16Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,

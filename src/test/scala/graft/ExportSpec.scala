@@ -85,4 +85,25 @@ class ExportSpec extends SparkSpec {
     assert(counts.forall(_ <= 100), s"file over cap: $counts")
     assert(counts.sum == 500)
   }
+
+  test("assignSplits: deterministic ranges, append-stable, no leakage") {
+    val df = spark.range(2000).select(col("id"))
+    val splits = Seq("train" -> 98, "val" -> 1, "test" -> 1)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Export.assignSplits(d, "id", splits).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = run(df)
+    // every row assigned, names from the declared set
+    assert(full.size == 2000)
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~98/1/1 proportions (md5 is uniform; generous tolerance)
+    val train = full.values.count(_ == "train")
+    assert(train > 1900 && train < 1999, s"train=$train of 2000")
+    // append stability: assigning a PREFIX corpus gives identical
+    // splits for those ids -- growth can never migrate a holdout row
+    val prefix = run(df.filter(col("id") < 500))
+    assert(prefix == full.filter(_._1 < 500))
+    // partitioning invariance
+    assert(run(df.repartition(17)) == full)
+  }
 }
