@@ -131,16 +131,87 @@ object Dedup {
   }
 
   /** One keeper row per distinct normalized-text fingerprint:
-    * (id = keeper, text, n_copies). One fp-keyed window shuffle. */
+    * (fp, id = keeper, text, n_copies). One fp-keyed window shuffle. */
   private def fingerprintReps(df: DataFrame, textCol: String,
                               idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("graft_fp_"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("graft_fp_", fingerprint(col("text")))
+      .withColumn("fp", fingerprint(col("text")))
       .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("graft_keep_", col("id") === min(col("id")).over(w))
       .filter(col("graft_keep_"))
-      .select(col("id"), col("text"), col("n_copies"))
+      .select(col("fp"), col("id"), col("text"), col("n_copies"))
+  }
+
+  /** The materialized keeper STATE for delta near-dup pairing:
+    * (fp, id, text, n_copies) — what a daily-crawl pipeline persists so
+    * the next batch pairs against signatures instead of re-shingling
+    * the whole corpus. [[mergeFingerprintRepState]] folds a batch in;
+    * [[minhashPairsDelta]] consumes it. */
+  def fingerprintRepState(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    fingerprintReps(df, textCol, idCol)
+
+  /** Fold an appended batch into the keeper state: per fingerprint the
+    * keeper is the min id across old state and batch (no append-order
+    * assumption — a smaller batch id takes the keeper role and its raw
+    * text becomes canonical; normalized-equal texts shingle
+    * identically either way) and copy counts add. One fp-keyed
+    * exchange over |state| + |batch keepers| rows. */
+  def mergeFingerprintRepState(state: DataFrame, newDocs: DataFrame,
+                               textCol: String, idCol: String): DataFrame = {
+    val unioned = state.select(col("fp"), col("id"), col("text"), col("n_copies"))
+      .unionByName(fingerprintReps(newDocs, textCol, idCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    unioned
+      .withColumn("n_copies", sum(col("n_copies")).over(w))
+      .withColumn("graft_keep_", col("id") === min(col("id")).over(w))
+      .filter(col("graft_keep_"))
+      .select(col("fp"), col("id"), col("text"), col("n_copies"))
+  }
+
+  /** DELTA MinHash pairing: near-dup pairs CONTRIBUTED BY an appended
+    * batch, against the materialized keeper state — the daily-crawl
+    * shape (d12's spanDedupDelta for whole-doc near-dups). New pairs
+    * can only involve a NEW fingerprint: a batch doc whose fp already
+    * exists is an exact copy of a known keeper — identical shingles,
+    * identical bands — so it can never create a candidate its keeper
+    * didn't, it only raises copy counts (the state merge carries
+    * those; existing pairs' weights are then re-derived from the
+    * merged counts, which the spec pins as exactly the full-rebuild
+    * relation). Candidate generation joins the batch's new-fp bands
+    * against batch+state bands — the old×old quadrant is never
+    * re-paired; at scale the state band relation is a bucketed table
+    * and the join prunes to the batch's buckets.
+    *
+    * Output: (id1, id2, jaccard, weight) for pairs with >= 1 new-fp
+    * side, weights from the MERGED copy counts. */
+  def minhashPairsDelta(newDocs: DataFrame, state: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 3, k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    val newReps = fingerprintReps(newDocs, textCol, idCol)
+      .join(state.select(col("fp")), Seq("fp"), "left_anti")
+      .localCheckpoint(false) // feeds bands, base, and the merge below
+    val (baseNew, bandedNew) = bandedRelations(newReps, "text", "id", n, k, bands)
+    val (baseOld, bandedOld) = bandedRelations(state, "text", "id", n, k, bands)
+    val ln = bandedNew.select(col("id").as("ida"), col("band"))
+    val candNN = ln.join(bandedNew.select(col("id").as("idb"), col("band")),
+        Seq("band"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id1"), col("idb").as("id2"))
+    val candNO = ln.join(bandedOld.select(col("id").as("idb"), col("band")),
+        Seq("band"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+    val cand = candNN.union(candNO).distinct()
+    val merged = mergeFingerprintRepState(state, newDocs, textCol, idCol)
+    val w1 = merged.select(col("id").as("id1"), col("n_copies").as("nc1"))
+    val w2 = merged.select(col("id").as("id2"), col("n_copies").as("nc2"))
+    jaccardVerify(cand, baseNew.unionByName(baseOld), threshold)
+      .join(w1, Seq("id1")).join(w2, Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (col("nc1") * col("nc2")).as("weight"))
   }
 
   /** Fingerprint-group membership for expanding keeper-level results

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Delta MinHash pairing: an appended batch pairs against the
+  * materialized keeper state; re-weighting the old pairs from the
+  * merged copy counts plus the delta output must equal a full rebuild
+  * over the combined corpus. */
+class MinhashDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+  private val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val near3 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+  private val oldDocs = Seq(
+    (1L, near1), (2L, near2),      // existing near-dup pair
+    (3L, near1),                   // exact copy of 1 (weight contributor)
+    (4L, "completely different words here about spark catalyst internals")
+  ).toDF("doc_id", "text")
+  private val batch = Seq(
+    (10L, near3),                  // NEW fp, pairs with old 1 and 2
+    (11L, near2),                  // exact copy of old 2: no new pairs, +1 weight
+    (12L, "another disjoint document with its very own vocabulary set")
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toSet
+
+  test("reweighted old pairs + delta == full rebuild") {
+    val full = pairSet(Dedup.minhashPairs(
+      oldDocs.unionByName(batch), "text", "doc_id", threshold = 0.5))
+    val state = Dedup.fingerprintRepState(oldDocs, "text", "doc_id")
+    val delta = pairSet(Dedup.minhashPairsDelta(
+      batch, state, "text", "doc_id", threshold = 0.5))
+    // old pairs survive unchanged except their weights, which re-derive
+    // from the merged copy counts (batch copies of old fps)
+    val merged = Dedup.mergeFingerprintRepState(state, batch, "text", "doc_id")
+    val counts = merged.select("id", "n_copies").as[(Long, Long)].collect().toMap
+    val oldRw = Dedup.minhashPairs(oldDocs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map { t: (Long, Long, Double) =>
+        (t._1, t._2, t._3, counts(t._1) * counts(t._2)) }
+    assert(oldRw.union(delta) == full)
+    // the planted shapes actually fired: 10's new fp pairs with both
+    // keepers, and 11's exact copy raised 2's count (weight 2 on 1-2)
+    assert(delta.map(t => (t._1, t._2)) == Set((1L, 10L), (2L, 10L)))
+    assert(full.exists(t => t._1 == 1L && t._2 == 2L && t._4 == 4L),
+      "pair 1-2 weighs 2 copies x 2 copies after the batch")
+  }
+
+  test("state merge equals rebuild-from-scratch") {
+    val merged = Dedup.mergeFingerprintRepState(
+        Dedup.fingerprintRepState(oldDocs, "text", "doc_id"),
+        batch, "text", "doc_id")
+      .select("fp", "id", "n_copies").as[(String, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    val scratch = Dedup.fingerprintRepState(
+        oldDocs.unionByName(batch), "text", "doc_id")
+      .select("fp", "id", "n_copies").as[(String, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(merged == scratch)
+  }
+}
