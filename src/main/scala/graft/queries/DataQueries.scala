@@ -532,6 +532,50 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Fit-on-SAMPLE quantizer (e10) — the documented 100 TB contract
+    * (KMeans.scala: quantizers train on a bounded deterministic sample,
+    * then the zero-shuffle assignment pass covers the full corpus;
+    * faiss trains IVF cells on ~1e6 of billions of vectors). The
+    * sample is the md5 25% of ids (the q42/t11 hash-sampling contract
+    * — reproducible on any engine or partitioning), the fit uses its
+    * own seed tag, and the oracle replays fit-on-sample +
+    * assign-full-corpus end-to-end. */
+  val e10KmeansSampled: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val fitInput = emb.filter(
+      pmod(md5Long(concat(lit("ksmp|"), col("vec_id").cast(StringType))),
+        lit(4L)) === 0)
+    val m = kmSampledModels.synchronized {
+      kmSampledModels.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) kmSampledModels.remove(kk)
+      }
+      kmSampledModels.getOrElseUpdate((s, dir),
+        KMeans.fit(fitInput, "embedding", "vec_id", k = kmK, dim = kmDim,
+          initRounds = kmRounds, oversample = kmL, iters = kmIters,
+          seedTag = "ks"))
+    }
+    Similarity.cellAssignmentsTrained(emb, "embedding", "vec_id", m.centroids)
+      .withColumn("cell_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .select(col("id").as("vec_id"), col("cell"), col("cell_size"))
+      .orderBy(col("vec_id"))
+  }
+  private val kmSampledModels =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), KMeans.Model]
+
+  lazy val e10Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |smp AS (SELECT id, v FROM e
+       |  WHERE ${h60("'ksmp|'||id::VARCHAR")} % 4 = 0),
+       |${kmCtesFor("s", "smp", kmDim, "cos", "ks")},
+       |afin AS (SELECT id, cell FROM (
+       |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+       |  FROM e CROSS JOIN scents c) WHERE rn = 1)
+       |SELECT id AS vec_id, cell, count(*) OVER (PARTITION BY cell) AS cell_size
+       |FROM afin ORDER BY vec_id""".stripMargin
+
   /** Shared IVF-PQ oracle body: everything from the corpus CTEs through
     * the final top-k, with the PQ codebook CTE (`cb(cidx, cv)`)
     * injected — e07 uses the id-named stand-in rows, e09 the packed
@@ -1411,6 +1455,7 @@ object DataQueries {
     "e07_ivf_pq" -> e07IvfPq,
     "e08_kmeans_cells" -> e08KmeansCells,
     "e09_ivf_pq_trained" -> e09IvfPqTrained,
+    "e10_kmeans_sampled" -> e10KmeansSampled,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1452,6 +1497,7 @@ object DataQueries {
     "e07_ivf_pq" -> e07Sql,
     "e08_kmeans_cells" -> e08Sql,
     "e09_ivf_pq_trained" -> e09Sql,
+    "e10_kmeans_sampled" -> e10Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,
