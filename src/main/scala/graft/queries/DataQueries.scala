@@ -864,6 +864,44 @@ object DataQueries {
        |SELECT doc_id, split, count(*) OVER (PARTITION BY split) AS split_size
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Near-dup-AWARE holdout assignment (t17): t16 splits by doc id,
+    * but two near-duplicate documents hashed to different splits leak
+    * the test set into training anyway — the classic contamination
+    * path plain random/hash splits cannot prevent. Here the split key
+    * is the near-dup COMPONENT id (d08's transitive groups; singletons
+    * key by their own id), so every member of a component lands in ONE
+    * split. Composition of the shared pair pipeline + d08 expansion +
+    * t16's assignment — the oracle replays the full closure. */
+  val t17GroupSplit: Q = (s, dir) => {
+    val withKey = Catalog(s, dir).documents.select(col("doc_id"))
+      .join(expandedGroups(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("split_key"))
+    graft.io.Export.assignSplits(withKey, "split_key",
+        Seq("train" -> 98, "val" -> 1, "test" -> 1))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The d08 closure verbatim (same suffix-strip contract as d11Sql),
+    * then: split key = component id, split = t16's hash CASE. */
+  lazy val t17Sql: String = {
+    val finalSelect =
+      """SELECT id AS doc_id, group_id,
+        |  count(*) OVER (PARTITION BY group_id) AS group_size
+        |FROM grp ORDER BY group_id, doc_id""".stripMargin
+    val d08Body = d08Sql.stripSuffix(finalSelect).trim
+    require(d08Body.length < d08Sql.length,
+      "d08Sql final SELECT drifted; update t17Sql's suffix strip")
+    s"""$d08Body,
+       |gk AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN grp g ON g.id = d.doc_id)
+       |SELECT doc_id, split_key,
+       |  CASE WHEN ${h60("'split|'||split_key::VARCHAR")} % 100 < 98 THEN 'train'
+       |    WHEN ${h60("'split|'||split_key::VARCHAR")} % 100 < 99 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM gk ORDER BY doc_id""".stripMargin
+  }
+
   /** The ANN *scale path*: random-hyperplane LSH bucketing (8 md5-seeded
     * deterministic hyperplanes -> 256 buckets), pairwise cosine only
     * within a bucket. The oracle replays the full hyperplane pipeline in
@@ -1462,6 +1500,7 @@ object DataQueries {
     "t14_bigram_lm" -> t14BigramLm,
     "t15_stratified_sample" -> t15StratifiedSample,
     "t16_split_assign" -> t16SplitAssign,
+    "t17_group_split" -> t17GroupSplit,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02Quality,
     "t03_fingerprint" -> t03Fingerprint,
@@ -1504,6 +1543,7 @@ object DataQueries {
     "t14_bigram_lm" -> t14Sql,
     "t15_stratified_sample" -> t15Sql,
     "t16_split_assign" -> t16Sql,
+    "t17_group_split" -> t17Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,
