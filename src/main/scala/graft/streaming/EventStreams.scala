@@ -202,6 +202,76 @@ object EventStreams {
       .trigger(trigger)
       .start()
 
+  /** STREAMING DELTA NEAR-DUP PAIRING — the delta dedup family
+    * ([[graft.operators.Dedup.minhashPairsDelta]]) driven by a
+    * document stream: every micro-batch (a crawl drop) pairs against
+    * the materialized keeper state, appends its contributed pairs, and
+    * folds itself into the state. The pairs relation stores
+    * (id1, id2, jaccard) WITHOUT weights: a later batch's exact copies
+    * re-weight earlier pairs, so stored weights would go stale —
+    * consumers derive weights by joining the CURRENT state's copy
+    * counts ([[weightedPairs]]), which keeps them exact at any read
+    * point. The final (pairs ∪ derived weights) relation equals the
+    * batch rebuild REGARDLESS of how documents were sliced into
+    * micro-batches (StreamingDeltaDedupSpec pins it): within-batch
+    * pairs land with their batch, cross-batch pairs with the later
+    * one, and no pair is ever produced twice (only NEW fingerprints
+    * pair).
+    *
+    * foreachBatch is at-least-once; the state fold is NOT idempotent
+    * (counts would double), so a batch-id marker skips replays — the
+    * standard foreachBatch dedup pattern. Both writes go through the
+    * crash-safe [[graft.pipeline.Pipeline.mergeIntoParquet]] swap. */
+  def deltaDedupStreamQuery(spark: SparkSession, docs: DataFrame,
+                            textCol: String, idCol: String,
+                            statePath: String, pairsPath: String,
+                            threshold: Double = 0.5,
+                            trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = java.nio.file.Paths.get(statePath + ".__lastbatch")
+        val last =
+          if (java.nio.file.Files.exists(marker))
+            new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong
+          else -1L
+        if (batchId > last) {
+          import spark.implicits._
+          val state =
+            if (new java.io.File(statePath).exists) spark.read.parquet(statePath)
+            else Seq.empty[(String, Long, String, Long)]
+              .toDF("fp", "id", "text", "n_copies")
+          val delta = graft.operators.Dedup.minhashPairsDelta(
+              batch.toDF(), state, textCol, idCol, threshold = threshold)
+            .select(col("id1"), col("id2"), col("jaccard"))
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, pairsPath, delta, Seq("id1", "id2"))
+          val newState = graft.operators.Dedup.mergeFingerprintRepState(
+            state, batch.toDF(), textCol, idCol)
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, statePath, newState, Seq("fp"))
+          java.nio.file.Files.write(marker, batchId.toString.getBytes)
+        }
+        () // foreachBatch wants (Dataset, Long) => Unit
+      }
+      .option("checkpointLocation", s"$statePath.__checkpoint")
+      .trigger(trigger)
+      .start()
+
+  /** Current-weight view of the streamed pairs: join the state's copy
+    * counts onto the stored (id1, id2, jaccard) relation — identical
+    * columns and weights to the batch [[graft.operators.Dedup
+    * .minhashPairs]] over everything streamed so far. */
+  def weightedPairs(spark: SparkSession, statePath: String,
+                    pairsPath: String): DataFrame = {
+    val counts = spark.read.parquet(statePath).select(col("id"), col("n_copies"))
+    spark.read.parquet(pairsPath)
+      .join(counts.select(col("id").as("id1"), col("n_copies").as("nc1")), Seq("id1"))
+      .join(counts.select(col("id").as("id2"), col("n_copies").as("nc2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (col("nc1") * col("nc2")).as("weight"))
+  }
+
   /** Drain-everything-now runner (the cron-tick semantics): starts the
     * query with Trigger.AvailableNow on a memory sink and blocks until
     * the backlog is processed. Returns the sink contents. */
