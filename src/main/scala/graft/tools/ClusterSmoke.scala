@@ -51,7 +51,10 @@ object ClusterSmoke {
     "e08_kmeans_cells", "e09_ivf_pq_trained",
     // exact-dedup-first pairing (fp window + weight join), mixture
     // weights application, and the social mart's staged try-parse path
-    "d04_dedup_ngram_jaccard", "q46_social_mart", "m02_media_features")
+    "d04_dedup_ngram_jaccard", "q46_social_mart", "m02_media_features",
+    // holdout assignment: plain hash split + the near-dup-group-keyed
+    // variant (rides the shared pairs scratch + CC across JVMs)
+    "t16_split_assign", "t17_group_split")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
