@@ -260,11 +260,15 @@ object Dedup {
     * use (an inline re-derivation would silently drift if seeds, k, or
     * the band-key format changed).
     *
-    * NOTE: persists two bounded intermediates (shingle base + skinny
-    * band relation) for the duration of the session; callers running
-    * many dedup passes in one long-lived session should
-    * spark.catalog.clearCache() between passes, or materialize
-    * signatures to the warehouse (the at-scale shape anyway). */
+    * Both intermediates feed multiple plan subtrees (bands join both
+    * sides of the bucket self-join; base joins back for both verify
+    * sides), so they are cut with LAZY localCheckpoints — computed
+    * once, and unlike persist() NOT pinned in the CacheManager for the
+    * session lifetime: the ContextCleaner frees the blocks when the
+    * consuming plan is unreferenced (ADVICE r6 contract; the streaming
+    * delta path calls this every micro-batch, where session-pinned
+    * cache entries would accumulate until LRU pressure). At warehouse
+    * scale these cut-points are materialized signature tables. */
   private[graft] def bandedRelations(df: DataFrame, textCol: String,
                                      idCol: String, n: Int, k: Int,
                                      bands: Int): (DataFrame, DataFrame) = {
@@ -277,7 +281,7 @@ object Dedup {
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .localCheckpoint(false)
     // k-min signature in ONE compiled call per doc (MinHashSigExpr):
     // map-only, no explode/aggregate shuffle of shingle rows (round-1
     // formulation; see PLANS.md). Same md5-seeded semantics.
@@ -290,7 +294,7 @@ object Dedup {
         (b * r until (b + 1) * r).map(i =>
           element_at(col("sig"), i + 1).cast(StringType)): _*)))
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
-      .persist()
+      .localCheckpoint(false)
     (base, banded)
   }
 
