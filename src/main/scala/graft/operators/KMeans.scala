@@ -51,10 +51,11 @@ import org.apache.spark.sql.types._
   * sample (md5-hash filter — the standard quantizer-training practice;
   * faiss trains IVF cells on ~10^6 vectors), both because a sample is
   * statistically sufficient and because the int64 selection threshold
-  * has headroom for ~4·10^6 sampled rows (h·φ < 2^63); the ANSI sum
-  * would fail loudly, not silently wrap, if that contract were
-  * violated. Assignment of the FULL corpus to the trained cells stays
-  * the zero-shuffle NearestCellExpr pass.
+  * has headroom for ~4·10^6 sampled rows (h·φ < 2^63); an explicit
+  * guard in the selection loop (the n·maxDis bound, ANSI-independent —
+  * ADVICE r7) fails loudly if that contract is violated, never
+  * silently wrapping. Assignment of the FULL corpus to the trained
+  * cells stays the zero-shuffle NearestCellExpr pass.
   */
 object KMeans {
 
@@ -120,8 +121,28 @@ object KMeans {
     for (r <- 1 to initRounds) {
       val disI = distToSetI(cands, metric)
       // exact-integer selection: h·φ < l·dis·10^6, h = md5(round|id) mod 10^6
-      val phi = e.select(disI.as("disI"))
-        .agg(coalesce(sum("disI"), lit(0L))).head.getLong(0)
+      val disStats = e.select(disI.as("disI"))
+        .agg(coalesce(sum("disI"), lit(0L)),
+          coalesce(max("disI"), lit(0L)), count(lit(1))).head
+      val phi = disStats.getLong(0)
+      val maxDis = disStats.getLong(1)
+      val nRows = disStats.getLong(2)
+      // EXPLICIT int64-headroom guard (ADVICE r7: the doc-only contract
+      // relied on ANSI mode to fail loudly; with ANSI off the φ sum and
+      // the h·φ / l·dis·10^6 products would wrap silently into a wrong
+      // but plausible candidate draw). n·maxDis bounds the TRUE φ, so
+      // the check holds even if a wrapped sum came back small:
+      //   h·φ  <  10^6 · n · maxDis          (selection left side)
+      //   l·dis·10^6  <=  l · maxDis · 10^6  (selection right side)
+      require(BigInt(nRows) * BigInt(maxDis) * BigInt(1000000) <
+          BigInt(Long.MaxValue),
+        s"k-means|| int64 selection-threshold overflow: $nRows fit rows × " +
+          s"max dissimilarity $maxDis exceeds the ~4e6-sampled-rows " +
+          "headroom (h·φ < 2^63) — fit on a bounded deterministic sample " +
+          "(the documented 100 TB contract, see the e10 shape)")
+      require(BigInt(l) * BigInt(maxDis) * BigInt(1000000) <
+          BigInt(Long.MaxValue),
+        s"k-means|| selection right side overflows: l=$l × max dis $maxDis × 10^6")
       val h = md5Long(concat(lit(s"$tag|r$r|"), col("id").cast(StringType)))
       val selected = e.withColumn("disI", disI)
         .filter((h % 1000000L) * lit(phi) < lit(l.toLong) * col("disI") * 1000000L)

@@ -50,6 +50,47 @@ class MinhashDeltaSpec extends SparkSpec {
       "pair 1-2 weighs 2 copies x 2 copies after the batch")
   }
 
+  test("banded delta against materialized signature state == plain delta") {
+    val state = Dedup.fingerprintRepState(oldDocs, "text", "doc_id")
+    val (base, bands) = Dedup.minhashBandState(state)
+    val banded = Dedup.minhashPairsDeltaBanded(
+      batch, state, base, bands, "text", "doc_id", threshold = 0.5)
+    assert(pairSet(banded.pairs) == pairSet(Dedup.minhashPairsDelta(
+      batch, state, "text", "doc_id", threshold = 0.5)))
+    // companion appends cover exactly the batch's NEW fingerprints
+    // (11 is an exact copy of state fp near2 and must not re-band)
+    val newIds = banded.newBase.select("id").as[Long].collect().toSet
+    assert(newIds == Set(10L, 12L))
+    assert(banded.newBands.select("id").as[Long].collect().toSet == newIds)
+  }
+
+  test("out-of-order append keeps stored pairs valid (keeper-stable merge)") {
+    val s0 = Seq((10L, near1), (11L, near2)).toDF("doc_id", "text")
+    val state = Dedup.fingerprintRepState(s0, "text", "doc_id")
+    // what a streaming run would have stored before the late arrival
+    val storedPairs = Dedup.minhashPairs(s0, "text", "doc_id", threshold = 0.5)
+      .select("id1", "id2", "jaccard")
+    // a LATER batch carrying a SMALLER id for a known fingerprint —
+    // the ADVICE r7 failure mode (min-id merge re-keyed the keeper to
+    // 1, orphaning the stored (10, 11) pair in the weight join)
+    val late = Seq((1L, near1), (2L, near3)).toDF("doc_id", "text")
+    val merged = Dedup.mergeFingerprintRepState(state, late, "text", "doc_id")
+    val reps = merged.select("id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(reps(10L) == 2L, "near1's keeper stays 10 with the copy counted")
+    assert(!reps.contains(1L), "the late smaller id must not take the keeper role")
+    // every stored pair still joins the merged counts — nothing dropped
+    val rw = storedPairs
+      .join(merged.select(col("id").as("id1"), col("n_copies").as("nc1")), Seq("id1"))
+      .join(merged.select(col("id").as("id2"), col("n_copies").as("nc2")), Seq("id2"))
+    assert(rw.count() == storedPairs.count())
+    // delta pairs reference the STABLE keeper ids with merged weights
+    val dp = pairSet(Dedup.minhashPairsDelta(late, state, "text", "doc_id",
+      threshold = 0.5))
+    assert(dp.map(t => (t._1, t._2)) == Set((2L, 10L), (2L, 11L)))
+    assert(dp.exists(t => t._1 == 2L && t._2 == 10L && t._4 == 2L),
+      "new-fp pair against the doubled fingerprint weighs 1x2")
+  }
+
   test("state merge equals rebuild-from-scratch") {
     val merged = Dedup.mergeFingerprintRepState(
         Dedup.fingerprintRepState(oldDocs, "text", "doc_id"),
