@@ -209,7 +209,23 @@ object Similarity {
                m: Int, centroidIds: Seq[Long]): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
-    val codebook = collectCodebook(c, centroidIds)
+    pqEncodeOn(c, m, collectCodebook(c, centroidIds))
+  }
+
+  /** PQ encode against an EXPLICIT codebook (a [[KMeans.fitPqCodebook]]
+    * packed fit — the trained form; the id-named overload above is the
+    * stand-in special case where codebook rows are corpus vectors).
+    * Same single map-only compiled pass. (Separate name: Seq[Long] and
+    * Seq[Seq[Double]] erase identically, like cellAssignmentsTrained.) */
+  def pqEncodeTrained(corpus: DataFrame, vecCol: String, idCol: String,
+                      m: Int, codebook: Seq[Seq[Double]]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    pqEncodeOn(c, m, codebook)
+  }
+
+  private def pqEncodeOn(c: DataFrame, m: Int,
+                         codebook: Seq[Seq[Double]]): DataFrame = {
     val st = graft.expressions.VectorExpressions.pqEncode(col("v"), codebook, m)
     c.select(col("id"), st.as("st"))
       .filter(col("st").isNotNull) // width-mismatched vectors drop, not NPE
@@ -285,8 +301,21 @@ object Similarity {
                 m: Int, centroidIds: Seq[Long]): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
-    val codebook = collectCodebook(c, centroidIds)
-    val codes = pqEncode(corpus, vecCol, idCol, m, centroidIds)
+    pqAdcTopKOn(corpus, queries, vecCol, idCol, k, m,
+      collectCodebook(c, centroidIds))
+  }
+
+  /** ADC top-k over an EXPLICIT (trained) PQ codebook — same plan shape
+    * as [[pqAdcTopK]]; only the codebook source differs. */
+  def pqAdcTopKTrained(corpus: DataFrame, queries: DataFrame,
+                       vecCol: String, idCol: String, k: Int,
+                       m: Int, codebook: Seq[Seq[Double]]): DataFrame =
+    pqAdcTopKOn(corpus, queries, vecCol, idCol, k, m, codebook)
+
+  private def pqAdcTopKOn(corpus: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, k: Int,
+                          m: Int, codebook: Seq[Seq[Double]]): DataFrame = {
+    val codes = pqEncodeTrained(corpus, vecCol, idCol, m, codebook)
       .select(col("id"), col("codes"))
     val tables = adcTables(queries, vecCol, idCol, codebook, m)
     val w = Window.partitionBy("query_id")
@@ -401,11 +430,27 @@ object Similarity {
     */
   def pqRerankTopK(corpus: DataFrame, queries: DataFrame,
                    vecCol: String, idCol: String, k: Int, shortlist: Int,
-                   m: Int, centroidIds: Seq[Long]): DataFrame = {
-    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val short = pqAdcTopK(corpus, queries, vecCol, idCol,
+                   m: Int, centroidIds: Seq[Long]): DataFrame =
+    pqRerankOn(corpus, queries, vecCol, idCol, k,
+      pqAdcTopK(corpus, queries, vecCol, idCol,
         k = shortlist, m = m, centroidIds = centroidIds)
-      .select(col("query_id"), col("id"))
+        .select(col("query_id"), col("id")), shortlist)
+
+  /** Shortlist + exact rerank over an EXPLICIT (trained) PQ codebook —
+    * same two-stage shape as [[pqRerankTopK]]. */
+  def pqRerankTopKTrained(corpus: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, k: Int,
+                          shortlist: Int, m: Int,
+                          codebook: Seq[Seq[Double]]): DataFrame =
+    pqRerankOn(corpus, queries, vecCol, idCol, k,
+      pqAdcTopKTrained(corpus, queries, vecCol, idCol,
+        k = shortlist, m = m, codebook = codebook)
+        .select(col("query_id"), col("id")), shortlist)
+
+  private def pqRerankOn(corpus: DataFrame, queries: DataFrame,
+                         vecCol: String, idCol: String, k: Int,
+                         short: DataFrame, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))

@@ -414,24 +414,26 @@ object DataQueries {
 
   /** Product-quantization codes (IVF-PQ's memory half): every vector
     * compressed to 4 codebook indices + reconstruction error, encoding
-    * map-only against the driver-collected codebook; see
-    * [[Similarity.pqEncode]]. The code array is projected as a
-    * comma-joined string for the oracle compare (the driver's pandas
-    * row-sort cannot order array cells — r5's e04 err); [[e05PqAdcTopK]]
-    * consumes the native array form. */
+    * map-only against the TRAINED packed codebook ([[KMeans
+    * .fitPqCodebook]] — VERDICT r7 next-#2: flipped from the id-named
+    * stand-in; the oracle now replays the 4 sub-space L2 fits before
+    * encoding). The code array is projected as a comma-joined string
+    * for the oracle compare (the driver's pandas row-sort cannot order
+    * array cells — r5's e04 err); [[e05PqAdcTopK]] consumes the native
+    * array form. The stand-in path stays spec-covered
+    * (IvfStorageSpec). */
   val e04PqEncode: Q = (s, dir) =>
-    Similarity.pqEncode(Catalog(s, dir).embeddings, "embedding", "vec_id",
-        m = 4, centroidIds = ivfCentroids)
+    Similarity.pqEncodeTrained(Catalog(s, dir).embeddings, "embedding",
+        "vec_id", m = 4, codebook = pqModel(s, dir))
       .select(col("id"),
         concat_ws(",", col("codes").cast("array<string>")).as("codes"),
         col("recon_err"))
       .orderBy(col("id"))
 
-  val e04Sql: String =
-    """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  lazy val e04Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
-      |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
-      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |$pqCbCtes,
       |js AS (SELECT unnest(range(0, 4)) AS j),
       |d AS (SELECT e.id, js.j, cb.cidx,
       |  list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], e.v[js.j*16+1 : (js.j+1)*16])
@@ -450,19 +452,20 @@ object DataQueries {
 
   /** PQ asymmetric-distance top-k (IVF-PQ's search half): queries score
     * the corpus through m table lookups over its PQ codes — see
-    * [[Similarity.pqAdcTopK]]. Same query split as e02. */
+    * [[Similarity.pqAdcTopKTrained]]; codes and distance tables are
+    * against the TRAINED packed codebook (VERDICT r7 next-#2). Same
+    * query split as e02. */
   val e05PqAdcTopK: Q = (s, dir) => {
     val emb = Catalog(s, dir).embeddings
-    Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-        "embedding", "vec_id", k = 5, m = 4, centroidIds = ivfCentroids)
+    Similarity.pqAdcTopKTrained(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, m = 4, codebook = pqModel(s, dir))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val e05Sql: String =
-    """WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  lazy val e05Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
-      |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS cv FROM e
-      |  WHERE id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)),
+      |$pqCbCtes,
       |js AS (SELECT unnest(range(0, 4)) AS j),
       |d AS (SELECT e.id, js.j, cb.cidx,
       |  list_inner_product(e.v[js.j*16+1 : (js.j+1)*16], e.v[js.j*16+1 : (js.j+1)*16])
@@ -492,14 +495,15 @@ object DataQueries {
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Two-stage retrieval: PQ-ADC shortlist (20 candidates/query over
-    * compressed codes) -> exact-cosine rerank of ONLY those candidates
-    * to top-5 — the production IVF-PQ search shape; see
-    * [[Similarity.pqRerankTopK]]. Same query split as e02/e05. */
+    * compressed codes, TRAINED codebook) -> exact-cosine rerank of ONLY
+    * those candidates to top-5 — the production IVF-PQ search shape;
+    * see [[Similarity.pqRerankTopKTrained]]. Same query split as
+    * e02/e05. */
   val e06PqRerank: Q = (s, dir) => {
     val emb = Catalog(s, dir).embeddings
-    Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+    Similarity.pqRerankTopKTrained(emb, emb.filter(col("vec_id") % 100 === 0),
         "embedding", "vec_id", k = 5, shortlist = 20,
-        m = 4, centroidIds = ivfCentroids)
+        m = 4, codebook = pqModel(s, dir))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -642,7 +646,12 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  lazy val e09Sql: String = {
+  /** The TRAINED packed PQ codebook as oracle CTEs ending in
+    * `cb(cidx, cv)`: 4 independent L2 k-means replays on the 16-dim
+    * sub-vector slices of `e`, packed full-width — the SQL twin of
+    * [[KMeans.fitPqCodebook]]. Shared by e04/e05/e06/e09 (every PQ
+    * oracle replays the training, not just the encoding). */
+  private lazy val pqCbCtes: String = {
     val sub = kmDim / 4
     val subFits = (0 until 4).map { j =>
       val lo = j * sub + 1
@@ -652,13 +661,14 @@ object DataQueries {
          |  WHERE list_inner_product(sv, sv) > 0 AND list_inner_product(sv, sv) < 'Infinity'::DOUBLE),
          |${kmCtesFor(s"p$j", s"p${j}src", sub, "l2", s"pq$j")}""".stripMargin
     }.mkString(",\n")
-    ivfPqSql(
-      s"""$subFits,
-         |cb AS (SELECT p0.cell AS cidx, ((p0.cv || p1.cv) || p2.cv) || p3.cv AS cv
-         |  FROM p0cents p0 JOIN p1cents p1 ON p1.cell = p0.cell
-         |  JOIN p2cents p2 ON p2.cell = p0.cell
-         |  JOIN p3cents p3 ON p3.cell = p0.cell)""".stripMargin)
+    s"""$subFits,
+       |cb AS (SELECT p0.cell AS cidx, ((p0.cv || p1.cv) || p2.cv) || p3.cv AS cv
+       |  FROM p0cents p0 JOIN p1cents p1 ON p1.cell = p0.cell
+       |  JOIN p2cents p2 ON p2.cell = p0.cell
+       |  JOIN p3cents p3 ON p3.cell = p0.cell)""".stripMargin
   }
+
+  lazy val e09Sql: String = ivfPqSql(pqCbCtes)
 
   /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
     * the higher id, keeper = lowest-id over-threshold cluster-mate; see

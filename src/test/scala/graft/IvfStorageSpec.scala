@@ -42,4 +42,33 @@ class IvfStorageSpec extends SparkSpec {
     val expected = assigned.filter(col("cell").isin(0L, 50L)).count()
     assert(probed.count() == expected && expected > 0)
   }
+
+  // e04/e05/e06 now run the TRAINED packed codebook (VERDICT r7
+  // next-#2); the id-named stand-in contract stays covered here: the
+  // trained entry points fed the stand-in codebook (corpus rows 0..15
+  // in id order) must reproduce the stand-in path exactly.
+  test("stand-in PQ path == trained path fed the stand-in codebook") {
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 0.37 + d) * 0.8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ids = (0L until 16L)
+    val standinCb = vecs.filter(col("vec_id") < 16)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    assert(rows(Similarity.pqEncode(vecs, "embedding", "vec_id", 4, ids)) ==
+      rows(Similarity.pqEncodeTrained(vecs, "embedding", "vec_id", 4, standinCb)))
+    assert(rows(Similarity.pqAdcTopK(vecs, queries, "embedding", "vec_id",
+        5, 4, ids)) ==
+      rows(Similarity.pqAdcTopKTrained(vecs, queries, "embedding", "vec_id",
+        5, 4, standinCb)))
+    assert(rows(Similarity.pqRerankTopK(vecs, queries, "embedding", "vec_id",
+        3, 10, 4, ids)) ==
+      rows(Similarity.pqRerankTopKTrained(vecs, queries, "embedding", "vec_id",
+        3, 10, 4, standinCb)))
+  }
 }
