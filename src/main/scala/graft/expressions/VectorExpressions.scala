@@ -348,6 +348,86 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Orthogonal rotation as a product of Householder reflections — the
+  * OPQ pre-transform ([[graft.operators.Opq]]): w := w − (2·⟨u,w⟩/⟨u,u⟩)·u
+  * applied for each reflector in order, then every coordinate rounded to
+  * `dp` decimals (the cross-engine stability grid — the fit/search
+  * pipeline downstream consumes only the rounded values). Each inner
+  * product is a sequential left fold in index order, bit-matching
+  * DuckDB's list_inner_product over the same lists; the scalar is
+  * (2·⟨u,w⟩)/⟨u,u⟩ with exactly that association, mirrored in the
+  * oracle's SQL. Reflectors are driver-built literals (md5-seeded,
+  * data-independent), so rotation is MAP-ONLY at any corpus size.
+  *
+  * A vector whose width differs from the reflectors' -> NULL (the
+  * fixed-width corpus contract, as [[PqEncodeExpr]]); NULL element ->
+  * NULL. CodegenFallback: the p·dim flop loop dominates the virtual
+  * call. */
+case class HouseholderRotateExpr(child: Expression,
+                                 reflectors: Seq[Seq[Double]], dp: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(reflectors.nonEmpty, "need at least one reflector")
+  private val dim = reflectors.head.length
+  require(reflectors.forall(_.length == dim),
+    "reflectors must share one width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_householder_rotate"
+
+  @transient private lazy val us: Array[Array[Double]] =
+    reflectors.map(_.toArray).toArray
+  // ⟨u,u⟩ per reflector, same in-order fold the oracle's
+  // list_inner_product(u, u) performs over identical doubles
+  @transient private lazy val uSq: Array[Double] = us.map { u =>
+    var s = 0.0; var i = 0
+    while (i < u.length) { s += u(i) * u(i); i += 1 }
+    require(s > 0.0, "degenerate (zero) reflector")
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val w = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      w(i) = v.getDouble(i)
+      i += 1
+    }
+    var r = 0
+    while (r < us.length) {
+      val u = us(r)
+      var ip = 0.0
+      i = 0
+      while (i < dim) { ip += u(i) * w(i); i += 1 }
+      val c = (2.0 * ip) / uSq(r)
+      i = 0
+      while (i < dim) { w(i) = w(i) - c * u(i); i += 1 }
+      r += 1
+    }
+    i = 0
+    while (i < dim) {
+      w(i) = java.math.BigDecimal.valueOf(w(i))
+        .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(w)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Analysis-time input check shared by the vector expressions: both
@@ -384,4 +464,8 @@ object VectorExpressions {
                   cellIds: Seq[Long], metric: String = "cos"): Column =
     Bridge.column(NearestCellExpr(
       Bridge.expression(v.cast("array<double>")), codebook, cellIds, metric))
+  def householderRotate(v: Column, reflectors: Seq[Seq[Double]],
+                        dp: Int = 6): Column =
+    Bridge.column(HouseholderRotateExpr(
+      Bridge.expression(v.cast("array<double>")), reflectors, dp))
 }

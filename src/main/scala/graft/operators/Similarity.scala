@@ -62,6 +62,32 @@ object Similarity {
         col("id"), col("cos_r").as("cosine"))
   }
 
+  /** Exact top-k squared-L2 neighbors — the baseline the PQ/ADC family
+    * approximates: ADC estimates SQUARED L2 from codes, so judging its
+    * recall against exact *cosine* top-k conflates metric mismatch with
+    * quantization error (RecallProbe r8). Same broadcast + per-query
+    * window shape as [[bruteForceTopK]]; d² is the shared
+    * ipaa − 2·ipab + ipbb fold, round-6dp ASC with id tiebreak.
+    * Output: (query_id, rank, id, d2). */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame,
+                       vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val d2 = VectorExpressions.dot(col("v"), col("v")) -
+      lit(2.0) * VectorExpressions.dot(col("v"), col("qv")) +
+      VectorExpressions.dot(col("qv"), col("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2_r").asc, col("id").asc)
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("d2_r", round(d2, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("d2_r").as("d2"))
+  }
+
   /** Assign each vector to its nearest coarse centroid. Centroids are the
     * vectors whose id is in `centroidIds` (deterministic coarse
     * quantizer — a k-means fit would slot in identically).

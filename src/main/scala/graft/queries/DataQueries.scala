@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.catalog.Catalog
 import graft.functions.GraftFunctions.{md5Long, qualityScore, tokenCount}
-import graft.operators.{Dedup, KMeans, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Opq, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -583,11 +583,17 @@ object DataQueries {
   /** Shared IVF-PQ oracle body: everything from the corpus CTEs through
     * the final top-k, with the PQ codebook CTE (`cb(cidx, cv)`)
     * injected — e07 uses the id-named stand-in rows, e09 the packed
-    * per-subspace trained centroids. */
+    * per-subspace trained centroids, e11 the same trained pipeline over
+    * the OPQ-rotated corpus ([[ivfPqSqlBody]] against a rotated `e`). */
   private def ivfPqSql(cbCtes: String): String =
     s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
-      |$kmCtes,
+      |${ivfPqSqlBody(cbCtes)}""".stripMargin
+
+  /** Everything downstream of the `e(id, v)` corpus CTE: coarse-fit
+    * replay, assignment, probes, PQ codebook (injected), ADC, top-k. */
+  private def ivfPqSqlBody(cbCtes: String): String =
+    s"""$kmCtes,
       |asg AS (SELECT id, cell FROM (
       |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
@@ -669,6 +675,67 @@ object DataQueries {
   }
 
   lazy val e09Sql: String = ivfPqSql(pqCbCtes)
+
+  /** OPQ-rotated IVF-PQ (e11 — VERDICT r7 next-#1): the e09 pipeline
+    * (trained coarse cells + 4 trained sub-codebooks + ADC) run over
+    * the corpus AFTER the deterministic md5-seeded orthogonal rotation
+    * of [[graft.operators.Opq]] (Ge et al. 2013's rotate-before-PQ,
+    * random-rotation form — the data-dependent alternation has no
+    * cross-engine-exact replay; see Opq's scaladoc). The oracle replays
+    * rotation + BOTH quantizer trainings + ADC end-to-end: 6 fit
+    * blocks' worth of SQL, all from md5 + the raw parquet. Same query
+    * split as e02/e05/e07/e09, so recall probes compare directly. */
+  private final val opqP = 4 // Householder reflectors in R
+  private lazy val opqReflectors = Opq.reflectors(opqP, kmDim)
+  private val opqModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (KMeans.Model, Seq[Seq[Double]])]
+  private def opqModel(s: SparkSession, dir: String)
+      : (KMeans.Model, Seq[Seq[Double]]) = synchronized {
+    opqModels.keys.foreach { case kk @ (sess, _) =>
+      if (sess.sparkContext.isStopped) opqModels.remove(kk)
+    }
+    opqModels.getOrElseUpdate((s, dir), {
+      val rot = Opq.rotate(Catalog(s, dir).embeddings, "embedding", "vec_id",
+        opqReflectors)
+      (KMeans.fit(rot, "v", "id", k = kmK, dim = kmDim,
+          initRounds = kmRounds, oversample = kmL, iters = kmIters),
+        KMeans.fitPqCodebook(rot, "v", "id", m = 4, kCent = kmK, dim = kmDim,
+          initRounds = kmRounds, oversample = kmL, iters = kmIters))
+    })
+  }
+
+  val e11OpqIvfPq: Q = (s, dir) => {
+    val rot = Opq.rotate(Catalog(s, dir).embeddings, "embedding", "vec_id",
+      opqReflectors)
+    val (cells, pqCb) = opqModel(s, dir)
+    Similarity.ivfPqTopKFullyTrained(rot, rot.filter(col("id") % 100 === 0),
+        "v", "id", k = 5, cellCodebook = cells.centroids, nProbe = 2,
+        m = 4, pqCodebook = pqCb)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Rotation replay: reflectors from md5 alone (`ru`), then p chained
+    * Householder applications with the exact scalar association the
+    * Spark expression uses, then the shared round-6 grid — the rotated
+    * relation lands in `e`, and [[ivfPqSqlBody]] runs unchanged on it. */
+  private lazy val opqRotCtes: String = {
+    val rots = (1 to opqP).map { r =>
+      s"""rot$r AS MATERIALIZED (SELECT w.id, list_transform(range(1, ${kmDim + 1}), i ->
+         |  w.v[i] - ((2 * list_inner_product(u.u, w.v)) / list_inner_product(u.u, u.u)) * u.u[i]) AS v
+         |  FROM rot${r - 1} w CROSS JOIN (SELECT u FROM ru WHERE r = $r) u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eraw AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |ru AS MATERIALIZED (SELECT r, list((${h60("'opq|u'||r::VARCHAR||'|'||i::VARCHAR")} % 2000001 - 1000000) / 1000000.0 ORDER BY i) AS u
+       |  FROM range(1, ${opqP + 1}) t(r), range(1, ${kmDim + 1}) s(i) GROUP BY r),
+       |rot0 AS (SELECT id, v FROM eraw),
+       |$rots,
+       |e AS MATERIALIZED (SELECT id, list_transform(v, x -> round(x, 6)) AS v FROM rot$opqP)""".stripMargin
+  }
+
+  lazy val e11Sql: String =
+    s"""$opqRotCtes,
+       |${ivfPqSqlBody(pqCbCtes)}""".stripMargin
 
   /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
     * the higher id, keeper = lowest-id over-threshold cluster-mate; see
@@ -1506,6 +1573,7 @@ object DataQueries {
     "e08_kmeans_cells" -> e08KmeansCells,
     "e09_ivf_pq_trained" -> e09IvfPqTrained,
     "e10_kmeans_sampled" -> e10KmeansSampled,
+    "e11_opq_ivf_pq" -> e11OpqIvfPq,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1549,6 +1617,7 @@ object DataQueries {
     "e08_kmeans_cells" -> e08Sql,
     "e09_ivf_pq_trained" -> e09Sql,
     "e10_kmeans_sampled" -> e10Sql,
+    "e11_opq_ivf_pq" -> e11Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

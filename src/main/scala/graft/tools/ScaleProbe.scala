@@ -199,36 +199,11 @@ object ScaleProbe {
     println(f"[scale] kmeans_cells: trained max=$trMax mean=$trMean%.1f | " +
       f"stand-in max=$siMax mean=$siMean%.1f (lower max = better balance)")
 
-    // ANN recall@5 vs exact cosine top-5 on the base (sf0.1) corpus:
-    // the quality evidence that TRAINING the quantizers matters, not
-    // just their plan shape — trained cells chase the data's real
-    // clusters, so the 2-of-16-cell probe keeps more true neighbors
-    {
-      import graft.operators.{KMeans, Similarity}
-      val q = emb.filter(pmod(col("vec_id"), lit(100L)) === 0)
-      def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-        df.select("query_id", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = hits(graft.operators.Similarity
-        .bruteForceTopK(emb, q, "embedding", "vec_id", 5))
-      def recall(s: Set[(Long, Long)]): Double =
-        if (exact.isEmpty) 1.0 else s.intersect(exact).size.toDouble / exact.size
-      val km = KMeans.fit(emb, "embedding", "vec_id", k = 16, dim = 64)
-      val cbT = KMeans.fitPqCodebook(emb, "embedding", "vec_id",
-        m = 4, kCent = 16, dim = 64)
-      val rStand = recall(hits(Similarity.ivfTopK(
-        emb, q, "embedding", "vec_id", 5, 0L until 16L, nProbe = 2)))
-      val rTrain = recall(hits(Similarity.ivfTopKTrained(
-        emb, q, "embedding", "vec_id", 5, km.centroids, nProbe = 2)))
-      val rPqStand = recall(hits(Similarity.ivfPqTopKTrained(
-        emb, q, "embedding", "vec_id", 5, km.centroids, 2, 4, 0L until 16L)))
-      val rPqTrain = recall(hits(Similarity.ivfPqTopKFullyTrained(
-        emb, q, "embedding", "vec_id", 5, km.centroids, 2, 4, cbT)))
-      println(f"[scale] ann_recall@5: ivf stand-in=$rStand%.3f " +
-        f"trained=$rTrain%.3f | ivf-pq pq-stand-in=$rPqStand%.3f " +
-        f"pq-trained=$rPqTrain%.3f (exact=1.0; ADC ranks by L2 so the " +
-        "pq pair is comparable to each other, conservative vs exact cosine)")
-    }
+    // ANN recall@5 moved to its own main ([[RecallProbe]]): quality
+    // numbers must not share a JVM with the timing stages above — heap
+    // pressure inflated in-probe measurements up to ~4x (VERDICT r7
+    // next-#7), and recall adds the e11 OPQ rows + an anisotropic
+    // corpus that this probe's replicated-documents setup doesn't need.
     t("shard_shuffle")(graft.io.Export.assignShards(docs, "doc_id", 64))
     t("gopher_profile")(TextAnalysis.gopherProfile(docs, "text", "doc_id"))
     t("stratified_sample")(
