@@ -606,6 +606,101 @@ object ExtQueries {
       |FROM li JOIN dim USING (grp)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q48 — the staged geo surface driver-hash-checked (VERDICT r7
+    * next-#4): deterministic md5-placed points in the unit square,
+    * assigned to a literal polygon fixture through the SAME WKB parse +
+    * broadcast ray-casting kernel the NTA dimension uses
+    * ([[graft.geo.GeoJoin.assignZones]] over [[graft.geo.Wkb]] bytes,
+    * ref `dbt/.../2_DIM___AUX_NYC` / `nyc_nta_zones.parquet`), while
+    * the oracle replays the even-odd crossing rule EDGE BY EDGE in SQL
+    * over the identical vertex relation. The fixture exercises every
+    * semantic branch: a non-convex (L-shaped) ring, a hole, a
+    * multipolygon, two OVERLAPPING zones (the deterministic
+    * lowest-zone-key-wins scan order = the oracle's min(zone_key)),
+    * and points in no zone (NULL). The oracle sees only the sf parquet
+    * tables, so ONE Scala structure emits both the WKB bytes and the
+    * SQL VALUES rows — the two sides cannot drift. Cross-engine float
+    * safety: both engines evaluate the identical crossing expression
+    * (x2−x1)·(y−y1)/(y2−y1)+x1 over identical doubles (md5-integer
+    * coordinates /10^6; vertex literals exact in 2 decimals), so the
+    * comparison is bit-deterministic with no rounding grid needed. */
+  private val q48Zones: Seq[(String, Seq[Seq[Array[Double]]])] = Seq(
+    // zone key -> polygons -> rings (outer first), flat (x, y), open
+    "Z0_OVERLAP" -> Seq(Seq(
+      Array(0.4, 0.4, 0.7, 0.4, 0.7, 0.7, 0.4, 0.7))),
+    "Z1_LSHAPE" -> Seq(Seq(
+      Array(0.0, 0.0, 0.5, 0.0, 0.5, 0.25, 0.25, 0.25, 0.25, 0.5, 0.0, 0.5))),
+    "Z2_HOLE" -> Seq(Seq(
+      Array(0.5, 0.5, 1.0, 0.5, 1.0, 1.0, 0.5, 1.0),
+      Array(0.65, 0.65, 0.85, 0.65, 0.85, 0.85, 0.65, 0.85))),
+    "Z3_MULTI" -> Seq(
+      Seq(Array(0.0, 0.6, 0.2, 0.6, 0.2, 0.8, 0.0, 0.8)),
+      Seq(Array(0.6, 0.0, 0.9, 0.0, 0.9, 0.3, 0.6, 0.3))))
+
+  val q48GeoZones: Q = (s, dir) => {
+    val zoneRows = q48Zones.map { case (k, polys) =>
+      org.apache.spark.sql.Row(k,
+        if (polys.size == 1) graft.geo.Wkb.writePolygon(polys.head)
+        else graft.geo.Wkb.writeMultiPolygon(polys))
+    }
+    val zones = s.createDataFrame(
+      java.util.Arrays.asList(zoneRows: _*),
+      StructType(Seq(StructField("zone_key", StringType),
+        StructField("wkb", BinaryType))))
+    val pts = Catalog(s, dir).customer.select(
+      col("c_custkey").as("id"),
+      (md5Long(concat(lit("geox|"), col("c_custkey").cast(StringType)))
+        % 1000001L / lit(1000000.0)).as("lng"),
+      (md5Long(concat(lit("geoy|"), col("c_custkey").cast(StringType)))
+        % 1000001L / lit(1000000.0)).as("lat"))
+    graft.geo.GeoJoin.assignZones(pts, zones,
+        "id", "lng", "lat", "zone_key", "wkb")
+      .orderBy(col("id"))
+  }
+
+  /** Edge rows (xi, yi) -> (xj, yj) in EXACTLY the traversal order of
+    * [[graft.geo.Wkb.inRing]] (j = previous vertex), emitted from the
+    * same ring arrays the WKB is built from. */
+  private lazy val q48EdgeValues: String = q48Zones.flatMap {
+    case (k, polys) => polys.zipWithIndex.flatMap { case (rings, pIdx) =>
+      rings.zipWithIndex.flatMap { case (ring, rIdx) =>
+        val n = ring.length / 2
+        (0 until n).map { i =>
+          val j = (i + n - 1) % n
+          s"('$k', $pIdx, $rIdx, ${rIdx > 0}, " +
+            s"CAST(${ring(2 * i)} AS DOUBLE), CAST(${ring(2 * i + 1)} AS DOUBLE), " +
+            s"CAST(${ring(2 * j)} AS DOUBLE), CAST(${ring(2 * j + 1)} AS DOUBLE))"
+        }
+      }
+    }
+  }.mkString(",\n    ")
+
+  lazy val q48Sql: String = {
+    def coord(seed: String) =
+      s"(CAST(('0x'||substr(md5('$seed|'||c_custkey::VARCHAR),1,15)) AS BIGINT)" +
+        " % 1000001) / CAST(1000000 AS DOUBLE)"
+    s"""WITH pts AS (SELECT c_custkey AS id,
+       |  ${coord("geox")} AS lng,
+       |  ${coord("geoy")} AS lat FROM customer),
+       |edges(zone_key, poly_id, ring_id, is_hole, x1, y1, x2, y2) AS (VALUES
+       |    $q48EdgeValues),
+       |crossings AS (SELECT p.id, e.zone_key, e.poly_id, e.ring_id, e.is_hole,
+       |  CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+       |    AND p.lng < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+       |  THEN 1 ELSE 0 END AS c
+       |  FROM pts p CROSS JOIN edges e),
+       |rings AS (SELECT id, zone_key, poly_id, ring_id, is_hole,
+       |  sum(c) % 2 = 1 AS inside FROM crossings GROUP BY 1, 2, 3, 4, 5),
+       |polys AS (SELECT id, zone_key, poly_id,
+       |  bool_and(CASE WHEN is_hole THEN NOT inside ELSE inside END) AS contained
+       |  FROM rings GROUP BY 1, 2, 3),
+       |zm AS (SELECT id, min(zone_key) AS zone FROM polys
+       |  WHERE contained GROUP BY 1)
+       |SELECT p.id, p.lng, p.lat, z.zone
+       |FROM pts p LEFT JOIN zm z ON z.id = p.id
+       |ORDER BY p.id""".stripMargin
+  }
+
   val q43Sql: String =
     """WITH cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100),
       |oa AS (SELECT o_custkey, count(*) AS n_orders,
@@ -630,6 +725,7 @@ object ExtQueries {
     "q45_hot_key_join" -> q45HotKeyJoin,
     "q46_social_mart" -> q46SocialMart,
     "q47_housing_mart" -> q47HousingMart,
+    "q48_geo_zones" -> q48GeoZones,
     "q34_string_agg" -> q34StringAgg,
     "q35_regex_funcs" -> q35Regex,
     "q36_exists_subquery" -> q36Exists,
@@ -651,6 +747,7 @@ object ExtQueries {
     "q45_hot_key_join" -> q45Sql,
     "q46_social_mart" -> q46Sql,
     "q47_housing_mart" -> q47Sql,
+    "q48_geo_zones" -> q48Sql,
     "q34_string_agg" -> q34Sql,
     "q35_regex_funcs" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,
