@@ -29,6 +29,70 @@ import org.apache.spark.sql.functions._
   */
 object CurationModels {
 
+  /** The DOCS_PROFILED projection as a standalone transform — ONE
+    * map-only pass, not three doc_id self-joins: every profile family
+    * is a per-row function of the same text, so joining the standalone
+    * operators' outputs would buy three shuffles for nothing. The
+    * columns reuse the SAME library functions the standalone operators
+    * project (GraftFunctions / TextExpressions), so semantics cannot
+    * drift. Standalone (not inlined in the Registry model) because the
+    * per-doc gate chain is STATELESS — it runs unchanged on a
+    * micro-batch inside [[graft.streaming.EventStreams
+    * .curationStreamQuery]]'s foreachBatch, and extracting it is what
+    * guarantees the streaming and batch DAG gates are the same code. */
+  def profileDocs(documents: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val rep = graft.expressions.TextExpressions.repetitionStats(col("text"))
+    val gop = graft.expressions.TextExpressions.gopherStats(col("text"))
+    documents.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        qualityScore(col("text")).as("quality"),
+        tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"),
+        rep.as("rep"),
+        gop.as("gop"),
+        patternCount(col("text"), emailRe).as("n_emails"),
+        patternCount(col("text"), phoneRe).as("n_phones"),
+        patternCount(col("text"), ipv4Re).as("n_ips"),
+        redactPii(col("text")).as("redacted"))
+      .withColumn("dup_token_frac",
+        when(col("rep.n_tokens") > 0L,
+          lit(1.0) - col("rep.n_distinct").cast("double") /
+            col("rep.n_tokens").cast("double")).otherwise(0.0))
+      .withColumn("top_bigram_frac",
+        when(col("rep.n_tokens") > 1L,
+          col("rep.top_bigram").cast("double") /
+            (col("rep.n_tokens") - 1L).cast("double")).otherwise(0.0))
+      // gopher-rule signals (t13's library semantics, same one-pass
+      // projection): symbol density and alphabetic-word fraction are
+      // the two rules safe to gate on without corpus-specific tuning
+      .withColumn("symbol_ratio",
+        when(col("gop.n_tokens") > 0L,
+          col("gop.n_symbol_hits").cast("double") /
+            col("gop.n_tokens").cast("double")).otherwise(0.0))
+      .withColumn("alpha_frac",
+        when(col("gop.n_tokens") > 0L,
+          col("gop.n_alpha_toks").cast("double") /
+            col("gop.n_tokens").cast("double")).otherwise(0.0))
+      .drop("rep").drop("gop")
+  }
+
+  /** The DOCS_FILTERED gate over a profiled relation: quality /
+    * repetition / Gopher thresholds, then only the REDACTED text ships
+    * forward — raw text stops here. */
+  def gateProfiled(profiled: DataFrame): DataFrame =
+    profiled
+      .filter(col("quality") >= 0.5 &&
+        col("dup_token_frac") <= 0.9 && col("top_bigram_frac") <= 0.9 &&
+        // the corpus-agnostic Gopher rules (published thresholds)
+        col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8)
+      .select(col("doc_id"), col("redacted").as("text"), col("lang"),
+        col("source"), col("n_tokens"))
+
+  /** profile + gate in one call — the per-document (stateless) prefix
+    * of the curation DAG, shared verbatim by batch and streaming. */
+  def gateDocs(documents: DataFrame): DataFrame =
+    gateProfiled(profileDocs(documents))
+
   /** `incrementalFilter=true` switches DOCS_FILTERED to the Incremental
     * materialization: per-doc gates are embarrassingly incremental
     * (each doc's verdict depends only on itself), so a grown corpus
@@ -49,45 +113,7 @@ object CurationModels {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
-      // ONE map-only projection, not three doc_id self-joins: every
-      // profile family is a per-row function of the same text, so
-      // joining the standalone operators' outputs would buy three
-      // shuffles for nothing. The columns reuse the SAME library
-      // functions the standalone operators project (GraftFunctions /
-      // TextExpressions), so semantics cannot drift.
-      import graft.functions.GraftFunctions._
-      val rep = graft.expressions.TextExpressions.repetitionStats(col("text"))
-      val gop = graft.expressions.TextExpressions.gopherStats(col("text"))
-      documents.select(col("doc_id"), col("text"), col("lang"), col("source"),
-          qualityScore(col("text")).as("quality"),
-          tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
-            .as("n_tokens"),
-          rep.as("rep"),
-          gop.as("gop"),
-          patternCount(col("text"), emailRe).as("n_emails"),
-          patternCount(col("text"), phoneRe).as("n_phones"),
-          patternCount(col("text"), ipv4Re).as("n_ips"),
-          redactPii(col("text")).as("redacted"))
-        .withColumn("dup_token_frac",
-          when(col("rep.n_tokens") > 0L,
-            lit(1.0) - col("rep.n_distinct").cast("double") /
-              col("rep.n_tokens").cast("double")).otherwise(0.0))
-        .withColumn("top_bigram_frac",
-          when(col("rep.n_tokens") > 1L,
-            col("rep.top_bigram").cast("double") /
-              (col("rep.n_tokens") - 1L).cast("double")).otherwise(0.0))
-        // gopher-rule signals (t13's library semantics, same one-pass
-        // projection): symbol density and alphabetic-word fraction are
-        // the two rules safe to gate on without corpus-specific tuning
-        .withColumn("symbol_ratio",
-          when(col("gop.n_tokens") > 0L,
-            col("gop.n_symbol_hits").cast("double") /
-              col("gop.n_tokens").cast("double")).otherwise(0.0))
-        .withColumn("alpha_frac",
-          when(col("gop.n_tokens") > 0L,
-            col("gop.n_alpha_toks").cast("double") /
-              col("gop.n_tokens").cast("double")).otherwise(0.0))
-        .drop("rep").drop("gop")
+      profileDocs(documents)
     })
 
     val filteredMat =
@@ -102,14 +128,7 @@ object CurationModels {
             "left_anti")
         case None => profiled
       }
-      delta
-        .filter(col("quality") >= 0.5 &&
-          col("dup_token_frac") <= 0.9 && col("top_bigram_frac") <= 0.9 &&
-          // the corpus-agnostic Gopher rules (published thresholds)
-          col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8)
-        // ship the REDACTED text forward; raw text stops here
-        .select(col("doc_id"), col("redacted").as("text"), col("lang"),
-          col("source"), col("n_tokens"))
+      gateProfiled(delta)
     })
 
     r.register(Model("DOCS_DEDUPED", "3_MART___CURATION",

@@ -292,6 +292,99 @@ object EventStreams {
       .trigger(trigger)
       .start()
 
+  /** STREAMING CURATION — the curation DAG's per-document gate chain
+    * composed with the delta dedup family on an unbounded crawl
+    * (VERDICT r7 next-#6): every micro-batch (a crawl drop) runs
+    *
+    *   gate (profile + filter + redact, [[graft.models.CurationModels
+    *   .gateDocs]] — the EXACT batch-DAG code, stateless per doc)
+    *   → exact-dedup against the evolving fingerprint keeper state
+    *     (first-seen keeper; == the batch DAG's min-id keeper under
+    *     append-ordered ids)
+    *   → decontamination of the NEW keepers against the fixed
+    *     benchmark (per-doc, stateless)
+    *   → append to the streamed DOCS_CLEAN relation,
+    *
+    * plus the banded delta near-dup pairing over the same gated batch
+    * ([[graft.operators.Dedup.minhashPairsDeltaBanded]] with
+    * materialized signature state), so the crawl's near-dup pair
+    * relation evolves alongside. StreamingCurationSpec pins: drained
+    * over any append-ordered slicing, the streamed DOCS_CLEAN equals
+    * the batch DAG's DOCS_CLEAN on the union corpus, and the streamed
+    * pairs (weighted by final state counts) equal the batch
+    * minhashPairs over the gated union. The frozen-quantizer scorer
+    * composes the same way (a literal-codebook map-only expression —
+    * StreamingQuantizerSpec) when the stream carries embeddings.
+    *
+    * Replay safety: same contract as [[deltaDedupStreamQuery]] — the
+    * last-processed batch id commits atomically with the state swap;
+    * every other write is an idempotent keyed merge. */
+  def curationStreamQuery(spark: SparkSession, docs: DataFrame,
+                          benchmark: DataFrame,
+                          statePath: String, cleanPath: String,
+                          pairsPath: String,
+                          threshold: Double = 0.5,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import spark.implicits._
+        val stateExists = new java.io.File(statePath).exists
+        val rawState =
+          if (stateExists) spark.read.parquet(statePath)
+          else Seq.empty[(String, Long, String, Long, Long)]
+            .toDF("fp", "id", "text", "n_copies", "last_batch")
+        val last =
+          if (!stateExists) -1L
+          else rawState.agg(coalesce(max(col("last_batch")), lit(-1L)))
+            .head.getLong(0)
+        if (batchId > last) {
+          val state = rawState.select(
+            col("fp"), col("id"), col("text"), col("n_copies"))
+          def readOr(path: String, empty: => DataFrame): DataFrame =
+            if (new java.io.File(path).exists) spark.read.parquet(path) else empty
+          val stateBase = readOr(s"${statePath}_base",
+            Seq.empty[(Long, Seq[String])].toDF("id", "sh"))
+          val stateBands = readOr(s"${statePath}_bands",
+            Seq.empty[(Long, String)].toDF("id", "band"))
+          val gated = graft.models.CurationModels.gateDocs(batch.toDF())
+            .localCheckpoint(false) // feeds pairing, keeper drop, and the fold
+          val delta = graft.operators.Dedup.minhashPairsDeltaBanded(
+            gated, state, stateBase, stateBands,
+            "text", "doc_id", threshold = threshold)
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, pairsPath,
+            delta.pairs.select(col("id1"), col("id2"), col("jaccard")),
+            Seq("id1", "id2"))
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, s"${statePath}_base", delta.newBase, Seq("id"))
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, s"${statePath}_bands", delta.newBands, Seq("id", "band"))
+          // the batch's NEW keepers (first-seen fingerprints), full
+          // gated columns carried through, then per-doc decontamination
+          val newKeeperIds = graft.operators.Dedup
+            .fingerprintRepState(gated, "text", "doc_id")
+            .join(state.select(col("fp")), Seq("fp"), "left_anti")
+            .select(col("id").as("doc_id"))
+          val newKeepers = gated.join(newKeeperIds, Seq("doc_id"))
+          val contaminated = graft.operators.TextAnalysis.ngramOverlap(
+            newKeepers, benchmark, "text", "doc_id", n = 5)
+          val clean = newKeepers.join(
+            contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, cleanPath, clean, Seq("doc_id"))
+          val newState = graft.operators.Dedup.mergeFingerprintRepState(
+              state, gated, "text", "doc_id")
+            .withColumn("last_batch", lit(batchId))
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, statePath, newState, Seq("fp"))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$statePath.__checkpoint")
+      .trigger(trigger)
+      .start()
+
   /** Current-weight view of the streamed pairs: join the state's copy
     * counts onto the stored (id1, id2, jaccard) relation — identical
     * columns and weights to the batch [[graft.operators.Dedup
