@@ -348,6 +348,63 @@ case class NearestCellExpr(child: Expression, codebook: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Coarse-quantizer residual: v − centroid(cell), elementwise — the
+  * IVFADC encoding input (Jégou et al. 2011; [[graft.operators
+  * .Similarity.ivfPqResidualTopK]]). The centroid codebook is a
+  * driver-built literal (rows = cells 0..k−1, the [[graft.operators
+  * .KMeans.Model]] contract), `right` is the row's assigned cell id —
+  * so the subtraction is MAP-ONLY at any corpus size. No rounding:
+  * both engines subtract the identical parquet double from the
+  * identical grid-exact centroid double, and one IEEE subtraction of
+  * equal operands is equal everywhere. Width mismatch or out-of-range
+  * cell -> NULL (the fixed-width corpus contract); NULL element ->
+  * NULL. CodegenFallback: one virtual call around a dim-length loop. */
+case class CellResidualExpr(left: Expression, right: Expression,
+                            codebook: Seq[Seq[Double]])
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(codebook.nonEmpty, "residual codebook must be non-empty")
+  private val dim = codebook.head.length
+  require(codebook.forall(_.length == dim),
+    "residual codebook rows must share one width")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), org.apache.spark.sql.types.LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cell_residual"
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  override def nullSafeEval(v0: Any, cell0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val cell = cell0.asInstanceOf[Long]
+    if (v.numElements() != dim || cell < 0 || cell >= cb.length) return null
+    val c = cb(cell.toInt)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      out(i) = v.getDouble(i) - c(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Orthogonal rotation as a product of Householder reflections — the
   * OPQ pre-transform ([[graft.operators.Opq]]): w := w − (2·⟨u,w⟩/⟨u,u⟩)·u
   * applied for each reflector in order, then every coordinate rounded to
@@ -468,4 +525,9 @@ object VectorExpressions {
                         dp: Int = 6): Column =
     Bridge.column(HouseholderRotateExpr(
       Bridge.expression(v.cast("array<double>")), reflectors, dp))
+  def cellResidual(v: Column, cell: Column,
+                   codebook: Seq[Seq[Double]]): Column =
+    Bridge.column(CellResidualExpr(
+      Bridge.expression(v.cast("array<double>")),
+      Bridge.expression(cell.cast("bigint")), codebook))
 }

@@ -253,9 +253,11 @@ object Dedup {
                            textCol: String, idCol: String,
                            n: Int, k: Int, bands: Int,
                            threshold: Double): DeltaBanded = {
-    val newReps = fingerprintReps(newDocs, textCol, idCol)
+    val batchReps = fingerprintReps(newDocs, textCol, idCol)
+      .localCheckpoint(false) // feeds the anti-join and the count join
+    val newReps = batchReps
       .join(state.select(col("fp")), Seq("fp"), "left_anti")
-      .localCheckpoint(false) // feeds bands, base, and the merge below
+      .localCheckpoint(false) // feeds bands and base
     val (baseNew, bandedNew) = bandedRelations(newReps, "text", "id", n, k, bands)
     val ln = bandedNew.select(col("id").as("ida"), col("band"))
     val candNN = ln.join(bandedNew.select(col("id").as("idb"), col("band")),
@@ -267,9 +269,22 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
     val cand = candNN.union(candNO).distinct()
-    val merged = mergeFingerprintRepState(state, newDocs, textCol, idCol)
-    val w1 = merged.select(col("id").as("id1"), col("n_copies").as("nc1"))
-    val w2 = merged.select(col("id").as("id2"), col("n_copies").as("nc2"))
+    // merged copy counts WITHOUT the state-wide merge window: the
+    // keeper-stable fold means a state keeper's merged count is
+    // state.n_copies + its fp's batch copies, and a new keeper carries
+    // its batch count — one keyed left join with the (small) batch
+    // side broadcastable, no state∪batch exchange. Equals
+    // [[mergeFingerprintRepState]]'s counts for every keeper id by
+    // construction (MinhashDeltaSpec pins the composed relation).
+    val counts = state
+      .select(col("fp"), col("id"), col("n_copies"))
+      .join(batchReps.select(col("fp"), col("n_copies").as("graft_bn_")),
+        Seq("fp"), "left")
+      .select(col("id"),
+        (col("n_copies") + coalesce(col("graft_bn_"), lit(0L))).as("n_copies"))
+      .unionByName(newReps.select(col("id"), col("n_copies")))
+    val w1 = counts.select(col("id").as("id1"), col("n_copies").as("nc1"))
+    val w2 = counts.select(col("id").as("id2"), col("n_copies").as("nc2"))
     val pairs = jaccardVerify(cand, baseNew.unionByName(baseOld), threshold)
       .join(w1, Seq("id1")).join(w2, Seq("id2"))
       .select(col("id1"), col("id2"), col("jaccard"),

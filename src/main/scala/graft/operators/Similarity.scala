@@ -280,8 +280,6 @@ object Similarity {
   private def adcTables(queries: DataFrame, vecCol: String, idCol: String,
                         codebook: Seq[Seq[Double]], m: Int): DataFrame = {
     val dim = codebook.head.length
-    val sub = dim / m
-    val kCent = codebook.length
     val qRows = queries
       .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
@@ -292,26 +290,37 @@ object Similarity {
       val qv = r.getSeq[Double](1).toArray
       require(qv.length == dim,
         s"query ${r.getLong(0)} has dim ${qv.length}, codebook has $dim")
-      val dt = new Array[Double](m * kCent)
-      var j = 0
-      while (j < m) {
-        var cidx = 0
-        while (cidx < kCent) {
-          var ipaa = 0.0; var ipab = 0.0; var ipbb = 0.0
-          var i = j * sub
-          val end = (j + 1) * sub
-          while (i < end) {
-            val a = qv(i); val b = codebook(cidx)(i)
-            ipaa += a * a; ipab += a * b; ipbb += b * b
-            i += 1
-          }
-          dt(j * kCent + cidx) = ipaa - 2 * ipab + ipbb
-          cidx += 1
-        }
-        j += 1
-      }
-      (r.getLong(0), dt.toSeq)
+      (r.getLong(0), adcTableFor(qv, codebook, m).toSeq)
     }.toDF("query_id", "dt")
+  }
+
+  /** One flat [j·kCent + cidx] ADC table for a single (residual or raw)
+    * query vector — the i-loop accumulation order matches the oracle's
+    * list_inner_product slices. */
+  private def adcTableFor(qv: Array[Double], codebook: Seq[Seq[Double]],
+                          m: Int): Array[Double] = {
+    val dim = codebook.head.length
+    val sub = dim / m
+    val kCent = codebook.length
+    val dt = new Array[Double](m * kCent)
+    var j = 0
+    while (j < m) {
+      var cidx = 0
+      while (cidx < kCent) {
+        var ipaa = 0.0; var ipab = 0.0; var ipbb = 0.0
+        var i = j * sub
+        val end = (j + 1) * sub
+        while (i < end) {
+          val a = qv(i); val b = codebook(cidx)(i)
+          ipaa += a * a; ipab += a * b; ipbb += b * b
+          i += 1
+        }
+        dt(j * kCent + cidx) = ipaa - 2 * ipab + ipbb
+        cidx += 1
+      }
+      j += 1
+    }
+    dt
   }
 
   /** score = Σ_j dt[j*kCent + codes[j]] — explicit left-assoc chain of
@@ -435,6 +444,82 @@ object Similarity {
     coded.join(broadcast(probes.join(tables, Seq("query_id"))), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("adc_d2", round(adcScore(m, codebook.length), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("adc_d2"))
+  }
+
+  /** (id, cell, rv) — every vector's coarse cell plus its RESIDUAL
+    * against the assigned centroid: the IVFADC encoding input and the
+    * relation the residual PQ codebook trains on. One map-only
+    * projection chain (NearestCellExpr then CellResidualExpr, both
+    * literal-codebook compiled calls — zero shuffle at any size). No
+    * rounding grid: the subtraction of identical doubles is identical
+    * in both engines. */
+  def cellResiduals(corpus: DataFrame, vecCol: String, idCol: String,
+                    cellCodebook: Seq[Seq[Double]]): DataFrame =
+    cellAssignmentsTrained(corpus, vecCol, idCol, cellCodebook)
+      .select(col("id"), col("cell"),
+        VectorExpressions.cellResidual(col("v"), col("cell"), cellCodebook)
+          .as("rv"))
+
+  /** IVF-PQ with RESIDUAL encoding — IVFADC proper (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search" §IV-A; the
+    * faiss IndexIVFPQ default): each vector PQ-encodes its residual
+    * v − centroid(cell(v)) instead of the raw vector. Residuals
+    * cluster near the origin with the inter-cell structure removed, so
+    * the same PQ bit budget spends its centroids on LOCAL detail — the
+    * published quality step past e09's raw-vector codes. The price:
+    * a query's ADC table now depends on the probed cell (the query
+    * residual differs per cell), so the driver builds |queries|×nProbe
+    * tables instead of |queries| — still the bounded-batch contract.
+    *
+    * Plan shape: assignment + residual + PQ encode in ONE map-only
+    * projection chain over the corpus scan (three literal-codebook
+    * compiled calls, zero shuffle); the probe join is an equi-join on
+    * cell against the broadcast (query_id, cell, dt) tables; top-k via
+    * the per-query window. At warehouse scale the code table is
+    * written partitioned BY cell exactly as e07 (IvfStorageSpec). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, k: Int,
+                        cellCodebook: Seq[Seq[Double]], nProbe: Int,
+                        m: Int, pqCodebook: Seq[Seq[Double]]): DataFrame = {
+    val dim = pqCodebook.head.length
+    val coded = cellResiduals(corpus, vecCol, idCol, cellCodebook)
+      .select(col("id"), col("cell"),
+        graft.expressions.VectorExpressions
+          .pqEncode(col("rv"), pqCodebook, m).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("id"), col("cell"), col("st.codes").as("codes"))
+    val probeRows = probeCellsOn(centsOf(corpus.sparkSession, cellCodebook),
+        queries, vecCol, idCol, nProbe)
+      .select(col("query_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val qVecs = queries
+      .select(col(idCol).cast(LongType).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val tables = probeRows.toSeq.flatMap { case (qid, cell) =>
+      qVecs.get(qid).map { qv =>
+        require(qv.length == dim,
+          s"query $qid has dim ${qv.length}, codebook has $dim")
+        val cent = cellCodebook(cell.toInt)
+        val qr = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { qr(i) = qv(i) - cent(i); i += 1 }
+        (qid, cell, adcTableFor(qr, pqCodebook, m).toSeq)
+      }
+    }.toDF("query_id", "cell", "dt")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("id").asc)
+    coded.join(broadcast(tables), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(adcScore(m, pqCodebook.length), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),

@@ -737,6 +737,104 @@ object DataQueries {
     s"""$opqRotCtes,
        |${ivfPqSqlBody(pqCbCtes)}""".stripMargin
 
+  /** RESIDUAL-encoded IVF-PQ (e12) — IVFADC proper (Jégou et al. 2011;
+    * the faiss IndexIVFPQ default): PQ codes compress v − centroid
+    * (cell(v)) with the sub-codebooks TRAINED ON RESIDUALS; queries
+    * build one ADC table per probed cell. See [[Similarity
+    * .ivfPqResidualTopK]]. The oracle replays coarse fit → assignment
+    * → residuals → 4 residual sub-fits → per-probe-cell ADC, all from
+    * md5 + parquet. Same query split as e02/e05/e07/e09/e11. */
+  private val residModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[Double]]]
+  private def residModel(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    synchronized {
+      residModels.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) residModels.remove(kk)
+      }
+      residModels.getOrElseUpdate((s, dir), {
+        val resid = Similarity.cellResiduals(Catalog(s, dir).embeddings,
+          "embedding", "vec_id", kmModel(s, dir).centroids)
+        KMeans.fitPqCodebook(resid, "rv", "id", m = 4, kCent = kmK,
+          dim = kmDim, initRounds = kmRounds, oversample = kmL,
+          iters = kmIters)
+      })
+    }
+
+  val e12IvfPqResidual: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5,
+        cellCodebook = kmModel(s, dir).centroids, nProbe = 2,
+        m = 4, pqCodebook = residModel(s, dir))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e12Sql: String = {
+    val sub = kmDim / 4
+    val subFits = (0 until 4).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""r${j}sub0 AS (SELECT id, v[$lo:$hi] AS sv FROM resf),
+         |r${j}src AS (SELECT id, sv AS v FROM r${j}sub0
+         |  WHERE list_inner_product(sv, sv) > 0 AND list_inner_product(sv, sv) < 'Infinity'::DOUBLE),
+         |${kmCtesFor(s"r$j", s"r${j}src", sub, "l2", s"pq$j")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |$kmCtes,
+       |asg AS (SELECT id, cell FROM (
+       |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+       |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |res AS MATERIALIZED (SELECT a.id, a.cell,
+       |  list_transform(range(1, ${kmDim + 1}), i -> e.v[i] - c.cv[i]) AS v
+       |  FROM asg a JOIN e ON e.id = a.id JOIN cents c ON c.cell = a.cell),
+       |resf AS (SELECT id, v FROM res
+       |  WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |$subFits,
+       |cb AS (SELECT r0.cell AS cidx, ((r0.cv || r1.cv) || r2.cv) || r3.cv AS cv
+       |  FROM r0cents r0 JOIN r1cents r1 ON r1.cell = r0.cell
+       |  JOIN r2cents r2 ON r2.cell = r0.cell
+       |  JOIN r3cents r3 ON r3.cell = r0.cell),
+       |js AS (SELECT unnest(range(0, 4)) AS j),
+       |d AS (SELECT t.id, js.j, cb.cidx,
+       |  list_inner_product(t.v[js.j*16+1 : (js.j+1)*16], t.v[js.j*16+1 : (js.j+1)*16])
+       |  - 2 * list_inner_product(t.v[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16])
+       |  + list_inner_product(cb.cv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16]) AS d2
+       |  FROM res t CROSS JOIN js CROSS JOIN cb),
+       |best AS (SELECT id, j, cidx, d2,
+       |  row_number() OVER (PARTITION BY id, j ORDER BY d2, cidx) AS rn FROM d),
+       |b1 AS (SELECT id, j, cidx FROM best WHERE rn = 1),
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+       |qres AS (SELECT p.query_id, p.cell,
+       |  list_transform(range(1, ${kmDim + 1}), i -> q.qv[i] - c.cv[i]) AS qv
+       |  FROM probes p JOIN q USING (query_id) JOIN cents c ON c.cell = p.cell),
+       |qd AS (SELECT t.query_id, t.cell, js.j, cb.cidx,
+       |  list_inner_product(t.qv[js.j*16+1 : (js.j+1)*16], t.qv[js.j*16+1 : (js.j+1)*16])
+       |  - 2 * list_inner_product(t.qv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16])
+       |  + list_inner_product(cb.cv[js.j*16+1 : (js.j+1)*16], cb.cv[js.j*16+1 : (js.j+1)*16]) AS d2
+       |  FROM qres t CROSS JOIN js CROSS JOIN cb),
+       |cand AS (SELECT p.query_id, a.id, a.cell FROM asg a
+       |  JOIN probes p ON a.cell = p.cell WHERE a.id <> p.query_id),
+       |sc AS (SELECT c2.query_id, b1.id,
+       |  round(((MAX(CASE WHEN b1.j = 0 THEN qd.d2 END)
+       |    + MAX(CASE WHEN b1.j = 1 THEN qd.d2 END))
+       |    + MAX(CASE WHEN b1.j = 2 THEN qd.d2 END))
+       |    + MAX(CASE WHEN b1.j = 3 THEN qd.d2 END), 6) AS adc_d2
+       |  FROM cand c2 JOIN b1 ON b1.id = c2.id
+       |  JOIN qd ON qd.query_id = c2.query_id AND qd.cell = c2.cell
+       |    AND qd.j = b1.j AND qd.cidx = b1.cidx
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, id, adc_d2, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc_d2, id) AS rank FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, adc_d2
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
     * the higher id, keeper = lowest-id over-threshold cluster-mate; see
     * [[Dedup.semanticDedupTrained]]. Clusters are the TRAINED e08
@@ -1574,6 +1672,7 @@ object DataQueries {
     "e09_ivf_pq_trained" -> e09IvfPqTrained,
     "e10_kmeans_sampled" -> e10KmeansSampled,
     "e11_opq_ivf_pq" -> e11OpqIvfPq,
+    "e12_ivf_pq_residual" -> e12IvfPqResidual,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1618,6 +1717,7 @@ object DataQueries {
     "e09_ivf_pq_trained" -> e09Sql,
     "e10_kmeans_sampled" -> e10Sql,
     "e11_opq_ivf_pq" -> e11Sql,
+    "e12_ivf_pq_residual" -> e12Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

@@ -49,9 +49,11 @@ object ClusterSmoke {
     // multi-JVM run is exactly where a non-deterministic accumulation
     // would surface (the exact-int64 contract says it cannot)
     "e08_kmeans_cells", "e09_ivf_pq_trained",
-    // round-8 shape: OPQ rotation (map-only compiled Householder pass)
-    // feeding the fully-trained pipeline across executor JVMs
-    "e11_opq_ivf_pq",
+    // round-8 shapes: OPQ rotation (map-only compiled Householder pass)
+    // feeding the fully-trained pipeline across executor JVMs, and
+    // residual IVF-PQ (assignment + residual + encode in one projection
+    // chain, per-probe-cell ADC tables)
+    "e11_opq_ivf_pq", "e12_ivf_pq_residual",
     // exact-dedup-first pairing (fp window + weight join), mixture
     // weights application, and the social mart's staged try-parse path
     "d04_dedup_ngram_jaccard", "q46_social_mart", "m02_media_features",

@@ -38,6 +38,15 @@ object RecallProbe {
     report("anisotropic", emb.select(col("vec_id"),
       expr("transform(embedding, (x, i) -> cast(x as double) * (1.0d + i / 8.0d))")
         .as("embedding")))
+    // clustered: each label's vectors shifted +6.0 along one of 16 axis
+    // directions (vector norms ~1, so clusters are far apart) — the
+    // corpus shape real embedding models produce and the IVFADC (e12)
+    // value case: the cell id absorbs the cluster offset, residual
+    // codes only have to resolve the local cloud
+    report("clustered", emb.select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x as double) + " +
+        "CASE WHEN i = CAST(label % 16 AS INT) * 4 THEN 6.0d ELSE 0.0d END)")
+        .as("embedding")))
     spark.stop()
   }
 
@@ -101,5 +110,21 @@ object RecallProbe {
       rot, rotQ, "v", "id", 5, 4, cbR64)))
     println(f"[recall] $tag%-12s recall@5 kcent=64: " +
       f"pq-trained=$r64Train%.3f opq=$r64Opq%.3f (exact=1.0)")
+
+    // e12 vs e09 under the SAME cell pruning (nProbe=2 of 16): both
+    // search the identical probed subset, so the row isolates what the
+    // codes encode — raw vectors vs residuals (IVFADC's claim: with
+    // inter-cell structure factored into the cell id, the same PQ
+    // budget resolves local detail)
+    val rIvfRaw = rl(hits(Similarity.ivfPqTopKFullyTrained(
+      emb, q, "embedding", "vec_id", 5, km.centroids, 2, 4, cbT)))
+    val residDf = Similarity.cellResiduals(emb, "embedding", "vec_id",
+      km.centroids)
+    val cbRes = KMeans.fitPqCodebook(residDf, "rv", "id",
+      m = 4, kCent = 16, dim = 64)
+    val rIvfResid = rl(hits(Similarity.ivfPqResidualTopK(
+      emb, q, "embedding", "vec_id", 5, km.centroids, 2, 4, cbRes)))
+    println(f"[recall] $tag%-12s recall@5 ivf-pq nprobe=2: " +
+      f"raw-codes(e09)=$rIvfRaw%.3f residual(e12)=$rIvfResid%.3f (exact=1.0)")
   }
 }

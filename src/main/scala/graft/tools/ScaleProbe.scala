@@ -8,11 +8,23 @@ import org.apache.spark.sql.functions._
   * ids and a salt token so replicas are near- but not exact dups) and
   * times the dedup/text operators at 1x vs Nx — evidence that the
   * operator costs scale near-linearly with corpus size.
-  * Usage: runMain graft.tools.ScaleProbe [replicas]
+  *
+  * Usage: runMain graft.tools.ScaleProbe [replicas] [stage,stage,...]
+  *
+  * The second argument selects stages so each can run in its OWN JVM
+  * (VERDICT r7 next-#7: in-probe stage timings inflated up to ~4x from
+  * prior-stage heap pressure — semantic_dedup measured 23-43 s
+  * in-probe vs ~12 s isolated; per-stage isolation makes the printed
+  * number the believable number). Replicated corpora are written once
+  * per (replicas) and REUSED across invocations, so an isolated sweep
+  * (`for s in ...; sbt "runMain graft.tools.ScaleProbe 64 $s"`) pays
+  * the corpus build only once.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(16)
+    val only: Option[Set[String]] = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -20,207 +32,293 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val big = (0 until replicas).map { r =>
-      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
-        concat(col("text"), lit(s" replica$r")).as("text"))
-    }.reduce(_ unionByName _)
-    val dir = s"/tmp/graft_scale_${replicas}x"
-    big.repartition(32).write.mode("overwrite").parquet(dir)
-    val docs = spark.read.parquet(dir)
-    println(s"[scale] corpus: ${docs.count()} docs (${replicas}x)")
+    def stage(name: String)(body: => Unit): Unit =
+      if (only.forall(_.contains(name))) body
+
+    /** Write-once corpus prep: replicated relations are deterministic
+      * per (replicas), so a finished dir (_SUCCESS marker) is reused —
+      * the isolated per-stage sweep builds each corpus exactly once. */
+    def prepared(dir: String)(build: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists)
+        build.repartition(32).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    lazy val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // salted replicas: near- but not exact dups (worst case — every
+    // replica must pair)
+    lazy val docs = prepared(s"/tmp/graft_scale_${replicas}x") {
+      (0 until replicas).map { r =>
+        base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica$r")).as("text"))
+      }.reduce(_ unionByName _)
+    }
+    // exact replicas: the common-crawl duplication shape
+    lazy val exactDocs = prepared(s"/tmp/graft_scale_exact_${replicas}x") {
+      (0 until replicas).map { r =>
+        base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+    }
+    lazy val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    lazy val embBig = prepared(s"/tmp/graft_scale_emb_${replicas}x") {
+      (0 until replicas).map { r =>
+        emb.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+    }
 
     // noop sink, not count(): for map-only operators (simhash, text
     // profile) Catalyst prunes the projection under a bare count and
     // the probe would time an empty scan.
+    //
+    // Each stage runs TWICE in its (isolated) JVM and reports both:
+    // per-stage JVMs remove cross-stage heap pressure (the r7 ~4x
+    // inflation) but introduce cold-JIT inflation instead — a fresh
+    // JVM pays C2-compile inside the first measured run (observed: a
+    // 0.8 s warm map-only stage reads ~6 s cold). cold≈steady for
+    // long stages; STEADY is the cross-round comparable number, same
+    // min-of-2 contract as Bench.
     def t(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      body.write.format("noop").mode("overwrite").save()
-      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        body.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = once()
+      spark.catalog.clearCache(); System.gc()
+      val t2 = once()
+      println(f"[scale] $name%-24s cold=$t1%8.2f s steady=${math.min(t1, t2)}%8.2f s")
     }
-    t("exact_dedup")(Dedup.exactDuplicates(docs, "text", "doc_id"))
-    t("minhash_pairs")(Dedup.minhashPairs(docs, "text", "doc_id",
-      n = 3, k = 16, bands = 4, threshold = 0.2))
-    t("ngram_jaccard_pairs")(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-      n = 3, threshold = 0.2, k = 8, bands = 4))
 
-    // dedup-before-pairing payoff (VERDICT r6 next-#2): the salted
-    // replicas above are NEAR-dups (worst case — every replica must
-    // pair); this corpus replicates EXACTLY, the common-crawl case.
-    // The pair pipeline runs on distinct fingerprints, so cost must
-    // track the 1x distinct content + one fp-keyed window, not the
-    // Nx crawl
-    val exactDir = s"/tmp/graft_scale_exact_${replicas}x"
-    (0 until replicas).map { r =>
-      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
-        col("text"))
-    }.reduce(_ unionByName _)
-      .repartition(32).write.mode("overwrite").parquet(exactDir)
-    val exactDocs = spark.read.parquet(exactDir)
-    t("minhash_pairs_exactdup")(Dedup.minhashPairs(exactDocs, "text",
-      "doc_id", n = 3, k = 16, bands = 4, threshold = 0.2))
-    t("simhash_sigs")(Dedup.simhash(docs, "text", "doc_id"))
-    t("text_profile")(TextAnalysis.profile(docs, "text", "doc_id"))
+    stage("exact_dedup") {
+      t("exact_dedup")(Dedup.exactDuplicates(docs, "text", "doc_id"))
+    }
+    stage("minhash_pairs") {
+      t("minhash_pairs")(Dedup.minhashPairs(docs, "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.2))
+    }
+    stage("ngram_jaccard_pairs") {
+      t("ngram_jaccard_pairs")(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.2, k = 8, bands = 4))
+    }
+    // dedup-before-pairing payoff (VERDICT r6 next-#2): the pair
+    // pipeline runs on distinct fingerprints, so cost must track the 1x
+    // distinct content + one fp-keyed window, not the Nx crawl
+    stage("minhash_pairs_exactdup") {
+      t("minhash_pairs_exactdup")(Dedup.minhashPairs(exactDocs, "text",
+        "doc_id", n = 3, k = 16, bands = 4, threshold = 0.2))
+    }
+    stage("simhash_sigs") {
+      t("simhash_sigs")(Dedup.simhash(docs, "text", "doc_id"))
+    }
+    stage("text_profile") {
+      t("text_profile")(TextAnalysis.profile(docs, "text", "doc_id"))
+    }
 
-    // d04 bucket-size distribution: the r2 single-min-shingle bucket
-    // collected corpus-common shingles into one mega-bucket (quadratic
-    // self-join); r=2 banding must keep the max bucket bounded by the
-    // true near-dup group size, not corpus-wide boilerplate. Printed as
-    // evidence alongside the timing (VERDICT r2 next-#2).
-    // the SAME banded relation d04 uses (shared helper — an inline
-    // re-derivation would silently drift from the operator under test)
-    val (_, bands) = Dedup.bandedRelations(docs, "text", "doc_id",
-      n = 3, k = 8, bands = 4)
-    val dist = bands.groupBy("band").count()
-      .agg(max("count").as("max"),
-        expr("percentile(count, 0.99)").as("p99"),
-        avg("count").as("mean"), count(lit(1)).as("n_buckets")).head()
-    println(f"[scale] d04_buckets: max=${dist.getLong(0)} " +
-      f"p99=${dist.getDouble(1)}%.1f mean=${dist.getDouble(2)}%.2f " +
-      f"n=${dist.getLong(3)} (replica groups are ${replicas + 1} true dups)")
+    // DELTA DEDUP against materialized signature state (VERDICT r7
+    // next-#3 probe): fold the Nx corpus into keeper state ONCE
+    // (write-once, like the corpora), then pair a 1x batch of fresh
+    // near-dups against it two ways — re-deriving the state's bands
+    // from stored text (the convenience form) vs reading the persisted
+    // band/base companion tables (the scale form). The banded time must
+    // track the BATCH, not the state: its state-side work is map-only
+    // column-pruned scans (band join broadcasts the batch side), while
+    // the plain form re-shingles and re-hashes every stored keeper.
+    stage("delta_dedup") {
+      val stateDir = s"/tmp/graft_scale_state_${replicas}x"
+      val state = prepared(stateDir) {
+        Dedup.fingerprintRepState(docs, "text", "doc_id")
+      }
+      val (b0, bd0) = Dedup.minhashBandState(state)
+      val stateBase = prepared(s"${stateDir}_base")(b0)
+      val stateBands = prepared(s"${stateDir}_bands")(bd0)
+      val batch = base.select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        concat(col("text"), lit(" deltabatch")).as("text"))
+      t("delta_plain")(Dedup.minhashPairsDelta(
+        batch, state, "text", "doc_id", threshold = 0.2))
+      t("delta_banded")(Dedup.minhashPairsDeltaBanded(
+        batch, state, stateBase, stateBands, "text", "doc_id",
+        threshold = 0.2).pairs)
+    }
+
+    // d04 bucket-size distribution: r=2 banding must keep the max
+    // bucket bounded by the true near-dup group size, not corpus-wide
+    // boilerplate (VERDICT r2 next-#2). Shared helper — an inline
+    // re-derivation would silently drift from the operator under test.
+    stage("d04_buckets") {
+      val (_, bands) = Dedup.bandedRelations(docs, "text", "doc_id",
+        n = 3, k = 8, bands = 4)
+      val dist = bands.groupBy("band").count()
+        .agg(max("count").as("max"),
+          expr("percentile(count, 0.99)").as("p99"),
+          avg("count").as("mean"), count(lit(1)).as("n_buckets")).head()
+      println(f"[scale] d04_buckets: max=${dist.getLong(0)} " +
+        f"p99=${dist.getDouble(1)}%.1f mean=${dist.getDouble(2)}%.2f " +
+        f"n=${dist.getLong(3)} (replica groups are ${replicas + 1} true dups)")
+    }
 
     // skew join (q45 shape): 75% of fact rows land on ONE hot key; the
     // two-path join must stay ~linear in fact size because only the
     // bounded hot-key subset of the dim is replicated (VERDICT r3 #7)
-    val nFact = docs.count()
-    val fact = docs.select(col("doc_id").as("v"),
-      when(pmod(col("doc_id"), lit(4)) < 3, lit(7L))
-        .otherwise(pmod(col("doc_id"), lit(997L))).as("k"))
-    val dim = spark.range(0, 1000).select(col("id").as("k"),
-      concat(lit("dim"), col("id")).as("name"))
-    t(s"skew_join_${nFact}rows")(
-      graft.operators.SkewJoin.saltedInnerJoin(fact, dim, "k",
-        saltBuckets = 8, sampleFraction = 0.05))
+    stage("skew_join") {
+      val nFact = docs.count()
+      val fact = docs.select(col("doc_id").as("v"),
+        when(pmod(col("doc_id"), lit(4)) < 3, lit(7L))
+          .otherwise(pmod(col("doc_id"), lit(997L))).as("k"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("name"))
+      t(s"skew_join_${nFact}rows")(
+        graft.operators.SkewJoin.saltedInnerJoin(fact, dim, "k",
+          saltBuckets = 8, sampleFraction = 0.05))
+    }
 
     // connected components: edge count scales with the corpus (chains
     // of length 1000), rounds stay O(log diameter) — wall-clock must
     // track edges linearly, not explode with rounds (VERDICT r3 #7)
-    val nChains = replicas * 25
-    val chain = spark.range(0, nChains * 1000L)
-      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
-      .filter((col("id1") + 1) % 1000 =!= 0) // break into length-1000 chains
-    t(s"connected_components_${nChains * 999}edges")(
-      Dedup.connectedComponents(chain, maxIter = 30))
+    stage("connected_components") {
+      val nChains = replicas * 25
+      val chain = spark.range(0, nChains * 1000L)
+        .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+        .filter((col("id1") + 1) % 1000 =!= 0) // break into length-1000 chains
+      t(s"connected_components_${nChains * 999}edges")(
+        Dedup.connectedComponents(chain, maxIter = 30))
+    }
 
     // round-5 curation operators: t08/t09 claim map-only linearity;
     // t11's LM build is bounded by the 5% sample + top-1000 cutoff and
     // scoring is map-only; d10's bench side is 5% (grows here, but
     // real benchmarks are fixed-size eval suites)
-    t("pii_profile")(TextAnalysis.piiProfile(docs, "text", "doc_id"))
-    t("repetition_profile")(TextAnalysis.repetitionProfile(docs, "text", "doc_id"))
-    t("lm_build_and_score") {
-      val isLm = pmod(graft.functions.GraftFunctions.md5Long(
-        col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
-      val (lm, oov) = TextAnalysis.unigramLm(docs.filter(isLm), "text", vocab = 1000)
-      TextAnalysis.lmCrossEntropy(docs, "text", "doc_id", lm, oov)
+    stage("pii_profile") {
+      t("pii_profile")(TextAnalysis.piiProfile(docs, "text", "doc_id"))
     }
-    t("containment_pairs") {
-      val isBench = pmod(graft.functions.GraftFunctions.md5Long(
-        col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(100L)) < 5L
-      TextAnalysis.containmentPairs(
-        docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", n = 4)
+    stage("repetition_profile") {
+      t("repetition_profile")(
+        TextAnalysis.repetitionProfile(docs, "text", "doc_id"))
+    }
+    stage("lm_build_and_score") {
+      t("lm_build_and_score") {
+        val isLm = pmod(graft.functions.GraftFunctions.md5Long(
+          col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
+        val (lm, oov) = TextAnalysis.unigramLm(docs.filter(isLm), "text", vocab = 1000)
+        TextAnalysis.lmCrossEntropy(docs, "text", "doc_id", lm, oov)
+      }
+    }
+    stage("containment_pairs") {
+      t("containment_pairs") {
+        val isBench = pmod(graft.functions.GraftFunctions.md5Long(
+          col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(100L)) < 5L
+        TextAnalysis.containmentPairs(
+          docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", n = 4)
+      }
     }
 
     // m05 chunking: map-side fan-out, must track payload bytes linearly
-    t("media_chunk") {
-      implicit val sp: SparkSession = spark
-      graft.multimodal.Multimodal.chunk(
-        graft.multimodal.Multimodal.fromDocuments(
-          docs.withColumn("lang", lit("en")).withColumn("source", lit("probe"))),
-        chunkSize = 256)
+    stage("media_chunk") {
+      t("media_chunk") {
+        implicit val sp: SparkSession = spark
+        graft.multimodal.Multimodal.chunk(
+          graft.multimodal.Multimodal.fromDocuments(
+            docs.withColumn("lang", lit("en")).withColumn("source", lit("probe"))),
+          chunkSize = 256)
+      }
+    }
+
+    // e04 PQ encode: map-only against the driver-collected codebook,
+    // must scale linearly with vector count
+    stage("pq_encode") {
+      t(s"pq_encode_${embBig.count()}vecs")(
+        graft.operators.Similarity.pqEncode(embBig, "embedding", "vec_id",
+          m = 4, centroidIds = (0L until 16L)))
     }
 
     // d05 audit-budget flatness: the exact all-pairs recall audit
     // samples an ABSOLUTE ~128-row budget via a corpus-size-derived
     // modulus, so its cost must stay flat as the corpus grows
     // (VERDICT r3 #2). Replicated embeddings stand in for growth.
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val bigEmb = (0 until replicas).map { r =>
-      emb.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
-        col("embedding"))
-    }.reduce(_ unionByName _)
-    val embDir = s"/tmp/graft_scale_emb_${replicas}x"
-    bigEmb.repartition(32).write.mode("overwrite").parquet(embDir)
-    val embBig = spark.read.parquet(embDir)
-    val nEmb = embBig.count()
-    // e04 PQ encode: map-only against the driver-collected codebook,
-    // must scale linearly with vector count
-    t(s"pq_encode_${nEmb}vecs")(
-      graft.operators.Similarity.pqEncode(embBig, "embedding", "vec_id",
-        m = 4, centroidIds = (0L until 16L)))
-
-    val kMod = math.max(1L, math.ceil(nEmb / 128.0).toLong)
-    t(s"d05_audit_${nEmb}vecs_mod$kMod")(
-      Dedup.embeddingNearDupPairs(
-        embBig.filter(pmod(
-          graft.functions.GraftFunctions.md5Long(
-            col("vec_id").cast(org.apache.spark.sql.types.StringType)),
-          lit(kMod)) === 0),
-        "embedding", "vec_id", threshold = 0.3))
+    stage("d05_audit") {
+      val nEmb = embBig.count()
+      val kMod = math.max(1L, math.ceil(nEmb / 128.0).toLong)
+      t(s"d05_audit_${nEmb}vecs_mod$kMod")(
+        Dedup.embeddingNearDupPairs(
+          embBig.filter(pmod(
+            graft.functions.GraftFunctions.md5Long(
+              col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+            lit(kMod)) === 0),
+          "embedding", "vec_id", threshold = 0.3))
+    }
 
     // round-6 operators: d13's pairwise stage is confined to cluster
     // buckets (cost tracks Σ cell², bounded by keeping cells small as k
     // scales with the corpus); e06's rerank cost is |queries|×shortlist,
-    // independent of corpus size; t12 is one shard-keyed shuffle with
-    // per-shard local sorts; t13 map-only; t14's model build is bounded
-    // by the 5% sample + vocab cutoffs, scoring map-only
-    // centroid count scales WITH the corpus (16 per replica): SemDeDup's
-    // contract is k growing to hold cell size ~constant — a fixed k
-    // would make the within-cell stage quadratic by construction
-    t(s"semantic_dedup_${nEmb}vecs_${16 * replicas}cells")(
-      Dedup.semanticDedup(embBig, "embedding", "vec_id",
-        centroidIds = (0L until (16L * replicas)), threshold = 0.3))
-    t(s"pq_rerank_${nEmb}vecs")(
-      graft.operators.Similarity.pqRerankTopK(embBig,
-        embBig.filter(pmod(col("vec_id"), lit(10000L)) === 0),
-        "embedding", "vec_id", k = 5, shortlist = 20,
-        m = 4, centroidIds = (0L until 16L)))
+    // independent of corpus size
+    stage("semantic_dedup") {
+      // centroid count scales WITH the corpus (16 per replica):
+      // SemDeDup's contract is k growing to hold cell size ~constant
+      t(s"semantic_dedup_${embBig.count()}vecs_${16 * replicas}cells")(
+        Dedup.semanticDedup(embBig, "embedding", "vec_id",
+          centroidIds = (0L until (16L * replicas)), threshold = 0.3))
+    }
+    stage("pq_rerank") {
+      t(s"pq_rerank_${embBig.count()}vecs")(
+        graft.operators.Similarity.pqRerankTopK(embBig,
+          embBig.filter(pmod(col("vec_id"), lit(10000L)) === 0),
+          "embedding", "vec_id", k = 5, shortlist = 20,
+          m = 4, centroidIds = (0L until 16L)))
+    }
 
     // e08 trained quantizer: fit cost = (2·rounds + iters + 2) bounded
     // jobs over the corpus (at warehouse scale, over a deterministic
     // sample — the int64-threshold contract in KMeans.scala); the
-    // payoff evidence is CELL BALANCE — trained cells must spread the
-    // corpus better than arbitrary id-named rows, because IVF probe
-    // cost and SemDeDup's Σ cell² both ride the largest cell
-    // (VERDICT r6 next-#1 probe entry)
-    val kmT0 = System.nanoTime()
-    val kmModel = graft.operators.KMeans.fit(
-      embBig, "embedding", "vec_id", k = 16, dim = 64)
-    println(f"[scale] kmeans_fit_${nEmb}vecs ${(System.nanoTime() - kmT0) / 1e9}%8.2f s")
-    def cellStats(asg: org.apache.spark.sql.DataFrame): (Long, Double) = {
-      val r = asg.groupBy("cell").count()
-        .agg(max("count").as("mx"), avg("count").as("mean")).head()
-      (r.getLong(0), r.getDouble(1))
+    // payoff evidence is CELL BALANCE — IVF probe cost and SemDeDup's
+    // Σ cell² both ride the largest cell (VERDICT r6 next-#1)
+    stage("kmeans_fit") {
+      val nEmb = embBig.count()
+      val kmT0 = System.nanoTime()
+      val kmModel = graft.operators.KMeans.fit(
+        embBig, "embedding", "vec_id", k = 16, dim = 64)
+      println(f"[scale] kmeans_fit_${nEmb}vecs ${(System.nanoTime() - kmT0) / 1e9}%8.2f s")
+      def cellStats(asg: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val r = asg.groupBy("cell").count()
+          .agg(max("count").as("mx"), avg("count").as("mean")).head()
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (trMax, trMean) = cellStats(graft.operators.Similarity
+        .cellAssignmentsTrained(embBig, "embedding", "vec_id", kmModel.centroids))
+      val (siMax, siMean) = cellStats(graft.operators.Similarity
+        .cellAssignments(embBig, "embedding", "vec_id", 0L until 16L))
+      println(f"[scale] kmeans_cells: trained max=$trMax mean=$trMean%.1f | " +
+        f"stand-in max=$siMax mean=$siMean%.1f (lower max = better balance)")
     }
-    val (trMax, trMean) = cellStats(graft.operators.Similarity
-      .cellAssignmentsTrained(embBig, "embedding", "vec_id", kmModel.centroids))
-    val (siMax, siMean) = cellStats(graft.operators.Similarity
-      .cellAssignments(embBig, "embedding", "vec_id", 0L until 16L))
-    println(f"[scale] kmeans_cells: trained max=$trMax mean=$trMean%.1f | " +
-      f"stand-in max=$siMax mean=$siMean%.1f (lower max = better balance)")
 
     // ANN recall@5 moved to its own main ([[RecallProbe]]): quality
-    // numbers must not share a JVM with the timing stages above — heap
-    // pressure inflated in-probe measurements up to ~4x (VERDICT r7
-    // next-#7), and recall adds the e11 OPQ rows + an anisotropic
-    // corpus that this probe's replicated-documents setup doesn't need.
-    t("shard_shuffle")(graft.io.Export.assignShards(docs, "doc_id", 64))
-    t("gopher_profile")(TextAnalysis.gopherProfile(docs, "text", "doc_id"))
-    t("stratified_sample")(
-      TextAnalysis.stratifiedSample(docs.withColumn("source",
-        pmod(col("doc_id"), lit(20L))), "doc_id", "source", perStratum = 100))
+    // numbers must not share a JVM with the timing stages above.
+
+    stage("shard_shuffle") {
+      t("shard_shuffle")(graft.io.Export.assignShards(docs, "doc_id", 64))
+    }
+    stage("gopher_profile") {
+      t("gopher_profile")(TextAnalysis.gopherProfile(docs, "text", "doc_id"))
+    }
+    stage("stratified_sample") {
+      t("stratified_sample")(
+        TextAnalysis.stratifiedSample(docs.withColumn("source",
+          pmod(col("doc_id"), lit(20L))), "doc_id", "source", perStratum = 100))
+    }
     // d12 span dedup: span generation map-only, the span-stats exchange
     // is linear in corpus tokens, and the removal/rebuild relations are
-    // bounded by DUPLICATED text volume — with replicas as true
-    // near-dups the duplicated volume here grows with the corpus, so
-    // time tracks the rewrite output (like minhash_pairs tracks pairs)
-    t("span_dedup")(TextAnalysis.spanDedup(docs, "text", "doc_id", k = 10))
-    t("bigram_lm_build_and_score") {
-      val isLm = pmod(graft.functions.GraftFunctions.md5Long(
-        col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
-      val (bi, uni, oov, backoff) = TextAnalysis.bigramLm(
-        docs.filter(isLm), "text", vocab = 1000, bigramVocab = 2000)
-      TextAnalysis.bigramCrossEntropy(docs, "text", "doc_id", bi, uni, oov, backoff)
+    // bounded by DUPLICATED text volume
+    stage("span_dedup") {
+      t("span_dedup")(TextAnalysis.spanDedup(docs, "text", "doc_id", k = 10))
+    }
+    stage("bigram_lm") {
+      t("bigram_lm_build_and_score") {
+        val isLm = pmod(graft.functions.GraftFunctions.md5Long(
+          col("doc_id").cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
+        val (bi, uni, oov, backoff) = TextAnalysis.bigramLm(
+          docs.filter(isLm), "text", vocab = 1000, bigramVocab = 2000)
+        TextAnalysis.bigramCrossEntropy(docs, "text", "doc_id", bi, uni, oov, backoff)
+      }
     }
     spark.stop()
   }
