@@ -552,6 +552,28 @@ object Dedup {
     labels.select(col("id"), col("lab").as("group_id"))
   }
 
+  /** DELTA connected components: fold newly discovered pairs into an
+    * existing (id, group_id) labeling WITHOUT re-running the closure
+    * over all historical pairs — the d08 member of the delta family
+    * (minhashPairsDelta produces the new pairs; this folds them into
+    * the transitive groups). The previous labeling is a spanning
+    * CONTRACTION of the old pair graph (every member points at its
+    * component's min id, which is itself a node), so running the
+    * closure over (label edges ∪ new pairs) reaches exactly the
+    * components of (all old pairs ∪ new pairs) — |state| + |batch|
+    * edges instead of the full history, with NO append-order
+    * assumption (min ids propagate globally either way; spec-pinned
+    * == full rebuild). O(log diameter) rounds as the base operator. */
+  def connectedComponentsDelta(labels: DataFrame, newPairs: DataFrame,
+                               maxIter: Int = 30): DataFrame = {
+    val labelEdges = labels
+      .filter(col("id") =!= col("group_id")) // keepers re-enter as mates' id2
+      .select(col("id").as("id1"), col("group_id").as("id2"))
+    connectedComponents(
+      labelEdges.unionByName(newPairs.select(col("id1"), col("id2"))),
+      maxIter)
+  }
+
   // -------------------------------------------------------------------
   // Embedding near-dup
   // -------------------------------------------------------------------

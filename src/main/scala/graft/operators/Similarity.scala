@@ -450,6 +450,70 @@ object Similarity {
         col("id"), col("adc_d2"))
   }
 
+  /** SQ8 scalar-quantizer stats: per-dimension (min, scale=max−min)
+    * over the corpus — the faiss IndexScalarQuantizer QT_8bit training
+    * contract (no codebook fit; two exact extrema per dimension, so
+    * the "training" is ONE bounded aggregate and the result is
+    * engine-exact with no float-accumulation concerns at all). Returns
+    * driver literals (dim pairs — broadcastable like a codebook). */
+  def sqTrain(corpus: DataFrame, vecCol: String,
+              idCol: String): (Seq[Double], Seq[Double]) = {
+    val c = corpus.select(toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val stats = c.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    (stats.map(_.getDouble(1)).toSeq,
+      stats.map(r => r.getDouble(2) - r.getDouble(1)).toSeq)
+  }
+
+  /** SQ8 search: corpus encoded to 1 byte/dim (8x compression vs
+    * doubles, NO training beyond the per-dim extrema), queries score
+    * the RECONSTRUCTION v̂ᵢ = minᵢ + codeᵢ/255·scaleᵢ by exact squared
+    * L2 — the asymmetric-distance contract (query stays full
+    * precision), round-6dp ASC with id tiebreak. Encode and decode are
+    * per-row index lambdas against the driver-literal stats: map-only
+    * at any corpus size, and a once-per-row cost (not a pairwise hot
+    * path), so the interpreted higher-order functions are acceptable
+    * here where the O(n²) kernels demanded compiled expressions.
+    * Scale shape: the flat-SQ index — at 100 TB this composes with
+    * IVF cell pruning exactly like e07's code table (partitioned BY
+    * cell); the scored relation carries dim bytes instead of dim
+    * doubles. Output: (query_id, rank, id, sq_d2). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int,
+             mins: Seq[Double], scales: Seq[Double]): DataFrame = {
+    val mnLit = typedlit(mins)
+    val scLit = typedlit(scales)
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    // code_i = round(((v_i − mn_i) / sc_i) · 255); constant dims -> 0
+    val codes = transform(col("v"), (x, i) =>
+      when(element_at(scLit, i + 1) === 0.0, lit(0L))
+        .otherwise(round((x - element_at(mnLit, i + 1)) /
+          element_at(scLit, i + 1) * lit(255.0), 0).cast(LongType)))
+    val coded = c.select(col("id"), codes.as("codes"))
+    // v̂_i = mn_i + (code_i / 255) · sc_i — the decode the oracle mirrors
+    val decoded = coded.select(col("id"),
+      transform(col("codes"), (cd, i) =>
+        element_at(mnLit, i + 1) +
+          cd.cast(DoubleType) / lit(255.0) * element_at(scLit, i + 1))
+        .as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val d2 = VectorExpressions.dot(col("qv"), col("qv")) -
+      lit(2.0) * VectorExpressions.dot(col("qv"), col("rv")) +
+      VectorExpressions.dot(col("rv"), col("rv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sq_d2").asc, col("id").asc)
+    decoded.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sq_d2", round(d2, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("sq_d2"))
+  }
+
   /** (id, cell, rv) — every vector's coarse cell plus its RESIDUAL
     * against the assigned centroid: the IVFADC encoding input and the
     * relation the residual PQ codebook trains on. One map-only

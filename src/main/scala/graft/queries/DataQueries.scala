@@ -835,6 +835,47 @@ object DataQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SQ8 scalar-quantized top-k (e13 — faiss IndexScalarQuantizer
+    * QT_8bit): per-dim linear [min,max] byte codes (8x compression, no
+    * codebook training), queries score the reconstruction by exact
+    * squared L2; see [[Similarity.sqTopK]]. The oracle replays stats →
+    * encode → decode → rank entirely in SQL — per-dim extrema are
+    * exact (no accumulation), and encode/decode are identical
+    * elementwise float chains in both engines. Same query split as
+    * e02/e05. */
+  val e13Sq8TopK: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    Similarity.sqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, mins, scales)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e13Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
+       |sl AS (SELECT list(mn ORDER BY i) AS mins,
+       |  list(mx - mn ORDER BY i) AS scs FROM st),
+       |cod AS (SELECT e.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> CASE WHEN s.scs[i] = 0 THEN 0
+       |    ELSE CAST(round((e.v[i] - s.mins[i]) / s.scs[i] * 255.0, 0) AS BIGINT) END) AS codes
+       |  FROM e CROSS JOIN sl s),
+       |dec AS (SELECT c.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> s.mins[i] + CAST(c.codes[i] AS DOUBLE) / 255.0 * s.scs[i]) AS rv
+       |  FROM cod c CROSS JOIN sl s),
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+       |sc2 AS (SELECT q.query_id, d.id,
+       |  round(list_inner_product(q.qv, q.qv)
+       |    - 2 * list_inner_product(q.qv, d.rv)
+       |    + list_inner_product(d.rv, d.rv), 6) AS sq_d2
+       |  FROM q CROSS JOIN dec d WHERE d.id <> q.query_id),
+       |r AS (SELECT query_id, id, sq_d2, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sq_d2, id) AS rank FROM sc2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, sq_d2
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
     * the higher id, keeper = lowest-id over-threshold cluster-mate; see
     * [[Dedup.semanticDedupTrained]]. Clusters are the TRAINED e08
@@ -1673,6 +1714,7 @@ object DataQueries {
     "e10_kmeans_sampled" -> e10KmeansSampled,
     "e11_opq_ivf_pq" -> e11OpqIvfPq,
     "e12_ivf_pq_residual" -> e12IvfPqResidual,
+    "e13_sq8_topk" -> e13Sq8TopK,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1718,6 +1760,7 @@ object DataQueries {
     "e10_kmeans_sampled" -> e10Sql,
     "e11_opq_ivf_pq" -> e11Sql,
     "e12_ivf_pq_residual" -> e12Sql,
+    "e13_sq8_topk" -> e13Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

@@ -135,6 +135,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs).count() == 0)
   }
 
+  test("connectedComponentsDelta: folding new pairs == full rebuild") {
+    // old graph: a 3-chain and an isolated pair
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(oldPairs)
+    // batch: an edge MERGING the two old components, a brand-new
+    // component, and an out-of-order edge attaching a SMALLER id (0)
+    // to an existing component — the delta must re-label to the new min
+    val newPairs = Seq((3L, 10L), (20L, 21L), (0L, 11L)).toDF("id1", "id2")
+    def rel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val delta = rel(Dedup.connectedComponentsDelta(labels, newPairs))
+    val full = rel(Dedup.connectedComponents(
+      oldPairs.unionByName(newPairs)))
+    assert(delta == full, s"delta $delta != full rebuild $full")
+    // everything merged into one 0-rooted component plus the new pair
+    assert(delta == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("simhash: token-less docs dropped (parity with exploded formulation)") {
     val docs = Seq((1L, "real text here"), (2L, "   "), (3L, "")).toDF("id", "text")
     val got = Dedup.simhash(docs, "text", "id").collect().map(_.getLong(0)).toSet
