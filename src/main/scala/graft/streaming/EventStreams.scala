@@ -307,13 +307,19 @@ object EventStreams {
     *
     * plus the banded delta near-dup pairing over the same gated batch
     * ([[graft.operators.Dedup.minhashPairsDeltaBanded]] with
-    * materialized signature state), so the crawl's near-dup pair
-    * relation evolves alongside. StreamingCurationSpec pins: drained
-    * over any append-ordered slicing, the streamed DOCS_CLEAN equals
-    * the batch DAG's DOCS_CLEAN on the union corpus, and the streamed
-    * pairs (weighted by final state counts) equal the batch
-    * minhashPairs over the gated union. The frozen-quantizer scorer
-    * composes the same way (a literal-codebook map-only expression —
+    * materialized signature state), and the TRANSITIVE GROUPS folded
+    * forward per batch ([[graft.operators.Dedup
+    * .connectedComponentsDelta]] over the previous labeling + the
+    * batch's contributed pairs — |state|+|batch| edges, never the full
+    * pair history; maintained at `<pairsPath>_groups`, idempotent on
+    * replay because re-folding already-incorporated pairs is a
+    * fixpoint). StreamingCurationSpec pins: drained over any
+    * append-ordered slicing, the streamed DOCS_CLEAN equals the batch
+    * DAG's DOCS_CLEAN on the union corpus, the streamed pairs
+    * (weighted by final state counts) equal the batch minhashPairs
+    * over the gated union, and the streamed groups equal the batch
+    * connected components. The frozen-quantizer scorer composes the
+    * same way (a literal-codebook map-only expression —
     * StreamingQuantizerSpec) when the stream carries embeddings.
     *
     * Replay safety: same contract as [[deltaDedupStreamQuery]] — the
@@ -352,14 +358,29 @@ object EventStreams {
           val delta = graft.operators.Dedup.minhashPairsDeltaBanded(
             gated, state, stateBase, stateBands,
             "text", "doc_id", threshold = threshold)
+          // EAGER cut: the pair relation is consumed twice (pairs merge
+          // + the groups fold below) and its plan scans the companion
+          // tables the merges in between REWRITE — a lazy re-execution
+          // after the swap would read deleted part files
+          val newPairs = delta.pairs
+            .select(col("id1"), col("id2"), col("jaccard"))
+            .localCheckpoint()
           graft.pipeline.Pipeline.mergeIntoParquet(
-            spark, pairsPath,
-            delta.pairs.select(col("id1"), col("id2"), col("jaccard")),
-            Seq("id1", "id2"))
+            spark, pairsPath, newPairs, Seq("id1", "id2"))
           graft.pipeline.Pipeline.mergeIntoParquet(
             spark, s"${statePath}_base", delta.newBase, Seq("id"))
           graft.pipeline.Pipeline.mergeIntoParquet(
             spark, s"${statePath}_bands", delta.newBands, Seq("id", "band"))
+          // transitive groups: fold the batch's pairs into the evolving
+          // labeling — the delta-CC graph is |labels| + |batch pairs|
+          // edges, and changed labels replace their rows in the merge
+          val oldLabels = readOr(s"${pairsPath}_groups",
+            Seq.empty[(Long, Long)].toDF("id", "group_id"))
+          graft.pipeline.Pipeline.mergeIntoParquet(
+            spark, s"${pairsPath}_groups",
+            graft.operators.Dedup.connectedComponentsDelta(
+              oldLabels, newPairs.select(col("id1"), col("id2"))),
+            Seq("id"))
           // the batch's NEW keepers (first-seen fingerprints), full
           // gated columns carried through, then per-doc decontamination
           val newKeeperIds = graft.operators.Dedup

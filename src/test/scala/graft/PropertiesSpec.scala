@@ -54,6 +54,76 @@ class PropertiesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("householder rotation: orthogonality (norms and pairwise dots preserved)") {
+    import graft.expressions.VectorExpressions
+    import graft.operators.Opq
+    val dim = 16
+    val refl = Opq.reflectors(4, dim)
+    val rows = Seq.fill(300)((
+      Seq.fill(dim)(rnd.nextDouble() * 4 - 2),
+      Seq.fill(dim)(rnd.nextDouble() * 4 - 2)))
+      .toDF("a", "b")
+    val ra = VectorExpressions.householderRotate(col("a"), refl, dp = 9)
+    val rb = VectorExpressions.householderRotate(col("b"), refl, dp = 9)
+    // an orthogonal R preserves every inner product; the 1e-6 slack
+    // covers the dp=9 output grid plus float noise in the chain
+    val bad = rows.select(
+        (VectorExpressions.dot(col("a"), col("a")) -
+          VectorExpressions.dot(ra, ra)).as("dnorm"),
+        (VectorExpressions.dot(col("a"), col("b")) -
+          VectorExpressions.dot(ra, rb)).as("ddot"))
+      .filter(abs(col("dnorm")) > 1e-6 || abs(col("ddot")) > 1e-6)
+    assert(bad.count() == 0)
+  }
+
+  test("sq8: codes in [0,255] and per-dim reconstruction error <= scale/510") {
+    import graft.operators.Similarity
+    val dim = 8
+    val vecs = Seq.tabulate(400)(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 10 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (mins, scales) = Similarity.sqTrain(vecs, "embedding", "vec_id")
+    assert(mins.length == dim && scales.forall(_ >= 0))
+    // round-trip through the search path: the reconstruction the
+    // operator ranks by can be off per dim by at most half a code step
+    val mnLit = typedlit(mins)
+    val scLit = typedlit(scales)
+    val codes = transform(col("v"), (x, i) =>
+      when(element_at(scLit, i + 1) === 0.0, lit(0L))
+        .otherwise(round((x - element_at(mnLit, i + 1)) /
+          element_at(scLit, i + 1) * lit(255.0), 0).cast(LongType)))
+    val checked = vecs
+      .select(expr("cast(embedding as array<double>)").as("v"))
+      .select(col("v"), codes.as("codes"))
+      .select(col("v"), col("codes"),
+        transform(col("codes"), (cd, i) =>
+          element_at(mnLit, i + 1) +
+            cd.cast(DoubleType) / lit(255.0) * element_at(scLit, i + 1))
+          .as("rv"))
+    val bad = checked.filter(
+      exists(col("codes"), c => c < 0 || c > 255) ||
+        exists(zip_with(col("v"), col("rv"), (a, b) => abs(a - b)),
+          // half a code step per dim, + float slack
+          d => d > lit(scales.max / 510.0 + 1e-9)))
+    assert(bad.count() == 0)
+  }
+
+  test("delta connected components == full rebuild on random graphs") {
+    // seeded-random edge sets sliced arbitrarily into old/new — the
+    // delta fold must reproduce the full closure regardless of slicing
+    // or id order (keeper-stability is a non-goal here: labels are
+    // global min ids by contract)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val (oldE, newE) = edges.splitAt(edges.length / 2)
+    val labels = Dedup.connectedComponents(oldE.toDF("id1", "id2"))
+    def rel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val delta = rel(Dedup.connectedComponentsDelta(labels, newE.toDF("id1", "id2")))
+    val full = rel(Dedup.connectedComponents(edges.toDF("id1", "id2")))
+    assert(delta == full)
+  }
+
   test("rolling hash and md5 hashes stay in their documented ranges") {
     val docs = Seq.fill(300)(
       Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(100)}").mkString(" "))

@@ -134,5 +134,15 @@ class StreamingCurationSpec extends SparkSpec {
       s"streamed pairs $streamedPairs != batch $batchPairs")
     assert(streamedPairs.exists(p => p._1 == 0L && p._2 == 110L && p._4 == 2L),
       "cross-drop near-dup pair present, weighted by doc 0's copy count")
+
+    // the transitive groups evolved per batch equal the batch closure
+    def labelMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "group_id").as[(Long, Long)].collect().toMap
+    val streamedGroups = labelMap(spark.read.parquet(pairsPath + "_groups"))
+    val batchGroups = labelMap(Dedup.connectedComponents(
+      Dedup.minhashPairs(CurationModels.gateDocs(union), "text", "doc_id",
+        threshold = 0.5).select("id1", "id2")))
+    assert(streamedGroups == batchGroups && streamedGroups.nonEmpty,
+      s"streamed groups $streamedGroups != batch closure $batchGroups")
   }
 }
