@@ -266,6 +266,12 @@ object Dedup {
       .select(col("ida").as("id1"), col("idb").as("id2"))
     val candNO = ln.join(bandedOld.select(col("id").as("idb"), col("band")),
         Seq("band"))
+      // ida == idb is impossible in a clean run (new fps are anti-joined
+      // against the state), but an at-least-once REPLAY after a partial
+      // failure can see a band state that already absorbed this batch —
+      // without the guard the self-join would emit (id, id) pairs at
+      // jaccard 1.0 into the stored relation
+      .filter(col("ida") =!= col("idb"))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
     val cand = candNN.union(candNO).distinct()

@@ -64,6 +64,25 @@ class MinhashDeltaSpec extends SparkSpec {
     assert(banded.newBands.select("id").as[Long].collect().toSet == newIds)
   }
 
+  test("banded delta on replay: band state already containing the batch emits no self-pairs") {
+    // the at-least-once partial-failure shape: bands/base merged, state
+    // fold not yet committed — the replayed batch sees its OWN rows in
+    // the companion tables; the pairing must neither self-pair nor
+    // change the contributed pair set
+    val state = Dedup.fingerprintRepState(oldDocs, "text", "doc_id")
+    val (base, bands) = Dedup.minhashBandState(state)
+    val clean = Dedup.minhashPairsDeltaBanded(
+      batch, state, base, bands, "text", "doc_id", threshold = 0.5)
+    val batchReplayBase = base.unionByName(clean.newBase)
+    val batchReplayBands = bands.unionByName(clean.newBands)
+    val replay = Dedup.minhashPairsDeltaBanded(
+      batch, state, batchReplayBase, batchReplayBands,
+      "text", "doc_id", threshold = 0.5)
+    val rp = pairSet(replay.pairs)
+    assert(!rp.exists(p => p._1 == p._2), s"self-pairs in replay: $rp")
+    assert(rp == pairSet(clean.pairs))
+  }
+
   test("out-of-order append keeps stored pairs valid (keeper-stable merge)") {
     val s0 = Seq((10L, near1), (11L, near2)).toDF("doc_id", "text")
     val state = Dedup.fingerprintRepState(s0, "text", "doc_id")
