@@ -514,6 +514,80 @@ object Similarity {
         col("id"), col("sq_d2"))
   }
 
+  /** Binary-quantization thresholds: per-dimension means on the exact
+    * int64 grid (Σ round(vᵢ·10⁹) summed exactly, ONE double division —
+    * the [[KMeans]] centroid-mean contract, so the thresholds are
+    * bit-identical across engines with no accumulation-order risk).
+    * The 1-bit sign code against the per-dim mean is the classic
+    * binary-quantization baseline (Charikar 2002 sign-random-projection
+    * family; modern vector stores ship exactly this + rescoring). */
+  def bqTrain(corpus: DataFrame, vecCol: String,
+              idCol: String): Seq[Double] = {
+    val c = corpus.select(toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    c.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(round(col("x") * lit(1000000000.0), 0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("i").collect()
+      .map(r => r.getLong(1).toDouble / (r.getLong(2) * 1000000000L).toDouble)
+      .toSeq
+  }
+
+  /** Pack the sign bits (vᵢ > thrᵢ) into 32-dim words — compiled
+    * constant-shift adds, so the per-row code is ⌈dim/32⌉ longs and the
+    * pairwise stage is XOR+popcount, never a per-dim loop. */
+  private def bqWords(v: Column, thr: Seq[Double]): Seq[Column] =
+    thr.indices.grouped(32).map { idxs =>
+      idxs.map(i => when(element_at(v, i + 1) > lit(thr(i)),
+          lit(1L << (i % 32))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }.toSeq
+
+  /** Hamming top-k over the 1-bit codes: 32x compression vs floats,
+    * candidate ranking by popcount of XORed words (round-free integer
+    * arithmetic — exact on any engine), hamming ASC with id tiebreak.
+    * Output: (query_id, rank, id, hamming). The production use is the
+    * SHORTLIST stage of [[bqRerankTopK]]; ranking quality of raw
+    * 1-bit hamming alone is the lowest point of the compression
+    * family, which is exactly why the rescore stage exists. */
+  def bqTopK(corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int,
+             thresholds: Seq[Double]): DataFrame = {
+    val nw = (thresholds.length + 31) / 32
+    def coded(df: DataFrame, idAs: String, prefix: String): DataFrame = {
+      val c = df.select(col(idCol).as(idAs), toDoubleArray(col(vecCol)).as("v"))
+        .filter(nonDegenerate(col("v")))
+      val ws = bqWords(col("v"), thresholds)
+      c.select(col(idAs) +: ws.zipWithIndex.map {
+        case (w, i) => w.as(s"$prefix$i") }: _*)
+    }
+    val cc = coded(corpus, "id", "cw")
+    val qc = coded(queries, "query_id", "qw")
+    val hamming = (0 until nw).map(i =>
+      bit_count(col(s"cw$i").bitwiseXOR(col(s"qw$i")))).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("id").asc)
+    cc.join(broadcast(qc), col("id") =!= col("query_id"))
+      .withColumn("hamming", hamming.cast(LongType))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("hamming"))
+  }
+
+  /** Binary-quantized retrieval + exact rerank — the modern vector-DB
+    * default (1-bit codes prune the corpus at 32x compression, then
+    * ONLY the shortlist's full vectors are read for an exact-cosine
+    * rescore): hamming shortlist via [[bqTopK]], rerank via the shared
+    * two-stage kernel. Same scale shape as [[pqRerankTopK]]. */
+  def bqRerankTopK(corpus: DataFrame, queries: DataFrame,
+                   vecCol: String, idCol: String, k: Int, shortlist: Int,
+                   thresholds: Seq[Double]): DataFrame =
+    pqRerankOn(corpus, queries, vecCol, idCol, k,
+      bqTopK(corpus, queries, vecCol, idCol, k = shortlist, thresholds)
+        .select(col("query_id"), col("id")), shortlist)
+
   /** (id, cell, rv) — every vector's coarse cell plus its RESIDUAL
     * against the assigned centroid: the IVFADC encoding input and the
     * relation the residual PQ codebook trains on. One map-only

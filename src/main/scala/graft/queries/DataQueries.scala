@@ -876,6 +876,44 @@ object DataQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, sq_d2
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Binary-quantized retrieval + exact rerank (e14): 1-bit sign codes
+    * against per-dim exact-grid mean thresholds (32x compression),
+    * hamming shortlist of 20, exact-cosine rescore to top-5 — the
+    * modern vector-store default; see [[Similarity.bqRerankTopK]]. The
+    * oracle replays thresholds → bit mismatch counting → shortlist →
+    * rerank (packed-word popcount and per-dim mismatch counting are
+    * the same integer). Same query split as e02/e05/e06. */
+  val e14BqRerank: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.bqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, shortlist = 20,
+        thresholds = Similarity.bqTrain(emb, "embedding", "vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e14Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |st AS (SELECT i, CAST(sum(CAST(round(v[i] * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) * 1000000000 AS DOUBLE) AS thr
+       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
+       |sl AS (SELECT list(thr ORDER BY i) AS thr FROM st),
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+       |hm AS (SELECT q.query_id, a.id,
+       |  len(list_filter(range(1, ${kmDim + 1}),
+       |    i -> (a.v[i] > s.thr[i]) <> (q.qv[i] > s.thr[i]))) AS hamming
+       |  FROM e a CROSS JOIN q CROSS JOIN sl s WHERE a.id <> q.query_id),
+       |shl AS (SELECT query_id, id FROM (SELECT query_id, id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, id) AS rn
+       |  FROM hm) WHERE rn <= 20),
+       |rr AS (SELECT shl.query_id, shl.id,
+       |  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+       |  FROM shl JOIN e ON e.id = shl.id JOIN q ON q.query_id = shl.query_id),
+       |r2 AS (SELECT query_id, id, cosine, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM rr)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
+       |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup-style semantic dedup: within-cluster cosine >= 0.3 drops
     * the higher id, keeper = lowest-id over-threshold cluster-mate; see
     * [[Dedup.semanticDedupTrained]]. Clusters are the TRAINED e08
@@ -1715,6 +1753,7 @@ object DataQueries {
     "e11_opq_ivf_pq" -> e11OpqIvfPq,
     "e12_ivf_pq_residual" -> e12IvfPqResidual,
     "e13_sq8_topk" -> e13Sq8TopK,
+    "e14_bq_rerank" -> e14BqRerank,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1761,6 +1800,7 @@ object DataQueries {
     "e11_opq_ivf_pq" -> e11Sql,
     "e12_ivf_pq_residual" -> e12Sql,
     "e13_sq8_topk" -> e13Sql,
+    "e14_bq_rerank" -> e14Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,
