@@ -110,6 +110,42 @@ class MinhashDeltaSpec extends SparkSpec {
       "new-fp pair against the doubled fingerprint weighs 1x2")
   }
 
+  test("three sequential folds over any slicing == one batch rebuild") {
+    // a corpus with planted near-dup families and exact copies, sliced
+    // into THREE append-ordered drops; folding drop-by-drop through
+    // (pairs delta + keeper-stable merge) must end in exactly the
+    // batch rebuild's weighted pair relation — the slicing-invariance
+    // claim at more than the two-drop shape the streaming spec drives
+    val texts = Seq(near1, near2, near3,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa words",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa terms")
+    val docs = (0 until 18).map { i =>
+      (i.toLong * 7 + 1, texts(i % texts.length)) // ids ascend with i
+    }
+    val slices = docs.grouped(6).map(_.toDF("doc_id", "text")).toSeq
+    var state = Dedup.fingerprintRepState(slices.head, "text", "doc_id")
+    var pairs = pairSet(Dedup.minhashPairs(slices.head, "text", "doc_id",
+      threshold = 0.5).select(col("id1"), col("id2"), col("jaccard"),
+        lit(0L).as("w"))).map(t => (t._1, t._2, t._3))
+    slices.tail.foreach { s =>
+      pairs = pairs ++ pairSet(Dedup.minhashPairsDelta(s, state, "text",
+          "doc_id", threshold = 0.5))
+        .map(t => (t._1, t._2, t._3))
+      state = Dedup.mergeFingerprintRepState(state, s, "text", "doc_id")
+    }
+    // weights derive from the FINAL state's copy counts (the streaming
+    // weightedPairs contract)
+    val counts = state.select("id", "n_copies").as[(Long, Long)]
+      .collect().toMap
+    val streamed = pairs.map(p => (p._1, p._2, p._3,
+      counts(p._1) * counts(p._2)))
+    val full = pairSet(Dedup.minhashPairs(
+      slices.reduce(_ unionByName _), "text", "doc_id", threshold = 0.5))
+    assert(streamed == full, s"3-fold $streamed != rebuild $full")
+    assert(full.nonEmpty && counts.values.exists(_ > 2),
+      "planted copies must actually accumulate counts across slices")
+  }
+
   test("state merge equals rebuild-from-scratch") {
     val merged = Dedup.mergeFingerprintRepState(
         Dedup.fingerprintRepState(oldDocs, "text", "doc_id"),
