@@ -18,6 +18,54 @@ import org.apache.spark.sql.types._
   */
 object GeoJoin {
 
+  /** Grid-bucketed RADIUS self-join — the both-sides-large spatial
+    * join [[assignZones]]'s broadcast shape scopes out: every point
+    * lands in a grid cell, one side explodes to its 3×3 neighborhood,
+    * and candidates come from a plain EQUI-JOIN on the cell key —
+    * never a cross join — before the exact haversine predicate keeps
+    * true pairs. Each qualifying pair is produced exactly once
+    * (left-side offsets reach the right cell once; id1 < id2 kills
+    * the mirror), so no distinct pass is needed.
+    *
+    * Coverage contract (caller-supplied cell sizes): with
+    * `latStepDeg >= radiusKm / 110.574` and `lngStepDeg >= radiusKm /
+    * (111.320 · cos(maxAbsLat))` the 3×3 neighborhood contains every
+    * pair within the radius. At 100 TB both sides shuffle ONCE on the
+    * cell key (9x fan-out on one side only), pairwise work is
+    * confined to cells — the same bucket-confinement contract as the
+    * LSH dedup family. The distance predicate thresholds the
+    * round-3dp distance, the cross-engine-stable boundary the q06
+    * oracle kernel already pins.
+    *
+    * Output: (id1, id2, dist_km), id1 < id2. */
+  def radiusPairs(points: DataFrame, idCol: String, latCol: String,
+                  lngCol: String, radiusKm: Double,
+                  latStepDeg: Double, lngStepDeg: Double): DataFrame = {
+    import graft.functions.GraftFunctions.distLatLng
+    val p = points.select(col(idCol).as("id"),
+      col(latCol).cast(DoubleType).as("lat"),
+      col(lngCol).cast(DoubleType).as("lng"))
+    val cells = p
+      .withColumn("cx", floor(col("lng") / lngStepDeg).cast(LongType))
+      .withColumn("cy", floor(col("lat") / latStepDeg).cast(LongType))
+    val offs = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+      yield (dx, dy)
+    val l = cells.select(col("id").as("id1"), col("lat").as("lat1"),
+        col("lng").as("lng1"), col("cx"), col("cy"))
+      .withColumn("off", explode(typedlit(offs)))
+      .select(col("id1"), col("lat1"), col("lng1"),
+        (col("cx") + col("off._1")).as("cx"),
+        (col("cy") + col("off._2")).as("cy"))
+    val r = cells.select(col("id").as("id2"), col("lat").as("lat2"),
+      col("lng").as("lng2"), col("cx"), col("cy"))
+    l.join(r, Seq("cx", "cy"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist_km", round(distLatLng(col("lat1"), col("lng1"),
+        col("lat2"), col("lng2"), "km"), 3))
+      .filter(col("dist_km") <= radiusKm)
+      .select(col("id1"), col("id2"), col("dist_km"))
+  }
+
   /** @param points  fact side: idCol, lngCol, latCol
     * @param zones   dim side: zoneKeyCol (string), wkbCol (binary WKB)
     * @return (idCol, lng, lat, zone) — zone null when no polygon matches

@@ -701,6 +701,50 @@ object ExtQueries {
        |ORDER BY p.id""".stripMargin
   }
 
+  /** q49 — grid-bucketed radius self-join ([[graft.geo.GeoJoin
+    * .radiusPairs]]): md5-placed points in a 1°×1° NYC-ish box, all
+    * pairs within 3 km via cell-neighborhood candidates + the exact
+    * q06 haversine kernel. The scale path q48's broadcast join scopes
+    * out — candidates come from an equi-join on the grid key, never a
+    * cross join (GeoSpec pins the plan). Cell sizes 0.03°/0.04°
+    * satisfy the coverage contract at |lat| <= 41 (3/110.574 = 0.0271;
+    * 3/(111.320·cos 41°) = 0.0357). The oracle replays grid assignment
+    * → 3×3 neighbor explode → equi-join → round-3dp haversine
+    * threshold. */
+  val q49RadiusJoin: Q = (s, dir) => {
+    val pts = Catalog(s, dir).customer.select(
+      col("c_custkey").as("id"),
+      (lit(40.0) + md5Long(concat(lit("glat|"), col("c_custkey").cast(StringType)))
+        % 1000001L / lit(1000000.0)).as("lat"),
+      (lit(-74.5) + md5Long(concat(lit("glng|"), col("c_custkey").cast(StringType)))
+        % 1000001L / lit(1000000.0)).as("lng"))
+    graft.geo.GeoJoin.radiusPairs(pts, "id", "lat", "lng",
+        radiusKm = 3.0, latStepDeg = 0.03, lngStepDeg = 0.04)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  lazy val q49Sql: String = {
+    def coord(seed: String, base: String) =
+      s"$base + (CAST(('0x'||substr(md5('$seed|'||c_custkey::VARCHAR),1,15)) AS BIGINT)" +
+        " % 1000001) / CAST(1000000 AS DOUBLE)"
+    val hav = "6371.0 * acos(least(1.0, greatest(-1.0, " +
+      "cos(radians(l.lat1))*cos(radians(r.lat))*cos(radians(r.lng)-radians(l.lng1)) " +
+      "+ sin(radians(l.lat1))*sin(radians(r.lat)))))"
+    s"""WITH pts AS (SELECT c_custkey AS id,
+       |  ${coord("glat", "40.0")} AS lat,
+       |  ${coord("glng", "-74.5")} AS lng FROM customer),
+       |cells AS (SELECT id, lat, lng,
+       |  CAST(floor(lng / 0.04) AS BIGINT) AS cx,
+       |  CAST(floor(lat / 0.03) AS BIGINT) AS cy FROM pts),
+       |l AS (SELECT c.id AS id1, c.lat AS lat1, c.lng AS lng1,
+       |  c.cx + dx.dx AS cx, c.cy + dy.dy AS cy
+       |  FROM cells c, range(-1, 2) dx(dx), range(-1, 2) dy(dy)),
+       |j AS (SELECT l.id1, r.id AS id2, round($hav, 3) AS dist_km
+       |  FROM l JOIN cells r ON r.cx = l.cx AND r.cy = l.cy AND l.id1 < r.id)
+       |SELECT id1, id2, dist_km FROM j WHERE dist_km <= 3.0
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val q43Sql: String =
     """WITH cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100),
       |oa AS (SELECT o_custkey, count(*) AS n_orders,
@@ -726,6 +770,7 @@ object ExtQueries {
     "q46_social_mart" -> q46SocialMart,
     "q47_housing_mart" -> q47HousingMart,
     "q48_geo_zones" -> q48GeoZones,
+    "q49_radius_join" -> q49RadiusJoin,
     "q34_string_agg" -> q34StringAgg,
     "q35_regex_funcs" -> q35Regex,
     "q36_exists_subquery" -> q36Exists,
@@ -748,6 +793,7 @@ object ExtQueries {
     "q46_social_mart" -> q46Sql,
     "q47_housing_mart" -> q47Sql,
     "q48_geo_zones" -> q48Sql,
+    "q49_radius_join" -> q49Sql,
     "q34_string_agg" -> q34Sql,
     "q35_regex_funcs" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,

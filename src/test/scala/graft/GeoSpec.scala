@@ -63,4 +63,29 @@ class GeoSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
     assert(got == Map(1L -> Some("zoneA"), 2L -> Some("zoneB"), 3L -> None))
   }
+
+  test("radiusPairs: grid candidates find exactly the within-radius pairs, no cross join") {
+    // a tight cluster (pairwise < 3 km), one point ~5 km away, one far
+    // — and the cluster straddles a cell boundary so the neighbor
+    // explode is load-bearing
+    val pts = Seq(
+      (1L, 40.000, -74.000),
+      (2L, 40.005, -74.000),  // ~0.56 km north of 1
+      (3L, 40.000, -74.006),  // ~0.51 km west of 1
+      (4L, 40.045, -74.000),  // ~5 km north of 1
+      (5L, 40.900, -74.900))  // far away
+      .toDF("id", "lat", "lng")
+    val df = GeoJoin.radiusPairs(pts, "id", "lat", "lng",
+      radiusKm = 3.0, latStepDeg = 0.03, lngStepDeg = 0.04)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the cluster's 3 pairs, got $got")
+    // candidates come from an equi-join on the cell key — a cartesian
+    // or nested-loop join here would be the quadratic the grid exists
+    // to prevent
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"radius join must be an equi-join on the grid key:\n$plan")
+  }
 }
