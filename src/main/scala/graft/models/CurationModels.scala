@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   *   DOCS_PROFILED   (view)  text profile + repetition + PII counts
   *   DOCS_FILTERED   (table) quality/repetition/PII gates, redacted text
-  *   DOCS_DEDUPED    (table) exact-dup keeper drop over the filtered set
+  *   DOCS_SCORED     (table) CCNet-style LM perplexity gate (optional —
+  *                           identity pass-through when unconfigured)
+  *   DOCS_DEDUPED    (table) exact-dup keeper drop over the scored set
   *   DOCS_CLEAN      (table) decontaminated (benchmark 5-shingle overlap)
   *   MIXTURE_SAMPLED (table) t10 α-tempered per-source budgets applied
   *                           by t15's deterministic stratified sample —
@@ -106,10 +108,19 @@ object CurationModels {
     * ship; per-source budgets are the t10 α-tempered mixture weights
     * times this total (at least 1 per surviving source). None = no
     * sampling — MIXTURE_SAMPLED passes DOCS_CLEAN through unchanged. */
+  /** `perplexityGate`: CCNet-style LM quality filter (Wenzek et al.
+    * 2020) between the per-doc gates and dedup — build the t11 unigram
+    * LM on the deterministic md5 5% sample OF THE GATED CORPUS, score
+    * every doc (one compiled map-only pass), drop docs whose
+    * cross-entropy exceeds the threshold (high = out-of-distribution /
+    * noise). Corpus-global like dedup (the model depends on the whole
+    * corpus) — a batch-by-design stage, same split the scaladoc above
+    * documents. None = stage passes through unchanged. */
   def registry(spark: SparkSession, documents: DataFrame,
                benchmark: DataFrame,
                incrementalFilter: Boolean = false,
-               exportBudget: Option[Long] = None): Registry = {
+               exportBudget: Option[Long] = None,
+               perplexityGate: Option[Double] = None): Registry = {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
@@ -131,9 +142,30 @@ object CurationModels {
       gateProfiled(delta)
     })
 
-    r.register(Model("DOCS_DEDUPED", "3_MART___CURATION",
+    r.register(Model("DOCS_SCORED", "3_MART___CURATION",
         Seq("DOCS_FILTERED"), Table) { deps =>
-      Dedup.dropExactDuplicates(deps("DOCS_FILTERED"), "text", "doc_id")
+      val d = deps("DOCS_FILTERED")
+      perplexityGate match {
+        case None => d
+        case Some(maxCe) =>
+          import graft.functions.GraftFunctions.md5Long
+          // t11's contract end-to-end: deterministic 5% LM sample,
+          // driver-literal model, one compiled scoring pass per doc
+          val isLm = org.apache.spark.sql.functions.pmod(
+            md5Long(col("doc_id").cast(
+              org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
+          val (lm, oov) = TextAnalysis.unigramLm(d.filter(isLm), "text",
+            vocab = 1000)
+          val keep = TextAnalysis.lmCrossEntropy(d, "text", "doc_id", lm, oov)
+            .filter(col("cross_entropy") <= maxCe)
+            .select(col("doc_id"))
+          d.join(keep, Seq("doc_id"))
+      }
+    })
+
+    r.register(Model("DOCS_DEDUPED", "3_MART___CURATION",
+        Seq("DOCS_SCORED"), Table) { deps =>
+      Dedup.dropExactDuplicates(deps("DOCS_SCORED"), "text", "doc_id")
     })
 
     r.register(Model("DOCS_CLEAN", "3_MART___CURATION",

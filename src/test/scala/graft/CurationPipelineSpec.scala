@@ -159,4 +159,49 @@ class CurationPipelineSpec extends SparkSpec {
     assert(packedIds.contains(400L) && packedIds.contains(401L))
     assert(CurationModels.tests(r2, cfg).forall(_.passed))
   }
+
+  test("perplexity gate: out-of-distribution doc dropped, in-distribution kept") {
+    import graft.operators.TextAnalysis
+    import graft.functions.GraftFunctions.md5Long
+    // an OOD doc that PASSES the per-doc quality gates (letter-only
+    // words, sane lengths — 3 of 4 quality quarters) but shares no
+    // vocabulary with the corpus: every token scores at the OOV floor
+    val ood = (500L,
+      "zqxv wqplm mnbvc poiuy lkjhg fdsaq trewq yuiop asdfg hjklz " +
+        "xcvbn qwert zxasd cvfgb nhyuj mkiol pqazw sxedc rfvtg byhnu",
+      "en", "web")
+    // a corpus large enough that the stage's 5% LM sample holds ~10
+    // docs: the stopwords every doc shares then REPEAT in the sample
+    // (cheap under the LM) while the OOD doc's vocabulary stays at the
+    // OOV floor — with only 1-2 sampled docs all counts are equal and
+    // every doc scores ln(total) uniformly
+    val docs = ((0L until 200L).map(i => (i, docText(i), "en", "web")) ++
+      Seq(ood)).toDF("doc_id", "text", "lang", "source")
+    // derive a threshold BETWEEN the in-distribution band and the OOD
+    // doc, using exactly the stage's LM construction (same 5% sample,
+    // same vocab cutoff) so the pin is about the gate, not the model
+    val gated = CurationModels.gateDocs(docs)
+    val isLm = pmod(md5Long(col("doc_id")
+      .cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
+    val (lm, oov) = TextAnalysis.unigramLm(gated.filter(isLm), "text",
+      vocab = 1000)
+    val ce = TextAnalysis.lmCrossEntropy(gated, "text", "doc_id", lm, oov)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ce.contains(500L), "the OOD doc must survive the per-doc gates")
+    val maxIn = ce.filter(_._1 != 500L).values.max
+    assert(ce(500L) > maxIn,
+      s"OOD cross-entropy ${ce(500L)} must exceed the in-dist band $maxIn")
+    val thr = (ce(500L) + maxIn) / 2
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cur-ppl").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    val bench = Seq((9001L, docText(1))).toDF("doc_id", "text")
+    CurationModels.registry(spark, docs, bench, perplexityGate = Some(thr))
+      .run(cfg, Seq("DOCS_SCORED"))
+    val scored = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_SCORED")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!scored.contains(500L), "OOD doc dropped by the perplexity gate")
+    assert(scored.contains(0L) && scored.contains(2L),
+      "in-distribution docs kept")
+  }
 }
