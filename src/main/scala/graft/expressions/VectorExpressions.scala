@@ -405,6 +405,69 @@ case class CellResidualExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense matrix-vector rotation w = R·v — the applicator for
+  * [[graft.operators.Opq.fitParametric]]'s LEARNED orthogonal R (a
+  * Householder product factors through [[HouseholderRotateExpr]]; a
+  * Procrustes-updated R is a general dense orthogonal matrix). Rows of
+  * `matrix` are driver-built literals, so application is MAP-ONLY
+  * (dim² multiply-adds per row, left-fold per output coordinate).
+  * Optional `dp` rounding for grid-stable consumers (dp < 0 = none —
+  * the parametric fit is a declared-divergence operator with no SQL
+  * replay, so full precision is the default). Width mismatch or NULL
+  * element -> NULL. CodegenFallback. */
+case class MatrixRotateExpr(child: Expression,
+                            matrix: Seq[Seq[Double]], dp: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(matrix.nonEmpty, "rotation matrix must be non-empty")
+  private val dim = matrix.head.length
+  require(matrix.length == dim && matrix.forall(_.length == dim),
+    "rotation matrix must be square")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_matrix_rotate"
+
+  @transient private lazy val m: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      x(i) = v.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](dim)
+    i = 0
+    while (i < dim) {
+      val row = m(i)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += row(j) * x(j); j += 1 }
+      out(i) =
+        if (dp < 0) s
+        else java.math.BigDecimal.valueOf(s)
+          .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Orthogonal rotation as a product of Householder reflections — the
   * OPQ pre-transform ([[graft.operators.Opq]]): w := w − (2·⟨u,w⟩/⟨u,u⟩)·u
   * applied for each reflector in order, then every coordinate rounded to
@@ -530,4 +593,8 @@ object VectorExpressions {
     Bridge.column(CellResidualExpr(
       Bridge.expression(v.cast("array<double>")),
       Bridge.expression(cell.cast("bigint")), codebook))
+  def matrixRotate(v: Column, matrix: Seq[Seq[Double]],
+                   dp: Int = -1): Column =
+    Bridge.column(MatrixRotateExpr(
+      Bridge.expression(v.cast("array<double>")), matrix, dp))
 }

@@ -91,9 +91,19 @@ object RecallProbe {
     val rOpq = rl(hits(Similarity.pqAdcTopKTrained(
       rot, rotQ, "v", "id", 5, 4, cbR)))
 
+    // parametric OPQ (Opq.fitParametric — the declared-divergence
+    // alternation): must repair e11's loss wherever the random R
+    // fights the data's structure
+    val (rP, cbPm) = Opq.fitParametric(emb, "embedding", "vec_id",
+      m = 4, kCent = 16, dim = 64, alternations = 2)
+    val rotP = Opq.rotateDense(emb, "embedding", "vec_id", rP)
+    val rOpqP = rl(hits(Similarity.pqAdcTopKTrained(
+      rotP, rotP.filter(col("id") % 20 === 0), "v", "id", 5, 4, cbPm)))
+
     println(f"[recall] $tag%-12s recall@5: ivf-vs-cos stand-in=$rStand%.3f " +
       f"trained=$rTrain%.3f | adc-vs-l2 pq-stand-in=$rPqStand%.3f " +
-      f"pq-trained(e09)=$rPqTrain%.3f opq(e11)=$rOpq%.3f (exact=1.0)")
+      f"pq-trained(e09)=$rPqTrain%.3f opq(e11)=$rOpq%.3f " +
+      f"opq-parametric=$rOpqP%.3f (exact=1.0)")
 
     // second quantizer size (VERDICT r7 next-#5): kCent=64 sub-centroids
     // (24-bit codes) — the larger-codebook point on the recall/size
