@@ -267,6 +267,47 @@ object ScaleProbe {
           m = 4, centroidIds = (0L until 16L)))
     }
 
+    // round-8 compression family: SQ8 is stats (one bounded agg) +
+    // map-only encode/decode + a bounded-query brute scan; BQ is
+    // map-only packing + XOR/popcount candidates + a |q|×shortlist
+    // rerank — both must track corpus size linearly
+    stage("sq8_topk") {
+      val q = embBig.filter(pmod(col("vec_id"), lit(10000L)) === 0)
+      t(s"sq8_topk_${embBig.count()}vecs") {
+        val (mins, scales) = graft.operators.Similarity.sqTrain(
+          embBig, "embedding", "vec_id")
+        graft.operators.Similarity.sqTopK(embBig, q,
+          "embedding", "vec_id", k = 5, mins, scales)
+      }
+    }
+    stage("bq_rerank") {
+      val q = embBig.filter(pmod(col("vec_id"), lit(10000L)) === 0)
+      t(s"bq_rerank_${embBig.count()}vecs") {
+        val thr = graft.operators.Similarity.bqTrain(
+          embBig, "embedding", "vec_id")
+        graft.operators.Similarity.bqRerankTopK(embBig, q,
+          "embedding", "vec_id", k = 5, shortlist = 20, thr)
+      }
+    }
+    // q49 grid radius join at CONSTANT point density (box side grows
+    // with sqrt(N)): true pair volume — and therefore cost — must
+    // track N linearly, the bucket-confinement contract
+    stage("radius_pairs") {
+      val side = math.sqrt(replicas.toDouble)
+      val pts = docs.select(col("doc_id").as("id"),
+        (lit(40.0) + pmod(graft.functions.GraftFunctions.md5Long(
+          concat(lit("plat|"), col("doc_id").cast(
+            org.apache.spark.sql.types.StringType))), lit(1000001L))
+          / lit(1000000.0) * side).as("lat"),
+        (lit(-74.5) + pmod(graft.functions.GraftFunctions.md5Long(
+          concat(lit("plng|"), col("doc_id").cast(
+            org.apache.spark.sql.types.StringType))), lit(1000001L))
+          / lit(1000000.0) * side).as("lng"))
+      t(s"radius_pairs_${docs.count()}pts")(
+        graft.geo.GeoJoin.radiusPairs(pts, "id", "lat", "lng",
+          radiusKm = 3.0, latStepDeg = 0.03, lngStepDeg = 0.045))
+    }
+
     // e08 trained quantizer: fit cost = (2·rounds + iters + 2) bounded
     // jobs over the corpus (at warehouse scale, over a deterministic
     // sample — the int64-threshold contract in KMeans.scala); the
