@@ -480,34 +480,77 @@ object Similarity {
     * IVF cell pruning exactly like e07's code table (partitioned BY
     * cell); the scored relation carries dim bytes instead of dim
     * doubles. Output: (query_id, rank, id, sq_d2). */
-  def sqTopK(corpus: DataFrame, queries: DataFrame,
-             vecCol: String, idCol: String, k: Int,
-             mins: Seq[Double], scales: Seq[Double]): DataFrame = {
+  // code_i = round(((v_i − mn_i) / sc_i) · 255); constant dims -> 0
+  private def sqEncodeCol(v: Column, mins: Seq[Double],
+                          scales: Seq[Double]): Column = {
     val mnLit = typedlit(mins)
     val scLit = typedlit(scales)
-    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .filter(nonDegenerate(col("v")))
-    // code_i = round(((v_i − mn_i) / sc_i) · 255); constant dims -> 0
-    val codes = transform(col("v"), (x, i) =>
+    transform(v, (x, i) =>
       when(element_at(scLit, i + 1) === 0.0, lit(0L))
         .otherwise(round((x - element_at(mnLit, i + 1)) /
           element_at(scLit, i + 1) * lit(255.0), 0).cast(LongType)))
-    val coded = c.select(col("id"), codes.as("codes"))
-    // v̂_i = mn_i + (code_i / 255) · sc_i — the decode the oracle mirrors
-    val decoded = coded.select(col("id"),
-      transform(col("codes"), (cd, i) =>
-        element_at(mnLit, i + 1) +
-          cd.cast(DoubleType) / lit(255.0) * element_at(scLit, i + 1))
-        .as("rv"))
-    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
-      .filter(nonDegenerate(col("qv")))
-    val d2 = VectorExpressions.dot(col("qv"), col("qv")) -
+  }
+
+  // v̂_i = mn_i + (code_i / 255) · sc_i — the decode the oracles mirror
+  private def sqDecodeCol(codes: Column, mins: Seq[Double],
+                          scales: Seq[Double]): Column = {
+    val mnLit = typedlit(mins)
+    val scLit = typedlit(scales)
+    transform(codes, (cd, i) =>
+      element_at(mnLit, i + 1) +
+        cd.cast(DoubleType) / lit(255.0) * element_at(scLit, i + 1))
+  }
+
+  private def sqD2: Column =
+    VectorExpressions.dot(col("qv"), col("qv")) -
       lit(2.0) * VectorExpressions.dot(col("qv"), col("rv")) +
       VectorExpressions.dot(col("rv"), col("rv"))
+
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int,
+             mins: Seq[Double], scales: Seq[Double]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val decoded = c
+      .select(col("id"), sqEncodeCol(col("v"), mins, scales).as("codes"))
+      .select(col("id"), sqDecodeCol(col("codes"), mins, scales).as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sq_d2").asc, col("id").asc)
     decoded.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("sq_d2", round(d2, 6))
+      .withColumn("sq_d2", round(sqD2, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("sq_d2"))
+  }
+
+  /** IVF-SQ — the faiss IndexIVFScalarQuantizer composition: trained
+    * coarse cells prune WHICH rows are scored (e02's half), SQ8 codes
+    * compress WHAT is read to score them (e13's half, 8x). Same plan
+    * shape as [[ivfPqTopKTrained]] with the SQ decode in place of ADC
+    * tables: assignment + encode in one map-only projection chain over
+    * the corpus scan, probes broadcast, per-query window top-k; at
+    * warehouse scale the code table is written partitioned BY cell
+    * (IvfStorageSpec's contract). Output: (query_id, rank, id, sq_d2). */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int,
+                cellCodebook: Seq[Seq[Double]], nProbe: Int,
+                mins: Seq[Double], scales: Seq[Double]): DataFrame = {
+    val decoded = cellAssignmentsTrained(corpus, vecCol, idCol, cellCodebook)
+      .select(col("id"), col("cell"),
+        sqEncodeCol(col("v"), mins, scales).as("codes"))
+      .select(col("id"), col("cell"),
+        sqDecodeCol(col("codes"), mins, scales).as("rv"))
+    val probes = probeCellsOn(centsOf(corpus.sparkSession, cellCodebook),
+        queries, vecCol, idCol, nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sq_d2").asc, col("id").asc)
+    decoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sq_d2", round(sqD2, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),

@@ -876,6 +876,57 @@ object DataQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, sq_d2
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-SQ top-k (e15 — the faiss IndexIVFScalarQuantizer
+    * composition): e08's trained cells prune WHICH rows are scored,
+    * e13's SQ8 codes compress WHAT is read to score them; see
+    * [[Similarity.ivfSqTopK]]. The oracle replays coarse fit →
+    * assignment → SQ stats/encode/decode → probe-pruned rank. Same
+    * query split as e02/e05/e07. */
+  val e15IvfSqTopK: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    Similarity.ivfSqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5,
+        cellCodebook = kmModel(s, dir).centroids, nProbe = 2, mins, scales)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e15Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |$kmCtes,
+       |asg AS (SELECT id, cell FROM (
+       |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+       |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
+       |sl AS (SELECT list(mn ORDER BY i) AS mins,
+       |  list(mx - mn ORDER BY i) AS scs FROM st),
+       |cod AS (SELECT e.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> CASE WHEN s.scs[i] = 0 THEN 0
+       |    ELSE CAST(round((e.v[i] - s.mins[i]) / s.scs[i] * 255.0, 0) AS BIGINT) END) AS codes
+       |  FROM e CROSS JOIN sl s),
+       |dec AS (SELECT c.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> s.mins[i] + CAST(c.codes[i] AS DOUBLE) / 255.0 * s.scs[i]) AS rv
+       |  FROM cod c CROSS JOIN sl s),
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, c.cell, row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
+       |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+       |sc2 AS (SELECT p.query_id, a.id,
+       |  round(list_inner_product(p.qv, p.qv)
+       |    - 2 * list_inner_product(p.qv, d.rv)
+       |    + list_inner_product(d.rv, d.rv), 6) AS sq_d2
+       |  FROM probes p JOIN asg a ON a.cell = p.cell
+       |  JOIN dec d ON d.id = a.id
+       |  WHERE a.id <> p.query_id),
+       |r AS (SELECT query_id, id, sq_d2, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sq_d2, id) AS rank FROM sc2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, sq_d2
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Binary-quantized retrieval + exact rerank (e14): 1-bit sign codes
     * against per-dim exact-grid mean thresholds (32x compression),
     * hamming shortlist of 20, exact-cosine rescore to top-5 — the
@@ -1754,6 +1805,7 @@ object DataQueries {
     "e12_ivf_pq_residual" -> e12IvfPqResidual,
     "e13_sq8_topk" -> e13Sq8TopK,
     "e14_bq_rerank" -> e14BqRerank,
+    "e15_ivf_sq_topk" -> e15IvfSqTopK,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1801,6 +1853,7 @@ object DataQueries {
     "e12_ivf_pq_residual" -> e12Sql,
     "e13_sq8_topk" -> e13Sql,
     "e14_bq_rerank" -> e14Sql,
+    "e15_ivf_sq_topk" -> e15Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

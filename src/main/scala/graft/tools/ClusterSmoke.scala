@@ -54,7 +54,7 @@ object ClusterSmoke {
     // residual IVF-PQ (assignment + residual + encode in one projection
     // chain, per-probe-cell ADC tables)
     "e11_opq_ivf_pq", "e12_ivf_pq_residual", "e13_sq8_topk",
-    "e14_bq_rerank", "q49_radius_join",
+    "e14_bq_rerank", "e15_ivf_sq_topk", "q49_radius_join",
     // exact-dedup-first pairing (fp window + weight join), mixture
     // weights application, and the social mart's staged try-parse path
     "d04_dedup_ngram_jaccard", "q46_social_mart", "m02_media_features",
