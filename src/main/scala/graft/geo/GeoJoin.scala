@@ -37,6 +37,16 @@ object GeoJoin {
     * round-3dp distance, the cross-engine-stable boundary the q06
     * oracle kernel already pins.
     *
+    * LIMITATION (ADVICE r8): cells come from `floor(lng / lngStepDeg)`
+    * with no longitude wraparound, so the coverage contract EXCLUDES
+    * pairs straddling the ±180° antimeridian (their cells are
+    * numerically far apart and the pair is silently dropped). Callers
+    * with a global corpus must normalize longitudes away from the seam
+    * or pre-duplicate points within `lngStepDeg` of ±180° into the
+    * opposite sign's cell range; bounded-extent corpora (the NYC box
+    * q49 runs on) are unaffected. Latitude has no such seam (poles are
+    * range endpoints, not a wrap).
+    *
     * Output: (id1, id2, dist_km), id1 < id2. */
   def radiusPairs(points: DataFrame, idCol: String, latCol: String,
                   lngCol: String, radiusKm: Double,

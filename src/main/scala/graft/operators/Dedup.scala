@@ -259,18 +259,32 @@ object Dedup {
       .join(state.select(col("fp")), Seq("fp"), "left_anti")
       .localCheckpoint(false) // feeds bands and base
     val (baseNew, bandedNew) = bandedRelations(newReps, "text", "id", n, k, bands)
+    // At-least-once REPLAY guard (ADVICE r8): a crash between the
+    // companion-table merges and the state swap leaves this batch's
+    // rows already absorbed into `baseOld`/`bandedOld`. A replayed
+    // batch re-derives the same new ids, so without exclusion it would
+    // (a) pair against itself through the old side and (b) feed
+    // duplicate (id, sh) rows into jaccardVerify, whose id1/id2 joins
+    // then fan every contributed pair out — duplicate pair ROWS that a
+    // keyed merge stores permanently. Anti-joining the old relations
+    // against the batch's new ids restores the clean-run relations
+    // exactly, making the replay byte-identical (row counts included —
+    // MinhashDeltaSpec pins counts, not just the pair set). In a clean
+    // run the anti-join removes nothing; the batch-id side is small and
+    // broadcastable, so the exclusion is map-only at state scale.
+    val newIds = newReps.select(col("id"))
+    val baseOldX = baseOld.join(newIds, Seq("id"), "left_anti")
+    val bandedOldX = bandedOld.join(newIds, Seq("id"), "left_anti")
     val ln = bandedNew.select(col("id").as("ida"), col("band"))
     val candNN = ln.join(bandedNew.select(col("id").as("idb"), col("band")),
         Seq("band"))
       .filter(col("ida") < col("idb"))
       .select(col("ida").as("id1"), col("idb").as("id2"))
-    val candNO = ln.join(bandedOld.select(col("id").as("idb"), col("band")),
+    val candNO = ln.join(bandedOldX.select(col("id").as("idb"), col("band")),
         Seq("band"))
-      // ida == idb is impossible in a clean run (new fps are anti-joined
-      // against the state), but an at-least-once REPLAY after a partial
-      // failure can see a band state that already absorbed this batch —
-      // without the guard the self-join would emit (id, id) pairs at
-      // jaccard 1.0 into the stored relation
+      // ida == idb is impossible after the exclusion above; the guard
+      // stays as defense in depth (a self-pair here would enter the
+      // stored relation at jaccard 1.0)
       .filter(col("ida") =!= col("idb"))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
@@ -291,7 +305,7 @@ object Dedup {
       .unionByName(newReps.select(col("id"), col("n_copies")))
     val w1 = counts.select(col("id").as("id1"), col("n_copies").as("nc1"))
     val w2 = counts.select(col("id").as("id2"), col("n_copies").as("nc2"))
-    val pairs = jaccardVerify(cand, baseNew.unionByName(baseOld), threshold)
+    val pairs = jaccardVerify(cand, baseNew.unionByName(baseOldX), threshold)
       .join(w1, Seq("id1")).join(w2, Seq("id2"))
       .select(col("id1"), col("id2"), col("jaccard"),
         (col("nc1") * col("nc2")).as("weight"))

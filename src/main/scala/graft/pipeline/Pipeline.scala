@@ -58,6 +58,14 @@ object Pipeline {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Existence through the path's Hadoop FileSystem — the check every
+    * state/companion reader must use instead of `java.io.File` (ADVICE
+    * r8: on HDFS/S3 a local-file check returns false for an EXISTING
+    * relation, so state silently reads as empty — replay guards defeat,
+    * keyed merges replace accumulated state with batch-only rows). */
+  def pathExists(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
   /** dbt's delete+insert merge of `increment` into the parquet relation
     * at `path`, creating it on first write: existing rows whose key
     * appears in the increment are dropped (plain-equality anti join —

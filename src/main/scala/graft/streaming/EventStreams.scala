@@ -242,6 +242,47 @@ object EventStreams {
     * its new fingerprints' rows, so no micro-batch ever re-shingles
     * old text and per-batch cost is independent of state size
     * (VERDICT r7 next-#3). */
+  /** Shared keeper-state read for the delta streaming queries: the
+    * (fp, id, text, n_copies) relation plus the last committed batch id
+    * (-1 when the state is absent OR predates the r8 atomic batch-id
+    * column — both queries tolerate a pre-r8 state, ADVICE r8 low).
+    * Existence resolves through the path's Hadoop FileSystem
+    * ([[graft.pipeline.Pipeline.pathExists]]) — the previous
+    * `java.io.File` check read an HDFS/S3 state as empty, defeating the
+    * replay guard and replacing accumulated counts (ADVICE r8 medium). */
+  private def readKeeperState(spark: SparkSession, statePath: String)
+      : (DataFrame, Long) = {
+    import spark.implicits._
+    val stateExists = graft.pipeline.Pipeline.pathExists(spark, statePath)
+    val rawState =
+      if (stateExists) spark.read.parquet(statePath)
+      else Seq.empty[(String, Long, String, Long, Long)]
+        .toDF("fp", "id", "text", "n_copies", "last_batch")
+    val last =
+      if (!stateExists || !rawState.columns.contains("last_batch")) -1L
+      else rawState.agg(coalesce(max(col("last_batch")), lit(-1L)))
+        .head.getLong(0)
+    (rawState.select(col("fp"), col("id"), col("text"), col("n_copies")), last)
+  }
+
+  /** Companion/label relation read-or-empty, through the Hadoop
+    * FileSystem for the same reason as [[readKeeperState]]. */
+  private def readOrEmpty(spark: SparkSession, path: String,
+                          empty: => DataFrame): DataFrame =
+    if (graft.pipeline.Pipeline.pathExists(spark, path))
+      spark.read.parquet(path)
+    else empty
+
+  /** The two signature companion tables of a keeper state. */
+  private def readBandState(spark: SparkSession, statePath: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    (readOrEmpty(spark, s"${statePath}_base",
+       Seq.empty[(Long, Seq[String])].toDF("id", "sh")),
+     readOrEmpty(spark, s"${statePath}_bands",
+       Seq.empty[(Long, String)].toDF("id", "band")))
+  }
+
   def deltaDedupStreamQuery(spark: SparkSession, docs: DataFrame,
                             textCol: String, idCol: String,
                             statePath: String, pairsPath: String,
@@ -250,26 +291,9 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import spark.implicits._
-        val stateExists = new java.io.File(statePath).exists
-        val rawState =
-          if (stateExists) spark.read.parquet(statePath)
-          else Seq.empty[(String, Long, String, Long, Long)]
-            .toDF("fp", "id", "text", "n_copies", "last_batch")
-        val last =
-          if (!stateExists) -1L
-          else if (!rawState.columns.contains("last_batch")) -1L // pre-r8 state
-          else rawState.agg(coalesce(max(col("last_batch")), lit(-1L)))
-            .head.getLong(0)
+        val (state, last) = readKeeperState(spark, statePath)
         if (batchId > last) {
-          val state = rawState.select(
-            col("fp"), col("id"), col("text"), col("n_copies"))
-          def readOr(path: String, empty: => DataFrame): DataFrame =
-            if (new java.io.File(path).exists) spark.read.parquet(path) else empty
-          val stateBase = readOr(s"${statePath}_base",
-            Seq.empty[(Long, Seq[String])].toDF("id", "sh"))
-          val stateBands = readOr(s"${statePath}_bands",
-            Seq.empty[(Long, String)].toDF("id", "band"))
+          val (stateBase, stateBands) = readBandState(spark, statePath)
           val delta = graft.operators.Dedup.minhashPairsDeltaBanded(
             batch.toDF(), state, stateBase, stateBands,
             textCol, idCol, threshold = threshold)
@@ -335,24 +359,9 @@ object EventStreams {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import spark.implicits._
-        val stateExists = new java.io.File(statePath).exists
-        val rawState =
-          if (stateExists) spark.read.parquet(statePath)
-          else Seq.empty[(String, Long, String, Long, Long)]
-            .toDF("fp", "id", "text", "n_copies", "last_batch")
-        val last =
-          if (!stateExists) -1L
-          else rawState.agg(coalesce(max(col("last_batch")), lit(-1L)))
-            .head.getLong(0)
+        val (state, last) = readKeeperState(spark, statePath)
         if (batchId > last) {
-          val state = rawState.select(
-            col("fp"), col("id"), col("text"), col("n_copies"))
-          def readOr(path: String, empty: => DataFrame): DataFrame =
-            if (new java.io.File(path).exists) spark.read.parquet(path) else empty
-          val stateBase = readOr(s"${statePath}_base",
-            Seq.empty[(Long, Seq[String])].toDF("id", "sh"))
-          val stateBands = readOr(s"${statePath}_bands",
-            Seq.empty[(Long, String)].toDF("id", "band"))
+          val (stateBase, stateBands) = readBandState(spark, statePath)
           val gated = graft.models.CurationModels.gateDocs(batch.toDF())
             .localCheckpoint(false) // feeds pairing, keeper drop, and the fold
           val delta = graft.operators.Dedup.minhashPairsDeltaBanded(
@@ -374,7 +383,7 @@ object EventStreams {
           // transitive groups: fold the batch's pairs into the evolving
           // labeling — the delta-CC graph is |labels| + |batch pairs|
           // edges, and changed labels replace their rows in the merge
-          val oldLabels = readOr(s"${pairsPath}_groups",
+          val oldLabels = readOrEmpty(spark, s"${pairsPath}_groups",
             Seq.empty[(Long, Long)].toDF("id", "group_id"))
           graft.pipeline.Pipeline.mergeIntoParquet(
             spark, s"${pairsPath}_groups",

@@ -81,6 +81,19 @@ class MinhashDeltaSpec extends SparkSpec {
     val rp = pairSet(replay.pairs)
     assert(!rp.exists(p => p._1 == p._2), s"self-pairs in replay: $rp")
     assert(rp == pairSet(clean.pairs))
+    // ROW counts, not just the set (ADVICE r8): replay-absorbed
+    // companion rows used to fan each pair out 2-4x through
+    // jaccardVerify's id1/id2 joins — multiplicity a Set compare hides,
+    // and a keyed merge stores. The replayed relation must be
+    // row-identical to the clean run, and duplicate-free.
+    assert(replay.pairs.count() == clean.pairs.count(),
+      "replayed pair relation must be row-identical to the clean run")
+    assert(replay.pairs.count() == replay.pairs.dropDuplicates("id1", "id2").count(),
+      "replayed pair relation carries duplicate (id1, id2) rows")
+    // the companion appends are also byte-identical on replay — the
+    // next batch's state must not inherit duplicate (id, sh) rows
+    assert(replay.newBase.count() == clean.newBase.count())
+    assert(replay.newBands.count() == clean.newBands.count())
   }
 
   test("out-of-order append keeps stored pairs valid (keeper-stable merge)") {
