@@ -108,9 +108,46 @@ object Bench {
     // "measure" records the metric DEFINITION (ADVICE r4): r1-r3 totals
     // were single-run; r4+ is min-of-2 steady-state with outlier
     // re-measure — round-over-round comparisons need to know which.
+    // OUTPUT SHAPE (VERDICT r8 next-#8): the capture keeps only the LAST
+    // ~2KB of stdout, and the full 100-query line is ~2.5KB — it has
+    // been front-truncated (and unparseable from the tail) three rounds
+    // running. So: (1) the full contract line prints FIRST — its q/t
+    // tail survives in the capture exactly as before; (2) the complete
+    // per-query detail is written to bench_summary.json in the CWD;
+    // (3) stdout ENDS with a compact summary line (totals + per-family
+    // subtotals + pointer) that fits whole inside the capture window.
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""measure":"steady_min2","first_run_total":$firstTotal,""" +
       s""""queries":$qs,"sf":"$sfDir"}""")
+    val families = results.filter(_._2 >= 0).groupBy(_._1.take(1))
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => f""""$f":${rs.map(_._2).sum}%.3f""" }
+      .mkString("{", ",", "}")
+    val summaryJson = {
+      val perQuery = firstPass.map { case (n, first, _) =>
+        val steady = results.toMap.apply(n)
+        f"""    "$n": {"steady_sec": $steady%.6f, "first_run_sec": $first%.6f}"""
+      }.mkString(",\n")
+      f"""{
+  "metric": "total", "value": $total%.6f, "unit": "sec",
+  "measure": "steady_min2", "first_run_total": $firstTotal%.6f,
+  "families": $families, "sf": "$sfDir",
+  "queries": {
+$perQuery
+  }
+}
+"""
+    }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
+        summaryJson.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""measure":"steady_min2","first_run_total":$firstTotal,""" +
+      s""""families":$families,"n_queries":${results.count(_._2 >= 0)},""" +
+      s""""queries_detail":"bench_summary.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
