@@ -533,6 +533,89 @@ case class WordSpansExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Content-defined (rolling-hash anchor) segmentation of a document's
+  * token stream, one compiled call per row — the segmentation primitive
+  * of exact-substring dedup (Lee et al. 2021's unaligned-run family;
+  * `TextAnalysis.exactSubstrDedup`). A position p (1 <= p <= m-w) is an
+  * ANCHOR iff the 60-bit md5 of the w lowercased tokens starting at p
+  * satisfies `h % stride == 0`; segment boundaries are {0} ∪ anchors ∪
+  * {m}. Because the anchor test reads only the w tokens at p, two
+  * documents sharing a token run place IDENTICAL boundaries inside it
+  * (for anchors whose w-gram lies fully inside the run) regardless of
+  * the run's offset in either document — the property that lets
+  * whole-segment equality catch UNALIGNED duplicated runs, where the
+  * fixed-width [[SpanHashesExpr]] family needs one row per token
+  * position. Expected segment length ≈ stride tokens, so all downstream
+  * exchanges carry ~m/stride rows per document.
+  *
+  * result[i] = (pos, len, h) of segment i: tokens pos..pos+len-1,
+  * h = md5Long60 of the segment's lowercased tokens joined with one
+  * space. Segmentation covers the document exactly (Σ len = m); no
+  * tokens -> empty array. Twin of the DuckDB anchors/segments CTEs in
+  * DataQueries.d14Sql.
+  */
+case class AnchorSegmentsExpr(child: Expression, w: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 2, s"anchor width must be >= 2, got $w")
+  require(stride >= 2, s"stride must be >= 2, got $stride")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("len",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_anchor_segments"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashExpressions.tokenize(
+      input.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT))
+    val m = toks.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val md = HashExpressions.localMd5.get()
+    val sb = new java.lang.StringBuilder(64)
+    // boundaries: 0, every anchor position, m
+    val bnd = scala.collection.mutable.ArrayBuffer[Int](0)
+    var p = 1
+    while (p + w <= m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(p + j))
+        j += 1
+      }
+      val h = HashExpressions.md5Long60(md, sb.toString.getBytes("UTF-8"))
+      if (h % stride == 0) bnd += p
+      p += 1
+    }
+    bnd += m
+    val out = new Array[Any](bnd.length - 1)
+    var i = 0
+    while (i < bnd.length - 1) {
+      val b = bnd(i); val nb = bnd(i + 1)
+      sb.setLength(0)
+      var t = b
+      while (t < nb) {
+        if (t > b) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(b, nb - b,
+        HashExpressions.md5Long60(md, sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Token-position removal + rebuild in ONE pass: tokenize text (RAW
   * case — removal positions were decided on lowercased hashes, rebuild
   * preserves the original tokens), drop the positions listed in
@@ -601,6 +684,8 @@ object TextExpressions {
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
   def spanHashes(text: Column, k: Int): Column =
     Bridge.column(SpanHashesExpr(Bridge.expression(text), k))
+  def anchorSegments(text: Column, w: Int, stride: Int): Column =
+    Bridge.column(AnchorSegmentsExpr(Bridge.expression(text), w, stride))
   def dropTokens(text: Column, removedPos: Column): Column =
     Bridge.column(DropTokensExpr(
       Bridge.expression(text), Bridge.expression(removedPos)))

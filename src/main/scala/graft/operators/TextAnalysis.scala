@@ -565,4 +565,87 @@ object TextAnalysis {
       .agg(collect_set(col("rpos")).as("rpos"))
     rebuildDocs(base, removed)
   }
+
+  // -------------------------------------------------------------------
+  // Exact-substring dedup (Lee et al. 2021's unaligned-run family —
+  // VERDICT r8 next-#1)
+  // -------------------------------------------------------------------
+
+  /** Exact-substring dedup: remove cross-document duplicated token RUNS
+    * of at least `minRun` tokens at ARBITRARY offsets — the
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2021) ExactSubstr family, whose reference implementation is a
+    * corpus-wide suffix array (inherently single-machine). The
+    * distributed re-expression is content-defined segmentation
+    * ([[graft.expressions.AnchorSegmentsExpr]]): rolling-hash anchors
+    * cut each document into ~`stride`-token segments whose boundaries
+    * depend only on local token content, so a run shared by two
+    * documents is segmented IDENTICALLY inside both regardless of its
+    * offset in either — whole-segment hash equality then finds the
+    * run's interior without any token-level alignment search.
+    *
+    * Pipeline: segment (one compiled call per doc, map-only) → cross-doc
+    * duplicated segments (min != max over doc_id per segment hash,
+    * keep-first keeper = min doc_id, as [[spanDedup]]) → chain a doc's
+    * CONSECUTIVE removable segments into islands (gaps-and-islands on
+    * segment index) → islands totalling >= `minRun` tokens are removed;
+    * shorter islands survive (the Lee-style minimum-match-length that
+    * keeps common short phrases from shredding documents) → rebuild
+    * from surviving positions ([[graft.expressions.DropTokensExpr]],
+    * original-case tokens).
+    *
+    * COVERAGE CONTRACT (the honest delta vs a suffix array): a
+    * duplicated run is removed from its anchor-aligned INTERIOR — the
+    * segments whose content lies fully inside the run. The run's head
+    * (before its first interior anchor) and tail (the segment crossing
+    * the run's end) hash differently in each document and survive;
+    * expected fringe ≈ 2·stride tokens per run. Suffix-array exactness
+    * trims to the exact run boundaries; the fixed-width [[spanDedup]]
+    * (k=10, stride-1) trims exactly but carries one exchange row PER
+    * TOKEN. This operator's exchanges carry ~1/stride of that (segment
+    * granularity), the 100 TB trade documented on the reference's own
+    * corpus shapes. Intra-document repeats are NOT removed (cross-doc
+    * contract, per-doc repetition is t09's signal).
+    *
+    * Scale shape: segmentation is map-only; the duplicated-segment test
+    * is ONE exchange keyed by the 60-bit segment hash carrying
+    * (h, doc, idx, pos, len) at ~tokens/stride rows; island chaining is
+    * two window passes over REMOVABLE segments only (bounded by
+    * duplicated volume) partitioned by doc_id; the rebuild join's right
+    * side holds only affected docs (broadcastable when duplication is
+    * sparse — AQE decides). No stage holds a whole document's token
+    * rows in one group.
+    */
+  def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
+                       w: Int = 4, stride: Int = 8,
+                       minRun: Int = 30): DataFrame = {
+    import graft.expressions.TextExpressions.anchorSegments
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // one subtree feeds both the dup aggregation and the removal probe —
+    // same lazy cut-point rationale as spanDedup
+    val segs = base.select(col("doc_id"),
+        posexplode(anchorSegments(col("text"), w, stride)).as(Seq("si", "seg")))
+      .select(col("doc_id"), col("si"), col("seg.pos").as("pos"),
+        col("seg.len").as("len"), col("seg.h").as("h"))
+      .localCheckpoint(false)
+    val dup = segs.groupBy("h")
+      .agg(min("doc_id").as("keeper"), max("doc_id").as("mx"))
+      .filter(col("keeper") =!= col("mx"))
+      .select("h", "keeper")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("si"))
+    val removable = segs.join(dup, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .withColumn("isl", col("si") - row_number().over(byDoc))
+    val islandLen = Window.partitionBy(col("doc_id"), col("isl"))
+    val removed = removable
+      .withColumn("run_len", sum(col("len")).over(islandLen))
+      .filter(col("run_len") >= minRun)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("len") - lit(1)))
+          .as("rpos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("rpos")).as("rpos"))
+    rebuildDocs(base, removed)
+  }
 }

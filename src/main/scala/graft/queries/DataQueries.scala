@@ -1771,9 +1771,62 @@ object DataQueries {
        |  COALESCE(o.text_dedup, '') AS text_dedup
        |FROM rt b LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // d14: exact-substring dedup (Lee 2021 unaligned runs) — the oracle
+  // replays the FULL contract from parquet + md5 alone: content-defined
+  // anchors (60-bit md5 of the 4-token gram at p, % 8 == 0), whole-doc
+  // segmentation, cross-doc duplicated segments with keep-first keeper,
+  // consecutive-segment islands >= 30 tokens removed, text rebuilt.
+  // Same repartition rationale as d12 (single split at test scale).
+  val d14ExactSubstr: Q = (s, dir) =>
+    TextAnalysis.exactSubstrDedup(
+        Catalog(s, dir).documents.repartition(col("doc_id")),
+        "text", "doc_id", w = 4, stride = 8, minRun = 30)
+      .orderBy(col("doc_id"))
+
+  val d14Sql: String =
+    s"""WITH rt0 AS (SELECT doc_id, list_filter(
+       |  string_split_regex(text, '\\s+'), t -> t <> '') AS rt FROM documents),
+       |rt AS (SELECT doc_id, rt FROM rt0 WHERE len(rt) > 0),
+       |p AS (SELECT doc_id, rt, unnest(range(0, len(rt))) AS pos FROM rt),
+       |anch AS (SELECT doc_id, pos FROM p
+       |  WHERE pos >= 1 AND pos + 4 <= len(rt)
+       |    AND (${h60("lower(array_to_string(rt[pos+1:pos+4], ' '))")} % 8) = 0),
+       |bnd AS (SELECT doc_id, 0 AS b FROM rt
+       |  UNION ALL SELECT doc_id, pos AS b FROM anch),
+       |seg0 AS (SELECT doc_id, b,
+       |    lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS nb,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS si
+       |  FROM bnd),
+       |seg AS (SELECT s.doc_id, s.si, s.b AS pos,
+       |    COALESCE(s.nb, len(r.rt)) - s.b AS len,
+       |    ${h60("lower(array_to_string(r.rt[s.b+1:COALESCE(s.nb, len(r.rt))], ' '))")} AS h
+       |  FROM seg0 s JOIN rt r USING (doc_id)),
+       |dup AS (SELECT h, min(doc_id) AS keeper FROM seg
+       |  GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+       |rm0 AS (SELECT s.doc_id, s.si, s.pos, s.len FROM seg s
+       |  JOIN dup d USING (h) WHERE s.doc_id <> d.keeper),
+       |isl AS (SELECT doc_id, pos, len,
+       |    si - row_number() OVER (PARTITION BY doc_id ORDER BY si) AS g
+       |  FROM rm0),
+       |isl2 AS (SELECT doc_id, pos, len,
+       |    sum(len) OVER (PARTITION BY doc_id, g) AS run_len FROM isl),
+       |rem AS (SELECT doc_id, unnest(range(pos, pos + len)) AS pos
+       |  FROM isl2 WHERE run_len >= 30),
+       |tok AS (SELECT doc_id, pos, rt[pos+1] AS tok FROM p),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+       |    WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
+       |o AS (SELECT doc_id, count(*) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY pos) AS text_dedup FROM kept GROUP BY 1)
+       |SELECT b.doc_id, CAST(len(b.rt) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(o.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(o.text_dedup, '') AS text_dedup
+       |FROM rt b LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01DedupExact,
     "d12_span_dedup" -> d12SpanDedup,
+    "d14_exact_substr" -> d14ExactSubstr,
     "t08_pii_redact" -> t08PiiRedact,
     "t09_repetition" -> t09Repetition,
     "t10_domain_mixture" -> t10DomainMixture,
@@ -1822,6 +1875,7 @@ object DataQueries {
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d12_span_dedup" -> d12Sql,
+    "d14_exact_substr" -> d14Sql,
     "t08_pii_redact" -> t08Sql,
     "t09_repetition" -> t09Sql,
     "t10_domain_mixture" -> t10Sql,
