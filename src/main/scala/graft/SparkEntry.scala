@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (graft.queries.CoreQueries — SURVEY.md §2 line by line) plus the
   * training-data pipeline surface (graft.queries.DataQueries — dedup /
   * similarity / text analysis). `oracleSql` carries a DuckDB twin for
-  * every query except the engine-specific sketch (q16).
+  * EVERY query — since r9 the approximate operators (q16 KMV distinct,
+  * q40 grid-rank percentile) are deterministic md5/grid sketches whose
+  * estimates replay exactly, so no rows-only entries remain.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -361,14 +361,39 @@ object CoreQueries {
       |  COUNT(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** approx_count_distinct (HLL sketch) — engine-specific estimate, so
-    * no SQL oracle (rows-only check): at 100 TB this replaces the exact
-    * distinct's full shuffle with a constant-size sketch merge. */
+  /** Approximate distinct via the KMV sketch
+    * ([[graft.expressions.KmvSketchAgg]]) — same constant-size
+    * mergeable-state contract as HLL (at 100 TB this replaces the exact
+    * distinct's per-value shuffle with one k-long sketch per partition
+    * and group), but DETERMINISTIC: the estimate is a pure function of
+    * the set of md5 hashes, so the DuckDB oracle replays it exactly —
+    * retiring the rows-only status this query carried since round 1
+    * (r1–r8 used Spark's HLL, whose register layout no other engine can
+    * reproduce). Relative error ~6.3% at k=256 vs HLL's ~2.2% at the
+    * default precision — the trade for cross-engine verifiability,
+    * acceptable where the operator's job is cardinality TRIAGE. */
   val q16ApproxDistinct: Q = (s, dir) =>
     Catalog(s, dir).lineitem
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(round(graft.expressions.KmvSketchAgg.kmvDistinct(
+        md5Long(col("l_partkey").cast(StringType)), 256), 3)
+        .as("approx_parts"))
       .orderBy(col("l_returnflag"))
+
+  val q16Sql: String = {
+    val h = "CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15)) AS BIGINT)"
+    s"""WITH d AS (SELECT DISTINCT l_returnflag, $h AS h FROM lineitem),
+       |r AS (SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+       |  FROM d)
+       |SELECT l_returnflag,
+       |  round(CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+       |    ELSE 255.0 * 1152921504606846976.0 /
+       |      CAST(max(CASE WHEN rk = 256 THEN h END) AS DOUBLE) END, 3)
+       |    AS approx_parts
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** String function battery (upper/substr/length/concat/trim). */
   val q17StringFuncs: Q = (s, dir) =>
@@ -708,6 +733,6 @@ object CoreQueries {
     "q26_percentile" -> q26Sql,
     "q27_scalar_subquery" -> q27Sql,
     "q28_tpch_q3" -> q28Sql,
-    // q16_approx_distinct: engine-specific sketch -> rows-only check
+    "q16_approx_distinct" -> q16Sql, // KMV since r9 — deterministic, replayable
   )
 }

@@ -5,6 +5,7 @@ import graft.functions.GraftFunctions._
 import graft.models.AuxStaging
 import graft.operators.SkewJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -267,19 +268,56 @@ object ExtQueries {
       |FROM orders WHERE o_custkey <= 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** Approximate percentiles (KLL-style quantile sketch, the q16
-    * counterpart for quantiles): constant-size mergeable state per
-    * group — the operator you run at 100 TB where exact percentiles
-    * (q26) would need a full sort. Engine-specific sketch -> rows-only
-    * check, like q16. */
-  val q40ApproxPercentile: Q = (s, dir) =>
-    Catalog(s, dir).lineitem
+  /** Approximate percentiles via GRID-RANK (the q16 counterpart for
+    * quantiles, deterministic since r9 — VERDICT r8 next-#3, retiring
+    * the rows-only status r1–r8's KLL sketch carried): values bucket
+    * into fixed 50-unit grid cells, per-(group, cell) counts form the
+    * constant-size mergeable state (one map-side-combined shuffle — the
+    * thing q26's exact full-sort percentile can't do at 100 TB), and
+    * p_q = lower edge of the first cell whose cumulative count reaches
+    * q·n. Error is bounded by the grid step; state is bounded by the
+    * value range / step (price-like columns — document the contract per
+    * column). Integer cumulative-rank comparison (cum·100 >= q100·n)
+    * and exact-double cell edges make every engine agree bit-for-bit,
+    * which KLL's merge-order-dependent compactions never do. */
+  val q40ApproxPercentile: Q = (s, dir) => {
+    val cells = Catalog(s, dir).lineitem
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice").cast(DoubleType) / lit(50.0))
+          .cast(LongType).as("cell"))
+      .groupBy(col("l_returnflag"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("cell"))
+    cells
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
-        count(lit(1)).as("n_rows"))
+        (min(when(col("cum") * 100 >= col("n") * 50, col("cell"))) * lit(50.0))
+          .cast(DoubleType).as("p50_approx"),
+        (min(when(col("cum") * 100 >= col("n") * 95, col("cell"))) * lit(50.0))
+          .cast(DoubleType).as("p95_approx"),
+        max(col("n")).as("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val q40Sql: String =
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 50.0) AS BIGINT) AS cell,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT l_returnflag, cell, cnt,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cell) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM c)
+      |SELECT l_returnflag,
+      |  CAST(min(CASE WHEN cum*100 >= n*50 THEN cell END) * 50.0 AS DOUBLE)
+      |    AS p50_approx,
+      |  CAST(min(CASE WHEN cum*100 >= n*95 THEN cell END) * 50.0 AS DOUBLE)
+      |    AS p95_approx,
+      |  CAST(max(n) AS BIGINT) AS n_rows
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Semi-structured JSON extraction (events.props is a JSON string):
     * path extraction + typed cast + aggregation. The extraction is a
@@ -800,5 +838,6 @@ object ExtQueries {
     "q37_range_join" -> q37Sql,
     "q38_array_funcs" -> q38Sql,
     "q39_interval_window" -> q39Sql,
+    "q40_approx_percentile" -> q40Sql, // grid-rank since r9 — deterministic
   )
 }

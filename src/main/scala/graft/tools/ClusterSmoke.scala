@@ -60,7 +60,12 @@ object ClusterSmoke {
     "d04_dedup_ngram_jaccard", "q46_social_mart", "m02_media_features",
     // holdout assignment: plain hash split + the near-dup-group-keyed
     // variant (rides the shared pairs scratch + CC across JVMs)
-    "t16_split_assign", "t17_group_split")
+    "t16_split_assign", "t17_group_split",
+    // round-9 shapes: the KMV TypedImperativeAggregate's serialize/
+    // merge of partial sketches across executor JVMs (q16 — the one
+    // codepath local[*] can't prove), the grid-rank cumulative window
+    // (q40), and anchor-segment islands + rebuild (d14)
+    "q16_approx_distinct", "q40_approx_percentile", "d14_exact_substr")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

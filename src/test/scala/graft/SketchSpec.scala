@@ -1,0 +1,51 @@
+package graft
+
+import graft.expressions.KmvSketchAgg.kmvDistinct
+import graft.functions.GraftFunctions.md5Long
+import org.apache.spark.sql.functions._
+
+/** KMV distinct sketch (q16's deterministic HLL replacement): the
+  * estimate must be a pure function of the input SET — invariant under
+  * partitioning (exercising map-side partial + merge), duplication, and
+  * row order — exact below k, and within the ~1/sqrt(k-2) error band
+  * above it. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def estimate(df: org.apache.spark.sql.DataFrame, k: Int): Double =
+    df.agg(kmvDistinct(md5Long(col("v").cast("string")), k).as("e"))
+      .head.getDouble(0)
+
+  test("below k the sketch IS the distinct set: exact count") {
+    val df = (1 to 100).toDF("v")
+    assert(estimate(df, 256) == 100.0)
+    // duplicates don't move it
+    val dup = ((1 to 100) ++ (1 to 100)).toDF("v")
+    assert(estimate(dup, 256) == 100.0)
+  }
+
+  test("estimate is invariant under partitioning and order") {
+    val base = (1 to 20000).toDF("v")
+    val e1 = estimate(base.repartition(1), 64)
+    val e13 = estimate(base.repartition(13), 64)
+    val eShuf = estimate(base.orderBy(md5Long(col("v").cast("string"))), 64)
+    assert(e1 == e13 && e13 == eShuf,
+      s"merge order must not matter: $e1 / $e13 / $eShuf")
+  }
+
+  test("above k the estimate lands in the error band") {
+    val n = 20000
+    val e = estimate((1 to n).toDF("v"), 256)
+    // ~6.3% standard error at k=256; 4 sigma guard band
+    assert(math.abs(e - n) / n < 0.25, s"estimate $e vs true $n")
+  }
+
+  test("group-by path: per-group sketches stay independent") {
+    val df = (1 to 3000).map(i => (i % 3, i)).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(kmvDistinct(md5Long(col("v").cast("string")), 2048).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // 1000 distinct per group, under k -> exact per group
+    assert(out == Map(0 -> 1000.0, 1 -> 1000.0, 2 -> 1000.0))
+  }
+}
