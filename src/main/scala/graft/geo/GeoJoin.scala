@@ -76,6 +76,66 @@ object GeoJoin {
       .select(col("id1"), col("id2"), col("dist_km"))
   }
 
+  /** Grid-bucketed POINT-IN-POLYGON join where BOTH sides are large —
+    * the billion-polygon shape [[assignZones]]'s broadcast contract
+    * scopes out (VERDICT r8 next-#4). Each polygon explodes to every
+    * grid cell its bounding box touches; each point lands in its ONE
+    * cell; candidates come from a plain equi-join on the cell key, and
+    * the exact even-odd ray cast (the same crossing rule
+    * [[Wkb.contains]] and the q48 oracle pin) keeps true containments.
+    * A (point, polygon) candidate arises at most once — the point has
+    * one cell and the polygon covers that cell once — so no distinct
+    * pass. The ray cast runs as a Catalyst higher-order-function
+    * predicate over the vertex array (codegen-planned `filter`/`size`),
+    * not a UDF.
+    *
+    * Scale shape: one shuffle each side on the cell key; polygon
+    * fan-out = bbox cell count (bounded by polygon extent / step, the
+    * caller's contract); per-candidate cost = O(vertices). Same
+    * antimeridian exclusion as [[radiusPairs]]. Horizontal edges
+    * short-circuit arithmetically: the crossing test's `(y1>py) !=
+    * (y2>py)` leg is false, and IEEE inf/NaN from the slope division
+    * compare false — identically in every engine, so no divide guard.
+    *
+    * @param polys polyIdCol + vertsCol: array<struct<lat:double,
+    *              lng:double>> — CLOSED implicitly (last vertex joins
+    *              the first); no self-intersection requirement (even-
+    *              odd rule, holes-by-winding like q48's fixtures)
+    * Output: (pid, zid), one row per containment. */
+  def gridPolygonJoin(points: DataFrame, idCol: String, latCol: String,
+                      lngCol: String, polys: DataFrame, polyIdCol: String,
+                      vertsCol: String,
+                      latStepDeg: Double, lngStepDeg: Double): DataFrame = {
+    val p = points.select(col(idCol).as("pid"),
+      col(latCol).cast(DoubleType).as("plat"),
+      col(lngCol).cast(DoubleType).as("plng"))
+      .withColumn("cx", floor(col("plng") / lngStepDeg).cast(LongType))
+      .withColumn("cy", floor(col("plat") / latStepDeg).cast(LongType))
+    val lats = transform(col("verts"), v => v("lat"))
+    val lngs = transform(col("verts"), v => v("lng"))
+    val z = polys.select(col(polyIdCol).as("zid"), col(vertsCol).as("verts"))
+      .withColumn("cx", explode(sequence(
+        floor(array_min(lngs) / lngStepDeg).cast(LongType),
+        floor(array_max(lngs) / lngStepDeg).cast(LongType))))
+      .withColumn("cy", explode(sequence(
+        floor(array_min(lats) / latStepDeg).cast(LongType),
+        floor(array_max(lats) / latStepDeg).cast(LongType))))
+    // even-odd crossing count over edges i -> (i+1) mod n, computed as
+    // a codegen-planned HOF chain (array subscripts are 0-based in
+    // Spark SQL; the DuckDB oracle replays edge-by-edge with 1-based
+    // CASE arithmetic — same doubles, same comparisons)
+    val inside = expr(
+      """size(filter(sequence(0, size(verts) - 1), i ->
+        |  ((verts[i].lat > plat) != (verts[CAST((i+1) % size(verts) AS INT)].lat > plat))
+        |  AND plng < (verts[CAST((i+1) % size(verts) AS INT)].lng - verts[i].lng)
+        |      * (plat - verts[i].lat)
+        |      / (verts[CAST((i+1) % size(verts) AS INT)].lat - verts[i].lat)
+        |      + verts[i].lng)) % 2 = 1""".stripMargin)
+    p.join(z, Seq("cx", "cy"))
+      .filter(inside)
+      .select(col("pid"), col("zid"))
+  }
+
   /** @param points  fact side: idCol, lngCol, latCol
     * @param zones   dim side: zoneKeyCol (string), wkbCol (binary WKB)
     * @return (idCol, lng, lat, zone) — zone null when no polygon matches

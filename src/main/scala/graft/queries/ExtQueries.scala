@@ -793,8 +793,89 @@ object ExtQueries {
       |FROM cu FULL OUTER JOIN oa ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
+  /** q50 — both-sides-large point-in-polygon join
+    * ([[graft.geo.GeoJoin.gridPolygonJoin]], VERDICT r8 next-#4):
+    * customer-derived md5 points (q49's cloud) against supplier-derived
+    * md5 diamond polygons — neither side broadcast; candidates from the
+    * cell-key equi-join, containment from the even-odd ray cast the
+    * oracle replays edge-by-edge (q48's kernel, computed geometry
+    * instead of literal fixtures). Diamond half-widths 0.01–0.04° keep
+    * every bbox within a 3×3 cell fan-out at the 0.03/0.04 grid. */
+  val q50PolygonJoin: Q = (s, dir) => {
+    val pts = Catalog(s, dir).customer.select(
+      col("c_custkey").as("id"),
+      (lit(40.0) + md5Long(concat(lit("glat|"), col("c_custkey").cast(StringType)))
+        % 1000001L / lit(1000000.0)).as("lat"),
+      (lit(-74.5) + md5Long(concat(lit("glng|"), col("c_custkey").cast(StringType)))
+        % 1000001L / lit(1000000.0)).as("lng"))
+    def h(seed: String) =
+      md5Long(concat(lit(seed + "|"), col("s_suppkey").cast(StringType)))
+    val zs = Catalog(s, dir).supplier.select(
+        col("s_suppkey").as("zid"),
+        (lit(40.0) + h("zlat") % 1000001L / lit(1000000.0)).as("clat"),
+        (lit(-74.5) + h("zlng") % 1000001L / lit(1000000.0)).as("clng"),
+        (lit(0.01) + h("zwla") % 101L / lit(100.0) * lit(0.03)).as("wlat"),
+        (lit(0.01) + h("zwln") % 101L / lit(100.0) * lit(0.03)).as("wlng"))
+      .select(col("zid"), array(
+        struct((col("clat") + col("wlat")).as("lat"), col("clng").as("lng")),
+        struct(col("clat").as("lat"), (col("clng") + col("wlng")).as("lng")),
+        struct((col("clat") - col("wlat")).as("lat"), col("clng").as("lng")),
+        struct(col("clat").as("lat"), (col("clng") - col("wlng")).as("lng")))
+        .as("verts"))
+    graft.geo.GeoJoin.gridPolygonJoin(pts, "id", "lat", "lng",
+        zs, "zid", "verts", latStepDeg = 0.03, lngStepDeg = 0.04)
+      .orderBy(col("pid"), col("zid"))
+  }
+
+  lazy val q50Sql: String = {
+    def pcoord(seed: String, base: String) =
+      s"$base + (CAST(('0x'||substr(md5('$seed|'||c_custkey::VARCHAR),1,15)) AS BIGINT)" +
+        " % 1000001) / CAST(1000000 AS DOUBLE)"
+    def zh(seed: String) =
+      s"CAST(('0x'||substr(md5('$seed|'||s_suppkey::VARCHAR),1,15)) AS BIGINT)"
+    s"""WITH pts AS (SELECT c_custkey AS pid,
+       |    ${pcoord("glat", "40.0")} AS plat,
+       |    ${pcoord("glng", "-74.5")} AS plng FROM customer),
+       |zs AS (SELECT s_suppkey AS zid,
+       |    40.0 + (${zh("zlat")} % 1000001) / CAST(1000000 AS DOUBLE) AS clat,
+       |    -74.5 + (${zh("zlng")} % 1000001) / CAST(1000000 AS DOUBLE) AS clng,
+       |    0.01 + (${zh("zwla")} % 101) / CAST(100 AS DOUBLE) * 0.03 AS wlat,
+       |    0.01 + (${zh("zwln")} % 101) / CAST(100 AS DOUBLE) * 0.03 AS wlng
+       |  FROM supplier),
+       |pc AS (SELECT pid, plat, plng,
+       |    CAST(floor(plng / 0.04) AS BIGINT) AS cx,
+       |    CAST(floor(plat / 0.03) AS BIGINT) AS cy FROM pts),
+       |zx AS (SELECT zid, clat, clng, wlat, wlng,
+       |    unnest(range(CAST(floor((clng - wlng) / 0.04) AS BIGINT),
+       |                 CAST(floor((clng + wlng) / 0.04) AS BIGINT) + 1)) AS cx
+       |  FROM zs),
+       |zc AS (SELECT zid, clat, clng, wlat, wlng, cx,
+       |    unnest(range(CAST(floor((clat - wlat) / 0.03) AS BIGINT),
+       |                 CAST(floor((clat + wlat) / 0.03) AS BIGINT) + 1)) AS cy
+       |  FROM zx),
+       |cand AS (SELECT p.pid, z.zid, p.plat, p.plng,
+       |    z.clat, z.clng, z.wlat, z.wlng
+       |  FROM pc p JOIN zc z USING (cx, cy)),
+       |edges AS (SELECT pid, zid, plat, plng,
+       |    CASE e WHEN 0 THEN clat+wlat WHEN 1 THEN clat
+       |           WHEN 2 THEN clat-wlat ELSE clat END AS y1,
+       |    CASE e WHEN 0 THEN clng WHEN 1 THEN clng+wlng
+       |           WHEN 2 THEN clng ELSE clng-wlng END AS x1,
+       |    CASE e WHEN 0 THEN clat WHEN 1 THEN clat-wlat
+       |           WHEN 2 THEN clat ELSE clat+wlat END AS y2,
+       |    CASE e WHEN 0 THEN clng+wlng WHEN 1 THEN clng
+       |           WHEN 2 THEN clng-wlng ELSE clng END AS x2
+       |  FROM cand, range(0, 4) t(e)),
+       |cr AS (SELECT pid, zid, count(*) AS c FROM edges
+       |  WHERE ((y1 > plat) <> (y2 > plat))
+       |    AND plng < (x2 - x1) * (plat - y1) / (y2 - y1) + x1
+       |  GROUP BY 1, 2)
+       |SELECT pid, zid FROM cr WHERE c % 2 = 1 ORDER BY pid, zid""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
+    "q50_polygon_join" -> q50PolygonJoin,
     "q41_json_funcs" -> q41JsonFuncs,
     "q42_det_sample" -> q42DetSample,
     "q43_full_outer" -> q43FullOuter,
@@ -839,5 +920,6 @@ object ExtQueries {
     "q38_array_funcs" -> q38Sql,
     "q39_interval_window" -> q39Sql,
     "q40_approx_percentile" -> q40Sql, // grid-rank since r9 — deterministic
+    "q50_polygon_join" -> q50Sql,
   )
 }

@@ -352,6 +352,15 @@ object ScaleProbe {
     stage("span_dedup") {
       t("span_dedup")(TextAnalysis.spanDedup(docs, "text", "doc_id", k = 10))
     }
+    // d14 exact-substring dedup: segmentation map-only, the duplicated-
+    // segment exchange carries ~tokens/stride rows (1/stride of
+    // span_dedup's), island windows run over removable segments only —
+    // expect the same near-linear curve as span_dedup with a smaller
+    // constant on the exchange-bound portion
+    stage("exact_substr") {
+      t("exact_substr")(TextAnalysis.exactSubstrDedup(docs, "text", "doc_id",
+        w = 4, stride = 8, minRun = 30))
+    }
     stage("bigram_lm") {
       t("bigram_lm_build_and_score") {
         val isLm = pmod(graft.functions.GraftFunctions.md5Long(

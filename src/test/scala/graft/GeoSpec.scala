@@ -1,6 +1,7 @@
 package graft
 
 import graft.geo.{GeoJoin, Wkb}
+import org.apache.spark.sql.functions.{col, expr}
 
 class GeoSpec extends SparkSpec {
   import spark.implicits._
@@ -87,5 +88,44 @@ class GeoSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"radius join must be an equi-join on the grid key:\n$plan")
+  }
+
+  test("gridPolygonJoin: containments match brute-force ray cast, no cross join") {
+    // two diamonds; points inside each, on the seam between cells, and
+    // outside both; polygon 20 overlaps polygon 10's area partially so
+    // a point can be in BOTH (two output rows)
+    def diamond(clat: Double, clng: Double, w: Double) = Seq(
+      (clat + w, clng), (clat, clng + w), (clat - w, clng), (clat, clng - w))
+    val zs = Seq((10L, diamond(40.00, -74.00, 0.05)),
+                 (20L, diamond(40.03, -74.00, 0.05)))
+      .toDF("zid", "raw")
+      .select(col("zid"), expr(
+        "transform(raw, v -> struct(v._1 AS lat, v._2 AS lng))").as("verts"))
+    val pts = Seq(
+      (1L, 40.000, -74.000),  // center of 10, inside 20's lower tip? dist .03 < .05 yes
+      (2L, 40.060, -74.000),  // inside 20 only
+      (3L, 40.015, -74.000),  // inside both (within L1 0.05 of both centers)
+      (4L, 40.000, -74.049),  // near 10's west vertex, inside 10 only
+      (5L, 41.000, -75.000))  // far outside
+      .toDF("id", "lat", "lng")
+    val df = GeoJoin.gridPolygonJoin(pts, "id", "lat", "lng",
+      zs, "zid", "verts", latStepDeg = 0.03, lngStepDeg = 0.04)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference: diamond containment is the L1 test
+    // |dlat| / w + |dlng| / w < 1 (strict: boundary points excluded by
+    // the ray cast's half-open convention; fixtures avoid boundaries)
+    val centers = Map(10L -> (40.00, -74.00), 20L -> (40.03, -74.00))
+    val ptsSeq = Seq((1L, 40.000, -74.000), (2L, 40.060, -74.000),
+      (3L, 40.015, -74.000), (4L, 40.000, -74.049), (5L, 41.000, -75.000))
+    val want = (for {
+      (pid, plat, plng) <- ptsSeq
+      (zid, (clat, clng)) <- centers.toSeq
+      if math.abs(plat - clat) + math.abs(plng - clng) < 0.05
+    } yield (pid, zid)).toSet
+    assert(got == want, s"got $got want $want")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"polygon join must be an equi-join on the grid key:\n$plan")
   }
 }
