@@ -116,11 +116,20 @@ object CurationModels {
     * noise). Corpus-global like dedup (the model depends on the whole
     * corpus) — a batch-by-design stage, same split the scaladoc above
     * documents. None = stage passes through unchanged. */
+  /** `bigramGate`: score the perplexity gate with t14's backoff BIGRAM
+    * LM (Wenzek's CCNet uses a 5-gram KenLM; the bigram is the first
+    * order where context matters) instead of t11's unigram — same
+    * sample contract, same one-compiled-pass scoring, strictly sharper
+    * separation on scrambled-but-in-vocabulary noise (a unigram LM
+    * cannot tell a shuffled document from a fluent one; the bigram
+    * can — CurationPipelineSpec pins exactly that case). Ignored when
+    * `perplexityGate` is None. */
   def registry(spark: SparkSession, documents: DataFrame,
                benchmark: DataFrame,
                incrementalFilter: Boolean = false,
                exportBudget: Option[Long] = None,
-               perplexityGate: Option[Double] = None): Registry = {
+               perplexityGate: Option[Double] = None,
+               bigramGate: Boolean = false): Registry = {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
@@ -154,9 +163,18 @@ object CurationModels {
           val isLm = org.apache.spark.sql.functions.pmod(
             md5Long(col("doc_id").cast(
               org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
-          val (lm, oov) = TextAnalysis.unigramLm(d.filter(isLm), "text",
-            vocab = 1000)
-          val keep = TextAnalysis.lmCrossEntropy(d, "text", "doc_id", lm, oov)
+          val scored =
+            if (bigramGate) {
+              val (bi, uni, oov, backoff) = TextAnalysis.bigramLm(
+                d.filter(isLm), "text", vocab = 1000, bigramVocab = 2000)
+              TextAnalysis.bigramCrossEntropy(d, "text", "doc_id",
+                bi, uni, oov, backoff)
+            } else {
+              val (lm, oov) = TextAnalysis.unigramLm(d.filter(isLm), "text",
+                vocab = 1000)
+              TextAnalysis.lmCrossEntropy(d, "text", "doc_id", lm, oov)
+            }
+          val keep = scored
             .filter(col("cross_entropy") <= maxCe)
             .select(col("doc_id"))
           d.join(keep, Seq("doc_id"))

@@ -204,4 +204,58 @@ class CurationPipelineSpec extends SparkSpec {
     assert(scored.contains(0L) && scored.contains(2L),
       "in-distribution docs kept")
   }
+
+  test("bigram gate separates scrambled text the unigram gate cannot") {
+    import graft.operators.TextAnalysis
+    import graft.functions.GraftFunctions.md5Long
+    // fluent docs: a fixed 10-word frame repeated twice with doc-unique
+    // fillers — strong, corpus-wide bigram structure
+    val frame = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    def fluent(i: Long) =
+      (frame :+ s"w${i}a").mkString(" ") + " " + (frame :+ s"w${i}b").mkString(" ")
+    // the adversary: an exact PERMUTATION of fluent(600)'s token
+    // multiset with every frame adjacency broken — identical unigram
+    // profile (same tokens, same OOV count), no seen bigrams
+    val scrambled = Seq("juliet", "hotel", "foxtrot", "delta", "bravo",
+      "w600a", "india", "golf", "echo", "charlie", "alpha", "juliet",
+      "hotel", "foxtrot", "delta", "bravo", "w600b", "india", "golf",
+      "echo", "charlie", "alpha").mkString(" ")
+    val docs = ((0L until 200L).map(i => (i, fluent(i), "en", "web")) ++
+      Seq((600L, scrambled, "en", "web"))).toDF("doc_id", "text", "lang", "source")
+    val gated = CurationModels.gateDocs(docs)
+    val isLm = pmod(md5Long(col("doc_id")
+      .cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L
+    // the scrambled doc must not land in the LM sample (its bigrams
+    // would train the model) — pinned, not assumed
+    assert(gated.filter(isLm).filter(col("doc_id") === 600L).count() == 0)
+    val (lm, oov) = TextAnalysis.unigramLm(gated.filter(isLm), "text",
+      vocab = 1000)
+    val ceU = TextAnalysis.lmCrossEntropy(gated, "text", "doc_id", lm, oov)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val maxInU = ceU.filter(_._1 != 600L).values.max
+    assert(ceU(600L) <= maxInU + 1e-6,
+      s"unigram CE cannot separate a permutation: ${ceU(600L)} vs band $maxInU")
+    val (bi, uni, oovB, backoff) = TextAnalysis.bigramLm(gated.filter(isLm),
+      "text", vocab = 1000, bigramVocab = 2000)
+    val ceB = TextAnalysis.bigramCrossEntropy(gated, "text", "doc_id",
+      bi, uni, oovB, backoff)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val maxInB = ceB.filter(_._1 != 600L).values.max
+    assert(ceB(600L) > maxInB,
+      s"bigram CE must separate: ${ceB(600L)} vs band $maxInB")
+    val thr = (ceB(600L) + maxInB) / 2
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cur-bi").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    val bench = Seq((9001L, fluent(1))).toDF("doc_id", "text")
+    CurationModels.registry(spark, docs, bench, perplexityGate = Some(thr),
+        bigramGate = true)
+      .run(cfg, Seq("DOCS_SCORED"))
+    val scored = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_SCORED")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!scored.contains(600L), "scrambled doc dropped by the bigram gate")
+    assert(scored.contains(0L) && scored.contains(2L),
+      "fluent docs kept")
+  }
 }
