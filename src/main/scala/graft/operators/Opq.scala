@@ -160,6 +160,31 @@ object Opq {
     (rSeq, KMeans.fitPqCodebook(rotFinal, "v", "id", m, kCent, dim))
   }
 
+  /** Mean squared PQ reconstruction distortion of (R, codebook) over
+    * the corpus — E‖R·x − reconstruct(encode(R·x))‖², the Ge 2013
+    * objective BOTH alternation halves of [[fitParametric]] descend
+    * (the codebook fit minimizes it for fixed R, the Procrustes/SVD
+    * update for fixed codes). The convergence curve this evaluates is
+    * the verification story for a declared-divergence operator with no
+    * cross-engine oracle (VERDICT r8 #6): distortion vs alternation
+    * count must flatten — probed by `RecallProbe <sf> opq_curve`, and
+    * OpqParametricSpec pins alternations=3 not worse than =1 on the
+    * fixture (k-means halves are fixed-pass Lloyd, not exact
+    * minimizers, so strict per-step monotonicity is not a theorem —
+    * the curve, not each increment, is the contract). One map-only
+    * pass + one scalar aggregate; same degeneracy filter as the fit. */
+  def distortion(df: DataFrame, vecCol: String, idCol: String,
+                 r: Seq[Seq[Double]], cb: Seq[Seq[Double]],
+                 m: Int): Double = {
+    df.select(toDoubleArray(col(vecCol)).as("x"))
+      .filter(Similarity.nonDegenerate(col("x")))
+      .select(VectorExpressions.pqEncode(
+          VectorExpressions.matrixRotate(col("x"), r), cb, m)
+        .getField("err").as("err"))
+      .filter(col("err").isNotNull)
+      .agg(avg(col("err"))).head.getDouble(0)
+  }
+
   /** Materialize a Householder product densely: columns are the
     * reflections applied to the standard basis. */
   private def denseOf(refl: Seq[Seq[Double]], dim: Int): Array[Array[Double]] = {

@@ -618,7 +618,57 @@ object TextAnalysis {
     */
   def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
                        w: Int = 4, stride: Int = 8,
-                       minRun: Int = 30): DataFrame = {
+                       minRun: Int = 30): DataFrame =
+    exactSubstrRemove(df, textCol, idCol, w, stride, minRun, keepers = None)
+
+  /** The materialized cut-point for DELTA exact-substring dedup: one
+    * row per distinct segment hash with its keeper (min doc_id) —
+    * [[spanKeepers]]' contract at segment granularity (~1/stride its
+    * row count). Single-occurrence segments included: a future doc
+    * matching a segment seen once must lose to it. */
+  def substrKeepers(df: DataFrame, textCol: String, idCol: String,
+                    w: Int = 4, stride: Int = 8): DataFrame = {
+    import graft.expressions.TextExpressions.anchorSegments
+    df.select(col(idCol).as("doc_id"),
+        explode(anchorSegments(col(textCol), w, stride)).as("seg"))
+      .select(col("doc_id"), col("seg.h").as("h"))
+      .groupBy("h").agg(min("doc_id").as("keeper"))
+  }
+
+  /** Fold an appended batch into the segment-keeper table: min of old
+    * keeper and batch min per hash — one keyed shuffle bounded by
+    * |old distinct segments| + |batch segments|. */
+  def mergeSubstrKeepers(keepers: DataFrame, newDocs: DataFrame,
+                         textCol: String, idCol: String,
+                         w: Int = 4, stride: Int = 8): DataFrame =
+    keepers.unionByName(substrKeepers(newDocs, textCol, idCol, w, stride))
+      .groupBy("h").agg(min("keeper").as("keeper"))
+
+  /** DELTA exact-substring dedup: rewrite ONLY an appended batch
+    * against the materialized [[substrKeepers]] table —
+    * [[spanDedupDelta]]'s daily-crawl contract at segment granularity.
+    * Same APPEND CONTRACT (batch ids exceed every keeper id, so old
+    * outputs are stable and
+    *   full(old ∪ batch) == full(old) ∪ delta(batch)
+    * — ExactSubstrSpec proves it): a batch doc's segment is removable
+    * iff its combined keeper (min over old table ∪ batch) is a smaller
+    * id; island chaining and the minRun threshold then run on the
+    * batch's own segment sequence exactly as in the full pass. Scale
+    * shape: segmentation touches the BATCH only; the one keyed
+    * exchange carries batch segments + matching keeper rows —
+    * independent of old-corpus size given a keeper table bucketed by
+    * h. */
+  def exactSubstrDedupDelta(newDocs: DataFrame, textCol: String,
+                            idCol: String, keepers: DataFrame,
+                            w: Int = 4, stride: Int = 8,
+                            minRun: Int = 30): DataFrame =
+    exactSubstrRemove(newDocs, textCol, idCol, w, stride, minRun,
+      keepers = Some(keepers))
+
+  private def exactSubstrRemove(df: DataFrame, textCol: String,
+                                idCol: String, w: Int, stride: Int,
+                                minRun: Int,
+                                keepers: Option[DataFrame]): DataFrame = {
     import graft.expressions.TextExpressions.anchorSegments
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -629,13 +679,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("si"), col("seg.pos").as("pos"),
         col("seg.len").as("len"), col("seg.h").as("h"))
       .localCheckpoint(false)
-    val dup = segs.groupBy("h")
-      .agg(min("doc_id").as("keeper"), max("doc_id").as("mx"))
-      .filter(col("keeper") =!= col("mx"))
-      .select("h", "keeper")
+    // keeper relation per segment hash; a segment occurrence is
+    // removable iff a smaller doc id owns its hash. Full mode derives
+    // keepers from the corpus itself (min != max prunes the probe side
+    // to genuinely duplicated hashes); delta mode folds the batch's
+    // mins into the materialized keeper table (spanDedupDelta's test:
+    // doc_id > combined keeper covers both old-vs-batch and
+    // batch-internal duplication)
+    val dup = keepers match {
+      case None =>
+        segs.groupBy("h")
+          .agg(min("doc_id").as("keeper"), max("doc_id").as("mx"))
+          .filter(col("keeper") =!= col("mx"))
+          .select("h", "keeper")
+      case Some(k) =>
+        segs.groupBy("h").agg(min("doc_id").as("nm"))
+          .join(k, Seq("h"), "left")
+          .select(col("h"),
+            least(coalesce(col("keeper"), col("nm")), col("nm")).as("keeper"))
+    }
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("si"))
     val removable = segs.join(dup, "h")
-      .filter(col("doc_id") =!= col("keeper"))
+      .filter(col("doc_id") > col("keeper"))
       .withColumn("isl", col("si") - row_number().over(byDoc))
     val islandLen = Window.partitionBy(col("doc_id"), col("isl"))
     val removed = removable

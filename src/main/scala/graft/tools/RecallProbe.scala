@@ -34,6 +34,40 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // `opq_curve`: parametric-OPQ convergence evidence (VERDICT r8 #6)
+    // instead of the recall battery — distortion (the Ge 2013
+    // objective) and recall@5 vs alternation count on the two corpora
+    // where rotation matters; the curve must flatten.
+    if (args.contains("opq_curve")) {
+      val aniso = emb.select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x as double) * (1.0d + i / 8.0d))")
+          .as("embedding"))
+      val clust = emb.select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x as double) + " +
+          "CASE WHEN i = CAST(label % 16 AS INT) * 4 THEN 6.0d ELSE 0.0d END)")
+          .as("embedding"))
+      for ((tag, df) <- Seq(("anisotropic", aniso), ("clustered", clust))) {
+        val q = df.filter(pmod(col("vec_id"), lit(20L)) === 0)
+        val exactL2 = Similarity.bruteForceTopKL2(df, q, "embedding",
+            "vec_id", 5).select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (a <- Seq(1, 2, 4)) {
+          val (rP, cbP) = Opq.fitParametric(df, "embedding", "vec_id",
+            m = 4, kCent = 16, dim = 64, alternations = a)
+          val d = Opq.distortion(df, "embedding", "vec_id", rP, cbP, m = 4)
+          val rotP = Opq.rotateDense(df, "embedding", "vec_id", rP)
+          val hits = Similarity.pqAdcTopKTrained(rotP,
+              rotP.filter(col("id") % 20 === 0), "v", "id", 5, 4, cbP)
+            .select("query_id", "id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rec = if (exactL2.isEmpty) 1.0
+            else hits.intersect(exactL2).size.toDouble / exactL2.size
+          println(f"[recall] $tag%-12s opq_curve alternations=$a " +
+            f"distortion=$d%.6f recall@5=$rec%.3f")
+        }
+      }
+      spark.stop(); return
+    }
     report("isotropic", emb)
     report("anisotropic", emb.select(col("vec_id"),
       expr("transform(embedding, (x, i) -> cast(x as double) * (1.0d + i / 8.0d))")

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(40000000L)
+    val n = args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(40000000L)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,6 +58,7 @@ object SkewProbe {
 
     conf("spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "false")
+    if (!args.contains("radius")) {
     timed("plain")(fact.join(dim, Seq("k"), "inner"))
 
     conf("spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -75,6 +76,47 @@ object SkewProbe {
     // non-problem by plan shape (no co-location by key at all)
     conf("spark.sql.autoBroadcastJoinThreshold" -> "10485760")
     timed("broadcast")(fact.join(dim, Seq("k"), "inner"))
+    }
+
+    // RADIUS-JOIN dense-cell skew (VERDICT r8 next-#5): the q49 grid
+    // self-join with Manhattan-style clustering — 70% of points inside
+    // ONE 0.04x0.03 cell, the rest uniform over a 1x1 degree box. The
+    // hot cell's |cell|^2 candidate work lands on one task in the plain
+    // path; the salted path spreads it. Run with a second arg "radius"
+    // (points count = first arg, capped at 12k: the dense cell holds
+    // 70% of points and its candidate volume is quadratic — 8.4k
+    // in-cell points already mean ~7e7 single-task candidate checks in
+    // the plain path, minutes beyond ~30k).
+    if (args.contains("radius")) {
+      import graft.functions.GraftFunctions.md5Long
+      val nPts = math.min(n, 12000L)
+      def u(seed: String) = // uniform [0,1) from md5, replayable
+        md5Long(concat(lit(s"$seed|"), col("id").cast(
+          org.apache.spark.sql.types.StringType))) % 1000001L / lit(1000000.0)
+      val pts = spark.range(nPts).select(
+        col("id"),
+        when(pmod(col("id"), lit(10L)) < 7, // 70% -> the one hot cell
+          lit(40.00) + u("clat") * 0.029)
+          .otherwise(lit(40.00) + u("ulat") * 1.0).as("lat"),
+        when(pmod(col("id"), lit(10L)) < 7,
+          lit(-74.00) + u("clng") * 0.039)
+          .otherwise(lit(-74.00) + u("ulng") * 1.0).as("lng"))
+      conf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "false")
+      timed("radius_plain")(graft.geo.GeoJoin.radiusPairs(
+        pts, "id", "lat", "lng", 3.0, 0.03, 0.04))
+      conf("spark.sql.adaptive.skewJoin.enabled" -> "true",
+        // same best-case thresholds the q45 scenarios grant AQE: the
+        // hot-cell partition is ~10s of MB at probe scale, under the
+        // 256MB default floor — at warehouse scale the defaults fire
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+      timed("radius_aqe")(graft.geo.GeoJoin.radiusPairs(
+        pts, "id", "lat", "lng", 3.0, 0.03, 0.04))
+      conf("spark.sql.adaptive.skewJoin.enabled" -> "false")
+      timed("radius_salted")(graft.geo.GeoJoin.radiusPairs(
+        pts, "id", "lat", "lng", 3.0, 0.03, 0.04, saltBuckets = 16))
+    }
 
     spark.stop()
   }

@@ -95,6 +95,41 @@ class ExactSubstrSpec extends SparkSpec {
     assert(shared.nonEmpty, "shared run must produce identical interior segments")
   }
 
+  test("delta mode equals full rebuild under the append contract") {
+    // old corpus: docs 1/2 share the run (2 loses); batch doc 50 copies
+    // the same run (must lose to the OLD keeper via the keeper table),
+    // batch docs 51/52 share a NEW run (52 loses to batch-mate 51),
+    // batch doc 53 is clean
+    val newRun = (0 until 60).map(i => f"nr$i%02d").mkString(" ")
+    val batch = Seq(
+      (50L, "pc0 pc1 pc2 " + run + " sc0 sc1"),
+      (51L, "pd0 pd1 " + newRun + " sd0"),
+      (52L, (0 until 9).map(i => f"pe$i%02d").mkString(" ") + " " + newRun),
+      (53L, "entirely fresh content with no shared runs at all here")
+    ).toDF("doc_id", "text")
+    val full = outMap(TextAnalysis.exactSubstrDedup(
+      docs.unionByName(batch), "text", "doc_id", W, S, MIN))
+    val keepers = TextAnalysis.substrKeepers(docs, "text", "doc_id", W, S)
+    val delta = outMap(
+      TextAnalysis.exactSubstrDedup(docs, "text", "doc_id", W, S, MIN)
+        .unionByName(TextAnalysis.exactSubstrDedupDelta(batch, "text",
+          "doc_id", keepers, W, S, MIN)))
+    assert(delta == full, "delta(batch) ∪ full(old) must equal full(old ∪ batch)")
+    // the planted cases fired
+    assert(delta(50L)._2 < delta(50L)._1, "doc 50 must lose the old run")
+    assert(delta(52L)._2 < delta(52L)._1, "doc 52 must lose to batch-mate 51")
+    assert(delta(51L)._1 == delta(51L)._2 && delta(53L)._1 == delta(53L)._2,
+      "batch keeper and clean doc stay intact")
+    // keeper-table fold: merged table equals one built from the union
+    val merged = TextAnalysis.mergeSubstrKeepers(keepers, batch, "text",
+        "doc_id", W, S)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = TextAnalysis.substrKeepers(docs.unionByName(batch), "text",
+        "doc_id", W, S)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == rebuilt)
+  }
+
   test("d14 removal is a subset of the stride-1 d12 coverage") {
     val two = docs.filter(org.apache.spark.sql.functions.col("doc_id") <= 2L)
     val d14 = outMap(TextAnalysis.exactSubstrDedup(two, "text", "doc_id",

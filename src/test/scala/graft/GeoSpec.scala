@@ -90,6 +90,28 @@ class GeoSpec extends SparkSpec {
       s"radius join must be an equi-join on the grid key:\n$plan")
   }
 
+  test("radiusPairs: salted hot-cell path is row-identical to the plain path") {
+    // clustered skew: 60 points packed into ONE cell (the hot cell),
+    // 20 spread across other cells — includes cross-cell neighbor
+    // pairs so the salt must preserve hot<->cold pairs too
+    val dense = (0 until 60).map { i =>
+      (i.toLong, 40.001 + (i % 10) * 0.002, -74.001 - (i / 10) * 0.004)
+    }
+    val sparse = (0 until 20).map { i =>
+      (100L + i, 40.001 + i * 0.031, -74.001 - i * 0.041)
+    }
+    val pts = (dense ++ sparse).toDF("id", "lat", "lng")
+    def run(salt: Int) = GeoJoin.radiusPairs(pts, "id", "lat", "lng",
+        radiusKm = 3.0, latStepDeg = 0.03, lngStepDeg = 0.04,
+        saltBuckets = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val plain = run(0)
+    val salted = run(8)
+    assert(plain.nonEmpty, "fixture must produce pairs")
+    assert(salted == plain, "salt is an internal fan-out, never semantics")
+  }
+
   test("gridPolygonJoin: containments match brute-force ray cast, no cross join") {
     // two diamonds; points inside each, on the seam between cells, and
     // outside both; polygon 20 overlaps polygon 10's area partially so
