@@ -88,6 +88,64 @@ object Similarity {
         col("id"), col("d2_r").as("d2"))
   }
 
+  /** Truncated-dimension coarse search + exact full-dim rerank — the
+    * DIMENSION-reduction member of the quantization taxonomy (the other
+    * axes already covered: cardinality = IVF cells, sub-space = PQ,
+    * range = SQ8/binary). The shape Matryoshka-style embeddings
+    * (Kusupati 2022) are trained for, and what faiss composes as a
+    * dim-reducing VectorTransform in front of a flat index: score every
+    * candidate on only the FIRST `dPrime` of `dim` coordinates (the
+    * prefix is a meaningful low-rank embedding, not a random
+    * projection), keep a per-query shortlist, then rerank the shortlist
+    * with the exact full-dimension cosine.
+    *
+    * Scale shape: one corpus scan, query set broadcast, no corpus
+    * shuffle beyond the per-query window (identical to
+    * [[bruteForceTopK]]); the coarse pass does dPrime/dim of the
+    * mult-adds and — when the prefix is materialized as its own column
+    * in the stored layout, the deployment this operator implies at
+    * 100 TB — dPrime/dim of the scanned bytes via parquet column
+    * pruning. The exact cosine touches only |queries|×shortlist rows.
+    *
+    * Degenerate-vector contract: rows are excluded unless BOTH the full
+    * vector and its dPrime-prefix are non-degenerate ([[nonDegenerate]])
+    * — a zero/non-finite prefix has no defined coarse cosine even when
+    * the full vector is fine, and NaN coarse scores rank differently
+    * across engines. The oracle mirrors both filters.
+    *
+    * Ranking is round-6dp cosine DESC with id tiebreak at BOTH stages
+    * (shortlist boundary ties are id-deterministic), so the result is
+    * stable under float accumulation-order differences, like every
+    * ranked cosine in this file.
+    *
+    * Output: (query_id, rank, id, cosine) — cosine is the exact
+    * full-dim score. */
+  def truncatedRerankTopK(corpus: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, k: Int,
+                          dPrime: Int, shortlist: Int): DataFrame = {
+    require(dPrime > 0, s"dPrime must be positive, got $dPrime")
+    require(shortlist >= k, s"shortlist $shortlist smaller than k $k")
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+      .withColumn("vt", slice(col("v"), 1, dPrime))
+      .filter(nonDegenerate(col("vt")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+      .withColumn("qvt", slice(col("qv"), 1, dPrime))
+      .filter(nonDegenerate(col("qvt")))
+    val coarseW = Window.partitionBy("query_id")
+      .orderBy(col("coarse_r").desc, col("id").asc)
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("coarse_r", round(VectorExpressions.cosine(col("vt"), col("qvt")), 6))
+      .withColumn("crank", row_number().over(coarseW))
+      .filter(col("crank") <= shortlist)
+      .withColumn("cos_r", round(VectorExpressions.cosine(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("cos_r").as("cosine"))
+  }
+
   /** Assign each vector to its nearest coarse centroid. Centroids are the
     * vectors whose id is in `centroidIds` (deterministic coarse
     * quantizer — a k-means fit would slot in identically).

@@ -927,6 +927,40 @@ object DataQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, sq_d2
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Truncated-dim coarse + exact rerank (e16 — the DIMENSION-reduction
+    * member of the taxonomy; Matryoshka-style prefix scoring, see
+    * [[Similarity.truncatedRerankTopK]]): coarse cosine on the first 16
+    * of 64 dims, shortlist 50, exact full-dim rerank to top-10. The
+    * oracle replays both stages with DuckDB list slicing. */
+  val e16TruncRerank: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.truncatedRerankTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+        k = 10, dPrime = 16, shortlist = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val e16Sql: String =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e1 AS (SELECT vec_id, v, v[1:16] AS vt FROM e0),
+      |e AS (SELECT * FROM e1
+      |  WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE
+      |    AND list_inner_product(vt, vt) > 0 AND list_inner_product(vt, vt) < 'Infinity'::DOUBLE),
+      |q AS (SELECT vec_id AS query_id, v AS qv, vt AS qvt FROM e WHERE vec_id % 100 = 0),
+      |sc AS (SELECT q.query_id, e.vec_id AS id, e.v, q.qv,
+      |  round(list_cosine_similarity(e.vt, q.qvt), 6) AS coarse
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |sl AS (SELECT query_id, id, v, qv FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY coarse DESC, id) AS crank FROM sc) WHERE crank <= 50),
+      |r AS (SELECT query_id, id,
+      |  round(list_cosine_similarity(v, qv), 6) AS cosine,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, id) AS rank
+      |  FROM sl)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Binary-quantized retrieval + exact rerank (e14): 1-bit sign codes
     * against per-dim exact-grid mean thresholds (32x compression),
     * hamming shortlist of 20, exact-cosine rescore to top-5 — the
@@ -1859,6 +1893,7 @@ object DataQueries {
     "e13_sq8_topk" -> e13Sq8TopK,
     "e14_bq_rerank" -> e14BqRerank,
     "e15_ivf_sq_topk" -> e15IvfSqTopK,
+    "e16_trunc_rerank" -> e16TruncRerank,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -1908,6 +1943,7 @@ object DataQueries {
     "e13_sq8_topk" -> e13Sql,
     "e14_bq_rerank" -> e14Sql,
     "e15_ivf_sq_topk" -> e15Sql,
+    "e16_trunc_rerank" -> e16Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

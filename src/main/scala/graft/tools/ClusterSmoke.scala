@@ -65,7 +65,11 @@ object ClusterSmoke {
     // merge of partial sketches across executor JVMs (q16 — the one
     // codepath local[*] can't prove), the grid-rank cumulative window
     // (q40), and anchor-segment islands + rebuild (d14)
-    "q16_approx_distinct", "q40_approx_percentile", "d14_exact_substr")
+    "q16_approx_distinct", "q40_approx_percentile", "d14_exact_substr",
+    // truncated-prefix coarse window feeding the exact rerank window on
+    // the same query_id partitioning (shortlist WindowGroupLimit must
+    // merge identically from separate executor JVMs)
+    "e16_trunc_rerank")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -287,6 +287,46 @@ class OperatorsSpec extends SparkSpec {
       s"full-shortlist rerank must equal exact search:\n$rer\nvs\n$bf")
   }
 
+  test("truncatedRerankTopK: full-corpus shortlist equals exact brute force") {
+    val vecs = (0 until 30).map { i =>
+      val angle = i * 2 * math.Pi / 30.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        math.cos(angle * 2).toFloat, math.sin(angle * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 3)
+    val tr = Similarity.truncatedRerankTopK(vecs, q, "embedding", "vec_id",
+        k = 5, dPrime = 2, shortlist = 29)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val bf = Similarity.bruteForceTopK(vecs, q, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(tr.toSeq == bf.toSeq,
+      s"full-shortlist truncated rerank must equal exact search:\n${tr.toSeq}\nvs\n${bf.toSeq}")
+  }
+
+  test("truncatedRerankTopK: shortlist is by PREFIX score; degenerate prefix excluded") {
+    // prefix (first 2 dims) of ids 1 and 2 vs query (1,0,...):
+    //   id 1: prefix (0.9, 0.1) — high coarse score, tail far from query
+    //   id 2: prefix (0.1, 0.9) — low coarse score, tail identical to query
+    // With shortlist=1 only id 1 survives the coarse stage, even though
+    // id 2's FULL cosine is higher — the approximation contract.
+    // id 3 has a zero prefix (defined full cosine, undefined coarse) and
+    // must be excluded by the degenerate-prefix filter, not ranked.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, -1.0f, 0.5f)),
+      (2L, Array(0.1f, 0.9f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val narrow = Similarity.truncatedRerankTopK(vecs, q, "embedding", "vec_id",
+        k = 1, dPrime = 2, shortlist = 1).collect()
+    assert(narrow.map(_.getLong(2)).toSeq == Seq(1L),
+      "shortlist=1 must keep the best PREFIX match")
+    val wide = Similarity.truncatedRerankTopK(vecs, q, "embedding", "vec_id",
+        k = 3, dPrime = 2, shortlist = 3).collect()
+    assert(wide.map(_.getLong(2)).toSeq == Seq(2L, 1L),
+      "full-dim rerank reorders; zero-prefix id 3 is excluded by contract")
+  }
+
   test("pqRerankTopK: rerank orders the shortlist by TRUE cosine, not ADC distance") {
     val vecs = (0 until 40).map { i =>
       val angle = i * 2 * math.Pi / 40.0
