@@ -52,12 +52,13 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** Events with the raw nanos long (see constructor conf) converted to
-    * a session-TZ microsecond TimestampType, truncating exactly like
-    * DuckDB's nanos->micros parquet conversion does. `div` is integral
-    * division (ANSI-safe, no double round-trip). */
-  def events: DataFrame =
-    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Events with `ts` normalized to a session-TZ microsecond
+    * TimestampType regardless of how the source parquet spells it —
+    * the driver's generator has shipped both TIMESTAMP(NANOS) (read as
+    * a raw long under the constructor conf) and plain timestamp[us]
+    * (read as TIMESTAMP_NTZ). Downstream queries see ONE type either
+    * way. */
+  def events: DataFrame = Catalog.normalizeEventTs(table("events"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
@@ -65,4 +66,25 @@ final case class Catalog(spark: SparkSession, dir: String) {
 object Catalog {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Normalize an events relation's `ts` to microsecond TimestampType.
+    *
+    *  - LongType: the legacy TIMESTAMP(NANOS) file read raw under
+    *    `nanosAsLong` — integral-divide to micros (`div` is ANSI-safe,
+    *    no double round-trip), truncating exactly like DuckDB's
+    *    nanos->micros parquet conversion does.
+    *  - TIMESTAMP_NTZ: the current timestamp[us] files — cast to the
+    *    session-TZ type; under the repo-wide UTC session contract the
+    *    stored micros are preserved bit-for-bit.
+    *  - Already TimestampType: pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

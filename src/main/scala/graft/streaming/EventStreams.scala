@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** On-disk schema of the events table; ts arrives as TIMESTAMP(NANOS)
-    * parquet which Spark only reads as a raw long (see Catalog.events). */
+  /** On-disk schema of the LEGACY events table: ts as TIMESTAMP(NANOS)
+    * parquet, which Spark only reads as a raw long (see Catalog.events).
+    * Current generator output carries timestamp[us] instead — readEvents
+    * sniffs which one a directory holds. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos
@@ -29,14 +31,22 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events directory (parquet). */
+  /** File-source stream over an events directory (parquet). Streaming
+    * sources need a declared schema, and the generator has shipped two
+    * spellings of `ts` (TIMESTAMP(NANOS) and timestamp[us]) — so sniff
+    * the schema from the files already present via one batch footer
+    * read (a driver-side metadata op, not a data scan), falling back to
+    * the legacy schema for an empty landing dir. Either way `ts` is
+    * normalized to session-TZ micros before any watermark sees it. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = scala.util.Try(spark.read.parquet(dir).schema)
+      .toOption.filter(_.fieldNames.contains("ts")).getOrElse(eventsRawSchema)
+    graft.catalog.Catalog.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(dir))
   }
 
   /** Windowed aggregation with a watermark: 5-minute tumbling windows of

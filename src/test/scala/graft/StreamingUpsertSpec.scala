@@ -53,8 +53,7 @@ class StreamingUpsertSpec extends SparkSpec {
 
     // batch twin over the SAME doubled input
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.schema(EventStreams.eventsRawSchema).parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.catalog.Catalog.normalizeEventTs(spark.read.parquet(d))
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"),
