@@ -659,6 +659,99 @@ object Dedup {
     semanticDedupOn(
       Similarity.cellAssignmentsTrained(df, vecCol, idCol, codebook), threshold)
 
+  // -------------------------------------------------------------------
+  // Edit-distance similarity join (record linkage)
+  // -------------------------------------------------------------------
+
+  /** All pairs (id1 < id2) whose strings are within `maxDist` Levenshtein
+    * edits — the string-similarity (record-linkage / entity-resolution)
+    * join, with LOSSLESS q-gram prefix blocking in the style of Ed-Join
+    * (Xiao, Wang, Lin, PVLDB 2008): never a quadratic all-pairs pass.
+    *
+    * Blocking argument (set form, robust to repeated grams): a string's
+    * blocking key set A is its DISTINCT character q-grams. One edit
+    * rewrites at most q positional grams, so k edits can remove at most
+    * k·q VALUES from A entirely; hence for ed(s,t) <= k, |A\B| <= k·q and
+    * |B\A| <= k·q. Order all grams by (global frequency asc, gram asc) —
+    * rare first — and keep each string's first p = k·q+1 grams (its
+    * "prefix"). If the prefixes shared no gram, the smallest element g of
+    * A∩B (nonempty when |A| > k·q) would need k·q+1 smaller A\B elements
+    * AND k·q+1 smaller B\A elements before it — more than k edits can
+    * produce. So candidates = pairs sharing a PREFIX gram: pairwise work
+    * is confined to rare-gram buckets (frequency-ascending order keeps
+    * "Customer#"-style stop-grams out of prefixes), then the exact
+    * Levenshtein (threshold form — abandons a row's DP early once the
+    * band exceeds maxDist) verifies candidates only.
+    *
+    * Short strings (all of whose grams k edits can rewrite, so the gram
+    * bucket can miss them) are routed to a separate exact block over the
+    * border population len < (k+1)·q + k, keeping pairs with at least
+    * one truly-short side — bounded by the short-string volume, a
+    * documented contract (the corpus keys this operator targets are
+    * fixed-format identifiers well above (k+1)·q chars).
+    *
+    * Scale shape: gram explode is map-only (~len grams/row); the global
+    * frequency relation is one groupBy shuffle keyed by gram; prefix
+    * selection one id-keyed window; the candidate self-join shuffles
+    * only (id, gram) prefix rows — k·q+1 per string regardless of
+    * length; verification joins carry candidate ids only. Output volume
+    * tracks true match volume, the same contract as the LSH families.
+    *
+    * Output: (id1, id2, dist). */
+  def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
+                        maxDist: Int, q: Int): DataFrame = {
+    require(maxDist >= 1 && q >= 2, s"need maxDist>=1, q>=2; got $maxDist/$q")
+    val prefixLen = maxDist * q + 1
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+                         col(strCol).as("s"))
+    // a string can lose ALL its grams to k edits iff it has <= k*q
+    // positional grams, i.e. len <= (k+1)*q - 1: route those short
+    // strings to the exact block below
+    val minSafeLen = (maxDist + 1) * q
+    val long0 = base.filter(length(col("s")) >= minSafeLen)
+    val grams = long0.select(col("id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), length(col("s")) - q),
+          i => col("s").substr(i + lit(1), lit(q))))).as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("gfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gfreq"), col("gram"))
+    val prefix = grams.join(freq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("id", "gram")
+    val candLong = prefix.select(col("id").as("id1"), col("gram"))
+      .join(prefix.select(col("id").as("id2"), col("gram")), Seq("gram"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    // short-string exact block: a short string can also match a LONG one
+    // within maxDist (len diff <= maxDist), so the block population is
+    // every string with len < minSafeLen + maxDist, and it keeps exactly
+    // the pairs with at least one truly-short side — pairs with both
+    // sides >= minSafeLen belong to (and only to) the gram path, so the
+    // two candidate sets are disjoint. Equi-join on a constant key keeps
+    // the plan a hash join; volume is bounded by the short-string
+    // population contract.
+    val short0 = base.filter(length(col("s")) < minSafeLen + maxDist)
+      .withColumn("blk", lit(0))
+      .withColumn("is_short", length(col("s")) < minSafeLen)
+    val candShort = short0.select(col("blk"), col("id").as("id1"),
+        col("is_short").as("sh1"))
+      .join(short0.select(col("blk"), col("id").as("id2"),
+        col("is_short").as("sh2")), Seq("blk"))
+      .filter(col("id1") < col("id2") && (col("sh1") || col("sh2")))
+      .select("id1", "id2")
+    val cand = candLong.unionByName(candShort)
+    val s1 = base.select(col("id").as("id1"), col("s").as("s1"))
+    val s2 = base.select(col("id").as("id2"), col("s").as("s2"))
+    cand.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .filter(abs(length(col("s1")) - length(col("s2"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("s1"), col("s2"), maxDist).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select("id1", "id2", "dist")
+  }
+
   private def semanticDedupOn(assigned: DataFrame,
                               threshold: Double): DataFrame = {
     val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))

@@ -1805,6 +1805,31 @@ object DataQueries {
        |  COALESCE(o.text_dedup, '') AS text_dedup
        |FROM rt b LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Edit-distance similarity join (record linkage / entity resolution,
+    * [[Dedup.editDistancePairs]]): pairs of customer names within 1
+    * Levenshtein edit, on a deterministic md5 1-in-5 sample of the
+    * customers (bounds the true-match output volume the way a linkage
+    * run scopes to a candidate population). The Spark side blocks on
+    * globally-ordered rare q-gram prefixes (never all-pairs); the oracle
+    * IS the naive quadratic join — so the hash compare proves the
+    * blocking lossless on real data, not just on the spec fixture. */
+  val d15EditJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir).customer
+      .filter(md5Long(col("c_custkey").cast(StringType)) % 5 === 0)
+    Dedup.editDistancePairs(c, "c_name", "c_custkey", maxDist = 1, q = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val d15Sql: String =
+    s"""WITH c AS (SELECT c_custkey, c_name FROM customer
+       |  WHERE ${h60("CAST(c_custkey AS VARCHAR)")} % 5 = 0)
+       |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+       |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       |WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+       |  AND levenshtein(a.c_name, b.c_name) <= 1
+       |ORDER BY id1, id2""".stripMargin
+
   // d14: exact-substring dedup (Lee 2021 unaligned runs) — the oracle
   // replays the FULL contract from parquet + md5 alone: content-defined
   // anchors (60-bit md5 of the 4-token gram at p, % 8 == 0), whole-doc
@@ -1861,6 +1886,7 @@ object DataQueries {
     "d01_dedup_exact" -> d01DedupExact,
     "d12_span_dedup" -> d12SpanDedup,
     "d14_exact_substr" -> d14ExactSubstr,
+    "d15_edit_join" -> d15EditJoin,
     "t08_pii_redact" -> t08PiiRedact,
     "t09_repetition" -> t09Repetition,
     "t10_domain_mixture" -> t10DomainMixture,
@@ -1911,6 +1937,7 @@ object DataQueries {
     "d01_dedup_exact" -> d01Sql,
     "d12_span_dedup" -> d12Sql,
     "d14_exact_substr" -> d14Sql,
+    "d15_edit_join" -> d15Sql,
     "t08_pii_redact" -> t08Sql,
     "t09_repetition" -> t09Sql,
     "t10_domain_mixture" -> t10Sql,

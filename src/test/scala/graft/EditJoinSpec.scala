@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.editDistancePairs]] — the blocked (q-gram prefix) edit-distance
+  * join must equal the naive all-pairs join on every fixture, including
+  * the short-string and short×long border cases the gram path cannot see,
+  * and must never plan a cartesian product on the gram path. */
+class EditJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive quadratic reference: exact Levenshtein over all id1<id2. */
+  private def naive(df: DataFrame, k: Int): Set[(Long, Long, Long)] = {
+    val a = df.select(col("id").cast("long").as("id1"), col("s").as("s1"))
+    val b = df.select(col("id").cast("long").as("id2"), col("s").as("s2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .filter(levenshtein(col("s1"), col("s2")) <= k)
+      .select(col("id1"), col("id2"),
+        levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def blocked(df: DataFrame, k: Int): Set[(Long, Long, Long)] =
+    Dedup.editDistancePairs(df, "s", "id", k, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("blocked == naive on typos, exact dups, shorts, and the short-long border") {
+    val names = Seq(
+      1L  -> "Customer#000000001",
+      2L  -> "Customer#000000002", // 1 edit from id 1
+      3L  -> "Customer#000001002", // 1 edit from id 2, 2 from id 1
+      4L  -> "Custoner#000000001", // 1 edit from id 1
+      5L  -> "totally different",
+      6L  -> "ab",                 // short
+      7L  -> "ac",                 // short, 1 edit from id 6
+      8L  -> "abcd",               // short at k=1 (minSafeLen 6)
+      9L  -> "abce",               // short, 1 edit from id 8
+      10L -> "Customer#000000001", // exact dup of id 1 (dist 0)
+      11L -> "abcde",              // len 5: short side of the border
+      12L -> "abcdef",             // len 6: LONG side, 1 edit from id 11
+      13L -> "abcdeg"              // long, 1 edit from id 12
+    ).toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = blocked(names, k)
+      val want = naive(names, k)
+      assert(got === want, s"k=$k: blocked ${got.size} vs naive ${want.size}")
+      // the border pair (11,12) is the case a shorts-only block misses
+      if (k == 1) assert(got.contains((11L, 12L, 1L)))
+    }
+  }
+
+  test("blocked == naive on a seeded random mutation corpus") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.nonEmpty => // substitute
+        val i = rnd.nextInt(s.length); s.updated(i, alpha(rnd.nextInt(alpha.length)))
+      case 1 => // insert
+        val i = rnd.nextInt(s.length + 1)
+        s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i)
+      case _ if s.length > 1 => // delete
+        val i = rnd.nextInt(s.length); s.substring(0, i) + s.substring(i + 1)
+      case _ => s
+    }
+    // 60 bases (lengths 2..14 straddle the short border), each with a
+    // 1-mutation and a 2-mutation variant — dense in true matches
+    val rows = (0 until 60).flatMap { i =>
+      val base = randStr(2 + rnd.nextInt(13))
+      val m1 = mutate(base)
+      Seq((i * 3 + 0).toLong -> base, (i * 3 + 1).toLong -> m1,
+          (i * 3 + 2).toLong -> mutate(m1))
+    }
+    val df = rows.toDF("id", "s")
+    for (k <- Seq(1, 2))
+      assert(blocked(df, k) === naive(df, k), s"k=$k mismatch")
+  }
+
+  test("gram path plans no cartesian product") {
+    val longOnly = (1 to 40)
+      .map(i => i.toLong -> f"Customer#$i%09d").toDF("id", "s")
+    val plan = Dedup.editDistancePairs(longOnly, "s", "id", 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
