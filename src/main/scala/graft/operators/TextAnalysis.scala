@@ -713,4 +713,53 @@ object TextAnalysis {
       .agg(collect_set(col("rpos")).as("rpos"))
     rebuildDocs(base, removed)
   }
+
+  // -------------------------------------------------------------------
+  // Count-min sketch (heavy hitters)
+  // -------------------------------------------------------------------
+
+  /** Count-min sketch over the token stream (Cormode & Muthukrishnan
+    * 2005): `d` hash rows × `w` buckets of COUNTER SUMS, fully
+    * deterministic — row j's hash is md5Long(j|token) % w, counters are
+    * integer sums (order-independent), and the point estimate is the min
+    * over rows. Every piece replays exactly in SQL, unlike engine-native
+    * sketch registers.
+    *
+    * Returned here: the sketch applied to the exact top-`topK` tokens
+    * (the heavy hitters), as (tok, n_exact, n_est, err) — err = est −
+    * exact ≥ 0 always, the CMS one-sided guarantee the spec pins.
+    *
+    * Scale shape: tokenize is map-only; exact counts are one token-keyed
+    * shuffle (the same exchange the top-k already pays, with map-side
+    * combine); the sketch is built from the DISTINCT vocab (d rows per
+    * distinct token, NOT per corpus token) into a fixed d×w relation —
+    * the mergeable summary: sketches of partitions/days/shards add
+    * elementwise (sum-of-sums), so a 100 TB corpus keeps ONE d×w-sized
+    * result regardless of size, and partial aggregation does the merge
+    * for free. Estimates join the k query tokens (broadcast) against the
+    * d×w sketch. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String,
+                      d: Int, w: Int, topK: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d>=1, w>=2; got $d/$w")
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val rowBuckets = (0 until d).map { j =>
+      struct(lit(j).as("r"), (md5Long(col("tok"), j) % w).as("bucket"))
+    }
+    val sketch = counts
+      .select(explode(array(rowBuckets: _*)).as("rb"), col("n"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("n")).as("c"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(topK)
+    val queries = top
+      .select(col("tok"), col("n"), explode(array(rowBuckets: _*)).as("rb"))
+      .select(col("tok"), col("n"), col("rb.r").as("r"),
+        col("rb.bucket").as("bucket"))
+    queries.join(sketch, Seq("r", "bucket"))
+      .groupBy("tok", "n")
+      .agg(min(col("c")).as("n_est"))
+      .select(col("tok"), col("n").as("n_exact"), col("n_est"),
+        (col("n_est") - col("n")).as("err"))
+  }
 }

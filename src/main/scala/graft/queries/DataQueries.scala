@@ -1374,6 +1374,37 @@ object DataQueries {
        |SELECT tok, count(*) AS n FROM t
        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin
 
+  /** Count-min-sketch heavy hitters ([[TextAnalysis.cmsHeavyHitters]]):
+    * the exact top-30 tokens with their CMS point estimates from a 4×512
+    * sketch. Counters are md5-bucketed integer SUMS and the estimate a
+    * min over rows, so the whole sketch — not a rows-only proxy —
+    * replays in DuckDB; err ≥ 0 is the CMS one-sided error the spec
+    * pins. The sketch is the mergeable fixed-size summary (d×w counters
+    * regardless of corpus size; shard sketches add elementwise). */
+  val t18CmsTopK: Q = (s, dir) =>
+    TextAnalysis.cmsHeavyHitters(Catalog(s, dir).documents, "text",
+        d = 4, w = 512, topK = 30)
+      .orderBy(col("n_exact").desc, col("tok"))
+
+  val t18Sql: String =
+    s"""WITH $toksCte,
+       |t AS (SELECT unnest(toks) AS tok FROM toks),
+       |counts AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+       |rws AS (SELECT unnest(range(0, 4)) AS r),
+       |buck AS (SELECT r.r, counts.tok, counts.n,
+       |  ${h60("CAST(r.r AS VARCHAR) || '|' || counts.tok")} % 512 AS bucket
+       |  FROM counts CROSS JOIN rws r),
+       |sketch AS (SELECT r, bucket, CAST(sum(n) AS BIGINT) AS c
+       |  FROM buck GROUP BY 1, 2),
+       |top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 30),
+       |q AS (SELECT b.tok, b.n, b.r, b.bucket FROM buck b
+       |  JOIN top USING (tok))
+       |SELECT q.tok, CAST(any_value(q.n) AS BIGINT) AS n_exact,
+       |  min(s.c) AS n_est,
+       |  min(s.c) - CAST(any_value(q.n) AS BIGINT) AS err
+       |FROM q JOIN sketch s ON q.r = s.r AND q.bucket = s.bucket
+       |GROUP BY q.tok ORDER BY n_exact DESC, tok""".stripMargin
+
   /** Sequence packing: concat-and-chunk (seq_id, seq_offset) assignment
     * from running token totals, per language shard, cap 512 — see
     * [[TextAnalysis.packSequences]] for the at-scale shape. */
@@ -1898,6 +1929,7 @@ object DataQueries {
     "d08_neardup_groups" -> d08NearDupGroups,
     "d11_softdedup_weights" -> d11SoftDedupWeights,
     "t05_token_topk" -> t05TokenTopK,
+    "t18_cms_topk" -> t18CmsTopK,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
@@ -1949,6 +1981,7 @@ object DataQueries {
     "d08_neardup_groups" -> d08Sql,
     "d11_softdedup_weights" -> d11Sql,
     "t05_token_topk" -> t05Sql,
+    "t18_cms_topk" -> t18Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
     "d04_dedup_ngram_jaccard" -> d04Sql,

@@ -48,4 +48,40 @@ class SketchSpec extends SparkSpec {
     // 1000 distinct per group, under k -> exact per group
     assert(out == Map(0 -> 1000.0, 1 -> 1000.0, 2 -> 1000.0))
   }
+
+  // ------------------------------------------------------------------
+  // Count-min sketch (t18)
+  // ------------------------------------------------------------------
+
+  private def cmsRows(df: org.apache.spark.sql.DataFrame, d: Int, w: Int,
+                      topK: Int): Map[String, (Long, Long, Long)] =
+    graft.operators.TextAnalysis.cmsHeavyHitters(df, "text", d, w, topK)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("CMS never underestimates, and is exact when buckets are wide") {
+    val docs = Seq.tabulate(50) { i =>
+      // skewed stream: 'alpha' dominates, tail of rarer tokens
+      (i.toLong, ("alpha " * 10 + s"tok$i " + s"tok${i % 7} beta").trim)
+    }.toDF("doc_id", "text")
+    val tight = cmsRows(docs, 4, 16, 10)   // collisions guaranteed
+    tight.foreach { case (tok, (exact, est, err)) =>
+      assert(est >= exact, s"$tok: CMS underestimated $est < $exact")
+      assert(err == est - exact)
+    }
+    val wide = cmsRows(docs, 4, 1 << 16, 10) // ~no collisions at 58 tokens
+    wide.foreach { case (tok, (exact, est, err)) =>
+      assert(est == exact && err == 0, s"$tok: $est != $exact with wide w")
+    }
+    assert(wide("alpha")._1 == 500L)
+  }
+
+  test("CMS estimates are invariant under partitioning (mergeable sums)") {
+    val docs = (1 to 200).map(i => (i.toLong, s"a b c tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val one = cmsRows(docs.repartition(1), 4, 32, 8)
+    val many = cmsRows(docs.repartition(11), 4, 32, 8)
+    assert(one == many)
+  }
 }
