@@ -873,8 +873,65 @@ object ExtQueries {
        |SELECT pid, zid FROM cr WHERE c % 2 = 1 ORDER BY pid, zid""".stripMargin
   }
 
+  /** Fixed-point PageRank ([[graft.operators.Graph.pageRankFixedPoint]])
+    * over the customer-supplier trade graph: one undirected edge per
+    * DISTINCT trading relationship in lineitem ⋈ orders (nodes encoded
+    * 2·custkey / 2·suppkey+1), 6 power steps, damping 85/100, uniform
+    * teleport, all arithmetic in BIGINT 1e-12 rank units — so the ranks
+    * are a pure function of the graph and the oracle replays every step
+    * (6 unrolled CTE blocks) to the exact unit. */
+  val q51PageRank: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val trade = c.lineitem
+      .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = trade.unionByName(
+      trade.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRankFixedPoint(edges, iterations = 6)
+      .orderBy(col("node"))
+  }
+
+  lazy val q51Sql: String = {
+    // one unrolled power step: r{i} -> r{i+1}. Every r$i is MATERIALIZED:
+    // each step references its predecessor three times (contrib, dangling
+    // mass, and the outer join), so CTE inlining would expand the chain
+    // 3^steps-fold and never finish; materialization keeps the oracle the
+    // same linear 6-step computation the Spark side runs.
+    def step(i: Int): String =
+      s"""contrib$i AS MATERIALIZED (
+         |  SELECT e.dst, ((r.rank * 85) // 100) // r.outdeg AS c
+         |  FROM r$i r JOIN edges e ON e.src = r.node WHERE r.outdeg > 0),
+         |inf$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s
+         |  FROM contrib$i GROUP BY 1),
+         |dang$i AS (SELECT COALESCE(CAST(sum((rank * 85) // 100) AS BIGINT),
+         |    0) AS dm FROM r$i WHERE outdeg = 0),
+         |r${i + 1} AS MATERIALIZED (SELECT r.node, r.outdeg,
+         |    (SELECT t FROM tele) + COALESCE(i.s, 0)
+         |      + (SELECT dm FROM dang$i) // (SELECT n FROM np) AS rank
+         |  FROM r$i r LEFT JOIN inf$i i ON i.dst = r.node)""".stripMargin
+    s"""WITH trade AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT src, dst FROM trade
+       |  UNION ALL SELECT dst, src FROM trade),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |np AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT n.node, COALESCE(d.c, 0) AS outdeg FROM nodes n
+       |  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) d
+       |  ON n.node = d.src),
+       |tele AS (SELECT ((1000000000000 * 15) // 100) // (SELECT n FROM np)
+       |  AS t),
+       |r0 AS MATERIALIZED (SELECT node, outdeg,
+       |  1000000000000 // (SELECT n FROM np) AS rank FROM deg),
+       |${(0 until 6).map(step).mkString(",\n")}
+       |SELECT node, rank FROM r6 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
+    "q51_pagerank" -> q51PageRank,
     "q50_polygon_join" -> q50PolygonJoin,
     "q41_json_funcs" -> q41JsonFuncs,
     "q42_det_sample" -> q42DetSample,
@@ -900,6 +957,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q41_json_funcs" -> q41Sql,
+    "q51_pagerank" -> q51Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pageRankFixedPoint]] — the integer-arithmetic contract: the
+  * distributed result must equal a sequential reference to the exact
+  * rank unit, on graphs with dangling nodes, under any partitioning. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference: same integer ops, same step order. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val teleport = ((scale * 15L) / 100L) / n
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val damped = nodes.map(v => v -> (rank(v) * 85L) / 100L).toMap
+      val dang = nodes.filterNot(out.contains).map(damped).sum
+      val share = dang / n
+      val inflow = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => damped(s) / out(s) }.sum
+      }
+      rank = nodes.map(v =>
+        v -> (teleport + share + inflow.getOrElse(v, 0L))).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+                  parts: Int): Map[Long, Long] =
+    Graph.pageRankFixedPoint(
+        edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the sequential reference exactly, dangling node included") {
+    // 1 -> 2 -> 3 -> 1 cycle, 4 feeds 2 and 3, 5 is DANGLING (in-only)
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 4L -> 3L,
+      2L -> 5L)
+    val got = run(edges, 6, 3)
+    val want = reference(edges, 6)
+    assert(got === want)
+    // sanity on the shape: the cycle nodes outrank the teleport-only
+    // source, and the dangling sink got real mass
+    assert(got(2L) > got(4L) && got(5L) > 0L)
+  }
+
+  test("partition count cannot move a single rank unit") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val want = reference(edges, 5)
+    assert(run(edges, 5, 1) === want)
+    assert(run(edges, 5, 17) === want)
+  }
+
+  test("mass stays conserved up to documented div-floor leakage") {
+    val edges = Seq(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 1L, 2L -> 3L)
+    val scale = 1000000000000L
+    val total = run(edges, 8, 2).values.sum
+    // each step floors at most (2 divisions + teleport) per node+edge;
+    // leakage stays far under 1e-6 of the mass
+    assert(total <= scale && total > scale - 1000000L, s"total=$total")
+  }
+}
