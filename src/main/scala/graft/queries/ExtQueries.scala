@@ -929,9 +929,55 @@ object ExtQueries {
        |SELECT node, rank FROM r6 ORDER BY node""".stripMargin
   }
 
+  /** KMV sketch set algebra ([[graft.operators.SketchOps
+    * .kmvPairAlgebra]]): per-event-type distinct-user estimates plus
+    * pairwise union and inclusion-exclusion intersection estimates, all
+    * from k=64 KMV sketches of md5-hashed user ids — so every number,
+    * including the compounded intersection error, replays exactly in
+    * DuckDB from ranked distinct hashes. */
+  val q52KmvAlgebra: Q = (s, dir) => {
+    val ev = Catalog(s, dir).events
+      .select(col("event_type").as("t"),
+        md5Long(col("user_id").cast(StringType)).as("h"))
+    graft.operators.SketchOps.kmvPairAlgebra(ev, "t", "h", k = 64)
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  lazy val q52Sql: String = {
+    val h = "CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)"
+    s"""WITH ev AS (SELECT event_type AS t, $h AS h FROM events),
+       |dh AS (SELECT DISTINCT t, h FROM ev),
+       |rk AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h)
+       |  AS rn, count(*) OVER (PARTITION BY t) AS nd FROM dh),
+       |est1 AS (SELECT t,
+       |    CASE WHEN any_value(nd) < 64 THEN CAST(any_value(nd) AS DOUBLE)
+       |         ELSE 63.0 * 1152921504606846976.0 /
+       |              CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+       |    END AS est FROM rk GROUP BY t),
+       |types AS (SELECT DISTINCT t FROM ev),
+       |tp AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b
+       |  ON a.t < b.t),
+       |dhu AS (SELECT DISTINCT p.ta, p.tb, e.h FROM tp p
+       |  JOIN ev e ON e.t IN (p.ta, p.tb)),
+       |rku AS (SELECT ta, tb, h,
+       |  row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+       |  count(*) OVER (PARTITION BY ta, tb) AS nd FROM dhu),
+       |estu AS (SELECT ta, tb,
+       |    CASE WHEN any_value(nd) < 64 THEN CAST(any_value(nd) AS DOUBLE)
+       |         ELSE 63.0 * 1152921504606846976.0 /
+       |              CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+       |    END AS est FROM rku GROUP BY ta, tb)
+       |SELECT u.ta AS type_a, u.tb AS type_b, a.est AS est_a,
+       |  b.est AS est_b, u.est AS est_union,
+       |  a.est + b.est - u.est AS est_intersect
+       |FROM estu u JOIN est1 a ON u.ta = a.t JOIN est1 b ON u.tb = b.t
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q51_pagerank" -> q51PageRank,
+    "q52_kmv_algebra" -> q52KmvAlgebra,
     "q50_polygon_join" -> q50PolygonJoin,
     "q41_json_funcs" -> q41JsonFuncs,
     "q42_det_sample" -> q42DetSample,
@@ -958,6 +1004,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q41_json_funcs" -> q41Sql,
     "q51_pagerank" -> q51Sql,
+    "q52_kmv_algebra" -> q52Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,

@@ -50,6 +50,38 @@ class SketchSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // KMV pair algebra (q52)
+  // ------------------------------------------------------------------
+
+  test("pair algebra: exact path gives exact union and intersection") {
+    // groups under k=256 -> every estimate is an exact distinct count
+    val rows =
+      (1 to 100).map(i => ("a", i.toLong)) ++    // a = {1..100}
+      (51 to 150).map(i => ("b", i.toLong)) ++   // b = {51..150}, |a∩b|=50
+      (1000 to 1049).map(i => ("c", i.toLong))   // c disjoint from both
+    val df = rows.toDF("g", "v")
+      .select(col("g"), md5Long(col("v").cast("string")).as("h"))
+    val out = graft.operators.SketchOps.kmvPairAlgebra(df, "g", "h", 256)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out(("a", "b")) == ((100.0, 100.0, 150.0, 50.0)))
+    assert(out(("a", "c")) == ((100.0, 50.0, 150.0, 0.0)))
+    assert(out(("b", "c")) == ((100.0, 50.0, 150.0, 0.0)))
+  }
+
+  test("pair algebra: estimates invariant under partitioning above k") {
+    val rows = (1 to 4000).map(i => (if (i % 2 == 0) "x" else "y", i.toLong))
+    val df = rows.toDF("g", "v")
+      .select(col("g"), md5Long(col("v").cast("string")).as("h"))
+    def go(parts: Int) = graft.operators.SketchOps
+      .kmvPairAlgebra(df.repartition(parts), "g", "h", 64)
+      .collect().map(r => r.toSeq).toSeq
+    assert(go(1) == go(13))
+  }
+
+  // ------------------------------------------------------------------
   // Count-min sketch (t18)
   // ------------------------------------------------------------------
 
