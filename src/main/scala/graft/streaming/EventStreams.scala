@@ -439,6 +439,40 @@ object EventStreams {
         (col("nc1") * col("nc2")).as("weight"))
   }
 
+  /** Stream-stream interval join — the attribution shape: each purchase
+    * joined to the SAME user's clicks in the preceding `horizon`. Both
+    * sides are watermarked and the time-range predicate is two-sided,
+    * so Spark bounds the buffered join state on BOTH sides (clicks
+    * evict once older than horizon + watermark past the purchase-side
+    * watermark; purchases once past their own) — the state contract
+    * that keeps an unbounded self-join runnable forever. An INNER join
+    * emits a match as soon as both rows are buffered; the watermark
+    * only governs eviction, so an AvailableNow drain emits every
+    * in-horizon pair — the spec pins drain == the batch interval join
+    * (q39's shape) on the same input.
+    *
+    * Self-join note: both inputs are filters of ONE file-source stream;
+    * Spark plans them as two scans of the same source with independent
+    * state stores — no second landing of the data is needed. */
+  def attributionJoin(events: DataFrame, horizon: String = "10 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("amount"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("amount"))
+  }
+
   /** Drain-everything-now runner (the cron-tick semantics): starts the
     * query with Trigger.AvailableNow on a memory sink and blocks until
     * the backlog is processed. Returns the sink contents. */
