@@ -974,10 +974,37 @@ object ExtQueries {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  /** Bloom semi-join reduction ([[graft.operators.BloomJoin]]): orders
+    * joined to a SELECTIVE customer dim (one mktsegment, positive
+    * balance) through a deterministic md5 bloom prefilter on the fact
+    * side. The oracle is the PLAIN join — the bloom must be invisible in
+    * results (no false negatives by construction; false positives die in
+    * the exact join), only the exchanged fact volume changes. */
+  val q53BloomJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val dim = c.customer
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 7500)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    graft.operators.BloomJoin.bloomFilteredJoin(
+        c.orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        dim, "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q53Sql: String =
+    """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q51_pagerank" -> q51PageRank,
     "q52_kmv_algebra" -> q52KmvAlgebra,
+    "q53_bloom_join" -> q53BloomJoin,
     "q50_polygon_join" -> q50PolygonJoin,
     "q41_json_funcs" -> q41JsonFuncs,
     "q42_det_sample" -> q42DetSample,
@@ -1005,6 +1032,7 @@ object ExtQueries {
     "q41_json_funcs" -> q41Sql,
     "q51_pagerank" -> q51Sql,
     "q52_kmv_algebra" -> q52Sql,
+    "q53_bloom_join" -> q53Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,
