@@ -738,15 +738,33 @@ object TextAnalysis {
     * result regardless of size, and partial aggregation does the merge
     * for free. Estimates join the k query tokens (broadcast) against the
     * d×w sketch. */
+  /** The d×w CMS counter relation (r, bucket, c) of a corpus — the
+    * mergeable summary itself: sketches of disjoint corpora combine by
+    * per-(r,bucket) ADDITION (what [[graft.streaming.EventStreams
+    * .cmsStreamQuery]] folds per micro-batch, and what partial
+    * aggregation does within one job). */
+  def cmsSketch(df: DataFrame, textCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d>=1, w>=2; got $d/$w")
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    counts
+      .select(explode(array(cmsRowBuckets(d, w): _*)).as("rb"), col("n"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("n")).as("c"))
+  }
+
+  private def cmsRowBuckets(d: Int, w: Int) = (0 until d).map { j =>
+    struct(lit(j).as("r"), (md5Long(col("tok"), j) % w).as("bucket"))
+  }
+
   def cmsHeavyHitters(df: DataFrame, textCol: String,
                       d: Int, w: Int, topK: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"need d>=1, w>=2; got $d/$w")
     val counts = df
       .select(explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
-    val rowBuckets = (0 until d).map { j =>
-      struct(lit(j).as("r"), (md5Long(col("tok"), j) % w).as("bucket"))
-    }
+    val rowBuckets = cmsRowBuckets(d, w)
     val sketch = counts
       .select(explode(array(rowBuckets: _*)).as("rb"), col("n"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))

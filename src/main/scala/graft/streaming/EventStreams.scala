@@ -439,6 +439,59 @@ object EventStreams {
         (col("nc1") * col("nc2")).as("weight"))
   }
 
+  /** Streaming count-min sketch maintenance: the d×w counter relation
+    * ([[graft.operators.TextAnalysis.cmsSketch]]) kept as a warehouse
+    * state table, folded per micro-batch by per-(r,bucket) ADDITION —
+    * the CMS merge law, so after any append-ordered slicing the state
+    * equals the batch sketch of the drained corpus (StreamingCmsSpec
+    * pins it). The state is FIXED-SIZE (d×w rows) no matter how much
+    * streams through — the sketch is the thing that makes "top tokens
+    * over an unbounded crawl" a bounded-state streaming problem.
+    *
+    * Additive folds are not idempotent, so replays are skipped via the
+    * same atomic last-batch-in-state-swap guard as
+    * [[deltaDedupStreamQuery]]. */
+  def cmsStreamQuery(spark: SparkSession, docs: DataFrame, textCol: String,
+                     statePath: String, d: Int = 4, w: Int = 512,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cmsFoldBatch(spark, batch.toDF(), batchId, textCol, statePath, d, w)
+      }
+      .option("checkpointLocation", s"$statePath.__checkpoint")
+      .trigger(trigger)
+      .start()
+
+  /** The guarded per-batch CMS fold (exposed so the replay spec can
+    * drive it with a stale batch id): skip unless batchId advances, add
+    * the batch's partial sketch per (r, bucket), commit the batch id in
+    * the same state swap. */
+  private[graft] def cmsFoldBatch(spark: SparkSession, batch: DataFrame,
+                                  batchId: Long, textCol: String,
+                                  statePath: String, d: Int, w: Int): Unit = {
+    import spark.implicits._
+    val exists = graft.pipeline.Pipeline.pathExists(spark, statePath)
+    val raw =
+      if (exists) spark.read.parquet(statePath)
+      else Seq.empty[(Int, Long, Long, Long)]
+        .toDF("r", "bucket", "c", "last_batch")
+    val last =
+      if (!exists) -1L
+      else raw.agg(coalesce(max(col("last_batch")), lit(-1L)))
+        .head.getLong(0)
+    if (batchId > last) {
+      val part = graft.operators.TextAnalysis
+        .cmsSketch(batch, textCol, d, w)
+      val merged = raw.select(col("r"), col("bucket"), col("c"))
+        .unionByName(part)
+        .groupBy("r", "bucket").agg(sum(col("c")).as("c"))
+        .withColumn("last_batch", lit(batchId))
+      graft.pipeline.Pipeline.mergeIntoParquet(
+        spark, statePath, merged, Seq("r", "bucket"))
+    }
+  }
+
   /** Stream-stream interval join — the attribution shape: each purchase
     * joined to the SAME user's clicks in the preceding `horizon`. Both
     * sides are watermarked and the time-range predicate is two-sided,
