@@ -692,10 +692,14 @@ object Dedup {
     *
     * Scale shape: gram explode is map-only (~len grams/row); the global
     * frequency relation is one groupBy shuffle keyed by gram; prefix
-    * selection one id-keyed window; the candidate self-join shuffles
-    * only (id, gram) prefix rows — k·q+1 per string regardless of
-    * length; verification joins carry candidate ids only. Output volume
-    * tracks true match volume, the same contract as the LSH families.
+    * selection one id-keyed window; the self-join shuffles only
+    * string-carrying prefix rows — k·q+1 per string regardless of
+    * length — and verification runs MAP-SIDE on the join output, so the
+    * bucket-pair stream is filtered where it is produced and never
+    * exchanged (near-identical-but-beyond-k populations cost a cheap
+    * banded DP per bucket pair, not candidate-sized shuffles). Only the
+    * post-verify TRUE-MATCH relation is exchanged (final dedup) —
+    * output-volume-bounded, the same contract as the LSH families.
     *
     * Output: (id1, id2, dist). */
   def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
@@ -716,40 +720,60 @@ object Dedup {
     val freq = grams.groupBy("gram").agg(count(lit(1)).as("gfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("gfreq"), col("gram"))
+    // the prefix relation CARRIES the string: verification then runs
+    // map-side directly on the self-join output, so the group²-sized
+    // candidate stream is filtered where it is produced — it is never
+    // exchanged (no candidate distinct, no string-attach joins). A
+    // population of near-identical-but-beyond-k strings (the worst
+    // case: every pair shares prefix grams yet fails verification)
+    // costs one cheap banded-DP per bucket pair instead of three
+    // candidate-sized shuffles. Dedup (a pair can share several prefix
+    // grams) happens on the post-verify TRUE-MATCH relation only.
     val prefix = grams.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefixLen)
       .select("id", "gram")
-    val candLong = prefix.select(col("id").as("id1"), col("gram"))
-      .join(prefix.select(col("id").as("id2"), col("gram")), Seq("gram"))
+      .join(base, Seq("id"))
+    val verifiedLong = prefix
+      .select(col("id").as("id1"), col("s").as("s1"), col("gram"))
+      .join(prefix.select(col("id").as("id2"), col("s").as("s2"),
+        col("gram")), Seq("gram"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    // short-string exact block: a short string can also match a LONG one
-    // within maxDist (len diff <= maxDist), so the block population is
-    // every string with len < minSafeLen + maxDist, and it keeps exactly
-    // the pairs with at least one truly-short side — pairs with both
-    // sides >= minSafeLen belong to (and only to) the gram path, so the
-    // two candidate sets are disjoint. Equi-join on a constant key keeps
-    // the plan a hash join; volume is bounded by the short-string
-    // population contract.
-    val short0 = base.filter(length(col("s")) < minSafeLen + maxDist)
-      .withColumn("blk", lit(0))
-      .withColumn("is_short", length(col("s")) < minSafeLen)
-    val candShort = short0.select(col("blk"), col("id").as("id1"),
-        col("is_short").as("sh1"))
-      .join(short0.select(col("blk"), col("id").as("id2"),
-        col("is_short").as("sh2")), Seq("blk"))
-      .filter(col("id1") < col("id2") && (col("sh1") || col("sh2")))
-      .select("id1", "id2")
-    val cand = candLong.unionByName(candShort)
-    val s1 = base.select(col("id").as("id1"), col("s").as("s1"))
-    val s2 = base.select(col("id").as("id2"), col("s").as("s2"))
-    cand.join(s1, Seq("id1")).join(s2, Seq("id2"))
       .filter(abs(length(col("s1")) - length(col("s2"))) <= maxDist)
       .withColumn("dist",
         levenshtein(col("s1"), col("s2"), maxDist).cast(LongType))
       .filter(col("dist") >= 0)
       .select("id1", "id2", "dist")
+    // short-string exact block: a short string can also match a LONG one
+    // within maxDist (len diff <= maxDist), so the block population is
+    // every string with len < minSafeLen + maxDist, and it keeps exactly
+    // the pairs with at least one truly-short side — pairs with both
+    // sides >= minSafeLen belong to (and only to) the gram path, so the
+    // two candidate sets are disjoint. The block equi-joins on exact
+    // LENGTH with the left side exploded over len±maxDist (each in-band
+    // pair matches at exactly one delta, and the id1<id2 filter keeps
+    // one of its two orientations) — a real hash-join key, not a
+    // constant that would plan as a nested-loop; volume is bounded by
+    // the short-string population contract.
+    val short0 = base.filter(length(col("s")) < minSafeLen + maxDist)
+      .withColumn("len", length(col("s")).cast(LongType))
+      .withColumn("is_short", length(col("s")) < minSafeLen)
+    val verifiedShort = short0.select(
+        explode(sequence(col("len") - maxDist, col("len") + maxDist))
+          .as("lb"),
+        col("id").as("id1"), col("s").as("s1"), col("is_short").as("sh1"))
+      .join(short0.select(col("len").as("lb"), col("id").as("id2"),
+        col("s").as("s2"), col("is_short").as("sh2")), Seq("lb"))
+      .filter(col("id1") < col("id2") && (col("sh1") || col("sh2")))
+      .withColumn("dist",
+        levenshtein(col("s1"), col("s2"), maxDist).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select("id1", "id2", "dist")
+    // each short pair matches at exactly one length delta, so only the
+    // gram path can duplicate (several shared prefix grams) — the
+    // distinct runs over the true-match relation, bounded by real
+    // near-duplicate volume
+    verifiedLong.unionByName(verifiedShort).distinct()
   }
 
   private def semanticDedupOn(assigned: DataFrame,

@@ -370,6 +370,55 @@ object ScaleProbe {
         TextAnalysis.bigramCrossEntropy(docs, "text", "doc_id", bi, uni, oov, backoff)
       }
     }
+
+    // d15 edit-distance join: replicated customer names with replica
+    // salt suffixes at pairwise distance 3 (> maxDist), so true matches
+    // — and therefore candidate volume — stay confined within replicas
+    // and the curve must be near-linear in N; a quadratic curve would
+    // mean the rare-gram prefixes stopped confining pairs
+    stage("edit_join") {
+      val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .filter(pmod(graft.functions.GraftFunctions.md5Long(
+          col("c_custkey").cast(org.apache.spark.sql.types.StringType)),
+          lit(5L)) === 0)
+      val names = prepared(s"/tmp/graft_scale_names_${replicas}x") {
+        (0 until replicas).map { r =>
+          val salt = ('a' + (r % 26)).toChar.toString * 3 + (r / 26)
+          cust.select((col("c_custkey") + lit(r * 1000000L)).as("id"),
+            concat(col("c_name"), lit(s" $salt")).as("s"))
+        }.reduce(_ unionByName _)
+      }
+      t(s"edit_join_${names.count()}names")(
+        Dedup.editDistancePairs(names, "s", "id", maxDist = 1, q = 3))
+    }
+    // t18 CMS: token counts are one keyed exchange with map-side
+    // combine, the sketch build runs on the DISTINCT vocab, and the
+    // summary is d*w rows whatever N is — near-linear scan-bound curve
+    stage("cms") {
+      t("cms")(TextAnalysis.cmsHeavyHitters(docs, "text",
+        d = 4, w = 512, topK = 30))
+    }
+    // q51 PageRank: replicated trade graphs as disjoint components —
+    // edges scale with N, iteration count fixed, so wall-clock must
+    // track the per-step edge shuffle linearly
+    stage("pagerank") {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val or = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val edges = prepared(s"/tmp/graft_scale_edges_${replicas}x") {
+        val trade = li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+                  (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val bi = trade.unionByName(
+          trade.select(col("dst").as("src"), col("src").as("dst")))
+        (0 until replicas).map { r =>
+          bi.select((col("src") + lit(r * 100000000L)).as("src"),
+                    (col("dst") + lit(r * 100000000L)).as("dst"))
+        }.reduce(_ unionByName _)
+      }
+      t(s"pagerank_${edges.count()}edges")(
+        graft.operators.Graph.pageRankFixedPoint(edges, iterations = 6))
+    }
     spark.stop()
   }
 }

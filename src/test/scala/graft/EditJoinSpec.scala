@@ -78,10 +78,10 @@ class EditJoinSpec extends SparkSpec {
       assert(blocked(df, k) === naive(df, k), s"k=$k mismatch")
   }
 
-  test("gram path plans no cartesian product") {
-    val longOnly = (1 to 40)
-      .map(i => i.toLong -> f"Customer#$i%09d").toDF("id", "s")
-    val plan = Dedup.editDistancePairs(longOnly, "s", "id", 1, 3)
+  test("no cartesian or nested-loop join anywhere — short block included") {
+    val mixed = ((1 to 40).map(i => i.toLong -> f"Customer#$i%09d") ++
+      Seq(100L -> "ab", 101L -> "abcde", 102L -> "abcdef")).toDF("id", "s")
+    val plan = Dedup.editDistancePairs(mixed, "s", "id", 1, 3)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
