@@ -701,6 +701,13 @@ object Dedup {
     * post-verify TRUE-MATCH relation is exchanged (final dedup) —
     * output-volume-bounded, the same contract as the LSH families.
     *
+    * Tuning: q sizes the gram space. On a low-entropy alphabet (dense
+    * numeric keys: ≤1000 digit trigrams EXIST) q=3 buckets grow
+    * ~corpus/1000 and candidate volume saturates quadratically however
+    * rare-first the ordering is — pick q so corpus / |alphabet|^q stays
+    * bounded (ScaleProbe edit_join_distinct vs edit_join_q4 is the
+    * measured pair of curves).
+    *
     * Output: (id1, id2, dist). */
   def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
                         maxDist: Int, q: Int): DataFrame = {

@@ -29,7 +29,12 @@ object SketchOps {
     * Scale shape: the group-pair fan-out joins rows against the DISTINCT
     * group dim (broadcast, dimension-sized), so each row is replicated
     * (|groups|−1)× — the operator targets low-cardinality group columns
-    * (event types, languages, sources). Both aggregations are
+    * (event types, languages, sources). That fan-out is the one
+    * BroadcastNestedLoopJoin in the plan, BY DESIGN: the predicate is
+    * non-equi (t ≠ u) and the build side is the handful of group values,
+    * so the "nested loop" is a map-only pass over the stream side — the
+    * same cost as an explode over a literal group list, without a
+    * driver-side collect of the groups. Both aggregations are
     * TypedImperativeAggregate KMVs: the exchange carries one k-long
     * sketch per (map partition, pair), never the distinct rows
     * themselves. */

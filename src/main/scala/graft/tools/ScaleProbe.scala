@@ -391,6 +391,46 @@ object ScaleProbe {
       t(s"edit_join_${names.count()}names")(
         Dedup.editDistancePairs(names, "s", "id", maxDist = 1, q = 3))
     }
+    // the TYPICAL-corpus curve: replica names regenerated from offset
+    // ids, so every name is globally distinct with its own rare digit
+    // grams — per-name match/candidate volume stays bounded and the
+    // curve must be near-linear. (The salted stage above is the
+    // ADVERSARIAL bound instead: every replica group shares rare grams,
+    // so verification work grows with group² by design — the Ed-Join
+    // bucket contract — and stays map-side by construction.)
+    stage("edit_join_distinct") {
+      val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .filter(pmod(graft.functions.GraftFunctions.md5Long(
+          col("c_custkey").cast(org.apache.spark.sql.types.StringType)),
+          lit(5L)) === 0)
+      val names = prepared(s"/tmp/graft_scale_dnames_${replicas}x") {
+        (0 until replicas).map { r =>
+          cust.select((col("c_custkey") + lit(r * 1000000L)).as("id"))
+        }.reduce(_ unionByName _)
+          .select(col("id"), format_string("Customer#%09d", col("id")).as("s"))
+      }
+      t(s"edit_join_distinct_${names.count()}names")(
+        Dedup.editDistancePairs(names, "s", "id", maxDist = 1, q = 3))
+    }
+    // same corpus at q=4: dense numeric keys have a LOW-ENTROPY alphabet
+    // (≤1000 digit trigrams exist, so q=3 buckets grow ~n/1000 with the
+    // corpus and candidate volume saturates quadratically); q sizes the
+    // gram space — the tuning contract is corpus / |alphabet|^q bounded.
+    // The q=4 curve over the same names is the measured payoff.
+    stage("edit_join_q4") {
+      val names = prepared(s"/tmp/graft_scale_dnames_${replicas}x") {
+        val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+          .filter(pmod(graft.functions.GraftFunctions.md5Long(
+            col("c_custkey").cast(org.apache.spark.sql.types.StringType)),
+            lit(5L)) === 0)
+        (0 until replicas).map { r =>
+          cust.select((col("c_custkey") + lit(r * 1000000L)).as("id"))
+        }.reduce(_ unionByName _)
+          .select(col("id"), format_string("Customer#%09d", col("id")).as("s"))
+      }
+      t(s"edit_join_q4_${names.count()}names")(
+        Dedup.editDistancePairs(names, "s", "id", maxDist = 1, q = 4))
+    }
     // t18 CMS: token counts are one keyed exchange with map-side
     // combine, the sketch build runs on the DISTINCT vocab, and the
     // summary is d*w rows whatever N is — near-linear scan-bound curve
