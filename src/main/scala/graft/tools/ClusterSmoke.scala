@@ -69,7 +69,16 @@ object ClusterSmoke {
     // truncated-prefix coarse window feeding the exact rerank window on
     // the same query_id partitioning (shortlist WindowGroupLimit must
     // merge identically from separate executor JVMs)
-    "e16_trunc_rerank")
+    "e16_trunc_rerank",
+    // round-10 shapes: the gram-frequency window + map-side-verified
+    // prefix self-join (d15), the CMS counter sums + min-over-rows
+    // estimate (t18), six iterated shuffle steps with per-step
+    // localCheckpoint ACROSS executor JVMs (q51 — localCheckpoint
+    // stores blocks on executors, exactly what a single JVM can't
+    // prove), KMV pair-algebra merges (q52), and the driver-collected
+    // bloom bitset re-broadcast to executors (q53)
+    "d15_edit_join", "t18_cms_topk", "q51_pagerank", "q52_kmv_algebra",
+    "q53_bloom_join")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
