@@ -715,6 +715,71 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // BM25 ranking
+  // -------------------------------------------------------------------
+
+  /** BM25 document ranking (Robertson-Spärck Jones / Okapi) against a
+    * deterministic query-term set: the mid-frequency vocabulary slice
+    * [termRankStart, termRankStart+nTerms) under the (count DESC, token)
+    * total order — the retrieval scorer a curation pipeline uses for
+    * quality-weighted selection.
+    *
+    * Determinism contract (the t11 pattern): idf = ln(1+(N−df+0.5)/(df+0.5)) (the Lucene/trec_eval positive form)
+    * is quantized to INT64 nano-units (floor(·1e9+0.5)) the moment it is
+    * computed; each per-(doc,term) score multiplies that integer by the
+    * saturation fraction (tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)) — pure
+    * double arithmetic from integers with ONE written parenthesization,
+    * reproduced verbatim in the oracle — and is floored back to int64;
+    * per-doc sums are then integer sums, order-free. avgdl is the exact
+    * integer-total / integer-count division both engines perform
+    * identically.
+    *
+    * Scale shape: one token-keyed exchange for the vocabulary (shared
+    * shape with t05), tf confined to the nTerms query terms (the
+    * explode is filtered by a broadcast 5-row term list before any
+    * shuffle), doc lengths map-only, stats a 1-row broadcast; the
+    * per-doc sum is the only doc-keyed exchange. k1 = 1.2, b = 0.75.
+    *
+    * Output: top `k` of (doc_id, score) by (score DESC, doc_id). */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               termRankStart: Int, nTerms: Int, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    val exploded = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("n"))
+    // distributed top-(start+nTerms-1) first (TakeOrderedAndProject),
+    // then rank the bounded head — never a global single-partition window
+    val terms = vocab
+      .orderBy(col("n").desc, col("tok"))
+      .limit(termRankStart + nTerms - 1)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("n").desc, col("tok"))))
+      .filter(col("rk") >= termRankStart)
+      .select(col("tok"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val df_ = exploded.join(broadcast(terms), Seq("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = df_.crossJoin(broadcast(stats))
+      .select(col("tok"), expr(
+        "CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / " +
+          "(df + 0.5)) * 1e9 + 0.5) AS BIGINT)").as("idf_u"))
+    val tf = exploded.join(broadcast(terms), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_u", expr(
+        "CAST(floor(idf_u * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * " +
+          "(dl / (CAST(total_dl AS DOUBLE) / n_docs))))) + 0.5) AS BIGINT)"))
+      .groupBy("doc_id").agg(sum(col("score_u")).as("su"))
+      .select(col("doc_id"), round(col("su") / 1e9, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------------
   // Count-min sketch (heavy hitters)
   // -------------------------------------------------------------------
 

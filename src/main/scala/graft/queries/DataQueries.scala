@@ -1405,6 +1405,44 @@ object DataQueries {
        |FROM q JOIN sketch s ON q.r = s.r AND q.bucket = s.bucket
        |GROUP BY q.tok ORDER BY n_exact DESC, tok""".stripMargin
 
+  /** BM25 ranking ([[TextAnalysis.bm25TopK]]): top 25 documents against
+    * the mid-frequency query terms (vocabulary ranks 10–14) — retrieval
+    * scoring with the t11 determinism pattern (idf in int64 nano-units,
+    * one written parenthesization for the saturation fraction, integer
+    * per-doc sums), so the oracle replays every score to the unit. */
+  val t19Bm25: Q = (s, dir) =>
+    TextAnalysis.bm25TopK(Catalog(s, dir).documents, "text", "doc_id",
+      termRankStart = 10, nTerms = 5, k = 25)
+
+  val t19Sql: String =
+    s"""WITH $toksCte,
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+       |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+       |vocab AS (SELECT tok, count(*) AS n FROM ex GROUP BY 1),
+       |head AS (SELECT tok, n FROM vocab ORDER BY n DESC, tok LIMIT 14),
+       |terms AS (SELECT tok FROM (SELECT tok,
+       |    row_number() OVER (ORDER BY n DESC, tok) AS rk FROM head)
+       |  WHERE rk >= 10),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+       |  AS total_dl FROM dl),
+       |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ex
+       |  JOIN terms USING (tok) GROUP BY 1),
+       |idf AS (SELECT tok, CAST(floor(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df
+       |    + 0.5) / (df + 0.5)) * 1e9 + 0.5) AS BIGINT) AS idf_u
+       |  FROM dfreq, st),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex
+       |  JOIN terms USING (tok) GROUP BY 1, 2),
+       |sc AS (SELECT t.doc_id,
+       |    CAST(floor(i.idf_u * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 +
+       |      0.75 * (d.dl / (CAST(st.total_dl AS DOUBLE) / st.n_docs)))))
+       |      + 0.5) AS BIGINT) AS score_u
+       |  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id),
+       |    st),
+       |agg AS (SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS su
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, round(su / 1e9, 6) AS score FROM agg
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
   /** Sequence packing: concat-and-chunk (seq_id, seq_offset) assignment
     * from running token totals, per language shard, cap 512 — see
     * [[TextAnalysis.packSequences]] for the at-scale shape. */
@@ -1930,6 +1968,7 @@ object DataQueries {
     "d11_softdedup_weights" -> d11SoftDedupWeights,
     "t05_token_topk" -> t05TokenTopK,
     "t18_cms_topk" -> t18CmsTopK,
+    "t19_bm25" -> t19Bm25,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
@@ -1982,6 +2021,7 @@ object DataQueries {
     "d11_softdedup_weights" -> d11Sql,
     "t05_token_topk" -> t05Sql,
     "t18_cms_topk" -> t18Sql,
+    "t19_bm25" -> t19Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
     "d04_dedup_ngram_jaccard" -> d04Sql,

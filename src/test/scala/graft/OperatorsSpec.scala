@@ -434,4 +434,27 @@ class OperatorsSpec extends SparkSpec {
           r.getDouble(3))).sortBy(_._1).toSeq
     assert(run(vecs) == run(vecs.repartition(7)))
   }
+
+  test("bm25: tf monotone at equal length, rarer terms weigh more, partition-invariant") {
+    import spark.implicits._
+    // vocab: filler 'x' dominates (ranks 1); query terms at ranks 2-3
+    // are 'common' (in many docs) and 'rare' (in few)
+    val docs = (
+      Seq(
+        (1L, "common x x x x x x"),        // tf(common)=1
+        (2L, "common common x x x x x"),   // tf(common)=2, same dl
+        (3L, "rare x x x x x x"),          // tf(rare)=1, same dl
+        (4L, "common rare x x x x x")
+      ) ++ (5L to 20L).map(i => (i, "common x x x x x x"))
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.bm25TopK(df, "text", "doc_id",
+          termRankStart = 2, nTerms = 2, k = 20)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s = run(docs)
+    assert(s(2L) > s(1L), "higher tf at equal doc length must score higher")
+    assert(s(3L) > s(1L), "the rarer term must outweigh the common one")
+    assert(s(4L) > s(3L), "matching both terms beats matching one")
+    assert(s == run(docs.repartition(7)), "partitioning must not move a score")
+  }
 }
