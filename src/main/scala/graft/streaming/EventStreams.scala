@@ -125,6 +125,27 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Native session-window aggregation — the declarative twin of
+    * [[sessionize]]: Spark's `session_window` merges per-user event-time
+    * windows separated by less than the gap, entirely inside the
+    * aggregation operator (state = one open window per key, evicted by
+    * the watermark). Use this form when the per-session output is an
+    * AGGREGATE (count/sum/min/max); `sessionize`'s
+    * flatMapGroupsWithState remains for custom state logic. Emits only
+    * CLOSED sessions (append mode: a session is final once the
+    * watermark passes its end) — the spec pins drain == the batch
+    * session_window aggregation minus each user's trailing session,
+    * which is exactly the still-open state. */
+  def sessionWindowCounts(events: DataFrame,
+                          gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Streaming exact dedup: drops rows whose key was already seen,
     * with state bounded by the watermark (a duplicate arriving later
     * than `withinWatermark` after the original may pass — the standard
