@@ -108,6 +108,28 @@ object GraftFunctions {
     exactSum(c) / count(c)
 
   // ---------------------------------------------------------------------
+  // Space-filling curves (data layout)
+  // ---------------------------------------------------------------------
+
+  /** Morton / Z-order value: interleave the low `bits` bits of two
+    * non-negative keys (x at even positions, y at odd) — the
+    * space-filling-curve clustering key that makes min/max file
+    * statistics prune on BOTH dimensions at once (the data-layout lever
+    * behind Delta/Iceberg OPTIMIZE ZORDER; here as a plain deterministic
+    * column). Pure bit arithmetic, identical in any engine; DuckDB twin
+    * per term: ((x >> i) & 1) * 2^(2i) + ((y >> i) & 1) * 2^(2i+1),
+    * summed (disjoint bits, so + == OR). */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits")
+    (0 until bits).map { i =>
+      call_function("shiftright", x, lit(i)).bitwiseAND(lit(1L)) *
+        lit(1L << (2 * i)) +
+      call_function("shiftright", y, lit(i)).bitwiseAND(lit(1L)) *
+        lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  // ---------------------------------------------------------------------
   // Text analysis (documents table; training-data pipeline surface)
   // ---------------------------------------------------------------------
 

@@ -38,4 +38,23 @@ object Bucketing {
         "both tables must be bucketed on the join key with EQUAL bucket counts")
     j
   }
+
+  /** Z-order the relation for writing: range-partition by the Morton
+    * interleave of two dimension keys, so each output FILE covers a
+    * small square of (x, y) space instead of a full stripe — min/max
+    * file statistics then prune selective predicates on EITHER
+    * dimension (the OPTIMIZE ZORDER layout, as plain Spark). Sorting
+    * within partitions tightens row-group stats too. The caller writes
+    * the result (`.write.parquet(...)`); ZorderSpec measures the
+    * payoff: per-file value spread on BOTH dims is a fraction of a
+    * single-column layout's on its non-sort dim. */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int, nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("graft_z_",
+        graft.functions.GraftFunctions.zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("graft_z_"))
+      .sortWithinPartitions("graft_z_")
+      .drop("graft_z_")
+  }
 }

@@ -1000,11 +1000,41 @@ object ExtQueries {
       |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Z-order layout key ([[graft.functions.GraftFunctions.zValue]] /
+    * [[graft.io.Bucketing.zorderLayout]]): the Morton interleave of
+    * (user bucket, event-minute bucket) over events, aggregated to
+    * curve-region counts — the clustering key whose write-time layout
+    * lets file min/max stats prune on either dimension (ZorderSpec
+    * measures the spread payoff; this query hash-checks the curve
+    * arithmetic itself cross-engine). */
+  val q54Zorder: Q = (s, dir) => {
+    val ev = Catalog(s, dir).events
+    val x = pmod(col("user_id"), lit(4096L))
+    val y = pmod(expr("unix_micros(ts) div 60000000"), lit(4096L))
+    ev.select(graft.functions.GraftFunctions.zValue(x, y, bits = 12)
+        .as("z"))
+      .groupBy(expr("z div 65536").as("z_region"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("z_region"))
+  }
+
+  lazy val q54Sql: String = {
+    val terms = (0 until 12).map { i =>
+      s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH xy AS (SELECT user_id % 4096 AS x,
+       |    (epoch_us(ts) // 60000000) % 4096 AS y FROM events),
+       |zv AS (SELECT $terms AS z FROM xy)
+       |SELECT z // 65536 AS z_region, count(*) AS n_events
+       |FROM zv GROUP BY 1 ORDER BY z_region""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q51_pagerank" -> q51PageRank,
     "q52_kmv_algebra" -> q52KmvAlgebra,
     "q53_bloom_join" -> q53BloomJoin,
+    "q54_zorder" -> q54Zorder,
     "q50_polygon_join" -> q50PolygonJoin,
     "q41_json_funcs" -> q41JsonFuncs,
     "q42_det_sample" -> q42DetSample,
@@ -1033,6 +1063,7 @@ object ExtQueries {
     "q51_pagerank" -> q51Sql,
     "q52_kmv_algebra" -> q52Sql,
     "q53_bloom_join" -> q53Sql,
+    "q54_zorder" -> q54Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,
