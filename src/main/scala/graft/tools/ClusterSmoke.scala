@@ -78,7 +78,10 @@ object ClusterSmoke {
     // prove), KMV pair-algebra merges (q52), and the driver-collected
     // bloom bitset re-broadcast to executors (q53)
     "d15_edit_join", "t18_cms_topk", "q51_pagerank", "q52_kmv_algebra",
-    "q53_bloom_join")
+    "q53_bloom_join",
+    // BM25's idf aggregates from executor partials feeding broadcast
+    // literals; the z-order curve region counts are pure bit arithmetic
+    "t19_bm25", "q54_zorder")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
