@@ -547,6 +547,41 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"), col("amount"))
   }
 
+  /** The LEFT OUTER attribution join: every purchase emitted, matched
+    * to preceding clicks where they exist, null-padded otherwise — the
+    * "conversions without a click" report. Same state bounds as
+    * [[attributionJoin]]; the semantic difference is WHEN the null row
+    * can be emitted: only once the purchase-side watermark has passed
+    * the end of its join window (before that a matching click could
+    * still arrive), so purchases inside the final watermark window are
+    * withheld by an AvailableNow drain — the spec pins exactly that
+    * boundary with a watermark-advancing sentinel.
+    *
+    * Two operational facts the spec encodes (both bit real users): the
+    * GLOBAL watermark is the MIN over both sides' event-time columns —
+    * advancing only the click side never closes anything — and a batch
+    * runs under the watermark persisted by the PREVIOUS batch (and an
+    * empty backlog runs no batch), so null rows surface one data-drop
+    * after the sentinel that closed their window. */
+  def attributionJoinOuter(events: DataFrame, horizon: String = "10 minutes",
+                           watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+        col("c_user_id") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("amount"))
+  }
+
   /** Drain-everything-now runner (the cron-tick semantics): starts the
     * query with Trigger.AvailableNow on a memory sink and blocks until
     * the backlog is processed. Returns the sink contents. */

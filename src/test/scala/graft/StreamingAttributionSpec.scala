@@ -76,4 +76,75 @@ class StreamingAttributionSpec extends SparkSpec {
     assert(got == Set((7L, 3L, 1L)),
       s"only the in-horizon pair attributes: $got")
   }
+
+  test("left outer: unattributed purchases surface once the watermark closes them") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-attr3").toString
+    val base = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    def ev(id: Long, tp: String, user: Long, offsetSec: Long) =
+      (id, java.sql.Timestamp.from(base.plusSeconds(offsetSec)), user, tp, 2.5, "{}")
+    // outer-join nulls only emit in a micro-batch AFTER the watermark
+    // passes the join window — land the sentinel as its own second
+    // batch (maxFilesPerTrigger=1) so the watermark advances and the
+    // trailing no-data flush batch can evict + emit the null row
+    Seq(
+      ev(1, "click", 7, 0),
+      ev(2, "purchase", 7, 300),    // attributed (click 5 min before)
+      ev(3, "purchase", 8, 300)     // NO click for user 8 -> null row
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(d + "/f1")
+    // the GLOBAL watermark is the MIN across both sides' event-time
+    // columns, so the sentinel must advance clicks AND purchases — an
+    // attributed far-future pair does both
+    Seq(ev(4, "click", 99, 6 * 3600 - 60), ev(5, "purchase", 99, 6 * 3600))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(d + "/f2")
+    val land = Files.createTempDirectory("graft-attr3-land").toString
+    def move(sub: String, name: String): Unit = {
+      val f = new java.io.File(d + "/" + sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(land, name))
+    }
+    move("f1", "b1.parquet")
+    // two cron-tick drains over ONE checkpoint (the upsertStream
+    // operational shape): drain 1 buffers the unmatched purchase —
+    // its join window is still open; the sentinel lands between runs,
+    // and drain 2 starts from the PERSISTED watermark it advanced, so
+    // the eviction emits the null-padded row
+    val out = Files.createTempDirectory("graft-attr3-out").toString + "/t"
+    val cp = Files.createTempDirectory("graft-attr3-cp").toString
+    def drain(): Unit = {
+      val stream = graft.catalog.Catalog.normalizeEventTs(
+        spark.readStream.schema(spark.read.parquet(land).schema)
+          .parquet(land))
+      val q = EventStreams.attributionJoinOuter(stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    move("f2", "b2.parquet")
+    drain()
+    // a batch only applies the PREVIOUSLY-persisted watermark, and an
+    // empty backlog runs no batch at all — so a third drop (another
+    // far-future click) drives the batch that evicts under the
+    // sentinel-advanced watermark and emits the null row
+    Seq(ev(6, "click", 98, 7 * 3600 - 60), ev(7, "purchase", 98, 7 * 3600))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(d + "/f3")
+    move("f3", "b3.parquet")
+    drain()
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    // (7,2,1): attributed in batch 1. (99,5,4)/(98,7,6): the sentinel
+    // pairs, matched inner-style on arrival. (8,3,-1): the unmatched
+    // purchase, null-emitted once the watermark passed its window.
+    assert(got == Set((7L, 2L, 1L), (8L, 3L, -1L), (99L, 5L, 4L),
+      (98L, 7L, 6L)),
+      s"expected attributed + sentinel pairs + one null-padded: $got")
+  }
 }
