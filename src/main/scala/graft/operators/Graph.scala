@@ -76,4 +76,44 @@ object Graph {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** Level-synchronous BFS over a child→parent forest — the recursive-
+    * CTE capability (hierarchy expansion: org charts, BOMs, category
+    * trees) Spark SQL lacks natively, as a bounded fixpoint loop. From
+    * the root set, each level joins the remaining edges against the
+    * current frontier; levels accumulate (node, root, depth).
+    *
+    * Scale shape: one equi-join per LEVEL (not per node), keyed by the
+    * parent column, with the frontier localCheckpointed so level N's
+    * plan doesn't replay levels 1..N−1; total work = Σ level sizes =
+    * |reachable nodes|. The loop is driver-bounded by `maxDepth` and
+    * FAILS LOUD if the frontier hasn't emptied by then (a silent
+    * truncation would misreport depths as coverage).
+    *
+    * `edges`: (child, parent) longs. `roots`: (node) longs.
+    * Output: (node, root, depth) for every reachable node, roots at
+    * depth 0. */
+  def bfsDepths(edges: DataFrame, roots: DataFrame,
+                maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth=$maxDepth")
+    val e = edges.select(col("child").cast(LongType).as("child"),
+      col("parent").cast(LongType).as("parent")).localCheckpoint(false)
+    var frontier = roots
+      .select(col("node").cast(LongType).as("node"),
+        col("node").cast(LongType).as("root"), lit(0L).as("depth"))
+      .localCheckpoint(false)
+    var acc = frontier
+    var level = 0
+    while (level < maxDepth && !frontier.isEmpty) {
+      frontier = e.join(frontier, e("parent") === frontier("node"))
+        .select(col("child").as("node"), col("root"),
+          (col("depth") + 1L).as("depth"))
+        .localCheckpoint(false)
+      acc = acc.unionByName(frontier)
+      level += 1
+    }
+    require(frontier.isEmpty,
+      s"frontier not empty after $maxDepth levels — raise maxDepth")
+    acc
+  }
 }

@@ -1029,12 +1029,39 @@ object ExtQueries {
        |FROM zv GROUP BY 1 ORDER BY z_region""".stripMargin
   }
 
+  /** Hierarchy expansion ([[graft.operators.Graph.bfsDepths]]) — the
+    * recursive-CTE shape Spark SQL lacks natively: customers form a
+    * derived forest (parent = custkey div 7, roots below 7) and every
+    * node reports its root and depth. One equi-join per LEVEL, frontier
+    * checkpointed; the oracle is DuckDB's native WITH RECURSIVE. */
+  val q55Hierarchy: Q = (s, dir) => {
+    val c = Catalog(s, dir).customer
+    val edges = c.filter(col("c_custkey") >= 7)
+      .select(col("c_custkey").as("child"),
+        expr("c_custkey div 7").as("parent"))
+    val roots = c.filter(col("c_custkey") < 7)
+      .select(col("c_custkey").as("node"))
+    graft.operators.Graph.bfsDepths(edges, roots, maxDepth = 12)
+      .orderBy(col("node"))
+  }
+
+  val q55Sql: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT c_custkey AS node, c_custkey AS root, CAST(0 AS BIGINT)
+      |    AS depth FROM customer WHERE c_custkey < 7
+      |  UNION ALL
+      |  SELECT c.c_custkey, r.root, r.depth + 1 FROM customer c
+      |  JOIN r ON c.c_custkey // 7 = r.node WHERE c.c_custkey >= 7
+      |)
+      |SELECT node, root, depth FROM r ORDER BY node""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q51_pagerank" -> q51PageRank,
     "q52_kmv_algebra" -> q52KmvAlgebra,
     "q53_bloom_join" -> q53BloomJoin,
     "q54_zorder" -> q54Zorder,
+    "q55_hierarchy" -> q55Hierarchy,
     "q50_polygon_join" -> q50PolygonJoin,
     "q41_json_funcs" -> q41JsonFuncs,
     "q42_det_sample" -> q42DetSample,
@@ -1064,6 +1091,7 @@ object ExtQueries {
     "q52_kmv_algebra" -> q52Sql,
     "q53_bloom_join" -> q53Sql,
     "q54_zorder" -> q54Sql,
+    "q55_hierarchy" -> q55Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,

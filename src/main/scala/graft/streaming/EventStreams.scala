@@ -557,7 +557,7 @@ object EventStreams {
     * withheld by an AvailableNow drain — the spec pins exactly that
     * boundary with a watermark-advancing sentinel.
     *
-    * Two operational facts the spec encodes (both bit real users): the
+    * Two operational facts the spec encodes (both bite real users): the
     * GLOBAL watermark is the MIN over both sides' event-time columns —
     * advancing only the click side never closes anything — and a batch
     * runs under the watermark persisted by the PREVIOUS batch (and an

@@ -66,4 +66,23 @@ class PageRankSpec extends SparkSpec {
     // leakage stays far under 1e-6 of the mass
     assert(total <= scale && total > scale - 1000000L, s"total=$total")
   }
+
+  test("bfsDepths: forest depths exact, loud failure on truncation") {
+    import spark.implicits._
+    // forest: 1 and 2 roots; chain 1<-10<-100<-1000, bush under 2
+    val edges = Seq(10L -> 1L, 100L -> 10L, 1000L -> 100L,
+      20L -> 2L, 21L -> 2L, 200L -> 20L).toDF("child", "parent")
+    val roots = Seq(1L, 2L).toDF("node")
+    val got = graft.operators.Graph.bfsDepths(edges, roots, maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 0L), 2L -> (2L, 0L),
+      10L -> (1L, 1L), 20L -> (2L, 1L), 21L -> (2L, 1L),
+      100L -> (1L, 2L), 200L -> (2L, 2L), 1000L -> (1L, 3L)))
+    // depth cap below the true depth must fail loud, not truncate
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graph.bfsDepths(edges, roots, maxDepth = 2).count()
+    }
+    assert(e.getMessage.contains("frontier not empty"))
+  }
 }
