@@ -418,6 +418,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** [[ngramOverlap]] for a benchmark side too big to broadcast: hash
+    * the shingles to 60-bit keys and run a plain SHUFFLE equi-join on
+    * the hash — both sides exchange ~|shingles| skinny (key, id) rows
+    * instead of shipping the benchmark to every executor. Results are
+    * identical to the broadcast form (spec-pinned; md5 collisions
+    * across DISTINCT shingle strings are the standard 2^-60 contract
+    * the whole engine rides). This is the shape for decontaminating
+    * against a 100-GB eval corpus or AGAINST THE TRAINING SET ITSELF
+    * (train-train leakage reports), where no side is dimension-sized. */
+  def ngramOverlapShuffle(train: DataFrame, bench: DataFrame,
+                          textCol: String, idCol: String, n: Int): DataFrame = {
+    val benchSh = bench
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+      .select(md5Long(col("g")).as("gh"))
+    train.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), md5Long(col("g")).as("gh"))
+      .join(benchSh, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Cross-document duplicate-SPAN removal (the C4 / RefinedWeb rewrite
     * pass): any `k`-token span occurring in ≥2 distinct documents is
     * kept only in the lowest-doc_id document; every other document has

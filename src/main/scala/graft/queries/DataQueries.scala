@@ -1491,6 +1491,21 @@ object DataQueries {
        |FROM train JOIN bench USING (g)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The shuffle-join decontamination ([[TextAnalysis
+    * .ngramOverlapShuffle]]): same result contract as d09 — the oracle
+    * IS d09's SQL — but the benchmark side is hashed and equi-joined
+    * through an exchange instead of broadcast, the plan for eval
+    * corpora (or train-vs-train leakage reports) too big to ship to
+    * every executor. */
+  val d16DecontamShuffle: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val isBench =
+      pmod(md5Long(col("doc_id").cast(StringType)), lit(100L)) < 5L
+    TextAnalysis.ngramOverlapShuffle(
+        docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Containment decontamination (directional leakage): per
     * (train doc, benchmark doc) pair, the fraction of the BENCHMARK
     * doc's 4-token shingles found in the training doc — flags an eval
@@ -1961,6 +1976,7 @@ object DataQueries {
     "t10_domain_mixture" -> t10DomainMixture,
     "t11_lm_score" -> t11LmScore,
     "d09_decontaminate" -> d09Decontaminate,
+    "d16_decontam_shuffle" -> d16DecontamShuffle,
     "d10_containment" -> d10ContainmentPairs,
     "t06_seq_pack" -> t06SeqPack,
     "t07_quality_yield" -> t07QualityYield,
@@ -2014,6 +2030,7 @@ object DataQueries {
     "t10_domain_mixture" -> t10Sql,
     "t11_lm_score" -> t11Sql,
     "d09_decontaminate" -> d09Sql,
+    "d16_decontam_shuffle" -> d09Sql, // same result contract, shuffle plan
     "d10_containment" -> d10Sql,
     "t06_seq_pack" -> t06Sql,
     "t07_quality_yield" -> t07Sql,

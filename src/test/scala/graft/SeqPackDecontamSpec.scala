@@ -134,6 +134,26 @@ class SeqPackDecontamSpec extends SparkSpec {
       (3L, 4L, 1L, "w")))
   }
 
+  test("ngramOverlapShuffle == ngramOverlap (broadcast) on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("red", "blue", "ox", "fox", "jumps", "runs", "tree",
+      "mole", "vex", "quiz")
+    val docs = (1L to 120L).map { i =>
+      i -> Seq.fill(6 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = m(TextAnalysis.ngramOverlap(train, bench, "text", "doc_id", 3))
+    val sh = m(TextAnalysis.ngramOverlapShuffle(train, bench, "text",
+      "doc_id", 3))
+    assert(bc.nonEmpty && sh == bc,
+      s"shuffle plan must reproduce the broadcast results: ${sh.size}/${bc.size}")
+  }
+
   test("spanDedup: partitioning-invariant and null/empty docs absent") {
     val docs = Seq(
       (1L, Option("a b c d e")), (2L, Option("z a b c d")),
