@@ -231,6 +231,62 @@ object Pipeline {
     }
   }
 
+  /** Targeted key deletion — the right-to-be-forgotten maintenance op:
+    * rewrite the relation WITHOUT rows whose key tuple appears in
+    * `keys`, through the same rename-aside crash-safe swap (and the
+    * same heal-on-entry) as the incremental merge. Returns the number
+    * of rows removed, the figure a deletion-request audit records.
+    * Idempotent: replaying the same key set deletes 0.
+    *
+    * Scale shape: one anti-join keyed by the key columns — the deletion
+    * key set is request-sized and broadcasts; the rewrite is the
+    * unavoidable cost of physical deletion from immutable files. On a
+    * partitioned relation, scope the rewrite by running this per
+    * affected partition path (partition pruning makes the read side
+    * cheap); this general form rewrites the whole relation. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+                 keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fsFor(spark, path)
+    recoverSwap(f, p)
+    require(f.exists(p), s"no relation at $path")
+    val existing = spark.read.parquet(path)
+    val keySet = keys.select(keyCols.map(keys(_)): _*).distinct()
+      .localCheckpoint(false) // one stable evaluation for hit-count + join
+    val hit = existing.join(
+      org.apache.spark.sql.functions.broadcast(keySet), keyCols, "left_semi")
+    val nDeleted = hit.count()
+    if (nDeleted == 0) return 0L // nothing to rewrite
+    val kept = existing.join(
+      org.apache.spark.sql.functions.broadcast(keySet), keyCols, "left_anti")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__incremental_tmp")
+    writeParquet(kept, tmp.toString, Nil)
+    swapIn(f, p, tmp)
+    nDeleted
+  }
+
+  /** Small-file compaction — the maintenance op that keeps scan task
+    * counts sane after many small incremental merges: rewrite the
+    * relation into ~`targetFileBytes` files (coalesce, no shuffle),
+    * content-identical, through the crash-safe swap. Returns the file
+    * count after compaction. Partitioned relations compact per
+    * partition dir by calling this on each affected path. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes >= 1024 * 1024, s"target too small: $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fsFor(spark, path)
+    recoverSwap(f, p)
+    require(f.exists(p), s"no relation at $path")
+    val bytes = f.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__incremental_tmp")
+    writeParquet(spark.read.parquet(path).coalesce(n), tmp.toString, Nil)
+    swapIn(f, p, tmp)
+    f.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   sealed abstract class Env(val prefix: String)
   case object Core extends Env("CORE") // prod (profiles.yml target PROD)
   case object Dev extends Env("DEV")
