@@ -44,19 +44,76 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
                          scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && scale >= 1000000L, s"$iterations/$scale")
+    val (e, init, n) = rankInit(edges, scale, prev = None)
+    powerSteps(e, init, n, iterations, scale).select(col("node"), col("rank"))
+  }
+
+  /** Warm-start PageRank — the delta form for a daily-growing graph:
+    * re-run `iterations` power steps on the CURRENT edge relation, but
+    * seed each node with its previous rank where one exists (new nodes
+    * start at the uniform share). The step function is IDENTICAL to the
+    * cold fit, so the result is still a deterministic pure function of
+    * (edges, prevRanks, iterations) — a declared warm-start contract,
+    * not an approximation of the cold result: its value is that on a
+    * graph that changed a little, a couple of warm steps land where the
+    * cold run needs its full budget (PageRankSpec measures exactly
+    * that, plus near-stationarity when the graph didn't change — the
+    * same delta-operator theme as the dedup/CC delta family).
+    *
+    * prevRanks: (node, rank). Output: (node, rank). */
+  def pageRankWarmStart(edges: DataFrame, prevRanks: DataFrame,
+                        iterations: Int,
+                        scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 1000000L, s"$iterations/$scale")
+    val (e, init, n) = rankInit(edges, scale, Some(prevRanks))
+    powerSteps(e, init, n, iterations, scale).select(col("node"), col("rank"))
+  }
+
+  /** Shared init: checkpointed edges, the seeded (node, outdeg, rank)
+    * relation, and the node count that sizes the teleport. */
+  private def rankInit(edges: DataFrame, scale: Long,
+                       prev: Option[DataFrame])
+      : (DataFrame, DataFrame, Long) = {
     val e = edges.select(col("src").cast(LongType).as("src"),
                          col("dst").cast(LongType).as("dst"))
       .localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
+    val nodeSet = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    val n = nodes.count() // one bounded driver scalar: sizes the teleport
+    val n = nodeSet.count() // one bounded driver scalar: sizes the teleport
+    val base = nodeSet.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val seeded = prev match {
+      case None =>
+        base.select(col("node"), col("outdeg"), lit(scale / n).as("rank"))
+      case Some(pr) =>
+        // renormalize the seed to total mass = scale: joined/added nodes
+        // make the raw seed's mass differ from scale, and that excess
+        // (or deficit) would decay only at damping rate — two warm
+        // steps would chase mass drift instead of structure. The factor
+        // is ONE double (deterministic), ranks are < 2^53 so the
+        // product is exact-input, floor keeps it integral.
+        val seeded0 = base
+          .join(pr.select(col("node"), col("rank").as("prev_rank")),
+            Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            coalesce(col("prev_rank"), lit(scale / n)).as("rank"))
+        val tot = seeded0
+          .agg(sum(col("rank")).as("t"))
+        seeded0.crossJoin(broadcast(tot))
+          .select(col("node"), col("outdeg"),
+            expr(s"CAST(floor(rank * (CAST(${scale}L AS DOUBLE) / t)) " +
+              "AS BIGINT)").as("rank"))
+    }
+    (e, seeded.localCheckpoint(false), n)
+  }
+
+  /** The synchronous power iteration shared by cold and warm starts. */
+  private def powerSteps(e: DataFrame, init: DataFrame, n: Long,
+                         iterations: Int, scale: Long): DataFrame = {
     val teleport = ((scale * 15L) / 100L) / n
-    var ranks = nodes.join(outdeg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        lit(scale / n).as("rank"))
-      .localCheckpoint(false)
+    var ranks = init
     for (_ <- 1 to iterations) {
       val contrib = ranks.filter(col("outdeg") > 0)
         .join(e, ranks("node") === e("src"))
@@ -74,7 +131,7 @@ object Graph {
             expr(s"dm div ${n}L")).as("rank"))
         .localCheckpoint(false)
     }
-    ranks.select(col("node"), col("rank"))
+    ranks
   }
 
   /** Level-synchronous BFS over a child→parent forest — the recursive-

@@ -67,6 +67,37 @@ class PageRankSpec extends SparkSpec {
     assert(total <= scale && total > scale - 1000000L, s"total=$total")
   }
 
+  test("warm start: stationary on an unchanged graph, converges faster on a grown one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def randEdges(n: Int, nodes: Int) = (1 to n)
+      .map(_ => (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val g1 = randEdges(300, 50)
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = Graph.pageRankFixedPoint(g1.toDF("src", "dst"), 8)
+      .localCheckpoint(false)
+    val coldM = ranksOf(cold)
+    def dist(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      (a.keySet ++ b.keySet).toSeq
+        .map(k => math.abs(a.getOrElse(k, 0L) - b.getOrElse(k, 0L))).sum
+    // unchanged graph: one warm step stays within fixed-point wobble
+    val warm1 = ranksOf(Graph.pageRankWarmStart(g1.toDF("src", "dst"), cold, 1))
+    assert(dist(warm1, coldM) < dist(ranksOf(
+      Graph.pageRankFixedPoint(g1.toDF("src", "dst"), 1)), coldM) / 10,
+      "a warm step on an unchanged graph must sit far closer to the " +
+        "fixed point than a cold single step")
+    // grown graph: 2 warm steps vs 2 cold steps, judged against the
+    // grown graph's own 8-step reference
+    val g2 = (g1 ++ randEdges(60, 60)).distinct
+    val ref2 = ranksOf(Graph.pageRankFixedPoint(g2.toDF("src", "dst"), 8))
+    val warm2 = ranksOf(Graph.pageRankWarmStart(g2.toDF("src", "dst"), cold, 2))
+    val cold2 = ranksOf(Graph.pageRankFixedPoint(g2.toDF("src", "dst"), 2))
+    assert(dist(warm2, ref2) < dist(cold2, ref2),
+      s"warm ${dist(warm2, ref2)} should beat cold ${dist(cold2, ref2)}")
+  }
+
   test("bfsDepths: forest depths exact, loud failure on truncation") {
     import spark.implicits._
     // forest: 1 and 2 roots; chain 1<-10<-100<-1000, bush under 2
