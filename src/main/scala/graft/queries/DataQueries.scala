@@ -412,6 +412,48 @@ object DataQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED ANN — the vector-DB "metadata predicate" serving shape:
+    * the SAME trained IVF index as e02 (one index for the whole
+    * corpus), searched under a document-attribute predicate (lang =
+    * 'en') applied to the corpus side BEFORE the probe join — pre-
+    * filtering, the exact-recall strategy (post-filtering top-k then
+    * discarding loses recall; the oracle would catch that as a hash
+    * mismatch). At scale the predicate rides the documents dim through
+    * a key-joined semi join and the cell-partitioned serving layout
+    * prunes as usual. */
+  val e17FilteredAnn: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val en = Catalog(s, dir).documents
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    Similarity.ivfTopKTrained(emb.join(en, Seq("vec_id")),
+        emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5,
+        codebook = kmModel(s, dir).centroids, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e17Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |$kmCtes,
+      |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |asg AS (SELECT id, v, cell FROM (
+      |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
+      |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM e JOIN en ON e.id = en.doc_id CROSS JOIN cents c) WHERE rn = 1),
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |probes AS (SELECT query_id, qv, cell FROM (
+      |  SELECT q.query_id, q.qv, c.cell, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+      |sc AS (SELECT p.query_id, a.id,
+      |  round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+      |  FROM asg a JOIN probes p ON a.cell = p.cell AND a.id <> p.query_id),
+      |r AS (SELECT query_id, id, cosine, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Product-quantization codes (IVF-PQ's memory half): every vector
     * compressed to 4 codebook indices + reconstruction error, encoding
     * map-only against the TRAINED packed codebook ([[KMeans
@@ -2007,6 +2049,7 @@ object DataQueries {
     "e14_bq_rerank" -> e14BqRerank,
     "e15_ivf_sq_topk" -> e15IvfSqTopK,
     "e16_trunc_rerank" -> e16TruncRerank,
+    "e17_filtered_ann" -> e17FilteredAnn,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -2061,6 +2104,7 @@ object DataQueries {
     "e14_bq_rerank" -> e14Sql,
     "e15_ivf_sq_topk" -> e15Sql,
     "e16_trunc_rerank" -> e16Sql,
+    "e17_filtered_ann" -> e17Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

@@ -81,7 +81,9 @@ object ClusterSmoke {
     "q53_bloom_join",
     // BM25's idf aggregates from executor partials feeding broadcast
     // literals; the z-order curve region counts are pure bit arithmetic
-    "t19_bm25", "q54_zorder")
+    "t19_bm25", "q54_zorder",
+    // filtered ANN: attribute semi-join under the trained index
+    "e17_filtered_ann")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
