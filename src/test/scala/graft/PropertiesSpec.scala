@@ -19,6 +19,30 @@ class PropertiesSpec extends SparkSpec {
 
   private val rnd = new Random(42)
 
+  test("zValue: bijective on the bit grid — even/odd bit extraction inverts it") {
+    import org.apache.spark.sql.functions._
+    val bits = 8
+    val pairs = (1 to 300).map(_ =>
+      (rnd.nextInt(1 << bits).toLong, rnd.nextInt(1 << bits).toLong)).distinct
+    val out = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.GraftFunctions.zValue(col("x"), col("y"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def unzip(z: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      for (i <- 0 until bits) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    out.foreach { case (x, y, z) =>
+      assert(unzip(z) == ((x, y)), s"z=$z did not invert to ($x,$y)")
+      assert(z >= 0 && z < (1L << (2 * bits)))
+    }
+    assert(out.map(_._3).distinct.length == out.length, "z must be injective")
+  }
+
   test("haversine: symmetry, zero at identical points, km/mi radius ratio") {
     val rows = Seq.fill(500)((
       rnd.nextDouble() * 178 - 89, rnd.nextDouble() * 358 - 179,
