@@ -1055,8 +1055,43 @@ object ExtQueries {
       |)
       |SELECT node, root, depth FROM r ORDER BY node""".stripMargin
 
+  /** Daily gap fill / resampling ([[graft.operators.TimeSeries
+    * .gapFillDaily]]): every user's event stream densified to a
+    * per-day calendar over their own active span, absent days as rows
+    * with forward-filled values — the regularization pass feature
+    * tables need. Exact decimal day sums keep the relation
+    * hash-replayable; the oracle densifies with generate_series and
+    * the same IGNORE NULLS window. */
+  val q56GapFill: Q = (s, dir) =>
+    graft.operators.TimeSeries.gapFillDaily(
+        Catalog(s, dir).events, "ts", "user_id", "value")
+      .withColumnRenamed("key", "user_id")
+      .orderBy(col("user_id"), col("day"))
+
+  val q56Sql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+      |  FROM events),
+      |pd AS (SELECT user_id, day, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM ev GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |  FROM pd GROUP BY 1),
+      |grid AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS
+      |  TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+      |  AS day FROM span),
+      |j AS (SELECT g.user_id, g.day,
+      |  COALESCE(p.n_events, 0) AS n_events, p.day_value
+      |  FROM grid g LEFT JOIN pd p USING (user_id, day))
+      |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+      |  day_value,
+      |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS filled_value
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
+    "q56_gap_fill" -> q56GapFill,
     "q51_pagerank" -> q51PageRank,
     "q52_kmv_algebra" -> q52KmvAlgebra,
     "q53_bloom_join" -> q53BloomJoin,
@@ -1092,6 +1127,7 @@ object ExtQueries {
     "q53_bloom_join" -> q53Sql,
     "q54_zorder" -> q54Sql,
     "q55_hierarchy" -> q55Sql,
+    "q56_gap_fill" -> q56Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,

@@ -43,6 +43,31 @@ class PropertiesSpec extends SparkSpec {
     assert(out.map(_._3).distinct.length == out.length, "z must be injective")
   }
 
+  test("gapFillDaily: gaps become rows, forward fill carries the last value") {
+    import org.apache.spark.sql.functions._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")
+    val ev = Seq(
+      (7L, ts(1), 10.0), (7L, ts(1), 2.5), // day 1: two events
+      (7L, ts(4), 1.0),                    // days 2-3 are a gap
+      (8L, ts(2), 5.0)                     // single-day key: no gaps
+    ).toDF("user_id", "ts", "value")
+    val out = graft.operators.TimeSeries
+      .gapFillDaily(ev, "ts", "user_id", "value")
+      .orderBy("key", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (7L, "2024-03-01", 2L, Some(12.5), 12.5),
+      (7L, "2024-03-02", 0L, None, 12.5), // gap row, filled forward
+      (7L, "2024-03-03", 0L, None, 12.5),
+      (7L, "2024-03-04", 1L, Some(1.0), 1.0),
+      (8L, "2024-03-02", 1L, Some(5.0), 5.0)))
+    // densification is per-key span: no row outside [min, max] day
+    assert(out.count(_._1 == 8L) == 1)
+  }
+
   test("haversine: symmetry, zero at identical points, km/mi radius ratio") {
     val rows = Seq.fill(500)((
       rnd.nextDouble() * 178 - 89, rnd.nextDouble() * 358 - 179,
