@@ -83,7 +83,9 @@ object ClusterSmoke {
     // literals; the z-order curve region counts are pure bit arithmetic
     "t19_bm25", "q54_zorder",
     // filtered ANN: attribute semi-join under the trained index
-    "e17_filtered_ann")
+    "e17_filtered_ann",
+    // per-key densify + IGNORE NULLS forward-fill window
+    "q56_gap_fill")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
