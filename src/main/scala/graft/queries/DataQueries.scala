@@ -454,6 +454,70 @@ object DataQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** RECALL@5 of the trained IVF index against the exact brute-force
+    * baseline, per query — the index EVALUATING ITSELF as a checked
+    * query ("measure, don't guess" as part of the verified surface, not
+    * just a probe tool): both result sets are already deterministic
+    * hash-replayable pipelines (e01/e02), so their intersection size is
+    * too. At scale this is the recall regression gate a serving team
+    * runs after every retrain, and it costs one batch of each search
+    * plus a query-keyed join. */
+  val e18IvfRecall: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries,
+        "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("id"))
+    val ivf = Similarity.ivfTopKTrained(emb, queries,
+        "embedding", "vec_id", k = 5,
+        codebook = kmModel(s, dir).centroids, nProbe = 2)
+      .select(col("query_id"), col("id"))
+    bf.join(ivf, Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      // queries where the IVF list misses ALL true neighbors would drop
+      // out of the inner-shaped agg — restore them at 0 from the query
+      // batch so the report is total
+      .join(queries.select(col("vec_id").as("query_id")), Seq("query_id"),
+        "right_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 5.0, 6).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  lazy val e18Sql: String = {
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |$kmCtes,
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |bf AS (SELECT query_id, id FROM (
+      |  SELECT q.query_id, e.id, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.id)
+      |    AS rank
+      |  FROM e CROSS JOIN q WHERE e.id <> q.query_id)
+      |  WHERE rank <= 5),
+      |asg AS (SELECT id, v, cell FROM (
+      |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
+      |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |probes AS (SELECT query_id, qv, cell FROM (
+      |  SELECT q.query_id, q.qv, c.cell, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+      |ivf AS (SELECT query_id, id FROM (
+      |  SELECT p.query_id, a.id, row_number() OVER (PARTITION BY p.query_id
+      |    ORDER BY round(list_cosine_similarity(a.v, p.qv), 6) DESC, a.id) AS rank
+      |  FROM asg a JOIN probes p ON a.cell = p.cell AND a.id <> p.query_id)
+      |  WHERE rank <= 5),
+      |hits AS (SELECT bf.query_id, count(*) AS n_hits FROM bf
+      |  JOIN ivf ON bf.query_id = ivf.query_id AND bf.id = ivf.id
+      |  GROUP BY 1)
+      |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+      |FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+      |ORDER BY q.query_id""".stripMargin
+  }
+
   /** Product-quantization codes (IVF-PQ's memory half): every vector
     * compressed to 4 codebook indices + reconstruction error, encoding
     * map-only against the TRAINED packed codebook ([[KMeans
@@ -2050,6 +2114,7 @@ object DataQueries {
     "e15_ivf_sq_topk" -> e15IvfSqTopK,
     "e16_trunc_rerank" -> e16TruncRerank,
     "e17_filtered_ann" -> e17FilteredAnn,
+    "e18_ivf_recall" -> e18IvfRecall,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -2105,6 +2170,7 @@ object DataQueries {
     "e15_ivf_sq_topk" -> e15Sql,
     "e16_trunc_rerank" -> e16Sql,
     "e17_filtered_ann" -> e17Sql,
+    "e18_ivf_recall" -> e18Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

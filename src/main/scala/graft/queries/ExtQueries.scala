@@ -1089,9 +1089,58 @@ object ExtQueries {
       |    AS filled_value
       |FROM j ORDER BY user_id, day""".stripMargin
 
+  /** Ordered funnel analysis with a conversion window: per user,
+    * signup → first click WITHIN A DAY of the signup → first purchase
+    * within a day of that click; users counted at the deepest stage
+    * reached. Order + deadline are the point (a purchase before the
+    * signup, or a click a week later, does not convert) — per-type
+    * counts can't express either. Three conditional min-aggregations
+    * chained by two user-keyed joins, all exact timestamp
+    * comparisons. */
+  val q57Funnel: Q = (s, dir) => {
+    val ev = Catalog(s, dir).events
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("su_ts"))
+    val ck = ev.filter(col("event_type") === "click").as("c")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") >= col("su_ts") &&
+        col("ts") < col("su_ts") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min(col("ts")).as("ck_ts"))
+    val pu = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ck, Seq("user_id"))
+      .filter(col("ts") >= col("ck_ts") &&
+        col("ts") < col("ck_ts") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min(col("ts")).as("pu_ts"))
+    su.join(ck, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+      .select(when(col("pu_ts").isNotNull, 3)
+        .when(col("ck_ts").isNotNull, 2).otherwise(1).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  val q57Sql: String =
+    """WITH su AS (SELECT user_id, min(ts) AS su_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |ck AS (SELECT e.user_id, min(e.ts) AS ck_ts FROM events e
+      |  JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= su.su_ts
+      |    AND e.ts < su.su_ts + INTERVAL 1 DAY GROUP BY 1),
+      |pu AS (SELECT e.user_id, min(e.ts) AS pu_ts FROM events e
+      |  JOIN ck ON e.user_id = ck.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= ck.ck_ts
+      |    AND e.ts < ck.ck_ts + INTERVAL 1 DAY GROUP BY 1),
+      |st AS (SELECT su.user_id,
+      |  CASE WHEN pu.pu_ts IS NOT NULL THEN 3
+      |       WHEN ck.ck_ts IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |  FROM su LEFT JOIN ck ON su.user_id = ck.user_id
+      |  LEFT JOIN pu ON su.user_id = pu.user_id)
+      |SELECT stage, count(*) AS n_users FROM st
+      |GROUP BY 1 ORDER BY stage""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q56_gap_fill" -> q56GapFill,
+    "q57_funnel" -> q57Funnel,
     "q51_pagerank" -> q51PageRank,
     "q52_kmv_algebra" -> q52KmvAlgebra,
     "q53_bloom_join" -> q53BloomJoin,
@@ -1128,6 +1177,7 @@ object ExtQueries {
     "q54_zorder" -> q54Sql,
     "q55_hierarchy" -> q55Sql,
     "q56_gap_fill" -> q56Sql,
+    "q57_funnel" -> q57Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,
