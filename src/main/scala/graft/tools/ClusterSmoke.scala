@@ -85,7 +85,9 @@ object ClusterSmoke {
     // filtered ANN: attribute semi-join under the trained index
     "e17_filtered_ann",
     // per-key densify + IGNORE NULLS forward-fill window
-    "q56_gap_fill")
+    "q56_gap_fill",
+    // chained conditional aggs (funnel) and the bf-vs-ivf recall join
+    "q57_funnel", "e18_ivf_recall")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
