@@ -460,6 +460,23 @@ object EventStreams {
         (col("nc1") * col("nc2")).as("weight"))
   }
 
+  /** Stream-static enrichment — the third cell of the streaming join
+    * matrix (stream-stream inner and left-outer live above): an
+    * unbounded event stream joined to a warehouse DIMENSION path. The
+    * static side is passed as a PATH, not a DataFrame, and read fresh
+    * at query construction — under the repo's cron-tick operating model
+    * (one AvailableNow drain per tick) every drain therefore resolves
+    * the CURRENT dimension files: a dim rewritten between drains
+    * enriches subsequent batches with the new rows, the slowly-
+    * changing-dimension contract StreamingEnrichSpec pins. (Within one
+    * long-lived query, re-resolution of a static file side is an engine
+    * detail this operator does not promise.) Broadcast-sized dims make
+    * this a map-only stage per batch; no watermark or state involved. */
+  def enrichFromDim(spark: SparkSession, events: DataFrame, dimPath: String,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(spark.read.parquet(dimPath),
+      col(eventKey) === col(dimKey), "left_outer")
+
   /** Streaming count-min sketch maintenance: the d×w counter relation
     * ([[graft.operators.TextAnalysis.cmsSketch]]) kept as a warehouse
     * state table, folded per micro-batch by per-(r,bucket) ADDITION —
