@@ -1,7 +1,8 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Source catalog: resolves logical table names to parquet paths under a
   * scale-factor directory, mirroring the reference's external-table layer
@@ -10,23 +11,33 @@ import org.apache.spark.sql.functions._
   * equivalent: `spark.read.parquet` (schema inference + partition/glob
   * discovery handled by the datasource).
   *
+  * Every read passes through the per-table READ-SCHEMA CONTRACT
+  * ([[Catalog.conform]]): known-benign encoding drift (timestamp
+  * precision / NTZ-vs-TZ, integer widths, decimal widenings, float→
+  * double) is normalized to one canonical type so downstream plans are
+  * schema-stable across generator generations, and anything else fails
+  * LOUD with a per-column diff at first read instead of as a cryptic
+  * mid-query error (or, worse, a silently wrong value — the r9 incident
+  * was TIMESTAMP(NANOS)→timestamp[us] drift surfacing as three dead
+  * queries).
+  *
   * At 100 TB each logical table would be a partitioned directory tree;
   * `spark.read.parquet(root)` picks up partition columns automatically, so
-  * nothing here changes at scale — only the paths do.
+  * nothing here changes at scale — only the paths do. The contract check
+  * is a driver-side plan rewrite on the inferred schema: zero data cost.
   */
 final case class Catalog(spark: SparkSession, dir: String) {
   // Session prep happens at CONSTRUCTION, not inside a getter (VERDICT
   // r2 flagged the getter mutation as surprising): the events table
-  // carries parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-  // rejects outright (PARQUET_TYPE_ILLEGAL); the legacy conf reads the
-  // nanos as a raw long. Session-scoped SQLConf — there is no per-read
-  // option for it. Only `events` has nanos columns, so the flag is
-  // inert for every other table.
+  // has shipped parquet TIMESTAMP(NANOS), which Spark's vectorized
+  // reader rejects outright (PARQUET_TYPE_ILLEGAL); the legacy conf
+  // reads the nanos as a raw long (normalized to micros by the
+  // contract). Session-scoped SQLConf — there is no per-read option.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Memoized per (session, path): `spark.read.parquet` re-lists the
     * directory and re-reads footers for schema inference on EVERY call,
-    * a fixed metadata cost each of the ~68 driver queries pays 1-3
+    * a fixed metadata cost each of the ~116 driver queries pays 1-3
     * times. The cached DataFrame is an immutable lazy plan — reuse is
     * safe — and this is exactly the catalog-metadata cache a warehouse
     * engine keeps (the reference's external tables cache autodetected
@@ -41,7 +52,7 @@ final case class Catalog(spark: SparkSession, dir: String) {
       if (sess.sparkContext.isStopped) Catalog.cache.remove(k)
     }
     Catalog.cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+      Catalog.conform(spark.read.parquet(s"$dir/$name.parquet"), name))
   }
 
   def region: DataFrame     = table("region")
@@ -51,14 +62,7 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-
-  /** Events with `ts` normalized to a session-TZ microsecond
-    * TimestampType regardless of how the source parquet spells it —
-    * the driver's generator has shipped both TIMESTAMP(NANOS) (read as
-    * a raw long under the constructor conf) and plain timestamp[us]
-    * (read as TIMESTAMP_NTZ). Downstream queries see ONE type either
-    * way. */
-  def events: DataFrame = Catalog.normalizeEventTs(table("events"))
+  def events: DataFrame     = table("events")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
@@ -67,7 +71,209 @@ object Catalog {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Normalize an events relation's `ts` to microsecond TimestampType.
+  /** The canonical Spark-side type of every source column — what every
+    * downstream plan (and every oracle comparison) was written against.
+    * Timestamps that the generator stores as unadjusted timestamp[us]
+    * read as TIMESTAMP_NTZ and stay NTZ (the repo-wide UTC session
+    * contract makes TZ/NTZ value-identical; we keep the read type the
+    * queries were validated on). `events.ts` is the exception: it has
+    * shipped in two spellings, so its canonical type is session-TZ
+    * micros and BOTH spellings normalize to it. */
+  val contracts: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  /** Conform a freshly-read relation to its table contract. Exact match
+    * is a no-op (no extra projection in the plan). Known-benign drift is
+    * normalized column-by-column via [[normalizeColumn]]; anything else
+    * — a missing column, a lossy re-encoding (double→float, string
+    * where a number was), a semantic type change — throws ONE
+    * IllegalStateException carrying the full per-column diff. Extra
+    * columns pass through untouched (additive schema evolution is
+    * benign by definition). */
+  def conform(df: DataFrame, tableName: String): DataFrame =
+    contracts.get(tableName).map(conformTo(df, _, tableName)).getOrElse(df)
+
+  def conformTo(df: DataFrame, expected: StructType,
+                label: String): DataFrame = {
+    val actual = df.schema
+    val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var changed = false
+    val cols: Seq[Column] = expected.fields.toSeq.map { f =>
+      actual.fields.find(_.name == f.name) match {
+        case None =>
+          diffs += s"${f.name}: MISSING (expected ${f.dataType.sql})"
+          lit(null).as(f.name)
+        case Some(a) if a.dataType == f.dataType => col(f.name)
+        case Some(a) =>
+          normalizeColumn(col(f.name), a.dataType, f.dataType) match {
+            case Some(c) => changed = true; c.as(f.name)
+            case None =>
+              diffs += s"${f.name}: read as ${a.dataType.sql}, expected " +
+                s"${f.dataType.sql} — no value-preserving normalization"
+              col(f.name)
+          }
+      }
+    }
+    if (diffs.nonEmpty)
+      throw new IllegalStateException(
+        s"read-schema drift on table '$label' (${diffs.size} column(s)):\n  " +
+          diffs.mkString("\n  ") +
+          "\n(benign encodings — timestamp precision/NTZ, integer widths, " +
+          "decimal widenings, float→double — are normalized automatically; " +
+          "this drift changes values or semantics and needs a human)")
+    val extras = actual.fieldNames.toSeq
+      .filterNot(expected.fieldNames.contains).map(col)
+    if (!changed && extras.isEmpty &&
+        actual.fieldNames.sameElements(expected.fieldNames)) df
+    else df.select(cols ++ extras: _*)
+  }
+
+  /** A value-preserving normalization from `actual` to `canonical`, or
+    * None if no such cast exists. The benign set:
+    *  - LongType → any timestamp: the TIMESTAMP(NANOS)-as-raw-long read
+    *    under `nanosAsLong` — integral-divide to micros (`div` is
+    *    ANSI-safe, no double round-trip), truncating exactly like
+    *    DuckDB's nanos→micros conversion.
+    *  - TZ ↔ NTZ timestamp: bit-preserving under the repo-wide UTC
+    *    session contract.
+    *  - DateType → timestamp: midnight expansion (the reverse is lossy).
+    *  - Integer width changes: widening is exact; NARROWING casts run
+    *    under ANSI mode, so a genuinely out-of-range value fails loud at
+    *    scan time rather than wrapping.
+    *  - Decimal → decimal/integer widenings that preserve every digit
+    *    (more integer digits AND no scale loss); int → decimal with
+    *    capacity for the full width; float → double (exact embedding).
+    *  - Arrays: element-wise recursion (nested nanos-longs excluded —
+    *    a bare long element carries no timestamp annotation).
+    * Lossy directions (double→float, decimal scale truncation, string→
+    * anything, double→decimal) are deliberately ABSENT: those change
+    * values, so they must fail the contract, not slip through a cast. */
+  private[catalog] def normalizeColumn(c: Column, actual: DataType,
+                                       canonical: DataType): Option[Column] =
+    (actual, canonical) match {
+      case (LongType, TimestampType) =>
+        Some(timestamp_micros(expr(s"(${colName(c)}) div 1000")))
+      case (LongType, TimestampNTZType) =>
+        Some(timestamp_micros(expr(s"(${colName(c)}) div 1000"))
+          .cast(TimestampNTZType))
+      case (TimestampNTZType, TimestampType) => Some(c.cast(TimestampType))
+      case (TimestampType, TimestampNTZType) => Some(c.cast(TimestampNTZType))
+      case (DateType, TimestampType)    => Some(c.cast(TimestampType))
+      case (DateType, TimestampNTZType) => Some(c.cast(TimestampNTZType))
+      case (a, b) if isIntegral(a) && isIntegral(b) && a != b =>
+        // widening exact; narrowing ANSI-guarded (loud on overflow)
+        Some(c.cast(b))
+      case (a: DecimalType, b: DecimalType)
+          if b.scale >= a.scale &&
+            (b.precision - b.scale) >= (a.precision - a.scale) =>
+        Some(c.cast(b))
+      case (a, b: DecimalType)
+          if isIntegral(a) && (b.precision - b.scale) >= integralDigits(a) =>
+        Some(c.cast(b))
+      case (a: DecimalType, b) if isIntegral(b) && a.scale == 0 =>
+        // ANSI-guarded: fails loud if a value exceeds the integral range
+        Some(c.cast(b))
+      case (FloatType, DoubleType) => Some(c.cast(DoubleType))
+      case (ArrayType(ae, an), ArrayType(ce, _)) =>
+        if (ae == ce) Some(c) // container nullability drift only
+        else elementCast(ae, ce).map(_ => c.cast(ArrayType(ce, an)))
+      case _ => None
+    }
+
+  /** Element-level benign pairs usable through a container cast (no
+    * expression surgery inside arrays): numeric widenings only. */
+  private def elementCast(a: DataType, b: DataType): Option[Unit] =
+    (a, b) match {
+      case (x, y) if isIntegral(x) && isIntegral(y) && x != y => Some(())
+      case (FloatType, DoubleType)                            => Some(())
+      case (x, DoubleType) if isIntegral(x)                   => Some(())
+      case (x, FloatType) if isIntegral(x) && integralDigits(x) <= 7 =>
+        Some(())
+      case _ => None
+    }
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+
+  private def integralDigits(t: DataType): Int = t match {
+    case ByteType    => 3
+    case ShortType   => 5
+    case IntegerType => 10
+    case _           => 19
+  }
+
+  // Column.toString renders the unresolved attribute name, which is what
+  // expr() needs for the ANSI-safe integral `div`; guarded to plain
+  // column references (always true for conform's inputs).
+  private def colName(c: Column): String = c.toString
+
+  /** Normalize an events relation's `ts` to microsecond TimestampType —
+    * the single-column forerunner of [[conform]], kept for STREAMING
+    * sources (a file-source stream has a declared schema, so the full
+    * contract runs at declaration; this handles the ts spellings on the
+    * streaming DataFrame itself).
     *
     *  - LongType: the legacy TIMESTAMP(NANOS) file read raw under
     *    `nanosAsLong` — integral-divide to micros (`div` is ANSI-safe,
@@ -80,11 +286,10 @@ object Catalog {
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
 }

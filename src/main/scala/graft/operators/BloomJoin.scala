@@ -29,7 +29,11 @@ object BloomJoin {
     val posCols = (0 until kh).map { j =>
       pmod(md5Long(col(keyCol).cast(StringType), j), lit(m.toLong))
     }
-    val words = dim.select(explode(array(posCols: _*)).as("pos"))
+    // NULL dim keys never match in the plain equi-join this operator is
+    // result-identical to, so they contribute no bits (and md5Long(null)
+    // would otherwise yield a null word group that NPEs at collect).
+    val words = dim.filter(col(keyCol).isNotNull)
+      .select(explode(array(posCols: _*)).as("pos"))
       .select(expr("pos div 64").as("w"),
         call_function("shiftleft", lit(1L),
           (col("pos") % 64).cast("int")).as("bit"))

@@ -39,7 +39,7 @@ object Similarity {
     * NaN < Inf is FALSE, so the upper bound excludes NaN norms too.
     * Every oracle mirrors it with
     * list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE. */
-  private[operators] def nonDegenerate(v: Column): Column = {
+  def nonDegenerate(v: Column): Column = {
     val n2 = VectorExpressions.dot(v, v)
     n2 > 0 && n2 < Double.PositiveInfinity
   }

@@ -37,11 +37,29 @@ object EventStreams {
     * the schema from the files already present via one batch footer
     * read (a driver-side metadata op, not a data scan), falling back to
     * the legacy schema for an empty landing dir. Either way `ts` is
-    * normalized to session-TZ micros before any watermark sees it. */
+    * normalized to session-TZ micros before any watermark sees it.
+    *
+    * The sniff merges EVERY footer (mergeSchema): one declared schema is
+    * applied to the whole stream, so a landing dir that mixes generator
+    * generations (nanos files + micros files) cannot be read correctly —
+    * the merge conflict on `ts` (long vs timestamp) fails LOUD here at
+    * declaration time instead of misparsing the minority spelling by
+    * ~1000x mid-stream. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = scala.util.Try(spark.read.parquet(dir).schema)
-      .toOption.filter(_.fieldNames.contains("ts")).getOrElse(eventsRawSchema)
+    val schema = scala.util.Try(
+        spark.read.option("mergeSchema", "true").parquet(dir).schema) match {
+      case scala.util.Success(s) if s.fieldNames.contains("ts") => s
+      case scala.util.Failure(e) if e.getMessage != null &&
+          e.getMessage.toLowerCase.contains("merge") =>
+        throw new IllegalStateException(
+          s"events landing dir $dir mixes parquet ts encodings " +
+            "(legacy TIMESTAMP(NANOS) files alongside timestamp[us] " +
+            "files); a file-source stream declares ONE schema for all " +
+            "files, so a mixed dir cannot be read correctly — separate " +
+            "the generations into distinct landing dirs", e)
+      case _ => eventsRawSchema // empty landing dir: legacy fallback
+    }
     graft.catalog.Catalog.normalizeEventTs(
       spark.readStream
         .schema(schema)
@@ -518,6 +536,19 @@ object EventStreams {
       if (!exists) -1L
       else raw.agg(coalesce(max(col("last_batch")), lit(-1L)))
         .head.getLong(0)
+    // batchId == last is a genuine foreachBatch replay (restart before
+    // the checkpoint committed) — skip silently, the fold is already in.
+    // batchId < last means the CHECKPOINT was deleted/recreated while
+    // the state table survived: batch ids restarted at 0 and every fold
+    // would silently no-op forever. That is an operational error, not a
+    // replay — fail loud so the operator resets state and checkpoint
+    // together.
+    if (batchId < last)
+      throw new IllegalStateException(
+        s"CMS state at $statePath has last_batch=$last but the stream " +
+          s"delivered batchId=$batchId — the checkpoint was reset while " +
+          "the state table survived; delete (or move) BOTH together " +
+          "before restarting, or every batch is silently skipped")
     if (batchId > last) {
       val part = graft.operators.TextAnalysis
         .cmsSketch(batch, textCol, d, w)

@@ -45,4 +45,20 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept < 20000 / 2, s"prefilter kept $kept of 20000 — no reduction")
     assert(kept >= plain.select("fid").distinct().count())
   }
+
+  test("NULL keys on either side match the plain-join contract") {
+    // the plain equi-join drops null keys on both sides; the bloom
+    // build must not NPE on them and the reduced join must still be
+    // row-identical
+    val fact = Seq((1L, Some(7L)), (2L, None), (3L, Some(8L)))
+      .toDF("fid", "key")
+    val dim = Seq((Some(7L), "a"), (None, "b")).toDF("dk", "name")
+    val reduced = BloomJoin.bloomFilteredJoin(fact, dim, "key", "dk",
+        m = 1 << 10, kh = 3)
+      .select("fid", "key", "name")
+    val plain = fact.join(dim, col("key") === col("dk"))
+      .select("fid", "key", "name")
+    assert(reduced.except(plain).isEmpty && plain.except(reduced).isEmpty)
+    assert(reduced.count() == 1L)
+  }
 }

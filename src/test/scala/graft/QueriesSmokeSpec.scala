@@ -2,7 +2,7 @@ package graft
 
 /** Smoke over the full driver surface at sf0.001: every query plans and
   * returns rows (full value-level verification is the DuckDB oracle gate,
-  * driven by graft.Verify + tools/validate.py — see .claude/skills). */
+  * driven by graft.Verify). */
 class QueriesSmokeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"

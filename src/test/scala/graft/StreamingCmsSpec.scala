@@ -57,5 +57,13 @@ class StreamingCmsSpec extends SparkSpec {
     EventStreams.cmsFoldBatch(spark,
       Seq((2L, "alpha")).toDF("doc_id", "text"), 1L, "text", state, 4, 512)
     assert(sketchMap(spark.read.parquet(state)) != once)
+    // a batch id BELOW last_batch is not a replay — it means the
+    // checkpoint was reset while the state survived (ids restarted at
+    // 0), and every fold would silently no-op forever: fail loud instead
+    val e = intercept[IllegalStateException] {
+      EventStreams.cmsFoldBatch(spark,
+        Seq((3L, "beta")).toDF("doc_id", "text"), 0L, "text", state, 4, 512)
+    }
+    assert(e.getMessage.contains("checkpoint"))
   }
 }
