@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,12 +27,15 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("fp"),
       rollingHash(col(textCol)).as("rolling_fp"))
 
-  /** Corpus token statistics grouped by a label column. */
-  def tokenStats(df: DataFrame, textCol: String, byCol: String): DataFrame =
+  /** Corpus token statistics grouped by a label column. `countTokens`
+    * selects the token unit (default whitespace; plug
+    * [[bpeTokenCounter]] for fitted-subword budgets). */
+  def tokenStats(df: DataFrame, textCol: String, byCol: String,
+                 countTokens: Column => Column = tokenCount): DataFrame =
     df.groupBy(col(byCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(tokenCount(col(textCol)).cast(LongType)).as("total_tokens"),
+        sum(countTokens(col(textCol)).cast(LongType)).as("total_tokens"),
         sum(bpeTokenCount(col(textCol)).cast(LongType)).as("total_bpe_tokens"),
         min(length(col(textCol))).cast(LongType).as("min_chars"),
         max(length(col(textCol))).cast(LongType).as("max_chars"))
@@ -50,14 +53,15 @@ object TextAnalysis {
     * scale-killer and is deliberately not offered).
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    shardCol: String, cap: Int): DataFrame = {
+                    shardCol: String, cap: Int,
+                    countTokens: Column => Column = tokenCount): DataFrame = {
     // window ordering references the post-projection name ("doc_id"),
     // not idCol — the select below renames idCol away
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.select(col(idCol).as("doc_id"), col(shardCol),
-        tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+        countTokens(col(textCol)).cast(LongType).as("n_tokens"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col(shardCol), col("n_tokens"),
         expr(s"start_tok div $cap").as("seq_id"),
@@ -108,10 +112,11 @@ object TextAnalysis {
     * with corpus size — only with domain count.
     */
   def domainMixture(df: DataFrame, textCol: String, domainCol: String,
-                    alpha: Double): DataFrame = {
+                    alpha: Double,
+                    countTokens: Column => Column = tokenCount): DataFrame = {
     val perDomain = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col(textCol)).cast(LongType)).as("total_tokens"))
+        sum(countTokens(col(textCol)).cast(LongType)).as("total_tokens"))
     val smoothed = perDomain.withColumn("smoothed",
       pow(col("total_tokens").cast(DoubleType), alpha))
     // the smoothed total is a sum of DOUBLES — accumulate in decimal
@@ -867,5 +872,136 @@ object TextAnalysis {
       .agg(min(col("c")).as("n_est"))
       .select(col("tok"), col("n").as("n_exact"), col("n_est"),
         (col("n_est") - col("n")).as("err"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Subword (BPE) tokenization — the merge-table twin of the PQ-codebook
+  // pattern: FIT on a deterministic sample with every rank md5-tie-broken,
+  // then ENCODE map-only with the merge table baked into the expression
+  // tree as literals. Real pretraining pipelines count, pack, and gate in
+  // subword tokens (budgets differ 20-40% vs whitespace); this closes the
+  // t-surface's largest gap vs production.
+  //
+  // Symbol-sequence representation: a word's symbols joined by single
+  // spaces with one leading + one trailing space (" l o w "), so applying
+  // merge (a,b) is literal-replace " a b " -> " ab " — non-overlapping
+  // left-to-right in Java, Spark SQL, and DuckDB alike, which IS the BPE
+  // merge convention. Both fit and encode apply each merge once, in rank
+  // order, replace-all (ordered single-pass application — the fit's own
+  // vocabulary states are reproduced exactly; the rare case where a later
+  // merge re-creates an earlier merge's pair is deliberately NOT re-merged,
+  // identically in both engines, so the contract stays hash-checkable).
+  // ---------------------------------------------------------------------
+
+  /** Fit `nMerges` BPE merges on the deterministic md5 1/`sampleMod`
+    * document sample (the t11 LM-sample contract): whitespace-pretokenize
+    * lowercased text, take the top-`vocabWords` words by (count DESC,
+    * md5(word), word) — a BOUNDED collect, the same small-by-contract
+    * driver literal as an LM vocab head — then iterate pair-count /
+    * pick-best / apply on the driver (vocabWords × nMerges scalar work;
+    * the corpus is never touched again). Pair ranks are deterministic:
+    * weighted count DESC, then md5 of the "a b" pair key, then the key
+    * itself — no engine-dependent hash-map iteration order leaks in. */
+  def fitBpe(docs: DataFrame, textCol: String, idCol: String,
+             vocabWords: Int = 2000, nMerges: Int = 16,
+             sampleMod: Int = 20): Seq[(String, String)] = {
+    val sample = docs.filter(
+      pmod(md5Long(col(idCol).cast(StringType)), lit(sampleMod.toLong)) === 0L)
+    val words = sample
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, md5(col("w")), col("w"))
+      .limit(vocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    fitBpeDriver(words, nMerges)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The driver-side fit loop over a bounded weighted word list. Exposed
+    * for the spec's hand-checked examples. */
+  private[graft] def fitBpeDriver(words: Seq[(String, Long)],
+                                  nMerges: Int): Seq[(String, String)] = {
+    def spaced(w: String): String =
+      " " + w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).mkString(" ") + " "
+    var vocab = words.map { case (w, f) => (spaced(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, f) =>
+        val syms = s.trim.split(" ")
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          j += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"BPE fit exhausted adjacent pairs after ${merges.size} merges — " +
+          s"the sample vocabulary is too small for nMerges=$nMerges")
+      val best = counts.toSeq.minBy { case ((a, b), n) =>
+        (-n, md5Hex(a + " " + b), a + " " + b)
+      }._1
+      merges += best
+      val pat = " " + best._1 + " " + best._2 + " "
+      val rep = " " + best._1 + best._2 + " "
+      vocab = vocab.map { case (s, f) => (s.replace(pat, rep), f) }
+    }
+    merges.toSeq
+  }
+
+  /** Encode ONE word column to its space-joined BPE symbol string: seed
+    * " c h a r s " via one regexp_replace, then the literal merge chain
+    * in rank order — `nMerges` codegen'd replace() calls, map-only, no
+    * shuffle, no UDF. */
+  def bpeSymbols(word: Column, merges: Seq[(String, String)]): Column = {
+    val seeded = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+    merges.foldLeft(seeded) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s" $a $b "), lit(s" $a$b "))
+    }
+  }
+
+  /** BPE symbol count of one word. */
+  def bpeSymbolCount(word: Column, merges: Seq[(String, String)]): Column =
+    size(split(trim(bpeSymbols(word, merges)), " ")).cast(LongType)
+
+  /** Per-document count of REAL subword tokens under a fitted merge
+    * table, as a tokenizer pluggable into [[tokenStats]] /
+    * [[packSequences]] / [[domainMixture]]: whitespace-pretokenize
+    * lowercased text, sum each word's symbol count. Array-fold form (no
+    * explode), so it drops into any per-doc projection. */
+  def bpeTokenCounter(merges: Seq[(String, String)]): Column => Column =
+    text => coalesce(
+      aggregate(
+        transform(tokens(lower(text)), w => bpeSymbolCount(w, merges)),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
+
+  /** Per-document BPE accounting report (t20): whitespace vs subword
+    * token counts and their ratio — the number that moves token budgets
+    * 20-40% when a pipeline switches units. Explode + doc-keyed sum
+    * (the t11 shape: repartition upstream by the id column and the agg
+    * combines map-side); the merge chain itself is literal, so the scan
+    * stays one codegen'd map stage. */
+  def bpeStats(docs: DataFrame, textCol: String, idCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(tokens(lower(col(textCol)))).cast(LongType).as("n_ws_tokens"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .select(col("doc_id"), bpeSymbolCount(col("w"), merges).as("n"))
+      .groupBy("doc_id").agg(sum(col("n")).as("n_bpe"))
+    base.join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_ws_tokens"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe_tokens"),
+        when(col("n_ws_tokens") > 0,
+          round(coalesce(col("n_bpe"), lit(0L)).cast(DoubleType) /
+            col("n_ws_tokens"), 6))
+          .otherwise(lit(0.0)).as("bpe_per_ws"))
   }
 }

@@ -464,7 +464,13 @@ object DataQueries {
     * plus a query-keyed join. */
   val e18IvfRecall: Q = (s, dir) => {
     val emb = Catalog(s, dir).embeddings
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    // The restore side must carry the SAME degenerate-vector exclusion
+    // both searches (and the oracle's q CTE) apply, or a degenerate id
+    // in the query sample would surface as an extra n_hits=0 row the
+    // oracle lacks.
+    val queries = emb.filter(col("vec_id") % 100 === 0 &&
+      Similarity.nonDegenerate(
+        graft.functions.GraftFunctions.toDoubleArray(col("embedding"))))
     val bf = Similarity.bruteForceTopK(emb, queries,
         "embedding", "vec_id", k = 5)
       .select(col("query_id"), col("id"))
@@ -1549,6 +1555,77 @@ object DataQueries {
        |SELECT doc_id, round(su / 1e9, 6) AS score FROM agg
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
+  private val bpeVocab  = 2000
+  private val bpeMerges = 16
+
+  /** Subword (BPE) tokenization report ([[TextAnalysis.fitBpe]] /
+    * [[TextAnalysis.bpeStats]]): fit 16 merges on the deterministic 5%
+    * md5 document sample (the t11 sample contract), then count each
+    * document in REAL subword units alongside whitespace units — the
+    * accounting that moves token budgets 20-40% when a pipeline switches
+    * to BPE. The merge table rides the encode as expression literals
+    * (the PQ-codebook pattern), so the corpus pass is map-only; the
+    * oracle replays the ENTIRE fit (pair-count → md5-tie-broken argmax →
+    * replace-all apply, 16 materialized stages) and the encode chain —
+    * any divergence in any rank at any step is a hash mismatch. */
+  val t20BpeTokenize: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val merges = TextAnalysis.fitBpe(docs, "text", "doc_id",
+      vocabWords = bpeVocab, nMerges = bpeMerges)
+    TextAnalysis.bpeStats(docs.repartition(col("doc_id")),
+        "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t20Sql: String = {
+    val fit = (1 to bpeMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT s1, s2, SUM(f) AS n FROM (
+         |  SELECT syms[j] AS s1, syms[j+1] AS s2, f FROM (
+         |    SELECT syms, f, unnest(generate_series(1, len(syms)-1)) AS j
+         |    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '')
+         |      AS syms, f FROM v${i - 1})))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT s1, s2 FROM p$i
+         |  ORDER BY n DESC, md5(s1 || ' ' || s2), s1 || ' ' || s2 LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT w, f,
+         |  replace(s, ' ' || b.s1 || ' ' || b.s2 || ' ',
+         |    ' ' || b.s1 || b.s2 || ' ') AS s FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val enc = (1 to bpeMerges).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT doc_id,
+         |  replace(s, ' ' || b.s1 || ' ' || b.s2 || ' ',
+         |    ' ' || b.s1 || b.s2 || ' ') AS s FROM e${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH smp AS MATERIALIZED (SELECT lower(text) AS text FROM documents
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
+       |wrd AS MATERIALIZED (SELECT unnest(list_filter(
+       |  string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM smp),
+       |vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM wrd GROUP BY 1 ORDER BY f DESC, md5(w), w LIMIT $bpeVocab),
+       |v0 AS MATERIALIZED (SELECT w, f,
+       |  ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM vocab),
+       |$fit,
+       |dt AS MATERIALIZED (SELECT doc_id, list_filter(
+       |  string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |bse AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens
+       |  FROM dt),
+       |e0 AS MATERIALIZED (SELECT doc_id,
+       |  ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM dt)),
+       |$enc,
+       |pw AS (SELECT doc_id, CAST(len(list_filter(string_split(s, ' '),
+       |  x -> x <> '')) AS BIGINT) AS n FROM e$bpeMerges),
+       |ag AS (SELECT doc_id, SUM(n) AS n_bpe FROM pw GROUP BY 1)
+       |SELECT b.doc_id, b.n_ws_tokens,
+       |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN b.n_ws_tokens > 0
+       |    THEN round(CAST(COALESCE(a.n_bpe, 0) AS DOUBLE) / b.n_ws_tokens, 6)
+       |    ELSE 0.0 END AS bpe_per_ws
+       |FROM bse b LEFT JOIN ag a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** Sequence packing: concat-and-chunk (seq_id, seq_offset) assignment
     * from running token totals, per language shard, cap 512 — see
     * [[TextAnalysis.packSequences]] for the at-scale shape. */
@@ -2091,6 +2168,7 @@ object DataQueries {
     "t05_token_topk" -> t05TokenTopK,
     "t18_cms_topk" -> t18CmsTopK,
     "t19_bm25" -> t19Bm25,
+    "t20_bpe_tokenize" -> t20BpeTokenize,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
@@ -2147,6 +2225,7 @@ object DataQueries {
     "t05_token_topk" -> t05Sql,
     "t18_cms_topk" -> t18Sql,
     "t19_bm25" -> t19Sql,
+    "t20_bpe_tokenize" -> t20Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
     "d04_dedup_ngram_jaccard" -> d04Sql,
