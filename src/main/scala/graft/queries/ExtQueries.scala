@@ -1137,10 +1137,58 @@ object ExtQueries {
       |SELECT stage, count(*) AS n_users FROM st
       |GROUP BY 1 ORDER BY stage""".stripMargin
 
+  /** Generalized sequence-pattern matching
+    * ([[graft.operators.SequenceMatch]]): q57's hand-written funnel as
+    * ONE declarative stage list — here a 4-stage pattern (signup → view
+    * within 2 days → click within 1 day → purchase of value ≥ 10 within
+    * 1 day) with a non-type predicate on the last stage, reported
+    * per-user with every stage timestamp. The operator compiles any N
+    * stages to the chained conditional-min-aggregation plan q57
+    * validated; a spec pins the 3-stage instance row-identical to
+    * q57. */
+  val q58SeqPattern: Q = (s, dir) => {
+    import graft.operators.SequenceMatch.{funnel, Stage}
+    funnel(Catalog(s, dir).events, "user_id", "ts", Seq(
+        Stage("signup", col("event_type") === "signup"),
+        Stage("view", col("event_type") === "view", Some("2 DAY")),
+        Stage("click", col("event_type") === "click", Some("1 DAY")),
+        Stage("purchase",
+          col("event_type") === "purchase" && col("value") >= 10,
+          Some("1 DAY"))))
+      .orderBy(col("user_id"))
+  }
+
+  val q58Sql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS view_ts FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts >= s1.signup_ts
+      |    AND e.ts < s1.signup_ts + INTERVAL 2 DAY GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= s2.view_ts
+      |    AND e.ts < s2.view_ts + INTERVAL 1 DAY GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+      |  JOIN s3 ON e.user_id = s3.user_id
+      |  WHERE e.event_type = 'purchase' AND e.value >= 10
+      |    AND e.ts >= s3.click_ts
+      |    AND e.ts < s3.click_ts + INTERVAL 1 DAY GROUP BY 1)
+      |SELECT s1.user_id, s1.signup_ts, s2.view_ts, s3.click_ts,
+      |  s4.purchase_ts,
+      |  CASE WHEN s4.purchase_ts IS NOT NULL THEN 4
+      |       WHEN s3.click_ts IS NOT NULL THEN 3
+      |       WHEN s2.view_ts IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |LEFT JOIN s4 ON s1.user_id = s4.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
+    "q58_seq_pattern" -> q58SeqPattern,
     "q51_pagerank" -> q51PageRank,
     "q52_kmv_algebra" -> q52KmvAlgebra,
     "q53_bloom_join" -> q53BloomJoin,
@@ -1178,6 +1226,7 @@ object ExtQueries {
     "q55_hierarchy" -> q55Sql,
     "q56_gap_fill" -> q56Sql,
     "q57_funnel" -> q57Sql,
+    "q58_seq_pattern" -> q58Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,
