@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *                           identity pass-through when unconfigured)
   *   DOCS_DEDUPED    (table) exact-dup keeper drop over the scored set
   *   DOCS_CLEAN      (table) decontaminated (benchmark 5-shingle overlap)
+  *   DOCS_HOST_GATED (table) host-authority prior: PageRank over the
+  *                           content-syndication host graph drops docs
+  *                           from measured-low-authority hosts (identity
+  *                           pass-through when unconfigured)
   *   MIXTURE_SAMPLED (table) t10 α-tempered per-source budgets applied
   *                           by t15's deterministic stratified sample —
   *                           the actual pretraining export cut (identity
@@ -124,12 +128,24 @@ object CurationModels {
     * cannot tell a shuffled document from a fluent one; the bigram
     * can — CurationPipelineSpec pins exactly that case). Ignored when
     * `perplexityGate` is None. */
+  /** `hostPrior`: host-authority gate between decontamination and the
+    * mixture cut — rank the host content-syndication graph
+    * ([[graft.operators.Graph.hostSyndicationRank]], the d17 operator)
+    * and drop documents whose host IS in the syndication network but
+    * ranks at-or-below the uniform share (structurally peripheral
+    * syndicators — the scraped-content tail). Hosts with no syndication
+    * evidence pass untouched: absence of a link signal is not negative
+    * evidence in a curation gate (d17's standalone report marks those
+    * keep=false because it REPORTS authority; the gate consumes it as a
+    * filter, where only measured low authority should drop data).
+    * False = stage passes through unchanged. */
   def registry(spark: SparkSession, documents: DataFrame,
                benchmark: DataFrame,
                incrementalFilter: Boolean = false,
                exportBudget: Option[Long] = None,
                perplexityGate: Option[Double] = None,
-               bigramGate: Boolean = false): Registry = {
+               bigramGate: Boolean = false,
+               hostPrior: Boolean = false): Registry = {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
@@ -194,15 +210,32 @@ object CurationModels {
       d.join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
     })
 
-    r.register(Model("MIXTURE_SAMPLED", "3_MART___CURATION",
+    r.register(Model("DOCS_HOST_GATED", "3_MART___CURATION",
         Seq("DOCS_CLEAN"), Table) { deps =>
+      val d = deps("DOCS_CLEAN")
+      if (!hostPrior) d
+      else {
+        val ranks = graft.operators.Graph
+          .hostSyndicationRank(d, "text", "source")
+        val nn = ranks.agg(count(lit(1)).as("n"))
+        // measured-low-authority hosts: in the graph, at/below uniform
+        // share (exact integer compare — the d17 gate's complement)
+        val lowAuth = ranks.crossJoin(broadcast(nn))
+          .filter(col("rank") * col("n") <= lit(1000000000000L))
+          .select(col("host").as("source"))
+        d.join(broadcast(lowAuth), Seq("source"), "left_anti")
+      }
+    })
+
+    r.register(Model("MIXTURE_SAMPLED", "3_MART___CURATION",
+        Seq("DOCS_HOST_GATED"), Table) { deps =>
       // the pretraining export cut (VERDICT r6 next-#7): t10 computes
       // α-tempered mixture weights over the gated corpus, t15's
       // deterministic md5-rank sample applies the derived per-source
       // budgets — so what ships downstream is the MIXTURE, not the raw
       // gated crawl. Budget floor 1: a source that survived the gates
       // is never silently zeroed by rounding.
-      val d = deps("DOCS_CLEAN")
+      val d = deps("DOCS_HOST_GATED")
       exportBudget match {
         case None => d
         case Some(b) =>

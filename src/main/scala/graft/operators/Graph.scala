@@ -173,4 +173,54 @@ object Graph {
       s"frontier not empty after $maxDepth levels — raise maxDepth")
     acc
   }
+
+  /** Host-authority prior from CONTENT SYNDICATION — the curation-gate
+    * consumer PageRank was built for: with no crawl link graph in the
+    * corpus, hosts that share near-identical content (≥ `minShared`
+    * distinct word `n`-shingles) are linked, and fixed-point PageRank
+    * over that graph ranks hosts by how central they are in the
+    * syndication network (mirror farms and scraped-content hubs score
+    * structurally, not by volume). Output: (host, rank) for every host
+    * with at least one syndication edge — callers join it back to
+    * documents as a gate or weight (d17 / CurationModels).
+    *
+    * Scale shape: the shingle pass is d09's map stage; the host-pair
+    * build is one shingle-keyed self-join whose fan-out is bounded by
+    * `maxHostsPerShingle` — a ubiquitous boilerplate shingle would
+    * otherwise contribute |hosts|² pairs, so shingles on more hosts than
+    * the cap are dropped BEFORE the self-join (the standard df-cap; at
+    * the default 50 the worst shingle costs 2 500 pairs, and the
+    * testdata's ≤ tens of hosts never hits it). The rank loop is
+    * [[pageRankFixedPoint]]'s one-shuffle-per-step shape on a
+    * hosts-sized graph. */
+  def hostSyndicationRank(docs: DataFrame, textCol: String,
+                          hostCol: String, n: Int = 5, minShared: Int = 3,
+                          maxHostsPerShingle: Int = 50,
+                          iterations: Int = 6): DataFrame = {
+    val hostSh = docs
+      .select(col(hostCol).as("host"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+    val capped = hostSh.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxHostsPerShingle)
+      .select("g")
+    val pruned = hostSh.join(capped, Seq("g"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.g") === col("b.g") && col("a.host") =!= col("b.host"))
+      .groupBy(col("a.host").as("ha"), col("b.host").as("hb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // pairs holds both orders already (a<>b join), so the edge relation
+    // is symmetric — the same contract q51's trade graph satisfies
+    val edges = pairs.select(
+      graft.functions.GraftFunctions.md5Long(col("ha")).as("src"),
+      graft.functions.GraftFunctions.md5Long(col("hb")).as("dst"))
+    val ranks = pageRankFixedPoint(edges, iterations)
+    docs.select(col(hostCol).as("host")).distinct()
+      .withColumn("node", graft.functions.GraftFunctions.md5Long(col("host")))
+      .join(ranks, Seq("node"))
+      .select(col("host"), col("rank"))
+  }
 }

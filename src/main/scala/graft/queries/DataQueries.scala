@@ -1689,6 +1689,59 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Host-authority curation prior ([[graft.operators.Graph
+    * .hostSyndicationRank]] joined back onto documents): hosts sharing
+    * ≥3 distinct 5-shingles are linked, fixed-point PageRank ranks the
+    * syndication graph, and every document carries its host's rank in
+    * 1e-12 units plus the above-uniform-share gate rank·N > scale — an
+    * exact integer compare, so the gate is hash-stable. Hosts outside
+    * the syndication graph rank 0 and fail the gate (no authority
+    * evidence). The oracle replays the shingle graph build AND all six
+    * rank steps (the q51 CTE block). */
+  val d17HostRankGate: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val ranks = graft.operators.Graph.hostSyndicationRank(
+      docs.repartition(col("doc_id")), "text", "source")
+    val nn = ranks.agg(count(lit(1)).as("n"))
+    docs.join(broadcast(ranks), docs("source") === ranks("host"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("rank"), lit(0L)).as("host_rank"),
+        (coalesce(col("rank"), lit(0L)) * col("n") >
+          lit(1000000000000L)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val d17Sql: String =
+    s"""WITH $toksCte,
+       |tsrc AS (SELECT t.doc_id, d.source, t.toks FROM toks t
+       |  JOIN documents d ON t.doc_id = d.doc_id),
+       |shs AS (SELECT source, CASE WHEN len(toks) >= 5
+       |  THEN list_distinct(list_transform(range(1, len(toks)-3),
+       |       i -> array_to_string(toks[i:i+4], ' ')))
+       |  ELSE [] END AS sh FROM tsrc),
+       |hg AS (SELECT DISTINCT source, unnest(sh) AS g FROM shs),
+       |cap AS (SELECT g FROM hg GROUP BY g HAVING count(*) <= 50),
+       |hgp AS MATERIALIZED (SELECT hg.source, hg.g FROM hg
+       |  JOIN cap USING (g)),
+       |prs AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ns
+       |  FROM hgp a JOIN hgp b ON a.g = b.g AND a.source <> b.source
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (SELECT ${h60("sa")} AS src,
+       |  ${h60("sb")} AS dst FROM prs WHERE ns >= 3),
+       |${graft.queries.ExtQueries.pageRankOracleCtes(6)},
+       |hosts AS (SELECT DISTINCT source, ${h60("source")} AS node
+       |  FROM documents),
+       |hr AS (SELECT h.source, r.rank FROM hosts h
+       |  JOIN r6 r ON h.node = r.node),
+       |nn AS (SELECT count(*) AS n FROM hr)
+       |SELECT d.doc_id, d.source,
+       |  CAST(COALESCE(hr.rank, 0) AS BIGINT) AS host_rank,
+       |  (COALESCE(hr.rank, 0) * (SELECT n FROM nn) > 1000000000000)
+       |    AS keep
+       |FROM documents d LEFT JOIN hr ON d.source = hr.source
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Containment decontamination (directional leakage): per
     * (train doc, benchmark doc) pair, the fraction of the BENCHMARK
     * doc's 4-token shingles found in the training doc — flags an eval
@@ -2160,6 +2213,7 @@ object DataQueries {
     "t11_lm_score" -> t11LmScore,
     "d09_decontaminate" -> d09Decontaminate,
     "d16_decontam_shuffle" -> d16DecontamShuffle,
+    "d17_host_rank_gate" -> d17HostRankGate,
     "d10_containment" -> d10ContainmentPairs,
     "t06_seq_pack" -> t06SeqPack,
     "t07_quality_yield" -> t07QualityYield,
@@ -2217,6 +2271,7 @@ object DataQueries {
     "t11_lm_score" -> t11Sql,
     "d09_decontaminate" -> d09Sql,
     "d16_decontam_shuffle" -> d09Sql, // same result contract, shuffle plan
+    "d17_host_rank_gate" -> d17Sql,
     "d10_containment" -> d10Sql,
     "t06_seq_pack" -> t06Sql,
     "t07_quality_yield" -> t07Sql,

@@ -893,12 +893,17 @@ object ExtQueries {
       .orderBy(col("node"))
   }
 
-  lazy val q51Sql: String = {
-    // one unrolled power step: r{i} -> r{i+1}. Every r$i is MATERIALIZED:
-    // each step references its predecessor three times (contrib, dangling
-    // mass, and the outer join), so CTE inlining would expand the chain
-    // 3^steps-fold and never finish; materialization keeps the oracle the
-    // same linear 6-step computation the Spark side runs.
+  /** The shared DuckDB replay of [[graft.operators.Graph
+    * .pageRankFixedPoint]]: `steps` unrolled power steps from an
+    * `edges` CTE the caller defines (SYMMETRIC — the node set is read
+    * off src alone, the contract q51's trade graph and d17's
+    * syndication graph both satisfy). Ranks land in r`steps`. Every
+    * r$i is MATERIALIZED: each step references its predecessor three
+    * times (contrib, dangling mass, and the outer join), so CTE
+    * inlining would expand the chain 3^steps-fold and never finish;
+    * materialization keeps the oracle the same linear computation the
+    * Spark side runs. */
+  private[queries] def pageRankOracleCtes(steps: Int): String = {
     def step(i: Int): String =
       s"""contrib$i AS MATERIALIZED (
          |  SELECT e.dst, ((r.rank * 85) // 100) // r.outdeg AS c
@@ -911,12 +916,7 @@ object ExtQueries {
          |    (SELECT t FROM tele) + COALESCE(i.s, 0)
          |      + (SELECT dm FROM dang$i) // (SELECT n FROM np) AS rank
          |  FROM r$i r LEFT JOIN inf$i i ON i.dst = r.node)""".stripMargin
-    s"""WITH trade AS (SELECT DISTINCT o_custkey * 2 AS src,
-       |    l_suppkey * 2 + 1 AS dst
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS MATERIALIZED (SELECT src, dst FROM trade
-       |  UNION ALL SELECT dst, src FROM trade),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+    s"""nodes AS (SELECT DISTINCT src AS node FROM edges),
        |np AS (SELECT count(*) AS n FROM nodes),
        |deg AS (SELECT n.node, COALESCE(d.c, 0) AS outdeg FROM nodes n
        |  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) d
@@ -925,9 +925,17 @@ object ExtQueries {
        |  AS t),
        |r0 AS MATERIALIZED (SELECT node, outdeg,
        |  1000000000000 // (SELECT n FROM np) AS rank FROM deg),
-       |${(0 until 6).map(step).mkString(",\n")}
-       |SELECT node, rank FROM r6 ORDER BY node""".stripMargin
+       |${(0 until steps).map(step).mkString(",\n")}""".stripMargin
   }
+
+  lazy val q51Sql: String =
+    s"""WITH trade AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT src, dst FROM trade
+       |  UNION ALL SELECT dst, src FROM trade),
+       |${pageRankOracleCtes(6)}
+       |SELECT node, rank FROM r6 ORDER BY node""".stripMargin
 
   /** KMV sketch set algebra ([[graft.operators.SketchOps
     * .kmvPairAlgebra]]): per-event-type distinct-user estimates plus

@@ -258,4 +258,55 @@ class CurationPipelineSpec extends SparkSpec {
     assert(scored.contains(0L) && scored.contains(2L),
       "fluent docs kept")
   }
+
+  test("host prior gate: peripheral syndicators dropped, the hub and " +
+      "non-syndicated hosts kept") {
+    // star syndication graph: host "hub" shares a distinct near-dup
+    // passage with each of 4 leaf hosts (one trailing token differs, so
+    // exact dedup keeps both copies but 10 five-shingles stay shared >=
+    // the 3-edge threshold). PageRank: the hub ranks ~0.37 of the mass,
+    // each leaf ~0.16 < the 0.2 uniform share -> leaves are measured
+    // low authority and their docs (including their unique ones) drop;
+    // "indep" has no syndication evidence and passes untouched.
+    def passage(i: Int): String =
+      Seq("the", s"p${i}a", "of", s"p${i}b", "and", s"p${i}c", "to",
+        s"p${i}d", "in", s"p${i}e", "is", s"p${i}f", "it",
+        s"p${i}g").mkString(" ")
+    val docs = (
+      (1 to 4).map(i => (400L + i, passage(i), "en", "hub")) ++
+      (1 to 4).map(i => (500L + i, passage(i) + s" tail${i}x", "en",
+        s"leaf$i")) ++
+      Seq((410L, docText(410), "en", "hub"),
+        (510L, docText(510), "en", "leaf1"),
+        (600L, docText(600), "en", "indep"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((9001L, "benchmark only text nothing shared here"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-curation-host").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    CurationModels.registry(spark, docs, bench, hostPrior = true)
+      .run(cfg, Seq("DOCS_HOST_GATED"))
+    val gated = spark.read
+      .parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_HOST_GATED")
+      .select("doc_id").as[Long].collect().toSet
+    assert((401L to 404L).forall(gated.contains) && gated.contains(410L),
+      s"hub docs kept: $gated")
+    assert(gated.contains(600L), "non-syndicated host untouched")
+    assert((501L to 504L).forall(id => !gated.contains(id)) &&
+      !gated.contains(510L),
+      s"low-authority leaf hosts dropped entirely: $gated")
+
+    // unconfigured: identity pass-through of DOCS_CLEAN
+    val tmp2 = Files.createTempDirectory("graft-curation-host2").toString
+    val cfg2 = RunConfig(env = Dev, warehouseRoot = tmp2)
+    CurationModels.registry(spark, docs, bench)
+      .run(cfg2, Seq("DOCS_HOST_GATED"))
+    val clean = spark.read
+      .parquet(s"$tmp2/DEV/3_MART___CURATION/DOCS_CLEAN")
+      .select("doc_id").as[Long].collect().toSet
+    val passthrough = spark.read
+      .parquet(s"$tmp2/DEV/3_MART___CURATION/DOCS_HOST_GATED")
+      .select("doc_id").as[Long].collect().toSet
+    assert(passthrough == clean)
+  }
 }
