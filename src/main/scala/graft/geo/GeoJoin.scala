@@ -125,6 +125,20 @@ object GeoJoin {
     * (y2>py)` leg is false, and IEEE inf/NaN from the slope division
     * compare false — identically in every engine, so no divide guard.
     *
+    * DENSE-CELL SKEW (VERDICT r10 next-#6, same recipe as
+    * [[radiusPairs]]): when many polygon bboxes cover one cell AND the
+    * point mass concentrates there (the downtown-density shape), one
+    * task does |points_cell|·|polys_cell| ray casts while the cluster
+    * idles. `saltBuckets > 0` routes the cell equi-join through
+    * [[graft.operators.SkewJoin.saltedInnerJoin]] — hot cells detected
+    * from a point-side sample, their point rows salted into n buckets,
+    * their polygon rows replicated ×n — per-task work drops to
+    * ~|cell|·|polys|/n, output row-identical to the plain path (GeoSpec
+    * pins it; a candidate still arises at most once, so salting cannot
+    * duplicate). Same AQE-FIRST policy: leave 0 and let AQE split
+    * skewed partitions where it can; salt in AQE-less plans or when the
+    * mitigation must be engine-independent.
+    *
     * @param polys polyIdCol + vertsCol: array<struct<lat:double,
     *              lng:double>> — CLOSED implicitly (last vertex joins
     *              the first); no self-intersection requirement (even-
@@ -133,7 +147,8 @@ object GeoJoin {
   def gridPolygonJoin(points: DataFrame, idCol: String, latCol: String,
                       lngCol: String, polys: DataFrame, polyIdCol: String,
                       vertsCol: String,
-                      latStepDeg: Double, lngStepDeg: Double): DataFrame = {
+                      latStepDeg: Double, lngStepDeg: Double,
+                      saltBuckets: Int = 0): DataFrame = {
     val p = points.select(col(idCol).as("pid"),
       col(latCol).cast(DoubleType).as("plat"),
       col(lngCol).cast(DoubleType).as("plng"))
@@ -159,7 +174,19 @@ object GeoJoin {
         |      * (plat - verts[i].lat)
         |      / (verts[CAST((i+1) % size(verts) AS INT)].lat - verts[i].lat)
         |      + verts[i].lng)) % 2 = 1""".stripMargin)
-    p.join(z, Seq("cx", "cy"))
+    val joined =
+      if (saltBuckets <= 0) p.join(z, Seq("cx", "cy"))
+      else {
+        // pack the composite cell key for the salted join (same
+        // collision-free packing as radiusPairs: cy spans << 2^21)
+        val pack = (col("cx") * lit(1L << 21)) + col("cy")
+        graft.operators.SkewJoin.saltedInnerJoin(
+          p.withColumn("__cell", pack).drop("cx", "cy"),
+          z.withColumn("__cell", pack).drop("cx", "cy"),
+          "__cell", saltBuckets)
+          .drop("__cell")
+      }
+    joined
       .filter(inside)
       .select(col("pid"), col("zid"))
   }

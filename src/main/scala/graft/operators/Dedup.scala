@@ -783,6 +783,85 @@ object Dedup {
     verifiedLong.unionByName(verifiedShort).distinct()
   }
 
+  /** Pick q for [[editDistancePairs]] from the MEASURED gram-space
+    * saturation of a deterministic sample, instead of asking the caller
+    * to know their alphabet's entropy up front.
+    *
+    * The quadratic failure shape is input-dependent: on a low-entropy
+    * alphabet (dense numeric keys) only |alphabet|^q grams EXIST, so
+    * average bucket size grows ~corpus/|alphabet|^q and candidate volume
+    * saturates quadratically however rare-first the prefix ordering is
+    * (the tuning contract documented on the operator). That saturation is
+    * directly visible in a small sample: the mean q-gram frequency of the
+    * sample, scaled by 1/sampleFraction, estimates the full-corpus mean
+    * bucket size (per-gram frequency scales ~linearly with corpus size;
+    * in high-entropy corpora the distinct-gram count grows too, making
+    * the scaled estimate conservative).
+    *
+    * Selection: walk candidate widths ascending and take the FIRST whose
+    * estimated full-corpus mean bucket is <= maxMeanBucket — smallest
+    * sufficient q wins because larger q raises minSafeLen (routing more
+    * strings to the quadratic-in-its-population short block) and emits
+    * more prefix rows per string (k·q+1). A candidate that strands more
+    * than half the sampled strings below its own minSafeLen is skipped
+    * outright — no point sizing the gram space if the gram path no longer
+    * covers the corpus. If nothing meets the bound, the covering
+    * candidate with the smallest estimated bucket is the least-bad
+    * choice.
+    *
+    * Cost: ONE aggregation job over a ~1/sampleMod md5-deterministic
+    * sample (the t11 sample contract), collecting |candidates| rows to
+    * the driver — bounded by construction. Deterministic: exact counts on
+    * an md5-keyed sample, no RNG. */
+  def chooseEditJoinQ(df: DataFrame, strCol: String, maxDist: Int,
+                      candidates: Seq[Int] = Seq(3, 4, 5),
+                      sampleMod: Int = 20,
+                      maxMeanBucket: Double = 32.0): Int = {
+    require(candidates.nonEmpty && candidates == candidates.sorted &&
+      candidates.forall(_ >= 2), s"need sorted candidates >= 2: $candidates")
+    val sample = df.select(col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .filter(pmod(md5Long(col("s")), lit(sampleMod.toLong)) === 0L)
+    // one union-all job: per candidate q, (gram rows, distinct grams,
+    // strings long enough for the gram path) over the sample
+    val per = candidates.map { q =>
+      sample.filter(length(col("s")) >= (maxDist + 1) * q)
+        .select(col("s"), explode(array_distinct(transform(
+          sequence(lit(0), length(col("s")) - q),
+          i => col("s").substr(i + lit(1), lit(q))))).as("gram"))
+        .agg(count(lit(1)).as("t"), count_distinct(col("gram")).as("g"),
+             count_distinct(col("s")).as("n_long"))
+        .select(lit(q).as("q"), col("t"), col("g"), col("n_long"))
+    }.reduce(_ unionByName _)
+    val nSample = sample.select(count_distinct(col("s"))).head().getLong(0)
+    val stats = per.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val covering = stats.filter { case (_, t, g, nLong) =>
+      g > 0 && (nSample == 0L || nLong * 2 >= nSample)
+    }
+    if (covering.isEmpty) candidates.head
+    else {
+      def estBucket(t: Long, g: Long): Double =
+        t.toDouble / g.toDouble * sampleMod
+      covering.find { case (_, t, g, _) => estBucket(t, g) <= maxMeanBucket }
+        .orElse(Some(covering.minBy { case (_, t, g, _) => estBucket(t, g) }))
+        .get._1
+    }
+  }
+
+  /** [[editDistancePairs]] with q chosen by [[chooseEditJoinQ]]'s
+    * measured pre-pass — same output contract (the naive-quadratic oracle
+    * is q-agnostic, so any lossless width hashes identically), with the
+    * digit-alphabet quadratic shape avoided automatically instead of by
+    * docstring. */
+  def editDistancePairsAuto(df: DataFrame, strCol: String, idCol: String,
+                            maxDist: Int,
+                            candidates: Seq[Int] = Seq(3, 4, 5),
+                            sampleMod: Int = 20,
+                            maxMeanBucket: Double = 32.0): DataFrame =
+    editDistancePairs(df, strCol, idCol, maxDist,
+      chooseEditJoinQ(df, strCol, maxDist, candidates, sampleMod, maxMeanBucket))
+
   private def semanticDedupOn(assigned: DataFrame,
                               threshold: Double): DataFrame = {
     val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))

@@ -431,6 +431,38 @@ object ScaleProbe {
       t(s"edit_join_q4_${names.count()}names")(
         Dedup.editDistancePairs(names, "s", "id", maxDist = 1, q = 4))
     }
+    // auto-q over BOTH corpora: the measured pre-pass must pick the
+    // better of the q=3/q=4 curves on each — q=3 on the high-entropy
+    // salted-replica names (digit grams diluted by replica salts and
+    // name text), q=4 on the saturated pure-digit corpus — so the auto
+    // curve tracks min(edit_join, edit_join_q4) plus one cheap sample
+    // aggregation, and the operator's quadratic failure shape stops
+    // being a docstring and becomes a branch the engine takes itself.
+    stage("edit_join_autoq") {
+      val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .filter(pmod(graft.functions.GraftFunctions.md5Long(
+          col("c_custkey").cast(org.apache.spark.sql.types.StringType)),
+          lit(5L)) === 0)
+      val salted = prepared(s"/tmp/graft_scale_names_${replicas}x") {
+        (0 until replicas).map { r =>
+          val salt = ('a' + (r % 26)).toChar.toString * 3 + (r / 26)
+          cust.select((col("c_custkey") + lit(r * 1000000L)).as("id"),
+            concat(col("c_name"), lit(s" $salt")).as("s"))
+        }.reduce(_ unionByName _)
+      }
+      val digits = prepared(s"/tmp/graft_scale_dnames_${replicas}x") {
+        (0 until replicas).map { r =>
+          cust.select((col("c_custkey") + lit(r * 1000000L)).as("id"))
+        }.reduce(_ unionByName _)
+          .select(col("id"), format_string("Customer#%09d", col("id")).as("s"))
+      }
+      for ((nm, corpus) <- Seq("salted" -> salted, "digits" -> digits)) {
+        val q = Dedup.chooseEditJoinQ(corpus, "s", maxDist = 1)
+        println(s"[scale] edit_join_autoq/$nm chose q=$q")
+        t(s"edit_join_autoq_${nm}_${corpus.count()}names")(
+          Dedup.editDistancePairsAuto(corpus, "s", "id", maxDist = 1))
+      }
+    }
     // t18 CMS: token counts are one keyed exchange with map-side
     // combine, the sketch build runs on the DISTINCT vocab, and the
     // summary is d*w rows whatever N is — near-linear scan-bound curve

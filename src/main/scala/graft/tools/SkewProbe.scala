@@ -58,7 +58,7 @@ object SkewProbe {
 
     conf("spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "false")
-    if (!args.contains("radius")) {
+    if (!args.contains("radius") && !args.contains("polygon")) {
     timed("plain")(fact.join(dim, Seq("k"), "inner"))
 
     conf("spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -116,6 +116,60 @@ object SkewProbe {
       conf("spark.sql.adaptive.skewJoin.enabled" -> "false")
       timed("radius_salted")(graft.geo.GeoJoin.radiusPairs(
         pts, "id", "lat", "lng", 3.0, 0.03, 0.04, saltBuckets = 16))
+    }
+
+    // POLYGON-JOIN dense-cell skew (VERDICT r10 next-#6): the q50 grid
+    // point-in-polygon join with downtown clustering — 70% of points
+    // AND 70% of polygon bboxes inside the same 0.04x0.03 cell, the
+    // rest uniform over a 1x1 degree box. The hot cell does
+    // |pts_cell|·|polys_cell| ray casts on one task in the plain path;
+    // the salted path spreads it. Run with a second arg "polygon"
+    // (points count = first arg, capped at 30k: 21k hot points x 2.8k
+    // hot polygons is already ~6e7 single-task ray casts).
+    if (args.contains("polygon")) {
+      import graft.functions.GraftFunctions.md5Long
+      import org.apache.spark.sql.types.StringType
+      val nPts = math.min(n, 30000L)
+      val nPolys = 4000L
+      def u(seed: String) = // uniform [0,1) from md5, replayable
+        md5Long(concat(lit(s"$seed|"), col("id").cast(StringType))) %
+          1000001L / lit(1000000.0)
+      val pts = spark.range(nPts).select(
+        col("id"),
+        when(pmod(col("id"), lit(10L)) < 7, // 70% -> the one hot cell
+          lit(40.00) + u("clat") * 0.029)
+          .otherwise(lit(40.00) + u("ulat") * 1.0).as("lat"),
+        when(pmod(col("id"), lit(10L)) < 7,
+          lit(-74.00) + u("clng") * 0.039)
+          .otherwise(lit(-74.00) + u("ulng") * 1.0).as("lng"))
+      val polys = spark.range(nPolys).select(
+          col("id").as("zid"),
+          when(pmod(col("id"), lit(10L)) < 7, // 70% bboxes in the hot cell
+            lit(40.005) + u("zlat") * 0.019)
+            .otherwise(lit(40.00) + u("wlat") * 1.0).as("clat"),
+          when(pmod(col("id"), lit(10L)) < 7,
+            lit(-73.995) - u("zlng") * 0.029)
+            .otherwise(lit(-74.00) + u("wlng") * 1.0).as("clng"),
+          lit(0.004).as("w"))
+        .select(col("zid"), array(
+          struct((col("clat") + col("w")).as("lat"), col("clng").as("lng")),
+          struct(col("clat").as("lat"), (col("clng") + col("w")).as("lng")),
+          struct((col("clat") - col("w")).as("lat"), col("clng").as("lng")),
+          struct(col("clat").as("lat"), (col("clng") - col("w")).as("lng")))
+          .as("verts"))
+      conf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "false")
+      timed("polygon_plain")(graft.geo.GeoJoin.gridPolygonJoin(
+        pts, "id", "lat", "lng", polys, "zid", "verts", 0.03, 0.04))
+      conf("spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+      timed("polygon_aqe")(graft.geo.GeoJoin.gridPolygonJoin(
+        pts, "id", "lat", "lng", polys, "zid", "verts", 0.03, 0.04))
+      conf("spark.sql.adaptive.skewJoin.enabled" -> "false")
+      timed("polygon_salted")(graft.geo.GeoJoin.gridPolygonJoin(
+        pts, "id", "lat", "lng", polys, "zid", "verts", 0.03, 0.04,
+        saltBuckets = 16))
     }
 
     spark.stop()

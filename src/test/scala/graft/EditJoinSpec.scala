@@ -78,6 +78,43 @@ class EditJoinSpec extends SparkSpec {
       assert(blocked(df, k) === naive(df, k), s"k=$k mismatch")
   }
 
+  // ---- auto-q: the measured pre-pass ([[Dedup.chooseEditJoinQ]]) ----
+
+  private def randCorpus(alpha: String, len: Int, n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => i.toLong ->
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      .toDF("id", "s")
+  }
+
+  test("chooseEditJoinQ escalates on a saturated alphabet, stays small on a high-entropy one") {
+    // 4-letter alphabet, len 12: only 16 2-grams EXIST, so q=2 buckets
+    // saturate (mean ~n·10/16); 64 3-grams keep q=3 bounded
+    val lowEntropy = randCorpus("abcd", 12, 80, seed = 7)
+    assert(Dedup.chooseEditJoinQ(lowEntropy, "s", maxDist = 1,
+      candidates = Seq(2, 3), sampleMod = 1, maxMeanBucket = 16.0) === 3)
+    // 26-letter alphabet: 2-gram space is big enough at this n
+    val highEntropy = randCorpus("abcdefghijklmnopqrstuvwxyz", 15, 80, seed = 7)
+    assert(Dedup.chooseEditJoinQ(highEntropy, "s", maxDist = 1,
+      candidates = Seq(2, 3), sampleMod = 1, maxMeanBucket = 16.0) === 2)
+  }
+
+  test("chooseEditJoinQ never picks a width that strands the corpus in the short block") {
+    // len-8 digit strings: q=6 would put EVERY string below its
+    // minSafeLen of 12 — however saturated q=3 is, 6 must be skipped
+    val shortDigits = randCorpus("0123456789", 8, 60, seed = 11)
+    assert(Dedup.chooseEditJoinQ(shortDigits, "s", maxDist = 1,
+      candidates = Seq(3, 6), sampleMod = 1, maxMeanBucket = 1.0) === 3)
+  }
+
+  test("editDistancePairsAuto == naive (the chosen q is inside the lossless contract)") {
+    val lowEntropy = randCorpus("abcd", 12, 40, seed = 13)
+    val got = Dedup.editDistancePairsAuto(lowEntropy, "s", "id", maxDist = 2,
+        candidates = Seq(2, 3), sampleMod = 1, maxMeanBucket = 16.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive(lowEntropy, 2))
+  }
+
   test("no cartesian or nested-loop join anywhere — short block included") {
     val mixed = ((1 to 40).map(i => i.toLong -> f"Customer#$i%09d") ++
       Seq(100L -> "ab", 101L -> "abcde", 102L -> "abcdef")).toDF("id", "s")

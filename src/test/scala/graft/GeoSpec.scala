@@ -112,6 +112,35 @@ class GeoSpec extends SparkSpec {
     assert(salted == plain, "salt is an internal fan-out, never semantics")
   }
 
+  test("gridPolygonJoin: salted dense-cell path is row-identical to the plain path") {
+    // downtown-density shape: one big polygon whose bbox covers many
+    // cells plus a small one over the hot cell; 60 points packed into
+    // that one cell, 20 spread wide — hot and cold containments both
+    def diamond(clat: Double, clng: Double, w: Double) = Seq(
+      (clat + w, clng), (clat, clng + w), (clat - w, clng), (clat, clng - w))
+    val zs = Seq((10L, diamond(40.00, -74.00, 0.40)),
+                 (20L, diamond(40.00, -74.00, 0.02)))
+      .toDF("zid", "raw")
+      .select(col("zid"), expr(
+        "transform(raw, v -> struct(v._1 AS lat, v._2 AS lng))").as("verts"))
+    val dense = (0 until 60).map { i =>
+      (i.toLong, 40.001 + (i % 10) * 0.002, -74.001 - (i / 10) * 0.003)
+    }
+    val sparse = (0 until 20).map { i =>
+      (100L + i, 40.001 + i * 0.031, -74.001 - i * 0.041)
+    }
+    val pts = (dense ++ sparse).toDF("id", "lat", "lng")
+    def run(salt: Int) = GeoJoin.gridPolygonJoin(pts, "id", "lat", "lng",
+        zs, "zid", "verts", latStepDeg = 0.03, lngStepDeg = 0.04,
+        saltBuckets = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq // multiset compare: salting must not dup
+    val plain = run(0)
+    val salted = run(8)
+    assert(plain.size > 60, s"fixture must produce dense containments: $plain")
+    assert(salted == plain, "salt is an internal fan-out, never semantics")
+  }
+
   test("gridPolygonJoin: containments match brute-force ray cast, no cross join") {
     // two diamonds; points inside each, on the seam between cells, and
     // outside both; polygon 20 overlaps polygon 10's area partially so
