@@ -1004,4 +1004,96 @@ object TextAnalysis {
             col("n_ws_tokens"), 6))
           .otherwise(lit(0.0)).as("bpe_per_ws"))
   }
+
+  // -------------------------------------------------------------------
+  // Supervised text classification: multinomial Naive Bayes
+  // -------------------------------------------------------------------
+
+  /** Integer nano-nat ln: floor(ln(x)*1e9 + 0.5) — the t11 quantization
+    * contract (floor(x+0.5), never round(): Java and DuckDB round()
+    * disagree on negative halves). */
+  private def lnNano(x: Column): Column =
+    floor(log(x) * 1e9 + 0.5).cast(LongType)
+
+  /** Fit a multinomial Naive Bayes classifier (add-one smoothing over a
+    * fixed top-`vocabSize` vocabulary) on a labeled sample — the
+    * classic trained QUALITY/DOMAIN/LANGUAGE classifier of pretraining
+    * curation (fastText-style supervision without the embedding): pure
+    * counting, so every parameter is an exact integer ratio and the
+    * whole training replays in SQL.
+    *
+    * Returns (priors, grid):
+    *  - priors: (label, prior_lp) — quantized ln of the class's doc
+    *    share of the sample;
+    *  - grid: (label, tok, lp) — the FULL classes×vocab table with
+    *    quantized ln((count+1)/(classTotal+V)); absent pairs get the
+    *    smoothing floor, so scoring never branches on presence.
+    *
+    * All log-probs are integer nano-nats ([[lnNano]]): per-document
+    * scores are integer SUMS — exact, order-free, cross-engine. Scale
+    * shape: one explode+groupBy over the SAMPLE, a top-k vocab head
+    * (TakeOrderedAndProject, `vocabSize` rows), and a classes×vocab
+    * grid small enough to broadcast — the same literal-codebook
+    * contract as the LM/PQ families. */
+  def naiveBayesFit(sample: DataFrame, textCol: String, labelCol: String,
+                    vocabSize: Int): (DataFrame, DataFrame) = {
+    val toks = sample.select(col(labelCol).as("label"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select("tok")
+    val classes = sample.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totalDocs = classes.agg(sum(col("n_docs")).as("n_all"))
+    val priors = classes.crossJoin(broadcast(totalDocs))
+      .select(col("label"),
+        lnNano(col("n_docs").cast(DoubleType) / col("n_all")).as("prior_lp"))
+    val ct = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy("label", "tok").agg(count(lit(1)).as("n"))
+    val ctot = ct.groupBy("label").agg(sum(col("n")).as("n_tok"))
+    val grid = classes.select("label").crossJoin(broadcast(vocab))
+      .join(ct, Seq("label", "tok"), "left_outer")
+      .join(ctot, Seq("label"), "left_outer")
+      .select(col("label"), col("tok"),
+        lnNano((coalesce(col("n"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("n_tok"), lit(0L)) + lit(vocabSize.toLong))
+            .cast(DoubleType)).as("lp"))
+    (priors, grid)
+  }
+
+  /** Score every document against a fitted NB model and keep the argmax
+    * class: (doc_id, true label, pred label, score in nano-nats,
+    * correctness). Deterministic tie-break (score desc, label asc).
+    *
+    * Scale shape: scoring is one doc-keyed explode+groupBy (map-side
+    * combinable token counts), a broadcast join against the
+    * classes×vocab grid, and one doc-keyed argmax window over |classes|
+    * rows per doc — no shuffle carries more than (doc, class) rows.
+    * Out-of-vocabulary tokens contribute nothing (the fixed-vocab
+    * multinomial contract); a doc with NO vocab tokens is scored on
+    * priors alone. */
+  def naiveBayesClassify(docs: DataFrame, textCol: String, idCol: String,
+                         labelCol: String, priors: DataFrame,
+                         grid: DataFrame): DataFrame = {
+    val docToks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val contrib = docToks.join(broadcast(grid), Seq("tok"))
+      .groupBy("doc_id", "label")
+      .agg(sum(col("n") * col("lp")).as("tok_lp"))
+    val scored = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).as("true_label"))
+      .crossJoin(broadcast(priors))
+      .join(contrib, Seq("doc_id", "label"), "left_outer")
+      .select(col("doc_id"), col("true_label"), col("label"),
+        (col("prior_lp") + coalesce(col("tok_lp"), lit(0L)))
+          .as("score_nano"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_nano").desc, col("label"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("score_nano"),
+        (col("label") === col("true_label")).as("is_correct"))
+  }
 }

@@ -1626,6 +1626,64 @@ object DataQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  private val nbVocab = 300
+
+  /** Multinomial Naive Bayes language classifier
+    * ([[TextAnalysis.naiveBayesFit]] / [[TextAnalysis.naiveBayesClassify]]):
+    * the trained curation classifier (fastText-style supervision) fitted
+    * on the deterministic 5% labeled sample — add-one smoothing over the
+    * top-300 sample vocabulary, priors from class doc shares — then every
+    * document argmax-scored in integer nano-nats. Training is pure
+    * counting, so the ORACLE REPLAYS THE WHOLE FIT (vocab head, class
+    * priors, the classes×vocab smoothed grid) and every per-doc score is
+    * an exact integer sum — any divergence in any parameter is a hash
+    * mismatch, the q51/t20 replayed-training contract. */
+  val t21NbClassify: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val sample = docs.filter(
+      pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L)
+    val (priors, grid) =
+      TextAnalysis.naiveBayesFit(sample, "text", "lang", nbVocab)
+    TextAnalysis.naiveBayesClassify(docs.repartition(col("doc_id")),
+        "text", "doc_id", "lang", priors, grid)
+      .orderBy(col("doc_id"))
+  }
+
+  val t21Sql: String =
+    s"""WITH $toksCte,
+       |lab AS (SELECT t.doc_id, d.lang, t.toks
+       |  FROM toks t JOIN documents d USING (doc_id)
+       |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 20 = 0),
+       |str AS (SELECT lang, unnest(toks) AS tok FROM lab),
+       |vcb AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM str GROUP BY 1)
+       |  ORDER BY n DESC, tok LIMIT $nbVocab),
+       |cls AS (SELECT lang, count(*) AS n_docs FROM lab GROUP BY 1),
+       |tots AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM cls),
+       |pri AS (SELECT lang, CAST(floor(ln(CAST(n_docs AS DOUBLE) / n_all)
+       |  * 1e9 + 0.5) AS BIGINT) AS prior_lp FROM cls, tots),
+       |ct AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM str JOIN vcb USING (tok) GROUP BY 1, 2),
+       |ctot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tok FROM ct GROUP BY 1),
+       |grid AS (SELECT c.lang, v.tok,
+       |  CAST(floor(ln((COALESCE(ct.n, 0) + 1.0) /
+       |    (COALESCE(ctot.n_tok, 0) + $nbVocab)) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM (SELECT lang FROM cls) c CROSS JOIN vcb v
+       |  LEFT JOIN ct ON ct.lang = c.lang AND ct.tok = v.tok
+       |  LEFT JOIN ctot ON ctot.lang = c.lang),
+       |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
+       |contrib AS (SELECT dt.doc_id, g.lang, SUM(dt.n * g.lp) AS tok_lp
+       |  FROM dt JOIN grid g USING (tok) GROUP BY 1, 2),
+       |scored AS (SELECT d.doc_id, d.lang AS true_label, p.lang AS label,
+       |  p.prior_lp + COALESCE(c.tok_lp, 0) AS score_nano
+       |  FROM documents d CROSS JOIN pri p
+       |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score_nano DESC, label) AS rn FROM scored)
+       |SELECT doc_id, label AS pred_label, score_nano,
+       |  (label = true_label) AS is_correct
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Sequence packing: concat-and-chunk (seq_id, seq_offset) assignment
     * from running token totals, per language shard, cap 512 — see
     * [[TextAnalysis.packSequences]] for the at-scale shape. */
@@ -2132,11 +2190,16 @@ object DataQueries {
     * run scopes to a candidate population). The Spark side blocks on
     * globally-ordered rare q-gram prefixes (never all-pairs); the oracle
     * IS the naive quadratic join — so the hash compare proves the
-    * blocking lossless on real data, not just on the spec fixture. */
+    * blocking lossless on real data, not just on the spec fixture.
+    * q is MEASURED, not declared ([[Dedup.editDistancePairsAuto]]): a
+    * deterministic-sample pre-pass sizes the gram space against the
+    * corpus and picks the smallest width whose estimated mean bucket
+    * stays bounded — the oracle is q-agnostic, so the auto path itself
+    * is inside the hash gate. */
   val d15EditJoin: Q = (s, dir) => {
     val c = Catalog(s, dir).customer
       .filter(md5Long(col("c_custkey").cast(StringType)) % 5 === 0)
-    Dedup.editDistancePairs(c, "c_name", "c_custkey", maxDist = 1, q = 3)
+    Dedup.editDistancePairsAuto(c, "c_name", "c_custkey", maxDist = 1)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -2223,6 +2286,7 @@ object DataQueries {
     "t18_cms_topk" -> t18CmsTopK,
     "t19_bm25" -> t19Bm25,
     "t20_bpe_tokenize" -> t20BpeTokenize,
+    "t21_nb_classify" -> t21NbClassify,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
@@ -2281,6 +2345,7 @@ object DataQueries {
     "t18_cms_topk" -> t18Sql,
     "t19_bm25" -> t19Sql,
     "t20_bpe_tokenize" -> t20Sql,
+    "t21_nb_classify" -> t21Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
     "d04_dedup_ngram_jaccard" -> d04Sql,
