@@ -822,4 +822,70 @@ object Similarity {
       .filter(nonDegenerate(col("v")))
       .withColumn("bucket", concat_ws("",
         (0 until nBits).map(s => hyperplaneBit(col("v"), s, dim).cast(StringType)): _*))
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) at λ = 1/2: retrieve `topN` exact-cosine candidates per
+    * query, then greedily select `k` of them, each step taking the
+    * candidate maximizing relevance − max-similarity-to-already-selected
+    * — the diverse-retrieval shape RAG serving reaches for when the
+    * top-k collapses onto near-duplicate passages.
+    *
+    * Determinism: both cosines live as MICRO-UNIT integers
+    * (floor(round(cos,6)·1e6 + 0.5) — the t11 floor(x+0.5) contract one
+    * scale down), so at λ = 1/2 the MMR objective argmax is an exact
+    * integer difference rel_u − max(sim_u) with id-asc tie-break; every
+    * greedy step replays in SQL as a materialized stage (the q51/t20
+    * iterative-CTE pattern).
+    *
+    * Scale shape: candidates come from [[bruteForceTopK]] (broadcast
+    * query batch, no corpus shuffle; swap in any trained index for the
+    * shortlist — the greedy stage only sees (query, candidate) rows).
+    * The candidate-pair sim relation is |queries| × topN² rows — batch-
+    * bounded, built ONCE and localCheckpointed (it feeds every greedy
+    * step); each of the k steps is one groupBy over that relation plus
+    * a per-query argmax window. Nothing in the loop touches the corpus.
+    *
+    * Output: (query_id, rank 1..k, id, rel_u, score_u) — score_u of
+    * rank 1 is its relevance (nothing selected yet). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, topN: Int, k: Int): DataFrame = {
+    require(k >= 1 && topN >= k, s"need 1 <= k <= topN; got k=$k topN=$topN")
+    def micro(c: Column): Column = floor(c * 1e6 + 0.5).cast(LongType)
+    val cands = bruteForceTopK(corpus, queries, vecCol, idCol, topN)
+      .select(col("query_id"), col("id"), micro(col("cosine")).as("rel_u"))
+      .localCheckpoint(false)
+    val cvecs = cands.select("query_id", "id")
+      .join(corpus.select(col(idCol).as("id"),
+        toDoubleArray(col(vecCol)).as("v")), Seq("id"))
+    val cp = cvecs.select(col("query_id"), col("id").as("a_id"), col("v").as("av"))
+      .join(cvecs.select(col("query_id"), col("id").as("b_id"), col("v").as("bv")),
+        Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        micro(round(VectorExpressions.cosine(col("av"), col("bv")), 6))
+          .as("sim_u"))
+      .localCheckpoint(false)
+    val firstW = Window.partitionBy("query_id")
+      .orderBy(col("rel_u").desc, col("id").asc)
+    var selected = cands
+      .withColumn("rn", row_number().over(firstW)).filter(col("rn") === 1)
+      .select(col("query_id"), col("id"), col("rel_u"),
+        lit(1L).as("rank"), col("rel_u").as("score_u"))
+    for (i <- 2 to k) {
+      val sel = selected.select(col("query_id"), col("id").as("b_id"))
+      val ms = cp.join(sel, Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id").as("id"))
+        .agg(max(col("sim_u")).as("ms"))
+      val remaining = cands.join(sel.withColumnRenamed("b_id", "id"),
+        Seq("query_id", "id"), "left_anti")
+      val stepW = Window.partitionBy("query_id")
+        .orderBy((col("rel_u") - col("ms")).desc, col("id").asc)
+      val pick = remaining.join(ms, Seq("query_id", "id"))
+        .withColumn("rn", row_number().over(stepW)).filter(col("rn") === 1)
+        .select(col("query_id"), col("id"), col("rel_u"),
+          lit(i.toLong).as("rank"), (col("rel_u") - col("ms")).as("score_u"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select("query_id", "rank", "id", "rel_u", "score_u")
+  }
 }

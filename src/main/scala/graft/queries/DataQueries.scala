@@ -524,6 +524,65 @@ object DataQueries {
       |ORDER BY q.query_id""".stripMargin
   }
 
+  private val mmrTopN = 20
+  private val mmrK = 5
+
+  /** Maximal Marginal Relevance diverse rerank
+    * ([[Similarity.mmrRerank]], λ = 1/2): the RAG-serving shape where
+    * the exact top-k collapses onto near-duplicate passages — retrieve
+    * 20 exact-cosine candidates per query, then greedily select 5, each
+    * step maximizing the integer micro-unit relevance minus the max
+    * similarity to what's already selected. Every greedy step replays
+    * in the oracle as a materialized stage (the q51/t20 iterative-CTE
+    * pattern), so the whole selection path — not just the final set —
+    * is inside the hash gate. */
+  val e19MmrRerank: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.mmrRerank(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", topN = mmrTopN, k = mmrK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e19Sql: String = {
+    val steps = (2 to mmrK).map { i =>
+      s"""ms$i AS (SELECT cp.query_id, cp.a_id AS id, max(cp.sim_u) AS ms
+         |  FROM cp JOIN acc${i - 1} s
+         |  ON s.query_id = cp.query_id AND s.id = cp.b_id GROUP BY 1, 2),
+         |sel$i AS MATERIALIZED (SELECT query_id, id, rel_u,
+         |  CAST($i AS BIGINT) AS rank, score_u FROM (
+         |  SELECT c.query_id, c.id, c.rel_u, c.rel_u - m.ms AS score_u,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY c.rel_u - m.ms DESC, c.id) AS rn
+         |  FROM cand c JOIN ms$i m ON m.query_id = c.query_id AND m.id = c.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} s
+         |    WHERE s.query_id = c.query_id AND s.id = c.id)) WHERE rn = 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1}
+         |  UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |sc AS (SELECT q.query_id, e.id,
+      |  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+      |  FROM e CROSS JOIN q WHERE e.id <> q.query_id),
+      |cand AS MATERIALIZED (SELECT query_id, id,
+      |  CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS rel_u FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, id) AS rn FROM sc) WHERE rn <= $mmrTopN),
+      |cv AS (SELECT c.query_id, c.id, e.v FROM cand c JOIN e ON e.id = c.id),
+      |cp AS MATERIALIZED (SELECT a.query_id, a.id AS a_id, b.id AS b_id,
+      |  CAST(floor(round(list_cosine_similarity(a.v, b.v), 6) * 1e6 + 0.5)
+      |    AS BIGINT) AS sim_u
+      |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.id <> b.id),
+      |acc1 AS MATERIALIZED (SELECT query_id, id, rel_u,
+      |  CAST(1 AS BIGINT) AS rank, rel_u AS score_u FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rel_u DESC, id) AS rn FROM cand) WHERE rn = 1),
+      |$steps
+      |SELECT query_id, rank, id, rel_u, score_u FROM acc$mmrK
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Product-quantization codes (IVF-PQ's memory half): every vector
     * compressed to 4 codebook indices + reconstruction error, encoding
     * map-only against the TRAINED packed codebook ([[KMeans
@@ -2311,6 +2370,7 @@ object DataQueries {
     "e16_trunc_rerank" -> e16TruncRerank,
     "e17_filtered_ann" -> e17FilteredAnn,
     "e18_ivf_recall" -> e18IvfRecall,
+    "e19_mmr_rerank" -> e19MmrRerank,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -2370,6 +2430,7 @@ object DataQueries {
     "e16_trunc_rerank" -> e16Sql,
     "e17_filtered_ann" -> e17Sql,
     "e18_ivf_recall" -> e18Sql,
+    "e19_mmr_rerank" -> e19Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,
