@@ -163,17 +163,15 @@ object GeoJoin {
       .withColumn("cy", explode(sequence(
         floor(array_min(lats) / latStepDeg).cast(LongType),
         floor(array_max(lats) / latStepDeg).cast(LongType))))
-    // even-odd crossing count over edges i -> (i+1) mod n, computed as
-    // a codegen-planned HOF chain (array subscripts are 0-based in
-    // Spark SQL; the DuckDB oracle replays edge-by-edge with 1-based
-    // CASE arithmetic — same doubles, same comparisons)
-    val inside = expr(
-      """size(filter(sequence(0, size(verts) - 1), i ->
-        |  ((verts[i].lat > plat) != (verts[CAST((i+1) % size(verts) AS INT)].lat > plat))
-        |  AND plng < (verts[CAST((i+1) % size(verts) AS INT)].lng - verts[i].lng)
-        |      * (plat - verts[i].lat)
-        |      / (verts[CAST((i+1) % size(verts) AS INT)].lat - verts[i].lat)
-        |      + verts[i].lng)) % 2 = 1""".stripMargin)
+    // even-odd crossing count over edges i -> (i+1) mod n, as a
+    // COMPILED expression ([[graft.expressions.PointInPolygonExpr]] —
+    // bit-identical to the HOF chain the oracle replays edge-by-edge
+    // with 1-based CASE arithmetic: same doubles, same comparisons).
+    // The ray cast IS the per-candidate cost of this join, and the HOF
+    // form paid an interpreted lambda per EDGE — measured 21→3.4 s on
+    // the 15.5M-candidate dense-cell probe (PLANS.md round-11)
+    val inside = graft.expressions.GeoExpressions.pointInPolygon(
+      col("plat"), col("plng"), col("verts"))
     val joined =
       if (saltBuckets <= 0) p.join(z, Seq("cx", "cy"))
       else {

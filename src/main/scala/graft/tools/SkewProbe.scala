@@ -124,12 +124,15 @@ object SkewProbe {
     // rest uniform over a 1x1 degree box. The hot cell does
     // |pts_cell|·|polys_cell| ray casts on one task in the plain path;
     // the salted path spreads it. Run with a second arg "polygon"
-    // (points count = first arg, capped at 30k: 21k hot points x 2.8k
-    // hot polygons is already ~6e7 single-task ray casts).
+    // (points count = first arg, capped at 200k: 140k hot points x
+    // 2.8k hot polygons is ~4e8 single-task ray casts — the cap was
+    // 30k while the ray cast was an interpreted HOF; the compiled
+    // PointInPolygonExpr moved the per-candidate cost ~16x down and
+    // with it the scale where skew becomes visible).
     if (args.contains("polygon")) {
       import graft.functions.GraftFunctions.md5Long
       import org.apache.spark.sql.types.StringType
-      val nPts = math.min(n, 30000L)
+      val nPts = math.min(n, 200000L)
       val nPolys = 4000L
       def u(seed: String) = // uniform [0,1) from md5, replayable
         md5Long(concat(lit(s"$seed|"), col("id").cast(StringType))) %
@@ -157,16 +160,24 @@ object SkewProbe {
           struct((col("clat") - col("w")).as("lat"), col("clng").as("lng")),
           struct(col("clat").as("lat"), (col("clng") - col("w")).as("lng")))
           .as("verts"))
+      // plain and salted run with AQE OFF: this probe's shuffle INPUT
+      // is a few MB (the fan-out happens inside the join, 59M candidate
+      // rows out of 120k in), so AQE's partition coalescing — which
+      // sizes by shuffle-write bytes, blind to join fan-out — merges
+      // the cell partitions into ~one task and flattens plain and
+      // salted alike. AQE-less is also the regime the salt exists for
+      // (streaming micro-batches, engine-independent plans).
       conf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.skewJoin.enabled" -> "false")
+        "spark.sql.adaptive.enabled" -> "false")
       timed("polygon_plain")(graft.geo.GeoJoin.gridPolygonJoin(
         pts, "id", "lat", "lng", polys, "zid", "verts", 0.03, 0.04))
-      conf("spark.sql.adaptive.skewJoin.enabled" -> "true",
+      conf("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
       timed("polygon_aqe")(graft.geo.GeoJoin.gridPolygonJoin(
         pts, "id", "lat", "lng", polys, "zid", "verts", 0.03, 0.04))
-      conf("spark.sql.adaptive.skewJoin.enabled" -> "false")
+      conf("spark.sql.adaptive.enabled" -> "false")
       timed("polygon_salted")(graft.geo.GeoJoin.gridPolygonJoin(
         pts, "id", "lat", "lng", polys, "zid", "verts", 0.03, 0.04,
         saltBuckets = 16))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.geo.{GeoJoin, Wkb}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, not, when}
 
 class GeoSpec extends SparkSpec {
   import spark.implicits._
@@ -110,6 +110,42 @@ class GeoSpec extends SparkSpec {
     val salted = run(8)
     assert(plain.nonEmpty, "fixture must produce pairs")
     assert(salted == plain, "salt is an internal fan-out, never semantics")
+  }
+
+  test("PointInPolygonExpr == the HOF ray cast, null vertices included") {
+    // random polygons (3-7 vertices) x random points, plus a polygon
+    // with a NULL vertex: the compiled kernel must agree with the
+    // higher-order formulation the oracles replay, edge for edge
+    val rnd = new scala.util.Random(31)
+    val polys = (0 until 12).map { z =>
+      val nv = 3 + rnd.nextInt(5)
+      (z.toLong, (0 until nv).map(_ =>
+        (40.0 + rnd.nextDouble() * 0.1, -74.0 + rnd.nextDouble() * 0.1)))
+    }
+    val pts = (0 until 40).map(i =>
+      (i.toLong, 40.0 + rnd.nextDouble() * 0.1, -74.0 + rnd.nextDouble() * 0.1))
+    val df = polys.toDF("zid", "raw")
+      .select(col("zid"), expr(
+        "transform(raw, v -> struct(v._1 AS lat, v._2 AS lng))").as("verts"))
+      // inject one NULL vertex into polygon 0
+      .withColumn("verts", when(col("zid") === 0,
+        expr("transform(verts, (v, i) -> CASE WHEN i = 1 THEN NULL ELSE v END)"))
+        .otherwise(col("verts")))
+      .crossJoin(pts.toDF("pid", "plat", "plng"))
+    val hof = expr(
+      """size(filter(sequence(0, size(verts) - 1), i ->
+        |  ((verts[i].lat > plat) != (verts[CAST((i+1) % size(verts) AS INT)].lat > plat))
+        |  AND plng < (verts[CAST((i+1) % size(verts) AS INT)].lng - verts[i].lng)
+        |      * (plat - verts[i].lat)
+        |      / (verts[CAST((i+1) % size(verts) AS INT)].lat - verts[i].lat)
+        |      + verts[i].lng)) % 2 = 1""".stripMargin)
+    val cmp = df.select(col("zid"), col("pid"), hof.as("a"),
+      graft.expressions.GeoExpressions.pointInPolygon(
+        col("plat"), col("plng"), col("verts")).as("b"))
+    val diff = cmp.filter(not(col("a") <=> col("b"))).count()
+    assert(diff === 0L, cmp.filter(not(col("a") <=> col("b")))
+      .collect().take(5).mkString(" "))
+    assert(cmp.filter(col("b")).count() > 0L, "fixture must have containments")
   }
 
   test("gridPolygonJoin: salted dense-cell path is row-identical to the plain path") {
