@@ -353,6 +353,50 @@ object TextAnalysis {
       .drop("h", "budget")
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (IPL 2006) A-ES keys, derandomized: each row gets
+    * key = ln(u)/w with u ∈ (0,1) derived from the row's md5 (no RNG
+    * state — reruns and engines agree), and the sample is the top-k
+    * rows by key. E-S proves this equals sequential weighted draws
+    * without replacement: P(row first) = w_i / Σw. The workhorse of
+    * quality-weighted corpus subsampling (soft-dedup weights, LM
+    * scores, host priors all plug in as `weightCol`).
+    *
+    * Determinism: u = (md5Long(id)%1000001 + 1000001) ... folded into
+    * [1, 1000001] / 1000002.0 so u is never 0 or 1; the key is
+    * quantized ONCE at the end (floor(x·1e9+0.5), the t11 contract) so
+    * ties and order are integer-exact across engines; id tie-break.
+    *
+    * Scale shape: the key is a map-only projection; top-k is a global
+    * TakeOrdered (per-partition partial top-k, then a k-sized driver
+    * merge) — no full sort, no shuffle of the corpus. Rows with
+    * non-positive weight never sample (ln(u)/w flips sign; they are
+    * filtered by contract).
+    *
+    * Output: (id, weight, key_nano, sample_rank 1..k). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = graft.functions.GraftFunctions.md5Long(
+      col(idCol).cast(org.apache.spark.sql.types.StringType))
+    // pmod not %: Scala % keeps the dividend's sign and half the md5
+    // space is negative
+    val u = (pmod(h, lit(1000001L)) + 1L).cast(DoubleType) / 1000002.0
+    val keyed = df
+      .filter(col(weightCol).cast(DoubleType) > 0.0)
+      .select(col(idCol).as("id"),
+        col(weightCol).cast(DoubleType).as("weight"),
+        floor(log(u) / col(weightCol).cast(DoubleType) * 1e9 + 0.5)
+          .cast(LongType).as("key_nano"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_nano").desc, col("id"))
+    // global window over the TOP-K ONLY: orderBy+limit prunes first
+    // (TakeOrdered), then ranks k rows — the single-partition window
+    // never sees more than k rows
+    keyed.orderBy(col("key_nano").desc, col("id")).limit(k)
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+  }
+
   /** PII profile + redaction: per-pattern match counts (on the original
     * text) and the text with emails/phones/IPv4s replaced by type tags —
     * the scrub pass a training corpus runs before anything else ships.

@@ -1815,6 +1815,65 @@ object DataQueries {
     * the syndication graph rank 0 and fail the gate (no authority
     * evidence). The oracle replays the shingle graph build AND all six
     * rank steps (the q51 CTE block). */
+  /** Weighted sampling without replacement
+    * ([[TextAnalysis.weightedSample]], Efraimidis–Spirakis A-ES keys
+    * derandomized via md5): top-100 documents under length weighting —
+    * the quality-weighted corpus subsampling primitive (soft-dedup
+    * weights, LM scores, host priors all plug in as the weight). The
+    * key is one quantized integer per row, so the oracle replays the
+    * exact draw; top-k is a global TakeOrdered, never a full sort. */
+  val d18WeightedSample: Q = (s, dir) =>
+    TextAnalysis.weightedSample(Catalog(s, dir).documents,
+        "doc_id", "n_chars", k = 100)
+      .orderBy(col("sample_rank"))
+
+  val d18Sql: String =
+    s"""WITH k AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+       |  CAST(floor(ln((${h60("CAST(doc_id AS VARCHAR)")} % 1000001 + 1)
+       |      / 1000002.0) / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+       |    AS key_nano
+       |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+       |SELECT id, weight, key_nano,
+       |  CAST(row_number() OVER (ORDER BY key_nano DESC, id) AS BIGINT)
+       |    AS sample_rank
+       |FROM k ORDER BY key_nano DESC, id LIMIT 100""".stripMargin
+
+  /** Cluster-balanced (semantic-diversity) sampling: per-cell quotas
+    * over the TRAINED coarse quantizer — the SemDeDup-adjacent
+    * diversity shape (cap each semantic neighborhood instead of
+    * drawing globally, so no topic floods the sample). Composition of
+    * two already-verified pieces: e02's trained cell assignment
+    * (map-only literal-codebook pass, zero shuffle) + t15's
+    * deterministic md5-rank stratified quota (one cell-keyed window) —
+    * and the oracle replays the k-means fit, the assignment, AND the
+    * draw. */
+  val d19ClusterSample: Q = (s, dir) => {
+    val assigned = Similarity.cellAssignmentsTrained(
+      Catalog(s, dir).embeddings, "embedding", "vec_id",
+      kmModel(s, dir).centroids)
+    val h = md5Long(col("id").cast(StringType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("h"), col("id"))
+    assigned.withColumn("h", h)
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .filter(col("sample_rank") <= 20L)
+      .select(col("id"), col("cell"), col("sample_rank"))
+      .orderBy(col("cell"), col("sample_rank"))
+  }
+
+  lazy val d19Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |$kmCtes,
+      |asg AS (SELECT id, cell FROM (
+      |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
+      |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |r AS (SELECT id, cell, row_number() OVER (PARTITION BY cell
+      |  ORDER BY ${h60("CAST(id AS VARCHAR)")}, id) AS sample_rank FROM asg)
+      |SELECT id, cell, CAST(sample_rank AS BIGINT) AS sample_rank
+      |FROM r WHERE sample_rank <= 20 ORDER BY cell, sample_rank""".stripMargin
+
   val d17HostRankGate: Q = (s, dir) => {
     val docs = Catalog(s, dir).documents
     val ranks = graft.operators.Graph.hostSyndicationRank(
@@ -2336,6 +2395,8 @@ object DataQueries {
     "d09_decontaminate" -> d09Decontaminate,
     "d16_decontam_shuffle" -> d16DecontamShuffle,
     "d17_host_rank_gate" -> d17HostRankGate,
+    "d18_weighted_sample" -> d18WeightedSample,
+    "d19_cluster_sample" -> d19ClusterSample,
     "d10_containment" -> d10ContainmentPairs,
     "t06_seq_pack" -> t06SeqPack,
     "t07_quality_yield" -> t07QualityYield,
@@ -2396,6 +2457,8 @@ object DataQueries {
     "d09_decontaminate" -> d09Sql,
     "d16_decontam_shuffle" -> d09Sql, // same result contract, shuffle plan
     "d17_host_rank_gate" -> d17Sql,
+    "d18_weighted_sample" -> d18Sql,
+    "d19_cluster_sample" -> d19Sql,
     "d10_containment" -> d10Sql,
     "t06_seq_pack" -> t06Sql,
     "t07_quality_yield" -> t07Sql,
