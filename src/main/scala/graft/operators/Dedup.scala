@@ -805,9 +805,15 @@ object Dedup {
     * more prefix rows per string (k·q+1). A candidate that strands more
     * than half the sampled strings below its own minSafeLen is skipped
     * outright — no point sizing the gram space if the gram path no longer
-    * covers the corpus. If nothing meets the bound, the covering
-    * candidate with the smallest estimated bucket is the least-bad
-    * choice.
+    * covers the corpus. If nothing meets the bound, escalate from the
+    * smallest covering width ONLY while each step at least HALVES the
+    * estimated bucket: on a structured corpus whose gram diversity is
+    * capped by format (fixed prefixes + bounded digit tails — the
+    * Customer# shape), distinct grams barely grow with q, so a wider
+    * gram space buys nothing while every string pays k more prefix rows
+    * and each bucket pair a longer DP — measured 4.4 / 10.4 / 24.0 s
+    * for q=3/4/5 on the SAME corpus with near-flat gram counts
+    * (PLANS.md round-11). Escalation must earn its fan-out.
     *
     * Cost: ONE aggregation job over a ~1/sampleMod md5-deterministic
     * sample (the t11 sample contract), collecting |candidates| rows to
@@ -841,11 +847,17 @@ object Dedup {
     }
     if (covering.isEmpty) candidates.head
     else {
-      def estBucket(t: Long, g: Long): Double =
-        t.toDouble / g.toDouble * sampleMod
-      covering.find { case (_, t, g, _) => estBucket(t, g) <= maxMeanBucket }
-        .orElse(Some(covering.minBy { case (_, t, g, _) => estBucket(t, g) }))
-        .get._1
+      def estBucket(s: (Int, Long, Long, Long)): Double =
+        s._2.toDouble / s._3.toDouble * sampleMod
+      covering.find(estBucket(_) <= maxMeanBucket) match {
+        case Some(s) => s._1
+        case None =>
+          // nothing meets the bound: escalate only while each wider
+          // gram space at least halves the estimated bucket
+          covering.tail.foldLeft(covering.head) { (cur, nxt) =>
+            if (estBucket(nxt) <= estBucket(cur) / 2) nxt else cur
+          }._1
+      }
     }
   }
 

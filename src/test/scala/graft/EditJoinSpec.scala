@@ -99,6 +99,17 @@ class EditJoinSpec extends SparkSpec {
       candidates = Seq(2, 3), sampleMod = 1, maxMeanBucket = 16.0) === 2)
   }
 
+  test("chooseEditJoinQ stays at the smallest width when the gram space is format-capped") {
+    // Customer#-style names: fixed prefix + zero-padded digits — the
+    // distinct-gram count barely grows with q (the d15 bench corpus
+    // measured 364/421/424 at q=3/4/5), so escalation buys no bucket
+    // reduction while every string pays more prefix rows; the decision
+    // must stay at the smallest covering width
+    val names = (1 to 200).map(i => i.toLong -> f"Customer#$i%09d").toDF("id", "s")
+    assert(Dedup.chooseEditJoinQ(names, "s", maxDist = 1,
+      candidates = Seq(3, 4, 5), sampleMod = 1, maxMeanBucket = 1.0) === 3)
+  }
+
   test("chooseEditJoinQ never picks a width that strands the corpus in the short block") {
     // len-8 digit strings: q=6 would put EVERY string below its
     // minSafeLen of 12 — however saturated q=3 is, 6 must be skipped
