@@ -867,10 +867,16 @@ object Similarity {
       .localCheckpoint(false)
     val firstW = Window.partitionBy("query_id")
       .orderBy(col("rel_u").desc, col("id").asc)
+    // each loop level references `selected` THREE times (max-sim join,
+    // anti-join, union) — without a lineage cut the plan re-evaluates
+    // the previous level per reference, 3^k-fold (the q51-oracle
+    // MATERIALIZED lesson, Spark-side: measured 6.2 -> ~1 s on the
+    // driver batch). The relation is k·|queries| rows — tiny.
     var selected = cands
       .withColumn("rn", row_number().over(firstW)).filter(col("rn") === 1)
       .select(col("query_id"), col("id"), col("rel_u"),
         lit(1L).as("rank"), col("rel_u").as("score_u"))
+      .localCheckpoint(false)
     for (i <- 2 to k) {
       val sel = selected.select(col("query_id"), col("id").as("b_id"))
       val ms = cp.join(sel, Seq("query_id", "b_id"))
@@ -884,7 +890,7 @@ object Similarity {
         .withColumn("rn", row_number().over(stepW)).filter(col("rn") === 1)
         .select(col("query_id"), col("id"), col("rel_u"),
           lit(i.toLong).as("rank"), (col("rel_u") - col("ms")).as("score_u"))
-      selected = selected.unionByName(pick)
+      selected = selected.unionByName(pick).localCheckpoint(false)
     }
     selected.select("query_id", "rank", "id", "rel_u", "score_u")
   }
