@@ -78,6 +78,8 @@ object HashExpressions {
   // Column wrappers
   def simhash(text: Column, bits: Int): Column =
     Bridge.column(SimHashExpr(Bridge.expression(text), bits))
+  def phash(text: Column): Column =
+    Bridge.column(PerceptualHashExpr(Bridge.expression(text)))
   def minhashSignature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
   def md5Min(strings: Column): Column =
@@ -124,6 +126,65 @@ case class SimHashExpr(child: Expression, bits: Int)
     var out = 0L
     var b = 0
     while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Perceptual (aHash-style) signature of DECODED media content — the
+  * image-aHash structure applied to a 1-D payload: the content is split
+  * into 60 equal POSITIONAL segments (the spatial blocks of image
+  * aHash), and bit j is set when segment j's mean code point exceeds
+  * the global mean. The comparison is the exact integer cross-multiply
+  * segSum·L > totalSum·segLen — no doubles to diverge on. Similar
+  * decoded payloads keep their content layout, so small edits shift
+  * segment boundaries slightly and flip few bits; DIFFERENT payloads
+  * differ block-wise and land far apart (a global histogram signature
+  * measured here first paired 29% of a same-language corpus — spatial
+  * structure is what discriminates, exactly as in images). 60 bits
+  * keeps every shift inside a signed BIGINT in both engines (bit 63
+  * would overflow DuckDB's `<<`).
+  *
+  * Empty content -> NULL (keeps empty payloads from all pairing at
+  * hamming 0, the SimHashExpr contract).
+  *
+  * Oracle twin (MediaQueries.m07Sql): segment CTE over
+  * (i·60)//length with ord(substr(text, i+1, 1)) — both engines walk
+  * CODE POINTS with integer segment division.
+  */
+case class PerceptualHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_phash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return null
+    val L = s.codePointCount(0, s.length).toLong
+    val segSum = new Array[Long](60)
+    val segLen = new Array[Long](60)
+    var totalSum = 0L
+    var i = 0
+    var idx = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val seg = ((idx * 60L) / L).toInt
+      segSum(seg) += cp
+      segLen(seg) += 1
+      totalSum += cp
+      idx += 1
+      i += Character.charCount(cp)
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (segSum(j) * L > totalSum * segLen(j)) out |= (1L << j)
+      j += 1
+    }
     out
   }
 

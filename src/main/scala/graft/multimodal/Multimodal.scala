@@ -135,6 +135,33 @@ object Multimodal {
       .agg(min(col("media_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Perceptual-hash NEAR-dup pairs — the media twin of d03's token
+    * simhash (media payloads have no tokens, so the signature comes
+    * from the DECODED content instead): each payload is decoded (the
+    * stub decode here is the UTF-8 view — a real image/audio decoder
+    * swaps in at exactly this point, same as [[extractFeatures]]),
+    * hashed to a 60-bit aHash-style histogram signature
+    * ([[graft.expressions.PerceptualHashExpr]] — bucket-over-uniform-
+    * share bits, so similar content flips few bits), then paired by
+    * Hamming pigeonhole banding with exact popcount verification
+    * ([[graft.operators.Dedup.hammingPairs]], the shared LSH
+    * bucket-confinement shape).
+    *
+    * Scale shape: the signature is one compiled map-only pass riding
+    * the scan; the only exchange carries (chunk-key, id, sig) triples —
+    * never the payload bytes (the dedupMedia contract). Empty payloads
+    * yield NULL signatures and never pair. */
+  def phashNearDup(media: Dataset[MediaRow], chunks: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = media.toDF()
+      .select(col("media_id").as("id"),
+        graft.expressions.HashExpressions.phash(
+          decode(col("bytes"), "UTF-8")).as("sig"))
+      .filter(col("sig").isNotNull)
+    graft.operators.Dedup.hammingPairs(sigs, bits = 60,
+      chunks = chunks, maxHamming = maxHamming)
+  }
+
   /** Per-partition batched feature extraction over a media Dataset.
     * mapPartitions gives the batch-iterator shape: decoder init happens
     * once per task, rows stream through without per-row setup. */

@@ -444,16 +444,28 @@ object Dedup {
     * chunk), verified by exact popcount of xor <= maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    bits: Int = 48, chunks: Int = 4,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(df, textCol, idCol, bits)
+      .withColumnRenamed("simhash", "sig"), bits, chunks, maxHamming)
+
+  /** Hamming-pigeonhole near-dup pairs over ANY (id, sig) long-signature
+    * relation — the banding/verify half of [[simhashPairs]], shared with
+    * the media perceptual-hash dedup
+    * ([[graft.multimodal.Multimodal.phashNearDup]]): candidates share
+    * one of `chunks` equal bit chunks (distance < chunks implies >= 1
+    * equal chunk — lossless for maxHamming < chunks), verified by exact
+    * popcount of xor. One chunk-keyed self-join; pairwise work confined
+    * to chunk buckets — the LSH bucket contract. */
+  def hammingPairs(sigs: DataFrame, bits: Int, chunks: Int,
+                   maxHamming: Int): DataFrame = {
     val w = bits / chunks
-    val sigs = simhash(df, textCol, idCol, bits)
     val chunkCols = (0 until chunks).map(c =>
       concat(lit(s"$c:"),
-        shiftright(col("simhash"), w * c).bitwiseAND((1L << w) - 1)
+        shiftright(col("sig"), w * c).bitwiseAND((1L << w) - 1)
           .cast(StringType)))
     val banded = sigs.withColumn("chunk", explode(array(chunkCols: _*)))
-    val l = banded.select(col("id").as("id1"), col("simhash").as("h1"), col("chunk"))
-    val r = banded.select(col("id").as("id2"), col("simhash").as("h2"), col("chunk"))
+    val l = banded.select(col("id").as("id1"), col("sig").as("h1"), col("chunk"))
+    val r = banded.select(col("id").as("id2"), col("sig").as("h2"), col("chunk"))
     l.join(r, Seq("chunk"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "h1", "h2").distinct()

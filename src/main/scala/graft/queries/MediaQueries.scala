@@ -177,6 +177,69 @@ object MediaQueries {
       |  min(media_id) AS keeper_id, count(*) AS n_copies
       |FROM a GROUP BY 1, 2 ORDER BY fp""".stripMargin
 
+  /** Perceptual-hash NEAR-dup pairs ([[Multimodal.phashNearDup]] —
+    * d03's pigeonhole shape on media, signature from the DECODED
+    * content's positional segment means instead of tokens): the corpus
+    * has no near-dup payloads, so the query replays a deterministic
+    * NOISY RE-ENCODE — every media_id % 9 == 0 payload arrives again
+    * with one mid-content code point substituted, under a shifted id
+    * (m06's synthesize-the-phenomenon contract). A localized
+    * substitution is the 1-D analog of re-encode noise: it perturbs one
+    * segment's mean and flips at most a bit — while a LENGTH-changing
+    * edit shifts every segment boundary and lands far away, exactly as
+    * cropping defeats image aHash (measured here: an appended suffix
+    * produced zero pairs; the operator docstring records the
+    * alignment contract). */
+  val m07PhashNearDup: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = Catalog(s, dir).documents
+    val noisy = docs
+      .filter(pmod(col("doc_id"), lit(9L)) === 0 &&
+        char_length(col("text")) >= 8)
+      .withColumn("text", concat(
+        expr("substring(text, 1, CAST(char_length(text) / 2 AS INT) - 1)"),
+        lit("X"),
+        expr("substring(text, CAST(char_length(text) / 2 AS INT) + 1)")))
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    Multimodal.phashNearDup(
+        Multimodal.fromDocuments(docs.unionByName(noisy)))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val m07Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |a AS (SELECT media_id, text FROM m
+      |  UNION ALL SELECT media_id + 2000000,
+      |    substr(text, 1, length(text) // 2 - 1) || 'X' ||
+      |    substr(text, length(text) // 2 + 1)
+      |  FROM m WHERE media_id % 9 = 0 AND length(text) >= 8),
+      |nz AS (SELECT media_id, text FROM a WHERE length(text) > 0),
+      |v AS (SELECT media_id, (i * 60) // length(text) AS seg,
+      |  CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS cv
+      |  FROM (SELECT media_id, text,
+      |    unnest(range(0, length(text))) AS i FROM nz)),
+      |sg AS (SELECT media_id, seg, SUM(cv) AS ssum,
+      |  CAST(count(*) AS BIGINT) AS slen FROM v GROUP BY 1, 2),
+      |tt AS (SELECT media_id, SUM(cv) AS tsum,
+      |  CAST(count(*) AS BIGINT) AS L FROM v GROUP BY 1),
+      |sig AS (SELECT t.media_id AS id,
+      |  COALESCE(SUM(CASE WHEN s.ssum * t.L > t.tsum * s.slen
+      |    THEN (CAST(1 AS BIGINT) << CAST(s.seg AS INT))
+      |    ELSE CAST(0 AS BIGINT) END), 0) AS sig
+      |  FROM tt t LEFT JOIN sg s ON s.media_id = t.media_id GROUP BY 1),
+      |b AS (SELECT id, sig,
+      |  c::VARCHAR || ':' || ((sig >> (15 * CAST(c AS INT))) & 32767)::VARCHAR
+      |    AS chunk
+      |  FROM (SELECT id, sig, unnest(range(0, 4)) AS c FROM sig)),
+      |cand AS (SELECT DISTINCT l.id AS id1, r.id AS id2,
+      |  l.sig AS h1, r.sig AS h2
+      |  FROM b l JOIN b r ON l.chunk = r.chunk AND l.id < r.id)
+      |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY id1, id2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
@@ -184,6 +247,7 @@ object MediaQueries {
     "m04_resize" -> m04Resize,
     "m05_chunk" -> m05Chunk,
     "m06_media_dedup" -> m06MediaDedup,
+    "m07_phash_neardup" -> m07PhashNearDup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +257,6 @@ object MediaQueries {
     "m04_resize" -> m04Sql,
     "m05_chunk" -> m05Sql,
     "m06_media_dedup" -> m06Sql,
+    "m07_phash_neardup" -> m07Sql,
   )
 }
