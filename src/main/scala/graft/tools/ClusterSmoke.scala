@@ -87,7 +87,19 @@ object ClusterSmoke {
     // per-key densify + IGNORE NULLS forward-fill window
     "q56_gap_fill",
     // chained conditional aggs (funnel) and the bf-vs-ivf recall join
-    "q57_funnel", "e18_ivf_recall")
+    "q57_funnel", "e18_ivf_recall",
+    // round-11 shapes: the BPE merge-table fit from executor-partial
+    // pair counts baked into literal encode chains (t20), NB's
+    // classes×vocab grid built from executor partials then broadcast
+    // (t21), the generalized N-stage sequence plan (q58), the host
+    // syndication graph build + rank join (d17), A-ES weighted top-k
+    // merged from per-partition partial top-ks (d18), trained-cell
+    // quotas (d19), the MMR greedy loop's per-step localCheckpoints
+    // across executor JVMs (e19), and the perceptual-hash banding
+    // self-join (m07)
+    "t20_bpe_tokenize", "t21_nb_classify", "q58_seq_pattern",
+    "d17_host_rank_gate", "d18_weighted_sample", "d19_cluster_sample",
+    "e19_mmr_rerank", "m07_phash_neardup")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
