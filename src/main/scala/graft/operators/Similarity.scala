@@ -245,6 +245,21 @@ object Similarity {
       probeCellsOn(centsOf(corpus.sparkSession, codebook),
         queries, vecCol, idCol, nProbe), k)
 
+  /** IVF top-k over a PRE-ASSIGNED (id, v, cell) relation — the serving
+    * path of a MAINTAINED index ([[graft.io.IvfMaintenance]]): upserts
+    * were assigned map-only against the frozen codebook when they
+    * landed, tombstones already anti-joined, and the assignment lives
+    * in storage partitioned BY cell so the probe filter prunes at the
+    * scan. Same plan downstream as [[ivfTopKTrained]]; only the
+    * assignment source differs. */
+  def ivfTopKOnAssigned(assigned: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, k: Int,
+                        codebook: Seq[Seq[Double]],
+                        nProbe: Int = 2): DataFrame =
+    ivfSearch(assigned,
+      probeCellsOn(centsOf(assigned.sparkSession, codebook),
+        queries, vecCol, idCol, nProbe), k)
+
   private def ivfSearch(assigned: DataFrame, probes: DataFrame,
                         k: Int): DataFrame =
     assigned.join(broadcast(probes), Seq("cell"))

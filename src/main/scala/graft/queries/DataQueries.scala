@@ -583,6 +583,77 @@ object DataQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Memoized coarse fit on the BASE corpus only (vec_id % 3 != 0) —
+    * e20's frozen quantizer: the index is built from the base, later
+    * batches upsert against the SAME codebook without retraining. */
+  private val kmBaseModels =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), KMeans.Model]
+  private def kmBaseModel(s: SparkSession, dir: String): KMeans.Model =
+    kmBaseModels.synchronized {
+      kmBaseModels.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) kmBaseModels.remove(kk)
+      }
+      kmBaseModels.getOrElseUpdate((s, dir),
+        KMeans.fit(Catalog(s, dir).embeddings
+            .filter(pmod(col("vec_id"), lit(3L)) =!= 0),
+          "embedding", "vec_id", k = kmK, dim = kmDim,
+          initRounds = kmRounds, oversample = kmL, iters = kmIters,
+          seedTag = "kb"))
+    }
+
+  /** MAINTAINED-index serving ([[Similarity.ivfTopKOnAssigned]] /
+    * [[graft.io.IvfMaintenance]]): the quantizer is fitted on the BASE
+    * corpus and FROZEN; a later delivery (vec_id % 3 == 0) is
+    * upsert-assigned map-only against it, a tombstone set
+    * (vec_id % 10 == 5) is anti-joined out, and queries probe the
+    * maintained assignments. The ORACLE REBUILDS from scratch — fit on
+    * base, assign the live corpus in one pass — so the hash compare
+    * proves upsert+delete == rebuild under a frozen quantizer, the
+    * contract that makes incremental index maintenance safe (and e18's
+    * recall report is the gate that says when the frozen fit has
+    * drifted enough to retrain). */
+  val e20IvfUpsert: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val cb = kmBaseModel(s, dir).centroids
+    val built = Similarity.cellAssignmentsTrained(
+      emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0),
+      "embedding", "vec_id", cb)
+    val upserted = Similarity.cellAssignmentsTrained(
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 0),
+      "embedding", "vec_id", cb)
+    val tomb = emb.filter(pmod(col("vec_id"), lit(10L)) === 5)
+      .select(col("vec_id").as("id"))
+    val live = built.unionByName(upserted)
+      .join(broadcast(tomb), Seq("id"), "left_anti")
+    Similarity.ivfTopKOnAssigned(live,
+        emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5, codebook = cb, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e20Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |bse AS (SELECT id, v FROM e WHERE id % 3 <> 0),
+      |${kmCtesFor("b", "bse", kmDim, "cos", "kb")},
+      |live AS (SELECT id, v FROM e WHERE id % 10 <> 5),
+      |asg AS (SELECT id, v, cell FROM (
+      |  SELECT l.id, l.v, c.cell, row_number() OVER (PARTITION BY l.id
+      |    ORDER BY round(list_cosine_similarity(l.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM live l CROSS JOIN bcents c) WHERE rn = 1),
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |probes AS (SELECT query_id, qv, cell FROM (
+      |  SELECT q.query_id, q.qv, c.cell, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM q CROSS JOIN bcents c) WHERE rn <= 2),
+      |sc AS (SELECT p.query_id, a.id,
+      |  round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+      |  FROM asg a JOIN probes p ON a.cell = p.cell AND a.id <> p.query_id),
+      |r AS (SELECT query_id, id, cosine, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Product-quantization codes (IVF-PQ's memory half): every vector
     * compressed to 4 codebook indices + reconstruction error, encoding
     * map-only against the TRAINED packed codebook ([[KMeans
@@ -2432,6 +2503,7 @@ object DataQueries {
     "e17_filtered_ann" -> e17FilteredAnn,
     "e18_ivf_recall" -> e18IvfRecall,
     "e19_mmr_rerank" -> e19MmrRerank,
+    "e20_ivf_upsert" -> e20IvfUpsert,
     "d13_semantic_dedup" -> d13SemanticDedup,
     "t12_shard_shuffle" -> t12ShardShuffle,
     "t13_gopher_rules" -> t13GopherRules,
@@ -2494,6 +2566,7 @@ object DataQueries {
     "e17_filtered_ann" -> e17Sql,
     "e18_ivf_recall" -> e18Sql,
     "e19_mmr_rerank" -> e19Sql,
+    "e20_ivf_upsert" -> e20Sql,
     "d13_semantic_dedup" -> d13Sql,
     "t12_shard_shuffle" -> t12Sql,
     "t13_gopher_rules" -> t13Sql,

@@ -1,0 +1,83 @@
+package graft
+
+import graft.io.IvfMaintenance
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Vector-index maintenance ([[IvfMaintenance]]): upsert+delete must
+  * equal a from-scratch rebuild under the frozen quantizer, tombstones
+  * must be invisible to the index scan, and compaction must rewrite
+  * ONLY the cells holding deleted ids. */
+class IvfMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-D ring corpus: 4 well-separated quadrant centroids
+  private def vecs(ids: Range) = ids.map { i =>
+    val angle = i * 2 * math.Pi / 200.0
+    (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+  }.toDF("vec_id", "embedding")
+  private val codebook = Seq(
+    Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
+
+  private def cellFiles(dir: String): Map[String, Set[String]] =
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().map(f =>
+        f.getName + ":" + f.lastModified()).toSet).toMap
+
+  test("build + upsert + delete == rebuild of the live corpus; compact touches only affected cells") {
+    val dir = Files.createTempDirectory("graft-ivfm").toString + "/idx"
+    IvfMaintenance.build(dir, vecs(0 until 120), "embedding", "vec_id", codebook)
+    IvfMaintenance.upsert(dir, vecs(120 until 200), "embedding", "vec_id", codebook)
+    // delete ids that live in cell 0 only (angles near 0 / 2pi)
+    val dead = Seq(1L, 2L, 198L)
+    IvfMaintenance.delete(spark, dir, dead)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell")).as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val served = canon(IvfMaintenance.serving(spark, dir))
+    val rebuilt = canon(Similarity.cellAssignmentsTrained(
+      vecs(0 until 200).filter(!col("vec_id").isin(dead: _*)),
+      "embedding", "vec_id", codebook))
+    assert(served === rebuilt, "maintained index must equal a rebuild")
+    assert(!served.map(_._1).exists(dead.contains(_)))
+
+    // search over the maintained index == trained search on live corpus
+    val queries = Seq((1000L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val a = Similarity.ivfTopKOnAssigned(IvfMaintenance.serving(spark, dir),
+        queries, "embedding", "vec_id", k = 3, codebook, nProbe = 2)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq.sorted
+    val b = Similarity.ivfTopKTrained(
+        vecs(0 until 200).filter(!col("vec_id").isin(dead: _*)),
+        queries, "embedding", "vec_id", k = 3, codebook, nProbe = 2)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq.sorted
+    assert(a === b)
+
+    // compaction rewrites ONLY the affected cell dirs
+    val before = cellFiles(dir)
+    val affected = spark.read.parquet(dir)
+      .filter(col("id").isin(dead: _*))
+      .select("cell").distinct().as[Long].collect().map(c => s"cell=$c").toSet
+    assert(affected.nonEmpty && affected.size < before.size,
+      s"fixture must leave some cells untouched: $affected")
+    IvfMaintenance.compact(spark, dir)
+    val after = cellFiles(dir)
+    for ((cell, files) <- before if !affected.contains(cell))
+      assert(after(cell) === files,
+        s"$cell had no deletions and must be byte-untouched")
+    // tombstones folded: side table gone, serving unchanged
+    assert(!new java.io.File(s"$dir/_graft_tombstones").exists)
+    assert(canon(IvfMaintenance.serving(spark, dir)) === rebuilt)
+  }
+
+  test("delete is O(ids): nothing in the index moves until compaction") {
+    val dir = Files.createTempDirectory("graft-ivfm2").toString + "/idx"
+    IvfMaintenance.build(dir, vecs(0 until 50), "embedding", "vec_id", codebook)
+    val before = cellFiles(dir)
+    IvfMaintenance.delete(spark, dir, Seq(3L, 4L))
+    assert(cellFiles(dir) === before, "delete must not rewrite the index")
+    assert(IvfMaintenance.serving(spark, dir)
+      .filter(col("id").isin(3L, 4L)).count() === 0L)
+  }
+}
