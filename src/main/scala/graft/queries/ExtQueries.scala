@@ -1192,11 +1192,44 @@ object ExtQueries {
       |LEFT JOIN s4 ON s1.user_id = s4.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** Cohort retention matrix — the product-analytics shape q57/q58
+    * don't cover (no per-user ordering at all — two keyed aggregates):
+    * users bucketed by the 7-day epoch week of their FIRST event
+    * (integer `div` on epoch micros — pure arithmetic weeks, no
+    * engine-specific calendar/timezone truncation in the hash gate),
+    * activity deduplicated per (user, week), counts per (cohort,
+    * offset) cell. Scale shape: two user-keyed map-side-combinable
+    * aggregates, one user-keyed join, one cell-keyed count-distinct —
+    * nothing holds per-user ordered state. */
+  val q59CohortRetention: Q = (s, dir) => {
+    val ev = Catalog(s, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+    val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val act = ev.distinct()
+    act.join(first, Seq("user_id"))
+      .withColumn("week_offset", col("wk") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q59Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+      |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
     "q58_seq_pattern" -> q58SeqPattern,
+    "q59_cohort_retention" -> q59CohortRetention,
     "q51_pagerank" -> q51PageRank,
     "q52_kmv_algebra" -> q52KmvAlgebra,
     "q53_bloom_join" -> q53BloomJoin,
@@ -1235,6 +1268,7 @@ object ExtQueries {
     "q56_gap_fill" -> q56Sql,
     "q57_funnel" -> q57Sql,
     "q58_seq_pattern" -> q58Sql,
+    "q59_cohort_retention" -> q59Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,
