@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, StreamingQueryProgress, Trigger}
 import org.apache.spark.sql.types._
 
@@ -121,6 +122,28 @@ object StreamingMetrics {
     spark.streams.addListener(l)
     l
   }
+
+  /** The metrics table (empty with the right schema when no batch has
+    * reported yet — a gate over a fresh pipeline must evaluate, not
+    * throw). */
+  def readMetrics(spark: SparkSession, metricsPath: String): DataFrame =
+    if (new java.io.File(metricsPath).exists)
+      spark.read.parquet(metricsPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+
+  /** The operational LATENESS GATE, as a standard data-test check
+    * (graft.pipeline.DataTests): violating rows are the micro-batches
+    * that dropped more than `maxLate` late rows — so the same test
+    * phase that checks not_null/unique on the warehouse gates the
+    * stream's data loss, and a scheduler tick can fail loudly instead
+    * of silently shipping a partial aggregate downstream. */
+  def latenessCheck(spark: SparkSession, metricsPath: String,
+                    maxLate: Long = 0L): graft.pipeline.DataTests.Check =
+    graft.pipeline.DataTests.Check("streaming_metrics",
+      s"late_rows_dropped<=$maxLate",
+      graft.pipeline.DataTests.expect(readMetrics(spark, metricsPath),
+        coalesce(col("late_rows_dropped"), lit(0L)) <= maxLate))
 
   /** [[EventStreams.runAvailableNow]] plus the metrics harvest: the
     * cron-tick runner a production scheduler would call — drain the

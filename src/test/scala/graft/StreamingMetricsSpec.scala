@@ -96,6 +96,28 @@ class StreamingMetricsSpec extends SparkSpec {
       "join state operator rows must be present")
   }
 
+  test("lateness gate: the data-test check fails on a dropping batch, passes under threshold") {
+    val dir = land(
+      Seq(ev(1, 7, 0), ev(2, 7, 300), ev(3, 99, 4 * 3600)),
+      Seq(ev(4, 98, 4 * 3600 + 60)),
+      Seq(ev(5, 8, 600)))
+    val metrics = Files.createTempDirectory("graft-met-t4").toString + "/m"
+    // a fresh pipeline's gate evaluates clean, it doesn't throw
+    val fresh = graft.pipeline.DataTests.runAll(
+      Seq(StreamingMetrics.latenessCheck(spark, metrics)))
+    assert(fresh.forall(_.passed))
+    StreamingMetrics.runAvailableNowWithMetrics(spark,
+      EventStreams.sessionWindowCounts(streamOf(dir)),
+      "met_gate", metrics)
+    val strict = graft.pipeline.DataTests.runAll(
+      Seq(StreamingMetrics.latenessCheck(spark, metrics)))
+    assert(strict.exists(r => !r.passed && r.nViolations === 1L),
+      s"the dropping batch must violate the zero-lateness gate: $strict")
+    val tolerant = graft.pipeline.DataTests.runAll(
+      Seq(StreamingMetrics.latenessCheck(spark, metrics, maxLate = 1L)))
+    assert(tolerant.forall(_.passed))
+  }
+
   test("stateless query still records per-batch input volume (NULL operator)") {
     val dir = land(Seq(ev(1, 7, 0)), Seq(ev(2, 8, 60)))
     val metrics = Files.createTempDirectory("graft-met-t3").toString + "/m"
