@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.catalog.Catalog
-import graft.functions.GraftFunctions.{md5Long, qualityScore, tokenCount}
+import graft.functions.GraftFunctions.{emailRe, fingerprint, ipv4Re, md5Long, phoneRe, qualityScore, tokenCount}
 import graft.operators.{Dedup, KMeans, Opq, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1814,6 +1814,58 @@ object DataQueries {
        |  (label = true_label) AS is_correct
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** DATA CARD — the per-(lang, source) release datasheet every
+    * published dataset ships, as ONE hash-checked report: doc / token /
+    * char volumes, corpus-wide exact-duplicate membership (the d01
+    * fingerprint), and PII incidence (the t08 regex battery). Each
+    * ingredient is an already-verified kernel; the card proves they
+    * compose. Scale shape: one map-only projection computes every
+    * per-doc signal in a single pass over the scan, one fp-keyed
+    * aggregate finds duplicate fingerprints, one broadcast-sized join
+    * marks membership, one (lang, source) aggregate builds the card —
+    * nothing exchanges text. */
+  val t22DataCard: Q = (s, dir) => {
+    val b = Catalog(s, dir).documents.select(
+      col("lang"), col("source"), col("n_chars"),
+      fingerprint(col("text")).as("fp"),
+      tokenCount(col("text")).cast(LongType).as("n_toks"),
+      (col("text").rlike(emailRe) || col("text").rlike(phoneRe) ||
+        col("text").rlike(ipv4Re)).as("has_pii"))
+    val dups = b.filter(col("fp").isNotNull)
+      .groupBy("fp").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") > 1).select(col("fp"), lit(true).as("is_dup"))
+    b.join(broadcast(dups), Seq("fp"), "left_outer")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"))
+      .orderBy("lang", "source")
+  }
+
+  val t22Sql: String = {
+    import graft.functions.GraftFunctions.{emailRe, phoneRe, ipv4Re}
+    s"""WITH b AS (SELECT lang, source, n_chars,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |    t -> t <> '')) AS BIGINT) AS n_toks,
+       |  (regexp_matches(text, '$emailRe') OR regexp_matches(text, '$phoneRe')
+       |    OR regexp_matches(text, '$ipv4Re')) AS has_pii
+       |  FROM documents),
+       |d AS (SELECT fp, true AS is_dup FROM b WHERE fp IS NOT NULL
+       |  GROUP BY 1 HAVING count(*) > 1)
+       |SELECT b.lang, b.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(b.n_toks), 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(SUM(b.n_chars), 0) AS BIGINT) AS n_chars,
+       |  CAST(SUM(CASE WHEN COALESCE(d.is_dup, false) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_docs,
+       |  CAST(SUM(CASE WHEN COALESCE(b.has_pii, false) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pii_docs
+       |FROM b LEFT JOIN d USING (fp) GROUP BY 1, 2
+       |ORDER BY b.lang NULLS FIRST, b.source NULLS FIRST""".stripMargin
+  }
+
   /** Sequence packing: concat-and-chunk (seq_id, seq_offset) assignment
     * from running token totals, per language shard, cap 512 — see
     * [[TextAnalysis.packSequences]] for the at-scale shape. */
@@ -2478,6 +2530,7 @@ object DataQueries {
     "t19_bm25" -> t19Bm25,
     "t20_bpe_tokenize" -> t20BpeTokenize,
     "t21_nb_classify" -> t21NbClassify,
+    "t22_data_card" -> t22DataCard,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
     "d04_dedup_ngram_jaccard" -> d04NgramJaccard,
@@ -2541,6 +2594,7 @@ object DataQueries {
     "t19_bm25" -> t19Sql,
     "t20_bpe_tokenize" -> t20Sql,
     "t21_nb_classify" -> t21Sql,
+    "t22_data_card" -> t22Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
     "d04_dedup_ngram_jaccard" -> d04Sql,
