@@ -99,7 +99,11 @@ object ClusterSmoke {
     // self-join (m07)
     "t20_bpe_tokenize", "t21_nb_classify", "q58_seq_pattern",
     "d17_host_rank_gate", "d18_weighted_sample", "d19_cluster_sample",
-    "e19_mmr_rerank", "m07_phash_neardup")
+    "e19_mmr_rerank", "m07_phash_neardup",
+    // maintained-index serving (frozen base fit + upsert assignment +
+    // tombstone anti-join), the arithmetic-week cohort matrix, and the
+    // composed data card (fp dup membership + PII regexes + tokens)
+    "e20_ivf_upsert", "q59_cohort_retention", "t22_data_card")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
