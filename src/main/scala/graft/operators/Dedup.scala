@@ -415,6 +415,39 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame =
     bandedJaccardPairs(df, textCol, idCol, n, k, bands, threshold)
 
+  /** Pick the LSH banding (bands b × rows r = k) for a target Jaccard
+    * threshold — the standard S-curve tuning (Leskovec-Rajaraman-Ullman
+    * ch.3): a pair with similarity s collides with probability
+    * 1-(1-s^r)^b, whose inflection sits at t ≈ (1/b)^(1/r). Choose the
+    * divisor pair whose inflection lands nearest the target; ties
+    * break toward MORE bands (recall over precision — the verify step
+    * kills false positives anyway, while a missed candidate is gone).
+    * Driver-side pure arithmetic — the minhash twin of
+    * [[chooseEditJoinQ]]'s measured escalation, except here the
+    * collision curve is analytic so no data pass is needed. */
+  def chooseBanding(k: Int, threshold: Double): (Int, Int) = {
+    require(k >= 1 && threshold > 0 && threshold < 1,
+      s"need k>=1, threshold in (0,1); got $k/$threshold")
+    val cands = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    val best = cands.minBy { case (b, _, t) =>
+      (math.abs(t - threshold), -b)
+    }
+    (best._1, best._2)
+  }
+
+  /** [[minhashPairs]] with the banding chosen by [[chooseBanding]] from
+    * the verification threshold itself — candidates are generated at
+    * the S-curve point matching what the exact-jaccard verify keeps. */
+  def minhashPairsAuto(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, k: Int = 16,
+                       threshold: Double = 0.5): DataFrame = {
+    val (b, _) = chooseBanding(k, threshold)
+    bandedJaccardPairs(df, textCol, idCol, n, k, b, threshold)
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

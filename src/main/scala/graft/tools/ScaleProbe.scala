@@ -463,6 +463,61 @@ object ScaleProbe {
           Dedup.editDistancePairsAuto(corpus, "s", "id", maxDist = 1))
       }
     }
+    // t21 NB: fit exchanges are sample-sized, the classes×vocab grid
+    // broadcasts, scoring is one doc-keyed explode+groupBy + an argmax
+    // window — wall-clock must track the corpus scan
+    stage("nb_classify") {
+      val labeled = docs.withColumn("lang",
+        pmod(col("doc_id"), lit(5L)).cast(org.apache.spark.sql.types.StringType))
+      val isFit = pmod(graft.functions.GraftFunctions.md5Long(
+        col("doc_id").cast(org.apache.spark.sql.types.StringType)),
+        lit(20L)) === 0L
+      t("nb_classify") {
+        val (pri, grid) = TextAnalysis.naiveBayesFit(
+          labeled.filter(isFit), "text", "lang", 300)
+        TextAnalysis.naiveBayesClassify(labeled, "text", "doc_id", "lang",
+          pri, grid)
+      }
+    }
+    // t22 data card: one map-only per-doc pass + fp-keyed dup agg +
+    // broadcast membership join + one group agg — scan-bound
+    stage("data_card") {
+      import graft.functions.GraftFunctions.{emailRe, fingerprint, ipv4Re, phoneRe, tokenCount}
+      t("data_card") {
+        val b = docs.select(
+          pmod(col("doc_id"), lit(5L)).cast(org.apache.spark.sql.types.StringType).as("lang"),
+          pmod(col("doc_id"), lit(7L)).cast(org.apache.spark.sql.types.StringType).as("source"),
+          length(col("text")).cast(org.apache.spark.sql.types.LongType).as("n_chars"),
+          fingerprint(col("text")).as("fp"),
+          tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType).as("n_toks"),
+          (col("text").rlike(emailRe) || col("text").rlike(phoneRe) ||
+            col("text").rlike(ipv4Re)).as("has_pii"))
+        val dups = b.filter(col("fp").isNotNull)
+          .groupBy("fp").agg(count(lit(1)).as("nc"))
+          .filter(col("nc") > 1).select(col("fp"), lit(true).as("is_dup"))
+        b.join(broadcast(dups), Seq("fp"), "left_outer")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("n_chars_t"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"))
+      }
+    }
+    // m07 perceptual hash: one compiled sig pass + the 4-chunk banding
+    // self-join — positional sigs are near-random across DISTINCT docs,
+    // so 15-bit band buckets stay ~N/32768 and the curve near-linear
+    // (the salted replicas' suffixes change length, so replicas land
+    // FAR by the alignment contract — candidates stay bounded)
+    stage("phash_neardup") {
+      val spark2 = spark
+      t("phash_neardup") {
+        implicit val sp: SparkSession = spark2
+        graft.multimodal.Multimodal.phashNearDup(
+          graft.multimodal.Multimodal.fromDocuments(docs
+            .withColumn("lang", lit("en")).withColumn("source", lit("s"))))
+      }
+    }
     // t18 CMS: token counts are one keyed exchange with map-side
     // combine, the sketch build runs on the DISTINCT vocab, and the
     // summary is d*w rows whatever N is — near-linear scan-bound curve
