@@ -71,6 +71,31 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(canon(IvfMaintenance.serving(spark, dir)) === rebuilt)
   }
 
+  test("streamed upsert ticks drain into the same index as a batch build") {
+    val dir = Files.createTempDirectory("graft-ivfm3").toString + "/idx"
+    IvfMaintenance.build(dir, vecs(0 until 100), "embedding", "vec_id", codebook)
+    // late vectors land as files; each micro-batch upserts map-only
+    // against the frozen codebook — the continuous-ingest serving shape
+    val land = Files.createTempDirectory("graft-ivfm3-land").toString + "/in"
+    vecs(100 until 200).repartition(2).write.parquet(land)
+    val q = spark.readStream
+      .schema(spark.read.parquet(land).schema)
+      .option("maxFilesPerTrigger", "1").parquet(land)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfMaintenance.upsert(dir, batch, "embedding", "vec_id", codebook)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell")).as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(canon(IvfMaintenance.serving(spark, dir)) ===
+      canon(Similarity.cellAssignmentsTrained(vecs(0 until 200),
+        "embedding", "vec_id", codebook)))
+  }
+
   test("delete is O(ids): nothing in the index moves until compaction") {
     val dir = Files.createTempDirectory("graft-ivfm2").toString + "/idx"
     IvfMaintenance.build(dir, vecs(0 until 50), "embedding", "vec_id", codebook)
