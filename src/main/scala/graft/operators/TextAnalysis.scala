@@ -1050,6 +1050,61 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // Incremental data card (the t22 release datasheet as a delta fold)
+  // -------------------------------------------------------------------
+
+  /** Per-batch DATA-CARD STATE: one row per (fingerprint, lang, source)
+    * with doc/token/char/PII partial sums — everything the t22 card
+    * needs, with NO text retained. Dup membership is RETROACTIVE (a new
+    * copy of an old fingerprint flips the old doc into the dup count
+    * too), so a purely additive per-group fold would be wrong; keyed by
+    * fingerprint, the retroactivity becomes a plain counter merge.
+    * State size is bounded by distinct content × groups (the
+    * fingerprintRepState contract), not corpus size. */
+  def dataCardState(docs: DataFrame, textCol: String, langCol: String,
+                    sourceCol: String, nCharsCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.{emailRe, fingerprint, ipv4Re, phoneRe, tokenCount}
+    docs.select(col(langCol).as("lang"), col(sourceCol).as("source"),
+        col(nCharsCol).cast(LongType).as("n_chars"),
+        fingerprint(col(textCol)).as("fp"),
+        tokenCount(col(textCol)).cast(LongType).as("n_toks"),
+        (col(textCol).rlike(emailRe) || col(textCol).rlike(phoneRe) ||
+          col(textCol).rlike(ipv4Re)).as("has_pii"))
+      .groupBy("fp", "lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"))
+  }
+
+  /** Fold a batch's state into the accumulated state: one keyed counter
+    * merge — O(state), never a rescan of old text. */
+  def mergeDataCardState(state: DataFrame, batchState: DataFrame): DataFrame =
+    state.unionByName(batchState)
+      .groupBy("fp", "lang", "source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_pii_docs")).as("n_pii_docs"))
+
+  /** The t22 card from state alone: per-group sums plus dup membership
+    * recomputed from CORPUS-WIDE fingerprint totals — the retroactive
+    * flip falls out of the state keying (a fingerprint's total spans
+    * every batch that ever delivered it). */
+  def dataCardFromState(state: DataFrame): DataFrame = {
+    val fpTotals = state.filter(col("fp").isNotNull)
+      .groupBy("fp").agg(sum(col("n_docs")).as("fp_n"))
+      .filter(col("fp_n") > 1).select(col("fp"), lit(true).as("is_dup"))
+    state.join(fpTotals, Seq("fp"), "left_outer")
+      .groupBy("lang", "source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("is_dup"), col("n_docs")).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_pii_docs")).as("n_pii_docs"))
+  }
+
+  // -------------------------------------------------------------------
   // Supervised text classification: multinomial Naive Bayes
   // -------------------------------------------------------------------
 
