@@ -561,6 +561,66 @@ object EventStreams {
     }
   }
 
+  /** Streaming DATA CARD maintenance: the t22 release datasheet as a
+    * warehouse state table folded per micro-batch
+    * ([[graft.operators.TextAnalysis.dataCardState]] — fingerprint-keyed
+    * counter merges, so the RETROACTIVE dup flip of an earlier batch's
+    * document falls out of the keying with no rescan). Same
+    * atomic last-batch-in-state-swap replay guard as the CMS fold
+    * (counter merges are not idempotent); read the card at any time
+    * with `dataCardFromState(read(statePath).drop("last_batch"))`. */
+  def dataCardStreamQuery(spark: SparkSession, docs: DataFrame,
+                          textCol: String, langCol: String,
+                          sourceCol: String, nCharsCol: String,
+                          statePath: String,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dataCardFoldBatch(spark, batch.toDF(), batchId, textCol, langCol,
+          sourceCol, nCharsCol, statePath)
+      }
+      .option("checkpointLocation", s"$statePath.__checkpoint")
+      .trigger(trigger)
+      .start()
+
+  /** The guarded per-batch data-card fold (exposed for the replay
+    * spec). Guard semantics identical to [[cmsFoldBatch]]: equal batch
+    * id = genuine replay, skip; lower = checkpoint reset over surviving
+    * state, fail loud. */
+  private[graft] def dataCardFoldBatch(spark: SparkSession, batch: DataFrame,
+                                       batchId: Long, textCol: String,
+                                       langCol: String, sourceCol: String,
+                                       nCharsCol: String,
+                                       statePath: String): Unit = {
+    import spark.implicits._
+    val exists = graft.pipeline.Pipeline.pathExists(spark, statePath)
+    val raw =
+      if (exists) spark.read.parquet(statePath)
+      else Seq.empty[(String, String, String, Long, Long, Long, Long, Long)]
+        .toDF("fp", "lang", "source", "n_docs", "n_tokens", "n_chars",
+          "n_pii_docs", "last_batch")
+    val last =
+      if (!exists) -1L
+      else raw.agg(coalesce(max(col("last_batch")), lit(-1L)))
+        .head.getLong(0)
+    if (batchId < last)
+      throw new IllegalStateException(
+        s"data-card state at $statePath has last_batch=$last but the " +
+          s"stream delivered batchId=$batchId — the checkpoint was reset " +
+          "while the state table survived; delete (or move) BOTH " +
+          "together before restarting, or every batch is silently skipped")
+    if (batchId > last) {
+      val part = graft.operators.TextAnalysis
+        .dataCardState(batch, textCol, langCol, sourceCol, nCharsCol)
+      val merged = graft.operators.TextAnalysis
+        .mergeDataCardState(raw.drop("last_batch"), part)
+        .withColumn("last_batch", lit(batchId))
+      graft.pipeline.Pipeline.mergeIntoParquet(
+        spark, statePath, merged, Seq("fp", "lang", "source"))
+    }
+  }
+
   /** Stream-stream interval join — the attribution shape: each purchase
     * joined to the SAME user's clicks in the preceding `horizon`. Both
     * sides are watermarked and the time-range predicate is two-sided,
