@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *                           identity pass-through when unconfigured)
   *   DOCS_DEDUPED    (table) exact-dup keeper drop over the scored set
   *   DOCS_CLEAN      (table) decontaminated (benchmark 5-shingle overlap)
+  *   DOCS_LANG_GATED (table) label-consistency filter: t21's NB
+  *                           classifier fitted on the corpus's own 5%
+  *                           sample drops docs whose predicted language
+  *                           disagrees with the declared label
   *   DOCS_HOST_GATED (table) host-authority prior: PageRank over the
   *                           content-syndication host graph drops docs
   *                           from measured-low-authority hosts (identity
@@ -139,13 +143,24 @@ object CurationModels {
     * keep=false because it REPORTS authority; the gate consumes it as a
     * filter, where only measured low authority should drop data).
     * False = stage passes through unchanged. */
+  /** `langGate`: label-consistency filter between the host prior and
+    * the mixture cut — fit t21's multinomial Naive Bayes on the
+    * deterministic md5 5% sample of the gated corpus (declared labels
+    * as supervision) and DROP documents whose predicted language
+    * disagrees with their declared one. Crawl lang metadata is
+    * unreliable; a doc the corpus's own language model scores as
+    * another language is mislabeled (wrong-language contamination in a
+    * monolingual shard) or noise. Corpus-global like the perplexity
+    * gate (the fit depends on the whole corpus) — batch by design.
+    * False = stage passes through unchanged. */
   def registry(spark: SparkSession, documents: DataFrame,
                benchmark: DataFrame,
                incrementalFilter: Boolean = false,
                exportBudget: Option[Long] = None,
                perplexityGate: Option[Double] = None,
                bigramGate: Boolean = false,
-               hostPrior: Boolean = false): Registry = {
+               hostPrior: Boolean = false,
+               langGate: Boolean = false): Registry = {
     val r = new Registry(spark)
 
     r.register(Model("DOCS_PROFILED", "2_STG___CURATION", Nil, View) { _ =>
@@ -227,15 +242,35 @@ object CurationModels {
       }
     })
 
-    r.register(Model("MIXTURE_SAMPLED", "3_MART___CURATION",
+    r.register(Model("DOCS_LANG_GATED", "3_MART___CURATION",
         Seq("DOCS_HOST_GATED"), Table) { deps =>
+      val d = deps("DOCS_HOST_GATED")
+      if (!langGate) d
+      else {
+        import graft.functions.GraftFunctions.md5Long
+        val sample = d.filter(pmod(md5Long(col("doc_id")
+          .cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L)
+        val (pri, grid) =
+          TextAnalysis.naiveBayesFit(sample, "text", "lang", vocabSize = 300)
+        val wrong = TextAnalysis.naiveBayesClassify(d, "text", "doc_id",
+            "lang", pri, grid)
+          .filter(!col("is_correct"))
+          .select(col("doc_id"))
+        // no broadcast hint: the mislabeled set is corpus-proportional
+        // in a dirty crawl — let AQE pick from runtime stats
+        d.join(wrong, Seq("doc_id"), "left_anti")
+      }
+    })
+
+    r.register(Model("MIXTURE_SAMPLED", "3_MART___CURATION",
+        Seq("DOCS_LANG_GATED"), Table) { deps =>
       // the pretraining export cut (VERDICT r6 next-#7): t10 computes
       // α-tempered mixture weights over the gated corpus, t15's
       // deterministic md5-rank sample applies the derived per-source
       // budgets — so what ships downstream is the MIXTURE, not the raw
       // gated crawl. Budget floor 1: a source that survived the gates
       // is never silently zeroed by rounding.
-      val d = deps("DOCS_HOST_GATED")
+      val d = deps("DOCS_LANG_GATED")
       exportBudget match {
         case None => d
         case Some(b) =>

@@ -309,4 +309,47 @@ class CurationPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(passthrough == clean)
   }
+  test("lang gate: mislabeled-language docs dropped by the corpus's own classifier") {
+    // two cleanly separable language vocabularies; four English docs
+    // arrive DECLARED as French (the unreliable-crawl-metadata shape).
+    // The NB fit on the deterministic 5% sample learns both
+    // vocabularies from the declared labels (the handful of mislabeled
+    // docs is noise the majority drowns out), and the gate drops
+    // exactly the label-inconsistent docs.
+    def en(i: Long) =
+      s"the cat sits on the mat and the dog runs in the park w$i"
+    def fr(i: Long) =
+      s"le chat dort sur le tapis et le chien court dans le parc v$i"
+    val docs = (
+      (0L until 100L).map(i => (i, en(i), "en", "web")) ++
+      (100L until 200L).map(i => (i, fr(i), "fr", "web")) ++
+      (9001L to 9004L).map(i => (i, en(i), "fr", "web"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((77001L, "benchmark only text nothing shared here"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-curation-lang").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    CurationModels.registry(spark, docs, bench, langGate = true)
+      .run(cfg, Seq("DOCS_LANG_GATED"))
+    val gated = spark.read
+      .parquet(s"$tmp/DEV/3_MART___CURATION/DOCS_LANG_GATED")
+      .select("doc_id").as[Long].collect().toSet
+    assert((9001L to 9004L).forall(id => !gated.contains(id)),
+      s"mislabeled docs must drop: ${gated.filter(_ >= 9000L)}")
+    assert((0L until 200L).forall(gated.contains),
+      s"correctly-labeled docs must pass: ${(0L until 200L).filterNot(gated.contains)}")
+
+    // unconfigured: identity pass-through
+    val tmp2 = Files.createTempDirectory("graft-curation-lang2").toString
+    val cfg2 = RunConfig(env = Dev, warehouseRoot = tmp2)
+    CurationModels.registry(spark, docs, bench)
+      .run(cfg2, Seq("DOCS_LANG_GATED"))
+    val host = spark.read
+      .parquet(s"$tmp2/DEV/3_MART___CURATION/DOCS_HOST_GATED")
+      .select("doc_id").as[Long].collect().toSet
+    val passthrough = spark.read
+      .parquet(s"$tmp2/DEV/3_MART___CURATION/DOCS_LANG_GATED")
+      .select("doc_id").as[Long].collect().toSet
+    assert(passthrough == host)
+  }
 }
