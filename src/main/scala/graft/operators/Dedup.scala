@@ -828,6 +828,126 @@ object Dedup {
     verifiedLong.unionByName(verifiedShort).distinct()
   }
 
+  /** Reference STATE for the delta edit join ([[editDistancePairsDelta]])
+    * — what an entity-resolution service materializes once so daily
+    * batches link against it without re-deriving the reference side:
+    *
+    *  - `ranks`: the reference corpus's (gram, rank) table under the
+    *    (frequency asc, gram asc) total order — the FROZEN blocking
+    *    order. Losslessness of prefix blocking holds for ANY total
+    *    order as long as both sides of a pair use the SAME one (the
+    *    set-form lemma never uses what the order MEANS — frequency is
+    *    only a bucket-size heuristic), so freezing the reference order
+    *    stays exact as the batch distribution drifts; only bucket
+    *    sizes degrade, and refreshing the state is the tuning lever.
+    *    Batch grams absent from the table sort BEFORE every ranked
+    *    gram (by gram among themselves): they have reference frequency
+    *    zero — rarer than anything seen — and reference strings never
+    *    contain them, so the combined order restricted to either side
+    *    is consistent.
+    *  - `prefix`: the reference prefix relation (gram, id, s) — k·q+1
+    *    rows per reference string, string carried for map-side verify.
+    *  - `short`: the reference border population (len, id, s,
+    *    is_short) for the exact short block.
+    *
+    * All three are plain DataFrames — persist them as warehouse tables
+    * (Pipeline.Table) exactly like the minhash band state. */
+  def editJoinState(ref: DataFrame, strCol: String, idCol: String,
+                    maxDist: Int, q: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(maxDist >= 1 && q >= 2, s"need maxDist>=1, q>=2; got $maxDist/$q")
+    val prefixLen = maxDist * q + 1
+    val minSafeLen = (maxDist + 1) * q
+    val base = ref.select(col(idCol).cast(LongType).as("id"),
+      col(strCol).as("s"))
+    val grams = base.filter(length(col("s")) >= minSafeLen)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(0), length(col("s")) - q),
+        i => col("s").substr(i + lit(1), lit(q))))).as("gram"))
+    val ranks = grams.groupBy("gram").agg(count(lit(1)).as("gfreq"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gfreq"), col("gram"))).cast(LongType))
+      .select("gram", "rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("rank"), col("gram"))
+    val prefix = grams.join(ranks, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("id", "gram")
+      .join(base, Seq("id"))
+    val short = base.filter(length(col("s")) < minSafeLen + maxDist)
+      .withColumn("len", length(col("s")).cast(LongType))
+      .withColumn("is_short", length(col("s")) < minSafeLen)
+    (ranks, prefix, short)
+  }
+
+  /** DELTA edit-distance join: all (ref_id, batch_id, dist) pairs
+    * within `maxDist` edits BETWEEN a stored reference population and a
+    * new batch — record linkage as an incremental service (the
+    * delta-family move applied to d15: per-batch cost tracks the BATCH
+    * plus the reference PREFIX relation, never re-derives reference
+    * grams or frequencies; batch-internal pairs are [[editDistancePairs]]
+    * on the batch, by contract). Batch prefixes are selected under the
+    * state's FROZEN gram order (unseen grams first — see
+    * [[editJoinState]] for why that stays lossless); verification runs
+    * map-side on the join output exactly as in the static operator, and
+    * the short×long border routes through the exact block against the
+    * stored border population. */
+  def editDistancePairsDelta(batch: DataFrame, strCol: String, idCol: String,
+                             maxDist: Int, q: Int,
+                             ranks: DataFrame, refPrefix: DataFrame,
+                             refShort: DataFrame): DataFrame = {
+    require(maxDist >= 1 && q >= 2, s"need maxDist>=1, q>=2; got $maxDist/$q")
+    val prefixLen = maxDist * q + 1
+    val minSafeLen = (maxDist + 1) * q
+    val b = batch.select(col(idCol).cast(LongType).as("id"),
+      col(strCol).as("s"))
+    val bGrams = b.filter(length(col("s")) >= minSafeLen)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(0), length(col("s")) - q),
+        i => col("s").substr(i + lit(1), lit(q))))).as("gram"))
+    // unseen grams (reference frequency zero) sort before every ranked
+    // gram: coalesce(rank, -1) then gram keeps the combined order total
+    // and consistent with the frozen reference order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(coalesce(col("rank"), lit(-1L)), col("gram"))
+    val bPrefix = bGrams.join(ranks, Seq("gram"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("id", "gram")
+      .join(b, Seq("id"))
+    val verifiedLong = refPrefix
+      .select(col("id").as("ref_id"), col("s").as("s1"), col("gram"))
+      .join(bPrefix.select(col("id").as("batch_id"), col("s").as("s2"),
+        col("gram")), Seq("gram"))
+      .filter(abs(length(col("s1")) - length(col("s2"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("s1"), col("s2"), maxDist).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select("ref_id", "batch_id", "dist")
+    // exact border block: batch border strings against the stored
+    // reference border population, keeping pairs with >= 1 truly-short
+    // side (both-long pairs belong to the gram path, as in the static
+    // operator — the candidate sets stay disjoint)
+    val bShort = b.filter(length(col("s")) < minSafeLen + maxDist)
+      .withColumn("len", length(col("s")).cast(LongType))
+      .withColumn("is_short", length(col("s")) < minSafeLen)
+    val verifiedShort = refShort.select(
+        explode(sequence(col("len") - maxDist, col("len") + maxDist))
+          .as("lb"),
+        col("id").as("ref_id"), col("s").as("s1"),
+        col("is_short").as("sh1"))
+      .join(bShort.select(col("len").as("lb"), col("id").as("batch_id"),
+        col("s").as("s2"), col("is_short").as("sh2")), Seq("lb"))
+      .filter(col("sh1") || col("sh2"))
+      .withColumn("dist",
+        levenshtein(col("s1"), col("s2"), maxDist).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select("ref_id", "batch_id", "dist")
+    verifiedLong.unionByName(verifiedShort).distinct()
+  }
+
   /** Pick q for [[editDistancePairs]] from the MEASURED gram-space
     * saturation of a deterministic sample, instead of asking the caller
     * to know their alphabet's entropy up front.

@@ -1938,6 +1938,39 @@ object DataQueries {
     * the syndication graph rank 0 and fail the gate (no authority
     * evidence). The oracle replays the shingle graph build AND all six
     * rank steps (the q51 CTE block). */
+  /** DELTA edit-distance join ([[Dedup.editJoinState]] /
+    * [[Dedup.editDistancePairsDelta]]): the record-linkage service
+    * shape — a stored reference population (1-in-5 md5 customer
+    * sample; frozen gram-rank order + prefix relation + border
+    * population, the persistable state) linked against a NEW batch
+    * (the disjoint 1-in-5 slice at residue 1). The ORACLE IS the naive
+    * quadratic cross join, so the hash compare re-proves the
+    * frozen-order blocking lossless on real data every round — the
+    * d15 contract extended to the incremental path. */
+  val d20EditJoinDelta: Q = (s, dir) => {
+    val c = Catalog(s, dir).customer
+    val h = md5Long(col("c_custkey").cast(StringType))
+    val ref = c.filter(h % 5 === 0)
+    val batch = c.filter(h % 5 === 1)
+    val (ranks, prefix, short) =
+      Dedup.editJoinState(ref, "c_name", "c_custkey", maxDist = 1, q = 3)
+    Dedup.editDistancePairsDelta(batch, "c_name", "c_custkey",
+        maxDist = 1, q = 3, ranks, prefix, short)
+      .orderBy(col("ref_id"), col("batch_id"))
+  }
+
+  val d20Sql: String =
+    s"""WITH r AS (SELECT c_custkey AS ref_id, c_name AS s1 FROM customer
+       |  WHERE ${h60("CAST(c_custkey AS VARCHAR)")} % 5 = 0),
+       |b AS (SELECT c_custkey AS batch_id, c_name AS s2 FROM customer
+       |  WHERE ${h60("CAST(c_custkey AS VARCHAR)")} % 5 = 1)
+       |SELECT r.ref_id, b.batch_id,
+       |  CAST(levenshtein(r.s1, b.s2) AS BIGINT) AS dist
+       |FROM r CROSS JOIN b
+       |WHERE abs(len(r.s1) - len(b.s2)) <= 1
+       |  AND levenshtein(r.s1, b.s2) <= 1
+       |ORDER BY ref_id, batch_id""".stripMargin
+
   /** Weighted sampling without replacement
     * ([[TextAnalysis.weightedSample]], Efraimidis–Spirakis A-ES keys
     * derandomized via md5): top-100 documents under length weighting —
@@ -2519,6 +2552,7 @@ object DataQueries {
     "d16_decontam_shuffle" -> d16DecontamShuffle,
     "d17_host_rank_gate" -> d17HostRankGate,
     "d18_weighted_sample" -> d18WeightedSample,
+    "d20_edit_join_delta" -> d20EditJoinDelta,
     "d19_cluster_sample" -> d19ClusterSample,
     "d10_containment" -> d10ContainmentPairs,
     "t06_seq_pack" -> t06SeqPack,
@@ -2583,6 +2617,7 @@ object DataQueries {
     "d16_decontam_shuffle" -> d09Sql, // same result contract, shuffle plan
     "d17_host_rank_gate" -> d17Sql,
     "d18_weighted_sample" -> d18Sql,
+    "d20_edit_join_delta" -> d20Sql,
     "d19_cluster_sample" -> d19Sql,
     "d10_containment" -> d10Sql,
     "t06_seq_pack" -> t06Sql,

@@ -103,7 +103,10 @@ object ClusterSmoke {
     // maintained-index serving (frozen base fit + upsert assignment +
     // tombstone anti-join), the arithmetic-week cohort matrix, and the
     // composed data card (fp dup membership + PII regexes + tokens)
-    "e20_ivf_upsert", "q59_cohort_retention", "t22_data_card")
+    "e20_ivf_upsert", "q59_cohort_retention", "t22_data_card",
+    // delta record linkage: frozen gram-rank state + cross-population
+    // prefix join + border block across executor JVMs
+    "d20_edit_join_delta")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
