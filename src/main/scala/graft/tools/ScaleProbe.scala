@@ -463,6 +463,35 @@ object ScaleProbe {
           Dedup.editDistancePairsAuto(corpus, "s", "id", maxDist = 1))
       }
     }
+    // d20 delta record linkage: the Nx salted corpus is the stored
+    // reference (state prepared once, write-once like the corpora); a
+    // 1x batch of fresh near-matches links against it. Per-batch cost
+    // must track the BATCH plus the reference PREFIX relation (a
+    // column-pruned scan), never re-derive reference grams — the
+    // minhash delta_banded contract on the edit-join family
+    stage("edit_join_delta") {
+      val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .filter(pmod(graft.functions.GraftFunctions.md5Long(
+          col("c_custkey").cast(org.apache.spark.sql.types.StringType)),
+          lit(5L)) === 0)
+      val refCorpus = prepared(s"/tmp/graft_scale_names_${replicas}x") {
+        (0 until replicas).map { r =>
+          val salt = ('a' + (r % 26)).toChar.toString * 3 + (r / 26)
+          cust.select((col("c_custkey") + lit(r * 1000000L)).as("id"),
+            concat(col("c_name"), lit(s" $salt")).as("s"))
+        }.reduce(_ unionByName _)
+      }
+      val stateDir = s"/tmp/graft_scale_ejstate_${replicas}x"
+      val (r0, p0, s0) = Dedup.editJoinState(refCorpus, "s", "id", 1, 4)
+      val ranks = prepared(s"${stateDir}_ranks")(r0)
+      val prefix = prepared(s"${stateDir}_prefix")(p0)
+      val short = prepared(s"${stateDir}_short")(s0)
+      val batch = cust.select((col("c_custkey") + lit(900000000L)).as("id"),
+        concat(col("c_name"), lit(" aaa0x")).as("s")) // 2 edits off replica 0
+      t(s"edit_join_delta_${replicas}x")(
+        Dedup.editDistancePairsDelta(batch, "s", "id", 1, 4,
+          ranks, prefix, short))
+    }
     // t21 NB: fit exchanges are sample-sized, the classes×vocab grid
     // broadcasts, scoring is one doc-keyed explode+groupBy + an argmax
     // window — wall-clock must track the corpus scan
