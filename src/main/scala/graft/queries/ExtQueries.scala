@@ -1224,8 +1224,37 @@ object ExtQueries {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** HOPPING (sliding) time windows — the windowing shape the checked
+    * surface lacked (tumbling lives in streaming, session windows in
+    * q14/streaming, row windows in q23): 10-minute windows sliding
+    * every 5, per event type, exact-decimal value sums. Spark's
+    * `window(ts, w, s)` expands each row into its w/s covering windows
+    * (an Expand node — map-only fan-out, then one keyed aggregate);
+    * window starts ship as EPOCH MICROS so the oracle replays the
+    * epoch-aligned slide arithmetic exactly (win_start = (us div s - j)
+    * · s for j in 0..1, both always within the 2x window). */
+  val q60HoppingWindow: Q = (s, dir) =>
+    Catalog(s, dir).events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  val q60Sql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+      |w AS (SELECT (us // 300000000 - j) * 300000000 AS win_start_us,
+      |  event_type, value
+      |  FROM e, (SELECT unnest(range(0, 2)) AS j))
+      |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
+    "q60_hopping_window" -> q60HoppingWindow,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
     "q58_seq_pattern" -> q58SeqPattern,
@@ -1269,6 +1298,7 @@ object ExtQueries {
     "q57_funnel" -> q57Sql,
     "q58_seq_pattern" -> q58Sql,
     "q59_cohort_retention" -> q59Sql,
+    "q60_hopping_window" -> q60Sql,
     "q42_det_sample" -> q42Sql,
     "q43_full_outer" -> q43Sql,
     "q29_pivot" -> q29Sql,
