@@ -182,7 +182,19 @@ case class PerceptualHashExpr(child: Expression)
     var out = 0L
     var j = 0
     while (j < 60) {
-      if (segSum(j) * L > totalSum * segLen(j)) out |= (1L << j)
+      // exact 128-bit compare of segSum·L vs totalSum·segLen: the
+      // 64-bit products overflow beyond ~2e7 code points (segSum·L ~
+      // L²·mean/60) while the DuckDB oracle's SUM promotes to HUGEINT —
+      // multiplyHigh keeps both engines bit-identical at ANY payload
+      // length (ADVICE r11)
+      val hi1 = Math.multiplyHigh(segSum(j), L)
+      val lo1 = segSum(j) * L
+      val hi2 = Math.multiplyHigh(totalSum, segLen(j))
+      val lo2 = totalSum * segLen(j)
+      val gt =
+        if (hi1 != hi2) hi1 > hi2
+        else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+      if (gt) out |= (1L << j)
       j += 1
     }
     out

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *    small tombstone relation); probe queries still prune non-probed
   *    cells at the SCAN (IvfStorageSpec's partition-pruning pin).
   *  - [[compact]]: folds tombstones in by rewriting ONLY the cells
-  *    that contain deleted ids (dynamic partition overwrite — the
-  *    same affected-partitions-only contract as
-  *    [[graft.pipeline.Pipeline.deleteKeys]], here scoped by the
-  *    index's own cell layout), then clears the tombstone table.
+  *    that contain deleted ids (staged to a sibling tmp path, swapped
+  *    in per cell — the same write-tmp-then-swap crash-safety
+  *    discipline as [[graft.pipeline.Pipeline.deleteKeys]], here
+  *    scoped by the index's own cell layout), then clears the
+  *    tombstone table.
   *
   * At 100 TB: upsert cost tracks the batch, delete cost the id list,
   * compact cost the affected cells' bytes — never the index size.
@@ -63,8 +64,12 @@ object IvfMaintenance {
   }
 
   private def tombstones(spark: SparkSession, dir: String): DataFrame = {
-    val td = new java.io.File(tombDir(dir))
-    if (td.exists) spark.read.parquet(tombDir(dir))
+    // Existence through the path's Hadoop FileSystem, NOT java.io.File:
+    // on hdfs:// or s3a:// a local-file check is false for an EXISTING
+    // tombstone table, and serving() would silently return deleted
+    // vectors (ADVICE r11).
+    if (graft.pipeline.Pipeline.pathExists(spark, tombDir(dir)))
+      spark.read.parquet(tombDir(dir))
     else {
       import spark.implicits._
       Seq.empty[Long].toDF("id")
@@ -76,32 +81,92 @@ object IvfMaintenance {
     spark.read.parquet(dir)
       .join(broadcast(tombstones(spark, dir)), Seq("id"), "left_anti")
 
+  private def compactTmp(dir: String) = s"$dir.__compact_tmp"
+  private def compactAside(dir: String) = s"$dir.__compact_aside"
+
+  /** Heal a compact that crashed mid-swap: any cell dir still in the
+    * aside root whose live twin is MISSING is restored (the crash hit
+    * between move-aside and move-in); one whose live twin exists was
+    * already replaced — drop the leftover. Idempotent; called at the
+    * top of every [[compact]] and safe to call any time. */
+  def recoverCompact(spark: SparkSession, dir: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(compactAside(dir))
+    if (f.exists(aside)) {
+      f.listStatus(aside).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
+        if (!f.exists(live))
+          require(f.rename(st.getPath, live),
+            s"failed to restore ${st.getPath} after crashed compact")
+        else require(f.delete(st.getPath, true),
+          s"failed to clean up ${st.getPath}")
+      }
+      f.delete(aside, true)
+    }
+    f.delete(new org.apache.hadoop.fs.Path(compactTmp(dir)), true)
+  }
+
   /** Fold tombstones into the layout: rewrite ONLY the cells holding
-    * deleted ids (dynamic partition overwrite), then drop the
-    * tombstone table. Cells without deletions are untouched on disk. */
+    * deleted ids, then drop the tombstone table. Cells without
+    * deletions are untouched on disk (byte-identical — spec-pinned).
+    *
+    * Crash-safe (ADVICE r11: the former dynamic-partition-overwrite
+    * self-read had a non-atomic delete-then-move commit that could lose
+    * the SURVIVING rows of a rewritten cell): surviving rows land on a
+    * sibling tmp path first, then each affected cell dir is swapped in
+    * move-aside -> move-in -> drop-aside order — no window where a
+    * cell's survivors exist nowhere durable. The aside root is a
+    * SIBLING of the index dir (an in-place `cell=X.__old` dir would be
+    * picked up by partition discovery and corrupt reads mid-crash).
+    * Tombstones are cleared only after every swap lands; a rerun after
+    * any crash heals via [[recoverCompact]] and converges. All paths go
+    * through the Hadoop FileSystem — works on hdfs://, s3a://, file://. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    recoverCompact(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ts = tombstones(spark, dir)
-    if (ts.isEmpty) return
     val stored = spark.read.parquet(dir)
+    // cell values holding deleted ids: bounded by the tombstone count
     val affected = stored.join(broadcast(ts), Seq("id"))
-      .select("cell").distinct()
+      .select("cell").distinct().collect().map(_.get(0))
+    if (affected.isEmpty) { // nothing stored to fold (or no tombstones)
+      f.delete(new org.apache.hadoop.fs.Path(tombDir(dir)), true)
+      return
+    }
+    val affectedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(affected.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          stored.schema("cell").dataType))))
     val rewritten = stored
-      .join(broadcast(affected), Seq("cell"))
+      .join(broadcast(affectedDf), Seq("cell"))
       .join(broadcast(ts), Seq("id"), "left_anti")
       // column order: data columns first, partition column last
       .select(stored.columns.filter(_ != "cell").map(col) :+ col("cell"): _*)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rewritten.write.partitionBy("cell").mode("overwrite").parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val tmp = compactTmp(dir)
+    rewritten.write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val asideRoot = new org.apache.hadoop.fs.Path(compactAside(dir))
+    require(f.mkdirs(asideRoot), s"failed to create $asideRoot")
+    affected.foreach { v =>
+      val leaf = s"cell=${escapePathName(String.valueOf(v))}"
+      val live = new org.apache.hadoop.fs.Path(dir, leaf)
+      val stage = new org.apache.hadoop.fs.Path(tmp, leaf)
+      require(f.rename(live, new org.apache.hadoop.fs.Path(asideRoot, leaf)),
+        s"failed to move $live aside during compact")
+      // a cell whose every row was tombstoned has no staged replacement:
+      // moving it aside IS the rewrite
+      if (f.exists(stage))
+        require(f.rename(stage, live),
+          s"failed to swap $stage into $live — original preserved under $asideRoot")
     }
-    // tombstones folded in: clear the side table
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(tombDir(dir)))
+    // every swap landed: tombstones are folded in — clear everything
+    require(f.delete(new org.apache.hadoop.fs.Path(tombDir(dir)), true) ||
+      !f.exists(new org.apache.hadoop.fs.Path(tombDir(dir))),
+      s"failed to clear tombstones under $dir")
+    f.delete(asideRoot, true)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

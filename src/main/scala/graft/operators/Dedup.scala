@@ -491,6 +491,14 @@ object Dedup {
     * to chunk buckets — the LSH bucket contract. */
   def hammingPairs(sigs: DataFrame, bits: Int, chunks: Int,
                    maxHamming: Int): DataFrame = {
+    // the pigeonhole is lossless ONLY under these bounds — a caller
+    // passing e.g. chunks=3 with maxHamming=3 would silently drop true
+    // near-dup pairs (ADVICE r11)
+    require(chunks >= 1 && bits >= 1 && bits <= 63 && bits % chunks == 0,
+      s"bits=$bits must be a positive multiple of chunks=$chunks (bits <= 63)")
+    require(maxHamming >= 0 && maxHamming < chunks,
+      s"maxHamming=$maxHamming must be < chunks=$chunks for the " +
+        "pigeonhole banding to be lossless")
     val w = bits / chunks
     val chunkCols = (0 until chunks).map(c =>
       concat(lit(s"$c:"),

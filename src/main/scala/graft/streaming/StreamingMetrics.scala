@@ -127,7 +127,10 @@ object StreamingMetrics {
     * reported yet — a gate over a fresh pipeline must evaluate, not
     * throw). */
   def readMetrics(spark: SparkSession, metricsPath: String): DataFrame =
-    if (new java.io.File(metricsPath).exists)
+    // Hadoop-FS existence, not java.io.File: on hdfs://s3a:// a local
+    // check is always false and latenessCheck would gate an always-empty
+    // table, passing vacuously (ADVICE r11).
+    if (graft.pipeline.Pipeline.pathExists(spark, metricsPath))
       spark.read.parquet(metricsPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)

@@ -96,6 +96,51 @@ class IvfMaintenanceSpec extends SparkSpec {
         "embedding", "vec_id", codebook)))
   }
 
+  test("compact heals a crash between move-aside and move-in; no row lost") {
+    val dir = Files.createTempDirectory("graft-ivfm4").toString + "/idx"
+    IvfMaintenance.build(dir, vecs(0 until 200), "embedding", "vec_id", codebook)
+    IvfMaintenance.delete(spark, dir, Seq(1L, 2L))
+    // simulate the worst crash window of a previous compact: an affected
+    // cell dir was moved aside but its staged replacement never moved in
+    val cell = spark.read.parquet(dir).filter(col("id") === 1L)
+      .select("cell").as[Long].head()
+    val aside = new java.io.File(s"$dir.__compact_aside")
+    assert(aside.mkdirs())
+    val live = new java.io.File(s"$dir/cell=$cell")
+    assert(live.renameTo(new java.io.File(aside, s"cell=$cell")))
+    // the index is temporarily missing that cell — rerunning compact
+    // must first restore it (no surviving row may be lost), then fold
+    IvfMaintenance.compact(spark, dir)
+    assert(!aside.exists && !new java.io.File(s"$dir.__compact_tmp").exists)
+    assert(!new java.io.File(s"$dir/_graft_tombstones").exists)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell")).as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(canon(IvfMaintenance.serving(spark, dir)) ===
+      canon(Similarity.cellAssignmentsTrained(
+        vecs(0 until 200).filter(!col("vec_id").isin(1L, 2L)),
+        "embedding", "vec_id", codebook)))
+  }
+
+  test("compacting a fully-tombstoned cell drops its dir; rerun converges") {
+    val dir = Files.createTempDirectory("graft-ivfm5").toString + "/idx"
+    IvfMaintenance.build(dir, vecs(0 until 200), "embedding", "vec_id", codebook)
+    // tombstone EVERY id of one cell — its staged replacement is empty,
+    // so move-aside alone is the rewrite
+    val cell = spark.read.parquet(dir).select("cell").as[Long].head()
+    val doomed = spark.read.parquet(dir).filter(col("cell") === cell)
+      .select("id").as[Long].collect().toSeq
+    IvfMaintenance.delete(spark, dir, doomed)
+    IvfMaintenance.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/cell=$cell").exists,
+      "a fully-deleted cell's dir must be gone after compact")
+    assert(IvfMaintenance.serving(spark, dir)
+      .filter(col("cell") === cell).count() === 0L)
+    // idempotent: compacting with no tombstones is a no-op
+    IvfMaintenance.compact(spark, dir)
+    assert(IvfMaintenance.serving(spark, dir).count() === (200 - doomed.size).toLong)
+  }
+
   test("delete is O(ids): nothing in the index moves until compaction") {
     val dir = Files.createTempDirectory("graft-ivfm2").toString + "/idx"
     IvfMaintenance.build(dir, vecs(0 until 50), "embedding", "vec_id", codebook)
