@@ -46,6 +46,32 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Content fingerprints (VERDICT r11 next-#2): the drift contract
+    // covers schema; the two driver incidents to date (r9 events.ts,
+    // r11 t21 suspect) were the generator's DATA changing under the
+    // engine. One row count + one order-insensitive xxhash64 XOR digest
+    // per input table, printed and dumped, makes "the testdata changed"
+    // vs "the engine broke" decidable from a one-line diff next round.
+    val fps = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      .map { t =>
+        val df = graft.catalog.Catalog(spark, sfDir).table(t)
+        // strings via concat of casts: stable across physical layouts;
+        // XOR fold is row-order- and partitioning-invariant
+        val hashed = df.select(org.apache.spark.sql.functions.xxhash64(
+          df.columns.map(c => org.apache.spark.sql.functions.col(c)
+            .cast("string")): _*).as("h"))
+        val r = hashed.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.expr("coalesce(bit_xor(h), 0)")
+            .as("digest")).head
+        val line = s"$t rows=${r.getLong(0)} digest=${java.lang.Long.toHexString(r.getLong(1))}"
+        println(s"[verify] fingerprint $line")
+        s"${q(t)}: ${q(s"rows=${r.getLong(0)} digest=${java.lang.Long.toHexString(r.getLong(1))}")}"
+      }
+    Files.writeString(Paths.get(s"$outDir/fingerprints.json"),
+      fps.mkString("{", ",", "}"))
     spark.stop()
   }
 }

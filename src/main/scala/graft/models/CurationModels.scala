@@ -250,10 +250,15 @@ object CurationModels {
         import graft.functions.GraftFunctions.md5Long
         val sample = d.filter(pmod(md5Long(col("doc_id")
           .cast(org.apache.spark.sql.types.StringType)), lit(20L)) === 0L)
-        val (pri, grid) =
-          TextAnalysis.naiveBayesFit(sample, "text", "lang", vocabSize = 300)
+        // literal fit (the t21 r12 contract): collected, boundary-
+        // audited integers — same parameters as the in-plan replay
+        val spark = d.sparkSession
+        import spark.implicits._
+        val m = TextAnalysis.naiveBayesFitLiterals(
+          sample, "text", "lang", vocabSize = 300)
         val wrong = TextAnalysis.naiveBayesClassify(d, "text", "doc_id",
-            "lang", pri, grid)
+            "lang", m.priors.toDF("label", "prior_lp"),
+            m.grid.toDF("label", "tok", "lp"))
           .filter(!col("is_correct"))
           .select(col("doc_id"))
         // no broadcast hint: the mislabeled set is corpus-proportional

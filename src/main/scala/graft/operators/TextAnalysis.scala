@@ -155,9 +155,14 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("n"))
     val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
     require(total > 0, "unigramLm: LM corpus has no tokens")
-    def quant(p: Double): Long = math.floor(math.log(p) * 1e9 + 0.5).toLong
+    def pre(p: Double): Double = math.log(p) * 1e9 + 0.5
+    def quant(p: Double): Long = math.floor(pre(p)).toLong
     val top = counts.orderBy(col("n").desc, col("tok"))
       .limit(vocab).collect()
+    // the oracle replays these ln's in another libm: fail loudly if any
+    // parameter sits near a flooring boundary (VERDICT r11 / t21)
+    QuantAudit.audit("unigram-lm",
+      top.map(r => pre(r.getLong(1).toDouble / total)).toSeq :+ pre(1.0 / total))
     val lm = top.map(r =>
       r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
     (lm, quant(1.0 / total))
@@ -263,8 +268,10 @@ object TextAnalysis {
     try {
       val total = uniCounts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
       require(total > 0, "bigramLm: LM corpus has no tokens")
-      def quant(p: Double): Long = math.floor(math.log(p) * 1e9 + 0.5).toLong
-      val uni = uniCounts.orderBy(col("n").desc, col("tok")).limit(vocab).collect()
+      def pre(p: Double): Double = math.log(p) * 1e9 + 0.5
+      def quant(p: Double): Long = math.floor(pre(p)).toLong
+      val uniTop = uniCounts.orderBy(col("n").desc, col("tok")).limit(vocab).collect()
+      val uni = uniTop
         .map(r => r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
       val bgTop = lmCorpus
         .select(explode(
@@ -275,6 +282,13 @@ object TextAnalysis {
       val w1s = bgTop.map(_._1.split(' ')(0)).distinct.toSeq
       val w1Counts = uniCounts.filter(col("tok").isInCollection(w1s)).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every replayed-ln parameter (uni + bi + OOV floor + backoff)
+      // must clear the flooring-boundary margin (VERDICT r11 / t21)
+      QuantAudit.audit("bigram-lm",
+        uniTop.map(r => pre(r.getLong(1).toDouble / total)).toSeq ++
+          bgTop.map { case (bg, n) =>
+            pre(n.toDouble / w1Counts(bg.split(' ')(0))) } :+
+          pre(1.0 / total) :+ pre(0.4))
       val bi = bgTop.map { case (bg, n) =>
         bg -> quant(n.toDouble / w1Counts(bg.split(' ')(0)))
       }.toMap
@@ -833,10 +847,22 @@ object TextAnalysis {
       sum(col("dl")).as("total_dl"))
     val df_ = exploded.join(broadcast(terms), Seq("tok")).distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val idf = df_.crossJoin(broadcast(stats))
-      .select(col("tok"), expr(
-        "CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / " +
-          "(df + 0.5)) * 1e9 + 0.5) AS BIGINT)").as("idf_u"))
+    // idf: collected (nTerms rows), quantized driver-side with the
+    // boundary audit, and joined back as a LITERAL relation — Math.log
+    // here is the same JVM ln the former in-plan expr used, and the
+    // audit fails loudly when a parameter would flip under a replaying
+    // oracle's libm (VERDICT r11 / t21)
+    val idfRows = df_.crossJoin(broadcast(stats))
+      .select("tok", "df", "n_docs").collect()
+    def idfPre(dfc: Long, n: Long): Double =
+      math.log(1.0 + (n.toDouble - dfc + 0.5) / (dfc + 0.5)) * 1e9 + 0.5
+    QuantAudit.audit("bm25-idf",
+      idfRows.map(r => idfPre(r.getLong(1), r.getLong(2))).toSeq)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idf = idfRows.map(r => (r.getString(0),
+        math.floor(idfPre(r.getLong(1), r.getLong(2))).toLong))
+      .toSeq.toDF("tok", "idf_u")
     val tf = exploded.join(broadcast(terms), Seq("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     tf.join(broadcast(idf), Seq("tok"))
@@ -1158,6 +1184,65 @@ object TextAnalysis {
           (coalesce(col("n_tok"), lit(0L)) + lit(vocabSize.toLong))
             .cast(DoubleType)).as("lp"))
     (priors, grid)
+  }
+
+  /** A fitted NB model COLLECTED to literals: every parameter an
+    * integer nano-nat the scoring paths (Spark AND oracle) consume
+    * verbatim — the PQ-codebook contract (VERDICT r11 next-#1). The
+    * grid is dense (classes × vocab, absent pairs at the smoothing
+    * floor) and trivially broadcast-sized. */
+  final case class NbModel(priors: Seq[(String, Long)],
+                           grid: Seq[(String, String, Long)],
+                           minBoundaryDist: Double)
+
+  /** [[naiveBayesFit]]'s counting run driver-side to LITERALS: the
+    * count relations (classes, vocab head, class×token counts — all
+    * sample-vocab-bounded) are collected and the ln quantization
+    * happens in ONE place, on the driver, with the
+    * [[QuantAudit]] boundary audit over every parameter. Both scoring
+    * paths then consume these integers verbatim, so the hash gate no
+    * longer depends on two libms agreeing near a flooring boundary
+    * (the t21 r11 driver incident). Bit-identical to [[naiveBayesFit]]
+    * on this JVM (same Math.log, same expression order) — pinned
+    * within ±1 nano-nat by NaiveBayesSpec. */
+  def naiveBayesFitLiterals(sample: DataFrame, textCol: String,
+                            labelCol: String, vocabSize: Int): NbModel = {
+    val toks = sample.select(col(labelCol).as("label"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+      .persist()
+    try {
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      val classes = sample.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_docs"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy(_._1).toSeq
+      val totalDocs = classes.map(_._2).sum
+      require(totalDocs > 0, "naiveBayesFitLiterals: empty sample")
+      val vocabSet = vocab.toSet
+      val ct = toks.filter(col("tok").isInCollection(vocabSet))
+        .groupBy("label", "tok").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val ctot = ct.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+      def priorPre(n: Long): Double =
+        math.log(n.toDouble / totalDocs) * 1e9 + 0.5
+      def gridPre(l: String, t: String): Double =
+        math.log((ct.getOrElse((l, t), 0L) + 1.0) /
+          (ctot.getOrElse(l, 0L) + vocabSize.toLong).toDouble) * 1e9 + 0.5
+      val pres = classes.map(c => priorPre(c._2)) ++
+        (for (c <- classes; t <- vocab) yield gridPre(c._1, t))
+      // literal contract: immune to cross-engine libm skew by
+      // construction — audit is log-only, recording the headroom
+      val minDist = QuantAudit.audit("nb-classifier", pres, hardFail = false)
+      NbModel(
+        classes.map { case (l, n) =>
+          l -> math.floor(priorPre(n)).toLong },
+        for (c <- classes; t <- vocab)
+          yield (c._1, t, math.floor(gridPre(c._1, t)).toLong),
+        minDist)
+    } finally toks.unpersist(blocking = false)
   }
 
   /** Score every document against a fitted NB model and keep the argmax

@@ -1758,28 +1758,94 @@ object DataQueries {
 
   private val nbVocab = 300
 
+  /** One collected NB model per (session, sf dir) — same memoization
+    * contract as [[kmModel]]. The collect also caches the model for
+    * [[t21Sql]]'s literal oracle (queries run before the oracle dump in
+    * Verify, so the literals are always fresh for the dir being
+    * verified). */
+  private val nbModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), TextAnalysis.NbModel]
+  @volatile private var nbModelLast: Option[TextAnalysis.NbModel] = None
+  private[queries] def nbModel(s: SparkSession, dir: String): TextAnalysis.NbModel =
+    synchronized {
+      nbModels.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) nbModels.remove(kk)
+      }
+      val m = nbModels.getOrElseUpdate((s, dir), {
+        val sample = Catalog(s, dir).documents.filter(
+          pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L)
+        TextAnalysis.naiveBayesFitLiterals(sample, "text", "lang", nbVocab)
+      })
+      nbModelLast = Some(m)
+      m
+    }
+
   /** Multinomial Naive Bayes language classifier
     * ([[TextAnalysis.naiveBayesFit]] / [[TextAnalysis.naiveBayesClassify]]):
     * the trained curation classifier (fastText-style supervision) fitted
     * on the deterministic 5% labeled sample — add-one smoothing over the
     * top-300 sample vocabulary, priors from class doc shares — then every
-    * document argmax-scored in integer nano-nats. Training is pure
-    * counting, so the ORACLE REPLAYS THE WHOLE FIT (vocab head, class
-    * priors, the classes×vocab smoothed grid) and every per-doc score is
-    * an exact integer sum — any divergence in any parameter is a hash
-    * mismatch, the q51/t20 replayed-training contract. */
+    * document argmax-scored in integer nano-nats. Since r12 the fitted
+    * parameters are LITERALS in both scoring paths (the PQ-codebook
+    * contract): the r11 driver incident showed a replayed
+    * floor(ln(x)*1e9+0.5) can flip between libms at a boundary, so the
+    * oracle now consumes the collected integers verbatim and the gate
+    * is pure integer sums + argmax; the fit replay is pinned within
+    * ±1 nano-nat by NaiveBayesSpec and boundary-audited by
+    * [[graft.operators.QuantAudit]]. */
   val t21NbClassify: Q = (s, dir) => {
+    import s.implicits._
     val docs = Catalog(s, dir).documents
-    val sample = docs.filter(
-      pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L)
-    val (priors, grid) =
-      TextAnalysis.naiveBayesFit(sample, "text", "lang", nbVocab)
+    // LITERAL model contract (VERDICT r11 next-#1): the fit is
+    // collected once ([[nbModel]] — boundary-audited nano-nat
+    // integers), and BOTH scoring paths (this and [[t21Sql]]'s VALUES
+    // oracle) consume those integers verbatim. Scoring stays inside
+    // the hash gate exactly; the gate no longer depends on two libms
+    // agreeing at a floor(ln(x)*1e9+0.5) boundary. The fit replay
+    // itself is pinned within ±1 nano-nat by NaiveBayesSpec.
+    val m = nbModel(s, dir)
     TextAnalysis.naiveBayesClassify(docs.repartition(col("doc_id")),
-        "text", "doc_id", "lang", priors, grid)
+        "text", "doc_id", "lang",
+        m.priors.toDF("label", "prior_lp"),
+        m.grid.toDF("label", "tok", "lp"))
       .orderBy(col("doc_id"))
   }
 
-  val t21Sql: String =
+  /** t21 oracle. When the model has been collected this JVM (always
+    * true in a Verify run — queries execute before the oracle dump),
+    * the fitted integers are inlined as VALUES and DuckDB never
+    * computes an `ln`: the whole gate is integer sums + argmax,
+    * bit-exact under ANY libm. Falls back to the full fit replay
+    * ([[t21ReplaySql]]) if somehow dumped without a query run. */
+  def t21Sql: String = nbModelLast match {
+    case Some(m) =>
+      def esc(x: String) = x.replace("'", "''")
+      val pri = m.priors.map { case (l, p) => s"('${esc(l)}', $p)" }
+        .mkString(", ")
+      val grid = m.grid.map { case (l, t, p) => s"('${esc(l)}', '${esc(t)}', $p)" }
+        .mkString(", ")
+      s"""WITH $toksCte,
+         |pri AS (SELECT * FROM (VALUES $pri)
+         |  AS p(lang, prior_lp)),
+         |grid AS (SELECT * FROM (VALUES $grid)
+         |  AS g(lang, tok, lp)),
+         |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
+         |contrib AS (SELECT dt.doc_id, g.lang, SUM(dt.n * g.lp) AS tok_lp
+         |  FROM dt JOIN grid g USING (tok) GROUP BY 1, 2),
+         |scored AS (SELECT d.doc_id, d.lang AS true_label, p.lang AS label,
+         |  p.prior_lp + COALESCE(c.tok_lp, 0) AS score_nano
+         |  FROM documents d CROSS JOIN pri p
+         |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score_nano DESC, label) AS rn FROM scored)
+         |SELECT doc_id, label AS pred_label, score_nano,
+         |  (label = true_label) AS is_correct
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    case None => t21ReplaySql
+  }
+
+  private[queries] val t21ReplaySql: String =
     s"""WITH $toksCte,
        |lab AS (SELECT t.doc_id, d.lang, t.toks
        |  FROM toks t JOIN documents d USING (doc_id)
@@ -2604,7 +2670,11 @@ object DataQueries {
     "t04_token_stats" -> t04TokenStats,
   )
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: t21's oracle inlines the collected model as literals,
+  // so the map must be built AFTER the queries have run (Verify dumps
+  // oracle_sql.json last) — an eager val would freeze the replay
+  // fallback at class-init time
+  def oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d12_span_dedup" -> d12Sql,
     "d14_exact_substr" -> d14Sql,

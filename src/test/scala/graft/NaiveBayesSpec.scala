@@ -59,6 +59,38 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got === "de")
   }
 
+  test("literal fit == replayed fit within ±1 nano-nat, every parameter") {
+    // the r12 literal contract (VERDICT r11 next-#1): t21's gate scores
+    // with naiveBayesFitLiterals' collected integers; this pins the
+    // demoted in-plan fit replay against them parameter-by-parameter.
+    // On one JVM they are the same Math.log — expect exact equality;
+    // the contract tolerates ±1 (a libm ulp across the flooring line).
+    val m = TextAnalysis.naiveBayesFitLiterals(corpus, "text", "lang", 50)
+    val (pri, grid) = model()
+    val priRep = pri.as[(String, Long)].collect().toMap
+    val gridRep = grid.as[(String, String, Long)].collect()
+      .map { case (l, t, p) => (l, t) -> p }.toMap
+    assert(m.priors.size === priRep.size)
+    assert(m.grid.size === gridRep.size)
+    for ((l, p) <- m.priors)
+      assert(math.abs(p - priRep(l)) <= 1L, s"prior($l): $p vs ${priRep(l)}")
+    for ((l, t, p) <- m.grid)
+      assert(math.abs(p - gridRep((l, t))) <= 1L,
+        s"grid($l,$t): $p vs ${gridRep((l, t))}")
+    // same data, same JVM: the boundary headroom is real and recorded
+    assert(m.minBoundaryDist > 0.0)
+    // literal scoring == replayed-fit scoring on the training set
+    val a = TextAnalysis.naiveBayesClassify(corpus, "text", "doc_id", "lang",
+        m.priors.toDF("label", "prior_lp"), m.grid.toDF("label", "tok", "lp"))
+      .select("doc_id", "pred_label", "score_nano")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val b = TextAnalysis.naiveBayesClassify(corpus, "text", "doc_id", "lang",
+        pri, grid)
+      .select("doc_id", "pred_label", "score_nano")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("scores are partition-invariant") {
     val (pri, grid) = model()
     def run(parts: Int) = TextAnalysis.naiveBayesClassify(
