@@ -1024,10 +1024,18 @@ object TextAnalysis {
     merges.toSeq
   }
 
-  /** Encode ONE word column to its space-joined BPE symbol string: seed
-    * " c h a r s " via one regexp_replace, then the literal merge chain
-    * in rank order — `nMerges` codegen'd replace() calls, map-only, no
-    * shuffle, no UDF. */
+  /** Encode ONE word column to its space-joined BPE symbol string via
+    * the literal merge chain: seed " c h a r s " via one
+    * regexp_replace, then `nMerges` replace() calls in rank order.
+    * This is the REFERENCE form — its semantics define the contract
+    * (the oracle replays exactly these replaces) — but it does not
+    * scale in the merge count: the expression tree and the per-word
+    * passes both grow linearly, so a real 32k-merge table is
+    * unusable. Production encode is [[graft.expressions
+    * .BpeEncodeExpr]] (one compiled pass, merge table in the
+    * expression instance, cost independent of table size); BpeSpec
+    * pins the two equal on every fitted table and on the chain's edge
+    * cases, and ScaleProbe measures the divergence. */
   def bpeSymbols(word: Column, merges: Seq[(String, String)]): Column = {
     val seeded = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
     merges.foldLeft(seeded) { case (c, (a, b)) =>
@@ -1035,8 +1043,19 @@ object TextAnalysis {
     }
   }
 
-  /** BPE symbol count of one word. */
+  /** Encode ONE word column to its BPE symbol array — the
+    * production kernel ([[graft.expressions.BpeEncodeExpr]]). */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.TextExpressions.bpeEncode(word, merges)
+
+  /** BPE symbol count of one word (compiled single-pass kernel). */
   def bpeSymbolCount(word: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(word, merges)).cast(LongType)
+
+  /** BPE symbol count via the literal replace chain — the reference
+    * form ScaleProbe races against the kernel. */
+  private[graft] def bpeSymbolCountChain(word: Column,
+                                         merges: Seq[(String, String)]): Column =
     size(split(trim(bpeSymbols(word, merges)), " ")).cast(LongType)
 
   /** Per-document count of REAL subword tokens under a fitted merge

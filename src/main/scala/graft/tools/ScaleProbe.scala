@@ -575,6 +575,41 @@ object ScaleProbe {
       t(s"pagerank_${edges.count()}edges")(
         graft.operators.Graph.pageRankFixedPoint(edges, iterations = 6))
     }
+    // t20 BPE encode: the single-pass kernel (BpeEncodeExpr) vs the
+    // literal replace chain as the merge table grows. The chain is
+    // linear in the table (one expression node + one full-string pass
+    // per merge); the kernel visits only ranks PRESENT in each word,
+    // so its curve must stay ~flat from 16 to 1024 merges — the
+    // property that makes a real 32k-merge table viable (VERDICT r11
+    // next-#3).
+    stage("bpe_encode") {
+      val fitT0 = System.nanoTime()
+      // the corpus vocabulary exhausts around ~90 merges; a production
+      // table is 32k merges of which only a handful apply to any given
+      // word. Model that regime honestly: 64 real fitted merges + pad
+      // pairs that never occur (multi-char left symbols no merge ever
+      // forms). The chain must still SCAN the word once per pad merge;
+      // the kernel only ever visits ranks of pairs present in the word.
+      val fitted = TextAnalysis.fitBpe(base, "text", "doc_id",
+        vocabWords = 4000, nMerges = 64, sampleMod = 1)
+      val merges1k = fitted ++
+        (fitted.size until 1024).map(i => (s"pad$i", "padx"))
+      println(f"[scale] bpe_fit_64merges ${(System.nanoTime() - fitT0) / 1e9}%8.2f s")
+      def kernelCount(m: Seq[(String, String)]) =
+        base.select(col("doc_id"), coalesce(aggregate(
+          transform(graft.functions.GraftFunctions.tokens(lower(col("text"))),
+            w => TextAnalysis.bpeSymbolCount(w, m)),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("n"))
+      def chainCount(m: Seq[(String, String)]) =
+        base.select(col("doc_id"), coalesce(aggregate(
+          transform(graft.functions.GraftFunctions.tokens(lower(col("text"))),
+            w => TextAnalysis.bpeSymbolCountChain(w, m)),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("n"))
+      for (n <- Seq(16, 256, 1024))
+        t(s"bpe_kernel_$n")(kernelCount(merges1k.take(n)))
+      for (n <- Seq(16, 256))
+        t(s"bpe_chain_$n")(chainCount(merges1k.take(n)))
+    }
     spark.stop()
   }
 }

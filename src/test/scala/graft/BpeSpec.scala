@@ -50,6 +50,46 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("single-pass kernel == replace chain: edge cases the chain's " +
+      "string semantics define") {
+    // every quirk of the chain must reproduce in BpeEncodeExpr:
+    //  - consumed separator: " a b a b " merges only the FIRST (a,b)
+    //  - merge creating an earlier-rank pair: never re-merged
+    //  - merge creating a LATER-rank pair: merged at its turn
+    //  - duplicate ranks for one pair (re-learned): second pass fires
+    //  - supplementary code points
+    val cases = Seq(
+      (Seq(("a", "b")), Seq("abab", "aabb", "ababab", "ba", "a", "")),
+      (Seq(("a", "b"), ("ab", "ab")), Seq("abab", "ababab", "abababab")),
+      (Seq(("b", "c"), ("a", "bc")), Seq("abc", "abcbc", "aabc")),
+      // rank0 creates "ab"; rank1 (ab,c) fires later; rank2 (a,b) is a
+      // duplicate pair at a later rank hitting rank0's survivors
+      (Seq(("a", "b"), ("ab", "c"), ("a", "b")), Seq("ababc", "abab", "ababab")),
+      (Seq(("😀", "x")), Seq("😀x😀x", "x😀")))
+    for ((merges, words) <- cases; w <- words if w.nonEmpty) {
+      val got = Seq(w).toDF("w")
+        .select(array_join(TextAnalysis.bpeEncode(col("w"), merges), " "))
+        .head.getString(0)
+      val want = Seq(w).toDF("w")
+        .select(trim(TextAnalysis.bpeSymbols(col("w"), merges)))
+        .head.getString(0)
+      assert(got == want, s"kernel vs chain on '$w' with $merges")
+    }
+  }
+
+  test("single-pass kernel == replace chain on a fitted table over real words") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextAnalysis.fitBpe(docs, "text", "doc_id",
+      vocabWords = 500, nMerges = 32, sampleMod = 1)
+    val words = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val diff = words.select(
+        array_join(TextAnalysis.bpeEncode(col("w"), merges), " ").as("k"),
+        trim(TextAnalysis.bpeSymbols(col("w"), merges)).as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() === 0L, diff.take(3).toSeq.toString)
+  }
+
   test("fit on documents is deterministic and bounded") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m1 = TextAnalysis.fitBpe(docs, "text", "doc_id",
