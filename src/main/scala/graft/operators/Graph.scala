@@ -82,6 +82,17 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val n = nodeSet.count() // one bounded driver scalar: sizes the teleport
+    // empty graph -> empty ranks, NOT a divide-by-zero: a df-capped
+    // syndication build can legitimately yield zero edges (e.g. a fully
+    // cross-duplicated corpus where every shingle exceeds the cap), and
+    // the gate downstream treats no-rank hosts as rank 0 (probe-found,
+    // ScaleProbe host_rank 64x)
+    if (n == 0) return (e, e.sparkSession.createDataFrame(
+      e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", LongType),
+        org.apache.spark.sql.types.StructField("outdeg", LongType),
+        org.apache.spark.sql.types.StructField("rank", LongType)))), 0L)
     val base = nodeSet.join(outdeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
     val seeded = prev match {
@@ -112,6 +123,7 @@ object Graph {
   /** The synchronous power iteration shared by cold and warm starts. */
   private def powerSteps(e: DataFrame, init: DataFrame, n: Long,
                          iterations: Int, scale: Long): DataFrame = {
+    if (n == 0) return init // empty graph: nothing to iterate
     val teleport = ((scale * 15L) / 100L) / n
     var ranks = init
     for (_ <- 1 to iterations) {

@@ -575,6 +575,30 @@ object ScaleProbe {
       t(s"pagerank_${edges.count()}edges")(
         graft.operators.Graph.pageRankFixedPoint(edges, iterations = 6))
     }
+    // d17 host-authority rank: replicate docs with per-replica HOST
+    // remapping, so hosts (and the syndication graph) scale with the
+    // corpus while within-replica structure is preserved. The df-cap
+    // (<= 50 hosts/shingle) must keep cross-replica boilerplate
+    // shingles out of the self-join, so the curve tracks shingle
+    // volume (~linear), not hosts² (VERDICT r11 next-#8).
+    stage("host_rank") {
+      // word-level replica salt: every shingle is replica-LOCAL, so the
+      // syndication structure replicates instead of collapsing into
+      // df-capped cross-replica boilerplate (an append-only doc salt
+      // makes all replicas share all shingles -> the cap correctly
+      // drops everything -> empty graph, which is its own probe-found
+      // robustness case, now handled in Graph.rankInit)
+      val d17docs = prepared(s"/tmp/graft_scale_hosts2_${replicas}x") {
+        val b = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        (0 until replicas).map { r =>
+          b.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1_r$r").as("text"),
+            concat(col("source"), lit(s"_r$r")).as("source"))
+        }.reduce(_ unionByName _)
+      }
+      t(s"host_rank_${replicas}x")(graft.operators.Graph
+        .hostSyndicationRank(d17docs, "text", "source"))
+    }
     // t20 BPE encode: the single-pass kernel (BpeEncodeExpr) vs the
     // literal replace chain as the merge table grows. The chain is
     // linear in the table (one expression node + one full-string pass

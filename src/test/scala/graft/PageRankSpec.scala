@@ -98,6 +98,24 @@ class PageRankSpec extends SparkSpec {
       s"warm ${dist(warm2, ref2)} should beat cold ${dist(cold2, ref2)}")
   }
 
+  test("empty edge relation yields empty ranks, not a divide-by-zero") {
+    // probe-found (ScaleProbe host_rank 64x): a df-capped syndication
+    // build over a fully cross-duplicated corpus legitimately produces
+    // ZERO edges; the rank must be an empty relation the downstream
+    // gate coalesces to rank 0, never an ArithmeticException
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.pageRankFixedPoint(empty, 6).count() === 0L)
+    val docs = Seq(
+      (1L, "the same boilerplate text repeated everywhere ok", "h1"),
+      (2L, "the same boilerplate text repeated everywhere ok", "h2"),
+      (3L, "the same boilerplate text repeated everywhere ok", "h3"))
+      .toDF("doc_id", "text", "source")
+    // cap of 2 hosts/shingle excludes every (3-host) shingle -> no graph
+    val ranks = graft.operators.Graph.hostSyndicationRank(
+      docs, "text", "source", maxHostsPerShingle = 2)
+    assert(ranks.count() === 0L)
+  }
+
   test("bfsDepths: forest depths exact, loud failure on truncation") {
     import spark.implicits._
     // forest: 1 and 2 roots; chain 1<-10<-100<-1000, bush under 2
