@@ -1817,36 +1817,97 @@ object DataQueries {
     * computes an `ln`: the whole gate is integer sums + argmax,
     * bit-exact under ANY libm. Falls back to the full fit replay
     * ([[t21ReplaySql]]) if somehow dumped without a query run. */
+  /** NB classifier SELF-EVALUATION (VERDICT r11 next-#5, the e18
+    * pattern — the model evaluating itself as a hash-checked query):
+    * per-class confusion counts and precision / recall / F1 over the
+    * t21 predictions, one row per class of the literal model. All
+    * ratios are integer PPM via floor division (F1 through the
+    * 2·tp/(n_pred+n_true) identity), so the gate compares only
+    * integers. Scale shape: t21's scoring plan plus three class-keyed
+    * aggregates over (doc, class)-bounded relations — nothing new
+    * exchanges the corpus. */
+  val t23NbConfusion: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Catalog(s, dir).documents
+    val m = nbModel(s, dir)
+    val preds = TextAnalysis.naiveBayesClassify(docs.repartition(col("doc_id")),
+        "text", "doc_id", "lang",
+        m.priors.toDF("label", "prior_lp"),
+        m.grid.toDF("label", "tok", "lp"))
+      .join(docs.select(col("doc_id"), col("lang").as("true_label")),
+        Seq("doc_id"))
+    val tr = preds.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val pd = preds.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = preds.filter(col("pred_label") === col("true_label"))
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_correct"))
+    m.priors.map(_._1).toDF("label")
+      .join(tr, Seq("label"), "left_outer")
+      .join(pd, Seq("label"), "left_outer")
+      .join(tp, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("n_correct"),
+        when(col("n_pred") > 0,
+          expr("(n_correct * 1000000) div n_pred")).otherwise(lit(0L))
+          .as("precision_ppm"),
+        when(col("n_true") > 0,
+          expr("(n_correct * 1000000) div n_true")).otherwise(lit(0L))
+          .as("recall_ppm"),
+        when(col("n_pred") + col("n_true") > 0,
+          expr("(n_correct * 2000000) div (n_pred + n_true)"))
+          .otherwise(lit(0L)).as("f1_ppm"))
+      .orderBy(col("label"))
+  }
+
+  /** Literal scoring CTEs (ending in `best`): the collected model as
+    * VALUES + the shared scoring pipeline — t21 and t23 derive from
+    * the SAME string so the two oracles can never drift. */
+  private def nbLiteralCtes(m: TextAnalysis.NbModel): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val pri = m.priors.map { case (l, p) => s"('${esc(l)}', $p)" }
+      .mkString(", ")
+    val grid = m.grid.map { case (l, t, p) => s"('${esc(l)}', '${esc(t)}', $p)" }
+      .mkString(", ")
+    s"""$toksCte,
+       |pri AS (SELECT * FROM (VALUES $pri)
+       |  AS p(lang, prior_lp)),
+       |grid AS (SELECT * FROM (VALUES $grid)
+       |  AS g(lang, tok, lp)),
+       |$nbScoreCtes""".stripMargin
+  }
+
+  // scoring downstream of pri(lang, prior_lp) / grid(lang, tok, lp):
+  // identical between the literal and replay forms
+  private val nbScoreCtes: String =
+    s"""dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
+       |contrib AS (SELECT dt.doc_id, g.lang, SUM(dt.n * g.lp) AS tok_lp
+       |  FROM dt JOIN grid g USING (tok) GROUP BY 1, 2),
+       |scored AS (SELECT d.doc_id, d.lang AS true_label, p.lang AS label,
+       |  p.prior_lp + COALESCE(c.tok_lp, 0) AS score_nano
+       |  FROM documents d CROSS JOIN pri p
+       |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score_nano DESC, label) AS rn FROM scored)""".stripMargin
+
+  private val nbFinalSelect: String =
+    s"""SELECT doc_id, label AS pred_label, score_nano,
+       |  (label = true_label) AS is_correct
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   def t21Sql: String = nbModelLast match {
-    case Some(m) =>
-      def esc(x: String) = x.replace("'", "''")
-      val pri = m.priors.map { case (l, p) => s"('${esc(l)}', $p)" }
-        .mkString(", ")
-      val grid = m.grid.map { case (l, t, p) => s"('${esc(l)}', '${esc(t)}', $p)" }
-        .mkString(", ")
-      s"""WITH $toksCte,
-         |pri AS (SELECT * FROM (VALUES $pri)
-         |  AS p(lang, prior_lp)),
-         |grid AS (SELECT * FROM (VALUES $grid)
-         |  AS g(lang, tok, lp)),
-         |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
-         |contrib AS (SELECT dt.doc_id, g.lang, SUM(dt.n * g.lp) AS tok_lp
-         |  FROM dt JOIN grid g USING (tok) GROUP BY 1, 2),
-         |scored AS (SELECT d.doc_id, d.lang AS true_label, p.lang AS label,
-         |  p.prior_lp + COALESCE(c.tok_lp, 0) AS score_nano
-         |  FROM documents d CROSS JOIN pri p
-         |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang),
-         |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |  ORDER BY score_nano DESC, label) AS rn FROM scored)
-         |SELECT doc_id, label AS pred_label, score_nano,
-         |  (label = true_label) AS is_correct
-         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    case Some(m) => s"WITH ${nbLiteralCtes(m)}\n$nbFinalSelect"
     case None => t21ReplaySql
   }
 
-  private[queries] val t21ReplaySql: String =
-    s"""WITH $toksCte,
+  // replay fit CTEs ending in pri/grid — shared by the t21/t23 fallbacks
+  private val nbReplayFitCtes: String =
+    s"""$toksCte,
        |lab AS (SELECT t.doc_id, d.lang, t.toks
        |  FROM toks t JOIN documents d USING (doc_id)
        |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 20 = 0),
@@ -1866,19 +1927,48 @@ object DataQueries {
        |  FROM (SELECT lang FROM cls) c CROSS JOIN vcb v
        |  LEFT JOIN ct ON ct.lang = c.lang AND ct.tok = v.tok
        |  LEFT JOIN ctot ON ctot.lang = c.lang),
-       |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
-       |contrib AS (SELECT dt.doc_id, g.lang, SUM(dt.n * g.lp) AS tok_lp
-       |  FROM dt JOIN grid g USING (tok) GROUP BY 1, 2),
-       |scored AS (SELECT d.doc_id, d.lang AS true_label, p.lang AS label,
-       |  p.prior_lp + COALESCE(c.tok_lp, 0) AS score_nano
-       |  FROM documents d CROSS JOIN pri p
-       |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang),
-       |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-       |  ORDER BY score_nano DESC, label) AS rn FROM scored)
-       |SELECT doc_id, label AS pred_label, score_nano,
-       |  (label = true_label) AS is_correct
-       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+       |$nbScoreCtes""".stripMargin
+
+  private[queries] def t21ReplaySql: String =
+    s"WITH $nbReplayFitCtes\n$nbFinalSelect"
+
+  // per-class confusion/PR aggregation over `best` — shared by the t23
+  // literal and fallback forms. All ratios are INTEGER ppm (floor
+  // division; f1 via the 2tp/(n_pred+n_true) identity) so the gate
+  // never compares cross-engine doubles.
+  private val nbConfusionSelect: String =
+    s"""p1 AS (SELECT doc_id, true_label, label AS pred_label
+       |  FROM best WHERE rn = 1),
+       |tr AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM p1 GROUP BY 1),
+       |pd AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS n_pred
+       |  FROM p1 GROUP BY 1),
+       |tp AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_correct
+       |  FROM p1 WHERE pred_label = true_label GROUP BY 1)
+       |SELECT l.label,
+       |  CAST(COALESCE(tr.n_true, 0) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(pd.n_pred, 0) AS BIGINT) AS n_pred,
+       |  CAST(COALESCE(tp.n_correct, 0) AS BIGINT) AS n_correct,
+       |  CAST(CASE WHEN COALESCE(pd.n_pred, 0) > 0
+       |    THEN (COALESCE(tp.n_correct, 0) * 1000000) // pd.n_pred
+       |    ELSE 0 END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN COALESCE(tr.n_true, 0) > 0
+       |    THEN (COALESCE(tp.n_correct, 0) * 1000000) // tr.n_true
+       |    ELSE 0 END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN COALESCE(pd.n_pred, 0) + COALESCE(tr.n_true, 0) > 0
+       |    THEN (COALESCE(tp.n_correct, 0) * 2000000)
+       |      // (COALESCE(pd.n_pred, 0) + COALESCE(tr.n_true, 0))
+       |    ELSE 0 END AS BIGINT) AS f1_ppm
+       |FROM (SELECT lang AS label FROM pri) l
+       |LEFT JOIN tr ON tr.label = l.label
+       |LEFT JOIN pd ON pd.label = l.label
+       |LEFT JOIN tp ON tp.label = l.label
+       |ORDER BY l.label""".stripMargin
+
+  def t23Sql: String = nbModelLast match {
+    case Some(m) => s"WITH ${nbLiteralCtes(m)},\n$nbConfusionSelect"
+    case None => s"WITH $nbReplayFitCtes,\n$nbConfusionSelect"
+  }
 
   /** DATA CARD — the per-(lang, source) release datasheet every
     * published dataset ships, as ONE hash-checked report: doc / token /
@@ -2630,6 +2720,7 @@ object DataQueries {
     "t19_bm25" -> t19Bm25,
     "t20_bpe_tokenize" -> t20BpeTokenize,
     "t21_nb_classify" -> t21NbClassify,
+    "t23_nb_confusion" -> t23NbConfusion,
     "t22_data_card" -> t22DataCard,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
@@ -2699,6 +2790,7 @@ object DataQueries {
     "t19_bm25" -> t19Sql,
     "t20_bpe_tokenize" -> t20Sql,
     "t21_nb_classify" -> t21Sql,
+    "t23_nb_confusion" -> t23Sql,
     "t22_data_card" -> t22Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,
