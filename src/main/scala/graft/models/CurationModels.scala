@@ -307,6 +307,17 @@ object CurationModels {
           col("lang"), col("source"))
     })
 
+    r.register(Model("DATA_CARD", "3_MART___CURATION",
+        Seq("MIXTURE_SAMPLED"), Table) { deps =>
+      // the t22 datasheet over the EXPORT CUT — materialized per run so
+      // successive runs can be diffed as a release gate
+      // (DataTests.cardDiff; VERDICT r11 next-#7)
+      val d = deps("MIXTURE_SAMPLED")
+        .withColumn("__n_chars", length(col("text")))
+      TextAnalysis.dataCardFromState(TextAnalysis.dataCardState(
+        d, "text", "lang", "source", "__n_chars"))
+    })
+
     r
   }
 

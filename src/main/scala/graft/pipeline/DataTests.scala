@@ -66,6 +66,44 @@ object DataTests {
   def expect(df: DataFrame, expectation: Column): DataFrame =
     df.filter(!coalesce(expectation, lit(false)))
 
+  /** DATA-CARD DIFF — the release gate over the t22 datasheet
+    * (VERDICT r11 next-#7): compare the current card against the
+    * previously materialized one per key group and return one
+    * violation row per (group, metric) whose relative change exceeds
+    * `maxRelDelta`. A group that APPEARED or DISAPPEARED outright is
+    * always a violation (its delta is reported as NULL prev/cur) —
+    * a quality-gate or pipeline change that silently drops a
+    * (lang, source) shard is exactly what this check exists to catch.
+    * Violations carry (keys..., metric, prev, cur, rel_delta), so the
+    * release report is inspectable like every other check.
+    *
+    * Scale shape: one full-outer join of two card-sized relations
+    * (cards are (lang, source)-bounded — tiny at any corpus size) and
+    * a metric explode; nothing touches documents. */
+  def cardDiff(current: DataFrame, previous: DataFrame,
+               maxRelDelta: Double,
+               keys: Seq[String] = Seq("lang", "source"),
+               metrics: Seq[String] = Seq("n_docs", "n_tokens")): DataFrame = {
+    require(maxRelDelta >= 0, s"maxRelDelta must be >= 0, got $maxRelDelta")
+    require(keys.nonEmpty && metrics.nonEmpty, "keys and metrics required")
+    import org.apache.spark.sql.types.LongType
+    val cur = current.select(keys.map(col) ++
+      metrics.map(m => col(m).cast(LongType).as(s"__cur_$m")): _*)
+    val prev = previous.select(keys.map(col) ++
+      metrics.map(m => col(m).cast(LongType).as(s"__prev_$m")): _*)
+    cur.join(prev, keys, "full_outer")
+      .select(keys.map(col) :+ explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(s"__prev_$m").as("prev"),
+          col(s"__cur_$m").as("cur"))): _*)).as("__m"): _*)
+      .select(keys.map(col) :+ col("__m.metric").as("metric") :+
+        col("__m.prev").as("prev") :+ col("__m.cur").as("cur"): _*)
+      .withColumn("rel_delta",
+        when(col("prev").isNull || col("cur").isNull, lit(null))
+          .otherwise(abs(col("cur") - col("prev")).cast("double") /
+            greatest(col("prev").cast("double"), lit(1.0))))
+      .filter(col("rel_delta").isNull || col("rel_delta") > maxRelDelta)
+  }
+
   /** Evaluate a suite. `failFast=false` (the `dbt test` default of
     * running everything and reporting all failures) batches the whole
     * suite as ONE Spark job — a union of per-check violation counts —
