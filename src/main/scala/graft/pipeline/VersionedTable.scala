@@ -1,0 +1,327 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned parquet tables — the storage capability the
+  * warehouse layer was missing (VERDICT r11 "what's missing" #3 /
+  * next-#6): [[Pipeline]]'s swap discipline makes single-writer
+  * updates crash-safe, but a READER concurrent with a swap races the
+  * renames, and there is no way to read yesterday's state. This module
+  * adds the minimal manifest layer that fixes both, the way the real
+  * table formats do it (file-level manifests; Iceberg/Delta's core
+  * idea, re-expressed minimally):
+  *
+  * Layout under `root/`:
+  *   - `data/b<N>/…` immutable data files, written once by version N,
+  *     NEVER mutated or renamed afterwards; partition layouts live
+  *     inside the batch dir as `__pp_<col>=<value>/` dirs (the
+  *     partition column is DUPLICATED into the dir key, so the data
+  *     files keep every column and explicit-file reads need no
+  *     directory inference — probed: basePath inference conflicts on
+  *     batch dirs, plain file-list reads don't).
+  *   - `_manifests/v<N>` one relative file path per line: THE version.
+  *     A new version's manifest REFERENCES unchanged files of the old
+  *     version — maintenance cost stays O(affected partitions), never
+  *     O(table).
+  *   - `_current` the pointer file, containing just `N`; updated by an
+  *     atomic rename (write `_current.tmp`, rename over) — the commit
+  *     point. Everything before the rename is invisible to readers;
+  *     a crash anywhere leaves the previous version intact and the
+  *     next write heals by overwriting the orphan batch/manifest.
+  *
+  * Readers ([[read]]/[[readVersion]]) resolve the pointer ONCE, to a
+  * concrete immutable file list: a concurrent writer commits new
+  * versions without touching those files, so a mid-scan reader sees
+  * exactly one consistent version — the spec pins a reader resolved
+  * before a swap collecting the OLD version's rows after the swap
+  * lands. Time travel is [[readVersion]](n) over retained manifests.
+  * [[prune]] bounds retention (keep the last K versions; files
+  * referenced only by pruned manifests are deleted) — a reader slower
+  * than K successive rewrites of its table is out of contract, exactly
+  * Iceberg's `expire_snapshots` semantics.
+  *
+  * All paths go through the Hadoop FileSystem (hdfs://, s3a://,
+  * file://). Single-writer per table (the Registry's scheduler
+  * contract); multi-writer coordination is a lock service's job, not
+  * this layer's.
+  */
+object VersionedTable {
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def pointerPath(root: String) = s"$root/_current"
+  private def manifestPath(root: String, v: Long) = s"$root/_manifests/v$v"
+  private def dataRoot(root: String) = s"$root/data"
+
+  private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeSmallFile(f: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path,
+                             content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The committed version, if the table exists. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fsFor(spark, root)
+    val p = hp(pointerPath(root))
+    if (f.exists(p)) Some(readSmallFile(f, p).trim.toLong) else None
+  }
+
+  /** All retained (readable) versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fsFor(spark, root)
+    val md = hp(s"$root/_manifests")
+    if (!f.exists(md)) Nil
+    else f.listStatus(md).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted.toSeq
+  }
+
+  private def manifest(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val f = fsFor(spark, root)
+    val p = hp(manifestPath(root, v))
+    require(f.exists(p), s"version $v of $root is not retained (pruned?)")
+    readSmallFile(f, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Read the CURRENT version. The pointer is resolved here, once: the
+    * returned DataFrame is bound to version-immutable files and stays
+    * consistent across any number of concurrent commits. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root")))
+
+  /** Time travel: read a specific retained version. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val files = manifest(spark, root, v)
+    // explicit file list, NO basePath: files carry every column (the
+    // __pp_* partition dirs are a pruning index, not a schema source)
+    spark.read.parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
+  }
+
+  /** Manifest-level partition pruning: read only the files of the
+    * current version whose `__pp_<col>=` dir key is in `values` —
+    * the scan-side payoff of the duplicated partition key. */
+  def readPartitions(spark: SparkSession, root: String, col: String,
+                     values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val keys = values.map(x => s"__pp_$col=${escapePathName(String.valueOf(x))}/")
+    val files = manifest(spark, root, v)
+      .filter(f => keys.exists(k => f.contains("/" + k)))
+    spark.read.parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
+  }
+
+  // relative paths of every parquet file under a batch dir
+  private def listRelative(f: org.apache.hadoop.fs.FileSystem,
+                           root: String, batch: String): Seq[String] = {
+    val base = hp(s"${dataRoot(root)}/$batch")
+    def rec(p: org.apache.hadoop.fs.Path): Seq[String] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) rec(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          Seq(st.getPath.toString.stripPrefix(
+            f.makeQualified(hp(dataRoot(root))).toString).stripPrefix("/"))
+        else Nil
+      }
+    rec(f.makeQualified(base))
+  }
+
+  // stage a DataFrame as version v's batch dir, return its files
+  private def stageBatch(spark: SparkSession, root: String, v: Long,
+                         df: DataFrame, partitionBy: Seq[String]): Seq[String] = {
+    val f = fsFor(spark, root)
+    val dir = s"${dataRoot(root)}/b$v"
+    f.delete(hp(dir), true) // heal a crashed attempt at this version
+    if (partitionBy.isEmpty) df.write.parquet(dir)
+    else {
+      // duplicate the partition cols into __pp_* dir keys so the data
+      // files RETAIN every column (explicit-file reads skip inference)
+      val dup = partitionBy.foldLeft(df)((d, c) =>
+        d.withColumn(s"__pp_$c", col(c)))
+      dup.write.partitionBy(partitionBy.map(c => s"__pp_$c"): _*).parquet(dir)
+    }
+    listRelative(f, root, s"b$v")
+  }
+
+  // the COMMIT: manifest first, then the pointer via atomic rename
+  private def commit(spark: SparkSession, root: String, v: Long,
+                     files: Seq[String]): Unit = {
+    val f = fsFor(spark, root)
+    writeSmallFile(f, hp(manifestPath(root, v)), files.mkString("\n"))
+    val tmp = hp(pointerPath(root) + ".tmp")
+    writeSmallFile(f, tmp, v.toString)
+    f.delete(hp(pointerPath(root)), false) // rename-over isn't portable
+    require(f.rename(tmp, hp(pointerPath(root))),
+      s"failed to commit version $v of $root")
+  }
+
+  /** Write a full new version (CTAS / overwrite semantics). Returns the
+    * committed version number. */
+  def write(spark: SparkSession, root: String, df: DataFrame,
+            partitionBy: Seq[String] = Nil): Long = {
+    val v = currentVersion(spark, root).getOrElse(0L) + 1
+    commit(spark, root, v, stageBatch(spark, root, v, df, partitionBy))
+    v
+  }
+
+  /** Delete+insert merge by key (the [[Pipeline.mergeIntoParquet]]
+    * semantics, versioned): when the table is partitioned and the
+    * partition columns are a subset of the key, the new version reuses
+    * every file outside the increment's partitions — O(affected
+    * partitions), the property that keeps per-batch upserts viable on
+    * a 100 TB relation. Otherwise the merged relation is staged in
+    * full. Either way, readers of older versions are untouched. */
+  def merge(spark: SparkSession, root: String, increment: DataFrame,
+            uniqueKey: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    require(uniqueKey.nonEmpty, "merge needs a key")
+    currentVersion(spark, root) match {
+      case None => write(spark, root, increment, partitionBy)
+      case Some(cur) =>
+        val v = cur + 1
+        val existing = readVersion(spark, root, cur)
+        val partitionScoped =
+          partitionBy.nonEmpty && partitionBy.forall(uniqueKey.contains)
+        if (!partitionScoped) {
+          val keySet = increment.select(uniqueKey.map(increment(_)): _*)
+            .distinct()
+          val merged = existing.join(broadcast(keySet), uniqueKey, "left_anti")
+            .unionByName(increment)
+          commit(spark, root, v,
+            stageBatch(spark, root, v, merged, partitionBy))
+        } else {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+          // affected partition dirs, from the increment (bounded)
+          val parts = increment.select(partitionBy.map(increment(_)): _*)
+            .distinct().collect().map { r =>
+            partitionBy.zipWithIndex.map { case (c, i) =>
+              s"__pp_$c=${escapePathName(String.valueOf(r.get(i)))}/"
+            }.mkString
+          }.toSet
+          def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
+          val keep = manifest(spark, root, cur).filterNot(affected)
+          // rewrite ONLY the affected partitions: their old rows minus
+          // keyed hits, plus the increment
+          val affectedFiles = manifest(spark, root, cur).filter(affected)
+          val oldAffected =
+            if (affectedFiles.isEmpty) None
+            else Some(spark.read.parquet(
+              affectedFiles.map(f => s"${dataRoot(root)}/$f"): _*))
+          val keySet = increment.select(uniqueKey.map(increment(_)): _*)
+            .distinct()
+          val rewritten = oldAffected match {
+            case None => increment
+            case Some(oa) =>
+              oa.join(broadcast(keySet), uniqueKey, "left_anti")
+                .unionByName(increment)
+          }
+          val fresh = stageBatch(spark, root, v, rewritten, partitionBy)
+          commit(spark, root, v, keep ++ fresh)
+        }
+        v
+    }
+  }
+
+  /** Physical deletion by key, versioned ([[Pipeline.deleteKeys]]'s
+    * semantics): rewrites only the files holding hit partitions when
+    * partitioned-by-key, the whole relation otherwise; older versions
+    * retain the deleted rows until pruned (the time-travel window IS
+    * the recovery window). Returns the new version, or the current one
+    * unchanged when nothing matched. */
+  def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCols: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val existing = readVersion(spark, root, cur)
+    val keySet = keys.select(keyCols.map(keys(_)): _*).distinct()
+      .localCheckpoint(false)
+    if (existing.join(broadcast(keySet), keyCols, "left_semi").isEmpty)
+      return cur
+    val v = cur + 1
+    val partitionScoped =
+      partitionBy.nonEmpty && partitionBy.forall(keyCols.contains)
+    if (!partitionScoped) {
+      val kept = existing.join(broadcast(keySet), keyCols, "left_anti")
+      commit(spark, root, v, stageBatch(spark, root, v, kept, partitionBy))
+    } else {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      val parts = keySet.select(partitionBy.map(keySet(_)): _*)
+        .distinct().collect().map { r =>
+        partitionBy.zipWithIndex.map { case (c, i) =>
+          s"__pp_$c=${escapePathName(String.valueOf(r.get(i)))}/"
+        }.mkString
+      }.toSet
+      def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
+      val keep = manifest(spark, root, cur).filterNot(affected)
+      val affectedFiles = manifest(spark, root, cur).filter(affected)
+      val rewritten = spark.read.parquet(
+          affectedFiles.map(f => s"${dataRoot(root)}/$f"): _*)
+        .join(broadcast(keySet), keyCols, "left_anti")
+      val fresh = stageBatch(spark, root, v, rewritten, partitionBy)
+      commit(spark, root, v, keep ++ fresh)
+    }
+    v
+  }
+
+  /** Small-file compaction, versioned ([[Pipeline.compact]]'s
+    * semantics): stage the current content as one new coalesced batch,
+    * commit as a new version. Readers of the old version keep their
+    * old (fragmented) files until pruned. */
+  def compact(spark: SparkSession, root: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionBy: Seq[String] = Nil): Long = {
+    require(targetFileBytes >= 1024 * 1024, s"target too small: $targetFileBytes")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val f = fsFor(spark, root)
+    val bytes = manifest(spark, root, cur)
+      .map(rel => f.getFileStatus(hp(s"${dataRoot(root)}/$rel")).getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val v = cur + 1
+    commit(spark, root, v, stageBatch(spark, root, v,
+      readVersion(spark, root, cur).coalesce(n), partitionBy))
+    v
+  }
+
+  /** Expire old snapshots: retain the newest `keep` versions' manifests
+    * and delete every data file referenced ONLY by expired ones. The
+    * bounded-retention contract every snapshot store has — run it on
+    * the maintenance cadence, sized to the longest reader. */
+  def prune(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "must retain at least the current version")
+    val f = fsFor(spark, root)
+    val vs = versions(spark, root)
+    if (vs.size <= keep) return
+    val (expired, retained) = vs.splitAt(vs.size - keep)
+    val live: Set[String] = retained.flatMap(v => manifest(spark, root, v)).toSet
+    expired.foreach { v =>
+      manifest(spark, root, v).filterNot(live).foreach { rel =>
+        f.delete(hp(s"${dataRoot(root)}/$rel"), false)
+      }
+      f.delete(hp(manifestPath(root, v)), false)
+    }
+    // drop batch dirs emptied by the file deletes
+    val dr = hp(dataRoot(root))
+    if (f.exists(dr)) f.listStatus(dr).foreach { st =>
+      if (st.isDirectory && !f.listFiles(st.getPath, true).hasNext)
+        f.delete(st.getPath, true)
+    }
+  }
+}
