@@ -1,11 +1,11 @@
 package graft.queries
 
 import graft.catalog.Catalog
-import graft.functions.GraftFunctions.{emailRe, fingerprint, ipv4Re, md5Long, phoneRe, qualityScore, tokenCount}
+import graft.functions.GraftFunctions.{emailRe, fingerprint, ipv4Re, md5Long, phoneRe, qualityScore, tokenCount, tokens}
 import graft.operators.{Dedup, KMeans, Opq, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Training-data pipeline query surface over `documents` / `embeddings`:
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -653,6 +653,65 @@ object DataQueries {
       |  (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM sc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** kNN LABEL PROPAGATION (e21) — weak supervision over the embedding
+    * space: every unlabeled vector (the 10% holdout, vec_id % 10 = 0)
+    * takes the majority label of its 5 nearest LABELED neighbors by
+    * rounded cosine, ties broken by closest-neighbor rank then label —
+    * the label-spreading primitive behind semi-supervised quality /
+    * domain / language taggers when only a seed set is hand-labeled.
+    * Self-evaluates like e18/t23: the holdout's declared labels score
+    * the propagation (`is_correct`).
+    *
+    * Scale shape: the e01 brute-force contract — the query (unlabeled)
+    * batch broadcasts, per-query top-k is one window over the
+    * candidate relation; at corpus scale the same votes run over
+    * [[Similarity.ivfTopKTrained]]'s pruned candidates instead (e02's
+    * serving shape; the gate pins the exact variant). */
+  val e21KnnLabel: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val labels = Catalog(s, dir).documents
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val labeled = emb.join(labels, Seq("vec_id"))
+      .filter(col("vec_id") % 10 =!= 0)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val nn = Similarity.bruteForceTopK(labeled, queries,
+      "embedding", "vec_id", k = 5)
+    val votes = nn
+      .join(labels.select(col("vec_id").as("id"), col("lang")), Seq("id"))
+      .groupBy("query_id", "lang")
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("min_rank"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("min_rank").asc, col("lang"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("lang").as("true_lang")), Seq("query_id"))
+      .select(col("query_id").as("vec_id"), col("lang").as("pred_lang"),
+        col("n_votes"), col("min_rank"),
+        (col("lang") === col("true_lang")).as("is_correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val e21Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |lab AS (SELECT e.id, e.v, d.lang FROM e
+      |  JOIN documents d ON d.doc_id = e.id WHERE e.id % 10 <> 0),
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 10 = 0),
+      |sc AS (SELECT q.query_id, l.id, l.lang,
+      |  round(list_cosine_similarity(l.v, q.qv), 6) AS cosine
+      |  FROM lab l CROSS JOIN q WHERE l.id <> q.query_id),
+      |nn AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cosine DESC, id) AS rank FROM sc),
+      |votes AS (SELECT query_id, lang, CAST(count(*) AS BIGINT) AS n_votes,
+      |  CAST(min(rank) AS BIGINT) AS min_rank
+      |  FROM nn WHERE rank <= 5 GROUP BY 1, 2),
+      |best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY n_votes DESC, min_rank, lang) AS rn FROM votes)
+      |SELECT b.query_id AS vec_id, b.lang AS pred_lang, b.n_votes,
+      |  b.min_rank, (b.lang = d.lang) AS is_correct
+      |FROM best b JOIN documents d ON d.doc_id = b.query_id
+      |WHERE b.rn = 1 ORDER BY vec_id""".stripMargin
 
   /** Product-quantization codes (IVF-PQ's memory half): every vector
     * compressed to 4 codebook indices + reconstruction error, encoding
@@ -1970,6 +2029,55 @@ object DataQueries {
     case None => s"WITH $nbReplayFitCtes,\n$nbConfusionSelect"
   }
 
+  private val chunkCap = 64
+  private val chunkStride = 48
+
+  /** TOKEN-WINDOW CHUNKER (t24) — the fixed-window-with-overlap
+    * document splitter every RAG index and long-context packing
+    * pipeline runs before embedding: chunk i covers tokens
+    * [i·stride, i·stride+cap) of the whitespace stream (cap 64,
+    * stride 48 → 16-token overlap), the final chunk truncated at the
+    * document end. Emits (doc_id, chunk_idx, tok_start, n_toks,
+    * chunk_text). Complementary to t06's packSequences (which PACKS
+    * docs up to a budget; this SPLITS docs into overlapping windows).
+    *
+    * Scale shape: map-only — tokenize, explode a per-doc chunk-index
+    * sequence (bounded by len/stride), slice + join per chunk; no
+    * shuffle at any corpus size (the orderBy is the gate's
+    * determinism, not the operator's). */
+  val t24ChunkSpans: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    docs.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((size(toks) - 1) div $chunkStride AS BIGINT)")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunkStride).as("tok_start"),
+        slice(col("toks"),
+          (col("chunk_idx") * chunkStride + 1).cast(IntegerType),
+          lit(chunkCap)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        size(col("ch")).cast(LongType).as("n_toks"),
+        array_join(col("ch"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  lazy val t24Sql: String =
+    s"""WITH $toksCte,
+       |nz AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id, toks,
+       |  unnest(generate_series(0, (len(toks) - 1) // $chunkStride)) AS ci
+       |  FROM nz)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(ci * $chunkStride AS BIGINT) AS tok_start,
+       |  CAST(len(toks[ci*$chunkStride+1 : ci*$chunkStride+$chunkCap])
+       |    AS BIGINT) AS n_toks,
+       |  array_to_string(toks[ci*$chunkStride+1 : ci*$chunkStride+$chunkCap],
+       |    ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** DATA CARD — the per-(lang, source) release datasheet every
     * published dataset ships, as ONE hash-checked report: doc / token /
     * char volumes, corpus-wide exact-duplicate membership (the d01
@@ -2721,6 +2829,8 @@ object DataQueries {
     "t20_bpe_tokenize" -> t20BpeTokenize,
     "t21_nb_classify" -> t21NbClassify,
     "t23_nb_confusion" -> t23NbConfusion,
+    "t24_chunk_spans" -> t24ChunkSpans,
+    "e21_knn_label" -> e21KnnLabel,
     "t22_data_card" -> t22DataCard,
     "d02_dedup_minhash" -> d02MinhashPairs,
     "d03_dedup_simhash" -> d03Simhash,
@@ -2791,6 +2901,8 @@ object DataQueries {
     "t20_bpe_tokenize" -> t20Sql,
     "t21_nb_classify" -> t21Sql,
     "t23_nb_confusion" -> t23Sql,
+    "t24_chunk_spans" -> t24Sql,
+    "e21_knn_label" -> e21Sql,
     "t22_data_card" -> t22Sql,
     "d02_dedup_minhash" -> d02Sql,
     "d03_dedup_simhash" -> d03Sql,

@@ -251,6 +251,35 @@ object EventStreams {
       .trigger(trigger)
       .start()
 
+  /** [[upsertStreamQuery]] against a SNAPSHOT-VERSIONED table
+    * ([[graft.pipeline.VersionedTable]]) — the transactional form the
+    * plain-dir contract above explicitly scopes out: each micro-batch
+    * commits as a new version (manifest + atomic pointer rename), so a
+    * concurrent reader NEVER sees a transient missing path or mixed
+    * state — it reads whichever version was current when it resolved,
+    * fully consistent mid-scan. Merge semantics are mergeIntoParquet's
+    * delete+insert, partition-scoped when partitionBy ⊆ uniqueKey;
+    * content converges under at-least-once replay (re-merging a batch
+    * is delete+insert of the same rows), with versions as the audit
+    * trail. Call [[graft.pipeline.VersionedTable.prune]] on the
+    * maintenance cadence to bound retention. */
+  def versionedUpsertStreamQuery(spark: SparkSession, out: DataFrame,
+                                 root: String, uniqueKey: Seq[String],
+                                 outputMode: String = "update",
+                                 partitionBy: Seq[String] = Nil,
+                                 trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.VersionedTable.merge(
+          spark, root, batch.toDF(), uniqueKey, partitionBy)
+        ()
+      }
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$root.__checkpoint")
+      .trigger(trigger)
+      .start()
+
   /** STREAMING DELTA NEAR-DUP PAIRING — the delta dedup family
     * ([[graft.operators.Dedup.minhashPairsDelta]]) driven by a
     * document stream: every micro-batch (a crawl drop) pairs against

@@ -106,7 +106,12 @@ object ClusterSmoke {
     "e20_ivf_upsert", "q59_cohort_retention", "t22_data_card",
     // delta record linkage: frozen gram-rank state + cross-population
     // prefix join + border block across executor JVMs
-    "d20_edit_join_delta")
+    "d20_edit_join_delta",
+    // round-12 shapes: NB literal-model scoring + the ppm confusion
+    // aggregation from executor partials (t23), the chunker's
+    // explode+slice map stage (t24), and the kNN vote windows over the
+    // broadcast holdout (e21)
+    "t23_nb_confusion", "t24_chunk_spans", "e21_knn_label")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
