@@ -43,6 +43,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // literal-contract oracles (t21/t23) inline the model fitted for
+    // the dir being dumped — pin it explicitly so a JVM that touched
+    // other sf dirs can never leak another dir's literals
+    graft.queries.DataQueries.setOracleDir(sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

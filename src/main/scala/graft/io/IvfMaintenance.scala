@@ -169,4 +169,53 @@ object IvfMaintenance {
     f.delete(asideRoot, true)
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
+
+  // -------------------------------------------------------------------
+  // Snapshot-versioned layout: the same maintained-index contract on
+  // graft.pipeline.VersionedTable — readers PIN a version, so serving
+  // is consistent even mid-upsert/mid-compact (the plain layout's
+  // compact has an unavoidable transient window; the versioned one has
+  // none), deletes are immediate O(affected cells) manifest rewrites
+  // (no tombstone side table), and every maintenance step leaves the
+  // previous index readable as version N-1 until pruned. Cell is the
+  // partition key, so unaffected cells' FILES are reused byte-for-byte
+  // across versions — upsert/delete cost tracks the batch, never the
+  // index (VersionedTableSpec proves the reuse at the manifest level).
+  // -------------------------------------------------------------------
+
+  /** Initial versioned build: one committed version, cell-partitioned. */
+  def buildVersioned(spark: SparkSession, root: String, corpus: DataFrame,
+                     vecCol: String, idCol: String,
+                     codebook: Seq[Seq[Double]]): Long =
+    graft.pipeline.VersionedTable.write(spark, root,
+      assign(corpus, vecCol, idCol, codebook), partitionBy = Seq("cell"))
+
+  /** Versioned upsert: map-only assignment merged on (cell, id) —
+    * re-sent ids REPLACE in place (latest-wins within a cell; an id
+    * whose vector moved cells must be deleted first, the same
+    * append-log caveat as [[upsert]]). Only the batch's cells rewrite. */
+  def upsertVersioned(spark: SparkSession, root: String, batch: DataFrame,
+                      vecCol: String, idCol: String,
+                      codebook: Seq[Seq[Double]]): Long =
+    graft.pipeline.VersionedTable.merge(spark, root,
+      assign(batch, vecCol, idCol, codebook),
+      uniqueKey = Seq("cell", "id"), partitionBy = Seq("cell"))
+
+  /** Versioned delete: resolve the ids' cells from the current version
+    * (a broadcast semi-join), then rewrite ONLY those cells. Returns
+    * the new version (or the current one when nothing matched). */
+  def deleteVersioned(spark: SparkSession, root: String,
+                      ids: Seq[Long]): Long = {
+    import spark.implicits._
+    val keys = graft.pipeline.VersionedTable.read(spark, root)
+      .join(broadcast(ids.toDF("id")), Seq("id"))
+      .select("cell", "id").distinct()
+    graft.pipeline.VersionedTable.deleteKeys(spark, root, keys,
+      keyCols = Seq("cell", "id"), partitionBy = Seq("cell"))
+  }
+
+  /** The live versioned index: resolves the CURRENT version once —
+    * consistent for the reader's whole lifetime. */
+  def servingVersioned(spark: SparkSession, root: String): DataFrame =
+    graft.pipeline.VersionedTable.read(spark, root)
 }

@@ -160,16 +160,78 @@ object VersionedTable {
     listRelative(f, root, s"b$v")
   }
 
-  // the COMMIT: manifest first, then the pointer via atomic rename
+  // the COMMIT: manifest first, then the pointer via an ATOMIC
+  // overwrite rename (FileContext + Rename.OVERWRITE — POSIX/HDFS
+  // atomic; a delete-then-rename would open exactly the transient-miss
+  // window this layer exists to remove, and a crash between the two
+  // would orphan the whole table)
   private def commit(spark: SparkSession, root: String, v: Long,
                      files: Seq[String]): Unit = {
     val f = fsFor(spark, root)
     writeSmallFile(f, hp(manifestPath(root, v)), files.mkString("\n"))
     val tmp = hp(pointerPath(root) + ".tmp")
     writeSmallFile(f, tmp, v.toString)
-    f.delete(hp(pointerPath(root)), false) // rename-over isn't portable
-    require(f.rename(tmp, hp(pointerPath(root))),
-      s"failed to commit version $v of $root")
+    val dst = f.makeQualified(hp(pointerPath(root)))
+    if (dst.toUri.getScheme == "file") {
+      // Hadoop's local OVERWRITE rename is itself delete-then-rename
+      // (spec-caught: ~5k pointer misses under a read hammer); POSIX
+      // rename(2) via nio IS atomic
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
+        java.nio.file.Paths.get(dst.toUri),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // HDFS: Options.Rename.OVERWRITE is atomic by the FS contract
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    ()
+  }
+
+  /** Partition-dir key of one value, rendered EXACTLY as the staged
+    * write renders it. Restricted to types whose toString matches
+    * Spark's partition-path encoding (strings, integrals, boolean,
+    * date); timestamps (Spark renders `2020-01-01 00%3A00%3A00`, JDBC
+    * toString appends `.0`) and NULLs (`__HIVE_DEFAULT_PARTITION__`)
+    * would silently match NOTHING in the manifest — old rows would
+    * survive a merge as duplicate keys — so they fail loudly here. */
+  private def partitionKey(c: String, x: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    require(x != null,
+      s"null partition value for '$c': the versioned layer cannot match " +
+        "Spark's __HIVE_DEFAULT_PARTITION__ rendering — filter NULL " +
+        "partition keys upstream or use a sentinel value")
+    x match {
+      case _: String | _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean |
+           _: java.sql.Date | _: java.time.LocalDate =>
+        s"__pp_$c=${escapePathName(String.valueOf(x))}/"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition-column type ${other.getClass.getName} for " +
+          s"'$c': only string/integral/boolean/date render identically to " +
+          "Spark's partition paths (timestamps and fractionals do not — " +
+          "partition on a derived date/string column instead)")
+    }
+  }
+
+  // the __pp_* layout recorded in a manifest (ordered), Nil when the
+  // manifest is unpartitioned or empty
+  private def layoutOf(files: Seq[String]): Seq[String] =
+    files.headOption.toSeq.flatMap(_.split("/").toSeq
+      .filter(_.startsWith("__pp_")).map(_.split("=")(0).stripPrefix("__pp_")))
+
+  // partition-scoped ops silently match nothing if the stored layout
+  // differs from the caller's partitionBy — fail loudly instead
+  private def requireLayout(files: Seq[String], partitionBy: Seq[String],
+                            what: String): Unit = {
+    val stored = layoutOf(files)
+    require(files.isEmpty || stored == partitionBy,
+      s"$what: stored layout ${stored.mkString("[", ",", "]")} != " +
+        s"requested ${partitionBy.mkString("[", ",", "]")} — a mismatched " +
+        "partition-scoped rewrite would keep stale rows silently")
   }
 
   /** Write a full new version (CTAS / overwrite semantics). Returns the
@@ -206,12 +268,12 @@ object VersionedTable {
           commit(spark, root, v,
             stageBatch(spark, root, v, merged, partitionBy))
         } else {
-          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+          requireLayout(manifest(spark, root, cur), partitionBy, "merge")
           // affected partition dirs, from the increment (bounded)
           val parts = increment.select(partitionBy.map(increment(_)): _*)
             .distinct().collect().map { r =>
             partitionBy.zipWithIndex.map { case (c, i) =>
-              s"__pp_$c=${escapePathName(String.valueOf(r.get(i)))}/"
+              partitionKey(c, r.get(i))
             }.mkString
           }.toSet
           def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
@@ -261,11 +323,11 @@ object VersionedTable {
       val kept = existing.join(broadcast(keySet), keyCols, "left_anti")
       commit(spark, root, v, stageBatch(spark, root, v, kept, partitionBy))
     } else {
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      requireLayout(manifest(spark, root, cur), partitionBy, "deleteKeys")
       val parts = keySet.select(partitionBy.map(keySet(_)): _*)
         .distinct().collect().map { r =>
         partitionBy.zipWithIndex.map { case (c, i) =>
-          s"__pp_$c=${escapePathName(String.valueOf(r.get(i)))}/"
+          partitionKey(c, r.get(i))
         }.mkString
       }.toSet
       def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
@@ -285,13 +347,17 @@ object VersionedTable {
     * commit as a new version. Readers of the old version keep their
     * old (fragmented) files until pruned. */
   def compact(spark: SparkSession, root: String,
-              targetFileBytes: Long = 128L * 1024 * 1024,
-              partitionBy: Seq[String] = Nil): Long = {
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     require(targetFileBytes >= 1024 * 1024, s"target too small: $targetFileBytes")
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val f = fsFor(spark, root)
-    val bytes = manifest(spark, root, cur)
+    val cm = manifest(spark, root, cur)
+    // PRESERVE the stored layout: compacting a partitioned table into
+    // an unpartitioned batch would silently disable every subsequent
+    // partition-scoped merge/deleteKeys/readPartitions
+    val partitionBy = layoutOf(cm)
+    val bytes = cm
       .map(rel => f.getFileStatus(hp(s"${dataRoot(root)}/$rel")).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val v = cur + 1
@@ -307,11 +373,20 @@ object VersionedTable {
   def prune(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     require(keep >= 1, "must retain at least the current version")
     val f = fsFor(spark, root)
+    // anchor on the COMMITTED pointer, not the manifest listing: a
+    // crash between manifest write and pointer rename leaves an orphan
+    // manifest NEWER than the pointer, and a listing-anchored prune
+    // would retain the orphan while expiring the committed current
+    // version — deleting live data
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
     val vs = versions(spark, root)
-    if (vs.size <= keep) return
-    val (expired, retained) = vs.splitAt(vs.size - keep)
+    val (committed, orphans) = vs.partition(_ <= cur)
+    val retained = committed.takeRight(keep) // always includes cur
+    val expired = committed.dropRight(keep)
+    if (expired.isEmpty && orphans.isEmpty) return
     val live: Set[String] = retained.flatMap(v => manifest(spark, root, v)).toSet
-    expired.foreach { v =>
+    (expired ++ orphans).foreach { v =>
       manifest(spark, root, v).filterNot(live).foreach { rel =>
         f.delete(hp(s"${dataRoot(root)}/$rel"), false)
       }

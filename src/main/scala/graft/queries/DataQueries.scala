@@ -1824,19 +1824,34 @@ object DataQueries {
     * verified). */
   private val nbModels = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), TextAnalysis.NbModel]
-  @volatile private var nbModelLast: Option[TextAnalysis.NbModel] = None
+  // which sf dir the NEXT oracle dump describes — set by Verify before
+  // dumping (a single @volatile last-model var would inline whichever
+  // dir's model was fitted LAST into the oracle; a JVM sweeping two sf
+  // dirs would then gate dir A against dir B's literals, recreating the
+  // r11-style false incident the contract exists to kill)
+  @volatile private var oracleDir: Option[String] = None
+  def setOracleDir(dir: String): Unit = { oracleDir = Some(dir) }
+  private def nbModelForOracle: Option[TextAnalysis.NbModel] = {
+    val byDir = nbModels.toSeq.collect {
+      case ((s, d), m) if !s.sparkContext.isStopped => d -> m
+    }
+    oracleDir.flatMap(d => byDir.collectFirst { case (`d`, m) => m })
+      .orElse(byDir.map(_._1).distinct match {
+        // no hint but unambiguous: only one dir ever fitted this JVM
+        case Seq(_) => Some(byDir.head._2)
+        case _ => None // ambiguous -> the engine-independent replay SQL
+      })
+  }
   private[queries] def nbModel(s: SparkSession, dir: String): TextAnalysis.NbModel =
     synchronized {
       nbModels.keys.foreach { case kk @ (sess, _) =>
         if (sess.sparkContext.isStopped) nbModels.remove(kk)
       }
-      val m = nbModels.getOrElseUpdate((s, dir), {
+      nbModels.getOrElseUpdate((s, dir), {
         val sample = Catalog(s, dir).documents.filter(
           pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L)
         TextAnalysis.naiveBayesFitLiterals(sample, "text", "lang", nbVocab)
       })
-      nbModelLast = Some(m)
-      m
     }
 
   /** Multinomial Naive Bayes language classifier
@@ -1959,7 +1974,7 @@ object DataQueries {
        |  (label = true_label) AS is_correct
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  def t21Sql: String = nbModelLast match {
+  def t21Sql: String = nbModelForOracle match {
     case Some(m) => s"WITH ${nbLiteralCtes(m)}\n$nbFinalSelect"
     case None => t21ReplaySql
   }
@@ -2024,7 +2039,7 @@ object DataQueries {
        |LEFT JOIN tp ON tp.label = l.label
        |ORDER BY l.label""".stripMargin
 
-  def t23Sql: String = nbModelLast match {
+  def t23Sql: String = nbModelForOracle match {
     case Some(m) => s"WITH ${nbLiteralCtes(m)},\n$nbConfusionSelect"
     case None => s"WITH $nbReplayFitCtes,\n$nbConfusionSelect"
   }

@@ -141,6 +141,56 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(IvfMaintenance.serving(spark, dir).count() === (200 - doomed.size).toLong)
   }
 
+  test("versioned index: build+upsert+delete == rebuild; pinned reader survives maintenance; unaffected cells' files reused") {
+    import graft.pipeline.VersionedTable
+    val root = Files.createTempDirectory("graft-ivfv").toString + "/idx"
+    IvfMaintenance.buildVersioned(spark, root, vecs(0 until 120),
+      "embedding", "vec_id", codebook)
+    IvfMaintenance.upsertVersioned(spark, root, vecs(120 until 200),
+      "embedding", "vec_id", codebook)
+    // pin a reader BEFORE the delete: maintenance must not disturb it
+    val pinned = IvfMaintenance.servingVersioned(spark, root)
+    val preDelete = pinned.count()
+    val dead = Seq(1L, 2L, 198L) // all in cell 0
+    IvfMaintenance.deleteVersioned(spark, root, dead)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell")).as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(canon(IvfMaintenance.servingVersioned(spark, root)) ===
+      canon(Similarity.cellAssignmentsTrained(
+        vecs(0 until 200).filter(!col("vec_id").isin(dead: _*)),
+        "embedding", "vec_id", codebook)))
+    // the pinned reader still sees the pre-delete index mid-"compact"
+    assert(pinned.count() === preDelete)
+    // the delete rewrote ONLY cell 0: other cells' files are reused
+    def manifestOf(v: Long) = scala.io.Source
+      .fromFile(s"$root/_manifests/v$v").getLines().toSet
+    val before = manifestOf(2L).filterNot(_.contains("__pp_cell=0/"))
+    val after = manifestOf(3L).filterNot(_.contains("__pp_cell=0/"))
+    assert(before === after && before.nonEmpty,
+      "cells without deletions must reference the same files")
+    // search over the versioned serving == trained search on live corpus
+    val queries = Seq((1000L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val a = Similarity.ivfTopKOnAssigned(
+        IvfMaintenance.servingVersioned(spark, root),
+        queries, "embedding", "vec_id", k = 3, codebook, nProbe = 2)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq.sorted
+    val b = Similarity.ivfTopKTrained(
+        vecs(0 until 200).filter(!col("vec_id").isin(dead: _*)),
+        queries, "embedding", "vec_id", k = 3, codebook, nProbe = 2)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq.sorted
+    assert(a === b)
+    // re-sent id replaces in place (latest-wins within its cell)
+    val moved = Seq((5L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    IvfMaintenance.upsertVersioned(spark, root, moved,
+      "embedding", "vec_id", codebook)
+    assert(IvfMaintenance.servingVersioned(spark, root)
+      .filter(col("id") === 5L).count() === 1L)
+    // time travel: the pre-delete index is still readable at version 2
+    assert(VersionedTable.readVersion(spark, root, 2L).count() === preDelete)
+  }
+
   test("delete is O(ids): nothing in the index moves until compaction") {
     val dir = Files.createTempDirectory("graft-ivfm2").toString + "/idx"
     IvfMaintenance.build(dir, vecs(0 until 50), "embedding", "vec_id", codebook)

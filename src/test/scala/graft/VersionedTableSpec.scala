@@ -122,6 +122,100 @@ class VersionedTableSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("prune never expires the committed current version, even with an orphan manifest") {
+    // crash window: manifest v3 written, pointer rename never happened —
+    // a listing-anchored prune would retain the orphan and delete v2's
+    // (committed, current) data
+    val r = root()
+    VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
+    VersionedTable.write(spark, r, Seq((2L, "b")).toDF("id", "tag"))
+    assert(VersionedTable.currentVersion(spark, r) === Some(2L))
+    val orphan = new java.io.File(s"$r/_manifests/v3")
+    java.nio.file.Files.writeString(orphan.toPath, "b3/part-fake.parquet")
+    VersionedTable.prune(spark, r, keep = 1)
+    // the committed current version survives; the orphan is dropped
+    assert(VersionedTable.currentVersion(spark, r) === Some(2L))
+    assert(VersionedTable.read(spark, r).count() === 1L)
+    assert(VersionedTable.versions(spark, r) === Seq(2L))
+  }
+
+  test("compact preserves the partition layout; layout mismatch fails loud") {
+    val r = root()
+    VersionedTable.write(spark, r,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "p", "x"),
+      partitionBy = Seq("p"))
+    VersionedTable.compact(spark, r)
+    // compacted version still carries __pp_p dirs: partition-scoped ops
+    // and manifest pruning keep working
+    val pruned = VersionedTable.readPartitions(spark, r, "p", Seq("a"))
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(1L))
+    VersionedTable.merge(spark, r, Seq((1L, "a", 99L)).toDF("id", "p", "x"),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    assert(VersionedTable.read(spark, r).filter($"id" === 1L)
+      .select("x").as[Long].head() === 99L)
+    assert(VersionedTable.read(spark, r).count() === 2L,
+      "merge after compact must replace, not duplicate")
+    // asking for a partition-scoped op with the WRONG layout is an
+    // error, not a silent no-match keep-everything
+    val e = intercept[IllegalArgumentException] {
+      // x is a real column but the table is partitioned by p: a
+      // partition-scoped delete keyed on x would match no __pp_x dirs
+      VersionedTable.deleteKeys(spark, r, Seq((99L, 1L)).toDF("x", "id"),
+        keyCols = Seq("x", "id"), partitionBy = Seq("x"))
+    }
+    assert(e.getMessage.contains("stored layout"))
+  }
+
+  test("timestamp and null partition values fail loud, not silently mismatch") {
+    val r = root()
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    VersionedTable.write(spark, r,
+      Seq((1L, ts, 10L)).toDF("id", "t", "x"), partitionBy = Seq("t"))
+    // Spark renders the dir as 2020-01-01 00%3A00%3A00 but JDBC
+    // toString appends .0 — the partition-scoped path must REFUSE
+    // rather than keep stale rows silently
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, r, Seq((1L, ts, 99L)).toDF("id", "t", "x"),
+        uniqueKey = Seq("t", "id"), partitionBy = Seq("t"))
+    }
+    assert(e.getMessage.contains("partition-column type") ||
+      e.getMessage.contains("null partition"))
+    val r2 = root()
+    VersionedTable.write(spark, r2,
+      Seq((1L, "a", 10L), (2L, null, 20L)).toDF("id", "p", "x"),
+      partitionBy = Seq("p"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, r2,
+        Seq((2L, null, 99L)).toDF("id", "p", "x"),
+        uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    }
+    assert(e2.getMessage.contains("null partition"))
+  }
+
+  test("a reader mid-commit never sees a missing pointer (atomic overwrite)") {
+    val r = root()
+    VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
+    // hammer reads while versions commit: with delete-then-rename this
+    // reliably threw "no versioned table"; the atomic rename never does
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try VersionedTable.currentVersion(spark, r).getOrElse(
+          throw new IllegalStateException("pointer missing"))
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    })
+    reader.start()
+    (2 to 8).foreach { i =>
+      VersionedTable.write(spark, r, Seq((i.toLong, "x")).toDF("id", "tag"))
+    }
+    stop.set(true)
+    reader.join()
+    assert(failures.get() === 0,
+      s"pointer vanished ${failures.get()} times during commits")
+  }
+
   test("readPartitions prunes at the manifest, same rows as a filter") {
     val r = root()
     VersionedTable.write(spark, r,
