@@ -43,6 +43,16 @@ object Pipeline {
     * `max(ts)` of [[This]]) instead of rescanning history — the whole
     * point of incremental models at 100 TB. */
   final case class Incremental(uniqueKey: Seq[String] = Nil) extends Materialization
+  /** Snapshot-versioned materialization ([[VersionedTable]]): every run
+    * commits a new version atomically — concurrent readers stay pinned
+    * to a consistent version across a rebuild (the Table swap's
+    * transient-miss window is gone), the previous run's output stays
+    * readable as version N-1 (time travel; rollback is one cheap
+    * manifest commit), and with a `uniqueKey` the run MERGES its
+    * increment (partition-scoped file reuse when partitionBy ⊆ key)
+    * instead of rebuilding — the Incremental semantics on the
+    * versioned store. */
+  final case class Versioned(uniqueKey: Seq[String] = Nil) extends Materialization
 
   /** Dep-map key under which an Incremental model's build function sees
     * its own existing relation (absent on the first run). */
@@ -371,12 +381,16 @@ object Pipeline {
     private def exists(path: String): Boolean =
       fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
-    /** The model's existing env relation, for Incremental models whose
-      * path is already materialized — exposed to `build` as [[This]]. */
+    /** The model's existing env relation, for Incremental/Versioned
+      * models whose path is already materialized — exposed to `build`
+      * as [[This]]. */
     private def existingRelation(m: Model, cfg: RunConfig): Option[DataFrame] =
       m.materialization match {
         case Incremental(_) if cfg.warehouseRoot.nonEmpty && exists(envPath(m, cfg)) =>
           Some(spark.read.parquet(envPath(m, cfg)))
+        case Versioned(_) if cfg.warehouseRoot.nonEmpty &&
+            VersionedTable.currentVersion(spark, envPath(m, cfg)).nonEmpty =>
+          Some(VersionedTable.read(spark, envPath(m, cfg)))
         case _ => None
       }
 
@@ -391,6 +405,12 @@ object Pipeline {
           val path = envPath(m, cfg)
           mergeIntoParquet(spark, path, df, uniqueKey, m.partitionBy)
           spark.read.parquet(path)
+        case Versioned(uniqueKey) =>
+          val path = envPath(m, cfg)
+          if (uniqueKey.isEmpty)
+            VersionedTable.write(spark, path, df, m.partitionBy)
+          else VersionedTable.merge(spark, path, df, uniqueKey, m.partitionBy)
+          VersionedTable.read(spark, path)
       }
 
     private def withRetry[T](retries: Int)(body: => T): T =
@@ -418,6 +438,11 @@ object Pipeline {
           case (Table | Incremental(_)) if cfg.warehouseRoot.nonEmpty =>
             val path = envPath(m, cfg)
             if (exists(path)) spark.read.parquet(path) else built
+          case Versioned(_) if cfg.warehouseRoot.nonEmpty =>
+            val path = envPath(m, cfg)
+            if (VersionedTable.currentVersion(spark, path).nonEmpty)
+              VersionedTable.read(spark, path)
+            else built
           case _ => built
         }
       }

@@ -366,6 +366,21 @@ object VersionedTable {
     v
   }
 
+  /** ROLLBACK: commit a NEW version whose content is retained version
+    * `to` — one manifest write referencing `to`'s files verbatim, no
+    * data movement (the release-gate undo: a card diff flags a bad
+    * publish, rollback restores the previous datasheet's corpus while
+    * the bad version stays inspectable in history). Returns the new
+    * version number. */
+  def rollback(spark: SparkSession, root: String, to: Long): Long = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    require(to <= cur, s"cannot roll back to unborn version $to (current $cur)")
+    val v = cur + 1
+    commit(spark, root, v, manifest(spark, root, to))
+    v
+  }
+
   /** Expire old snapshots: retain the newest `keep` versions' manifests
     * and delete every data file referenced ONLY by expired ones. The
     * bounded-retention contract every snapshot store has — run it on

@@ -575,6 +575,40 @@ object ScaleProbe {
       t(s"pagerank_${edges.count()}edges")(
         graft.operators.Graph.pageRankFixedPoint(edges, iterations = 6))
     }
+    // t24 chunker: map-only explode+slice — the curve must track the
+    // corpus linearly with zero exchanges
+    stage("chunk_spans") {
+      import graft.functions.GraftFunctions.tokens
+      t(s"chunk_spans_${replicas}x")(docs
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            expr("CAST((size(toks) - 1) div 48 AS BIGINT)"))).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          array_join(slice(col("toks"),
+            (col("ci") * 48 + 1).cast("int"), lit(64)), " ").as("chunk")))
+    }
+    // e21 kNN label propagation: FIXED query batch against a growing
+    // labeled corpus — the brute-force side is one broadcast of the
+    // bounded batch, so cost tracks the corpus scan ~linearly; at real
+    // scale the same votes run over the IVF-pruned candidates
+    stage("knn_label") {
+      val labeled = embBig.withColumn("lang",
+        concat(lit("l"), pmod(col("vec_id"), lit(5L))))
+        .filter(col("vec_id") % 10 =!= 0)
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      val nn = graft.operators.Similarity.bruteForceTopK(
+        labeled, queries, "embedding", "vec_id", k = 5)
+      val votes = nn.join(labeled.select(col("vec_id").as("id"), col("lang")),
+          Seq("id"))
+        .groupBy("query_id", "lang")
+        .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("min_rank"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("n_votes").desc, col("min_rank").asc, col("lang"))
+      t(s"knn_label_${replicas}x")(votes
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+    }
     // d17 host-authority rank: replicate docs with per-replica HOST
     // remapping, so hosts (and the syndication graph) scale with the
     // corpus while within-replica structure is preserved. The df-cap

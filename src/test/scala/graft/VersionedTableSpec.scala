@@ -216,6 +216,60 @@ class VersionedTableSpec extends SparkSpec {
       s"pointer vanished ${failures.get()} times during commits")
   }
 
+  test("rollback restores a prior version by manifest reference, no data movement") {
+    val r = root()
+    VersionedTable.write(spark, r, Seq((1L, "good")).toDF("id", "tag"))
+    VersionedTable.write(spark, r, Seq((2L, "bad")).toDF("id", "tag"))
+    val v = VersionedTable.rollback(spark, r, to = 1L)
+    assert(v === 3L)
+    assert(VersionedTable.read(spark, r)
+      .select("tag").as[String].head() === "good")
+    // the rollback version references v1's FILES verbatim
+    def manifestOf(n: Long) =
+      scala.io.Source.fromFile(s"$r/_manifests/v$n").getLines().toSet
+    assert(manifestOf(3L) === manifestOf(1L))
+    // the bad publish stays inspectable in history
+    assert(VersionedTable.readVersion(spark, r, 2L)
+      .select("tag").as[String].head() === "bad")
+    intercept[IllegalArgumentException] {
+      VersionedTable.rollback(spark, r, to = 99L)
+    }
+  }
+
+  test("Registry Versioned materialization: atomic publishes, merge form, This gate") {
+    import graft.pipeline.Pipeline._
+    val tmp = Files.createTempDirectory("graft-vt-reg").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    var source = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "p", "x")
+    val r = new Registry(spark)
+    r.register(Model("V_FULL", "MART", Nil, Versioned()) { _ => source })
+    r.register(Model("V_MERGE", "MART", Nil,
+        Versioned(uniqueKey = Seq("p", "id")), partitionBy = Seq("p")) { deps =>
+      // is_incremental(): only ship rows not already materialized
+      deps.get(This) match {
+        case Some(existing) =>
+          source.join(existing.select("id"), Seq("id"), "left_anti")
+        case None => source
+      }
+    })
+    r.run(cfg, Seq("V_FULL", "V_MERGE"))
+    val fullRoot = s"$tmp/DEV/MART/V_FULL"
+    val mergeRoot = s"$tmp/DEV/MART/V_MERGE"
+    assert(VersionedTable.currentVersion(spark, fullRoot) === Some(1L))
+    assert(VersionedTable.read(spark, mergeRoot).count() === 2L)
+    // second run: full model re-publishes (v2), merge model merges only
+    // the delta
+    source = source.unionByName(Seq((3L, "a", 30L)).toDF("id", "p", "x"))
+    r.run(cfg, Seq("V_FULL", "V_MERGE"))
+    assert(VersionedTable.currentVersion(spark, fullRoot) === Some(2L))
+    assert(VersionedTable.read(spark, fullRoot).count() === 3L)
+    assert(VersionedTable.read(spark, mergeRoot).count() === 3L)
+    // resolve() reads the committed version, not the lineage
+    assert(r.resolve(cfg)("V_MERGE").count() === 3L)
+    // the first publish is still time-travelable
+    assert(VersionedTable.readVersion(spark, fullRoot, 1L).count() === 2L)
+  }
+
   test("readPartitions prunes at the manifest, same rows as a filter") {
     val r = root()
     VersionedTable.write(spark, r,
