@@ -57,6 +57,17 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long) = s"$root/_manifests/v$v"
   private def dataRoot(root: String) = s"$root/data"
 
+  // per-root writer serialization WITHIN this JVM: two concurrent
+  // writers would stage the same b<v> batch dir and trash each other's
+  // files before either commits. Cross-PROCESS writers remain a
+  // declared single-writer contract, with best-effort detection: the
+  // commit re-reads the pointer and refuses when another writer
+  // advanced it after this op planned its version.
+  private val rootLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def withRootLock[T](root: String)(body: => T): T =
+    rootLocks.getOrElseUpdate(root, new Object).synchronized(body)
+
   private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path): String = {
     val in = f.open(p)
@@ -110,8 +121,14 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val files = manifest(spark, root, v)
     // explicit file list, NO basePath: files carry every column (the
-    // __pp_* partition dirs are a pruning index, not a schema source)
-    spark.read.parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
+    // __pp_* partition dirs are a pruning index, not a schema source).
+    // mergeSchema: a version can mix batches written before and after
+    // a column was added (merge reuses old files) — without it the
+    // read schema is sampled from ONE file and the result schema
+    // becomes file-order-dependent; with it, the schema is the
+    // deterministic union and pre-evolution rows read as NULL.
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
   }
 
   /** Manifest-level partition pruning: read only the files of the
@@ -167,6 +184,14 @@ object VersionedTable {
   // would orphan the whole table)
   private def commit(spark: SparkSession, root: String, v: Long,
                      files: Seq[String]): Unit = {
+    // best-effort cross-process conflict detection: another writer
+    // advancing the pointer after this op planned its version means
+    // the staged batch raced a foreign commit — refuse rather than
+    // overwrite its manifest
+    val now = currentVersion(spark, root).getOrElse(0L)
+    require(now == v - 1,
+      s"concurrent writer detected on $root: planned version $v but " +
+        s"current is $now — versioned tables are single-writer per table")
     val f = fsFor(spark, root)
     writeSmallFile(f, hp(manifestPath(root, v)), files.mkString("\n"))
     val tmp = hp(pointerPath(root) + ".tmp")
@@ -237,7 +262,7 @@ object VersionedTable {
   /** Write a full new version (CTAS / overwrite semantics). Returns the
     * committed version number. */
   def write(spark: SparkSession, root: String, df: DataFrame,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil): Long = withRootLock(root) {
     val v = currentVersion(spark, root).getOrElse(0L) + 1
     commit(spark, root, v, stageBatch(spark, root, v, df, partitionBy))
     v
@@ -251,7 +276,8 @@ object VersionedTable {
     * a 100 TB relation. Otherwise the merged relation is staged in
     * full. Either way, readers of older versions are untouched. */
   def merge(spark: SparkSession, root: String, increment: DataFrame,
-            uniqueKey: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+            uniqueKey: Seq[String], partitionBy: Seq[String] = Nil): Long =
+      withRootLock(root) {
     require(uniqueKey.nonEmpty, "merge needs a key")
     currentVersion(spark, root) match {
       case None => write(spark, root, increment, partitionBy)
@@ -264,7 +290,7 @@ object VersionedTable {
           val keySet = increment.select(uniqueKey.map(increment(_)): _*)
             .distinct()
           val merged = existing.join(broadcast(keySet), uniqueKey, "left_anti")
-            .unionByName(increment)
+            .unionByName(increment, allowMissingColumns = true)
           commit(spark, root, v,
             stageBatch(spark, root, v, merged, partitionBy))
         } else {
@@ -291,7 +317,10 @@ object VersionedTable {
             case None => increment
             case Some(oa) =>
               oa.join(broadcast(keySet), uniqueKey, "left_anti")
-                .unionByName(increment)
+                // allowMissingColumns: an increment ADDING a column is
+                // the schema-evolution path — survivors null-pad, and
+                // readVersion's mergeSchema unions deterministically
+                .unionByName(increment, allowMissingColumns = true)
           }
           val fresh = stageBatch(spark, root, v, rewritten, partitionBy)
           commit(spark, root, v, keep ++ fresh)
@@ -307,7 +336,8 @@ object VersionedTable {
     * the recovery window). Returns the new version, or the current one
     * unchanged when nothing matched. */
   def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
-                 keyCols: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+                 keyCols: Seq[String], partitionBy: Seq[String] = Nil): Long =
+      withRootLock(root) {
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
@@ -347,7 +377,8 @@ object VersionedTable {
     * commit as a new version. Readers of the old version keep their
     * old (fragmented) files until pruned. */
   def compact(spark: SparkSession, root: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+              targetFileBytes: Long = 128L * 1024 * 1024): Long =
+      withRootLock(root) {
     require(targetFileBytes >= 1024 * 1024, s"target too small: $targetFileBytes")
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
@@ -372,7 +403,8 @@ object VersionedTable {
     * publish, rollback restores the previous datasheet's corpus while
     * the bad version stays inspectable in history). Returns the new
     * version number. */
-  def rollback(spark: SparkSession, root: String, to: Long): Long = {
+  def rollback(spark: SparkSession, root: String, to: Long): Long =
+      withRootLock(root) {
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     require(to <= cur, s"cannot roll back to unborn version $to (current $cur)")
@@ -385,7 +417,8 @@ object VersionedTable {
     * and delete every data file referenced ONLY by expired ones. The
     * bounded-retention contract every snapshot store has — run it on
     * the maintenance cadence, sized to the longest reader. */
-  def prune(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+  def prune(spark: SparkSession, root: String, keep: Int = 2): Unit =
+      withRootLock(root) {
     require(keep >= 1, "must retain at least the current version")
     val f = fsFor(spark, root)
     // anchor on the COMMITTED pointer, not the manifest listing: a

@@ -651,7 +651,7 @@ object ScaleProbe {
       val fitted = TextAnalysis.fitBpe(base, "text", "doc_id",
         vocabWords = 4000, nMerges = 64, sampleMod = 1)
       val merges1k = fitted ++
-        (fitted.size until 1024).map(i => (s"pad$i", "padx"))
+        (fitted.size until 32768).map(i => (s"pad$i", "padx"))
       println(f"[scale] bpe_fit_64merges ${(System.nanoTime() - fitT0) / 1e9}%8.2f s")
       def kernelCount(m: Seq[(String, String)]) =
         base.select(col("doc_id"), coalesce(aggregate(
@@ -663,7 +663,7 @@ object ScaleProbe {
           transform(graft.functions.GraftFunctions.tokens(lower(col("text"))),
             w => TextAnalysis.bpeSymbolCountChain(w, m)),
           lit(0L), (acc, x) => acc + x), lit(0L)).as("n"))
-      for (n <- Seq(16, 256, 1024))
+      for (n <- Seq(16, 256, 1024, 32768))
         t(s"bpe_kernel_$n")(kernelCount(merges1k.take(n)))
       for (n <- Seq(16, 256))
         t(s"bpe_chain_$n")(chainCount(merges1k.take(n)))

@@ -270,6 +270,69 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, fullRoot, 1L).count() === 2L)
   }
 
+  test("in-JVM concurrent writers serialize: every commit lands, none lost") {
+    val r = root()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = VersionedTable.write(spark, r,
+            Seq((i.toLong, s"w$i")).toDF("id", "tag"))
+        })
+      }
+      val versions = futures.map(_.get()).sorted
+      assert(versions === (1L to 8L), s"lost or duplicated commits: $versions")
+      assert(VersionedTable.currentVersion(spark, r) === Some(8L))
+      // every version readable, exactly one row each
+      (1L to 8L).foreach(v =>
+        assert(VersionedTable.readVersion(spark, r, v).count() === 1L))
+    } finally pool.shutdown()
+  }
+
+  test("a foreign writer advancing the pointer mid-op makes the commit refuse") {
+    val r = root()
+    VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
+    val pointer = s"$r/_current"
+    // the increment's evaluation (inside stageBatch's write job)
+    // simulates another PROCESS committing: it bumps the pointer after
+    // this op planned its version
+    import spark.implicits._
+    val evil = spark.range(2).mapPartitions { it =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(pointer), "7")
+      it
+    }.toDF("id").withColumn("tag", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.write(spark, r, evil)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the foreign pointer stands; this op's manifest was never committed
+    assert(VersionedTable.currentVersion(spark, r) === Some(7L))
+  }
+
+  test("schema evolution: a merged increment adding a column null-pads history") {
+    val r = root()
+    VersionedTable.write(spark, r,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "p", "x"),
+      partitionBy = Seq("p"))
+    // increment carries a NEW column y; only partition b rewrites, so
+    // the committed version mixes pre- and post-evolution files
+    VersionedTable.merge(spark, r,
+      Seq((2L, "b", 99L, 7L)).toDF("id", "p", "x", "y"),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    val cur = VersionedTable.read(spark, r)
+    assert(cur.columns.toSet === Set("id", "p", "x", "y"),
+      "mergeSchema read must union the evolved schema deterministically")
+    val byId = cur.select("id", "x", "y").collect()
+      .map(row => row.getLong(0) -> (row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getLong(2)))).toMap
+    assert(byId(2L) === ((99L, Some(7L))))
+    assert(byId(1L) === ((10L, None)), "pre-evolution rows read as NULL y")
+    // time travel: the pre-evolution version keeps its original schema
+    assert(VersionedTable.readVersion(spark, r, 1L).columns.toSet ===
+      Set("id", "p", "x"))
+  }
+
   test("readPartitions prunes at the manifest, same rows as a filter") {
     val r = root()
     VersionedTable.write(spark, r,
