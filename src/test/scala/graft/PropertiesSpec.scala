@@ -284,4 +284,38 @@ class PropertiesSpec extends SparkSpec {
       col("st.sum_logp_u") > col("st.n_tokens") * -100L)
     assert(bad.count() == 0)
   }
+
+  test("BpeEncodeExpr == replace chain on random merge tables over random words") {
+    // 40 seeded-random merge tables (pairs drawn from a 3-symbol
+    // alphabet so collisions, overlaps, duplicate re-learned pairs and
+    // merged-symbol reuse all occur constantly), each applied to 60
+    // random words — evaluated SET-wise: one DataFrame carrying the
+    // kernel and the chain columns, one filter for any divergence.
+    val alpha = Seq("a", "b", "c")
+    (1 to 40).foreach { t =>
+      val nMerges = 1 + rnd.nextInt(6)
+      // later merges may reference symbols created by earlier ones
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      (1 to nMerges).foreach { _ =>
+        def sym() =
+          if (merges.nonEmpty && rnd.nextBoolean()) {
+            val (a, b) = merges(rnd.nextInt(merges.size)); a + b
+          } else alpha(rnd.nextInt(3))
+        merges += ((sym(), sym()))
+      }
+      val words = (1 to 60).map(_ =>
+        (1 to (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(3))).mkString)
+      val diff = words.toDF("w")
+        .select(col("w"),
+          array_join(graft.operators.TextAnalysis
+            .bpeEncode(col("w"), merges.toSeq), " ").as("k"),
+          trim(graft.operators.TextAnalysis
+            .bpeSymbols(col("w"), merges.toSeq)).as("c"))
+        .filter(col("k") =!= col("c"))
+        .collect()
+      assert(diff.isEmpty,
+        s"table $t: kernel != chain with merges=${merges.toSeq} on " +
+          diff.take(3).map(_.getString(0)).mkString(","))
+    }
+  }
 }

@@ -333,6 +333,68 @@ class VersionedTableSpec extends SparkSpec {
       Set("id", "p", "x"))
   }
 
+  test("model check: random op sequences match an in-memory reference, history included") {
+    import scala.util.Random
+    val ps = Seq("a", "b", "c")
+    for (trial <- 1 to 4) {
+      val rnd = new Random(1000 + trial)
+      val r = root()
+      def randState(): Map[(String, Long), Long] =
+        (1 to 2 + rnd.nextInt(5)).map(_ =>
+          ((ps(rnd.nextInt(3)), rnd.nextInt(6).toLong),
+            rnd.nextInt(100).toLong)).toMap
+      def df(m: Map[(String, Long), Long]) =
+        m.toSeq.map { case ((p, id), x) => (id, p, x) }.toDF("id", "p", "x")
+      def readState(v: Option[Long] = None): Map[(String, Long), Long] =
+        (v match {
+          case Some(n) => VersionedTable.readVersion(spark, r, n)
+          case None => VersionedTable.read(spark, r)
+        }).select("id", "p", "x").collect()
+          .map(row => (row.getString(1), row.getLong(0)) -> row.getLong(2))
+          .toMap
+      var history = Vector(randState())
+      VersionedTable.write(spark, r, df(history.head), partitionBy = Seq("p"))
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 => // full republish
+            val m = randState()
+            VersionedTable.write(spark, r, df(m), partitionBy = Seq("p"))
+            history :+= m
+          case 1 => // keyed merge (delete+insert)
+            val inc = randState()
+            VersionedTable.merge(spark, r, df(inc),
+              uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+            history :+= (history.last -- inc.keys) ++ inc
+          case 2 => // delete a strict subset (never empties the table)
+            val cur = history.last
+            val dels = cur.keys.toSeq.sortBy(_.toString)
+              .take(rnd.nextInt(cur.size)) // may be empty -> no-op commit
+            val before = VersionedTable.currentVersion(spark, r).get
+            VersionedTable.deleteKeys(spark, r,
+              dels.map { case (p, id) => (p, id) }.toDF("p", "id"),
+              keyCols = Seq("p", "id"), partitionBy = Seq("p"))
+            // deleteKeys commits only when something matched
+            if (VersionedTable.currentVersion(spark, r).get > before)
+              history :+= (cur -- dels)
+          case 3 => // rollback to any prior version
+            val to = 1 + rnd.nextInt(history.size)
+            VersionedTable.rollback(spark, r, to.toLong)
+            history :+= history(to - 1)
+          case 4 => // compact: content-preserving new version
+            VersionedTable.compact(spark, r)
+            history :+= history.last
+        }
+        assert(readState() === history.last,
+          s"trial $trial: live state diverged from the model")
+      }
+      // the FULL history must replay via time travel
+      history.zipWithIndex.foreach { case (m, i) =>
+        assert(readState(Some(i + 1L)) === m,
+          s"trial $trial: version ${i + 1} diverged from the model")
+      }
+    }
+  }
+
   test("readPartitions prunes at the manifest, same rows as a filter") {
     val r = root()
     VersionedTable.write(spark, r,
