@@ -308,10 +308,12 @@ object CurationModels {
     })
 
     r.register(Model("DATA_CARD", "3_MART___CURATION",
-        Seq("MIXTURE_SAMPLED"), Table) { deps =>
-      // the t22 datasheet over the EXPORT CUT — materialized per run so
-      // successive runs can be diffed as a release gate
-      // (DataTests.cardDiff; VERDICT r11 next-#7)
+        Seq("MIXTURE_SAMPLED"), Versioned()) { deps =>
+      // the t22 datasheet over the EXPORT CUT — VERSIONED per run, so
+      // the release gate (DataTests.cardDiff; VERDICT r11 next-#7)
+      // diffs version N against N-1 of ONE table, and a bad publish
+      // rolls back with VersionedTable.rollback while staying
+      // inspectable in history
       val d = deps("MIXTURE_SAMPLED")
         .withColumn("__n_chars", length(col("text")))
       TextAnalysis.dataCardFromState(TextAnalysis.dataCardState(

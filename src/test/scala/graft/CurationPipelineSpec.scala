@@ -353,41 +353,49 @@ class CurationPipelineSpec extends SparkSpec {
     assert(passthrough == host)
   }
 
-  test("DATA_CARD release gate: a gate change moves the card and cardDiff flags it") {
-    import graft.pipeline.DataTests
+  test("DATA_CARD release gate: versions diff across runs; rollback is the undo") {
+    import graft.pipeline.{DataTests, VersionedTable}
     val docs = corpus()
     val bench = Seq((9001L, "nothing shared zzz qqq www eee rrr"))
       .toDF("doc_id", "text")
 
-    val tmp1 = Files.createTempDirectory("graft-card1").toString
-    CurationModels.registry(spark, docs, bench)
-      .run(RunConfig(env = Dev, warehouseRoot = tmp1), Seq("DATA_CARD"))
-    val prevCard = spark.read
-      .parquet(s"$tmp1/DEV/3_MART___CURATION/DATA_CARD")
-    assert(prevCard.count() > 0)
+    // ONE warehouse, successive runs -> successive VERSIONS of the card
+    val tmp = Files.createTempDirectory("graft-card").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    val cardRoot = s"$tmp/DEV/3_MART___CURATION/DATA_CARD"
+    CurationModels.registry(spark, docs, bench).run(cfg, Seq("DATA_CARD"))
+    assert(VersionedTable.currentVersion(spark, cardRoot) === Some(1L))
+    val v1 = VersionedTable.read(spark, cardRoot)
+    assert(v1.count() > 0)
     // an unchanged pipeline diffs clean
-    assert(DataTests.cardDiff(prevCard, prevCard, maxRelDelta = 0.05)
-      .count() === 0L)
+    assert(DataTests.cardDiff(v1, v1, maxRelDelta = 0.05).count() === 0L)
 
     // a config change (tight export budget) slashes the shipped volume:
-    // the diff must flag the moved (lang, source) metrics
-    val tmp2 = Files.createTempDirectory("graft-card2").toString
+    // run 2 publishes card v2, and the gate diffs v2 against v1 of the
+    // SAME table
     CurationModels.registry(spark, docs, bench, exportBudget = Some(10L))
-      .run(RunConfig(env = Dev, warehouseRoot = tmp2), Seq("DATA_CARD"))
-    val newCard = spark.read
-      .parquet(s"$tmp2/DEV/3_MART___CURATION/DATA_CARD")
-    val viol = DataTests.cardDiff(newCard, prevCard, maxRelDelta = 0.05)
+      .run(cfg, Seq("DATA_CARD"))
+    assert(VersionedTable.currentVersion(spark, cardRoot) === Some(2L))
+    val viol = DataTests.cardDiff(
+      VersionedTable.readVersion(spark, cardRoot, 2L),
+      VersionedTable.readVersion(spark, cardRoot, 1L),
+      maxRelDelta = 0.05)
     assert(viol.count() > 0, "a slashed export budget must move the card")
     assert(viol.select("metric").as[String].collect().toSet
       .subsetOf(Set("n_docs", "n_tokens")))
-    // wired as a standard check, it fails the release
+    // wired as a standard check, it fails the release...
     val res = DataTests.runAll(Seq(
       DataTests.Check("DATA_CARD", "card_drift_vs_prev", viol)))
     assert(res.size === 1 && !res.head.passed)
+    // ...and the undo is one manifest commit: the bad publish stays in
+    // history, the live card is the good one again
+    VersionedTable.rollback(spark, cardRoot, to = 1L)
+    assert(DataTests.cardDiff(VersionedTable.read(spark, cardRoot), v1,
+      maxRelDelta = 0.05).count() === 0L)
 
     // a group disappearing outright is always a violation (NULL delta)
-    val dropped = prevCard.filter($"source" =!= "web")
-    val gone = DataTests.cardDiff(dropped, prevCard, maxRelDelta = 0.05)
+    val dropped = v1.filter($"source" =!= "web")
+    val gone = DataTests.cardDiff(dropped, v1, maxRelDelta = 0.05)
     assert(gone.count() > 0 &&
       gone.filter($"rel_delta".isNull).count() > 0)
   }
