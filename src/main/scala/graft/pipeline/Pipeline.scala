@@ -51,8 +51,13 @@ object Pipeline {
     * manifest commit), and with a `uniqueKey` the run MERGES its
     * increment (partition-scoped file reuse when partitionBy ⊆ key)
     * instead of rebuilding — the Incremental semantics on the
-    * versioned store. */
-  final case class Versioned(uniqueKey: Seq[String] = Nil) extends Materialization
+    * versioned store. `retain` bounds the version history: after each
+    * commit the scheduler prunes to the newest `retain` versions (a
+    * daily full republish would otherwise accumulate complete copies
+    * of the dataset without bound); size it to the longest reader +
+    * the rollback window. */
+  final case class Versioned(uniqueKey: Seq[String] = Nil,
+                             retain: Int = 3) extends Materialization
 
   /** Dep-map key under which an Incremental model's build function sees
     * its own existing relation (absent on the first run). */
@@ -388,7 +393,7 @@ object Pipeline {
       m.materialization match {
         case Incremental(_) if cfg.warehouseRoot.nonEmpty && exists(envPath(m, cfg)) =>
           Some(spark.read.parquet(envPath(m, cfg)))
-        case Versioned(_) if cfg.warehouseRoot.nonEmpty &&
+        case Versioned(_, _) if cfg.warehouseRoot.nonEmpty &&
             VersionedTable.currentVersion(spark, envPath(m, cfg)).nonEmpty =>
           Some(VersionedTable.read(spark, envPath(m, cfg)))
         case _ => None
@@ -405,11 +410,12 @@ object Pipeline {
           val path = envPath(m, cfg)
           mergeIntoParquet(spark, path, df, uniqueKey, m.partitionBy)
           spark.read.parquet(path)
-        case Versioned(uniqueKey) =>
+        case Versioned(uniqueKey, retain) =>
           val path = envPath(m, cfg)
           if (uniqueKey.isEmpty)
             VersionedTable.write(spark, path, df, m.partitionBy)
           else VersionedTable.merge(spark, path, df, uniqueKey, m.partitionBy)
+          VersionedTable.prune(spark, path, keep = retain)
           VersionedTable.read(spark, path)
       }
 
@@ -438,7 +444,7 @@ object Pipeline {
           case (Table | Incremental(_)) if cfg.warehouseRoot.nonEmpty =>
             val path = envPath(m, cfg)
             if (exists(path)) spark.read.parquet(path) else built
-          case Versioned(_) if cfg.warehouseRoot.nonEmpty =>
+          case Versioned(_, _) if cfg.warehouseRoot.nonEmpty =>
             val path = envPath(m, cfg)
             if (VersionedTable.currentVersion(spark, path).nonEmpty)
               VersionedTable.read(spark, path)

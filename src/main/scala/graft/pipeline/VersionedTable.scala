@@ -103,12 +103,46 @@ object VersionedTable {
       .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted.toSeq
   }
 
-  private def manifest(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  /** A parsed manifest: the file list plus the version's RECORDED
+    * union schema (first line `#schema=<json>`). Recording the schema
+    * at commit time makes every read O(1) in metadata — no
+    * footer-sampling, no distributed mergeSchema job over all files —
+    * and makes ANY file subset (partition-scoped rewrites,
+    * readPartitions) read with the same deterministic schema even when
+    * the version mixes pre- and post-evolution batches. Manifests
+    * written before the schema line existed read via the mergeSchema
+    * fallback. */
+  private case class Manifest(files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  private def manifest(spark: SparkSession, root: String, v: Long): Manifest = {
     val f = fsFor(spark, root)
     val p = hp(manifestPath(root, v))
     require(f.exists(p), s"version $v of $root is not retained (pruned?)")
-    readSmallFile(f, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = readSmallFile(f, p).split("\n").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val (schemaLines, files) = lines.partition(_.startsWith("#schema="))
+    val schema = schemaLines.headOption.map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        l.stripPrefix("#schema=")).asInstanceOf[org.apache.spark.sql.types.StructType])
+    Manifest(files, schema)
   }
+
+  // read a concrete file list under a version's recorded schema: one
+  // consistent result for ANY subset of the version's files
+  private def readFiles(spark: SparkSession, root: String,
+                        m: Manifest, files: Seq[String]): DataFrame =
+    m.schema match {
+      case Some(sc) if files.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case Some(sc) =>
+        spark.read.schema(sc)
+          .parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
+      case None => // legacy manifest: deterministic union via mergeSchema
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
+    }
 
   /** Read the CURRENT version. The pointer is resolved here, once: the
     * returned DataFrame is bound to version-immutable files and stays
@@ -117,18 +151,14 @@ object VersionedTable {
     readVersion(spark, root, currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root")))
 
-  /** Time travel: read a specific retained version. */
+  /** Time travel: read a specific retained version. Explicit file
+    * list, NO basePath (files carry every column — the __pp_* dirs are
+    * a pruning index, not a schema source), under the manifest's
+    * recorded union schema: deterministic across mixed-evolution
+    * batches, pre-evolution rows read as NULL, zero footer-sampling. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val files = manifest(spark, root, v)
-    // explicit file list, NO basePath: files carry every column (the
-    // __pp_* partition dirs are a pruning index, not a schema source).
-    // mergeSchema: a version can mix batches written before and after
-    // a column was added (merge reuses old files) — without it the
-    // read schema is sampled from ONE file and the result schema
-    // becomes file-order-dependent; with it, the schema is the
-    // deterministic union and pre-evolution rows read as NULL.
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
+    val m = manifest(spark, root, v)
+    readFiles(spark, root, m, m.files)
   }
 
   /** Manifest-level partition pruning: read only the files of the
@@ -140,9 +170,9 @@ object VersionedTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val keys = values.map(x => s"__pp_$col=${escapePathName(String.valueOf(x))}/")
-    val files = manifest(spark, root, v)
-      .filter(f => keys.exists(k => f.contains("/" + k)))
-    spark.read.parquet(files.map(f => s"${dataRoot(root)}/$f"): _*)
+    val m = manifest(spark, root, v)
+    readFiles(spark, root, m,
+      m.files.filter(f => keys.exists(k => f.contains("/" + k))))
   }
 
   // relative paths of every parquet file under a batch dir
@@ -183,7 +213,8 @@ object VersionedTable {
   // window this layer exists to remove, and a crash between the two
   // would orphan the whole table)
   private def commit(spark: SparkSession, root: String, v: Long,
-                     files: Seq[String]): Unit = {
+                     files: Seq[String],
+                     schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     // best-effort cross-process conflict detection: another writer
     // advancing the pointer after this op planned its version means
     // the staged batch raced a foreign commit — refuse rather than
@@ -193,7 +224,8 @@ object VersionedTable {
       s"concurrent writer detected on $root: planned version $v but " +
         s"current is $now — versioned tables are single-writer per table")
     val f = fsFor(spark, root)
-    writeSmallFile(f, hp(manifestPath(root, v)), files.mkString("\n"))
+    writeSmallFile(f, hp(manifestPath(root, v)),
+      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ files).mkString("\n"))
     val tmp = hp(pointerPath(root) + ".tmp")
     writeSmallFile(f, tmp, v.toString)
     val dst = f.makeQualified(hp(pointerPath(root)))
@@ -259,12 +291,34 @@ object VersionedTable {
         "partition-scoped rewrite would keep stale rows silently")
   }
 
+  /** Evolution union: prior columns in order, new columns appended;
+    * a type CHANGE for an existing column is refused (the versioned
+    * layer null-pads, it does not cast history). All fields read as
+    * nullable — pre-evolution files lack the new columns. */
+  private def unionSchema(prior: org.apache.spark.sql.types.StructType,
+                          next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    prior.fields.foreach { f =>
+      next.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"schema evolution cannot change the type of '${f.name}': " +
+            s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+      }
+    }
+    val priorNames = prior.fieldNames.toSet
+    StructType((prior.fields ++
+      next.fields.filterNot(f => priorNames.contains(f.name)))
+      .map(_.copy(nullable = true)))
+  }
+
   /** Write a full new version (CTAS / overwrite semantics). Returns the
     * committed version number. */
   def write(spark: SparkSession, root: String, df: DataFrame,
             partitionBy: Seq[String] = Nil): Long = withRootLock(root) {
     val v = currentVersion(spark, root).getOrElse(0L) + 1
-    commit(spark, root, v, stageBatch(spark, root, v, df, partitionBy))
+    commit(spark, root, v, stageBatch(spark, root, v, df, partitionBy),
+      Some(df.schema))
     v
   }
 
@@ -283,7 +337,9 @@ object VersionedTable {
       case None => write(spark, root, increment, partitionBy)
       case Some(cur) =>
         val v = cur + 1
-        val existing = readVersion(spark, root, cur)
+        val cm = manifest(spark, root, cur) // one read per op
+        val existing = readFiles(spark, root, cm, cm.files)
+        val newSchema = unionSchema(existing.schema, increment.schema)
         val partitionScoped =
           partitionBy.nonEmpty && partitionBy.forall(uniqueKey.contains)
         if (!partitionScoped) {
@@ -292,9 +348,9 @@ object VersionedTable {
           val merged = existing.join(broadcast(keySet), uniqueKey, "left_anti")
             .unionByName(increment, allowMissingColumns = true)
           commit(spark, root, v,
-            stageBatch(spark, root, v, merged, partitionBy))
+            stageBatch(spark, root, v, merged, partitionBy), Some(newSchema))
         } else {
-          requireLayout(manifest(spark, root, cur), partitionBy, "merge")
+          requireLayout(cm.files, partitionBy, "merge")
           // affected partition dirs, from the increment (bounded)
           val parts = increment.select(partitionBy.map(increment(_)): _*)
             .distinct().collect().map { r =>
@@ -303,14 +359,15 @@ object VersionedTable {
             }.mkString
           }.toSet
           def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
-          val keep = manifest(spark, root, cur).filterNot(affected)
+          val keep = cm.files.filterNot(affected)
           // rewrite ONLY the affected partitions: their old rows minus
-          // keyed hits, plus the increment
-          val affectedFiles = manifest(spark, root, cur).filter(affected)
+          // keyed hits, plus the increment — read under the version's
+          // recorded schema, so a subset mixing pre-/post-evolution
+          // files can never sample the wrong footer and drop a column
+          val affectedFiles = cm.files.filter(affected)
           val oldAffected =
             if (affectedFiles.isEmpty) None
-            else Some(spark.read.parquet(
-              affectedFiles.map(f => s"${dataRoot(root)}/$f"): _*))
+            else Some(readFiles(spark, root, cm, affectedFiles))
           val keySet = increment.select(uniqueKey.map(increment(_)): _*)
             .distinct()
           val rewritten = oldAffected match {
@@ -318,12 +375,12 @@ object VersionedTable {
             case Some(oa) =>
               oa.join(broadcast(keySet), uniqueKey, "left_anti")
                 // allowMissingColumns: an increment ADDING a column is
-                // the schema-evolution path — survivors null-pad, and
-                // readVersion's mergeSchema unions deterministically
+                // the schema-evolution path — survivors null-pad under
+                // the recorded union schema
                 .unionByName(increment, allowMissingColumns = true)
           }
           val fresh = stageBatch(spark, root, v, rewritten, partitionBy)
-          commit(spark, root, v, keep ++ fresh)
+          commit(spark, root, v, keep ++ fresh, Some(newSchema))
         }
         v
     }
@@ -341,19 +398,23 @@ object VersionedTable {
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
-    val existing = readVersion(spark, root, cur)
+    val cm = manifest(spark, root, cur) // one read per op
+    val existing = readFiles(spark, root, cm, cm.files)
     val keySet = keys.select(keyCols.map(keys(_)): _*).distinct()
       .localCheckpoint(false)
     if (existing.join(broadcast(keySet), keyCols, "left_semi").isEmpty)
       return cur
     val v = cur + 1
+    // deletion never changes the schema
+    val schema = Some(existing.schema)
     val partitionScoped =
       partitionBy.nonEmpty && partitionBy.forall(keyCols.contains)
     if (!partitionScoped) {
       val kept = existing.join(broadcast(keySet), keyCols, "left_anti")
-      commit(spark, root, v, stageBatch(spark, root, v, kept, partitionBy))
+      commit(spark, root, v, stageBatch(spark, root, v, kept, partitionBy),
+        schema)
     } else {
-      requireLayout(manifest(spark, root, cur), partitionBy, "deleteKeys")
+      requireLayout(cm.files, partitionBy, "deleteKeys")
       val parts = keySet.select(partitionBy.map(keySet(_)): _*)
         .distinct().collect().map { r =>
         partitionBy.zipWithIndex.map { case (c, i) =>
@@ -361,13 +422,13 @@ object VersionedTable {
         }.mkString
       }.toSet
       def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
-      val keep = manifest(spark, root, cur).filterNot(affected)
-      val affectedFiles = manifest(spark, root, cur).filter(affected)
-      val rewritten = spark.read.parquet(
-          affectedFiles.map(f => s"${dataRoot(root)}/$f"): _*)
+      val keep = cm.files.filterNot(affected)
+      // recorded-schema read: a mixed-evolution affected subset can
+      // never sample the wrong footer and drop a column
+      val rewritten = readFiles(spark, root, cm, cm.files.filter(affected))
         .join(broadcast(keySet), keyCols, "left_anti")
       val fresh = stageBatch(spark, root, v, rewritten, partitionBy)
-      commit(spark, root, v, keep ++ fresh)
+      commit(spark, root, v, keep ++ fresh, schema)
     }
     v
   }
@@ -387,13 +448,14 @@ object VersionedTable {
     // PRESERVE the stored layout: compacting a partitioned table into
     // an unpartitioned batch would silently disable every subsequent
     // partition-scoped merge/deleteKeys/readPartitions
-    val partitionBy = layoutOf(cm)
-    val bytes = cm
+    val partitionBy = layoutOf(cm.files)
+    val bytes = cm.files
       .map(rel => f.getFileStatus(hp(s"${dataRoot(root)}/$rel")).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val v = cur + 1
+    val content = readFiles(spark, root, cm, cm.files)
     commit(spark, root, v, stageBatch(spark, root, v,
-      readVersion(spark, root, cur).coalesce(n), partitionBy))
+      content.coalesce(n), partitionBy), Some(content.schema))
     v
   }
 
@@ -409,7 +471,8 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no versioned table at $root"))
     require(to <= cur, s"cannot roll back to unborn version $to (current $cur)")
     val v = cur + 1
-    commit(spark, root, v, manifest(spark, root, to))
+    val m = manifest(spark, root, to)
+    commit(spark, root, v, m.files, m.schema)
     v
   }
 
@@ -433,9 +496,10 @@ object VersionedTable {
     val retained = committed.takeRight(keep) // always includes cur
     val expired = committed.dropRight(keep)
     if (expired.isEmpty && orphans.isEmpty) return
-    val live: Set[String] = retained.flatMap(v => manifest(spark, root, v)).toSet
+    val live: Set[String] =
+      retained.flatMap(v => manifest(spark, root, v).files).toSet
     (expired ++ orphans).foreach { v =>
-      manifest(spark, root, v).filterNot(live).foreach { rel =>
+      manifest(spark, root, v).files.filterNot(live).foreach { rel =>
         f.delete(hp(s"${dataRoot(root)}/$rel"), false)
       }
       f.delete(hp(manifestPath(root, v)), false)

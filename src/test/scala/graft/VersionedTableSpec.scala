@@ -186,7 +186,8 @@ class VersionedTableSpec extends SparkSpec {
       partitionBy = Seq("p"))
     val e2 = intercept[IllegalArgumentException] {
       VersionedTable.merge(spark, r2,
-        Seq((2L, null, 99L)).toDF("id", "p", "x"),
+        Seq((2L, null, 99L)).toDF("id", "p", "x")
+          .select($"id", $"p".cast("string").as("p"), $"x"),
         uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
     }
     assert(e2.getMessage.contains("null partition"))
@@ -268,6 +269,12 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.resolve(cfg)("V_MERGE").count() === 3L)
     // the first publish is still time-travelable
     assert(VersionedTable.readVersion(spark, fullRoot, 1L).count() === 2L)
+    // retention: repeated publishes stay bounded by retain (default 3)
+    (1 to 4).foreach(_ => r.run(cfg, Seq("V_FULL")))
+    assert(VersionedTable.currentVersion(spark, fullRoot) === Some(6L))
+    val vs = VersionedTable.versions(spark, fullRoot)
+    assert(vs.size === 3 && vs.last === 6L,
+      s"scheduler must prune to the retain window, got $vs")
   }
 
   test("in-JVM concurrent writers serialize: every commit lands, none lost") {
