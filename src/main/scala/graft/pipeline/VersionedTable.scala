@@ -291,6 +291,16 @@ object VersionedTable {
         "partition-scoped rewrite would keep stale rows silently")
   }
 
+  // distinct partition-dir keys of a (bounded) key relation — the
+  // affected set a partition-scoped rewrite touches
+  private def affectedPartitionKeys(df: DataFrame,
+                                    partitionBy: Seq[String]): Set[String] =
+    df.select(partitionBy.map(df(_)): _*).distinct().collect().map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        partitionKey(c, r.get(i))
+      }.mkString
+    }.toSet
+
   /** Evolution union: prior columns in order, new columns appended;
     * a type CHANGE for an existing column is refused (the versioned
     * layer null-pads, it does not cast history). All fields read as
@@ -352,12 +362,7 @@ object VersionedTable {
         } else {
           requireLayout(cm.files, partitionBy, "merge")
           // affected partition dirs, from the increment (bounded)
-          val parts = increment.select(partitionBy.map(increment(_)): _*)
-            .distinct().collect().map { r =>
-            partitionBy.zipWithIndex.map { case (c, i) =>
-              partitionKey(c, r.get(i))
-            }.mkString
-          }.toSet
+          val parts = affectedPartitionKeys(increment, partitionBy)
           def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
           val keep = cm.files.filterNot(affected)
           // rewrite ONLY the affected partitions: their old rows minus
@@ -415,12 +420,7 @@ object VersionedTable {
         schema)
     } else {
       requireLayout(cm.files, partitionBy, "deleteKeys")
-      val parts = keySet.select(partitionBy.map(keySet(_)): _*)
-        .distinct().collect().map { r =>
-        partitionBy.zipWithIndex.map { case (c, i) =>
-          partitionKey(c, r.get(i))
-        }.mkString
-      }.toSet
+      val parts = affectedPartitionKeys(keySet, partitionBy)
       def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
       val keep = cm.files.filterNot(affected)
       // recorded-schema read: a mixed-evolution affected subset can
