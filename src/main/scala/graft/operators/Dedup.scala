@@ -1047,6 +1047,49 @@ object Dedup {
     editDistancePairs(df, strCol, idCol, maxDist,
       chooseEditJoinQ(df, strCol, maxDist, candidates, sampleMod, maxMeanBucket))
 
+  /** DELTA SEMANTIC DEDUP (SemDeDup as an incremental service — the
+    * last dedup family member without a delta form; minhash, span,
+    * substring, CC, edit join and the data card all have one): a new
+    * batch is assigned MAP-ONLY against the FROZEN coarse quantizer
+    * (the e20 maintained-index contract — no refit, e18's recall
+    * report says when to refit) and pairs only within its cells
+    * against (state ∪ batch); state vectors never drop (they are the
+    * kept reference), batch vectors drop to the smallest same-cell
+    * neighbor at-or-above the threshold. Same rounded-cosine boundary
+    * and keeper rule as [[semanticDedupTrained]].
+    *
+    * Scale shape: batch assignment map-only; the pair join keys on
+    * cell with the BATCH side bounded, so per-tick cost tracks
+    * |batch| x cell occupancy, never the state size; state arrives as
+    * the stored (id, v, cell) relation — at 100 TB a cell-partitioned
+    * table whose scan prunes to the batch's cells.
+    *
+    * `state`: (id, v, cell) as stored by a prior assignment (e.g.
+    * [[graft.operators.Similarity.cellAssignmentsTrained]] or the
+    * maintained IVF layout). Output: (drop_id, keeper_id, cell,
+    * cosine) — drop_id ∈ batch only. */
+  def semanticDedupDelta(batch: DataFrame, state: DataFrame,
+                         vecCol: String, idCol: String,
+                         codebook: Seq[Seq[Double]],
+                         threshold: Double): DataFrame = {
+    val b = Similarity.cellAssignmentsTrained(batch, vecCol, idCol, codebook)
+    val all = state.select(col("id"), col("v"), col("cell"))
+      .unionByName(b.select(col("id"), col("v"), col("cell")))
+    val l = all.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val r = b.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos_r",
+        round(VectorExpressions.cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos_r") >= threshold)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id2").orderBy(col("id1"))))
+      .filter(col("rn") === 1)
+      .select(col("id2").as("drop_id"), col("id1").as("keeper_id"),
+        col("cell"), col("cos_r").as("cosine"))
+  }
+
   private def semanticDedupOn(assigned: DataFrame,
                               threshold: Double): DataFrame = {
     val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))

@@ -1327,6 +1327,50 @@ object DataQueries {
       |FROM k JOIN f ON f.id2 = k.drop_id AND f.id1 = k.keeper_id
       |ORDER BY drop_id""".stripMargin
 
+  /** DELTA SEMANTIC DEDUP (d21 — [[Dedup.semanticDedupDelta]]): the
+    * d13 operator as an incremental service. The quantizer fits on the
+    * BASE corpus and freezes (the e20 contract); the batch (vec_id%3=0)
+    * assigns map-only and pairs within its cells against state∪batch;
+    * only batch vectors drop. The oracle replays the base-only fit,
+    * both assignments, and the pair/keeper logic — proving
+    * batch-vs-state == the same rule applied globally under the frozen
+    * quantizer. */
+  val d21SemanticDedupDelta: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val cb = kmBaseModel(s, dir).centroids
+    val state = Similarity.cellAssignmentsTrained(
+      emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0),
+      "embedding", "vec_id", cb)
+    Dedup.semanticDedupDelta(
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0), state,
+        "embedding", "vec_id", cb, threshold = 0.3)
+      .orderBy(col("drop_id"))
+  }
+
+  lazy val d21Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |bse AS (SELECT id, v FROM e WHERE id % 3 <> 0),
+      |${kmCtesFor("b", "bse", kmDim, "cos", "kb")},
+      |sa AS (SELECT id, v, cell FROM (
+      |  SELECT s.id, s.v, c.cell, row_number() OVER (PARTITION BY s.id
+      |    ORDER BY round(list_cosine_similarity(s.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM bse s CROSS JOIN bcents c) WHERE rn = 1),
+      |bt AS (SELECT id, v FROM e WHERE id % 3 = 0),
+      |ba AS (SELECT id, v, cell FROM (
+      |  SELECT t.id, t.v, c.cell, row_number() OVER (PARTITION BY t.id
+      |    ORDER BY round(list_cosine_similarity(t.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM bt t CROSS JOIN bcents c) WHERE rn = 1),
+      |allv AS (SELECT * FROM sa UNION ALL SELECT * FROM ba),
+      |f AS (SELECT a.id AS id1, b.id AS id2, b.cell,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS c
+      |  FROM allv a JOIN ba b ON a.cell = b.cell AND a.id < b.id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+      |k AS (SELECT id2 AS drop_id, min(id1) AS keeper_id FROM f GROUP BY 1)
+      |SELECT k.drop_id, k.keeper_id, f.cell, f.c AS cosine
+      |FROM k JOIN f ON f.id2 = k.drop_id AND f.id1 = k.keeper_id
+      |ORDER BY drop_id""".stripMargin
+
   // -------------------------------------------------------------------
   // Trained coarse quantizer (deterministic k-means — e08)
   // -------------------------------------------------------------------
@@ -2832,6 +2876,7 @@ object DataQueries {
     "d17_host_rank_gate" -> d17HostRankGate,
     "d18_weighted_sample" -> d18WeightedSample,
     "d20_edit_join_delta" -> d20EditJoinDelta,
+    "d21_semantic_delta" -> d21SemanticDedupDelta,
     "d19_cluster_sample" -> d19ClusterSample,
     "d10_containment" -> d10ContainmentPairs,
     "t06_seq_pack" -> t06SeqPack,
@@ -2904,6 +2949,7 @@ object DataQueries {
     "d17_host_rank_gate" -> d17Sql,
     "d18_weighted_sample" -> d18Sql,
     "d20_edit_join_delta" -> d20Sql,
+    "d21_semantic_delta" -> d21Sql,
     "d19_cluster_sample" -> d19Sql,
     "d10_containment" -> d10Sql,
     "t06_seq_pack" -> t06Sql,

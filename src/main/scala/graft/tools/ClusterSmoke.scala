@@ -111,7 +111,10 @@ object ClusterSmoke {
     // aggregation from executor partials (t23), the chunker's
     // explode+slice map stage (t24), and the kNN vote windows over the
     // broadcast holdout (e21)
-    "t23_nb_confusion", "t24_chunk_spans", "e21_knn_label")
+    "t23_nb_confusion", "t24_chunk_spans", "e21_knn_label",
+    // delta semantic dedup: base-only fit + two assignment passes +
+    // the cell-keyed state∪batch pair join across executor JVMs
+    "d21_semantic_delta")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

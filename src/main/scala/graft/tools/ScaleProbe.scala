@@ -609,6 +609,25 @@ object ScaleProbe {
       t(s"knn_label_${replicas}x")(votes
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
     }
+    // d21 delta semantic dedup: a 1x batch against an Nx stored
+    // assignment state under a frozen quantizer — the delta's cost must
+    // track |batch| x cell occupancy, far below the full rebuild that
+    // re-pairs the whole corpus
+    stage("semantic_delta") {
+      val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+        k = 16, dim = 64, initRounds = 2, oversample = 32, iters = 3).centroids
+      val state = prepared(s"/tmp/graft_scale_semstate_${replicas}x") {
+        graft.operators.Similarity.cellAssignmentsTrained(
+          embBig, "embedding", "vec_id", cb)
+      }
+      val batch = emb.select((col("vec_id") + lit(900000000L)).as("vec_id"),
+        col("embedding"))
+      t(s"semantic_delta_${replicas}x")(Dedup.semanticDedupDelta(
+        batch, state, "embedding", "vec_id", cb, threshold = 0.3))
+      t(s"semantic_full_${replicas}x")(Dedup.semanticDedupTrained(
+        embBig.unionByName(batch), "embedding", "vec_id", cb,
+        threshold = 0.3))
+    }
     // d17 host-authority rank: replicate docs with per-replica HOST
     // remapping, so hosts (and the syndication graph) scale with the
     // corpus while within-replica structure is preserved. The df-cap

@@ -421,6 +421,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (11L, 10L)), out.toSeq.toString)
   }
 
+  test("semanticDedupDelta == global run restricted to batch drops; state never drops") {
+    // ring corpus under a frozen 4-cell codebook; batch = every 3rd id
+    val codebook = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
+    val vecs = (0 until 90).map { i =>
+      val angle = (i % 18) * 2 * math.Pi / 18.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val base = vecs.filter(pmod(col("vec_id"), lit(3L)) =!= 0)
+    val batch = vecs.filter(pmod(col("vec_id"), lit(3L)) === 0)
+    val state = graft.operators.Similarity.cellAssignmentsTrained(
+      base, "embedding", "vec_id", codebook)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val delta = canon(Dedup.semanticDedupDelta(batch, state,
+      "embedding", "vec_id", codebook, threshold = 0.9))
+    // the global rule under the SAME frozen quantizer, restricted to
+    // batch-side drops, must be identical — the d20/minhash delta
+    // losslessness contract for the semantic family
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    val global = canon(Dedup.semanticDedupTrained(vecs, "embedding",
+        "vec_id", codebook, threshold = 0.9)
+      .filter(col("drop_id").isin(batchIds.toSeq: _*)))
+    assert(delta === global)
+    assert(delta.nonEmpty, "fixture must produce drops")
+    // state ids never appear as drops
+    assert(delta.forall { case (drop, _, _, _) => batchIds.contains(drop) })
+  }
+
   test("semanticDedup: result is invariant to input partitioning") {
     val vecs = (0 until 60).map { i =>
       val angle = (i % 12) * 2 * math.Pi / 12.0
