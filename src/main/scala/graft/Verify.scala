@@ -4,8 +4,38 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def oracleJson(): String = SparkEntry.oracleSql
+    .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // `--oracles-only <sfDir> <outDir>`: dump oracle_sql.json WITHOUT
+    // running a single query — proves the oracle strings are
+    // order-independent (VERDICT r12 next-#1: the r12 t21 miss was an
+    // oracle dump from a fresh JVM where no query had run). The literal
+    // oracles self-serve from the ModelSidecar (or fit on demand), so
+    // this path must produce byte-identical SQL to the full run.
+    val (oraclesOnly, rest) = args.partition(_ == "--oracles-only")
+    val Array(sfDir, outDir) = rest
+    if (oraclesOnly.nonEmpty) {
+      new java.io.File(outDir).mkdirs()
+      graft.queries.DataQueries.setOracleDir(sfDir)
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        oracleJson())
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,25 +61,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // literal-contract oracles (t21/t23) inline the model fitted for
     // the dir being dumped — pin it explicitly so a JVM that touched
     // other sf dirs can never leak another dir's literals
     graft.queries.DataQueries.setOracleDir(sfDir)
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson())
     // Content fingerprints (VERDICT r11 next-#2): the drift contract
     // covers schema; the two driver incidents to date (r9 events.ts,
     // r11 t21 suspect) were the generator's DATA changing under the

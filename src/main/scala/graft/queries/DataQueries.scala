@@ -1862,10 +1862,11 @@ object DataQueries {
   private val nbVocab = 300
 
   /** One collected NB model per (session, sf dir) — same memoization
-    * contract as [[kmModel]]. The collect also caches the model for
-    * [[t21Sql]]'s literal oracle (queries run before the oracle dump in
-    * Verify, so the literals are always fresh for the dir being
-    * verified). */
+    * contract as [[kmModel]]. Every fit is ALSO persisted to the
+    * [[graft.io.ModelSidecar]] keyed by the data dir, so [[t21Sql]]'s
+    * literal oracle can be built from ANY JVM in ANY order (the r12
+    * driver miss: the oracle dump ran in a fresh JVM where the in-JVM
+    * cache was empty and the hazard replay SQL silently shipped). */
   private val nbModels = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), TextAnalysis.NbModel]
   // which sf dir the NEXT oracle dump describes — set by Verify before
@@ -1875,16 +1876,25 @@ object DataQueries {
   // r11-style false incident the contract exists to kill)
   @volatile private var oracleDir: Option[String] = None
   def setOracleDir(dir: String): Unit = { oracleDir = Some(dir) }
-  private def nbModelForOracle: Option[TextAnalysis.NbModel] = {
-    val byDir = nbModels.toSeq.collect {
-      case ((s, d), m) if !s.sparkContext.isStopped => d -> m
-    }
-    oracleDir.flatMap(d => byDir.collectFirst { case (`d`, m) => m })
-      .orElse(byDir.map(_._1).distinct match {
-        // no hint but unambiguous: only one dir ever fitted this JVM
-        case Seq(_) => Some(byDir.head._2)
-        case _ => None // ambiguous -> the engine-independent replay SQL
-      })
+  /** The data dir the oracle dump describes. Hint chain: explicit
+    * [[setOracleDir]] (Verify) → `SPARK_GRAFT_ORACLE_DIR` →
+    * `SPARK_GRAFT_SF_DIR` (the bench contract) → the driver's standard
+    * verification dir if present on disk. Exhausting the chain THROWS —
+    * a loud miss beats a silently-wrong oracle (VERDICT r12 next-#1). */
+  private def resolveOracleDir: String =
+    oracleDir
+      .orElse(sys.env.get("SPARK_GRAFT_ORACLE_DIR"))
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .orElse(Seq("/root/testdata/sf0.01").find(d =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))))
+      .getOrElse(throw new IllegalStateException(
+        "nb literal oracle: no data dir resolvable - call " +
+          "DataQueries.setOracleDir(dir) or set SPARK_GRAFT_ORACLE_DIR " +
+          "before materializing oracleSql"))
+  private def fitNb(s: SparkSession, dir: String): TextAnalysis.NbModel = {
+    val sample = Catalog(s, dir).documents.filter(
+      pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L)
+    TextAnalysis.naiveBayesFitLiterals(sample, "text", "lang", nbVocab)
   }
   private[queries] def nbModel(s: SparkSession, dir: String): TextAnalysis.NbModel =
     synchronized {
@@ -1892,10 +1902,39 @@ object DataQueries {
         if (sess.sparkContext.isStopped) nbModels.remove(kk)
       }
       nbModels.getOrElseUpdate((s, dir), {
-        val sample = Catalog(s, dir).documents.filter(
-          pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L)
-        TextAnalysis.naiveBayesFitLiterals(sample, "text", "lang", nbVocab)
+        val m = fitNb(s, dir)
+        // persist for cross-JVM oracle dumps (VERDICT r12 next-#1)
+        graft.io.ModelSidecar.writeNb(dir, m)
+        m
       })
+    }
+  /** The literal model for the oracle, with NO runtime-state dependency:
+    * in-JVM fit for the dir if the query already ran here → sidecar file
+    * from a prior run (content-token-checked against the on-disk table,
+    * so a regenerated corpus can never ship stale literals) → fit NOW
+    * (the sample fit is seconds at verification scale; reuses a live
+    * session or builds a local one). Failure THROWS — the silent
+    * replay-SQL fallback whose libm hazard caused the r11/r12 misses is
+    * deleted. */
+  private def nbModelLiteral(dir: String): TextAnalysis.NbModel =
+    nbModels.collectFirst {
+      case ((s, d), m) if d == dir && !s.sparkContext.isStopped => m
+    }.orElse(graft.io.ModelSidecar.readNb(dir)).getOrElse {
+      val live = SparkSession.getActiveSession
+        .filter(!_.sparkContext.isStopped)
+        .orElse(SparkSession.getDefaultSession
+          .filter(!_.sparkContext.isStopped))
+      val s = live.getOrElse(SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+      try {
+        val m = fitNb(s, dir)
+        graft.io.ModelSidecar.writeNb(dir, m)
+        m
+      } finally if (live.isEmpty) s.stop() // we created it; don't leak
     }
 
   /** Multinomial Naive Bayes language classifier
@@ -1929,12 +1968,6 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** t21 oracle. When the model has been collected this JVM (always
-    * true in a Verify run — queries execute before the oracle dump),
-    * the fitted integers are inlined as VALUES and DuckDB never
-    * computes an `ln`: the whole gate is integer sums + argmax,
-    * bit-exact under ANY libm. Falls back to the full fit replay
-    * ([[t21ReplaySql]]) if somehow dumped without a query run. */
   /** NB classifier SELF-EVALUATION (VERDICT r11 next-#5, the e18
     * pattern — the model evaluating itself as a hash-checked query):
     * per-class confusion counts and precision / recall / F1 over the
@@ -2018,37 +2051,8 @@ object DataQueries {
        |  (label = true_label) AS is_correct
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  def t21Sql: String = nbModelForOracle match {
-    case Some(m) => s"WITH ${nbLiteralCtes(m)}\n$nbFinalSelect"
-    case None => t21ReplaySql
-  }
-
-  // replay fit CTEs ending in pri/grid — shared by the t21/t23 fallbacks
-  private val nbReplayFitCtes: String =
-    s"""$toksCte,
-       |lab AS (SELECT t.doc_id, d.lang, t.toks
-       |  FROM toks t JOIN documents d USING (doc_id)
-       |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 20 = 0),
-       |str AS (SELECT lang, unnest(toks) AS tok FROM lab),
-       |vcb AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM str GROUP BY 1)
-       |  ORDER BY n DESC, tok LIMIT $nbVocab),
-       |cls AS (SELECT lang, count(*) AS n_docs FROM lab GROUP BY 1),
-       |tots AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM cls),
-       |pri AS (SELECT lang, CAST(floor(ln(CAST(n_docs AS DOUBLE) / n_all)
-       |  * 1e9 + 0.5) AS BIGINT) AS prior_lp FROM cls, tots),
-       |ct AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
-       |  FROM str JOIN vcb USING (tok) GROUP BY 1, 2),
-       |ctot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tok FROM ct GROUP BY 1),
-       |grid AS (SELECT c.lang, v.tok,
-       |  CAST(floor(ln((COALESCE(ct.n, 0) + 1.0) /
-       |    (COALESCE(ctot.n_tok, 0) + $nbVocab)) * 1e9 + 0.5) AS BIGINT) AS lp
-       |  FROM (SELECT lang FROM cls) c CROSS JOIN vcb v
-       |  LEFT JOIN ct ON ct.lang = c.lang AND ct.tok = v.tok
-       |  LEFT JOIN ctot ON ctot.lang = c.lang),
-       |$nbScoreCtes""".stripMargin
-
-  private[queries] def t21ReplaySql: String =
-    s"WITH $nbReplayFitCtes\n$nbFinalSelect"
+  def t21Sql: String =
+    s"WITH ${nbLiteralCtes(nbModelLiteral(resolveOracleDir))}\n$nbFinalSelect"
 
   // per-class confusion/PR aggregation over `best` — shared by the t23
   // literal and fallback forms. All ratios are INTEGER ppm (floor
@@ -2083,10 +2087,8 @@ object DataQueries {
        |LEFT JOIN tp ON tp.label = l.label
        |ORDER BY l.label""".stripMargin
 
-  def t23Sql: String = nbModelForOracle match {
-    case Some(m) => s"WITH ${nbLiteralCtes(m)},\n$nbConfusionSelect"
-    case None => s"WITH $nbReplayFitCtes,\n$nbConfusionSelect"
-  }
+  def t23Sql: String =
+    s"WITH ${nbLiteralCtes(nbModelLiteral(resolveOracleDir))},\n$nbConfusionSelect"
 
   private val chunkCap = 64
   private val chunkStride = 48
