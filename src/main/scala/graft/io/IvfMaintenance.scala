@@ -162,12 +162,21 @@ object IvfMaintenance {
         require(f.rename(stage, live),
           s"failed to swap $stage into $live — original preserved under $asideRoot")
     }
-    // every swap landed: tombstones are folded in — clear everything
+    // every swap landed: drop the aside/tmp dirs FIRST, tombstones
+    // LAST (ADVICE r12). The old tombstones-first order had a
+    // non-converging crash window: with tombstones gone but the aside
+    // root still present, a fully-tombstoned cell (moved aside with no
+    // staged replacement — the move IS its rewrite) would be RESTORED
+    // by the next run's recoverCompact, permanently resurrecting its
+    // deleted vectors. In this order every window converges: while
+    // tombstones exist a rerun either re-heals (aside present) or
+    // computes an empty affected set and just drops the tombstone
+    // table (aside gone — deletions already folded in).
+    f.delete(asideRoot, true)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
     require(f.delete(new org.apache.hadoop.fs.Path(tombDir(dir)), true) ||
       !f.exists(new org.apache.hadoop.fs.Path(tombDir(dir))),
       s"failed to clear tombstones under $dir")
-    f.delete(asideRoot, true)
-    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   // -------------------------------------------------------------------

@@ -1054,9 +1054,19 @@ object Dedup {
     * (the e20 maintained-index contract — no refit, e18's recall
     * report says when to refit) and pairs only within its cells
     * against (state ∪ batch); state vectors never drop (they are the
-    * kept reference), batch vectors drop to the smallest same-cell
-    * neighbor at-or-above the threshold. Same rounded-cosine boundary
-    * and keeper rule as [[semanticDedupTrained]].
+    * kept reference), batch vectors drop to the first same-cell
+    * neighbor at-or-above the threshold by (state-first, id asc) —
+    * ANY state neighbor is an eligible keeper regardless of id order
+    * (ADVICE r12: an `id1 < id2`-only rule silently kept a batch
+    * vector whose only near-duplicate in state had a larger id,
+    * i.e. it was only correct under monotone id assignment), while
+    * batch-batch pairs keep the deterministic smaller-id keeper.
+    * Equivalent to [[semanticDedupTrained]] run globally with ids
+    * remapped so every state id precedes every batch id (the spec
+    * proves that equivalence), and identical to it outright when id
+    * assignment IS monotone. A re-sent id (present in both state and
+    * batch) never self-drops (`id1 != id2`). Same rounded-cosine
+    * boundary as [[semanticDedupTrained]].
     *
     * Scale shape: batch assignment map-only; the pair join keys on
     * cell with the BATCH side bounded, so per-tick cost tracks
@@ -1074,17 +1084,25 @@ object Dedup {
                          threshold: Double): DataFrame = {
     val b = Similarity.cellAssignmentsTrained(batch, vecCol, idCol, codebook)
     val all = state.select(col("id"), col("v"), col("cell"))
-      .unionByName(b.select(col("id"), col("v"), col("cell")))
-    val l = all.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+      .withColumn("st", lit(1))
+      .unionByName(b.select(col("id"), col("v"), col("cell"))
+        .withColumn("st", lit(0)))
+    val l = all.select(col("cell"), col("id").as("id1"), col("v").as("v1"),
+      col("st"))
     val r = b.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("cell"))
-      .filter(col("id1") < col("id2"))
+      // keeper eligibility keyed on (is_state, id), not id alone: any
+      // state neighbor keeps (state is the kept reference — no id-order
+      // assumption), batch-batch keeps the smaller id (deterministic,
+      // acyclic); a re-sent id never pairs with itself
+      .filter((col("st") === 1 || col("id1") < col("id2")) &&
+        col("id1") =!= col("id2"))
       .withColumn("cos_r",
         round(VectorExpressions.cosine(col("v1"), col("v2")), 6))
       .filter(col("cos_r") >= threshold)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("id2").orderBy(col("id1"))))
+          .partitionBy("id2").orderBy(col("st").desc, col("id1"))))
       .filter(col("rn") === 1)
       .select(col("id2").as("drop_id"), col("id1").as("keeper_id"),
         col("cell"), col("cos_r").as("cosine"))

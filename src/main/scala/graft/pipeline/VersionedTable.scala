@@ -166,11 +166,17 @@ object VersionedTable {
     * the scan-side payoff of the duplicated partition key. */
   def readPartitions(spark: SparkSession, root: String, col: String,
                      values: Seq[Any]): DataFrame = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
-    val keys = values.map(x => s"__pp_$col=${escapePathName(String.valueOf(x))}/")
     val m = manifest(spark, root, v)
+    // same loud contract as merge/deleteKeys (ADVICE r12): a column not
+    // in the stored layout, a NULL, or a type whose rendering diverges
+    // from Spark's partition paths would silently match zero files and
+    // return an empty frame — throw instead
+    require(m.files.isEmpty || layoutOf(m.files).contains(col),
+      s"readPartitions: '$col' is not a partition column of $root " +
+        s"(stored layout ${layoutOf(m.files).mkString("[", ",", "]")})")
+    val keys = values.map(x => partitionKey(col, x))
     readFiles(spark, root, m,
       m.files.filter(f => keys.exists(k => f.contains("/" + k))))
   }

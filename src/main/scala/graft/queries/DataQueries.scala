@@ -1331,10 +1331,10 @@ object DataQueries {
     * d13 operator as an incremental service. The quantizer fits on the
     * BASE corpus and freezes (the e20 contract); the batch (vec_id%3=0)
     * assigns map-only and pairs within its cells against state∪batch;
-    * only batch vectors drop. The oracle replays the base-only fit,
-    * both assignments, and the pair/keeper logic — proving
-    * batch-vs-state == the same rule applied globally under the frozen
-    * quantizer. */
+    * only batch vectors drop, with keeper priority (state-first,
+    * id asc) — ANY state neighbor keeps, with no id-order assumption
+    * (ADVICE r12). The oracle replays the base-only fit, both
+    * assignments, and the (is_state, id)-keyed pair/keeper logic. */
   val d21SemanticDedupDelta: Q = (s, dir) => {
     val emb = Catalog(s, dir).embeddings
     val cb = kmBaseModel(s, dir).centroids
@@ -1361,15 +1361,18 @@ object DataQueries {
       |  SELECT t.id, t.v, c.cell, row_number() OVER (PARTITION BY t.id
       |    ORDER BY round(list_cosine_similarity(t.v, c.cv), 6) DESC, c.cell) AS rn
       |  FROM bt t CROSS JOIN bcents c) WHERE rn = 1),
-      |allv AS (SELECT * FROM sa UNION ALL SELECT * FROM ba),
-      |f AS (SELECT a.id AS id1, b.id AS id2, b.cell,
+      |allv AS (SELECT id, v, cell, 1 AS st FROM sa
+      |  UNION ALL SELECT id, v, cell, 0 AS st FROM ba),
+      |f AS (SELECT a.id AS id1, a.st, b.id AS id2, b.cell,
       |  round(list_cosine_similarity(a.v, b.v), 6) AS c
-      |  FROM allv a JOIN ba b ON a.cell = b.cell AND a.id < b.id
+      |  FROM allv a JOIN ba b ON a.cell = b.cell
+      |    AND (a.st = 1 OR a.id < b.id) AND a.id <> b.id
       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
-      |k AS (SELECT id2 AS drop_id, min(id1) AS keeper_id FROM f GROUP BY 1)
-      |SELECT k.drop_id, k.keeper_id, f.cell, f.c AS cosine
-      |FROM k JOIN f ON f.id2 = k.drop_id AND f.id1 = k.keeper_id
-      |ORDER BY drop_id""".stripMargin
+      |k AS (SELECT id2 AS drop_id, id1 AS keeper_id, cell, c,
+      |  row_number() OVER (PARTITION BY id2 ORDER BY st DESC, id1) AS rn
+      |  FROM f)
+      |SELECT drop_id, keeper_id, cell, c AS cosine
+      |FROM k WHERE rn = 1 ORDER BY drop_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Trained coarse quantizer (deterministic k-means — e08)

@@ -141,6 +141,35 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(IvfMaintenance.serving(spark, dir).count() === (200 - doomed.size).toLong)
   }
 
+  test("crash after a fully-tombstoned cell's swap never resurrects it (ADVICE r12)") {
+    // The r12 cleanup order (tombstones cleared BEFORE the aside root
+    // was dropped) had a non-converging window: crash there and the
+    // next run's recoverCompact restored the fully-tombstoned cell —
+    // whose move-aside WAS its rewrite — with no tombstones left to
+    // re-drop it. The fixed order deletes aside/tmp first, so every
+    // tombstones-present window reconverges. Simulate the widest such
+    // window: all swaps landed (cell moved aside, no staged
+    // replacement), aside still on disk, tombstones still on disk.
+    val dir = Files.createTempDirectory("graft-ivfm6").toString + "/idx"
+    IvfMaintenance.build(dir, vecs(0 until 200), "embedding", "vec_id", codebook)
+    val cell = spark.read.parquet(dir).select("cell").as[Long].head()
+    val doomed = spark.read.parquet(dir).filter(col("cell") === cell)
+      .select("id").as[Long].collect().toSeq
+    IvfMaintenance.delete(spark, dir, doomed)
+    val aside = new java.io.File(s"$dir.__compact_aside")
+    assert(aside.mkdirs())
+    assert(new java.io.File(s"$dir/cell=$cell")
+      .renameTo(new java.io.File(aside, s"cell=$cell")))
+    IvfMaintenance.compact(spark, dir) // the rerun after the crash
+    assert(!new java.io.File(s"$dir/cell=$cell").exists,
+      "rerun must re-fold the restored fully-tombstoned cell, not resurrect it")
+    assert(!aside.exists && !new java.io.File(s"$dir/_graft_tombstones").exists)
+    assert(IvfMaintenance.serving(spark, dir)
+      .filter(col("id").isin(doomed: _*)).count() === 0L,
+      "deleted vectors must stay deleted across any crash/rerun")
+    assert(IvfMaintenance.serving(spark, dir).count() === (200 - doomed.size).toLong)
+  }
+
   test("versioned index: build+upsert+delete == rebuild; pinned reader survives maintenance; unaffected cells' files reused") {
     import graft.pipeline.VersionedTable
     val root = Files.createTempDirectory("graft-ivfv").toString + "/idx"

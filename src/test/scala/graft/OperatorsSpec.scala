@@ -421,8 +421,12 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (11L, 10L)), out.toSeq.toString)
   }
 
-  test("semanticDedupDelta == global run restricted to batch drops; state never drops") {
-    // ring corpus under a frozen 4-cell codebook; batch = every 3rd id
+  test("semanticDedupDelta == global run under state-before-batch id remap; state never drops") {
+    // ring corpus under a frozen 4-cell codebook; batch = every 3rd id.
+    // Batch and state ids INTERLEAVE — exactly the shape where the old
+    // `id1 < id2` rule was wrong (ADVICE r12): the delta's keeper rule
+    // is (state-first, id asc), which equals the global rule applied
+    // after remapping ids so every state id precedes every batch id.
     val codebook = Seq(
       Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
     val vecs = (0 until 90).map { i =>
@@ -438,17 +442,44 @@ class OperatorsSpec extends SparkSpec {
         r.getDouble(3))).sortBy(_._1).toSeq
     val delta = canon(Dedup.semanticDedupDelta(batch, state,
       "embedding", "vec_id", codebook, threshold = 0.9))
-    // the global rule under the SAME frozen quantizer, restricted to
-    // batch-side drops, must be identical — the d20/minhash delta
-    // losslessness contract for the semantic family
-    val batchIds = batch.select("vec_id").as[Long].collect().toSet
-    val global = canon(Dedup.semanticDedupTrained(vecs, "embedding",
+    // global equivalence under the order-embedding remap: state keeps
+    // its ids, batch ids shift past every state id — the (state-first,
+    // id asc) priority becomes plain id order, so the global
+    // smaller-id rule restricted to batch-side drops must be identical
+    val off = 1000L
+    val remapped = vecs.withColumn("vec_id",
+      when(pmod(col("vec_id"), lit(3L)) === 0, col("vec_id") + off)
+        .otherwise(col("vec_id")))
+    val global = canon(Dedup.semanticDedupTrained(remapped, "embedding",
         "vec_id", codebook, threshold = 0.9)
-      .filter(col("drop_id").isin(batchIds.toSeq: _*)))
+      .filter(col("drop_id") >= off)
+      .withColumn("drop_id", col("drop_id") - off)
+      .withColumn("keeper_id", when(col("keeper_id") >= off,
+        col("keeper_id") - off).otherwise(col("keeper_id"))))
     assert(delta === global)
     assert(delta.nonEmpty, "fixture must produce drops")
     // state ids never appear as drops
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
     assert(delta.forall { case (drop, _, _, _) => batchIds.contains(drop) })
+  }
+
+  test("semanticDedupDelta: a larger-id state neighbor still keeps; re-sent ids never self-drop") {
+    // the ADVICE r12 counterexample: the batch vector's ONLY state
+    // near-duplicate has a LARGER id — under the old rule it silently
+    // survived; it must drop with the state vector as keeper
+    val codebook = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val state = graft.operators.Similarity.cellAssignmentsTrained(
+      Seq((5L, Array(1f, 0f)), (9L, Array(0f, 1f)))
+        .toDF("vec_id", "embedding"),
+      "embedding", "vec_id", codebook)
+    val batch = Seq(
+      (2L, Array(1f, 0f)), // only neighbor is state id 5 > 2 -> must drop
+      (9L, Array(0f, 1f))  // re-sent id: only same-id neighbor -> survives
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupDelta(batch, state, "embedding", "vec_id",
+        codebook, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out === Seq((2L, 5L)), out.toString)
   }
 
   test("semanticDedup: result is invariant to input partitioning") {
