@@ -2304,11 +2304,22 @@ object DataQueries {
     * derandomized via md5): top-100 documents under length weighting —
     * the quality-weighted corpus subsampling primitive (soft-dedup
     * weights, LM scores, host priors all plug in as the weight). The
-    * key is one quantized integer per row, so the oracle replays the
-    * exact draw; top-k is a global TakeOrdered, never a full sort. */
+    * key is one quantized integer per row, and the oracle replays the
+    * exact draw; top-k is a global TakeOrdered, never a full sort.
+    *
+    * The GATE compares (id, weight, sample_rank) only — key_nano is
+    * computed on both sides (it IS the ordering) but excluded from the
+    * compared columns (VERDICT r12 next-#5): the key replays
+    * floor(ln(u)/w·1e9+0.5) per ROW, the one place QuantAudit's
+    * driver-side boundary audit cannot reach without doubling the
+    * query, and a ±1 nano-nat libm flip in a key that does NOT reorder
+    * the top-k (the overwhelmingly common case — keys are ~1e9 apart)
+    * must not fail the round. The key arithmetic itself stays pinned
+    * by WeightedSampleSpec. */
   val d18WeightedSample: Q = (s, dir) =>
     TextAnalysis.weightedSample(Catalog(s, dir).documents,
         "doc_id", "n_chars", k = 100)
+      .select(col("id"), col("weight"), col("sample_rank"))
       .orderBy(col("sample_rank"))
 
   val d18Sql: String =
@@ -2317,7 +2328,7 @@ object DataQueries {
        |      / 1000002.0) / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
        |    AS key_nano
        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
-       |SELECT id, weight, key_nano,
+       |SELECT id, weight,
        |  CAST(row_number() OVER (ORDER BY key_nano DESC, id) AS BIGINT)
        |    AS sample_rank
        |FROM k ORDER BY key_nano DESC, id LIMIT 100""".stripMargin
