@@ -42,11 +42,50 @@ import org.apache.spark.sql.functions._
   * Iceberg's `expire_snapshots` semantics.
   *
   * All paths go through the Hadoop FileSystem (hdfs://, s3a://,
-  * file://). Single-writer per table (the Registry's scheduler
-  * contract); multi-writer coordination is a lock service's job, not
-  * this layer's.
+  * file://).
+  *
+  * MULTI-WRITER (r13, VERDICT r12 next-#3): commits are OPTIMISTIC,
+  * Iceberg-style. The commit point is the atomic put-if-absent
+  * creation of `_manifests/v<N>` (a hard link on file:// — link(2)
+  * fails EEXIST atomically; a no-overwrite rename on hdfs:// — atomic
+  * at the namenode): whichever writer materializes version N's
+  * manifest first owns N. A writer that loses the race re-reads the
+  * (now advanced) current version, RE-STAGES its operation against the
+  * new content under a fresh uniquely-named batch dir, and retries, a
+  * bounded number of times. The `_current` pointer is a read CACHE
+  * advanced after the manifest lands; [[currentVersion]] heals it
+  * forward by probing for the next contiguous manifest, so a writer
+  * crashing (or losing the pointer race) between manifest-create and
+  * pointer-rename never hides a committed version and never blocks the
+  * next writer. Lost-race staged dirs are swept by [[prune]] (their
+  * version component ≤ current proves they can never commit).
+  * In-JVM writers additionally serialize on a per-root lock — threads
+  * of one scheduler shouldn't burn stage work racing each other;
+  * the optimistic path is for SEPARATE processes.
   */
 object VersionedTable {
+
+  /** A lost optimistic-commit race: the planned version was committed
+    * by another writer between this op's read of the current version
+    * and its manifest put-if-absent. Retried by the mutators. */
+  final class VersionConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private val maxCommitRetries = 5
+
+  private def withCommitRetries[T](root: String, what: String)(
+      attempt: () => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < maxCommitRetries) {
+      try return attempt()
+      catch { case e: VersionConflictException => last = e; i += 1 }
+    }
+    throw new IllegalStateException(
+      s"$what on $root lost $maxCommitRetries optimistic commit races " +
+        "(a live concurrent writer, or a tampered pointer with no " +
+        "matching manifests)", last)
+  }
 
   private def fsFor(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -87,11 +126,20 @@ object VersionedTable {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The committed version, if the table exists. */
+  /** The committed version, if the table exists. The pointer file is a
+    * CACHE: the commit point is the manifest's atomic creation, so the
+    * pointer is healed FORWARD here by probing for the next contiguous
+    * manifest — a writer that crashed (or lost the pointer race)
+    * between manifest-create and pointer-rename has still committed
+    * (its data was fully staged before the manifest landed), and its
+    * version must be visible to readers and to the next writer's
+    * version planning. Usually one extra existence probe (v+1 absent). */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fsFor(spark, root)
     val p = hp(pointerPath(root))
-    if (f.exists(p)) Some(readSmallFile(f, p).trim.toLong) else None
+    var cur = if (f.exists(p)) readSmallFile(f, p).trim.toLong else 0L
+    while (f.exists(hp(manifestPath(root, cur + 1)))) cur += 1
+    if (cur == 0) None else Some(cur)
   }
 
   /** All retained (readable) versions, ascending. */
@@ -196,12 +244,18 @@ object VersionedTable {
     rec(f.makeQualified(base))
   }
 
-  // stage a DataFrame as version v's batch dir, return its files
-  private def stageBatch(spark: SparkSession, root: String, v: Long,
+  // unique batch-dir name per ATTEMPT (not per version): two optimistic
+  // writers racing the same version slot must never stage into the same
+  // dir — the old fixed b<v> name let the loser's heal-delete trash the
+  // winner's staged files. Lost-race dirs are swept by prune.
+  private def uniqueBatchName(v: Long): String =
+    s"b${v}_${java.util.UUID.randomUUID.toString.take(8)}"
+
+  // stage a DataFrame under an attempt-unique batch dir, return its files
+  private def stageBatch(spark: SparkSession, root: String, batch: String,
                          df: DataFrame, partitionBy: Seq[String]): Seq[String] = {
     val f = fsFor(spark, root)
-    val dir = s"${dataRoot(root)}/b$v"
-    f.delete(hp(dir), true) // heal a crashed attempt at this version
+    val dir = s"${dataRoot(root)}/$batch"
     if (partitionBy.isEmpty) df.write.parquet(dir)
     else {
       // duplicate the partition cols into __pp_* dir keys so the data
@@ -210,48 +264,111 @@ object VersionedTable {
         d.withColumn(s"__pp_$c", col(c)))
       dup.write.partitionBy(partitionBy.map(c => s"__pp_$c"): _*).parquet(dir)
     }
-    listRelative(f, root, s"b$v")
+    listRelative(f, root, batch)
   }
 
-  // the COMMIT: manifest first, then the pointer via an ATOMIC
-  // overwrite rename (FileContext + Rename.OVERWRITE — POSIX/HDFS
-  // atomic; a delete-then-rename would open exactly the transient-miss
-  // window this layer exists to remove, and a crash between the two
-  // would orphan the whole table)
+  // stage + commit one optimistic attempt; a lost CAS deletes the
+  // attempt's staged dir before the conflict reaches the retry loop
+  private def stageAndCommit(spark: SparkSession, root: String, v: Long,
+                             df: DataFrame, partitionBy: Seq[String],
+                             keep: Seq[String],
+                             schema: Option[org.apache.spark.sql.types.StructType])
+      : Unit = {
+    val batch = uniqueBatchName(v)
+    val fresh = stageBatch(spark, root, batch, df, partitionBy)
+    try commit(spark, root, v, keep ++ fresh, schema)
+    catch { case e: VersionConflictException =>
+      fsFor(spark, root).delete(hp(s"${dataRoot(root)}/$batch"), true)
+      throw e
+    }
+  }
+
+  // the COMMIT: an atomic PUT-IF-ABSENT of version v's manifest (the
+  // linearization point — whoever materializes `_manifests/v<N>` first
+  // owns N), then the pointer cache via an ATOMIC overwrite rename.
+  // The manifest content is fully written to a tmp file BEFORE the
+  // atomic publish, so no reader ever sees a torn manifest. A lost
+  // put-if-absent throws VersionConflictException for the mutators'
+  // retry loops. A stale-read fast-path check precedes the CAS: if the
+  // healed current version already moved past v-1, the attempt's
+  // content is based on superseded state and must be recomputed even
+  // if slot v were somehow still free (pointer tampering).
   private def commit(spark: SparkSession, root: String, v: Long,
                      files: Seq[String],
                      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
-    // best-effort cross-process conflict detection: another writer
-    // advancing the pointer after this op planned its version means
-    // the staged batch raced a foreign commit — refuse rather than
-    // overwrite its manifest
     val now = currentVersion(spark, root).getOrElse(0L)
-    require(now == v - 1,
-      s"concurrent writer detected on $root: planned version $v but " +
-        s"current is $now — versioned tables are single-writer per table")
+    if (now != v - 1) throw new VersionConflictException(
+      s"planned version $v of $root but current advanced to $now")
     val f = fsFor(spark, root)
-    writeSmallFile(f, hp(manifestPath(root, v)),
-      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ files).mkString("\n"))
-    val tmp = hp(pointerPath(root) + ".tmp")
-    writeSmallFile(f, tmp, v.toString)
-    val dst = f.makeQualified(hp(pointerPath(root)))
-    if (dst.toUri.getScheme == "file") {
-      // Hadoop's local OVERWRITE rename is itself delete-then-rename
-      // (spec-caught: ~5k pointer misses under a read hammer); POSIX
-      // rename(2) via nio IS atomic
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
-        java.nio.file.Paths.get(dst.toUri),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      // HDFS: Options.Rename.OVERWRITE is atomic by the FS contract
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val content =
+      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ files).mkString("\n")
+    val tmp = hp(s"$root/_manifests/.tmp_" +
+      java.util.UUID.randomUUID.toString.take(12))
+    writeSmallFile(f, tmp, content) // create() makes parent dirs
+    val dst = f.makeQualified(hp(manifestPath(root, v)))
+    val won =
+      if (dst.toUri.getScheme == "file")
+        // POSIX put-if-absent: link(2) fails EEXIST atomically (nio
+        // rename without REPLACE_EXISTING is a non-atomic exists-check
+        // + rename(2), and rename(2) itself silently overwrites)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else
+        // HDFS: rename WITHOUT Rename.OVERWRITE fails on an existing
+        // destination, atomically at the namenode
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(fc.makeQualified(tmp), dst)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already exists")
+            => false
+        }
+    f.delete(tmp, false) // link path: drop the second name; rename path: no-op
+    if (!won) throw new VersionConflictException(
+      s"version $v of $root was committed by a concurrent writer")
+    // advance the pointer CACHE (atomic overwrite rename); skip if a
+    // faster writer already advanced it further — with the remaining
+    // A-commits-6/B-commits-7/B-renames/A-renames interleave healed by
+    // currentVersion's forward probe
+    if (currentPointer(f, root).forall(_ < v)) {
+      val ptmp = hp(pointerPath(root) + s".tmp_$v")
+      writeSmallFile(f, ptmp, v.toString)
+      val pdst = f.makeQualified(hp(pointerPath(root)))
+      if (pdst.toUri.getScheme == "file") {
+        // Hadoop's local OVERWRITE rename is itself delete-then-rename
+        // (spec-caught: ~5k pointer misses under a read hammer); POSIX
+        // rename(2) via nio IS atomic
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(f.makeQualified(ptmp).toUri),
+          java.nio.file.Paths.get(pdst.toUri),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        // HDFS: Options.Rename.OVERWRITE is atomic by the FS contract
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          pdst.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(fc.makeQualified(ptmp), pdst,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     }
     ()
+  }
+
+  // raw pointer-cache value (no healing) — only for the advance guard
+  private def currentPointer(f: org.apache.hadoop.fs.FileSystem,
+                             root: String): Option[Long] = {
+    val p = hp(pointerPath(root))
+    if (f.exists(p)) Some(readSmallFile(f, p).trim.toLong) else None
   }
 
   /** Partition-dir key of one value, rendered EXACTLY as the staged
@@ -332,10 +449,11 @@ object VersionedTable {
     * committed version number. */
   def write(spark: SparkSession, root: String, df: DataFrame,
             partitionBy: Seq[String] = Nil): Long = withRootLock(root) {
-    val v = currentVersion(spark, root).getOrElse(0L) + 1
-    commit(spark, root, v, stageBatch(spark, root, v, df, partitionBy),
-      Some(df.schema))
-    v
+    withCommitRetries(root, "write") { () =>
+      val v = currentVersion(spark, root).getOrElse(0L) + 1
+      stageAndCommit(spark, root, v, df, partitionBy, Nil, Some(df.schema))
+      v
+    }
   }
 
   /** Delete+insert merge by key (the [[Pipeline.mergeIntoParquet]]
@@ -349,51 +467,63 @@ object VersionedTable {
             uniqueKey: Seq[String], partitionBy: Seq[String] = Nil): Long =
       withRootLock(root) {
     require(uniqueKey.nonEmpty, "merge needs a key")
-    currentVersion(spark, root) match {
-      case None => write(spark, root, increment, partitionBy)
-      case Some(cur) =>
-        val v = cur + 1
-        val cm = manifest(spark, root, cur) // one read per op
-        val existing = readFiles(spark, root, cm, cm.files)
-        val newSchema = unionSchema(existing.schema, increment.schema)
-        val partitionScoped =
-          partitionBy.nonEmpty && partitionBy.forall(uniqueKey.contains)
-        if (!partitionScoped) {
-          val keySet = increment.select(uniqueKey.map(increment(_)): _*)
-            .distinct()
-          val merged = existing.join(broadcast(keySet), uniqueKey, "left_anti")
-            .unionByName(increment, allowMissingColumns = true)
-          commit(spark, root, v,
-            stageBatch(spark, root, v, merged, partitionBy), Some(newSchema))
-        } else {
-          requireLayout(cm.files, partitionBy, "merge")
-          // affected partition dirs, from the increment (bounded)
-          val parts = affectedPartitionKeys(increment, partitionBy)
-          def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
-          val keep = cm.files.filterNot(affected)
-          // rewrite ONLY the affected partitions: their old rows minus
-          // keyed hits, plus the increment — read under the version's
-          // recorded schema, so a subset mixing pre-/post-evolution
-          // files can never sample the wrong footer and drop a column
-          val affectedFiles = cm.files.filter(affected)
-          val oldAffected =
-            if (affectedFiles.isEmpty) None
-            else Some(readFiles(spark, root, cm, affectedFiles))
-          val keySet = increment.select(uniqueKey.map(increment(_)): _*)
-            .distinct()
-          val rewritten = oldAffected match {
-            case None => increment
-            case Some(oa) =>
-              oa.join(broadcast(keySet), uniqueKey, "left_anti")
-                // allowMissingColumns: an increment ADDING a column is
-                // the schema-evolution path — survivors null-pad under
-                // the recorded union schema
-                .unionByName(increment, allowMissingColumns = true)
+    withCommitRetries(root, "merge") { () =>
+      currentVersion(spark, root) match {
+        case None =>
+          // claim version 1 SPECIFICALLY — not write(), whose CTAS
+          // semantics re-read the current version: if a sibling writer
+          // lands v1 between this read and the CTAS's, the increment
+          // would commit as a v2 TRUNCATING the sibling's rows
+          // (observed as a lost update in the two-writer-JVM spec).
+          // Losing the v1 race here re-enters the retry loop, which
+          // re-reads and dispatches through the real merge branch.
+          stageAndCommit(spark, root, 1L, increment, partitionBy, Nil,
+            Some(increment.schema))
+          1L
+        case Some(cur) =>
+          val v = cur + 1
+          val cm = manifest(spark, root, cur) // one read per attempt
+          val existing = readFiles(spark, root, cm, cm.files)
+          val newSchema = unionSchema(existing.schema, increment.schema)
+          val partitionScoped =
+            partitionBy.nonEmpty && partitionBy.forall(uniqueKey.contains)
+          if (!partitionScoped) {
+            val keySet = increment.select(uniqueKey.map(increment(_)): _*)
+              .distinct()
+            val merged = existing.join(broadcast(keySet), uniqueKey, "left_anti")
+              .unionByName(increment, allowMissingColumns = true)
+            stageAndCommit(spark, root, v, merged, partitionBy, Nil,
+              Some(newSchema))
+          } else {
+            requireLayout(cm.files, partitionBy, "merge")
+            // affected partition dirs, from the increment (bounded)
+            val parts = affectedPartitionKeys(increment, partitionBy)
+            def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
+            val keep = cm.files.filterNot(affected)
+            // rewrite ONLY the affected partitions: their old rows minus
+            // keyed hits, plus the increment — read under the version's
+            // recorded schema, so a subset mixing pre-/post-evolution
+            // files can never sample the wrong footer and drop a column
+            val affectedFiles = cm.files.filter(affected)
+            val oldAffected =
+              if (affectedFiles.isEmpty) None
+              else Some(readFiles(spark, root, cm, affectedFiles))
+            val keySet = increment.select(uniqueKey.map(increment(_)): _*)
+              .distinct()
+            val rewritten = oldAffected match {
+              case None => increment
+              case Some(oa) =>
+                oa.join(broadcast(keySet), uniqueKey, "left_anti")
+                  // allowMissingColumns: an increment ADDING a column is
+                  // the schema-evolution path — survivors null-pad under
+                  // the recorded union schema
+                  .unionByName(increment, allowMissingColumns = true)
+            }
+            stageAndCommit(spark, root, v, rewritten, partitionBy, keep,
+              Some(newSchema))
           }
-          val fresh = stageBatch(spark, root, v, rewritten, partitionBy)
-          commit(spark, root, v, keep ++ fresh, Some(newSchema))
-        }
-        v
+          v
+      }
     }
   }
 
@@ -407,36 +537,37 @@ object VersionedTable {
                  keyCols: Seq[String], partitionBy: Seq[String] = Nil): Long =
       withRootLock(root) {
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"no versioned table at $root"))
-    val cm = manifest(spark, root, cur) // one read per op
-    val existing = readFiles(spark, root, cm, cm.files)
-    val keySet = keys.select(keyCols.map(keys(_)): _*).distinct()
-      .localCheckpoint(false)
-    if (existing.join(broadcast(keySet), keyCols, "left_semi").isEmpty)
-      return cur
-    val v = cur + 1
-    // deletion never changes the schema
-    val schema = Some(existing.schema)
-    val partitionScoped =
-      partitionBy.nonEmpty && partitionBy.forall(keyCols.contains)
-    if (!partitionScoped) {
-      val kept = existing.join(broadcast(keySet), keyCols, "left_anti")
-      commit(spark, root, v, stageBatch(spark, root, v, kept, partitionBy),
-        schema)
-    } else {
-      requireLayout(cm.files, partitionBy, "deleteKeys")
-      val parts = affectedPartitionKeys(keySet, partitionBy)
-      def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
-      val keep = cm.files.filterNot(affected)
-      // recorded-schema read: a mixed-evolution affected subset can
-      // never sample the wrong footer and drop a column
-      val rewritten = readFiles(spark, root, cm, cm.files.filter(affected))
-        .join(broadcast(keySet), keyCols, "left_anti")
-      val fresh = stageBatch(spark, root, v, rewritten, partitionBy)
-      commit(spark, root, v, keep ++ fresh, schema)
+    withCommitRetries(root, "deleteKeys") { () =>
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no versioned table at $root"))
+      val cm = manifest(spark, root, cur) // one read per attempt
+      val existing = readFiles(spark, root, cm, cm.files)
+      val keySet = keys.select(keyCols.map(keys(_)): _*).distinct()
+        .localCheckpoint(false)
+      if (existing.join(broadcast(keySet), keyCols, "left_semi").isEmpty) cur
+      else {
+        val v = cur + 1
+        // deletion never changes the schema
+        val schema = Some(existing.schema)
+        val partitionScoped =
+          partitionBy.nonEmpty && partitionBy.forall(keyCols.contains)
+        if (!partitionScoped) {
+          val kept = existing.join(broadcast(keySet), keyCols, "left_anti")
+          stageAndCommit(spark, root, v, kept, partitionBy, Nil, schema)
+        } else {
+          requireLayout(cm.files, partitionBy, "deleteKeys")
+          val parts = affectedPartitionKeys(keySet, partitionBy)
+          def affected(rel: String) = parts.exists(p => rel.contains("/" + p))
+          val keep = cm.files.filterNot(affected)
+          // recorded-schema read: a mixed-evolution affected subset can
+          // never sample the wrong footer and drop a column
+          val rewritten = readFiles(spark, root, cm, cm.files.filter(affected))
+            .join(broadcast(keySet), keyCols, "left_anti")
+          stageAndCommit(spark, root, v, rewritten, partitionBy, keep, schema)
+        }
+        v
+      }
     }
-    v
   }
 
   /** Small-file compaction, versioned ([[Pipeline.compact]]'s
@@ -447,22 +578,24 @@ object VersionedTable {
               targetFileBytes: Long = 128L * 1024 * 1024): Long =
       withRootLock(root) {
     require(targetFileBytes >= 1024 * 1024, s"target too small: $targetFileBytes")
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"no versioned table at $root"))
-    val f = fsFor(spark, root)
-    val cm = manifest(spark, root, cur)
-    // PRESERVE the stored layout: compacting a partitioned table into
-    // an unpartitioned batch would silently disable every subsequent
-    // partition-scoped merge/deleteKeys/readPartitions
-    val partitionBy = layoutOf(cm.files)
-    val bytes = cm.files
-      .map(rel => f.getFileStatus(hp(s"${dataRoot(root)}/$rel")).getLen).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val v = cur + 1
-    val content = readFiles(spark, root, cm, cm.files)
-    commit(spark, root, v, stageBatch(spark, root, v,
-      content.coalesce(n), partitionBy), Some(content.schema))
-    v
+    withCommitRetries(root, "compact") { () =>
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no versioned table at $root"))
+      val f = fsFor(spark, root)
+      val cm = manifest(spark, root, cur)
+      // PRESERVE the stored layout: compacting a partitioned table into
+      // an unpartitioned batch would silently disable every subsequent
+      // partition-scoped merge/deleteKeys/readPartitions
+      val partitionBy = layoutOf(cm.files)
+      val bytes = cm.files
+        .map(rel => f.getFileStatus(hp(s"${dataRoot(root)}/$rel")).getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val v = cur + 1
+      val content = readFiles(spark, root, cm, cm.files)
+      stageAndCommit(spark, root, v, content.coalesce(n), partitionBy, Nil,
+        Some(content.schema))
+      v
+    }
   }
 
   /** ROLLBACK: commit a NEW version whose content is retained version
@@ -473,13 +606,15 @@ object VersionedTable {
     * version number. */
   def rollback(spark: SparkSession, root: String, to: Long): Long =
       withRootLock(root) {
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"no versioned table at $root"))
-    require(to <= cur, s"cannot roll back to unborn version $to (current $cur)")
-    val v = cur + 1
-    val m = manifest(spark, root, to)
-    commit(spark, root, v, m.files, m.schema)
-    v
+    withCommitRetries(root, "rollback") { () =>
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no versioned table at $root"))
+      require(to <= cur, s"cannot roll back to unborn version $to (current $cur)")
+      val v = cur + 1
+      val m = manifest(spark, root, to)
+      commit(spark, root, v, m.files, m.schema) // no staging to clean up
+      v
+    }
   }
 
   /** Expire old snapshots: retain the newest `keep` versions' manifests
@@ -501,7 +636,6 @@ object VersionedTable {
     val (committed, orphans) = vs.partition(_ <= cur)
     val retained = committed.takeRight(keep) // always includes cur
     val expired = committed.dropRight(keep)
-    if (expired.isEmpty && orphans.isEmpty) return
     val live: Set[String] =
       retained.flatMap(v => manifest(spark, root, v).files).toSet
     (expired ++ orphans).foreach { v =>
@@ -510,11 +644,36 @@ object VersionedTable {
       }
       f.delete(hp(manifestPath(root, v)), false)
     }
-    // drop batch dirs emptied by the file deletes
+    // Sweep batch dirs: emptied-by-expiry dirs, and LOST-RACE orphans —
+    // a staged dir whose version component is ≤ cur can never commit
+    // (its slot's manifest exists; the commit CAS would lose), so if no
+    // retained manifest references any of its files it is garbage. A
+    // dir staged for a version ABOVE cur may be a live writer's
+    // in-flight attempt: left alone.
     val dr = hp(dataRoot(root))
     if (f.exists(dr)) f.listStatus(dr).foreach { st =>
-      if (st.isDirectory && !f.listFiles(st.getPath, true).hasNext)
-        f.delete(st.getPath, true)
+      if (st.isDirectory) {
+        val name = st.getPath.getName
+        val vOf = name.stripPrefix("b").takeWhile(_.isDigit)
+        val supersededOrphan =
+          name.startsWith("b") && vOf.nonEmpty && vOf.toLong <= cur &&
+            // age guard (the Iceberg orphan-cleanup discipline): a dir
+            // can be ≤ cur yet MID-STAGE if a racing writer advanced
+            // cur after the stager planned — deleting under its write
+            // job would turn a retryable conflict into a hard failure
+            st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L &&
+            listRelative(f, root, name).forall(rel => !live.contains(rel))
+        if (supersededOrphan || !f.listFiles(st.getPath, true).hasNext)
+          f.delete(st.getPath, true)
+      }
+    }
+    // stale manifest tmps (crashed writers): anything older than an
+    // hour cannot belong to an in-flight commit
+    val md = hp(s"$root/_manifests")
+    if (f.exists(md)) f.listStatus(md).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp_") &&
+          st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L)
+        f.delete(st.getPath, false)
     }
   }
 }

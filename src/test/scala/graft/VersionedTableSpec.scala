@@ -122,21 +122,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("prune never expires the committed current version, even with an orphan manifest") {
-    // crash window: manifest v3 written, pointer rename never happened —
-    // a listing-anchored prune would retain the orphan and delete v2's
-    // (committed, current) data
+  test("a lagging pointer heals forward: manifest-create IS the commit point") {
+    // crash window: version 2's manifest landed (its data was fully
+    // staged first) but the writer died before the pointer rename. The
+    // manifest's atomic creation is the commit, so v2 must be visible
+    // to readers, to prune's anchor, and to the next writer's planning.
     val r = root()
     VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
     VersionedTable.write(spark, r, Seq((2L, "b")).toDF("id", "tag"))
-    assert(VersionedTable.currentVersion(spark, r) === Some(2L))
-    val orphan = new java.io.File(s"$r/_manifests/v3")
-    java.nio.file.Files.writeString(orphan.toPath, "b3/part-fake.parquet")
-    VersionedTable.prune(spark, r, keep = 1)
-    // the committed current version survives; the orphan is dropped
-    assert(VersionedTable.currentVersion(spark, r) === Some(2L))
+    // regress the pointer cache to simulate the crash-before-rename
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$r/_current"), "1")
+    assert(VersionedTable.currentVersion(spark, r) === Some(2L),
+      "currentVersion must heal past the stale pointer")
     assert(VersionedTable.read(spark, r).count() === 1L)
+    assert(VersionedTable.read(spark, r).select("id").head.getLong(0) === 2L,
+      "read must serve the healed current version, not the pointer's")
+    // prune anchors on the HEALED version: v2 survives, v1 expires
+    VersionedTable.prune(spark, r, keep = 1)
     assert(VersionedTable.versions(spark, r) === Seq(2L))
+    // the next writer plans past the healed version
+    assert(VersionedTable.write(spark, r,
+      Seq((3L, "c")).toDF("id", "tag")) === 3L)
+  }
+
+  test("prune sweeps lost-race staged dirs, but only aged ones") {
+    val r = root()
+    VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
+    VersionedTable.write(spark, r, Seq((2L, "b")).toDF("id", "tag"))
+    // a staged dir for an already-committed slot = a lost optimistic
+    // race (its commit CAS can never win); prune deletes it once aged
+    val orphan = new java.io.File(s"$r/data/b2_deadbeef")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "part-0.parquet").toPath, "fake")
+    VersionedTable.prune(spark, r, keep = 2)
+    assert(orphan.exists, "a FRESH orphan may be a live writer mid-stage")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    java.nio.file.Files.setLastModifiedTime(orphan.toPath, old)
+    VersionedTable.prune(spark, r, keep = 2)
+    assert(!orphan.exists, "an aged lost-race staged dir is garbage")
+    // committed content untouched
+    assert(VersionedTable.read(spark, r).count() === 1L)
+    assert(VersionedTable.versions(spark, r) === Seq(1L, 2L))
   }
 
   test("compact preserves the partition layout; layout mismatch fails loud") {
@@ -296,25 +325,28 @@ class VersionedTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
-  test("a foreign writer advancing the pointer mid-op makes the commit refuse") {
+  test("a foreign writer advancing the pointer mid-op triggers a retry that lands AFTER it") {
+    // r12 behavior was REFUSE; r13 is the optimistic contract
+    // (VERDICT r12 next-#3): the eagerly-planned attempt detects the
+    // foreign advance at commit, throws internally, and the retry
+    // re-plans against the advanced version — the op lands on the next
+    // free slot, never overwriting foreign state.
     val r = root()
     VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
     val pointer = s"$r/_current"
     // the increment's evaluation (inside stageBatch's write job)
-    // simulates another PROCESS committing: it bumps the pointer after
-    // this op planned its version
+    // simulates another PROCESS advancing the table after this op
+    // planned its version
     import spark.implicits._
     val evil = spark.range(2).mapPartitions { it =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(pointer), "7")
       it
     }.toDF("id").withColumn("tag", lit("x"))
-    val e = intercept[IllegalArgumentException] {
-      VersionedTable.write(spark, r, evil)
-    }
-    assert(e.getMessage.contains("concurrent writer"))
-    // the foreign pointer stands; this op's manifest was never committed
-    assert(VersionedTable.currentVersion(spark, r) === Some(7L))
+    val v = VersionedTable.write(spark, r, evil)
+    assert(v === 8L, "the retried commit plans past the foreign version")
+    assert(VersionedTable.currentVersion(spark, r) === Some(8L))
+    assert(VersionedTable.read(spark, r).count() === 2L)
   }
 
   test("schema evolution: a merged increment adding a column null-pads history") {
