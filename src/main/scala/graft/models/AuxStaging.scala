@@ -174,6 +174,55 @@ object AuxStaging {
         col("lat").isNotNull && col("lng").isNotNull &&
           abs(col("lat")) <= 90 && abs(col("lng")) <= 180)
 
+  /** Stage the DECENNIAL CENSUS relation (the reference's
+    * `ref/xlsx_nyc_decennialcensusdata_2010_2020_nta.xlsx`, sheet
+    * `2010_2020_and_Change` — the last staged `ref/` dataset without a
+    * model, VERDICT r12 next-#6). The workbook's own `About` sheet is
+    * the dictionary: GeoType/Borough/GeoID/Name STRING; `Pop`, `HHPop`,
+    * `GQ`, `HUnits`, `OcHU`, `VacHU` counts with `_10`/`_20`/`_Ch`
+    * decade suffixes; `AvHHSz` numeric. Load the banded sheet with
+    * [[graft.io.Xlsx.readSheetDFAt]] (header at the `GeoType` row).
+    * Keeps NTA2020 rows; try-parses counts; derives the decade growth
+    * rate from integer sums; and checks the census's OWN identities as
+    * quarantine flags, never row drops: population = households +
+    * group quarters, units = occupied + vacant, and change = 2020-2010
+    * (the sheet ships `_Ch` precomputed — a violated identity marks a
+    * hand-edited row). */
+  def stageCensus(raw: DataFrame): DataFrame =
+    raw.filter(col("GeoType") === "NTA2020")
+      .select(
+        col("GeoID").as("nta_code"),
+        col("Name").as("nta_name"),
+        col("Borough").as("borough"),
+        parseLong(col("NTA Type")).as("nta_type"),
+        parseLong(col("Pop_10")).as("pop_2010"),
+        parseLong(col("Pop_20")).as("pop_2020"),
+        parseLong(col("Pop_Ch")).as("pop_change"),
+        parseLong(col("HHPop_20")).as("hh_pop_2020"),
+        parseLong(col("GQ_20")).as("gq_pop_2020"),
+        parseLong(col("HUnits_20")).as("housing_units_2020"),
+        parseLong(col("OcHU_20")).as("occupied_units_2020"),
+        parseLong(col("VacHU_20")).as("vacant_units_2020"),
+        parseDouble(col("AvHHSz_20")).as("avg_hh_size_2020"))
+      .withColumn("pop_growth_rate",
+        when(col("pop_2010") > 0,
+          round((col("pop_2020") - col("pop_2010")).cast(DoubleType) /
+            col("pop_2010"), 6)))
+      .withColumn("pop_identity_valid",
+        col("pop_2020").isNotNull && col("hh_pop_2020").isNotNull &&
+          col("gq_pop_2020").isNotNull &&
+          col("hh_pop_2020") + col("gq_pop_2020") === col("pop_2020"))
+      .withColumn("units_valid",
+        col("housing_units_2020").isNotNull &&
+          col("occupied_units_2020").isNotNull &&
+          col("vacant_units_2020").isNotNull &&
+          col("occupied_units_2020") + col("vacant_units_2020") ===
+            col("housing_units_2020"))
+      .withColumn("change_valid",
+        col("pop_2010").isNotNull && col("pop_2020").isNotNull &&
+          col("pop_change").isNotNull &&
+          col("pop_2020") - col("pop_2010") === col("pop_change"))
+
   /** Nearest-zone assignment by haversine distance to zone centroids —
     * the first geo-ish mart the reference's staged data implies
     * (SURVEY.md §7.2 slice 4): broadcast the (small) centroid dim,

@@ -612,6 +612,117 @@ object ExtQueries {
       |JOIN region ON r_regionkey = n_regionkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Decennial-census mart (VERDICT r12 next-#6, closing the last
+    * unstaged `ref/` dataset): [[AuxStaging.stageCensus]] exercised
+    * end-to-end under the q44/q46/q47 contract. A raw ALL-STRING
+    * census feed (GeoType/GeoID/counts with decade suffixes, exactly
+    * the `2010_2020_and_Change` sheet's header surface) is derived
+    * deterministically from `customer`, with planted violations of the
+    * census's own identities — population != households+GQ (every
+    * 11th NTA), occupied+vacant != units (every 13th), change !=
+    * 2020-2010 (every 7th), an unparseable 'NA' household size (every
+    * 5th), and a CT2020 decoy row the NTA filter must drop — then
+    * staged, joined to broadcast dims, and aggregated per region with
+    * the decade growth rate from integer sums. The REAL xlsx staging
+    * is pinned by AuxStagingSpec over the reference workbook itself. */
+  val q61CensusMart: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val agg = c.customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+           count(when(col("c_acctbal") > 0, 1)).as("pos"),
+           count(when(col("c_acctbal") < 0, 1)).as("neg"))
+    val raw = agg.select(
+      when(pmod(col("c_nationkey"), lit(25L)) === 24, lit("CT2020"))
+        .otherwise(lit("NTA2020")).as("GeoType"),
+      concat(lit("NTA"), col("c_nationkey").cast(StringType)).as("GeoID"),
+      concat(lit("NTA "), col("c_nationkey").cast(StringType)).as("Name"),
+      concat(lit("B"), pmod(col("c_nationkey"), lit(5L)).cast(StringType))
+        .as("Borough"),
+      pmod(col("c_nationkey"), lit(3L)).cast(StringType).as("NTA Type"),
+      (col("n") * 10).cast(StringType).as("Pop_10"),
+      (col("n") * 10 + col("pos")).cast(StringType).as("Pop_20"),
+      when(pmod(col("c_nationkey"), lit(7L)) === 0, col("pos") + 1)
+        .otherwise(col("pos")).cast(StringType).as("Pop_Ch"),
+      (col("n") * 10 + col("pos") - col("neg")).cast(StringType)
+        .as("HHPop_20"),
+      when(pmod(col("c_nationkey"), lit(11L)) === 0, col("neg") + 1)
+        .otherwise(col("neg")).cast(StringType).as("GQ_20"),
+      (col("n") * 4).cast(StringType).as("HUnits_20"),
+      (col("n") * 3).cast(StringType).as("OcHU_20"),
+      when(pmod(col("c_nationkey"), lit(13L)) === 0, col("n") + 1)
+        .otherwise(col("n")).cast(StringType).as("VacHU_20"),
+      when(pmod(col("c_nationkey"), lit(5L)) === 0, lit("NA"))
+        .otherwise((pmod(col("n"), lit(30L)) + 10).cast(StringType))
+        .as("AvHHSz_20"))
+    val staged = AuxStaging.stageCensus(raw)
+      // the real GeoID is BK0101-style (no embedded numeric key); the
+      // synthesized feed uses the NTA<n> derived form, keyed like q44
+      .withColumn("nta_num",
+        when(col("nta_code").rlike("^NTA[0-9]+$"),
+          substring(col("nta_code"), 4, 12).try_cast(LongType)))
+    val n = c.nation.select(col("n_nationkey"), col("n_regionkey"))
+    val r = c.region.select(col("r_regionkey"), col("r_name"))
+    staged.join(broadcast(n), staged("nta_num") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_ntas"),
+           sum(col("pop_2010")).as("pop_2010"),
+           sum(col("pop_2020")).as("pop_2020"),
+           round((sum(col("pop_2020")) - sum(col("pop_2010")))
+             .cast(DoubleType) / sum(col("pop_2010")), 6).as("growth_rate"),
+           count(when(!col("pop_identity_valid"), 1)).as("n_pop_violations"),
+           count(when(!col("units_valid"), 1)).as("n_units_violations"),
+           count(when(!col("change_valid"), 1)).as("n_change_violations"),
+           count(when(col("avg_hh_size_2020").isNull, 1)).as("n_missing_avg"))
+      .withColumnRenamed("r_name", "region")
+      .orderBy(col("region"))
+  }
+
+  val q61Sql: String =
+    """WITH agg AS (SELECT c_nationkey, count(*) AS n,
+      |    count(*) FILTER (c_acctbal > 0) AS pos,
+      |    count(*) FILTER (c_acctbal < 0) AS neg
+      |  FROM customer GROUP BY 1),
+      |raw AS (SELECT c_nationkey,
+      |    CASE WHEN c_nationkey % 25 = 24 THEN 'CT2020' ELSE 'NTA2020' END
+      |      AS geotype,
+      |    CAST(n * 10 AS VARCHAR) AS p10_s,
+      |    CAST(n * 10 + pos AS VARCHAR) AS p20_s,
+      |    CAST(CASE WHEN c_nationkey % 7 = 0 THEN pos + 1 ELSE pos END
+      |      AS VARCHAR) AS pch_s,
+      |    CAST(n * 10 + pos - neg AS VARCHAR) AS hh_s,
+      |    CAST(CASE WHEN c_nationkey % 11 = 0 THEN neg + 1 ELSE neg END
+      |      AS VARCHAR) AS gq_s,
+      |    CAST(n * 4 AS VARCHAR) AS hu_s,
+      |    CAST(n * 3 AS VARCHAR) AS oc_s,
+      |    CAST(CASE WHEN c_nationkey % 13 = 0 THEN n + 1 ELSE n END
+      |      AS VARCHAR) AS vac_s,
+      |    CASE WHEN c_nationkey % 5 = 0 THEN 'NA'
+      |         ELSE CAST(n % 30 + 10 AS VARCHAR) END AS avg_s
+      |  FROM agg),
+      |staged AS (SELECT c_nationkey AS nta_num,
+      |    TRY_CAST(p10_s AS BIGINT) AS p10, TRY_CAST(p20_s AS BIGINT) AS p20,
+      |    TRY_CAST(pch_s AS BIGINT) AS pch, TRY_CAST(hh_s AS BIGINT) AS hh,
+      |    TRY_CAST(gq_s AS BIGINT) AS gq, TRY_CAST(hu_s AS BIGINT) AS hu,
+      |    TRY_CAST(oc_s AS BIGINT) AS oc, TRY_CAST(vac_s AS BIGINT) AS vac,
+      |    TRY_CAST(avg_s AS DOUBLE) AS avg
+      |  FROM raw WHERE geotype = 'NTA2020')
+      |SELECT r_name AS region, count(*) AS n_ntas,
+      |  CAST(SUM(p10) AS BIGINT) AS pop_2010,
+      |  CAST(SUM(p20) AS BIGINT) AS pop_2020,
+      |  round(CAST(SUM(p20) - SUM(p10) AS DOUBLE) / SUM(p10), 6)
+      |    AS growth_rate,
+      |  count(*) FILTER (NOT (p20 IS NOT NULL AND hh IS NOT NULL
+      |    AND gq IS NOT NULL AND hh + gq = p20)) AS n_pop_violations,
+      |  count(*) FILTER (NOT (hu IS NOT NULL AND oc IS NOT NULL
+      |    AND vac IS NOT NULL AND oc + vac = hu)) AS n_units_violations,
+      |  count(*) FILTER (NOT (p10 IS NOT NULL AND p20 IS NOT NULL
+      |    AND pch IS NOT NULL AND p20 - p10 = pch)) AS n_change_violations,
+      |  count(*) FILTER (avg IS NULL) AS n_missing_avg
+      |FROM staged JOIN nation ON n_nationkey = nta_num
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hot-key salted join with REAL skew: 75% of lineitem rows map to
     * one key (the remainder spread over 97), joined to a small dim.
     * Exercises [[SkewJoin.saltedInnerJoin]]'s HOT path end-to-end —
@@ -1277,6 +1388,7 @@ object ExtQueries {
     "q45_hot_key_join" -> q45HotKeyJoin,
     "q46_social_mart" -> q46SocialMart,
     "q47_housing_mart" -> q47HousingMart,
+    "q61_census_mart" -> q61CensusMart,
     "q48_geo_zones" -> q48GeoZones,
     "q49_radius_join" -> q49RadiusJoin,
     "q34_string_agg" -> q34StringAgg,
@@ -1310,6 +1422,7 @@ object ExtQueries {
     "q45_hot_key_join" -> q45Sql,
     "q46_social_mart" -> q46Sql,
     "q47_housing_mart" -> q47Sql,
+    "q61_census_mart" -> q61Sql,
     "q48_geo_zones" -> q48Sql,
     "q49_radius_join" -> q49Sql,
     "q34_string_agg" -> q34Sql,

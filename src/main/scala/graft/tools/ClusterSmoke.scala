@@ -114,7 +114,9 @@ object ClusterSmoke {
     "t23_nb_confusion", "t24_chunk_spans", "e21_knn_label",
     // delta semantic dedup: base-only fit + two assignment passes +
     // the cell-keyed state∪batch pair join across executor JVMs
-    "d21_semantic_delta")
+    "d21_semantic_delta",
+    // round-13: census staging mart (banded-xlsx staging surface)
+    "q61_census_mart")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

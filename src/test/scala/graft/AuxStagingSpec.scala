@@ -117,6 +117,62 @@ class AuxStagingSpec extends SparkSpec {
       "real data overwhelmingly passes validity")
   }
 
+  test("census staging: typed decades, identities as flags, planted violations caught") {
+    val raw = Seq(
+      // well-formed NTA: 100 = 90 + 10, 40 = 30 + 10, 100 - 80 = 20
+      ("NTA2020", "BK0101", "Greenpoint", "Brooklyn", "0",
+        "80", "100", "20", "90", "10", "40", "30", "10", "2.5"),
+      // population identity violated (90 + 11 != 100)
+      ("NTA2020", "BK0102", "Williamsburg", "Brooklyn", "0",
+        "10", "100", "90", "90", "11", "40", "30", "10", "2.1"),
+      // change violated (20 - 15 != 6) and unparseable household size
+      ("NTA2020", "QN0201", "Astoria", "Queens", "0",
+        "15", "20", "6", "10", "10", "40", "30", "10", "NA"),
+      // non-NTA geography: dropped by the filter, never staged
+      ("CT2020", "36085990100", "tract", "Staten Island", "",
+        "1", "1", "0", "1", "0", "1", "1", "0", "1.0")
+    ).toDF("GeoType", "GeoID", "Name", "Borough", "NTA Type",
+      "Pop_10", "Pop_20", "Pop_Ch", "HHPop_20", "GQ_20",
+      "HUnits_20", "OcHU_20", "VacHU_20", "AvHHSz_20")
+    val out = AuxStaging.stageCensus(raw).orderBy("nta_code").collect()
+    assert(out.length === 3, "CT2020 row must be filtered, not quarantined")
+    val byCode = out.map(r => r.getString(0) -> r).toMap
+    assert(byCode("BK0101").getAs[Boolean]("pop_identity_valid"))
+    assert(byCode("BK0101").getAs[Boolean]("units_valid"))
+    assert(byCode("BK0101").getAs[Boolean]("change_valid"))
+    assert(byCode("BK0101").getAs[Double]("pop_growth_rate") === 0.25)
+    assert(!byCode("BK0102").getAs[Boolean]("pop_identity_valid"))
+    assert(byCode("BK0102").getAs[Boolean]("units_valid"))
+    assert(!byCode("QN0201").getAs[Boolean]("change_valid"))
+    assert(byCode("QN0201").isNullAt(
+      byCode("QN0201").fieldIndex("avg_hh_size_2020")),
+      "an 'NA' household size try-parses to NULL, never an ANSI error")
+  }
+
+  test("census staging consumes the REAL reference xlsx (banded header)") {
+    val real = "/root/reference/ref/xlsx_nyc_decennialcensusdata_2010_2020_nta.xlsx"
+    assume(new java.io.File(real).exists)
+    // the data sheet's header is row 8, under prose + merged band rows —
+    // readSheetDFAt locates it by the GeoType marker and de-duplicates
+    // the repeated LandAcres column
+    val raw = graft.io.Xlsx.readSheetDFAt(
+      spark, real, "2010_2020_and_Change", "GeoType")
+    val staged = AuxStaging.stageCensus(raw).cache()
+    assert(staged.count() === 262, "2020 NTA geography count")
+    // the census's own identities hold on every real row — the planted
+    // violations of the q61 fixture are the negative control
+    assert(staged.filter(!col("pop_identity_valid") || !col("units_valid") ||
+      !col("change_valid")).count() === 0)
+    // citywide anchors: the published 2010/2020 NYC populations
+    val sums = staged.agg(sum("pop_2010"), sum("pop_2020")).head
+    assert(sums.getLong(0) === 8175133L && sums.getLong(1) === 8804190L)
+    val gp = staged.filter(col("nta_code") === "BK0101").head
+    assert(gp.getAs[String]("nta_name") === "Greenpoint")
+    assert(gp.getAs[Long]("pop_2010") === 34719L &&
+      gp.getAs[Long]("pop_2020") === 38980L)
+    staged.unpersist()
+  }
+
   test("restaurant staging: BORO decode, date/score parse, grade flags") {
     val raw = Seq(
       ("41234567", "CAFE A", "1", "Coffee", "5/14/2023", "12", "A", "40.71", "-74.00", "MN13"),
