@@ -1,7 +1,8 @@
 package graft.models
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Similarity, TextAnalysis}
 import graft.pipeline.Pipeline._
+import graft.pipeline.VersionedTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -320,7 +321,120 @@ object CurationModels {
         d, "text", "lang", "source", "__n_chars"))
     })
 
+    // -----------------------------------------------------------------
+    // RAG-INGEST LOOP (VERDICT r12 next-#4): the export cut flows on
+    // into a serving index — chunk → stub-embed → versioned IVF — with
+    // e18's recall report gating the publish ([[ragRecallGate]]). All
+    // three stages are Versioned: readers pin a version, a bad publish
+    // rolls back, history stays inspectable.
+    // -----------------------------------------------------------------
+
+    r.register(Model("RAG_CHUNKS", "3_MART___CURATION",
+        Seq("MIXTURE_SAMPLED"), Versioned(uniqueKey = Seq("chunk_id"))) { deps =>
+      // the t24 kernel; chunk_id packs (doc_id, chunk_idx) into the
+      // single key every index stage downstream addresses
+      TextAnalysis.tokenWindowChunks(deps("MIXTURE_SAMPLED"),
+          "text", "doc_id", ragChunkCap, ragChunkStride)
+        .withColumn("chunk_id",
+          col("doc_id") * lit(ragChunkIdBase) + col("chunk_idx"))
+    })
+
+    r.register(Model("RAG_CODEBOOK", "3_MART___CURATION",
+        Seq("RAG_CHUNKS"), Versioned(uniqueKey = Seq("cell"))) { deps =>
+      // the coarse quantizer VERSIONED WITH the index it serves — the
+      // codebook of index version N must always be readable next to N
+      // (rollback restores both). Refit per publish at this scale; a
+      // 100 TB deployment freezes the fit and lets the recall gate say
+      // when to retrain (the e18/e20 contract).
+      val emb = deps("RAG_CHUNKS").withColumn("emb",
+        graft.multimodal.Multimodal.stubTextEmbedding(col("chunk_text"), ragDim))
+      val m = KMeans.fit(emb, "emb", "chunk_id", k = ragK, dim = ragDim,
+        seedTag = "rag")
+      import spark.implicits._
+      m.centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("cell", "centroid")
+    })
+
+    r.register(Model("RAG_CHUNK_INDEX", "3_MART___CURATION",
+        Seq("RAG_CHUNKS", "RAG_CODEBOOK"),
+        // (cell, chunk_id) key + cell partitioning = the
+        // IvfMaintenance.upsertVersioned storage contract: merges
+        // rewrite only the batch's cells, probed reads prune at the
+        // scan. Same caveat as there: a chunk whose embedding moves
+        // cells must be deleted first (append-log semantics).
+        Versioned(uniqueKey = Seq("cell", "chunk_id")),
+        partitionBy = Seq("cell")) { deps =>
+      val cb = collectRagCodebook(deps("RAG_CODEBOOK"))
+      val emb = deps("RAG_CHUNKS").withColumn("emb",
+        graft.multimodal.Multimodal.stubTextEmbedding(col("chunk_text"), ragDim))
+      Similarity.cellAssignmentsTrained(emb, "emb", "chunk_id", cb)
+        .withColumnRenamed("id", "chunk_id")
+    })
+
     r
+  }
+
+  // RAG-ingest constants — shared by the DAG stages and the gate
+  private[models] val ragChunkCap = 64
+  private[models] val ragChunkStride = 48
+  private[models] val ragChunkIdBase = 100000L
+  private[models] val ragDim = 16
+  private[models] val ragK = 8
+
+  // bounded collect (k rows — the sanctioned codebook literal contract)
+  private def collectRagCodebook(cbTable: DataFrame): Seq[Seq[Double]] =
+    cbTable.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  final case class RagGateResult(recallPpm: Long, nQueries: Long,
+                                 passed: Boolean, rolledBackTo: Option[Long])
+
+  /** RECALL GATE on the published RAG index (e18's report as the
+    * release gate, the cardDiff pattern): recall@k of the cell-pruned
+    * search OVER THE STORED ASSIGNMENT vs the exact brute force, on the
+    * deterministic 1-in-20 chunk sample. Integer PPM so the pass/fail
+    * boundary is engine-exact. Below `thresholdPpm`, the publish ROLLS
+    * BACK — index AND codebook together, to the version before the
+    * gate's read — and the bad version stays inspectable in history. */
+  def ragRecallGate(spark: SparkSession, cfg: RunConfig,
+                    thresholdPpm: Long, k: Int = 5,
+                    nProbe: Int = 2): RagGateResult = {
+    def root(name: String) =
+      s"${cfg.warehouseRoot}/${cfg.env.prefix}/3_MART___CURATION/$name"
+    val idxRoot = root("RAG_CHUNK_INDEX")
+    val cbRoot = root("RAG_CODEBOOK")
+    val idxV = VersionedTable.currentVersion(spark, idxRoot).getOrElse(
+      throw new IllegalStateException("ragRecallGate: no published index"))
+    val index = VersionedTable.readVersion(spark, idxRoot, idxV)
+    val cb = collectRagCodebook(VersionedTable.read(spark, cbRoot))
+    val queries = index.filter(pmod(col("chunk_id"), lit(20L)) === 0)
+      .select(col("chunk_id").as("id"), col("v"))
+    val corpus = index.select(col("chunk_id").as("id"), col("v"))
+    val bf = Similarity.bruteForceTopK(corpus, queries, "v", "id", k)
+      .select(col("query_id"), col("id"))
+    val ivf = Similarity.ivfTopKOnAssigned(
+        index.select(col("chunk_id").as("id"), col("v"), col("cell")),
+        queries, "v", "id", k, cb, nProbe)
+      .select(col("query_id"), col("id"))
+    val agg = bf.join(ivf, Seq("query_id", "id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(queries.agg(count(lit(1)).as("nq")))
+      .select(col("hits"), col("nq")).head
+    val (hits, nq) = (agg.getLong(0), agg.getLong(1))
+    val recallPpm = if (nq == 0) 1000000L else hits * 1000000L / (nq * k)
+    val passed = recallPpm >= thresholdPpm
+    val rolledBackTo =
+      if (passed) None
+      else {
+        val to = idxV - 1
+        require(to >= 1, "ragRecallGate: first publish failed the gate — " +
+          "nothing to roll back to; raise nProbe or retrain")
+        VersionedTable.rollback(spark, idxRoot, to)
+        VersionedTable.rollback(spark, cbRoot,
+          VersionedTable.currentVersion(spark, cbRoot).get - 1)
+        Some(to)
+      }
+    RagGateResult(recallPpm, nq, passed, rolledBackTo)
   }
 
   /** The generic data-test suite for the curation DAG outputs (one

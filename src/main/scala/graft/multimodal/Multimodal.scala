@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -255,6 +255,22 @@ object Multimodal {
         length(col("chunk_bytes")).cast(LongType).as("n_chunk_bytes"),
         md5(col("chunk_bytes")).as("chunk_md5"))
   }
+
+  /** STUB text-embedding as a pure COLUMN expression — the
+    * [[stubDecodeFeatures]] arithmetic applied to a string column
+    * (feature j = md5_60("<md5 hex of text>|f<j>") mod 10^6 / 10^6 as
+    * float), for the RAG-ingest path where the thing being embedded is
+    * chunk TEXT, not media bytes. Column form means the whole embed
+    * stage stays inside codegen (no typed mapPartitions round-trip)
+    * and the e22 oracle replays every dimension in SQL exactly like
+    * m02's. A real text-embedding model swaps in at exactly this
+    * point. */
+  def stubTextEmbedding(text: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(graft.functions.GraftFunctions.md5Long(
+          concat(md5(text), lit("|f"), j.cast(org.apache.spark.sql.types.StringType))),
+        lit(1000000L)).cast(DoubleType) / 1000000.0)
+        .cast(org.apache.spark.sql.types.FloatType))
 
   /** Join extracted media features back onto a relational table — the
     * shape a multimodal training pipeline ends in (metadata + features

@@ -40,6 +40,39 @@ object TextAnalysis {
         min(length(col(textCol))).cast(LongType).as("min_chars"),
         max(length(col(textCol))).cast(LongType).as("max_chars"))
 
+  /** TOKEN-WINDOW CHUNKER — the fixed-window-with-overlap document
+    * splitter every RAG index and long-context pipeline runs before
+    * embedding (factored out of the t24 query body in r13 so the
+    * curation DAG's RAG-ingest stage and the checked query share ONE
+    * kernel): chunk i covers tokens [i·stride, i·stride+cap) of the
+    * whitespace stream, the final chunk truncated at the document end.
+    * Emits (doc_id, chunk_idx, tok_start, n_toks, chunk_text).
+    * Complementary to [[packSequences]] (which PACKS docs up to a
+    * budget; this SPLITS docs into overlapping windows).
+    *
+    * Scale shape: map-only — tokenize, explode a per-doc chunk-index
+    * sequence (bounded by len/stride), slice + join per chunk; no
+    * shuffle at any corpus size. */
+  def tokenWindowChunks(df: DataFrame, textCol: String, idCol: String,
+                        cap: Int, stride: Int): DataFrame = {
+    require(cap > 0 && stride > 0 && stride <= cap,
+      s"bad chunk window: cap=$cap stride=$stride (need 0 < stride <= cap)")
+    df.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((size(toks) - 1) div $stride AS BIGINT)")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        slice(col("toks"),
+          (col("chunk_idx") * stride + 1).cast(IntegerType),
+          lit(cap)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        size(col("ch")).cast(LongType).as("n_toks"),
+        array_join(col("ch"), " ").as("chunk_text"))
+  }
+
   /** Sequence packing — concat-and-chunk assignment for pretraining:
     * documents are concatenated in `idCol` order within each `shardCol`
     * shard and split into fixed-`cap`-token training sequences; each doc

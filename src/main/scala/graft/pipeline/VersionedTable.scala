@@ -434,7 +434,11 @@ object VersionedTable {
     import org.apache.spark.sql.types.StructType
     prior.fields.foreach { f =>
       next.fields.find(_.name == f.name).foreach { g =>
-        require(g.dataType == f.dataType,
+        // nullability-normalized compare, not ==: a containsNull-only
+        // difference (an in-memory array<double> built from Seq vs the
+        // parquet round trip's nullable-element form) is NOT an
+        // evolution — everything is stored nullable below anyway
+        require(allNullable(g.dataType) == allNullable(f.dataType),
           s"schema evolution cannot change the type of '${f.name}': " +
             s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
       }
@@ -442,7 +446,22 @@ object VersionedTable {
     val priorNames = prior.fieldNames.toSet
     StructType((prior.fields ++
       next.fields.filterNot(f => priorNames.contains(f.name)))
-      .map(_.copy(nullable = true)))
+      .map(f => f.copy(dataType = allNullable(f.dataType), nullable = true)))
+  }
+
+  // deep nullability normalization (the private Spark asNullable)
+  private def allNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case a: ArrayType =>
+        a.copy(elementType = allNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = allNullable(m.keyType),
+        valueType = allNullable(m.valueType), valueContainsNull = true)
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case other => other
+    }
   }
 
   /** Write a full new version (CTAS / overwrite semantics). Returns the

@@ -2109,24 +2109,10 @@ object DataQueries {
     * sequence (bounded by len/stride), slice + join per chunk; no
     * shuffle at any corpus size (the orderBy is the gate's
     * determinism, not the operator's). */
-  val t24ChunkSpans: Q = (s, dir) => {
-    val docs = Catalog(s, dir).documents
-    docs.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L),
-          expr(s"CAST((size(toks) - 1) div $chunkStride AS BIGINT)")))
-          .as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        (col("chunk_idx") * chunkStride).as("tok_start"),
-        slice(col("toks"),
-          (col("chunk_idx") * chunkStride + 1).cast(IntegerType),
-          lit(chunkCap)).as("ch"))
-      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
-        size(col("ch")).cast(LongType).as("n_toks"),
-        array_join(col("ch"), " ").as("chunk_text"))
+  val t24ChunkSpans: Q = (s, dir) =>
+    TextAnalysis.tokenWindowChunks(Catalog(s, dir).documents,
+        "text", "doc_id", chunkCap, chunkStride)
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   lazy val t24Sql: String =
     s"""WITH $toksCte,
@@ -2141,6 +2127,67 @@ object DataQueries {
        |  array_to_string(toks[ci*$chunkStride+1 : ci*$chunkStride+$chunkCap],
        |    ' ') AS chunk_text
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** RAG-INGEST SHARDING (e22 — the chunk→index join of the curation
+    * DAG's RAG loop as a hash-checked query, VERDICT r12 next-#4):
+    * every document is split by the t24 token-window kernel
+    * ([[TextAnalysis.tokenWindowChunks]]), each chunk embedded by the
+    * m02 stub encoder in COLUMN form
+    * ([[graft.multimodal.Multimodal.stubTextEmbedding]] — md5-derived
+    * floats, so the oracle replays every dimension), and assigned to
+    * its cell of the TRAINED coarse quantizer (the kmCtes-replayed
+    * k-means fit over the embeddings table) — the exact shard layout
+    * the serving index stores. Composes three verified kernels; the
+    * hash proves they compose.
+    *
+    * Float-exactness note: the stub feature is float(micro/10^6); the
+    * oracle mirrors the narrowing with CAST(... AS REAL)::DOUBLE so
+    * both engines cosine over IDENTICAL doubles (same contract as
+    * reading a float parquet column).
+    *
+    * Scale shape: chunk+embed+assign is ONE map-only codegen'd pass
+    * (no shuffle at any corpus size — the literal-codebook
+    * NearestCellExpr contract); the orderBy is the gate's determinism
+    * only. */
+  val e22ChunkCells: Q = (s, dir) => {
+    val chunks = TextAnalysis.tokenWindowChunks(
+        Catalog(s, dir).documents, "text", "doc_id", chunkCap, chunkStride)
+      .withColumn("chunk_id",
+        col("doc_id") * lit(100000L) + col("chunk_idx"))
+      .withColumn("emb", graft.multimodal.Multimodal
+        .stubTextEmbedding(col("chunk_text"), 64))
+    Similarity.cellAssignmentsTrained(chunks, "emb", "chunk_id",
+        kmModel(s, dir).centroids)
+      .select(expr("CAST(id div 100000 AS BIGINT)").as("doc_id"),
+        pmod(col("id"), lit(100000L)).as("chunk_idx"), col("cell"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  lazy val e22Sql: String =
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |$kmCtes,
+      |$toksCte,
+      |nz AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+      |ch AS (SELECT doc_id, toks,
+      |  unnest(generate_series(0, (len(toks) - 1) // $chunkStride)) AS ci
+      |  FROM nz),
+      |cm AS (SELECT doc_id, CAST(ci AS BIGINT) AS ci,
+      |  md5(array_to_string(
+      |    toks[ci*$chunkStride+1 : ci*$chunkStride+$chunkCap], ' ')) AS hx
+      |  FROM ch),
+      |emb AS (SELECT doc_id, ci,
+      |  list(CAST(CAST((${h60("hx||'|f'||j")} % 1000000) / 1000000.0
+      |    AS REAL) AS DOUBLE) ORDER BY j) AS cv2
+      |  FROM cm, range(0, 64) t(j) GROUP BY 1, 2),
+      |nde AS (SELECT * FROM emb WHERE list_inner_product(cv2, cv2) > 0)
+      |SELECT doc_id, ci AS chunk_idx, cell FROM (
+      |  SELECT m.doc_id, m.ci, c.cell,
+      |    row_number() OVER (PARTITION BY m.doc_id, m.ci
+      |      ORDER BY round(list_cosine_similarity(m.cv2, c.cv), 6) DESC,
+      |        c.cell) AS rn
+      |  FROM nde m CROSS JOIN cents c) WHERE rn = 1
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** DATA CARD — the per-(lang, source) release datasheet every
     * published dataset ships, as ONE hash-checked report: doc / token /
@@ -2906,6 +2953,7 @@ object DataQueries {
     "t21_nb_classify" -> t21NbClassify,
     "t23_nb_confusion" -> t23NbConfusion,
     "t24_chunk_spans" -> t24ChunkSpans,
+    "e22_chunk_cells" -> e22ChunkCells,
     "e21_knn_label" -> e21KnnLabel,
     "t22_data_card" -> t22DataCard,
     "d02_dedup_minhash" -> d02MinhashPairs,
@@ -2979,6 +3027,7 @@ object DataQueries {
     "t21_nb_classify" -> t21Sql,
     "t23_nb_confusion" -> t23Sql,
     "t24_chunk_spans" -> t24Sql,
+    "e22_chunk_cells" -> e22Sql,
     "e21_knn_label" -> e21Sql,
     "t22_data_card" -> t22Sql,
     "d02_dedup_minhash" -> d02Sql,

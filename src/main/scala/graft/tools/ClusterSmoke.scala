@@ -115,8 +115,9 @@ object ClusterSmoke {
     // delta semantic dedup: base-only fit + two assignment passes +
     // the cell-keyed state∪batch pair join across executor JVMs
     "d21_semantic_delta",
-    // round-13: census staging mart (banded-xlsx staging surface)
-    "q61_census_mart")
+    // round-13: census staging mart (banded-xlsx staging surface) and
+    // the RAG chunk→embed→cell-assign composite
+    "q61_census_mart", "e22_chunk_cells")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

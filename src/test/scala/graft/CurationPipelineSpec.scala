@@ -399,4 +399,59 @@ class CurationPipelineSpec extends SparkSpec {
     assert(gone.count() > 0 &&
       gone.filter($"rel_delta".isNull).count() > 0)
   }
+
+  test("RAG ingest loop: chunk -> stub embed -> versioned IVF index; recall gate rolls back a bad publish") {
+    import graft.pipeline.VersionedTable
+    val bench = Seq((9001L, "qq zz unrelated benchmark text"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-rag").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    def root(name: String) = s"$tmp/DEV/3_MART___CURATION/$name"
+
+    // ---- publish 1: the full loop end-to-end ----
+    val r1 = CurationModels.registry(spark, corpus(), bench)
+    r1.run(cfg, Seq("RAG_CHUNK_INDEX"))
+    val chunks1 = VersionedTable.read(spark, root("RAG_CHUNKS"))
+    val mix = spark.read.parquet(s"$tmp/DEV/3_MART___CURATION/MIXTURE_SAMPLED")
+    val expected = graft.operators.TextAnalysis.tokenWindowChunks(
+      mix, "text", "doc_id", 64, 48)
+    assert(chunks1.count() === expected.count(),
+      "chunk stage must be exactly the t24 kernel over the export cut")
+    val cb1 = VersionedTable.read(spark, root("RAG_CODEBOOK")).collect()
+    assert(cb1.length === 8 && cb1.forall(_.getSeq[Double](1).size === 16))
+    val idx1 = VersionedTable.read(spark, root("RAG_CHUNK_INDEX"))
+    val n1 = idx1.count()
+    assert(n1 === chunks1.count(), "every chunk lands in the index")
+    assert(idx1.select("cell").distinct().as[Long].collect()
+      .forall(c => c >= 0 && c < 8))
+    assert(Seq("RAG_CHUNKS", "RAG_CODEBOOK", "RAG_CHUNK_INDEX").forall(m =>
+      VersionedTable.currentVersion(spark, root(m)) === Some(1L)))
+    // recall gate: a sane publish passes and does not roll back
+    val g1 = CurationModels.ragRecallGate(spark, cfg, thresholdPpm = 1L)
+    assert(g1.passed && g1.rolledBackTo.isEmpty && g1.nQueries > 0)
+    assert(g1.recallPpm > 0 && g1.recallPpm <= 1000000L)
+
+    // ---- publish 2: grown corpus, then a FAILING gate rolls back ----
+    val grown = corpus().unionByName((400L until 420L)
+      .map(i => (i, docText(i), "en", "web")).toDF("doc_id", "text", "lang", "source"))
+    val r2 = CurationModels.registry(spark, grown, bench)
+    r2.run(cfg, Seq("RAG_CHUNK_INDEX"))
+    assert(VersionedTable.currentVersion(spark, root("RAG_CHUNK_INDEX"))
+      === Some(2L))
+    assert(VersionedTable.read(spark, root("RAG_CHUNK_INDEX")).count() > n1)
+    // an impossible threshold models a recall regression: the gate must
+    // ROLL BACK index + codebook to the pre-publish version, keeping
+    // version 2 inspectable in history
+    val g2 = CurationModels.ragRecallGate(spark, cfg, thresholdPpm = 1000001L)
+    assert(!g2.passed && g2.rolledBackTo === Some(1L))
+    assert(VersionedTable.read(spark, root("RAG_CHUNK_INDEX")).count() === n1,
+      "rollback must restore the version-1 index content")
+    assert(VersionedTable.read(spark, root("RAG_CODEBOOK")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      .sameElements(cb1.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)),
+      "the codebook rolls back WITH the index it serves")
+    // history: v2 (the bad publish) is still readable for forensics
+    assert(VersionedTable.readVersion(spark, root("RAG_CHUNK_INDEX"), 2L)
+      .count() > n1)
+  }
 }
