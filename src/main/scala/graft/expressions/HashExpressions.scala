@@ -296,3 +296,34 @@ case class Md5MinExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** STUB TEXT-EMBEDDING as ONE expression — the
+  * [[graft.multimodal.Multimodal.stubDecodeFeatures]] md5 arithmetic
+  * over a string child, evaluated EXACTLY ONCE per row.
+  *
+  * Why an expression and not `transform(sequence(...), j -> ...)`: a
+  * higher-order-function lambda re-evaluates every column it captures
+  * PER ELEMENT, and higher-order functions are interpreted (no
+  * whole-stage codegen, no common-subexpression elimination) — with a
+  * derived input like a chunk-text slice, the 64-element column form
+  * re-ran tokenize+slice+join+md5 64 times per row and made e22 a
+  * 10.7 s query at sf0.1. This form evaluates the child once, hashes
+  * once, and emits the feature array in a single pass (bench: 10.7 s
+  * -> sub-second). CodegenFallback: one virtual call per row against
+  * dim md5's of work — the t03/d03 trade, re-measured there. */
+case class StubEmbedExpr(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim >= 1, s"embedding dim must be positive, got $dim")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_stub_embed"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = graft.multimodal.Multimodal.stubDecodeFeatures(bytes, dim)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -56,7 +56,7 @@ object Multimodal {
     * DuckDB twin CAST((h60(md5(text)||'|f'||j) % 1000000) / 1000000.0
     * AS REAL). A real decoder swaps in at exactly this point; only this
     * body changes. */
-  private[multimodal] def stubDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def stubDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val md = graft.expressions.HashExpressions.localMd5.get()
     md.reset()
     val hex = md.digest(bytes).map("%02x".format(_)).mkString
@@ -256,21 +256,23 @@ object Multimodal {
         md5(col("chunk_bytes")).as("chunk_md5"))
   }
 
-  /** STUB text-embedding as a pure COLUMN expression — the
-    * [[stubDecodeFeatures]] arithmetic applied to a string column
-    * (feature j = md5_60("<md5 hex of text>|f<j>") mod 10^6 / 10^6 as
-    * float), for the RAG-ingest path where the thing being embedded is
-    * chunk TEXT, not media bytes. Column form means the whole embed
-    * stage stays inside codegen (no typed mapPartitions round-trip)
-    * and the e22 oracle replays every dimension in SQL exactly like
-    * m02's. A real text-embedding model swaps in at exactly this
-    * point. */
+  /** STUB text-embedding as a COLUMN — the [[stubDecodeFeatures]]
+    * arithmetic applied to a string column (feature j =
+    * md5_60("<md5 hex of text>|f<j>") mod 10^6 / 10^6 as float), for
+    * the RAG-ingest path where the thing being embedded is chunk TEXT,
+    * not media bytes. Backed by ONE custom expression
+    * ([[graft.expressions.StubEmbedExpr]]) that evaluates the text
+    * exactly once per row: the first cut was a `transform(sequence…)`
+    * lambda, and a higher-order function re-evaluates its captured
+    * columns PER ELEMENT with no codegen/CSE — over a derived
+    * chunk-text child that re-ran tokenize+slice+join 64 times per row
+    * (e22 at 10.7 s; sub-second with the expression). The e22 oracle
+    * replays every dimension in SQL exactly like m02's. A real
+    * text-embedding model swaps in at exactly this point. */
   def stubTextEmbedding(text: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      (pmod(graft.functions.GraftFunctions.md5Long(
-          concat(md5(text), lit("|f"), j.cast(org.apache.spark.sql.types.StringType))),
-        lit(1000000L)).cast(DoubleType) / 1000000.0)
-        .cast(org.apache.spark.sql.types.FloatType))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.StubEmbedExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), dim))
 
   /** Join extracted media features back onto a relational table — the
     * shape a multimodal training pipeline ends in (metadata + features
