@@ -280,6 +280,50 @@ object EventStreams {
       .trigger(trigger)
       .start()
 
+  /** STREAMING RAG INGEST — the r13 curation-DAG RAG loop's serving
+    * tick as a stream: every document micro-batch (a crawl drop) is
+    * chunked ([[graft.operators.TextAnalysis.tokenWindowChunks]], the
+    * t24 kernel), stub-embedded
+    * ([[graft.multimodal.Multimodal.stubTextEmbedding]] — one
+    * expression, a real encoder swaps in at that point), assigned
+    * MAP-ONLY against the FROZEN coarse codebook (the e20
+    * maintained-index contract — the stream never refits; the e18
+    * recall gate decides when to retrain offline), and merged into the
+    * versioned cell-partitioned index on (cell, chunk_id) — the same
+    * storage contract as [[graft.models.CurationModels]]'s
+    * RAG_CHUNK_INDEX stage and
+    * [[graft.io.IvfMaintenance.upsertVersioned]]. Readers pin a
+    * version: a search concurrent with any number of ticks sees one
+    * consistent index. Re-sent doc_ids REPLACE their chunks in place
+    * (latest-wins within a cell); a doc whose re-chunked spans move
+    * cells needs a delete first (the append-log caveat, same as
+    * upsertVersioned). Convergent under at-least-once replay
+    * (delete+insert of identical rows).
+    *
+    * Scale shape: chunk+embed+assign ride the micro-batch scan with no
+    * shuffle; the merge rewrites only the batch's cells. Per-tick cost
+    * tracks the batch, never the index. */
+  def ragIngestStreamQuery(spark: SparkSession, docs: DataFrame,
+                           textCol: String, idCol: String,
+                           codebook: Seq[Seq[Double]], dim: Int,
+                           root: String, cap: Int = 64, stride: Int = 48,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val assigned = graft.operators.Similarity.cellAssignmentsTrained(
+      graft.operators.TextAnalysis
+        .tokenWindowChunks(docs, textCol, idCol, cap, stride)
+        .withColumn("chunk_id",
+          col("doc_id") * lit(100000L) + col("chunk_idx"))
+        .withColumn("emb", graft.multimodal.Multimodal
+          .stubTextEmbedding(col("chunk_text"), dim)),
+      "emb", "chunk_id", codebook)
+      .withColumnRenamed("id", "chunk_id")
+    versionedUpsertStreamQuery(spark, assigned, root,
+      uniqueKey = Seq("cell", "chunk_id"), outputMode = "append",
+      partitionBy = Seq("cell"), trigger = trigger)
+  }
+
   /** STREAMING DELTA NEAR-DUP PAIRING — the delta dedup family
     * ([[graft.operators.Dedup.minhashPairsDelta]]) driven by a
     * document stream: every micro-batch (a crawl drop) pairs against

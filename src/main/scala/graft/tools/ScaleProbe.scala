@@ -656,6 +656,26 @@ object ScaleProbe {
       t(s"host_rank_${replicas}x")(graft.operators.Graph
         .hostSyndicationRank(d17docs, "text", "source"))
     }
+    // r13 RAG-ingest shard stage (e22 / RAG_CHUNK_INDEX): chunk →
+    // StubEmbedExpr → literal-codebook cell assignment. Map-only by
+    // construction (no shuffle at any size), so the curve must track
+    // corpus bytes ~linearly; this is also the regression guard for
+    // the per-element-lambda trap the first e22 cut hit (a re-derived
+    // chunk-text under transform() made it 64× the work).
+    stage("chunk_embed") {
+      val cb = (0 until 16).map(c =>
+        (0 until 64).map(j => math.sin(c * 64 + j + 1).abs + 0.01))
+      t(s"chunk_embed_${replicas}x") {
+        val ch = graft.operators.TextAnalysis.tokenWindowChunks(
+            docs, "text", "doc_id", cap = 64, stride = 48)
+          .withColumn("chunk_id",
+            col("doc_id") * lit(100000L) + col("chunk_idx"))
+          .withColumn("emb", graft.multimodal.Multimodal
+            .stubTextEmbedding(col("chunk_text"), 64))
+        graft.operators.Similarity.cellAssignmentsTrained(
+          ch, "emb", "chunk_id", cb)
+      }
+    }
     // t20 BPE encode: the single-pass kernel (BpeEncodeExpr) vs the
     // literal replace chain as the merge table grows. The chain is
     // linear in the table (one expression node + one full-string pass
