@@ -357,13 +357,17 @@ object CurationModels {
 
     r.register(Model("RAG_CHUNK_INDEX", "3_MART___CURATION",
         Seq("RAG_CHUNKS", "RAG_CODEBOOK"),
-        // (cell, chunk_id) key + cell partitioning = the
-        // IvfMaintenance.upsertVersioned storage contract: merges
-        // rewrite only the batch's cells, probed reads prune at the
-        // scan. Same caveat as there: a chunk whose embedding moves
-        // cells must be deleted first (append-log semantics).
-        Versioned(uniqueKey = Seq("cell", "chunk_id")),
-        partitionBy = Seq("cell")) { deps =>
+        // FULL REWRITE per publish (uniqueKey empty -> write, not
+        // merge), cell-partitioned for probe-side pruning. A keyed
+        // (cell, chunk_id) merge here would be WRONG (review r13):
+        // RAG_CODEBOOK refits per publish, so a chunk whose cell
+        // assignment moves would leave its stale old-cell row behind —
+        // the merge's partition-scoped rewrite only touches the NEW
+        // cells. The incremental (cell, chunk_id)-merge form belongs
+        // with a FROZEN codebook, which is exactly what the streaming
+        // tick ([[graft.streaming.EventStreams.ragIngestStreamQuery]])
+        // and [[graft.io.IvfMaintenance.upsertVersioned]] do.
+        Versioned(), partitionBy = Seq("cell")) { deps =>
       val cb = collectRagCodebook(deps("RAG_CODEBOOK"))
       val emb = deps("RAG_CHUNKS").withColumn("emb",
         graft.multimodal.Multimodal.stubTextEmbedding(col("chunk_text"), ragDim))
@@ -374,10 +378,11 @@ object CurationModels {
     r
   }
 
-  // RAG-ingest constants — shared by the DAG stages and the gate
-  private[models] val ragChunkCap = 64
-  private[models] val ragChunkStride = 48
-  private[models] val ragChunkIdBase = 100000L
+  // RAG-ingest constants — the shared chunking trio lives in
+  // TextAnalysis (one definition for DAG, stream, e22, and probe)
+  private[models] val ragChunkCap = TextAnalysis.ChunkCap
+  private[models] val ragChunkStride = TextAnalysis.ChunkStride
+  private[models] val ragChunkIdBase = TextAnalysis.ChunkIdBase
   private[models] val ragDim = 16
   private[models] val ragK = 8
 
@@ -426,12 +431,22 @@ object CurationModels {
     val rolledBackTo =
       if (passed) None
       else {
+        // index and codebook publish in the SAME registry run, so their
+        // versions advance in lockstep; a crash between the two commits
+        // desyncs them, and rolling back mismatched pairs would serve
+        // centroids that never matched the restored assignments. Guard
+        // BOTH sides before touching either (review r13) — a desync is
+        // a republish-from-the-DAG situation, not a rollback.
+        val cbV = VersionedTable.currentVersion(spark, cbRoot).getOrElse(
+          throw new IllegalStateException(
+            "ragRecallGate: no published codebook next to the index"))
         val to = idxV - 1
-        require(to >= 1, "ragRecallGate: first publish failed the gate — " +
-          "nothing to roll back to; raise nProbe or retrain")
+        require(to >= 1 && cbV >= 2,
+          s"ragRecallGate: cannot roll back (index v$idxV, codebook " +
+            s"v$cbV) — a first publish or a desynced pair; re-run the " +
+            "RAG stages (raise nProbe or retrain) instead")
         VersionedTable.rollback(spark, idxRoot, to)
-        VersionedTable.rollback(spark, cbRoot,
-          VersionedTable.currentVersion(spark, cbRoot).get - 1)
+        VersionedTable.rollback(spark, cbRoot, cbV - 1)
         Some(to)
       }
     RagGateResult(recallPpm, nq, passed, rolledBackTo)

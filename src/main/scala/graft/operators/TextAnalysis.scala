@@ -53,6 +53,17 @@ object TextAnalysis {
     * Scale shape: map-only — tokenize, explode a per-doc chunk-index
     * sequence (bounded by len/stride), slice + join per chunk; no
     * shuffle at any corpus size. */
+  /** Shared RAG chunking constants — ONE definition (review r13: the
+    * base was hardcoded in four call sites; a future widening would
+    * have silently diverged the stream, the checked query's pack AND
+    * unpack, and the probe): the default token window, and the packing
+    * base folding (doc_id, chunk_idx) into the single `chunk_id` every
+    * index stage keys on (chunk_idx < ChunkIdBase is guaranteed for
+    * any document under ChunkIdBase·stride ≈ 4.8M tokens). */
+  val ChunkCap = 64
+  val ChunkStride = 48
+  val ChunkIdBase = 100000L
+
   def tokenWindowChunks(df: DataFrame, textCol: String, idCol: String,
                         cap: Int, stride: Int): DataFrame = {
     require(cap > 0 && stride > 0 && stride <= cap,

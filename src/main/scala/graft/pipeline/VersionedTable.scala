@@ -42,7 +42,15 @@ import org.apache.spark.sql.functions._
   * Iceberg's `expire_snapshots` semantics.
   *
   * All paths go through the Hadoop FileSystem (hdfs://, s3a://,
-  * file://).
+  * file://). The MULTI-WRITER guarantee below additionally requires a
+  * filesystem with an atomic no-overwrite commit primitive — file://
+  * (link(2)) and hdfs:// (namenode rename) qualify; s3a:// does NOT
+  * (its rename is a client-side existence-probe + copy, so two racing
+  * writers can both "win" a version slot). On object stores, either
+  * keep the single-writer-per-table scheduler discipline, or put the
+  * manifest CAS behind a store that has conditional put (the same
+  * boundary Delta/Iceberg draw: S3 multi-writer needs a
+  * LogStore/catalog with conditional semantics).
   *
   * MULTI-WRITER (r13, VERDICT r12 next-#3): commits are OPTIMISTIC,
   * Iceberg-style. The commit point is the atomic put-if-absent
@@ -96,12 +104,12 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long) = s"$root/_manifests/v$v"
   private def dataRoot(root: String) = s"$root/data"
 
-  // per-root writer serialization WITHIN this JVM: two concurrent
-  // writers would stage the same b<v> batch dir and trash each other's
-  // files before either commits. Cross-PROCESS writers remain a
-  // declared single-writer contract, with best-effort detection: the
-  // commit re-reads the pointer and refuses when another writer
-  // advanced it after this op planned its version.
+  // per-root writer serialization WITHIN this JVM: in-process writers
+  // would be CORRECT through the optimistic manifest CAS alone (staged
+  // dirs are attempt-unique since r13), but letting threads of one
+  // scheduler race each other burns whole re-stage attempts for
+  // nothing — serialize them and reserve the optimistic retry path for
+  // SEPARATE processes, which this lock cannot see.
   private val rootLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def withRootLock[T](root: String)(body: => T): T =
@@ -644,15 +652,21 @@ object VersionedTable {
       withRootLock(root) {
     require(keep >= 1, "must retain at least the current version")
     val f = fsFor(spark, root)
-    // anchor on the COMMITTED pointer, not the manifest listing: a
-    // crash between manifest write and pointer rename leaves an orphan
-    // manifest NEWER than the pointer, and a listing-anchored prune
-    // would retain the orphan while expiring the committed current
-    // version — deleting live data
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val vs = versions(spark, root)
-    val (committed, orphans) = vs.partition(_ <= cur)
+    // Re-heal against THIS listing before classifying anything as an
+    // orphan: a cross-process writer can commit cur+1 between the
+    // currentVersion() read above and the listing, and a `> cur`
+    // partition would then delete a FRESHLY COMMITTED version's
+    // manifest and files — a silent lost update (review r13). Commits
+    // are claimed strictly at current+1, so every CONTIGUOUS manifest
+    // above cur is a real commit; only manifests beyond a gap
+    // (tampering/manual deletion — unreachable by any commit) are
+    // orphans.
+    val healed = Iterator.iterate(cur)(_ + 1)
+      .takeWhile(v => v == cur || vs.contains(v)).toSeq.last
+    val (committed, orphans) = vs.partition(_ <= healed)
     val retained = committed.takeRight(keep) // always includes cur
     val expired = committed.dropRight(keep)
     val live: Set[String] =
@@ -675,7 +689,7 @@ object VersionedTable {
         val name = st.getPath.getName
         val vOf = name.stripPrefix("b").takeWhile(_.isDigit)
         val supersededOrphan =
-          name.startsWith("b") && vOf.nonEmpty && vOf.toLong <= cur &&
+          name.startsWith("b") && vOf.nonEmpty && vOf.toLong <= healed &&
             // age guard (the Iceberg orphan-cleanup discipline): a dir
             // can be ≤ cur yet MID-STAGE if a racing writer advanced
             // cur after the stager planned — deleting under its write
@@ -686,11 +700,17 @@ object VersionedTable {
           f.delete(st.getPath, true)
       }
     }
-    // stale manifest tmps (crashed writers): anything older than an
-    // hour cannot belong to an in-flight commit
+    // stale tmps from crashed writers: manifest tmps under _manifests
+    // and pointer-advance tmps (`_current.tmp_<v>`) at the root —
+    // anything older than an hour cannot belong to an in-flight commit
     val md = hp(s"$root/_manifests")
     if (f.exists(md)) f.listStatus(md).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp_") &&
+          st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L)
+        f.delete(st.getPath, false)
+    }
+    f.listStatus(hp(root)).foreach { st =>
+      if (st.getPath.getName.startsWith("_current.tmp_") &&
           st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L)
         f.delete(st.getPath, false)
     }

@@ -2093,8 +2093,10 @@ object DataQueries {
   def t23Sql: String =
     s"WITH ${nbLiteralCtes(nbModelLiteral(resolveOracleDir))},\n$nbConfusionSelect"
 
-  private val chunkCap = 64
-  private val chunkStride = 48
+  // the shared chunking trio (one definition — TextAnalysis)
+  private val chunkCap = TextAnalysis.ChunkCap
+  private val chunkStride = TextAnalysis.ChunkStride
+  private val chunkIdBase = TextAnalysis.ChunkIdBase
 
   /** TOKEN-WINDOW CHUNKER (t24) — the fixed-window-with-overlap
     * document splitter every RAG index and long-context packing
@@ -2153,13 +2155,13 @@ object DataQueries {
     val chunks = TextAnalysis.tokenWindowChunks(
         Catalog(s, dir).documents, "text", "doc_id", chunkCap, chunkStride)
       .withColumn("chunk_id",
-        col("doc_id") * lit(100000L) + col("chunk_idx"))
+        col("doc_id") * lit(chunkIdBase) + col("chunk_idx"))
       .withColumn("emb", graft.multimodal.Multimodal
         .stubTextEmbedding(col("chunk_text"), 64))
     Similarity.cellAssignmentsTrained(chunks, "emb", "chunk_id",
         kmModel(s, dir).centroids)
-      .select(expr("CAST(id div 100000 AS BIGINT)").as("doc_id"),
-        pmod(col("id"), lit(100000L)).as("chunk_idx"), col("cell"))
+      .select(expr(s"CAST(id div $chunkIdBase AS BIGINT)").as("doc_id"),
+        pmod(col("id"), lit(chunkIdBase)).as("chunk_idx"), col("cell"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

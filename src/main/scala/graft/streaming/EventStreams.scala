@@ -306,7 +306,9 @@ object EventStreams {
   def ragIngestStreamQuery(spark: SparkSession, docs: DataFrame,
                            textCol: String, idCol: String,
                            codebook: Seq[Seq[Double]], dim: Int,
-                           root: String, cap: Int = 64, stride: Int = 48,
+                           root: String,
+                           cap: Int = graft.operators.TextAnalysis.ChunkCap,
+                           stride: Int = graft.operators.TextAnalysis.ChunkStride,
                            trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
@@ -314,7 +316,8 @@ object EventStreams {
       graft.operators.TextAnalysis
         .tokenWindowChunks(docs, textCol, idCol, cap, stride)
         .withColumn("chunk_id",
-          col("doc_id") * lit(100000L) + col("chunk_idx"))
+          col("doc_id") * lit(graft.operators.TextAnalysis.ChunkIdBase) +
+            col("chunk_idx"))
         .withColumn("emb", graft.multimodal.Multimodal
           .stubTextEmbedding(col("chunk_text"), dim)),
       "emb", "chunk_id", codebook)

@@ -207,25 +207,16 @@ object ClusterSmoke {
         .createTempDirectory("graft-smoke-vt").toString + "/tbl"
       val spark = builder.master("local[4]").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val javaBin = s"${System.getProperty("java.home")}/bin/java"
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val nCommits = 8
-      val writer = new ProcessBuilder((Seq(javaBin, "-Xmx2g", "-cp",
-        System.getProperty("java.class.path")) ++ addOpens ++
-        Seq("graft.tools.VersionedWriterMain", vtRoot, "w1",
-          nCommits.toString)): _*).inheritIO().start()
+      val writer = VersionedWriterMain.launch(vtRoot, "w1", nCommits)
+      // bounded reader loop + bounded wait: a wedged writer JVM must
+      // FAIL the smoke, not hang it (review r13)
+      val deadline = System.currentTimeMillis() + 300 * 1000L
       var lastCount = 0L
       var reads = 0
       var readFail: Option[String] = None
-      while (writer.isAlive && readFail.isEmpty) {
+      while (writer.isAlive && readFail.isEmpty &&
+          System.currentTimeMillis() < deadline) {
         VersionedTable.currentVersion(spark, vtRoot) match {
           case Some(_) =>
             val n = VersionedTable.read(spark, vtRoot).count()
@@ -236,8 +227,11 @@ object ClusterSmoke {
           case None => Thread.sleep(25) // writer JVM still starting up
         }
       }
-      writer.waitFor()
-      val finalOk = writer.exitValue == 0 &&
+      if (!writer.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        writer.destroyForcibly()
+        readFail = readFail.orElse(Some("writer JVM hung past the deadline"))
+      }
+      val finalOk = readFail.isEmpty && writer.exitValue == 0 &&
         VersionedTable.currentVersion(spark, vtRoot).contains(nCommits.toLong) &&
         VersionedTable.read(spark, vtRoot).count() == nCommits.toLong &&
         (1L to nCommits.toLong).forall(v =>

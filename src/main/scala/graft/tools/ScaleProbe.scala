@@ -667,9 +667,11 @@ object ScaleProbe {
         (0 until 64).map(j => math.sin(c * 64 + j + 1).abs + 0.01))
       t(s"chunk_embed_${replicas}x") {
         val ch = graft.operators.TextAnalysis.tokenWindowChunks(
-            docs, "text", "doc_id", cap = 64, stride = 48)
-          .withColumn("chunk_id",
-            col("doc_id") * lit(100000L) + col("chunk_idx"))
+            docs, "text", "doc_id",
+            cap = graft.operators.TextAnalysis.ChunkCap,
+            stride = graft.operators.TextAnalysis.ChunkStride)
+          .withColumn("chunk_id", col("doc_id") *
+            lit(graft.operators.TextAnalysis.ChunkIdBase) + col("chunk_idx"))
           .withColumn("emb", graft.multimodal.Multimodal
             .stubTextEmbedding(col("chunk_text"), 64))
         graft.operators.Similarity.cellAssignmentsTrained(

@@ -17,6 +17,31 @@ import org.apache.spark.sql.SparkSession
   * exhausted optimistic retries).
   */
 object VersionedWriterMain {
+
+  /** Launch a writer as a separate JVM, inheriting this (forked)
+    * JVM's classpath — ONE launcher for the multi-writer spec and the
+    * ClusterSmoke shape (review r13: the 13-entry add-opens list was
+    * duplicated; a JDK bump updating only one copy would break the
+    * other harness silently). */
+  def launch(root: String, writerId: String, nCommits: Int,
+             xmx: String = "2g"): Process = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(java, s"-Xmx$xmx", "-cp",
+      System.getProperty("java.class.path")) ++ addOpens ++
+      Seq("graft.tools.VersionedWriterMain", root, writerId,
+        nCommits.toString))
+    new ProcessBuilder(cmd: _*).inheritIO().start()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(root, writerId, n) = args
     val spark = SparkSession.builder()

@@ -438,7 +438,16 @@ class CurationPipelineSpec extends SparkSpec {
     r2.run(cfg, Seq("RAG_CHUNK_INDEX"))
     assert(VersionedTable.currentVersion(spark, root("RAG_CHUNK_INDEX"))
       === Some(2L))
-    assert(VersionedTable.read(spark, root("RAG_CHUNK_INDEX")).count() > n1)
+    val idx2 = VersionedTable.read(spark, root("RAG_CHUNK_INDEX"))
+    assert(idx2.count() > n1)
+    // the refit-per-publish contract demands a FULL rewrite: a keyed
+    // merge would keep a stale old-cell row for any chunk the new
+    // codebook reassigns (review r13) — every chunk appears exactly once
+    assert(idx2.count() ===
+      VersionedTable.read(spark, root("RAG_CHUNKS")).count())
+    assert(idx2.groupBy("chunk_id").count()
+      .filter(col("count") > 1).count() === 0L,
+      "no chunk may appear in two cells after a republish")
     // an impossible threshold models a recall regression: the gate must
     // ROLL BACK index + codebook to the pre-publish version, keeping
     // version 2 inspectable in history

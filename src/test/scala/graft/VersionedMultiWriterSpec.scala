@@ -22,23 +22,10 @@ import graft.pipeline.VersionedTable
 class VersionedMultiWriterSpec extends SparkSpec {
 
   // the build forks test JVMs, so java.class.path is the real test
-  // classpath (spark jars included) — hand it to the writer processes
-  private def launchWriter(root: String, id: String, n: Int): Process = {
-    val java = s"${System.getProperty("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = (Seq(java, "-Xmx2g", "-cp", System.getProperty("java.class.path")) ++
-      addOpens ++
-      Seq("graft.tools.VersionedWriterMain", root, id, n.toString))
-    new ProcessBuilder(cmd: _*).inheritIO().start()
-  }
+  // classpath (spark jars included) — the shared launcher hands it to
+  // the writer processes
+  private def launchWriter(root: String, id: String, n: Int): Process =
+    graft.tools.VersionedWriterMain.launch(root, id, n)
 
   test("two writer JVMs: all commits land, history is linearizable, no lost files") {
     val root = Files.createTempDirectory("graft-vt-mw").toString + "/tbl"
