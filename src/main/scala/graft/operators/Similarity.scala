@@ -909,4 +909,38 @@ object Similarity {
     }
     selected.select("query_id", "rank", "id", "rel_u", "score_u")
   }
+
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * — the standard hybrid-retrieval combiner: two ranked lists over
+    * the same id space (canonically a sparse/BM25 list and a dense/
+    * vector list) fuse by score(d) = Σ 1/(kk + rank_i(d)), which
+    * rewards ids ranked by BOTH retrievers without comparing their
+    * incommensurable raw scores. Contributions are exact integer
+    * units — floor(10^9 / (kk + rank)) — so the fused ordering is
+    * engine-exact (the t11/t19 integer-units contract); an id absent
+    * from a list contributes 0 there and keeps a NULL rank column.
+    * Deterministic tie-break (rrf_u DESC, id).
+    *
+    * Scale shape: the inputs are top-N BOUNDED lists (the expensive
+    * part is the upstream retrievers, verified separately), so the
+    * fusion is a full-outer join + one window over ≤ 2N rows —
+    * broadcast-sized at any corpus scale.
+    *
+    * Inputs: `a`, `b` each with (idCol, rankCol); ranks are 1-based.
+    * Output: (id, rank_a, rank_b, rrf_u, fused_rank). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+              kk: Int = 60): DataFrame = {
+    require(kk >= 0, s"rrf kk must be non-negative, got $kk")
+    val la = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
+    val lb = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    la.join(lb, Seq("id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000000 div ($kk + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($kk + rank_b)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_u").desc, col("id"))).cast(LongType))
+      .select(col("id"), col("rank_a"), col("rank_b"), col("rrf_u"),
+        col("fused_rank"))
+  }
 }

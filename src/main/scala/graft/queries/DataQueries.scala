@@ -1762,8 +1762,10 @@ object DataQueries {
     TextAnalysis.bm25TopK(Catalog(s, dir).documents, "text", "doc_id",
       termRankStart = 10, nTerms = 5, k = 25)
 
-  val t19Sql: String =
-    s"""WITH $toksCte,
+  // the BM25 scoring CTEs ending at agg(doc_id, su) — shared verbatim
+  // by the t19 oracle and e23's sparse arm so the two can never drift
+  private val bm25Ctes: String =
+    s"""$toksCte,
        |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
        |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
        |vocab AS (SELECT tok, count(*) AS n FROM ex GROUP BY 1),
@@ -1787,9 +1789,70 @@ object DataQueries {
        |  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id),
        |    st),
        |agg AS (SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS su
-       |  FROM sc GROUP BY 1)
+       |  FROM sc GROUP BY 1)""".stripMargin
+
+  val t19Sql: String =
+    s"""WITH $bm25Ctes
        |SELECT doc_id, round(su / 1e9, 6) AS score FROM agg
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
+  /** HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION (e23 —
+    * [[Similarity.rrfFuse]]): the canonical RAG retrieval combiner,
+    * fusing the SPARSE arm (t19's BM25 top-50 against the
+    * mid-frequency query terms) with the DENSE arm (e01's brute-force
+    * cosine top-50 against vector 0 as the query embedding) by
+    * score(d) = Σ floor(10^9/(60 + rank_i(d))). Both arms are
+    * already-verified ranked pipelines; the fused ordering is pure
+    * integer arithmetic over their ranks, so the whole hybrid stack —
+    * scoring, ranking, fusion, tie-breaks — is hash-replayed. Docs
+    * retrieved by both arms outrank single-arm docs at comparable
+    * ranks, which is the operator's whole point.
+    *
+    * Scale shape: the fusion is a full-outer join + one window over
+    * ≤ 100 rows; the arms carry the cost and their shapes are t19's
+    * and e01's. */
+  val e23HybridRrf: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val emb = Catalog(s, dir).embeddings
+    val sparse = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        termRankStart = 10, nTerms = 5, k = 50)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+    val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0L), "embedding", "vec_id", k = 50)
+      .select(col("id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(sparse.select(col("doc_id"), col("rank")),
+        dense, "doc_id", "rank", kk = 60)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("rank_a", "rank_bm25")
+      .withColumnRenamed("rank_b", "rank_dense")
+      .orderBy(col("fused_rank"))
+  }
+
+  lazy val e23Sql: String =
+    s"""WITH $bm25Ctes,
+       |sp AS (SELECT doc_id, rank FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY round(su / 1e9, 6) DESC, doc_id) AS BIGINT) AS rank
+       |  FROM agg) WHERE rank <= 50),
+       |e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+       |q0 AS (SELECT v AS qv FROM e WHERE id = 0),
+       |dn AS (SELECT doc_id, rank FROM (
+       |  SELECT e.id AS doc_id, CAST(row_number() OVER (
+       |    ORDER BY round(list_cosine_similarity(e.v, q0.qv), 6) DESC, e.id)
+       |    AS BIGINT) AS rank
+       |  FROM e, q0 WHERE e.id <> 0) WHERE rank <= 50),
+       |f AS (SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+       |  sp.rank AS rank_bm25, dn.rank AS rank_dense,
+       |  CAST(COALESCE(1000000000 // (60 + sp.rank), 0)
+       |     + COALESCE(1000000000 // (60 + dn.rank), 0) AS BIGINT) AS rrf_u
+       |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+       |SELECT doc_id, rank_bm25, rank_dense, rrf_u,
+       |  CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id) AS BIGINT)
+       |    AS fused_rank
+       |FROM f ORDER BY fused_rank""".stripMargin
 
   private val bpeVocab  = 2000
   private val bpeMerges = 16
@@ -2956,6 +3019,7 @@ object DataQueries {
     "t23_nb_confusion" -> t23NbConfusion,
     "t24_chunk_spans" -> t24ChunkSpans,
     "e22_chunk_cells" -> e22ChunkCells,
+    "e23_hybrid_rrf" -> e23HybridRrf,
     "e21_knn_label" -> e21KnnLabel,
     "t22_data_card" -> t22DataCard,
     "d02_dedup_minhash" -> d02MinhashPairs,
@@ -3030,6 +3094,7 @@ object DataQueries {
     "t23_nb_confusion" -> t23Sql,
     "t24_chunk_spans" -> t24Sql,
     "e22_chunk_cells" -> e22Sql,
+    "e23_hybrid_rrf" -> e23Sql,
     "e21_knn_label" -> e21Sql,
     "t22_data_card" -> t22Sql,
     "d02_dedup_minhash" -> d02Sql,

@@ -117,7 +117,7 @@ object ClusterSmoke {
     "d21_semantic_delta",
     // round-13: census staging mart (banded-xlsx staging surface) and
     // the RAG chunk→embed→cell-assign composite
-    "q61_census_mart", "e22_chunk_cells")
+    "q61_census_mart", "e22_chunk_cells", "e23_hybrid_rrf")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

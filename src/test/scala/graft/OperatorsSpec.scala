@@ -482,6 +482,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq((2L, 5L)), out.toString)
   }
 
+  test("rrfFuse: both-list ids outrank single-list peers; exact integer units; absence is NULL") {
+    // sparse list: docs 1,2,3 at ranks 1,2,3; dense: docs 3,4 at 1,2.
+    // doc 3 (rank 3 + rank 1) must fuse above doc 1 (rank 1 only):
+    // floor(1e9/63)+floor(1e9/61) > floor(1e9/61).
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val out = graft.operators.Similarity
+      .rrfFuse(a, b, "doc_id", "rank", kk = 60)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._5).toSeq
+    def c(r: Long) = 1000000000L / (60L + r)
+    assert(out === Seq(
+      (3L, 3L, 1L, c(3) + c(1), 1L), // in both lists -> top
+      (1L, 1L, -1L, c(1), 2L),       // sparse only, best rank
+      (2L, 2L, -1L, c(2), 3L),       // rrf_u tie with doc 4 -> id asc
+      (4L, -1L, 2L, c(2), 4L)),
+      out.toString)
+  }
+
   test("semanticDedup: result is invariant to input partitioning") {
     val vecs = (0 until 60).map { i =>
       val angle = (i % 12) * 2 * math.Pi / 12.0
