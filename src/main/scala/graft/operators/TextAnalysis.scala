@@ -112,6 +112,60 @@ object TextAnalysis {
         pmod(col("start_tok"), lit(cap.toLong)).as("seq_offset"))
   }
 
+  /** NO-SPLIT sequence packing — first-fit-decreasing bin packing
+    * (Johnson 1973; the padding-minimizing packer of "Efficient
+    * Sequence Packing" pipelines): each document goes WHOLE into one
+    * fixed-`cap`-token bin, unlike [[packSequences]] which concatenates
+    * and lets documents straddle sequence boundaries. Within each
+    * `shardCol` shard, documents are sorted (n_tokens DESC, doc_id)
+    * and each is placed into the lowest-indexed bin whose fill + n ≤
+    * cap, else opens a new bin — the classic 11/9·OPT+1 guarantee. A
+    * document larger than `cap` alone opens (and overfills) its own
+    * bin; no other document ever joins it, so the cap invariant holds
+    * for every multi-doc bin.
+    *
+    * At scale: ONE shuffle keyed by the shard column, then a purely
+    * per-group sequential pass — the shard is the parallelism AND
+    * memory knob (a real pipeline shards to ~10³ docs/group, so the
+    * in-memory per-group state is a bounded fill array; corpus size
+    * grows the shard COUNT, never the group). The sequential pass is
+    * inherent to FFD — any "parallel FFD" over one shard changes the
+    * packing — which is why the shard contract, not a global sort, is
+    * the operator's scale story (same argument as [[packSequences]]).
+    * Deterministic: total order (−n, id) within the shard, so the
+    * output is invariant to input partitioning.
+    *
+    * Output: (shard STRING, doc_id, n_tokens, bin_id) — bin_id is
+    * 0-based within the shard.
+    */
+  def packFirstFitDecreasing(df: DataFrame, textCol: String, idCol: String,
+                             shardCol: String, cap: Long,
+                             countTokens: Column => Column = tokenCount)
+      : DataFrame = {
+    require(cap > 0, s"pack capacity must be positive, got $cap")
+    val sp = df.sparkSession
+    import sp.implicits._
+    // NULL text packs as a zero-token doc (a NULL would kill the
+    // primitive-Long encoder below; packSequences keeps NULL instead —
+    // there the row is arithmetic, here it must occupy a bin slot)
+    val base = df.select(col(shardCol).cast(StringType).as("shard"),
+        col(idCol).cast(LongType).as("doc_id"),
+        coalesce(countTokens(col(textCol)).cast(LongType), lit(0L))
+          .as("n_tokens"))
+      .as[(String, Long, Long)]
+    base.groupByKey(_._1).flatMapGroups { (shard, it) =>
+      val docs = it.map(t => (t._2, t._3)).toArray
+        .sortBy { case (id, n) => (-n, id) }
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { case (id, n) =>
+        var b = 0
+        while (b < fills.length && fills(b) + n > cap) b += 1
+        if (b == fills.length) fills += n else fills(b) += n
+        (shard, id, n, b.toLong)
+      }
+    }.toDF("shard", "doc_id", "n_tokens", "bin_id")
+  }
+
   /** Containment decontamination — the directional complement of
     * [[ngramOverlap]]: containment(train, bench) = |shared shingles| /
     * |bench doc's shingles|. Jaccard misses an eval document EMBEDDED in

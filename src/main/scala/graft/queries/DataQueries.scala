@@ -2193,6 +2193,70 @@ object DataQueries {
        |    ' ') AS chunk_text
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  private val packCap = 128L
+  private val packShards = 8L
+
+  /** NO-SPLIT SEQUENCE PACKING (t25 — [[TextAnalysis.packFirstFitDecreasing]]):
+    * first-fit-decreasing bin packing of whole documents into
+    * fixed-$packCap-token training bins, sharded by a deterministic
+    * md5 hash of doc_id into $packShards groups. Complements t06's
+    * packSequences (concat-and-chunk, documents SPLIT at sequence
+    * boundaries) with the padding-minimizing no-split layout used when
+    * documents must not straddle sequences. Pure integer state —
+    * sort order, fit test, and bin indices are engine-exact, so the
+    * whole packing is hash-replayed (the DuckDB oracle runs the same
+    * FFD as a per-shard lockstep recursion).
+    *
+    * Scale shape: one shuffle keyed by shard, then a per-group
+    * sequential pass bounded by the shard-size knob (see the operator
+    * Scaladoc); nothing in the plan grows with corpus size except the
+    * shard count. */
+  val t25PackBins: Q = (s, dir) =>
+    TextAnalysis.packFirstFitDecreasing(
+        Catalog(s, dir).documents.withColumn("shard",
+          pmod(md5Long(col("doc_id").cast(StringType)), lit(packShards))),
+        "text", "doc_id", "shard", packCap)
+      .select(col("shard").cast(LongType).as("shard"), col("doc_id"),
+        col("n_tokens"), col("bin_id"))
+      .orderBy(col("shard"), col("bin_id"), col("doc_id"))
+
+  /** FFD replay: per-shard lockstep linear recursion — iteration i
+    * places the i-th doc (in FFD order) of EVERY shard, carrying each
+    * shard's bin-fill list. The fill update rebuilds the list via
+    * list_transform over indices: DuckDB 1.0 list SLICES (l[a:b]) in a
+    * recursive term blow up exponentially past ~20 iterations
+    * (measured: depth 20 = 0.6 s, depth 40 > 120 s; the transform
+    * rebuild is 0.5 s at depth 40, 4 s at depth 625), and its
+    * list_position returns 0 — not NULL — on a miss, hence the
+    * NULLIF guards. */
+  lazy val t25Sql: String = {
+    val fit = s"NULLIF(list_position(list_transform(r.fills,\n" +
+      s"      f -> CASE WHEN f + o.n <= $packCap THEN 1 ELSE 0 END), 1), 0)"
+    s"""WITH RECURSIVE $toksCte,
+       |d AS (SELECT doc_id,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} % $packShards AS shard,
+       |  CAST(len(toks) AS BIGINT) AS n FROM toks),
+       |o AS MATERIALIZED (SELECT shard, doc_id, n,
+       |  row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
+       |    AS rn FROM d),
+       |rec AS (
+       |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_id,
+       |    [n] AS fills
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.shard, o.rn, o.doc_id, o.n,
+       |    CAST(COALESCE($fit - 1, len(r.fills)) AS BIGINT) AS bin_id,
+       |    CASE WHEN $fit IS NULL THEN list_append(r.fills, o.n)
+       |      ELSE list_transform(range(1, len(r.fills)+1), j ->
+       |        CASE WHEN j = $fit THEN r.fills[j] + o.n
+       |             ELSE r.fills[j] END)
+       |    END AS fills
+       |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+       |)
+       |SELECT shard, doc_id, n AS n_tokens, bin_id FROM rec
+       |ORDER BY shard, bin_id, doc_id""".stripMargin
+  }
+
   /** RAG-INGEST SHARDING (e22 — the chunk→index join of the curation
     * DAG's RAG loop as a hash-checked query, VERDICT r12 next-#4):
     * every document is split by the t24 token-window kernel
@@ -3018,6 +3082,7 @@ object DataQueries {
     "t21_nb_classify" -> t21NbClassify,
     "t23_nb_confusion" -> t23NbConfusion,
     "t24_chunk_spans" -> t24ChunkSpans,
+    "t25_pack_bins" -> t25PackBins,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
     "e21_knn_label" -> e21KnnLabel,
@@ -3093,6 +3158,7 @@ object DataQueries {
     "t21_nb_classify" -> t21Sql,
     "t23_nb_confusion" -> t23Sql,
     "t24_chunk_spans" -> t24Sql,
+    "t25_pack_bins" -> t25Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,
     "e21_knn_label" -> e21Sql,

@@ -117,7 +117,11 @@ object ClusterSmoke {
     "d21_semantic_delta",
     // round-13: census staging mart (banded-xlsx staging surface) and
     // the RAG chunk→embed→cell-assign composite
-    "q61_census_mart", "e22_chunk_cells", "e23_hybrid_rrf")
+    "q61_census_mart", "e22_chunk_cells", "e23_hybrid_rrf",
+    // round-13 late addition: no-split FFD packing (groupByKey +
+    // flatMapGroups — the one batch operator with per-group JVM state,
+    // exactly what a multi-executor digest check exists to catch)
+    "t25_pack_bins")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

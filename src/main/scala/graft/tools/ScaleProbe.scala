@@ -713,6 +713,41 @@ object ScaleProbe {
       for (n <- Seq(16, 256))
         t(s"bpe_chain_$n")(chainCount(merges1k.take(n)))
     }
+    // t25 no-split FFD packing: shard count scales WITH the corpus
+    // (replicas×8 — the bounded-group contract), so per-group state is
+    // flat and cost should track the corpus linearly through the one
+    // shard-keyed exchange.
+    stage("pack_ffd") {
+      t(s"pack_ffd_${replicas}x") {
+        TextAnalysis.packFirstFitDecreasing(
+          docs.withColumn("shard",
+            pmod(graft.functions.GraftFunctions
+              .md5Long(col("doc_id")
+                .cast(org.apache.spark.sql.types.StringType)),
+              lit(8L * replicas))),
+          "text", "doc_id", "shard", cap = 128L)
+      }
+    }
+    // e23 hybrid RRF: the arms (BM25 top-50, brute-force cosine
+    // top-50) carry all the data-dependent cost; the fusion itself is
+    // a bounded ≤2·k-row join. Probing the composed query pins that
+    // the whole stack stays arm-bound as the corpus grows.
+    stage("hybrid_rrf") {
+      t(s"hybrid_rrf_${replicas}x") {
+        val sparse = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+            termRankStart = 10, nTerms = 5, k = 50)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id")))
+            .cast(org.apache.spark.sql.types.LongType))
+        val dense = graft.operators.Similarity.bruteForceTopK(embBig,
+            emb.filter(col("vec_id") === 0L), "embedding", "vec_id", k = 50)
+          .select(col("id").as("doc_id"), col("rank"))
+        graft.operators.Similarity.rrfFuse(
+          sparse.select(col("doc_id"), col("rank")),
+          dense, "doc_id", "rank", kk = 60)
+      }
+    }
     spark.stop()
   }
 }

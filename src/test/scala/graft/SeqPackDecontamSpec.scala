@@ -164,4 +164,86 @@ class SeqPackDecontamSpec extends SparkSpec {
       "null/empty docs have no tokens and are absent by contract")
     assert(runSpanDedup(docs.repartition(7), k = 4) == out)
   }
+
+  // ---------------------------------------------------------------
+  // packFirstFitDecreasing (t25) — no-split FFD bin packing
+  // ---------------------------------------------------------------
+
+  private def txt(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  test("packFFD: hand-checked first-fit-decreasing placement") {
+    // sizes 84,68,52,36,20,10 at cap 128 (one shard):
+    // 84->bin0 [84]; 68->bin1 [84,68]; 52->bin1 [84,120];
+    // 36->bin0 [120,120]; 20->bin2; 10->bin2 [.,.,30]
+    val docs = Seq((1L, txt(84)), (2L, txt(68)), (3L, txt(52)),
+      (4L, txt(36)), (5L, txt(20)), (6L, txt(10)))
+      .toDF("doc_id", "text").withColumn("shard", lit("s"))
+    val out = TextAnalysis
+      .packFirstFitDecreasing(docs, "text", "doc_id", "shard", cap = 128L)
+      .select("doc_id", "n_tokens", "bin_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 84L, 0L), (2L, 68L, 1L), (3L, 52L, 1L),
+      (4L, 36L, 0L), (5L, 20L, 2L), (6L, 10L, 2L)), out.toString)
+  }
+
+  test("packFFD: oversize doc gets its own bin; no other doc joins it; NULL text packs as 0") {
+    val docs = Seq((1L, Option(txt(200))), (2L, Option(txt(100))),
+      (3L, Option.empty[String]))
+      .toDF("doc_id", "text").withColumn("shard", lit("s"))
+    val out = TextAnalysis
+      .packFirstFitDecreasing(docs, "text", "doc_id", "shard", cap = 128L)
+      .select("doc_id", "n_tokens", "bin_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 200 opens bin 0 (overfull); 100 cannot join -> bin 1; NULL=0 fits bin 1
+    assert(out == Seq((1L, 200L, 0L), (2L, 100L, 1L), (3L, 0L, 1L)),
+      out.toString)
+  }
+
+  test("packFFD invariants on the real corpus: capped multi-doc bins, FFD property, partitioning-invariant") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+      .withColumn("shard",
+        pmod(graft.functions.GraftFunctions
+          .md5Long(col("doc_id").cast(org.apache.spark.sql.types.StringType)),
+          lit(8L)).cast(org.apache.spark.sql.types.StringType))
+    val cap = 128L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packFirstFitDecreasing(df, "text", "doc_id", "shard", cap)
+        .select("shard", "doc_id", "n_tokens", "bin_id")
+        .as[(String, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val out = run(docs)
+    assert(out.nonEmpty)
+    // every multi-doc bin holds within capacity
+    val byBin = out.groupBy(t => (t._1, t._4))
+    byBin.foreach { case ((sh, b), ds) =>
+      assert(ds.size == 1 || ds.map(_._3).sum <= cap,
+        s"bin ($sh,$b) overfull with ${ds.size} docs: ${ds.map(_._3).sum}") }
+    // bin ids are contiguous from 0 per shard
+    out.groupBy(_._1).foreach { case (sh, ds) =>
+      val bins = ds.map(_._4).distinct.sorted
+      assert(bins == (0L until bins.size).toSeq, s"shard $sh bins: $bins") }
+    // FFD property: replay the reference packer per shard and compare
+    out.groupBy(_._1).foreach { case (sh, ds) =>
+      val ordered = ds.map(t => (t._2, t._3)).sortBy { case (id, n) => (-n, id) }
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ref = ordered.map { case (id, n) =>
+        var b = 0
+        while (b < fills.length && fills(b) + n > cap) b += 1
+        if (b == fills.length) fills += n else fills(b) += n
+        id -> b.toLong
+      }.toMap
+      ds.foreach { t => assert(t._4 == ref(t._2),
+        s"shard $sh doc ${t._2}: got bin ${t._4}, FFD reference ${ref(t._2)}") }
+    }
+    // invariant to input partitioning
+    assert(run(docs.repartition(7)) == out)
+  }
+
+  test("packFFD: exactly one exchange, keyed by the shard column") {
+    val docs = Seq((1L, txt(5), "a"), (2L, txt(6), "b"))
+      .toDF("doc_id", "text", "shard")
+    val plan = TextAnalysis
+      .packFirstFitDecreasing(docs, "text", "doc_id", "shard", 128L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }
