@@ -166,6 +166,54 @@ object TextAnalysis {
     }.toDF("shard", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** CORPUS-FREQUENT SEGMENT REMOVAL — the C4/CCNet "boilerplate
+    * line" filter (Raffel et al. 2020 drop lines appearing ≥3 times;
+    * CCNet dedups paragraphs by corpus hash) re-expressed over a
+    * newline-free token stream: the segmentation unit is the t24
+    * window kernel at stride == cap (non-overlapping `segTokens`-token
+    * segments; on corpora WITH line structure the caller chunks on
+    * newlines instead — the unit is pluggable, the df-and-drop
+    * pipeline identical). A segment is boilerplate when its EXACT
+    * lowercased text occurs in ≥ `minDocFreq` distinct documents;
+    * every occurrence is dropped and each document's surviving
+    * segments are re-joined in order.
+    *
+    * Output: (doc_id, n_segments, n_dropped, n_toks_kept, clean_text)
+    * — clean_text is `''` (not NULL) when every segment drops;
+    * documents with no tokens are absent (the t24 contract).
+    *
+    * At scale: segmentation is map-only; doc-frequency runs on the
+    * 60-bit md5 of the segment (never the string) — one distinct
+    * (seg_h, doc) exchange + a map-side-combinable count; the
+    * df relation joins back by seg_h (shuffle equi-join, no
+    * broadcast assumption — at 100 TB the df table is corpus-sized);
+    * the rebuild is one doc-keyed aggregate. Nothing exchanges
+    * segment text except the final per-doc reassembly, and a 60-bit
+    * collision merely merges two segments' counts IDENTICALLY on
+    * both engines (production would widen to 128-bit). */
+  def boilerplateFilter(df: DataFrame, textCol: String, idCol: String,
+                        segTokens: Int, minDocFreq: Long): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val segs = tokenWindowChunks(df, textCol, idCol, segTokens, segTokens)
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        col("chunk_text"),
+        graft.functions.GraftFunctions.md5Long(col("chunk_text"))
+          .as("seg_h"))
+    val dfreq = segs.select(col("seg_h"), col("doc_id")).distinct()
+      .groupBy(col("seg_h")).agg(count(lit(1)).as("seg_df"))
+    val kept = col("seg_df") < minDocFreq
+    segs.join(dfreq, Seq("seg_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(!kept, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(kept, col("n_toks"))), lit(0L))
+          .as("n_toks_kept"),
+        array_join(transform(
+            array_sort(collect_list(
+              when(kept, struct(col("chunk_idx"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
+
   /** Containment decontamination — the directional complement of
     * [[ngramOverlap]]: containment(train, bench) = |shared shingles| /
     * |bench doc's shingles|. Jaccard misses an eval document EMBEDDED in

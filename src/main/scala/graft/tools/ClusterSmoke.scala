@@ -121,7 +121,11 @@ object ClusterSmoke {
     // round-13 late addition: no-split FFD packing (groupByKey +
     // flatMapGroups — the one batch operator with per-group JVM state,
     // exactly what a multi-executor digest check exists to catch)
-    "t25_pack_bins")
+    "t25_pack_bins",
+    // round-13 late addition: boilerplate removal (collect_list +
+    // array_sort reassembly — ordering must be partition-independent
+    // across executor JVMs)
+    "t26_boilerplate")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

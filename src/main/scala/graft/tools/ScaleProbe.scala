@@ -728,6 +728,19 @@ object ScaleProbe {
           "text", "doc_id", "shard", cap = 128L)
       }
     }
+    // t26 boilerplate removal: the df-and-drop pipeline is three
+    // keyed exchanges over the segment relation (distinct, df count,
+    // join back) + one doc-keyed rebuild — all map-side-combinable or
+    // equi-keyed, so cost should track the segment count linearly.
+    // The salted replicas make every replica family share its
+    // pre-salt segments (df = replicas for most), exercising the
+    // drop path at volume.
+    stage("boilerplate") {
+      t(s"boilerplate_${replicas}x") {
+        TextAnalysis.boilerplateFilter(docs, "text", "doc_id",
+          segTokens = 4, minDocFreq = 3)
+      }
+    }
     // e23 hybrid RRF: the arms (BM25 top-50, brute-force cosine
     // top-50) carry all the data-dependent cost; the fusion itself is
     // a bounded ≤2·k-row join. Probing the composed query pins that

@@ -246,4 +246,63 @@ class SeqPackDecontamSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  // ---------------------------------------------------------------
+  // boilerplateFilter (t26) — corpus-frequent segment removal
+  // ---------------------------------------------------------------
+
+  test("boilerplate: hand-checked df-3 drop, reconstruction, all-dropped and tail-segment docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),  // "a b c d" df=4 (drop), "e f g h" df=2 (keep)
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d e f g h"),
+      (4L, "p q r s"),          // unique, kept
+      (5L, "a b c d"),          // every segment drops -> clean_text ''
+      (6L, "m n o")             // 3-token tail segment, kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .boilerplateFilter(docs, "text", "doc_id", segTokens = 4, minDocFreq = 3)
+      .select("doc_id", "n_segments", "n_dropped", "n_toks_kept", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 4L, "e f g h"),
+      (2L, 2L, 1L, 4L, "x y z w"),
+      (3L, 2L, 1L, 4L, "e f g h"),
+      (4L, 1L, 0L, 4L, "p q r s"),
+      (5L, 1L, 1L, 0L, ""),
+      (6L, 1L, 0L, 3L, "m n o")), out.toString)
+  }
+
+  test("boilerplate on the real corpus: matches an independent sequential replay; partitioning-invariant; no cartesian") {
+    val docsDf = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    def run(df: org.apache.spark.sql.DataFrame) = TextAnalysis
+      .boilerplateFilter(df, "text", "doc_id", segTokens = 4, minDocFreq = 3)
+      .select("doc_id", "n_segments", "n_dropped", "n_toks_kept", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val out = run(docsDf)
+    assert(out.nonEmpty)
+    // sequential reference replay, no Spark involved
+    val raw = docsDf.select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val segsOf = (t: String) => t.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).grouped(4).map(_.mkString(" ")).toVector
+    val df3 = raw.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val ref = raw.flatMap { case (id, t) =>
+      val segs = segsOf(t)
+      if (segs.isEmpty) None else {
+        val kept = segs.filter(df3(_) < 3)
+        Some((id, segs.size.toLong, (segs.size - kept.size).toLong,
+          kept.map(_.split(" ").length.toLong).sum, kept.mkString(" ")))
+      }
+    }.sortBy(_._1)
+    assert(out == ref, s"first diff: ${out.zip(ref).find(p => p._1 != p._2)}")
+    assert(run(docsDf.repartition(7)) == out)
+    val plan = TextAnalysis
+      .boilerplateFilter(docsDf, "text", "doc_id", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
