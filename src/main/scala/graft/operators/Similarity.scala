@@ -930,9 +930,18 @@ object Similarity {
     * Output: (id, rank_a, rank_b, rrf_u, fused_rank). */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
               kk: Int = 60): DataFrame = {
-    require(kk >= 0, s"rrf kk must be non-negative, got $kk")
-    val la = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
-    val lb = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    // kk >= 1 also keeps the div denominator nonzero for rank-1 rows
+    require(kk >= 1, s"rrf kk must be >= 1, got $kk")
+    // loud failure on a 0-based (or negative) rank list: a rank-0 row
+    // under integer div would otherwise mis-weight silently (NULL
+    // ranks — id absent from one list — pass, that's the contract)
+    def checked(c: Column): Column = when(c < 1,
+      raise_error(concat(lit("rrfFuse: ranks must be 1-based, got "),
+        c.cast(StringType)))).otherwise(c)
+    val la = a.select(col(idCol).as("id"),
+      checked(col(rankCol)).as("rank_a"))
+    val lb = b.select(col(idCol).as("id"),
+      checked(col(rankCol)).as("rank_b"))
     la.join(lb, Seq("id"), "full_outer")
       .withColumn("rrf_u",
         coalesce(expr(s"1000000000 div ($kk + rank_a)"), lit(0L)) +

@@ -182,15 +182,20 @@ object TextAnalysis {
     * — clean_text is `''` (not NULL) when every segment drops;
     * documents with no tokens are absent (the t24 contract).
     *
-    * At scale: segmentation is map-only; doc-frequency runs on the
-    * 60-bit md5 of the segment (never the string) — one distinct
-    * (seg_h, doc) exchange + a map-side-combinable count; the
-    * df relation joins back by seg_h (shuffle equi-join, no
-    * broadcast assumption — at 100 TB the df table is corpus-sized);
-    * the rebuild is one doc-keyed aggregate. Nothing exchanges
-    * segment text except the final per-doc reassembly, and a 60-bit
-    * collision merely merges two segments' counts IDENTICALLY on
-    * both engines (production would widen to 128-bit). */
+    * At scale: segmentation is map-only and MATERIALIZED ONCE
+    * (localCheckpoint — the relation is consumed by both the
+    * df-count branch and the join-back branch; without the cut the
+    * corpus tokenize+chunk+md5 pass runs twice, the same
+    * double-consumption shape t19's idf split measured at +40%);
+    * doc-frequency runs on the 60-bit md5 of the segment — one
+    * distinct (seg_h, doc) exchange + a map-side-combinable count
+    * over hash-only rows (the df branch never carries text); the df
+    * relation joins back by seg_h (shuffle equi-join, no broadcast
+    * assumption — at 100 TB the df table is corpus-sized), with the
+    * segment text riding that exchange and the doc-keyed rebuild —
+    * two text-bearing exchanges total, both corpus-proportional. A
+    * 60-bit collision merely merges two segments' counts IDENTICALLY
+    * on both engines (production would widen to 128-bit). */
   def boilerplateFilter(df: DataFrame, textCol: String, idCol: String,
                         segTokens: Int, minDocFreq: Long): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
@@ -199,6 +204,7 @@ object TextAnalysis {
         col("chunk_text"),
         graft.functions.GraftFunctions.md5Long(col("chunk_text"))
           .as("seg_h"))
+      .localCheckpoint(false)
     val dfreq = segs.select(col("seg_h"), col("doc_id")).distinct()
       .groupBy(col("seg_h")).agg(count(lit(1)).as("seg_df"))
     val kept = col("seg_df") < minDocFreq

@@ -2228,14 +2228,17 @@ object DataQueries {
     * (measured: depth 20 = 0.6 s, depth 40 > 120 s; the transform
     * rebuild is 0.5 s at depth 40, 4 s at depth 625), and its
     * list_position returns 0 — not NULL — on a miss, hence the
-    * NULLIF guards. */
+    * NULLIF guards. len(toks) is coalesced to 0 so a NULL-text doc
+    * replays as the operator packs it (a zero-token doc in the first
+    * open bin), not as a NULL that fails every fit test and opens
+    * its own bin (review r13). */
   lazy val t25Sql: String = {
     val fit = s"NULLIF(list_position(list_transform(r.fills,\n" +
       s"      f -> CASE WHEN f + o.n <= $packCap THEN 1 ELSE 0 END), 1), 0)"
     s"""WITH RECURSIVE $toksCte,
        |d AS (SELECT doc_id,
        |  ${h60("CAST(doc_id AS VARCHAR)")} % $packShards AS shard,
-       |  CAST(len(toks) AS BIGINT) AS n FROM toks),
+       |  CAST(coalesce(len(toks), 0) AS BIGINT) AS n FROM toks),
        |o AS MATERIALIZED (SELECT shard, doc_id, n,
        |  row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
        |    AS rn FROM d),

@@ -503,6 +503,20 @@ class OperatorsSpec extends SparkSpec {
       out.toString)
   }
 
+  test("rrfFuse: a 0-based rank list fails loud; kk < 1 is rejected") {
+    val a = Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "rank")
+    val b = Seq((1L, 1L)).toDF("doc_id", "rank")
+    val ex = intercept[Exception] {
+      graft.operators.Similarity.rrfFuse(a, b, "doc_id", "rank").collect()
+    }
+    assert(ex.getMessage.contains("1-based") ||
+      Option(ex.getCause).exists(_.getMessage.contains("1-based")),
+      ex.toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.rrfFuse(b, b, "doc_id", "rank", kk = 0)
+    }
+  }
+
   test("semanticDedup: result is invariant to input partitioning") {
     val vecs = (0 until 60).map { i =>
       val angle = (i % 12) * 2 * math.Pi / 12.0
