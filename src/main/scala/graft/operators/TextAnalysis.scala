@@ -135,8 +135,11 @@ object TextAnalysis {
     * Deterministic: total order (−n, id) within the shard, so the
     * output is invariant to input partitioning.
     *
-    * Output: (shard STRING, doc_id, n_tokens, bin_id) — bin_id is
-    * 0-based within the shard.
+    * Output: (shard STRING, doc_id, n_tokens, bin_id, bin_off) —
+    * bin_id is 0-based within the shard; bin_off is the document's
+    * token offset within its bin (the bin's fill at placement time),
+    * so (bin_id, bin_off, n_tokens) IS the physical training-sequence
+    * layout a shard writer consumes — no second pass needed.
     */
   def packFirstFitDecreasing(df: DataFrame, textCol: String, idCol: String,
                              shardCol: String, cap: Long,
@@ -160,10 +163,11 @@ object TextAnalysis {
       docs.iterator.map { case (id, n) =>
         var b = 0
         while (b < fills.length && fills(b) + n > cap) b += 1
-        if (b == fills.length) fills += n else fills(b) += n
-        (shard, id, n, b.toLong)
+        val off = if (b == fills.length) { fills += n; 0L }
+                  else { val o = fills(b); fills(b) += n; o }
+        (shard, id, n, b.toLong, off)
       }
-    }.toDF("shard", "doc_id", "n_tokens", "bin_id")
+    }.toDF("shard", "doc_id", "n_tokens", "bin_id", "bin_off")
   }
 
   /** CORPUS-FREQUENT SEGMENT REMOVAL — the C4/CCNet "boilerplate

@@ -2217,7 +2217,7 @@ object DataQueries {
           pmod(md5Long(col("doc_id").cast(StringType)), lit(packShards))),
         "text", "doc_id", "shard", packCap)
       .select(col("shard").cast(LongType).as("shard"), col("doc_id"),
-        col("n_tokens"), col("bin_id"))
+        col("n_tokens"), col("bin_id"), col("bin_off"))
       .orderBy(col("shard"), col("bin_id"), col("doc_id"))
 
   /** FFD replay: per-shard lockstep linear recursion — iteration i
@@ -2244,11 +2244,13 @@ object DataQueries {
        |    AS rn FROM d),
        |rec AS (
        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_id,
-       |    [n] AS fills
+       |    CAST(0 AS BIGINT) AS bin_off, [n] AS fills
        |  FROM o WHERE rn = 1
        |  UNION ALL
        |  SELECT o.shard, o.rn, o.doc_id, o.n,
        |    CAST(COALESCE($fit - 1, len(r.fills)) AS BIGINT) AS bin_id,
+       |    CAST(CASE WHEN $fit IS NULL THEN 0 ELSE r.fills[$fit] END
+       |      AS BIGINT) AS bin_off,
        |    CASE WHEN $fit IS NULL THEN list_append(r.fills, o.n)
        |      ELSE list_transform(range(1, len(r.fills)+1), j ->
        |        CASE WHEN j = $fit THEN r.fills[j] + o.n
@@ -2256,7 +2258,7 @@ object DataQueries {
        |    END AS fills
        |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
        |)
-       |SELECT shard, doc_id, n AS n_tokens, bin_id FROM rec
+       |SELECT shard, doc_id, n AS n_tokens, bin_id, bin_off FROM rec
        |ORDER BY shard, bin_id, doc_id""".stripMargin
   }
 

@@ -171,19 +171,20 @@ class SeqPackDecontamSpec extends SparkSpec {
 
   private def txt(n: Int): String = Seq.fill(n)("w").mkString(" ")
 
-  test("packFFD: hand-checked first-fit-decreasing placement") {
+  test("packFFD: hand-checked first-fit-decreasing placement with bin offsets") {
     // sizes 84,68,52,36,20,10 at cap 128 (one shard):
-    // 84->bin0 [84]; 68->bin1 [84,68]; 52->bin1 [84,120];
-    // 36->bin0 [120,120]; 20->bin2; 10->bin2 [.,.,30]
+    // 84->bin0@0 [84]; 68->bin1@0 [84,68]; 52->bin1@68 [84,120];
+    // 36->bin0@84 [120,120]; 20->bin2@0; 10->bin2@20 [.,.,30]
     val docs = Seq((1L, txt(84)), (2L, txt(68)), (3L, txt(52)),
       (4L, txt(36)), (5L, txt(20)), (6L, txt(10)))
       .toDF("doc_id", "text").withColumn("shard", lit("s"))
     val out = TextAnalysis
       .packFirstFitDecreasing(docs, "text", "doc_id", "shard", cap = 128L)
-      .select("doc_id", "n_tokens", "bin_id")
-      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(out == Seq((1L, 84L, 0L), (2L, 68L, 1L), (3L, 52L, 1L),
-      (4L, 36L, 0L), (5L, 20L, 2L), (6L, 10L, 2L)), out.toString)
+      .select("doc_id", "n_tokens", "bin_id", "bin_off")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 84L, 0L, 0L), (2L, 68L, 1L, 0L),
+      (3L, 52L, 1L, 68L), (4L, 36L, 0L, 84L), (5L, 20L, 2L, 0L),
+      (6L, 10L, 2L, 20L)), out.toString)
   }
 
   test("packFFD: oversize doc gets its own bin; no other doc joins it; NULL text packs as 0") {
@@ -192,11 +193,12 @@ class SeqPackDecontamSpec extends SparkSpec {
       .toDF("doc_id", "text").withColumn("shard", lit("s"))
     val out = TextAnalysis
       .packFirstFitDecreasing(docs, "text", "doc_id", "shard", cap = 128L)
-      .select("doc_id", "n_tokens", "bin_id")
-      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-    // 200 opens bin 0 (overfull); 100 cannot join -> bin 1; NULL=0 fits bin 1
-    assert(out == Seq((1L, 200L, 0L), (2L, 100L, 1L), (3L, 0L, 1L)),
-      out.toString)
+      .select("doc_id", "n_tokens", "bin_id", "bin_off")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 200 opens bin 0 (overfull); 100 cannot join -> bin 1; NULL=0
+    // fits bin 1 at offset 100 (bin 0 is already over cap)
+    assert(out == Seq((1L, 200L, 0L, 0L), (2L, 100L, 1L, 0L),
+      (3L, 0L, 1L, 100L)), out.toString)
   }
 
   test("packFFD invariants on the real corpus: capped multi-doc bins, FFD property, partitioning-invariant") {
@@ -208,8 +210,9 @@ class SeqPackDecontamSpec extends SparkSpec {
     val cap = 128L
     def run(df: org.apache.spark.sql.DataFrame) =
       TextAnalysis.packFirstFitDecreasing(df, "text", "doc_id", "shard", cap)
-        .select("shard", "doc_id", "n_tokens", "bin_id")
-        .as[(String, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+        .select("shard", "doc_id", "n_tokens", "bin_id", "bin_off")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
     val out = run(docs)
     assert(out.nonEmpty)
     // every multi-doc bin holds within capacity
@@ -217,6 +220,13 @@ class SeqPackDecontamSpec extends SparkSpec {
     byBin.foreach { case ((sh, b), ds) =>
       assert(ds.size == 1 || ds.map(_._3).sum <= cap,
         s"bin ($sh,$b) overfull with ${ds.size} docs: ${ds.map(_._3).sum}") }
+    // offsets tile each bin contiguously from 0: sorted by offset, each
+    // doc starts exactly where the previous one ended
+    byBin.foreach { case ((sh, b), ds) =>
+      var expect = 0L
+      ds.sortBy(_._5).foreach { t =>
+        assert(t._5 == expect, s"bin ($sh,$b): doc ${t._2} at off ${t._5}, expected $expect")
+        expect += t._3 } }
     // bin ids are contiguous from 0 per shard
     out.groupBy(_._1).foreach { case (sh, ds) =>
       val bins = ds.map(_._4).distinct.sorted
@@ -228,11 +238,12 @@ class SeqPackDecontamSpec extends SparkSpec {
       val ref = ordered.map { case (id, n) =>
         var b = 0
         while (b < fills.length && fills(b) + n > cap) b += 1
-        if (b == fills.length) fills += n else fills(b) += n
-        id -> b.toLong
+        val off = if (b == fills.length) { fills += n; 0L }
+                  else { val o = fills(b); fills(b) += n; o }
+        id -> (b.toLong, off)
       }.toMap
-      ds.foreach { t => assert(t._4 == ref(t._2),
-        s"shard $sh doc ${t._2}: got bin ${t._4}, FFD reference ${ref(t._2)}") }
+      ds.foreach { t => assert((t._4, t._5) == ref(t._2),
+        s"shard $sh doc ${t._2}: got ${(t._4, t._5)}, FFD reference ${ref(t._2)}") }
     }
     // invariant to input partitioning
     assert(run(docs.repartition(7)) == out)
