@@ -328,6 +328,79 @@ object DataQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** QUALITY-KEEPER DEDUP (d22): "keep the BEST copy" — real
+    * pipelines keep the highest-quality member of each near-duplicate
+    * cluster, not the minimum id (the d06 keeper is an arbitrary-but-
+    * deterministic tie-break; this one is the curation policy).
+    * Composition of three verified kernels: the d08 transitive groups,
+    * the t02 quality profile (quality is an exact multiple of 0.25 —
+    * no float hazard in the argmax), and a per-group argmax with the
+    * deterministic tie-break (quality DESC, n_chars DESC, doc_id ASC).
+    * Every doc reports its keeper; docs outside any cluster keep
+    * themselves.
+    *
+    * Scale shape: the group relation is duplication-sized (near-dup
+    * members only); keeper selection is one window over it; the
+    * join-backs are id/group-keyed equi-joins — nothing new exchanges
+    * the corpus beyond the shared pairs pipeline. */
+  val d22QualityKeeper: Q = (s, dir) => {
+    val prof = TextAnalysis.profile(
+        Catalog(s, dir).documents.repartition(col("doc_id")),
+        "text", "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+    val groups = expandedGroups(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col("quality").desc, col("n_chars").desc, col("doc_id"))
+    val keepers = groups.join(prof, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("group_id"), col("doc_id").as("keeper_id"))
+    Catalog(s, dir).documents.select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left_outer")
+      .join(keepers, Seq("group_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"),
+        when(coalesce(col("keeper_id"), col("doc_id")) === col("doc_id"),
+          1L).otherwise(0L).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The d08 closure CTEs + the t02 profile CTEs (disjoint name
+    * spaces), with the keeper argmax on top — the d11 body-reuse
+    * pattern twice over, so neither kernel can drift from its own
+    * gate. */
+  lazy val d22Sql: String = {
+    val d08Final =
+      """SELECT id AS doc_id, group_id,
+        |  count(*) OVER (PARTITION BY group_id) AS group_size
+        |FROM grp ORDER BY group_id, doc_id""".stripMargin
+    val d08Body = d08Sql.stripSuffix(d08Final).trim
+    require(d08Body.length < d08Sql.length,
+      "d08Sql final SELECT drifted; update d22Sql's suffix strip")
+    val t02Final =
+      """SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, quality
+        |FROM f ORDER BY doc_id""".stripMargin
+    val t02Body = t02Sql.stripSuffix(t02Final).trim
+      .stripPrefix("WITH").trim
+    require(t02Body.length < t02Sql.length,
+      "t02Sql final SELECT drifted; update d22Sql's suffix strip")
+    s"""$d08Body,
+       |$t02Body,
+       |k AS (SELECT group_id, doc_id AS keeper_id FROM (
+       |  SELECT g.group_id, g.id AS doc_id,
+       |    row_number() OVER (PARTITION BY g.group_id
+       |      ORDER BY f.quality DESC, f.n_chars DESC, g.id) AS rk
+       |  FROM grp g JOIN f ON f.doc_id = g.id) WHERE rk = 1)
+       |SELECT d.doc_id,
+       |  COALESCE(k.keeper_id, d.doc_id) AS keeper_id,
+       |  CAST(CASE WHEN COALESCE(k.keeper_id, d.doc_id) = d.doc_id
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM documents d
+       |LEFT JOIN grp g ON g.id = d.doc_id
+       |LEFT JOIN k ON k.group_id = g.group_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val d08Sql: String =
     s"""WITH RECURSIVE $toksCte,
        |$shCte,
@@ -3138,6 +3211,7 @@ object DataQueries {
     "t24_chunk_spans" -> t24ChunkSpans,
     "t25_pack_bins" -> t25PackBins,
     "t26_boilerplate" -> t26Boilerplate,
+    "d22_quality_keeper" -> d22QualityKeeper,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
     "e21_knn_label" -> e21KnnLabel,
@@ -3215,6 +3289,7 @@ object DataQueries {
     "t24_chunk_spans" -> t24Sql,
     "t25_pack_bins" -> t25Sql,
     "t26_boilerplate" -> t26Sql,
+    "d22_quality_keeper" -> d22Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,
     "e21_knn_label" -> e21Sql,

@@ -125,7 +125,10 @@ object ClusterSmoke {
     // round-13 late addition: boilerplate removal (collect_list +
     // array_sort reassembly — ordering must be partition-independent
     // across executor JVMs)
-    "t26_boilerplate")
+    "t26_boilerplate",
+    // round-13 late addition: quality-keeper dedup (CC + profile +
+    // per-group argmax composition)
+    "d22_quality_keeper")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -517,6 +517,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d22 quality keeper: keepers are argmax-(quality, n_chars, -id) of their cluster; singletons keep themselves") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.DataQueries.d22QualityKeeper(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val prof = graft.operators.TextAnalysis.profile(
+        graft.catalog.Catalog(spark, dir).documents, "text", "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+      .as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // a keeper is always itself kept, members never are
+    out.foreach { case (id, k, kept) =>
+      assert((kept == 1L) == (id == k), s"doc $id keeper $k is_kept $kept") }
+    // within each multi-doc cluster the keeper maximizes the policy key
+    out.groupBy(_._2).filter(_._2.size > 1).foreach { case (k, members) =>
+      val key = (id: Long) =>
+        (prof(id)._1, prof(id)._2.toDouble, -id.toDouble)
+      val best = members.map(_._1).maxBy(key)
+      assert(best == k, s"cluster of $k: argmax is $best") }
+    // some clusters exist and some docs survive on the real corpus
+    assert(out.exists(_._3 == 0L) && out.count(_._3 == 1L) > 1)
+  }
+
   test("semanticDedup: result is invariant to input partitioning") {
     val vecs = (0 until 60).map { i =>
       val angle = (i % 12) * 2 * math.Pi / 12.0
