@@ -274,6 +274,40 @@ object Multimodal {
       graft.expressions.StubEmbedExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), dim))
 
+  /** Cross-modal (image, caption) alignment scoring — the CLIP-score
+    * gate a paired corpus is curated with. Image-tower embedding =
+    * [[stubDecodeFeatures]] over the payload bytes; caption-tower
+    * embedding = [[stubTextEmbedding]] over the first `capChars` chars
+    * of the doc text (the deterministic caption derivation — docs that
+    * fit entirely are perfectly-aligned pairs). Output: (media_id,
+    * align_cosine rounded to 6, aligned = rounded >= tau). Both towers
+    * are the marked md5 stub swap-point; a real CLIP changes only
+    * those two bodies.
+    *
+    * Scale shape: both embeds are map-only and computed BEFORE the
+    * pairing join, so the join exchanges only (id, vec) rows — the
+    * payload bytes never travel past the feature extraction. */
+  def captionAlign(docs: DataFrame, capChars: Int = 100,
+                   dim: Int = 64, tau: Double = 0.8)(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.expressions.VectorExpressions
+    val img = extractFeatures(
+        fromDocuments(docs).filter(col("kind") === "image"), dim)
+      .select(col("media_id"), col("features").as("img_f"))
+    val cap = docs
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0)
+      .select(col("doc_id").as("media_id"),
+        substring(col("text"), 1, capChars).as("caption"))
+      .withColumn("cap_f", stubTextEmbedding(col("caption"), dim))
+    img.join(cap, Seq("media_id"))
+      .filter(VectorExpressions.dot(col("img_f"), col("img_f")) > 0 &&
+        VectorExpressions.dot(col("cap_f"), col("cap_f")) > 0)
+      .withColumn("align_cosine",
+        round(VectorExpressions.cosine(col("img_f"), col("cap_f")), 6))
+      .select(col("media_id"), col("align_cosine"),
+        (col("align_cosine") >= tau).as("aligned"))
+  }
+
   /** Join extracted media features back onto a relational table — the
     * shape a multimodal training pipeline ends in (metadata + features
     * co-located, bytes dropped before any wide shuffle). */

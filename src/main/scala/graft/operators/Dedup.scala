@@ -1127,4 +1127,55 @@ object Dedup {
       .select(col("id2").as("drop_id"), col("id1").as("keeper_id"),
         col("cell"), col("cos_r").as("cosine"))
   }
+
+  /** BLOOM-GATED DELTA EXACT DEDUP — dedup an incoming batch against a
+    * large HISTORY corpus without exchanging the history per batch: a
+    * bloom bitset over the history's normalized-text fingerprints
+    * ([[BloomJoin.buildBloom]] — bounded at m/64 longs, the literal
+    * contract) gates the batch MAP-ONLY; rows that miss the bloom are
+    * provably new (no false negatives) and never enter a join, and only
+    * the passers (true duplicates + the bloom's false positives) probe
+    * the exact fingerprint join. At 100 TB this is the difference
+    * between shuffling the full batch against the full history every
+    * tick and probing with the tiny passer subset — the batch-side
+    * analog of d20/d21's delta forms, on the d01 exact-fingerprint
+    * contract.
+    *
+    * The result is EXACT regardless of bloom sizing (false positives
+    * die in the confirm join), so `is_new` equals the plain anti-join.
+    * `bloom_hit` itself is md5-derived ([[GraftFunctions.md5Long]]
+    * seeded rows), so unlike q53's result-only check the gate replays
+    * the PRUNING DECISION per row too — an oracle can verify both that
+    * no duplicate ever misses the bloom and exactly which new rows were
+    * false positives.
+    *
+    * Output: one row per batch record — (idCol, fp, bloom_hit, is_new).
+    */
+  def bloomDeltaDedup(history: DataFrame, batch: DataFrame,
+                      textCol: String, idCol: String,
+                      m: Int = 1 << 16, kh: Int = 3): DataFrame = {
+    val histFps = history
+      .select(fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
+    val bloom = BloomJoin.buildBloom(histFps, "fp", m, kh)
+    val b = batch.select(col(idCol),
+        fingerprint(col(textCol)).as("fp"))
+      // NULL fp (null payload) can match nothing in history: hit=false,
+      // new=true, mirrored by the oracle's coalesce.
+      .withColumn("bloom_hit",
+        coalesce(BloomJoin.mightContain(col("fp"), bloom, kh), lit(false)))
+    // Only bloom passers reach the exact join — the misses branch is the
+    // pruned fast path (spec-pinned: the join's probe side carries the
+    // bloom_hit filter).
+    val confirmed = b.filter(col("bloom_hit"))
+      .join(histFps.withColumn("in_hist", lit(true)), Seq("fp"), "left_outer")
+      .select(col(idCol), col("fp"), col("bloom_hit"),
+        coalesce(col("in_hist"), lit(false)).as("dup"))
+    val misses = b.filter(!col("bloom_hit"))
+      .select(col(idCol), col("fp"), col("bloom_hit"),
+        lit(false).as("dup"))
+    confirmed.unionByName(misses)
+      .select(col(idCol), col("fp"), col("bloom_hit"),
+        (!col("dup")).as("is_new"))
+  }
 }

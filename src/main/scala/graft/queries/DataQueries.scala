@@ -401,6 +401,68 @@ object DataQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  private val bloomM  = 2048
+  private val bloomKh = 3
+
+  /** BLOOM-GATED DELTA DEDUP (d23 — [[Dedup.bloomDeltaDedup]]): dedup
+    * an incoming batch against the history WITHOUT a per-tick
+    * history-wide shuffle — the bloom bitset over history fingerprints
+    * gates the batch map-only; only passers (true dups + false
+    * positives) probe the exact join. History = doc_id % 4 != 0, batch
+    * = doc_id % 4 == 0 plus a deterministic REDELIVERY of the % 8 == 3
+    * history rows under shifted ids (m06's synthesize-the-phenomenon
+    * contract — the shipped corpus has no cross-partition exact dups).
+    *
+    * m is deliberately SMALL (2048 bits for ~375 history keys, ~42%
+    * occupancy) so the false-positive path does real work at test
+    * scale: measured at sf0.01 the gate passes all 63 true duplicates
+    * (no false negatives — the bloom contract) plus a handful of false
+    * positives that the confirm join correctly returns as new. The
+    * oracle replays the seeded-md5 bit positions per row, so the
+    * PRUNING DECISION is hash-checked, not just the final verdict
+    * (q53 checks only the join result).
+    *
+    * Scale shape: bloom build = one bounded aggregate over history fps
+    * (m/64 longs collected — the literal contract); batch pass is
+    * map-only; the confirm join's probe side is passers only. At real
+    * scale m sizes to history cardinality (10^10 keys → GB-scale bloom
+    * would instead shard by fp prefix; the operator's contract — exact
+    * result at any m — is what makes that sharding safe). */
+  val d23BloomDelta: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val history = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+    val redelivered = docs.filter(pmod(col("doc_id"), lit(8L)) === 3)
+      .withColumn("doc_id", col("doc_id") + 3000000L)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+      .unionByName(redelivered)
+      .repartition(col("doc_id"))
+    Dedup.bloomDeltaDedup(history, batch, "text", "doc_id",
+        m = bloomM, kh = bloomKh)
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val d23Sql: String = {
+    val fpExpr = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    s"""WITH hist AS (SELECT DISTINCT $fpExpr AS fp
+       |  FROM documents WHERE doc_id % 4 <> 0),
+       |b AS (SELECT doc_id, $fpExpr AS fp FROM (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+       |    WHERE doc_id % 8 = 3)),
+       |hpos AS (SELECT DISTINCT
+       |    ${h60("j::VARCHAR||'|'||fp")} % $bloomM AS pos
+       |  FROM hist, range(0, $bloomKh) t(j) WHERE fp IS NOT NULL),
+       |bpos AS (SELECT doc_id, fp,
+       |    ${h60("j::VARCHAR||'|'||fp")} % $bloomM AS pos
+       |  FROM b, range(0, $bloomKh) t(j)),
+       |hit AS (SELECT doc_id, fp, coalesce(bool_and(
+       |    pos IN (SELECT pos FROM hpos)), FALSE) AS bloom_hit
+       |  FROM bpos GROUP BY 1, 2)
+       |SELECT h.doc_id, h.fp, h.bloom_hit,
+       |  NOT (h.bloom_hit AND h.fp IN (SELECT fp FROM hist)) AS is_new
+       |FROM hit h ORDER BY h.doc_id""".stripMargin
+  }
+
   val d08Sql: String =
     s"""WITH RECURSIVE $toksCte,
        |$shCte,
@@ -3212,6 +3274,7 @@ object DataQueries {
     "t25_pack_bins" -> t25PackBins,
     "t26_boilerplate" -> t26Boilerplate,
     "d22_quality_keeper" -> d22QualityKeeper,
+    "d23_bloom_delta" -> d23BloomDelta,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
     "e21_knn_label" -> e21KnnLabel,
@@ -3290,6 +3353,7 @@ object DataQueries {
     "t25_pack_bins" -> t25Sql,
     "t26_boilerplate" -> t26Sql,
     "d22_quality_keeper" -> d22Sql,
+    "d23_bloom_delta" -> d23Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,
     "e21_knn_label" -> e21Sql,

@@ -240,6 +240,60 @@ object MediaQueries {
       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
       |ORDER BY id1, id2""".stripMargin
 
+  /** CROSS-MODAL ALIGNMENT FILTER (the CLIP-score gate a paired
+    * image+caption corpus is curated with — LAION's core filter: score
+    * every (image, caption) pair with both towers' embeddings, keep
+    * pairs whose cosine clears a threshold): image-tower embedding =
+    * the m02 stub decode over the payload bytes, caption-tower
+    * embedding = the e22 stub text encoder over the pair's caption
+    * (deterministically derived here as the doc's first 100 chars —
+    * docs that fit entirely are perfectly-aligned pairs, longer docs
+    * give the uncorrelated-embedding band a real model produces for a
+    * wrong caption). Both towers are the SAME clearly-marked md5 stub
+    * swap-point as m02/e22, so every dimension and the cosine replay in
+    * SQL; a real CLIP swaps in at exactly those two points.
+    *
+    * Measured at sf0.01: 7 exact-alignment pairs at cosine 1.0; the 160
+    * mismatched pairs span 0.618-0.839 (p50 0.749, p90 0.798), so the
+    * 0.8 gate does real work inside the random band (~13 mismatches
+    * clear it) instead of degenerating to a length test.
+    *
+    * Float contract: stub features are float(micro/10^6); the oracle
+    * mirrors the narrowing with CAST(... AS REAL)::DOUBLE (e22's
+    * contract) and both engines compare the ROUNDED round(cos, 6), so
+    * the threshold has no cross-engine boundary hazard.
+    *
+    * Scale shape: both embed towers are map-only (features computed
+    * BEFORE the join, bytes never exchanged); the pairing is one keyed
+    * equi-join of two skinny (id, vec) relations — at 100 TB the
+    * captions side is dimension-sized per media batch and broadcasts. */
+  val m08CaptionAlign: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.captionAlign(Catalog(s, dir).documents,
+        capChars = 100, dim = 64, tau = 0.8)
+      .orderBy(col("media_id"))
+  }
+
+  val m08Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS hi,
+      |    md5(substr(text, 1, 100)) AS hc
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+      |f AS (SELECT media_id, j,
+      |    CAST(CAST((CAST(('0x'||substr(md5(hi||'|f'||j),1,15)) AS BIGINT)
+      |      % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS iv,
+      |    CAST(CAST((CAST(('0x'||substr(md5(hc||'|f'||j),1,15)) AS BIGINT)
+      |      % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS cv
+      |  FROM m, range(0, 64) t(j)),
+      |v AS (SELECT media_id, list(iv ORDER BY j) AS ivec,
+      |    list(cv ORDER BY j) AS cvec FROM f GROUP BY 1),
+      |nz AS (SELECT * FROM v WHERE list_inner_product(ivec, ivec) > 0
+      |  AND list_inner_product(cvec, cvec) > 0),
+      |c AS (SELECT media_id,
+      |    round(list_cosine_similarity(ivec, cvec), 6) AS align_cosine
+      |  FROM nz)
+      |SELECT media_id, align_cosine, align_cosine >= 0.8 AS aligned
+      |FROM c ORDER BY media_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
@@ -248,6 +302,7 @@ object MediaQueries {
     "m05_chunk" -> m05Chunk,
     "m06_media_dedup" -> m06MediaDedup,
     "m07_phash_neardup" -> m07PhashNearDup,
+    "m08_caption_align" -> m08CaptionAlign,
   )
 
   val oracles: Map[String, String] = Map(
@@ -258,5 +313,6 @@ object MediaQueries {
     "m05_chunk" -> m05Sql,
     "m06_media_dedup" -> m06Sql,
     "m07_phash_neardup" -> m07Sql,
+    "m08_caption_align" -> m08Sql,
   )
 }

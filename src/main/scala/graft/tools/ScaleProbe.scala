@@ -761,6 +761,30 @@ object ScaleProbe {
           dense, "doc_id", "rank", kk = 60)
       }
     }
+    // d23 bloom-gated delta dedup: bloom build is one bounded aggregate
+    // over history fps; the batch gate is map-only; the confirm join
+    // sees only passers. m sized to history (2^20 bits for ~240k keys
+    // at 64x) so occupancy stays sub-saturated at every probed scale.
+    stage("bloom_delta") {
+      t(s"bloom_delta_${replicas}x") {
+        val history = exactDocs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+        val batch = exactDocs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+          .unionByName(exactDocs.filter(pmod(col("doc_id"), lit(8L)) === 3)
+            .withColumn("doc_id", col("doc_id") + 100000000L))
+        Dedup.bloomDeltaDedup(history, batch, "text", "doc_id",
+          m = 1 << 20, kh = 3)
+      }
+    }
+    // m08 caption alignment: two map-only md5 embed towers + one
+    // skinny (id, vec) equi-join — cost should track the corpus scan.
+    stage("caption_align") {
+      t(s"caption_align_${replicas}x") {
+        graft.multimodal.Multimodal.captionAlign(
+          docs.withColumn("lang", lit("en"))
+            .withColumn("source", lit("probe")),
+          capChars = 100, dim = 64, tau = 0.8)(spark)
+      }
+    }
     spark.stop()
   }
 }

@@ -46,6 +46,59 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept >= plain.select("fid").distinct().count())
   }
 
+  test("bloomDeltaDedup verdict == plain anti-join on the real corpus") {
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions.fingerprint
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(8L)) === 3)
+        .withColumn("doc_id", col("doc_id") + 3000000L))
+    val out = Dedup.bloomDeltaDedup(history, batch, "text", "doc_id",
+      m = 2048, kh = 3)
+    // ground truth: exact fingerprint anti-join, independent of the bloom
+    val histFps = history.select(fingerprint(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+    val rows = out.collect()
+    assert(rows.length == batch.count())
+    rows.foreach { r =>
+      val (fp, hit, isNew) = (r.getString(1), r.getBoolean(2), r.getBoolean(3))
+      assert(isNew == !histFps.contains(fp),
+        s"row ${r.getLong(0)}: is_new=$isNew disagrees with the anti-join")
+      // the bloom contract: a duplicate may NEVER miss the bloom
+      if (!isNew) assert(hit, s"false negative on ${r.getLong(0)}")
+    }
+    // at m=2048 the small bitset must exercise BOTH pruning and the
+    // false-positive confirm path (measured 112 pruned / 13 FPs at
+    // sf0.01 — guard only the qualitative shape here)
+    assert(rows.exists(r => !r.getBoolean(2)), "nothing was bloom-pruned")
+    assert(rows.exists(r => r.getBoolean(2) && r.getBoolean(3)),
+      "no false positives at m=2048 — the confirm path is untested")
+    assert(rows.exists(r => !r.getBoolean(3)),
+      "the redelivered rows must be flagged as duplicates")
+  }
+
+  test("bloomDeltaDedup: only bloom passers reach the confirm join") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+    val opt = Dedup.bloomDeltaDedup(history, batch, "text", "doc_id",
+        m = 2048, kh = 3)
+      .queryExecution.optimizedPlan
+    // exactly ONE join (the confirm join) — the pruned-misses branch is
+    // a join-free projection in the union
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, s"expected 1 confirm join, got ${joins.size}")
+    // and its probe side is gated by the bloom predicate (element_at
+    // over the literal bitset), so bloom misses never enter it
+    val gated = joins.head.left.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("element_at") => f }
+    assert(gated.nonEmpty, s"confirm join probe side is not bloom-gated:\n$opt")
+  }
+
   test("NULL keys on either side match the plain-join contract") {
     // the plain equi-join drops null keys on both sides; the bloom
     // build must not NPE on them and the reduced join must still be
