@@ -2980,6 +2980,86 @@ object DataQueries {
        |FROM nn JOIN ps USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** MOORE-LEWIS DATA SELECTION (t27 — [[TextAnalysis.ceDiffSelect]];
+    * Moore & Lewis 2010, the scoring CCNet ranks with): every doc
+    * scored under an IN-DOMAIN unigram LM (fit on the `lang = 'en'`
+    * partition — CCNet's clean-target-corpus surrogate) and the
+    * GENERAL LM (t11's 5% md5-sample fit), ranked by ce_in − ce_gen
+    * computed from the integer nano-nat sums, bucketed head/middle/
+    * tail at ±0.02 on the rounded diff.
+    *
+    * Measured honesty note: the synthetic corpus draws EVERY language
+    * from one shared 31-token pool (the `lang` column is a label with
+    * no textual correlate — verified: zh shares 31/31 distinct tokens
+    * with en), so the selection signal here is the per-partition token
+    * FREQUENCY mix, spanning [-0.099, 0.057] at sf0.01 — the ±0.02
+    * gates land inside that band and split ~23% head / ~6% tail /
+    * rest middle. On a real multilingual corpus the OOV floor
+    * dominates and the same operator separates languages sharply; the
+    * mechanics (two bounded audited fits, integer-difference scoring,
+    * rounded-boundary buckets) are what this gate verifies.
+    *
+    * Scale shape: two bounded vocab-literal fits (the t11 contract,
+    * each QuantAudit-guarded), then ONE map-only scoring projection —
+    * no join, no shuffle at any corpus size. */
+  val t27CeDiff: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val isGen = pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L
+    val (lmIn, oovIn) = TextAnalysis.unigramLm(
+      docs.filter(col("lang") === "en"), "text", vocab = 1000)
+    val (lmGen, oovGen) = TextAnalysis.unigramLm(
+      docs.filter(isGen), "text", vocab = 1000)
+    TextAnalysis.ceDiffSelect(docs.repartition(col("doc_id")),
+        "text", "doc_id", lmIn, oovIn, lmGen, oovGen,
+        headLt = -0.02, tailGt = 0.02)
+      .orderBy(col("doc_id"))
+  }
+
+  val t27Sql: String =
+    s"""WITH $toksCte,
+       |lmdi AS (SELECT toks FROM toks JOIN documents USING (doc_id)
+       |  WHERE documents.lang = 'en'),
+       |cnti AS (SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest(toks) AS tok FROM lmdi) GROUP BY 1),
+       |toti AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnti),
+       |vcbi AS (SELECT tok,
+       |  CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM cnti, toti ORDER BY n DESC, tok LIMIT 1000),
+       |oovi AS (SELECT CAST(floor(ln(1.0 / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM toti),
+       |lmdg AS (SELECT toks FROM toks
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
+       |cntg AS (SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest(toks) AS tok FROM lmdg) GROUP BY 1),
+       |totg AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cntg),
+       |vcbg AS (SELECT tok,
+       |  CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM cntg, totg ORDER BY n DESC, tok LIMIT 1000),
+       |oovg AS (SELECT CAST(floor(ln(1.0 / total) * 1e9 + 0.5) AS BIGINT) AS lp
+       |  FROM totg),
+       |nn AS (SELECT doc_id, len(toks) AS n_tokens FROM toks),
+       |tr AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+       |pi AS (SELECT tr.doc_id, SUM(COALESCE(v.lp, o.lp)) AS sum_lp
+       |  FROM tr LEFT JOIN vcbi v USING (tok) CROSS JOIN oovi o GROUP BY 1),
+       |pg AS (SELECT tr.doc_id, SUM(COALESCE(v.lp, o.lp)) AS sum_lp
+       |  FROM tr LEFT JOIN vcbg v USING (tok) CROSS JOIN oovg o GROUP BY 1),
+       |f AS (SELECT nn.doc_id, CAST(nn.n_tokens AS BIGINT) AS n_tokens,
+       |  CASE WHEN nn.n_tokens > 0
+       |    THEN round((-CAST(pi.sum_lp AS DOUBLE) / 1e9) / nn.n_tokens, 6)
+       |    ELSE 0.0 END AS ce_in,
+       |  CASE WHEN nn.n_tokens > 0
+       |    THEN round((-CAST(pg.sum_lp AS DOUBLE) / 1e9) / nn.n_tokens, 6)
+       |    ELSE 0.0 END AS ce_gen,
+       |  CASE WHEN nn.n_tokens > 0
+       |    THEN round(CAST(pg.sum_lp - pi.sum_lp AS DOUBLE) / 1e9 / nn.n_tokens, 6)
+       |    ELSE 0.0 END AS ce_diff
+       |  FROM nn LEFT JOIN pi USING (doc_id) LEFT JOIN pg USING (doc_id))
+       |SELECT doc_id, n_tokens, ce_in, ce_gen, ce_diff,
+       |  CASE WHEN ce_diff < -0.02 THEN 'head'
+       |       WHEN ce_diff > 0.02 THEN 'tail'
+       |       ELSE 'middle' END AS bucket
+       |FROM f ORDER BY doc_id""".stripMargin
+
   /** Deterministic stratified sample — at most 15 docs per source by
     * md5-hash order (the step that applies t10's mixture budgets); see
     * [[TextAnalysis.stratifiedSample]]. */
@@ -3275,6 +3355,7 @@ object DataQueries {
     "t26_boilerplate" -> t26Boilerplate,
     "d22_quality_keeper" -> d22QualityKeeper,
     "d23_bloom_delta" -> d23BloomDelta,
+    "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
     "e21_knn_label" -> e21KnnLabel,
@@ -3354,6 +3435,7 @@ object DataQueries {
     "t26_boilerplate" -> t26Sql,
     "d22_quality_keeper" -> d22Sql,
     "d23_bloom_delta" -> d23Sql,
+    "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,
     "e21_knn_label" -> e21Sql,

@@ -128,7 +128,13 @@ object ClusterSmoke {
     "t26_boilerplate",
     // round-13 late addition: quality-keeper dedup (CC + profile +
     // per-group argmax composition)
-    "d22_quality_keeper")
+    "d22_quality_keeper",
+    // round-13 session-2 additions: bloom-gated delta dedup (literal
+    // bitset built from executor partials + gated union-of-branches),
+    // the cross-modal alignment join (two stub towers, mapPartitions
+    // image side), and Moore-Lewis selection (two bounded LM fits +
+    // one two-expression scoring projection)
+    "d23_bloom_delta", "m08_caption_align", "t27_ce_diff")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -775,6 +775,26 @@ object ScaleProbe {
           m = 1 << 20, kh = 3)
       }
     }
+    // t27 Moore-Lewis selection: two bounded LM fits (vocab-literal
+    // collects over the sample/in-domain slices), then ONE map-only
+    // two-expression scoring projection over the corpus.
+    stage("ce_diff") {
+      t(s"ce_diff_${replicas}x") {
+        import graft.functions.GraftFunctions.md5Long
+        import org.apache.spark.sql.types.StringType
+        val isGen = pmod(md5Long(col("doc_id").cast(StringType)),
+          lit(20L)) === 0L
+        // in-domain surrogate: a deterministic 25% id slice (the probe
+        // corpus has no lang column)
+        val isIn = pmod(col("doc_id"), lit(4L)) === 0
+        val (lmIn, oovIn) = TextAnalysis.unigramLm(
+          docs.filter(isIn), "text", vocab = 1000)
+        val (lmGen, oovGen) = TextAnalysis.unigramLm(
+          docs.filter(isGen), "text", vocab = 1000)
+        TextAnalysis.ceDiffSelect(docs, "text", "doc_id",
+          lmIn, oovIn, lmGen, oovGen, headLt = -0.02, tailGt = 0.02)
+      }
+    }
     // m08 caption alignment: two map-only md5 embed towers + one
     // skinny (id, vec) equi-join — cost should track the corpus scan.
     stage("caption_align") {

@@ -66,6 +66,54 @@ class ContainmentMixtureSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("ceDiffSelect: Moore-Lewis diff ranks in-domain text head, off-domain tail") {
+    // in-domain LM: "the cat sat" flavored; general LM: "stock market
+    // report" flavored — a doc matching the in-domain register must get
+    // a negative ce_in - ce_gen (head), the reverse a positive (tail)
+    val inCorpus = Seq.tabulate(10)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val genCorpus = Seq.tabulate(10)(i => (i.toLong, "stock market report for the day"))
+      .toDF("doc_id", "text")
+    val (lmIn, oovIn) = TextAnalysis.unigramLm(inCorpus, "text", vocab = 100)
+    val (lmGen, oovGen) = TextAnalysis.unigramLm(genCorpus, "text", vocab = 100)
+    val docs = Seq(
+      (1L, "the cat sat"),            // in-domain-like -> head
+      (2L, "stock market report"),    // general-like   -> tail
+      (3L, "")                        // empty          -> diff 0, middle
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ceDiffSelect(docs, "text", "doc_id",
+        lmIn, oovIn, lmGen, oovGen, headLt = -0.5, tailGt = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(4) < -0.5 && out(0).getString(5) == "head",
+      s"in-domain doc: diff=${out(0).getDouble(4)}")
+    assert(out(1).getDouble(4) > 0.5 && out(1).getString(5) == "tail",
+      s"general doc: diff=${out(1).getDouble(4)}")
+    assert(out(2).getLong(1) == 0L && out(2).getDouble(4) == 0.0 &&
+      out(2).getString(5) == "middle")
+    // the diff comes from the integer sums, not the rounded ce's — but
+    // it must agree with them to rounding error
+    out.filter(_.getLong(1) > 0).foreach { r =>
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 2e-6)
+    }
+    // scoring is one map-only projection: no Exchange, no Join
+    val plan = TextAnalysis.ceDiffSelect(docs, "text", "doc_id",
+        lmIn, oovIn, lmGen, oovGen, -0.5, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"scoring must stay map-only:\n$plan")
+  }
+
+  test("ceDiffSelect: bucket is a pure function of the rounded diff") {
+    val (lm, oov) = TextAnalysis.unigramLm(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", vocab = 10)
+    val docs = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.ceDiffSelect(docs, "text", "doc_id",
+        lm, oov, lm, oov, headLt = -0.02, tailGt = 0.02)
+      .collect()
+    // identical models: diff is exactly 0.0 for every doc -> middle
+    assert(out.forall(r => r.getDouble(4) == 0.0 && r.getString(5) == "middle"))
+  }
+
   test("unigramLm: vocab cutoff is deterministic (count desc, token asc)") {
     val lmCorpus = Seq((1L, "b b a a c")).toDF("doc_id", "text")
     val (lm, _) = TextAnalysis.unigramLm(lmCorpus, "text", vocab = 2)
