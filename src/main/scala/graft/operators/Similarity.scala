@@ -270,6 +270,76 @@ object Similarity {
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("id"), col("cos_r").as("cosine"))
 
+  /** NPROBE↔RECALL TUNING SWEEP — the cost/recall curve a serving
+    * deployment picks its probe width from: for each `nProbes` entry,
+    * recall@k of the trained IVF index against the exact brute-force
+    * baseline, next to the fraction of the corpus the probe actually
+    * scans. ONE summary row per nProbe, every column an exact BIGINT
+    * (recall and scanned-fraction in integer ppm via integer division)
+    * — no float leaves the already-verified cosine kernels.
+    *
+    * Efficiency contract: the sweep costs ONE search at max(nProbes),
+    * not Σ searches — candidates are scanned once with their cell's
+    * probe rank attached, and each narrower nProbe re-ranks the
+    * prefix (candidates under n probes ⊂ candidates under max; only
+    * the bounded candidate relation is re-windowed). `scanned_ppm`
+    * counts every vector in a probed cell (the work the scan does —
+    * the query's own vector is excluded only at scoring, as in
+    * [[ivfSearch]]). */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     codebook: Seq[Seq[Double]],
+                     nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1) &&
+      nProbes.distinct.size == nProbes.size, s"bad nProbes $nProbes")
+    val spark = corpus.sparkSession
+    val maxNp = nProbes.max
+    val assigned = cellAssignmentsTrained(corpus, vecCol, idCol, codebook)
+      .persist()
+    val cents = centsOf(spark, codebook)
+    // probe ranking computed ONCE at the widest width, rank kept
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
+      .filter(col("prn") <= maxNp)
+      .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
+      .persist()
+    // one candidate scan at max width; each candidate tagged with the
+    // probe rank of the cell it came from
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos_r",
+        round(VectorExpressions.cosine(col("v"), col("qv")), 6))
+      .select(col("query_id"), col("id"), col("cos_r"), col("prn"))
+      .persist()
+    val bf = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("id")).persist()
+    val cellSizes = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("cell_n"))
+    val nq = q.agg(count(lit(1)).as("nq"))
+    val nCorpus = assigned.agg(count(lit(1)).as("n_corpus"))
+    nProbes.sorted.map { np =>
+      val ivfNp = cand.filter(col("prn") <= np)
+        .withColumn("rank", row_number().over(rankWindow))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("id"))
+      val hits = bf.join(ivfNp, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = probes.filter(col("prn") <= np)
+        .join(cellSizes, Seq("cell"))
+        .agg(coalesce(sum(col("cell_n")), lit(0L)).as("n_scanned"))
+      hits.crossJoin(scanned).crossJoin(nq).crossJoin(nCorpus)
+        .select(lit(np.toLong).as("n_probe"),
+          col("nq").as("n_queries"), col("n_hits"),
+          expr(s"1000000 * n_hits div ($k * nq)").as("recall_ppm"),
+          expr("1000000 * n_scanned div (nq * n_corpus)").as("scanned_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Product-quantization encode — the memory-scale path for ANN
     * (IVF-PQ's second half): each vector compresses to `m` codebook
     * indices plus a reconstruction error. The codebook rows are the

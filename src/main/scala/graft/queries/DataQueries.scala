@@ -659,6 +659,83 @@ object DataQueries {
       |ORDER BY q.query_id""".stripMargin
   }
 
+  private val sweepNProbes = Seq(1, 2, 4, 8)
+
+  /** NPROBE↔RECALL TUNING SWEEP (e24 — [[Similarity.ivfRecallSweep]]):
+    * the cost/recall CURVE a serving deployment picks its probe width
+    * from — e18 measures recall at ONE operating point; this is the
+    * table you tune against: per nProbe ∈ {1,2,4,8} (of 16 cells),
+    * recall@5 vs the exact brute-force baseline next to the fraction
+    * of the corpus the probe scans, both in exact integer ppm
+    * (integer division — NO float column in the result at all).
+    *
+    * Efficiency contract (spec-pinned): the sweep costs ONE candidate
+    * scan at max nProbe — candidates carry their cell's probe rank,
+    * and each narrower width is a re-rank of the prefix (candidates
+    * under n probes ⊂ candidates under max) — not Σ independent
+    * searches. At 100 TB the candidate relation is the scanned-pairs
+    * bound the IVF contract already imposes; the 4 re-windows are
+    * over that bounded relation. */
+  val e24RecallSweep: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", k = 5,
+        codebook = kmModel(s, dir).centroids, nProbes = sweepNProbes)
+      .orderBy(col("n_probe"))
+  }
+
+  lazy val e24Sql: String = {
+    val maxNp = sweepNProbes.max
+    val blocks = sweepNProbes.sorted.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe,
+         |  (SELECT nq FROM nq) AS n_queries,
+         |  (SELECT count(*) FROM bf JOIN
+         |    (SELECT query_id, id FROM (SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_r DESC, id) AS rank
+         |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
+         |    ON bf.query_id = i.query_id AND bf.id = i.id) AS n_hits,
+         |  1000000 * (SELECT count(*) FROM bf JOIN
+         |    (SELECT query_id, id FROM (SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_r DESC, id) AS rank
+         |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
+         |    ON bf.query_id = i.query_id AND bf.id = i.id)
+         |    // (5 * (SELECT nq FROM nq)) AS recall_ppm,
+         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
+         |    WHERE prn <= $np)
+         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |""".stripMargin
+    }.mkString("UNION ALL\n")
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
+      |$kmCtes,
+      |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+      |bf AS MATERIALIZED (SELECT query_id, id FROM (
+      |  SELECT q.query_id, e.id, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.id)
+      |    AS rank
+      |  FROM e CROSS JOIN q WHERE e.id <> q.query_id)
+      |  WHERE rank <= 5),
+      |asg AS MATERIALIZED (SELECT id, v, cell FROM (
+      |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
+      |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
+      |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM asg),
+      |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+      |  FROM asg GROUP BY 1),
+      |pr AS MATERIALIZED (SELECT query_id, qv, cell, prn FROM (
+      |  SELECT q.query_id, q.qv, c.cell, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS prn
+      |  FROM q CROSS JOIN cents c) WHERE prn <= $maxNp),
+      |cand AS MATERIALIZED (SELECT p.query_id, a.id,
+      |  round(list_cosine_similarity(a.v, p.qv), 6) AS cos_r, p.prn
+      |  FROM asg a JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id)
+      |$blocks
+      |ORDER BY n_probe""".stripMargin
+  }
+
   private val mmrTopN = 20
   private val mmrK = 5
 
@@ -3384,6 +3461,7 @@ object DataQueries {
     "e16_trunc_rerank" -> e16TruncRerank,
     "e17_filtered_ann" -> e17FilteredAnn,
     "e18_ivf_recall" -> e18IvfRecall,
+    "e24_recall_sweep" -> e24RecallSweep,
     "e19_mmr_rerank" -> e19MmrRerank,
     "e20_ivf_upsert" -> e20IvfUpsert,
     "d13_semantic_dedup" -> d13SemanticDedup,
@@ -3464,6 +3542,7 @@ object DataQueries {
     "e16_trunc_rerank" -> e16Sql,
     "e17_filtered_ann" -> e17Sql,
     "e18_ivf_recall" -> e18Sql,
+    "e24_recall_sweep" -> e24Sql,
     "e19_mmr_rerank" -> e19Sql,
     "e20_ivf_upsert" -> e20Sql,
     "d13_semantic_dedup" -> d13Sql,

@@ -134,7 +134,10 @@ object ClusterSmoke {
     // the cross-modal alignment join (two stub towers, mapPartitions
     // image side), and Moore-Lewis selection (two bounded LM fits +
     // one two-expression scoring projection)
-    "d23_bloom_delta", "m08_caption_align", "t27_ce_diff")
+    "d23_bloom_delta", "m08_caption_align", "t27_ce_diff",
+    // e24: the sweep's persisted candidate relation + 4 re-windows and
+    // the integer-ppm aggregate built from executor partials
+    "e24_recall_sweep")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -775,6 +775,18 @@ object ScaleProbe {
           m = 1 << 20, kh = 3)
       }
     }
+    // e24 nprobe↔recall sweep: must cost ONE search at max width (the
+    // candidate scan dominates; 4 re-windows over the bounded candidate
+    // relation), not Σ independent searches.
+    stage("recall_sweep") {
+      t(s"recall_sweep_${replicas}x") {
+        val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+          k = 16, dim = 64, iters = 3).centroids
+        graft.operators.Similarity.ivfRecallSweep(embBig,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+          k = 5, codebook = cb, nProbes = Seq(1, 2, 4, 8))
+      }
+    }
     // t27 Moore-Lewis selection: two bounded LM fits (vocab-literal
     // collects over the sample/in-domain slices), then ONE map-only
     // two-expression scoring projection over the corpus.

@@ -107,6 +107,54 @@ class OperatorsSpec extends SparkSpec {
     assert(res.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
+  test("ivfRecallSweep: curve is monotone, full-width probe recovers brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val rows = Similarity.ivfRecallSweep(emb, queries, "embedding", "vec_id",
+        k = 5, codebook = cb, nProbes = Seq(1, 2, 4, 8))
+      .orderBy("n_probe").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    // n_queries constant across the sweep
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    // recall and scanned fraction both monotone non-decreasing in width
+    val rec = rows.map(_.getLong(3)); val scn = rows.map(_.getLong(4))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b }, rec.toSeq)
+    assert(scn.zip(scn.tail).forall { case (a, b) => a <= b }, scn.toSeq)
+    // probing EVERY cell scans the whole corpus and recovers the exact
+    // brute-force list: recall_ppm == 1e6, scanned_ppm == 1e6
+    val full = rows.last
+    assert(full.getLong(4) == 1000000L, s"8-of-8 cells scanned ${full.getLong(4)} ppm")
+    assert(full.getLong(3) == 1000000L, s"8-of-8 cells recall ${full.getLong(3)} ppm")
+    // recall_ppm is the exact integer 1e6 * hits div (k * nq)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1000000L * r.getLong(2) / (5L * r.getLong(1)))
+    }
+  }
+
+  test("ivfRecallSweep: each width's prefix re-rank equals an independent search") {
+    // the sweep's efficiency trick (one candidate scan at max width,
+    // re-rank per prefix) must be RESULT-identical to running
+    // ivfTopKTrained separately at each width
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val sweep = Similarity.ivfRecallSweep(emb, queries, "embedding", "vec_id",
+        k = 5, codebook = cb, nProbes = Seq(1, 2, 4))
+      .orderBy("n_probe").collect()
+    val bf = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"id")
+    Seq(1, 2, 4).zipWithIndex.foreach { case (np, i) =>
+      val ivf = Similarity.ivfTopKTrained(emb, queries, "embedding", "vec_id",
+        k = 5, codebook = cb, nProbe = np).select($"query_id", $"id")
+      val hits = bf.join(ivf, Seq("query_id", "id"), "left_semi").count()
+      assert(sweep(i).getLong(2) == hits,
+        s"nProbe=$np: sweep hits ${sweep(i).getLong(2)} != independent $hits")
+    }
+  }
+
   test("embedding near-dup: threshold filters, id1 < id2") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.04f)),
