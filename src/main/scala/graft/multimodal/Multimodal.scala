@@ -299,9 +299,15 @@ object Multimodal {
       .select(col("doc_id").as("media_id"),
         substring(col("text"), 1, capChars).as("caption"))
       .withColumn("cap_f", stubTextEmbedding(col("caption"), dim))
+    // the full degenerate-vector contract (norm > 0 AND finite), not
+    // just the zero-norm half: a real tower emitting a NaN/Inf vector
+    // must EXCLUDE the row, or the thresholded NaN cosine classifies
+    // differently across engines (Similarity.nonDegenerate's contract)
     img.join(cap, Seq("media_id"))
-      .filter(VectorExpressions.dot(col("img_f"), col("img_f")) > 0 &&
-        VectorExpressions.dot(col("cap_f"), col("cap_f")) > 0)
+      .filter(graft.operators.Similarity.nonDegenerate(
+          col("img_f").cast("array<double>")) &&
+        graft.operators.Similarity.nonDegenerate(
+          col("cap_f").cast("array<double>")))
       .withColumn("align_cosine",
         round(VectorExpressions.cosine(col("img_f"), col("cap_f")), 6))
       .select(col("media_id"), col("align_cosine"),

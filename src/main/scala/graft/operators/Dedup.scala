@@ -1164,6 +1164,13 @@ object Dedup {
       // new=true, mirrored by the oracle's coalesce.
       .withColumn("bloom_hit",
         coalesce(BloomJoin.mightContain(col("fp"), bloom, kh), lit(false)))
+      // cut: the confirmed/misses union branches would otherwise each
+      // re-run the CPU-dense fingerprint + kh bloom hashes over the
+      // whole batch (no CSE across union branches — the t26 double-
+      // consumption shape). The materialized relation is the SKINNY
+      // (id, fp, hit) batch — the durable-cut a streaming tick
+      // persists anyway.
+      .localCheckpoint()
     // Only bloom passers reach the exact join — the misses branch is the
     // pruned fast path (spec-pinned: the join's probe side carries the
     // bloom_hit filter).

@@ -322,7 +322,7 @@ object Similarity {
       .agg(count(lit(1)).as("cell_n"))
     val nq = q.agg(count(lit(1)).as("nq"))
     val nCorpus = assigned.agg(count(lit(1)).as("n_corpus"))
-    nProbes.sorted.map { np =>
+    val sweep = nProbes.sorted.map { np =>
       val ivfNp = cand.filter(col("prn") <= np)
         .withColumn("rank", row_number().over(rankWindow))
         .filter(col("rank") <= k)
@@ -338,6 +338,15 @@ object Similarity {
           expr(s"1000000 * n_hits div ($k * nq)").as("recall_ppm"),
           expr("1000000 * n_scanned div (nq * n_corpus)").as("scanned_ppm"))
     }.reduce(_ unionByName _)
+    // The summary is |nProbes| rows — materialize it eagerly so the four
+    // shared relations can be RELEASED here (a lazy return would pin
+    // corpus-sized caches in the CacheManager for the driver's
+    // lifetime; every other persist in this codebase is paired with an
+    // unpersist). The caller gets a local relation, which is exactly
+    // what a bounded tuning table is.
+    try spark.createDataFrame(
+      spark.sparkContext.parallelize(sweep.collect().toSeq, 1), sweep.schema)
+    finally Seq(assigned, probes, cand, bf).foreach(_.unpersist(false))
   }
 
   /** Product-quantization encode — the memory-scale path for ANN

@@ -267,31 +267,38 @@ object MediaQueries {
     * BEFORE the join, bytes never exchanged); the pairing is one keyed
     * equi-join of two skinny (id, vec) relations — at 100 TB the
     * captions side is dimension-sized per media batch and broadcasts. */
+  private val m08CapChars = 100
+  private val m08Dim = 64
+  private val m08Tau = "0.8" // exact decimal, shared verbatim by both sides
+
   val m08CaptionAlign: Q = (s, dir) => {
     implicit val sp: SparkSession = s
     Multimodal.captionAlign(Catalog(s, dir).documents,
-        capChars = 100, dim = 64, tau = 0.8)
+        capChars = m08CapChars, dim = m08Dim, tau = m08Tau.toDouble)
       .orderBy(col("media_id"))
   }
 
   val m08Sql: String =
-    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS hi,
-      |    md5(substr(text, 1, 100)) AS hc
+    s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS hi,
+      |    md5(substr(text, 1, $m08CapChars)) AS hc
       |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
       |f AS (SELECT media_id, j,
       |    CAST(CAST((CAST(('0x'||substr(md5(hi||'|f'||j),1,15)) AS BIGINT)
       |      % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS iv,
       |    CAST(CAST((CAST(('0x'||substr(md5(hc||'|f'||j),1,15)) AS BIGINT)
       |      % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS cv
-      |  FROM m, range(0, 64) t(j)),
+      |  FROM m, range(0, $m08Dim) t(j)),
       |v AS (SELECT media_id, list(iv ORDER BY j) AS ivec,
       |    list(cv ORDER BY j) AS cvec FROM f GROUP BY 1),
-      |nz AS (SELECT * FROM v WHERE list_inner_product(ivec, ivec) > 0
-      |  AND list_inner_product(cvec, cvec) > 0),
+      |nz AS (SELECT * FROM v
+      |  WHERE list_inner_product(ivec, ivec) > 0
+      |  AND list_inner_product(ivec, ivec) < 'Infinity'::DOUBLE
+      |  AND list_inner_product(cvec, cvec) > 0
+      |  AND list_inner_product(cvec, cvec) < 'Infinity'::DOUBLE),
       |c AS (SELECT media_id,
       |    round(list_cosine_similarity(ivec, cvec), 6) AS align_cosine
       |  FROM nz)
-      |SELECT media_id, align_cosine, align_cosine >= 0.8 AS aligned
+      |SELECT media_id, align_cosine, align_cosine >= $m08Tau AS aligned
       |FROM c ORDER BY media_id""".stripMargin
 
   val all: Map[String, Q] = Map(

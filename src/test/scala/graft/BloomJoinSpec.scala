@@ -91,11 +91,13 @@ class BloomJoinSpec extends SparkSpec {
     val joins = opt.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.size == 1, s"expected 1 confirm join, got ${joins.size}")
-    // and its probe side is gated by the bloom predicate (element_at
-    // over the literal bitset), so bloom misses never enter it
+    // and its probe side is gated on the materialized bloom verdict
+    // (the gated batch is localCheckpointed, so the filter references
+    // the bloom_hit column, not the inlined bitset probe), so bloom
+    // misses never enter the join
     val gated = joins.head.left.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-        if f.condition.toString.contains("element_at") => f }
+        if f.condition.toString.contains("bloom_hit") => f }
     assert(gated.nonEmpty, s"confirm join probe side is not bloom-gated:\n$opt")
   }
 
