@@ -224,6 +224,59 @@ object TextAnalysis {
             s => s.getField("chunk_text")), " ").as("clean_text"))
   }
 
+  /** CROSS-DOCUMENT SEGMENT DEDUPLICATION — CCNet's paragraph-level
+    * dedup (Wenzek et al. 2020: hash every paragraph corpus-wide and
+    * keep exactly ONE copy), re-expressed over the same newline-free
+    * segmentation unit as [[boilerplateFilter]] (t24's window kernel at
+    * stride == cap; a line-structured corpus chunks on newlines
+    * instead). Complements t26: the boilerplate filter drops EVERY
+    * occurrence of a segment once its doc frequency clears a threshold,
+    * while this operator keeps the FIRST occurrence (min (doc_id,
+    * chunk_idx) — CCNet keeps one copy, so the corpus-wide token mass
+    * of each distinct segment is preserved exactly once) and drops
+    * every later repetition, rewriting each document from its surviving
+    * segments. An exact duplicate document therefore survives as its
+    * first copy and empties to `''` in every later copy.
+    *
+    * Output: (doc_id, n_segments, n_dropped, n_toks_kept, clean_text) —
+    * the t26 shape; documents with no tokens are absent (t24 contract).
+    *
+    * At scale: segmentation is map-only and MATERIALIZED ONCE
+    * (localCheckpoint — consumed by both the keeper branch and the
+    * join-back, the t19/t26 double-consumption shape); the keeper per
+    * segment hash is `min(struct(doc_id, chunk_idx))` — a map-side
+    * partial-aggregable min over HASH-ONLY rows (no window sort, no
+    * text on the keeper exchange); keepers join back by seg_h (shuffle
+    * equi-join — the keeper relation is corpus-sized, never broadcast)
+    * and one doc-keyed rebuild aggregate follows. Two text-bearing
+    * exchanges total, both corpus-proportional — identical to t26's
+    * budget. A 60-bit collision merges two segments' keeper choice
+    * IDENTICALLY on both engines (production widens to 128-bit). */
+  def segmentDedupFirst(df: DataFrame, textCol: String, idCol: String,
+                        segTokens: Int): DataFrame = {
+    val segs = tokenWindowChunks(df, textCol, idCol, segTokens, segTokens)
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        col("chunk_text"),
+        graft.functions.GraftFunctions.md5Long(col("chunk_text"))
+          .as("seg_h"))
+      .localCheckpoint(false)
+    val keepers = segs
+      .groupBy(col("seg_h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    val kept = col("doc_id") === col("keeper.doc_id") &&
+      col("chunk_idx") === col("keeper.chunk_idx")
+    segs.join(keepers, Seq("seg_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(!kept, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(kept, col("n_toks"))), lit(0L))
+          .as("n_toks_kept"),
+        array_join(transform(
+            array_sort(collect_list(
+              when(kept, struct(col("chunk_idx"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
+
   /** Containment decontamination — the directional complement of
     * [[ngramOverlap]]: containment(train, bench) = |shared shingles| /
     * |bench doc's shingles|. Jaccard misses an eval document EMBEDDED in

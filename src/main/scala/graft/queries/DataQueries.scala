@@ -2523,6 +2523,51 @@ object DataQueries {
        |    FILTER (seg_df < $bpMinDf), '') AS clean_text
        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** CROSS-DOC SEGMENT DEDUP, KEEP-FIRST (d24 —
+    * [[TextAnalysis.segmentDedupFirst]]): CCNet's paragraph-hash dedup
+    * (Wenzek et al. 2020 — one surviving copy per distinct paragraph
+    * corpus-wide) over the same $bpSegTokens-token segments as t26.
+    * The keeper of each segment hash is its FIRST occurrence in
+    * (doc_id, chunk_idx) order; every later occurrence drops and each
+    * document is rebuilt from its survivors — so t26's df≥3 families
+    * here keep exactly one copy (in the lowest doc) instead of zero,
+    * and exact-duplicate documents empty to `''` in all but the first.
+    * The oracle replays the same 60-bit md5 and picks keepers with a
+    * row_number window — engine-exact integers end to end.
+    *
+    * Scale shape: map-only segmentation materialized once; keeper =
+    * partial-aggregable min(struct) over hash-only rows (ONE exchange,
+    * no text, no window sort); keeper joins back by seg_h (shuffle
+    * equi-join); one doc-keyed rebuild. */
+  val d24SegmentDedup: Q = (s, dir) =>
+    TextAnalysis.segmentDedupFirst(Catalog(s, dir).documents,
+        "text", "doc_id", bpSegTokens)
+      .orderBy(col("doc_id"))
+
+  lazy val d24Sql: String =
+    s"""WITH $toksCte,
+       |nz AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+       |seg AS (SELECT doc_id, CAST(ci AS BIGINT) AS idx,
+       |  CAST(len(toks[ci*$bpSegTokens+1 : ci*$bpSegTokens+$bpSegTokens])
+       |    AS BIGINT) AS n_toks,
+       |  array_to_string(toks[ci*$bpSegTokens+1 : ci*$bpSegTokens+$bpSegTokens],
+       |    ' ') AS seg
+       |  FROM (SELECT doc_id, toks,
+       |    unnest(generate_series(0, (len(toks) - 1) // $bpSegTokens)) AS ci
+       |    FROM nz)),
+       |sh AS (SELECT doc_id, idx, n_toks, seg, ${h60("seg")} AS seg_h
+       |  FROM seg),
+       |k AS (SELECT doc_id, idx, n_toks, seg,
+       |  row_number() OVER (PARTITION BY seg_h ORDER BY doc_id, idx) AS rn
+       |  FROM sh)
+       |SELECT doc_id, count(*) AS n_segments,
+       |  CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped,
+       |  CAST(coalesce(sum(n_toks) FILTER (rn = 1), 0)
+       |    AS BIGINT) AS n_toks_kept,
+       |  coalesce(string_agg(seg, ' ' ORDER BY idx)
+       |    FILTER (rn = 1), '') AS clean_text
+       |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** RAG-INGEST SHARDING (e22 — the chunk→index join of the curation
     * DAG's RAG loop as a hash-checked query, VERDICT r12 next-#4):
     * every document is split by the t24 token-window kernel
@@ -3432,6 +3477,7 @@ object DataQueries {
     "t26_boilerplate" -> t26Boilerplate,
     "d22_quality_keeper" -> d22QualityKeeper,
     "d23_bloom_delta" -> d23BloomDelta,
+    "d24_segment_dedup" -> d24SegmentDedup,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
@@ -3513,6 +3559,7 @@ object DataQueries {
     "t26_boilerplate" -> t26Sql,
     "d22_quality_keeper" -> d22Sql,
     "d23_bloom_delta" -> d23Sql,
+    "d24_segment_dedup" -> d24Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,

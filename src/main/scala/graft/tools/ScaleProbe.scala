@@ -741,6 +741,19 @@ object ScaleProbe {
           segTokens = 4, minDocFreq = 3)
       }
     }
+    // d24 keep-first segment dedup: same exchange budget as t26
+    // (segment relation materialized once, ONE hash-only keeper
+    // aggregate instead of t26's df count, seg_h join-back, doc-keyed
+    // rebuild) — cost should track t26 near-exactly. The salted
+    // replicas share all pre-salt segments, so every family resolves
+    // to one keeper in the lowest replica and the drop path runs at
+    // volume (worst case for the join-back fan-out).
+    stage("segment_dedup") {
+      t(s"segment_dedup_${replicas}x") {
+        TextAnalysis.segmentDedupFirst(docs, "text", "doc_id",
+          segTokens = 4)
+      }
+    }
     // e23 hybrid RRF: the arms (BM25 top-50, brute-force cosine
     // top-50) carry all the data-dependent cost; the fusion itself is
     // a bounded ≤2·k-row join. Probing the composed query pins that

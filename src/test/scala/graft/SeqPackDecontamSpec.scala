@@ -316,4 +316,71 @@ class SeqPackDecontamSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  // ---------------------------------------------------------------
+  // segmentDedupFirst (d24) — CCNet keep-first segment dedup
+  // ---------------------------------------------------------------
+
+  test("segment dedup: first occurrence keeps, later copies drop; exact-dup doc empties; within-doc repeat drops") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),  // keeper of both segments
+      (2L, "a b c d x y z w"),  // "a b c d" drops (doc 1 keeps it)
+      (3L, "a b c d e f g h"),  // exact dup of 1 -> ''
+      (4L, "p q r s p q r s"),  // within-doc repeat: 2nd segment drops
+      (5L, "m n o")             // unique tail segment, kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .segmentDedupFirst(docs, "text", "doc_id", segTokens = 4)
+      .select("doc_id", "n_segments", "n_dropped", "n_toks_kept", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 0L, 8L, "a b c d e f g h"),
+      (2L, 2L, 1L, 4L, "x y z w"),
+      (3L, 2L, 2L, 0L, ""),
+      (4L, 2L, 1L, 4L, "p q r s"),
+      (5L, 1L, 0L, 3L, "m n o")), out.toString)
+  }
+
+  test("segment dedup vs boilerplate: one copy of every distinct segment survives corpus-wide; partitioning-invariant; no window sort on the keeper branch") {
+    val docsDf = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    def run(df: org.apache.spark.sql.DataFrame) = TextAnalysis
+      .segmentDedupFirst(df, "text", "doc_id", segTokens = 4)
+      .select("doc_id", "n_segments", "n_dropped", "n_toks_kept", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val out = run(docsDf)
+    assert(out.nonEmpty)
+    // CCNet invariant: total kept tokens == one copy of every distinct
+    // segment's tokens (keep-first preserves each segment's mass ONCE).
+    // Keeper = FIRST occurrence in (doc_id, chunk_idx) order, so the
+    // replay must fold in ascending doc_id (collect order is arbitrary).
+    val raw = docsDf.select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val segsOf = (t: String) => t.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).grouped(4).map(_.mkString(" ")).toVector
+    val allSegs = raw.flatMap { case (_, t) => segsOf(t) }
+    val distinctMass = allSegs.distinct
+      .map(_.split(" ").length.toLong).sum
+    assert(out.map(_._4).sum == distinctMass)
+    assert(out.map(_._2).sum == allSegs.size.toLong)
+    // first-occurrence replay, no Spark involved
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val ref = raw.flatMap { case (id, t) =>
+      val segs = segsOf(t)
+      if (segs.isEmpty) None else {
+        val kept = segs.filter(seen.add)
+        Some((id, segs.size.toLong, (segs.size - kept.size).toLong,
+          kept.map(_.split(" ").length.toLong).sum, kept.mkString(" ")))
+      }
+    }.sortBy(_._1)
+    assert(out == ref, s"first diff: ${out.zip(ref).find(p => p._1 != p._2)}")
+    assert(run(docsDf.repartition(7)) == out)
+    val plan = TextAnalysis
+      .segmentDedupFirst(docsDf, "text", "doc_id", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the keeper branch must be a partial-aggregable min, not a window
+    assert(!plan.contains("Window"), plan)
+  }
 }
