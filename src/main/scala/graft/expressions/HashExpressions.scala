@@ -84,6 +84,8 @@ object HashExpressions {
     Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
   def md5Min(strings: Column): Column =
     Bridge.column(Md5MinExpr(Bridge.expression(strings)))
+  def md5Set(strings: Column): Column =
+    Bridge.column(Md5SetExpr(Bridge.expression(strings)))
 }
 
 /** SimHash of a text (lowercased internally, so the SQL-registered form
@@ -291,6 +293,48 @@ case class Md5MinExpr(child: Expression)
     }
     if (!any) return null
     best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct sorted md5Long60 hashes of a string array — the canonical
+  * hashed-SET representation of a shingle array, built in one compiled
+  * pass (the per-element `transform(sh, g -> md5Long(g))` lambda is
+  * interpreted and re-dispatches per shingle — the MinHashSigExpr
+  * lesson). Sorting makes the representation canonical (set equality ==
+  * array equality) and ascending for merge-style consumers; a 60-bit
+  * collision merges two shingles IDENTICALLY on both engines because
+  * the oracle replays the same hash before its own distinct.
+  * Null elements are skipped; a null array stays null; an array with
+  * no non-null elements yields an EMPTY array (callers drop on size).
+  *
+  * Oracle twin: list_sort(list_distinct(list_transform(sh, g -> h60(g)))).
+  */
+case class Md5SetExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_md5_set"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = HashExpressions.localMd5.get()
+    val hs = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      if (u != null) hs.add(HashExpressions.md5Long60(md, u.getBytes))
+      i += 1
+    }
+    val out = new Array[Any](hs.size)
+    val it = hs.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

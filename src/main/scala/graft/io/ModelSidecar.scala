@@ -124,4 +124,58 @@ object ModelSidecar {
       Some(m)
     else None
   }
+
+  // --- logistic-distillation model (t28) — same contract as the NB
+  // sidecar: fit writes, any JVM's oracle builder reads, a stale
+  // content token forces a refit, a torn file reads as absent.
+
+  private val LrMagic = "graft-lr-v1"
+
+  def lrPath(dataDir: String): Path = {
+    val canon = Paths.get(dataDir).toAbsolutePath.normalize.toString
+    modelRoot.resolve(s"lr-${md5Hex(canon)}.model")
+  }
+
+  def writeLr(dataDir: String, m: graft.operators.TextAnalysis.LrModel): Unit = {
+    Files.createDirectories(modelRoot)
+    val sb = new StringBuilder
+    sb.append(LrMagic).append('\n')
+    sb.append("token ").append(dirToken(dataDir)).append('\n')
+    sb.append("iters ").append(m.iters).append('\n')
+    sb.append("b ").append(m.bNano).append('\n')
+    m.wNano.zipWithIndex.foreach { case (v, j) =>
+      sb.append("w ").append(j).append(' ').append(v).append('\n') }
+    val tmp = Files.createTempFile(modelRoot, "lr-", ".tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, lrPath(dataDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readLr(dataDir: String): Option[graft.operators.TextAnalysis.LrModel] = {
+    val p = lrPath(dataDir)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p)
+    if (lines.isEmpty || lines.get(0) != LrMagic) return None
+    var token = ""
+    var iters = 0
+    var b = 0L
+    val ws = scala.collection.mutable.SortedMap.empty[Int, Long]
+    try {
+      lines.forEach { line =>
+        line.split(" ", -1) match {
+          case Array("token", t) => token = t
+          case Array("iters", v) => iters = v.toInt
+          case Array("b", v) => b = v.toLong
+          case Array("w", j, v) => ws(j.toInt) = v.toLong
+          case _ => // magic / forward-compat: skip
+        }
+      }
+    } catch { case _: IllegalArgumentException | _: NumberFormatException =>
+      return None
+    }
+    if (token == dirToken(dataDir) &&
+        ws.keys.toSeq == (0 until ws.size) && ws.nonEmpty)
+      Some(graft.operators.TextAnalysis.LrModel(ws.values.toSeq, b, iters))
+    else None
+  }
 }

@@ -1185,4 +1185,217 @@ object Dedup {
       .select(col(idCol), col("fp"), col("bloom_hit"),
         (!col("dup")).as("is_new"))
   }
+
+  /** EXACT all-pairs set-cosine similarity join with lossless prefix
+    * filtering (Bayardo/Ma/Srikant WWW'07 "Scaling Up All Pairs
+    * Similarity Search"; the MapReduce form is Vernica/Carey/Li SIGMOD'10)
+    * — the exact complement of [[minhashPairs]]: LSH banding is
+    * probabilistic (a band miss loses a true pair), this operator
+    * returns EVERY pair with cos >= tau, guaranteed, the same
+    * losslessness contract as [[editDistancePairs]]'s q-gram blocking.
+    *
+    * Semantics: each doc is its DISTINCT word-`shingleN`-gram set
+    * (hashed to the 60-bit space — a collision merges two shingles
+    * identically on both engines); for sets, cos(x,y) =
+    * |x∩y| / sqrt(|x|·|y|). tau = tauNum/tauDen rational so EVERY
+    * decision is integer arithmetic: the pair gate is
+    * tauDen²·o² >= tauNum²·n1·n2 (o = overlap) — no float ever decides
+    * membership; the reported cos is quantized to nano AFTER the gate
+    * through exactly-rounded IEEE ops (sqrt/div/mul are correctly
+    * rounded in both engines, the d05 contract).
+    *
+    * Prefix-filter lemma (Xiao et al., PPJoin): under ANY global total
+    * order on set elements, if cos(x,y) >= tau then the first
+    * p(x) = |x| - ceil(tau²·|x|) + 1 elements of x and the first p(y)
+    * of y share an element (because o >= tau·sqrt(|x||y|) >=
+    * ceil(tau²·max(|x|,|y|))). Ordering by (corpus frequency asc,
+    * hash asc) makes prefix elements the RAREST, so candidate buckets
+    * stay small — the order is a bucket-size heuristic only;
+    * losslessness never uses what it means (the editJoinState lemma).
+    *
+    * At scale: the hashed-set base is built map-only in one compiled
+    * pass ([[graft.expressions.Md5SetExpr]]) and materialized once
+    * (localCheckpoint — consumed by the frequency/ranking branch AND
+    * both verify-side attach joins). The frequency relation is one
+    * groupBy keyed by shingle hash; prefix selection is one id-keyed
+    * window over shingle rows (the d15 shape); prefix elements with
+    * corpus frequency 1 are dropped BEFORE the self-join (they can
+    * only self-pair — pure pruning, and most of a natural corpus's
+    * shingle mass is df=1). Candidates stay SKINNY through the
+    * self-join and dedup as (id1, id2) BEFORE any array travels; the
+    * sets then attach by two id-keyed equi-joins and each surviving
+    * pair is verified EXACTLY ONCE. This is the opposite trade from
+    * [[editDistancePairs]] (which carries strings and verifies
+    * map-side per co-occurrence): a pair here co-occurs once per
+    * SHARED prefix element — O(prefix) duplication — and set
+    * intersection is O(n) with no early exit, so verify-once-per-pair
+    * beats verify-per-co-occurrence (measured 16x probe: 142 s
+    * carrying arrays through the join vs 9 s in this shape); d15's DP
+    * has early exit and bounded k·q+1 duplication, so the opposite
+    * choice wins there. At low tau prefixes approach n and the
+    * operator degrades toward all-pairs BY DESIGN (the threshold is
+    * the work knob). Exact-copy inflation is handled the d02/d04 way:
+    * compose with [[fingerprintReps]] to pair only distinct
+    * fingerprints and re-weight by copy counts.
+    *
+    * Output: (id1, id2, n1, n2, n_shared, cos_nano), one row per
+    * unordered pair with cos >= tau; docs with zero shingles never
+    * pair (t24 contract). */
+  def allPairsCosine(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    val t2n = tauNum.toLong * tauNum
+    val t2d = tauDen.toLong * tauDen
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        graft.expressions.HashExpressions
+          .md5Set(wordShingles(col(textCol), shingleN)).as("shs"))
+      .withColumn("n", size(col("shs")).cast(LongType))
+      .filter(col("n") > 0)
+      .localCheckpoint(false)
+    val ex = base.select(col("id"), explode(col("shs")).as("h"), col("n"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("hfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("hfreq"), col("h"))
+    // ceil(tau²·n) in exact integers; the floor's double round-trip is
+    // exact for |t2n·n + t2d - 1| < 2^53 (n < 2^49 even at tauDen=5)
+    val prefixLen = col("n") -
+      floor((lit(t2n) * col("n") + lit(t2d - 1)) / lit(t2d)) + lit(1)
+    val prefix = ex.join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      // a df=1 element can only pair a doc with itself — pure pruning
+      .filter(col("hfreq") >= 2)
+      .select("id", "h", "n")
+    val cand = prefix
+      .select(col("h"), col("id").as("id1"), col("n").as("n1"))
+      .join(prefix.select(col("h"), col("id").as("id2"),
+        col("n").as("n2")), Seq("h"))
+      .filter(col("id1") < col("id2"))
+      // size filter (implied by the gate; prunes before the dedup)
+      .filter(lit(t2d) * least(col("n1"), col("n2")) >=
+        lit(t2n) * greatest(col("n1"), col("n2")))
+      .select("id1", "id2")
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("shs").as("shs1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("shs").as("shs2"),
+        col("n").as("n2")), Seq("id2"))
+      .withColumn("n_shared",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .filter(lit(t2d) * col("n_shared") * col("n_shared") >=
+        lit(t2n) * col("n1") * col("n2"))
+      .withColumn("cos_nano", floor(col("n_shared").cast(DoubleType) /
+        sqrt((col("n1") * col("n2")).cast(DoubleType)) * lit(1e9) +
+        lit(0.5)).cast(LongType))
+      .select("id1", "id2", "n1", "n2", "n_shared", "cos_nano")
+  }
+
+  /** The FROZEN reference side of the all-pairs cosine join — the
+    * [[editJoinState]] pattern for set similarity: materialize once,
+    * link daily batches against it without re-deriving the corpus side.
+    *
+    *  - `freq`: the reference (h, hfreq) table — the FROZEN blocking
+    *    order (frequency asc, hash asc). Lossless under drift for the
+    *    same reason as editJoinState: the prefix lemma holds for ANY
+    *    total order as long as both sides of a pair use the SAME one;
+    *    frequency is only a bucket-size heuristic. Batch hashes absent
+    *    from the table take frequency 0 — rarer than anything seen —
+    *    and reference sets never contain them, so the combined order
+    *    restricted to either side is consistent.
+    *  - `prefix`: the reference prefix relation (h, id, n) — SKINNY
+    *    (no arrays; the delta attaches sets by id at verify time).
+    *    No df>=2 prune here: a reference hash unique in the REFERENCE
+    *    can still collide with a batch element.
+    *  - `base`: the reference hashed sets (id, shs, n) for the verify
+    *    attach join.
+    *
+    * All three are plain DataFrames — persist as warehouse tables. */
+  def allPairsCosineState(ref: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int, tauNum: Int, tauDen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    val t2n = tauNum.toLong * tauNum
+    val t2d = tauDen.toLong * tauDen
+    val base = ref.select(col(idCol).cast(LongType).as("id"),
+        graft.expressions.HashExpressions
+          .md5Set(wordShingles(col(textCol), shingleN)).as("shs"))
+      .withColumn("n", size(col("shs")).cast(LongType))
+      .filter(col("n") > 0)
+      .localCheckpoint(false)
+    val ex = base.select(col("id"), explode(col("shs")).as("h"), col("n"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("hfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("hfreq"), col("h"))
+    val prefixLen = col("n") -
+      floor((lit(t2n) * col("n") + lit(t2d - 1)) / lit(t2d)) + lit(1)
+    val prefix = ex.join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("h", "id", "n")
+    (freq, prefix, base)
+  }
+
+  /** Batch-vs-reference all-pairs cosine — the daily-crawl link step
+    * (the [[editDistancePairsDelta]] contract): every (ref, batch)
+    * pair with cos >= tau, lossless under the FROZEN reference order;
+    * batch-internal pairs are [[allPairsCosine]] on the batch alone
+    * (cheap at batch size), keeping per-tick cost proportional to the
+    * batch. Candidates stay skinny through the prefix join and dedup
+    * before any array travels; verification attaches both sides' sets
+    * by id and runs once per pair (the measured d25 shape).
+    *
+    * Output: (ref_id, batch_id, n_ref, n_batch, n_shared, cos_nano). */
+  def allPairsCosineDelta(batch: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int, tauNum: Int, tauDen: Int,
+                          freq: DataFrame, refPrefix: DataFrame,
+                          refBase: DataFrame): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    val t2n = tauNum.toLong * tauNum
+    val t2d = tauDen.toLong * tauDen
+    val bBase = batch.select(col(idCol).cast(LongType).as("id"),
+        graft.expressions.HashExpressions
+          .md5Set(wordShingles(col(textCol), shingleN)).as("shs"))
+      .withColumn("n", size(col("shs")).cast(LongType))
+      .filter(col("n") > 0)
+      .localCheckpoint(false)
+    val prefixLen = col("n") -
+      floor((lit(t2n) * col("n") + lit(t2d - 1)) / lit(t2d)) + lit(1)
+    // unseen hashes take reference frequency 0 — before every ranked
+    // hash, consistent with the frozen order (editJoinState contract)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(coalesce(col("hfreq"), lit(0L)), col("h"))
+    val bPrefix = bBase
+      .select(col("id"), explode(col("shs")).as("h"), col("n"))
+      .join(freq, Seq("h"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("h", "id", "n")
+    val cand = refPrefix
+      .select(col("h"), col("id").as("ref_id"), col("n").as("n_ref"))
+      .join(bPrefix.select(col("h"), col("id").as("batch_id"),
+        col("n").as("n_batch")), Seq("h"))
+      .filter(lit(t2d) * least(col("n_ref"), col("n_batch")) >=
+        lit(t2n) * greatest(col("n_ref"), col("n_batch")))
+      .select("ref_id", "batch_id")
+      .distinct()
+    cand
+      .join(refBase.select(col("id").as("ref_id"), col("shs").as("shs1"),
+        col("n").as("n_ref")), Seq("ref_id"))
+      .join(bBase.select(col("id").as("batch_id"), col("shs").as("shs2"),
+        col("n").as("n_batch")), Seq("batch_id"))
+      .withColumn("n_shared",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .filter(lit(t2d) * col("n_shared") * col("n_shared") >=
+        lit(t2n) * col("n_ref") * col("n_batch"))
+      .withColumn("cos_nano", floor(col("n_shared").cast(DoubleType) /
+        sqrt((col("n_ref") * col("n_batch")).cast(DoubleType)) * lit(1e9) +
+        lit(0.5)).cast(LongType))
+      .select("ref_id", "batch_id", "n_ref", "n_batch", "n_shared",
+        "cos_nano")
+  }
 }

@@ -1561,4 +1561,174 @@ object TextAnalysis {
         col("score_nano"),
         (col("label") === col("true_label")).as("is_correct"))
   }
+
+  // -------------------------------------------------------------------
+  // Logistic-regression rule distillation (t28)
+  // -------------------------------------------------------------------
+
+  /** A fitted binary linear classifier over the Gopher feature vector,
+    * as EFFECTIVE nano-quantized integer weights on the RAW integer
+    * features (standardization folded in at fit time): score_nano =
+    * wNano·x + bNano, predict score_nano >= 0. `wNano` is in
+    * [[lrFeatureNames]] order; both scoring paths (Spark and the
+    * DuckDB oracle) consume these integers verbatim — the t21 literal
+    * contract, with NO cross-engine float anywhere (the features are
+    * integers, the dot product is integer). */
+  final case class LrModel(wNano: Seq[Long], bNano: Long, iters: Int)
+
+  /** Feature order for [[LrModel.wNano]]: the seven quantities the
+    * Gopher rule battery thresholds, as exact integers (ratios in
+    * micro-units via floor(r*1e6+0.5) over the round(·,6) values the
+    * t13 gate already proves cross-engine equal). */
+  val lrFeatureNames: Seq[String] = Seq("n_words", "mwl_micro",
+    "sym_micro", "alpha_micro", "bullet_micro", "ellipsis_micro",
+    "n_stop_hits")
+
+  /** (doc_id, x = array of the 7 integer features, y = the Gopher
+    * verdict) — derived from [[gopherProfile]] so the label and every
+    * feature reuse the t13-gated arithmetic verbatim. */
+  def lrFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def micro(c: String): Column =
+      floor(col(c) * lit(1e6) + lit(0.5)).cast(LongType)
+    gopherProfile(df, textCol, idCol).select(col("doc_id"),
+      array(col("n_words"), micro("mean_word_len"), micro("symbol_ratio"),
+        micro("alpha_frac"), micro("bullet_frac"), micro("ellipsis_frac"),
+        col("n_stop_hits")).as("x"),
+      col("gopher_pass").cast(IntegerType).cast(DoubleType).as("y"))
+  }
+
+  /** DISTILL the Gopher rule battery into a linear model — the
+    * fastText/CCNet move (Wenzek et al. 2020 train a classifier to
+    * reproduce a curation signal, then deploy the cheap model): fit a
+    * ridge-regularized logistic regression on the corpus with the rule
+    * verdict as the label, by IRLS (Newton) — each iteration is ONE
+    * distributed aggregation producing the gradient and Hessian of the
+    * 8-parameter model; the d×d solve is driver-side on a
+    * constant-size matrix (the literal-contract collect).
+    *
+    * Bit-determinism across JVMs (the t21 refit contract): every
+    * distributed sum is accumulated in DECIMAL(38,18) — exact and
+    * order-independent under Spark's partial aggregation — so two fits
+    * of the same table produce identical doubles on the driver, and
+    * the nano-quantized literals match the sidecar from any JVM.
+    * Driver arithmetic is fixed-order; exp is the platform libm
+    * (deterministic within a platform; the sidecar pins cross-process
+    * agreement regardless).
+    *
+    * Standardization (computed from exact-decimal sums) conditions the
+    * Newton steps, then folds back into effective RAW-feature weights:
+    * wEff_j = w_j/sigma_j, bEff = b - sum(w_j mu_j / sigma_j); a
+    * zero-variance feature contributes nothing (wEff 0). Newton steps
+    * are inf-norm-clamped at 10 — near-separable labels (a rule
+    * conjunction often is) otherwise double the weights every step
+    * into sigmoid saturation.
+    *
+    * At scale: featurization is one map-only pass (the t13
+    * expressions), materialized once (localCheckpoint) as a SKINNY
+    * (y, x) relation; each of the `iters` jobs is a full-corpus
+    * map-side-combinable aggregation of 44 decimal sums (8 gradient +
+    * 36 upper-triangle Hessian entries) — no shuffle wider than one
+    * row of partials. Fit cost = iters × one scan of 9 numeric
+    * columns, independent of document text size. */
+  def logisticDistillFit(df: DataFrame, textCol: String, idCol: String,
+                         iters: Int = 8, ridge: Double = 1e-3): LrModel = {
+    val d = lrFeatureNames.size + 1 // + bias
+    val feats = lrFeatures(df, textCol, idCol)
+      .select(col("y"), col("x")).localCheckpoint(false)
+    val dec = DataTypes.createDecimalType(38, 18)
+    def exact(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+    // integer moments in DECIMAL(38,0): x_j² reaches ~1e16 per row, so
+    // scale-18 would overflow the sum at ~1e4 docs; scale 0 is exact
+    // for integers with 1e38 headroom
+    val dec0 = DataTypes.createDecimalType(38, 0)
+    def exactInt(c: Column): Column = sum(c.cast(dec0)).cast(DoubleType)
+    // standardization moments from exact integer sums
+    val mRow = feats.select(
+      (count(lit(1)).cast(DoubleType) ::
+        (0 until d - 1).map(j => exactInt(element_at(col("x"), j + 1)))
+          .toList :::
+        (0 until d - 1).map(j => exactInt(element_at(col("x"), j + 1) *
+          element_at(col("x"), j + 1))).toList): _*).head()
+    val nDocs = mRow.getDouble(0)
+    require(nDocs > 0, "logisticDistillFit: empty corpus")
+    val mu = Array.tabulate(d - 1)(j => mRow.getDouble(1 + j) / nDocs)
+    val sigma = Array.tabulate(d - 1) { j =>
+      val v = mRow.getDouble(d + j) / nDocs - mu(j) * mu(j)
+      if (v > 0) math.sqrt(v) else 1.0
+    }
+    // z_j as columns (z_bias = 1); rebuilt per iteration from literals
+    def zCol(j: Int): Column =
+      if (j == d - 1) lit(1.0)
+      else (element_at(col("x"), j + 1).cast(DoubleType) - lit(mu(j))) /
+        lit(sigma(j))
+    val w = Array.fill(d)(0.0)
+    for (_ <- 1 to iters) {
+      val margin = (0 until d).map(j => zCol(j) * lit(w(j))).reduce(_ + _)
+      // sigmoid via when(): exp(-t) overflows to Inf for very negative
+      // t and 1/Inf = 0.0 — correct, no NaN
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val r = p * (lit(1.0) - p)
+      val gCols = (0 until d).map(j => exact((p - col("y")) * zCol(j)))
+      val hCols = for { j <- 0 until d; k <- j until d }
+        yield exact(r * zCol(j) * zCol(k))
+      val row = feats.select((gCols ++ hCols): _*).head()
+      val g = Array.tabulate(d)(j => row.getDouble(j) + ridge * nDocs * w(j))
+      val h = Array.ofDim[Double](d, d)
+      var idx = d
+      for (j <- 0 until d; k <- j until d) {
+        h(j)(k) = row.getDouble(idx); h(k)(j) = row.getDouble(idx); idx += 1
+      }
+      for (j <- 0 until d) h(j)(j) += ridge * nDocs
+      val delta = solve(h, g)
+      val m = delta.map(math.abs).max
+      val s = if (m > 10.0) 10.0 / m else 1.0
+      for (j <- 0 until d) w(j) -= s * delta(j)
+    }
+    // fold standardization into effective raw-feature weights
+    val wEff = Array.tabulate(d - 1)(j => w(j) / sigma(j))
+    val bEff = w(d - 1) - (0 until d - 1).map(j => w(j) * mu(j) / sigma(j)).sum
+    def nano(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    LrModel(wEff.map(nano).toSeq, nano(bEff), iters)
+  }
+
+  /** Gaussian elimination with partial pivoting on a d×d system —
+    * driver-side, fixed operation order (bit-deterministic). */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double])
+      : Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until d) {
+      var piv = c
+      for (r <- c + 1 until d) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+      val tb = b(c); b(c) = b(piv); b(piv) = tb
+      require(a(c)(c) != 0.0, "singular system (ridge should prevent this)")
+      for (r <- c + 1 until d) {
+        val f = a(r)(c) / a(c)(c)
+        for (k <- c until d) a(r)(k) -= f * a(c)(k)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](d)
+    for (c <- d - 1 to 0 by -1) {
+      var s = b(c)
+      for (k <- c + 1 until d) s -= a(c)(k) * x(k)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
+  /** Score every document with the distilled literals: integer dot
+    * product on the integer features — map-only, no float anywhere in
+    * the gate. Output: (doc_id, score_nano, pred, label, correct). */
+  def logisticDistillScore(df: DataFrame, textCol: String, idCol: String,
+                           m: LrModel): DataFrame =
+    lrFeatures(df, textCol, idCol).select(col("doc_id"),
+        (m.wNano.zipWithIndex.map { case (wj, j) =>
+          lit(wj) * element_at(col("x"), j + 1)
+        }.reduce(_ + _) + lit(m.bNano)).as("score_nano"),
+        (col("y") > 0.5).as("label"))
+      .withColumn("pred", col("score_nano") >= 0L)
+      .withColumn("correct", col("pred") === col("label"))
+      .select("doc_id", "score_nano", "pred", "label", "correct")
 }

@@ -2368,6 +2368,91 @@ object DataQueries {
   def t23Sql: String =
     s"WITH ${nbLiteralCtes(nbModelLiteral(resolveOracleDir))},\n$nbConfusionSelect"
 
+  // --- t28 logistic distillation: same literal-delivery contract as
+  // the NB family (in-JVM memo → sidecar → fit-on-demand; never a
+  // replay fallback). The model is 8 integers, so the oracle inlines
+  // them directly into the scoring expression.
+
+  private val lrModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), TextAnalysis.LrModel]
+
+  private def fitLr(s: SparkSession, dir: String): TextAnalysis.LrModel =
+    TextAnalysis.logisticDistillFit(Catalog(s, dir).documents,
+      "text", "doc_id")
+
+  private[queries] def lrModel(s: SparkSession, dir: String): TextAnalysis.LrModel =
+    synchronized {
+      lrModels.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) lrModels.remove(kk)
+      }
+      lrModels.getOrElseUpdate((s, dir), {
+        val m = fitLr(s, dir)
+        graft.io.ModelSidecar.writeLr(dir, m)
+        m
+      })
+    }
+
+  private def lrModelLiteral(dir: String): TextAnalysis.LrModel =
+    lrModels.collectFirst {
+      case ((s, d), m) if d == dir && !s.sparkContext.isStopped => m
+    }.orElse(graft.io.ModelSidecar.readLr(dir)).getOrElse {
+      val live = SparkSession.getActiveSession
+        .filter(!_.sparkContext.isStopped)
+        .orElse(SparkSession.getDefaultSession
+          .filter(!_.sparkContext.isStopped))
+      val s = live.getOrElse(SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+      try {
+        val m = fitLr(s, dir)
+        graft.io.ModelSidecar.writeLr(dir, m)
+        m
+      } finally if (live.isEmpty) s.stop()
+    }
+
+  /** RULE DISTILLATION into a linear classifier (t28 —
+    * [[TextAnalysis.logisticDistillFit]]): the CCNet/fastText move —
+    * train a cheap model to reproduce an expensive curation signal —
+    * with the t13 Gopher verdict as the label and its seven measured
+    * quantities (as exact integers) as features. The fit is IRLS with
+    * exact-DECIMAL distributed sums (bit-deterministic across JVMs, so
+    * a refit can never disagree with the sidecar); the fitted weights
+    * are nano-quantized integer LITERALS, and scoring is an INTEGER
+    * dot product + sign on both engines — the entire query surface is
+    * float-free (stronger than t21, whose features were already
+    * integer counts but whose fit needed a ln audit). */
+  val t28LrDistill: Q = (s, dir) => {
+    val m = lrModel(s, dir)
+    TextAnalysis.logisticDistillScore(
+        Catalog(s, dir).documents.repartition(col("doc_id")),
+        "text", "doc_id", m)
+      .orderBy(col("doc_id"))
+  }
+
+  def t28Sql: String = {
+    val m = lrModelLiteral(resolveOracleDir)
+    val micro = (c: String) => s"CAST(floor($c * 1e6 + 0.5) AS BIGINT)"
+    val dot = TextAnalysis.lrFeatureNames.zip(m.wNano)
+      .map { case (f, w) => s"($w) * $f" }.mkString(" + ")
+    s"""WITH $gopherCtes,
+       |g AS (SELECT doc_id, n_words,
+       |  ${micro("mean_word_len")} AS mwl_micro,
+       |  ${micro("symbol_ratio")} AS sym_micro,
+       |  ${micro("alpha_frac")} AS alpha_micro,
+       |  ${micro("bullet_frac")} AS bullet_micro,
+       |  ${micro("ellipsis_frac")} AS ellipsis_micro,
+       |  n_stop_hits,
+       |  $gopherPassExpr AS label FROM f),
+       |sc AS (SELECT doc_id, (${m.bNano}) + $dot AS score_nano, label
+       |  FROM g)
+       |SELECT doc_id, score_nano, score_nano >= 0 AS pred, label,
+       |  (score_nano >= 0) = label AS correct
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   // the shared chunking trio (one definition — TextAnalysis)
   private val chunkCap = TextAnalysis.ChunkCap
   private val chunkStride = TextAnalysis.ChunkStride
@@ -2567,6 +2652,88 @@ object DataQueries {
        |  coalesce(string_agg(seg, ' ' ORDER BY idx)
        |    FILTER (rn = 1), '') AS clean_text
        |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** EXACT ALL-PAIRS COSINE (d25 — [[Dedup.allPairsCosine]]): the
+    * Bayardo WWW'07 prefix-filtered similarity join over the d04
+    * shingle space — every pair with set-cosine >= 3/5, GUARANTEED
+    * (lossless blocking, the d15 contract), vs d04's probabilistic
+    * LSH recall. The membership gate is pure integer arithmetic
+    * (tauDen²·o² >= tauNum²·n1·n2); the only floats are the REPORTED
+    * cos_nano, produced by exactly-rounded IEEE ops (sqrt/div/mul)
+    * identically on both engines. The oracle is the naive quadratic
+    * (every shared-hash pair, no blocking) — losslessness of the
+    * prefix filter is re-proven on real data every round. */
+  private val apcTauNum = 3
+  private val apcTauDen = 5
+
+  val d25AllPairsCosine: Q = (s, dir) =>
+    Dedup.allPairsCosine(Catalog(s, dir).documents, "text", "doc_id",
+        shingleN = 3, tauNum = apcTauNum, tauDen = apcTauDen)
+      .orderBy(col("id1"), col("id2"))
+
+  lazy val d25Sql: String = {
+    val t2n = apcTauNum * apcTauNum
+    val t2d = apcTauDen * apcTauDen
+    s"""WITH $toksCte,
+       |$shCte,
+       |hb AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
+       |    AS shs FROM base),
+       |hn AS (SELECT doc_id, shs, len(shs) AS n FROM hb),
+       |ex AS (SELECT doc_id, unnest(shs) AS h, n FROM hn),
+       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  a.n AS n1, b.n AS n2, count(*) AS o
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id1, id2, n1, n2, o AS n_shared,
+       |  CAST(floor(o / sqrt((n1*n2)::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+       |    AS cos_nano
+       |FROM p WHERE $t2d * o * o >= $t2n * n1 * n2
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** BATCH-VS-STATE COSINE LINK (d26 — [[Dedup.allPairsCosineDelta]]):
+    * the d20 shape for set similarity — an md5-deterministic 20% batch
+    * linked against the frozen 80% reference WITHOUT re-deriving the
+    * reference side ([[Dedup.allPairsCosineState]] materializes the
+    * frozen blocking order + prefix + sets once). The oracle is the
+    * naive batch×ref quadratic — frozen-order losslessness re-proven
+    * on real data every round. Same integer gate as d25. */
+  val d26CosineDelta: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val h = md5Long(col("doc_id").cast(StringType))
+    val ref = docs.filter(h % 5 =!= 1)
+    val batch = docs.filter(h % 5 === 1)
+    val (freq, prefix, base) = Dedup.allPairsCosineState(ref, "text",
+      "doc_id", shingleN = 3, tauNum = apcTauNum, tauDen = apcTauDen)
+    Dedup.allPairsCosineDelta(batch, "text", "doc_id",
+        shingleN = 3, tauNum = apcTauNum, tauDen = apcTauDen,
+        freq, prefix, base)
+      .orderBy(col("ref_id"), col("batch_id"))
+  }
+
+  lazy val d26Sql: String = {
+    val t2n = apcTauNum * apcTauNum
+    val t2d = apcTauDen * apcTauDen
+    s"""WITH $toksCte,
+       |$shCte,
+       |hb AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
+       |    AS shs FROM base),
+       |hn AS (SELECT doc_id, shs, len(shs) AS n,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} % 5 AS slot FROM hb),
+       |r AS (SELECT doc_id, shs, n FROM hn WHERE slot <> 1),
+       |b AS (SELECT doc_id, shs, n FROM hn WHERE slot = 1),
+       |p AS (SELECT r.doc_id AS ref_id, b.doc_id AS batch_id,
+       |  r.n AS n_ref, b.n AS n_batch,
+       |  len(list_intersect(r.shs, b.shs)) AS o
+       |  FROM r CROSS JOIN b)
+       |SELECT ref_id, batch_id, n_ref, n_batch, o AS n_shared,
+       |  CAST(floor(o / sqrt((n_ref*n_batch)::DOUBLE) * 1e9 + 0.5)
+       |    AS BIGINT) AS cos_nano
+       |FROM p WHERE $t2d * o * o >= $t2n * n_ref * n_batch
+       |ORDER BY ref_id, batch_id""".stripMargin
+  }
 
   /** RAG-INGEST SHARDING (e22 — the chunk→index join of the curation
     * DAG's RAG loop as a hash-checked query, VERDICT r12 next-#4):
@@ -2999,8 +3166,11 @@ object DataQueries {
         Catalog(s, dir).documents.repartition(col("doc_id")), "text", "doc_id")
       .orderBy(col("doc_id"))
 
-  val t13Sql: String =
-    """WITH rt AS (SELECT doc_id, text, list_filter(
+  /** The Gopher measurement CTE chain (rt → lns → m → f), shared by the
+    * t13 oracle and the t28 distillation oracle so the two can never
+    * drift (the d23/e24 shared-constant pattern). */
+  private val gopherCtes: String =
+    """rt AS (SELECT doc_id, text, list_filter(
       |  string_split_regex(text, '\s+'), t -> t <> '') AS rt FROM documents),
       |lns AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM documents),
       |m AS (SELECT r.doc_id,
@@ -3027,7 +3197,19 @@ object DataQueries {
       |    AS alpha_frac,
       |  round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
       |  round(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
-      |  n_stop_hits FROM m)
+      |  n_stop_hits FROM m)""".stripMargin
+
+  /** The Gopher conjunction over f's columns — one definition for the
+    * t13 verdict column and the t28 training label. */
+  private val gopherPassExpr: String =
+    """(n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+      |    AND n_stop_hits >= 2)""".stripMargin
+
+  val t13Sql: String =
+    s"""WITH $gopherCtes
       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
       |  bullet_frac, ellipsis_frac, n_stop_hits,
       |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
@@ -3037,11 +3219,7 @@ object DataQueries {
       |  (ellipsis_frac <= 0.3) AS pass_ellipsis,
       |  (alpha_frac >= 0.8) AS pass_alpha,
       |  (n_stop_hits >= 2) AS pass_stop,
-      |  (n_words >= 50 AND n_words <= 100000
-      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-      |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-      |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-      |    AND n_stop_hits >= 2) AS gopher_pass
+      |  $gopherPassExpr AS gopher_pass
       |FROM f ORDER BY doc_id""".stripMargin
 
   /** Bigram-backoff LM cross-entropy (t11's contract one order up):
@@ -3478,6 +3656,9 @@ object DataQueries {
     "d22_quality_keeper" -> d22QualityKeeper,
     "d23_bloom_delta" -> d23BloomDelta,
     "d24_segment_dedup" -> d24SegmentDedup,
+    "d25_allpairs_cosine" -> d25AllPairsCosine,
+    "t28_lr_distill" -> t28LrDistill,
+    "d26_cosine_delta" -> d26CosineDelta,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
@@ -3560,6 +3741,9 @@ object DataQueries {
     "d22_quality_keeper" -> d22Sql,
     "d23_bloom_delta" -> d23Sql,
     "d24_segment_dedup" -> d24Sql,
+    "d25_allpairs_cosine" -> d25Sql,
+    "t28_lr_distill" -> t28Sql,
+    "d26_cosine_delta" -> d26Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,

@@ -754,6 +754,69 @@ object ScaleProbe {
           segTokens = 4)
       }
     }
+    // t28 logistic distillation: fit = 1 moment job + 8 IRLS jobs,
+    // each ONE map-side-combinable scan of a 9-column skinny relation
+    // (featurization materialized once) — cost must be ~linear in the
+    // corpus with a small constant; scoring is map-only.
+    stage("lr_distill") {
+      t(s"lr_distill_${replicas}x") {
+        val m = graft.operators.TextAnalysis
+          .logisticDistillFit(docs, "text", "doc_id")
+        graft.operators.TextAnalysis
+          .logisticDistillScore(docs, "text", "doc_id", m)
+      }
+    }
+    // d25 exact all-pairs cosine: like minhash_pairs, time must track
+    // the TRUE pair output (every salted replica of a doc is a genuine
+    // near-dup of every other — the pair set grows quadratically in
+    // replicas per family BY CONSTRUCTION); the claim under test is
+    // that candidate generation stays prefix-bucket-confined (rarest
+    // shingles first) rather than corpus-quadratic.
+    stage("allpairs_cosine") {
+      t(s"allpairs_cosine_${replicas}x") {
+        Dedup.allPairsCosine(docs, "text", "doc_id",
+          shingleN = 3, tauNum = 3, tauDen = 5)
+      }
+    }
+    // d26 batch-vs-state cosine link: the state (frozen order + prefix
+    // + sets) is MATERIALIZED OUTSIDE the timed region (that is the
+    // operator's contract — a warehouse table built once); the timed
+    // tick links a FIXED ~1000-doc batch against state grown Nx.
+    // Width-5 shingles (the non-saturated regime, see allpairs_cosine5).
+    stage("cosine_delta") {
+      val stateDir = s"/tmp/graft_scale_apcstate_${replicas}x"
+      if (!new java.io.File(s"$stateDir/base/_SUCCESS").exists) {
+        val (f, p, b) = Dedup.allPairsCosineState(docs, "text", "doc_id",
+          shingleN = 5, tauNum = 3, tauDen = 5)
+        f.write.mode("overwrite").parquet(s"$stateDir/freq")
+        p.write.mode("overwrite").parquet(s"$stateDir/prefix")
+        b.write.mode("overwrite").parquet(s"$stateDir/base")
+      }
+      val freq = spark.read.parquet(s"$stateDir/freq")
+      val pfx = spark.read.parquet(s"$stateDir/prefix")
+      val sbase = spark.read.parquet(s"$stateDir/base")
+      val batch = base.filter(graft.functions.GraftFunctions
+        .md5Long(col("doc_id").cast(
+          org.apache.spark.sql.types.StringType)) % 5 === 1)
+      t(s"cosine_delta_${replicas}x") {
+        Dedup.allPairsCosineDelta(batch, "text", "doc_id",
+          shingleN = 5, tauNum = 3, tauDen = 5, freq, pfx, sbase)
+      }
+    }
+    // d25 in the SATURATED-feature-space regime vs the realistic one:
+    // this corpus draws every token from a 31-token pool, so the
+    // 3-shingle space caps at 31^3 ~ 30k — by 16x sf0.1 every shingle
+    // has df ~ 140 and "rarest-first" prefixes have nothing rare to
+    // pick (prefix buckets go quadratic; the algorithm's published
+    // premise is violated BY THE CORPUS, not the plan). Width-5
+    // shingles (31^5 ~ 28.6M space) restore genuine rarity — the
+    // regime a real web corpus is in at any scale.
+    stage("allpairs_cosine5") {
+      t(s"allpairs_cosine5_${replicas}x") {
+        Dedup.allPairsCosine(docs, "text", "doc_id",
+          shingleN = 5, tauNum = 3, tauDen = 5)
+      }
+    }
     // e23 hybrid RRF: the arms (BM25 top-50, brute-force cosine
     // top-50) carry all the data-dependent cost; the fusion itself is
     // a bounded ≤2·k-row join. Probing the composed query pins that
