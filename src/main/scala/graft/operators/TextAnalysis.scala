@@ -493,6 +493,41 @@ object TextAnalysis {
           col("pass_stop"))
   }
 
+  /** The Gopher rule names in [[gopherProfile]] flag-column order —
+    * shared by [[filterAblation]] and its oracle. */
+  val gopherRuleNames: Seq[(String, String)] = Seq(
+    "word_count" -> "pass_word_count", "mean_len" -> "pass_mean_len",
+    "symbol" -> "pass_symbol", "bullet" -> "pass_bullet",
+    "ellipsis" -> "pass_ellipsis", "alpha" -> "pass_alpha",
+    "stop" -> "pass_stop")
+
+  /** FILTER ABLATION REPORT over a [[gopherProfile]] output — the
+    * question a pipeline owner actually asks of a rule battery: what
+    * does each rule catch, and what does it catch ALONE (its marginal
+    * yield — the documents that would re-enter the kept set if only
+    * that rule were dropped). A rule with n_fail >> 0 but n_only == 0
+    * is fully shadowed by the others and can be removed without
+    * changing the corpus.
+    *
+    * Output: (rule, n_fail, n_only), one row per rule.
+    *
+    * At scale: one map-only 7-way struct explode of boolean-and-count
+    * rows (no text travels) into a 7-group aggregate — the exchange
+    * carries 7 skinny rows per document and the result is bounded by
+    * the rule count. */
+  def filterAblation(profile: DataFrame): DataFrame = {
+    val nFails = gopherRuleNames
+      .map { case (_, c) => when(!col(c), 1).otherwise(0) }.reduce(_ + _)
+    profile.withColumn("nf", nFails)
+      .select(explode(array(gopherRuleNames.map { case (r, c) =>
+        struct(lit(r).as("rule"), (!col(c)).as("fail"), col("nf").as("nf"))
+      }: _*)).as("e"))
+      .groupBy(col("e.rule").as("rule"))
+      .agg(sum(when(col("e.fail"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(col("e.fail") && col("e.nf") === 1, 1L).otherwise(0L))
+          .as("n_only"))
+  }
+
   /** Gopher's stopword list (the rule asks for >= 2 hits). */
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

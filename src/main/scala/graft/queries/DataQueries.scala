@@ -2453,6 +2453,47 @@ object DataQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-rule SQL pass predicates over f's columns, in
+    * [[TextAnalysis.gopherRuleNames]] order — the t29 oracle's arms
+    * (and the clauses [[gopherPassExpr]] conjoins). */
+  private val gopherRuleSql: Seq[(String, String)] = Seq(
+    "word_count" -> "(n_words >= 50 AND n_words <= 100000)",
+    "mean_len" -> "(mean_word_len >= 3.0 AND mean_word_len <= 10.0)",
+    "symbol" -> "(symbol_ratio <= 0.1)",
+    "bullet" -> "(bullet_frac <= 0.9)",
+    "ellipsis" -> "(ellipsis_frac <= 0.3)",
+    "alpha" -> "(alpha_frac >= 0.8)",
+    "stop" -> "(n_stop_hits >= 2)")
+
+  /** FILTER ABLATION (t29 — [[TextAnalysis.filterAblation]]): per
+    * Gopher rule, what it catches and what it catches ALONE (the
+    * marginal yield of the rule — the pipeline-owner question behind
+    * every "can we drop this filter" review). Pure integer counts over
+    * the t13-gated flags. */
+  val t29FilterAblation: Q = (s, dir) =>
+    TextAnalysis.filterAblation(TextAnalysis.gopherProfile(
+        Catalog(s, dir).documents, "text", "doc_id"))
+      .orderBy(col("rule"))
+
+  lazy val t29Sql: String = {
+    val fails = gopherRuleSql.map { case (r, p) =>
+      s"NOT $p AS x_$r" }.mkString(",\n  ")
+    val nf = gopherRuleSql.map { case (_, p) =>
+      s"CAST(NOT $p AS INT)" }.mkString(" + ")
+    val arms = gopherRuleSql.map { case (r, _) =>
+      s"SELECT '$r' AS rule, x_$r AS fail, nf FROM fl" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $gopherCtes,
+       |fl AS (SELECT doc_id,
+       |  $fails,
+       |  $nf AS nf FROM f),
+       |u AS (
+       |  $arms)
+       |SELECT rule, CAST(count(*) FILTER (fail) AS BIGINT) AS n_fail,
+       |  CAST(count(*) FILTER (fail AND nf = 1) AS BIGINT) AS n_only
+       |FROM u GROUP BY 1 ORDER BY rule""".stripMargin
+  }
+
   // the shared chunking trio (one definition — TextAnalysis)
   private val chunkCap = TextAnalysis.ChunkCap
   private val chunkStride = TextAnalysis.ChunkStride
@@ -3659,6 +3700,7 @@ object DataQueries {
     "d25_allpairs_cosine" -> d25AllPairsCosine,
     "t28_lr_distill" -> t28LrDistill,
     "d26_cosine_delta" -> d26CosineDelta,
+    "t29_filter_ablation" -> t29FilterAblation,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
@@ -3744,6 +3786,7 @@ object DataQueries {
     "d25_allpairs_cosine" -> d25Sql,
     "t28_lr_distill" -> t28Sql,
     "d26_cosine_delta" -> d26Sql,
+    "t29_filter_ablation" -> t29Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,

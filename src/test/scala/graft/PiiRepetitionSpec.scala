@@ -35,6 +35,37 @@ class PiiRepetitionSpec extends SparkSpec {
     assert(!flag(out(7), "pass_stop"))
   }
 
+  test("filterAblation: n_fail and marginal n_only match a flag-level replay; shadowed rules report n_only 0") {
+    val fiftyGood = (Seq.fill(12)("the cat sat with") ++ Seq("and", "end"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, fiftyGood),                              // passes everything
+      // 5 ### among 55 words: symbol 15/55 > 0.1 but alpha 50/55 >= 0.8
+      (2L, fiftyGood + " " + Seq.fill(5)("###").mkString(" ")),  // symbol only
+      (3L, Seq.fill(50)("word").mkString(" ")),     // stop only
+      (4L, "short"),                                // word_count AND stop (short, no stopwords)
+      (5L, fiftyGood + " " + Seq.fill(5)("###").mkString(" "))  // symbol only again
+    ).toDF("doc_id", "text")
+    val prof = TextAnalysis.gopherProfile(docs, "text", "doc_id")
+    val out = TextAnalysis.filterAblation(prof)
+      .select("rule", "n_fail", "n_only")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == TextAnalysis.gopherRuleNames.map(_._1).toSet)
+    // flag-level sequential replay, no Spark
+    val flags = prof.collect().map { r =>
+      TextAnalysis.gopherRuleNames.map { case (_, c) =>
+        !r.getBoolean(r.fieldIndex(c)) }
+    }
+    TextAnalysis.gopherRuleNames.map(_._1).zipWithIndex.foreach { case (rule, i) =>
+      val nFail = flags.count(_(i))
+      val nOnly = flags.count(f => f(i) && f.count(identity) == 1)
+      assert(out(rule) == (nFail, nOnly), s"$rule: ${out(rule)} vs ($nFail,$nOnly)")
+    }
+    assert(out("symbol") == (2L, 2L))
+    assert(out("stop")._2 == 1L)      // doc 3 alone; doc 4 shadowed by word_count
+    assert(out("word_count")._2 == 0L) // doc 4 also fails stop -> not alone
+  }
+
   test("gopherProfile: map-only plan; empty text yields zeroed fields") {
     val docs = Seq((1L, ""), (2L, "the cat with and of that be to have sat"))
       .toDF("doc_id", "text")
