@@ -1248,26 +1248,13 @@ object Dedup {
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     val t2n = tauNum.toLong * tauNum
     val t2d = tauDen.toLong * tauDen
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-        graft.expressions.HashExpressions
-          .md5Set(wordShingles(col(textCol), shingleN)).as("shs"))
-      .withColumn("n", size(col("shs")).cast(LongType))
-      .filter(col("n") > 0)
-      .localCheckpoint(false)
-    val ex = base.select(col("id"), explode(col("shs")).as("h"), col("n"))
-    val freq = ex.groupBy("h").agg(count(lit(1)).as("hfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("hfreq"), col("h"))
-    // ceil(tau²·n) in exact integers; the floor's double round-trip is
-    // exact for |t2n·n + t2d - 1| < 2^53 (n < 2^49 even at tauDen=5)
-    val prefixLen = col("n") -
-      floor((lit(t2n) * col("n") + lit(t2d - 1)) / lit(t2d)) + lit(1)
-    val prefix = ex.join(freq, Seq("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixLen)
-      // a df=1 element can only pair a doc with itself — pure pruning
+    val base = hashedShingleSets(df, textCol, idCol, shingleN)
+    val freq = base.select(explode(col("shs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hfreq"))
+    // a df=1 element can only pair a doc with itself — pure pruning
+    val prefix = rarestFirstPrefix(base, freq, t2n, t2d, frozen = false)
       .filter(col("hfreq") >= 2)
-      .select("id", "h", "n")
+      .select("h", "id", "n")
     val cand = prefix
       .select(col("h"), col("id").as("id1"), col("n").as("n1"))
       .join(prefix.select(col("h"), col("id").as("id2"),
@@ -1291,6 +1278,44 @@ object Dedup {
         sqrt((col("n1") * col("n2")).cast(DoubleType)) * lit(1e9) +
         lit(0.5)).cast(LongType))
       .select("id1", "id2", "n1", "n2", "n_shared", "cos_nano")
+  }
+
+  /** (id, shs = sorted distinct 60-bit shingle hashes, n) — the hashed
+    * set representation the cosine family shares, materialized once
+    * (localCheckpoint: every caller consumes it at least twice). */
+  private def hashedShingleSets(df: DataFrame, textCol: String,
+                                idCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+        graft.expressions.HashExpressions
+          .md5Set(wordShingles(col(textCol), shingleN)).as("shs"))
+      .withColumn("n", size(col("shs")).cast(LongType))
+      .filter(col("n") > 0)
+      .localCheckpoint(false)
+
+  /** The rarest-first prefix of each hashed set: the first
+    * n - ceil(tau²·n) + 1 elements under the (frequency asc, hash asc)
+    * total order that `freq` defines. `frozen = true` looks the order
+    * up in a FROZEN reference table (left join; unseen hashes take
+    * frequency 0 — rarer than anything seen); `frozen = false` expects
+    * every element present (the self-derived order). The ceil is exact
+    * integer arithmetic; the floor's double round-trip is exact for
+    * |t2n·n + t2d - 1| < 2^53 (n < 2^49 even at tauDen=5). */
+  private def rarestFirstPrefix(base: DataFrame, freq: DataFrame,
+                                t2n: Long, t2d: Long,
+                                frozen: Boolean): DataFrame = {
+    val ex = base.select(col("id"), explode(col("shs")).as("h"), col("n"))
+    val joined =
+      if (frozen)
+        ex.join(freq, Seq("h"), "left_outer")
+          .withColumn("hfreq", coalesce(col("hfreq"), lit(0L)))
+      else ex.join(freq, Seq("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("hfreq"), col("h"))
+    val prefixLen = col("n") -
+      floor((lit(t2n) * col("n") + lit(t2d - 1)) / lit(t2d)) + lit(1)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("h", "id", "n", "hfreq")
   }
 
   /** The FROZEN reference side of the all-pairs cosine join — the
@@ -1320,23 +1345,30 @@ object Dedup {
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     val t2n = tauNum.toLong * tauNum
     val t2d = tauDen.toLong * tauDen
-    val base = ref.select(col(idCol).cast(LongType).as("id"),
-        graft.expressions.HashExpressions
-          .md5Set(wordShingles(col(textCol), shingleN)).as("shs"))
-      .withColumn("n", size(col("shs")).cast(LongType))
-      .filter(col("n") > 0)
-      .localCheckpoint(false)
-    val ex = base.select(col("id"), explode(col("shs")).as("h"), col("n"))
-    val freq = ex.groupBy("h").agg(count(lit(1)).as("hfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("hfreq"), col("h"))
-    val prefixLen = col("n") -
-      floor((lit(t2n) * col("n") + lit(t2d - 1)) / lit(t2d)) + lit(1)
-    val prefix = ex.join(freq, Seq("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixLen)
+    val base = hashedShingleSets(ref, textCol, idCol, shingleN)
+    val freq = base.select(explode(col("shs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hfreq"))
+    val prefix = rarestFirstPrefix(base, freq, t2n, t2d, frozen = false)
       .select("h", "id", "n")
     (freq, prefix, base)
+  }
+
+  /** A batch's contribution to the frozen cosine state: its hashed
+    * sets and its prefix UNDER the frozen order — what a streaming
+    * tick appends to `base`/`prefix` so later batches link against
+    * this one too. Shares the hashed-set materialization with
+    * [[allPairsCosineDeltaPre]] — compute once, use for both. */
+  def allPairsCosineAppend(batch: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int, tauNum: Int, tauDen: Int,
+                           freq: DataFrame): (DataFrame, DataFrame) = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    val t2n = tauNum.toLong * tauNum
+    val t2d = tauDen.toLong * tauDen
+    val bBase = hashedShingleSets(batch, textCol, idCol, shingleN)
+    val bPrefix = rarestFirstPrefix(bBase, freq, t2n, t2d, frozen = true)
+      .select("h", "id", "n")
+    (bBase, bPrefix)
   }
 
   /** Batch-vs-reference all-pairs cosine — the daily-crawl link step
@@ -1353,28 +1385,24 @@ object Dedup {
                           shingleN: Int, tauNum: Int, tauDen: Int,
                           freq: DataFrame, refPrefix: DataFrame,
                           refBase: DataFrame): DataFrame = {
+    val (bBase, bPrefix) = allPairsCosineAppend(batch, textCol, idCol,
+      shingleN, tauNum, tauDen, freq)
+    allPairsCosineDeltaPre(bBase, bPrefix, tauNum, tauDen,
+      refPrefix, refBase)
+  }
+
+  /** The cross link on PRE-BUILT batch relations (from
+    * [[allPairsCosineAppend]]) — the streaming tick's entry point: the
+    * tick appends (bBase, bPrefix) to the state anyway, so the hashed
+    * sets are computed exactly once per document ever. */
+  def allPairsCosineDeltaPre(bBase: DataFrame, bPrefix: DataFrame,
+                             tauNum: Int, tauDen: Int,
+                             refPrefix: DataFrame,
+                             refBase: DataFrame): DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     val t2n = tauNum.toLong * tauNum
     val t2d = tauDen.toLong * tauDen
-    val bBase = batch.select(col(idCol).cast(LongType).as("id"),
-        graft.expressions.HashExpressions
-          .md5Set(wordShingles(col(textCol), shingleN)).as("shs"))
-      .withColumn("n", size(col("shs")).cast(LongType))
-      .filter(col("n") > 0)
-      .localCheckpoint(false)
-    val prefixLen = col("n") -
-      floor((lit(t2n) * col("n") + lit(t2d - 1)) / lit(t2d)) + lit(1)
-    // unseen hashes take reference frequency 0 — before every ranked
-    // hash, consistent with the frozen order (editJoinState contract)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(coalesce(col("hfreq"), lit(0L)), col("h"))
-    val bPrefix = bBase
-      .select(col("id"), explode(col("shs")).as("h"), col("n"))
-      .join(freq, Seq("h"), "left_outer")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixLen)
-      .select("h", "id", "n")
     val cand = refPrefix
       .select(col("h"), col("id").as("ref_id"), col("n").as("n_ref"))
       .join(bPrefix.select(col("h"), col("id").as("batch_id"),
