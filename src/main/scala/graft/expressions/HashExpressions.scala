@@ -323,17 +323,26 @@ case class Md5SetExpr(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val md = HashExpressions.localMd5.get()
-    val hs = new java.util.TreeSet[java.lang.Long]()
+    // primitive buffer + sort + in-place dedup scan: zero boxing on the
+    // per-shingle path (a TreeSet would allocate a boxed node per hash)
+    val buf = new Array[Long](n)
+    var m = 0
     var i = 0
     while (i < n) {
       val u = arr.getUTF8String(i)
-      if (u != null) hs.add(HashExpressions.md5Long60(md, u.getBytes))
+      if (u != null) { buf(m) = HashExpressions.md5Long60(md, u.getBytes); m += 1 }
       i += 1
     }
-    val out = new Array[Any](hs.size)
-    val it = hs.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    java.util.Arrays.sort(buf, 0, m)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    val out = new Array[Any](w)
+    i = 0
+    while (i < w) { out(i) = buf(i); i += 1 }
     new GenericArrayData(out)
   }
 

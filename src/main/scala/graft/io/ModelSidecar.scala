@@ -173,8 +173,12 @@ object ModelSidecar {
     } catch { case _: IllegalArgumentException | _: NumberFormatException =>
       return None
     }
+    // the weight VECTOR LENGTH is part of the format: a sidecar from a
+    // build with a different feature list must read as absent (refit),
+    // not silently zip-truncate against lrFeatureNames downstream
     if (token == dirToken(dataDir) &&
-        ws.keys.toSeq == (0 until ws.size) && ws.nonEmpty)
+        ws.size == graft.operators.TextAnalysis.lrFeatureNames.size &&
+        ws.keys.toSeq == (0 until ws.size))
       Some(graft.operators.TextAnalysis.LrModel(ws.values.toSeq, b, iters))
     else None
   }

@@ -1244,11 +1244,19 @@ object Dedup {
   def allPairsCosine(df: DataFrame, textCol: String, idCol: String,
                      shingleN: Int, tauNum: Int, tauDen: Int): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    allPairsCosinePre(hashedShingleSets(df, textCol, idCol, shingleN),
+      tauNum, tauDen)
+  }
+
+  /** [[allPairsCosine]] on a PRE-BUILT hashed-set base (from
+    * [[allPairsCosineAppend]]) — the streaming tick's internal-pair
+    * step, so a batch's sets are hashed once ever. */
+  def allPairsCosinePre(base: DataFrame, tauNum: Int, tauDen: Int)
+      : DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     val t2n = tauNum.toLong * tauNum
     val t2d = tauDen.toLong * tauDen
-    val base = hashedShingleSets(df, textCol, idCol, shingleN)
     val freq = base.select(explode(col("shs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("hfreq"))
     // a df=1 element can only pair a doc with itself — pure pruning

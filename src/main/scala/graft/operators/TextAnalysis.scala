@@ -1672,18 +1672,22 @@ object TextAnalysis {
       .select(col("y"), col("x")).localCheckpoint(false)
     val dec = DataTypes.createDecimalType(38, 18)
     def exact(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
-    // integer moments in DECIMAL(38,0): x_j² reaches ~1e16 per row, so
-    // scale-18 would overflow the sum at ~1e4 docs; scale 0 is exact
-    // for integers with 1e38 headroom
+    // integer moments in DECIMAL(38,0): scale 0 is exact for integers
+    // with 1e38 headroom. The SQUARE must also happen in decimal space:
+    // a single junk mega-token (one 1e6-char "word") puts mwl_micro at
+    // ~1e12, whose LongType square (~1e24) silently wraps — so cast
+    // BEFORE multiplying, never square the long
     val dec0 = DataTypes.createDecimalType(38, 0)
     def exactInt(c: Column): Column = sum(c.cast(dec0)).cast(DoubleType)
+    def exactIntSq(c: Column): Column =
+      sum(c.cast(dec0) * c.cast(dec0)).cast(DoubleType)
     // standardization moments from exact integer sums
     val mRow = feats.select(
       (count(lit(1)).cast(DoubleType) ::
         (0 until d - 1).map(j => exactInt(element_at(col("x"), j + 1)))
           .toList :::
-        (0 until d - 1).map(j => exactInt(element_at(col("x"), j + 1) *
-          element_at(col("x"), j + 1))).toList): _*).head()
+        (0 until d - 1).map(j => exactIntSq(element_at(col("x"), j + 1)))
+          .toList): _*).head()
     val nDocs = mRow.getDouble(0)
     require(nDocs > 0, "logisticDistillFit: empty corpus")
     val mu = Array.tabulate(d - 1)(j => mRow.getDouble(1 + j) / nDocs)

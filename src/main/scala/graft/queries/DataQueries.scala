@@ -2139,14 +2139,56 @@ object DataQueries {
 
   private val nbVocab = 300
 
-  /** One collected NB model per (session, sf dir) — same memoization
-    * contract as [[kmModel]]. Every fit is ALSO persisted to the
-    * [[graft.io.ModelSidecar]] keyed by the data dir, so [[t21Sql]]'s
-    * literal oracle can be built from ANY JVM in ANY order (the r12
-    * driver miss: the oracle dump ran in a fresh JVM where the in-JVM
-    * cache was empty and the hazard replay SQL silently shipped). */
-  private val nbModels = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), TextAnalysis.NbModel]
+  /** Literal-delivery plumbing shared by every fitted-model family
+    * (the VERDICT r12 next-#1 contract, factored once for NB and LR —
+    * a third family instantiates it rather than copying the session
+    * dance): one collected model per (session, sf dir) with
+    * stopped-session eviction — the [[kmModel]] memo contract — and
+    * every fit ALSO persisted to the [[graft.io.ModelSidecar]] keyed
+    * by the data dir, so the literal oracles can be built from ANY JVM
+    * in ANY order (the r12 driver miss: the oracle dump ran in a fresh
+    * JVM where the in-JVM cache was empty and the hazard replay SQL
+    * silently shipped). `literal`'s resolution chain: live in-JVM fit
+    * → token-checked sidecar → fit NOW (on a live session, else a
+    * short-lived local one). Exhausting the chain throws — never a
+    * silent fallback. */
+  private final class LiteralModels[M](
+      fit: (SparkSession, String) => M,
+      write: (String, M) => Unit,
+      read: String => Option[M]) {
+    private val memo = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), M]
+    def forQuery(s: SparkSession, dir: String): M = synchronized {
+      memo.keys.foreach { case kk @ (sess, _) =>
+        if (sess.sparkContext.isStopped) memo.remove(kk)
+      }
+      memo.getOrElseUpdate((s, dir), {
+        val m = fit(s, dir)
+        write(dir, m) // persist for cross-JVM oracle dumps
+        m
+      })
+    }
+    def literal(dir: String): M =
+      memo.collectFirst {
+        case ((s, d), m) if d == dir && !s.sparkContext.isStopped => m
+      }.orElse(read(dir)).getOrElse {
+        val live = SparkSession.getActiveSession
+          .filter(!_.sparkContext.isStopped)
+          .orElse(SparkSession.getDefaultSession
+            .filter(!_.sparkContext.isStopped))
+        val s = live.getOrElse(SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate())
+        try {
+          val m = fit(s, dir)
+          write(dir, m)
+          m
+        } finally if (live.isEmpty) s.stop() // we created it; don't leak
+      }
+  }
   // which sf dir the NEXT oracle dump describes — set by Verify before
   // dumping (a single @volatile last-model var would inline whichever
   // dir's model was fitted LAST into the oracle; a JVM sweeping two sf
@@ -2174,46 +2216,16 @@ object DataQueries {
       pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L)
     TextAnalysis.naiveBayesFitLiterals(sample, "text", "lang", nbVocab)
   }
+  private val nbLiterals = new LiteralModels[TextAnalysis.NbModel](
+    fitNb, graft.io.ModelSidecar.writeNb, graft.io.ModelSidecar.readNb)
   private[queries] def nbModel(s: SparkSession, dir: String): TextAnalysis.NbModel =
-    synchronized {
-      nbModels.keys.foreach { case kk @ (sess, _) =>
-        if (sess.sparkContext.isStopped) nbModels.remove(kk)
-      }
-      nbModels.getOrElseUpdate((s, dir), {
-        val m = fitNb(s, dir)
-        // persist for cross-JVM oracle dumps (VERDICT r12 next-#1)
-        graft.io.ModelSidecar.writeNb(dir, m)
-        m
-      })
-    }
-  /** The literal model for the oracle, with NO runtime-state dependency:
-    * in-JVM fit for the dir if the query already ran here → sidecar file
-    * from a prior run (content-token-checked against the on-disk table,
-    * so a regenerated corpus can never ship stale literals) → fit NOW
-    * (the sample fit is seconds at verification scale; reuses a live
-    * session or builds a local one). Failure THROWS — the silent
+    nbLiterals.forQuery(s, dir)
+  /** The literal model for the oracle, with NO runtime-state dependency
+    * ([[LiteralModels.literal]]'s chain; failure THROWS — the silent
     * replay-SQL fallback whose libm hazard caused the r11/r12 misses is
-    * deleted. */
+    * deleted). */
   private def nbModelLiteral(dir: String): TextAnalysis.NbModel =
-    nbModels.collectFirst {
-      case ((s, d), m) if d == dir && !s.sparkContext.isStopped => m
-    }.orElse(graft.io.ModelSidecar.readNb(dir)).getOrElse {
-      val live = SparkSession.getActiveSession
-        .filter(!_.sparkContext.isStopped)
-        .orElse(SparkSession.getDefaultSession
-          .filter(!_.sparkContext.isStopped))
-      val s = live.getOrElse(SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate())
-      try {
-        val m = fitNb(s, dir)
-        graft.io.ModelSidecar.writeNb(dir, m)
-        m
-      } finally if (live.isEmpty) s.stop() // we created it; don't leak
-    }
+    nbLiterals.literal(dir)
 
   /** Multinomial Naive Bayes language classifier
     * ([[TextAnalysis.naiveBayesFit]] / [[TextAnalysis.naiveBayesClassify]]):
@@ -2373,45 +2385,16 @@ object DataQueries {
   // replay fallback). The model is 8 integers, so the oracle inlines
   // them directly into the scoring expression.
 
-  private val lrModels = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), TextAnalysis.LrModel]
-
   private def fitLr(s: SparkSession, dir: String): TextAnalysis.LrModel =
     TextAnalysis.logisticDistillFit(Catalog(s, dir).documents,
       "text", "doc_id")
 
+  private val lrLiterals = new LiteralModels[TextAnalysis.LrModel](
+    fitLr, graft.io.ModelSidecar.writeLr, graft.io.ModelSidecar.readLr)
   private[queries] def lrModel(s: SparkSession, dir: String): TextAnalysis.LrModel =
-    synchronized {
-      lrModels.keys.foreach { case kk @ (sess, _) =>
-        if (sess.sparkContext.isStopped) lrModels.remove(kk)
-      }
-      lrModels.getOrElseUpdate((s, dir), {
-        val m = fitLr(s, dir)
-        graft.io.ModelSidecar.writeLr(dir, m)
-        m
-      })
-    }
-
+    lrLiterals.forQuery(s, dir)
   private def lrModelLiteral(dir: String): TextAnalysis.LrModel =
-    lrModels.collectFirst {
-      case ((s, d), m) if d == dir && !s.sparkContext.isStopped => m
-    }.orElse(graft.io.ModelSidecar.readLr(dir)).getOrElse {
-      val live = SparkSession.getActiveSession
-        .filter(!_.sparkContext.isStopped)
-        .orElse(SparkSession.getDefaultSession
-          .filter(!_.sparkContext.isStopped))
-      val s = live.getOrElse(SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate())
-      try {
-        val m = fitLr(s, dir)
-        graft.io.ModelSidecar.writeLr(dir, m)
-        m
-      } finally if (live.isEmpty) s.stop()
-    }
+    lrLiterals.literal(dir)
 
   /** RULE DISTILLATION into a linear classifier (t28 —
     * [[TextAnalysis.logisticDistillFit]]): the CCNet/fastText move —
@@ -2452,18 +2435,6 @@ object DataQueries {
        |  (score_nano >= 0) = label AS correct
        |FROM sc ORDER BY doc_id""".stripMargin
   }
-
-  /** Per-rule SQL pass predicates over f's columns, in
-    * [[TextAnalysis.gopherRuleNames]] order — the t29 oracle's arms
-    * (and the clauses [[gopherPassExpr]] conjoins). */
-  private val gopherRuleSql: Seq[(String, String)] = Seq(
-    "word_count" -> "(n_words >= 50 AND n_words <= 100000)",
-    "mean_len" -> "(mean_word_len >= 3.0 AND mean_word_len <= 10.0)",
-    "symbol" -> "(symbol_ratio <= 0.1)",
-    "bullet" -> "(bullet_frac <= 0.9)",
-    "ellipsis" -> "(ellipsis_frac <= 0.3)",
-    "alpha" -> "(alpha_frac >= 0.8)",
-    "stop" -> "(n_stop_hits >= 2)")
 
   /** FILTER ABLATION (t29 — [[TextAnalysis.filterAblation]]): per
     * Gopher rule, what it catches and what it catches ALONE (the
@@ -3240,28 +3211,35 @@ object DataQueries {
       |  round(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
       |  n_stop_hits FROM m)""".stripMargin
 
+  /** Per-rule SQL pass predicates over f's columns, in
+    * [[TextAnalysis.gopherRuleNames]] order — the ONE list every
+    * Gopher-derived oracle builds from: t13's flag columns and verdict,
+    * t28's training label, and t29's ablation arms all derive from it,
+    * so a threshold change cannot drift between them. */
+  private val gopherRuleSql: Seq[(String, String)] = Seq(
+    "word_count" -> "(n_words >= 50 AND n_words <= 100000)",
+    "mean_len" -> "(mean_word_len >= 3.0 AND mean_word_len <= 10.0)",
+    "symbol" -> "(symbol_ratio <= 0.1)",
+    "bullet" -> "(bullet_frac <= 0.9)",
+    "ellipsis" -> "(ellipsis_frac <= 0.3)",
+    "alpha" -> "(alpha_frac >= 0.8)",
+    "stop" -> "(n_stop_hits >= 2)")
+
   /** The Gopher conjunction over f's columns — one definition for the
     * t13 verdict column and the t28 training label. */
   private val gopherPassExpr: String =
-    """(n_words >= 50 AND n_words <= 100000
-      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-      |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-      |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-      |    AND n_stop_hits >= 2)""".stripMargin
+    gopherRuleSql.map(_._2).mkString("(", " AND ", ")")
 
-  val t13Sql: String =
+  val t13Sql: String = {
+    val flags = gopherRuleSql
+      .map { case (r, p) => s"$p AS pass_$r" }.mkString(",\n  ")
     s"""WITH $gopherCtes
       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
       |  bullet_frac, ellipsis_frac, n_stop_hits,
-      |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
-      |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
-      |  (symbol_ratio <= 0.1) AS pass_symbol,
-      |  (bullet_frac <= 0.9) AS pass_bullet,
-      |  (ellipsis_frac <= 0.3) AS pass_ellipsis,
-      |  (alpha_frac >= 0.8) AS pass_alpha,
-      |  (n_stop_hits >= 2) AS pass_stop,
+      |  $flags,
       |  $gopherPassExpr AS gopher_pass
       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** Bigram-backoff LM cross-entropy (t11's contract one order up):
     * model from the same 5% md5 sample, top-1000 unigrams + top-2000

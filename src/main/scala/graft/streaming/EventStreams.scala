@@ -500,8 +500,8 @@ object EventStreams {
               when(col("ref_id") < col("batch_id"), col("n_batch"))
                 .otherwise(col("n_ref")).as("n2"),
               col("n_shared"), col("cos_nano"))
-          val internal = graft.operators.Dedup.allPairsCosine(
-            batch.toDF(), textCol, idCol, shingleN, tauNum, tauDen)
+          val internal = graft.operators.Dedup.allPairsCosinePre(
+            bBase, tauNum, tauDen)
           graft.pipeline.Pipeline.mergeIntoParquet(spark, pairsPath,
             cross.unionByName(internal), Seq("id1", "id2"))
           graft.pipeline.Pipeline.mergeIntoParquet(spark,

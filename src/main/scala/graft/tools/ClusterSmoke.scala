@@ -137,7 +137,17 @@ object ClusterSmoke {
     "d23_bloom_delta", "m08_caption_align", "t27_ce_diff",
     // e24: the sweep's persisted candidate relation + 4 re-windows and
     // the integer-ppm aggregate built from executor partials
-    "e24_recall_sweep")
+    "e24_recall_sweep",
+    // round-13 session-3 additions: keep-first segment dedup (min-struct
+    // keeper from executor partials + collect_list reassembly), the
+    // prefix-filtered exact cosine join (corpus-frequency order built
+    // from partials + skinny candidate distinct across JVMs) and its
+    // frozen-state delta, the IRLS distillation (exact-decimal gradient
+    // partials MUST agree across executor boundaries — the
+    // bit-determinism contract under real multi-JVM partial aggregation),
+    // and the filter-ablation explode+aggregate
+    "d24_segment_dedup", "d25_allpairs_cosine", "d26_cosine_delta",
+    "t28_lr_distill", "t29_filter_ablation")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
