@@ -1379,6 +1379,36 @@ object Dedup {
     (bBase, bPrefix)
   }
 
+  /** SHINGLE NOVELTY against a frozen reference — how much of each
+    * batch document the reference has NEVER seen (Lee et al. 2022's
+    * memorization/duplication lens; the per-document complement of the
+    * d09/d10 decontamination joins, and the metric that tunes them):
+    * novelty_ppm = 1e6 · (unseen shingles) div (distinct shingles),
+    * exact integer division end to end. `refFreq` is the d26 state's
+    * frozen (h, hfreq) table — the novelty scorer rides the same
+    * warehouse relation the cosine link already maintains, so a
+    * curation DAG gets this metric for one extra join.
+    *
+    * At scale: one shingle-hash-keyed left join (the reference side is
+    * a distinct-hash relation, broadcastable when the reference
+    * vocabulary is bounded) + one doc-keyed count-sum — no arrays
+    * travel, no window. Docs with zero shingles are absent (the t24
+    * contract).
+    *
+    * Output: (doc_id, n_shingles, n_seen, novelty_ppm). */
+  def noveltyScores(batch: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int, refFreq: DataFrame): DataFrame = {
+    val b = hashedShingleSets(batch, textCol, idCol, shingleN)
+    b.select(col("id"), explode(col("shs")).as("h"))
+      .join(refFreq.select(col("h"), lit(1L).as("seen")),
+        Seq("h"), "left_outer")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("seen")), lit(0L)).as("n_seen"))
+      .withColumn("novelty_ppm",
+        expr("1000000 * (n_shingles - n_seen) div n_shingles"))
+  }
+
   /** Batch-vs-reference all-pairs cosine — the daily-crawl link step
     * (the [[editDistancePairsDelta]] contract): every (ref, batch)
     * pair with cos >= tau, lossless under the FROZEN reference order;

@@ -2747,6 +2747,38 @@ object DataQueries {
        |ORDER BY ref_id, batch_id""".stripMargin
   }
 
+  /** SHINGLE NOVELTY vs the frozen reference (t30 —
+    * [[Dedup.noveltyScores]]): per batch document, the ppm of its
+    * distinct shingles the d26 reference has never seen — the
+    * memorization/contamination lens over the SAME frozen (h, hfreq)
+    * state the cosine link maintains (built here from the same 80%
+    * slice). Exact integer division end to end. */
+  val t30NoveltyScore: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val h = md5Long(col("doc_id").cast(StringType))
+    val (freq, _, _) = Dedup.allPairsCosineState(docs.filter(h % 5 =!= 1),
+      "text", "doc_id", shingleN = 3, tauNum = apcTauNum,
+      tauDen = apcTauDen)
+    Dedup.noveltyScores(docs.filter(h % 5 === 1), "text", "doc_id",
+        shingleN = 3, freq)
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t30Sql: String =
+    s"""WITH $toksCte,
+       |$shCte,
+       |hb AS (SELECT doc_id,
+       |  list_distinct(list_transform(sh, g -> ${h60("g")})) AS shs,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} % 5 AS slot FROM base),
+       |refh AS (SELECT DISTINCT unnest(shs) AS h FROM hb WHERE slot <> 1),
+       |bx AS (SELECT doc_id, unnest(shs) AS h FROM hb WHERE slot = 1),
+       |j AS (SELECT b.doc_id, count(*) AS n_shingles,
+       |  CAST(count(*) FILTER (r.h IS NOT NULL) AS BIGINT) AS n_seen
+       |  FROM bx b LEFT JOIN refh r ON b.h = r.h GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_seen,
+       |  1000000 * (n_shingles - n_seen) // n_shingles AS novelty_ppm
+       |FROM j ORDER BY doc_id""".stripMargin
+
   /** RAG-INGEST SHARDING (e22 — the chunk→index join of the curation
     * DAG's RAG loop as a hash-checked query, VERDICT r12 next-#4):
     * every document is split by the t24 token-window kernel
@@ -3679,6 +3711,7 @@ object DataQueries {
     "t28_lr_distill" -> t28LrDistill,
     "d26_cosine_delta" -> d26CosineDelta,
     "t29_filter_ablation" -> t29FilterAblation,
+    "t30_novelty_score" -> t30NoveltyScore,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
@@ -3765,6 +3798,7 @@ object DataQueries {
     "t28_lr_distill" -> t28Sql,
     "d26_cosine_delta" -> d26Sql,
     "t29_filter_ablation" -> t29Sql,
+    "t30_novelty_score" -> t30Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,

@@ -147,7 +147,9 @@ object ClusterSmoke {
     // bit-determinism contract under real multi-JVM partial aggregation),
     // and the filter-ablation explode+aggregate
     "d24_segment_dedup", "d25_allpairs_cosine", "d26_cosine_delta",
-    "t28_lr_distill", "t29_filter_ablation")
+    "t28_lr_distill", "t29_filter_ablation",
+    // novelty ppm: frozen-reference left join + per-doc count/sum
+    "t30_novelty_score")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -158,4 +158,48 @@ class AllPairsCosineSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) ==
       Set((1L, 10L), (2L, 10L), (1L, 12L), (2L, 12L)), got.toString)
   }
+
+  // ---------------------------------------------------------------
+  // novelty scoring against the frozen reference (t30)
+  // ---------------------------------------------------------------
+
+  test("noveltyScores: hand case, exact integer ppm, zero-shingle docs absent; matches a set replay on the real corpus") {
+    val ref = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val (freq, _, _) =
+      Dedup.allPairsCosineState(ref, "text", "doc_id", 1, 3, 5)
+    val batch = Seq(
+      (10L, "a b x"),   // 2 of 3 seen -> 333333 ppm
+      (11L, "a b c"),   // all seen -> 0
+      (12L, "p q r"),   // none seen -> 1000000
+      (13L, "")         // no shingles -> absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(batch, "text", "doc_id", 1, freq)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 3L, 2L, 333333L), (11L, 3L, 3L, 0L),
+      (12L, 3L, 0L, 1000000L)), got.toString)
+    // real corpus: replay with plain Scala sets over the same shingles
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val h = graft.functions.GraftFunctions
+      .md5Long(col("doc_id").cast("string"))
+    val refDf = docs.filter(h % 5 =!= 1)
+    val batchDf = docs.filter(h % 5 === 1)
+    val (rf, _, _) =
+      Dedup.allPairsCosineState(refDf, "text", "doc_id", 3, 3, 5)
+    val out = Dedup.noveltyScores(batchDf, "text", "doc_id", 3, rf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          graft.expressions.HashExpressions
+            .md5Set(Dedup.wordShingles(col("text"), 3)).as("shs"))
+        .as[(Long, Seq[Long])].collect()
+    val refSet = sets(refDf).flatMap(_._2).toSet
+    val expect = sets(batchDf).filter(_._2.nonEmpty).map { case (id, shs) =>
+      val seen = shs.count(refSet.contains).toLong
+      (id, shs.size.toLong, seen,
+        1000000L * (shs.size - seen) / shs.size)
+    }.sortBy(_._1).toSeq
+    assert(out == expect)
+    assert(out.exists(_._4 > 0L) && out.exists(_._4 < 1000000L),
+      s"novelty should be non-degenerate: ${out.map(_._4).distinct}")
+  }
 }
