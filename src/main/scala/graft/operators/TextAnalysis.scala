@@ -277,6 +277,59 @@ object TextAnalysis {
             s => s.getField("chunk_text")), " ").as("clean_text"))
   }
 
+  /** DELTA form of [[segmentDedupFirst]] — keep-first segment dedup of
+    * a BATCH against the segment registry of everything already
+    * ingested (streaming CCNet: the crawl's paragraph-hash table is
+    * accreted tick by tick; a segment survives in the first document,
+    * ever, that carried it). A batch segment drops if its hash is in
+    * `seenSegs` (one `seg_h` column — the registry) OR a smaller
+    * (doc_id, chunk_idx) in the SAME batch carries it; documents
+    * rebuild from survivors. Returns (cleaned, newSegs): append
+    * `newSegs` (the batch's first-occurrence hashes, one row per new
+    * hash) to the registry and the fold equals [[segmentDedupFirst]]
+    * on everything ever seen, restricted to batch docs — provided
+    * batches arrive in keeper order (the registry stores no
+    * (doc,idx), so cross-tick "first" means first-ARRIVED; the d02
+    * keeper-stable contract, stated on [[Dedup.mergeFingerprintRepState]]).
+    *
+    * At scale: segmentation is map-only, materialized once; the
+    * registry probe is one hash-keyed left join (no text on the state
+    * side — the registry is a single-column relation); the within-batch
+    * keeper is the same hash-only min(struct) as the static form; the
+    * per-tick cost is batch-proportional.
+    *
+    * Output `cleaned`: the [[segmentDedupFirst]] shape. */
+  def segmentDedupDelta(batch: DataFrame, textCol: String, idCol: String,
+                        segTokens: Int, seenSegs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val segs = tokenWindowChunks(batch, textCol, idCol, segTokens, segTokens)
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        col("chunk_text"),
+        graft.functions.GraftFunctions.md5Long(col("chunk_text"))
+          .as("seg_h"))
+      .join(seenSegs.select(col("seg_h"), lit(true).as("in_state")),
+        Seq("seg_h"), "left_outer")
+      .withColumn("in_state", coalesce(col("in_state"), lit(false)))
+      .localCheckpoint(false)
+    val keepers = segs.filter(!col("in_state"))
+      .groupBy(col("seg_h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    val kept = !col("in_state") &&
+      col("doc_id") === col("keeper.doc_id") &&
+      col("chunk_idx") === col("keeper.chunk_idx")
+    val cleaned = segs.join(keepers, Seq("seg_h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(!kept, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(kept, col("n_toks"))), lit(0L))
+          .as("n_toks_kept"),
+        array_join(transform(
+            array_sort(collect_list(
+              when(kept, struct(col("chunk_idx"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " ").as("clean_text"))
+    (cleaned, keepers.select("seg_h"))
+  }
+
   /** Containment decontamination — the directional complement of
     * [[ngramOverlap]]: containment(train, bench) = |shared shingles| /
     * |bench doc's shingles|. Jaccard misses an eval document EMBEDDED in

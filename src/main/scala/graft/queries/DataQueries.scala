@@ -2779,6 +2779,55 @@ object DataQueries {
        |  1000000 * (n_shingles - n_seen) // n_shingles AS novelty_ppm
        |FROM j ORDER BY doc_id""".stripMargin
 
+  /** DELTA SEGMENT DEDUP (d27 — [[TextAnalysis.segmentDedupDelta]]):
+    * the streaming-CCNet tick as a hash-checked query — the 20% batch
+    * cleaned against the 80% reference's segment-hash registry (one
+    * single-column relation) plus within-batch keep-first, documents
+    * rebuilt from survivors. The oracle replays the registry as an IN
+    * subquery and the within-batch keeper as a row_number window —
+    * engine-exact integers and strings end to end. */
+  val d27SegmentDelta: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val h = md5Long(col("doc_id").cast(StringType))
+    val seen = TextAnalysis.tokenWindowChunks(docs.filter(h % 5 =!= 1),
+        "text", "doc_id", bpSegTokens, bpSegTokens)
+      .select(md5Long(col("chunk_text")).as("seg_h"))
+      .distinct()
+    TextAnalysis.segmentDedupDelta(docs.filter(h % 5 === 1),
+        "text", "doc_id", bpSegTokens, seen)._1
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val d27Sql: String =
+    s"""WITH $toksCte,
+       |nz AS (SELECT doc_id, toks,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} % 5 AS slot
+       |  FROM toks WHERE len(toks) > 0),
+       |seg AS (SELECT doc_id, slot, CAST(ci AS BIGINT) AS idx,
+       |  CAST(len(toks[ci*$bpSegTokens+1 : ci*$bpSegTokens+$bpSegTokens])
+       |    AS BIGINT) AS n_toks,
+       |  array_to_string(toks[ci*$bpSegTokens+1 : ci*$bpSegTokens+$bpSegTokens],
+       |    ' ') AS s
+       |  FROM (SELECT doc_id, toks, slot,
+       |    unnest(generate_series(0, (len(toks) - 1) // $bpSegTokens)) AS ci
+       |    FROM nz)),
+       |sh AS (SELECT doc_id, slot, idx, n_toks, s, ${h60("s")} AS seg_h
+       |  FROM seg),
+       |ref AS (SELECT DISTINCT seg_h FROM sh WHERE slot <> 1),
+       |k AS (SELECT doc_id, idx, n_toks, s,
+       |  seg_h IN (SELECT seg_h FROM ref) AS in_state,
+       |  row_number() OVER (PARTITION BY seg_h ORDER BY doc_id, idx) AS rn
+       |  FROM sh WHERE slot = 1),
+       |f AS (SELECT doc_id, idx, n_toks, s,
+       |  (NOT in_state AND rn = 1) AS kept FROM k)
+       |SELECT doc_id, count(*) AS n_segments,
+       |  CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_dropped,
+       |  CAST(coalesce(sum(n_toks) FILTER (kept), 0)
+       |    AS BIGINT) AS n_toks_kept,
+       |  coalesce(string_agg(s, ' ' ORDER BY idx)
+       |    FILTER (kept), '') AS clean_text
+       |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** RAG-INGEST SHARDING (e22 — the chunk→index join of the curation
     * DAG's RAG loop as a hash-checked query, VERDICT r12 next-#4):
     * every document is split by the t24 token-window kernel
@@ -3712,6 +3761,7 @@ object DataQueries {
     "d26_cosine_delta" -> d26CosineDelta,
     "t29_filter_ablation" -> t29FilterAblation,
     "t30_novelty_score" -> t30NoveltyScore,
+    "d27_segment_delta" -> d27SegmentDelta,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
@@ -3799,6 +3849,7 @@ object DataQueries {
     "d26_cosine_delta" -> d26Sql,
     "t29_filter_ablation" -> t29Sql,
     "t30_novelty_score" -> t30Sql,
+    "d27_segment_delta" -> d27Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,

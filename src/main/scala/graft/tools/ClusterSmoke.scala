@@ -149,7 +149,10 @@ object ClusterSmoke {
     "d24_segment_dedup", "d25_allpairs_cosine", "d26_cosine_delta",
     "t28_lr_distill", "t29_filter_ablation",
     // novelty ppm: frozen-reference left join + per-doc count/sum
-    "t30_novelty_score")
+    "t30_novelty_score",
+    // delta segment dedup: registry probe + hash-only keeper +
+    // collect_list rebuild across executor JVMs
+    "d27_segment_delta")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -766,6 +766,27 @@ object ScaleProbe {
           .logisticDistillScore(docs, "text", "doc_id", m)
       }
     }
+    // d27 delta segment dedup: the registry (single-column hash
+    // relation from the Nx corpus) is a warehouse table built outside
+    // the tick; the timed tick cleans a FIXED ~1000-doc batch — cost
+    // must be batch-proportional, with the registry probe the only
+    // state-size-dependent term (a hash-keyed join).
+    stage("segment_delta") {
+      val regDir = s"/tmp/graft_scale_segreg_${replicas}x"
+      if (!new java.io.File(s"$regDir/_SUCCESS").exists)
+        TextAnalysis.tokenWindowChunks(docs, "text", "doc_id", 4, 4)
+          .select(graft.functions.GraftFunctions
+            .md5Long(col("chunk_text")).as("seg_h"))
+          .distinct()
+          .write.mode("overwrite").parquet(regDir)
+      val seen = spark.read.parquet(regDir)
+      val batch = base.filter(graft.functions.GraftFunctions
+        .md5Long(col("doc_id").cast(
+          org.apache.spark.sql.types.StringType)) % 5 === 1)
+      t(s"segment_delta_${replicas}x") {
+        TextAnalysis.segmentDedupDelta(batch, "text", "doc_id", 4, seen)._1
+      }
+    }
     // d25 exact all-pairs cosine: like minhash_pairs, time must track
     // the TRUE pair output (every salted replica of a doc is a genuine
     // near-dup of every other — the pair set grows quadratically in

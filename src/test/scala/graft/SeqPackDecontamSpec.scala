@@ -383,4 +383,64 @@ class SeqPackDecontamSpec extends SparkSpec {
     // the keeper branch must be a partial-aggregable min, not a window
     assert(!plan.contains("Window"), plan)
   }
+
+  // ---------------------------------------------------------------
+  // segmentDedupDelta (d27) — streaming-CCNet keep-first across ticks
+  // ---------------------------------------------------------------
+
+  private def emptyRegistry = Seq.empty[Long].toDF("seg_h")
+
+  test("segment delta: registry hit drops, within-batch keep-first, registry grows by first occurrences only") {
+    val ref = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val seen = graft.operators.TextAnalysis
+      .tokenWindowChunks(ref, "text", "doc_id", 4, 4)
+      .select(graft.functions.GraftFunctions
+        .md5Long(col("chunk_text")).as("seg_h")).distinct()
+    val batch = Seq(
+      (10L, "a b c d w x y z"),  // 1st seg in registry -> drops
+      (11L, "w x y z p q r s"),  // "w x y z" kept in 10 -> drops here
+      (12L, "a b c d")           // fully in registry -> ''
+    ).toDF("doc_id", "text")
+    val (cleaned, newSegs) = graft.operators.TextAnalysis
+      .segmentDedupDelta(batch, "text", "doc_id", 4, seen)
+    val out = cleaned
+      .select("doc_id", "n_segments", "n_dropped", "n_toks_kept", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, 2L, 1L, 4L, "w x y z"),
+      (11L, 2L, 1L, 4L, "p q r s"),
+      (12L, 1L, 1L, 0L, "")), out.toString)
+    // new registry rows: exactly the batch's first-occurrence hashes
+    assert(newSegs.count() == 2) // "w x y z" and "p q r s"
+    assert(newSegs.join(seen, Seq("seg_h")).count() == 0,
+      "registry hashes must not re-enter")
+  }
+
+  test("segment delta fold over id-ordered ticks from an empty registry == the static keep-first") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val ticks = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1)))
+    var seen = emptyRegistry
+    val folded = ticks.flatMap { t =>
+      val (cleaned, newSegs) = graft.operators.TextAnalysis
+        .segmentDedupDelta(t, "text", "doc_id", 4, seen)
+      // materialize BEFORE the registry advances (a tick's output must
+      // not see later state through lazy evaluation)
+      val rows = cleaned
+        .select("doc_id", "n_segments", "n_dropped", "n_toks_kept", "clean_text")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      seen = seen.unionByName(newSegs).distinct().localCheckpoint(true)
+      rows
+    }.sortBy(_._1)
+    val static = graft.operators.TextAnalysis
+      .segmentDedupFirst(docs, "text", "doc_id", 4)
+      .select("doc_id", "n_segments", "n_dropped", "n_toks_kept", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(folded == static,
+      s"first diff: ${folded.zip(static).find(p => p._1 != p._2)}")
+  }
 }
