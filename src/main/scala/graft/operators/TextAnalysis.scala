@@ -1650,6 +1650,52 @@ object TextAnalysis {
         (col("label") === col("true_label")).as("is_correct"))
   }
 
+  /** EPOCH MIXTURE MATERIALIZATION — the step after t10's mixture
+    * REPORT: turn temperature-scaled language targets into a concrete
+    * per-document repeat plan for one training epoch (XLM's alpha=0.5
+    * smoothing, Lample & Conneau 2019 — chosen over mT5's 0.3 because
+    * sqrt is IEEE-exactly-rounded, so the whole pipeline stays
+    * engine-exact: w = floor(sqrt(n_lang)·1e9 + 0.5) nano-integers,
+    * then every division is integer ppm).
+    *
+    *   p_ppm(l)     = 1e6·w(l) div Σw        (the alpha-smoothed target)
+    *   share_ppm(l) = 1e6·n(l) div N         (the corpus share)
+    *   boost_ppm(l) = 1e6·p_ppm div share_ppm (per-doc repeat factor ×1e6)
+    *   n_repeats    = boost div 1e6 + (md5(seed|id) mod 1e6 < boost mod 1e6)
+    *
+    * The fractional part is DERANDOMIZED stochastic rounding: each doc
+    * flips a deterministic md5 coin, so Σ repeats per language tracks
+    * the target in expectation with zero RNG state (the d19/t15 sample
+    * contract) and the oracle replays every coin exactly.
+    *
+    * At scale: one lang-keyed count (map-side combinable), the bounded
+    * per-lang plan (|langs| rows) broadcast back onto the corpus, and
+    * one map-only projection for the coin — no corpus-sized shuffle.
+    *
+    * Output: (doc_id, lang, boost_ppm, n_repeats). */
+  def epochMixPlan(df: DataFrame, langCol: String, idCol: String,
+                   seed: Int): DataFrame = {
+    val counts = df.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n"))
+    val plan = counts
+      .withColumn("w_nano",
+        floor(sqrt(col("n").cast(DoubleType)) * lit(1e9) + lit(0.5))
+          .cast(LongType))
+      .withColumn("p_ppm",
+        expr("1000000 * w_nano div sum(w_nano) over ()"))
+      .withColumn("share_ppm", expr("1000000 * n div sum(n) over ()"))
+      .withColumn("boost_ppm", expr("1000000 * p_ppm div share_ppm"))
+      .select("lang", "boost_ppm")
+    df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(broadcast(plan), Seq("lang"))
+      .withColumn("coin", pmod(md5Long(
+        col("doc_id").cast(StringType), seed), lit(1000000L)))
+      .select(col("doc_id"), col("lang"), col("boost_ppm"),
+        (expr("boost_ppm div 1000000") +
+          when(col("coin") < pmod(col("boost_ppm"), lit(1000000L)), 1L)
+            .otherwise(0L)).as("n_repeats"))
+  }
+
   // -------------------------------------------------------------------
   // Logistic-regression rule distillation (t28)
   // -------------------------------------------------------------------

@@ -3216,6 +3216,33 @@ object DataQueries {
       |  round(smoothed / all_smoothed, 6) AS mix_weight
       |FROM sm, tot ORDER BY source NULLS FIRST""".stripMargin
 
+  /** EPOCH MIXTURE MATERIALIZATION (t31 — [[TextAnalysis.epochMixPlan]]):
+    * t10 reports mixture weights; this materializes the epoch — XLM
+    * alpha=0.5 temperature targets turned into a per-document integer
+    * repeat plan with derandomized stochastic rounding (an md5 coin per
+    * doc, replayed exactly by the oracle). sqrt is IEEE-exactly-rounded
+    * and everything after it is integer ppm, so the gate is float-free. */
+  val t31EpochMix: Q = (s, dir) =>
+    TextAnalysis.epochMixPlan(Catalog(s, dir).documents, "lang",
+        "doc_id", seed = 31)
+      .orderBy(col("doc_id"))
+
+  val t31Sql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |p AS (SELECT lang, n,
+       |  CAST(floor(sqrt(n::DOUBLE) * 1e9 + 0.5) AS BIGINT) AS w_nano
+       |  FROM c),
+       |q AS (SELECT lang,
+       |  1000000 * w_nano // (SELECT SUM(w_nano) FROM p) AS p_ppm,
+       |  1000000 * n // (SELECT SUM(n) FROM p) AS share_ppm FROM p),
+       |b AS (SELECT lang, 1000000 * p_ppm // share_ppm AS boost_ppm FROM q)
+       |SELECT d.doc_id, d.lang, b.boost_ppm,
+       |  CAST(boost_ppm // 1000000 +
+       |    (CASE WHEN ${h60("'31|'||CAST(doc_id AS VARCHAR)")} % 1000000
+       |       < boost_ppm % 1000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_repeats
+       |FROM documents d JOIN b USING (lang) ORDER BY doc_id""".stripMargin
+
   /** Unigram-LM cross-entropy (CCNet-style quality signal): LM built
     * from a deterministic 5% md5 sample (d09's split contract), every
     * doc scored map-only against the broadcast-literal vocab; see
@@ -3762,6 +3789,7 @@ object DataQueries {
     "t29_filter_ablation" -> t29FilterAblation,
     "t30_novelty_score" -> t30NoveltyScore,
     "d27_segment_delta" -> d27SegmentDelta,
+    "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
     "e23_hybrid_rrf" -> e23HybridRrf,
@@ -3850,6 +3878,7 @@ object DataQueries {
     "t29_filter_ablation" -> t29Sql,
     "t30_novelty_score" -> t30Sql,
     "d27_segment_delta" -> d27Sql,
+    "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
     "e23_hybrid_rrf" -> e23Sql,

@@ -152,7 +152,9 @@ object ClusterSmoke {
     "t30_novelty_score",
     // delta segment dedup: registry probe + hash-only keeper +
     // collect_list rebuild across executor JVMs
-    "d27_segment_delta")
+    "d27_segment_delta",
+    // epoch mix: bounded unpartitioned window + broadcast plan + coin
+    "t31_epoch_mix")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -221,4 +221,54 @@ class ContainmentMixtureSpec extends SparkSpec {
       .orderBy("source").collect()
     raw.foreach(r => assert(r.getDouble(3) == r.getDouble(4)))
   }
+
+  test("epochMixPlan: hand-exact boost ppm; coin replay; repeats bounded by base/base+1") {
+    // counts 4 vs 16: w_nano = 2e9 / 4e9, W = 6e9
+    //   A: p=333333, share=200000, boost=1666665 -> 1 or 2 repeats
+    //   B: p=666666, share=800000, boost= 833332 -> 0 or 1 repeats
+    val docs = ((1 to 4).map(i => (i.toLong, "aa")) ++
+      (11 to 26).map(i => (i.toLong, "bb"))).toDF("doc_id", "lang")
+    val out = TextAnalysis.epochMixPlan(docs, "lang", "doc_id", seed = 31)
+      .select("doc_id", "lang", "boost_ppm", "n_repeats")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.filter(_._2 == "aa").forall(_._3 == 1666665L), out.toString)
+    assert(out.filter(_._2 == "bb").forall(_._3 == 833332L), out.toString)
+    // exact coin replay, no Spark
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, _, boost, reps) =>
+      val coin = graft.expressions.HashExpressions
+        .md5Long60(md, s"31|$id".getBytes) % 1000000L
+      val want = boost / 1000000L + (if (coin < boost % 1000000L) 1L else 0L)
+      assert(reps == want, s"doc $id: $reps vs $want")
+    }
+    // the mixture property: the rare lang repeats MORE per doc
+    val avg = (l: String) => { val v = out.filter(_._2 == l); v.map(_._4).sum.toDouble / v.size }
+    assert(avg("aa") > avg("bb"))
+  }
+
+  test("epochMixPlan on the real corpus: boost is monotone-inverse in share; totals match the exact coin replay") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val out = TextAnalysis.epochMixPlan(docs, "lang", "doc_id", seed = 31)
+      .select("doc_id", "lang", "boost_ppm", "n_repeats")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == docs.count())
+    val byLang = out.groupBy(_._2).map { case (l, v) =>
+      (l, v.length, v.head._3, v.map(_._4).sum) }.toSeq.sortBy(_._2)
+    // smaller share -> bigger (or equal) boost, and every lang repeats >= 0
+    byLang.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 >= b._3, s"boost not inverse-monotone: $byLang")
+    case _ => ()
+    }
+    // expected total per lang from the deterministic coins, exact
+    val md = java.security.MessageDigest.getInstance("MD5")
+    byLang.foreach { case (l, _, boost, total) =>
+      val ids = out.filter(_._2 == l).map(_._1)
+      val want = ids.map { id =>
+        boost / 1000000L + (if (graft.expressions.HashExpressions
+          .md5Long60(md, s"31|$id".getBytes) % 1000000L <
+          boost % 1000000L) 1L else 0L)
+      }.sum
+      assert(total == want, s"lang $l: $total vs $want")
+    }
+  }
 }
