@@ -1654,19 +1654,32 @@ object TextAnalysis {
     * REPORT: turn temperature-scaled language targets into a concrete
     * per-document repeat plan for one training epoch (XLM's alpha=0.5
     * smoothing, Lample & Conneau 2019 — chosen over mT5's 0.3 because
-    * sqrt is IEEE-exactly-rounded, so the whole pipeline stays
-    * engine-exact: w = floor(sqrt(n_lang)·1e9 + 0.5) nano-integers,
-    * then every division is integer ppm).
+    * sqrt(n) round-half-up in nano-units has an EXACT pure-integer
+    * form, so the whole pipeline contains literally zero
+    * floating-point operations):
     *
-    *   p_ppm(l)     = 1e6·w(l) div Σw        (the alpha-smoothed target)
-    *   share_ppm(l) = 1e6·n(l) div N         (the corpus share)
-    *   boost_ppm(l) = 1e6·p_ppm div share_ppm (per-doc repeat factor ×1e6)
+    *   w_nano(l)    = (isqrt(4·n(l)·10¹⁸) + 1) div 2
+    *                  (≡ round-half-up of sqrt(n)·1e9, by integers:
+    *                  floor(x + 1/2) = (floor(2x) + 1) div 2 and
+    *                  2·sqrt(n)·1e9 = sqrt(4·n·10¹⁸))
+    *   boost_ppm(l) = 10⁶·w_nano(l)·N div (Σw_nano·n(l))
+    *                  (= 10⁶·p(l)/share(l) in ONE floor — the double-
+    *                  floored p_ppm div share_ppm form underflowed to a
+    *                  div-by-zero for languages below 1 ppm share,
+    *                  ADVICE r13)
     *   n_repeats    = boost div 1e6 + (md5(seed|id) mod 1e6 < boost mod 1e6)
+    *
+    * All products live in DECIMAL(38,0): with Σn ≤ ~4.6e15 documents
+    * (generous at 100 TB) the largest term 10⁶·w_nano·N ≤
+    * 10¹⁵·N^1.5 < 10³⁸ stays exact; beyond that the decimal overflows
+    * LOUDLY rather than wrapping.
     *
     * The fractional part is DERANDOMIZED stochastic rounding: each doc
     * flips a deterministic md5 coin, so Σ repeats per language tracks
     * the target in expectation with zero RNG state (the d19/t15 sample
-    * contract) and the oracle replays every coin exactly.
+    * contract) and the oracle replays every coin exactly — including
+    * the isqrt, via a recursive-CTE integer Newton in HUGEINT
+    * ([[graft.expressions.IsqrtExpr]] has the twin-proof).
     *
     * At scale: one lang-keyed count (map-side combinable), the bounded
     * per-lang plan (|langs| rows) broadcast back onto the corpus, and
@@ -1678,13 +1691,17 @@ object TextAnalysis {
     val counts = df.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("n"))
     val plan = counts
-      .withColumn("w_nano",
-        floor(sqrt(col("n").cast(DoubleType)) * lit(1e9) + lit(0.5))
-          .cast(LongType))
-      .withColumn("p_ppm",
-        expr("1000000 * w_nano div sum(w_nano) over ()"))
-      .withColumn("share_ppm", expr("1000000 * n div sum(n) over ()"))
-      .withColumn("boost_ppm", expr("1000000 * p_ppm div share_ppm"))
+      .withColumn("m",
+        col("n").cast(DataTypes.createDecimalType(38, 0)) *
+          lit(java.math.BigDecimal.valueOf(4000000000000000000L))) // 4·10¹⁸
+      .withColumn("isq",
+        graft.expressions.MathExpressions.isqrtDec(col("m"))
+          .cast(LongType)) // isqrt(4n·10¹⁸) ≤ 6.07e18 fits a long exactly
+      .withColumn("w_nano", expr("(isq + 1) div 2"))
+      .withColumn("boost_ppm", expr(
+        """CAST(1000000 AS DECIMAL(38,0)) * w_nano * sum(n) over ()
+          | div (CAST(sum(w_nano) over () AS DECIMAL(38,0)) * n)"""
+          .stripMargin))
       .select("lang", "boost_ppm")
     df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
       .join(broadcast(plan), Seq("lang"))

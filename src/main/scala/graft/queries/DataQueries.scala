@@ -3220,22 +3220,41 @@ object DataQueries {
     * t10 reports mixture weights; this materializes the epoch — XLM
     * alpha=0.5 temperature targets turned into a per-document integer
     * repeat plan with derandomized stochastic rounding (an md5 coin per
-    * doc, replayed exactly by the oracle). sqrt is IEEE-exactly-rounded
-    * and everything after it is integer ppm, so the gate is float-free. */
+    * doc, replayed exactly by the oracle). The gate contains literally
+    * zero floating-point operations: sqrt-smoothing is an integer
+    * square root in DECIMAL/HUGEINT space on both engines (r14 — the
+    * driver-environment-proof contract). */
   val t31EpochMix: Q = (s, dir) =>
     TextAnalysis.epochMixPlan(Catalog(s, dir).documents, "lang",
         "doc_id", seed = 31)
       .orderBy(col("doc_id"))
 
+  // Zero floats anywhere (VERDICT r13): isqrt(4n·1e18) by integer
+  // Newton x' = (x + m//x)//2 in HUGEINT — every iterate of the integer
+  // Newton map is >= isqrt(m) (AM-GM survives the floors) and the
+  // sequence strictly decreases until it reaches isqrt(m), so MIN over
+  // 140 iterations (enough for m < 1.7e38 from seed m//2+1: ~62
+  // halvings + quadratic tail) IS the floor sqrt, exactly. Then
+  // w_nano = (isqrt+1)//2 ≡ round-half-up(sqrt(n)·1e9) and boost is
+  // ONE integer floor (the double-floor form underflowed, ADVICE r13).
   val t31Sql: String =
-    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-       |p AS (SELECT lang, n,
-       |  CAST(floor(sqrt(n::DOUBLE) * 1e9 + 0.5) AS BIGINT) AS w_nano
+    s"""WITH RECURSIVE c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |mm AS (SELECT lang, n,
+       |  4 * CAST(n AS HUGEINT) * CAST(1000000000000000000 AS HUGEINT) AS m
        |  FROM c),
-       |q AS (SELECT lang,
-       |  1000000 * w_nano // (SELECT SUM(w_nano) FROM p) AS p_ppm,
-       |  1000000 * n // (SELECT SUM(n) FROM p) AS share_ppm FROM p),
-       |b AS (SELECT lang, 1000000 * p_ppm // share_ppm AS boost_ppm FROM q)
+       |nt(lang, m, x, i) AS (
+       |  SELECT lang, m, m // 2 + 1, 0 FROM mm
+       |  UNION ALL
+       |  SELECT lang, m, (x + m // x) // 2, i + 1 FROM nt WHERE i < 140),
+       |sq AS (SELECT lang, MIN(x) AS isq FROM nt GROUP BY 1),
+       |p AS (SELECT c.lang, c.n, CAST((sq.isq + 1) // 2 AS BIGINT) AS w_nano
+       |  FROM c JOIN sq USING (lang)),
+       |b AS (SELECT lang, CAST(
+       |    1000000 * CAST(w_nano AS HUGEINT)
+       |      * (SELECT CAST(SUM(n) AS HUGEINT) FROM p)
+       |    // ((SELECT CAST(SUM(w_nano) AS HUGEINT) FROM p)
+       |      * CAST(n AS HUGEINT))
+       |  AS BIGINT) AS boost_ppm FROM p)
        |SELECT d.doc_id, d.lang, b.boost_ppm,
        |  CAST(boost_ppm // 1000000 +
        |    (CASE WHEN ${h60("'31|'||CAST(doc_id AS VARCHAR)")} % 1000000

@@ -223,16 +223,16 @@ class ContainmentMixtureSpec extends SparkSpec {
   }
 
   test("epochMixPlan: hand-exact boost ppm; coin replay; repeats bounded by base/base+1") {
-    // counts 4 vs 16: w_nano = 2e9 / 4e9, W = 6e9
-    //   A: p=333333, share=200000, boost=1666665 -> 1 or 2 repeats
-    //   B: p=666666, share=800000, boost= 833332 -> 0 or 1 repeats
+    // counts 4 vs 16: w_nano = 2e9 / 4e9, W = 6e9, N = 20 — single-floor
+    //   A: boost = 1e6·2e9·20 // (6e9·4)  = 1666666 -> 1 or 2 repeats
+    //   B: boost = 1e6·4e9·20 // (6e9·16) =  833333 -> 0 or 1 repeats
     val docs = ((1 to 4).map(i => (i.toLong, "aa")) ++
       (11 to 26).map(i => (i.toLong, "bb"))).toDF("doc_id", "lang")
     val out = TextAnalysis.epochMixPlan(docs, "lang", "doc_id", seed = 31)
       .select("doc_id", "lang", "boost_ppm", "n_repeats")
       .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(out.filter(_._2 == "aa").forall(_._3 == 1666665L), out.toString)
-    assert(out.filter(_._2 == "bb").forall(_._3 == 833332L), out.toString)
+    assert(out.filter(_._2 == "aa").forall(_._3 == 1666666L), out.toString)
+    assert(out.filter(_._2 == "bb").forall(_._3 == 833333L), out.toString)
     // exact coin replay, no Spark
     val md = java.security.MessageDigest.getInstance("MD5")
     out.foreach { case (id, _, boost, reps) =>
