@@ -34,6 +34,7 @@ object Verify {
       graft.queries.DataQueries.setOracleDir(sfDir)
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
         oracleJson())
+      shipSidecars(sfDir, outDir)
       return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,32 +67,39 @@ object Verify {
     // other sf dirs can never leak another dir's literals
     graft.queries.DataQueries.setOracleDir(sfDir)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson())
+    // the fitted-model sidecars travel WITH the dump they describe
+    // (VERDICT r13 next-#1c): a red literal gate is then forensically
+    // diffable — the exact integers the oracle inlined sit next to it
+    shipSidecars(sfDir, outDir)
     // Content fingerprints (VERDICT r11 next-#2): the drift contract
     // covers schema; the two driver incidents to date (r9 events.ts,
     // r11 t21 suspect) were the generator's DATA changing under the
     // engine. One row count + one order-insensitive xxhash64 XOR digest
     // per input table, printed and dumped, makes "the testdata changed"
     // vs "the engine broke" decidable from a one-line diff next round.
+    // Formula single-sourced with the sidecar provenance stamp
+    // (graft.io.ContentFingerprint).
     val fps = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       .map { t =>
-        val df = graft.catalog.Catalog(spark, sfDir).table(t)
-        // strings via concat of casts: stable across physical layouts;
-        // XOR fold is row-order- and partitioning-invariant
-        val hashed = df.select(org.apache.spark.sql.functions.xxhash64(
-          df.columns.map(c => org.apache.spark.sql.functions.col(c)
-            .cast("string")): _*).as("h"))
-        val r = hashed.agg(
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"),
-          org.apache.spark.sql.functions.expr("coalesce(bit_xor(h), 0)")
-            .as("digest")).head
-        val line = s"$t rows=${r.getLong(0)} digest=${java.lang.Long.toHexString(r.getLong(1))}"
-        println(s"[verify] fingerprint $line")
-        s"${q(t)}: ${q(s"rows=${r.getLong(0)} digest=${java.lang.Long.toHexString(r.getLong(1))}")}"
+        val fp = graft.io.ContentFingerprint.of(spark, sfDir, t)
+        println(s"[verify] fingerprint $t $fp")
+        s"${q(t)}: ${q(fp)}"
       }
     Files.writeString(Paths.get(s"$outDir/fingerprints.json"),
       fps.mkString("{", ",", "}"))
     spark.stop()
   }
+
+  /** Copy the literal-model sidecars for `sfDir` next to the
+    * oracle_sql.json they were inlined into — the model travels with
+    * the dump it describes (VERDICT r13 next-#1c). */
+  private def shipSidecars(sfDir: String, outDir: String): Unit =
+    Seq(graft.io.ModelSidecar.nbPath(sfDir) -> "nb.model",
+        graft.io.ModelSidecar.lrPath(sfDir) -> "lr.model")
+      .foreach { case (src, dst) =>
+        if (Files.exists(src))
+          Files.copy(src, Paths.get(outDir, dst),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
 }

@@ -76,12 +76,19 @@ object ModelSidecar {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** Persist a fitted model for `dataDir` (atomic replace). */
-  def writeNb(dataDir: String, m: NbModel): Unit = {
+  /** Persist a fitted model for `dataDir` (atomic replace). `cfp` is
+    * the CONTENT fingerprint of the documents table the fit consumed
+    * ([[ContentFingerprint.of]]) — the provenance stamp the dump-time
+    * check verifies against the dir it resolved (VERDICT r13 next-#1c:
+    * the three-round t21 red is explained by a dump JVM resolving a
+    * dir whose CONTENT differs from the fit's; mtime tokens can't see
+    * that across hosts, a content digest can). */
+  def writeNb(dataDir: String, m: NbModel, cfp: String): Unit = {
     Files.createDirectories(modelRoot)
     val sb = new StringBuilder
     sb.append(Magic).append('\n')
     sb.append("token ").append(dirToken(dataDir)).append('\n')
+    sb.append("cfp ").append(enc(cfp)).append('\n')
     sb.append("mindist ").append(m.minBoundaryDist).append('\n')
     m.priors.foreach { case (l, p) =>
       sb.append("prior ").append(enc(l)).append(' ').append(p).append('\n') }
@@ -94,15 +101,20 @@ object ModelSidecar {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the model persisted for `dataDir`; None if the sidecar is
-    * absent, malformed, or its content token no longer matches the
-    * on-disk documents table (stale → caller refits). */
-  def readNb(dataDir: String): Option[NbModel] = {
+  /** Read the model persisted for `dataDir`, with its stored content
+    * fingerprint; None if the sidecar is absent, malformed, missing
+    * the provenance stamp (pre-r14 format), or its mtime token no
+    * longer matches the on-disk documents table (stale → caller
+    * refits). The returned cfp is what the DUMP path must verify
+    * against a recomputed [[ContentFingerprint.of]] before inlining
+    * these literals into an oracle. */
+  def readNb(dataDir: String): Option[(NbModel, String)] = {
     val p = nbPath(dataDir)
     if (!Files.exists(p)) return None
     val lines = Files.readAllLines(p)
     if (lines.isEmpty || lines.get(0) != Magic) return None
     var token = ""
+    var cfp = ""
     var minDist = 0.0
     val priors = Seq.newBuilder[(String, Long)]
     val grid = Seq.newBuilder[(String, String, Long)]
@@ -110,6 +122,7 @@ object ModelSidecar {
       lines.forEach { line =>
         line.split(" ", -1) match {
           case Array("token", t) => token = t
+          case Array("cfp", v) => cfp = dec(v)
           case Array("mindist", d) => minDist = d.toDouble
           case Array("prior", l, v) => priors += (dec(l) -> v.toLong)
           case Array("grid", l, t, v) => grid += ((dec(l), dec(t), v.toLong))
@@ -120,8 +133,9 @@ object ModelSidecar {
       return None // torn/corrupt file -> treat as absent, refit
     }
     val m = NbModel(priors.result(), grid.result(), minDist)
-    if (token == dirToken(dataDir) && m.priors.nonEmpty && m.grid.nonEmpty)
-      Some(m)
+    if (token == dirToken(dataDir) && cfp.nonEmpty &&
+        m.priors.nonEmpty && m.grid.nonEmpty)
+      Some((m, cfp))
     else None
   }
 
@@ -136,11 +150,13 @@ object ModelSidecar {
     modelRoot.resolve(s"lr-${md5Hex(canon)}.model")
   }
 
-  def writeLr(dataDir: String, m: graft.operators.TextAnalysis.LrModel): Unit = {
+  def writeLr(dataDir: String, m: graft.operators.TextAnalysis.LrModel,
+              cfp: String): Unit = {
     Files.createDirectories(modelRoot)
     val sb = new StringBuilder
     sb.append(LrMagic).append('\n')
     sb.append("token ").append(dirToken(dataDir)).append('\n')
+    sb.append("cfp ").append(enc(cfp)).append('\n')
     sb.append("iters ").append(m.iters).append('\n')
     sb.append("b ").append(m.bNano).append('\n')
     m.wNano.zipWithIndex.foreach { case (v, j) =>
@@ -151,12 +167,14 @@ object ModelSidecar {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def readLr(dataDir: String): Option[graft.operators.TextAnalysis.LrModel] = {
+  def readLr(dataDir: String)
+      : Option[(graft.operators.TextAnalysis.LrModel, String)] = {
     val p = lrPath(dataDir)
     if (!Files.exists(p)) return None
     val lines = Files.readAllLines(p)
     if (lines.isEmpty || lines.get(0) != LrMagic) return None
     var token = ""
+    var cfp = ""
     var iters = 0
     var b = 0L
     val ws = scala.collection.mutable.SortedMap.empty[Int, Long]
@@ -164,6 +182,7 @@ object ModelSidecar {
       lines.forEach { line =>
         line.split(" ", -1) match {
           case Array("token", t) => token = t
+          case Array("cfp", v) => cfp = dec(v)
           case Array("iters", v) => iters = v.toInt
           case Array("b", v) => b = v.toLong
           case Array("w", j, v) => ws(j.toInt) = v.toLong
@@ -176,10 +195,11 @@ object ModelSidecar {
     // the weight VECTOR LENGTH is part of the format: a sidecar from a
     // build with a different feature list must read as absent (refit),
     // not silently zip-truncate against lrFeatureNames downstream
-    if (token == dirToken(dataDir) &&
+    if (token == dirToken(dataDir) && cfp.nonEmpty &&
         ws.size == graft.operators.TextAnalysis.lrFeatureNames.size &&
         ws.keys.toSeq == (0 until ws.size))
-      Some(graft.operators.TextAnalysis.LrModel(ws.values.toSeq, b, iters))
+      Some((graft.operators.TextAnalysis.LrModel(ws.values.toSeq, b, iters),
+        cfp))
     else None
   }
 }

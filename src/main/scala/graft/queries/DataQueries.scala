@@ -2149,13 +2149,19 @@ object DataQueries {
     * in ANY order (the r12 driver miss: the oracle dump ran in a fresh
     * JVM where the in-JVM cache was empty and the hazard replay SQL
     * silently shipped). `literal`'s resolution chain: live in-JVM fit
-    * → token-checked sidecar → fit NOW (on a live session, else a
-    * short-lived local one). Exhausting the chain throws — never a
-    * silent fallback. */
+    * → sidecar whose stored CONTENT fingerprint matches a digest
+    * recomputed from the resolved dir NOW (r14: a sidecar fitted on
+    * different table content REFUSES loudly — the three-round t21 red
+    * is a dump JVM resolving content the query run never saw, and a
+    * provenance-mismatched dump must fail, never ship) → fit NOW (on a
+    * live session, else a short-lived local one; the bootstrap fit is
+    * bit-deterministic on the resolved content, and its sidecar stamps
+    * that content). Exhausting the chain throws — never a silent
+    * fallback. */
   private final class LiteralModels[M](
       fit: (SparkSession, String) => M,
-      write: (String, M) => Unit,
-      read: String => Option[M]) {
+      write: (String, M, String) => Unit,
+      read: String => Option[(M, String)]) {
     private val memo = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), M]
     def forQuery(s: SparkSession, dir: String): M = synchronized {
@@ -2164,14 +2170,17 @@ object DataQueries {
       }
       memo.getOrElseUpdate((s, dir), {
         val m = fit(s, dir)
-        write(dir, m) // persist for cross-JVM oracle dumps
+        // persist for cross-JVM oracle dumps, provenance-stamped with
+        // the content the fit actually consumed
+        write(dir, m, graft.io.ContentFingerprint.of(s, dir, "documents"))
         m
       })
     }
     def literal(dir: String): M =
       memo.collectFirst {
         case ((s, d), m) if d == dir && !s.sparkContext.isStopped => m
-      }.orElse(read(dir)).getOrElse {
+      }.getOrElse {
+        // both the provenance CHECK and a bootstrap fit need a session
         val live = SparkSession.getActiveSession
           .filter(!_.sparkContext.isStopped)
           .orElse(SparkSession.getDefaultSession
@@ -2183,9 +2192,20 @@ object DataQueries {
           .config("spark.ui.enabled", "false")
           .getOrCreate())
         try {
-          val m = fit(s, dir)
-          write(dir, m)
-          m
+          val here = graft.io.ContentFingerprint.of(s, dir, "documents")
+          read(dir) match {
+            case Some((m, cfp)) if cfp == here => m
+            case Some((_, cfp)) => throw new IllegalStateException(
+              s"literal-model sidecar provenance mismatch for $dir: the " +
+                s"model was fitted on documents [$cfp] but the dir now " +
+                s"holds [$here] - refusing to dump an oracle whose " +
+                "literals cannot match the query run (delete the sidecar " +
+                "or re-run the queries to refit)")
+            case None =>
+              val m = fit(s, dir)
+              write(dir, m, here)
+              m
+          }
         } finally if (live.isEmpty) s.stop() // we created it; don't leak
       }
   }
@@ -2197,14 +2217,22 @@ object DataQueries {
   @volatile private var oracleDir: Option[String] = None
   def setOracleDir(dir: String): Unit = { oracleDir = Some(dir) }
   /** The data dir the oracle dump describes. Hint chain: explicit
-    * [[setOracleDir]] (Verify) → `SPARK_GRAFT_ORACLE_DIR` →
-    * `SPARK_GRAFT_SF_DIR` (the bench contract) → the driver's standard
-    * verification dir if present on disk. Exhausting the chain THROWS —
-    * a loud miss beats a silently-wrong oracle (VERDICT r12 next-#1). */
+    * [[setOracleDir]] (Verify) → `SPARK_GRAFT_ORACLE_DIR` → the
+    * driver's standard verification dir if present on disk. Exhausting
+    * the chain THROWS — a loud miss beats a silently-wrong oracle
+    * (VERDICT r12 next-#1).
+    *
+    * `SPARK_GRAFT_SF_DIR` is deliberately NOT consulted (r14): it is
+    * the BENCH contract — typically sf0.1 — and a dump JVM inheriting
+    * it would inline literals fitted on bench-scale content into an
+    * oracle the driver compares at sf0.01 (the best available
+    * explanation of the three-round t21 hash red: rows/schema green,
+    * values off by one model's worth, coarse t23 counts mostly green).
+    * Bench never dumps oracles, so the env var has no legitimate
+    * oracle use. */
   private def resolveOracleDir: String =
     oracleDir
       .orElse(sys.env.get("SPARK_GRAFT_ORACLE_DIR"))
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .orElse(Seq("/root/testdata/sf0.01").find(d =>
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))))
       .getOrElse(throw new IllegalStateException(

@@ -75,8 +75,9 @@ class LrDistillSpec extends SparkSpec {
     // a tiny real documents.parquet so the content token has files to fold
     docs.limit(5).write.parquet(s"$dir/documents.parquet")
     val m = TextAnalysis.LrModel(Seq(1L, -2L, 3L, 0L, 5L, -6L, 7L), -42L, 8)
-    graft.io.ModelSidecar.writeLr(dir, m)
-    assert(graft.io.ModelSidecar.readLr(dir).contains(m))
+    graft.io.ModelSidecar.writeLr(dir, m, "rows=5 digest=abc")
+    assert(graft.io.ModelSidecar.readLr(dir)
+      .contains((m, "rows=5 digest=abc")))
     // mutate the table -> token mismatch -> absent (forces refit)
     docs.limit(7).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(graft.io.ModelSidecar.readLr(dir).isEmpty)

@@ -35,16 +35,17 @@ class ModelSidecarSpec extends AnyFunSuite {
 
   test("round-trip is exact, including hostile token characters") {
     val dir = tmpDataDir()
-    ModelSidecar.writeNb(dir, model)
+    ModelSidecar.writeNb(dir, model, "rows=4 digest=feed")
     val back = ModelSidecar.readNb(dir)
-    assert(back.map(_.priors) === Some(model.priors))
-    assert(back.map(_.grid) === Some(model.grid))
-    assert(back.map(_.minBoundaryDist) === Some(model.minBoundaryDist))
+    assert(back.map(_._1.priors) === Some(model.priors))
+    assert(back.map(_._1.grid) === Some(model.grid))
+    assert(back.map(_._1.minBoundaryDist) === Some(model.minBoundaryDist))
+    assert(back.map(_._2) === Some("rows=4 digest=feed"))
   }
 
   test("staleness guard: a changed documents table invalidates the sidecar") {
     val dir = tmpDataDir()
-    ModelSidecar.writeNb(dir, model)
+    ModelSidecar.writeNb(dir, model, "rows=4 digest=feed")
     assert(ModelSidecar.readNb(dir).isDefined)
     // regenerate the table under the engine (the r9/r11 incident class):
     // content length changes -> token mismatch -> sidecar treated absent
@@ -57,17 +58,17 @@ class ModelSidecarSpec extends AnyFunSuite {
 
   test("new part file also invalidates; rewrite re-validates") {
     val dir = tmpDataDir()
-    ModelSidecar.writeNb(dir, model)
+    ModelSidecar.writeNb(dir, model, "rows=4 digest=feed")
     Files.writeString(
       Paths.get(dir, "documents.parquet", "part-1.parquet"), "more")
     assert(ModelSidecar.readNb(dir).isEmpty)
-    ModelSidecar.writeNb(dir, model) // refit path rewrites with fresh token
+    ModelSidecar.writeNb(dir, model, "rows=4 digest=feed") // refit path rewrites with fresh token
     assert(ModelSidecar.readNb(dir).isDefined)
   }
 
   test("corrupt or truncated sidecar reads as absent, never throws") {
     val dir = tmpDataDir()
-    ModelSidecar.writeNb(dir, model)
+    ModelSidecar.writeNb(dir, model, "rows=4 digest=feed")
     val p = ModelSidecar.nbPath(dir)
     Files.writeString(p, "graft-nb-v1\ntoken x\nprior en not-a-long\n")
     assert(ModelSidecar.readNb(dir).isEmpty)
@@ -80,5 +81,19 @@ class ModelSidecarSpec extends AnyFunSuite {
   test("missing documents table: sidecar for it never validates") {
     val d = Files.createTempDirectory("graft-sidecar-empty").toString
     assert(ModelSidecar.readNb(d).isEmpty)
+  }
+
+  test("pre-r14 sidecar without a provenance stamp reads as absent") {
+    val dir = tmpDataDir()
+    ModelSidecar.writeNb(dir, model, "rows=4 digest=feed")
+    val p = ModelSidecar.nbPath(dir)
+    // strip the cfp line: the un-stamped format must force a refit, not
+    // serve literals whose fit content is unknowable
+    val kept = Files.readAllLines(p)
+    val sb = new StringBuilder
+    kept.forEach { l => if (!l.startsWith("cfp ")) sb.append(l).append('\n') }
+    Files.writeString(p, sb.toString)
+    assert(ModelSidecar.readNb(dir).isEmpty,
+      "a sidecar with no content-fingerprint stamp must not validate")
   }
 }
