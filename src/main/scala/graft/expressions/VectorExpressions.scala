@@ -597,4 +597,89 @@ object VectorExpressions {
                    dp: Int = -1): Column =
     Bridge.column(MatrixRotateExpr(
       Bridge.expression(v.cast("array<double>")), matrix, dp))
+  def intCosKey(a: Column, b: Column, quant: Long = 100000L): Column =
+    Bridge.column(IntCosKeyExpr(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>")), quant))
+}
+
+/** EXACT-INTEGER cosine ranking key — floor(1e6·|cos(aq, bq)|)·sign,
+  * where aq/bq are the micro-quantized vectors
+  * `floor(x·quant + 0.5)` (VERDICT r13 next-#1b: the e24 sweep's gate
+  * aggregates ~4 windows of round(cosine,6) rank comparisons into 4
+  * integer counts, so ONE cross-engine float flip anywhere in the
+  * candidate lists flips the output; this key removes every
+  * float-comparison surface from the gate).
+  *
+  * Why every step is engine-exact:
+  *  - the inputs are float-origin embeddings: a 24-bit mantissa times
+  *    quant ≤ 2^20 stays under 53 bits, so `x·quant + 0.5` and its
+  *    floor are EXACT doubles — the quantized integers are
+  *    bit-deterministic, no rounding, no contraction window;
+  *  - dot/norms are integer sums (overflow-checked, loud);
+  *  - key = sign(dot)·isqrt((10⁶·|dot|)² div (na·nb)) — by
+  *    floor(√(floor(z))) = floor(√z), this IS floor(10⁶·|cos|) of the
+  *    quantized vectors, computed in pure integer arithmetic
+  *    (BigInteger for the 128-bit square; the final isqrt over
+  *    z ≤ 10¹² uses a libm seed CORRECTED by integer comparisons, so
+  *    the libm value cannot affect the result).
+  *
+  * NULL when either quantized vector is all-zero (the degenerate
+  * contract — both engines must also FILTER such rows; a NULL key
+  * would otherwise meet Spark's nulls-last-DESC vs DuckDB's
+  * nulls-first-DESC defaults).
+  *
+  * Oracle twin (DataQueries.e24Sql): list_transform quantization,
+  * list_inner_product over values < 2^53 (every partial sum exact in
+  * a double, any order), HUGEINT square/divide, float-seeded
+  * integer-clamped sqrt.
+  */
+case class IntCosKeyExpr(left: Expression, right: Expression, quant: Long)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(quant >= 1L && quant <= (1L << 20),
+    s"quant must be in [1, 2^20] to keep float quantization exact, got $quant")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkDoubleArrays(prettyName, left, right)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int_cos_key"
+
+  private val Scale = 1000000L
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val n = math.min(av.numElements(), bv.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      // exact for float-origin values (24-bit mantissa · quant < 2^53)
+      val qa = math.floor(av.getDouble(i) * quant + 0.5).toLong
+      val qb = math.floor(bv.getDouble(i) * quant + 0.5).toLong
+      // addExact/multiplyExact: out-of-contract magnitudes fail LOUDLY
+      // (the ANSI posture), never wrap into a silently-wrong key
+      dot = Math.addExact(dot, Math.multiplyExact(qa, qb))
+      na = Math.addExact(na, Math.multiplyExact(qa, qa))
+      nb = Math.addExact(nb, Math.multiplyExact(qb, qb))
+      i += 1
+    }
+    if (na == 0L || nb == 0L) return null
+    val h = java.math.BigInteger.valueOf(Math.multiplyExact(Scale, math.abs(dot)))
+    val z = h.multiply(h)
+      .divide(java.math.BigInteger.valueOf(na)
+        .multiply(java.math.BigInteger.valueOf(nb)))
+      .longValueExact() // ≤ 1e12 by Cauchy-Schwarz on the integers
+    var s = math.sqrt(z.toDouble).toLong // seed only; clamp decides
+    while ((s + 1L) * (s + 1L) <= z) s += 1L
+    while (s > 0L && s * s > z) s -= 1L
+    if (dot >= 0L) s else -s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -62,6 +62,27 @@ object Similarity {
         col("id"), col("cos_r").as("cosine"))
   }
 
+  /** [[bruteForceTopK]] ranked on the exact-integer cosine key
+    * ([[VectorExpressions.intCosKey]] — floor(1e6·|cos|)·sign of the
+    * micro-quantized vectors): the hash-gate baseline for
+    * [[ivfRecallSweepExact]], with zero float comparisons. NULL keys
+    * (quantized-degenerate vectors) are filtered on both engines.
+    * Output: (query_id, rank, id, cos_key). */
+  def bruteForceTopKExact(corpus: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos_r", VectorExpressions.intCosKey(col("v"), col("qv")))
+      .filter(col("cos_r").isNotNull)
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("cos_r").as("cos_key"))
+  }
+
   /** Exact top-k squared-L2 neighbors — the baseline the PQ/ADC family
     * approximates: ADC estimates SQUARED L2 from codes, so judging its
     * recall against exact *cosine* top-k conflates metric mismatch with
@@ -289,11 +310,38 @@ object Similarity {
   def ivfRecallSweep(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int,
                      codebook: Seq[Seq[Double]],
-                     nProbes: Seq[Int]): DataFrame = {
+                     nProbes: Seq[Int]): DataFrame =
+    ivfRecallSweepImpl(corpus, queries, vecCol, idCol, k, codebook,
+      nProbes, exactKeys = false)
+
+  /** [[ivfRecallSweep]] with the candidate and brute-force RANKINGS on
+    * the exact-integer cosine key ([[VectorExpressions.intCosKey]]) —
+    * the hash-gate form (VERDICT r13 next-#1b): cell assignment and
+    * probe selection keep the round-6 float replay the e02/e17/e18
+    * gates have proven for three rounds; the two corpus-vs-query
+    * rankings whose ~k·maxNp-deep comparison surface a single
+    * cross-engine float flip could tip become integer-exact.
+    * Spec-pinned equal to the float sweep on the shipped corpus
+    * (IvfSpec) — the float path stays the production operator. */
+  def ivfRecallSweepExact(corpus: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, k: Int,
+                          codebook: Seq[Seq[Double]],
+                          nProbes: Seq[Int]): DataFrame =
+    ivfRecallSweepImpl(corpus, queries, vecCol, idCol, k, codebook,
+      nProbes, exactKeys = true)
+
+  private def ivfRecallSweepImpl(corpus: DataFrame, queries: DataFrame,
+                                 vecCol: String, idCol: String, k: Int,
+                                 codebook: Seq[Seq[Double]],
+                                 nProbes: Seq[Int],
+                                 exactKeys: Boolean): DataFrame = {
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1) &&
       nProbes.distinct.size == nProbes.size, s"bad nProbes $nProbes")
     val spark = corpus.sparkSession
     val maxNp = nProbes.max
+    def scoreOf(a: Column, b: Column): Column =
+      if (exactKeys) VectorExpressions.intCosKey(a, b)
+      else round(VectorExpressions.cosine(a, b), 6)
     val assigned = cellAssignmentsTrained(corpus, vecCol, idCol, codebook)
       .persist()
     val cents = centsOf(spark, codebook)
@@ -309,19 +357,27 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
       .persist()
     // one candidate scan at max width; each candidate tagged with the
-    // probe rank of the cell it came from
+    // probe rank of the cell it came from. A NULL exact key means the
+    // quantized vector degenerated to zero — filtered on BOTH engines
+    // (NULL ordering defaults differ: Spark DESC is nulls-last, DuckDB
+    // DESC is nulls-first)
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("cos_r",
-        round(VectorExpressions.cosine(col("v"), col("qv")), 6))
+      .withColumn("cos_r", scoreOf(col("v"), col("qv")))
+      .filter(col("cos_r").isNotNull)
       .select(col("query_id"), col("id"), col("cos_r"), col("prn"))
       .persist()
-    val bf = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+    val bf = (if (exactKeys) bruteForceTopKExact(corpus, queries, vecCol, idCol, k)
+              else bruteForceTopK(corpus, queries, vecCol, idCol, k))
       .select(col("query_id"), col("id")).persist()
     val cellSizes = assigned.groupBy("cell")
       .agg(count(lit(1)).as("cell_n"))
     val nq = q.agg(count(lit(1)).as("nq"))
     val nCorpus = assigned.agg(count(lit(1)).as("n_corpus"))
+    // recall denominator = the brute-force rows actually available, not
+    // k·nq: a corpus with fewer than k non-degenerate neighbors per
+    // query would otherwise bias every recall low (ADVICE r13)
+    val nBf = bf.agg(count(lit(1)).as("n_bf"))
     val sweep = nProbes.sorted.map { np =>
       val ivfNp = cand.filter(col("prn") <= np)
         .withColumn("rank", row_number().over(rankWindow))
@@ -332,10 +388,10 @@ object Similarity {
       val scanned = probes.filter(col("prn") <= np)
         .join(cellSizes, Seq("cell"))
         .agg(coalesce(sum(col("cell_n")), lit(0L)).as("n_scanned"))
-      hits.crossJoin(scanned).crossJoin(nq).crossJoin(nCorpus)
+      hits.crossJoin(scanned).crossJoin(nq).crossJoin(nCorpus).crossJoin(nBf)
         .select(lit(np.toLong).as("n_probe"),
           col("nq").as("n_queries"), col("n_hits"),
-          expr(s"1000000 * n_hits div ($k * nq)").as("recall_ppm"),
+          expr("1000000 * n_hits div n_bf").as("recall_ppm"),
           expr("1000000 * n_scanned div (nq * n_corpus)").as("scanned_ppm"))
     }.reduce(_ unionByName _)
     // The summary is |nProbes| rows — materialize it eagerly so the four

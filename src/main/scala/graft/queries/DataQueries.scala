@@ -675,14 +675,44 @@ object DataQueries {
     * under n probes ⊂ candidates under max) — not Σ independent
     * searches. At 100 TB the candidate relation is the scanned-pairs
     * bound the IVF contract already imposes; the 4 re-windows are
-    * over that bounded relation. */
+    * over that bounded relation.
+    *
+    * r14 (VERDICT next-#1b): the GATE ranks candidates and the
+    * brute-force baseline on the exact-integer cosine key
+    * ([[graft.expressions.IntCosKeyExpr]] — floor(1e6·|cos|)·sign of
+    * the micro-quantized vectors), so the enlarged width-8 comparison
+    * surface contains no cross-engine float compare at all; cell
+    * assignment and probe selection keep the round-6 replay the
+    * e02/e17/e18 gates have proven green for three rounds. The float
+    * sweep stays the production operator, spec-pinned equal on this
+    * corpus (IvfSpec). recall_ppm divides by the brute-force rows
+    * actually available, not k·nq (ADVICE r13). */
   val e24RecallSweep: Q = (s, dir) => {
     val emb = Catalog(s, dir).embeddings
-    Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") % 100 === 0),
+    Similarity.ivfRecallSweepExact(emb, emb.filter(col("vec_id") % 100 === 0),
         "embedding", "vec_id", k = 5,
         codebook = kmModel(s, dir).centroids, nProbes = sweepNProbes)
       .orderBy(col("n_probe"))
   }
+
+  /** The exact-integer cosine KEY chain over a (query_id, id, d, na,
+    * nb) relation `src`: z = (10⁶·|d|)² div (na·nb) in HUGEINT — by
+    * floor(√floor(z)) = floor(√z) its integer sqrt IS floor(10⁶·|cos|)
+    * — then a float-SEEDED, integer-CLAMPED sqrt (z ≤ 10¹² is exact in
+    * a double and IEEE sqrt is correctly rounded, so the seed is
+    * within ±1 and the two integer CASE comparisons decide — libm
+    * cannot affect the result). Twin of IntCosKeyExpr.nullSafeEval. */
+  private def intKeyCtes(pfx: String, src: String): String =
+    s"""${pfx}z AS (SELECT query_id, id, d,
+       |  (1000000 * CAST(abs(d) AS HUGEINT)) * (1000000 * CAST(abs(d) AS HUGEINT))
+       |    // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS z FROM $src),
+       |${pfx}s AS (SELECT query_id, id, d, z,
+       |  CAST(floor(sqrt(CAST(z AS DOUBLE))) AS BIGINT) AS s0 FROM ${pfx}z),
+       |${pfx}key AS (SELECT query_id, id,
+       |  (CASE WHEN d >= 0 THEN 1 ELSE -1 END) *
+       |  (CASE WHEN (s0+1)*(s0+1) <= z THEN s0+1
+       |        WHEN s0*s0 > z THEN s0-1 ELSE s0 END) AS key
+       |  FROM ${pfx}s)""".stripMargin
 
   lazy val e24Sql: String = {
     val maxNp = sweepNProbes.max
@@ -692,16 +722,16 @@ object DataQueries {
          |  (SELECT count(*) FROM bf JOIN
          |    (SELECT query_id, id FROM (SELECT query_id, id,
          |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos_r DESC, id) AS rank
+         |        ORDER BY key DESC, id) AS rank
          |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
          |    ON bf.query_id = i.query_id AND bf.id = i.id) AS n_hits,
          |  1000000 * (SELECT count(*) FROM bf JOIN
          |    (SELECT query_id, id FROM (SELECT query_id, id,
          |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos_r DESC, id) AS rank
+         |        ORDER BY key DESC, id) AS rank
          |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
          |    ON bf.query_id = i.query_id AND bf.id = i.id)
-         |    // (5 * (SELECT nq FROM nq)) AS recall_ppm,
+         |    // (SELECT CAST(count(*) AS BIGINT) FROM bf) AS recall_ppm,
          |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
          |    WHERE prn <= $np)
          |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
@@ -710,13 +740,25 @@ object DataQueries {
     s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |$kmCtes,
+      |ein AS (SELECT id, vq,
+      |  CAST(list_inner_product(vq::DOUBLE[], vq::DOUBLE[]) AS BIGINT) AS vn
+      |  FROM (SELECT id, list_transform(v,
+      |    x -> CAST(floor(x * 100000 + 0.5) AS BIGINT)) AS vq FROM e)),
       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+      |qin AS (SELECT query_id, qvq,
+      |  CAST(list_inner_product(qvq::DOUBLE[], qvq::DOUBLE[]) AS BIGINT) AS qn
+      |  FROM (SELECT query_id, list_transform(qv,
+      |    x -> CAST(floor(x * 100000 + 0.5) AS BIGINT)) AS qvq FROM q)),
       |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+      |bfd AS (SELECT qi.query_id, ei.id,
+      |  CAST(list_inner_product(ei.vq::DOUBLE[], qi.qvq::DOUBLE[]) AS BIGINT) AS d,
+      |  ei.vn AS na, qi.qn AS nb
+      |  FROM ein ei CROSS JOIN qin qi
+      |  WHERE ei.id <> qi.query_id AND ei.vn > 0 AND qi.qn > 0),
+      |${intKeyCtes("bf", "bfd")},
       |bf AS MATERIALIZED (SELECT query_id, id FROM (
-      |  SELECT q.query_id, e.id, row_number() OVER (PARTITION BY q.query_id
-      |    ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.id)
-      |    AS rank
-      |  FROM e CROSS JOIN q WHERE e.id <> q.query_id)
+      |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY key DESC, id) AS rank FROM bfkey)
       |  WHERE rank <= 5),
       |asg AS MATERIALIZED (SELECT id, v, cell FROM (
       |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
@@ -725,13 +767,26 @@ object DataQueries {
       |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM asg),
       |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
       |  FROM asg GROUP BY 1),
-      |pr AS MATERIALIZED (SELECT query_id, qv, cell, prn FROM (
-      |  SELECT q.query_id, q.qv, c.cell, row_number() OVER (PARTITION BY q.query_id
+      |pr AS MATERIALIZED (SELECT query_id, cell, prn FROM (
+      |  SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id
       |    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell) AS prn
       |  FROM q CROSS JOIN cents c) WHERE prn <= $maxNp),
-      |cand AS MATERIALIZED (SELECT p.query_id, a.id,
-      |  round(list_cosine_similarity(a.v, p.qv), 6) AS cos_r, p.prn
-      |  FROM asg a JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id)
+      |cdd AS (SELECT p.query_id, a.id,
+      |  CAST(list_inner_product(ei.vq::DOUBLE[], qi.qvq::DOUBLE[]) AS BIGINT) AS d,
+      |  ei.vn AS na, qi.qn AS nb, p.prn
+      |  FROM asg a JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id
+      |  JOIN ein ei ON ei.id = a.id JOIN qin qi ON qi.query_id = p.query_id
+      |  WHERE ei.vn > 0 AND qi.qn > 0),
+      |cdz AS (SELECT query_id, id, d, prn,
+      |  (1000000 * CAST(abs(d) AS HUGEINT)) * (1000000 * CAST(abs(d) AS HUGEINT))
+      |    // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS z FROM cdd),
+      |cds AS (SELECT query_id, id, d, z, prn,
+      |  CAST(floor(sqrt(CAST(z AS DOUBLE))) AS BIGINT) AS s0 FROM cdz),
+      |cand AS MATERIALIZED (SELECT query_id, id,
+      |  (CASE WHEN d >= 0 THEN 1 ELSE -1 END) *
+      |  (CASE WHEN (s0+1)*(s0+1) <= z THEN s0+1
+      |        WHEN s0*s0 > z THEN s0-1 ELSE s0 END) AS key, prn
+      |  FROM cds)
       |$blocks
       |ORDER BY n_probe""".stripMargin
   }

@@ -874,12 +874,14 @@ object ScaleProbe {
     }
     // e24 nprobe↔recall sweep: must cost ONE search at max width (the
     // candidate scan dominates; 4 re-windows over the bounded candidate
-    // relation), not Σ independent searches.
+    // relation), not Σ independent searches. r14: probes the EXACT
+    // integer-key gate form (what e24 now gates) — must hold the float
+    // sweep's flat profile (r13: 10.01/10.14/11.30 s at 1x/16x/64x).
     stage("recall_sweep") {
       t(s"recall_sweep_${replicas}x") {
         val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
           k = 16, dim = 64, iters = 3).centroids
-        graft.operators.Similarity.ivfRecallSweep(embBig,
+        graft.operators.Similarity.ivfRecallSweepExact(embBig,
           emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
           k = 5, codebook = cb, nProbes = Seq(1, 2, 4, 8))
       }

@@ -127,10 +127,73 @@ class OperatorsSpec extends SparkSpec {
     val full = rows.last
     assert(full.getLong(4) == 1000000L, s"8-of-8 cells scanned ${full.getLong(4)} ppm")
     assert(full.getLong(3) == 1000000L, s"8-of-8 cells recall ${full.getLong(3)} ppm")
-    // recall_ppm is the exact integer 1e6 * hits div (k * nq)
+    // recall_ppm is the exact integer 1e6 * hits div n_bf, where n_bf
+    // is the brute-force rows actually available (== k * nq on this
+    // corpus where every query has >= k non-degenerate neighbors)
     rows.foreach { r =>
       assert(r.getLong(3) == 1000000L * r.getLong(2) / (5L * r.getLong(1)))
     }
+  }
+
+  test("ivfRecallSweepExact: integer-key gate equals the float sweep off-boundary") {
+    // the e24 hash gate ranks by floor(1e6*|cos|)*sign of the
+    // micro-quantized vectors; on the shipped corpus (no cosine ties at
+    // 1e-6 granularity between rank-k and rank-k+1 candidates) the
+    // whole curve must match the float production operator row for row
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val f = Similarity.ivfRecallSweep(emb, queries, "embedding", "vec_id",
+        k = 5, codebook = cb, nProbes = Seq(1, 2, 4, 8))
+      .orderBy("n_probe").collect().map(_.toSeq)
+    val x = Similarity.ivfRecallSweepExact(emb, queries, "embedding", "vec_id",
+        k = 5, codebook = cb, nProbes = Seq(1, 2, 4, 8))
+      .orderBy("n_probe").collect().map(_.toSeq)
+    assert(f.toSeq == x.toSeq, s"float ${f.toSeq} vs exact ${x.toSeq}")
+  }
+
+  test("intCosKey: matches an exact BigDecimal reference, signs and nulls") {
+    import graft.expressions.VectorExpressions
+    val vecs = Seq(
+      (0L, Array(0.31f, -0.22f, 0.094f, 0.0f)),
+      (1L, Array(-0.31f, 0.22f, -0.094f, 0.0f)), // antipode -> negative key
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // degenerate -> null
+      (3L, Array(0.001f, 0.5f, -0.25f, 0.125f)),
+      (4L, Array(0.31f, -0.22f, 0.094f, 1e-9f))) // ~parallel to 0
+      .toDF("id", "v")
+    val q = Seq((100L, Array(0.29f, -0.2f, 0.11f, 0.04f))).toDF("qid", "qv")
+    val got = vecs.crossJoin(q)
+      .select($"id", VectorExpressions.intCosKey($"v", $"qv").as("k"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // reference: quantize exactly via BigDecimal, key = sign*isqrt((1e6*|dot|)^2 / (na*nb))
+    def ref(a: Array[Float], b: Array[Float]): Option[Long] = {
+      def qz(x: Float): Long = math.floor(x.toDouble * 100000L + 0.5).toLong
+      val (qa, qb) = (a.map(qz), b.map(qz))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val na = qa.map(x => x * x).sum; val nb = qb.map(x => x * x).sum
+      if (na == 0L || nb == 0L) None else {
+        val h = java.math.BigInteger.valueOf(1000000L * math.abs(dot))
+        val z = h.multiply(h).divide(java.math.BigInteger.valueOf(na)
+          .multiply(java.math.BigInteger.valueOf(nb)))
+        val s = z.sqrt().longValueExact()
+        Some(if (dot >= 0) s else -s)
+      }
+    }
+    val qv = Array(0.29f, -0.2f, 0.11f, 0.04f)
+    val vs = Map(0L -> Array(0.31f, -0.22f, 0.094f, 0.0f),
+      1L -> Array(-0.31f, 0.22f, -0.094f, 0.0f),
+      2L -> Array(0.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Array(0.001f, 0.5f, -0.25f, 0.125f),
+      4L -> Array(0.31f, -0.22f, 0.094f, 1e-9f))
+    vs.foreach { case (id, v) =>
+      assert(got(id) == ref(v, qv), s"id=$id: ${got(id)} vs ${ref(v, qv)}")
+    }
+    assert(got(1L).exists(_ < 0L), "antipodal key must be negative")
+    assert(got(2L).isEmpty, "degenerate vector must key to NULL")
+    // |key| <= 1e6 always (floor of 1e6*|cos|)
+    got.values.flatten.foreach(k => assert(math.abs(k) <= 1000000L))
   }
 
   test("ivfRecallSweep: each width's prefix re-rank equals an independent search") {
