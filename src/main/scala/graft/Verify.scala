@@ -62,6 +62,53 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // OUTPUT row digests (VERDICT r13 next-#2 — driver-red forensics):
+    // per query, a file of SORTED per-row xxhash64 digests plus
+    // per-column min/max. When a driver hash goes red, diffing the
+    // driver outDir's digest_<name>.txt against a local re-run
+    // localizes the divergence to specific rows and columns in one
+    // `diff`, instead of costing a blind round. Computed from the
+    // WRITTEN parquet (what the driver actually compares), not the
+    // in-memory plan. Digests are top-level FILES (not a subdir):
+    // comparator implementations that enumerate outDir
+    // SUBDIRECTORIES as query outputs (tools/validate.py did, and the
+    // driver's copy may still) must never see a parquet-less dir.
+    val digestDir = Paths.get(outDir)
+    SparkEntry.queries.keys
+      .filter(name => only.forall(_.contains(name)))
+      .filter(name => Files.exists(Paths.get(outDir, name)))
+      .foreach { name =>
+        try {
+          val df = spark.read.parquet(s"$outDir/$name")
+          val cols = df.columns.sorted // the driver compare sorts by name
+          val hashed = df.select(org.apache.spark.sql.functions.xxhash64(
+            cols.map(c => org.apache.spark.sql.functions.col(c)
+              .cast("string")): _*).as("h"))
+          val rows = hashed.collect().map(_.getLong(0)).sorted
+          val sb = new StringBuilder
+          sb.append(s"rows=${rows.length} xor=${
+            java.lang.Long.toHexString(rows.foldLeft(0L)(_ ^ _))}\n")
+          cols.foreach { c =>
+            // native-type min/max (cast AFTER aggregating — string
+            // ordering would mislead on numerics), skipping
+            // unorderable columns
+            try {
+              val mm = df.agg(
+                org.apache.spark.sql.functions.min(
+                  org.apache.spark.sql.functions.col(c)).cast("string"),
+                org.apache.spark.sql.functions.max(
+                  org.apache.spark.sql.functions.col(c)).cast("string")).head
+              sb.append(s"col $c min=${mm.getString(0)} max=${mm.getString(1)}\n")
+            } catch { case _: Exception =>
+              sb.append(s"col $c unorderable\n")
+            }
+          }
+          rows.foreach(h => sb.append(java.lang.Long.toHexString(h)).append('\n'))
+          Files.writeString(digestDir.resolve(s"digest_$name.txt"), sb.toString)
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] digest $name failed: ${e.getMessage}")
+        }
+      }
     // literal-contract oracles (t21/t23) inline the model fitted for
     // the dir being dumped — pin it explicitly so a JVM that touched
     // other sf dirs can never leak another dir's literals

@@ -7,6 +7,7 @@ Usage: python3 tools/validate.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob, math
 import duckdb
+import pyarrow
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -25,13 +26,16 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # only dirs that actually hold parquet are query outputs (the
+    # digests/ forensics dir added in r14 is neither)
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(f"{out_dir}/{d}"))
+                   if os.path.isdir(f"{out_dir}/{d}")
+                   and glob.glob(f"{out_dir}/{d}/*.parquet"))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         tbl = pq.read_table(files[0]) if len(files) == 1 else \
-            pq.concat_tables([pq.read_table(f) for f in sorted(files)])
+            pyarrow.concat_tables([pq.read_table(f) for f in sorted(files)])
         cols = sorted(tbl.column_names)
         spark_rows = [tuple(canon(tbl.column(c)[i].as_py()) for c in cols)
                       for i in range(tbl.num_rows)]
