@@ -1875,15 +1875,25 @@ object TextAnalysis {
 
   /** Score every document with the distilled literals: integer dot
     * product on the integer features — map-only, no float anywhere in
-    * the gate. Output: (doc_id, score_nano, pred, label, correct). */
+    * the gate. Accumulated in DECIMAL(38,0) (ADVICE r13): the fit
+    * guards the mega-token hazard (mwl_micro ~1e12 × wNano ~1e9-1e10
+    * exceeds 2^63) by squaring in decimal, and the scoring path must
+    * not reintroduce it as a raw-long multiply that ANSI-throws on a
+    * pathological document instead of scoring it; the final score is
+    * cast back to BIGINT (loud past 2^63 — far beyond the model
+    * contract). Oracle twin accumulates in HUGEINT.
+    * Output: (doc_id, score_nano, pred, label, correct). */
   def logisticDistillScore(df: DataFrame, textCol: String, idCol: String,
-                           m: LrModel): DataFrame =
+                           m: LrModel): DataFrame = {
+    val dec0 = DataTypes.createDecimalType(38, 0)
     lrFeatures(df, textCol, idCol).select(col("doc_id"),
         (m.wNano.zipWithIndex.map { case (wj, j) =>
-          lit(wj) * element_at(col("x"), j + 1)
-        }.reduce(_ + _) + lit(m.bNano)).as("score_nano"),
+          lit(wj).cast(dec0) * element_at(col("x"), j + 1).cast(dec0)
+        }.reduce(_ + _) + lit(m.bNano).cast(dec0))
+          .cast(LongType).as("score_nano"),
         (col("y") > 0.5).as("label"))
       .withColumn("pred", col("score_nano") >= 0L)
       .withColumn("correct", col("pred") === col("label"))
       .select("doc_id", "score_nano", "pred", "label", "correct")
+  }
 }

@@ -647,10 +647,19 @@ object VersionedTable {
   /** Expire old snapshots: retain the newest `keep` versions' manifests
     * and delete every data file referenced ONLY by expired ones. The
     * bounded-retention contract every snapshot store has — run it on
-    * the maintenance cadence, sized to the longest reader. */
-  def prune(spark: SparkSession, root: String, keep: Int = 2): Unit =
+    * the maintenance cadence, sized to the longest reader.
+    *
+    * `staleAfterMs` is the orphan age threshold (default 1 h): SIZE IT
+    * TO THE LONGEST EXPECTED WRITE STAGE — a live writer whose Spark
+    * stage outlives it is exposed, because part files land under
+    * `<dir>/_temporary` without refreshing the top-level dir mtime
+    * (ADVICE r13). Dirs still holding a `_temporary` child are skipped
+    * outright as in-flight writes regardless of age. */
+  def prune(spark: SparkSession, root: String, keep: Int = 2,
+            staleAfterMs: Long = 3600 * 1000L): Unit =
       withRootLock(root) {
     require(keep >= 1, "must retain at least the current version")
+    require(staleAfterMs > 0, "stale threshold must be positive")
     val f = fsFor(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
@@ -694,7 +703,13 @@ object VersionedTable {
             // can be ≤ cur yet MID-STAGE if a racing writer advanced
             // cur after the stager planned — deleting under its write
             // job would turn a retryable conflict into a hard failure
-            st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L &&
+            st.getModificationTime < System.currentTimeMillis() - staleAfterMs &&
+            // an in-flight Spark write keeps its staging under
+            // <dir>/_temporary while the TOP-LEVEL mtime stays frozen —
+            // a stage outliving the age guard would otherwise be
+            // deleted mid-write (ADVICE r13): presence of the
+            // committer's scratch dir vetoes deletion at ANY age
+            !f.exists(hp(s"${dataRoot(root)}/$name/_temporary")) &&
             listRelative(f, root, name).forall(rel => !live.contains(rel))
         if (supersededOrphan || !f.listFiles(st.getPath, true).hasNext)
           f.delete(st.getPath, true)

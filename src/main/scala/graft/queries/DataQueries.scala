@@ -2501,8 +2501,11 @@ object DataQueries {
   def t28Sql: String = {
     val m = lrModelLiteral(resolveOracleDir)
     val micro = (c: String) => s"CAST(floor($c * 1e6 + 0.5) AS BIGINT)"
+    // HUGEINT accumulation mirrors the Spark DECIMAL(38,0) dot: a
+    // raw-BIGINT multiply would error on the mega-token mwl_micro
+    // hazard the fit already guards (ADVICE r13)
     val dot = TextAnalysis.lrFeatureNames.zip(m.wNano)
-      .map { case (f, w) => s"($w) * $f" }.mkString(" + ")
+      .map { case (f, w) => s"CAST($w AS HUGEINT) * $f" }.mkString(" + ")
     s"""WITH $gopherCtes,
        |g AS (SELECT doc_id, n_words,
        |  ${micro("mean_word_len")} AS mwl_micro,
@@ -2512,8 +2515,9 @@ object DataQueries {
        |  ${micro("ellipsis_frac")} AS ellipsis_micro,
        |  n_stop_hits,
        |  $gopherPassExpr AS label FROM f),
-       |sc AS (SELECT doc_id, (${m.bNano}) + $dot AS score_nano, label
-       |  FROM g)
+       |sc AS (SELECT doc_id,
+       |  CAST(CAST(${m.bNano} AS HUGEINT) + $dot AS BIGINT) AS score_nano,
+       |  label FROM g)
        |SELECT doc_id, score_nano, score_nano >= 0 AS pred, label,
        |  (score_nano >= 0) = label AS correct
        |FROM sc ORDER BY doc_id""".stripMargin

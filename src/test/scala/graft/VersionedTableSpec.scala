@@ -168,6 +168,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, r) === Seq(1L, 2L))
   }
 
+  test("prune never deletes a staged dir with an in-flight _temporary child") {
+    val r = root()
+    VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
+    VersionedTable.write(spark, r, Seq((2L, "b")).toDF("id", "tag"))
+    // a writer whose Spark stage outlives the age threshold: part files
+    // land under <dir>/_temporary and the TOP-LEVEL dir mtime stays
+    // frozen (ADVICE r13) — age alone must not doom it
+    val live = new java.io.File(s"$r/data/b2_cafecafe")
+    val tmp = new java.io.File(live, "_temporary/0/task_0")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "part-0.parquet").toPath, "inflight")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    java.nio.file.Files.setLastModifiedTime(live.toPath, old)
+    VersionedTable.prune(spark, r, keep = 2)
+    assert(live.exists,
+      "an aged dir still holding _temporary is an in-flight Spark write")
+    // once the committer's scratch dir is gone it is a true lost-race
+    // orphan and the (parameterizable) age threshold applies
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(live, "_temporary"))
+    java.nio.file.Files.setLastModifiedTime(live.toPath, old)
+    VersionedTable.prune(spark, r, keep = 2, staleAfterMs = 3600 * 1000L)
+    assert(!live.exists, "scratch gone + aged = garbage")
+    assert(VersionedTable.versions(spark, r) === Seq(1L, 2L))
+  }
+
   test("compact preserves the partition layout; layout mismatch fails loud") {
     val r = root()
     VersionedTable.write(spark, r,
