@@ -39,12 +39,16 @@ object DataQueries {
       |  FROM fps GROUP BY fp),
       |rdocs AS (SELECT r.doc_id, f.text, r.n_copies FROM reps r
       |  JOIN fps f ON f.doc_id = r.doc_id)""".stripMargin
-  private val shCte =
-    """sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-      |  THEN list_transform(range(1, len(toks)-1),
-      |       i -> array_to_string(toks[i:i+2], ' '))
-      |  ELSE [] END) AS sh FROM toks),
-      |base AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0)""".stripMargin
+  /** Distinct word-`n`-gram shingle CTE (sh0/base) over `toks` —
+    * DuckDB list slices are 1-based inclusive: toks[i:i+(n-1)] is n
+    * tokens, i ranges over [1, len-n+1]. */
+  private def shCteFor(n: Int): String =
+    s"""sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= $n
+       |  THEN list_transform(range(1, len(toks)-${n - 2}),
+       |       i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |  ELSE [] END) AS sh FROM toks),
+       |base AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0)""".stripMargin
+  private val shCte = shCteFor(3)
   private val h60 = // cross-engine md5 60-bit hash of a varchar expr
     (e: String) => s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
 
@@ -2791,6 +2795,52 @@ object DataQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** REALISTIC-RARITY ALL-PAIRS COSINE (d28 — [[Dedup.allPairsCosine]]
+    * at width-5 shingles, tau = 2/5): the regime gate VERDICT r13
+    * next-#3 asked for. d25 ships width-3, which on THIS corpus is the
+    * SATURATED regime — the 31-token generator pool caps the 3-shingle
+    * space (~31³), so shingle df explodes with corpus size and the
+    * rarest-first prefix heuristic gets no rarity to exploit. Width-5
+    * is the regime any real web corpus lives in: measured on sf0.01,
+    * 23 995 distinct 5-shingles with **95% at df=1** (median df 1, max
+    * 3), and the τ=2/5 output is NON-degenerate — 25 pairs, every one
+    * a genuine partial overlap (o < max(n1,n2); zero exact-set pairs),
+    * with 12 co-occurring pairs correctly BELOW the gate (real
+    * threshold selectivity). So the plan this query hash-gates is the
+    * one that matters at 100 TB: df=1 prefix mass pruned before the
+    * self-join, small candidate buckets from genuine rarity, integer
+    * membership gate. Same operator, same oracle shape as d25 — only
+    * the regime differs. */
+  private val apcRareN = 5
+  private val apcRareTauNum = 2
+  private val apcRareTauDen = 5
+
+  val d28CosineRare: Q = (s, dir) =>
+    Dedup.allPairsCosine(Catalog(s, dir).documents, "text", "doc_id",
+        shingleN = apcRareN, tauNum = apcRareTauNum, tauDen = apcRareTauDen)
+      .orderBy(col("id1"), col("id2"))
+
+  lazy val d28Sql: String = {
+    val t2n = apcRareTauNum * apcRareTauNum
+    val t2d = apcRareTauDen * apcRareTauDen
+    s"""WITH $toksCte,
+       |${shCteFor(apcRareN)},
+       |hb AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
+       |    AS shs FROM base),
+       |hn AS (SELECT doc_id, shs, len(shs) AS n FROM hb),
+       |ex AS (SELECT doc_id, unnest(shs) AS h, n FROM hn),
+       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  a.n AS n1, b.n AS n2, count(*) AS o
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id1, id2, n1, n2, o AS n_shared,
+       |  CAST(floor(o / sqrt((n1*n2)::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+       |    AS cos_nano
+       |FROM p WHERE $t2d * o * o >= $t2n * n1 * n2
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** BATCH-VS-STATE COSINE LINK (d26 — [[Dedup.allPairsCosineDelta]]):
     * the d20 shape for set similarity — an md5-deterministic 20% batch
     * linked against the frozen 80% reference WITHOUT re-deriving the
@@ -3895,6 +3945,7 @@ object DataQueries {
     "t29_filter_ablation" -> t29FilterAblation,
     "t30_novelty_score" -> t30NoveltyScore,
     "d27_segment_delta" -> d27SegmentDelta,
+    "d28_cosine_rare" -> d28CosineRare,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -3984,6 +4035,7 @@ object DataQueries {
     "t29_filter_ablation" -> t29Sql,
     "t30_novelty_score" -> t30Sql,
     "d27_segment_delta" -> d27Sql,
+    "d28_cosine_rare" -> d28Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

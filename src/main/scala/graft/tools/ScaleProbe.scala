@@ -832,10 +832,12 @@ object ScaleProbe {
     // premise is violated BY THE CORPUS, not the plan). Width-5
     // shingles (31^5 ~ 28.6M space) restore genuine rarity — the
     // regime a real web corpus is in at any scale.
+    // r14: probes the d28 GATE parameters (tau = 2/5, the hash-gated
+    // realistic-rarity query) rather than the r13 exploratory 3/5.
     stage("allpairs_cosine5") {
       t(s"allpairs_cosine5_${replicas}x") {
         Dedup.allPairsCosine(docs, "text", "doc_id",
-          shingleN = 5, tauNum = 3, tauDen = 5)
+          shingleN = 5, tauNum = 2, tauDen = 5)
       }
     }
     // e23 hybrid RRF: the arms (BM25 top-50, brute-force cosine

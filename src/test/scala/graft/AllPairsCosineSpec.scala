@@ -84,6 +84,26 @@ class AllPairsCosineSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("width-5 tau=2/5 (d28, the realistic-rarity regime): lossless, non-degenerate, selective") {
+    // width-3 on this corpus is SATURATED (31-token pool caps the
+    // 3-shingle space); width-5 has genuine rarity (95% of shingles at
+    // df=1 on sf0.01) — the regime a real web corpus is in. The gate
+    // output must be non-degenerate: real partial overlaps, not just
+    // exact-set pairs, with co-occurring pairs below tau proving the
+    // threshold actually selects.
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val got = run(docs, "text", n = 5, tauNum = 2, tauDen = 5)
+    assert(got.nonEmpty)
+    assert(got == naive(docs, "text", 5, 2, 5), "prefix filter must stay lossless at width 5")
+    assert(got.forall { case (_, _, n1, n2, o, _) => o < math.max(n1, n2) },
+      s"every pair a genuine partial overlap, got $got")
+    // tau selects: the zero-threshold co-occurrence set is strictly larger
+    val all = run(docs, "text", n = 5, tauNum = 1, tauDen = 1000)
+    assert(all.size > got.size,
+      s"pairs below tau must exist (${all.size} co-occurring vs ${got.size} gated)")
+    assert(got.subsetOf(all))
+  }
+
   // ---------------------------------------------------------------
   // delta form: batch vs frozen reference state
   // ---------------------------------------------------------------
