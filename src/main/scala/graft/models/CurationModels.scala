@@ -452,6 +452,51 @@ object CurationModels {
     RagGateResult(recallPpm, nq, passed, rolledBackTo)
   }
 
+  /** The versioned members of a curation RELEASE — everything a
+    * downstream consumer must see move in lockstep: the card that
+    * describes the corpus, the chunks, and the index+codebook that
+    * serve it. */
+  val releaseMembers: Seq[String] =
+    Seq("DATA_CARD", "RAG_CHUNKS", "RAG_CODEBOOK", "RAG_CHUNK_INDEX")
+
+  private def memberRoot(cfg: RunConfig, name: String): String =
+    s"${cfg.warehouseRoot}/${cfg.env.prefix}/3_MART___CURATION/$name"
+
+  /** The env's release-registry root (the `_RELEASE` sibling of the
+    * member tables; the leading underscore keeps it out of any
+    * table-name namespace). */
+  def releaseRoot(cfg: RunConfig): String =
+    memberRoot(cfg, "_RELEASE")
+
+  /** ATOMIC CROSS-TABLE PUBLISH of the curation run (VERDICT r13
+    * next-#4): snapshot the four members' current versions into ONE
+    * [[graft.pipeline.PublishSet]] registry commit. Call AFTER the
+    * Registry run's member commits and after [[ragRecallGate]] passes
+    * — a failed gate never publishes, so release readers never observe
+    * the bad candidate, and the mid-run window (card committed, index
+    * not yet) is invisible to anyone resolving through the release.
+    * Returns the release version. */
+  def publishRelease(spark: SparkSession, cfg: RunConfig): Long =
+    graft.pipeline.PublishSet.publishCurrent(spark, releaseRoot(cfg),
+      releaseMembers.map(memberRoot(cfg, _)))
+
+  /** Read one member AT the current release's pinned version — the
+    * consistent-snapshot read path (never the member table's own
+    * current, which a concurrent run may have advanced). */
+  def readRelease(spark: SparkSession, cfg: RunConfig,
+                  member: String): DataFrame = {
+    require(releaseMembers.contains(member),
+      s"'$member' is not a release member (${releaseMembers.mkString(", ")})")
+    graft.pipeline.PublishSet.readTable(spark, releaseRoot(cfg),
+      memberRoot(cfg, member))
+  }
+
+  /** Roll the WHOLE release back to version `to` in one registry
+    * commit — all four members restore together; no torn intermediate
+    * is ever resolvable. */
+  def rollbackRelease(spark: SparkSession, cfg: RunConfig, to: Long): Long =
+    graft.pipeline.PublishSet.rollback(spark, releaseRoot(cfg), to)
+
   /** The generic data-test suite for the curation DAG outputs (one
     * batched job, dbt-test semantics). */
   def tests(r: Registry, cfg: RunConfig): Seq[graft.pipeline.DataTests.CheckResult] = {

@@ -81,7 +81,7 @@ object VersionedTable {
 
   private val maxCommitRetries = 5
 
-  private def withCommitRetries[T](root: String, what: String)(
+  private[pipeline] def withCommitRetries[T](root: String, what: String)(
       attempt: () => T): T = {
     var last: Throwable = null
     var i = 0
@@ -95,13 +95,13 @@ object VersionedTable {
         "matching manifests)", last)
   }
 
-  private def fsFor(spark: SparkSession, path: String) =
+  private[pipeline] def fsFor(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+  private[pipeline] def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
   private def pointerPath(root: String) = s"$root/_current"
-  private def manifestPath(root: String, v: Long) = s"$root/_manifests/v$v"
+  private[pipeline] def manifestPath(root: String, v: Long) = s"$root/_manifests/v$v"
   private def dataRoot(root: String) = s"$root/data"
 
   // per-root writer serialization WITHIN this JVM: in-process writers
@@ -112,7 +112,7 @@ object VersionedTable {
   // SEPARATE processes, which this lock cannot see.
   private val rootLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def withRootLock[T](root: String)(body: => T): T =
+  private[pipeline] def withRootLock[T](root: String)(body: => T): T =
     rootLocks.getOrElseUpdate(root, new Object).synchronized(body)
 
   private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
@@ -171,12 +171,24 @@ object VersionedTable {
   private case class Manifest(files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType])
 
-  private def manifest(spark: SparkSession, root: String, v: Long): Manifest = {
+  /** Raw manifest lines of a retained version — [[PublishSet]] parses
+    * its own (table → version) grammar from these. */
+  private[pipeline] def manifestLines(spark: SparkSession, root: String,
+                                      v: Long): Seq[String] = {
     val f = fsFor(spark, root)
     val p = hp(manifestPath(root, v))
     require(f.exists(p), s"version $v of $root is not retained (pruned?)")
-    val lines = readSmallFile(f, p).split("\n").map(_.trim)
-      .filter(_.nonEmpty).toSeq
+    readSmallFile(f, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Manifest existence probe (no read) — [[PublishSet.publish]]
+    * validates every named member version before committing the set. */
+  private[pipeline] def manifestExists(spark: SparkSession, root: String,
+                                       v: Long): Boolean =
+    fsFor(spark, root).exists(hp(manifestPath(root, v)))
+
+  private def manifest(spark: SparkSession, root: String, v: Long): Manifest = {
+    val lines = manifestLines(spark, root, v)
     val (schemaLines, files) = lines.partition(_.startsWith("#schema="))
     val schema = schemaLines.headOption.map(l =>
       org.apache.spark.sql.types.DataType.fromJson(
@@ -303,13 +315,22 @@ object VersionedTable {
   // if slot v were somehow still free (pointer tampering).
   private def commit(spark: SparkSession, root: String, v: Long,
                      files: Seq[String],
-                     schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+                     schema: Option[org.apache.spark.sql.types.StructType]): Unit =
+    commitText(spark, root, v,
+      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ files).mkString("\n"))
+
+  /** The bare manifest-text commit — the SAME linearization point
+    * ([[commit]]'s Scaladoc) with caller-supplied content. Shared with
+    * [[PublishSet]], whose registry versions are manifests of
+    * (table → version) lines rather than file lists: one CAS
+    * implementation, two manifest grammars (the r13-s3 review rule —
+    * never copy the commit plumbing). */
+  private[pipeline] def commitText(spark: SparkSession, root: String,
+                                   v: Long, content: String): Unit = {
     val now = currentVersion(spark, root).getOrElse(0L)
     if (now != v - 1) throw new VersionConflictException(
       s"planned version $v of $root but current advanced to $now")
     val f = fsFor(spark, root)
-    val content =
-      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ files).mkString("\n")
     val tmp = hp(s"$root/_manifests/.tmp_" +
       java.util.UUID.randomUUID.toString.take(12))
     writeSmallFile(f, tmp, content) // create() makes parent dirs

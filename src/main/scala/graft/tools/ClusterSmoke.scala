@@ -284,6 +284,73 @@ object ClusterSmoke {
           "counts monotone, ladder intact)")
     }
 
+    // ---- cross-table atomic-publish shape (VERDICT r13 next-#4): a
+    // writer thread runs N "curation runs" — commit member A, commit
+    // member B (the torn window a naive per-table reader would see),
+    // then ONE PublishSet registry commit — while this thread hammers
+    // resolve(). Invariants: every resolved set is INTERNALLY
+    // CONSISTENT (both members pinned to the same run — a {A:n+1, B:n}
+    // observation is exactly the torn state the registry exists to
+    // kill), release versions never regress, and the final history is
+    // complete with every historical set whole.
+    {
+      import graft.pipeline.{PublishSet, VersionedTable}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-smoke-rel").toString
+      val (aRoot, bRoot, reg) = (s"$base/A", s"$base/B", s"$base/_REL")
+      val spark = builder.master("local[4]").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val nRuns = 6
+      @volatile var writerErr: Option[String] = None
+      val writer = new Thread(() => {
+        try (1 to nRuns).foreach { i =>
+          VersionedTable.write(spark, aRoot,
+            Seq((i.toLong, s"a$i")).toDF("id", "tag"))
+          Thread.sleep(30) // widen the torn window the registry must hide
+          VersionedTable.write(spark, bRoot,
+            Seq((i.toLong, s"b$i")).toDF("id", "tag"))
+          PublishSet.publish(spark, reg,
+            Map(aRoot -> i.toLong, bRoot -> i.toLong))
+        } catch { case e: Throwable => writerErr = Some(e.toString) }
+      }, "release-writer")
+      writer.start()
+      var relReads = 0
+      var lastRel = 0L
+      var relFail: Option[String] = None
+      val relDeadline = System.currentTimeMillis() + 300 * 1000L
+      while (writer.isAlive && relFail.isEmpty &&
+          System.currentTimeMillis() < relDeadline) {
+        PublishSet.currentVersion(spark, reg) match {
+          case Some(_) =>
+            val set = PublishSet.resolve(spark, reg)
+            val vs = set.values.toSet
+            if (vs.size != 1)
+              relFail = Some(s"TORN release observed: $set")
+            else if (vs.head < lastRel)
+              relFail = Some(s"release regressed $lastRel -> ${vs.head}")
+            else { lastRel = vs.head; relReads += 1 }
+          case None => Thread.sleep(10)
+        }
+      }
+      writer.join(300 * 1000L)
+      val relOk = relFail.isEmpty && writerErr.isEmpty &&
+        PublishSet.currentVersion(spark, reg).contains(nRuns.toLong) &&
+        (1L to nRuns.toLong).forall { v =>
+          val s = PublishSet.resolveVersion(spark, reg, v)
+          s == Map(aRoot -> v, bRoot -> v) &&
+            PublishSet.readTable(spark, reg, aRoot).count() == 1L
+        }
+      spark.stop()
+      if (!relOk) {
+        println("[cluster-smoke] atomic-publish registry FAIL: " +
+          relFail.orElse(writerErr).getOrElse("history incomplete"))
+        failed = true
+      } else
+        println(s"[cluster-smoke] atomic-publish registry OK ($relReads " +
+          s"resolves over $nRuns releases, zero torn sets, history whole)")
+    }
+
     if (failed) sys.exit(1)
     println(s"[cluster-smoke] all ${subset.size} queries match across " +
       "local-cluster[2,4,2048] and local[8]")

@@ -1,0 +1,149 @@
+package graft
+
+import graft.pipeline.{PublishSet, VersionedTable}
+
+/** [[PublishSet]] — the manifest-of-manifests release registry
+  * (VERDICT r13 next-#4). The load-bearing property: a reader
+  * resolving through the registry gets a CONSISTENT cross-table set at
+  * every instant — the torn window between member commits and the
+  * registry commit is invisible, and rollback restores the whole set
+  * in one commit. */
+class PublishSetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-release").toString
+
+  test("publish/resolve/readTable: one atomic set; member currents do not leak") {
+    val d = tmp()
+    val (a, b, reg) = (s"$d/A", s"$d/B", s"$d/_REL")
+    VersionedTable.write(spark, a, Seq((1L, "a1")).toDF("id", "tag"))
+    VersionedTable.write(spark, b, Seq((1L, "b1")).toDF("id", "tag"))
+    assert(PublishSet.publish(spark, reg, Map(a -> 1L, b -> 1L)) === 1L)
+    assert(PublishSet.resolve(spark, reg) === Map(a -> 1L, b -> 1L))
+    assert(PublishSet.readTable(spark, reg, a)
+      .select("tag").as[String].collect().toSeq === Seq("a1"))
+    // member A advances WITHOUT a new release: the registry keeps
+    // serving v1 — a release reader must never see the unpublished v2
+    VersionedTable.write(spark, a, Seq((1L, "a2")).toDF("id", "tag"))
+    assert(VersionedTable.currentVersion(spark, a) === Some(2L))
+    assert(PublishSet.resolve(spark, reg) === Map(a -> 1L, b -> 1L))
+    assert(PublishSet.readTable(spark, reg, a)
+      .select("tag").as[String].collect().toSeq === Seq("a1"))
+  }
+
+  test("torn-read attempt: no resolvable instant mixes two releases") {
+    val d = tmp()
+    val (a, b, reg) = (s"$d/A", s"$d/B", s"$d/_REL")
+    VersionedTable.write(spark, a, Seq((1L, "a1")).toDF("id", "tag"))
+    VersionedTable.write(spark, b, Seq((1L, "b1")).toDF("id", "tag"))
+    PublishSet.publish(spark, reg, Map(a -> 1L, b -> 1L))
+    // the torn window a naive per-table reader is exposed to: A's new
+    // version committed, B's not yet. Probe the registry AT EVERY STEP
+    // of the next run's member commits — each resolve must return one
+    // of the two complete releases, never {A:2, B:1}.
+    def snap(): Map[String, Long] = PublishSet.resolve(spark, reg)
+    val old = Map(a -> 1L, b -> 1L)
+    VersionedTable.write(spark, a, Seq((1L, "a2")).toDF("id", "tag"))
+    assert(snap() === old, "A committed, set unpublished: still the old release")
+    VersionedTable.write(spark, b, Seq((1L, "b2")).toDF("id", "tag"))
+    assert(snap() === old, "both committed, set unpublished: still the old release")
+    // a reader that resolved BEFORE the publish keeps a consistent
+    // old-release view across the publish (manifests are immutable)
+    val preResolved = snap()
+    PublishSet.publish(spark, reg, Map(a -> 2L, b -> 2L))
+    assert(snap() === Map(a -> 2L, b -> 2L), "after publish: the new release, whole")
+    assert(VersionedTable.readVersion(spark, a, preResolved(a))
+      .select("tag").as[String].collect().toSeq === Seq("a1"))
+    assert(VersionedTable.readVersion(spark, b, preResolved(b))
+      .select("tag").as[String].collect().toSeq === Seq("b1"))
+    // every historical release is itself complete — there is no
+    // registry version anywhere whose set mixes the two runs
+    val allSets = PublishSet.versions(spark, reg)
+      .map(v => PublishSet.resolveVersion(spark, reg, v))
+    assert(allSets === Seq(Map(a -> 1L, b -> 1L), Map(a -> 2L, b -> 2L)))
+  }
+
+  test("rollback restores the whole set in one commit; history stays inspectable") {
+    val d = tmp()
+    val (a, b, reg) = (s"$d/A", s"$d/B", s"$d/_REL")
+    VersionedTable.write(spark, a, Seq((1L, "a1")).toDF("id", "tag"))
+    VersionedTable.write(spark, b, Seq((1L, "b1")).toDF("id", "tag"))
+    PublishSet.publish(spark, reg, Map(a -> 1L, b -> 1L))
+    VersionedTable.write(spark, a, Seq((1L, "a2")).toDF("id", "tag"))
+    VersionedTable.write(spark, b, Seq((1L, "b2")).toDF("id", "tag"))
+    PublishSet.publish(spark, reg, Map(a -> 2L, b -> 2L))
+    val v = PublishSet.rollback(spark, reg, to = 1L)
+    assert(v === 3L, "rollback is a NEW registry version, not history rewrite")
+    assert(PublishSet.resolve(spark, reg) === Map(a -> 1L, b -> 1L))
+    assert(PublishSet.readTable(spark, reg, a)
+      .select("tag").as[String].collect().toSeq === Seq("a1"))
+    // the rolled-back release is still resolvable for inspection
+    assert(PublishSet.resolveVersion(spark, reg, 2L) === Map(a -> 2L, b -> 2L))
+  }
+
+  test("publish refuses a set naming an uncommitted or pruned member version") {
+    val d = tmp()
+    val (a, reg) = (s"$d/A", s"$d/_REL")
+    VersionedTable.write(spark, a, Seq((1L, "a1")).toDF("id", "tag"))
+    intercept[IllegalArgumentException] {
+      PublishSet.publish(spark, reg, Map(a -> 7L))
+    }
+    intercept[IllegalArgumentException] {
+      PublishSet.publish(spark, reg, Map.empty[String, Long])
+    }
+    // hostile root strings round-trip through the URL encoding
+    val weird = s"$d/A table=with spaces&chars"
+    VersionedTable.write(spark, weird, Seq((1L, "w")).toDF("id", "tag"))
+    PublishSet.publish(spark, reg, Map(a -> 1L, weird -> 1L))
+    assert(PublishSet.resolve(spark, reg) === Map(a -> 1L, weird -> 1L))
+  }
+
+  test("registry prune bounds retention without touching member tables") {
+    val d = tmp()
+    val (a, reg) = (s"$d/A", s"$d/_REL")
+    (1 to 4).foreach { i =>
+      VersionedTable.write(spark, a, Seq((i.toLong, s"a$i")).toDF("id", "tag"))
+      PublishSet.publish(spark, reg, Map(a -> i.toLong))
+    }
+    PublishSet.prune(spark, reg, keep = 2)
+    assert(PublishSet.versions(spark, reg) === Seq(3L, 4L))
+    intercept[IllegalArgumentException] {
+      PublishSet.resolveVersion(spark, reg, 1L)
+    }
+    // member table untouched by registry prune
+    assert(VersionedTable.versions(spark, a) === Seq(1L, 2L, 3L, 4L))
+    assert(PublishSet.resolve(spark, reg) === Map(a -> 4L))
+  }
+
+  test("curation release: members publish together, roll back together") {
+    import graft.models.CurationModels
+    import graft.pipeline.Pipeline.{RunConfig, Core}
+    val wh = tmp()
+    val cfg = RunConfig(env = Core, warehouseRoot = wh)
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i body token$i filler words enough to chunk and pack end",
+        if (i % 2 == 0) "en" else "de", s"host${i % 4}.example"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((9000L, "benchmark only text never overlapping"))
+      .toDF("doc_id", "text")
+    val reg = CurationModels.registry(spark, docs, bench)
+    reg.run(cfg, Seq("DATA_CARD", "RAG_CHUNK_INDEX"))
+    val rel1 = CurationModels.publishRelease(spark, cfg)
+    assert(rel1 === 1L)
+    val card1 = CurationModels.readRelease(spark, cfg, "DATA_CARD").collect()
+    // second run advances every member; release 2 names them together
+    reg.run(cfg, Seq("DATA_CARD", "RAG_CHUNK_INDEX"))
+    val rel2 = CurationModels.publishRelease(spark, cfg)
+    assert(rel2 === 2L)
+    val set2 = PublishSet.resolve(spark, CurationModels.releaseRoot(cfg))
+    assert(set2.values.toSet === Set(2L),
+      s"all members pinned at their run-2 versions, got $set2")
+    // one-commit rollback of the WHOLE release
+    CurationModels.rollbackRelease(spark, cfg, to = 1L)
+    val set1 = PublishSet.resolve(spark, CurationModels.releaseRoot(cfg))
+    assert(set1.values.toSet === Set(1L), s"rolled back whole, got $set1")
+    assert(CurationModels.readRelease(spark, cfg, "DATA_CARD").collect()
+      .toSeq === card1.toSeq)
+  }
+}
