@@ -448,6 +448,107 @@ object Dedup {
     bandedJaccardPairs(df, textCol, idCol, n, k, b, threshold)
   }
 
+  /** LSH BANDING SWEEP — [[chooseBanding]] picks (b, r) from the
+    * ANALYTIC S-curve; this MEASURES the choice on the corpus (e24's
+    * "measure, don't guess" applied to dedup tuning — the decision a
+    * 100 TB near-dup run makes before burning the cluster): for each
+    * bands value b (r = k/b), the candidate-pair volume the banding
+    * generates next to its recall and precision against the EXACT
+    * Jaccard-threshold ground truth, every column an exact integer
+    * (counts; ppm by integer division).
+    *
+    * Efficiency contract (the e24 sweep shape): ONE pass computes each
+    * keeper doc's hashed shingle set AND its k-perm signature
+    * (compiled expressions, map-only); the exact truth is ONE
+    * co-occurrence self-join (a pair above any τ > 0 shares a shingle,
+    * so the join is lossless for truth); each banding then re-slices
+    * the SAME signature relation and self-joins only (id, band) —
+    * nothing re-shingles, nothing re-hashes, and the per-config cost
+    * is the bucket join its candidate volume implies. Exact-dedup
+    * -first: all of it runs over distinct-fingerprint keepers, so
+    * exact copies never inflate the candidate counts ([[minhashPairs]]
+    * contract). The Jaccard gate is pure integer:
+    * (tauDen+tauNum)·o >= tauNum·(n1+n2) over DISTINCT hashed
+    * shingles (a 60-bit collision merges identically in the oracle).
+    *
+    * The exact-truth join is the measurement's inherent cost — Σdf²
+    * co-occurrences, minutes on a saturated shingle space (probed:
+    * 272 s at 16× width-3). A 100 TB deployment therefore sweeps a
+    * DETERMINISTIC SAMPLE of keepers (`samplePpm` — the d19/t15 md5
+    * sample contract, no RNG state): the banding DECISION needs
+    * recall/precision ppm estimates, not the full corpus, and a
+    * constant-size sample holds the decision cost flat at any corpus
+    * size (probed below). Both the truth and the candidates are
+    * computed over the SAME sample, so the ppm columns remain an
+    * unbiased within-sample measurement.
+    *
+    * Output: (n_bands, n_rows, n_candidates, n_true, n_hits,
+    * recall_ppm, precision_ppm), one row per bands value. r = 1
+    * bandings are refused ([[bandedRelations]]' rationale: single-min
+    * buckets go quadratic on corpus-common shingles). */
+  def lshBandingSweep(df: DataFrame, textCol: String, idCol: String,
+                      n: Int, k: Int, bandsList: Seq[Int],
+                      tauNum: Int, tauDen: Int,
+                      samplePpm: Long = 1000000L): DataFrame = {
+    require(bandsList.nonEmpty && bandsList.distinct.size == bandsList.size,
+      s"bad bands list $bandsList")
+    bandsList.foreach { b =>
+      require(b >= 1 && k % b == 0 && k / b >= 2,
+        s"bands=$b must divide k=$k with r=k/b >= 2")
+    }
+    require(tauNum >= 1 && tauNum <= tauDen, s"bad tau $tauNum/$tauDen")
+    require(samplePpm >= 1 && samplePpm <= 1000000L,
+      s"samplePpm must be in [1, 1e6], got $samplePpm")
+    val spark = df.sparkSession
+    val reps0 = fingerprintReps(df, textCol, idCol)
+    val reps = (if (samplePpm >= 1000000L) reps0
+      else reps0.filter(pmod(md5Long(col("id").cast(StringType)),
+        lit(1000000L)) < lit(samplePpm)))
+      .localCheckpoint(false)
+    val base = reps.repartition(col("id")).select(col("id"),
+        wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.expressions.HashExpressions.md5Set(col("sh")).as("shs"),
+        graft.expressions.HashExpressions.minhashSignature(col("sh"), k)
+          .as("sig"))
+      .withColumn("nsh", size(col("shs")).cast(LongType))
+      .localCheckpoint(false)
+    val ex = base.select(col("id"), explode(col("shs")).as("h"), col("nsh"))
+    val truth = ex.select(col("h"), col("id").as("id1"), col("nsh").as("n1"))
+      .join(ex.select(col("h"), col("id").as("id2"), col("nsh").as("n2")),
+        Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("o"))
+      .filter(lit((tauDen + tauNum).toLong) * col("o") >=
+        lit(tauNum.toLong) * (col("n1") + col("n2")))
+      .select("id1", "id2")
+      .localCheckpoint(false)
+    val nTrue = truth.count()
+    val sweep = bandsList.sorted.map { b =>
+      val r = k / b
+      val bandCols = (0 until b).map(bi =>
+        concat(lit(s"$bi:"), concat_ws(",",
+          (bi * r until (bi + 1) * r).map(i =>
+            element_at(col("sig"), i + 1).cast(StringType)): _*)))
+      val banded = base.select(col("id"),
+        explode(array(bandCols: _*)).as("band"))
+      val cand = banded.select(col("band"), col("id").as("id1"))
+        .join(banded.select(col("band"), col("id").as("id2")), Seq("band"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+        .localCheckpoint(false)
+      val nCand = cand.count()
+      val nHits = truth.join(cand, Seq("id1", "id2"), "left_semi").count()
+      (b.toLong, r.toLong, nCand, nTrue, nHits,
+        1000000L * nHits / math.max(1L, nTrue),
+        1000000L * nHits / math.max(1L, nCand))
+    }
+    import spark.implicits._
+    sweep.toDF("n_bands", "n_rows", "n_candidates", "n_true", "n_hits",
+      "recall_ppm", "precision_ppm")
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

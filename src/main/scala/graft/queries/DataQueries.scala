@@ -2841,6 +2841,69 @@ object DataQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** LSH BANDING SWEEP (d29 — [[Dedup.lshBandingSweep]]): d02 ships
+    * ONE analytically-chosen (b, r) point; this MEASURES the whole
+    * banding family on the corpus before a 100 TB dedup run commits to
+    * one — per bands ∈ {1,2,4,8} of the k=16 signature, candidate
+    * volume, recall and precision against the EXACT Jaccard ≥ 1/5
+    * ground truth, all in integer counts/ppm (the e24 sweep contract
+    * applied to dedup tuning). One signature pass, one exact-truth
+    * join; each config only re-slices and self-joins (id, band). */
+  private val lshSweepBands = Seq(1, 2, 4, 8)
+
+  val d29LshSweep: Q = (s, dir) =>
+    Dedup.lshBandingSweep(Catalog(s, dir).documents, "text", "doc_id",
+        n = 3, k = 16, bandsList = lshSweepBands, tauNum = 1, tauDen = 5)
+      .orderBy(col("n_bands"))
+
+  lazy val d29Sql: String = {
+    val k = 16
+    val cfg = lshSweepBands.sorted.map(b => (b, k / b))
+    val perConfig = cfg.map { case (b, r) =>
+      s"""bnd$b AS (SELECT doc_id, unnest(list_transform(range(0,$b), x ->
+         |  x::VARCHAR||':'||array_to_string(sig[x*$r+1:x*$r+$r], ','))) AS band
+         |  FROM sig),
+         |cnd$b AS (SELECT DISTINCT l.doc_id AS id1, rr.doc_id AS id2
+         |  FROM bnd$b l JOIN bnd$b rr
+         |  ON l.band = rr.band AND l.doc_id < rr.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val blocks = cfg.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS n_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cnd$b) AS n_candidates,
+         |  (SELECT n FROM nt) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |     JOIN cnd$b c ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hits,
+         |  1000000 * (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |     JOIN cnd$b c ON t.id1 = c.id1 AND t.id2 = c.id2)
+         |    // greatest(1, (SELECT n FROM nt)) AS recall_ppm,
+         |  1000000 * (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |     JOIN cnd$b c ON t.id1 = c.id1 AND t.id2 = c.id2)
+         |    // greatest(1, (SELECT CAST(count(*) AS BIGINT) FROM cnd$b))
+         |    AS precision_ppm
+         |""".stripMargin
+    }.mkString("UNION ALL\n")
+    s"""WITH $repsCtes,
+       |${toksCteOn("rdocs")},
+       |$shCte,
+       |hn AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
+       |    AS shs FROM base),
+       |ex AS (SELECT doc_id, unnest(shs) AS h, len(shs) AS nsh FROM hn),
+       |tp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  a.nsh AS n1, b.nsh AS n2, count(*) AS o
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |truth AS MATERIALIZED (SELECT id1, id2 FROM tp
+       |  WHERE 6 * o >= n1 + n2),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+       |sig AS MATERIALIZED (SELECT doc_id, sh, list_transform(range(0,$k), s ->
+       |  list_min(list_transform(sh, g -> ${h60("s::VARCHAR||'|'||g")}))) AS sig
+       |  FROM base),
+       |$perConfig
+       |$blocks
+       |ORDER BY n_bands""".stripMargin
+  }
+
   /** BATCH-VS-STATE COSINE LINK (d26 — [[Dedup.allPairsCosineDelta]]):
     * the d20 shape for set similarity — an md5-deterministic 20% batch
     * linked against the frozen 80% reference WITHOUT re-deriving the
@@ -3946,6 +4009,7 @@ object DataQueries {
     "t30_novelty_score" -> t30NoveltyScore,
     "d27_segment_delta" -> d27SegmentDelta,
     "d28_cosine_rare" -> d28CosineRare,
+    "d29_lsh_sweep" -> d29LshSweep,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -4036,6 +4100,7 @@ object DataQueries {
     "t30_novelty_score" -> t30Sql,
     "d27_segment_delta" -> d27Sql,
     "d28_cosine_rare" -> d28Sql,
+    "d29_lsh_sweep" -> d29Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

@@ -840,6 +840,20 @@ object ScaleProbe {
           shingleN = 5, tauNum = 2, tauDen = 5)
       }
     }
+    // d29 LSH banding sweep: one signature pass + one exact-truth
+    // co-occurrence join, then per-config skinny (id, band) self-joins.
+    // The FULL sweep's truth join is Σdf² — 5.44 s at 1× but 272 s at
+    // 16× on this saturated width-3 space (measured r14) — so the
+    // probe runs the DEPLOYMENT form: a constant-size deterministic
+    // keeper sample (samplePpm ∝ 1/replicas), which must hold the
+    // banding-decision cost flat as the corpus grows.
+    stage("lsh_sweep") {
+      t(s"lsh_sweep_${replicas}x") {
+        Dedup.lshBandingSweep(docs, "text", "doc_id",
+          n = 3, k = 16, bandsList = Seq(1, 2, 4, 8), tauNum = 1, tauDen = 5,
+          samplePpm = math.max(1L, 1000000L / replicas))
+      }
+    }
     // e23 hybrid RRF: the arms (BM25 top-50, brute-force cosine
     // top-50) carry all the data-dependent cost; the fusion itself is
     // a bounded ≤2·k-row join. Probing the composed query pins that

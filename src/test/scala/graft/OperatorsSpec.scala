@@ -218,6 +218,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lshBandingSweep: nested candidates along the divisor chain, exact bounds, formula integers") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val rows = Dedup.lshBandingSweep(docs, "text", "doc_id",
+        n = 3, k = 16, bandsList = Seq(1, 2, 4, 8), tauNum = 1, tauDen = 5)
+      .orderBy("n_bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { case (b, r, _, _, _, _, _) => assert(b * r == 16L) }
+    // 1|2|4|8 is a divisor chain: a coarse band is a concatenation of
+    // finer ones, so equality at b implies equality at every b' it
+    // divides - candidate sets NEST and counts/hits are monotone
+    val cands = rows.map(_._3); val hits = rows.map(_._5)
+    assert(cands.zip(cands.tail).forall { case (a, c) => a <= c }, cands.toSeq)
+    assert(hits.zip(hits.tail).forall { case (a, c) => a <= c }, hits.toSeq)
+    // n_true constant; hits bounded by both sides; ppm formulas exact
+    assert(rows.map(_._4).distinct.length == 1)
+    rows.foreach { case (_, _, nc, nt, nh, rec, prec) =>
+      assert(nh <= math.min(nc, nt))
+      assert(rec == 1000000L * nh / math.max(1L, nt))
+      assert(prec == 1000000L * nh / math.max(1L, nc))
+    }
+    assert(rows.map(_._4).head > 0L, "ground truth must be non-empty at sf0.001")
+    // r=1 refused (single-min buckets go quadratic on common shingles)
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandingSweep(docs, "text", "doc_id", 3, 16, Seq(16), 1, 5)
+    }
+    // the deployment form: a deterministic half-sample sweeps a strict
+    // subset (same md5 coin on any engine/partitioning), counts bounded
+    // by the full sweep's
+    val sampled = Dedup.lshBandingSweep(docs, "text", "doc_id",
+        n = 3, k = 16, bandsList = Seq(4), tauNum = 1, tauDen = 5,
+        samplePpm = 500000L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    val full4 = rows.find(_._1 == 4L).get
+    assert(sampled._1 <= full4._3 && sampled._2 <= full4._4 &&
+      sampled._3 <= full4._5,
+      s"sampled counts $sampled must bound by full (${full4._3}, ${full4._4}, ${full4._5})")
+    val sampled2 = Dedup.lshBandingSweep(docs, "text", "doc_id",
+        n = 3, k = 16, bandsList = Seq(4), tauNum = 1, tauDen = 5,
+        samplePpm = 500000L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    assert(sampled == sampled2, "the md5 sample is deterministic")
+  }
+
   test("embedding near-dup: threshold filters, id1 < id2") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.04f)),
