@@ -2841,6 +2841,51 @@ object DataQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** RARITY-REGIME COSINE DELTA (d30 — [[Dedup.allPairsCosineDelta]]
+    * at width-5, τ = 2/5): d26 proves frozen-order losslessness in the
+    * saturated width-3 regime; this gates the SAME state machinery in
+    * d28's realistic-rarity regime — where the frozen (h, hfreq) order
+    * actually has rarity to exploit (95% of 5-shingles at df=1, so
+    * unseen-batch-hash = frequency-0 = rarest is the common case, not
+    * the corner). Same md5 1-in-5 batch split as d26; the oracle is
+    * the naive batch×ref quadratic. */
+  val d30RareDelta: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val h = md5Long(col("doc_id").cast(StringType))
+    val ref = docs.filter(h % 5 =!= 1)
+    val batch = docs.filter(h % 5 === 1)
+    val (freq, prefix, base) = Dedup.allPairsCosineState(ref, "text",
+      "doc_id", shingleN = apcRareN, tauNum = apcRareTauNum,
+      tauDen = apcRareTauDen)
+    Dedup.allPairsCosineDelta(batch, "text", "doc_id",
+        shingleN = apcRareN, tauNum = apcRareTauNum, tauDen = apcRareTauDen,
+        freq, prefix, base)
+      .orderBy(col("ref_id"), col("batch_id"))
+  }
+
+  lazy val d30Sql: String = {
+    val t2n = apcRareTauNum * apcRareTauNum
+    val t2d = apcRareTauDen * apcRareTauDen
+    s"""WITH $toksCte,
+       |${shCteFor(apcRareN)},
+       |hb AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
+       |    AS shs FROM base),
+       |hn AS (SELECT doc_id, shs, len(shs) AS n,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} % 5 AS slot FROM hb),
+       |r AS (SELECT doc_id, shs, n FROM hn WHERE slot <> 1),
+       |b AS (SELECT doc_id, shs, n FROM hn WHERE slot = 1),
+       |p AS (SELECT r.doc_id AS ref_id, b.doc_id AS batch_id,
+       |  r.n AS n_ref, b.n AS n_batch,
+       |  len(list_intersect(r.shs, b.shs)) AS o
+       |  FROM r CROSS JOIN b)
+       |SELECT ref_id, batch_id, n_ref, n_batch, o AS n_shared,
+       |  CAST(floor(o / sqrt((n_ref*n_batch)::DOUBLE) * 1e9 + 0.5)
+       |    AS BIGINT) AS cos_nano
+       |FROM p WHERE $t2d * o * o >= $t2n * n_ref * n_batch
+       |ORDER BY ref_id, batch_id""".stripMargin
+  }
+
   /** LSH BANDING SWEEP (d29 — [[Dedup.lshBandingSweep]]): d02 ships
     * ONE analytically-chosen (b, r) point; this MEASURES the whole
     * banding family on the corpus before a 100 TB dedup run commits to
@@ -4010,6 +4055,7 @@ object DataQueries {
     "d27_segment_delta" -> d27SegmentDelta,
     "d28_cosine_rare" -> d28CosineRare,
     "d29_lsh_sweep" -> d29LshSweep,
+    "d30_rare_delta" -> d30RareDelta,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -4101,6 +4147,7 @@ object DataQueries {
     "d27_segment_delta" -> d27Sql,
     "d28_cosine_rare" -> d28Sql,
     "d29_lsh_sweep" -> d29Sql,
+    "d30_rare_delta" -> d30Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

@@ -154,7 +154,14 @@ object ClusterSmoke {
     // collect_list rebuild across executor JVMs
     "d27_segment_delta",
     // epoch mix: bounded unpartitioned window + broadcast plan + coin
-    "t31_epoch_mix")
+    "t31_epoch_mix",
+    // width-5 rarity-regime cosine: rarest-first prefixes with real
+    // selectivity across executor JVMs
+    "d28_cosine_rare",
+    // LSH sweep: per-config band self-joins + driver-count literal rows
+    "d29_lsh_sweep",
+    // rarity-regime frozen-state delta: state build + cross link
+    "d30_rare_delta")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -157,6 +157,18 @@ class AllPairsCosineSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("delta in the rarity regime (d30): width-5 tau=2/5 == naive batch-x-ref") {
+    // the frozen-order contract exercised where unseen-hash=frequency-0
+    // is the COMMON case (95% of 5-shingles at df=1), not the corner
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val h = graft.functions.GraftFunctions
+      .md5Long(col("doc_id").cast("string"))
+    val ref = docs.filter(h % 5 =!= 1)
+    val batch = docs.filter(h % 5 === 1)
+    val got = delta(ref, batch, 5, 2, 5)
+    assert(got == naiveCross(ref, batch, 5, 2, 5))
+  }
+
   test("delta under drift: batch shingles unseen by the frozen reference order stay lossless") {
     // batch docs share a rare core with the reference but are MOSTLY
     // made of tokens the reference has never seen — their rarest-first
