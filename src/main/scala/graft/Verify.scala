@@ -88,21 +88,31 @@ object Verify {
           val sb = new StringBuilder
           sb.append(s"rows=${rows.length} xor=${
             java.lang.Long.toHexString(rows.foldLeft(0L)(_ ^ _))}\n")
-          cols.foreach { c =>
-            // native-type min/max (cast AFTER aggregating — string
-            // ordering would mislead on numerics), skipping
-            // unorderable columns
-            try {
-              val mm = df.agg(
-                org.apache.spark.sql.functions.min(
-                  org.apache.spark.sql.functions.col(c)).cast("string"),
-                org.apache.spark.sql.functions.max(
-                  org.apache.spark.sql.functions.col(c)).cast("string")).head
-              sb.append(s"col $c min=${mm.getString(0)} max=${mm.getString(1)}\n")
-            } catch { case _: Exception =>
-              sb.append(s"col $c unorderable\n")
+          // native-type min/max (cast AFTER aggregating — string
+          // ordering would mislead on numerics) in ONE agg per query,
+          // skipping unorderable columns by dtype (review r14: the
+          // per-column agg launched hundreds of tiny jobs, each
+          // re-reading the parquet)
+          val orderable = df.schema.fields.filter(f =>
+              org.apache.spark.sql.catalyst.expressions.RowOrdering
+                .isOrderable(f.dataType))
+            .map(_.name).toSet
+          val ocols = cols.filter(orderable.contains)
+          if (ocols.nonEmpty) {
+            val aggs = ocols.flatMap { c =>
+              Seq(org.apache.spark.sql.functions.min(
+                    org.apache.spark.sql.functions.col(c)).cast("string"),
+                  org.apache.spark.sql.functions.max(
+                    org.apache.spark.sql.functions.col(c)).cast("string"))
+            }
+            val mm = df.agg(aggs.head, aggs.tail: _*).head
+            ocols.zipWithIndex.foreach { case (c, i) =>
+              sb.append(s"col $c min=${mm.getString(2 * i)} " +
+                s"max=${mm.getString(2 * i + 1)}\n")
             }
           }
+          cols.filterNot(orderable.contains)
+            .foreach(c => sb.append(s"col $c unorderable\n"))
           rows.foreach(h => sb.append(java.lang.Long.toHexString(h)).append('\n'))
           Files.writeString(digestDir.resolve(s"digest_$name.txt"), sb.toString)
         } catch { case e: Throwable =>

@@ -651,7 +651,16 @@ case class IntCosKeyExpr(left: Expression, right: Expression, quant: Long)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
-    val n = math.min(av.numElements(), bv.numElements())
+    // mismatched widths fail LOUDLY like the overflow guards below —
+    // the DuckDB twin's list_inner_product errors on mismatch, and one
+    // engine silently ranking a truncated prefix while the other
+    // errors is exactly the divergence class this key exists to kill
+    // (review r14)
+    if (av.numElements() != bv.numElements())
+      throw new ArithmeticException(
+        s"$prettyName: vector widths differ " +
+          s"(${av.numElements()} vs ${bv.numElements()})")
+    val n = av.numElements()
     var dot = 0L
     var na = 0L
     var nb = 0L

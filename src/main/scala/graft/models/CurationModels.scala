@@ -404,10 +404,8 @@ object CurationModels {
   def ragRecallGate(spark: SparkSession, cfg: RunConfig,
                     thresholdPpm: Long, k: Int = 5,
                     nProbe: Int = 2): RagGateResult = {
-    def root(name: String) =
-      s"${cfg.warehouseRoot}/${cfg.env.prefix}/3_MART___CURATION/$name"
-    val idxRoot = root("RAG_CHUNK_INDEX")
-    val cbRoot = root("RAG_CODEBOOK")
+    val idxRoot = memberRoot(cfg, "RAG_CHUNK_INDEX")
+    val cbRoot = memberRoot(cfg, "RAG_CODEBOOK")
     val idxV = VersionedTable.currentVersion(spark, idxRoot).getOrElse(
       throw new IllegalStateException("ragRecallGate: no published index"))
     val index = VersionedTable.readVersion(spark, idxRoot, idxV)
@@ -460,7 +458,7 @@ object CurationModels {
     Seq("DATA_CARD", "RAG_CHUNKS", "RAG_CODEBOOK", "RAG_CHUNK_INDEX")
 
   private def memberRoot(cfg: RunConfig, name: String): String =
-    s"${cfg.warehouseRoot}/${cfg.env.prefix}/3_MART___CURATION/$name"
+    graft.pipeline.Pipeline.materializationPath(cfg, "3_MART___CURATION", name)
 
   /** The env's release-registry root (the `_RELEASE` sibling of the
     * member tables; the leading underscore keeps it out of any

@@ -500,11 +500,11 @@ object Dedup {
     require(samplePpm >= 1 && samplePpm <= 1000000L,
       s"samplePpm must be in [1, 1e6], got $samplePpm")
     val spark = df.sparkSession
+    // no checkpoint on reps: `base` (itself cut) is its only consumer
     val reps0 = fingerprintReps(df, textCol, idCol)
-    val reps = (if (samplePpm >= 1000000L) reps0
+    val reps = if (samplePpm >= 1000000L) reps0
       else reps0.filter(pmod(md5Long(col("id").cast(StringType)),
-        lit(1000000L)) < lit(samplePpm)))
-      .localCheckpoint(false)
+        lit(1000000L)) < lit(samplePpm))
     val base = reps.repartition(col("id")).select(col("id"),
         wordShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)

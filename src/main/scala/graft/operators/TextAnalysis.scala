@@ -1669,9 +1669,10 @@ object TextAnalysis {
     *                  ADVICE r13)
     *   n_repeats    = boost div 1e6 + (md5(seed|id) mod 1e6 < boost mod 1e6)
     *
-    * All products live in DECIMAL(38,0): with Σn ≤ ~4.6e15 documents
-    * (generous at 100 TB) the largest term 10⁶·w_nano·N ≤
-    * 10¹⁵·N^1.5 < 10³⁸ stays exact; beyond that the decimal overflows
+    * All products live in DECIMAL(38,0): with Σn ≤ ~2.1e15 documents
+    * (generous at 100 TB — that is ~50 bytes/doc) the largest term
+    * 10⁶·w_nano·N ≤ 10¹⁵·N^1.5 < 10³⁸ stays exact (N^1.5 < 10²³ ⟺
+    * N < 10^(46/3) ≈ 2.15e15); beyond that the decimal overflows
     * LOUDLY rather than wrapping.
     *
     * The fractional part is DERANDOMIZED stochastic rounding: each doc

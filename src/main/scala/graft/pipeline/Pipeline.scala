@@ -322,6 +322,15 @@ object Pipeline {
       threads: Int = 4,   // profiles.yml:6
       retries: Int = 1)   // profiles.yml:9
 
+  /** THE env-scoped materialization path scheme —
+    * `<warehouseRoot>/<envPrefix>/<layer>/<name>` — single-sourced so
+    * out-of-DAG consumers ([[graft.models.CurationModels]]'s release
+    * registry and recall gate) can never drift from where the
+    * scheduler actually wrote the tables (review r14). */
+  def materializationPath(cfg: RunConfig, layer: String,
+                          name: String): String =
+    s"${cfg.warehouseRoot}/${cfg.env.prefix}/$layer/$name"
+
   final class CycleException(msg: String) extends RuntimeException(msg)
 
   final case class RunResult(
@@ -380,7 +389,7 @@ object Pipeline {
       require(cfg.warehouseRoot.nonEmpty,
         s"RunConfig.warehouseRoot must be set to materialize table '${m.name}' " +
           "(an empty root would write to the filesystem root)")
-      s"${cfg.warehouseRoot}/${cfg.env.prefix}/${m.layer}/${m.name}"
+      Pipeline.materializationPath(cfg, m.layer, m.name)
     }
 
     private def exists(path: String): Boolean =

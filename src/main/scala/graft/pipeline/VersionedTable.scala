@@ -701,6 +701,11 @@ object VersionedTable {
     val expired = committed.dropRight(keep)
     val live: Set[String] =
       retained.flatMap(v => manifest(spark, root, v).files).toSet
+    // batch dirs whose files THIS prune run is expiring: known-ours,
+    // safe to sweep immediately once file-empty (no age needed)
+    val expiredDirNames: Set[String] = (expired ++ orphans)
+      .flatMap(v => manifest(spark, root, v).files.filterNot(live))
+      .map(_.split("/")(0)).toSet
     (expired ++ orphans).foreach { v =>
       manifest(spark, root, v).files.filterNot(live).foreach { rel =>
         f.delete(hp(s"${dataRoot(root)}/$rel"), false)
@@ -718,21 +723,32 @@ object VersionedTable {
       if (st.isDirectory) {
         val name = st.getPath.getName
         val vOf = name.stripPrefix("b").takeWhile(_.isDigit)
+        // BOTH deletion branches share two vetoes (review r14: the
+        // empty-dir branch bypassing them could delete a JUST-SET-UP
+        // write — setupJob creates <dir>/_temporary before any part
+        // file exists, so the dir is file-empty yet live):
+        //  - age guard (the Iceberg orphan-cleanup discipline): a dir
+        //    can look deletable yet be MID-STAGE if a racing writer
+        //    advanced cur after the stager planned — deleting under
+        //    its write job would turn a retryable conflict into a
+        //    hard failure
+        val aged =
+          st.getModificationTime < System.currentTimeMillis() - staleAfterMs
+        //  - an in-flight Spark write keeps its staging under
+        //    <dir>/_temporary while the TOP-LEVEL mtime stays frozen —
+        //    a stage outliving the age guard would otherwise be
+        //    deleted mid-write (ADVICE r13): presence of the
+        //    committer's scratch dir vetoes deletion at ANY age
+        val inFlight = f.exists(hp(s"${dataRoot(root)}/$name/_temporary"))
         val supersededOrphan =
           name.startsWith("b") && vOf.nonEmpty && vOf.toLong <= healed &&
-            // age guard (the Iceberg orphan-cleanup discipline): a dir
-            // can be ≤ cur yet MID-STAGE if a racing writer advanced
-            // cur after the stager planned — deleting under its write
-            // job would turn a retryable conflict into a hard failure
-            st.getModificationTime < System.currentTimeMillis() - staleAfterMs &&
-            // an in-flight Spark write keeps its staging under
-            // <dir>/_temporary while the TOP-LEVEL mtime stays frozen —
-            // a stage outliving the age guard would otherwise be
-            // deleted mid-write (ADVICE r13): presence of the
-            // committer's scratch dir vetoes deletion at ANY age
-            !f.exists(hp(s"${dataRoot(root)}/$name/_temporary")) &&
+            aged &&
             listRelative(f, root, name).forall(rel => !live.contains(rel))
-        if (supersededOrphan || !f.listFiles(st.getPath, true).hasNext)
+        // a file-empty dir is sweepable when this prune just emptied it
+        // (known ours), or once aged (a crashed writer's pre-setup dir)
+        val emptied = !f.listFiles(st.getPath, true).hasNext &&
+          (aged || expiredDirNames.contains(name))
+        if (!inFlight && (supersededOrphan || emptied))
           f.delete(st.getPath, true)
       }
     }

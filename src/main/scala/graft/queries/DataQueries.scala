@@ -2223,6 +2223,12 @@ object DataQueries {
       read: String => Option[(M, String)]) {
     private val memo = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), M]
+    // dump-path memo: one PROVENANCE-VALIDATED literal per dir per JVM
+    // (review r14: an oracle dump materializes t21+t23+t28 strings
+    // against the same dir — without this, each materialization re-ran
+    // the documents-table fingerprint scan and sidecar parse)
+    private val validated = scala.collection.concurrent.TrieMap
+      .empty[String, M]
     def forQuery(s: SparkSession, dir: String): M = synchronized {
       memo.keys.foreach { case kk @ (sess, _) =>
         if (sess.sparkContext.isStopped) memo.remove(kk)
@@ -2238,7 +2244,7 @@ object DataQueries {
     def literal(dir: String): M =
       memo.collectFirst {
         case ((s, d), m) if d == dir && !s.sparkContext.isStopped => m
-      }.getOrElse {
+      }.orElse(validated.get(dir)).getOrElse {
         // both the provenance CHECK and a bootstrap fit need a session
         val live = SparkSession.getActiveSession
           .filter(!_.sparkContext.isStopped)
@@ -2252,8 +2258,8 @@ object DataQueries {
           .getOrCreate())
         try {
           val here = graft.io.ContentFingerprint.of(s, dir, "documents")
-          read(dir) match {
-            case Some((m, cfp)) if cfp == here => m
+          val m = read(dir) match {
+            case Some((sm, cfp)) if cfp == here => sm
             case Some((_, cfp)) => throw new IllegalStateException(
               s"literal-model sidecar provenance mismatch for $dir: the " +
                 s"model was fitted on documents [$cfp] but the dir now " +
@@ -2261,10 +2267,12 @@ object DataQueries {
                 "literals cannot match the query run (delete the sidecar " +
                 "or re-run the queries to refit)")
             case None =>
-              val m = fit(s, dir)
-              write(dir, m, here)
-              m
+              val fm = fit(s, dir)
+              write(dir, fm, here)
+              fm
           }
+          validated.put(dir, m)
+          m
         } finally if (live.isEmpty) s.stop() // we created it; don't leak
       }
   }

@@ -344,9 +344,14 @@ object ClusterSmoke {
       val relOk = relFail.isEmpty && writerErr.isEmpty &&
         PublishSet.currentVersion(spark, reg).contains(nRuns.toLong) &&
         (1L to nRuns.toLong).forall { v =>
+          // read each HISTORICAL release's pinned member version, not
+          // the current one (review r14: readTable always resolves
+          // current, so the old loop re-read release nRuns six times
+          // and never checked historical member readability)
           val s = PublishSet.resolveVersion(spark, reg, v)
           s == Map(aRoot -> v, bRoot -> v) &&
-            PublishSet.readTable(spark, reg, aRoot).count() == 1L
+            VersionedTable.readVersion(spark, aRoot, s(aRoot)).count() == 1L &&
+            VersionedTable.readVersion(spark, bRoot, s(bRoot)).count() == 1L
         }
       spark.stop()
       if (!relOk) {

@@ -198,6 +198,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, r) === Seq(1L, 2L))
   }
 
+  test("prune: the setupJob window (dir with _temporary but ZERO files) is never swept") {
+    // review r14: the empty-dir sweep branch used to bypass both the
+    // _temporary veto and the age guard — a write whose committer had
+    // only just created <dir>/_temporary (no part file flushed yet) is
+    // file-empty and was deleted mid-flight at ANY age
+    val r = root()
+    VersionedTable.write(spark, r, Seq((1L, "a")).toDF("id", "tag"))
+    val staging = new java.io.File(s"$r/data/b2_beadbead/_temporary/0")
+    assert(staging.mkdirs())
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    val dir = new java.io.File(s"$r/data/b2_beadbead")
+    java.nio.file.Files.setLastModifiedTime(dir.toPath, old)
+    VersionedTable.prune(spark, r, keep = 2)
+    assert(dir.exists,
+      "a file-empty dir still holding _temporary is a live setupJob")
+    // a truly empty dir (no _temporary): fresh survives, aged is swept
+    val bare = new java.io.File(s"$r/data/b2_cadcad")
+    assert(bare.mkdirs())
+    VersionedTable.prune(spark, r, keep = 2)
+    assert(bare.exists, "a fresh pre-setup dir may be a live writer")
+    java.nio.file.Files.setLastModifiedTime(bare.toPath, old)
+    VersionedTable.prune(spark, r, keep = 2)
+    assert(!bare.exists, "an aged bare dir is a crashed writer's litter")
+  }
+
   test("compact preserves the partition layout; layout mismatch fails loud") {
     val r = root()
     VersionedTable.write(spark, r,
