@@ -89,14 +89,24 @@ class PublishSetSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PublishSet.publish(spark, reg, Map(a -> 7L))
     }
+    // retention coupling: a version the member table has PRUNED cannot
+    // enter a release (the reader of that release would be out of
+    // contract on day one)
+    VersionedTable.write(spark, a, Seq((2L, "a2")).toDF("id", "tag"))
+    VersionedTable.write(spark, a, Seq((3L, "a3")).toDF("id", "tag"))
+    VersionedTable.prune(spark, a, keep = 1)
+    intercept[IllegalArgumentException] {
+      PublishSet.publish(spark, reg, Map(a -> 1L))
+    }
+    assert(PublishSet.publish(spark, reg, Map(a -> 3L)) === 1L)
     intercept[IllegalArgumentException] {
       PublishSet.publish(spark, reg, Map.empty[String, Long])
     }
     // hostile root strings round-trip through the URL encoding
     val weird = s"$d/A table=with spaces&chars"
     VersionedTable.write(spark, weird, Seq((1L, "w")).toDF("id", "tag"))
-    PublishSet.publish(spark, reg, Map(a -> 1L, weird -> 1L))
-    assert(PublishSet.resolve(spark, reg) === Map(a -> 1L, weird -> 1L))
+    PublishSet.publish(spark, reg, Map(a -> 3L, weird -> 1L))
+    assert(PublishSet.resolve(spark, reg) === Map(a -> 3L, weird -> 1L))
   }
 
   test("registry prune bounds retention without touching member tables") {
