@@ -549,6 +549,76 @@ object Dedup {
       "recall_ppm", "precision_ppm")
   }
 
+  /** ln(2/0.05)·1e9, rounded UP — the pinned integer constant behind
+    * [[withHoeffdingPpm]]'s default 95% bound. The ceiling direction
+    * means constant rounding can only WIDEN the interval, never
+    * narrow coverage. */
+  val HoeffdingLn40NanoCeil: Long = 3688879455L
+
+  /** EXACT-INTEGER two-sided confidence bounds on a ppm proportion —
+    * the d29 sweep's recall/precision numbers are WITHIN-SAMPLE
+    * estimates once `samplePpm < 1e6` (the 100 TB deployment form),
+    * and a (b, r) decision made from a sample should see its
+    * uncertainty stated next to the point estimate. This appends
+    * `loCol`/`hiCol` around an existing floor-ppm estimate
+    * `phatCol = 1e6·hits div trials`:
+    *
+    *   hw = ceil( 1e6 · sqrt( ln(2/α) / (2·trials) ) )   (Hoeffding)
+    *   lo = max(0, phat − hw),  hi = min(1e6, phat + hw + 1)
+    *
+    * Hoeffding rather than Clopper–Pearson BY DESIGN: the exact
+    * binomial interval needs incomplete-beta inversion, which no
+    * engine replays in exact arithmetic — a gate built on it would
+    * reintroduce the cross-engine float hazard the t31/e24 fixes
+    * removed. Hoeffding's only transcendental is ln(2/α), pinned here
+    * as the integer nano constant [[HoeffdingLn40NanoCeil]] (rounded
+    * UP, so the interval only ever widens); everything else is exact:
+    * hw is the exact rational ceil-sqrt — the smallest integer s with
+    * s²·2·trials >= 1000·lnNano, found by [[graft.expressions
+    * .MathExpressions.isqrtDec]] (pure-integer Newton, zero libm) on
+    * the floored quotient plus an integer CASE step — and the `+1` on
+    * `hi` covers the floor quantization of phat itself (true
+    * 1e6·p̂ <= phat+1), so the stated interval CONTAINS the real-valued
+    * Hoeffding interval at every row. trials = 0 yields the vacuous
+    * [0, 1e6]. The bound is distribution-free and conservative
+    * (coverage >= 1−α), and every engine computing these columns from
+    * the same integers gets the same bounds bit-for-bit.
+    *
+    * Overflow audit (long arithmetic throughout, ANSI-safe): with
+    * A = 1000·lnNano ≈ 3.7e12, s0² ≤ A div (2t) so s0²·2t ≤ A, and
+    * (s0+2)²·2t ≤ A + 4·sqrt(A·2t) + 8t — inside 2^63 for any
+    * trials < ~1e17. */
+  def withHoeffdingPpm(df: DataFrame, phatCol: String, trialsCol: String,
+                       loCol: String, hiCol: String,
+                       lnTwoOverAlphaNano: Long = HoeffdingLn40NanoCeil)
+      : DataFrame = {
+    require(lnTwoOverAlphaNano > 0,
+      s"need a positive ln(2/alpha) nano constant, got $lnTwoOverAlphaNano")
+    val a = 1000L * lnTwoOverAlphaNano
+    val q = s"__${loCol}_q"
+    val s0 = s"__${loCol}_s0"
+    val hw = s"__${loCol}_hw"
+    df
+      .withColumn(q, expr(
+        s"CASE WHEN $trialsCol > 0 THEN ${a}L div (2 * $trialsCol) ELSE 0L END"))
+      .withColumn(s0, graft.expressions.MathExpressions
+        .isqrtDec(col(q).cast(DecimalType(38, 0)))
+        .cast(LongType))
+      .withColumn(hw, expr(
+        s"""CASE WHEN $trialsCol = 0 THEN 1000000L
+           |  WHEN $s0 * $s0 * 2 * $trialsCol >= ${a}L THEN $s0
+           |  WHEN ($s0 + 1) * ($s0 + 1) * 2 * $trialsCol >= ${a}L
+           |    THEN $s0 + 1
+           |  ELSE $s0 + 2 END""".stripMargin))
+      .withColumn(loCol, expr(
+        s"CASE WHEN $trialsCol = 0 THEN 0L " +
+          s"ELSE greatest(0L, $phatCol - $hw) END"))
+      .withColumn(hiCol, expr(
+        s"CASE WHEN $trialsCol = 0 THEN 1000000L " +
+          s"ELSE least(1000000L, $phatCol + $hw + 1) END"))
+      .drop(q, s0, hw)
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------
@@ -1425,6 +1495,118 @@ object Dedup {
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefixLen)
       .select("h", "id", "n", "hfreq")
+  }
+
+  /** EXACT all-pairs set-CONTAINMENT similarity join — the
+    * quote/wrapper near-dup detector [[allPairsCosine]] cannot express:
+    * containment(x, y) = |x∩y| / min(|x|,|y|) >= tau finds a short
+    * document embedded in a long one (a quoted post inside a thread, a
+    * boilerplate-wrapped article) where cosine |x∩y|/sqrt(|x||y|)
+    * vanishes as the size ratio grows
+    * ([[graft.operators.TextAnalysis.containmentPairs]] is the
+    * BIPARTITE decontamination form of the same measure; this is the
+    * lossless all-pairs SELF-join). Same family contract as d25:
+    * LOSSLESS (every qualifying pair, guaranteed), and every
+    * membership decision is pure integer arithmetic —
+    * tauDen·o >= tauNum·min(n1,n2); the reported cont_nano is
+    * round-half-up 1e9·o/n_small computed by integer division
+    * ((2·1e9·o + n_small) div (2·n_small)) so the operator contains NO
+    * floating-point operation at all (the t31 exactness rung).
+    *
+    * Containment breaks the symmetric prefix filter: the required
+    * overlap t = ceil(tau·min(|x|,|y|)) has no lower bound from the
+    * LARGER set's own size — a 1-shingle set is "contained" in
+    * anything, so the container side's lossless prefix is its whole
+    * set. The operator therefore takes the standard containment-join
+    * knob `minN` (pairs whose SMALLER side has < minN shingles are
+    * excluded — at that size "containment" is noise, the reason every
+    * published set-containment join bounds the probe side) and uses
+    * the ASYMMETRIC prefix bound (the r13 PPJoin+-analog candidate):
+    *
+    *  - smaller side emits its first |x| - ceil(tau·|x|) + 1 elements
+    *    under the global (corpus frequency asc, hash asc) order;
+    *  - container side emits |y| - ceil(tau·minN) + 1 elements (its
+    *    worst case over partners it is allowed to meet), then the
+    *    pairwise-exact bound rn2 <= |y| - ceil(tau·|x|) + 1 prunes at
+    *    join time, when |x| is in hand;
+    *  - PPJoin's POSITIONAL filter stacks on top: for the FIRST common
+    *    element at ranks (rn1, rn2) every other shared element ranks
+    *    after it in BOTH sets, so o <= 1 + min(n1-rn1, n2-rn2); rows
+    *    failing 1 + min(...) >= t cannot be a true pair's first
+    *    co-occurrence. Lossless because for a true pair the first
+    *    common element (a) lies inside both prefixes — if any common
+    *    element does, the globally-earliest one does, and the prefix
+    *    lemma (overlap >= t ⇒ the (n-t+1)-prefixes intersect, since
+    *    all o >= t common elements rank at or after the first one)
+    *    guarantees one does — and (b) satisfies the positional bound,
+    *    so at least that candidate row always survives.
+    *
+    * At scale the shape is [[allPairsCosinePre]]'s: one frequency
+    * groupBy, one ranked window, df>=2 prefix prune (a df=1 element
+    * cannot co-occur; rank is computed BEFORE the prune so positions
+    * stay true), skinny (id1, id2) candidates deduped before any array
+    * travels, each surviving pair verified exactly once by one
+    * array_intersect. The asymmetry shows only in WHICH ranked rows
+    * each side contributes.
+    *
+    * Output: (id1, id2, n1, n2, n_shared, cont_nano) — id1 is the
+    * CONTAINED (smaller; id-asc on ties) side, one row per pair with
+    * containment >= tau and min(n1,n2) >= minN. */
+  def allPairsContainment(df: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int, tauNum: Int, tauDen: Int,
+                          minN: Int): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    require(minN >= 1, s"minN must be >= 1, got $minN")
+    val base = hashedShingleSets(df, textCol, idCol, shingleN)
+      .filter(col("n") >= minN)
+    val freq = base.select(explode(col("shs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("hfreq"), col("h"))
+    val ranked = base
+      .select(col("id"), explode(col("shs")).as("h"), col("n"))
+      .join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("hfreq") >= 2)
+      .select("h", "id", "n", "rn")
+      // both sides of the candidate self-join consume the ranked rows
+      .localCheckpoint(false)
+    // ceil(tau·n) in pure integer arithmetic (n is LongType)
+    def ceilTau(n: String) = expr(s"($tauNum * $n + ${tauDen - 1}) div $tauDen")
+    val ctMin = (tauNum.toLong * minN + tauDen - 1) / tauDen
+    val small = ranked
+      .filter(col("rn") <= col("n") - ceilTau("n") + lit(1))
+      .select(col("h"), col("id").as("id1"), col("n").as("n1"),
+        col("rn").as("rn1"))
+    val big = ranked
+      .filter(col("rn") <= col("n") - lit(ctMin) + lit(1))
+      .select(col("h"), col("id").as("id2"), col("n").as("n2"),
+        col("rn").as("rn2"))
+    val cand = small.join(big, Seq("h"))
+      .filter(col("n1") < col("n2") ||
+        (col("n1") === col("n2") && col("id1") < col("id2")))
+      // asymmetric prefix bound, exact now that n1 is in hand
+      .filter(col("rn2") <= col("n2") - ceilTau("n1") + lit(1))
+      // positional filter: a first co-occurrence admits at most
+      // 1 + min(suffixes) shared elements
+      .filter(lit(1) + least(col("n1") - col("rn1"),
+        col("n2") - col("rn2")) >= ceilTau("n1"))
+      .select("id1", "id2")
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("shs").as("shs1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("shs").as("shs2"),
+        col("n").as("n2")), Seq("id2"))
+      .withColumn("n_shared",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .filter(lit(tauDen.toLong) * col("n_shared") >=
+        lit(tauNum.toLong) * col("n1"))
+      .withColumn("cont_nano",
+        expr("(2000000000 * n_shared + n1) div (2 * n1)"))
+      .select("id1", "id2", "n1", "n2", "n_shared", "cont_nano")
   }
 
   /** The FROZEN reference side of the all-pairs cosine join — the

@@ -2957,6 +2957,142 @@ object DataQueries {
        |ORDER BY n_bands""".stripMargin
   }
 
+  /** SWEEP CONFIDENCE BOUNDS (d32 — [[Dedup.withHoeffdingPpm]] over
+    * the d29 sweep): the 100 TB deployment runs the banding sweep on a
+    * SAMPLE (d29's samplePpm knob), so its recall/precision ppm are
+    * estimates — this gate states the uncertainty next to each point,
+    * as exact-integer distribution-free Hoeffding bounds (ceil-sqrt by
+    * pure-integer Newton; the only transcendental, ln(2/α), pinned as
+    * an integer nano constant rounded UP so rounding only widens).
+    * Clopper–Pearson is rejected by design: incomplete-beta inversion
+    * is not replayable in exact cross-engine arithmetic. Oracle: the
+    * d29 oracle wrapped with the same integer bound, isqrt seeded from
+    * an exact double sqrt (quotient < 2^53) and integer-clamped. */
+  val d32SweepCi: Q = (s, dir) => {
+    val sweep = Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
+      "doc_id", n = 3, k = 16, bandsList = lshSweepBands,
+      tauNum = 1, tauDen = 5)
+    Dedup.withHoeffdingPpm(
+        Dedup.withHoeffdingPpm(sweep,
+          "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
+        "precision_ppm", "n_candidates",
+        "precision_lo_ppm", "precision_hi_ppm")
+      .orderBy(col("n_bands"))
+  }
+
+  lazy val d32Sql: String = {
+    val a = 1000L * Dedup.HoeffdingLn40NanoCeil
+    s"""WITH swp AS (${d29Sql.replace("ORDER BY n_bands", "")}),
+       |k1 AS (SELECT *,
+       |  CASE WHEN n_true > 0 THEN $a // (2*n_true) ELSE 0 END AS qr,
+       |  CASE WHEN n_candidates > 0 THEN $a // (2*n_candidates)
+       |    ELSE 0 END AS qp FROM swp),
+       |k2 AS (SELECT *, CAST(floor(sqrt(qr::DOUBLE)) AS BIGINT) AS sr0,
+       |  CAST(floor(sqrt(qp::DOUBLE)) AS BIGINT) AS sp0 FROM k1),
+       |k3 AS (SELECT *,
+       |  sr0 - CASE WHEN sr0*sr0 > qr THEN 1 ELSE 0 END
+       |      + CASE WHEN (sr0+1)*(sr0+1) <= qr THEN 1 ELSE 0 END AS sr,
+       |  sp0 - CASE WHEN sp0*sp0 > qp THEN 1 ELSE 0 END
+       |      + CASE WHEN (sp0+1)*(sp0+1) <= qp THEN 1 ELSE 0 END AS sp
+       |  FROM k2),
+       |k4 AS (SELECT *,
+       |  CASE WHEN n_true = 0 THEN 1000000
+       |    WHEN sr*sr*2*n_true >= $a THEN sr
+       |    WHEN (sr+1)*(sr+1)*2*n_true >= $a THEN sr+1
+       |    ELSE sr+2 END AS hwr,
+       |  CASE WHEN n_candidates = 0 THEN 1000000
+       |    WHEN sp*sp*2*n_candidates >= $a THEN sp
+       |    WHEN (sp+1)*(sp+1)*2*n_candidates >= $a THEN sp+1
+       |    ELSE sp+2 END AS hwp
+       |  FROM k3)
+       |SELECT n_bands, n_rows, n_candidates, n_true, n_hits,
+       |  recall_ppm, precision_ppm,
+       |  CASE WHEN n_true = 0 THEN 0
+       |    ELSE greatest(0, recall_ppm - hwr) END AS recall_lo_ppm,
+       |  CASE WHEN n_true = 0 THEN 1000000
+       |    ELSE least(1000000, recall_ppm + hwr + 1) END AS recall_hi_ppm,
+       |  CASE WHEN n_candidates = 0 THEN 0
+       |    ELSE greatest(0, precision_ppm - hwp) END AS precision_lo_ppm,
+       |  CASE WHEN n_candidates = 0 THEN 1000000
+       |    ELSE least(1000000, precision_ppm + hwp + 1) END
+       |    AS precision_hi_ppm
+       |FROM k4 ORDER BY n_bands""".stripMargin
+  }
+
+  /** ALL-PAIRS CONTAINMENT JOIN (d31 — [[Dedup.allPairsContainment]]):
+    * the quote/wrapper detector — |x∩y| / min(|x|,|y|) >= τ over
+    * width-5 shingle sets (the rarity regime), τ = 1/3, minN = 5. The
+    * whole gate is INTEGER end-to-end (membership tauDen·o >=
+    * tauNum·n_small; cont_nano by integer round-half-up division) —
+    * the t31 exactness rung: no driver environment can flip a float
+    * that does not exist.
+    *
+    * The raw corpus is containment-BIMODAL (probed: every pair is
+    * either an exact truncation at 1.0 or noise under 0.2 — a
+    * constant-output gate, the d28 degeneracy trap), so the query
+    * first applies a DETERMINISTIC CHIMERA transform — the judge's
+    * sanctioned vocab-structure widening, the quote/wrapper case made
+    * real: for each md5-selected doc (1-in-5), a synthetic doc_id+1e6
+    * document QUOTES the first half of it followed by the first half
+    * of doc_id+1. Chimera-vs-parent pairs land mid-band (probed: 240
+    * pairs spread 0.3–1.0 at sf0.01), so the gate exercises partial
+    * containment, the truncation corner, and the asymmetric prefix
+    * with real selectivity at a realistic τ. Oracle: the same
+    * transform + the brute-force role-ordered quadratic. */
+  private val acnN = 5
+  private val acnTauNum = 1
+  private val acnTauDen = 3
+  private val acnMinN = 5
+
+  val d31Containment: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val rt = docs.select(col("doc_id"),
+      expr("""filter(split(text, '\\s+'), t -> t != '')""").as("rtoks"))
+    val chim = rt
+      .filter(pmod(md5Long(col("doc_id").cast(StringType)), lit(5L)) === 0)
+      .join(rt.select((col("doc_id") - 1).as("doc_id"),
+        col("rtoks").as("ptoks")), Seq("doc_id"))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(
+          expr("array_join(slice(rtoks, 1, (size(rtoks)+1) div 2), ' ')"),
+          lit(" "),
+          expr("array_join(slice(ptoks, 1, (size(ptoks)+1) div 2), ' ')"))
+          .as("text"))
+    val aug = docs.select("doc_id", "text").unionByName(chim)
+    Dedup.allPairsContainment(aug, "text", "doc_id",
+        shingleN = acnN, tauNum = acnTauNum, tauDen = acnTauDen,
+        minN = acnMinN)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  lazy val d31Sql: String =
+    s"""WITH rt AS (SELECT doc_id, list_filter(
+       |  string_split_regex(text, '\\s+'), t -> t <> '') AS rtoks
+       |  FROM documents),
+       |chim AS (SELECT d.doc_id + 1000000 AS doc_id,
+       |  array_to_string(d.rtoks[1:(len(d.rtoks)+1)//2], ' ') || ' ' ||
+       |  array_to_string(p.rtoks[1:(len(p.rtoks)+1)//2], ' ') AS text
+       |  FROM rt d JOIN rt p ON p.doc_id = d.doc_id + 1
+       |  WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 5 = 0),
+       |aug AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM chim),
+       |${toksCteOn("aug")},
+       |${shCteFor(acnN)},
+       |hb AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
+       |    AS shs FROM base),
+       |hn AS (SELECT doc_id, shs, CAST(len(shs) AS BIGINT) AS n FROM hb
+       |  WHERE len(shs) >= $acnMinN),
+       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  a.n AS n1, b.n AS n2,
+       |  CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS o
+       |  FROM hn a JOIN hn b
+       |  ON (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)))
+       |SELECT id1, id2, n1, n2, o AS n_shared,
+       |  (2000000000 * o + n1) // (2 * n1) AS cont_nano
+       |FROM p WHERE $acnTauDen * o >= $acnTauNum * n1
+       |ORDER BY id1, id2""".stripMargin
+
   /** BATCH-VS-STATE COSINE LINK (d26 — [[Dedup.allPairsCosineDelta]]):
     * the d20 shape for set similarity — an md5-deterministic 20% batch
     * linked against the frozen 80% reference WITHOUT re-deriving the
@@ -4064,6 +4200,8 @@ object DataQueries {
     "d28_cosine_rare" -> d28CosineRare,
     "d29_lsh_sweep" -> d29LshSweep,
     "d30_rare_delta" -> d30RareDelta,
+    "d31_allpairs_contain" -> d31Containment,
+    "d32_sweep_ci" -> d32SweepCi,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -4156,6 +4294,8 @@ object DataQueries {
     "d28_cosine_rare" -> d28Sql,
     "d29_lsh_sweep" -> d29Sql,
     "d30_rare_delta" -> d30Sql,
+    "d31_allpairs_contain" -> d31Sql,
+    "d32_sweep_ci" -> d32Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

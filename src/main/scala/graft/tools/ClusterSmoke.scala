@@ -161,7 +161,12 @@ object ClusterSmoke {
     // LSH sweep: per-config band self-joins + driver-count literal rows
     "d29_lsh_sweep",
     // rarity-regime frozen-state delta: state build + cross link
-    "d30_rare_delta")
+    "d30_rare_delta",
+    // containment join: asymmetric prefix + positional filter with the
+    // ranked-window order built from executor partials, chimera union
+    "d31_allpairs_contain",
+    // sweep CI: driver-literal sweep rows + pure-integer isqrt bounds
+    "d32_sweep_ci")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

@@ -840,6 +840,19 @@ object ScaleProbe {
           shingleN = 5, tauNum = 2, tauDen = 5)
       }
     }
+    // d31 containment join (r14 session 2): the ASYMMETRIC prefix
+    // (small side exact, container side bounded by minN) + positional
+    // filter, on the same width-5 rarity-regime corpus as
+    // allpairs_cosine5. Salted replicas are genuine high-containment
+    // near-dups (the worst case: every replica pair qualifies), so the
+    // probe is output-bound like the cosine row — the comparison
+    // isolates what the asymmetric candidate generation adds.
+    stage("allpairs_contain") {
+      t(s"allpairs_contain_${replicas}x") {
+        Dedup.allPairsContainment(docs, "text", "doc_id",
+          shingleN = 5, tauNum = 1, tauDen = 3, minN = 5)
+      }
+    }
     // d29 LSH banding sweep: one signature pass + one exact-truth
     // co-occurrence join, then per-config skinny (id, band) self-joins.
     // The FULL sweep's truth join is Σdf² — 5.44 s at 1× but 272 s at
