@@ -151,4 +151,49 @@ object PublishSet {
         VersionedTable.manifestPath(registryRoot, v)), false)
     }
   }
+
+  /** RETENTION-COUPLED MEMBER GC — the coupling contract ("size member
+    * retention to cover registry retention") automated instead of
+    * hand-sized: prune every table the RETAINED releases reference,
+    * deriving each table's retention floor from the oldest version any
+    * retained release still pins. Run it on the maintenance cadence
+    * AFTER [[prune]] has bounded the registry — the expired releases'
+    * exclusive versions become prunable exactly then.
+    *
+    * Per member table: floor = min over retained releases of the
+    * pinned version; the table keeps everything >= floor (plus its own
+    * newest `memberKeep`, whichever window is larger) via
+    * [[VersionedTable.prune]]'s `alsoRetainFrom` — the >=-floor count
+    * is re-derived inside the member's prune lock, so a commit racing
+    * this sweep only widens retention, never evicts a pinned version.
+    * Tables no retained release references are NOT touched (an
+    * unreferenced table is outside the registry's contract — prune it
+    * under its own policy), and a referenced root with no versioned
+    * table is a loud error, never a skip.
+    *
+    * Returns (table root → retention floor) for observability — the
+    * release-reader contract after the sweep is: every
+    * [[resolveVersion]] of a retained release reads every member
+    * through [[VersionedTable.readVersion]] successfully.
+    *
+    * At 100 TB: the derivation is |releases|·|tables| manifest lines;
+    * the data work is each member's own prune (expired-file deletes). */
+  def pruneMembers(spark: SparkSession, registryRoot: String,
+                   memberKeep: Int = 1,
+                   staleAfterMs: Long = 3600 * 1000L): Map[String, Long] = {
+    require(memberKeep >= 1, "must retain at least each member's current")
+    val vs = versions(spark, registryRoot)
+    require(vs.nonEmpty, s"no release registry at $registryRoot")
+    val floors: Map[String, Long] = vs
+      .flatMap(v => resolveVersion(spark, registryRoot, v).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
+    floors.foreach { case (table, floor) =>
+      require(VersionedTable.currentVersion(spark, table).nonEmpty,
+        s"retained releases of $registryRoot pin $table, but no " +
+          "versioned table exists there")
+      VersionedTable.prune(spark, table, keep = memberKeep,
+        staleAfterMs = staleAfterMs, alsoRetainFrom = Some(floor))
+    }
+    floors
+  }
 }

@@ -677,7 +677,8 @@ object VersionedTable {
     * (ADVICE r13). Dirs still holding a `_temporary` child are skipped
     * outright as in-flight writes regardless of age. */
   def prune(spark: SparkSession, root: String, keep: Int = 2,
-            staleAfterMs: Long = 3600 * 1000L): Unit =
+            staleAfterMs: Long = 3600 * 1000L,
+            alsoRetainFrom: Option[Long] = None): Unit =
       withRootLock(root) {
     require(keep >= 1, "must retain at least the current version")
     require(staleAfterMs > 0, "stale threshold must be positive")
@@ -697,8 +698,18 @@ object VersionedTable {
     val healed = Iterator.iterate(cur)(_ + 1)
       .takeWhile(v => v == cur || vs.contains(v)).toSeq.last
     val (committed, orphans) = vs.partition(_ <= healed)
-    val retained = committed.takeRight(keep) // always includes cur
-    val expired = committed.dropRight(keep)
+    // `alsoRetainFrom` raises the retention floor: keep everything at
+    // or above that version IN ADDITION to the newest `keep` — the
+    // registry-GC coupling ([[PublishSet.pruneMembers]]). The count is
+    // taken against THIS lock-held healed listing, so a commit racing
+    // the caller's earlier currentVersion read can only GROW the
+    // retained suffix, never shift a still-referenced version out of
+    // it. Both sets are suffixes of the ascending listing, so the
+    // union stays contiguous and `takeRight` semantics hold.
+    val keepN = math.max(keep,
+      alsoRetainFrom.map(from => committed.count(_ >= from)).getOrElse(0))
+    val retained = committed.takeRight(keepN) // always includes cur
+    val expired = committed.dropRight(keepN)
     val live: Set[String] =
       retained.flatMap(v => manifest(spark, root, v).files).toSet
     // batch dirs whose files THIS prune run is expiring: known-ours,

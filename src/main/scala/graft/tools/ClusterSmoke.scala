@@ -358,14 +358,41 @@ object ClusterSmoke {
             VersionedTable.readVersion(spark, aRoot, s(aRoot)).count() == 1L &&
             VersionedTable.readVersion(spark, bRoot, s(bRoot)).count() == 1L
         }
+      // retention-coupled GC on the hammered registry (r14 session 2):
+      // expire all but the newest 2 releases, then pruneMembers — the
+      // floors must be release-(nRuns-1)'s pins, every RETAINED release
+      // must stay fully readable, and the expired releases' exclusive
+      // member versions must actually be gone.
+      val gcOk = relOk && {
+        PublishSet.prune(spark, reg, keep = 2)
+        val floors = PublishSet.pruneMembers(spark, reg, memberKeep = 1)
+        val keepFrom = (nRuns - 1).toLong
+        floors == Map(aRoot -> keepFrom, bRoot -> keepFrom) &&
+          PublishSet.versions(spark, reg) == Seq(keepFrom, nRuns.toLong) &&
+          PublishSet.versions(spark, reg).forall { v =>
+            val s = PublishSet.resolveVersion(spark, reg, v)
+            VersionedTable.readVersion(spark, aRoot, s(aRoot)).count() == 1L &&
+              VersionedTable.readVersion(spark, bRoot, s(bRoot)).count() == 1L
+          } &&
+          VersionedTable.versions(spark, aRoot) ==
+            Seq(keepFrom, nRuns.toLong) &&
+          VersionedTable.versions(spark, bRoot) ==
+            Seq(keepFrom, nRuns.toLong) &&
+          scala.util.Try(
+            VersionedTable.readVersion(spark, aRoot, 1L).count()).isFailure
+      }
       spark.stop()
       if (!relOk) {
         println("[cluster-smoke] atomic-publish registry FAIL: " +
           relFail.orElse(writerErr).getOrElse("history incomplete"))
         failed = true
+      } else if (!gcOk) {
+        println("[cluster-smoke] registry retention-coupled GC FAIL")
+        failed = true
       } else
         println(s"[cluster-smoke] atomic-publish registry OK ($relReads " +
-          s"resolves over $nRuns releases, zero torn sets, history whole)")
+          s"resolves over $nRuns releases, zero torn sets, history whole, " +
+          "retention-coupled GC clean)")
     }
 
     if (failed) sys.exit(1)

@@ -126,6 +126,70 @@ class PublishSetSpec extends SparkSpec {
     assert(PublishSet.resolve(spark, reg) === Map(a -> 4L))
   }
 
+  test("pruneMembers: retention floors derive from retained releases; every retained release stays fully readable") {
+    val d = tmp()
+    val (a, b, c, reg) = (s"$d/A", s"$d/B", s"$d/C", s"$d/_REL")
+    // A advances to v4, B to v2; releases pin (A1,B1) then (A3,B2).
+    (1 to 4).foreach(i =>
+      VersionedTable.write(spark, a, Seq((i.toLong, s"a$i")).toDF("id", "tag")))
+    (1 to 2).foreach(i =>
+      VersionedTable.write(spark, b, Seq((i.toLong, s"b$i")).toDF("id", "tag")))
+    // C is versioned but never published — GC must not touch it
+    (1 to 3).foreach(i =>
+      VersionedTable.write(spark, c, Seq((i.toLong, s"c$i")).toDF("id", "tag")))
+    PublishSet.publish(spark, reg, Map(a -> 1L, b -> 1L))
+    PublishSet.publish(spark, reg, Map(a -> 3L, b -> 2L))
+    // both releases retained: floors are the OLDEST pins (A1, B1), so
+    // nothing a release references is prunable even at memberKeep=1
+    val floors1 = PublishSet.pruneMembers(spark, reg, memberKeep = 1)
+    assert(floors1 === Map(a -> 1L, b -> 1L), floors1.toString)
+    assert(VersionedTable.versions(spark, a) === Seq(1L, 2L, 3L, 4L))
+    assert(VersionedTable.versions(spark, b) === Seq(1L, 2L))
+    assert(VersionedTable.versions(spark, c) === Seq(1L, 2L, 3L))
+    // expire release 1, then GC: floors move to release 2's pins (A3,
+    // B2) — A v1/v2 go (v4 = current stays via memberKeep), B keeps v2
+    PublishSet.prune(spark, reg, keep = 1)
+    val floors2 = PublishSet.pruneMembers(spark, reg, memberKeep = 1)
+    assert(floors2 === Map(a -> 3L, b -> 2L), floors2.toString)
+    assert(VersionedTable.versions(spark, a) === Seq(3L, 4L))
+    assert(VersionedTable.versions(spark, b) === Seq(2L))
+    assert(VersionedTable.versions(spark, c) === Seq(1L, 2L, 3L),
+      "an unreferenced table is outside the registry's GC contract")
+    // the retained-release reader contract: every member of every
+    // retained release reads; the expired release's exclusive version
+    // is gone
+    PublishSet.versions(spark, reg).foreach { v =>
+      PublishSet.resolveVersion(spark, reg, v).foreach { case (t, mv) =>
+        assert(VersionedTable.readVersion(spark, t, mv).count() > 0)
+      }
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, a, 1L)
+    }
+    // a registry pinning a table that vanished is a loud error
+    val reg2 = s"$d/_REL2"
+    PublishSet.publish(spark, reg2, Map(a -> 4L))
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(a), true)
+    intercept[IllegalArgumentException] {
+      PublishSet.pruneMembers(spark, reg2)
+    }
+  }
+
+  test("prune alsoRetainFrom: the floor holds versions beyond keep, and stays a contiguous suffix") {
+    val d = tmp()
+    val a = s"$d/A"
+    (1 to 5).foreach(i =>
+      VersionedTable.write(spark, a, Seq((i.toLong, s"a$i")).toDF("id", "tag")))
+    // keep=1 alone would leave only v5; the floor holds v2..v5
+    VersionedTable.prune(spark, a, keep = 1, alsoRetainFrom = Some(2L))
+    assert(VersionedTable.versions(spark, a) === Seq(2L, 3L, 4L, 5L))
+    // a floor ABOVE current degenerates to plain keep semantics
+    VersionedTable.prune(spark, a, keep = 2, alsoRetainFrom = Some(99L))
+    assert(VersionedTable.versions(spark, a) === Seq(4L, 5L))
+  }
+
   test("curation release: members publish together, roll back together") {
     import graft.models.CurationModels
     import graft.pipeline.Pipeline.{RunConfig, Core}
