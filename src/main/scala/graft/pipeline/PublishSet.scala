@@ -58,9 +58,15 @@ object PublishSet {
   /** Commit `set` (table root → member version) as the next registry
     * version. Validates each named member manifest exists. Optimistic:
     * retries the registry CAS like any table mutator. Returns the
-    * committed registry version. */
+    * committed registry version.
+    *
+    * `note` is an optional free-text annotation stored WITH the release
+    * (a `#`-prefixed first line, url-encoded) — the streaming publish
+    * tick stamps its epoch id here so a restarted stream can see which
+    * epoch last released ([[note]]); readers of the set itself ignore
+    * it. */
   def publish(spark: SparkSession, registryRoot: String,
-              set: Map[String, Long]): Long =
+              set: Map[String, Long], note: Option[String] = None): Long =
       VersionedTable.withRootLock(registryRoot) {
     require(set.nonEmpty, "a release set must name at least one table")
     set.foreach { case (table, v) =>
@@ -69,8 +75,9 @@ object PublishSet {
           "retained version - publish AFTER the member commits, and size " +
           "member retention to cover registry retention")
     }
-    val content = set.toSeq.sortBy(_._1)
-      .map { case (table, v) => s"$v ${enc(table)}" }.mkString("\n")
+    val content = (note.map(n => s"#${enc(n)}").toSeq ++
+      set.toSeq.sortBy(_._1)
+        .map { case (table, v) => s"$v ${enc(table)}" }).mkString("\n")
     VersionedTable.withCommitRetries(registryRoot, "publish") { () =>
       val v = VersionedTable.currentVersion(spark, registryRoot)
         .getOrElse(0L) + 1
@@ -78,6 +85,12 @@ object PublishSet {
       v
     }
   }
+
+  /** The annotation `publish` stored with release `v`, if any. */
+  def note(spark: SparkSession, registryRoot: String, v: Long)
+      : Option[String] =
+    VersionedTable.manifestLines(spark, registryRoot, v)
+      .find(_.startsWith("#")).map(l => dec(l.substring(1)))
 
   /** Snapshot each table's CURRENT version and publish that as the
     * release set. The snapshot is taken table by table, so call this
@@ -102,10 +115,12 @@ object PublishSet {
         throw new IllegalArgumentException(
           s"no release registry at $registryRoot")))
 
-  /** Time travel: a specific retained release set. */
+  /** Time travel: a specific retained release set. `#` lines are
+    * annotations ([[note]]), not members. */
   def resolveVersion(spark: SparkSession, registryRoot: String,
                      v: Long): Map[String, Long] =
-    VersionedTable.manifestLines(spark, registryRoot, v).map { line =>
+    VersionedTable.manifestLines(spark, registryRoot, v)
+      .filterNot(_.startsWith("#")).map { line =>
       val i = line.indexOf(' ')
       require(i > 0, s"malformed release line '$line' in $registryRoot v$v")
       dec(line.substring(i + 1)) -> line.substring(0, i).toLong
@@ -135,7 +150,8 @@ object PublishSet {
   /** Restore release `to`'s ENTIRE set as a new registry version — the
     * one-commit cross-table rollback. */
   def rollback(spark: SparkSession, registryRoot: String, to: Long): Long =
-    publish(spark, registryRoot, resolveVersion(spark, registryRoot, to))
+    publish(spark, registryRoot, resolveVersion(spark, registryRoot, to),
+      Some(s"rollback to v$to"))
 
   /** Bound registry retention: keep the newest `keep` release
     * manifests. Registry versions are metadata-only (no data dirs), so

@@ -311,20 +311,137 @@ object EventStreams {
                            stride: Int = graft.operators.TextAnalysis.ChunkStride,
                            trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions._
     val assigned = graft.operators.Similarity.cellAssignmentsTrained(
-      graft.operators.TextAnalysis
-        .tokenWindowChunks(docs, textCol, idCol, cap, stride)
-        .withColumn("chunk_id",
-          col("doc_id") * lit(graft.operators.TextAnalysis.ChunkIdBase) +
-            col("chunk_idx"))
-        .withColumn("emb", graft.multimodal.Multimodal
-          .stubTextEmbedding(col("chunk_text"), dim)),
+      ragChunkEmbed(docs, textCol, idCol, dim, cap, stride),
       "emb", "chunk_id", codebook)
       .withColumnRenamed("id", "chunk_id")
     versionedUpsertStreamQuery(spark, assigned, root,
       uniqueKey = Seq("cell", "chunk_id"), outputMode = "append",
       partitionBy = Seq("cell"), trigger = trigger)
+  }
+
+  /** The shared RAG tick front half: chunk → packed chunk_id →
+    * stub-embed. Map-only; rides the micro-batch scan. */
+  private def ragChunkEmbed(docs: DataFrame, textCol: String, idCol: String,
+                            dim: Int, cap: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.TextAnalysis
+      .tokenWindowChunks(docs, textCol, idCol, cap, stride)
+      .withColumn("chunk_id",
+        col("doc_id") * lit(graft.operators.TextAnalysis.ChunkIdBase) +
+          col("chunk_idx"))
+      .withColumn("emb", graft.multimodal.Multimodal
+        .stubTextEmbedding(col("chunk_text"), dim))
+  }
+
+  /** STREAMING ATOMIC PUBLISH — the [[graft.pipeline.PublishSet]]
+    * release folded into the RAG ingest tick (the r14 candidate): every
+    * micro-batch epoch
+    *
+    *   chunk → stub-embed (map-only, rides the batch scan)
+    *   → merge chunks into the versioned CHUNKS table (chunk_id-keyed)
+    *   → merge assignments into the versioned cell-partitioned INDEX
+    *     ([[graft.io.IvfMaintenance.upsertVersioned]], frozen codebook)
+    *   → GATE: the new index version's row count must not be below the
+    *     currently RELEASED index version's (the accretion invariant —
+    *     latest-wins replacement keeps counts equal, a bad merge that
+    *     drops cells shrinks them; exact integer compare, the deep
+    *     recall gate stays an offline concern per the e18/e20 contract)
+    *   → ONE [[graft.pipeline.PublishSet.publish]] naming the exact
+    *     (chunks, index, codebook) versions this epoch produced,
+    *     annotated `epoch <batchId>`.
+    *
+    * Readers resolving through the registry therefore NEVER see a
+    * mid-tick state: the chunks/index commits land first, invisible,
+    * and become the release only at the single registry CAS. A failed
+    * gate publishes nothing — release readers keep the previous epoch
+    * (the ragRecallGate discipline per tick).
+    *
+    * The frozen codebook is itself a release member: committed once
+    * (v1) on the first epoch and pinned in every release, so a resolved
+    * set always carries the quantizer its index was assigned with —
+    * the index/codebook lockstep contract without per-epoch refits.
+    *
+    * Replay safety: the member merges are idempotent keyed merges
+    * (replaying identical rows converges — the
+    * [[ragIngestStreamQuery]] contract), and the release note carries
+    * the epoch id: a foreachBatch replay whose epoch is <= the
+    * released note's re-runs the idempotent merges but SKIPS the
+    * publish, so restarts never double-release an epoch. Epochs that
+    * fail the gate never advance the note either — the skipped epoch's
+    * rows still reach the members and ride the NEXT epoch's release.
+    *
+    * At 100 TB: per-tick cost tracks the batch (map-only front, two
+    * keyed merges rewriting only the batch's cells/keys, a
+    * metadata-only registry CAS); nothing rescans the corpus. */
+  def ragReleaseStreamQuery(spark: SparkSession, docs: DataFrame,
+                            textCol: String, idCol: String,
+                            codebook: Seq[Seq[Double]], dim: Int,
+                            registryRoot: String, chunksRoot: String,
+                            indexRoot: String, codebookRoot: String,
+                            cap: Int = graft.operators.TextAnalysis.ChunkCap,
+                            stride: Int = graft.operators.TextAnalysis.ChunkStride,
+                            trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{PublishSet, VersionedTable}
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val released = PublishSet.currentVersion(spark, registryRoot)
+        val lastEpoch = released
+          .flatMap(v => PublishSet.note(spark, registryRoot, v))
+          .flatMap(n => n.split(' ') match {
+            case Array("epoch", e) => e.toLongOption
+            case _ => None
+          }).getOrElse(-1L)
+        // within-epoch dedup: a crawl drop can carry the same doc twice
+        // (a re-fetch landing in the same batch) — the keyed member
+        // merges dedup ACROSS epochs but insert every row of one
+        // increment, so duplicate ids must collapse here; max(text) is
+        // the deterministic keeper (dropDuplicates' first-wins is
+        // partitioning-dependent), found by the replay spec inserting
+        // doubled chunk rows
+        val dedup = batch.toDF().groupBy(col(idCol))
+          .agg(max(col(textCol)).as(textCol))
+        val chunked = ragChunkEmbed(dedup, textCol, idCol, dim,
+            cap, stride)
+          // one durable cut: chunks feed BOTH member merges, and the
+          // second merge must not rescan a landing dir the first one's
+          // job may outlive (the curation-tick eager-cut rule)
+          .localCheckpoint()
+        val chunksV = VersionedTable.merge(spark, chunksRoot,
+          chunked.select(col("doc_id"), col("chunk_idx"), col("chunk_id"),
+            col("chunk_text")),
+          uniqueKey = Seq("chunk_id"))
+        val idxV = graft.io.IvfMaintenance.upsertVersioned(spark, indexRoot,
+          chunked.select(col("chunk_id"), col("emb")), "emb", "chunk_id",
+          codebook)
+        val cbV = VersionedTable.currentVersion(spark, codebookRoot)
+          .getOrElse {
+            import spark.implicits._
+            VersionedTable.write(spark, codebookRoot,
+              codebook.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+                .toDF("cell", "centroid"))
+          }
+        // accretion gate vs the RELEASED index (not the member current:
+        // the member may already carry this epoch's rows on a replay)
+        val releasedIdxRows = released
+          .map(v => PublishSet.resolveVersion(spark, registryRoot, v))
+          .flatMap(_.get(indexRoot))
+          .map(v => VersionedTable.readVersion(spark, indexRoot, v).count())
+          .getOrElse(0L)
+        val newIdxRows = VersionedTable.readVersion(spark, indexRoot, idxV)
+          .count()
+        if (batchId > lastEpoch && newIdxRows >= releasedIdxRows)
+          PublishSet.publish(spark, registryRoot,
+            Map(chunksRoot -> chunksV, indexRoot -> idxV,
+              codebookRoot -> cbV),
+            note = Some(s"epoch $batchId"))
+        ()
+      }
+      .option("checkpointLocation", s"$registryRoot.__checkpoint")
+      .trigger(trigger)
+      .start()
   }
 
   /** STREAMING DELTA NEAR-DUP PAIRING — the delta dedup family

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.{PublishSet, VersionedTable}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** [[EventStreams.ragReleaseStreamQuery]] — the PublishSet release
+  * folded into the streaming RAG tick: every epoch lands member commits
+  * plus ONE registry commit, readers resolve whole epochs only, a
+  * failed accretion gate publishes nothing, and a checkpoint-reset
+  * replay re-runs the idempotent member merges but never
+  * double-releases an epoch. */
+class StreamingReleaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val codebook: Seq[Seq[Double]] =
+    (0 until 4).map(c => (0 until dim).map(j =>
+      math.abs(math.sin(c * dim + j + 1)) + 0.01).toSeq)
+
+  private def docText(i: Long): String =
+    (0 until 60).map(t => s"w${i}_$t").mkString(" ") // 60 toks -> 2 chunks
+
+  test("release per epoch: atomic member set with pinned codebook; gate skips a shrinking epoch; replay never double-releases") {
+    val land = Files.createTempDirectory("graft-rel-land")
+    val base = Files.createTempDirectory("graft-rel-roots").toString
+    val (reg, chunks, idx, cb) =
+      (s"$base/_REL", s"$base/CHUNKS", s"$base/IDX", s"$base/CB")
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+
+    def land1(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(land.toString)
+
+    def tick(): Unit =
+      EventStreams.ragReleaseStreamQuery(spark,
+        spark.readStream.schema(schema).parquet(land.toString),
+        "text", "doc_id", codebook, dim, reg, chunks, idx, cb,
+        cap = 64, stride = 48).awaitTermination()
+
+    // ---- epoch 0: 6 docs -> 12 chunks; first release pins all three
+    land1((0L until 6L).map(i => (i, docText(i))))
+    tick()
+    assert(PublishSet.currentVersion(spark, reg) === Some(1L))
+    assert(PublishSet.note(spark, reg, 1L) === Some("epoch 0"))
+    val set1 = PublishSet.resolve(spark, reg)
+    assert(set1.keySet === Set(chunks, idx, cb))
+    assert(set1(cb) === 1L, "frozen codebook pinned at v1")
+    assert(VersionedTable.readVersion(spark, idx, set1(idx)).count() === 12L)
+    assert(VersionedTable.readVersion(spark, chunks, set1(chunks))
+      .count() === 12L)
+    assert(PublishSet.readTable(spark, reg, cb).count() === 4L)
+
+    // ---- a shrinking epoch: delete 2 docs' cells from the index
+    // member directly (4 chunks), then tick a re-send of one deleted
+    // doc — the new index version holds 10 < the released 12, so the
+    // accretion gate must NOT publish; the members advance anyway.
+    graft.io.IvfMaintenance.deleteVersioned(spark, idx,
+      (0 until 2).flatMap(d => Seq(d * 100000L, d * 100000L + 1L)))
+    land1(Seq((0L, docText(0L))))
+    tick()
+    assert(PublishSet.currentVersion(spark, reg) === Some(1L),
+      "a gate-failed epoch must not release")
+    assert(PublishSet.resolve(spark, reg) === set1,
+      "readers keep resolving the last good epoch")
+    assert(VersionedTable.readVersion(spark, idx, set1(idx)).count() === 12L,
+      "the pinned release reads version-1 files untouched")
+
+    // ---- epoch 2: 2 new docs -> index 14 >= released 12, releases
+    land1((6L until 8L).map(i => (i, docText(i))))
+    tick()
+    assert(PublishSet.currentVersion(spark, reg) === Some(2L))
+    assert(PublishSet.note(spark, reg, 2L) === Some("epoch 2"),
+      "the skipped epoch 1 never became a release")
+    val set2 = PublishSet.resolve(spark, reg)
+    assert(set2(cb) === 1L, "codebook stays pinned across epochs")
+    // 10 original-surviving + re-sent doc already counted + 4 new = 14
+    assert(VersionedTable.readVersion(spark, idx, set2(idx)).count() === 14L)
+    // release history is whole: both releases fully readable
+    PublishSet.versions(spark, reg).foreach { v =>
+      PublishSet.resolveVersion(spark, reg, v).foreach { case (t, mv) =>
+        assert(VersionedTable.readVersion(spark, t, mv).count() > 0)
+      }
+    }
+
+    // ---- checkpoint reset: batch ids restart at 0 and re-deliver all
+    // drops as one replay batch; member merges re-run (idempotent,
+    // convergent) but epoch 0 <= released epoch 2 -> NO new release.
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$reg.__checkpoint"))
+    val idxVBefore = VersionedTable.currentVersion(spark, idx).get
+    tick()
+    assert(PublishSet.currentVersion(spark, reg) === Some(2L),
+      "a replayed epoch must never double-release")
+    assert(PublishSet.resolve(spark, reg) === set2)
+    // the replay's member merge landed (idempotent rows, new version):
+    // doc 1 — deleted from the index mid-test, never re-sent — comes
+    // back (16 = 14 + its 2 chunks), and the doc-0 re-fetch that lands
+    // TWICE inside the single replay batch collapses to one copy (the
+    // within-epoch dedup; without it the merge inserts doubled rows)
+    assert(VersionedTable.currentVersion(spark, idx).get > idxVBefore)
+    assert(VersionedTable.read(spark, idx).count() === 16L,
+      "replay converges: restored doc, no within-batch duplicates")
+  }
+}
