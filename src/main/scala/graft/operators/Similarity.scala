@@ -405,6 +405,95 @@ object Similarity {
     finally Seq(assigned, probes, cand, bf).foreach(_.unpersist(false))
   }
 
+  /** 2-D OPERATING-SURFACE SWEEP — nProbe × k JOINTLY (the e24 curve
+    * widened to the grid a serving deployment actually tunes over:
+    * probe width trades scan cost against recall, k trades result
+    * depth against it, and the two interact — recall@1 saturates at a
+    * narrower probe than recall@10). One row per (n_probe, k) with
+    * recall vs the exact baseline, the baseline's actual row count,
+    * and the scanned corpus fraction; every column an exact BIGINT on
+    * the [[ivfRecallSweepExact]] integer-key contract (zero float
+    * compares anywhere in the grid).
+    *
+    * Efficiency contract — STRICTLY tighter than e24's, not |grid|
+    * searches: ONE candidate scan at max(nProbes) (candidates carry
+    * their cell's probe rank), ONE brute-force baseline at max(ks)
+    * (rank kept), then per probe width a single re-rank window and ONE
+    * conditional aggregate producing EVERY k's hit count from the same
+    * joined relation — sum(bf_rank<=k AND ivf_rank<=k) per k — so the
+    * k axis is free: |nProbes| windows + joins total, exactly e24's
+    * count, while the row count multiplies by |ks|. n_bf(k) divides
+    * each recall (the ADVICE-r13 denominator, per depth). At 100 TB
+    * the candidate relation is the IVF scan bound; everything after it
+    * is bounded by nq·max(k). */
+  def ivfOperatingSweepExact(corpus: DataFrame, queries: DataFrame,
+                             vecCol: String, idCol: String, ks: Seq[Int],
+                             codebook: Seq[Seq[Double]],
+                             nProbes: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) &&
+      ks.distinct.size == ks.size, s"bad ks $ks")
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1) &&
+      nProbes.distinct.size == nProbes.size, s"bad nProbes $nProbes")
+    val spark = corpus.sparkSession
+    val maxNp = nProbes.max
+    val kMax = ks.max
+    val ksSorted = ks.sorted
+    val assigned = cellAssignmentsTrained(corpus, vecCol, idCol, codebook)
+      .persist()
+    val cents = centsOf(spark, codebook)
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
+      .filter(col("prn") <= maxNp)
+      .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
+      .persist()
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos_r", VectorExpressions.intCosKey(col("v"), col("qv")))
+      .filter(col("cos_r").isNotNull)
+      .select(col("query_id"), col("id"), col("cos_r"), col("prn"))
+      .persist()
+    val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)
+      .select(col("query_id"), col("id"), col("rank").as("bfr"))
+      .persist()
+    val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    val nQ = q.count()
+    val nCorpus = assigned.count()
+    val bfAggs = ksSorted.map(kk =>
+      coalesce(sum(when(col("bfr") <= kk, 1L).otherwise(0L)), lit(0L)))
+    val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
+    try {
+      val rows = nProbes.sorted.flatMap { np =>
+        val ranked = cand.filter(col("prn") <= np)
+          .withColumn("ivfr", row_number().over(rankWindow))
+          .filter(col("ivfr") <= kMax)
+          .select("query_id", "id", "ivfr")
+        val joined = bf.join(ranked, Seq("query_id", "id"))
+        val hitAggs = ksSorted.map(kk => coalesce(sum(
+          when(col("bfr") <= kk && col("ivfr") <= kk, 1L).otherwise(0L)),
+          lit(0L)))
+        val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
+        val scanned = probes.filter(col("prn") <= np)
+          .join(cellSizes, Seq("cell"))
+          .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
+        val scannedPpm =
+          if (nQ * nCorpus == 0) 0L else 1000000L * scanned / (nQ * nCorpus)
+        ksSorted.indices.map { i =>
+          val (h, nbf) = (hitRow.getLong(i), nBfRow.getLong(i))
+          (np.toLong, ksSorted(i).toLong, nQ, h, nbf,
+            if (nbf == 0) 0L else 1000000L * h / nbf, scannedPpm)
+        }
+      }
+      import spark.implicits._
+      rows.toDF("n_probe", "k", "n_queries", "n_hits", "n_bf",
+        "recall_ppm", "scanned_ppm")
+    } finally Seq(assigned, probes, cand, bf).foreach(_.unpersist(false))
+  }
+
   /** Product-quantization encode — the memory-scale path for ANN
     * (IVF-PQ's second half): each vector compresses to `m` codebook
     * indices plus a reconstruction error. The codebook rows are the

@@ -718,29 +718,14 @@ object DataQueries {
        |        WHEN s0*s0 > z THEN s0-1 ELSE s0 END) AS key
        |  FROM ${pfx}s)""".stripMargin
 
-  lazy val e24Sql: String = {
-    val maxNp = sweepNProbes.max
-    val blocks = sweepNProbes.sorted.map { np =>
-      s"""SELECT CAST($np AS BIGINT) AS n_probe,
-         |  (SELECT nq FROM nq) AS n_queries,
-         |  (SELECT count(*) FROM bf JOIN
-         |    (SELECT query_id, id FROM (SELECT query_id, id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY key DESC, id) AS rank
-         |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
-         |    ON bf.query_id = i.query_id AND bf.id = i.id) AS n_hits,
-         |  1000000 * (SELECT count(*) FROM bf JOIN
-         |    (SELECT query_id, id FROM (SELECT query_id, id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY key DESC, id) AS rank
-         |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
-         |    ON bf.query_id = i.query_id AND bf.id = i.id)
-         |    // (SELECT CAST(count(*) AS BIGINT) FROM bf) AS recall_ppm,
-         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
-         |    WHERE prn <= $np)
-         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
-         |""".stripMargin
-    }.mkString("UNION ALL\n")
+  /** The shared integer-key sweep CTE chain (everything through the
+    * probe-rank-tagged candidate relation `cand` and the brute-force
+    * baseline `bf`), parametric in the probe width, baseline depth,
+    * and whether `bf` keeps its rank column (e25's per-k denominators
+    * need it; e24's single-k blocks do not). */
+  private def sweepCtePrefix(maxNp: Int, kBf: Int,
+                             bfKeepRank: Boolean): String = {
+    val bfCols = if (bfKeepRank) "query_id, id, rank" else "query_id, id"
     s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
       |$kmCtes,
@@ -760,10 +745,10 @@ object DataQueries {
       |  FROM ein ei CROSS JOIN qin qi
       |  WHERE ei.id <> qi.query_id AND ei.vn > 0 AND qi.qn > 0),
       |${intKeyCtes("bf", "bfd")},
-      |bf AS MATERIALIZED (SELECT query_id, id FROM (
+      |bf AS MATERIALIZED (SELECT $bfCols FROM (
       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
       |    ORDER BY key DESC, id) AS rank FROM bfkey)
-      |  WHERE rank <= 5),
+      |  WHERE rank <= $kBf),
       |asg AS MATERIALIZED (SELECT id, v, cell FROM (
       |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
@@ -790,9 +775,86 @@ object DataQueries {
       |  (CASE WHEN d >= 0 THEN 1 ELSE -1 END) *
       |  (CASE WHEN (s0+1)*(s0+1) <= z THEN s0+1
       |        WHEN s0*s0 > z THEN s0-1 ELSE s0 END) AS key, prn
-      |  FROM cds)
-      |$blocks
-      |ORDER BY n_probe""".stripMargin
+      |  FROM cds)""".stripMargin
+  }
+
+  lazy val e24Sql: String = {
+    val blocks = sweepNProbes.sorted.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe,
+         |  (SELECT nq FROM nq) AS n_queries,
+         |  (SELECT count(*) FROM bf JOIN
+         |    (SELECT query_id, id FROM (SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY key DESC, id) AS rank
+         |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
+         |    ON bf.query_id = i.query_id AND bf.id = i.id) AS n_hits,
+         |  1000000 * (SELECT count(*) FROM bf JOIN
+         |    (SELECT query_id, id FROM (SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY key DESC, id) AS rank
+         |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
+         |    ON bf.query_id = i.query_id AND bf.id = i.id)
+         |    // (SELECT CAST(count(*) AS BIGINT) FROM bf) AS recall_ppm,
+         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
+         |    WHERE prn <= $np)
+         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |""".stripMargin
+    }.mkString("UNION ALL\n")
+    s"""${sweepCtePrefix(sweepNProbes.max, 5, bfKeepRank = false)}
+       |$blocks
+       |ORDER BY n_probe""".stripMargin
+  }
+
+  private val gridKs = Seq(1, 5, 10)
+
+  /** 2-D OPERATING GRID (e25 — [[Similarity.ivfOperatingSweepExact]]):
+    * e24's cost/recall curve widened to the (nProbe × k) surface a
+    * serving deployment tunes over — per (probe width, result depth),
+    * exact-integer recall vs the depth-k brute-force baseline, the
+    * baseline's actual row count (the per-depth ADVICE-r13
+    * denominator), and the scanned corpus fraction. Same integer-key
+    * contract as e24 end-to-end; the k axis is FREE in the operator
+    * (one conditional aggregate per probe width yields every depth's
+    * hit count — |nProbes| windows total, spec-pinned). */
+  val e25OperatingGrid: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfOperatingSweepExact(emb,
+        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+        ks = gridKs, codebook = kmModel(s, dir).centroids,
+        nProbes = sweepNProbes)
+      .orderBy(col("n_probe"), col("k"))
+  }
+
+  lazy val e25Sql: String = {
+    val kMax = gridKs.max
+    val ivfCtes = sweepNProbes.sorted.map { np =>
+      s"""ivf$np AS MATERIALIZED (SELECT query_id, id, rank FROM (
+         |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY key DESC, id) AS rank
+         |  FROM cand WHERE prn <= $np) WHERE rank <= $kMax)""".stripMargin
+    }.mkString(",\n")
+    val blocks = (for (np <- sweepNProbes.sorted; kk <- gridKs.sorted) yield
+      s"""SELECT CAST($np AS BIGINT) AS n_probe, CAST($kk AS BIGINT) AS k,
+         |  (SELECT nq FROM nq) AS n_queries,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bf b JOIN ivf$np i
+         |    ON b.query_id = i.query_id AND b.id = i.id
+         |    WHERE b.rank <= $kk AND i.rank <= $kk) AS n_hits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bf
+         |    WHERE rank <= $kk) AS n_bf,
+         |  CASE WHEN (SELECT count(*) FROM bf WHERE rank <= $kk) = 0 THEN 0
+         |    ELSE 1000000 * (SELECT CAST(count(*) AS BIGINT) FROM bf b
+         |      JOIN ivf$np i ON b.query_id = i.query_id AND b.id = i.id
+         |      WHERE b.rank <= $kk AND i.rank <= $kk)
+         |      // (SELECT CAST(count(*) AS BIGINT) FROM bf
+         |        WHERE rank <= $kk) END AS recall_ppm,
+         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
+         |    WHERE prn <= $np)
+         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |""".stripMargin).mkString("UNION ALL\n")
+    s"""${sweepCtePrefix(sweepNProbes.max, kMax, bfKeepRank = true)},
+       |$ivfCtes
+       |$blocks
+       |ORDER BY n_probe, k""".stripMargin
   }
 
   private val mmrTopN = 20
@@ -4233,6 +4295,7 @@ object DataQueries {
     "e17_filtered_ann" -> e17FilteredAnn,
     "e18_ivf_recall" -> e18IvfRecall,
     "e24_recall_sweep" -> e24RecallSweep,
+    "e25_operating_grid" -> e25OperatingGrid,
     "e19_mmr_rerank" -> e19MmrRerank,
     "e20_ivf_upsert" -> e20IvfUpsert,
     "d13_semantic_dedup" -> d13SemanticDedup,
@@ -4327,6 +4390,7 @@ object DataQueries {
     "e17_filtered_ann" -> e17Sql,
     "e18_ivf_recall" -> e18Sql,
     "e24_recall_sweep" -> e24Sql,
+    "e25_operating_grid" -> e25Sql,
     "e19_mmr_rerank" -> e19Sql,
     "e20_ivf_upsert" -> e20Sql,
     "d13_semantic_dedup" -> d13Sql,

@@ -166,7 +166,10 @@ object ClusterSmoke {
     // ranked-window order built from executor partials, chimera union
     "d31_allpairs_contain",
     // sweep CI: driver-literal sweep rows + pure-integer isqrt bounds
-    "d32_sweep_ci")
+    "d32_sweep_ci",
+    // 2-D operating grid: one conditional aggregate per probe width
+    // built from executor partials must agree across JVM boundaries
+    "e25_operating_grid")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

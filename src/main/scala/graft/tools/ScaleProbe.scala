@@ -915,6 +915,20 @@ object ScaleProbe {
           k = 5, codebook = cb, nProbes = Seq(1, 2, 4, 8))
       }
     }
+    // e25 operating grid (r14 session 2): the k axis must be FREE —
+    // tripling the grid's rows over recall_sweep adds only the deeper
+    // (kMax=10) baseline window plus one conditional aggregate per
+    // probe width, so the cost profile must track recall_sweep's, not
+    // 3x it.
+    stage("operating_grid") {
+      t(s"operating_grid_${replicas}x") {
+        val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+          k = 16, dim = 64, iters = 3).centroids
+        graft.operators.Similarity.ivfOperatingSweepExact(embBig,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+          ks = Seq(1, 5, 10), codebook = cb, nProbes = Seq(1, 2, 4, 8))
+      }
+    }
     // t27 Moore-Lewis selection: two bounded LM fits (vocab-literal
     // collects over the sample/in-domain slices), then ONE map-only
     // two-expression scoring projection over the corpus.

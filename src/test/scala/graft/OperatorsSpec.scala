@@ -218,6 +218,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfOperatingSweepExact: every grid cell equals the independent single-point sweep; axes behave") {
+    // the k axis must be FREE but exact: each (nProbe, k) row of the
+    // 2-D grid — computed from ONE conditional aggregate per probe
+    // width — must equal ivfRecallSweepExact run independently at that
+    // (k, nProbe) point, and the surface must be monotone in nProbe at
+    // fixed k (wider probes never lose hits)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val grid = Similarity.ivfOperatingSweepExact(emb, queries, "embedding",
+        "vec_id", ks = Seq(1, 5, 10), codebook = cb, nProbes = Seq(1, 2, 4))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(grid.size == 9)
+    for (np <- Seq(1, 2, 4); kk <- Seq(1, 5, 10)) {
+      val pt = Similarity.ivfRecallSweepExact(emb, queries, "embedding",
+        "vec_id", k = kk, codebook = cb, nProbes = Seq(np)).head
+      val (hits, nbf, rec, scn) = grid((np.toLong, kk.toLong))
+      assert(hits == pt.getLong(2),
+        s"(np=$np,k=$kk): grid hits $hits != independent ${pt.getLong(2)}")
+      assert(rec == pt.getLong(3), s"(np=$np,k=$kk): recall $rec vs ${pt.getLong(3)}")
+      assert(scn == pt.getLong(4), s"(np=$np,k=$kk): scanned $scn vs ${pt.getLong(4)}")
+      assert(nbf > 0 && rec == 1000000L * hits / nbf)
+    }
+    // monotone in probe width at fixed depth
+    Seq(1L, 5L, 10L).foreach { kk =>
+      val h = Seq(1L, 2L, 4L).map(np => grid((np, kk))._1)
+      assert(h.zip(h.tail).forall { case (a, b) => a <= b }, s"k=$kk: $h")
+    }
+  }
+
   test("lshBandingSweep: nested candidates along the divisor chain, exact bounds, formula integers") {
     val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
     val rows = Dedup.lshBandingSweep(docs, "text", "doc_id",
