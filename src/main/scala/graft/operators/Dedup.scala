@@ -1563,12 +1563,8 @@ object Dedup {
       .filter(col("n") >= minN)
     val freq = base.select(explode(col("shs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("hfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("hfreq"), col("h"))
-    val ranked = base
-      .select(col("id"), explode(col("shs")).as("h"), col("n"))
-      .join(freq, Seq("h"))
-      .withColumn("rn", row_number().over(w))
+    val ranked = containmentRanked(base, freq, frozen = false)
+      // a df=1 element can only self-pair in the SELF-join — pure prune
       .filter(col("hfreq") >= 2)
       .select("h", "id", "n", "rn")
       // both sides of the candidate self-join consume the ranked rows
@@ -1607,6 +1603,140 @@ object Dedup {
       .withColumn("cont_nano",
         expr("(2000000000 * n_shared + n1) div (2 * n1)"))
       .select("id1", "id2", "n1", "n2", "n_shared", "cont_nano")
+  }
+
+  /** Every set element RANKED under the global (frequency asc, hash
+    * asc) order — the containment family's shared relation (the
+    * [[rarestFirstPrefix]] shape, but emitting ALL ranks: containment's
+    * asymmetric prefixes and positional filter need positions, not one
+    * truncated prefix). `frozen = true` ranks against a FROZEN
+    * reference order (left join; unseen hashes take frequency 0 —
+    * rarer than anything seen). Rank is computed over the FULL set so
+    * downstream filters never distort positions. */
+  private def containmentRanked(base: DataFrame, freq: DataFrame,
+                                frozen: Boolean): DataFrame = {
+    val ex = base.select(col("id"), explode(col("shs")).as("h"), col("n"))
+    val joined =
+      if (frozen)
+        ex.join(freq, Seq("h"), "left_outer")
+          .withColumn("hfreq", coalesce(col("hfreq"), lit(0L)))
+      else ex.join(freq, Seq("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("hfreq"), col("h"))
+    joined.withColumn("rn", row_number().over(w))
+      .select("h", "id", "n", "rn", "hfreq")
+  }
+
+  /** The FROZEN reference side of the all-pairs containment join — the
+    * [[allPairsCosineState]] pattern for the asymmetric family:
+    * materialize the reference's blocking order and BOTH role prefixes
+    * once, link daily batches without re-deriving the reference side.
+    *
+    *  - `freq`: the frozen (h, hfreq) order (the lemma holds for ANY
+    *    shared total order — d26's argument verbatim);
+    *  - `smallPrefix`: each ref set's exact contained-role prefix
+    *    (rn <= n − ceil(τ·n) + 1), WITH positions for the filters;
+    *  - `bigPrefix`: each ref set's container-role prefix under the
+    *    minN worst case (rn <= n − ceil(τ·minN) + 1), with positions;
+    *  - `base`: the ref hashed sets (n >= minN) for verify attach.
+    *
+    * No df>=2 prune on either prefix: a hash unique in the REFERENCE
+    * can still collide with a batch element. All four are plain
+    * DataFrames — persist as warehouse tables. */
+  def allPairsContainmentState(ref: DataFrame, textCol: String,
+                               idCol: String, shingleN: Int,
+                               tauNum: Int, tauDen: Int, minN: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    require(minN >= 1, s"minN must be >= 1, got $minN")
+    val base = hashedShingleSets(ref, textCol, idCol, shingleN)
+      .filter(col("n") >= minN)
+    val freq = base.select(explode(col("shs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hfreq"))
+    val ranked = containmentRanked(base, freq, frozen = false)
+      .select("h", "id", "n", "rn")
+      .localCheckpoint(false) // both prefixes slice it
+    val ctMin = (tauNum.toLong * minN + tauDen - 1) / tauDen
+    val smallPrefix = ranked.filter(col("rn") <=
+      col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + lit(1))
+    val bigPrefix = ranked.filter(col("rn") <= col("n") - lit(ctMin) + lit(1))
+    (freq, smallPrefix, bigPrefix, base)
+  }
+
+  /** Batch-vs-reference containment link — the daily-crawl tick for
+    * the quote/wrapper detector ([[allPairsCosineDelta]]'s contract on
+    * the ASYMMETRIC family): every (ref, batch) pair with containment
+    * >= tau and min size >= minN, lossless under the frozen reference
+    * order; batch-internal pairs are [[allPairsContainment]] on the
+    * batch alone. The batch ranks against the frozen order (unseen
+    * hash = frequency 0 = rarest); each pair routes through exactly
+    * one of two role paths — ref-contained × batch-container when
+    * n_ref <= n_batch (ref canonical on ties), batch-contained ×
+    * ref-container strictly otherwise — each with the exact pairwise
+    * prefix refine and positional filter of the self-join form, so
+    * the union of the two skinny candidate sets is disjoint and
+    * complete. Verification attaches both sides' sets by id and runs
+    * once per pair; the gate and cont_nano are integer end-to-end.
+    *
+    * Output: (ref_id, batch_id, n_ref, n_batch, n_shared, cont_nano). */
+  def allPairsContainmentDelta(batch: DataFrame, textCol: String,
+                               idCol: String, shingleN: Int,
+                               tauNum: Int, tauDen: Int, minN: Int,
+                               freq: DataFrame, refSmall: DataFrame,
+                               refBig: DataFrame, refBase: DataFrame)
+      : DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    require(minN >= 1, s"minN must be >= 1, got $minN")
+    val bBase = hashedShingleSets(batch, textCol, idCol, shingleN)
+      .filter(col("n") >= minN)
+    val ctMin = (tauNum.toLong * minN + tauDen - 1) / tauDen
+    val bRanked = containmentRanked(bBase, freq, frozen = true)
+      // a frozen-frequency-0 hash exists in NO reference set — it
+      // still occupies its rank (computed above) but cannot co-occur,
+      // so dropping the row before the join is pure pruning
+      .filter(col("hfreq") >= 1)
+      .select("h", "id", "n", "rn")
+      .localCheckpoint(false) // both role paths slice it
+    def ceilTau(n: String) = expr(s"($tauNum * $n + ${tauDen - 1}) div $tauDen")
+    val bSmall = bRanked.filter(col("rn") <=
+      col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + lit(1))
+    val bBig = bRanked.filter(col("rn") <= col("n") - lit(ctMin) + lit(1))
+    def path(small: DataFrame, big: DataFrame, sPre: String, bPre: String,
+             strict: Boolean): DataFrame = {
+      val s = small.select(col("h"), col("id").as(s"${sPre}_id"),
+        col("n").as(s"n_$sPre"), col("rn").as("rn_s"))
+      val b = big.select(col("h"), col("id").as(s"${bPre}_id"),
+        col("n").as(s"n_$bPre"), col("rn").as("rn_b"))
+      val sizeCond =
+        if (strict) col(s"n_$sPre") < col(s"n_$bPre")
+        else col(s"n_$sPre") <= col(s"n_$bPre")
+      s.join(b, Seq("h"))
+        .filter(sizeCond)
+        .filter(col("rn_b") <=
+          col(s"n_$bPre") - ceilTau(s"n_$sPre") + lit(1))
+        .filter(lit(1) + least(col(s"n_$sPre") - col("rn_s"),
+          col(s"n_$bPre") - col("rn_b")) >= ceilTau(s"n_$sPre"))
+        .select("ref_id", "batch_id")
+    }
+    val cand = path(refSmall, bBig, "ref", "batch", strict = false)
+      .unionByName(path(bSmall, refBig, "batch", "ref", strict = true))
+      .distinct()
+    cand
+      .join(refBase.select(col("id").as("ref_id"), col("shs").as("shs1"),
+        col("n").as("n_ref")), Seq("ref_id"))
+      .join(bBase.select(col("id").as("batch_id"), col("shs").as("shs2"),
+        col("n").as("n_batch")), Seq("batch_id"))
+      .withColumn("n_shared",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .withColumn("n_min", least(col("n_ref"), col("n_batch")))
+      .filter(lit(tauDen.toLong) * col("n_shared") >=
+        lit(tauNum.toLong) * col("n_min"))
+      .withColumn("cont_nano",
+        expr("(2000000000 * n_shared + n_min) div (2 * n_min)"))
+      .select("ref_id", "batch_id", "n_ref", "n_batch", "n_shared",
+        "cont_nano")
   }
 
   /** The FROZEN reference side of the all-pairs cosine join — the

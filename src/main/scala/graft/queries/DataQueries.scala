@@ -3106,8 +3106,11 @@ object DataQueries {
   private val acnTauDen = 3
   private val acnMinN = 5
 
-  val d31Containment: Q = (s, dir) => {
-    val docs = Catalog(s, dir).documents
+  /** The d31/d33 chimera corpus: documents plus, for each md5-selected
+    * 1-in-5 doc, a synthetic quote/wrapper doc (id + 1e6) carrying the
+    * first half of it followed by the first half of doc_id+1. */
+  private def chimeraAug(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val rt = docs.select(col("doc_id"),
       expr("""filter(split(text, '\\s+'), t -> t != '')""").as("rtoks"))
     val chim = rt
@@ -3120,15 +3123,13 @@ object DataQueries {
           lit(" "),
           expr("array_join(slice(ptoks, 1, (size(ptoks)+1) div 2), ' ')"))
           .as("text"))
-    val aug = docs.select("doc_id", "text").unionByName(chim)
-    Dedup.allPairsContainment(aug, "text", "doc_id",
-        shingleN = acnN, tauNum = acnTauNum, tauDen = acnTauDen,
-        minN = acnMinN)
-      .orderBy(col("id1"), col("id2"))
+    docs.select("doc_id", "text").unionByName(chim)
   }
 
-  lazy val d31Sql: String =
-    s"""WITH rt AS (SELECT doc_id, list_filter(
+  /** The oracle twin of [[chimeraAug]] + the hashed-set relation `hn`
+    * (width-`acnN`, minN-filtered) both containment oracles read. */
+  private lazy val chimeraHnCtes: String =
+    s"""rt AS (SELECT doc_id, list_filter(
        |  string_split_regex(text, '\\s+'), t -> t <> '') AS rtoks
        |  FROM documents),
        |chim AS (SELECT d.doc_id + 1000000 AS doc_id,
@@ -3144,7 +3145,16 @@ object DataQueries {
        |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
        |    AS shs FROM base),
        |hn AS (SELECT doc_id, shs, CAST(len(shs) AS BIGINT) AS n FROM hb
-       |  WHERE len(shs) >= $acnMinN),
+       |  WHERE len(shs) >= $acnMinN)""".stripMargin
+
+  val d31Containment: Q = (s, dir) =>
+    Dedup.allPairsContainment(chimeraAug(Catalog(s, dir).documents),
+        "text", "doc_id", shingleN = acnN, tauNum = acnTauNum,
+        tauDen = acnTauDen, minN = acnMinN)
+      .orderBy(col("id1"), col("id2"))
+
+  lazy val d31Sql: String =
+    s"""WITH $chimeraHnCtes,
        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
        |  a.n AS n1, b.n AS n2,
        |  CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS o
@@ -3154,6 +3164,43 @@ object DataQueries {
        |  (2000000000 * o + n1) // (2 * n1) AS cont_nano
        |FROM p WHERE $acnTauDen * o >= $acnTauNum * n1
        |ORDER BY id1, id2""".stripMargin
+
+  /** CONTAINMENT DELTA (d33 — [[Dedup.allPairsContainmentDelta]]): the
+    * quote/wrapper link as a daily tick — the md5 1-in-5 batch of the
+    * chimera corpus linked against the frozen 80% reference state
+    * ([[Dedup.allPairsContainmentState]]: frozen order + BOTH role
+    * prefixes + sets, materialized once). The asymmetric family's d26:
+    * each cross pair routes through exactly one role path under the
+    * frozen order; the oracle is the naive batch×ref quadratic with
+    * the same integer min-gate. */
+  val d33ContainDelta: Q = (s, dir) => {
+    val aug = chimeraAug(Catalog(s, dir).documents)
+    val h = md5Long(col("doc_id").cast(StringType))
+    val ref = aug.filter(h % 5 =!= 1)
+    val batch = aug.filter(h % 5 === 1)
+    val (freq, sp, bp, base) = Dedup.allPairsContainmentState(ref, "text",
+      "doc_id", shingleN = acnN, tauNum = acnTauNum, tauDen = acnTauDen,
+      minN = acnMinN)
+    Dedup.allPairsContainmentDelta(batch, "text", "doc_id",
+        shingleN = acnN, tauNum = acnTauNum, tauDen = acnTauDen,
+        minN = acnMinN, freq, sp, bp, base)
+      .orderBy(col("ref_id"), col("batch_id"))
+  }
+
+  lazy val d33Sql: String =
+    s"""WITH $chimeraHnCtes,
+       |sl AS (SELECT doc_id, shs, n,
+       |  ${h60("CAST(doc_id AS VARCHAR)")} % 5 AS slot FROM hn),
+       |r AS (SELECT doc_id, shs, n FROM sl WHERE slot <> 1),
+       |b AS (SELECT doc_id, shs, n FROM sl WHERE slot = 1),
+       |p AS (SELECT r.doc_id AS ref_id, b.doc_id AS batch_id,
+       |  r.n AS n_ref, b.n AS n_batch, least(r.n, b.n) AS nmin,
+       |  CAST(len(list_intersect(r.shs, b.shs)) AS BIGINT) AS o
+       |  FROM r CROSS JOIN b)
+       |SELECT ref_id, batch_id, n_ref, n_batch, o AS n_shared,
+       |  (2000000000 * o + nmin) // (2 * nmin) AS cont_nano
+       |FROM p WHERE $acnTauDen * o >= $acnTauNum * nmin
+       |ORDER BY ref_id, batch_id""".stripMargin
 
   /** BATCH-VS-STATE COSINE LINK (d26 — [[Dedup.allPairsCosineDelta]]):
     * the d20 shape for set similarity — an md5-deterministic 20% batch
@@ -4264,6 +4311,7 @@ object DataQueries {
     "d30_rare_delta" -> d30RareDelta,
     "d31_allpairs_contain" -> d31Containment,
     "d32_sweep_ci" -> d32SweepCi,
+    "d33_contain_delta" -> d33ContainDelta,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -4359,6 +4407,7 @@ object DataQueries {
     "d30_rare_delta" -> d30Sql,
     "d31_allpairs_contain" -> d31Sql,
     "d32_sweep_ci" -> d32Sql,
+    "d33_contain_delta" -> d33Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

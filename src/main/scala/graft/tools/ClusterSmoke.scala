@@ -169,7 +169,9 @@ object ClusterSmoke {
     "d32_sweep_ci",
     // 2-D operating grid: one conditional aggregate per probe width
     // built from executor partials must agree across JVM boundaries
-    "e25_operating_grid")
+    "e25_operating_grid",
+    // containment delta: frozen-order two-role candidate paths
+    "d33_contain_delta")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

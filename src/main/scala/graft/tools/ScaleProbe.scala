@@ -840,6 +840,34 @@ object ScaleProbe {
           shingleN = 5, tauNum = 2, tauDen = 5)
       }
     }
+    // d33 containment delta (r14 session 2): the cosine_delta contract
+    // for the asymmetric family — state (frozen order + BOTH role
+    // prefixes + sets) materialized outside the timed region; the
+    // timed tick links a FIXED ~1000-doc batch against state grown Nx
+    // through the two role paths. Must stay batch-proportional.
+    stage("contain_delta") {
+      val stateDir = s"/tmp/graft_scale_acnstate_${replicas}x"
+      if (!new java.io.File(s"$stateDir/base/_SUCCESS").exists) {
+        val (f, sp, bp, b) = Dedup.allPairsContainmentState(docs, "text",
+          "doc_id", shingleN = 5, tauNum = 1, tauDen = 3, minN = 5)
+        f.write.mode("overwrite").parquet(s"$stateDir/freq")
+        sp.write.mode("overwrite").parquet(s"$stateDir/small")
+        bp.write.mode("overwrite").parquet(s"$stateDir/big")
+        b.write.mode("overwrite").parquet(s"$stateDir/base")
+      }
+      val freq = spark.read.parquet(s"$stateDir/freq")
+      val sp = spark.read.parquet(s"$stateDir/small")
+      val bp = spark.read.parquet(s"$stateDir/big")
+      val sbase = spark.read.parquet(s"$stateDir/base")
+      val batch = base.filter(graft.functions.GraftFunctions
+        .md5Long(col("doc_id").cast(
+          org.apache.spark.sql.types.StringType)) % 5 === 1)
+      t(s"contain_delta_${replicas}x") {
+        Dedup.allPairsContainmentDelta(batch, "text", "doc_id",
+          shingleN = 5, tauNum = 1, tauDen = 3, minN = 5,
+          freq, sp, bp, sbase)
+      }
+    }
     // d31 containment join (r14 session 2): the ASYMMETRIC prefix
     // (small side exact, container side bounded by minN) + positional
     // filter, on the same width-5 rarity-regime corpus as

@@ -126,4 +126,98 @@ class AllPairsContainmentSpec extends SparkSpec {
       assert(nano == exact, s"cont_nano $nano != exact $exact for o=$o n1=$n1")
     }
   }
+
+  // ---------------------------------------------------------------
+  // delta form: batch vs frozen reference state (d33)
+  // ---------------------------------------------------------------
+
+  private def naiveCross(ref: DataFrame, batch: DataFrame, n: Int,
+                         tauNum: Int, tauDen: Int, minN: Int)
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    def sets(df: DataFrame, pre: String) =
+      df.select(col("doc_id").cast("long").as(pre + "_id"),
+          graft.expressions.HashExpressions
+            .md5Set(Dedup.wordShingles(col("text"), n)).as(pre + "_shs"))
+        .withColumn("n_" + pre, size(col(pre + "_shs")).cast("long"))
+        .filter(col("n_" + pre) >= minN)
+    sets(ref, "ref").crossJoin(sets(batch, "batch"))
+      .withColumn("o", size(array_intersect(col("ref_shs"),
+        col("batch_shs"))).cast("long"))
+      .withColumn("n_min", least(col("n_ref"), col("n_batch")))
+      .filter(lit(tauDen.toLong) * col("o") >=
+        lit(tauNum.toLong) * col("n_min"))
+      .withColumn("cont_nano",
+        expr("(2000000000 * o + n_min) div (2 * n_min)"))
+      .select("ref_id", "batch_id", "n_ref", "n_batch", "o", "cont_nano")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def delta(ref: DataFrame, batch: DataFrame, n: Int,
+                    tauNum: Int, tauDen: Int, minN: Int)
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    val (freq, sp, bp, base) = Dedup.allPairsContainmentState(
+      ref, "text", "doc_id", n, tauNum, tauDen, minN)
+    Dedup.allPairsContainmentDelta(batch, "text", "doc_id", n,
+        tauNum, tauDen, minN, freq, sp, bp, base)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("delta == naive batch-x-ref on the chimera corpus; both role paths fire; no cartesian") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val rt = docs.select(col("doc_id"),
+      expr("""filter(split(text, '\\s+'), t -> t != '')""").as("rtoks"))
+    val chim = rt
+      .filter(pmod(graft.functions.GraftFunctions
+        .md5Long(col("doc_id").cast("string")), lit(5L)) === 0)
+      .join(rt.select((col("doc_id") - 1).as("doc_id"),
+        col("rtoks").as("ptoks")), Seq("doc_id"))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(
+          expr("array_join(slice(rtoks, 1, (size(rtoks)+1) div 2), ' ')"),
+          lit(" "),
+          expr("array_join(slice(ptoks, 1, (size(ptoks)+1) div 2), ' ')"))
+          .as("text"))
+    val aug = docs.select("doc_id", "text").unionByName(chim)
+    val h = graft.functions.GraftFunctions
+      .md5Long(col("doc_id").cast("string"))
+    val ref = aug.filter(h % 5 =!= 1)
+    val batch = aug.filter(h % 5 === 1)
+    val got = delta(ref, batch, 5, 1, 3, 5)
+    assert(got.nonEmpty)
+    assert(got == naiveCross(ref, batch, 5, 1, 3, 5))
+    // the asymmetric family needs BOTH role paths live: pairs where
+    // the batch doc is the smaller side and pairs where it contains
+    assert(got.exists(p => p._4 < p._3) && got.exists(p => p._4 > p._3),
+      s"both roles must occur, got sizes ${got.map(p => (p._3, p._4))}")
+    val (freq, sp, bp, base) = Dedup.allPairsContainmentState(
+      ref, "text", "doc_id", 5, 1, 3, 5)
+    val plan = Dedup.allPairsContainmentDelta(batch, "text", "doc_id", 5,
+      1, 3, 5, freq, sp, bp, base).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("delta under drift: batch sets full of frozen-unseen shingles still link losslessly") {
+    // unseen hashes rank frequency-0 (rarest) and fill the batch
+    // prefixes — the frozen-order contract must not lose the pair, and
+    // ties route through exactly one role path (no duplicates)
+    val ref = Seq(
+      (1L, "k1 k2 k3 k4 k5"),
+      (2L, "k1 k2 c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "k1 k2 k3 u1 u2"),       // o=3 vs ref1: 3/5 keep (tie size)
+      (11L, "u3 u4 u5 u6 u7"),       // all unseen: no pair
+      (12L, "k1 k2 k3 k4 k5 u8 u9 u10 u11 u12") // contains ref1: 5/5
+    ).toDF("doc_id", "text")
+    val got = delta(ref, batch, 1, 1, 2, 5)
+    assert(got == naiveCross(ref, batch, 1, 1, 2, 5))
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 10L), (1L, 12L)),
+      got.toString)
+    // tie-size pairs must come from exactly one role path: the raw
+    // relation carries no duplicate rows (a Set would mask them)
+    val (freq, sp, bp, base) = Dedup.allPairsContainmentState(
+      ref, "text", "doc_id", 1, 1, 2, 5)
+    assert(Dedup.allPairsContainmentDelta(batch, "text", "doc_id", 1,
+      1, 2, 5, freq, sp, bp, base).count() == got.size)
+  }
 }
