@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.catalog.Catalog
 import graft.functions.GraftFunctions.{emailRe, fingerprint, ipv4Re, md5Long, phoneRe, qualityScore, tokenCount, tokens}
-import graft.operators.{Dedup, KMeans, Opq, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Opq, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
@@ -815,13 +815,19 @@ object DataQueries {
     * denominator), and the scanned corpus fraction. Same integer-key
     * contract as e24 end-to-end; the k axis is FREE in the operator
     * (one conditional aggregate per probe width yields every depth's
-    * hit count — |nProbes| windows total, spec-pinned). */
+    * hit count — |nProbes| windows total, spec-pinned). Each recall
+    * carries its [[Stats.withHoeffdingPpm]] bound (trials = the
+    * depth's brute-force rows): the grid is measured on a BOUNDED
+    * query sample, and the d32 contract says a sampled tuning number
+    * states its uncertainty. */
   val e25OperatingGrid: Q = (s, dir) => {
     val emb = Catalog(s, dir).embeddings
-    Similarity.ivfOperatingSweepExact(emb,
-        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
-        ks = gridKs, codebook = kmModel(s, dir).centroids,
-        nProbes = sweepNProbes)
+    Stats.withHoeffdingPpm(
+        Similarity.ivfOperatingSweepExact(emb,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+          ks = gridKs, codebook = kmModel(s, dir).centroids,
+          nProbes = sweepNProbes),
+        "recall_ppm", "n_bf", "recall_lo_ppm", "recall_hi_ppm")
       .orderBy(col("n_probe"), col("k"))
   }
 
@@ -851,10 +857,13 @@ object DataQueries {
          |    WHERE prn <= $np)
          |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
          |""".stripMargin).mkString("UNION ALL\n")
-    s"""${sweepCtePrefix(sweepNProbes.max, kMax, bfKeepRank = true)},
-       |$ivfCtes
-       |$blocks
-       |ORDER BY n_probe, k""".stripMargin
+    hoeffdingWrapSql(
+      s"""${sweepCtePrefix(sweepNProbes.max, kMax, bfKeepRank = true)},
+         |$ivfCtes
+         |$blocks""".stripMargin,
+      Seq(("n_bf", "recall_ppm", "recall_lo_ppm", "recall_hi_ppm")),
+      "n_probe, k, n_queries, n_hits, n_bf, recall_ppm, scanned_ppm",
+      "ORDER BY n_probe, k")
   }
 
   private val mmrTopN = 20
@@ -3019,7 +3028,7 @@ object DataQueries {
        |ORDER BY n_bands""".stripMargin
   }
 
-  /** SWEEP CONFIDENCE BOUNDS (d32 — [[Dedup.withHoeffdingPpm]] over
+  /** SWEEP CONFIDENCE BOUNDS (d32 — [[Stats.withHoeffdingPpm]] over
     * the d29 sweep): the 100 TB deployment runs the banding sweep on a
     * SAMPLE (d29's samplePpm knob), so its recall/precision ppm are
     * estimates — this gate states the uncertainty next to each point,
@@ -3034,52 +3043,61 @@ object DataQueries {
     val sweep = Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
       "doc_id", n = 3, k = 16, bandsList = lshSweepBands,
       tauNum = 1, tauDen = 5)
-    Dedup.withHoeffdingPpm(
-        Dedup.withHoeffdingPpm(sweep,
+    Stats.withHoeffdingPpm(
+        Stats.withHoeffdingPpm(sweep,
           "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
         "precision_ppm", "n_candidates",
         "precision_lo_ppm", "precision_hi_ppm")
       .orderBy(col("n_bands"))
   }
 
-  lazy val d32Sql: String = {
-    val a = 1000L * Dedup.HoeffdingLn40NanoCeil
-    s"""WITH swp AS (${d29Sql.replace("ORDER BY n_bands", "")}),
-       |k1 AS (SELECT *,
-       |  CASE WHEN n_true > 0 THEN $a // (2*n_true) ELSE 0 END AS qr,
-       |  CASE WHEN n_candidates > 0 THEN $a // (2*n_candidates)
-       |    ELSE 0 END AS qp FROM swp),
-       |k2 AS (SELECT *, CAST(floor(sqrt(qr::DOUBLE)) AS BIGINT) AS sr0,
-       |  CAST(floor(sqrt(qp::DOUBLE)) AS BIGINT) AS sp0 FROM k1),
-       |k3 AS (SELECT *,
-       |  sr0 - CASE WHEN sr0*sr0 > qr THEN 1 ELSE 0 END
-       |      + CASE WHEN (sr0+1)*(sr0+1) <= qr THEN 1 ELSE 0 END AS sr,
-       |  sp0 - CASE WHEN sp0*sp0 > qp THEN 1 ELSE 0 END
-       |      + CASE WHEN (sp0+1)*(sp0+1) <= qp THEN 1 ELSE 0 END AS sp
-       |  FROM k2),
-       |k4 AS (SELECT *,
-       |  CASE WHEN n_true = 0 THEN 1000000
-       |    WHEN sr*sr*2*n_true >= $a THEN sr
-       |    WHEN (sr+1)*(sr+1)*2*n_true >= $a THEN sr+1
-       |    ELSE sr+2 END AS hwr,
-       |  CASE WHEN n_candidates = 0 THEN 1000000
-       |    WHEN sp*sp*2*n_candidates >= $a THEN sp
-       |    WHEN (sp+1)*(sp+1)*2*n_candidates >= $a THEN sp+1
-       |    ELSE sp+2 END AS hwp
-       |  FROM k3)
-       |SELECT n_bands, n_rows, n_candidates, n_true, n_hits,
-       |  recall_ppm, precision_ppm,
-       |  CASE WHEN n_true = 0 THEN 0
-       |    ELSE greatest(0, recall_ppm - hwr) END AS recall_lo_ppm,
-       |  CASE WHEN n_true = 0 THEN 1000000
-       |    ELSE least(1000000, recall_ppm + hwr + 1) END AS recall_hi_ppm,
-       |  CASE WHEN n_candidates = 0 THEN 0
-       |    ELSE greatest(0, precision_ppm - hwp) END AS precision_lo_ppm,
-       |  CASE WHEN n_candidates = 0 THEN 1000000
-       |    ELSE least(1000000, precision_ppm + hwp + 1) END
-       |    AS precision_hi_ppm
-       |FROM k4 ORDER BY n_bands""".stripMargin
+  /** SQL twin of [[Stats.withHoeffdingPpm]] over a sweep body: per
+    * (trialsCol, phatCol, loCol, hiCol) bound, the exact rational
+    * ceil-sqrt half-width — isqrt seeded from an exact double sqrt
+    * (quotient < 2^53) and integer-clamped — then the clamped
+    * [lo, hi] with the +1 floor guard. */
+  private def hoeffdingWrapSql(body: String,
+      bounds: Seq[(String, String, String, String)],
+      baseCols: String, orderBy: String): String = {
+    val a = 1000L * Stats.HoeffdingLn40NanoCeil
+    val qCols = bounds.zipWithIndex.map { case ((t, _, _, _), i) =>
+      s"CASE WHEN $t > 0 THEN $a // (2*$t) ELSE 0 END AS q$i"
+    }.mkString(",\n  ")
+    val sCols = bounds.indices.map(i =>
+      s"CAST(floor(sqrt(q$i::DOUBLE)) AS BIGINT) AS s0$i").mkString(",\n  ")
+    val cCols = bounds.indices.map(i =>
+      s"""s0$i - CASE WHEN s0$i*s0$i > q$i THEN 1 ELSE 0 END
+         |    + CASE WHEN (s0$i+1)*(s0$i+1) <= q$i THEN 1 ELSE 0 END
+         |    AS s$i""".stripMargin).mkString(",\n  ")
+    val hCols = bounds.zipWithIndex.map { case ((t, _, _, _), i) =>
+      s"""CASE WHEN $t = 0 THEN 1000000
+         |    WHEN s$i*s$i*2*$t >= $a THEN s$i
+         |    WHEN (s$i+1)*(s$i+1)*2*$t >= $a THEN s$i+1
+         |    ELSE s$i+2 END AS hw$i""".stripMargin
+    }.mkString(",\n  ")
+    val outCols = bounds.zipWithIndex.map { case ((t, p, lo, hi), i) =>
+      s"""CASE WHEN $t = 0 THEN 0 ELSE greatest(0, $p - hw$i) END AS $lo,
+         |  CASE WHEN $t = 0 THEN 1000000
+         |    ELSE least(1000000, $p + hw$i + 1) END AS $hi""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH swp AS ($body),
+       |k1 AS (SELECT *, $qCols FROM swp),
+       |k2 AS (SELECT *, $sCols FROM k1),
+       |k3 AS (SELECT *, $cCols FROM k2),
+       |k4 AS (SELECT *, $hCols FROM k3)
+       |SELECT $baseCols,
+       |  $outCols
+       |FROM k4 $orderBy""".stripMargin
   }
+
+  lazy val d32Sql: String = hoeffdingWrapSql(
+    d29Sql.replace("ORDER BY n_bands", ""),
+    Seq(("n_true", "recall_ppm", "recall_lo_ppm", "recall_hi_ppm"),
+      ("n_candidates", "precision_ppm",
+        "precision_lo_ppm", "precision_hi_ppm")),
+    "n_bands, n_rows, n_candidates, n_true, n_hits, " +
+      "recall_ppm, precision_ppm",
+    "ORDER BY n_bands")
 
   /** ALL-PAIRS CONTAINMENT JOIN (d31 — [[Dedup.allPairsContainment]]):
     * the quote/wrapper detector — |x∩y| / min(|x|,|y|) >= τ over

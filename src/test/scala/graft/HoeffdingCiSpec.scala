@@ -1,9 +1,9 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.Stats
 import org.apache.spark.sql.functions._
 
-/** [[Dedup.withHoeffdingPpm]] — the exact-integer sweep confidence
+/** [[Stats.withHoeffdingPpm]] — the exact-integer sweep confidence
   * bounds: the half-width must equal the TRUE rational ceil-sqrt
   * (BigInt replay, no floats), intervals must bracket the point
   * estimate and be monotone in trials, and the degenerate rows
@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class HoeffdingCiSpec extends SparkSpec {
   import spark.implicits._
 
-  private val A = BigInt(1000L) * Dedup.HoeffdingLn40NanoCeil
+  private val A = BigInt(1000L) * Stats.HoeffdingLn40NanoCeil
 
   /** Smallest s >= 0 with s²·2t >= A — the exact rational ceil-sqrt
     * the operator promises, replayed independently in BigInt. */
@@ -27,7 +27,7 @@ class HoeffdingCiSpec extends SparkSpec {
 
   private def run(rows: Seq[(Long, Long)])
       : Map[(Long, Long), (Long, Long, Long)] =
-    Dedup.withHoeffdingPpm(
+    Stats.withHoeffdingPpm(
         rows.toDF("hits", "trials")
           .withColumn("phat_ppm",
             expr("CASE WHEN trials > 0 THEN 1000000 * hits div trials ELSE 0 END")),
@@ -67,7 +67,7 @@ class HoeffdingCiSpec extends SparkSpec {
 
   test("constant is the ceiling of ln(40)·1e9 (rounding only widens)") {
     val ln40 = math.log(40.0)
-    assert(Dedup.HoeffdingLn40NanoCeil == math.ceil(ln40 * 1e9).toLong,
-      s"${Dedup.HoeffdingLn40NanoCeil} vs ${ln40 * 1e9}")
+    assert(Stats.HoeffdingLn40NanoCeil == math.ceil(ln40 * 1e9).toLong,
+      s"${Stats.HoeffdingLn40NanoCeil} vs ${ln40 * 1e9}")
   }
 }
