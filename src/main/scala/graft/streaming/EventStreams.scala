@@ -381,7 +381,10 @@ object EventStreams {
                             indexRoot: String, codebookRoot: String,
                             cap: Int = graft.operators.TextAnalysis.ChunkCap,
                             stride: Int = graft.operators.TextAnalysis.ChunkStride,
-                            trigger: Trigger = Trigger.AvailableNow())
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            gcKeepReleases: Option[Int] = None,
+                            gcMemberKeep: Int = 1,
+                            gcStaleAfterMs: Long = 3600 * 1000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.pipeline.{PublishSet, VersionedTable}
@@ -432,11 +435,24 @@ object EventStreams {
           .getOrElse(0L)
         val newIdxRows = VersionedTable.readVersion(spark, indexRoot, idxV)
           .count()
-        if (batchId > lastEpoch && newIdxRows >= releasedIdxRows)
+        if (batchId > lastEpoch && newIdxRows >= releasedIdxRows) {
           PublishSet.publish(spark, registryRoot,
             Map(chunksRoot -> chunksV, indexRoot -> idxV,
               codebookRoot -> cbV),
             note = Some(s"epoch $batchId"))
+          // in-tick retention maintenance (opt-in): bound the registry
+          // to the newest gcKeepReleases, then the retention-coupled
+          // member GC ([[graft.pipeline.PublishSet.pruneMembers]]) —
+          // the maintenance cadence that otherwise needs an external
+          // cron rides the publish that created the garbage. Runs only
+          // AFTER a successful publish, so a gate-failed epoch never
+          // triggers a sweep under the release readers still serve.
+          gcKeepReleases.foreach { keep =>
+            PublishSet.prune(spark, registryRoot, keep)
+            PublishSet.pruneMembers(spark, registryRoot, gcMemberKeep,
+              gcStaleAfterMs)
+          }
+        }
         ()
       }
       .option("checkpointLocation", s"$registryRoot.__checkpoint")

@@ -104,4 +104,40 @@ class StreamingReleaseSpec extends SparkSpec {
     assert(VersionedTable.read(spark, idx).count() === 16L,
       "replay converges: restored doc, no within-batch duplicates")
   }
+
+  test("in-tick GC: each publish sweeps the registry and the members to the retained floor") {
+    val land = Files.createTempDirectory("graft-relgc-land")
+    val base = Files.createTempDirectory("graft-relgc-roots").toString
+    val (reg, chunks, idx, cb) =
+      (s"$base/_REL", s"$base/CHUNKS", s"$base/IDX", s"$base/CB")
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def tick(): Unit =
+      EventStreams.ragReleaseStreamQuery(spark,
+        spark.readStream.schema(schema).parquet(land.toString),
+        "text", "doc_id", codebook, dim, reg, chunks, idx, cb,
+        cap = 64, stride = 48,
+        gcKeepReleases = Some(1)).awaitTermination()
+    (0 until 3).foreach { e =>
+      Seq((100L + e, docText(100L + e))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(land.toString)
+      tick()
+    }
+    // only the newest release survives; its members read whole; the
+    // members' pre-floor versions are really gone
+    assert(PublishSet.versions(spark, reg).size === 1)
+    val set = PublishSet.resolve(spark, reg)
+    set.foreach { case (t, v) =>
+      assert(VersionedTable.readVersion(spark, t, v).count() > 0)
+    }
+    assert(PublishSet.readTable(spark, reg, idx).count() === 6L,
+      "3 docs x 2 chunks accreted across the gc'd epochs")
+    // index versions below the retained release's pin are pruned
+    // (advanced 3 times; only the pinned + nothing older remains)
+    assert(VersionedTable.versions(spark, idx) === Seq(set(idx)))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, idx, set(idx) - 1).count()
+    }
+    // the frozen codebook is pinned by the retained release -> kept
+    assert(VersionedTable.versions(spark, cb) === Seq(1L))
+  }
 }
