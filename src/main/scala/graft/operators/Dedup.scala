@@ -1499,8 +1499,7 @@ object Dedup {
       .select("h", "id", "n", "rn")
       // both sides of the candidate self-join consume the ranked rows
       .localCheckpoint(false)
-    // ceil(tau·n) in pure integer arithmetic (n is LongType)
-    def ceilTau(n: String) = expr(s"($tauNum * $n + ${tauDen - 1}) div $tauDen")
+    def ceilTau(n: String) = ceilTauCol(tauNum, tauDen, n)
     val ctMin = (tauNum.toLong * minN + tauDen - 1) / tauDen
     val small = ranked
       .filter(col("rn") <= col("n") - ceilTau("n") + lit(1))
@@ -1543,6 +1542,14 @@ object Dedup {
     * reference order (left join; unseen hashes take frequency 0 —
     * rarer than anything seen). Rank is computed over the FULL set so
     * downstream filters never distort positions. */
+  /** ceil(tau·n) in pure integer arithmetic over a LongType column
+    * expression `n` — the ONE definition of the containment family's
+    * required-overlap rounding (the lossless-prefix lemma breaks if
+    * any site rounds differently, review r14). */
+  private def ceilTauCol(tauNum: Int, tauDen: Int,
+                         n: String): Column =
+    expr(s"($tauNum * $n + ${tauDen - 1}) div $tauDen")
+
   private def containmentRanked(base: DataFrame, freq: DataFrame,
                                 frozen: Boolean): DataFrame = {
     val ex = base.select(col("id"), explode(col("shs")).as("h"), col("n"))
@@ -1589,7 +1596,7 @@ object Dedup {
       .localCheckpoint(false) // both prefixes slice it
     val ctMin = (tauNum.toLong * minN + tauDen - 1) / tauDen
     val smallPrefix = ranked.filter(col("rn") <=
-      col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + lit(1))
+      col("n") - ceilTauCol(tauNum, tauDen, "n") + lit(1))
     val bigPrefix = ranked.filter(col("rn") <= col("n") - lit(ctMin) + lit(1))
     (freq, smallPrefix, bigPrefix, base)
   }
@@ -1629,9 +1636,9 @@ object Dedup {
       .filter(col("hfreq") >= 1)
       .select("h", "id", "n", "rn")
       .localCheckpoint(false) // both role paths slice it
-    def ceilTau(n: String) = expr(s"($tauNum * $n + ${tauDen - 1}) div $tauDen")
+    def ceilTau(n: String) = ceilTauCol(tauNum, tauDen, n)
     val bSmall = bRanked.filter(col("rn") <=
-      col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + lit(1))
+      col("n") - ceilTau("n") + lit(1))
     val bBig = bRanked.filter(col("rn") <= col("n") - lit(ctMin) + lit(1))
     def path(small: DataFrame, big: DataFrame, sPre: String, bPre: String,
              strict: Boolean): DataFrame = {

@@ -480,8 +480,12 @@ object Similarity {
         val scanned = probes.filter(col("prn") <= np)
           .join(cellSizes, Seq("cell"))
           .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
+        // BigInt: 1e6·scanned and nQ·nCorpus overflow a Long at the
+        // corpus scale this operator documents (review r14)
         val scannedPpm =
-          if (nQ * nCorpus == 0) 0L else 1000000L * scanned / (nQ * nCorpus)
+          if (nQ == 0 || nCorpus == 0) 0L
+          else (BigInt(1000000L) * scanned /
+            (BigInt(nQ) * nCorpus)).toLong
         ksSorted.indices.map { i =>
           val (h, nbf) = (hitRow.getLong(i), nBfRow.getLong(i))
           (np.toLong, ksSorted(i).toLong, nQ, h, nbf,

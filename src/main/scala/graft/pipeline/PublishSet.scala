@@ -192,11 +192,23 @@ object PublishSet {
     * [[resolveVersion]] of a retained release reads every member
     * through [[VersionedTable.readVersion]] successfully.
     *
+    * Serialization: holds the REGISTRY root lock for the whole sweep,
+    * so a same-JVM [[publish]]/[[rollback]] (which validates member
+    * manifests under the same lock) can never interleave between this
+    * sweep's floor derivation and a member deletion. ACROSS processes
+    * the ordering contract is operational, same as every snapshot
+    * store's GC-vs-pinning-committer caveat (Iceberg's expire_snapshots
+    * has the identical window): a publisher naming OLD member versions
+    * must not race the maintenance cadence — publish validates
+    * manifest existence, and a GC between that check and the registry
+    * CAS makes the new release unreadable (loudly, at read time).
+    *
     * At 100 TB: the derivation is |releases|·|tables| manifest lines;
     * the data work is each member's own prune (expired-file deletes). */
   def pruneMembers(spark: SparkSession, registryRoot: String,
                    memberKeep: Int = 1,
-                   staleAfterMs: Long = 3600 * 1000L): Map[String, Long] = {
+                   staleAfterMs: Long = 3600 * 1000L): Map[String, Long] =
+      VersionedTable.withRootLock(registryRoot) {
     require(memberKeep >= 1, "must retain at least each member's current")
     val vs = versions(spark, registryRoot)
     require(vs.nonEmpty, s"no release registry at $registryRoot")

@@ -3126,8 +3126,10 @@ object DataQueries {
 
   /** The d31/d33 chimera corpus: documents plus, for each md5-selected
     * 1-in-5 doc, a synthetic quote/wrapper doc (id + 1e6) carrying the
-    * first half of it followed by the first half of doc_id+1. */
-  private def chimeraAug(docs: org.apache.spark.sql.DataFrame)
+    * first half of it followed by the first half of doc_id+1.
+    * `private[graft]` so the containment specs exercise THIS transform
+    * rather than a hand-synchronized copy (review r14). */
+  private[graft] def chimeraAug(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val rt = docs.select(col("doc_id"),
       expr("""filter(split(text, '\\s+'), t -> t != '')""").as("rtoks"))

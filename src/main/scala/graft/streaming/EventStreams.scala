@@ -362,18 +362,28 @@ object EventStreams {
     * set always carries the quantizer its index was assigned with —
     * the index/codebook lockstep contract without per-epoch refits.
     *
-    * Replay safety: the member merges are idempotent keyed merges
-    * (replaying identical rows converges — the
-    * [[ragIngestStreamQuery]] contract), and the release note carries
-    * the epoch id: a foreachBatch replay whose epoch is <= the
-    * released note's re-runs the idempotent merges but SKIPS the
-    * publish, so restarts never double-release an epoch. Epochs that
-    * fail the gate never advance the note either — the skipped epoch's
-    * rows still reach the members and ride the NEXT epoch's release.
+    * Replay safety (the cmsFoldBatch trichotomy, review r14): the
+    * member merges are idempotent keyed merges (replaying identical
+    * rows converges — the [[ragIngestStreamQuery]] contract), and the
+    * newest RETAINED release's `epoch <id> rows <n>` note is the
+    * authoritative epoch cursor (scanned newest-first, so an
+    * interleaved [[graft.pipeline.PublishSet.rollback]] — whose note
+    * is `rollback to vN` — never erases epoch memory). A replayed
+    * batch (id == cursor) re-runs the idempotent merges but SKIPS the
+    * publish; a batch id BELOW the cursor means the checkpoint was
+    * reset while the registry survived — that fails LOUD before any
+    * merge (silently merging-but-never-releasing until ids catch up
+    * would starve release readers). Epochs that fail the gate never
+    * advance the cursor — their rows ride the NEXT epoch's release.
     *
-    * At 100 TB: per-tick cost tracks the batch (map-only front, two
-    * keyed merges rewriting only the batch's cells/keys, a
-    * metadata-only registry CAS); nothing rescans the corpus. */
+    * At 100 TB: per-tick cost tracks the batch — map-only front; the
+    * chunks member merges partition-scoped on a doc-id RANGE bucket
+    * (a crawl drop's fresh monotone ids land in the newest buckets,
+    * so old buckets' files are reused verbatim, review r14); the
+    * index merge rewrites only the batch's cells; the gate compares
+    * the note's stored row count against ONE count of the new index
+    * version (no released-version rescan); the registry CAS is
+    * metadata-only. */
   def ragReleaseStreamQuery(spark: SparkSession, docs: DataFrame,
                             textCol: String, idCol: String,
                             codebook: Seq[Seq[Double]], dim: Int,
@@ -384,19 +394,66 @@ object EventStreams {
                             trigger: Trigger = Trigger.AvailableNow(),
                             gcKeepReleases: Option[Int] = None,
                             gcMemberKeep: Int = 1,
-                            gcStaleAfterMs: Long = 3600 * 1000L)
+                            gcStaleAfterMs: Long = 3600 * 1000L,
+                            chunkBucketDocs: Long = 100000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.pipeline.{PublishSet, VersionedTable}
+    require(chunkBucketDocs >= 1, s"bad chunkBucketDocs $chunkBucketDocs")
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ragReleaseFoldBatch(spark, batch.toDF(), batchId, textCol, idCol,
+          codebook, dim, registryRoot, chunksRoot, indexRoot, codebookRoot,
+          cap, stride, gcKeepReleases, gcMemberKeep, gcStaleAfterMs,
+          chunkBucketDocs)
+      }
+      .option("checkpointLocation", s"$registryRoot.__checkpoint")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The guarded per-epoch release fold (exposed so the replay spec
+    * can drive it with a stale batch id — the cmsFoldBatch pattern). */
+  private[graft] def ragReleaseFoldBatch(spark: SparkSession,
+      batchDf: DataFrame, batchId: Long, textCol: String, idCol: String,
+      codebook: Seq[Seq[Double]], dim: Int, registryRoot: String,
+      chunksRoot: String, indexRoot: String, codebookRoot: String,
+      cap: Int, stride: Int, gcKeepReleases: Option[Int],
+      gcMemberKeep: Int, gcStaleAfterMs: Long,
+      chunkBucketDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{PublishSet, VersionedTable}
+    {
+        val batch = batchDf
         val released = PublishSet.currentVersion(spark, registryRoot)
-        val lastEpoch = released
-          .flatMap(v => PublishSet.note(spark, registryRoot, v))
-          .flatMap(n => n.split(' ') match {
-            case Array("epoch", e) => e.toLongOption
+        // the newest RETAINED 'epoch <id> rows <n>' note is the epoch
+        // cursor — scanned newest-first so a rollback release's
+        // 'rollback to vN' note cannot erase epoch memory (review r14)
+        def parseNote(n: String): Option[(Long, Option[Long])] =
+          n.split(' ') match {
+            case Array("epoch", e) => e.toLongOption.map(_ -> None)
+            case Array("epoch", e, "rows", r) =>
+              e.toLongOption.map(_ -> r.toLongOption)
             case _ => None
-          }).getOrElse(-1L)
+          }
+        val lastRelease: Option[(Long, Option[Long])] =
+          if (released.isEmpty) None
+          else PublishSet.versions(spark, registryRoot).reverseIterator
+            .map(v => PublishSet.note(spark, registryRoot, v)
+              .flatMap(parseNote))
+            .collectFirst { case Some(x) => x }
+        val lastEpoch = lastRelease.map(_._1).getOrElse(-1L)
+        // the cmsFoldBatch trichotomy, BEFORE any member merge: a batch
+        // id below the cursor means the checkpoint restarted at 0 while
+        // the registry survived — merging-but-never-publishing until
+        // ids catch up would silently starve release readers
+        if (batchId < lastEpoch)
+          throw new IllegalStateException(
+            s"release registry at $registryRoot has epoch cursor " +
+              s"$lastEpoch but the stream delivered batchId=$batchId — " +
+              "the checkpoint was reset while the registry survived; " +
+              "restore the checkpoint (or move registry, members and " +
+              "checkpoint aside together) before restarting")
         // within-epoch dedup: a crawl drop can carry the same doc twice
         // (a re-fetch landing in the same batch) — the keyed member
         // merges dedup ACROSS epochs but insert every row of one
@@ -412,10 +469,18 @@ object EventStreams {
           // second merge must not rescan a landing dir the first one's
           // job may outlive (the curation-tick eager-cut rule)
           .localCheckpoint()
+        // doc-id RANGE bucket as the chunks partition (review r14): a
+        // crawl drop's fresh monotone ids land in the newest buckets,
+        // so the partition-scoped merge reuses old buckets' files
+        // verbatim — per-tick write cost tracks the batch, not the
+        // accumulated corpus
         val chunksV = VersionedTable.merge(spark, chunksRoot,
-          chunked.select(col("doc_id"), col("chunk_idx"), col("chunk_id"),
+          chunked.select(
+            expr(s"doc_id div ${chunkBucketDocs}L").as("chunk_bucket"),
+            col("doc_id"), col("chunk_idx"), col("chunk_id"),
             col("chunk_text")),
-          uniqueKey = Seq("chunk_id"))
+          uniqueKey = Seq("chunk_bucket", "chunk_id"),
+          partitionBy = Seq("chunk_bucket"))
         val idxV = graft.io.IvfMaintenance.upsertVersioned(spark, indexRoot,
           chunked.select(col("chunk_id"), col("emb")), "emb", "chunk_id",
           codebook)
@@ -426,20 +491,23 @@ object EventStreams {
               codebook.zipWithIndex.map { case (c, i) => (i.toLong, c) }
                 .toDF("cell", "centroid"))
           }
-        // accretion gate vs the RELEASED index (not the member current:
-        // the member may already carry this epoch's rows on a replay)
-        val releasedIdxRows = released
-          .map(v => PublishSet.resolveVersion(spark, registryRoot, v))
-          .flatMap(_.get(indexRoot))
-          .map(v => VersionedTable.readVersion(spark, indexRoot, v).count())
-          .getOrElse(0L)
+        // accretion gate vs the RELEASED index: the released count
+        // comes from the note (no released-version rescan, review
+        // r14); pre-`rows` notes fall back to counting the pin once
+        val releasedIdxRows = lastRelease.flatMap(_._2).orElse {
+          released
+            .map(v => PublishSet.resolveVersion(spark, registryRoot, v))
+            .flatMap(_.get(indexRoot))
+            .map(v => VersionedTable.readVersion(spark, indexRoot, v)
+              .count())
+        }.getOrElse(0L)
         val newIdxRows = VersionedTable.readVersion(spark, indexRoot, idxV)
           .count()
         if (batchId > lastEpoch && newIdxRows >= releasedIdxRows) {
           PublishSet.publish(spark, registryRoot,
             Map(chunksRoot -> chunksV, indexRoot -> idxV,
               codebookRoot -> cbV),
-            note = Some(s"epoch $batchId"))
+            note = Some(s"epoch $batchId rows $newIdxRows"))
           // in-tick retention maintenance (opt-in): bound the registry
           // to the newest gcKeepReleases, then the retention-coupled
           // member GC ([[graft.pipeline.PublishSet.pruneMembers]]) —
@@ -454,10 +522,7 @@ object EventStreams {
           }
         }
         ()
-      }
-      .option("checkpointLocation", s"$registryRoot.__checkpoint")
-      .trigger(trigger)
-      .start()
+    }
   }
 
   /** STREAMING DELTA NEAR-DUP PAIRING — the delta dedup family

@@ -101,20 +101,8 @@ class AllPairsContainmentSpec extends SparkSpec {
     // equal round-half-up of 1e9·o/n1 computed in exact BigInt
     // arithmetic (no float anywhere in the operator).
     val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
-    val rt = docs.select(col("doc_id"),
-      expr("""filter(split(text, '\\s+'), t -> t != '')""").as("rtoks"))
-    val chim = rt
-      .filter(pmod(graft.functions.GraftFunctions
-        .md5Long(col("doc_id").cast("string")), lit(5L)) === 0)
-      .join(rt.select((col("doc_id") - 1).as("doc_id"),
-        col("rtoks").as("ptoks")), Seq("doc_id"))
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        concat(
-          expr("array_join(slice(rtoks, 1, (size(rtoks)+1) div 2), ' ')"),
-          lit(" "),
-          expr("array_join(slice(ptoks, 1, (size(ptoks)+1) div 2), ' ')"))
-          .as("text"))
-    val aug = docs.select("doc_id", "text").unionByName(chim)
+    // the PRODUCTION transform, not a spec-local copy (review r14)
+    val aug = graft.queries.DataQueries.chimeraAug(docs)
     val got = run(aug, "text", n = 5, tauNum = 1, tauDen = 3, minN = 5)
     assert(got == naive(aug, "text", 5, 1, 3, 5))
     assert(got.exists(p => p._6 < 1000000000L),
@@ -164,20 +152,7 @@ class AllPairsContainmentSpec extends SparkSpec {
 
   test("delta == naive batch-x-ref on the chimera corpus; both role paths fire; no cartesian") {
     val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
-    val rt = docs.select(col("doc_id"),
-      expr("""filter(split(text, '\\s+'), t -> t != '')""").as("rtoks"))
-    val chim = rt
-      .filter(pmod(graft.functions.GraftFunctions
-        .md5Long(col("doc_id").cast("string")), lit(5L)) === 0)
-      .join(rt.select((col("doc_id") - 1).as("doc_id"),
-        col("rtoks").as("ptoks")), Seq("doc_id"))
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        concat(
-          expr("array_join(slice(rtoks, 1, (size(rtoks)+1) div 2), ' ')"),
-          lit(" "),
-          expr("array_join(slice(ptoks, 1, (size(ptoks)+1) div 2), ' ')"))
-          .as("text"))
-    val aug = docs.select("doc_id", "text").unionByName(chim)
+    val aug = graft.queries.DataQueries.chimeraAug(docs)
     val h = graft.functions.GraftFunctions
       .md5Long(col("doc_id").cast("string"))
     val ref = aug.filter(h % 5 =!= 1)

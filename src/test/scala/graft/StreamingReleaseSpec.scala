@@ -44,7 +44,7 @@ class StreamingReleaseSpec extends SparkSpec {
     land1((0L until 6L).map(i => (i, docText(i))))
     tick()
     assert(PublishSet.currentVersion(spark, reg) === Some(1L))
-    assert(PublishSet.note(spark, reg, 1L) === Some("epoch 0"))
+    assert(PublishSet.note(spark, reg, 1L) === Some("epoch 0 rows 12"))
     val set1 = PublishSet.resolve(spark, reg)
     assert(set1.keySet === Set(chunks, idx, cb))
     assert(set1(cb) === 1L, "frozen codebook pinned at v1")
@@ -72,7 +72,7 @@ class StreamingReleaseSpec extends SparkSpec {
     land1((6L until 8L).map(i => (i, docText(i))))
     tick()
     assert(PublishSet.currentVersion(spark, reg) === Some(2L))
-    assert(PublishSet.note(spark, reg, 2L) === Some("epoch 2"),
+    assert(PublishSet.note(spark, reg, 2L) === Some("epoch 2 rows 14"),
       "the skipped epoch 1 never became a release")
     val set2 = PublishSet.resolve(spark, reg)
     assert(set2(cb) === 1L, "codebook stays pinned across epochs")
@@ -85,24 +85,60 @@ class StreamingReleaseSpec extends SparkSpec {
       }
     }
 
-    // ---- checkpoint reset: batch ids restart at 0 and re-deliver all
-    // drops as one replay batch; member merges re-run (idempotent,
-    // convergent) but epoch 0 <= released epoch 2 -> NO new release.
+    // ---- checkpoint reset: batch ids restart at 0 while the registry
+    // cursor says epoch 2 — the trichotomy fails LOUD before any
+    // member merge (silently merging-but-never-releasing until ids
+    // catch up would starve release readers, review r14)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$reg.__checkpoint"))
     val idxVBefore = VersionedTable.currentVersion(spark, idx).get
-    tick()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      tick()
+    }
+    assert(ex.toString.contains("checkpoint was reset"), ex.toString)
     assert(PublishSet.currentVersion(spark, reg) === Some(2L),
-      "a replayed epoch must never double-release")
+      "a reset replay must never release")
     assert(PublishSet.resolve(spark, reg) === set2)
-    // the replay's member merge landed (idempotent rows, new version):
-    // doc 1 — deleted from the index mid-test, never re-sent — comes
-    // back (16 = 14 + its 2 chunks), and the doc-0 re-fetch that lands
-    // TWICE inside the single replay batch collapses to one copy (the
-    // within-epoch dedup; without it the merge inserts doubled rows)
-    assert(VersionedTable.currentVersion(spark, idx).get > idxVBefore)
-    assert(VersionedTable.read(spark, idx).count() === 16L,
-      "replay converges: restored doc, no within-batch duplicates")
+    assert(VersionedTable.currentVersion(spark, idx).get === idxVBefore,
+      "the trichotomy fires BEFORE the member merges")
+  }
+
+  test("rollback note does not erase the epoch cursor: a genuine replay after rollback still skips the publish") {
+    val land = Files.createTempDirectory("graft-relrb-land")
+    val base = Files.createTempDirectory("graft-relrb-roots").toString
+    val (reg, chunks, idx, cb) =
+      (s"$base/_REL", s"$base/CHUNKS", s"$base/IDX", s"$base/CB")
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def tick(): Unit =
+      EventStreams.ragReleaseStreamQuery(spark,
+        spark.readStream.schema(schema).parquet(land.toString),
+        "text", "doc_id", codebook, dim, reg, chunks, idx, cb,
+        cap = 64, stride = 48).awaitTermination()
+    Seq((0L, docText(0L))).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(land.toString)
+    tick() // epoch 0 -> release 1
+    Seq((1L, docText(1L))).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(land.toString)
+    tick() // epoch 1 -> release 2
+    // operator rolls the release back; the rollback's own note is
+    // 'rollback to v1', which must NOT reset the epoch cursor
+    PublishSet.rollback(spark, reg, to = 1L)
+    assert(PublishSet.currentVersion(spark, reg) === Some(3L))
+    // a genuine replay of epoch 1 (restart before the checkpoint
+    // committed redelivers the same batch id) merges idempotently but
+    // publishes NOTHING — before the newest-epoch-note scan, the
+    // rollback note parsed to cursor -1 and the replay re-published
+    // the state the operator just rolled back (review r14). Driven
+    // through the exposed guarded fold, the cmsFoldBatch pattern.
+    EventStreams.ragReleaseFoldBatch(spark,
+      Seq((1L, docText(1L))).toDF("doc_id", "text"), 1L,
+      "text", "doc_id", codebook, dim, reg, chunks, idx, cb,
+      cap = 64, stride = 48, gcKeepReleases = None, gcMemberKeep = 1,
+      gcStaleAfterMs = 3600 * 1000L, chunkBucketDocs = 100000L)
+    assert(PublishSet.currentVersion(spark, reg) === Some(3L),
+      "the replayed epoch must not publish over the rollback")
+    assert(PublishSet.resolve(spark, reg).values.toSet === Set(1L),
+      "readers keep the rolled-back release")
   }
 
   test("in-tick GC: each publish sweeps the registry and the members to the retained floor") {
