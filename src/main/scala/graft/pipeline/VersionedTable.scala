@@ -646,6 +646,75 @@ object VersionedTable {
     }
   }
 
+  /** A committed version's data files (manifest-relative paths) — the
+    * file-level introspection every snapshot store exposes; feeds
+    * maintenance decisions and the compaction spec's reuse assertions. */
+  def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifest(spark, root, v).files
+
+  /** PARTITION-SCOPED small-file compaction — the maintenance-cadence
+    * form [[compact]] is too blunt for: a per-tick merge rewrites each
+    * affected partition with however many shuffle-task files the job
+    * had (32 tiny files per touched bucket under the default conf), so
+    * a long-running upsert member (the release tick's range-bucketed
+    * CHUNKS, the cell-partitioned index) fragments steadily. Full
+    * [[compact]] pays O(table) every run; this rewrites ONLY the
+    * partitions holding more than `maxFilesPerPartition` files and
+    * reuses every other partition's files VERBATIM in the new manifest
+    * (the deleteKeys partition-scoped `keep` mechanism) — maintenance
+    * cost tracks the fragmentation, not the table.
+    *
+    * Idempotent: when nothing is fragmented, NO new version is
+    * committed and the current version is returned — safe to run on
+    * every cadence. Unpartitioned tables are refused loudly (use
+    * [[compact]]). Readers of older versions keep their files until
+    * [[prune]]. */
+  def compactPartitions(spark: SparkSession, root: String,
+                        maxFilesPerPartition: Int = 8,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Long =
+      withRootLock(root) {
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    require(targetFileBytes >= 1024 * 1024, s"target too small: $targetFileBytes")
+    withCommitRetries(root, "compactPartitions") { () =>
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no versioned table at $root"))
+      val cm = manifest(spark, root, cur)
+      val partitionBy = layoutOf(cm.files)
+      require(partitionBy.nonEmpty,
+        s"$root is not partitioned - compactPartitions has no partition " +
+          "boundary to scope by; use compact()")
+      requireLayout(cm.files, partitionBy, "compactPartitions")
+      // group the manifest by partition VALUE path (the physical
+      // __pp_<col>=<val> segments), across batch dirs: two merges of
+      // the same bucket land files in two b<v>_ dirs, and both count
+      // toward the bucket's total
+      def partKey(rel: String): String = rel.split("/")
+        .filter(seg =>
+          partitionBy.exists(c => seg.startsWith(s"__pp_$c=")))
+        .mkString("/")
+      val byPart = cm.files.groupBy(partKey)
+      val frag = byPart.filter(_._2.size > maxFilesPerPartition)
+      if (frag.isEmpty) cur
+      else {
+        val f = fsFor(spark, root)
+        val fragFiles = frag.values.flatten.toSeq
+        val keep = cm.files.filterNot(fragFiles.toSet)
+        val bytes = fragFiles
+          .map(rel => f.getFileStatus(hp(s"${dataRoot(root)}/$rel")).getLen)
+          .sum
+        val n = math.max(frag.size,
+          math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val v = cur + 1
+        val rewritten = readFiles(spark, root, cm, fragFiles)
+          .repartition(n, partitionBy.map(col): _*)
+        stageAndCommit(spark, root, v, rewritten, partitionBy, keep,
+          cm.schema.orElse(Some(rewritten.schema)))
+        v
+      }
+    }
+  }
+
   /** ROLLBACK: commit a NEW version whose content is retained version
     * `to` — one manifest write referencing `to`'s files verbatim, no
     * data movement (the release-gate undo: a card diff flags a bad

@@ -395,7 +395,8 @@ object EventStreams {
                             gcKeepReleases: Option[Int] = None,
                             gcMemberKeep: Int = 1,
                             gcStaleAfterMs: Long = 3600 * 1000L,
-                            chunkBucketDocs: Long = 100000L)
+                            chunkBucketDocs: Long = 100000L,
+                            compactMaxFiles: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.pipeline.{PublishSet, VersionedTable}
@@ -405,7 +406,7 @@ object EventStreams {
         ragReleaseFoldBatch(spark, batch.toDF(), batchId, textCol, idCol,
           codebook, dim, registryRoot, chunksRoot, indexRoot, codebookRoot,
           cap, stride, gcKeepReleases, gcMemberKeep, gcStaleAfterMs,
-          chunkBucketDocs)
+          chunkBucketDocs, compactMaxFiles)
       }
       .option("checkpointLocation", s"$registryRoot.__checkpoint")
       .trigger(trigger)
@@ -420,7 +421,8 @@ object EventStreams {
       chunksRoot: String, indexRoot: String, codebookRoot: String,
       cap: Int, stride: Int, gcKeepReleases: Option[Int],
       gcMemberKeep: Int, gcStaleAfterMs: Long,
-      chunkBucketDocs: Long): Unit = {
+      chunkBucketDocs: Long,
+      compactMaxFiles: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import graft.pipeline.{PublishSet, VersionedTable}
     {
@@ -519,6 +521,16 @@ object EventStreams {
             PublishSet.prune(spark, registryRoot, keep)
             PublishSet.pruneMembers(spark, registryRoot, gcMemberKeep,
               gcStaleAfterMs)
+          }
+          // opt-in small-file maintenance AFTER the publish: each
+          // partition-scoped merge leaves one shuffle-task file set per
+          // touched bucket, so long-running members fragment steadily —
+          // compactPartitions rewrites ONLY over-threshold buckets
+          // (content-identical new version, above the retained floor;
+          // the release keeps serving its pinned version untouched)
+          compactMaxFiles.foreach { maxF =>
+            VersionedTable.compactPartitions(spark, chunksRoot, maxF)
+            VersionedTable.compactPartitions(spark, indexRoot, maxF)
           }
         }
         ()

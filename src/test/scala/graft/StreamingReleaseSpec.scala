@@ -152,7 +152,8 @@ class StreamingReleaseSpec extends SparkSpec {
         spark.readStream.schema(schema).parquet(land.toString),
         "text", "doc_id", codebook, dim, reg, chunks, idx, cb,
         cap = 64, stride = 48,
-        gcKeepReleases = Some(1)).awaitTermination()
+        gcKeepReleases = Some(1),
+        compactMaxFiles = Some(1)).awaitTermination()
     (0 until 3).foreach { e =>
       Seq((100L + e, docText(100L + e))).toDF("doc_id", "text")
         .coalesce(1).write.mode("append").parquet(land.toString)
@@ -167,13 +168,27 @@ class StreamingReleaseSpec extends SparkSpec {
     }
     assert(PublishSet.readTable(spark, reg, idx).count() === 6L,
       "3 docs x 2 chunks accreted across the gc'd epochs")
-    // index versions below the retained release's pin are pruned
-    // (advanced 3 times; only the pinned + nothing older remains)
-    assert(VersionedTable.versions(spark, idx) === Seq(set(idx)))
+    // index versions below the retained release's pin are pruned; the
+    // in-tick compaction's content-identical version may sit ABOVE the
+    // pin (it is current, so the floor retains it)
+    assert(VersionedTable.versions(spark, idx).head === set(idx))
+    assert(VersionedTable.versions(spark, idx).forall(_ >= set(idx)))
     intercept[IllegalArgumentException] {
       VersionedTable.readVersion(spark, idx, set(idx) - 1).count()
     }
     // the frozen codebook is pinned by the retained release -> kept
     assert(VersionedTable.versions(spark, cb) === Seq(1L))
+    // in-tick compaction: the CURRENT chunks/index manifests hold at
+    // most one file per bucket/cell (content proven identical above by
+    // the release read); fragmentation from the per-tick merges never
+    // accretes
+    Seq(chunks, idx).foreach { t =>
+      val cur = VersionedTable.currentVersion(spark, t).get
+      val byPart = VersionedTable.manifestFiles(spark, t, cur)
+        .groupBy(_.split("/").filter(_.startsWith("__pp_")).mkString("/"))
+      byPart.foreach { case (p, fs) =>
+        assert(fs.size <= 1, s"$t bucket '$p' holds ${fs.size} files")
+      }
+    }
   }
 }

@@ -122,6 +122,56 @@ class VersionedTableSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compactPartitions: only fragmented buckets rewrite, others' files reuse verbatim; idempotent; unpartitioned refused") {
+    val r = root()
+    // bucket p0 fragments (two 8-task merges); p1 stays single-file
+    VersionedTable.merge(spark, r,
+      (1L to 40L).map(i => ("p0", i, i)).toDF("p", "id", "x")
+        .repartition(8),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    VersionedTable.merge(spark, r,
+      Seq(("p1", 100L, 1L)).toDF("p", "id", "x").coalesce(1),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    VersionedTable.merge(spark, r,
+      (41L to 80L).map(i => ("p0", i, i)).toDF("p", "id", "x")
+        .repartition(8),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    val cur = VersionedTable.currentVersion(spark, r).get
+    val before = VersionedTable.manifestFiles(spark, r, cur)
+    def bucket(fs: Seq[String], p: String) = fs.filter(_.contains(s"p=$p/"))
+    assert(bucket(before, "p0").size > 4, before.toString)
+    val v = VersionedTable.compactPartitions(spark, r,
+      maxFilesPerPartition = 4)
+    assert(v === cur + 1)
+    val after = VersionedTable.manifestFiles(spark, r, v)
+    assert(bucket(after, "p0").size <= 4, after.toString)
+    // the untouched bucket's files are the SAME manifest entries — no
+    // data movement outside the fragmented partitions
+    assert(bucket(after, "p1") === bucket(before, "p1"))
+    // content identical; the old fragmented version still time-travels
+    val now = VersionedTable.read(spark, r)
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val old = VersionedTable.readVersion(spark, r, cur)
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(now === old && now.size === 81)
+    // partition-scoped ops keep working on the compacted layout
+    VersionedTable.merge(spark, r,
+      Seq(("p0", 1L, 999L)).toDF("p", "id", "x"),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    assert(VersionedTable.read(spark, r).filter($"id" === 1L)
+      .head.getLong(2) === 999L)
+    // idempotent: nothing fragmented -> NO new version
+    val v2 = VersionedTable.currentVersion(spark, r).get
+    assert(VersionedTable.compactPartitions(spark, r,
+      maxFilesPerPartition = 4) === v2)
+    // unpartitioned tables are refused loudly
+    val u = root()
+    VersionedTable.write(spark, u, Seq((1L, 1L)).toDF("id", "x"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.compactPartitions(spark, u)
+    }
+  }
+
   test("a lagging pointer heals forward: manifest-create IS the commit point") {
     // crash window: version 2's manifest landed (its data was fully
     // staged first) but the writer died before the pointer rename. The
