@@ -725,6 +725,112 @@ object Similarity {
         queries, vecCol, idCol, nProbe),
       m, pqCodebook)
 
+  /** IVF-PQ OPERATING SWEEP — (nProbe × ADC-shortlist depth) jointly
+    * at fixed final k, the two knobs the PRODUCTION ANN path actually
+    * serves with: probe width buys candidate coverage (scan cost),
+    * shortlist depth buys back what lossy ADC ranking mis-orders
+    * (rerank cost — the e06 contract measured instead of assumed).
+    * Per grid cell: recall@k of [ADC-rank shortlist of depth r →
+    * EXACT rerank → top-k] against the exact brute force, next to the
+    * scanned corpus fraction. The final rerank ranks on the
+    * exact-integer cosine key and the baseline is
+    * [[bruteForceTopKExact]] (the e24/e25 gate contract); ADC scoring
+    * keeps the round-6 float replay the e05/e07/e09 gates have proven.
+    *
+    * Efficiency contract (the e25 shape deepened): ONE coded candidate
+    * scan at max(nProbes) (ADC-scored, probe rank attached); per probe
+    * width ONE ADC window cut to max(rs), and the TRUE vectors attach
+    * only to that bounded shortlist (nq·max(rs) rows — the rerank
+    * never touches the corpus); each depth then re-ranks the in-memory
+    * shortlist prefix. |nProbes| ADC windows + |nProbes| bounded
+    * attach joins total; the depth axis is windows over ≤ nq·max(rs)
+    * rows. n_bf is the depth-k baseline row count (denominator per
+    * ADVICE r13). */
+  def ivfPqOperatingSweepExact(corpus: DataFrame, queries: DataFrame,
+                               vecCol: String, idCol: String, k: Int,
+                               cellCodebook: Seq[Seq[Double]], m: Int,
+                               pqCodebook: Seq[Seq[Double]],
+                               rs: Seq[Int], nProbes: Seq[Int]): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(rs.nonEmpty && rs.forall(_ >= k) && rs.distinct.size == rs.size,
+      s"shortlist depths must be >= k=$k and distinct, got $rs")
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1) &&
+      nProbes.distinct.size == nProbes.size, s"bad nProbes $nProbes")
+    val spark = corpus.sparkSession
+    val maxNp = nProbes.max
+    val maxR = rs.max
+    val assigned = cellAssignmentsTrained(corpus, vecCol, idCol,
+      cellCodebook).persist()
+    val coded = assigned
+      .select(col("id"), col("cell"),
+        graft.expressions.VectorExpressions
+          .pqEncode(col("v"), pqCodebook, m).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("id"), col("cell"), col("st.codes").as("codes"))
+    val cents = centsOf(spark, cellCodebook)
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
+      .filter(col("prn") <= maxNp)
+      .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
+      .persist()
+    val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
+    val cand = coded
+      .join(broadcast(probes.select("query_id", "cell", "prn")
+        .join(tables, Seq("query_id"))), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(adcScore(m, pqCodebook.length), 6))
+      .select(col("query_id"), col("id"), col("adc_d2"), col("prn"))
+      .persist()
+    val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("id")).persist()
+    val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    val corpusVecs = assigned.select(col("id"), col("v"))
+    val nQ = q.count()
+    val nCorpus = assigned.count()
+    val nBf = bf.count()
+    try {
+      val rows = nProbes.sorted.flatMap { np =>
+        val short = cand.filter(col("prn") <= np)
+          .withColumn("ar", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("adc_d2").asc, col("id").asc)))
+          .filter(col("ar") <= maxR)
+          // the rerank attaches TRUE vectors to the bounded shortlist
+          // only — nq·maxR rows, never the corpus
+          .join(corpusVecs, Seq("id"))
+          .join(q, Seq("query_id"))
+          .withColumn("key", VectorExpressions.intCosKey(col("v"), col("qv")))
+          .filter(col("key").isNotNull)
+          .select(col("query_id"), col("id"), col("ar"), col("key"))
+          .localCheckpoint(false)
+        val scanned = probes.filter(col("prn") <= np)
+          .join(cellSizes, Seq("cell"))
+          .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
+        val scannedPpm =
+          if (nQ == 0 || nCorpus == 0) 0L
+          else (BigInt(1000000L) * scanned / (BigInt(nQ) * nCorpus)).toLong
+        rs.sorted.map { r =>
+          val topk = short.filter(col("ar") <= r)
+            .withColumn("frank", row_number().over(
+              Window.partitionBy("query_id")
+                .orderBy(col("key").desc, col("id").asc)))
+            .filter(col("frank") <= k)
+            .select("query_id", "id")
+          val hits = bf.join(topk, Seq("query_id", "id"), "left_semi").count()
+          (np.toLong, r.toLong, nQ, hits, nBf,
+            if (nBf == 0) 0L else 1000000L * hits / nBf, scannedPpm)
+        }
+      }
+      import spark.implicits._
+      rows.toDF("n_probe", "r_shortlist", "n_queries", "n_hits", "n_bf",
+        "recall_ppm", "scanned_ppm")
+    } finally Seq(assigned, probes, cand, bf).foreach(_.unpersist(false))
+  }
+
   private def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
                           vecCol: String, idCol: String, k: Int,
                           assigned: DataFrame,

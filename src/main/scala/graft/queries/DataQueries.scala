@@ -706,13 +706,14 @@ object DataQueries {
     * a double and IEEE sqrt is correctly rounded, so the seed is
     * within ±1 and the two integer CASE comparisons decide — libm
     * cannot affect the result). Twin of IntCosKeyExpr.nullSafeEval. */
-  private def intKeyCtes(pfx: String, src: String): String =
-    s"""${pfx}z AS (SELECT query_id, id, d,
+  private def intKeyCtes(pfx: String, src: String,
+                         carry: String = ""): String =
+    s"""${pfx}z AS (SELECT query_id, id$carry, d,
        |  (1000000 * CAST(abs(d) AS HUGEINT)) * (1000000 * CAST(abs(d) AS HUGEINT))
        |    // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS z FROM $src),
-       |${pfx}s AS (SELECT query_id, id, d, z,
+       |${pfx}s AS (SELECT query_id, id$carry, d, z,
        |  CAST(floor(sqrt(CAST(z AS DOUBLE))) AS BIGINT) AS s0 FROM ${pfx}z),
-       |${pfx}key AS (SELECT query_id, id,
+       |${pfx}key AS (SELECT query_id, id$carry,
        |  (CASE WHEN d >= 0 THEN 1 ELSE -1 END) *
        |  (CASE WHEN (s0+1)*(s0+1) <= z THEN s0+1
        |        WHEN s0*s0 > z THEN s0-1 ELSE s0 END) AS key
@@ -864,6 +865,98 @@ object DataQueries {
       Seq(("n_bf", "recall_ppm", "recall_lo_ppm", "recall_hi_ppm")),
       "n_probe, k, n_queries, n_hits, n_bf, recall_ppm, scanned_ppm",
       "ORDER BY n_probe, k")
+  }
+
+  private val pqGridRs = Seq(5, 10, 20)
+  private val pqGridNps = Seq(1, 2, 4)
+
+  /** IVF-PQ OPERATING GRID (e26 — [[Similarity
+    * .ivfPqOperatingSweepExact]]): the PRODUCTION ANN path's two
+    * serving knobs measured jointly — probe width × ADC-shortlist
+    * depth at fixed k=5, each cell's recall@5 of [lossy-ADC shortlist
+    * → exact rerank → top-5] against the brute force, next to the
+    * scanned fraction. The e06 rerank contract measured instead of
+    * assumed: depth buys back what 8-bit codes mis-order, probes buy
+    * candidate coverage, and the grid shows which knob is binding.
+    * Gate contract: the final rerank and the baseline rank on the
+    * exact-integer cosine key (e24/e25); ADC scoring keeps the round-6
+    * replay the e05/e07/e09 gates have proven. The oracle replays BOTH
+    * quantizer trainings + the ADC chain + every rerank window. */
+  val e26PqGrid: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfPqOperatingSweepExact(emb,
+        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+        k = 5, cellCodebook = kmModel(s, dir).centroids, m = 4,
+        pqCodebook = pqModel(s, dir), rs = pqGridRs, nProbes = pqGridNps)
+      .orderBy(col("n_probe"), col("r_shortlist"))
+  }
+
+  lazy val e26Sql: String = {
+    val maxNp = pqGridNps.max
+    val maxR = pqGridRs.max
+    val sub = kmDim / 4
+    def d2(a: String, b: String) =
+      s"""list_inner_product($a[js.j*$sub+1 : (js.j+1)*$sub], $a[js.j*$sub+1 : (js.j+1)*$sub])
+         |  - 2 * list_inner_product($a[js.j*$sub+1 : (js.j+1)*$sub], $b[js.j*$sub+1 : (js.j+1)*$sub])
+         |  + list_inner_product($b[js.j*$sub+1 : (js.j+1)*$sub], $b[js.j*$sub+1 : (js.j+1)*$sub])""".stripMargin
+    val perNp = pqGridNps.sorted.map { np =>
+      s"""adc$np AS MATERIALIZED (SELECT query_id, id, ar FROM (
+         |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_d2, id) AS ar FROM scp WHERE prn <= $np)
+         |  WHERE ar <= $maxR),
+         |rk${np}d AS (SELECT a.query_id, a.id, a.ar,
+         |  CAST(list_inner_product(ei.vq::DOUBLE[], qi.qvq::DOUBLE[]) AS BIGINT) AS d,
+         |  ei.vn AS na, qi.qn AS nb
+         |  FROM adc$np a JOIN ein ei ON ei.id = a.id
+         |  JOIN qin qi ON qi.query_id = a.query_id
+         |  WHERE ei.vn > 0 AND qi.qn > 0),
+         |${intKeyCtes(s"rk$np", s"rk${np}d", carry = ", ar")}""".stripMargin
+    }.mkString(",\n")
+    def hitsSub(np: Int, r: Int) =
+      s"""(SELECT CAST(count(*) AS BIGINT) FROM bf b JOIN
+         |    (SELECT query_id, id FROM (SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY key DESC, id) AS frank
+         |      FROM rk${np}key WHERE ar <= $r) WHERE frank <= 5) t
+         |    ON b.query_id = t.query_id AND b.id = t.id)""".stripMargin
+    val blocks = (for (np <- pqGridNps.sorted; r <- pqGridRs.sorted) yield
+      s"""SELECT CAST($np AS BIGINT) AS n_probe,
+         |  CAST($r AS BIGINT) AS r_shortlist,
+         |  (SELECT nq FROM nq) AS n_queries,
+         |  ${hitsSub(np, r)} AS n_hits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_bf,
+         |  CASE WHEN (SELECT count(*) FROM bf) = 0 THEN 0
+         |    ELSE 1000000 * ${hitsSub(np, r)}
+         |      // (SELECT CAST(count(*) AS BIGINT) FROM bf) END AS recall_ppm,
+         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
+         |    WHERE prn <= $np)
+         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |""".stripMargin).mkString("UNION ALL\n")
+    s"""${sweepCtePrefix(maxNp, 5, bfKeepRank = false)},
+       |$pqCbCtes,
+       |js AS (SELECT unnest(range(0, 4)) AS j),
+       |dd AS (SELECT e.id, js.j, cb.cidx, ${d2("e.v", "cb.cv")} AS d2
+       |  FROM e CROSS JOIN js CROSS JOIN cb),
+       |best AS (SELECT id, j, cidx, d2,
+       |  row_number() OVER (PARTITION BY id, j ORDER BY d2, cidx) AS rn
+       |  FROM dd),
+       |b1 AS (SELECT id, j, cidx FROM best WHERE rn = 1),
+       |qd AS (SELECT q.query_id, js.j, cb.cidx, ${d2("q.qv", "cb.cv")} AS d2
+       |  FROM q CROSS JOIN js CROSS JOIN cb),
+       |candp AS (SELECT p.query_id, a.id, p.prn FROM asg a
+       |  JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id),
+       |scp AS MATERIALIZED (SELECT c2.query_id, c2.id, c2.prn,
+       |  round(((MAX(CASE WHEN b1.j = 0 THEN qd.d2 END)
+       |    + MAX(CASE WHEN b1.j = 1 THEN qd.d2 END))
+       |    + MAX(CASE WHEN b1.j = 2 THEN qd.d2 END))
+       |    + MAX(CASE WHEN b1.j = 3 THEN qd.d2 END), 6) AS adc_d2
+       |  FROM candp c2 JOIN b1 ON b1.id = c2.id
+       |  JOIN qd ON qd.query_id = c2.query_id AND qd.j = b1.j
+       |    AND qd.cidx = b1.cidx
+       |  GROUP BY 1, 2, 3),
+       |$perNp
+       |$blocks
+       |ORDER BY n_probe, r_shortlist""".stripMargin
   }
 
   private val mmrTopN = 20
@@ -4364,6 +4457,7 @@ object DataQueries {
     "e18_ivf_recall" -> e18IvfRecall,
     "e24_recall_sweep" -> e24RecallSweep,
     "e25_operating_grid" -> e25OperatingGrid,
+    "e26_pq_grid" -> e26PqGrid,
     "e19_mmr_rerank" -> e19MmrRerank,
     "e20_ivf_upsert" -> e20IvfUpsert,
     "d13_semantic_dedup" -> d13SemanticDedup,
@@ -4460,6 +4554,7 @@ object DataQueries {
     "e18_ivf_recall" -> e18Sql,
     "e24_recall_sweep" -> e24Sql,
     "e25_operating_grid" -> e25Sql,
+    "e26_pq_grid" -> e26Sql,
     "e19_mmr_rerank" -> e19Sql,
     "e20_ivf_upsert" -> e20Sql,
     "d13_semantic_dedup" -> d13Sql,

@@ -171,7 +171,10 @@ object ClusterSmoke {
     // built from executor partials must agree across JVM boundaries
     "e25_operating_grid",
     // containment delta: frozen-order two-role candidate paths
-    "d33_contain_delta")
+    "d33_contain_delta",
+    // IVF-PQ grid: ADC shortlist windows + exact-key rerank of bounded
+    // prefixes from executor partials
+    "e26_pq_grid")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

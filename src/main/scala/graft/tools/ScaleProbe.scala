@@ -957,6 +957,22 @@ object ScaleProbe {
           ks = Seq(1, 5, 10), codebook = cb, nProbes = Seq(1, 2, 4, 8))
       }
     }
+    // e26 IVF-PQ grid (r14 session 2): the rerank must touch only the
+    // bounded nq x max(r) shortlist — cost tracks the coded candidate
+    // scan (the e07 IVF-PQ bound), not the grid size, and stays flat
+    // like operating_grid's.
+    stage("pq_grid") {
+      t(s"pq_grid_${replicas}x") {
+        val cellCb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+          k = 16, dim = 64, iters = 3).centroids
+        val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
+          "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
+        graft.operators.Similarity.ivfPqOperatingSweepExact(embBig,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+          k = 5, cellCodebook = cellCb, m = 4, pqCodebook = pqCb,
+          rs = Seq(5, 10, 20), nProbes = Seq(1, 2, 4))
+      }
+    }
     // t27 Moore-Lewis selection: two bounded LM fits (vocab-literal
     // collects over the sample/in-domain slices), then ONE map-only
     // two-expression scoring projection over the corpus.

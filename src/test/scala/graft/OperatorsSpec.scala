@@ -251,6 +251,53 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqOperatingSweepExact: every grid cell equals the shipped-operator composition; shortlist depth is monotone") {
+    // independent reference per (np, r): ivfPqTopKFullyTrained at k=r
+    // IS the ADC shortlist; exact-key rerank of those ids to top-5 is
+    // the serving path composed from already-gated operators
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cellCb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
+      "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
+    val grid = Similarity.ivfPqOperatingSweepExact(emb, queries,
+        "embedding", "vec_id", k = 5, cellCodebook = cellCb, m = 4,
+        pqCodebook = pqCb, rs = Seq(5, 10), nProbes = Seq(1, 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(grid.size == 4)
+    val bf = Similarity.bruteForceTopKExact(emb, queries, "embedding",
+      "vec_id", 5).select($"query_id", $"id")
+    val vecs = emb.select($"vec_id".as("id"),
+      graft.functions.GraftFunctions.toDoubleArray($"embedding").as("v"))
+    val qv = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"),
+        graft.functions.GraftFunctions.toDoubleArray($"embedding").as("qv"))
+    for (np <- Seq(1, 2); r <- Seq(5, 10)) {
+      val shortlist = Similarity.ivfPqTopKFullyTrained(emb, queries,
+        "embedding", "vec_id", k = r, cellCodebook = cellCb, nProbe = np,
+        m = 4, pqCodebook = pqCb).select($"query_id", $"id")
+      val reranked = shortlist.join(vecs, Seq("id")).join(qv, Seq("query_id"))
+        .withColumn("key", graft.expressions.VectorExpressions
+          .intCosKey($"v", $"qv"))
+        .filter($"key".isNotNull)
+        .withColumn("frank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy($"key".desc, $"id".asc)))
+        .filter($"frank" <= 5)
+        .select($"query_id", $"id")
+      val hits = bf.join(reranked, Seq("query_id", "id"), "left_semi").count()
+      assert(grid((np.toLong, r.toLong)) == hits,
+        s"(np=$np,r=$r): grid ${grid((np.toLong, r.toLong))} != composed $hits")
+    }
+    // a deeper shortlist can only add candidates the exact rerank may
+    // promote: hits monotone in r at fixed np
+    Seq(1L, 2L).foreach { np =>
+      assert(grid((np, 5L)) <= grid((np, 10L)), grid.toString)
+    }
+  }
+
   test("lshBandingSweep: nested candidates along the divisor chain, exact bounds, formula integers") {
     val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
     val rows = Dedup.lshBandingSweep(docs, "text", "doc_id",
