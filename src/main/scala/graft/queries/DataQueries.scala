@@ -3073,7 +3073,12 @@ object DataQueries {
         n = 3, k = 16, bandsList = lshSweepBands, tauNum = 1, tauDen = 5)
       .orderBy(col("n_bands"))
 
-  lazy val d29Sql: String = {
+  lazy val d29Sql: String = d29SqlFor(3, 1, 5)
+
+  /** The banding-sweep oracle, parametric in shingle width and the
+    * exact-Jaccard truth threshold — d29 reads the saturated width-3
+    * regime, d34 the width-5 rarity regime. */
+  private def d29SqlFor(n: Int, tauNum: Int, tauDen: Int): String = {
     val k = 16
     val cfg = lshSweepBands.sorted.map(b => (b, k / b))
     val perConfig = cfg.map { case (b, r) =>
@@ -3101,7 +3106,7 @@ object DataQueries {
     }.mkString("UNION ALL\n")
     s"""WITH $repsCtes,
        |${toksCteOn("rdocs")},
-       |$shCte,
+       |${shCteFor(n)},
        |hn AS (SELECT doc_id,
        |  list_sort(list_distinct(list_transform(sh, g -> ${h60("g")})))
        |    AS shs FROM base),
@@ -3111,7 +3116,7 @@ object DataQueries {
        |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4),
        |truth AS MATERIALIZED (SELECT id1, id2 FROM tp
-       |  WHERE 6 * o >= n1 + n2),
+       |  WHERE ${tauDen + tauNum} * o >= $tauNum * (n1 + n2)),
        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
        |sig AS MATERIALIZED (SELECT doc_id, sh, list_transform(range(0,$k), s ->
        |  list_min(list_transform(sh, g -> ${h60("s::VARCHAR||'|'||g")}))) AS sig
@@ -3143,6 +3148,37 @@ object DataQueries {
         "precision_lo_ppm", "precision_hi_ppm")
       .orderBy(col("n_bands"))
   }
+
+  /** RARITY-REGIME BANDING SWEEP (d34 — [[Dedup.lshBandingSweep]] at
+    * width 5 with [[Stats.withHoeffdingPpm]] bounds): d29 measures the
+    * banding family where the shingle space is SATURATED (width-3 on
+    * the 31-token pool); this measures it where 95% of shingles are
+    * df=1 — the regime a real web corpus is in, and the regime where
+    * the exact-truth join is CHEAP (Σdf² collapses), so the rarity
+    * sweep needs no sample even at scale. Same τ = 1/5 truth, same
+    * bands; each estimate carries its integer Hoeffding interval. The
+    * two gates together measure the banding DECISION in both regimes
+    * the corpus can present. */
+  val d34RareSweep: Q = (s, dir) => {
+    val sweep = Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
+      "doc_id", n = 5, k = 16, bandsList = lshSweepBands,
+      tauNum = 1, tauDen = 5)
+    Stats.withHoeffdingPpm(
+        Stats.withHoeffdingPpm(sweep,
+          "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
+        "precision_ppm", "n_candidates",
+        "precision_lo_ppm", "precision_hi_ppm")
+      .orderBy(col("n_bands"))
+  }
+
+  lazy val d34Sql: String = hoeffdingWrapSql(
+    d29SqlFor(5, 1, 5).replace("ORDER BY n_bands", ""),
+    Seq(("n_true", "recall_ppm", "recall_lo_ppm", "recall_hi_ppm"),
+      ("n_candidates", "precision_ppm",
+        "precision_lo_ppm", "precision_hi_ppm")),
+    "n_bands, n_rows, n_candidates, n_true, n_hits, " +
+      "recall_ppm, precision_ppm",
+    "ORDER BY n_bands")
 
   /** SQL twin of [[Stats.withHoeffdingPpm]] over a sweep body: per
     * (trialsCol, phatCol, loCol, hiCol) bound, the exact rational
@@ -4425,6 +4461,7 @@ object DataQueries {
     "d31_allpairs_contain" -> d31Containment,
     "d32_sweep_ci" -> d32SweepCi,
     "d33_contain_delta" -> d33ContainDelta,
+    "d34_rare_sweep" -> d34RareSweep,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -4522,6 +4559,7 @@ object DataQueries {
     "d31_allpairs_contain" -> d31Sql,
     "d32_sweep_ci" -> d32Sql,
     "d33_contain_delta" -> d33Sql,
+    "d34_rare_sweep" -> d34Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

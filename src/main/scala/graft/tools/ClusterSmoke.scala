@@ -174,7 +174,9 @@ object ClusterSmoke {
     "d33_contain_delta",
     // IVF-PQ grid: ADC shortlist windows + exact-key rerank of bounded
     // prefixes from executor partials
-    "e26_pq_grid")
+    "e26_pq_grid",
+    // rarity-regime banding sweep with integer CI bounds
+    "d34_rare_sweep")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
