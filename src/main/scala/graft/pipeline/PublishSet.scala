@@ -205,6 +205,28 @@ object PublishSet {
     *
     * At 100 TB: the derivation is |releases|·|tables| manifest lines;
     * the data work is each member's own prune (expired-file deletes). */
+  /** DRY RUN of [[pruneMembers]]: (table root → member versions the
+    * sweep WOULD expire) under the same retention-floor derivation,
+    * deleting nothing — the report an operator reads before enabling
+    * the GC fleet-wide. Tables with nothing to expire map to empty.
+    * Covers committed versions as listed; orphaned manifests beyond a
+    * heal gap are [[VersionedTable.prune]]'s own sweep and are not
+    * planned here. */
+  def pruneMembersPlan(spark: SparkSession, registryRoot: String,
+                       memberKeep: Int = 1): Map[String, Seq[Long]] =
+      VersionedTable.withRootLock(registryRoot) {
+    require(memberKeep >= 1, "must retain at least each member's current")
+    val vs = versions(spark, registryRoot)
+    require(vs.nonEmpty, s"no release registry at $registryRoot")
+    vs.flatMap(v => resolveVersion(spark, registryRoot, v).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
+      .map { case (table, floor) =>
+        val mvs = VersionedTable.versions(spark, table)
+        val keepN = math.max(memberKeep, mvs.count(_ >= floor))
+        table -> mvs.dropRight(keepN)
+      }
+  }
+
   def pruneMembers(spark: SparkSession, registryRoot: String,
                    memberKeep: Int = 1,
                    staleAfterMs: Long = 3600 * 1000L): Map[String, Long] =

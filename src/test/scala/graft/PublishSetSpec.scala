@@ -147,8 +147,14 @@ class PublishSetSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, b) === Seq(1L, 2L))
     assert(VersionedTable.versions(spark, c) === Seq(1L, 2L, 3L))
     // expire release 1, then GC: floors move to release 2's pins (A3,
-    // B2) — A v1/v2 go (v4 = current stays via memberKeep), B keeps v2
+    // B2) — A v1/v2 go (v4 = current stays via memberKeep), B keeps v2.
+    // The dry-run plan names exactly what the sweep then deletes, and
+    // planning deletes nothing.
     PublishSet.prune(spark, reg, keep = 1)
+    val plan = PublishSet.pruneMembersPlan(spark, reg, memberKeep = 1)
+    assert(plan === Map(a -> Seq(1L, 2L), b -> Seq(1L)), plan.toString)
+    assert(VersionedTable.versions(spark, a) === Seq(1L, 2L, 3L, 4L),
+      "a dry run must not delete")
     val floors2 = PublishSet.pruneMembers(spark, reg, memberKeep = 1)
     assert(floors2 === Map(a -> 3L, b -> 2L), floors2.toString)
     assert(VersionedTable.versions(spark, a) === Seq(3L, 4L))
