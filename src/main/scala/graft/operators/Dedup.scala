@@ -1486,11 +1486,20 @@ object Dedup {
                           shingleN: Int, tauNum: Int, tauDen: Int,
                           minN: Int): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    allPairsContainmentPre(
+      hashedShingleSets(df, textCol, idCol, shingleN)
+        .filter(col("n") >= minN),
+      tauNum, tauDen, minN)
+  }
+
+  /** [[allPairsContainment]] on a PRE-BUILT hashed-set base (already
+    * minN-filtered) — the streaming tick's internal-pair step, so a
+    * batch's sets are hashed once ever. */
+  def allPairsContainmentPre(base: DataFrame, tauNum: Int, tauDen: Int,
+                             minN: Int): DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     require(minN >= 1, s"minN must be >= 1, got $minN")
-    val base = hashedShingleSets(df, textCol, idCol, shingleN)
-      .filter(col("n") >= minN)
     val freq = base.select(explode(col("shs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("hfreq"))
     val ranked = containmentRanked(base, freq, frozen = false)
@@ -1623,6 +1632,27 @@ object Dedup {
                                freq: DataFrame, refSmall: DataFrame,
                                refBig: DataFrame, refBase: DataFrame)
       : DataFrame = {
+    val (bBase, bSmall, bBig) = allPairsContainmentAppend(batch, textCol,
+      idCol, shingleN, tauNum, tauDen, minN, freq)
+    allPairsContainmentDeltaPre(bBase, bSmall, bBig, tauNum, tauDen,
+      refSmall, refBig, refBase)
+  }
+
+  /** A batch's contribution to the frozen containment state: its
+    * hashed sets and BOTH role prefixes UNDER the frozen order — what
+    * a streaming tick appends to the state so later batches link
+    * against this one too (the [[allPairsCosineAppend]] contract for
+    * the asymmetric family). Frozen-frequency-0 hashes keep their
+    * (rarest) ranks AND stay in the prefixes: against the frozen
+    * reference they can match nothing (pure slack), but an ACCRETED
+    * state contains earlier batches' sets, where the same unseen hash
+    * can genuinely co-occur — pruning here would lose those pairs. */
+  def allPairsContainmentAppend(batch: DataFrame, textCol: String,
+                                idCol: String, shingleN: Int,
+                                tauNum: Int, tauDen: Int, minN: Int,
+                                freq: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     require(tauNum >= 1 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     require(minN >= 1, s"minN must be >= 1, got $minN")
@@ -1630,16 +1660,27 @@ object Dedup {
       .filter(col("n") >= minN)
     val ctMin = (tauNum.toLong * minN + tauDen - 1) / tauDen
     val bRanked = containmentRanked(bBase, freq, frozen = true)
-      // a frozen-frequency-0 hash exists in NO reference set — it
-      // still occupies its rank (computed above) but cannot co-occur,
-      // so dropping the row before the join is pure pruning
-      .filter(col("hfreq") >= 1)
       .select("h", "id", "n", "rn")
-      .localCheckpoint(false) // both role paths slice it
-    def ceilTau(n: String) = ceilTauCol(tauNum, tauDen, n)
+      .localCheckpoint(false) // both role prefixes slice it
     val bSmall = bRanked.filter(col("rn") <=
-      col("n") - ceilTau("n") + lit(1))
+      col("n") - ceilTauCol(tauNum, tauDen, "n") + lit(1))
     val bBig = bRanked.filter(col("rn") <= col("n") - lit(ctMin) + lit(1))
+    (bBase, bSmall, bBig)
+  }
+
+  /** The cross link on PRE-BUILT batch relations (from
+    * [[allPairsContainmentAppend]]) — the streaming tick's entry point:
+    * the tick appends (bBase, bSmall, bBig) to the state anyway, so
+    * the hashed sets and ranks are computed exactly once per document
+    * ever. */
+  def allPairsContainmentDeltaPre(bBase: DataFrame, bSmall: DataFrame,
+                                  bBig: DataFrame,
+                                  tauNum: Int, tauDen: Int,
+                                  refSmall: DataFrame, refBig: DataFrame,
+                                  refBase: DataFrame): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    def ceilTau(n: String) = ceilTauCol(tauNum, tauDen, n)
     def path(small: DataFrame, big: DataFrame, sPre: String, bPre: String,
              strict: Boolean): DataFrame = {
       val s = small.select(col("h"), col("id").as(s"${sPre}_id"),

@@ -3154,11 +3154,16 @@ object DataQueries {
     * banding family where the shingle space is SATURATED (width-3 on
     * the 31-token pool); this measures it where 95% of shingles are
     * df=1 — the regime a real web corpus is in, and the regime where
-    * the exact-truth join is CHEAP (Σdf² collapses), so the rarity
-    * sweep needs no sample even at scale. Same τ = 1/5 truth, same
-    * bands; each estimate carries its integer Hoeffding interval. The
-    * two gates together measure the banding DECISION in both regimes
-    * the corpus can present. */
+    * the exact-truth join is far cheaper (Σdf² shrinks ~20× on this
+    * corpus — probed: full width-5 sweep 141.9 s at 64× where width-3
+    * read 272 s at 16×). Honest limit, measured: duplication
+    * re-saturates df at EITHER width (every copy carries every
+    * shingle), so Σdf² still grows ~quadratically with replication —
+    * rarity lowers the constant; only the samplePpm knob holds the
+    * decision cost flat on a duplication-heavy corpus. Same τ = 1/5
+    * truth, same bands; each estimate carries its integer Hoeffding
+    * interval. The two gates together measure the banding DECISION in
+    * both regimes the corpus can present. */
   val d34RareSweep: Q = (s, dir) => {
     val sweep = Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
       "doc_id", n = 5, k = 16, bandsList = lshSweepBands,

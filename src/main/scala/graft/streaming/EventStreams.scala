@@ -726,6 +726,93 @@ object EventStreams {
       .trigger(trigger)
       .start()
 
+  /** Freeze the containment-link state from a reference corpus — the
+    * [[graft.operators.Dedup.allPairsContainmentState]] relations as
+    * warehouse tables for [[containLinkStreamQuery]]'s ticks: `_freq`
+    * (the FROZEN blocking order), `_small`/`_big` (BOTH role prefixes
+    * with positions), and `_base` (with the replay-guard `last_batch`
+    * column). */
+  def initContainLinkState(spark: SparkSession, ref: DataFrame,
+                           textCol: String, idCol: String, shingleN: Int,
+                           tauNum: Int, tauDen: Int, minN: Int,
+                           statePath: String): Unit = {
+    val (freq, small, big, base) =
+      graft.operators.Dedup.allPairsContainmentState(
+        ref, textCol, idCol, shingleN, tauNum, tauDen, minN)
+    freq.write.mode("overwrite").parquet(s"${statePath}_freq")
+    small.write.mode("overwrite").parquet(s"${statePath}_small")
+    big.write.mode("overwrite").parquet(s"${statePath}_big")
+    base.withColumn("last_batch", lit(-1L))
+      .write.mode("overwrite").parquet(s"${statePath}_base")
+  }
+
+  /** STREAMING CONTAINMENT LINK — [[cosineLinkStreamQuery]]'s accreting
+    * tick for the ASYMMETRIC family: every crawl drop links against the
+    * accreted state (frozen reference + every earlier drop) through the
+    * two role paths, emits its internal pairs, and appends its own sets
+    * + BOTH frozen-order role prefixes so later drops link against it.
+    * Losslessness holds under the SHARED frozen total order (unseen
+    * hashes rank frequency-0, ordered among themselves by hash — the
+    * same order every batch uses, so batch-batch pairs through unseen
+    * vocabulary still link); the union of all emitted pairs equals the
+    * static [[graft.operators.Dedup.allPairsContainment]] on everything
+    * ever seen (StreamingContainLinkSpec pins it). Pairs are stored in
+    * the operator's canonical orientation — id1 = the CONTAINED
+    * (smaller; id asc on ties) side. Per-tick cost: the batch's sets
+    * are hashed and ranked ONCE and reused for the cross link, the
+    * internal link, and the state append; the replay guard
+    * (max last_batch in `_base`) makes a re-delivered batch a no-op. */
+  def containLinkStreamQuery(spark: SparkSession, docs: DataFrame,
+                             textCol: String, idCol: String, shingleN: Int,
+                             tauNum: Int, tauDen: Int, minN: Int,
+                             statePath: String, pairsPath: String,
+                             trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val stateBase = spark.read.parquet(s"${statePath}_base")
+        val last = stateBase
+          .agg(coalesce(max(col("last_batch")), lit(-1L))).head.getLong(0)
+        if (batchId > last) {
+          val freq = spark.read.parquet(s"${statePath}_freq")
+          val small = spark.read.parquet(s"${statePath}_small")
+          val big = spark.read.parquet(s"${statePath}_big")
+          val (bBase, bSmall, bBig) =
+            graft.operators.Dedup.allPairsContainmentAppend(
+              batch.toDF(), textCol, idCol, shingleN, tauNum, tauDen,
+              minN, freq)
+          // canonical orientation: id1 = the contained (smaller;
+          // id-asc on ties) side, matching allPairsContainment
+          val sm = col("n_ref") < col("n_batch") ||
+            (col("n_ref") === col("n_batch") &&
+              col("ref_id") < col("batch_id"))
+          val cross = graft.operators.Dedup.allPairsContainmentDeltaPre(
+              bBase, bSmall, bBig, tauNum, tauDen,
+              small, big, stateBase.select("id", "shs", "n"))
+            .select(
+              when(sm, col("ref_id")).otherwise(col("batch_id")).as("id1"),
+              when(sm, col("batch_id")).otherwise(col("ref_id")).as("id2"),
+              when(sm, col("n_ref")).otherwise(col("n_batch")).as("n1"),
+              when(sm, col("n_batch")).otherwise(col("n_ref")).as("n2"),
+              col("n_shared"), col("cont_nano"))
+          val internal = graft.operators.Dedup.allPairsContainmentPre(
+            bBase, tauNum, tauDen, minN)
+          graft.pipeline.Pipeline.mergeIntoParquet(spark, pairsPath,
+            cross.unionByName(internal), Seq("id1", "id2"))
+          graft.pipeline.Pipeline.mergeIntoParquet(spark,
+            s"${statePath}_small", bSmall, Seq("h", "id"))
+          graft.pipeline.Pipeline.mergeIntoParquet(spark,
+            s"${statePath}_big", bBig, Seq("h", "id"))
+          graft.pipeline.Pipeline.mergeIntoParquet(spark,
+            s"${statePath}_base",
+            bBase.withColumn("last_batch", lit(batchId)), Seq("id"))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$statePath.__checkpoint")
+      .trigger(trigger)
+      .start()
+
   /** STREAMING CURATION — the curation DAG's per-document gate chain
     * composed with the delta dedup family on an unbounded crawl
     * (VERDICT r7 next-#6): every micro-batch (a crawl drop) runs

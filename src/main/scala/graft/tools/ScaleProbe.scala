@@ -895,6 +895,19 @@ object ScaleProbe {
           samplePpm = math.max(1L, 1000000L / replicas))
       }
     }
+    // d34 claim check (r14 session 2) — and its honest CORRECTION: at
+    // width 5 the truth join's Σdf² shrinks ~20× on this corpus (full
+    // sweep 141.9 s at 64× vs width-3's 272 s at just 16×), but the
+    // salted REPLICAS re-saturate df (every shingle appears in all N
+    // copies), so the cost still grows ~quadratically with duplication
+    // at EITHER width. Rarity helps; only the samplePpm knob holds the
+    // decision cost flat on a duplication-heavy corpus.
+    stage("lsh_sweep5") {
+      t(s"lsh_sweep5_${replicas}x") {
+        Dedup.lshBandingSweep(docs, "text", "doc_id",
+          n = 5, k = 16, bandsList = Seq(1, 2, 4, 8), tauNum = 1, tauDen = 5)
+      }
+    }
     // e23 hybrid RRF: the arms (BM25 top-50, brute-force cosine
     // top-50) carry all the data-dependent cost; the fusion itself is
     // a bounded ≤2·k-row join. Probing the composed query pins that
