@@ -776,7 +776,10 @@ object Similarity {
       .withColumn("prn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
       .filter(col("prn") <= maxNp)
-      .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
+      // no qv here: unlike the exact sweep, ADC scoring reads the
+      // broadcast lookup tables, so caching query vectors per probe
+      // row would be dead weight (review r14 s2)
+      .select(col("query_id"), col("qcell").as("cell"), col("prn"))
       .persist()
     val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
     val cand = coded

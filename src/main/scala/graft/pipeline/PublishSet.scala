@@ -208,10 +208,12 @@ object PublishSet {
   /** DRY RUN of [[pruneMembers]]: (table root → member versions the
     * sweep WOULD expire) under the same retention-floor derivation,
     * deleting nothing — the report an operator reads before enabling
-    * the GC fleet-wide. Tables with nothing to expire map to empty.
-    * Covers committed versions as listed; orphaned manifests beyond a
-    * heal gap are [[VersionedTable.prune]]'s own sweep and are not
-    * planned here. */
+    * the GC fleet-wide. Tables with nothing to expire map to empty;
+    * the plan reasons over COMMITTED versions only (the classification
+    * the sweep uses — counting orphaned manifests beyond a heal gap
+    * would misstate what the sweep retains), and it fails as loudly as
+    * the sweep does on a pinned root with no versioned table — the
+    * exact failure a dry run exists to predict. */
   def pruneMembersPlan(spark: SparkSession, registryRoot: String,
                        memberKeep: Int = 1): Map[String, Seq[Long]] =
       VersionedTable.withRootLock(registryRoot) {
@@ -221,7 +223,10 @@ object PublishSet {
     vs.flatMap(v => resolveVersion(spark, registryRoot, v).toSeq)
       .groupMapReduce(_._1)(_._2)(math.min)
       .map { case (table, floor) =>
-        val mvs = VersionedTable.versions(spark, table)
+        require(VersionedTable.currentVersion(spark, table).nonEmpty,
+          s"retained releases of $registryRoot pin $table, but no " +
+            "versioned table exists there")
+        val mvs = VersionedTable.committedVersions(spark, table)
         val keepN = math.max(memberKeep, mvs.count(_ >= floor))
         table -> mvs.dropRight(keepN)
       }

@@ -652,6 +652,23 @@ object VersionedTable {
   def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifest(spark, root, v).files
 
+  /** The COMMITTED retained versions — [[versions]] minus orphaned
+    * manifests beyond the heal gap (the same classification
+    * [[prune]] uses: commits claim strictly current+1, so every
+    * contiguous manifest above the pointer is real; manifests beyond
+    * a gap are unreachable by any commit). The relation a maintenance
+    * PLAN must reason over — counting orphans would misstate what a
+    * sweep retains. */
+  private[pipeline] def committedVersions(spark: SparkSession,
+                                          root: String): Seq[Long] = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val vs = versions(spark, root)
+    val healed = Iterator.iterate(cur)(_ + 1)
+      .takeWhile(v => v == cur || vs.contains(v)).toSeq.last
+    vs.filter(_ <= healed)
+  }
+
   /** PARTITION-SCOPED small-file compaction — the maintenance-cadence
     * form [[compact]] is too blunt for: a per-tick merge rewrites each
     * affected partition with however many shuffle-task files the job
@@ -664,18 +681,27 @@ object VersionedTable {
     * (the deleteKeys partition-scoped `keep` mechanism) — maintenance
     * cost tracks the fragmentation, not the table.
     *
+    * Each fragmented bucket compacts to ONE file (the hash
+    * repartition on the partition columns puts a bucket's rows in one
+    * task) — this is the DESIRED outcome for merge-task small-file
+    * accretion, and it makes the bucket-granularity knob the file-size
+    * knob: a bucket whose healthy size exceeds a good parquet file is
+    * a layout problem (partition finer), not a compaction problem, and
+    * the one-task-per-bucket rewrite of such a bucket would also be a
+    * skew hazard. There is deliberately no targetFileBytes here
+    * ([[compact]]'s coalesce honors one; a partition-preserving
+    * rewrite cannot without splitting buckets).
+    *
     * Idempotent: when nothing is fragmented, NO new version is
     * committed and the current version is returned — safe to run on
     * every cadence. Unpartitioned tables are refused loudly (use
     * [[compact]]). Readers of older versions keep their files until
     * [[prune]]. */
   def compactPartitions(spark: SparkSession, root: String,
-                        maxFilesPerPartition: Int = 8,
-                        targetFileBytes: Long = 128L * 1024 * 1024): Long =
+                        maxFilesPerPartition: Int = 8): Long =
       withRootLock(root) {
     require(maxFilesPerPartition >= 1,
       s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
-    require(targetFileBytes >= 1024 * 1024, s"target too small: $targetFileBytes")
     withCommitRetries(root, "compactPartitions") { () =>
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no versioned table at $root"))
@@ -684,7 +710,6 @@ object VersionedTable {
       require(partitionBy.nonEmpty,
         s"$root is not partitioned - compactPartitions has no partition " +
           "boundary to scope by; use compact()")
-      requireLayout(cm.files, partitionBy, "compactPartitions")
       // group the manifest by partition VALUE path (the physical
       // __pp_<col>=<val> segments), across batch dirs: two merges of
       // the same bucket land files in two b<v>_ dirs, and both count
@@ -697,17 +722,11 @@ object VersionedTable {
       val frag = byPart.filter(_._2.size > maxFilesPerPartition)
       if (frag.isEmpty) cur
       else {
-        val f = fsFor(spark, root)
         val fragFiles = frag.values.flatten.toSeq
         val keep = cm.files.filterNot(fragFiles.toSet)
-        val bytes = fragFiles
-          .map(rel => f.getFileStatus(hp(s"${dataRoot(root)}/$rel")).getLen)
-          .sum
-        val n = math.max(frag.size,
-          math.ceil(bytes.toDouble / targetFileBytes).toInt)
         val v = cur + 1
         val rewritten = readFiles(spark, root, cm, fragFiles)
-          .repartition(n, partitionBy.map(col): _*)
+          .repartition(frag.size, partitionBy.map(col): _*)
         stageAndCommit(spark, root, v, rewritten, partitionBy, keep,
           cm.schema.orElse(Some(rewritten.schema)))
         v
