@@ -418,16 +418,18 @@ object TextAnalysis {
     val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
     require(total > 0, "unigramLm: LM corpus has no tokens")
     def pre(p: Double): Double = math.log(p) * 1e9 + 0.5
-    def quant(p: Double): Long = math.floor(pre(p)).toLong
     val top = counts.orderBy(col("n").desc, col("tok"))
       .limit(vocab).collect()
     // the oracle replays these ln's in another libm: fail loudly if any
-    // parameter sits near a flooring boundary (VERDICT r11 / t21)
+    // parameter sits near a flooring boundary (VERDICT r11 / t21).
+    // The quantized integers themselves come from [[ExactLn]] (r15):
+    // this host's libm can no longer move a parameter, so the audited
+    // margin only has to cover the REPLAYING engine's ln error
     QuantAudit.audit("unigram-lm",
       top.map(r => pre(r.getLong(1).toDouble / total)).toSeq :+ pre(1.0 / total))
     val lm = top.map(r =>
-      r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
-    (lm, quant(1.0 / total))
+      r.getString(0) -> ExactLn.lnNanoFloor(r.getLong(1), total)).toMap
+    (lm, ExactLn.lnNanoFloor(1L, total))
   }
 
   /** Per-document cross-entropy under a unigram LM (CCNet-style quality
@@ -610,11 +612,12 @@ object TextAnalysis {
     try {
       val total = uniCounts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
       require(total > 0, "bigramLm: LM corpus has no tokens")
+      // audit telemetry; quantization is [[ExactLn]] (r15) — see
+      // [[unigramLm]]
       def pre(p: Double): Double = math.log(p) * 1e9 + 0.5
-      def quant(p: Double): Long = math.floor(pre(p)).toLong
       val uniTop = uniCounts.orderBy(col("n").desc, col("tok")).limit(vocab).collect()
       val uni = uniTop
-        .map(r => r.getString(0) -> quant(r.getLong(1).toDouble / total)).toMap
+        .map(r => r.getString(0) -> ExactLn.lnNanoFloor(r.getLong(1), total)).toMap
       val bgTop = lmCorpus
         .select(explode(
           graft.expressions.TextExpressions.wordSpans(col(textCol), 2)).as("bg"))
@@ -632,9 +635,9 @@ object TextAnalysis {
             pre(n.toDouble / w1Counts(bg.split(' ')(0))) } :+
           pre(1.0 / total) :+ pre(0.4))
       val bi = bgTop.map { case (bg, n) =>
-        bg -> quant(n.toDouble / w1Counts(bg.split(' ')(0)))
+        bg -> ExactLn.lnNanoFloor(n, w1Counts(bg.split(' ')(0)))
       }.toMap
-      (bi, uni, quant(1.0 / total), quant(0.4))
+      (bi, uni, ExactLn.lnNanoFloor(1L, total), ExactLn.lnNanoFloor(2L, 5L))
     } finally uniCounts.unpersist(blocking = false)
   }
 
@@ -1210,8 +1213,11 @@ object TextAnalysis {
       idfRows.map(r => idfPre(r.getLong(1), r.getLong(2))).toSeq)
     val spark = df.sparkSession
     import spark.implicits._
+    // 1 + (n − df + 0.5)/(df + 0.5) = (2n+2)/(2df+1) exactly — the idf
+    // quantizes through [[ExactLn]] (r15; audit above stays the
+    // replaying-oracle guard)
     val idf = idfRows.map(r => (r.getString(0),
-        math.floor(idfPre(r.getLong(1), r.getLong(2))).toLong))
+        ExactLn.lnNanoFloor(2L * r.getLong(2) + 2L, 2L * r.getLong(1) + 1L)))
       .toSeq.toDF("tok", "idf_u")
     val tf = hits
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -1571,9 +1577,11 @@ object TextAnalysis {
     * [[QuantAudit]] boundary audit over every parameter. Both scoring
     * paths then consume these integers verbatim, so the hash gate no
     * longer depends on two libms agreeing near a flooring boundary
-    * (the t21 r11 driver incident). Bit-identical to [[naiveBayesFit]]
-    * on this JVM (same Math.log, same expression order) — pinned
-    * within ±1 nano-nat by NaiveBayesSpec. */
+    * (the t21 r11 driver incident). Since r15 the quantization itself
+    * is [[ExactLn]] — a certified fixed-point ln over the exact
+    * integer ratios — so the fit is bit-identical on ANY host, not
+    * just replayable on this one; [[naiveBayesFit]]'s in-plan libm
+    * replay is pinned within ±1 nano-nat by NaiveBayesSpec. */
   def naiveBayesFitLiterals(sample: DataFrame, textCol: String,
                             labelCol: String, vocabSize: Int): NbModel = {
     val toks = sample.select(col(labelCol).as("label"),
@@ -1595,6 +1603,8 @@ object TextAnalysis {
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
       val ctot = ct.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+      // audit telemetry only (headroom trend per round); the QUANTIZED
+      // integers below come from [[ExactLn]], never from this libm ln
       def priorPre(n: Long): Double =
         math.log(n.toDouble / totalDocs) * 1e9 + 0.5
       def gridPre(l: String, t: String): Double =
@@ -1605,11 +1615,17 @@ object TextAnalysis {
       // literal contract: immune to cross-engine libm skew by
       // construction — audit is log-only, recording the headroom
       val minDist = QuantAudit.audit("nb-classifier", pres, hardFail = false)
+      // exact-integer ln (VERDICT r14 next-#3): every parameter is the
+      // ln of an integer ratio, so the fit is bit-identical on ANY
+      // host — the last way two environments could feed the two
+      // scoring paths different literals is gone by construction
       NbModel(
         classes.map { case (l, n) =>
-          l -> math.floor(priorPre(n)).toLong },
+          l -> ExactLn.lnNanoFloor(n, totalDocs) },
         for (c <- classes; t <- vocab)
-          yield (c._1, t, math.floor(gridPre(c._1, t)).toLong),
+          yield (c._1, t, ExactLn.lnNanoFloor(
+            ct.getOrElse((c._1, t), 0L) + 1L,
+            ctot.getOrElse(c._1, 0L) + vocabSize.toLong)),
         minDist)
     } finally toks.unpersist(blocking = false)
   }
@@ -1881,16 +1897,23 @@ object TextAnalysis {
     * exceeds 2^63) by squaring in decimal, and the scoring path must
     * not reintroduce it as a raw-long multiply that ANSI-throws on a
     * pathological document instead of scoring it; the final score is
-    * cast back to BIGINT (loud past 2^63 — far beyond the model
-    * contract). Oracle twin accumulates in HUGEINT.
+    * CLAMPED into BIGINT range before the cast (VERDICT r14: the
+    * previous raw `.cast(LongType)` made the ANSI cast itself the
+    * overflow — a mega-token document that the DECIMAL accumulation
+    * survives would then throw instead of scoring). The clamp keeps
+    * the sign, so `pred` is exact even on a saturated score — a score
+    * past ±2^63 nano-nats (±9.2e9 nats) is decided, not ambiguous.
+    * Oracle twin accumulates in HUGEINT and clamps identically.
     * Output: (doc_id, score_nano, pred, label, correct). */
   def logisticDistillScore(df: DataFrame, textCol: String, idCol: String,
                            m: LrModel): DataFrame = {
     val dec0 = DataTypes.createDecimalType(38, 0)
     lrFeatures(df, textCol, idCol).select(col("doc_id"),
-        (m.wNano.zipWithIndex.map { case (wj, j) =>
-          lit(wj).cast(dec0) * element_at(col("x"), j + 1).cast(dec0)
-        }.reduce(_ + _) + lit(m.bNano).cast(dec0))
+        least(greatest(
+          m.wNano.zipWithIndex.map { case (wj, j) =>
+            lit(wj).cast(dec0) * element_at(col("x"), j + 1).cast(dec0)
+          }.reduce(_ + _) + lit(m.bNano).cast(dec0),
+          lit(Long.MinValue).cast(dec0)), lit(Long.MaxValue).cast(dec0))
           .cast(LongType).as("score_nano"),
         (col("y") > 0.5).as("label"))
       .withColumn("pred", col("score_nano") >= 0L)

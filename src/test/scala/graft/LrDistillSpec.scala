@@ -70,6 +70,29 @@ class LrDistillSpec extends SparkSpec {
     }
   }
 
+  test("mega-token document saturates to a clamped score instead of an ANSI cast error (VERDICT r14)") {
+    // one 1e6-char word -> mwl_micro = 1e12; a 1e8-magnitude weight on
+    // that feature pushes the DECIMAL dot past 2^63 in both directions.
+    // The previous raw .cast(LongType) threw here; the clamp must score
+    // the doc with the sign preserved (pred exact on saturation).
+    val mega = Seq((1L, "x" * 1000000), (2L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    // lrFeatureNames order: mwl_micro is the 2nd feature
+    def m(w: Long) = TextAnalysis.LrModel(
+      Seq(0L, w, 0L, 0L, 0L, 0L, 0L), 7L, 1)
+    val pos = TextAnalysis.logisticDistillScore(mega, "text", "doc_id", m(100000000L))
+      .select("doc_id", "score_nano", "pred")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(pos.head._2 == Long.MaxValue && pos.head._3,
+      s"saturated-positive: ${pos.head}")
+    assert(pos(1)._2 != Long.MaxValue, s"normal doc must not clamp: ${pos(1)}")
+    val neg = TextAnalysis.logisticDistillScore(mega, "text", "doc_id", m(-100000000L))
+      .select("doc_id", "score_nano", "pred")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(neg.head._2 == Long.MinValue && !neg.head._3,
+      s"saturated-negative: ${neg.head}")
+  }
+
   test("sidecar round-trip: write/read identical; stale token reads as absent") {
     val dir = java.nio.file.Files.createTempDirectory("lr_sidecar_").toString
     // a tiny real documents.parquet so the content token has files to fold

@@ -63,7 +63,8 @@ class NaiveBayesSpec extends SparkSpec {
     // the r12 literal contract (VERDICT r11 next-#1): t21's gate scores
     // with naiveBayesFitLiterals' collected integers; this pins the
     // demoted in-plan fit replay against them parameter-by-parameter.
-    // On one JVM they are the same Math.log — expect exact equality;
+    // Since r15 the literals quantize through ExactLn (host-exact ln of
+    // the integer ratios) while the replay floors the JVM's libm ln —
     // the contract tolerates ±1 (a libm ulp across the flooring line).
     val m = TextAnalysis.naiveBayesFitLiterals(corpus, "text", "lang", 50)
     val (pri, grid) = model()
