@@ -86,6 +86,87 @@ object HashExpressions {
     Bridge.column(Md5MinExpr(Bridge.expression(strings)))
   def md5Set(strings: Column): Column =
     Bridge.column(Md5SetExpr(Bridge.expression(strings)))
+  def suffixOverlapBound(a: Column, b: Column, depth: Int): Column =
+    Bridge.column(SuffixOverlapBoundExpr(
+      Bridge.expression(a), Bridge.expression(b), depth))
+}
+
+/** PPJoin+ SUFFIX-FILTER overlap bound (Xiao et al., "Efficient
+  * Similarity Joins for Near-Duplicate Detection", WWW'08 §4.3 /
+  * TODS'11): an UPPER bound on |A ∩ B| for two SORTED DISTINCT Long
+  * arrays, via depth-capped recursive partitioning — pick the median
+  * of A's range, split B's range around it by binary search, recurse
+  * on the two halves, and at the depth cap bound each fragment pair by
+  * min(|a|, |b|).
+  *
+  * Lossless by induction: overlap(A,B) = overlap(A<m, B<m) +
+  * overlap(A>m, B>m) + [m ∈ B], and min(|a|,|b|) >= overlap at the
+  * leaves, so bound >= |A ∩ B| at every depth. A candidate pair whose
+  * bound falls below the similarity threshold's required overlap can
+  * therefore be pruned WITHOUT the exact intersection — the d25/d31
+  * verify stage's knob for corpora where the prefix+positional filters
+  * leave a candidate set that still dominates (VERDICT r14 next-#6).
+  *
+  * Cost: <= 2^depth leaf comparisons plus one binary search per split
+  * — O(2^d + d·log n) per pair vs array_intersect's O(n) hash build;
+  * pays when candidates >> true pairs (the measured trigger: the
+  * ScaleProbe candidate/verify ratio).
+  *
+  * CodegenFallback: one virtual call per candidate pair — noise next
+  * to the avoided intersections (the t03/d03 trade). */
+case class SuffixOverlapBoundExpr(left: Expression, right: Expression,
+                                  depth: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(depth >= 1, s"depth must be >= 1, got $depth")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_suffix_overlap_bound"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    bound(av, 0, av.numElements(), bv, 0, bv.numElements(), depth)
+  }
+
+  // bound on |a[aLo,aHi) ∩ b[bLo,bHi)| — both ranges sorted ascending
+  private def bound(a: ArrayData, aLo: Int, aHi: Int,
+                    b: ArrayData, bLo: Int, bHi: Int, d: Int): Long = {
+    val la = aHi - aLo
+    val lb = bHi - bLo
+    if (la == 0 || lb == 0) return 0L
+    if (d == 0) return math.min(la, lb).toLong
+    val midIdx = aLo + la / 2
+    val mid = a.getLong(midIdx)
+    // first index in b[bLo,bHi) with b >= mid
+    var lo = bLo
+    var hi = bHi
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (b.getLong(m) < mid) lo = m + 1 else hi = m
+    }
+    val bHasMid = lo < bHi && b.getLong(lo) == mid
+    val bRightLo = if (bHasMid) lo + 1 else lo
+    bound(a, aLo, midIdx, b, bLo, lo, d - 1) +
+      bound(a, midIdx + 1, aHi, b, bRightLo, bHi, d - 1) +
+      (if (bHasMid) 1L else 0L)
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<bigint> children, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SimHash of a text (lowercased internally, so the SQL-registered form

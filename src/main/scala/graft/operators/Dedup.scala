@@ -1343,21 +1343,60 @@ object Dedup {
     * unordered pair with cos >= tau; docs with zero shingles never
     * pair (t24 contract). */
   def allPairsCosine(df: DataFrame, textCol: String, idCol: String,
-                     shingleN: Int, tauNum: Int, tauDen: Int): DataFrame = {
+                     shingleN: Int, tauNum: Int, tauDen: Int,
+                     suffixDepth: Int = 0): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     allPairsCosinePre(hashedShingleSets(df, textCol, idCol, shingleN),
-      tauNum, tauDen)
+      tauNum, tauDen, suffixDepth)
   }
 
   /** [[allPairsCosine]] on a PRE-BUILT hashed-set base (from
     * [[allPairsCosineAppend]]) — the streaming tick's internal-pair
-    * step, so a batch's sets are hashed once ever. */
-  def allPairsCosinePre(base: DataFrame, tauNum: Int, tauDen: Int)
-      : DataFrame = {
+    * step, so a batch's sets are hashed once ever.
+    *
+    * `suffixDepth` > 0 enables the PPJoin+ SUFFIX FILTER
+    * ([[graft.expressions.SuffixOverlapBoundExpr]], VERDICT r14
+    * next-#6) between the candidate join and the exact verification:
+    * pairs whose depth-capped overlap BOUND cannot reach the
+    * threshold skip array_intersect entirely. Lossless (the bound is
+    * an upper bound), so the output is depth-invariant —
+    * AllPairsCosineSpec pins filtered == unfiltered == the naive
+    * quadratic. The measured trigger: enable it when the ScaleProbe
+    * candidate/verify ratio shows candidates dominating true pairs
+    * (high-prefix-overlap corpora); at ratio ~1 the bound is pure
+    * overhead. */
+  def allPairsCosinePre(base: DataFrame, tauNum: Int, tauDen: Int,
+                        suffixDepth: Int = 0): DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     val t2n = tauNum.toLong * tauNum
     val t2d = tauDen.toLong * tauDen
+    val attached = cosineCandidatesAttached(base, t2n, t2d)
+    val preVerified =
+      if (suffixDepth <= 0) attached
+      else attached
+        .withColumn("__sb", graft.expressions.HashExpressions
+          .suffixOverlapBound(col("shs1"), col("shs2"), suffixDepth))
+        .filter(lit(t2d) * col("__sb") * col("__sb") >=
+          lit(t2n) * col("n1") * col("n2"))
+        .drop("__sb")
+    preVerified
+      .withColumn("n_shared",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .filter(lit(t2d) * col("n_shared") * col("n_shared") >=
+        lit(t2n) * col("n1") * col("n2"))
+      .withColumn("cos_nano", floor(col("n_shared").cast(DoubleType) /
+        sqrt((col("n1") * col("n2")).cast(DoubleType)) * lit(1e9) +
+        lit(0.5)).cast(LongType))
+      .select("id1", "id2", "n1", "n2", "n_shared", "cos_nano")
+  }
+
+  /** The cosine family's prefix-filtered candidate pairs with BOTH
+    * hashed sets attached — the stage every verification mode
+    * (plain, suffix-filtered, and the measured-trigger stats) shares,
+    * factored once so they can never drift (r15). */
+  private def cosineCandidatesAttached(base: DataFrame,
+                                       t2n: Long, t2d: Long): DataFrame = {
     val freq = base.select(explode(col("shs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("hfreq"))
     // a df=1 element can only pair a doc with itself — pure pruning
@@ -1379,14 +1418,34 @@ object Dedup {
         col("n").as("n1")), Seq("id1"))
       .join(base.select(col("id").as("id2"), col("shs").as("shs2"),
         col("n").as("n2")), Seq("id2"))
-      .withColumn("n_shared",
-        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
-      .filter(lit(t2d) * col("n_shared") * col("n_shared") >=
-        lit(t2n) * col("n1") * col("n2"))
-      .withColumn("cos_nano", floor(col("n_shared").cast(DoubleType) /
-        sqrt((col("n1") * col("n2")).cast(DoubleType)) * lit(1e9) +
-        lit(0.5)).cast(LongType))
-      .select("id1", "id2", "n1", "n2", "n_shared", "cos_nano")
+  }
+
+  /** THE MEASURED TRIGGER for the suffix-filter knob: (candidate
+    * pairs reaching verification, candidates the depth-`suffixDepth`
+    * suffix bound lets through). A candidates/true-pairs ratio near 1
+    * means the bound is pure overhead; a large drop
+    * (candidates >> survivors) is the corpus shape where enabling
+    * `suffixDepth` pays — the ScaleProbe `suffix_filter` row reports
+    * exactly this. */
+  private[graft] def cosineSuffixStats(df: DataFrame, textCol: String,
+                                       idCol: String, shingleN: Int,
+                                       tauNum: Int, tauDen: Int,
+                                       suffixDepth: Int): (Long, Long) = {
+    val t2n = tauNum.toLong * tauNum
+    val t2d = tauDen.toLong * tauDen
+    val attached = cosineCandidatesAttached(
+      hashedShingleSets(df, textCol, idCol, shingleN), t2n, t2d)
+      .persist()
+    try {
+      val n0 = attached.count()
+      val n1 = attached
+        .withColumn("__sb", graft.expressions.HashExpressions
+          .suffixOverlapBound(col("shs1"), col("shs2"), suffixDepth))
+        .filter(lit(t2d) * col("__sb") * col("__sb") >=
+          lit(t2n) * col("n1") * col("n2"))
+        .count()
+      (n0, n1)
+    } finally attached.unpersist(false)
   }
 
   /** (id, shs = sorted distinct 60-bit shingle hashes, n) — the hashed
@@ -1484,19 +1543,23 @@ object Dedup {
     * containment >= tau and min(n1,n2) >= minN. */
   def allPairsContainment(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int, tauNum: Int, tauDen: Int,
-                          minN: Int): DataFrame = {
+                          minN: Int, suffixDepth: Int = 0): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     allPairsContainmentPre(
       hashedShingleSets(df, textCol, idCol, shingleN)
         .filter(col("n") >= minN),
-      tauNum, tauDen, minN)
+      tauNum, tauDen, minN, suffixDepth)
   }
 
   /** [[allPairsContainment]] on a PRE-BUILT hashed-set base (already
     * minN-filtered) — the streaming tick's internal-pair step, so a
-    * batch's sets are hashed once ever. */
+    * batch's sets are hashed once ever. `suffixDepth` > 0 enables the
+    * PPJoin+ suffix filter before exact verification (see
+    * [[allPairsCosinePre]]; the containment threshold is
+    * tauDen·bound >= tauNum·n1 — bound is an integer, so >= ceil is
+    * the plain cross-multiplication). */
   def allPairsContainmentPre(base: DataFrame, tauNum: Int, tauDen: Int,
-                             minN: Int): DataFrame = {
+                             minN: Int, suffixDepth: Int = 0): DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     require(minN >= 1, s"minN must be >= 1, got $minN")
@@ -1529,11 +1592,20 @@ object Dedup {
         col("n2") - col("rn2")) >= ceilTau("n1"))
       .select("id1", "id2")
       .distinct()
-    cand
+    val attached = cand
       .join(base.select(col("id").as("id1"), col("shs").as("shs1"),
         col("n").as("n1")), Seq("id1"))
       .join(base.select(col("id").as("id2"), col("shs").as("shs2"),
         col("n").as("n2")), Seq("id2"))
+    val preVerified =
+      if (suffixDepth <= 0) attached
+      else attached
+        .withColumn("__sb", graft.expressions.HashExpressions
+          .suffixOverlapBound(col("shs1"), col("shs2"), suffixDepth))
+        .filter(lit(tauDen.toLong) * col("__sb") >=
+          lit(tauNum.toLong) * col("n1"))
+        .drop("__sb")
+    preVerified
       .withColumn("n_shared",
         size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
       .filter(lit(tauDen.toLong) * col("n_shared") >=

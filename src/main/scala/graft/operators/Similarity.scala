@@ -205,15 +205,23 @@ object Similarity {
       .select(col("id"), col("v"), col("cell"))
   }
 
-  /** Per-query probe cells: the `nProbe` nearest coarse cells, by
-    * round-6dp cosine DESC with lowest-cell tiebreak — the e02/e07
-    * oracles pin these exact semantics, so both consumers must share
-    * ONE formulation. Centroids come straight from the corpus, NOT
-    * from the assignment output: a centroid whose rounded
-    * self-similarity ties another centroid can be ASSIGNED to the
-    * other's cell, which would drop a probe cell and silently diverge
-    * from the oracle. The query side is the bounded batch, so its
-    * window exchange carries |queries|×k rows. */
+  /** Per-query probe cells: the `nProbe` nearest coarse cells, ranked
+    * by the EXACT-INTEGER cosine key ([[VectorExpressions.intCosKey]]
+    * over the micro-quantized query and centroid vectors) with
+    * lowest-cell tiebreak — the e02/e07 oracles pin these exact
+    * semantics, so every consumer must share ONE formulation. r15
+    * (VERDICT r14 next-#2): probe ranking was the LAST cross-engine
+    * float comparison in the IVF gate family — the only stage
+    * exercised at probe ranks 3-8 by no green query — and now ranks on
+    * the same integer key the brute-force/candidate rankings adopted
+    * in r14; a NULL key (degenerate micro-quantized vector) is
+    * filtered on BOTH engines, the established exact-key contract.
+    * Centroids come straight from the corpus, NOT from the assignment
+    * output: a centroid whose self-similarity key ties another
+    * centroid can be ASSIGNED to the other's cell, which would drop a
+    * probe cell and silently diverge from the oracle. The query side
+    * is the bounded batch, so its window exchange carries |queries|×k
+    * rows. */
   private def probeCells(corpus: DataFrame, queries: DataFrame,
                          vecCol: String, idCol: String,
                          centroidIds: Seq[Long], nProbe: Int): DataFrame = {
@@ -228,16 +236,40 @@ object Similarity {
     * trained path (centroids are a [[KMeans.Model]] codebook). */
   private def probeCellsOn(cents: DataFrame, queries: DataFrame,
                            vecCol: String, idCol: String,
-                           nProbe: Int): DataFrame = {
+                           nProbe: Int): DataFrame =
+    probeRanked(cents, queries, vecCol, idCol, nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+  /** THE probe ranking — (query_id, qv, cell, prn ≤ maxNp) — the ONE
+    * formulation every probe consumer derives from ([[probeCellsOn]],
+    * the three tuning sweeps, and the [[ivfProbeTable]] diagnostic
+    * gate), so the contract cannot drift between them. */
+  private def probeRanked(cents: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String,
+                          maxNp: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
     q.crossJoin(broadcast(cents))
-      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(
+      .withColumn("d", VectorExpressions.intCosKey(col("qv"), col("cv")))
+      .filter(col("d").isNotNull)
+      .withColumn("prn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qcell").as("cell"))
+      .filter(col("prn") <= maxNp)
+      .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
   }
+
+  /** DIAGNOSTIC GATE (VERDICT r14 next-#1c): the max-width probe
+    * relation itself as a checked query — (query_id, prn, cell). The
+    * e24/e25/e26 summaries aggregate this stage into a handful of
+    * integers; exposing the stage as rows lets a red summary gate be
+    * localized to (or past) probe selection by the driver run itself. */
+  def ivfProbeTable(corpus: DataFrame, queries: DataFrame,
+                    vecCol: String, idCol: String,
+                    codebook: Seq[Seq[Double]], maxNp: Int): DataFrame =
+    probeRanked(centsOf(corpus.sparkSession, codebook),
+        queries, vecCol, idCol, maxNp)
+      .select(col("query_id"), col("prn").cast(LongType).as("prn"),
+        col("cell"))
 
   /** The trained-codebook centroid relation: (qcell 0..k-1, cv) built
     * from driver-literal centroid rows — a tiny broadcastable dim. */
@@ -316,11 +348,12 @@ object Similarity {
 
   /** [[ivfRecallSweep]] with the candidate and brute-force RANKINGS on
     * the exact-integer cosine key ([[VectorExpressions.intCosKey]]) —
-    * the hash-gate form (VERDICT r13 next-#1b): cell assignment and
-    * probe selection keep the round-6 float replay the e02/e17/e18
-    * gates have proven for three rounds; the two corpus-vs-query
-    * rankings whose ~k·maxNp-deep comparison surface a single
-    * cross-engine float flip could tip become integer-exact.
+    * the hash-gate form (VERDICT r13 next-#1b): the two
+    * corpus-vs-query rankings whose ~k·maxNp-deep comparison surface a
+    * single cross-engine float flip could tip become integer-exact.
+    * Since r15 probe selection ranks on the same integer key (VERDICT
+    * r14 next-#2), so only cell assignment — the rank-1 stage the
+    * e08 gate proves independently — still replays round-6 floats.
     * Spec-pinned equal to the float sweep on the shipped corpus
     * (IvfSpec) — the float path stays the production operator. */
   def ivfRecallSweepExact(corpus: DataFrame, queries: DataFrame,
@@ -349,12 +382,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
-      .filter(col("prn") <= maxNp)
-      .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
+    // probe ranking on the exact-integer key (r15, VERDICT r14
+    // next-#2) — THE shared [[probeRanked]] formulation; NULL keys
+    // (degenerate micro-quantized vectors) filtered on BOTH engines
+    val probes = probeRanked(cents, queries, vecCol, idCol, maxNp)
       .persist()
     // one candidate scan at max width; each candidate tagged with the
     // probe rank of the cell it came from. A NULL exact key means the
@@ -392,7 +423,13 @@ object Similarity {
         .select(lit(np.toLong).as("n_probe"),
           col("nq").as("n_queries"), col("n_hits"),
           expr("1000000 * n_hits div n_bf").as("recall_ppm"),
-          expr("1000000 * n_scanned div (nq * n_corpus)").as("scanned_ppm"))
+          // DECIMAL(38,0) intermediates: at the corpus scale this
+          // operator documents, 1e6·n_scanned and nq·n_corpus exceed
+          // 2^63 and the Long form would abort loudly under ANSI
+          // (ADVICE r14 — the same fix ivfOperatingSweepExact carries
+          // via BigInt; here the expression stays in-plan)
+          expr("CAST(1000000 AS DECIMAL(38,0)) * n_scanned div " +
+            "(CAST(nq AS DECIMAL(38,0)) * n_corpus)").as("scanned_ppm"))
     }.reduce(_ unionByName _)
     // The summary is |nProbes| rows — materialize it eagerly so the four
     // shared relations can be RELEASED here (a lazy return would pin
@@ -444,12 +481,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
-      .filter(col("prn") <= maxNp)
-      .select(col("query_id"), col("qv"), col("qcell").as("cell"), col("prn"))
+    // probe ranking on the exact-integer key (r15) — THE shared
+    // [[probeRanked]] formulation across the family
+    val probes = probeRanked(cents, queries, vecCol, idCol, maxNp)
       .persist()
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
@@ -771,15 +805,13 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", round(VectorExpressions.cosine(col("qv"), col("cv")), 6))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d").desc, col("qcell").asc)))
-      .filter(col("prn") <= maxNp)
-      // no qv here: unlike the exact sweep, ADC scoring reads the
-      // broadcast lookup tables, so caching query vectors per probe
-      // row would be dead weight (review r14 s2)
-      .select(col("query_id"), col("qcell").as("cell"), col("prn"))
+    // probe ranking on the exact-integer key (r15) — THE shared
+    // [[probeRanked]] formulation across the family. No qv kept:
+    // unlike the exact sweep, ADC scoring reads the broadcast lookup
+    // tables, so caching query vectors per probe row would be dead
+    // weight (review r14 s2)
+    val probes = probeRanked(cents, queries, vecCol, idCol, maxNp)
+      .select(col("query_id"), col("cell"), col("prn"))
       .persist()
     val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
     val cand = coded
@@ -831,6 +863,122 @@ object Similarity {
       import spark.implicits._
       rows.toDF("n_probe", "r_shortlist", "n_queries", "n_hits", "n_bf",
         "recall_ppm", "scanned_ppm")
+    } finally Seq(assigned, probes, cand, bf).foreach(_.unpersist(false))
+  }
+
+  /** 3-D IVF-PQ OPERATING GRID — (nProbe × ADC-shortlist depth × k)
+    * JOINTLY (VERDICT r14 next-#7 / missing-#3): the table a real
+    * deployment actually tunes from. e25 covers (nProbe × k) on the
+    * exact index, e26 covers (nProbe × r) at fixed k on the PQ path;
+    * this composes both axes on the PQ path — probe width buys
+    * candidate coverage, shortlist depth buys back ADC mis-ordering,
+    * result depth k trades recall against serving cost, and all three
+    * interact (deep shortlists only pay at wide k; narrow probes cap
+    * recall regardless of r).
+    *
+    * Efficiency contract — e26's, with the k axis FREE (e25's trick):
+    * ONE coded candidate scan at max(nProbes); per probe width ONE ADC
+    * window cut to max(rs) with true vectors attached only to that
+    * bounded shortlist; per (probe, r) ONE exact-key re-rank window cut
+    * to max(ks) and ONE conditional aggregate emitting EVERY k's hit
+    * count — |nProbes| ADC windows + |nProbes|·|rs| re-rank windows
+    * total, row count multiplied by |ks| at zero extra scans. The
+    * baseline is [[bruteForceTopKExact]] at max(ks), rank kept, so
+    * each (k) divides by its own depth-k baseline row count (the
+    * ADVICE-r13 denominator, per depth).
+    *
+    * Every cell with k matching [[ivfPqOperatingSweepExact]]'s fixed k
+    * is spec-pinned EQUAL to that operator's (nProbe, r) point
+    * (IvfPqGridSpec) — the 3-D grid is a strict widening, not a fork. */
+  def ivfPqOperatingGrid3d(corpus: DataFrame, queries: DataFrame,
+                           vecCol: String, idCol: String, ks: Seq[Int],
+                           cellCodebook: Seq[Seq[Double]], m: Int,
+                           pqCodebook: Seq[Seq[Double]],
+                           rs: Seq[Int], nProbes: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
+      s"bad ks $ks")
+    require(rs.nonEmpty && rs.forall(_ >= ks.max) &&
+      rs.distinct.size == rs.size,
+      s"shortlist depths must be >= max k=${ks.max} and distinct, got $rs")
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1) &&
+      nProbes.distinct.size == nProbes.size, s"bad nProbes $nProbes")
+    val spark = corpus.sparkSession
+    val maxNp = nProbes.max
+    val maxR = rs.max
+    val kMax = ks.max
+    val ksSorted = ks.sorted
+    val assigned = cellAssignmentsTrained(corpus, vecCol, idCol,
+      cellCodebook).persist()
+    val coded = assigned
+      .select(col("id"), col("cell"),
+        graft.expressions.VectorExpressions
+          .pqEncode(col("v"), pqCodebook, m).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("id"), col("cell"), col("st.codes").as("codes"))
+    val cents = centsOf(spark, cellCodebook)
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val probes = probeRanked(cents, queries, vecCol, idCol, maxNp)
+      .select(col("query_id"), col("cell"), col("prn"))
+      .persist()
+    val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
+    val cand = coded
+      .join(broadcast(probes.join(tables, Seq("query_id"))), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(adcScore(m, pqCodebook.length), 6))
+      .select(col("query_id"), col("id"), col("adc_d2"), col("prn"))
+      .persist()
+    val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)
+      .select(col("query_id"), col("id"), col("rank").as("bfr"))
+      .persist()
+    val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    val corpusVecs = assigned.select(col("id"), col("v"))
+    val nQ = q.count()
+    val nCorpus = assigned.count()
+    val bfAggs = ksSorted.map(kk =>
+      coalesce(sum(when(col("bfr") <= kk, 1L).otherwise(0L)), lit(0L)))
+    val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
+    try {
+      val rows = nProbes.sorted.flatMap { np =>
+        val short = cand.filter(col("prn") <= np)
+          .withColumn("ar", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("adc_d2").asc, col("id").asc)))
+          .filter(col("ar") <= maxR)
+          .join(corpusVecs, Seq("id"))
+          .join(q, Seq("query_id"))
+          .withColumn("key", VectorExpressions.intCosKey(col("v"), col("qv")))
+          .filter(col("key").isNotNull)
+          .select(col("query_id"), col("id"), col("ar"), col("key"))
+          .localCheckpoint(false)
+        val scanned = probes.filter(col("prn") <= np)
+          .join(cellSizes, Seq("cell"))
+          .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
+        val scannedPpm =
+          if (nQ == 0 || nCorpus == 0) 0L
+          else (BigInt(1000000L) * scanned / (BigInt(nQ) * nCorpus)).toLong
+        rs.sorted.flatMap { r =>
+          val reranked = short.filter(col("ar") <= r)
+            .withColumn("frank", row_number().over(
+              Window.partitionBy("query_id")
+                .orderBy(col("key").desc, col("id").asc)))
+            .filter(col("frank") <= kMax)
+            .select("query_id", "id", "frank")
+          val joined = bf.join(reranked, Seq("query_id", "id"))
+          val hitAggs = ksSorted.map(kk => coalesce(sum(
+            when(col("bfr") <= kk && col("frank") <= kk, 1L).otherwise(0L)),
+            lit(0L)))
+          val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
+          ksSorted.indices.map { i =>
+            val (h, nbf) = (hitRow.getLong(i), nBfRow.getLong(i))
+            (np.toLong, r.toLong, ksSorted(i).toLong, nQ, h, nbf,
+              if (nbf == 0) 0L else 1000000L * h / nbf, scannedPpm)
+          }
+        }
+      }
+      import spark.implicits._
+      rows.toDF("n_probe", "r_shortlist", "k", "n_queries", "n_hits",
+        "n_bf", "recall_ppm", "scanned_ppm")
     } finally Seq(assigned, probes, cand, bf).foreach(_.unpersist(false))
   }
 

@@ -881,6 +881,32 @@ object ScaleProbe {
           shingleN = 5, tauNum = 1, tauDen = 3, minN = 5)
       }
     }
+    // r15 suffix filter (PPJoin+): the MEASURED TRIGGER for the
+    // suffixDepth knob. The chimera corpus is the high-candidate /
+    // low-true-pair shape — each synthetic doc shares ~half its rare
+    // width-5 shingles with its parents, so the prefix+positional
+    // filters admit the pair and exact verification rejects it. The
+    // row reports how many attached candidates the depth-3 bound kills
+    // BEFORE array_intersect, plus the timed operator at depth 0 vs 3.
+    // (Runs at 1x: chimeraAug's id-collision guard owns the 1e6 id
+    // space the salted replicas use; the candidate/survivor RATIO is
+    // the scale-free decision number.)
+    stage("suffix_filter") {
+      val chim = graft.queries.DataQueries.chimeraAug(base)
+      val (nCand, nSurv) = Dedup.cosineSuffixStats(chim, "text", "doc_id",
+        shingleN = 5, tauNum = 3, tauDen = 5, suffixDepth = 3)
+      val dropPct = if (nCand == 0) 0.0 else 100.0 * (nCand - nSurv) / nCand
+      println(f"[scale] suffix_filter: candidates=$nCand " +
+        f"survivors=$nSurv dropped=$dropPct%.1f%%")
+      t("suffix_cosine_d0") {
+        Dedup.allPairsCosine(chim, "text", "doc_id",
+          shingleN = 5, tauNum = 3, tauDen = 5, suffixDepth = 0)
+      }
+      t("suffix_cosine_d3") {
+        Dedup.allPairsCosine(chim, "text", "doc_id",
+          shingleN = 5, tauNum = 3, tauDen = 5, suffixDepth = 3)
+      }
+    }
     // d29 LSH banding sweep: one signature pass + one exact-truth
     // co-occurrence join, then per-config skinny (id, band) self-joins.
     // The FULL sweep's truth join is Σdf² — 5.44 s at 1× but 272 s at
@@ -984,6 +1010,22 @@ object ScaleProbe {
           emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
           k = 5, cellCodebook = cellCb, m = 4, pqCodebook = pqCb,
           rs = Seq(5, 10, 20), nProbes = Seq(1, 2, 4))
+      }
+    }
+    // e27 3-D grid (r15): the k axis must stay FREE on the PQ path —
+    // the cost profile must track pq_grid's (same coded scan, same ADC
+    // windows; the extra |rs| re-rank windows run over the bounded
+    // nq·max(r) shortlist), not multiply by |ks|.
+    stage("grid3d") {
+      t(s"grid3d_${replicas}x") {
+        val cellCb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+          k = 16, dim = 64, iters = 3).centroids
+        val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
+          "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
+        graft.operators.Similarity.ivfPqOperatingGrid3d(embBig,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+          ks = Seq(1, 5), cellCodebook = cellCb, m = 4, pqCodebook = pqCb,
+          rs = Seq(5, 20), nProbes = Seq(1, 4))
       }
     }
     // t27 Moore-Lewis selection: two bounded LM fits (vocab-literal

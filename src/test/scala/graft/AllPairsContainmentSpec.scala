@@ -93,6 +93,18 @@ class AllPairsContainmentSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("suffix filter (r15): depth-invariant containment output on the chimera corpus") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val aug = graft.queries.DataQueries.chimeraAug(docs)
+    val base = run(aug, "text", n = 5, tauNum = 1, tauDen = 3, minN = 5)
+    for (d <- Seq(1, 3, 6)) {
+      val got = Dedup.allPairsContainment(aug, "text", "doc_id", 5, 1, 3,
+          minN = 5, suffixDepth = d)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === base, s"suffixDepth=$d must be lossless")
+    }
+  }
+
   test("d31 chimera construction: mid-band partial containments exist and every cont_nano is the exact integer rounding") {
     // the gated query's deterministic quote/wrapper transform — half of
     // doc i followed by half of doc i+1 for an md5-selected 1-in-5 —

@@ -84,6 +84,37 @@ class AllPairsCosineSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("suffix filter (r15): depth-invariant output on the real corpus; the bound really is an upper bound") {
+    val docs = graft.catalog.Catalog(spark, "/root/testdata/sf0.001").documents
+    val base = run(docs, "text", n = 3, tauNum = 3, tauDen = 5)
+    for (d <- Seq(1, 3, 6)) {
+      val got = Dedup.allPairsCosine(docs, "text", "doc_id", 3, 3, 5,
+          suffixDepth = d)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === base, s"suffixDepth=$d must be lossless")
+    }
+    // bound >= exact overlap on every corpus pair, at every depth —
+    // the losslessness premise, checked directly against
+    // array_intersect over the operator's own hashed-set base
+    val hashed = docs.select(col("doc_id").cast("long").as("id"),
+        graft.expressions.HashExpressions
+          .md5Set(Dedup.wordShingles(col("text"), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val a = hashed.select(col("id").as("id1"), col("shs").as("shs1"))
+    val b = hashed.select(col("id").as("id2"), col("shs").as("shs2"))
+    val pairs = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .limit(2000)
+    for (d <- Seq(1, 2, 4)) {
+      val viol = pairs.withColumn("o",
+          size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
+        .withColumn("sb", graft.expressions.HashExpressions
+          .suffixOverlapBound(col("shs1"), col("shs2"), d))
+        .filter(col("sb") < col("o"))
+        .count()
+      assert(viol === 0L, s"depth $d: $viol pairs with bound < overlap")
+    }
+  }
+
   test("width-5 tau=2/5 (d28, the realistic-rarity regime): lossless, non-degenerate, selective") {
     // width-3 on this corpus is SATURATED (31-token pool caps the
     // 3-shingle space); width-5 has genuine rarity (95% of shingles at
