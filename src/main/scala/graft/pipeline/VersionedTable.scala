@@ -134,6 +134,42 @@ object VersionedTable {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Atomic OVERWRITE of a small metadata file (the pointer-cache
+    * rename recipe factored out): write a tmp sibling, then rename over
+    * the destination — nio ATOMIC_MOVE on local files (Hadoop's local
+    * OVERWRITE rename is delete-then-rename), Options.Rename.OVERWRITE
+    * on HDFS-like stores. For last-writer-wins sidecars (the release
+    * epoch cursor); put-if-absent commits stay [[commitText]]. */
+  private[pipeline] def atomicOverwriteText(spark: SparkSession,
+                                            path: String,
+                                            content: String): Unit = {
+    val f = fsFor(spark, path)
+    val tmp = hp(path + ".tmp_" +
+      java.util.UUID.randomUUID.toString.take(12))
+    writeSmallFile(f, tmp, content)
+    val dst = f.makeQualified(hp(path))
+    if (dst.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
+        java.nio.file.Paths.get(dst.toUri),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), dst,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Small metadata file content, or None if absent. */
+  private[pipeline] def readTextIfExists(spark: SparkSession,
+                                         path: String): Option[String] = {
+    val f = fsFor(spark, path)
+    val p = hp(path)
+    if (f.exists(p)) Some(readSmallFile(f, p)) else None
+  }
+
   /** The committed version, if the table exists. The pointer file is a
     * CACHE: the commit point is the manifest's atomic creation, so the
     * pointer is healed FORWARD here by probing for the next contiguous
@@ -839,16 +875,34 @@ object VersionedTable {
         //    deleted mid-write (ADVICE r13): presence of the
         //    committer's scratch dir vetoes deletion at ANY age
         val inFlight = f.exists(hp(s"${dataRoot(root)}/$name/_temporary"))
-        val supersededOrphan =
-          name.startsWith("b") && vOf.nonEmpty && vOf.toLong <= healed &&
-            aged &&
-            listRelative(f, root, name).forall(rel => !live.contains(rel))
-        // a file-empty dir is sweepable when this prune just emptied it
-        // (known ours), or once aged (a crashed writer's pre-setup dir)
-        val emptied = !f.listFiles(st.getPath, true).hasNext &&
-          (aged || expiredDirNames.contains(name))
-        if (!inFlight && (supersededOrphan || emptied))
-          f.delete(st.getPath, true)
+        // the in-flight veto must SHORT-CIRCUIT the classification, not
+        // just the deletion: both classifying listings below recurse
+        // into the dir, and a live writer's _temporary task files
+        // vanish mid-listing as its commit renames them (found by the
+        // r15 cross-process publish/GC hammer — RawLocalFileSystem
+        // fails the whole sweep on the vanished stat). And a writer
+        // can still CREATE its scratch between the veto check and the
+        // listing, so classification errors are treated as live
+        // activity: skip the dir this sweep, it stays for the next.
+        if (!inFlight) try {
+          val supersededOrphan =
+            name.startsWith("b") && vOf.nonEmpty && vOf.toLong <= healed &&
+              aged &&
+              listRelative(f, root, name).forall(rel => !live.contains(rel))
+          // a file-empty dir is sweepable when this prune just emptied
+          // it (known ours), or once aged (a crashed writer's pre-setup
+          // dir)
+          val emptied = !f.listFiles(st.getPath, true).hasNext &&
+            (aged || expiredDirNames.contains(name))
+          if (supersededOrphan || emptied)
+            f.delete(st.getPath, true)
+        } catch {
+          case _: java.io.FileNotFoundException => ()
+          case e: RuntimeException
+            if e.getMessage != null &&
+              (e.getMessage.contains("file permissions") ||
+                e.getMessage.contains("No such file")) => ()
+        }
       }
     }
     // stale tmps from crashed writers: manifest tmps under _manifests

@@ -444,7 +444,17 @@ object EventStreams {
             .map(v => PublishSet.note(spark, registryRoot, v)
               .flatMap(parseNote))
             .collectFirst { case Some(x) => x }
-        val lastEpoch = lastRelease.map(_._1).getOrElse(-1L)
+        // the epoch cursor is the MAX of the note-derived cursor and
+        // the persisted sidecar ([[PublishSet.readEpochCursor]]):
+        // retention can fill the registry window entirely with
+        // rollback-noted releases, resetting the note cursor to -1 —
+        // a replayed batch would then re-publish OVER the rollback
+        // (ADVICE r14). The sidecar survives any prune; rollback never
+        // advances it (rollback must not reset OR extend epoch memory).
+        val cursorEpoch = PublishSet.readEpochCursor(spark, registryRoot)
+          .map(_._1).getOrElse(-1L)
+        val lastEpoch = math.max(lastRelease.map(_._1).getOrElse(-1L),
+          cursorEpoch)
         // the cmsFoldBatch trichotomy, BEFORE any member merge: a batch
         // id below the cursor means the checkpoint restarted at 0 while
         // the registry survived — merging-but-never-publishing until
@@ -510,6 +520,11 @@ object EventStreams {
             Map(chunksRoot -> chunksV, indexRoot -> idxV,
               codebookRoot -> cbV),
             note = Some(s"epoch $batchId rows $newIdxRows"))
+          // persist the cursor OUTSIDE note retention (ADVICE r14) —
+          // after the publish, so a crash between the two leaves the
+          // note as the (still-retained, newest) cursor source
+          PublishSet.advanceEpochCursor(spark, registryRoot, batchId,
+            newIdxRows)
           // in-tick retention maintenance (opt-in): bound the registry
           // to the newest gcKeepReleases, then the retention-coupled
           // member GC ([[graft.pipeline.PublishSet.pruneMembers]]) —

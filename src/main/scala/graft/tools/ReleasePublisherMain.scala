@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM release publisher for the cross-process publish/GC
+  * ClusterSmoke shape (VERDICT r14 next-#4): hammers the registry with
+  * `n` member-commit-then-publish cycles (every 7th release a rollback
+  * to a retained prior release — the old-pin path the GC fence must
+  * allow, since retained-release pins are ≥ every retention floor by
+  * derivation) while the PARENT process sweeps
+  * [[graft.pipeline.PublishSet.prune]] +
+  * [[graft.pipeline.PublishSet.pruneMembers]] against it.
+  *
+  * Exit contract: 0 iff every publish succeeded — the fence must never
+  * fire on fresh or retained pins, and the post-CAS re-validation must
+  * never find a pinned manifest missing (zero lost releases). Any
+  * throw exits nonzero and fails the shape. */
+object ReleasePublisherMain {
+
+  def launch(reg: String, memberA: String, memberB: String,
+             n: Int): Process =
+    VersionedWriterMain.launchJvm("graft.tools.ReleasePublisherMain",
+      Seq(reg, memberA, memberB, n.toString))
+
+  def main(args: Array[String]): Unit = {
+    val Array(reg, memberA, memberB, n) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("release-publisher")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.pipeline.{PublishSet, VersionedTable}
+    try {
+      var published = 0
+      var rollbacksSkipped = 0
+      (1 to n.toInt).foreach { i =>
+        if (i % 7 == 0 && PublishSet.versions(spark, reg).size >= 4) {
+          // rollback to an OLD retained release — the old-pin publish
+          // path. Two rejections are DESIGNED behavior under the
+          // sweeping parent, not losses: the target release can be
+          // pruned between read and resolve, and the GC fence refuses
+          // a pin that fell below the floors after a registry prune.
+          // Both fail loudly at publish time (the contract); the
+          // hammer tolerates them on THIS path only. Fresh-pin
+          // publishes below must never fail.
+          val to = PublishSet.versions(spark, reg).takeRight(4).head
+          try PublishSet.rollback(spark, reg, to)
+          catch {
+            case e: Exception =>
+              rollbacksSkipped += 1
+              println(s"[release-publisher] rollback to v$to rejected " +
+                s"(designed GC-race behavior): ${e.getMessage.take(100)}")
+          }
+        } else {
+          val vA = VersionedTable.merge(spark, memberA,
+            Seq((s"a$i", i.toLong)).toDF("k", "seq"), uniqueKey = Seq("k"))
+          val vB = VersionedTable.merge(spark, memberB,
+            Seq((s"b$i", i.toLong)).toDF("k", "seq"), uniqueKey = Seq("k"))
+          PublishSet.publish(spark, reg,
+            Map(memberA -> vA, memberB -> vB),
+            note = Some(s"epoch $i rows $i"))
+        }
+        published += 1
+        Thread.sleep(15) // pace: leave CAS room for the sweeping parent
+      }
+      println(s"[release-publisher] ok published=$published " +
+        s"rollbacksSkipped=$rollbacksSkipped")
+    } finally spark.stop()
+  }
+}

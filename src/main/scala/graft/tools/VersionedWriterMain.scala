@@ -24,7 +24,14 @@ object VersionedWriterMain {
     * duplicated; a JDK bump updating only one copy would break the
     * other harness silently). */
   def launch(root: String, writerId: String, nCommits: Int,
-             xmx: String = "2g"): Process = {
+             xmx: String = "2g"): Process =
+    launchJvm("graft.tools.VersionedWriterMain",
+      Seq(root, writerId, nCommits.toString), xmx)
+
+  /** Generic child-JVM launcher for cross-process harnesses
+    * (this writer, the r15 publish/GC hammer) — one add-opens list. */
+  def launchJvm(mainClass: String, args: Seq[String],
+                xmx: String = "2g"): Process = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -37,8 +44,7 @@ object VersionedWriterMain {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = (Seq(java, s"-Xmx$xmx", "-cp",
       System.getProperty("java.class.path")) ++ addOpens ++
-      Seq("graft.tools.VersionedWriterMain", root, writerId,
-        nCommits.toString))
+      (mainClass +: args))
     new ProcessBuilder(cmd: _*).inheritIO().start()
   }
 

@@ -183,6 +183,76 @@ class PublishSetSpec extends SparkSpec {
     }
   }
 
+  test("gc fence (r15): while a gc-intent is the current release, below-floor pins are refused and fresh pins pass") {
+    val d = tmp()
+    val (a, reg) = (s"$d/A", s"$d/_REL")
+    (1 to 3).foreach(i =>
+      VersionedTable.write(spark, a, Seq((i.toLong, s"a$i")).toDF("id", "tag")))
+    PublishSet.publish(spark, reg, Map(a -> 2L))
+    PublishSet.prune(spark, reg, keep = 1)
+    // the crashed-sweep state: a gc-intent marker is the current
+    // release (pruneMembers commits exactly this through the same
+    // note mechanism before deriving floors)
+    PublishSet.publish(spark, reg, Map(a -> 2L), note = Some("gc-intent"))
+    // retention floor for A is 2: pinning v1 races the (possibly
+    // still-deleting) sweep and must be refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      PublishSet.publish(spark, reg, Map(a -> 1L))
+    }
+    assert(ex.getMessage.contains("races an in-flight member GC"),
+      ex.getMessage)
+    // at/above the floor passes — fresh commits and retained-release
+    // pins are never blocked by an open window
+    PublishSet.publish(spark, reg, Map(a -> 3L))
+    // the window is closed (current note is no longer the intent):
+    // old pins work again, and their manifests still exist
+    PublishSet.publish(spark, reg, Map(a -> 1L))
+    assert(PublishSet.resolve(spark, reg) === Map(a -> 1L))
+  }
+
+  test("gc sweep closes its window even when the sweep fails; a full sweep leaves gc-done current") {
+    val d = tmp()
+    val (a, reg) = (s"$d/A", s"$d/_REL")
+    VersionedTable.write(spark, a, Seq((1L, "a1")).toDF("id", "tag"))
+    PublishSet.publish(spark, reg, Map(a -> 1L))
+    PublishSet.pruneMembers(spark, reg, memberKeep = 1)
+    val cur = PublishSet.currentVersion(spark, reg).get
+    assert(PublishSet.note(spark, reg, cur) === Some("gc-done"))
+    assert(PublishSet.note(spark, reg, cur - 1) === Some("gc-intent"))
+    assert(PublishSet.resolveVersion(spark, reg, cur) === Map(a -> 1L),
+      "markers re-pin the current set verbatim")
+    // failing sweep (pinned table deleted): intent+done still bracket
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(a), true)
+    intercept[IllegalArgumentException] {
+      PublishSet.pruneMembers(spark, reg)
+    }
+    val cur2 = PublishSet.currentVersion(spark, reg).get
+    assert(PublishSet.note(spark, reg, cur2) === Some("gc-done"),
+      "a failed sweep must not leave the fence latched")
+  }
+
+  test("epoch cursor sidecar (r15): monotone advance, prune-proof, loud malformed parse") {
+    val d = tmp()
+    val reg = s"$d/_REL"
+    assert(PublishSet.readEpochCursor(spark, reg) === None)
+    PublishSet.advanceEpochCursor(spark, reg, 3L, 10L)
+    assert(PublishSet.readEpochCursor(spark, reg) === Some((3L, 10L)))
+    PublishSet.advanceEpochCursor(spark, reg, 2L, 99L) // stale: no-op
+    assert(PublishSet.readEpochCursor(spark, reg) === Some((3L, 10L)))
+    PublishSet.advanceEpochCursor(spark, reg, 4L, 12L)
+    assert(PublishSet.readEpochCursor(spark, reg) === Some((4L, 12L)))
+    // corruption is a loud error, never parsed-as-absent (a silently
+    // reset cursor re-opens the replay hole the sidecar closes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$reg/_epoch_cursor"),
+      "garbage".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      PublishSet.readEpochCursor(spark, reg)
+    }
+  }
+
   test("prune alsoRetainFrom: the floor holds versions beyond keep, and stays a contiguous suffix") {
     val d = tmp()
     val a = s"$d/A"

@@ -141,6 +141,36 @@ class StreamingReleaseSpec extends SparkSpec {
       "readers keep the rolled-back release")
   }
 
+  test("epoch cursor survives note retention: a registry whose retained window holds only rollback notes still skips a replay (ADVICE r14)") {
+    val base = Files.createTempDirectory("graft-relcur-roots").toString
+    val (reg, chunks, idx, cb) =
+      (s"$base/_REL", s"$base/CHUNKS", s"$base/IDX", s"$base/CB")
+    def fold(id: Long, batchId: Long): Unit =
+      EventStreams.ragReleaseFoldBatch(spark,
+        Seq((id, docText(id))).toDF("doc_id", "text"), batchId,
+        "text", "doc_id", codebook, dim, reg, chunks, idx, cb,
+        cap = 64, stride = 48, gcKeepReleases = None, gcMemberKeep = 1,
+        gcStaleAfterMs = 3600 * 1000L, chunkBucketDocs = 100000L)
+    fold(0L, 0L) // release 1, note 'epoch 0 rows 2'
+    fold(1L, 1L) // release 2, note 'epoch 1 rows 4'
+    assert(PublishSet.readEpochCursor(spark, reg) === Some((1L, 4L)),
+      "publish persists the cursor sidecar")
+    PublishSet.rollback(spark, reg, to = 1L) // release 3, rollback note
+    // retention leaves ONLY the rollback-noted release: the note-derived
+    // cursor is now -1 — before the sidecar, a replayed batch 1 would
+    // re-publish OVER the rollback (the ADVICE r14 hole)
+    PublishSet.prune(spark, reg, keep = 1)
+    assert(PublishSet.versions(spark, reg) === Seq(3L))
+    fold(1L, 1L) // genuine replay: must merge idempotently, publish NOTHING
+    assert(PublishSet.currentVersion(spark, reg) === Some(3L),
+      "the sidecar cursor must hold the trichotomy when notes are gone")
+    assert(PublishSet.resolve(spark, reg).values.toSet === Set(1L),
+      "readers keep the rolled-back release")
+    // and a batch BELOW the cursor is still the loud reset error
+    val ex = intercept[IllegalStateException] { fold(0L, 0L) }
+    assert(ex.getMessage.contains("checkpoint was reset"), ex.getMessage)
+  }
+
   test("in-tick GC: each publish sweeps the registry and the members to the retained floor") {
     val land = Files.createTempDirectory("graft-relgc-land")
     val base = Files.createTempDirectory("graft-relgc-roots").toString
@@ -159,9 +189,14 @@ class StreamingReleaseSpec extends SparkSpec {
         .coalesce(1).write.mode("append").parquet(land.toString)
       tick()
     }
-    // only the newest release survives; its members read whole; the
-    // members' pre-floor versions are really gone
-    assert(PublishSet.versions(spark, reg).size === 1)
+    // only the newest epoch release survives the in-tick prune, plus
+    // the sweep's own gc-intent/gc-done markers (r15: the cross-process
+    // fence routes the GC window through the registry CAS; markers
+    // re-pin the current set, so readers see one release's content)
+    val retained = PublishSet.versions(spark, reg)
+    assert(retained.size === 3, retained.toString)
+    assert(retained.map(v => PublishSet.resolveVersion(spark, reg, v))
+      .distinct.size === 1, "markers re-pin the epoch's exact set")
     val set = PublishSet.resolve(spark, reg)
     set.foreach { case (t, v) =>
       assert(VersionedTable.readVersion(spark, t, v).count() > 0)
