@@ -1374,12 +1374,7 @@ object Dedup {
     val attached = cosineCandidatesAttached(base, t2n, t2d)
     val preVerified =
       if (suffixDepth <= 0) attached
-      else attached
-        .withColumn("__sb", graft.expressions.HashExpressions
-          .suffixOverlapBound(col("shs1"), col("shs2"), suffixDepth))
-        .filter(lit(t2d) * col("__sb") * col("__sb") >=
-          lit(t2n) * col("n1") * col("n2"))
-        .drop("__sb")
+      else cosineSuffixSurvivors(attached, t2n, t2d, suffixDepth)
     preVerified
       .withColumn("n_shared",
         size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
@@ -1438,15 +1433,24 @@ object Dedup {
       .persist()
     try {
       val n0 = attached.count()
-      val n1 = attached
-        .withColumn("__sb", graft.expressions.HashExpressions
-          .suffixOverlapBound(col("shs1"), col("shs2"), suffixDepth))
-        .filter(lit(t2d) * col("__sb") * col("__sb") >=
-          lit(t2n) * col("n1") * col("n2"))
+      val n1 = cosineSuffixSurvivors(attached, t2n, t2d, suffixDepth)
         .count()
       (n0, n1)
     } finally attached.unpersist(false)
   }
+
+  /** The suffix-bound pre-verification — ONE predicate shared by the
+    * operator and the measured-trigger stats (review r15): a
+    * threshold-arithmetic change applied to one consumer cannot leave
+    * the other reporting a different filter. */
+  private def cosineSuffixSurvivors(attached: DataFrame, t2n: Long,
+                                    t2d: Long, depth: Int): DataFrame =
+    attached
+      .withColumn("__sb", graft.expressions.HashExpressions
+        .suffixOverlapBound(col("shs1"), col("shs2"), depth))
+      .filter(lit(t2d) * col("__sb") * col("__sb") >=
+        lit(t2n) * col("n1") * col("n2"))
+      .drop("__sb")
 
   /** (id, shs = sorted distinct 60-bit shingle hashes, n) — the hashed
     * set representation the cosine family shares, materialized once

@@ -70,15 +70,22 @@ object ExactLn {
     (acc, k + 2)
   }
 
+  // atanh(1/3)·10^S is a constant per scale — cache it (review r15: a
+  // vocab-scale fit calls lnNanoFloor thousands of times and nearly
+  // every reduced ratio has e != 0)
+  private val atanhThirdCache =
+    scala.collection.concurrent.TrieMap.empty[Int, (BigInt, Int)]
+
   /** (ln(p/q)·10^S truncated, error bound in units). */
-  private def lnFixed(p: BigInt, q: BigInt,
+  private def lnFixed(p: BigInt, q: BigInt, s: Int,
                       ten: BigInt): (BigInt, BigInt) = {
     val e = p.bitLength - q.bitLength
     val (pn, qn) = if (e >= 0) (p, q << e) else (p << -e, q)
     val (a, ba) = atanhFixed(pn - qn, pn + qn, ten)
     if (e == 0) (2 * a, BigInt(2L * ba))
     else {
-      val (l2, bl) = atanhFixed(BigInt(1), BigInt(3), ten)
+      val (l2, bl) = atanhThirdCache.getOrElseUpdate(s,
+        atanhFixed(BigInt(1), BigInt(3), ten))
       (2 * a + 2 * e * l2,
         BigInt(2L * ba) + 2 * BigInt(e).abs * BigInt(bl))
     }
@@ -95,7 +102,7 @@ object ExactLn {
     var s = 40
     while (s <= 10240) {
       val ten = BigInt(10).pow(s)
-      val (l, b) = lnFixed(p, q, ten)
+      val (l, b) = lnFixed(p, q, s, ten)
       // floor(v·1e9 + 1/2) = fdiv(2·L·G + 10^S, 2·10^S); certified when
       // the whole ±B interval floors identically
       val n = 2 * l * G + ten

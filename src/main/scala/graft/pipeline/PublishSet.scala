@@ -81,26 +81,31 @@ object PublishSet {
     val committed = VersionedTable.withCommitRetries(registryRoot, "publish") { () =>
       val v = VersionedTable.currentVersion(spark, registryRoot)
         .getOrElse(0L) + 1
-      // CROSS-PROCESS GC FENCE (VERDICT r14 next-#4): if the CURRENT
-      // release is a gc-intent marker, a [[pruneMembers]] in ANOTHER
-      // process is (or was, if it crashed) about to delete member
-      // versions below the retention floors. The floors are a pure
-      // function of the retained releases up to v-1 — exactly what the
-      // sweeping process derives after its intent lands — so this
-      // publisher re-derives them and refuses to pin below a floor:
-      // the only versions the sweep may delete. Fresh member commits
-      // and rollback pins (both >= some retained release's pin) pass
-      // untouched; only an arbitrary old pin a racing GC could kill is
-      // rejected, loudly, BEFORE it becomes an unreadable release.
-      // Runs inside the retry closure so a CAS loss re-reads the chain
-      // — the check and the commit are ordered by the registry CAS.
-      if (v > 1 && PublishSet.note(spark, registryRoot, v - 1)
-          .contains(GcIntentNote)) {
+      // CROSS-PROCESS GC FENCE (VERDICT r14 next-#4): while a GC
+      // window is OPEN — the newest gc marker among retained releases
+      // is an intent with no closing gc-done after it — a
+      // [[pruneMembers]] in another process is (or was, if it
+      // crashed) deleting member versions below the retention floors.
+      // The floors are a pure function of the retained releases —
+      // exactly what the sweeping process derives after its intent
+      // lands — so this publisher re-derives them and refuses to pin
+      // below a floor: the only versions the sweep may delete. Fresh
+      // member commits and rollback pins (both >= some retained
+      // release's pin) pass untouched; only an arbitrary old pin a
+      // racing GC could kill is rejected, loudly, BEFORE it becomes
+      // an unreadable release. Scanning for the UNCLOSED intent (not
+      // just the v-1 note) keeps the fence latched for every
+      // publisher in the window — an interleaved fresh-pin publish
+      // must not unlatch it while the sweep is still deleting (review
+      // r15). Runs inside the retry closure so a CAS loss re-reads
+      // the chain — the check and the commit are ordered by the
+      // registry CAS.
+      if (gcWindowOpen(spark, registryRoot)) {
         val floors = retentionFloors(spark, registryRoot)
         set.foreach { case (table, pv) =>
           floors.get(table).foreach(f => require(pv >= f,
             s"publish of $table version $pv races an in-flight member GC " +
-              s"(gc-intent is the current release; retention floor $f): " +
+              s"(an unclosed gc-intent is retained; retention floor $f): " +
               "versions below the floor are being deleted - republish " +
               "with a current member version"))
         }
@@ -133,6 +138,22 @@ object PublishSet {
     * cursor scan skips them (they never parse as `epoch …`). */
   private val GcIntentNote = "gc-intent"
   private val GcDoneNote = "gc-done"
+
+  /** Is a GC window open? True iff, scanning retained releases newest
+    * first, a gc-intent note appears before any gc-done — the sweep
+    * that committed it has not (yet) closed its window. Cost:
+    * typically one or two note reads (windows are two markers wide);
+    * bounded by the registry's retention either way. A window whose
+    * intent was itself pruned reads as closed — the residual is the
+    * post-CAS re-validation's to detect. */
+  private def gcWindowOpen(spark: SparkSession,
+                           registryRoot: String): Boolean =
+    versions(spark, registryRoot).reverseIterator
+      .map(v => note(spark, registryRoot, v))
+      .collectFirst {
+        case Some(GcIntentNote) => true
+        case Some(GcDoneNote) => false
+      }.getOrElse(false)
 
   /** Per-table retention floor: the oldest member version any retained
     * release still pins — the one derivation shared by the sweep, its
@@ -372,9 +393,10 @@ object PublishSet {
     * can pin a just-deleted version — [[publish]]'s post-CAS
     * re-validation (ADVICE r14) turns that into a loud torn-release
     * error at publish time. A GC that crashes between intent and done
-    * leaves the intent as the current note; publishers keep working
-    * (only below-floor pins are refused) and the next successful
-    * publish or sweep supersedes it — no lease, no clock.
+    * leaves the window OPEN (the unclosed intent stays visible to the
+    * fence no matter how many releases land after it — review r15);
+    * publishers keep working (only below-floor pins are refused) and
+    * the next sweep's own done marker closes it — no lease, no clock.
     *
     * The two markers are ordinary registry versions: size
     * [[prune]]'s `keep` knowing a sweep adds two metadata-only

@@ -147,19 +147,24 @@ object VersionedTable {
     val tmp = hp(path + ".tmp_" +
       java.util.UUID.randomUUID.toString.take(12))
     writeSmallFile(f, tmp, content)
-    val dst = f.makeQualified(hp(path))
-    if (dst.toUri.getScheme == "file")
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
-        java.nio.file.Paths.get(dst.toUri),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    else {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(fc.makeQualified(tmp), dst,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    try {
+      val dst = f.makeQualified(hp(path))
+      if (dst.toUri.getScheme == "file")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
+          java.nio.file.Paths.get(dst.toUri),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(fc.makeQualified(tmp), dst,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    } finally
+      // a successful rename consumed the tmp (delete no-ops); a failed
+      // one must not leave an orphan sibling (review r15)
+      f.delete(tmp, false)
   }
 
   /** Small metadata file content, or None if absent. */
@@ -405,27 +410,8 @@ object VersionedTable {
     // faster writer already advanced it further — with the remaining
     // A-commits-6/B-commits-7/B-renames/A-renames interleave healed by
     // currentVersion's forward probe
-    if (currentPointer(f, root).forall(_ < v)) {
-      val ptmp = hp(pointerPath(root) + s".tmp_$v")
-      writeSmallFile(f, ptmp, v.toString)
-      val pdst = f.makeQualified(hp(pointerPath(root)))
-      if (pdst.toUri.getScheme == "file") {
-        // Hadoop's local OVERWRITE rename is itself delete-then-rename
-        // (spec-caught: ~5k pointer misses under a read hammer); POSIX
-        // rename(2) via nio IS atomic
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(f.makeQualified(ptmp).toUri),
-          java.nio.file.Paths.get(pdst.toUri),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } else {
-        // HDFS: Options.Rename.OVERWRITE is atomic by the FS contract
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          pdst.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(fc.makeQualified(ptmp), pdst,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      }
-    }
+    if (currentPointer(f, root).forall(_ < v))
+      atomicOverwriteText(spark, pointerPath(root), v.toString)
     ()
   }
 
@@ -915,7 +901,12 @@ object VersionedTable {
         f.delete(st.getPath, false)
     }
     f.listStatus(hp(root)).foreach { st =>
-      if (st.getPath.getName.startsWith("_current.tmp_") &&
+      val nm = st.getPath.getName
+      // pointer-advance and epoch-cursor overwrite tmps: try/finally
+      // deletes them on any non-fatal failure, so only a killed JVM
+      // leaves one (r15)
+      if ((nm.startsWith("_current.tmp_") ||
+           nm.startsWith("_epoch_cursor.tmp_")) &&
           st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L)
         f.delete(st.getPath, false)
     }

@@ -453,6 +453,17 @@ object EventStreams {
         // advances it (rollback must not reset OR extend epoch memory).
         val cursorEpoch = PublishSet.readEpochCursor(spark, registryRoot)
           .map(_._1).getOrElse(-1L)
+        // re-sync a LAGGING sidecar from the notes (review r15): a
+        // crash between publish and the cursor advance leaves the
+        // sidecar one epoch behind, and the replayed batch then skips
+        // the publish WITHOUT advancing it — retention could later
+        // erase the only up-to-date copy (the exact hole the sidecar
+        // closes). The note still retained at this instant carries the
+        // same (epoch, rows) the crashed advance would have written.
+        lastRelease.filter(_._1 > cursorEpoch).foreach { case (e, rows) =>
+          PublishSet.advanceEpochCursor(spark, registryRoot, e,
+            rows.getOrElse(0L))
+        }
         val lastEpoch = math.max(lastRelease.map(_._1).getOrElse(-1L),
           cursorEpoch)
         // the cmsFoldBatch trichotomy, BEFORE any member merge: a batch

@@ -54,6 +54,17 @@ object ReleasePublisherMain {
               rollbacksSkipped += 1
               println(s"[release-publisher] rollback to v$to rejected " +
                 s"(designed GC-race behavior): ${e.getMessage.take(100)}")
+              // the post-CAS detection means the torn rollback COMMIT
+              // landed before the miss was seen — perform the error
+              // message's own remediation (re-publish the prior good
+              // set) so readers never keep resolving a torn current
+              if (e.getMessage != null &&
+                  e.getMessage.contains("the release is torn")) {
+                val cur = PublishSet.currentVersion(spark, reg).get
+                PublishSet.rollback(spark, reg, cur - 1)
+                println(s"[release-publisher] healed torn v$cur by " +
+                  s"republishing v${cur - 1}'s set")
+              }
           }
         } else {
           val vA = VersionedTable.merge(spark, memberA,

@@ -204,8 +204,15 @@ class PublishSetSpec extends SparkSpec {
     // at/above the floor passes — fresh commits and retained-release
     // pins are never blocked by an open window
     PublishSet.publish(spark, reg, Map(a -> 3L))
-    // the window is closed (current note is no longer the intent):
-    // old pins work again, and their manifests still exist
+    // an interleaved fresh-pin publish must NOT unlatch the fence
+    // while the window is open (review r15): the below-floor pin is
+    // still refused
+    intercept[IllegalArgumentException] {
+      PublishSet.publish(spark, reg, Map(a -> 1L))
+    }
+    // only the closing gc-done ends the window: old pins work again,
+    // and their manifests still exist
+    PublishSet.publish(spark, reg, Map(a -> 3L), note = Some("gc-done"))
     PublishSet.publish(spark, reg, Map(a -> 1L))
     assert(PublishSet.resolve(spark, reg) === Map(a -> 1L))
   }
