@@ -396,7 +396,8 @@ object EventStreams {
                             gcMemberKeep: Int = 1,
                             gcStaleAfterMs: Long = 3600 * 1000L,
                             chunkBucketDocs: Long = 100000L,
-                            compactMaxFiles: Option[Int] = None)
+                            compactMaxFiles: Option[Int] = None,
+                            compactColdVersions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.pipeline.{PublishSet, VersionedTable}
@@ -406,7 +407,7 @@ object EventStreams {
         ragReleaseFoldBatch(spark, batch.toDF(), batchId, textCol, idCol,
           codebook, dim, registryRoot, chunksRoot, indexRoot, codebookRoot,
           cap, stride, gcKeepReleases, gcMemberKeep, gcStaleAfterMs,
-          chunkBucketDocs, compactMaxFiles)
+          chunkBucketDocs, compactMaxFiles, compactColdVersions)
       }
       .option("checkpointLocation", s"$registryRoot.__checkpoint")
       .trigger(trigger)
@@ -422,7 +423,8 @@ object EventStreams {
       cap: Int, stride: Int, gcKeepReleases: Option[Int],
       gcMemberKeep: Int, gcStaleAfterMs: Long,
       chunkBucketDocs: Long,
-      compactMaxFiles: Option[Int] = None): Unit = {
+      compactMaxFiles: Option[Int] = None,
+      compactColdVersions: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
     import graft.pipeline.{PublishSet, VersionedTable}
     {
@@ -554,9 +556,15 @@ object EventStreams {
           // compactPartitions rewrites ONLY over-threshold buckets
           // (content-identical new version, above the retained floor;
           // the release keeps serving its pinned version untouched)
+          // compactColdVersions > 0 adds the cadence policy: only
+          // buckets untouched by the last N merges compact, so the
+          // hot range bucket (still receiving every tick's fresh ids)
+          // is never rewritten just to re-fragment next tick
           compactMaxFiles.foreach { maxF =>
-            VersionedTable.compactPartitions(spark, chunksRoot, maxF)
-            VersionedTable.compactPartitions(spark, indexRoot, maxF)
+            VersionedTable.compactPartitions(spark, chunksRoot, maxF,
+              compactColdVersions)
+            VersionedTable.compactPartitions(spark, indexRoot, maxF,
+              compactColdVersions)
           }
         }
         ()

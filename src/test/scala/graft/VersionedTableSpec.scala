@@ -172,6 +172,51 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitions cold gate: a hot bucket is skipped until it stops being merged") {
+    val r = root()
+    // two fragmenting merges into p0 — after them p0 is both
+    // fragmented AND hot (its newest files came from the current
+    // version)
+    VersionedTable.merge(spark, r,
+      (1L to 40L).map(i => ("p0", i, i)).toDF("p", "id", "x")
+        .repartition(8),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    VersionedTable.merge(spark, r,
+      (41L to 80L).map(i => ("p0", i, i)).toDF("p", "id", "x")
+        .repartition(8),
+      uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    val cur = VersionedTable.currentVersion(spark, r).get
+    // coldAfterVersions=2: p0 was touched by the current version ->
+    // NOT cold -> no rewrite, no new version (the wasted-I/O case the
+    // gate exists for: a hot bucket re-fragments next tick anyway)
+    assert(VersionedTable.compactPartitions(spark, r,
+      maxFilesPerPartition = 4, coldAfterVersions = 2) === cur)
+    // two more merges land ONLY in p1 — the id range rolled past p0,
+    // which is still fragmented but now untouched for 2 versions
+    for (i <- Seq(100L, 101L))
+      VersionedTable.merge(spark, r,
+        Seq(("p1", i, i)).toDF("p", "id", "x").coalesce(1),
+        uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    val cur2 = VersionedTable.currentVersion(spark, r).get
+    val before = VersionedTable.manifestFiles(spark, r, cur2)
+    def bucket(fs: Seq[String], p: String) = fs.filter(_.contains(s"p=$p/"))
+    assert(bucket(before, "p0").size > 4)
+    val v = VersionedTable.compactPartitions(spark, r,
+      maxFilesPerPartition = 4, coldAfterVersions = 2)
+    assert(v === cur2 + 1)
+    val after = VersionedTable.manifestFiles(spark, r, v)
+    // the now-cold p0 compacted to one file; hot p1's files reused
+    // verbatim (it is under the size threshold anyway)
+    assert(bucket(after, "p0").size === 1)
+    assert(bucket(after, "p1") === bucket(before, "p1"))
+    // content preserved
+    assert(VersionedTable.read(spark, r).count() === 82L)
+    // the compacted bucket is itself "touched by" the new version but
+    // single-file -> never re-selected: idempotent under the cadence
+    assert(VersionedTable.compactPartitions(spark, r,
+      maxFilesPerPartition = 4, coldAfterVersions = 2) === v)
+  }
+
   test("a lagging pointer heals forward: manifest-create IS the commit point") {
     // crash window: version 2's manifest landed (its data was fully
     // staged first) but the writer died before the pointer rename. The
