@@ -160,7 +160,11 @@ object PublishSet {
     * dry run, and the publish fence. */
   private def retentionFloors(spark: SparkSession,
                               registryRoot: String): Map[String, Long] =
-    versions(spark, registryRoot)
+    retentionFloorsOf(spark, registryRoot, versions(spark, registryRoot))
+
+  private def retentionFloorsOf(spark: SparkSession, registryRoot: String,
+                                releases: Seq[Long]): Map[String, Long] =
+    releases
       .flatMap(v => resolveVersion(spark, registryRoot, v).toSeq)
       .groupMapReduce(_._1)(_._2)(math.min)
 
@@ -312,12 +316,22 @@ object PublishSet {
     * the sweep does on a pinned root with no versioned table — the
     * exact failure a dry run exists to predict. */
   def pruneMembersPlan(spark: SparkSession, registryRoot: String,
-                       memberKeep: Int = 1): Map[String, Seq[Long]] =
+                       memberKeep: Int = 1,
+                       asIfKeepReleases: Option[Int] = None)
+      : Map[String, Seq[Long]] =
       VersionedTable.withRootLock(registryRoot) {
     require(memberKeep >= 1, "must retain at least each member's current")
+    require(asIfKeepReleases.forall(_ >= 1),
+      "asIfKeepReleases must retain at least the current release")
     val vs = versions(spark, registryRoot)
     require(vs.nonEmpty, s"no release registry at $registryRoot")
-    retentionFloors(spark, registryRoot)
+    // asIfKeepReleases: derive the floors as they WILL be after a
+    // [[prune]](keep = N) that precedes the sweep on the maintenance
+    // cadence — the newest N retained releases. Without it the plan
+    // reflects CURRENT retention, which understates a combined
+    // prune-then-sweep run (GcMain).
+    retentionFloorsOf(spark, registryRoot,
+      asIfKeepReleases.fold(vs)(vs.takeRight))
       .map { case (table, floor) =>
         require(VersionedTable.currentVersion(spark, table).nonEmpty,
           s"retained releases of $registryRoot pin $table, but no " +

@@ -750,28 +750,8 @@ object VersionedTable {
       require(partitionBy.nonEmpty,
         s"$root is not partitioned - compactPartitions has no partition " +
           "boundary to scope by; use compact()")
-      // group the manifest by partition VALUE path (the physical
-      // __pp_<col>=<val> segments), across batch dirs: two merges of
-      // the same bucket land files in two b<v>_ dirs, and both count
-      // toward the bucket's total
-      def partKey(rel: String): String = rel.split("/")
-        .filter(seg =>
-          partitionBy.exists(c => seg.startsWith(s"__pp_$c=")))
-        .mkString("/")
-      val byPart = cm.files.groupBy(partKey)
-      // a file's contributing version is its batch dir's b<v>_ prefix;
-      // the bucket's last-touched version is the max over its files
-      def vOfFile(rel: String): Long =
-        rel.takeWhile(_ != '/').stripPrefix("b").takeWhile(_.isDigit) match {
-          case "" => throw new IllegalStateException(
-            s"unversioned batch dir in manifest: $rel")
-          case d => d.toLong
-        }
-      val frag = byPart.filter { case (_, fs) =>
-        fs.size > maxFilesPerPartition &&
-          (coldAfterVersions == 0 ||
-            fs.iterator.map(vOfFile).max <= cur - coldAfterVersions)
-      }
+      val frag = fragmentedBuckets(cm.files, partitionBy, cur,
+        maxFilesPerPartition, coldAfterVersions)
       if (frag.isEmpty) cur
       else {
         val fragFiles = frag.values.flatten.toSeq
@@ -784,6 +764,71 @@ object VersionedTable {
         v
       }
     }
+  }
+
+  /** The bucket selection [[compactPartitions]] and
+    * [[compactPartitionsPlan]] share: manifest files grouped by
+    * partition VALUE path (the physical `__pp_<col>=<val>` segments,
+    * across batch dirs — two merges of the same bucket land files in
+    * two `b<v>_` dirs and both count), filtered to buckets that are
+    * both FRAGMENTED (> maxFilesPerPartition files) and COLD (no file
+    * contributed by any of the last `coldAfterVersions` versions; the
+    * contributing version is the batch dir's `b<v>_` prefix; 0
+    * disables the cadence gate). */
+  private def fragmentedBuckets(files: Seq[String],
+                                partitionBy: Seq[String], cur: Long,
+                                maxFilesPerPartition: Int,
+                                coldAfterVersions: Int)
+      : Map[String, Seq[String]] = {
+    def partKey(rel: String): String = rel.split("/")
+      .filter(seg =>
+        partitionBy.exists(c => seg.startsWith(s"__pp_$c=")))
+      .mkString("/")
+    def vOfFile(rel: String): Long =
+      rel.takeWhile(_ != '/').stripPrefix("b").takeWhile(_.isDigit) match {
+        case "" => throw new IllegalStateException(
+          s"unversioned batch dir in manifest: $rel")
+        case d => d.toLong
+      }
+    files.groupBy(partKey).filter { case (_, fs) =>
+      fs.size > maxFilesPerPartition &&
+        (coldAfterVersions == 0 ||
+          fs.iterator.map(vOfFile).max <= cur - coldAfterVersions)
+    }
+  }
+
+  /** DRY RUN of [[compactPartitions]]: bucket path → current file
+    * count for every bucket the op WOULD rewrite under the same
+    * selection, touching nothing — the report a maintenance cron
+    * surfaces before a fleet-wide enable (the [[graft.pipeline
+    * .PublishSet.pruneMembersPlan]] convention). Fails as loudly as
+    * the op on a missing or unpartitioned table — the exact failure a
+    * dry run exists to predict. */
+  def compactPartitionsPlan(spark: SparkSession, root: String,
+                            maxFilesPerPartition: Int = 8,
+                            coldAfterVersions: Int = 0): Map[String, Int] = {
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    require(coldAfterVersions >= 0,
+      s"coldAfterVersions must be >= 0, got $coldAfterVersions")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val cm = manifest(spark, root, cur)
+    val partitionBy = layoutOf(cm.files)
+    require(partitionBy.nonEmpty,
+      s"$root is not partitioned - compactPartitions has no partition " +
+        "boundary to scope by; use compact()")
+    fragmentedBuckets(cm.files, partitionBy, cur, maxFilesPerPartition,
+      coldAfterVersions).map { case (k, fs) => k -> fs.size }
+  }
+
+  /** The current version's physical partition layout (empty for an
+    * unpartitioned table) — lets maintenance tooling decide between
+    * [[compactPartitions]] and [[compact]] without trying one. */
+  def partitionLayout(spark: SparkSession, root: String): Seq[String] = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    layoutOf(manifest(spark, root, cur).files)
   }
 
   /** ROLLBACK: commit a NEW version whose content is retained version
