@@ -806,7 +806,8 @@ object VersionedTable {
     * dry run exists to predict. */
   def compactPartitionsPlan(spark: SparkSession, root: String,
                             maxFilesPerPartition: Int = 8,
-                            coldAfterVersions: Int = 0): Map[String, Int] = {
+                            coldAfterVersions: Int = 0): Map[String, Int] =
+      withRootLock(root) {
     require(maxFilesPerPartition >= 1,
       s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
     require(coldAfterVersions >= 0,
@@ -820,6 +821,46 @@ object VersionedTable {
         "boundary to scope by; use compact()")
     fragmentedBuckets(cm.files, partitionBy, cur, maxFilesPerPartition,
       coldAfterVersions).map { case (k, fs) => k -> fs.size }
+  }
+
+  /** ONE-read maintenance introspection for tooling ([[graft.tools
+    * .GcMain]]): from a single manifest read, the partition layout,
+    * the fragmented buckets [[compactPartitions]] WOULD rewrite at
+    * this gate, and the fragmented buckets withheld ONLY by the cold
+    * gate (the state a report must surface: fragmentation that exists
+    * but was deliberately left — invisible fragmentation in the exact
+    * tool meant to show maintenance state is worse than none).
+    * Unpartitioned tables return (Nil, total file count) rather than
+    * throwing — the CALLER decides whether bucket-scoped compaction
+    * was even applicable. */
+  case class CompactionReport(layout: Seq[String],
+                              wouldCompact: Map[String, Int],
+                              withheldHot: Map[String, Int],
+                              totalFiles: Int)
+
+  def compactionReport(spark: SparkSession, root: String,
+                       maxFilesPerPartition: Int,
+                       coldAfterVersions: Int): CompactionReport =
+      withRootLock(root) {
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    require(coldAfterVersions >= 0,
+      s"coldAfterVersions must be >= 0, got $coldAfterVersions")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val cm = manifest(spark, root, cur)
+    val partitionBy = layoutOf(cm.files)
+    if (partitionBy.isEmpty)
+      CompactionReport(Nil, Map.empty, Map.empty, cm.files.size)
+    else {
+      val cold = fragmentedBuckets(cm.files, partitionBy, cur,
+        maxFilesPerPartition, coldAfterVersions)
+        .map { case (k, fs) => k -> fs.size }
+      val all = fragmentedBuckets(cm.files, partitionBy, cur,
+        maxFilesPerPartition, 0)
+        .map { case (k, fs) => k -> fs.size }
+      CompactionReport(partitionBy, cold, all -- cold.keys, cm.files.size)
+    }
   }
 
   /** The current version's physical partition layout (empty for an

@@ -557,9 +557,11 @@ object EventStreams {
           // (content-identical new version, above the retained floor;
           // the release keeps serving its pinned version untouched)
           // compactColdVersions > 0 adds the cadence policy: only
-          // buckets untouched by the last N merges compact, so the
-          // hot range bucket (still receiving every tick's fresh ids)
-          // is never rewritten just to re-fragment next tick
+          // buckets untouched by the last N VERSIONS compact (size N
+          // in versions, not merges — compaction commits advance the
+          // version counter too), so the hot range bucket (still
+          // receiving every tick's fresh ids) is never rewritten just
+          // to re-fragment next tick
           compactMaxFiles.foreach { maxF =>
             VersionedTable.compactPartitions(spark, chunksRoot, maxF,
               compactColdVersions)

@@ -32,11 +32,18 @@ import org.apache.spark.sql.SparkSession
 object GcMain {
 
   /** One member's slice of the run. `wouldExpire` / `fragBuckets` are
-    * the dry-run plans (derived pre-mutation in both modes);
-    * `compactedTo` is the committed compaction version (execute mode,
-    * only when buckets qualified). */
+    * the plans (derived pre-mutation in both modes); `hotBuckets` are
+    * fragmented buckets WITHHELD by the cold gate and
+    * `unpartitionedFiles` is the file count of a fragmented
+    * unpartitioned member (both are fragmentation the run will NOT
+    * touch — a maintenance report that hides withheld work would let
+    * read amplification grow invisibly); `compactedTo` is the
+    * committed compaction version (execute mode, only when a commit
+    * actually landed). */
   case class MemberReport(root: String, wouldExpire: Seq[Long],
                           fragBuckets: Map[String, Int],
+                          hotBuckets: Map[String, Int],
+                          unpartitionedFiles: Option[Int],
                           compactedTo: Option[Long])
 
   case class Report(registryRoot: String, registryWouldExpire: Seq[Long],
@@ -58,21 +65,33 @@ object GcMain {
     val memberPlan = PublishSet.pruneMembersPlan(spark, registryRoot,
       memberKeep, asIfKeepReleases = Some(keepReleases))
     val members = memberPlan.toSeq.sortBy(_._1).map { case (root, expire) =>
-      val frag = compactMaxFiles match {
-        // compaction is bucket-scoped: an unpartitioned member has no
-        // bucket boundary, so it is reported (and left) as-is rather
-        // than full-rewritten behind a cron's back
-        case Some(maxF)
-            if VersionedTable.partitionLayout(spark, root).nonEmpty =>
-          VersionedTable.compactPartitionsPlan(spark, root, maxF,
-            compactColdVersions)
-        case _ => Map.empty[String, Int]
+      // one manifest read per member: the plan, the cold-gate-withheld
+      // buckets, and the layout together (compactionReport)
+      val cr = compactMaxFiles.map(maxF =>
+        VersionedTable.compactionReport(spark, root, maxF,
+          compactColdVersions))
+      val frag = cr.fold(Map.empty[String, Int])(_.wouldCompact)
+      val hot = cr.fold(Map.empty[String, Int])(_.withheldHot)
+      // compaction is bucket-scoped: a fragmented UNPARTITIONED member
+      // has no bucket boundary, so it is surfaced in the report but
+      // never full-rewritten behind a cron's back (that is compact()'s
+      // operator decision)
+      val unpart = cr.collect {
+        case r if r.layout.isEmpty &&
+            r.totalFiles > compactMaxFiles.get => r.totalFiles
       }
       val compacted =
         if (dryRun || frag.isEmpty) None
-        else Some(VersionedTable.compactPartitions(spark, root,
-          compactMaxFiles.get, compactColdVersions))
-      MemberReport(root, expire, frag, compacted)
+        else {
+          // the op re-derives its selection under the root lock; a
+          // concurrent maintainer can have emptied it, in which case
+          // no version is committed and the report must not claim one
+          val before = VersionedTable.currentVersion(spark, root).get
+          val v = VersionedTable.compactPartitions(spark, root,
+            compactMaxFiles.get, compactColdVersions)
+          if (v > before) Some(v) else None
+        }
+      MemberReport(root, expire, frag, hot, unpart, compacted)
     }
     if (!dryRun) {
       PublishSet.prune(spark, registryRoot, keepReleases)
@@ -90,14 +109,19 @@ object GcMain {
     var compactCold = 0
     var dryRun = false
     var i = 0
+    def value(): String = {
+      require(i + 1 < args.length,
+        s"flag ${args(i)} needs a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--keep"              => keep = args(i + 1).toInt; i += 2
-        case "--member-keep"       => memberKeep = args(i + 1).toInt; i += 2
-        case "--stale-ms"          => staleMs = args(i + 1).toLong; i += 2
+        case "--keep"              => keep = value().toInt; i += 2
+        case "--member-keep"       => memberKeep = value().toInt; i += 2
+        case "--stale-ms"          => staleMs = value().toLong; i += 2
         case "--compact-max-files" =>
-          compactMaxFiles = Some(args(i + 1).toInt); i += 2
-        case "--compact-cold"      => compactCold = args(i + 1).toInt; i += 2
+          compactMaxFiles = Some(value().toInt); i += 2
+        case "--compact-cold"      => compactCold = value().toInt; i += 2
         case "--dry-run"           => dryRun = true; i += 1
         case flag if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
@@ -124,13 +148,17 @@ object GcMain {
       println(s"[gc] registry $reg: expire releases " +
         s"${r.registryWouldExpire.mkString("[", ",", "]")} (keep $keep)")
       r.members.foreach { m =>
-        val fragStr =
-          if (m.fragBuckets.isEmpty) "none"
-          else m.fragBuckets.toSeq.sortBy(_._1)
+        def bs(buckets: Map[String, Int]): String =
+          if (buckets.isEmpty) "none"
+          else buckets.toSeq.sortBy(_._1)
             .map { case (b, n) => s"$b($n files)" }.mkString(", ")
         println(s"[gc] member ${m.root}: expire versions " +
           s"${m.wouldExpire.mkString("[", ",", "]")} " +
-          s"compact-buckets: $fragStr" +
+          s"compact-buckets: ${bs(m.fragBuckets)}" +
+          (if (m.hotBuckets.isEmpty) ""
+           else s" withheld-hot: ${bs(m.hotBuckets)}") +
+          m.unpartitionedFiles.fold("")(n =>
+            s" fragmented-unpartitioned: $n files (needs compact())") +
           m.compactedTo.fold("")(v => s" -> compacted as v$v"))
       }
       if (dryRun) println("[gc] DRY RUN - nothing was deleted or rewritten")

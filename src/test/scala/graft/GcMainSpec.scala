@@ -89,14 +89,36 @@ class GcMainSpec extends SparkSpec {
     assert(r2.members.forall(_.compactedTo.isEmpty))
   }
 
-  test("hot fragmented bucket is reported but skipped under --compact-cold") {
+  test("hot fragmented bucket: withheld by --compact-cold, still surfaced in the report") {
     val (a, _, reg) = scenario()
     // A v2 just merged into p0 -> hot at coldAfterVersions=2
     val r = GcMain.run(spark, reg, keepReleases = 2, memberKeep = 1,
       compactMaxFiles = Some(2), compactColdVersions = 2, dryRun = false)
     val m = r.members.find(_.root == a).get
     assert(m.fragBuckets.isEmpty && m.compactedTo.isEmpty)
+    // the withheld fragmentation is REPORTED (hidden withheld work
+    // would let read amplification grow invisibly)
+    assert(m.hotBuckets.keys.exists(_.contains("p=p0")))
+    assert(m.hotBuckets.values.forall(_ > 2))
     assert(VersionedTable.manifestFiles(spark, a, 2L)
       .count(_.contains("p=p0")) > 2)
+  }
+
+  test("fragmented unpartitioned member is surfaced, never full-rewritten") {
+    val d = tmp()
+    val (b, reg) = (s"$d/B", s"$d/_REL")
+    VersionedTable.write(spark, b,
+      (1L to 40L).map(i => (i, i)).toDF("id", "x").repartition(8))
+    PublishSet.publish(spark, reg, Map(b -> 1L))
+    val r = GcMain.run(spark, reg, keepReleases = 1, memberKeep = 1,
+      compactMaxFiles = Some(2), dryRun = true)
+    val m = r.members.find(_.root == b).get
+    assert(m.fragBuckets.isEmpty && m.compactedTo.isEmpty)
+    assert(m.unpartitionedFiles.exists(_ > 2))
+    // and an execute run leaves it alone too (compact() is an
+    // operator decision, not cron default)
+    GcMain.run(spark, reg, keepReleases = 1, memberKeep = 1,
+      compactMaxFiles = Some(2), dryRun = false)
+    assert(VersionedTable.versions(spark, b) === Seq(1L))
   }
 }
