@@ -3345,6 +3345,74 @@ object DataQueries {
       "recall_ppm, precision_ppm",
     "ORDER BY n_bands")
 
+  /** BANDING AUTO-CHOICE (d35): the DECISION the d29/d32/d34 sweeps
+    * exist to feed, as an operator — per recall target, the CHEAPEST
+    * banding configuration whose measured-recall CI lower bound meets
+    * it. Cost order is n_bands (each doc emits one bucket key per
+    * band, so b multiplies the signature exchange AND the candidate
+    * volume); "meets" uses the Hoeffding LOWER bound, never the point
+    * estimate — a sampled sweep must not over-promise recall it only
+    * probably has. When no point meets a target, the best-available
+    * row is returned flagged `meets_target = 0` (highest recall_lo,
+    * then fewest bands): a consumer alerts on the flag instead of
+    * silently shipping an under-recall config. Same measured relation
+    * as d32; the choice itself adds a broadcast of three target
+    * literals and a |bandsList|-row window — free at any corpus
+    * size. */
+  private val bandingTargetsPpm = Seq(500000L, 800000L, 950000L)
+
+  val d35BandingChoice: Q = (s, dir) => {
+    import s.implicits._
+    val ci = Stats.withHoeffdingPpm(
+      Stats.withHoeffdingPpm(
+        Dedup.lshBandingSweep(Catalog(s, dir).documents, "text", "doc_id",
+          n = 3, k = 16, bandsList = lshSweepBands, tauNum = 1, tauDen = 5),
+        "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
+      "precision_ppm", "n_candidates",
+      "precision_lo_ppm", "precision_hi_ppm")
+    val targets = bandingTargetsPpm.toDF("target_ppm")
+    val cand = ci.crossJoin(broadcast(targets))
+      .withColumn("meets",
+        (col("recall_lo_ppm") >= col("target_ppm")).cast(LongType))
+    // ordering: any meets row beats any non-meets row; among meets,
+    // fewest bands; among non-meets (only reached when NOTHING meets),
+    // highest recall_lo then fewest bands. Fully deterministic:
+    // n_bands is distinct within the sweep.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("target_ppm")
+      .orderBy(col("meets").desc,
+        when(col("meets") === 1L, col("n_bands"))
+          .otherwise(lit(1000000L) - col("recall_lo_ppm")).asc,
+        col("n_bands").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("target_ppm"), col("n_bands"),
+        col("recall_ppm"), col("recall_lo_ppm"),
+        col("precision_ppm"), col("precision_lo_ppm"),
+        col("meets").as("meets_target"))
+      .orderBy("target_ppm")
+  }
+
+  lazy val d35Sql: String = {
+    val tgVals = bandingTargetsPpm
+      .map(t => s"(CAST($t AS BIGINT))").mkString(",")
+    s"""WITH ci AS (${d32Sql.replace("ORDER BY n_bands", "")}),
+       |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
+       |cand AS (SELECT tg.target_ppm, ci.*,
+       |  CASE WHEN ci.recall_lo_ppm >= tg.target_ppm
+       |    THEN 1 ELSE 0 END AS meets
+       |  FROM ci CROSS JOIN tg),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY target_ppm
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN n_bands
+       |      ELSE 1000000 - recall_lo_ppm END ASC,
+       |    n_bands ASC) AS rn FROM cand)
+       |SELECT target_ppm, n_bands, recall_ppm, recall_lo_ppm,
+       |  precision_ppm, precision_lo_ppm,
+       |  CAST(meets AS BIGINT) AS meets_target
+       |FROM rk WHERE rn = 1 ORDER BY target_ppm""".stripMargin
+  }
+
   /** ALL-PAIRS CONTAINMENT JOIN (d31 — [[Dedup.allPairsContainment]]):
     * the quote/wrapper detector — |x∩y| / min(|x|,|y|) >= τ over
     * width-5 shingle sets (the rarity regime), τ = 1/3, minN = 5. The
@@ -4778,6 +4846,7 @@ object DataQueries {
     "d32_sweep_ci" -> d32SweepCi,
     "d33_contain_delta" -> d33ContainDelta,
     "d34_rare_sweep" -> d34RareSweep,
+    "d35_banding_choice" -> d35BandingChoice,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -4881,6 +4950,7 @@ object DataQueries {
     "d32_sweep_ci" -> d32Sql,
     "d33_contain_delta" -> d33Sql,
     "d34_rare_sweep" -> d34Sql,
+    "d35_banding_choice" -> d35Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

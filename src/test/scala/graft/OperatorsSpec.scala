@@ -853,4 +853,31 @@ class OperatorsSpec extends SparkSpec {
     assert(s(4L) > s(3L), "matching both terms beats matching one")
     assert(s == run(docs.repartition(7)), "partitioning must not move a score")
   }
+
+  test("d35 banding choice: cheapest CI-meeting config per target; honest flag when nothing meets") {
+    // re-derive the choice's own contract from the measured relation
+    // it selects over (the d32 sweep on the real sf0.001 corpus)
+    val d32 = graft.queries.DataQueries.d32SweepCi(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("n_bands"), r.getAs[Long]("recall_lo_ppm")))
+    val chosen = graft.queries.DataQueries.d35BandingChoice(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(chosen.length === 3, "one row per target")
+    chosen.foreach { r =>
+      val (target, bands, lo, meets) = (r.getAs[Long]("target_ppm"),
+        r.getAs[Long]("n_bands"), r.getAs[Long]("recall_lo_ppm"),
+        r.getAs[Long]("meets_target"))
+      if (meets == 1L) {
+        assert(lo >= target, "a meets row must actually meet")
+        // CHEAPEST: no fewer-bands config also meets
+        assert(!d32.exists { case (b, l) => b < bands && l >= target },
+          s"a cheaper config meets target $target")
+      } else {
+        // honest flag: NOTHING meets, and the row is the best available
+        assert(!d32.exists(_._2 >= target),
+          s"meets_target=0 but some config meets $target")
+        assert(lo === d32.map(_._2).max, "best-available recall_lo")
+      }
+    }
+  }
 }
