@@ -1075,6 +1075,68 @@ object DataQueries {
        |ORDER BY n_probe, r_shortlist, k""".stripMargin
   }
 
+  /** SERVING OPERATING-POINT AUTO-CHOICE (e28): the decision the
+    * e25/e26/e27 grids exist to feed, as an operator — per (k, recall
+    * target), the CHEAPEST grid cell meeting the target. Cost order is
+    * lexicographic (scanned_ppm, r_shortlist, n_probe): corpus
+    * fraction scanned dominates at 100 TB, then true-vector fetches
+    * per query (the rerank depth), then probe count as the final
+    * determinism key. Unlike d35, the grid's recalls are EXACT
+    * (measured against the full brute-force truth on the bounded query
+    * batch, not a sample), so the point value IS the bound. When no
+    * cell meets a target the best-available cell is returned flagged
+    * `meets_target = 0` (highest recall, then cheapest) — the signal
+    * to widen the grid rather than silently under-serve. Selection
+    * adds a broadcast of three target literals and a |grid|-row
+    * window over the same relation as e27. */
+  private val servingTargetsPpm = Seq(600000L, 900000L, 990000L)
+
+  val e28OperatingChoice: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Catalog(s, dir).embeddings
+    val grid = Similarity.ivfPqOperatingGrid3d(emb,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
+      pqCodebook = pqModel(s, dir), rs = grid3dRs, nProbes = grid3dNps)
+    val targets = servingTargetsPpm.toDF("target_ppm")
+    val cand = grid.crossJoin(broadcast(targets))
+      .withColumn("meets",
+        (col("recall_ppm") >= col("target_ppm")).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "target_ppm")
+      .orderBy(col("meets").desc,
+        when(col("meets") === 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scanned_ppm").asc, col("r_shortlist").asc,
+        col("n_probe").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("target_ppm"), col("n_probe"),
+        col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
+        col("meets").as("meets_target"))
+      .orderBy("k", "target_ppm")
+  }
+
+  lazy val e28Sql: String = {
+    val tgVals = servingTargetsPpm
+      .map(t => s"(CAST($t AS BIGINT))").mkString(",")
+    s"""WITH g AS (${e27Sql.replace("ORDER BY n_probe, r_shortlist, k", "")}),
+       |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
+       |cand AS (SELECT tg.target_ppm, g.*,
+       |  CASE WHEN g.recall_ppm >= tg.target_ppm
+       |    THEN 1 ELSE 0 END AS meets
+       |  FROM g CROSS JOIN tg),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY k, target_ppm
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN 0
+       |      ELSE 1000000 - recall_ppm END ASC,
+       |    scanned_ppm ASC, r_shortlist ASC, n_probe ASC) AS rn
+       |  FROM cand)
+       |SELECT k, target_ppm, n_probe, r_shortlist, recall_ppm,
+       |  scanned_ppm, CAST(meets AS BIGINT) AS meets_target
+       |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
+  }
+
   private val mmrTopN = 20
   private val mmrK = 5
 
@@ -4847,6 +4909,7 @@ object DataQueries {
     "d33_contain_delta" -> d33ContainDelta,
     "d34_rare_sweep" -> d34RareSweep,
     "d35_banding_choice" -> d35BandingChoice,
+    "e28_operating_choice" -> e28OperatingChoice,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -4951,6 +5014,7 @@ object DataQueries {
     "d33_contain_delta" -> d33Sql,
     "d34_rare_sweep" -> d34Sql,
     "d35_banding_choice" -> d35Sql,
+    "e28_operating_choice" -> e28Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

@@ -880,4 +880,31 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("e28 operating choice: per (k, target) the lexicographically cheapest meeting cell") {
+    // re-derive the choice from the grid relation it selects over
+    val grid = graft.queries.DataQueries.e27Grid3d(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_probe"),
+        r.getAs[Long]("r_shortlist"), r.getAs[Long]("recall_ppm"),
+        r.getAs[Long]("scanned_ppm")))
+    val chosen = graft.queries.DataQueries.e28OperatingChoice(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(chosen.length === 6, "one row per (k, target)")
+    chosen.foreach { c =>
+      val (k, target) =
+        (c.getAs[Long]("k"), c.getAs[Long]("target_ppm"))
+      val cells = grid.filter(_._1 == k)
+      val meeting = cells.filter(_._4 >= target)
+      val expect =
+        if (meeting.nonEmpty)
+          meeting.minBy { case (_, np, r, _, sc) => (sc, r, np) }
+        else cells.minBy { case (_, np, r, rec, sc) =>
+          (1000000L - rec, sc, r, np) }
+      assert((c.getAs[Long]("n_probe"), c.getAs[Long]("r_shortlist")) ===
+        ((expect._2, expect._3)), s"choice for k=$k target=$target")
+      assert(c.getAs[Long]("meets_target") ===
+        (if (meeting.nonEmpty) 1L else 0L))
+    }
+  }
 }
