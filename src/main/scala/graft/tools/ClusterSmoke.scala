@@ -176,7 +176,18 @@ object ClusterSmoke {
     // prefixes from executor partials
     "e26_pq_grid",
     // rarity-regime banding sweep with integer CI bounds
-    "d34_rare_sweep")
+    "d34_rare_sweep",
+    // r15 auto-choice operators: window-ranked decisions over measured
+    // relations whose partials cross JVM boundaries
+    "d35_banding_choice",
+    "e28_operating_choice",
+    // r15 3-D serving grid + gate diagnostics (the red-localization
+    // contract must itself be partitioning- and JVM-invariant)
+    "e27_grid3d",
+    "f01_table_fingerprints",
+    "t21m_nb_model",
+    "e24p_probe_table",
+    "e24b_bf_baseline")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
