@@ -1028,14 +1028,22 @@ object DataQueries {
     * Every k=5 cell is spec-pinned equal to the e26 single point at
     * matching (nProbe, r) (IvfPqGridSpec), so the 3-D grid is a strict
     * widening of the shipped 2-D operators, never a fork. */
-  val e27Grid3d: Q = (s, dir) => {
-    val emb = Catalog(s, dir).embeddings
-    Similarity.ivfPqOperatingGrid3d(emb,
+  val e27Grid3d: Q = (s, dir) =>
+    grid3dRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  /** The measured e27 grid, one computation per (session, sf dir) —
+    * e27 reports it, e28 decides from it (the [[bandingSweepCi]]
+    * single-sourcing contract; |grid| rows, bounded). */
+  private def grid3dRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    memoRelation(s, dir, "e27_grid3d") {
+      val emb = Catalog(s, dir).embeddings
+      Similarity.ivfPqOperatingGrid3d(emb,
         emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
         ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
         pqCodebook = pqModel(s, dir), rs = grid3dRs, nProbes = grid3dNps)
-      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
-  }
+    }
 
   lazy val e27Sql: String = {
     val maxNp = grid3dNps.max
@@ -1093,11 +1101,7 @@ object DataQueries {
 
   val e28OperatingChoice: Q = (s, dir) => {
     import s.implicits._
-    val emb = Catalog(s, dir).embeddings
-    val grid = Similarity.ivfPqOperatingGrid3d(emb,
-      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
-      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
-      pqCodebook = pqModel(s, dir), rs = grid3dRs, nProbes = grid3dNps)
+    val grid = grid3dRelation(s, dir)
     val targets = servingTargetsPpm.toDF("target_ppm")
     val cand = grid.crossJoin(broadcast(targets))
       .withColumn("meets",
@@ -3311,17 +3315,45 @@ object DataQueries {
     * is not replayable in exact cross-engine arithmetic. Oracle: the
     * d29 oracle wrapped with the same integer bound, isqrt seeded from
     * an exact double sqrt (quotient < 2^53) and integer-clamped. */
-  val d32SweepCi: Q = (s, dir) => {
-    val sweep = Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
-      "doc_id", n = 3, k = 16, bandsList = lshSweepBands,
-      tauNum = 1, tauDen = 5)
-    Stats.withHoeffdingPpm(
-        Stats.withHoeffdingPpm(sweep,
+  val d32SweepCi: Q = (s, dir) =>
+    bandingSweepCi(s, dir).orderBy(col("n_bands"))
+
+  /** The MEASURED d32 relation, one computation per (session, sf dir)
+    * — d32 reports it, d35 decides from it; single-sourcing means the
+    * decision can never fork from the report. Memoized as collected
+    * rows: the relation is |bandsList| rows (a model-sized constant),
+    * the bounded-collect contract every literal-model fit here
+    * follows. */
+  private val measuredRels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String),
+      (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+
+  private def memoRelation(s: SparkSession, dir: String, key: String)
+      (build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = synchronized {
+    measuredRels.keys.foreach { case kk @ (sess, _, _) =>
+      if (sess.sparkContext.isStopped) measuredRels.remove(kk)
+    }
+    val (rows, schema) = measuredRels.getOrElseUpdate((s, dir, key), {
+      val df = build
+      (df.collect().toSeq, df.schema)
+    })
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  private def bandingSweepCi(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    memoRelation(s, dir, "d32_sweep_ci") {
+      Stats.withHoeffdingPpm(
+        Stats.withHoeffdingPpm(
+          Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
+            "doc_id", n = 3, k = 16, bandsList = lshSweepBands,
+            tauNum = 1, tauDen = 5),
           "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
         "precision_ppm", "n_candidates",
         "precision_lo_ppm", "precision_hi_ppm")
-      .orderBy(col("n_bands"))
-  }
+    }
 
   /** RARITY-REGIME BANDING SWEEP (d34 — [[Dedup.lshBandingSweep]] at
     * width 5 with [[Stats.withHoeffdingPpm]] bounds): d29 measures the
@@ -3425,13 +3457,7 @@ object DataQueries {
 
   val d35BandingChoice: Q = (s, dir) => {
     import s.implicits._
-    val ci = Stats.withHoeffdingPpm(
-      Stats.withHoeffdingPpm(
-        Dedup.lshBandingSweep(Catalog(s, dir).documents, "text", "doc_id",
-          n = 3, k = 16, bandsList = lshSweepBands, tauNum = 1, tauDen = 5),
-        "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
-      "precision_ppm", "n_candidates",
-      "precision_lo_ppm", "precision_hi_ppm")
+    val ci = bandingSweepCi(s, dir)
     val targets = bandingTargetsPpm.toDF("target_ppm")
     val cand = ci.crossJoin(broadcast(targets))
       .withColumn("meets",
