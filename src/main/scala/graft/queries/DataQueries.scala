@@ -1032,18 +1032,17 @@ object DataQueries {
     grid3dRelation(s, dir)
       .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
 
-  /** The measured e27 grid, one computation per (session, sf dir) —
-    * e27 reports it, e28 decides from it (the [[bandingSweepCi]]
-    * single-sourcing contract; |grid| rows, bounded). */
+  /** The measured e27 grid — one LAZY builder shared by e27's report
+    * and e28's decision (the [[bandingSweepCi]] single-sourcing
+    * contract; same deliberate no-memo rationale). */
   private def grid3dRelation(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    memoRelation(s, dir, "e27_grid3d") {
-      val emb = Catalog(s, dir).embeddings
-      Similarity.ivfPqOperatingGrid3d(emb,
-        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
-        ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
-        pqCodebook = pqModel(s, dir), rs = grid3dRs, nProbes = grid3dNps)
-    }
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfPqOperatingGrid3d(emb,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
+      pqCodebook = pqModel(s, dir), rs = grid3dRs, nProbes = grid3dNps)
+  }
 
   lazy val e27Sql: String = {
     val maxNp = grid3dNps.max
@@ -3318,42 +3317,26 @@ object DataQueries {
   val d32SweepCi: Q = (s, dir) =>
     bandingSweepCi(s, dir).orderBy(col("n_bands"))
 
-  /** The MEASURED d32 relation, one computation per (session, sf dir)
-    * — d32 reports it, d35 decides from it; single-sourcing means the
-    * decision can never fork from the report. Memoized as collected
-    * rows: the relation is |bandsList| rows (a model-sized constant),
-    * the bounded-collect contract every literal-model fit here
-    * follows. */
-  private val measuredRels = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String),
-      (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
-
-  private def memoRelation(s: SparkSession, dir: String, key: String)
-      (build: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = synchronized {
-    measuredRels.keys.foreach { case kk @ (sess, _, _) =>
-      if (sess.sparkContext.isStopped) measuredRels.remove(kk)
-    }
-    val (rows, schema) = measuredRels.getOrElseUpdate((s, dir, key), {
-      val df = build
-      (df.collect().toSeq, df.schema)
-    })
-    import scala.jdk.CollectionConverters._
-    s.createDataFrame(rows.asJava, schema)
-  }
-
+  /** The measured d32 relation — ONE builder, LAZY: d32 reports it,
+    * d35 decides from it, and sharing the construction (not a cached
+    * result) means the decision can never fork from the report while
+    * every consumer keeps a real plan. A collected-rows memo was tried
+    * and deliberately REVERTED (review r15): replaying driver-cached
+    * rows made Bench's steady metric vacuous for these queries (a 10×
+    * regression in the sweep would be invisible in the number the gate
+    * tracks) and turned the Explain plan audit into a LocalTableScan.
+    * The decision queries re-execute the sweep — that cost is the
+    * honest cost. */
   private def bandingSweepCi(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    memoRelation(s, dir, "d32_sweep_ci") {
+    Stats.withHoeffdingPpm(
       Stats.withHoeffdingPpm(
-        Stats.withHoeffdingPpm(
-          Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
-            "doc_id", n = 3, k = 16, bandsList = lshSweepBands,
-            tauNum = 1, tauDen = 5),
-          "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
-        "precision_ppm", "n_candidates",
-        "precision_lo_ppm", "precision_hi_ppm")
-    }
+        Dedup.lshBandingSweep(Catalog(s, dir).documents, "text",
+          "doc_id", n = 3, k = 16, bandsList = lshSweepBands,
+          tauNum = 1, tauDen = 5),
+        "recall_ppm", "n_true", "recall_lo_ppm", "recall_hi_ppm"),
+      "precision_ppm", "n_candidates",
+      "precision_lo_ppm", "precision_hi_ppm")
 
   /** RARITY-REGIME BANDING SWEEP (d34 — [[Dedup.lshBandingSweep]] at
     * width 5 with [[Stats.withHoeffdingPpm]] bounds): d29 measures the
