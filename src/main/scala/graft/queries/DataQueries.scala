@@ -2480,7 +2480,21 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
-  lazy val t20Sql: String = {
+  lazy val t20Sql: String =
+    s"""WITH $bpePerDocCtes
+       |SELECT b.doc_id, b.n_ws_tokens,
+       |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN b.n_ws_tokens > 0
+       |    THEN round(CAST(COALESCE(a.n_bpe, 0) AS DOUBLE) / b.n_ws_tokens, 6)
+       |    ELSE 0.0 END AS bpe_per_ws
+       |FROM bse b LEFT JOIN ag a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** The t20 oracle's whole per-doc chain (BPE fit replay + encode +
+    * per-doc whitespace/BPE counts, ending at `bse`/`ag`/`dt`) —
+    * shared verbatim by [[t32Sql]], so the fertility gate replays the
+    * exact fit the t20 gate pins. */
+  private lazy val bpePerDocCtes: String = {
     val fit = (1 to bpeMerges).map { i =>
       s"""p$i AS MATERIALIZED (SELECT s1, s2, SUM(f) AS n FROM (
          |  SELECT syms[j] AS s1, syms[j+1] AS s2, f FROM (
@@ -2499,7 +2513,7 @@ object DataQueries {
          |  replace(s, ' ' || b.s1 || ' ' || b.s2 || ' ',
          |    ' ' || b.s1 || b.s2 || ' ') AS s FROM e${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH smp AS MATERIALIZED (SELECT lower(text) AS text FROM documents
+    s"""smp AS MATERIALIZED (SELECT lower(text) AS text FROM documents
        |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
        |wrd AS MATERIALIZED (SELECT unnest(list_filter(
        |  string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM smp),
@@ -2519,15 +2533,73 @@ object DataQueries {
        |$enc,
        |pw AS (SELECT doc_id, CAST(len(list_filter(string_split(s, ' '),
        |  x -> x <> '')) AS BIGINT) AS n FROM e$bpeMerges),
-       |ag AS (SELECT doc_id, SUM(n) AS n_bpe FROM pw GROUP BY 1)
-       |SELECT b.doc_id, b.n_ws_tokens,
-       |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
-       |  CASE WHEN b.n_ws_tokens > 0
-       |    THEN round(CAST(COALESCE(a.n_bpe, 0) AS DOUBLE) / b.n_ws_tokens, 6)
-       |    ELSE 0.0 END AS bpe_per_ws
-       |FROM bse b LEFT JOIN ag a USING (doc_id)
-       |ORDER BY b.doc_id""".stripMargin
+       |ag AS (SELECT doc_id, SUM(n) AS n_bpe FROM pw GROUP BY 1)""".stripMargin
   }
+
+  /** TOKENIZER FERTILITY PER LANGUAGE (t32): BPE tokens per whitespace
+    * word, grouped by detected language — the tokenizer-EQUITY metric
+    * (Ács 2019 / XLM-R-era analyses): a tokenizer fit on an
+    * English-heavy sample fragments under-represented languages into
+    * more subwords, silently taxing their context budget; this is the
+    * relation a curation pipeline reads before trusting per-language
+    * token counts. Composition of two gated operators — the t20 BPE
+    * fit+encode (map-only corpus pass, merge table as literals) and
+    * the t01 language profile (map-only) — joined per doc and
+    * aggregated to |langs| rows. fertility_ppm is PURE-INTEGER floor
+    * division, decomposed as (q·1e6 + (rem·1e6) div ws) so the scaled
+    * numerator never overflows Long until a single language exceeds
+    * ~9.2e12 whitespace words (≈ 46 TB of text in ONE language —
+    * beyond that, swap the two div operands' scale, not the
+    * operator). The oracle replays the ENTIRE t20 fit chain
+    * ([[bpePerDocCtes]], shared verbatim) plus the t01 language CASE,
+    * so this gate can never fork from the two it composes. */
+  val t32Fertility: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val merges = TextAnalysis.fitBpe(docs, "text", "doc_id",
+      vocabWords = bpeVocab, nMerges = bpeMerges)
+    val stats = TextAnalysis.bpeStats(docs.repartition(col("doc_id")),
+      "text", "doc_id", merges)
+    val lang = TextAnalysis.profile(docs.repartition(col("doc_id")),
+      "text", "doc_id").select(col("doc_id"), col("lang_pred"))
+    stats.join(lang, Seq("doc_id"))
+      .groupBy(col("lang_pred").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"))
+      .withColumn("fertility_ppm", expr(
+        "CASE WHEN ws_tokens = 0 THEN 0L ELSE " +
+          "(bpe_tokens div ws_tokens) * 1000000 + " +
+          "((bpe_tokens % ws_tokens) * 1000000) div ws_tokens END"))
+      .orderBy(col("lang"))
+  }
+
+  lazy val t32Sql: String =
+    s"""WITH $bpePerDocCtes,
+       |ln0 AS (SELECT doc_id,
+       |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+       |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+       |  len(list_filter(toks, x -> x IN ('el','los','de','la','que','es'))) AS s_es,
+       |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr
+       |  FROM dt),
+       |lng AS (SELECT doc_id, CASE WHEN s_en IS NULL THEN 'und'
+       |  WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |  WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |  ELSE 'fr' END AS lang FROM ln0),
+       |j AS (SELECT lng.lang, b.n_ws_tokens,
+       |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS nb
+       |  FROM bse b LEFT JOIN ag a USING (doc_id) JOIN lng USING (doc_id)),
+       |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(nb) AS BIGINT) AS bpe_tokens
+       |  FROM j GROUP BY 1)
+       |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+       |  CASE WHEN ws_tokens = 0 THEN 0
+       |    ELSE (bpe_tokens // ws_tokens) * 1000000
+       |      + ((bpe_tokens % ws_tokens) * 1000000) // ws_tokens
+       |  END AS fertility_ppm
+       |FROM g ORDER BY lang""".stripMargin
 
   private val nbVocab = 300
 
@@ -4919,6 +4991,7 @@ object DataQueries {
     "d34_rare_sweep" -> d34RareSweep,
     "d35_banding_choice" -> d35BandingChoice,
     "e28_operating_choice" -> e28OperatingChoice,
+    "t32_fertility" -> t32Fertility,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -5024,6 +5097,7 @@ object DataQueries {
     "d34_rare_sweep" -> d34Sql,
     "d35_banding_choice" -> d35Sql,
     "e28_operating_choice" -> e28Sql,
+    "t32_fertility" -> t32Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
