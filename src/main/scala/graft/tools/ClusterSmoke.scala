@@ -187,7 +187,10 @@ object ClusterSmoke {
     "f01_table_fingerprints",
     "t21m_nb_model",
     "e24p_probe_table",
-    "e24b_bf_baseline")
+    "e24b_bf_baseline",
+    // tokenizer fertility: BPE-fit literals + per-language aggregation
+    // partials must agree across JVM boundaries
+    "t32_fertility")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
