@@ -2230,21 +2230,41 @@ object DataQueries {
       .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
-  val t01Sql: String =
+  /** The t01 language-ID replay rendered FROM [[graft.functions
+    * .GraftFunctions.langMarkers]] — marker lists and tie order have
+    * ONE source, shared by [[t01Sql]] and [[t32Sql]] (review r15: the
+    * fragment was copy-pasted; a marker change would have silently
+    * forked the fertility oracle from the langId expression it
+    * gates). Emits two CTEs over `src`(doc_id, toks): `$scoreCte`
+    * scoring marker hits, `$outCte` deciding the argmax with the
+    * fixed priority order (ties to the earlier language; all-zero or
+    * NULL toks → 'und'). */
+  private def langCaseCtes(src: String, scoreCte: String,
+                           outCte: String, outCol: String): String = {
+    val ms = graft.functions.GraftFunctions.langMarkers
+    val scores = ms.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (" +
+        ws.map(w => s"'$w'").mkString(",") + s"))) AS s_$l"
+    }.mkString(",\n  ")
+    val sumAll = ms.map(m => s"s_${m._1}").mkString(" + ")
+    val branches = ms.init.map { case (l, _) =>
+      val geAll = ms.filter(_._1 != l)
+        .map(o => s"s_$l >= s_${o._1}").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n  ")
+    s"""$scoreCte AS (SELECT doc_id,
+       |  $scores
+       |  FROM $src),
+       |$outCte AS (SELECT doc_id, CASE WHEN s_${ms.head._1} IS NULL THEN 'und'
+       |  WHEN $sumAll = 0 THEN 'und'
+       |  $branches
+       |  ELSE '${ms.last._1}' END AS $outCol FROM $scoreCte)""".stripMargin
+  }
+
+  lazy val t01Sql: String =
     s"""WITH $toksCte,
-       |s AS (SELECT doc_id,
-       |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
-       |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
-       |  len(list_filter(toks, x -> x IN ('el','los','de','la','que','es'))) AS s_es,
-       |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr
-       |  FROM toks)
-       |SELECT doc_id, CASE WHEN s_en IS NULL THEN 'und'
-       |  WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
-       |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-       |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-       |  WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
-       |  ELSE 'fr' END AS lang_pred
-       |FROM s ORDER BY doc_id""".stripMargin
+       |${langCaseCtes("toks", "s", "lp", "lang_pred")}
+       |SELECT doc_id, lang_pred FROM lp ORDER BY doc_id""".stripMargin
 
   val t02Quality: Q = (s, dir) =>
     TextAnalysis.profile(
@@ -2575,18 +2595,7 @@ object DataQueries {
 
   lazy val t32Sql: String =
     s"""WITH $bpePerDocCtes,
-       |ln0 AS (SELECT doc_id,
-       |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
-       |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
-       |  len(list_filter(toks, x -> x IN ('el','los','de','la','que','es'))) AS s_es,
-       |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr
-       |  FROM dt),
-       |lng AS (SELECT doc_id, CASE WHEN s_en IS NULL THEN 'und'
-       |  WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
-       |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-       |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-       |  WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
-       |  ELSE 'fr' END AS lang FROM ln0),
+       |${langCaseCtes("dt", "ln0", "lng", "lang")},
        |j AS (SELECT lng.lang, b.n_ws_tokens,
        |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS nb
        |  FROM bse b LEFT JOIN ag a USING (doc_id) JOIN lng USING (doc_id)),
