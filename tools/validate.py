@@ -1,6 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run graft.Verify output
-against the DuckDB oracle SQL and compare (sorted columns, row-by-row).
+against the DuckDB oracle SQL and compare (sorted columns, row-by-row),
+AND compare output type classes (the driver's hash is type-sensitive: a
+DuckDB HUGEINT column vs a Spark int64 column hash-differs even when every
+value is equal — exactly the drift that kept t21/e24-e28 driver-red through
+r15 while this gate, then value-only, stayed green; VERDICT r15).
 
 Usage: python3 tools/validate.py <sfDir> <verifyOutDir>
 (Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.)
@@ -8,6 +12,7 @@ Usage: python3 tools/validate.py <sfDir> <verifyOutDir>
 import sys, os, json, glob, math
 import duckdb
 import pyarrow
+import pyarrow.types as pat
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -18,6 +23,65 @@ def canon(v):
             return "NaN"
         return v
     return v
+
+def duck_class(t):
+    """Type class of a DuckDB result column. Granularity mirrors the
+    judge's r15 audit: int(<=64b) / hugeint / decimal / float32 /
+    float64 / str / bool / date / timestamp / list / struct / binary —
+    the distinctions a typed (Arrow-buffer) hash can see."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s == "FLOAT":
+        return "float32"
+    if s == "DOUBLE":
+        return "float64"
+    if s == "VARCHAR":
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.endswith("[]") or s.startswith("LIST") or s.startswith("ARRAY"):
+        return "list"
+    if s.startswith("STRUCT") or s.startswith("MAP"):
+        return "struct"
+    if s == "BLOB":
+        return "binary"
+    return s.lower()
+
+def arrow_class(t):
+    """Type class of a Spark-written parquet column (Arrow schema)."""
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_float32(t):
+        return "float32"
+    if pat.is_float64(t):
+        return "float64"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_timestamp(t):
+        return "timestamp"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return "list"
+    if pat.is_struct(t) or pat.is_map(t):
+        return "struct"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "binary"
+    return str(t)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -45,10 +109,12 @@ def main(sf_dir, out_dir):
             print(f"{status:12s} {name:28s} rows={tbl.num_rows}")
             continue
         try:
-            res = con.execute(oracle[name])
-            duck_cols = [d[0] for d in res.description]
+            rel = con.sql(oracle[name])
+            duck_cols = list(rel.columns)
+            duck_types = {c: duck_class(t)
+                          for c, t in zip(duck_cols, rel.types)}
             order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-            duck_rows = [tuple(canon(r[i]) for i in order) for r in res.fetchall()]
+            duck_rows = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
         except Exception as e:
             print(f"ORACLE_ERR   {name:28s} {str(e).splitlines()[0][:110]}")
             n_fail += 1
@@ -56,6 +122,18 @@ def main(sf_dir, out_dir):
         if sorted(duck_cols) != cols:
             print(f"COLS_DIFF    {name:28s} spark={cols} duck={sorted(duck_cols)}")
             n_fail += 1
+            continue
+        # type-class gate BEFORE the value compare: the driver hashes
+        # typed buffers, so equal values in differing type classes
+        # (int64 vs HUGEINT/decimal, float vs double, ...) still fail
+        # driver-side. Fail here the same day such an oracle lands.
+        spark_types = {f.name: arrow_class(f.type) for f in tbl.schema}
+        type_diffs = [(c, spark_types[c], duck_types[c]) for c in cols
+                      if spark_types[c] != duck_types[c]]
+        if type_diffs:
+            n_fail += 1
+            print(f"TYPE_DIFF    {name:28s} " + "; ".join(
+                f"{c}: spark={s} duck={d}" for c, s, d in type_diffs))
             continue
         if spark_rows == duck_rows:
             print(f"PASS         {name:28s} rows={len(spark_rows)}")
@@ -75,7 +153,8 @@ def main(sf_dir, out_dir):
                     if a != b:
                         print(f"   order-diff at row {i}: spark={a} duck={b}")
                         break
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only "
+          f"(all oracle-gated queries type-checked) ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
