@@ -894,7 +894,69 @@ object Similarity {
                            vecCol: String, idCol: String, ks: Seq[Int],
                            cellCodebook: Seq[Seq[Double]], m: Int,
                            pqCodebook: Seq[Seq[Double]],
-                           rs: Seq[Int], nProbes: Seq[Int]): DataFrame = {
+                           rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
+    operatingGrid3dOn(corpus, queries, vecCol, idCol, ks, cellCodebook,
+      rs, nProbes, candOf = (assigned, probes) => {
+        val coded = assigned
+          .select(col("id"), col("cell"),
+            graft.expressions.VectorExpressions
+              .pqEncode(col("v"), pqCodebook, m).as("st"))
+          .filter(col("st").isNotNull)
+          .select(col("id"), col("cell"), col("st.codes").as("codes"))
+        val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
+        coded
+          .join(broadcast(probes.join(tables, Seq("query_id"))), Seq("cell"))
+          .filter(col("id") =!= col("query_id"))
+          .withColumn("score", round(adcScore(m, pqCodebook.length), 6))
+          .select(col("query_id"), col("id"), col("score"), col("prn"))
+      })
+
+  /** IVF-SQ8 OPERATING GRID — [[ivfPqOperatingGrid3d]]'s (nProbe ×
+    * shortlist × k) surface with the candidate stage scored by the SQ8
+    * reconstruction ([[sqTopK]]'s asymmetric L2 over [[sqDecodeCol]])
+    * instead of PQ/ADC tables: the scalar-quantizer FAMILY's operating
+    * points, feeding the cross-family serving auto-choice the same way
+    * e27 feeds e28. Plan shape is identical (shared skeleton below —
+    * ONE coded candidate scan at max(nProbes), bounded shortlists,
+    * exact-integer-key re-rank, conditional per-k aggregates), so the
+    * two families' cost/recall cells are directly comparable: same
+    * probe stage, same truth, same scanned_ppm denominator — only the
+    * approximate scorer differs, which is exactly the axis a family
+    * choice must isolate. */
+  def ivfSqOperatingGrid3d(corpus: DataFrame, queries: DataFrame,
+                           vecCol: String, idCol: String, ks: Seq[Int],
+                           cellCodebook: Seq[Seq[Double]],
+                           mins: Seq[Double], scales: Seq[Double],
+                           rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
+    operatingGrid3dOn(corpus, queries, vecCol, idCol, ks, cellCodebook,
+      rs, nProbes, candOf = (assigned, probes) => {
+        val decoded = assigned
+          .select(col("id"), col("cell"),
+            sqEncodeCol(col("v"), mins, scales).as("codes"))
+          .select(col("id"), col("cell"),
+            sqDecodeCol(col("codes"), mins, scales).as("rv"))
+        val q = queries.select(col(idCol).as("query_id"),
+            toDoubleArray(col(vecCol)).as("qv"))
+          .filter(nonDegenerate(col("qv")))
+        decoded.join(broadcast(probes), Seq("cell"))
+          .filter(col("id") =!= col("query_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .withColumn("score", round(sqD2, 6))
+          .select(col("query_id"), col("id"), col("score"), col("prn"))
+      })
+
+  /** The family-generic 3-D grid skeleton: everything in the e27
+    * contract EXCEPT the approximate candidate scorer, which `candOf`
+    * supplies as a (query_id, id, score, prn) relation built from the
+    * persisted cell assignments and the probe table (score ASC = more
+    * promising, round-6dp, id tiebreak — the established shortlist
+    * ordering contract). */
+  private def operatingGrid3dOn(corpus: DataFrame, queries: DataFrame,
+                                vecCol: String, idCol: String, ks: Seq[Int],
+                                cellCodebook: Seq[Seq[Double]],
+                                rs: Seq[Int], nProbes: Seq[Int],
+                                candOf: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
       s"bad ks $ks")
     require(rs.nonEmpty && rs.forall(_ >= ks.max) &&
@@ -909,12 +971,6 @@ object Similarity {
     val ksSorted = ks.sorted
     val assigned = cellAssignmentsTrained(corpus, vecCol, idCol,
       cellCodebook).persist()
-    val coded = assigned
-      .select(col("id"), col("cell"),
-        graft.expressions.VectorExpressions
-          .pqEncode(col("v"), pqCodebook, m).as("st"))
-      .filter(col("st").isNotNull)
-      .select(col("id"), col("cell"), col("st.codes").as("codes"))
     val cents = centsOf(spark, cellCodebook)
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
@@ -922,12 +978,8 @@ object Similarity {
     val probes = probeRanked(cents, queries, vecCol, idCol, maxNp)
       .select(col("query_id"), col("cell"), col("prn"))
       .persist()
-    val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
-    val cand = coded
-      .join(broadcast(probes.join(tables, Seq("query_id"))), Seq("cell"))
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("adc_d2", round(adcScore(m, pqCodebook.length), 6))
-      .select(col("query_id"), col("id"), col("adc_d2"), col("prn"))
+    val cand = candOf(assigned, probes)
+      .select(col("query_id"), col("id"), col("score"), col("prn"))
       .persist()
     val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)
       .select(col("query_id"), col("id"), col("rank").as("bfr"))
@@ -943,7 +995,7 @@ object Similarity {
       val rows = nProbes.sorted.flatMap { np =>
         val short = cand.filter(col("prn") <= np)
           .withColumn("ar", row_number().over(Window.partitionBy("query_id")
-            .orderBy(col("adc_d2").asc, col("id").asc)))
+            .orderBy(col("score").asc, col("id").asc)))
           .filter(col("ar") <= maxR)
           .join(corpusVecs, Seq("id"))
           .join(q, Seq("query_id"))

@@ -764,10 +764,16 @@ object DataQueries {
     * e24b diagnostic baseline: degeneracy-filtered embeddings `e`, the
     * micro-quantized corpus/query relations `ein`/`qin`, and the
     * brute-force pair relation `bfd` feeding [[intKeyCtes]]. */
-  private val intPairCtes: String =
+  /** The default `e` definition — degeneracy-filtered raw embeddings.
+    * [[sweepCtePrefix]] takes it as a swappable slot so the OPQ-family
+    * grid can run the IDENTICAL sweep stack over the rotated corpus
+    * (eDef = [[opqRotCtesBody]]) — the e11 composition pattern. */
+  private val rawECtes: String =
     s"""e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
-      |ein AS (SELECT id, vq,
+      |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE)""".stripMargin
+
+  private val intPairTailCtes: String =
+    s"""ein AS (SELECT id, vq,
       |  CAST(list_inner_product(vq::DOUBLE[], vq::DOUBLE[]) AS BIGINT) AS vn
       |  FROM (SELECT id, list_transform(v,
       |    x -> CAST(floor(x * 100000 + 0.5) AS BIGINT)) AS vq FROM e)),
@@ -782,10 +788,17 @@ object DataQueries {
       |  FROM ein ei CROSS JOIN qin qi
       |  WHERE ei.id <> qi.query_id AND ei.vn > 0 AND qi.qn > 0)""".stripMargin
 
+  /** Reassembled pair stack for the two non-sweep users (e24b
+    * diagnostic); the sweep prefix composes the halves itself so its
+    * `e` slot stays swappable. */
+  private def intPairCtes: String = s"$rawECtes,\n$intPairTailCtes"
+
   private def sweepCtePrefix(maxNp: Int, kBf: Int,
-                             bfKeepRank: Boolean): String = {
+                             bfKeepRank: Boolean,
+                             eDef: String = rawECtes): String = {
     val bfCols = if (bfKeepRank) "query_id, id, rank" else "query_id, id"
-    s"""WITH $intPairCtes,
+    s"""WITH $eDef,
+      |$intPairTailCtes,
       |$kmCtes,
       |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
       |${intKeyCtes("bf", "bfd")},
@@ -820,6 +833,21 @@ object DataQueries {
       |  FROM cds)""".stripMargin
   }
 
+  /** Scanned corpus fraction (INTEGER ppm) — the ONE fragment shared
+    * by every IVF sweep/grid oracle (e24/e25/e26/e27, and e28 via
+    * e27's CTE). The outer CAST is load-bearing: DuckDB types
+    * SUM(BIGINT) as HUGEINT and propagates it through the arithmetic,
+    * so the uncast form emits an int128 output column while Spark
+    * emits int64 — equal VALUES, different TYPES, which fails the
+    * driver's type-sensitive hash compare (VERDICT r15 root cause:
+    * exactly this kept e24–e28 red for rounds despite correct
+    * engine-side numbers). */
+  private def scannedPpmSql(np: Int): String =
+    s"""CAST(1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
+       |    WHERE prn <= $np)
+       |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS BIGINT)
+       |    AS scanned_ppm""".stripMargin
+
   lazy val e24Sql: String = {
     val blocks = sweepNProbes.sorted.map { np =>
       s"""SELECT CAST($np AS BIGINT) AS n_probe,
@@ -837,9 +865,7 @@ object DataQueries {
          |      FROM cand WHERE prn <= $np) WHERE rank <= 5) i
          |    ON bf.query_id = i.query_id AND bf.id = i.id)
          |    // (SELECT CAST(count(*) AS BIGINT) FROM bf) AS recall_ppm,
-         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
-         |    WHERE prn <= $np)
-         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |  ${scannedPpmSql(np)}
          |""".stripMargin
     }.mkString("UNION ALL\n")
     s"""${sweepCtePrefix(sweepNProbes.max, 5, bfKeepRank = false)}
@@ -895,9 +921,7 @@ object DataQueries {
          |      WHERE b.rank <= $kk AND i.rank <= $kk)
          |      // (SELECT CAST(count(*) AS BIGINT) FROM bf
          |        WHERE rank <= $kk) END AS recall_ppm,
-         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
-         |    WHERE prn <= $np)
-         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |  ${scannedPpmSql(np)}
          |""".stripMargin).mkString("UNION ALL\n")
     hoeffdingWrapSql(
       s"""${sweepCtePrefix(sweepNProbes.max, kMax, bfKeepRank = true)},
@@ -965,13 +989,18 @@ object DataQueries {
        |  GROUP BY 1, 2, 3)""".stripMargin
   }
 
-  /** Per-probe-width ADC shortlist + exact-key re-rank chains (ending
-    * in `rk<np>key(query_id, id, ar, key)`) — shared by e26 and e27. */
-  private def rkChainCtes(nps: Seq[Int], maxR: Int): String =
+  /** Per-probe-width shortlist + exact-key re-rank chains (ending in
+    * `rk<np>key(query_id, id, ar, key)`) — shared by e26/e27 (src =
+    * the ADC relation `scp`) and the SQ-family grid (src = the SQ
+    * relation `scq`); the source must expose (query_id, id, prn,
+    * `score`) with score ASC = more promising. */
+  private def rkChainCtes(nps: Seq[Int], maxR: Int,
+                          src: String = "scp",
+                          score: String = "adc_d2"): String =
     nps.sorted.map { np =>
       s"""adc$np AS MATERIALIZED (SELECT query_id, id, ar FROM (
          |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_d2, id) AS ar FROM scp WHERE prn <= $np)
+         |    ORDER BY $score, id) AS ar FROM $src WHERE prn <= $np)
          |  WHERE ar <= $maxR),
          |rk${np}d AS (SELECT a.query_id, a.id, a.ar,
          |  CAST(list_inner_product(ei.vq::DOUBLE[], qi.qvq::DOUBLE[]) AS BIGINT) AS d,
@@ -1002,9 +1031,7 @@ object DataQueries {
          |  CASE WHEN (SELECT count(*) FROM bf) = 0 THEN 0
          |    ELSE 1000000 * ${hitsSub(np, r)}
          |      // (SELECT CAST(count(*) AS BIGINT) FROM bf) END AS recall_ppm,
-         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
-         |    WHERE prn <= $np)
-         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |  ${scannedPpmSql(np)}
          |""".stripMargin).mkString("UNION ALL\n")
     s"""${sweepCtePrefix(maxNp, 5, bfKeepRank = false)},
        |$pqCbCtes,
@@ -1044,11 +1071,14 @@ object DataQueries {
       pqCodebook = pqModel(s, dir), rs = grid3dRs, nProbes = grid3dNps)
   }
 
-  lazy val e27Sql: String = {
-    val maxNp = grid3dNps.max
-    val maxR = grid3dRs.max
-    val kMax = grid3dKs.max
-    val perNp = rkChainCtes(grid3dNps, maxR)
+  lazy val e27Sql: String =
+    s"$e27SqlBody\nORDER BY n_probe, r_shortlist, k"
+
+  /** The family-independent (nProbe × r × k) UNION blocks — every cell
+    * reads its probe width's `rk<np>key` re-rank chain and the shared
+    * `bf`/`pr`/`csz` relations, so the SAME text serves the PQ, SQ8,
+    * and OPQ grid oracles (only the CTE stack in front differs). */
+  private lazy val grid3dBlocksSql: String = {
     def hitsSub(np: Int, r: Int, kk: Int) =
       s"""(SELECT CAST(count(*) AS BIGINT) FROM bf b JOIN
          |    (SELECT query_id, id FROM (SELECT query_id, id,
@@ -1057,8 +1087,8 @@ object DataQueries {
          |      FROM rk${np}key WHERE ar <= $r) WHERE frank <= $kk) t
          |    ON b.query_id = t.query_id AND b.id = t.id
          |    WHERE b.rank <= $kk)""".stripMargin
-    val blocks = (for (np <- grid3dNps.sorted; r <- grid3dRs.sorted;
-                       kk <- grid3dKs.sorted) yield
+    (for (np <- grid3dNps.sorted; r <- grid3dRs.sorted;
+          kk <- grid3dKs.sorted) yield
       s"""SELECT CAST($np AS BIGINT) AS n_probe,
          |  CAST($r AS BIGINT) AS r_shortlist,
          |  CAST($kk AS BIGINT) AS k,
@@ -1070,17 +1100,18 @@ object DataQueries {
          |    ELSE 1000000 * ${hitsSub(np, r, kk)}
          |      // (SELECT CAST(count(*) AS BIGINT) FROM bf
          |        WHERE rank <= $kk) END AS recall_ppm,
-         |  1000000 * (SELECT SUM(cell_n) FROM pr JOIN csz USING (cell)
-         |    WHERE prn <= $np)
-         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS scanned_ppm
+         |  ${scannedPpmSql(np)}
          |""".stripMargin).mkString("UNION ALL\n")
-    s"""${sweepCtePrefix(maxNp, kMax, bfKeepRank = true)},
+  }
+
+  /** e27's unordered oracle body — shared with e28's CTE embed so the
+    * ORDER BY never has to be surgically stripped (ADVICE r15). */
+  private lazy val e27SqlBody: String =
+    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true)},
        |$pqCbCtes,
        |$pqAdcScpCtes,
-       |$perNp
-       |$blocks
-       |ORDER BY n_probe, r_shortlist, k""".stripMargin
-  }
+       |${rkChainCtes(grid3dNps, grid3dRs.max)}
+       |$grid3dBlocksSql""".stripMargin
 
   /** SERVING OPERATING-POINT AUTO-CHOICE (e28): the decision the
     * e25/e26/e27 grids exist to feed, as an operator — per (k, recall
@@ -1123,7 +1154,7 @@ object DataQueries {
   lazy val e28Sql: String = {
     val tgVals = servingTargetsPpm
       .map(t => s"(CAST($t AS BIGINT))").mkString(",")
-    s"""WITH g AS (${e27Sql.replace("ORDER BY n_probe, r_shortlist, k", "")}),
+    s"""WITH g AS ($e27SqlBody),
        |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
        |cand AS (SELECT tg.target_ppm, g.*,
        |  CASE WHEN g.recall_ppm >= tg.target_ppm
@@ -1136,6 +1167,163 @@ object DataQueries {
        |    scanned_ppm ASC, r_shortlist ASC, n_probe ASC) AS rn
        |  FROM cand)
        |SELECT k, target_ppm, n_probe, r_shortlist, recall_ppm,
+       |  scanned_ppm, CAST(meets AS BIGINT) AS meets_target
+       |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
+  }
+
+  /** IVF-SQ8 OPERATING GRID (e29 — [[Similarity.ivfSqOperatingGrid3d]],
+    * VERDICT r15 next-#6): e27's (nProbe × r × k) surface with the
+    * shortlist stage scored by the SQ8 reconstruction (e13/e15's
+    * quantizer) instead of PQ/ADC — the scalar-quantizer FAMILY's
+    * measured operating points on the SAME probe stage, truth, and
+    * scanned-fraction denominator as e27, so e31's cross-family choice
+    * compares like with like. Oracle: the e27 stack with the SQ
+    * stats/encode/decode chain (the e13 oracle's) in place of the PQ
+    * codebook + ADC CTEs; the re-rank chain and grid blocks are the
+    * SAME strings as e27's. */
+  val e29SqGrid3d: Q = (s, dir) =>
+    sqGrid3dRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def sqGrid3dRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    Similarity.ivfSqOperatingGrid3d(emb,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids,
+      mins = mins, scales = scales, rs = grid3dRs, nProbes = grid3dNps)
+  }
+
+  /** The e13-oracle SQ chain (per-dim extrema → byte codes → decode)
+    * plus the probe-pruned SQ-scored candidate relation `scq(query_id,
+    * id, prn, sq_d2)` — the SQ family's stand-in for [[pqAdcScpCtes]],
+    * downstream of sweepCtePrefix's e/q/asg/pr. */
+  private lazy val sqCandCtes: String =
+    s"""sqst AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
+       |sqsl AS (SELECT list(mn ORDER BY i) AS mins,
+       |  list(mx - mn ORDER BY i) AS scs FROM sqst),
+       |sqcod AS (SELECT e.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> CASE WHEN s.scs[i] = 0 THEN 0
+       |    ELSE CAST(round((e.v[i] - s.mins[i]) / s.scs[i] * 255.0, 0) AS BIGINT) END) AS codes
+       |  FROM e CROSS JOIN sqsl s),
+       |sqdec AS (SELECT c.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> s.mins[i] + CAST(c.codes[i] AS DOUBLE) / 255.0 * s.scs[i]) AS rv
+       |  FROM sqcod c CROSS JOIN sqsl s),
+       |scq AS MATERIALIZED (SELECT p.query_id, a.id, p.prn,
+       |  round(list_inner_product(q.qv, q.qv)
+       |    - 2 * list_inner_product(q.qv, d.rv)
+       |    + list_inner_product(d.rv, d.rv), 6) AS sq_d2
+       |  FROM asg a JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id
+       |  JOIN sqdec d ON d.id = a.id
+       |  JOIN q ON q.query_id = p.query_id)""".stripMargin
+
+  private lazy val e29SqlBody: String =
+    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true)},
+       |$sqCandCtes,
+       |${rkChainCtes(grid3dNps, grid3dRs.max, src = "scq", score = "sq_d2")}
+       |$grid3dBlocksSql""".stripMargin
+
+  lazy val e29Sql: String =
+    s"$e29SqlBody\nORDER BY n_probe, r_shortlist, k"
+
+  /** OPQ-ROTATED IVF-PQ OPERATING GRID (e30 — VERDICT r15 next-#6):
+    * the e27 grid run over the OPQ-rotated corpus with the
+    * rotation-trained quantizers (e11's models) — the third family's
+    * operating points. Spark side is [[Similarity.ivfPqOperatingGrid3d]]
+    * applied to [[Opq.rotate]]d vectors verbatim (rotation is a
+    * pre-transform, not a new operator); the oracle fills
+    * [[sweepCtePrefix]]'s `e` slot with the e11 rotation-replay chain
+    * and runs the IDENTICAL PQ stack after it. Recall is measured in
+    * the rotated space against the rotated brute force — orthogonal
+    * rotation preserves cosine, so the operating points are
+    * commensurate with e27/e29's. */
+  val e30OpqGrid3d: Q = (s, dir) =>
+    opqGrid3dRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def opqGrid3dRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rot = Opq.rotate(Catalog(s, dir).embeddings, "embedding", "vec_id",
+      opqReflectors)
+    val (cells, pqCb) = opqModel(s, dir)
+    Similarity.ivfPqOperatingGrid3d(rot, rot.filter(col("id") % 100 === 0),
+      "v", "id", ks = grid3dKs, cellCodebook = cells.centroids, m = 4,
+      pqCodebook = pqCb, rs = grid3dRs, nProbes = grid3dNps)
+  }
+
+  private lazy val e30SqlBody: String =
+    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true,
+           eDef = opqRotCtesBody)},
+       |$pqCbCtes,
+       |$pqAdcScpCtes,
+       |${rkChainCtes(grid3dNps, grid3dRs.max)}
+       |$grid3dBlocksSql""".stripMargin
+
+  lazy val e30Sql: String =
+    s"$e30SqlBody\nORDER BY n_probe, r_shortlist, k"
+
+  /** CROSS-FAMILY SERVING AUTO-CHOICE (e31 — VERDICT r15 next-#6): the
+    * e28 decision widened across quantizer FAMILIES — per (k, recall
+    * target), the cheapest cell of the UNION of the IVF-PQ (e27),
+    * IVF-SQ8 (e29), and OPQ-IVF-PQ (e30) grids meeting the target.
+    * Cost order is e28's lexicographic (scanned_ppm, r_shortlist,
+    * n_probe) with the family NAME as the final determinism key; the
+    * family column rides along so the choice is actionable (which
+    * index to build, not just which knobs). All three grids share the
+    * probe stage, brute-force truth contract, and scanned-fraction
+    * denominator, so cells are directly comparable; no-cell-meets
+    * falls back to best-available flagged `meets_target = 0`, e28's
+    * widen-the-grid signal. */
+  val e31FamilyChoice: Q = (s, dir) => {
+    import s.implicits._
+    val grid = grid3dRelation(s, dir).withColumn("family", lit("ivf_pq"))
+      .unionByName(sqGrid3dRelation(s, dir)
+        .withColumn("family", lit("ivf_sq8")))
+      .unionByName(opqGrid3dRelation(s, dir)
+        .withColumn("family", lit("opq_ivf_pq")))
+    val targets = servingTargetsPpm.toDF("target_ppm")
+    val cand = grid.crossJoin(broadcast(targets))
+      .withColumn("meets",
+        (col("recall_ppm") >= col("target_ppm")).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "target_ppm")
+      .orderBy(col("meets").desc,
+        when(col("meets") === 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scanned_ppm").asc, col("r_shortlist").asc,
+        col("n_probe").asc, col("family").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("target_ppm"), col("family"), col("n_probe"),
+        col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
+        col("meets").as("meets_target"))
+      .orderBy("k", "target_ppm")
+  }
+
+  lazy val e31Sql: String = {
+    val tgVals = servingTargetsPpm
+      .map(t => s"(CAST($t AS BIGINT))").mkString(",")
+    s"""WITH gp AS ($e27SqlBody),
+       |gs AS ($e29SqlBody),
+       |go AS ($e30SqlBody),
+       |g AS (SELECT 'ivf_pq' AS family, * FROM gp
+       |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM gs
+       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go),
+       |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
+       |cand AS (SELECT tg.target_ppm, g.*,
+       |  CASE WHEN g.recall_ppm >= tg.target_ppm
+       |    THEN 1 ELSE 0 END AS meets
+       |  FROM g CROSS JOIN tg),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY k, target_ppm
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN 0
+       |      ELSE 1000000 - recall_ppm END ASC,
+       |    scanned_ppm ASC, r_shortlist ASC, n_probe ASC, family ASC)
+       |    AS rn
+       |  FROM cand)
+       |SELECT k, target_ppm, family, n_probe, r_shortlist, recall_ppm,
        |  scanned_ppm, CAST(meets AS BIGINT) AS meets_target
        |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
   }
@@ -1629,13 +1817,18 @@ object DataQueries {
     * Householder applications with the exact scalar association the
     * Spark expression uses, then the shared round-6 grid — the rotated
     * relation lands in `e`, and [[ivfPqSqlBody]] runs unchanged on it. */
-  private lazy val opqRotCtes: String = {
+  private lazy val opqRotCtes: String = s"WITH $opqRotCtesBody"
+
+  /** The rotation chain WITHOUT the leading WITH, so it can also fill
+    * [[sweepCtePrefix]]'s `e` slot (the OPQ-family operating grid runs
+    * the whole e27 sweep stack over the rotated corpus). */
+  private lazy val opqRotCtesBody: String = {
     val rots = (1 to opqP).map { r =>
       s"""rot$r AS MATERIALIZED (SELECT w.id, list_transform(range(1, ${kmDim + 1}), i ->
          |  w.v[i] - ((2 * list_inner_product(u.u, w.v)) / list_inner_product(u.u, u.u)) * u.u[i]) AS v
          |  FROM rot${r - 1} w CROSS JOIN (SELECT u FROM ru WHERE r = $r) u)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |eraw AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
        |ru AS MATERIALIZED (SELECT r, list((${h60("'opq|u'||r::VARCHAR||'|'||i::VARCHAR")} % 2000001 - 1000000) / 1000000.0 ORDER BY i) AS u
        |  FROM range(1, ${opqP + 1}) t(r), range(1, ${kmDim + 1}) s(i) GROUP BY r),
@@ -2836,10 +3029,11 @@ object DataQueries {
   private val nbScoreCtes: String =
     s"""dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
-       |contrib AS (SELECT dt.doc_id, g.lang, SUM(dt.n * g.lp) AS tok_lp
+       |contrib AS (SELECT dt.doc_id, g.lang,
+       |  CAST(SUM(dt.n * g.lp) AS BIGINT) AS tok_lp
        |  FROM dt JOIN grid g USING (tok) GROUP BY 1, 2),
        |scored AS (SELECT d.doc_id, d.lang AS true_label, p.lang AS label,
-       |  p.prior_lp + COALESCE(c.tok_lp, 0) AS score_nano
+       |  CAST(p.prior_lp + COALESCE(c.tok_lp, 0) AS BIGINT) AS score_nano
        |  FROM documents d CROSS JOIN pri p
        |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang),
        |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -3331,12 +3525,16 @@ object DataQueries {
         n = 3, k = 16, bandsList = lshSweepBands, tauNum = 1, tauDen = 5)
       .orderBy(col("n_bands"))
 
-  lazy val d29Sql: String = d29SqlFor(3, 1, 5)
+  lazy val d29Sql: String = s"${d29SqlBodyFor(3, 1, 5)}\nORDER BY n_bands"
 
-  /** The banding-sweep oracle, parametric in shingle width and the
+  /** The banding-sweep oracle BODY (no ORDER BY — the top-level
+    * queries append their own), parametric in shingle width and the
     * exact-Jaccard truth threshold — d29 reads the saturated width-3
-    * regime, d34 the width-5 rarity regime. */
-  private def d29SqlFor(n: Int, tauNum: Int, tauDen: Int): String = {
+    * regime, d34 the width-5 rarity regime. Shared as the unordered
+    * body so downstream CTE embedders (d32/d34/d35) never do
+    * silently-no-op string .replace surgery on the ORDER BY text
+    * (ADVICE r15). */
+  private def d29SqlBodyFor(n: Int, tauNum: Int, tauDen: Int): String = {
     val k = 16
     val cfg = lshSweepBands.sorted.map(b => (b, k / b))
     val perConfig = cfg.map { case (b, r) =>
@@ -3380,8 +3578,7 @@ object DataQueries {
        |  list_min(list_transform(sh, g -> ${h60("s::VARCHAR||'|'||g")}))) AS sig
        |  FROM base),
        |$perConfig
-       |$blocks
-       |ORDER BY n_bands""".stripMargin
+       |$blocks""".stripMargin
   }
 
   /** SWEEP CONFIDENCE BOUNDS (d32 — [[Stats.withHoeffdingPpm]] over
@@ -3447,7 +3644,7 @@ object DataQueries {
   }
 
   lazy val d34Sql: String = hoeffdingWrapSql(
-    d29SqlFor(5, 1, 5).replace("ORDER BY n_bands", ""),
+    d29SqlBodyFor(5, 1, 5),
     Seq(("n_true", "recall_ppm", "recall_lo_ppm", "recall_hi_ppm"),
       ("n_candidates", "precision_ppm",
         "precision_lo_ppm", "precision_hi_ppm")),
@@ -3494,14 +3691,18 @@ object DataQueries {
        |FROM k4 $orderBy""".stripMargin
   }
 
-  lazy val d32Sql: String = hoeffdingWrapSql(
-    d29Sql.replace("ORDER BY n_bands", ""),
+  /** d32's unordered body — shared with d35's CTE embed so the
+    * ORDER BY never has to be surgically stripped. */
+  private lazy val d32SqlBody: String = hoeffdingWrapSql(
+    d29SqlBodyFor(3, 1, 5),
     Seq(("n_true", "recall_ppm", "recall_lo_ppm", "recall_hi_ppm"),
       ("n_candidates", "precision_ppm",
         "precision_lo_ppm", "precision_hi_ppm")),
     "n_bands, n_rows, n_candidates, n_true, n_hits, " +
       "recall_ppm, precision_ppm",
-    "ORDER BY n_bands")
+    "")
+
+  lazy val d32Sql: String = s"$d32SqlBody\nORDER BY n_bands"
 
   /** BANDING AUTO-CHOICE (d35): the DECISION the d29/d32/d34 sweeps
     * exist to feed, as an operator — per recall target, the CHEAPEST
@@ -3548,7 +3749,7 @@ object DataQueries {
   lazy val d35Sql: String = {
     val tgVals = bandingTargetsPpm
       .map(t => s"(CAST($t AS BIGINT))").mkString(",")
-    s"""WITH ci AS (${d32Sql.replace("ORDER BY n_bands", "")}),
+    s"""WITH ci AS ($d32SqlBody),
        |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
        |cand AS (SELECT tg.target_ppm, ci.*,
        |  CASE WHEN ci.recall_lo_ppm >= tg.target_ppm
@@ -5000,6 +5201,9 @@ object DataQueries {
     "d34_rare_sweep" -> d34RareSweep,
     "d35_banding_choice" -> d35BandingChoice,
     "e28_operating_choice" -> e28OperatingChoice,
+    "e29_ivfsq_grid3d" -> e29SqGrid3d,
+    "e30_opq_grid3d" -> e30OpqGrid3d,
+    "e31_family_choice" -> e31FamilyChoice,
     "t32_fertility" -> t32Fertility,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
@@ -5106,6 +5310,9 @@ object DataQueries {
     "d34_rare_sweep" -> d34Sql,
     "d35_banding_choice" -> d35Sql,
     "e28_operating_choice" -> e28Sql,
+    "e29_ivfsq_grid3d" -> e29Sql,
+    "e30_opq_grid3d" -> e30Sql,
+    "e31_family_choice" -> e31Sql,
     "t32_fertility" -> t32Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,

@@ -907,4 +907,100 @@ class OperatorsSpec extends SparkSpec {
         (if (meeting.nonEmpty) 1L else 0L))
     }
   }
+
+  test("ivfSqOperatingGrid3d: full-depth shortlist recovers the exact IVF sweep; axes and denominators behave (r16)") {
+    // when r covers EVERY probed candidate, the SQ shortlist ordering
+    // is irrelevant — the exact-key rerank sees all candidates, so the
+    // cell must equal the exact IVF operating sweep at (np, k), all
+    // four measured columns. That pins the whole skeleton (probe
+    // stage, truth, rerank, denominators) to an already-gated
+    // operator; the SQ scorer can then only affect BOUNDED shortlists.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    val rFull = 600 // > corpus size: every probed candidate survives
+    val gsq = Similarity.ivfSqOperatingGrid3d(emb, queries, "embedding",
+        "vec_id", ks = Seq(1, 5), cellCodebook = cb, mins = mins,
+        scales = scales, rs = Seq(5, rFull), nProbes = Seq(1, 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(gsq.size == 8)
+    val exact = Similarity.ivfOperatingSweepExact(emb, queries, "embedding",
+        "vec_id", ks = Seq(1, 5), codebook = cb, nProbes = Seq(1, 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    for (np <- Seq(1L, 2L); kk <- Seq(1L, 5L))
+      assert(gsq((np, rFull.toLong, kk)) == exact((np, kk)),
+        s"(np=$np,k=$kk): full-depth SQ cell ${gsq((np, rFull.toLong, kk))}" +
+          s" != exact sweep ${exact((np, kk))}")
+    // bounded shortlists: monotone in r and k; ppm arithmetic exact;
+    // scanned_ppm is the FAMILY-INDEPENDENT probe-stage denominator
+    gsq.foreach { case ((np, _, kk), (h, nbf, rec, scn)) =>
+      assert(nbf > 0 && rec == 1000000L * h / nbf)
+      assert(scn == exact((np, kk))._4, "scanned_ppm must match the " +
+        "exact sweep's: same probe stage, same assignments")
+    }
+    for (np <- Seq(1L, 2L); kk <- Seq(1L, 5L))
+      assert(gsq((np, 5L, kk))._1 <= gsq((np, rFull.toLong, kk))._1)
+    for (np <- Seq(1L, 2L); r <- Seq(5L, rFull.toLong))
+      assert(gsq((np, r, 1L))._1 <= gsq((np, r, 5L))._1)
+  }
+
+  test("e30 OPQ grid: shape, arithmetic, and monotone axes in the rotated space (r16)") {
+    val g = graft.queries.DataQueries.e30OpqGrid3d(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
+        r.getAs[Long]("k")) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_bf"),
+          r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm"))).toMap
+    assert(g.size == 8, "2 probes x 2 shortlists x 2 ks")
+    g.foreach { case ((np, r, kk), (h, nbf, rec, scn)) =>
+      assert(nbf > 0 && rec == 1000000L * h / nbf, s"($np,$r,$kk)")
+      assert(h <= nbf && scn > 0 && scn <= 1000000L)
+    }
+    // deeper shortlist / deeper k only add candidates (probe axis is
+    // NOT monotone at fixed r — the e26 dilution finding)
+    for (np <- Seq(1L, 4L); kk <- Seq(1L, 5L))
+      assert(g((np, 5L, kk))._1 <= g((np, 20L, kk))._1)
+    for (np <- Seq(1L, 4L); r <- Seq(5L, 20L))
+      assert(g((np, r, 1L))._1 <= g((np, r, 5L))._1)
+    // scanned fraction grows with probe width (same query batch)
+    for (r <- Seq(5L, 20L); kk <- Seq(1L, 5L))
+      assert(g((1L, r, kk))._4 <= g((4L, r, kk))._4)
+  }
+
+  test("e31 family choice: per (k, target) the cheapest cell across ALL THREE family grids") {
+    // re-derive the decision from the three grid relations it unions
+    val dir = "/root/testdata/sf0.001"
+    def cells(df: org.apache.spark.sql.DataFrame, fam: String) =
+      df.collect().map(r => (fam, r.getAs[Long]("k"),
+        r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
+        r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm")))
+    val grid =
+      cells(graft.queries.DataQueries.e27Grid3d(spark, dir), "ivf_pq") ++
+      cells(graft.queries.DataQueries.e29SqGrid3d(spark, dir), "ivf_sq8") ++
+      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq")
+    val chosen = graft.queries.DataQueries.e31FamilyChoice(spark, dir)
+      .collect()
+    assert(chosen.length === 6, "one row per (k, target)")
+    chosen.foreach { c =>
+      val (k, target) = (c.getAs[Long]("k"), c.getAs[Long]("target_ppm"))
+      val ks = grid.filter(_._2 == k)
+      val meeting = ks.filter(_._5 >= target)
+      val expect =
+        if (meeting.nonEmpty)
+          meeting.minBy { case (f, _, np, r, _, sc) => (sc, r, np, f) }
+        else ks.minBy { case (f, _, np, r, rec, sc) =>
+          (1000000L - rec, sc, r, np, f) }
+      assert((c.getAs[String]("family"), c.getAs[Long]("n_probe"),
+        c.getAs[Long]("r_shortlist")) === ((expect._1, expect._3,
+        expect._4)), s"choice for k=$k target=$target")
+      assert(c.getAs[Long]("meets_target") ===
+        (if (meeting.nonEmpty) 1L else 0L))
+    }
+  }
 }
