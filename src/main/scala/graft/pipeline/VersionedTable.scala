@@ -209,8 +209,46 @@ object VersionedTable {
     * the version mixes pre- and post-evolution batches. Manifests
     * written before the schema line existed read via the mergeSchema
     * fallback. */
+  /** One column's recorded zone (file-level min/max). `tag` is the
+    * comparison class — "i" integral (compared as Long), "d" floating
+    * (as Double), "s" string (as UTF-8 text, Base64 in the manifest so
+    * bounds can never collide with the line grammar). Bounds are over
+    * NON-NULL values only; a file whose column is entirely NULL (or a
+    * type outside the three classes) records nothing and is always
+    * kept — absence means "cannot prune", never "empty". */
+  private[pipeline] final case class Zone(tag: String, lo: String, hi: String) {
+    def intersects(qLo: Any, qHi: Any): Boolean = tag match {
+      case "i" =>
+        val (l, h) = (toL(qLo), toL(qHi))
+        !(hi.toLong < l || lo.toLong > h)
+      case "d" =>
+        val (l, h) = (toD(qLo), toD(qHi))
+        !(hi.toDouble < l || lo.toDouble > h)
+      case "s" =>
+        val (l, h) = (qLo.toString, qHi.toString)
+        !(deb64(hi) < l || deb64(lo) > h)
+      case _ => true // forward-compat: unknown tag never prunes
+    }
+    private def toL(x: Any): Long = x match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"zone-map range bound $other is not integral")
+    }
+    private def toD(x: Any): Double = x match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"zone-map range bound $other is not numeric")
+    }
+  }
+
+  private def b64(s: String): String = java.util.Base64.getUrlEncoder
+    .withoutPadding.encodeToString(s.getBytes("UTF-8"))
+  private def deb64(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
+
   private case class Manifest(files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      zones: Map[String, Map[String, Zone]] = Map.empty)
 
   /** Raw manifest lines of a retained version — [[PublishSet]] parses
     * its own (table → version) grammar from these. */
@@ -230,11 +268,21 @@ object VersionedTable {
 
   private def manifest(spark: SparkSession, root: String, v: Long): Manifest = {
     val lines = manifestLines(spark, root, v)
-    val (schemaLines, files) = lines.partition(_.startsWith("#schema="))
+    val (schemaLines, rest) = lines.partition(_.startsWith("#schema="))
+    val (zmLines, files) = rest.partition(_.startsWith("#zm="))
     val schema = schemaLines.headOption.map(l =>
       org.apache.spark.sql.types.DataType.fromJson(
         l.stripPrefix("#schema=")).asInstanceOf[org.apache.spark.sql.types.StructType])
-    Manifest(files, schema)
+    // #zm=<relpath>\t<col>\t<tag>\t<lo>\t<hi> — one line per (file,
+    // column) zone; malformed lines are IGNORED (a zone map can only
+    // skip work, so losing one means keeping a file, never wrong rows)
+    val zones = zmLines.flatMap { l =>
+      l.stripPrefix("#zm=").split("\t", -1) match {
+        case Array(f, c, tag, lo, hi) => Some(f -> (c -> Zone(tag, lo, hi)))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, es) => f -> es.map(_._2).toMap }
+    Manifest(files, schema, zones)
   }
 
   // read a concrete file list under a version's recorded schema: one
@@ -288,6 +336,65 @@ object VersionedTable {
     val keys = values.map(x => partitionKey(col, x))
     readFiles(spark, root, m,
       m.files.filter(f => keys.exists(k => f.contains("/" + k))))
+  }
+
+  // zone-map file pruning: keep a file unless its recorded zone for
+  // the column PROVES [lo, hi] cannot match (absent zone = keep)
+  private def zoneKeep(m: Manifest, files: Seq[String], colName: String,
+                       lo: Any, hi: Any): Seq[String] =
+    files.filter(f => m.zones.get(f).flatMap(_.get(colName))
+      .forall(_.intersects(lo, hi)))
+
+  /** Files of the current version a `colName BETWEEN lo AND hi` scan
+    * must read, after zone-map pruning — the introspection behind
+    * [[readRange]] (and an ops tool: "how many files does this filter
+    * touch"). Conservative by construction: a file without a recorded
+    * zone for `colName` is always included. */
+  def rangeFiles(spark: SparkSession, root: String, colName: String,
+                 lo: Any, hi: Any): Seq[String] = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val m = manifest(spark, root, v)
+    zoneKeep(m, m.files, colName, lo, hi)
+  }
+
+  /** Range read with FILE-LEVEL zone-map skipping (VERDICT r15
+    * next-#7): the manifest's per-file min/max lets a second-column
+    * range predicate skip whole files the partition key cannot prune —
+    * the scan-side payoff Iceberg/Delta get from file stats, at
+    * manifest level so no footer is opened for a skipped file. The
+    * predicate is ALSO applied to the surviving rows, so pruning is
+    * purely a cost optimization — results are identical to filtering
+    * [[read]]. Bounds are inclusive and must be non-null and
+    * comparable in the column's zone class (integral/floating/
+    * string). */
+  def readRange(spark: SparkSession, root: String, colName: String,
+                lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val m = manifest(spark, root, v)
+    readFiles(spark, root, m, zoneKeep(m, m.files, colName, lo, hi))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
+  /** [[readPartitions]] composed with [[readRange]]'s zone-map skip:
+    * partition-dir pruning on the bucket key, then file-level min/max
+    * pruning on a SECOND column inside the surviving partitions — the
+    * two indexes a warehouse scan wants together (e.g. tenant dirs ×
+    * time range). Same residual-filter guarantee as [[readRange]]. */
+  def readPartitionsRange(spark: SparkSession, root: String,
+                          pCol: String, values: Seq[Any],
+                          colName: String, lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val m = manifest(spark, root, v)
+    require(m.files.isEmpty || layoutOf(m.files).contains(pCol),
+      s"readPartitionsRange: '$pCol' is not a partition column of $root " +
+        s"(stored layout ${layoutOf(m.files).mkString("[", ",", "]")})")
+    val keys = values.map(x => partitionKey(pCol, x))
+    val pFiles = m.files.filter(f => keys.exists(k => f.contains("/" + k)))
+    readFiles(spark, root, m, zoneKeep(m, pFiles, colName, lo, hi))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   // relative paths of every parquet file under a batch dir
@@ -356,9 +463,108 @@ object VersionedTable {
   // if slot v were somehow still free (pointer tampering).
   private def commit(spark: SparkSession, root: String, v: Long,
                      files: Seq[String],
-                     schema: Option[org.apache.spark.sql.types.StructType]): Unit =
+                     schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    // FILE-LEVEL ZONE MAPS (VERDICT r15 next-#7): record min/max per
+    // supported non-partition column for every file the prior manifest
+    // does not already cover — ONE aggregation over the fresh batch,
+    // never the table, so commit cost stays O(staged data). Kept files
+    // inherit their recorded zones verbatim (they are immutable, so
+    // the bounds can never go stale); legacy kept files without zones
+    // simply stay unprunable.
+    // Inheritance searches ALL retained manifests newest-first (not
+    // just v-1): rollback commits an OLD version's file list, and
+    // recomputing its zones would be O(restored table). A file merely
+    // PRESENT in a retained manifest is treated as known even with no
+    // recorded zone (legacy manifests) — it stays unprunable rather
+    // than triggering a table-sized stats scan.
+    var inherited = Map.empty[String, Map[String, Zone]]
+    var known = Set.empty[String]
+    val todo = files.toSet
+    val older = versions(spark, root).filter(_ < v).sorted.reverse.iterator
+    while (!todo.subsetOf(known) && older.hasNext) {
+      val m = manifest(spark, root, older.next())
+      inherited = m.zones.view.filterKeys(f =>
+        todo.contains(f) && !inherited.contains(f)).toMap ++ inherited
+      known ++= m.files
+    }
+    val freshZones = computeZones(spark, root,
+      files.filterNot(known.contains))
+    val zones = files.flatMap { f =>
+      freshZones.get(f).orElse(inherited.get(f)).map(f -> _)
+    }
+    val zmLines = for {
+      (f, cz) <- zones.sortBy(_._1)
+      (c, z) <- cz.toSeq.sortBy(_._1)
+    } yield s"#zm=$f\t$c\t${z.tag}\t${z.lo}\t${z.hi}"
     commitText(spark, root, v,
-      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ files).mkString("\n"))
+      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ zmLines ++ files)
+        .mkString("\n"))
+  }
+
+  /** Per-file min/max of every zone-mappable column of the FRESH batch:
+    * integrals ("i"), float/double ("d"), strings ("s", Base64-framed).
+    * Dates/timestamps/decimals/nested types and the duplicated __pp_*
+    * keys are skipped (the partition dirs already prune the former's
+    * usual role). Attribution is by full relative-path suffix of the
+    * decoded input-file URI — terminal names alone COLLIDE when one
+    * task writes the same part-N file into several __pp_* dirs;
+    * anything unattributable — and any failure at all — just records
+    * no zone, because an absent zone only costs pruning, never
+    * correctness. */
+  private def computeZones(spark: SparkSession, root: String,
+                           rels: Seq[String])
+      : Map[String, Map[String, Zone]] =
+    if (rels.isEmpty) Map.empty
+    else try {
+      import org.apache.spark.sql.types._
+      // terminal name → candidate rel paths (bucketing the suffix scan)
+      val byName = rels.groupBy(_.split("/").last)
+      def relOf(fileUri: String): Option[String] = {
+        val p = try new java.net.URI(fileUri).getPath
+                catch { case _: Exception => fileUri }
+        byName.getOrElse(p.split("/").last, Nil)
+          .find(rel => p.endsWith("/" + rel))
+      }
+      def tagOf(dt: DataType): Option[String] = dt match {
+        case ByteType | ShortType | IntegerType | LongType => Some("i")
+        case FloatType | DoubleType => Some("d")
+        case StringType => Some("s")
+        case _ => None
+      }
+      val df = spark.read.parquet(rels.map(r => s"${dataRoot(root)}/$r"): _*)
+      val cols = df.schema.fields
+        .filter(f => !f.name.startsWith("__pp_") && !f.name.contains("\t")
+          && tagOf(f.dataType).isDefined)
+      if (cols.isEmpty) Map.empty
+      else {
+        val aggs = cols.toSeq.flatMap(f =>
+          Seq(min(col(f.name)), max(col(f.name))))
+        val rows = df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        rows.flatMap { r =>
+          relOf(r.getString(0)).map { rel =>
+            rel -> cols.zipWithIndex.flatMap { case (f, i) =>
+              val (lo, hi) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
+              if (lo == null || hi == null) None
+              else tagOf(f.dataType).map {
+                case "i" => f.name -> Zone("i",
+                  lo.asInstanceOf[Number].longValue.toString,
+                  hi.asInstanceOf[Number].longValue.toString)
+                case "d" => f.name -> Zone("d",
+                  lo.asInstanceOf[Number].doubleValue.toString,
+                  hi.asInstanceOf[Number].doubleValue.toString)
+                case _ => f.name -> Zone("s", b64(lo.toString), b64(hi.toString))
+              }
+            }.toMap
+          }
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      // a zone map is a pure pruning index — never let its computation
+      // fail a data commit
+      System.err.println(s"[versioned] zone-map compute skipped: $e")
+      Map.empty
+    }
 
   /** The bare manifest-text commit — the SAME linearization point
     * ([[commit]]'s Scaladoc) with caller-supplied content. Shared with

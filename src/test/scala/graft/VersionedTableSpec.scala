@@ -628,4 +628,78 @@ class VersionedTableSpec extends SparkSpec {
     // the pruned scan reads strictly fewer files
     assert(pruned.inputFiles.length < VersionedTable.read(spark, r).inputFiles.length)
   }
+
+  test("zone maps: a second-column range skips files the partition key cannot prune (r16)") {
+    val r = root()
+    // tenant buckets (p) × a range-clustered second column (ts): 3
+    // range tasks × 2 tenant dirs = files each covering ~1/3 of ts —
+    // the warehouse layout where the bucket key is useless for a time
+    // filter and only file stats can skip
+    val df = (1L to 300L)
+      .map(i => (i, s"t${i % 2}", i, "u%03d".format(i)))
+      .toDF("id", "p", "ts", "label")
+      .repartitionByRange(3, $"ts")
+    VersionedTable.write(spark, r, df, partitionBy = Seq("p"))
+    val total = VersionedTable.read(spark, r).inputFiles.length
+    val kept = VersionedTable.rangeFiles(spark, r, "ts", 10L, 40L)
+    assert(kept.length < total,
+      s"zone map must skip files: kept ${kept.length} of $total")
+    // the range read scans ONLY the kept files, and the residual
+    // filter makes the rows exactly a filter over the full read
+    val got = VersionedTable.readRange(spark, r, "ts", 10L, 40L)
+    assert(got.inputFiles.length === kept.length)
+    assert(got.select("id").as[Long].collect().sorted ===
+      (10L to 40L).toArray)
+    // string zones prune too (Base64-framed bounds)
+    assert(VersionedTable.rangeFiles(spark, r, "label", "u010", "u040")
+      .length < total)
+    assert(VersionedTable.readRange(spark, r, "label", "u010", "u040")
+      .count() === 31L)
+    // composed: partition dirs on the bucket key, zones on the range
+    val pr = VersionedTable.readPartitionsRange(spark, r, "p", Seq("t1"),
+      "ts", 10L, 40L)
+    assert(pr.select("id").as[Long].collect().sorted ===
+      (10L to 40L).filter(_ % 2 == 1).toArray)
+    assert(pr.inputFiles.length < kept.length,
+      "partition pruning must compose on top of the zone skip")
+  }
+
+  test("zone maps: kept files inherit zones through merges and rollback; legacy manifests never prune (r16)") {
+    val r = root()
+    // partition correlates with ts: a = [1,50], b = [51,100]
+    VersionedTable.write(spark, r,
+      (1L to 100L).map(i => (i, if (i <= 50) "a" else "b", i))
+        .toDF("id", "p", "ts"),
+      partitionBy = Seq("p"))
+    val all = VersionedTable.read(spark, r).inputFiles.length
+    assert(VersionedTable.rangeFiles(spark, r, "ts", 60L, 70L)
+      .length < all, "a-partition files must be skipped for ts 60-70")
+    // a merge rewrites ONLY partition a; b's files are reused and must
+    // KEEP their zones on the new version (inheritance, not recompute)
+    VersionedTable.merge(spark, r, Seq((1L, "a", 1L)).toDF("id", "p", "ts"),
+      uniqueKey = Seq("id", "p"), partitionBy = Seq("p"))
+    val all2 = VersionedTable.read(spark, r).inputFiles.length
+    val kept2 = VersionedTable.rangeFiles(spark, r, "ts", 60L, 70L)
+    assert(kept2.length < all2, "inherited zones must still prune after a merge")
+    assert(VersionedTable.readRange(spark, r, "ts", 60L, 70L)
+      .count() === 11L)
+    // rollback commits an OLD file list: zones inherit from retained
+    // manifests (search is manifest-level — no table-sized stats scan)
+    VersionedTable.rollback(spark, r, to = 1L)
+    assert(VersionedTable.rangeFiles(spark, r, "ts", 60L, 70L)
+      .length < VersionedTable.read(spark, r).inputFiles.length)
+    // legacy manifest (no #zm lines): strip them from the current
+    // manifest — pruning degrades to keep-everything, results stay
+    // exact via the residual filter
+    val cur = VersionedTable.currentVersion(spark, r).get
+    val mf = java.nio.file.Paths.get(s"$r/_manifests/v$cur")
+    val legacy = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#zm=")).mkString("\n")
+    java.nio.file.Files.write(mf, legacy.getBytes("UTF-8"))
+    val allNow = VersionedTable.read(spark, r).inputFiles.length
+    assert(VersionedTable.rangeFiles(spark, r, "ts", 60L, 70L)
+      .length === allNow, "no zones -> conservative keep-everything")
+    assert(VersionedTable.readRange(spark, r, "ts", 60L, 70L)
+      .count() === 11L)
+  }
 }
