@@ -1171,6 +1171,61 @@ object DataQueries {
        |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
   }
 
+  /** PER-TENANT SERVING CHOICE (e32 — VERDICT r15 next-#8): e28's
+    * decision with the recall targets coming from a TABLE instead of
+    * three literals — the multi-tenant consumer shape, where each
+    * tenant ships its own SLO and the planner broadcasts the (small)
+    * targets relation against the ONE shared measured grid. Tenants
+    * here are the `nation` rows with a deterministic 5-tier target
+    * derived from the key (the testdata stand-in for a real SLO
+    * table); the decision logic, cost order, and best-available
+    * fallback are EXACTLY e28's, per (tenant, k) instead of per
+    * (k, literal). Scale: grid is |cells| rows, targets broadcast —
+    * the choice costs one window over |cells|·|tenants| rows
+    * regardless of corpus size. */
+  val e32TenantChoice: Q = (s, dir) => {
+    val grid = grid3dRelation(s, dir)
+    val tenants = Catalog(s, dir).nation.select(
+      col("n_nationkey").cast(LongType).as("tenant_id"),
+      (lit(500000L) + (col("n_nationkey") % 5).cast(LongType) * lit(100000L))
+        .as("target_ppm"))
+    val cand = grid.crossJoin(broadcast(tenants))
+      .withColumn("meets",
+        (col("recall_ppm") >= col("target_ppm")).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tenant_id", "k")
+      .orderBy(col("meets").desc,
+        when(col("meets") === 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scanned_ppm").asc, col("r_shortlist").asc,
+        col("n_probe").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tenant_id"), col("k"), col("target_ppm"),
+        col("n_probe"), col("r_shortlist"), col("recall_ppm"),
+        col("scanned_ppm"), col("meets").as("meets_target"))
+      .orderBy("tenant_id", "k")
+  }
+
+  lazy val e32Sql: String =
+    s"""WITH g AS ($e27SqlBody),
+       |tn AS (SELECT CAST(n_nationkey AS BIGINT) AS tenant_id,
+       |  CAST(500000 + (n_nationkey % 5) * 100000 AS BIGINT) AS target_ppm
+       |  FROM nation),
+       |cand AS (SELECT tn.tenant_id, tn.target_ppm, g.*,
+       |  CASE WHEN g.recall_ppm >= tn.target_ppm
+       |    THEN 1 ELSE 0 END AS meets
+       |  FROM g CROSS JOIN tn),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY tenant_id, k
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN 0
+       |      ELSE 1000000 - recall_ppm END ASC,
+       |    scanned_ppm ASC, r_shortlist ASC, n_probe ASC) AS rn
+       |  FROM cand)
+       |SELECT tenant_id, k, target_ppm, n_probe, r_shortlist, recall_ppm,
+       |  scanned_ppm, CAST(meets AS BIGINT) AS meets_target
+       |FROM rk WHERE rn = 1 ORDER BY tenant_id, k""".stripMargin
+
   /** IVF-SQ8 OPERATING GRID (e29 — [[Similarity.ivfSqOperatingGrid3d]],
     * VERDICT r15 next-#6): e27's (nProbe × r × k) surface with the
     * shortlist stage scored by the SQ8 reconstruction (e13/e15's
@@ -5204,6 +5259,7 @@ object DataQueries {
     "e29_ivfsq_grid3d" -> e29SqGrid3d,
     "e30_opq_grid3d" -> e30OpqGrid3d,
     "e31_family_choice" -> e31FamilyChoice,
+    "e32_tenant_choice" -> e32TenantChoice,
     "t32_fertility" -> t32Fertility,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
@@ -5313,6 +5369,7 @@ object DataQueries {
     "e29_ivfsq_grid3d" -> e29Sql,
     "e30_opq_grid3d" -> e30Sql,
     "e31_family_choice" -> e31Sql,
+    "e32_tenant_choice" -> e32Sql,
     "t32_fertility" -> t32Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,

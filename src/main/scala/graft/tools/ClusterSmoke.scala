@@ -190,7 +190,12 @@ object ClusterSmoke {
     "e24b_bf_baseline",
     // tokenizer fertility: BPE-fit literals + per-language aggregation
     // partials must agree across JVM boundaries
-    "t32_fertility")
+    "t32_fertility",
+    // r16 family grids + choices: the SQ-scored shortlist windows, the
+    // rotated-corpus grid (both quantizer fits from executor partials),
+    // and the cross-family / tenant-table decisions over them
+    "e29_ivfsq_grid3d", "e30_opq_grid3d", "e31_family_choice",
+    "e32_tenant_choice")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
@@ -501,6 +506,100 @@ object ClusterSmoke {
         println(s"[cluster-smoke] cross-process publish/GC OK " +
           s"($nReleases publisher-JVM releases vs $sweeps concurrent " +
           s"GC sweeps, $reads retained-release member reads, zero lost " +
+          "releases, zero unreadable pins)")
+    }
+
+    // ---- GcMain-as-cron × live publisher (VERDICT r15 next-#8): the
+    // SHIPPED maintenance entrypoint in its OWN JVM (exactly how an
+    // operator crons it) against a publisher JVM, with this JVM as a
+    // concurrent reader — three processes sharing only the registry.
+    // Invariants: every GcMain run exits 0; the publisher loses no
+    // release; a retained release read by this JVM either reads fully
+    // or was pruned out from under the listing by the cron (the
+    // reader-slower-than-retention boundary — counted, not failed);
+    // after both children exit, a final read-back sees every retained
+    // release fully readable. Compaction flags are deliberately off
+    // here: a cron compactor racing a hammering publisher exhausts
+    // bounded commit retries by design, which is an operator pacing
+    // decision, not a correctness property this smoke pins.
+    {
+      import graft.pipeline.{PublishSet, VersionedTable}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-smoke-gcmain").toString
+      val reg = s"$base/reg"
+      val mA = s"$base/memA"
+      val mB = s"$base/memB"
+      val spark = builder.master("local[4]").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val sA = VersionedTable.write(spark, mA,
+        Seq(("seed", 0L)).toDF("k", "seq"))
+      val sB = VersionedTable.write(spark, mB,
+        Seq(("seed", 0L)).toDF("k", "seq"))
+      PublishSet.publish(spark, reg, Map(mA -> sA, mB -> sB),
+        note = Some("epoch 0 rows 0"))
+      val nReleases = 15
+      val pub = ReleasePublisherMain.launch(reg, mA, mB, nReleases)
+      var gcRuns = 0
+      var reads = 0
+      var racedPrunes = 0
+      var fail: Option[String] = None
+      val deadline = System.currentTimeMillis() + 300 * 1000L
+      while (pub.isAlive && fail.isEmpty &&
+          System.currentTimeMillis() < deadline) {
+        val gc = VersionedWriterMain.launchJvm("graft.tools.GcMain",
+          Seq(reg, "--keep", "6", "--member-keep", "1"))
+        // read retained releases WHILE the cron JVM sweeps
+        while (gc.isAlive && fail.isEmpty &&
+            System.currentTimeMillis() < deadline) {
+          try PublishSet.versions(spark, reg).foreach { v =>
+            try PublishSet.resolveVersion(spark, reg, v).foreach {
+              case (t, mv) =>
+                val n = VersionedTable.readVersion(spark, t, mv).count()
+                if (n < 1) fail = Some(s"release v$v member $t@$mv empty")
+                reads += 1
+            } catch { case e: Throwable =>
+              // benign ONLY if the cron pruned v between list and read
+              if (PublishSet.versions(spark, reg).contains(v))
+                fail = Some(s"retained v$v unreadable: $e")
+              else racedPrunes += 1
+            }
+          } catch { case e: Throwable => fail = Some(e.toString) }
+        }
+        if (!gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+          gc.destroyForcibly()
+          fail = fail.orElse(Some("GcMain JVM hung past its deadline"))
+        } else if (gc.exitValue != 0)
+          fail = fail.orElse(Some(s"GcMain exited ${gc.exitValue}"))
+        gcRuns += 1
+      }
+      if (!pub.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        pub.destroyForcibly()
+        fail = fail.orElse(Some("publisher JVM hung past the deadline"))
+      }
+      val finalOk = fail.isEmpty && pub.exitValue == 0 && {
+        val gc = VersionedWriterMain.launchJvm("graft.tools.GcMain",
+          Seq(reg, "--keep", "6", "--member-keep", "1"))
+        gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) &&
+          gc.exitValue == 0 &&
+          PublishSet.versions(spark, reg).forall { v =>
+            PublishSet.resolveVersion(spark, reg, v).forall {
+              case (t, mv) =>
+                VersionedTable.readVersion(spark, t, mv).count() >= 1L
+            }
+          }
+      }
+      spark.stop()
+      if (!finalOk) {
+        println("[cluster-smoke] GcMain-cron publish/GC FAIL: " +
+          fail.getOrElse(s"publisher exit=${pub.exitValue} or final " +
+            "GcMain/read-back failed"))
+        failed = true
+      } else
+        println(s"[cluster-smoke] GcMain-cron publish/GC OK " +
+          s"($nReleases publisher-JVM releases vs $gcRuns GcMain cron " +
+          s"JVMs, $reads concurrent retained-release reads, " +
+          s"$racedPrunes benign pruned-under-listing races, zero lost " +
           "releases, zero unreadable pins)")
     }
 

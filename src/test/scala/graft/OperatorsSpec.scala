@@ -908,6 +908,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("e32 tenant choice: table-driven targets, per-tenant cheapest meeting cell (r16)") {
+    val dir = "/root/testdata/sf0.001"
+    val grid = graft.queries.DataQueries.e27Grid3d(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_probe"),
+        r.getAs[Long]("r_shortlist"), r.getAs[Long]("recall_ppm"),
+        r.getAs[Long]("scanned_ppm")))
+    val chosen = graft.queries.DataQueries.e32TenantChoice(spark, dir)
+      .collect()
+    assert(chosen.length === 50, "25 tenants x 2 ks")
+    chosen.foreach { c =>
+      val (tenant, k, target) = (c.getAs[Long]("tenant_id"),
+        c.getAs[Long]("k"), c.getAs[Long]("target_ppm"))
+      // the SLO table derivation is part of the contract
+      assert(target === 500000L + (tenant % 5) * 100000L)
+      val cells = grid.filter(_._1 == k)
+      val meeting = cells.filter(_._4 >= target)
+      val expect =
+        if (meeting.nonEmpty)
+          meeting.minBy { case (_, np, r, _, sc) => (sc, r, np) }
+        else cells.minBy { case (_, np, r, rec, sc) =>
+          (1000000L - rec, sc, r, np) }
+      assert((c.getAs[Long]("n_probe"), c.getAs[Long]("r_shortlist")) ===
+        ((expect._2, expect._3)), s"tenant=$tenant k=$k target=$target")
+      assert(c.getAs[Long]("meets_target") ===
+        (if (meeting.nonEmpty) 1L else 0L))
+    }
+    // tenants sharing a target tier must get the SAME decision — the
+    // choice depends on the grid and the target only
+    chosen.groupBy(c => (c.getAs[Long]("target_ppm"), c.getAs[Long]("k")))
+      .foreach { case (_, rows) =>
+        assert(rows.map(r => (r.getAs[Long]("n_probe"),
+          r.getAs[Long]("r_shortlist"))).distinct.length === 1)
+      }
+  }
+
   test("ivfSqOperatingGrid3d: full-depth shortlist recovers the exact IVF sweep; axes and denominators behave (r16)") {
     // when r covers EVERY probed candidate, the SQ shortlist ordering
     // is irrelevant — the exact-key rerank sees all candidates, so the
