@@ -225,9 +225,24 @@ object VersionedTable {
         val (l, h) = (toD(qLo), toD(qHi))
         !(hi.toDouble < l || lo.toDouble > h)
       case "s" =>
-        val (l, h) = (qLo.toString, qHi.toString)
-        !(deb64(hi) < l || deb64(lo) > h)
+        // UTF-8 byte order, NOT Java's UTF-16 code-unit order: Spark's
+        // string min/max and filters compare binary UTF-8, and the two
+        // orders DISAGREE for supplementary characters (surrogates sort
+        // below U+E000..U+FFFF in UTF-16) — a Java compare here could
+        // wrongly skip a file containing matching rows
+        val (l, h) = (utf8(qLo.toString), utf8(qHi.toString))
+        utf8Leq(l, utf8(deb64(hi))) && utf8Leq(utf8(deb64(lo)), h)
       case _ => true // forward-compat: unknown tag never prunes
+    }
+    private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+    private def utf8Leq(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val (ai, bi) = (a(i) & 0xff, b(i) & 0xff)
+        if (ai != bi) return ai < bi
+        i += 1
+      }
+      a.length <= b.length
     }
     private def toL(x: Any): Long = x match {
       case n: Number => n.longValue()

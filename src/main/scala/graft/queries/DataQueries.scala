@@ -788,9 +788,9 @@ object DataQueries {
       |  FROM ein ei CROSS JOIN qin qi
       |  WHERE ei.id <> qi.query_id AND ei.vn > 0 AND qi.qn > 0)""".stripMargin
 
-  /** Reassembled pair stack for the two non-sweep users (e24b
-    * diagnostic); the sweep prefix composes the halves itself so its
-    * `e` slot stays swappable. */
+  /** Reassembled pair stack for the non-sweep user (the e24b
+    * diagnostic baseline); the sweep prefix composes the halves itself
+    * so its `e` slot stays swappable. */
   private def intPairCtes: String = s"$rawECtes,\n$intPairTailCtes"
 
   private def sweepCtePrefix(maxNp: Int, kBf: Int,

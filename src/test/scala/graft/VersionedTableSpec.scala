@@ -664,6 +664,22 @@ class VersionedTableSpec extends SparkSpec {
       "partition pruning must compose on top of the zone skip")
   }
 
+  test("zone maps: string bounds compare in UTF-8 order, not UTF-16 (supplementary chars) (r16)") {
+    val r = root()
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    // ONE file holding both a private-use BMP char and a supplementary
+    // char: Spark's binary-UTF-8 min is U+E000, and a UTF-16
+    // comparison of that stored min against a supplementary query
+    // bound reverses (surrogates sort below U+E000 in UTF-16) — the
+    // wrong order would PRUNE the only file that holds the match
+    VersionedTable.write(spark, r,
+      Seq("\uE000", supp).toDF("s").coalesce(1))
+    assert(VersionedTable.rangeFiles(spark, r, "s", supp, supp).nonEmpty,
+      "UTF-16 ordering would wrongly skip the matching file")
+    assert(VersionedTable.readRange(spark, r, "s", supp, supp)
+      .count() === 1L)
+  }
+
   test("zone maps: kept files inherit zones through merges and rollback; legacy manifests never prune (r16)") {
     val r = root()
     // partition correlates with ts: a = [1,50], b = [51,100]
