@@ -896,7 +896,7 @@ object Similarity {
                            pqCodebook: Seq[Seq[Double]],
                            rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
     operatingGrid3dOn(corpus, queries, vecCol, idCol, ks, cellCodebook,
-      rs, nProbes, candOf = (assigned, probes) => {
+      rs, nProbes, candOf = (assigned, probes, _) => {
         val coded = assigned
           .select(col("id"), col("cell"),
             graft.expressions.VectorExpressions
@@ -929,15 +929,12 @@ object Similarity {
                            mins: Seq[Double], scales: Seq[Double],
                            rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
     operatingGrid3dOn(corpus, queries, vecCol, idCol, ks, cellCodebook,
-      rs, nProbes, candOf = (assigned, probes) => {
+      rs, nProbes, candOf = (assigned, probes, q) => {
         val decoded = assigned
           .select(col("id"), col("cell"),
             sqEncodeCol(col("v"), mins, scales).as("codes"))
           .select(col("id"), col("cell"),
             sqDecodeCol(col("codes"), mins, scales).as("rv"))
-        val q = queries.select(col(idCol).as("query_id"),
-            toDoubleArray(col(vecCol)).as("qv"))
-          .filter(nonDegenerate(col("qv")))
         decoded.join(broadcast(probes), Seq("cell"))
           .filter(col("id") =!= col("query_id"))
           .join(broadcast(q), Seq("query_id"))
@@ -948,14 +945,16 @@ object Similarity {
   /** The family-generic 3-D grid skeleton: everything in the e27
     * contract EXCEPT the approximate candidate scorer, which `candOf`
     * supplies as a (query_id, id, score, prn) relation built from the
-    * persisted cell assignments and the probe table (score ASC = more
+    * persisted cell assignments, the probe table, and the skeleton's
+    * filtered query relation (query_id, qv) (score ASC = more
     * promising, round-6dp, id tiebreak — the established shortlist
     * ordering contract). */
   private def operatingGrid3dOn(corpus: DataFrame, queries: DataFrame,
                                 vecCol: String, idCol: String, ks: Seq[Int],
                                 cellCodebook: Seq[Seq[Double]],
                                 rs: Seq[Int], nProbes: Seq[Int],
-                                candOf: (DataFrame, DataFrame) => DataFrame)
+                                candOf: (DataFrame, DataFrame, DataFrame)
+                                  => DataFrame)
       : DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
       s"bad ks $ks")
@@ -978,7 +977,7 @@ object Similarity {
     val probes = probeRanked(cents, queries, vecCol, idCol, maxNp)
       .select(col("query_id"), col("cell"), col("prn"))
       .persist()
-    val cand = candOf(assigned, probes)
+    val cand = candOf(assigned, probes, q)
       .select(col("query_id"), col("id"), col("score"), col("prn"))
       .persist()
     val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)

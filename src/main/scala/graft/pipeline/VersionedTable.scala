@@ -290,10 +290,20 @@ object VersionedTable {
         l.stripPrefix("#schema=")).asInstanceOf[org.apache.spark.sql.types.StructType])
     // #zm=<relpath>\t<col>\t<tag>\t<lo>\t<hi> — one line per (file,
     // column) zone; malformed lines are IGNORED (a zone map can only
-    // skip work, so losing one means keeping a file, never wrong rows)
+    // skip work, so losing one means keeping a file, never wrong
+    // rows). Parsability of the bounds is checked HERE so a corrupted
+    // line can never surface later as a NumberFormatException inside a
+    // read (review r16).
+    def wellFormed(z: Zone): Boolean = z.tag match {
+      case "i" => z.lo.toLongOption.isDefined && z.hi.toLongOption.isDefined
+      case "d" => z.lo.toDoubleOption.isDefined && z.hi.toDoubleOption.isDefined
+      case "s" => scala.util.Try { deb64(z.lo); deb64(z.hi) }.isSuccess
+      case _ => true // unknown tag: Zone.intersects never prunes on it
+    }
     val zones = zmLines.flatMap { l =>
       l.stripPrefix("#zm=").split("\t", -1) match {
-        case Array(f, c, tag, lo, hi) => Some(f -> (c -> Zone(tag, lo, hi)))
+        case Array(f, c, tag, lo, hi) =>
+          Some(Zone(tag, lo, hi)).filter(wellFormed).map(z => f -> (c -> z))
         case _ => None
       }
     }.groupBy(_._1).map { case (f, es) => f -> es.map(_._2).toMap }
@@ -341,16 +351,23 @@ object VersionedTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val m = manifest(spark, root, v)
-    // same loud contract as merge/deleteKeys (ADVICE r12): a column not
-    // in the stored layout, a NULL, or a type whose rendering diverges
-    // from Spark's partition paths would silently match zero files and
-    // return an empty frame — throw instead
-    require(m.files.isEmpty || layoutOf(m.files).contains(col),
-      s"readPartitions: '$col' is not a partition column of $root " +
-        s"(stored layout ${layoutOf(m.files).mkString("[", ",", "]")})")
-    val keys = values.map(x => partitionKey(col, x))
     readFiles(spark, root, m,
-      m.files.filter(f => keys.exists(k => f.contains("/" + k))))
+      partitionFiles(m, root, "readPartitions", col, values))
+  }
+
+  // the partition-pruned file subset of a manifest — ONE
+  // implementation for every partition-scoped read, with the loud
+  // layout contract of merge/deleteKeys (ADVICE r12): a column not in
+  // the stored layout, a NULL, or a type whose rendering diverges from
+  // Spark's partition paths would silently match zero files and return
+  // an empty frame — throw instead
+  private def partitionFiles(m: Manifest, root: String, what: String,
+                             pCol: String, values: Seq[Any]): Seq[String] = {
+    require(m.files.isEmpty || layoutOf(m.files).contains(pCol),
+      s"$what: '$pCol' is not a partition column of $root " +
+        s"(stored layout ${layoutOf(m.files).mkString("[", ",", "]")})")
+    val keys = values.map(x => partitionKey(pCol, x))
+    m.files.filter(f => keys.exists(k => f.contains("/" + k)))
   }
 
   // zone-map file pruning: keep a file unless its recorded zone for
@@ -403,11 +420,7 @@ object VersionedTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val m = manifest(spark, root, v)
-    require(m.files.isEmpty || layoutOf(m.files).contains(pCol),
-      s"readPartitionsRange: '$pCol' is not a partition column of $root " +
-        s"(stored layout ${layoutOf(m.files).mkString("[", ",", "]")})")
-    val keys = values.map(x => partitionKey(pCol, x))
-    val pFiles = m.files.filter(f => keys.exists(k => f.contains("/" + k)))
+    val pFiles = partitionFiles(m, root, "readPartitionsRange", pCol, values)
     readFiles(spark, root, m, zoneKeep(m, pFiles, colName, lo, hi))
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
@@ -459,7 +472,7 @@ object VersionedTable {
       : Unit = {
     val batch = uniqueBatchName(v)
     val fresh = stageBatch(spark, root, batch, df, partitionBy)
-    try commit(spark, root, v, keep ++ fresh, schema)
+    try commit(spark, root, v, keep ++ fresh, schema, keptHint = keep.toSet)
     catch { case e: VersionConflictException =>
       fsFor(spark, root).delete(hp(s"${dataRoot(root)}/$batch"), true)
       throw e
@@ -478,7 +491,8 @@ object VersionedTable {
   // if slot v were somehow still free (pointer tampering).
   private def commit(spark: SparkSession, root: String, v: Long,
                      files: Seq[String],
-                     schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+                     schema: Option[org.apache.spark.sql.types.StructType],
+                     keptHint: Set[String] = Set.empty): Unit = {
     // FILE-LEVEL ZONE MAPS (VERDICT r15 next-#7): record min/max per
     // supported non-partition column for every file the prior manifest
     // does not already cover — ONE aggregation over the fresh batch,
@@ -486,24 +500,33 @@ object VersionedTable {
     // inherit their recorded zones verbatim (they are immutable, so
     // the bounds can never go stale); legacy kept files without zones
     // simply stay unprunable.
-    // Inheritance searches ALL retained manifests newest-first (not
-    // just v-1): rollback commits an OLD version's file list, and
-    // recomputing its zones would be O(restored table). A file merely
-    // PRESENT in a retained manifest is treated as known even with no
-    // recorded zone (legacy manifests) — it stays unprunable rather
-    // than triggering a table-sized stats scan.
+    // Inheritance searches retained manifests newest-first only until
+    // every file the caller KEPT is accounted for (`keptHint` —
+    // stageAndCommit's keep list; rollback passes the whole restored
+    // list): fresh batch files appear in no older manifest, so
+    // terminating on `files` instead would read EVERY retained
+    // manifest on EVERY commit (review r16). A file merely PRESENT in
+    // a retained manifest is known even with no recorded zone (legacy)
+    // — it stays unprunable rather than triggering a table-sized stats
+    // scan. A manifest pruned by a concurrent cross-process GC between
+    // the listing and the read is SKIPPED: losing an inheritance
+    // source can only cost pruning on those files, and a zone map must
+    // never fail a data commit.
     var inherited = Map.empty[String, Map[String, Zone]]
     var known = Set.empty[String]
     val todo = files.toSet
     val older = versions(spark, root).filter(_ < v).sorted.reverse.iterator
-    while (!todo.subsetOf(known) && older.hasNext) {
-      val m = manifest(spark, root, older.next())
-      inherited = m.zones.view.filterKeys(f =>
-        todo.contains(f) && !inherited.contains(f)).toMap ++ inherited
-      known ++= m.files
+    while (!keptHint.subsetOf(known) && older.hasNext) {
+      val ov = older.next()
+      try {
+        val m = manifest(spark, root, ov)
+        inherited = m.zones.view.filterKeys(f =>
+          todo.contains(f) && !inherited.contains(f)).toMap ++ inherited
+        known ++= m.files
+      } catch { case scala.util.control.NonFatal(_) => () /* pruned */ }
     }
     val freshZones = computeZones(spark, root,
-      files.filterNot(known.contains))
+      files.filterNot(f => known.contains(f) || keptHint.contains(f)))
     val zones = files.flatMap { f =>
       freshZones.get(f).orElse(inherited.get(f)).map(f -> _)
     }
@@ -547,8 +570,12 @@ object VersionedTable {
         case _ => None
       }
       val df = spark.read.parquet(rels.map(r => s"${dataRoot(root)}/$r"): _*)
+      // a control char in a column name would break the line-oriented
+      // tab-separated grammar (a \n would even split the line and leak
+      // its tail back in as a phantom FILE path) — skip such columns
       val cols = df.schema.fields
-        .filter(f => !f.name.startsWith("__pp_") && !f.name.contains("\t")
+        .filter(f => !f.name.startsWith("__pp_")
+          && !f.name.exists(c => c == '\t' || c == '\n' || c == '\r')
           && tagOf(f.dataType).isDefined)
       if (cols.isEmpty) Map.empty
       else {
@@ -1107,7 +1134,9 @@ object VersionedTable {
       require(to <= cur, s"cannot roll back to unborn version $to (current $cur)")
       val v = cur + 1
       val m = manifest(spark, root, to)
-      commit(spark, root, v, m.files, m.schema) // no staging to clean up
+      // no staging to clean up; every file is a keep (zones inherit
+      // from the still-retained target manifest, never a data rescan)
+      commit(spark, root, v, m.files, m.schema, keptHint = m.files.toSet)
       v
     }
   }

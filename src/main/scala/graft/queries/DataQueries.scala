@@ -1255,17 +1255,7 @@ object DataQueries {
     * id, prn, sq_d2)` — the SQ family's stand-in for [[pqAdcScpCtes]],
     * downstream of sweepCtePrefix's e/q/asg/pr. */
   private lazy val sqCandCtes: String =
-    s"""sqst AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
-       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
-       |sqsl AS (SELECT list(mn ORDER BY i) AS mins,
-       |  list(mx - mn ORDER BY i) AS scs FROM sqst),
-       |sqcod AS (SELECT e.id, list_transform(range(1, ${kmDim + 1}),
-       |  i -> CASE WHEN s.scs[i] = 0 THEN 0
-       |    ELSE CAST(round((e.v[i] - s.mins[i]) / s.scs[i] * 255.0, 0) AS BIGINT) END) AS codes
-       |  FROM e CROSS JOIN sqsl s),
-       |sqdec AS (SELECT c.id, list_transform(range(1, ${kmDim + 1}),
-       |  i -> s.mins[i] + CAST(c.codes[i] AS DOUBLE) / 255.0 * s.scs[i]) AS rv
-       |  FROM sqcod c CROSS JOIN sqsl s),
+    s"""${sqChainCtes("sq")},
        |scq AS MATERIALIZED (SELECT p.query_id, a.id, p.prn,
        |  round(list_inner_product(q.qv, q.qv)
        |    - 2 * list_inner_product(q.qv, d.rv)
@@ -2007,20 +1997,28 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The SQ8 stats → encode → decode CTE chain (per-dim extrema over
+    * `e`, byte codes, reconstruction), name-prefixed so e13/e15
+    * (prefix "") and the e29 grid's candidate relation (prefix "sq")
+    * share ONE text — the scannedPpmSql lesson applied to the
+    * quantizer chain (review r16). Ends in `<p>dec(id, rv)`. */
+  private def sqChainCtes(p: String): String =
+    s"""${p}st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
+       |${p}sl AS (SELECT list(mn ORDER BY i) AS mins,
+       |  list(mx - mn ORDER BY i) AS scs FROM ${p}st),
+       |${p}cod AS (SELECT e.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> CASE WHEN s.scs[i] = 0 THEN 0
+       |    ELSE CAST(round((e.v[i] - s.mins[i]) / s.scs[i] * 255.0, 0) AS BIGINT) END) AS codes
+       |  FROM e CROSS JOIN ${p}sl s),
+       |${p}dec AS (SELECT c.id, list_transform(range(1, ${kmDim + 1}),
+       |  i -> s.mins[i] + CAST(c.codes[i] AS DOUBLE) / 255.0 * s.scs[i]) AS rv
+       |  FROM ${p}cod c CROSS JOIN ${p}sl s)""".stripMargin
+
   lazy val e13Sql: String =
     s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
-       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
-       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
-       |sl AS (SELECT list(mn ORDER BY i) AS mins,
-       |  list(mx - mn ORDER BY i) AS scs FROM st),
-       |cod AS (SELECT e.id, list_transform(range(1, ${kmDim + 1}),
-       |  i -> CASE WHEN s.scs[i] = 0 THEN 0
-       |    ELSE CAST(round((e.v[i] - s.mins[i]) / s.scs[i] * 255.0, 0) AS BIGINT) END) AS codes
-       |  FROM e CROSS JOIN sl s),
-       |dec AS (SELECT c.id, list_transform(range(1, ${kmDim + 1}),
-       |  i -> s.mins[i] + CAST(c.codes[i] AS DOUBLE) / 255.0 * s.scs[i]) AS rv
-       |  FROM cod c CROSS JOIN sl s),
+       |${sqChainCtes("")},
        |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
        |sc2 AS (SELECT q.query_id, d.id,
        |  round(list_inner_product(q.qv, q.qv)
@@ -2055,17 +2053,7 @@ object DataQueries {
        |  SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id
        |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
        |  FROM e CROSS JOIN cents c) WHERE rn = 1),
-       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
-       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
-       |sl AS (SELECT list(mn ORDER BY i) AS mins,
-       |  list(mx - mn ORDER BY i) AS scs FROM st),
-       |cod AS (SELECT e.id, list_transform(range(1, ${kmDim + 1}),
-       |  i -> CASE WHEN s.scs[i] = 0 THEN 0
-       |    ELSE CAST(round((e.v[i] - s.mins[i]) / s.scs[i] * 255.0, 0) AS BIGINT) END) AS codes
-       |  FROM e CROSS JOIN sl s),
-       |dec AS (SELECT c.id, list_transform(range(1, ${kmDim + 1}),
-       |  i -> s.mins[i] + CAST(c.codes[i] AS DOUBLE) / 255.0 * s.scs[i]) AS rv
-       |  FROM cod c CROSS JOIN sl s),
+       |${sqChainCtes("")},
        |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
        |${probesIntCtes(2)},
        |sc2 AS (SELECT p.query_id, a.id,

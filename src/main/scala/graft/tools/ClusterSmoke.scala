@@ -580,8 +580,9 @@ object ClusterSmoke {
       val finalOk = fail.isEmpty && pub.exitValue == 0 && {
         val gc = VersionedWriterMain.launchJvm("graft.tools.GcMain",
           Seq(reg, "--keep", "6", "--member-keep", "1"))
-        gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) &&
-          gc.exitValue == 0 &&
+        val gcDone = gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        if (!gcDone) gc.destroyForcibly() // never leak a hung cron child
+        gcDone && gc.exitValue == 0 &&
           PublishSet.versions(spark, reg).forall { v =>
             PublishSet.resolveVersion(spark, reg, v).forall {
               case (t, mv) =>

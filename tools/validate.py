@@ -25,16 +25,22 @@ def canon(v):
     return v
 
 def duck_class(t):
-    """Type class of a DuckDB result column. Granularity mirrors the
-    judge's r15 audit: int(<=64b) / hugeint / decimal / float32 /
-    float64 / str / bool / date / timestamp / list / struct / binary —
-    the distinctions a typed (Arrow-buffer) hash can see."""
+    """Type class of a DuckDB result column, at the granularity a typed
+    (Arrow-buffer) hash can see: integer WIDTHS kept distinct (an
+    uncast INTEGER literal against a Spark int64 is exactly the
+    rows-ok/hash-fail drift this gate exists to catch), hugeint,
+    decimal, float32/float64, and lists recursed into their element
+    class."""
     s = str(t).upper()
+    if s.endswith("[]"):
+        return "list<%s>" % duck_class(str(t)[:-2])
     if s.startswith("DECIMAL"):
         return "decimal"
-    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
-        return "int"
+    widths = {"TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+              "BIGINT": "int64", "UTINYINT": "uint8", "USMALLINT": "uint16",
+              "UINTEGER": "uint32", "UBIGINT": "uint64"}
+    if s in widths:
+        return widths[s]
     if s in ("HUGEINT", "UHUGEINT"):
         return "hugeint"
     if s == "FLOAT":
@@ -49,8 +55,8 @@ def duck_class(t):
         return "date"
     if s.startswith("TIMESTAMP"):
         return "timestamp"
-    if s.endswith("[]") or s.startswith("LIST") or s.startswith("ARRAY"):
-        return "list"
+    if s.startswith("LIST") or s.startswith("ARRAY"):
+        return "list<?>"
     if s.startswith("STRUCT") or s.startswith("MAP"):
         return "struct"
     if s == "BLOB":
@@ -58,11 +64,17 @@ def duck_class(t):
     return s.lower()
 
 def arrow_class(t):
-    """Type class of a Spark-written parquet column (Arrow schema)."""
+    """Type class of a Spark-written parquet column (Arrow schema),
+    same granularity as duck_class."""
+    if pat.is_list(t) or pat.is_large_list(t):
+        return "list<%s>" % arrow_class(t.value_type)
     if pat.is_decimal(t):
         return "decimal"
-    if pat.is_integer(t):
-        return "int"
+    for w in (8, 16, 32, 64):
+        if getattr(pat, "is_int%d" % w)(t):
+            return "int%d" % w
+        if getattr(pat, "is_uint%d" % w)(t):
+            return "uint%d" % w
     if pat.is_float32(t):
         return "float32"
     if pat.is_float64(t):
@@ -75,8 +87,6 @@ def arrow_class(t):
         return "date"
     if pat.is_timestamp(t):
         return "timestamp"
-    if pat.is_list(t) or pat.is_large_list(t):
-        return "list"
     if pat.is_struct(t) or pat.is_map(t):
         return "struct"
     if pat.is_binary(t) or pat.is_large_binary(t):
