@@ -212,14 +212,26 @@ object VersionedTable {
   /** One column's recorded zone (file-level min/max). `tag` is the
     * comparison class — "i" integral (compared as Long), "d" floating
     * (as Double), "s" string (as UTF-8 text, Base64 in the manifest so
-    * bounds can never collide with the line grammar). Bounds are over
-    * NON-NULL values only; a file whose column is entirely NULL (or a
-    * type outside the three classes) records nothing and is always
-    * kept — absence means "cannot prune", never "empty". */
+    * bounds can never collide with the line grammar), "date" (epoch
+    * days) and "ts" (instant epoch micros) for the time columns a
+    * warehouse range-scans most (both recorded via timezone-free
+    * conversions, so a session-TZ change between writer and reader
+    * cannot shift the bounds; TIMESTAMP_NTZ is deliberately NOT
+    * recorded — its instant meaning depends on the session zone).
+    * Bounds are over NON-NULL values only; a file whose column is
+    * entirely NULL (or a type outside these classes) records nothing
+    * and is always kept — absence means "cannot prune", never
+    * "empty". */
   private[pipeline] final case class Zone(tag: String, lo: String, hi: String) {
     def intersects(qLo: Any, qHi: Any): Boolean = tag match {
       case "i" =>
         val (l, h) = (toL(qLo), toL(qHi))
+        !(hi.toLong < l || lo.toLong > h)
+      case "date" =>
+        val (l, h) = (toEpochDay(qLo), toEpochDay(qHi))
+        !(hi.toLong < l || lo.toLong > h)
+      case "ts" =>
+        val (l, h) = (toEpochMicros(qLo), toEpochMicros(qHi))
         !(hi.toLong < l || lo.toLong > h)
       case "d" =>
         val (l, h) = (toD(qLo), toD(qHi))
@@ -253,6 +265,25 @@ object VersionedTable {
       case n: Number => n.doubleValue()
       case other => throw new IllegalArgumentException(
         s"zone-map range bound $other is not numeric")
+    }
+    private def toEpochDay(x: Any): Long = x match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case other => throw new IllegalArgumentException(
+        s"zone-map range bound $other is not a date (use " +
+          "java.sql.Date or java.time.LocalDate)")
+    }
+    private def toEpochMicros(x: Any): Long = x match {
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L)
+      case i: java.time.Instant =>
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L)
+      case other => throw new IllegalArgumentException(
+        s"zone-map range bound $other is not an instant (use " +
+          "java.sql.Timestamp or java.time.Instant)")
     }
   }
 
@@ -295,7 +326,8 @@ object VersionedTable {
     // line can never surface later as a NumberFormatException inside a
     // read (review r16).
     def wellFormed(z: Zone): Boolean = z.tag match {
-      case "i" => z.lo.toLongOption.isDefined && z.hi.toLongOption.isDefined
+      case "i" | "date" | "ts" =>
+        z.lo.toLongOption.isDefined && z.hi.toLongOption.isDefined
       case "d" => z.lo.toDoubleOption.isDefined && z.hi.toDoubleOption.isDefined
       case "s" => scala.util.Try { deb64(z.lo); deb64(z.hi) }.isSuccess
       case _ => true // unknown tag: Zone.intersects never prunes on it
@@ -540,10 +572,11 @@ object VersionedTable {
   }
 
   /** Per-file min/max of every zone-mappable column of the FRESH batch:
-    * integrals ("i"), float/double ("d"), strings ("s", Base64-framed).
-    * Dates/timestamps/decimals/nested types and the duplicated __pp_*
-    * keys are skipped (the partition dirs already prune the former's
-    * usual role). Attribution is by full relative-path suffix of the
+    * integrals ("i"), float/double ("d"), strings ("s", Base64-framed),
+    * dates ("date", epoch days) and instant timestamps ("ts", epoch
+    * micros). TIMESTAMP_NTZ/decimals/nested types and the duplicated
+    * __pp_* keys are skipped (NTZ has no session-zone-free instant
+    * form). Attribution is by full relative-path suffix of the
     * decoded input-file URI — terminal names alone COLLIDE when one
     * task writes the same part-N file into several __pp_* dirs;
     * anything unattributable — and any failure at all — just records
@@ -567,7 +600,18 @@ object VersionedTable {
         case ByteType | ShortType | IntegerType | LongType => Some("i")
         case FloatType | DoubleType => Some("d")
         case StringType => Some("s")
+        case DateType => Some("date")
+        case TimestampType => Some("ts") // NTZ skipped: session-TZ-relative
         case _ => None
+      }
+      // time columns are recorded through TIMEZONE-FREE conversions
+      // (epoch days / instant micros), never a rendered string — a
+      // writer and reader in different session zones must agree
+      def valueExpr(f: StructField): org.apache.spark.sql.Column =
+        tagOf(f.dataType).get match {
+        case "date" => unix_date(col(f.name)).cast(LongType)
+        case "ts" => unix_micros(col(f.name))
+        case _ => col(f.name)
       }
       val df = spark.read.parquet(rels.map(r => s"${dataRoot(root)}/$r"): _*)
       // a control char in a column name would break the line-oriented
@@ -580,7 +624,7 @@ object VersionedTable {
       if (cols.isEmpty) Map.empty
       else {
         val aggs = cols.toSeq.flatMap(f =>
-          Seq(min(col(f.name)), max(col(f.name))))
+          Seq(min(valueExpr(f)), max(valueExpr(f))))
         val rows = df.groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*).collect()
         rows.flatMap { r =>
@@ -589,7 +633,7 @@ object VersionedTable {
               val (lo, hi) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
               if (lo == null || hi == null) None
               else tagOf(f.dataType).map {
-                case "i" => f.name -> Zone("i",
+                case t @ ("i" | "date" | "ts") => f.name -> Zone(t,
                   lo.asInstanceOf[Number].longValue.toString,
                   hi.asInstanceOf[Number].longValue.toString)
                 case "d" => f.name -> Zone("d",

@@ -680,6 +680,56 @@ class VersionedTableSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("zone maps: date and timestamp ranges prune files, TZ-free (r16)") {
+    val r = root()
+    // day-clustered batch: 3 range tasks over 90 days, each file ~30d
+    val df = (0 until 90).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1)
+        .plusDays(i.toLong)),
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+          .plusSeconds(i * 86400L)))
+    }.toDF("id", "d", "t").repartitionByRange(3, $"id")
+    VersionedTable.write(spark, r, df)
+    val total = VersionedTable.read(spark, r).inputFiles.length
+    assert(total >= 3)
+    // a 10-day window: only one file's [min,max] intersects
+    val (lo, hi) = (java.time.LocalDate.of(2026, 1, 10),
+      java.time.LocalDate.of(2026, 1, 19))
+    assert(VersionedTable.rangeFiles(spark, r, "d", lo, hi).length < total)
+    assert(VersionedTable
+      .readRange(spark, r, "d", java.sql.Date.valueOf(lo),
+        java.sql.Date.valueOf(hi)).count() === 10L)
+    // same for the instant column, bounds as Instant AND Timestamp
+    val (ilo, ihi) = (java.time.Instant.parse("2026-01-10T00:00:00Z"),
+      java.time.Instant.parse("2026-01-19T00:00:00Z"))
+    assert(VersionedTable.rangeFiles(spark, r, "t", ilo, ihi)
+      .length < total)
+    assert(VersionedTable.readRange(spark, r, "t",
+      java.sql.Timestamp.from(ilo), java.sql.Timestamp.from(ihi))
+      .count() === 10L)
+  }
+
+  test("zone maps: a narrow range keeps O(1) files while versions accumulate (r16)") {
+    val r = root()
+    // ten day-batches merged into one partitioned table: each merge
+    // touches ONE partition, files accumulate across versions, and a
+    // single-day range must keep reading a BOUNDED file set — the
+    // property that makes the zone map an index rather than a hint
+    (0 until 10).foreach { day =>
+      VersionedTable.merge(spark, r,
+        (0 until 20).map(i => (s"b$day", day * 20L + i, day * 100L + i))
+          .toDF("p", "id", "ts").coalesce(1),
+        uniqueKey = Seq("p", "id"), partitionBy = Seq("p"))
+    }
+    val total = VersionedTable.read(spark, r).inputFiles.length
+    assert(total >= 10, s"expected one file per day-batch, got $total")
+    // day 7's ts range lives in exactly one batch file
+    val kept = VersionedTable.rangeFiles(spark, r, "ts", 700L, 719L)
+    assert(kept.length === 1, s"narrow range must keep 1 of $total: $kept")
+    assert(VersionedTable.readRange(spark, r, "ts", 700L, 719L)
+      .count() === 20L)
+  }
+
   test("zone maps: kept files inherit zones through merges and rollback; legacy manifests never prune (r16)") {
     val r = root()
     // partition correlates with ts: a = [1,50], b = [51,100]
