@@ -1171,6 +1171,89 @@ object DataQueries {
        |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
   }
 
+  /** INDEX-LAYOUT CHOICE (e33): the decision BEFORE e31's — whether an
+    * ANN index is worth building at all. The cross-family grid union
+    * gains a `flat_exact` row per k (the brute-force layout: recall
+    * 10⁶ by definition, scanned 10⁶ by definition, no probe/shortlist
+    * knobs), derived from the measured grid's own per-k baselines so
+    * the row count and query batch agree with the cells it competes
+    * against. Under e31's cost order the flat row has the WORST
+    * scanned fraction, so it wins only when NO indexed cell meets the
+    * target — turning e31's meets_target=0 "widen the grid" signal
+    * into an actionable "serve exact until the index catches up",
+    * flagged by `index_worth_it = 0`. At 100 TB this is the real
+    * capacity decision: a 99%-recall SLO a trained index cannot meet
+    * is served by partition-pruned exact scan, not by silently
+    * under-recalling. */
+  val e33LayoutChoice: Q = (s, dir) => {
+    import s.implicits._
+    val grids = grid3dRelation(s, dir).withColumn("family", lit("ivf_pq"))
+      .unionByName(sqGrid3dRelation(s, dir)
+        .withColumn("family", lit("ivf_sq8")))
+      .unionByName(opqGrid3dRelation(s, dir)
+        .withColumn("family", lit("opq_ivf_pq")))
+    val flat = grids.groupBy("k").agg(
+        max("n_queries").as("n_queries"), max("n_bf").as("n_bf"))
+      .select(lit(0L).as("n_probe"), lit(0L).as("r_shortlist"), col("k"),
+        col("n_queries"), col("n_bf").as("n_hits"), col("n_bf"),
+        lit(1000000L).as("recall_ppm"), lit(1000000L).as("scanned_ppm"),
+        lit("flat_exact").as("family"))
+    val targets = servingTargetsPpm.toDF("target_ppm")
+    val cand = grids.unionByName(flat).crossJoin(broadcast(targets))
+      .withColumn("meets",
+        (col("recall_ppm") >= col("target_ppm")).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "target_ppm")
+      .orderBy(col("meets").desc,
+        when(col("meets") === 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scanned_ppm").asc, col("r_shortlist").asc,
+        col("n_probe").asc, col("family").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("target_ppm"), col("family"), col("n_probe"),
+        col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
+        (col("family") =!= "flat_exact").cast(LongType)
+          .as("index_worth_it"))
+      .orderBy("k", "target_ppm")
+  }
+
+  lazy val e33Sql: String = {
+    val tgVals = servingTargetsPpm
+      .map(t => s"(CAST($t AS BIGINT))").mkString(",")
+    s"""WITH gp AS ($e27SqlBody),
+       |gs AS ($e29SqlBody),
+       |go AS ($e30SqlBody),
+       |g AS (SELECT 'ivf_pq' AS family, * FROM gp
+       |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM gs
+       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go),
+       |gf AS (SELECT * FROM g
+       |  UNION ALL
+       |  SELECT 'flat_exact' AS family, CAST(0 AS BIGINT) AS n_probe,
+       |    CAST(0 AS BIGINT) AS r_shortlist, k, max(n_queries),
+       |    max(n_bf) AS n_hits, max(n_bf) AS n_bf,
+       |    CAST(1000000 AS BIGINT) AS recall_ppm,
+       |    CAST(1000000 AS BIGINT) AS scanned_ppm
+       |  FROM g GROUP BY k),
+       |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
+       |cand AS (SELECT tg.target_ppm, gf.*,
+       |  CASE WHEN gf.recall_ppm >= tg.target_ppm
+       |    THEN 1 ELSE 0 END AS meets
+       |  FROM gf CROSS JOIN tg),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY k, target_ppm
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN 0
+       |      ELSE 1000000 - recall_ppm END ASC,
+       |    scanned_ppm ASC, r_shortlist ASC, n_probe ASC, family ASC)
+       |    AS rn
+       |  FROM cand)
+       |SELECT k, target_ppm, family, n_probe, r_shortlist, recall_ppm,
+       |  scanned_ppm,
+       |  CAST(CASE WHEN family <> 'flat_exact' THEN 1 ELSE 0 END
+       |    AS BIGINT) AS index_worth_it
+       |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
+  }
+
   /** PER-TENANT SERVING CHOICE (e32 — VERDICT r15 next-#8): e28's
     * decision with the recall targets coming from a TABLE instead of
     * three literals — the multi-tenant consumer shape, where each
@@ -5248,6 +5331,7 @@ object DataQueries {
     "e30_opq_grid3d" -> e30OpqGrid3d,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
+    "e33_layout_choice" -> e33LayoutChoice,
     "t32_fertility" -> t32Fertility,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
@@ -5358,6 +5442,7 @@ object DataQueries {
     "e30_opq_grid3d" -> e30Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
+    "e33_layout_choice" -> e33Sql,
     "t32_fertility" -> t32Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,

@@ -195,7 +195,7 @@ object ClusterSmoke {
     // rotated-corpus grid (both quantizer fits from executor partials),
     // and the cross-family / tenant-table decisions over them
     "e29_ivfsq_grid3d", "e30_opq_grid3d", "e31_family_choice",
-    "e32_tenant_choice")
+    "e32_tenant_choice", "e33_layout_choice")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

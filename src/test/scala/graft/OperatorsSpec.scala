@@ -908,6 +908,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("e33 layout choice: flat-exact competes as the always-feasible fallback (r16)") {
+    val dir = "/root/testdata/sf0.001"
+    def cells(df: org.apache.spark.sql.DataFrame, fam: String) =
+      df.collect().map(r => (fam, r.getAs[Long]("k"),
+        r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
+        r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm")))
+    val ks = graft.queries.DataQueries.e27Grid3d(spark, dir)
+      .select("k").distinct().collect().map(_.getLong(0))
+    val grid =
+      cells(graft.queries.DataQueries.e27Grid3d(spark, dir), "ivf_pq") ++
+      cells(graft.queries.DataQueries.e29SqGrid3d(spark, dir), "ivf_sq8") ++
+      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq") ++
+      ks.map(k => ("flat_exact", k, 0L, 0L, 1000000L, 1000000L))
+    val chosen = graft.queries.DataQueries.e33LayoutChoice(spark, dir)
+      .collect()
+    assert(chosen.length === 6)
+    chosen.foreach { c =>
+      val (k, target) = (c.getAs[Long]("k"), c.getAs[Long]("target_ppm"))
+      val meeting = grid.filter(g => g._2 == k && g._5 >= target)
+      // flat always meets, so the fallback branch is unreachable and
+      // meets is non-empty by construction
+      assert(meeting.nonEmpty)
+      val expect = meeting.minBy { case (f, _, np, r, _, sc) =>
+        (sc, r, np, f) }
+      assert((c.getAs[String]("family"), c.getAs[Long]("n_probe"),
+        c.getAs[Long]("r_shortlist")) === ((expect._1, expect._3,
+        expect._4)), s"choice for k=$k target=$target")
+      assert(c.getAs[Long]("index_worth_it") ===
+        (if (expect._1 == "flat_exact") 0L else 1L))
+      // the decision is honest: an indexed winner must strictly beat
+      // the flat scan's cost
+      if (c.getAs[Long]("index_worth_it") == 1L)
+        assert(c.getAs[Long]("scanned_ppm") < 1000000L)
+    }
+  }
+
   test("e32 tenant choice: table-driven targets, per-tenant cheapest meeting cell (r16)") {
     val dir = "/root/testdata/sf0.001"
     val grid = graft.queries.DataQueries.e27Grid3d(spark, dir).collect()
