@@ -1028,6 +1028,49 @@ object ScaleProbe {
           rs = Seq(5, 20), nProbes = Seq(1, 4))
       }
     }
+    // r16 SQ-family grid: the same skeleton as grid3d with the SQ8
+    // reconstruction as the candidate scorer — cost should track the
+    // PQ grid's (one coded scan at max probe width, bounded windows).
+    stage("sq_grid3d") {
+      t(s"sq_grid3d_${replicas}x") {
+        val cellCb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+          k = 16, dim = 64, iters = 3).centroids
+        val (mins, scales) = graft.operators.Similarity.sqTrain(emb,
+          "embedding", "vec_id")
+        graft.operators.Similarity.ivfSqOperatingGrid3d(embBig,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+          ks = Seq(1, 5), cellCodebook = cellCb, mins = mins,
+          scales = scales, rs = Seq(5, 20), nProbes = Seq(1, 4))
+      }
+    }
+    // r16 zone maps: a narrow second-column range over a table built
+    // from `replicas` merged day-batches must read a BOUNDED file set
+    // no matter how many versions accumulated — the kept-of-total line
+    // is the index evidence; the timed scan then tracks kept files,
+    // not table size.
+    stage("zone_range") {
+      import graft.pipeline.VersionedTable
+      val root = s"/tmp/graft_scale_zones_${replicas}x/tbl"
+      if (VersionedTable.currentVersion(spark, root).isEmpty)
+        (0 until replicas).foreach { day =>
+          VersionedTable.merge(spark, root,
+            base.select((col("doc_id") + lit(day * 1000000L)).as("doc_id"),
+              lit(s"b$day").as("p"),
+              (lit(day * 100000L) + pmod(col("doc_id"), lit(100000L)))
+                .as("ts"),
+              col("text")),
+            uniqueKey = Seq("p", "doc_id"), partitionBy = Seq("p"))
+        }
+      val total = VersionedTable.read(spark, root).inputFiles.length
+      val day = replicas / 2
+      val (lo, hi) = (day * 100000L, day * 100000L + 99999L)
+      val kept = VersionedTable.rangeFiles(spark, root, "ts", lo, hi)
+      println(s"[scale] zone_range_${replicas}x kept ${kept.length} of " +
+        s"$total files for one day-band")
+      t(s"zone_range_${replicas}x") {
+        VersionedTable.readRange(spark, root, "ts", lo, hi)
+      }
+    }
     // t27 Moore-Lewis selection: two bounded LM fits (vocab-literal
     // collects over the sample/in-domain slices), then ONE map-only
     // two-expression scoring projection over the corpus.
