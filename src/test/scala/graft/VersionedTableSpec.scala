@@ -607,6 +607,20 @@ class VersionedTableSpec extends SparkSpec {
         }
         assert(readState() === history.last,
           s"trial $trial: live state diverged from the model")
+        // zone-map invariant after EVERY op (writes, partition-scoped
+        // rewrites, rollbacks, compactions — fresh stats + inherited
+        // zones in every combination): a random range read must equal
+        // the model's filter exactly. Wrong pruning = missing rows.
+        val (lo, hi) = {
+          val a = rnd.nextInt(100).toLong; val b = rnd.nextInt(100).toLong
+          (math.min(a, b), math.max(a, b))
+        }
+        val got = VersionedTable.readRange(spark, r, "x", lo, hi)
+          .select("id", "p", "x").collect()
+          .map(row => (row.getString(1), row.getLong(0)) -> row.getLong(2))
+          .toMap
+        assert(got === history.last.filter { case (_, x) => x >= lo && x <= hi },
+          s"trial $trial: readRange($lo,$hi) diverged from the model")
       }
       // the FULL history must replay via time travel
       history.zipWithIndex.foreach { case (m, i) =>
