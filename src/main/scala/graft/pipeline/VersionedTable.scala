@@ -267,20 +267,24 @@ object VersionedTable {
         s"zone-map range bound $other is not numeric")
     }
     private def toEpochDay(x: Any): Long = x match {
-      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.sql.Date =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
       case d: java.time.LocalDate => d.toEpochDay
       case other => throw new IllegalArgumentException(
         s"zone-map range bound $other is not a date (use " +
           "java.sql.Date or java.time.LocalDate)")
     }
+    // bounds MUST convert exactly as Catalyst converts the residual
+    // filter's literal (DateTimeUtils): java.sql.Timestamp goes
+    // through the field-preserving hybrid-calendar rebase, NOT
+    // toInstant — the two differ for pre-Gregorian/pre-standard-zone
+    // values, and a divergence here could prune a file the filter
+    // would match (review r16 s2, the UTF-8 lesson again)
     private def toEpochMicros(x: Any): Long = x match {
       case t: java.sql.Timestamp =>
-        val i = t.toInstant
-        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
-          i.getNano / 1000L)
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
       case i: java.time.Instant =>
-        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
-          i.getNano / 1000L)
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
       case other => throw new IllegalArgumentException(
         s"zone-map range bound $other is not an instant (use " +
           "java.sql.Timestamp or java.time.Instant)")
@@ -430,8 +434,9 @@ object VersionedTable {
     * predicate is ALSO applied to the surviving rows, so pruning is
     * purely a cost optimization — results are identical to filtering
     * [[read]]. Bounds are inclusive and must be non-null and
-    * comparable in the column's zone class (integral/floating/
-    * string). */
+    * comparable in the column's zone class: integral, floating,
+    * string, date (java.sql.Date / LocalDate), or instant timestamp
+    * (java.sql.Timestamp / Instant). */
   def readRange(spark: SparkSession, root: String, colName: String,
                 lo: Any, hi: Any): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(

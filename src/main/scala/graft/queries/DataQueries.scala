@@ -1185,13 +1185,30 @@ object DataQueries {
     * capacity decision: a 99%-recall SLO a trained index cannot meet
     * is served by partition-pruned exact scan, not by silently
     * under-recalling. */
-  val e33LayoutChoice: Q = (s, dir) => {
-    import s.implicits._
-    val grids = grid3dRelation(s, dir).withColumn("family", lit("ivf_pq"))
+  /** The three-family measured grid union — ONE definition selected
+    * over by BOTH the e31 cross-family choice and the e33 layout
+    * decision (the shared-body rule: adding a fourth family is one
+    * edit here + one in [[familyGridsCtes]], never a silent fork). */
+  private def familyGridsRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    grid3dRelation(s, dir).withColumn("family", lit("ivf_pq"))
       .unionByName(sqGrid3dRelation(s, dir)
         .withColumn("family", lit("ivf_sq8")))
       .unionByName(opqGrid3dRelation(s, dir)
         .withColumn("family", lit("opq_ivf_pq")))
+
+  /** SQL twin of [[familyGridsRelation]], ending in `g`. */
+  private lazy val familyGridsCtes: String =
+    s"""gp AS ($e27SqlBody),
+       |gs AS ($e29SqlBody),
+       |go AS ($e30SqlBody),
+       |g AS (SELECT 'ivf_pq' AS family, * FROM gp
+       |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM gs
+       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go)""".stripMargin
+
+  val e33LayoutChoice: Q = (s, dir) => {
+    import s.implicits._
+    val grids = familyGridsRelation(s, dir)
     val flat = grids.groupBy("k").agg(
         max("n_queries").as("n_queries"), max("n_bf").as("n_bf"))
       .select(lit(0L).as("n_probe"), lit(0L).as("r_shortlist"), col("k"),
@@ -1221,12 +1238,7 @@ object DataQueries {
   lazy val e33Sql: String = {
     val tgVals = servingTargetsPpm
       .map(t => s"(CAST($t AS BIGINT))").mkString(",")
-    s"""WITH gp AS ($e27SqlBody),
-       |gs AS ($e29SqlBody),
-       |go AS ($e30SqlBody),
-       |g AS (SELECT 'ivf_pq' AS family, * FROM gp
-       |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM gs
-       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go),
+    s"""WITH $familyGridsCtes,
        |gf AS (SELECT * FROM g
        |  UNION ALL
        |  SELECT 'flat_exact' AS family, CAST(0 AS BIGINT) AS n_probe,
@@ -1406,11 +1418,7 @@ object DataQueries {
     * widen-the-grid signal. */
   val e31FamilyChoice: Q = (s, dir) => {
     import s.implicits._
-    val grid = grid3dRelation(s, dir).withColumn("family", lit("ivf_pq"))
-      .unionByName(sqGrid3dRelation(s, dir)
-        .withColumn("family", lit("ivf_sq8")))
-      .unionByName(opqGrid3dRelation(s, dir)
-        .withColumn("family", lit("opq_ivf_pq")))
+    val grid = familyGridsRelation(s, dir)
     val targets = servingTargetsPpm.toDF("target_ppm")
     val cand = grid.crossJoin(broadcast(targets))
       .withColumn("meets",
@@ -1433,12 +1441,7 @@ object DataQueries {
   lazy val e31Sql: String = {
     val tgVals = servingTargetsPpm
       .map(t => s"(CAST($t AS BIGINT))").mkString(",")
-    s"""WITH gp AS ($e27SqlBody),
-       |gs AS ($e29SqlBody),
-       |go AS ($e30SqlBody),
-       |g AS (SELECT 'ivf_pq' AS family, * FROM gp
-       |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM gs
-       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go),
+    s"""WITH $familyGridsCtes,
        |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
        |cand AS (SELECT tg.target_ppm, g.*,
        |  CASE WHEN g.recall_ppm >= tg.target_ppm

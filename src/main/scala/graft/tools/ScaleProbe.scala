@@ -1051,8 +1051,13 @@ object ScaleProbe {
     stage("zone_range") {
       import graft.pipeline.VersionedTable
       val root = s"/tmp/graft_scale_zones_${replicas}x/tbl"
-      if (VersionedTable.currentVersion(spark, root).isEmpty)
-        (0 until replicas).foreach { day =>
+      // completeness guard = one committed version per day-batch: a
+      // run killed mid-build must NOT leave a partial table that later
+      // runs silently measure (the prepared() _SUCCESS rule)
+      if (!VersionedTable.currentVersion(spark, root)
+          .exists(_ >= replicas))
+        (VersionedTable.currentVersion(spark, root).getOrElse(0L).toInt
+            until replicas).foreach { day =>
           VersionedTable.merge(spark, root,
             base.select((col("doc_id") + lit(day * 1000000L)).as("doc_id"),
               lit(s"b$day").as("p"),

@@ -914,13 +914,12 @@ class OperatorsSpec extends SparkSpec {
       df.collect().map(r => (fam, r.getAs[Long]("k"),
         r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
         r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm")))
-    val ks = graft.queries.DataQueries.e27Grid3d(spark, dir)
-      .select("k").distinct().collect().map(_.getLong(0))
-    val grid =
+    val measured =
       cells(graft.queries.DataQueries.e27Grid3d(spark, dir), "ivf_pq") ++
       cells(graft.queries.DataQueries.e29SqGrid3d(spark, dir), "ivf_sq8") ++
-      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq") ++
-      ks.map(k => ("flat_exact", k, 0L, 0L, 1000000L, 1000000L))
+      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq")
+    val grid = measured ++ measured.map(_._2).distinct
+      .map(k => ("flat_exact", k, 0L, 0L, 1000000L, 1000000L))
     val chosen = graft.queries.DataQueries.e33LayoutChoice(spark, dir)
       .collect()
     assert(chosen.length === 6)
