@@ -723,6 +723,21 @@ class VersionedTableSpec extends SparkSpec {
       .count() === 10L)
   }
 
+  test("zone maps: pre-Gregorian timestamp bounds rebase like the filter literal (r16)") {
+    val r = root()
+    // 1500-03-01 sits in the Julian/Gregorian divergence window: a
+    // java.sql.Timestamp's toInstant is ~10 days away from the
+    // field-preserving rebase Catalyst applies to lit(Timestamp), so a
+    // toInstant-converted bound would PRUNE the only file whose rows
+    // the residual filter matches
+    val t = java.sql.Timestamp.valueOf("1500-03-01 00:00:00")
+    VersionedTable.write(spark, r,
+      Seq((1L, t)).toDF("id", "t").coalesce(1))
+    assert(VersionedTable.rangeFiles(spark, r, "t", t, t).nonEmpty,
+      "toInstant-converted bounds would wrongly skip the file")
+    assert(VersionedTable.readRange(spark, r, "t", t, t).count() === 1L)
+  }
+
   test("zone maps: a narrow range keeps O(1) files while versions accumulate (r16)") {
     val r = root()
     // ten day-batches merged into one partitioned table: each merge
