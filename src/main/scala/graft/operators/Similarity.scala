@@ -896,20 +896,27 @@ object Similarity {
                            pqCodebook: Seq[Seq[Double]],
                            rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
     operatingGrid3dOn(corpus, queries, vecCol, idCol, ks, cellCodebook,
-      rs, nProbes, candOf = (assigned, probes, _) => {
-        val coded = assigned
-          .select(col("id"), col("cell"),
-            graft.expressions.VectorExpressions
-              .pqEncode(col("v"), pqCodebook, m).as("st"))
-          .filter(col("st").isNotNull)
-          .select(col("id"), col("cell"), col("st.codes").as("codes"))
-        val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
-        coded
-          .join(broadcast(probes.join(tables, Seq("query_id"))), Seq("cell"))
-          .filter(col("id") =!= col("query_id"))
-          .withColumn("score", round(adcScore(m, pqCodebook.length), 6))
-          .select(col("query_id"), col("id"), col("score"), col("prn"))
-      })
+      rs, nProbes, pqCandOf(queries, vecCol, idCol, m, pqCodebook))
+
+  // the PQ/ADC candidate scorer — shared by the standalone PQ grid and
+  // the multi-family union, so the two paths cannot drift
+  private def pqCandOf(queries: DataFrame, vecCol: String, idCol: String,
+                       m: Int, pqCodebook: Seq[Seq[Double]])
+      : (DataFrame, DataFrame, DataFrame) => DataFrame =
+    (assigned, probes, _) => {
+      val coded = assigned
+        .select(col("id"), col("cell"),
+          graft.expressions.VectorExpressions
+            .pqEncode(col("v"), pqCodebook, m).as("st"))
+        .filter(col("st").isNotNull)
+        .select(col("id"), col("cell"), col("st.codes").as("codes"))
+      val tables = adcTables(queries, vecCol, idCol, pqCodebook, m)
+      coded
+        .join(broadcast(probes.join(tables, Seq("query_id"))), Seq("cell"))
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("score", round(adcScore(m, pqCodebook.length), 6))
+        .select(col("query_id"), col("id"), col("score"), col("prn"))
+    }
 
   /** IVF-SQ8 OPERATING GRID — [[ivfPqOperatingGrid3d]]'s (nProbe ×
     * shortlist × k) surface with the candidate stage scored by the SQ8
@@ -929,18 +936,42 @@ object Similarity {
                            mins: Seq[Double], scales: Seq[Double],
                            rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
     operatingGrid3dOn(corpus, queries, vecCol, idCol, ks, cellCodebook,
-      rs, nProbes, candOf = (assigned, probes, q) => {
-        val decoded = assigned
-          .select(col("id"), col("cell"),
-            sqEncodeCol(col("v"), mins, scales).as("codes"))
-          .select(col("id"), col("cell"),
-            sqDecodeCol(col("codes"), mins, scales).as("rv"))
-        decoded.join(broadcast(probes), Seq("cell"))
-          .filter(col("id") =!= col("query_id"))
-          .join(broadcast(q), Seq("query_id"))
-          .withColumn("score", round(sqD2, 6))
-          .select(col("query_id"), col("id"), col("score"), col("prn"))
-      })
+      rs, nProbes, sqCandOf(mins, scales))
+
+  // the SQ8-reconstruction candidate scorer — shared like [[pqCandOf]]
+  private def sqCandOf(mins: Seq[Double], scales: Seq[Double])
+      : (DataFrame, DataFrame, DataFrame) => DataFrame =
+    (assigned, probes, q) => {
+      val decoded = assigned
+        .select(col("id"), col("cell"),
+          sqEncodeCol(col("v"), mins, scales).as("codes"))
+        .select(col("id"), col("cell"),
+          sqDecodeCol(col("codes"), mins, scales).as("rv"))
+      decoded.join(broadcast(probes), Seq("cell"))
+        .filter(col("id") =!= col("query_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("score", round(sqD2, 6))
+        .select(col("query_id"), col("id"), col("score"), col("prn"))
+    }
+
+  /** The PQ and SQ8 family grids over ONE shared substrate (see
+    * [[operatingGrid3dMulti]]) — the relation the cross-family choices
+    * (e31/e32/e33) consume: identical cells to running the two
+    * standalone grids, with the probe stage, truth job, and baselines
+    * computed once instead of twice. The OPQ family cannot join the
+    * substrate (rotated corpus, its own quantizers) and unions in from
+    * its standalone grid. Output: grid columns + `family` in
+    * {"ivf_pq", "ivf_sq8"}. */
+  def ivfPqSqOperatingGrids(corpus: DataFrame, queries: DataFrame,
+                            vecCol: String, idCol: String, ks: Seq[Int],
+                            cellCodebook: Seq[Seq[Double]], m: Int,
+                            pqCodebook: Seq[Seq[Double]],
+                            mins: Seq[Double], scales: Seq[Double],
+                            rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
+    operatingGrid3dMulti(corpus, queries, vecCol, idCol, ks, cellCodebook,
+      rs, nProbes, Seq(
+        "ivf_pq" -> pqCandOf(queries, vecCol, idCol, m, pqCodebook),
+        "ivf_sq8" -> sqCandOf(mins, scales)))
 
   /** The family-generic 3-D grid skeleton: everything in the e27
     * contract EXCEPT the approximate candidate scorer, which `candOf`
@@ -955,6 +986,29 @@ object Similarity {
                                 rs: Seq[Int], nProbes: Seq[Int],
                                 candOf: (DataFrame, DataFrame, DataFrame)
                                   => DataFrame)
+      : DataFrame =
+    operatingGrid3dMulti(corpus, queries, vecCol, idCol, ks, cellCodebook,
+      rs, nProbes, Seq("" -> candOf)).drop("family")
+
+  /** MULTI-FAMILY grid: the skeleton run for SEVERAL candidate scorers
+    * over ONE shared substrate — cell assignments, probe table,
+    * brute-force truth, per-k baselines, and per-probe-width scanned
+    * fractions are all family-independent, so computing them once and
+    * scoring per family is the honest intra-query plan (the corpus is
+    * scanned once per family for CODES, but the exchanges and the
+    * truth job are not repeated). e31/e32/e33 select over this union;
+    * the single-family operators delegate here with one entry, so the
+    * shared and standalone paths cannot diverge (and the e31 spec
+    * re-derives the choice from the standalone grids, pinning the
+    * equality). Output: the grid columns + `family`. */
+  private def operatingGrid3dMulti(corpus: DataFrame, queries: DataFrame,
+                                   vecCol: String, idCol: String,
+                                   ks: Seq[Int],
+                                   cellCodebook: Seq[Seq[Double]],
+                                   rs: Seq[Int], nProbes: Seq[Int],
+                                   families: Seq[(String,
+                                     (DataFrame, DataFrame, DataFrame)
+                                       => DataFrame)])
       : DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
       s"bad ks $ks")
@@ -963,6 +1017,9 @@ object Similarity {
       s"shortlist depths must be >= max k=${ks.max} and distinct, got $rs")
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1) &&
       nProbes.distinct.size == nProbes.size, s"bad nProbes $nProbes")
+    require(families.nonEmpty &&
+      families.map(_._1).distinct.size == families.size,
+      s"family tags must be distinct, got ${families.map(_._1)}")
     val spark = corpus.sparkSession
     val maxNp = nProbes.max
     val maxR = rs.max
@@ -977,9 +1034,11 @@ object Similarity {
     val probes = probeRanked(cents, queries, vecCol, idCol, maxNp)
       .select(col("query_id"), col("cell"), col("prn"))
       .persist()
-    val cand = candOf(assigned, probes, q)
-      .select(col("query_id"), col("id"), col("score"), col("prn"))
-      .persist()
+    val cands = families.map { case (fam, candOf) =>
+      fam -> candOf(assigned, probes, q)
+        .select(col("query_id"), col("id"), col("score"), col("prn"))
+        .persist()
+    }
     val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)
       .select(col("query_id"), col("id"), col("rank").as("bfr"))
       .persist()
@@ -992,45 +1051,50 @@ object Similarity {
     val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
     try {
       val rows = nProbes.sorted.flatMap { np =>
-        val short = cand.filter(col("prn") <= np)
-          .withColumn("ar", row_number().over(Window.partitionBy("query_id")
-            .orderBy(col("score").asc, col("id").asc)))
-          .filter(col("ar") <= maxR)
-          .join(corpusVecs, Seq("id"))
-          .join(q, Seq("query_id"))
-          .withColumn("key", VectorExpressions.intCosKey(col("v"), col("qv")))
-          .filter(col("key").isNotNull)
-          .select(col("query_id"), col("id"), col("ar"), col("key"))
-          .localCheckpoint(false)
         val scanned = probes.filter(col("prn") <= np)
           .join(cellSizes, Seq("cell"))
           .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
         val scannedPpm =
           if (nQ == 0 || nCorpus == 0) 0L
           else (BigInt(1000000L) * scanned / (BigInt(nQ) * nCorpus)).toLong
-        rs.sorted.flatMap { r =>
-          val reranked = short.filter(col("ar") <= r)
-            .withColumn("frank", row_number().over(
-              Window.partitionBy("query_id")
-                .orderBy(col("key").desc, col("id").asc)))
-            .filter(col("frank") <= kMax)
-            .select("query_id", "id", "frank")
-          val joined = bf.join(reranked, Seq("query_id", "id"))
-          val hitAggs = ksSorted.map(kk => coalesce(sum(
-            when(col("bfr") <= kk && col("frank") <= kk, 1L).otherwise(0L)),
-            lit(0L)))
-          val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
-          ksSorted.indices.map { i =>
-            val (h, nbf) = (hitRow.getLong(i), nBfRow.getLong(i))
-            (np.toLong, r.toLong, ksSorted(i).toLong, nQ, h, nbf,
-              if (nbf == 0) 0L else 1000000L * h / nbf, scannedPpm)
+        cands.flatMap { case (fam, cand) =>
+          val short = cand.filter(col("prn") <= np)
+            .withColumn("ar", row_number().over(Window.partitionBy("query_id")
+              .orderBy(col("score").asc, col("id").asc)))
+            .filter(col("ar") <= maxR)
+            .join(corpusVecs, Seq("id"))
+            .join(q, Seq("query_id"))
+            .withColumn("key",
+              VectorExpressions.intCosKey(col("v"), col("qv")))
+            .filter(col("key").isNotNull)
+            .select(col("query_id"), col("id"), col("ar"), col("key"))
+            .localCheckpoint(false)
+          rs.sorted.flatMap { r =>
+            val reranked = short.filter(col("ar") <= r)
+              .withColumn("frank", row_number().over(
+                Window.partitionBy("query_id")
+                  .orderBy(col("key").desc, col("id").asc)))
+              .filter(col("frank") <= kMax)
+              .select("query_id", "id", "frank")
+            val joined = bf.join(reranked, Seq("query_id", "id"))
+            val hitAggs = ksSorted.map(kk => coalesce(sum(
+              when(col("bfr") <= kk && col("frank") <= kk, 1L).otherwise(0L)),
+              lit(0L)))
+            val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
+            ksSorted.indices.map { i =>
+              val (h, nbf) = (hitRow.getLong(i), nBfRow.getLong(i))
+              (np.toLong, r.toLong, ksSorted(i).toLong, nQ, h, nbf,
+                if (nbf == 0) 0L else 1000000L * h / nbf, scannedPpm, fam)
+            }
           }
         }
       }
       import spark.implicits._
       rows.toDF("n_probe", "r_shortlist", "k", "n_queries", "n_hits",
-        "n_bf", "recall_ppm", "scanned_ppm")
-    } finally Seq(assigned, probes, cand, bf).foreach(_.unpersist(false))
+        "n_bf", "recall_ppm", "scanned_ppm", "family")
+    } finally
+      (Seq(assigned, probes, bf) ++ cands.map(_._2))
+        .foreach(_.unpersist(false))
   }
 
   private def ivfPqSearch(corpus: DataFrame, queries: DataFrame,

@@ -1188,14 +1188,23 @@ object DataQueries {
   /** The three-family measured grid union — ONE definition selected
     * over by BOTH the e31 cross-family choice and the e33 layout
     * decision (the shared-body rule: adding a fourth family is one
-    * edit here + one in [[familyGridsCtes]], never a silent fork). */
+    * edit here + one in [[familyGridsCtes]], never a silent fork).
+    * PQ and SQ8 ride [[Similarity.ivfPqSqOperatingGrids]]'s shared
+    * substrate (one probe stage + truth job for both — cell-identical
+    * to the standalone e27/e29 grids, which the e31 spec re-derives
+    * against); OPQ unions in from its rotated-corpus grid. */
   private def familyGridsRelation(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    grid3dRelation(s, dir).withColumn("family", lit("ivf_pq"))
-      .unionByName(sqGrid3dRelation(s, dir)
-        .withColumn("family", lit("ivf_sq8")))
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    Similarity.ivfPqSqOperatingGrids(emb,
+        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+        ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
+        pqCodebook = pqModel(s, dir), mins = mins, scales = scales,
+        rs = grid3dRs, nProbes = grid3dNps)
       .unionByName(opqGrid3dRelation(s, dir)
         .withColumn("family", lit("opq_ivf_pq")))
+  }
 
   /** SQL twin of [[familyGridsRelation]], ending in `g`. */
   private lazy val familyGridsCtes: String =

@@ -908,6 +908,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSqOperatingGrids: shared-substrate cells equal the standalone grids exactly (r16)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
+      "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    def key(r: org.apache.spark.sql.Row, fam: String) =
+      (fam, r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))
+    val shared = Similarity.ivfPqSqOperatingGrids(emb, queries,
+        "embedding", "vec_id", ks = Seq(1, 5), cellCodebook = cb, m = 4,
+        pqCodebook = pqCb, mins = mins, scales = scales,
+        rs = Seq(5, 10), nProbes = Seq(1, 2))
+      .collect().map(r => key(r, r.getString(8))).toMap
+    val standalone =
+      Similarity.ivfPqOperatingGrid3d(emb, queries, "embedding", "vec_id",
+          ks = Seq(1, 5), cellCodebook = cb, m = 4, pqCodebook = pqCb,
+          rs = Seq(5, 10), nProbes = Seq(1, 2))
+        .collect().map(r => key(r, "ivf_pq")) ++
+      Similarity.ivfSqOperatingGrid3d(emb, queries, "embedding", "vec_id",
+          ks = Seq(1, 5), cellCodebook = cb, mins = mins, scales = scales,
+          rs = Seq(5, 10), nProbes = Seq(1, 2))
+        .collect().map(r => key(r, "ivf_sq8"))
+    assert(shared.size === 16 && standalone.size === 16)
+    standalone.foreach { case (k, v) =>
+      assert(shared(k) === v, s"shared-substrate cell $k diverged")
+    }
+  }
+
   test("e33 layout choice: flat-exact competes as the always-feasible fallback (r16)") {
     val dir = "/root/testdata/sf0.001"
     def cells(df: org.apache.spark.sql.DataFrame, fam: String) =
