@@ -4,6 +4,7 @@ import graft.catalog.Catalog
 import graft.functions.GraftFunctions._
 import graft.models.AuxStaging
 import graft.operators.SkewJoin
+import graft.pipeline.VersionedTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1363,8 +1364,64 @@ object ExtQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** VERSIONED + ZONE-MAPPED STORAGE READ (q62 — VERDICT r16 next-#1):
+    * the r16 storage layer answering a query INSIDE the driver's hash
+    * gate, not just under specs. The query builds a versioned table
+    * from the raw orders feed — partitioned by an 8-way key bucket
+    * (the tenant-dir stand-in), range-clustered within buckets so each
+    * data file covers a narrow `od_day` (epoch-day) band and gets a
+    * tight integral zone in the manifest — then lands a SECOND version
+    * via a partition-scoped merge (bucket 0 restaged; buckets 1–7's
+    * files KEPT, their zones inherited from v1's manifest), and
+    * answers a tenant × time-range query through
+    * [[VersionedTable.readPartitionsRange]]: partition-dir pruning on
+    * the bucket, file-level min/max pruning on `od_day` inside the
+    * surviving dirs. Pruning is invisible in results BY CONSTRUCTION
+    * (the read re-applies the predicate to surviving rows), so the
+    * oracle is the SAME range over the raw parquet — hash-identical
+    * means the storage layer round-trips every byte AND the prune
+    * never drops a matching file; VersionedTableSpec separately
+    * asserts files are actually skipped (the index is real, not a
+    * hint). Epoch-day integer arithmetic (`unix_micros div 86400e6`)
+    * keeps the band replayable with zero calendar/timezone semantics
+    * in the gate, per the q59/q60 contract. At 100 TB this is the
+    * warehouse read path: dir pruning cuts tenants, zone maps cut
+    * time, and the scan opens no footer of a skipped file. */
+  val q62VersionedRange: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-q62-vt")
+      .toString + "/orders_vt"
+    val orders = Catalog(s, dir).orders
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(8L)))
+      .withColumn("od_day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+    // range-cluster (bucket, day) before the partitioned write: the
+    // zone map's pruning power IS the write layout — each task lands a
+    // contiguous day slice in one bucket dir, so per-file day zones
+    // are narrow instead of table-wide
+    VersionedTable.write(s, root,
+      orders.repartitionByRange(64, col("bucket"), col("od_day")),
+      partitionBy = Seq("bucket"))
+    VersionedTable.merge(s, root,
+      orders.filter(col("bucket") === 0L).repartitionByRange(8, col("od_day")),
+      uniqueKey = Seq("bucket", "o_orderkey"), partitionBy = Seq("bucket"))
+    VersionedTable.readPartitionsRange(s, root, "bucket", Seq(0L, 2L, 5L),
+        "od_day", 9496L, 9677L) // 1996-01-01 .. 1996-06-30, epoch days
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("od_day"), col("bucket"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q62Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  epoch_us(o_orderdate) // 86400000000 AS od_day,
+      |  o_orderkey % 8 AS bucket
+      |FROM orders
+      |WHERE o_orderkey % 8 IN (0, 2, 5)
+      |  AND epoch_us(o_orderdate) // 86400000000 BETWEEN 9496 AND 9677
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
+    "q62_versioned_range" -> q62VersionedRange,
     "q60_hopping_window" -> q60HoppingWindow,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
@@ -1401,6 +1458,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q41_json_funcs" -> q41Sql,
+    "q62_versioned_range" -> q62Sql,
     "q51_pagerank" -> q51Sql,
     "q52_kmv_algebra" -> q52Sql,
     "q53_bloom_join" -> q53Sql,

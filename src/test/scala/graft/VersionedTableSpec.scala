@@ -797,4 +797,48 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readRange(spark, r, "ts", 60L, 70L)
       .count() === 11L)
   }
+
+  test("q62 gate shape: versioned range read prunes files AND matches the direct scan (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    // the gated query itself — build (write + partition-scoped merge),
+    // then readPartitionsRange through the manifest's dir + zone prune
+    val got = graft.queries.ExtQueries.q62VersionedRange(spark, dir)
+      .collect().map(_.toSeq)
+    // the oracle semantics: same band over the raw parquet
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(8L)))
+      .withColumn("od_day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+      .filter(col("bucket").isin(0L, 2L, 5L) &&
+        col("od_day").between(9496L, 9677L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("od_day"), col("bucket"))
+      .orderBy(col("o_orderkey"))
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+    // the prune is REAL on the q62 build shape: rebuild it here and
+    // count manifest-level survivors — dir pruning must cut buckets,
+    // zone pruning must cut day-band files inside surviving buckets
+    val r = Files.createTempDirectory("graft-vt-q62").toString + "/tbl"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(8L)))
+      .withColumn("od_day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+    VersionedTable.write(spark, r,
+      orders.repartitionByRange(64, col("bucket"), col("od_day")),
+      partitionBy = Seq("bucket"))
+    VersionedTable.merge(spark, r,
+      orders.filter(col("bucket") === 0L)
+        .repartitionByRange(8, col("od_day")),
+      uniqueKey = Seq("bucket", "o_orderkey"), partitionBy = Seq("bucket"))
+    val total = VersionedTable.read(spark, r).inputFiles.length
+    val banded = VersionedTable.rangeFiles(spark, r, "od_day", 9496L, 9677L)
+    assert(banded.length < total,
+      s"zone maps must skip files: kept ${banded.length} of $total")
+    val scanned = VersionedTable.readPartitionsRange(spark, r, "bucket",
+      Seq(0L, 2L, 5L), "od_day", 9496L, 9677L).inputFiles.length
+    assert(scanned < banded.length,
+      "dir pruning must cut further than the zone band alone")
+    // and the doubly-pruned read still returns every matching row
+    assert(VersionedTable.readPartitionsRange(spark, r, "bucket",
+      Seq(0L, 2L, 5L), "od_day", 9496L, 9677L).count() === want.length)
+  }
 }

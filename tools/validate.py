@@ -55,8 +55,14 @@ def duck_class(t):
         return "date"
     if s.startswith("TIMESTAMP"):
         return "timestamp"
-    if s.startswith("LIST") or s.startswith("ARRAY"):
-        return "list<?>"
+    if s.startswith("LIST(") or s.startswith("ARRAY("):
+        # some DuckDB builds render list types functionally instead of
+        # with the ELEM[] suffix; parse the element type out and recurse
+        # so such a column can still MATCH its Arrow class (ADVICE r16:
+        # the old 'list<?>' fallback could never equal 'list<elem>', so
+        # a genuinely-matching oracle column would fail TYPE_DIFF)
+        inner = str(t)[str(t).index("(") + 1 : str(t).rindex(")")]
+        return "list<%s>" % duck_class(inner.split(",")[0].strip())
     if s.startswith("STRUCT") or s.startswith("MAP"):
         return "struct"
     if s == "BLOB":
