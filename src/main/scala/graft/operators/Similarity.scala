@@ -954,24 +954,105 @@ object Similarity {
         .select(col("query_id"), col("id"), col("score"), col("prn"))
     }
 
-  /** The PQ and SQ8 family grids over ONE shared substrate (see
+  /** IVF-BQ OPERATING GRID — the binary-quantization FAMILY's
+    * (nProbe × shortlist × k) surface (VERDICT r16 next-#2): e14's
+    * 1-bit sign codes + hamming shortlist ranking plugged into the
+    * same skeleton as the PQ/SQ8 grids, so the modern vector-store
+    * default (32× compression, XOR+popcount candidate scan, exact
+    * rescore of the bounded shortlist) competes in the cross-family
+    * choice on the identical probe stage, truth, and scanned-ppm
+    * denominator. Hamming is round-free integer arithmetic — the one
+    * family whose approximate scorer has zero float-replay risk. */
+  def ivfBqOperatingGrid3d(corpus: DataFrame, queries: DataFrame,
+                           vecCol: String, idCol: String, ks: Seq[Int],
+                           cellCodebook: Seq[Seq[Double]],
+                           thresholds: Seq[Double],
+                           rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
+    operatingGrid3dOn(corpus, queries, vecCol, idCol, ks, cellCodebook,
+      rs, nProbes, bqCandOf(thresholds))
+
+  // the 1-bit sign-code candidate scorer — [[bqTopK]]'s hamming ranking
+  // in the skeleton's score slot: corpus codes pack per 32-dim word in
+  // the assignment projection, query codes broadcast, score =
+  // XOR+popcount (exact integers; the double cast only satisfies the
+  // skeleton's column type, it cannot reorder ties)
+  private def bqCandOf(thresholds: Seq[Double])
+      : (DataFrame, DataFrame, DataFrame) => DataFrame =
+    (assigned, probes, q) => {
+      val nw = (thresholds.length + 31) / 32
+      val cc = assigned.select(col("id") +: col("cell") +:
+        bqWords(col("v"), thresholds).zipWithIndex.map {
+          case (w, i) => w.as(s"cw$i") }: _*)
+      val qc = q.select(col("query_id") +:
+        bqWords(col("qv"), thresholds).zipWithIndex.map {
+          case (w, i) => w.as(s"qw$i") }: _*)
+      val hamming = (0 until nw).map(i =>
+        bit_count(col(s"cw$i").bitwiseXOR(col(s"qw$i")))).reduce(_ + _)
+      cc.join(broadcast(probes), Seq("cell"))
+        .filter(col("id") =!= col("query_id"))
+        .join(broadcast(qc), Seq("query_id"))
+        .withColumn("score", hamming.cast(DoubleType))
+        .select(col("query_id"), col("id"), col("score"), col("prn"))
+    }
+
+  /** The PQ, SQ8, and BQ family grids over ONE shared substrate (see
     * [[operatingGrid3dMulti]]) — the relation the cross-family choices
-    * (e31/e32/e33) consume: identical cells to running the two
+    * (e31/e32/e33) consume: identical cells to running the three
     * standalone grids, with the probe stage, truth job, and baselines
-    * computed once instead of twice. The OPQ family cannot join the
-    * substrate (rotated corpus, its own quantizers) and unions in from
-    * its standalone grid. Output: grid columns + `family` in
-    * {"ivf_pq", "ivf_sq8"}. */
-  def ivfPqSqOperatingGrids(corpus: DataFrame, queries: DataFrame,
-                            vecCol: String, idCol: String, ks: Seq[Int],
-                            cellCodebook: Seq[Seq[Double]], m: Int,
-                            pqCodebook: Seq[Seq[Double]],
-                            mins: Seq[Double], scales: Seq[Double],
-                            rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
+    * computed once instead of three times. The OPQ family cannot join
+    * the substrate (rotated corpus, its own quantizers) and unions in
+    * from its standalone grid. Output: grid columns + `family` in
+    * {"ivf_pq", "ivf_sq8", "ivf_bq"}. */
+  def ivfFamilyOperatingGrids(corpus: DataFrame, queries: DataFrame,
+                              vecCol: String, idCol: String, ks: Seq[Int],
+                              cellCodebook: Seq[Seq[Double]], m: Int,
+                              pqCodebook: Seq[Seq[Double]],
+                              mins: Seq[Double], scales: Seq[Double],
+                              bqThresholds: Seq[Double],
+                              rs: Seq[Int], nProbes: Seq[Int]): DataFrame =
     operatingGrid3dMulti(corpus, queries, vecCol, idCol, ks, cellCodebook,
       rs, nProbes, Seq(
         "ivf_pq" -> pqCandOf(queries, vecCol, idCol, m, pqCodebook),
-        "ivf_sq8" -> sqCandOf(mins, scales)))
+        "ivf_sq8" -> sqCandOf(mins, scales),
+        "ivf_bq" -> bqCandOf(bqThresholds)))
+
+  /** FILTERED IVF-PQ OPERATING GRID (VERDICT r16 next-#4): the e27
+    * grid measured UNDER a metadata predicate — e17's pre-filter
+    * contract (the corpus side is cut to `keepIds` BEFORE the probe
+    * join; the index, trained on the FULL corpus, is shared). Two
+    * filtered-serving semantics differ from the unfiltered grid and
+    * both matter to the layout decision:
+    *  - the brute-force truth is the FILTERED search's truth (exact
+    *    top-k over the survivors — post-filtering an unfiltered top-k
+    *    loses recall and would hash-mismatch);
+    *  - `scanned_ppm` keeps the FULL corpus as its denominator, so a
+    *    cell's cost is comparable to the predicate-pruned exact scan,
+    *    whose cost is exactly `selectivity_ppm` (appended as a
+    *    constant column). At 100 TB this is the real filtered-serving
+    *    question: an index cell is only worth building if it scans
+    *    fewer rows than the pruned flat scan the predicate already
+    *    buys. */
+  def ivfPqFilteredOperatingGrid3d(corpus: DataFrame, keepIds: DataFrame,
+                                   queries: DataFrame, vecCol: String,
+                                   idCol: String, ks: Seq[Int],
+                                   cellCodebook: Seq[Seq[Double]], m: Int,
+                                   pqCodebook: Seq[Seq[Double]],
+                                   rs: Seq[Int], nProbes: Seq[Int])
+      : DataFrame = {
+    def cleanCount(df: DataFrame): Long =
+      df.select(toDoubleArray(col(vecCol)).as("v"))
+        .filter(nonDegenerate(col("v"))).count()
+    val nFull = cleanCount(corpus)
+    val filtered = corpus.join(keepIds, Seq(idCol))
+    val nKept = cleanCount(filtered)
+    require(nFull > 0, "filtered grid needs a non-empty corpus")
+    operatingGrid3dMulti(filtered, queries, vecCol, idCol, ks,
+        cellCodebook, rs, nProbes,
+        Seq("" -> pqCandOf(queries, vecCol, idCol, m, pqCodebook)),
+        scanDenomOverride = Some(nFull))
+      .drop("family")
+      .withColumn("selectivity_ppm", lit(1000000L * nKept / nFull))
+  }
 
   /** The family-generic 3-D grid skeleton: everything in the e27
     * contract EXCEPT the approximate candidate scorer, which `candOf`
@@ -1008,7 +1089,13 @@ object Similarity {
                                    rs: Seq[Int], nProbes: Seq[Int],
                                    families: Seq[(String,
                                      (DataFrame, DataFrame, DataFrame)
-                                       => DataFrame)])
+                                       => DataFrame)],
+                                   // scanned_ppm denominator override:
+                                   // the filtered grid charges cells
+                                   // against the FULL corpus so they
+                                   // compare to the predicate-pruned
+                                   // exact scan (None = |corpus|)
+                                   scanDenomOverride: Option[Long] = None)
       : DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
       s"bad ks $ks")
@@ -1045,7 +1132,7 @@ object Similarity {
     val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
     val corpusVecs = assigned.select(col("id"), col("v"))
     val nQ = q.count()
-    val nCorpus = assigned.count()
+    val nCorpus = scanDenomOverride.getOrElse(assigned.count())
     val bfAggs = ksSorted.map(kk =>
       coalesce(sum(when(col("bfr") <= kk, 1L).otherwise(0L)), lit(0L)))
     val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
@@ -1058,6 +1145,10 @@ object Similarity {
           if (nQ == 0 || nCorpus == 0) 0L
           else (BigInt(1000000L) * scanned / (BigInt(nQ) * nCorpus)).toLong
         cands.flatMap { case (fam, cand) =>
+          // persisted (not localCheckpoint'ed) so the bounded shortlist
+          // is BOTH reused across the rs loop and RELEASED when the
+          // loop finishes — the checkpointed blocks previously outlived
+          // the call, one per (family × nProbe) (ADVICE r16)
           val short = cand.filter(col("prn") <= np)
             .withColumn("ar", row_number().over(Window.partitionBy("query_id")
               .orderBy(col("score").asc, col("id").asc)))
@@ -1068,8 +1159,8 @@ object Similarity {
               VectorExpressions.intCosKey(col("v"), col("qv")))
             .filter(col("key").isNotNull)
             .select(col("query_id"), col("id"), col("ar"), col("key"))
-            .localCheckpoint(false)
-          rs.sorted.flatMap { r =>
+            .persist()
+          try rs.sorted.flatMap { r =>
             val reranked = short.filter(col("ar") <= r)
               .withColumn("frank", row_number().over(
                 Window.partitionBy("query_id")
@@ -1086,7 +1177,7 @@ object Similarity {
               (np.toLong, r.toLong, ksSorted(i).toLong, nQ, h, nbf,
                 if (nbf == 0) 0L else 1000000L * h / nbf, scannedPpm, fam)
             }
-          }
+          } finally short.unpersist(false)
         }
       }
       import spark.implicits._

@@ -795,13 +795,31 @@ object DataQueries {
 
   private def sweepCtePrefix(maxNp: Int, kBf: Int,
                              bfKeepRank: Boolean,
-                             eDef: String = rawECtes): String = {
+                             eDef: String = rawECtes,
+                             // pre-filter contract (e17 × the grids,
+                             // VERDICT r16 next-#4): when set, eDef
+                             // must also define `<rel>(id)`; the
+                             // CORPUS side (truth pairs + assignments)
+                             // is cut to those ids while queries stay
+                             // unfiltered and `nc` — scanned_ppm's
+                             // denominator — stays the FULL corpus so
+                             // cells compare to the predicate-pruned
+                             // exact scan
+                             corpusKeepRel: Option[String] = None): String = {
     val bfCols = if (bfKeepRank) "query_id, id, rank" else "query_id, id"
+    val bfSrc = corpusKeepRel.map(_ => "bfdk").getOrElse("bfd")
+    val bfdkCte = corpusKeepRel.map(r =>
+      s"""bfdk AS (SELECT bfd.* FROM bfd
+         |  JOIN $r ON bfd.id = $r.id),
+         |""".stripMargin).getOrElse("")
+    val keepJoinE = corpusKeepRel
+      .map(r => s" JOIN $r ON e.id = $r.id").getOrElse("")
+    val ncFrom = corpusKeepRel.map(_ => "e").getOrElse("asg")
     s"""WITH $eDef,
       |$intPairTailCtes,
       |$kmCtes,
       |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
-      |${intKeyCtes("bf", "bfd")},
+      |${bfdkCte}${intKeyCtes("bf", bfSrc)},
       |bf AS MATERIALIZED (SELECT $bfCols FROM (
       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
       |    ORDER BY key DESC, id) AS rank FROM bfkey)
@@ -809,8 +827,8 @@ object DataQueries {
       |asg AS MATERIALIZED (SELECT id, v, cell FROM (
       |  SELECT e.id, e.v, c.cell, row_number() OVER (PARTITION BY e.id
       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell) AS rn
-      |  FROM e CROSS JOIN cents c) WHERE rn = 1),
-      |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM asg),
+      |  FROM e$keepJoinE CROSS JOIN cents c) WHERE rn = 1),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM $ncFrom),
       |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
       |  FROM asg GROUP BY 1),
       |${probesIntCtes(maxNp, outName = "pr", keepQv = false,
@@ -1078,7 +1096,13 @@ object DataQueries {
     * reads its probe width's `rk<np>key` re-rank chain and the shared
     * `bf`/`pr`/`csz` relations, so the SAME text serves the PQ, SQ8,
     * and OPQ grid oracles (only the CTE stack in front differs). */
-  private lazy val grid3dBlocksSql: String = {
+  private lazy val grid3dBlocksSql: String = grid3dBlocksSqlWith("")
+
+  /** The grid blocks with an optional extra trailing column (the
+    * filtered grid appends `selectivity_ppm`); "" = the shared
+    * three-axis blocks every unfiltered grid oracle uses. */
+  private def grid3dBlocksSqlWith(extraColSql: String): String = {
+    val extra = if (extraColSql.isEmpty) "" else s",\n  $extraColSql"
     def hitsSub(np: Int, r: Int, kk: Int) =
       s"""(SELECT CAST(count(*) AS BIGINT) FROM bf b JOIN
          |    (SELECT query_id, id FROM (SELECT query_id, id,
@@ -1100,7 +1124,7 @@ object DataQueries {
          |    ELSE 1000000 * ${hitsSub(np, r, kk)}
          |      // (SELECT CAST(count(*) AS BIGINT) FROM bf
          |        WHERE rank <= $kk) END AS recall_ppm,
-         |  ${scannedPpmSql(np)}
+         |  ${scannedPpmSql(np)}$extra
          |""".stripMargin).mkString("UNION ALL\n")
   }
 
@@ -1185,22 +1209,24 @@ object DataQueries {
     * capacity decision: a 99%-recall SLO a trained index cannot meet
     * is served by partition-pruned exact scan, not by silently
     * under-recalling. */
-  /** The three-family measured grid union — ONE definition selected
+  /** The four-family measured grid union — ONE definition selected
     * over by BOTH the e31 cross-family choice and the e33 layout
-    * decision (the shared-body rule: adding a fourth family is one
-    * edit here + one in [[familyGridsCtes]], never a silent fork).
-    * PQ and SQ8 ride [[Similarity.ivfPqSqOperatingGrids]]'s shared
-    * substrate (one probe stage + truth job for both — cell-identical
-    * to the standalone e27/e29 grids, which the e31 spec re-derives
+    * decision (the shared-body rule: adding a family is one edit here
+    * + one in [[familyGridsCtes]], never a silent fork). PQ, SQ8, and
+    * BQ (VERDICT r16 next-#2) ride [[Similarity
+    * .ivfFamilyOperatingGrids]]'s shared substrate (one probe stage +
+    * truth job for all three — cell-identical to the standalone
+    * e27/e29/e34 grids, which the OperatorsSpec pins re-derive
     * against); OPQ unions in from its rotated-corpus grid. */
   private def familyGridsRelation(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val emb = Catalog(s, dir).embeddings
     val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
-    Similarity.ivfPqSqOperatingGrids(emb,
+    Similarity.ivfFamilyOperatingGrids(emb,
         emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
         ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
         pqCodebook = pqModel(s, dir), mins = mins, scales = scales,
+        bqThresholds = Similarity.bqTrain(emb, "embedding", "vec_id"),
         rs = grid3dRs, nProbes = grid3dNps)
       .unionByName(opqGrid3dRelation(s, dir)
         .withColumn("family", lit("opq_ivf_pq")))
@@ -1211,9 +1237,11 @@ object DataQueries {
     s"""gp AS ($e27SqlBody),
        |gs AS ($e29SqlBody),
        |go AS ($e30SqlBody),
+       |gb AS ($e34SqlBody),
        |g AS (SELECT 'ivf_pq' AS family, * FROM gp
        |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM gs
-       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go)""".stripMargin
+       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go
+       |  UNION ALL SELECT 'ivf_bq' AS family, * FROM gb)""".stripMargin
 
   val e33LayoutChoice: Q = (s, dir) => {
     import s.implicits._
@@ -1412,6 +1440,178 @@ object DataQueries {
 
   lazy val e30Sql: String =
     s"$e30SqlBody\nORDER BY n_probe, r_shortlist, k"
+
+  /** BINARY-QUANTIZATION OPERATING GRID (e34 — [[Similarity
+    * .ivfBqOperatingGrid3d]], VERDICT r16 next-#2): e27's
+    * (nProbe × r × k) surface with the shortlist stage ranked by e14's
+    * 1-bit sign-code hamming distance — the modern vector-store
+    * default compression (32×) measured as a FAMILY of operating
+    * points on the same probe stage, truth, and scanned-ppm
+    * denominator as the PQ/SQ8/OPQ grids, so e31/e33 choose over all
+    * four. Oracle: the e27 stack with e14's threshold + per-dim
+    * mismatch chain in place of the PQ codebook + ADC CTEs; the
+    * re-rank chain and grid blocks are the SAME strings as e27's
+    * (hamming is exact integer arithmetic in both engines, the one
+    * family with zero float-replay surface in its scorer). */
+  val e34BqGrid3d: Q = (s, dir) =>
+    bqGrid3dRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def bqGrid3dRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.ivfBqOperatingGrid3d(emb,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids,
+      thresholds = Similarity.bqTrain(emb, "embedding", "vec_id"),
+      rs = grid3dRs, nProbes = grid3dNps)
+  }
+
+  /** The e14-oracle BQ chain (per-dim exact-grid mean thresholds →
+    * per-dim sign-mismatch counting — the same integer popcount would
+    * compute) plus the probe-pruned hamming-scored candidate relation
+    * `scb(query_id, id, prn, hamming)` — the BQ family's stand-in for
+    * [[pqAdcScpCtes]], downstream of sweepCtePrefix's e/q/asg/pr. */
+  private lazy val bqScbCtes: String =
+    s"""bst AS (SELECT i, CAST(sum(CAST(round(v[i] * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) * 1000000000 AS DOUBLE) AS thr
+       |  FROM e, range(1, ${kmDim + 1}) t(i) GROUP BY i),
+       |bsl AS (SELECT list(thr ORDER BY i) AS thr FROM bst),
+       |scb AS MATERIALIZED (SELECT p.query_id, a.id, p.prn,
+       |  len(list_filter(range(1, ${kmDim + 1}),
+       |    i -> (a.v[i] > s.thr[i]) <> (q.qv[i] > s.thr[i]))) AS hamming
+       |  FROM asg a JOIN pr p ON a.cell = p.cell AND a.id <> p.query_id
+       |  CROSS JOIN bsl s JOIN q ON q.query_id = p.query_id)""".stripMargin
+
+  private lazy val e34SqlBody: String =
+    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true)},
+       |$bqScbCtes,
+       |${rkChainCtes(grid3dNps, grid3dRs.max, src = "scb", score = "hamming")}
+       |$grid3dBlocksSql""".stripMargin
+
+  lazy val e34Sql: String =
+    s"$e34SqlBody\nORDER BY n_probe, r_shortlist, k"
+
+  /** FILTERED OPERATING GRID (e35 — VERDICT r16 next-#4, e17 × e27):
+    * the IVF-PQ grid measured UNDER a metadata predicate (documents
+    * lang = 'en', e17's pre-filter contract — the corpus side is cut
+    * BEFORE the probe join, the index stays the FULL-corpus fit).
+    * Differences from e27 that the layout decision needs: the
+    * brute-force truth is the filtered search's truth (exact top-k
+    * over survivors), `scanned_ppm` keeps the FULL corpus denominator,
+    * and every row carries `selectivity_ppm` — the predicate's
+    * survivor fraction, which is exactly the cost of the
+    * partition-pruned exact scan the index must beat (the 100 TB note
+    * on e33: for filtered workloads flat-exact's true cost is the
+    * pruned scan, not 10⁶). See [[Similarity
+    * .ivfPqFilteredOperatingGrid3d]]. */
+  val e35FilteredGrid: Q = (s, dir) =>
+    filteredGridRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def filteredGridRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    val en = Catalog(s, dir).documents.filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    Similarity.ivfPqFilteredOperatingGrid3d(emb, en,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
+      pqCodebook = pqModel(s, dir), rs = grid3dRs, nProbes = grid3dNps)
+  }
+
+  private lazy val filteredECtes: String =
+    s"""$rawECtes,
+       |en AS (SELECT doc_id AS id FROM documents WHERE lang = 'en')""".stripMargin
+
+  private lazy val e35SqlBody: String =
+    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true,
+           eDef = filteredECtes, corpusKeepRel = Some("en"))},
+       |$pqCbCtes,
+       |$pqAdcScpCtes,
+       |${rkChainCtes(grid3dNps, grid3dRs.max)}
+       |${grid3dBlocksSqlWith(
+           "CAST(1000000 * (SELECT count(*) FROM asg) " +
+           "// (SELECT nc FROM nc) AS BIGINT) AS selectivity_ppm")}""".stripMargin
+
+  lazy val e35Sql: String =
+    s"$e35SqlBody\nORDER BY n_probe, r_shortlist, k"
+
+  /** FILTERED LAYOUT CHOICE (e36 — closes e33's own design note): the
+    * flat-vs-index decision FOR A FILTERED WORKLOAD, where the exact
+    * fallback is the predicate-pruned scan — its row is recall 10⁶ at
+    * scanned_ppm = selectivity_ppm, NOT 10⁶ (the e33 flat row's cost
+    * models an unfiltered serving query; this one models e17's). An
+    * index cell now wins only when it scans fewer rows than the
+    * predicate already prunes to — at 43% selectivity most moderate-
+    * recall cells still win, but high-recall targets flip to the
+    * pruned scan far sooner than e33's unfiltered decision would
+    * suggest, which is exactly the capacity insight the filtered grid
+    * exists to surface. Cost order and fallback semantics are e33's. */
+  val e36FilteredLayout: Q = (s, dir) => {
+    import s.implicits._
+    val grid = filteredGridRelation(s, dir)
+      .withColumn("family", lit("ivf_pq_filtered"))
+    val flat = filteredGridRelation(s, dir).groupBy("k").agg(
+        max("n_queries").as("n_queries"), max("n_bf").as("n_bf"),
+        max("selectivity_ppm").as("selectivity_ppm"))
+      .select(lit(0L).as("n_probe"), lit(0L).as("r_shortlist"), col("k"),
+        col("n_queries"), col("n_bf").as("n_hits"), col("n_bf"),
+        lit(1000000L).as("recall_ppm"),
+        col("selectivity_ppm").as("scanned_ppm"), col("selectivity_ppm"),
+        lit("flat_filtered").as("family"))
+    val targets = servingTargetsPpm.toDF("target_ppm")
+    val cand = grid.unionByName(flat).crossJoin(broadcast(targets))
+      .withColumn("meets",
+        (col("recall_ppm") >= col("target_ppm")).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "target_ppm")
+      .orderBy(col("meets").desc,
+        when(col("meets") === 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scanned_ppm").asc, col("r_shortlist").asc,
+        col("n_probe").asc, col("family").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("target_ppm"), col("family"), col("n_probe"),
+        col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
+        col("selectivity_ppm"),
+        (col("family") =!= "flat_filtered").cast(LongType)
+          .as("index_worth_it"))
+      .orderBy("k", "target_ppm")
+  }
+
+  lazy val e36Sql: String = {
+    val tgVals = servingTargetsPpm
+      .map(t => s"(CAST($t AS BIGINT))").mkString(",")
+    s"""WITH gf0 AS ($e35SqlBody),
+       |g AS (SELECT 'ivf_pq_filtered' AS family, * FROM gf0
+       |  UNION ALL
+       |  SELECT 'flat_filtered' AS family, CAST(0 AS BIGINT) AS n_probe,
+       |    CAST(0 AS BIGINT) AS r_shortlist, k, max(n_queries),
+       |    max(n_bf) AS n_hits, max(n_bf) AS n_bf,
+       |    CAST(1000000 AS BIGINT) AS recall_ppm,
+       |    max(selectivity_ppm) AS scanned_ppm,
+       |    max(selectivity_ppm) AS selectivity_ppm
+       |  FROM gf0 GROUP BY k),
+       |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
+       |cand AS (SELECT tg.target_ppm, g.*,
+       |  CASE WHEN g.recall_ppm >= tg.target_ppm
+       |    THEN 1 ELSE 0 END AS meets
+       |  FROM g CROSS JOIN tg),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY k, target_ppm
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN 0
+       |      ELSE 1000000 - recall_ppm END ASC,
+       |    scanned_ppm ASC, r_shortlist ASC, n_probe ASC, family ASC)
+       |    AS rn
+       |  FROM cand)
+       |SELECT k, target_ppm, family, n_probe, r_shortlist, recall_ppm,
+       |  scanned_ppm, selectivity_ppm,
+       |  CAST(CASE WHEN family <> 'flat_filtered' THEN 1 ELSE 0 END
+       |    AS BIGINT) AS index_worth_it
+       |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
+  }
 
   /** CROSS-FAMILY SERVING AUTO-CHOICE (e31 — VERDICT r15 next-#6): the
     * e28 decision widened across quantizer FAMILIES — per (k, recall
@@ -5341,6 +5541,9 @@ object DataQueries {
     "e28_operating_choice" -> e28OperatingChoice,
     "e29_ivfsq_grid3d" -> e29SqGrid3d,
     "e30_opq_grid3d" -> e30OpqGrid3d,
+    "e34_bq_grid3d" -> e34BqGrid3d,
+    "e35_filtered_grid" -> e35FilteredGrid,
+    "e36_filtered_layout" -> e36FilteredLayout,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
@@ -5452,6 +5655,9 @@ object DataQueries {
     "e28_operating_choice" -> e28Sql,
     "e29_ivfsq_grid3d" -> e29Sql,
     "e30_opq_grid3d" -> e30Sql,
+    "e34_bq_grid3d" -> e34Sql,
+    "e35_filtered_grid" -> e35Sql,
+    "e36_filtered_layout" -> e36Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,

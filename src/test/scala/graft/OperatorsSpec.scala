@@ -908,7 +908,7 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("ivfPqSqOperatingGrids: shared-substrate cells equal the standalone grids exactly (r16)") {
+  test("ivfFamilyOperatingGrids: shared-substrate cells equal the standalone grids exactly (r16, +bq r17)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 100 === 0)
     val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
@@ -916,14 +916,15 @@ class OperatorsSpec extends SparkSpec {
     val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
       "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
     val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    val thr = Similarity.bqTrain(emb, "embedding", "vec_id")
     def key(r: org.apache.spark.sql.Row, fam: String) =
       (fam, r.getLong(0), r.getLong(1), r.getLong(2)) ->
         (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
           r.getLong(7))
-    val shared = Similarity.ivfPqSqOperatingGrids(emb, queries,
+    val shared = Similarity.ivfFamilyOperatingGrids(emb, queries,
         "embedding", "vec_id", ks = Seq(1, 5), cellCodebook = cb, m = 4,
         pqCodebook = pqCb, mins = mins, scales = scales,
-        rs = Seq(5, 10), nProbes = Seq(1, 2))
+        bqThresholds = thr, rs = Seq(5, 10), nProbes = Seq(1, 2))
       .collect().map(r => key(r, r.getString(8))).toMap
     val standalone =
       Similarity.ivfPqOperatingGrid3d(emb, queries, "embedding", "vec_id",
@@ -933,10 +934,132 @@ class OperatorsSpec extends SparkSpec {
       Similarity.ivfSqOperatingGrid3d(emb, queries, "embedding", "vec_id",
           ks = Seq(1, 5), cellCodebook = cb, mins = mins, scales = scales,
           rs = Seq(5, 10), nProbes = Seq(1, 2))
-        .collect().map(r => key(r, "ivf_sq8"))
-    assert(shared.size === 16 && standalone.size === 16)
+        .collect().map(r => key(r, "ivf_sq8")) ++
+      Similarity.ivfBqOperatingGrid3d(emb, queries, "embedding", "vec_id",
+          ks = Seq(1, 5), cellCodebook = cb, thresholds = thr,
+          rs = Seq(5, 10), nProbes = Seq(1, 2))
+        .collect().map(r => key(r, "ivf_bq"))
+    assert(shared.size === 24 && standalone.size === 24)
     standalone.foreach { case (k, v) =>
       assert(shared(k) === v, s"shared-substrate cell $k diverged")
+    }
+  }
+
+  test("ivfBqOperatingGrid3d: full-depth shortlist recovers the exact IVF sweep; full probe width pins the e14 operating point (r17)") {
+    // two pins, both exact by construction:
+    //  (1) r >= every probed candidate -> the hamming ordering is
+    //      irrelevant, the exact-key rerank sees all candidates, so the
+    //      cell must equal the exact IVF sweep at (np, k) — the skeleton
+    //      with the BQ scorer plugged in stays the gated skeleton;
+    //  (2) nProbe = every cell -> IVF pruning is a no-op, the hamming
+    //      shortlist is e14's FLAT shortlist, so the (r=20, k=5) cell's
+    //      hit count must equal the recall of the standalone
+    //      bqRerankTopK operating point measured against the same
+    //      brute-force truth (VERDICT r16 next-#2's "done" bar).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val nCells = 8
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = nCells, dim = 64, iters = 3).centroids
+    val thr = Similarity.bqTrain(emb, "embedding", "vec_id")
+    val rFull = 600 // > corpus size
+    val g = Similarity.ivfBqOperatingGrid3d(emb, queries, "embedding",
+        "vec_id", ks = Seq(1, 5), cellCodebook = cb, thresholds = thr,
+        rs = Seq(20, rFull), nProbes = Seq(1, nCells))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(g.size == 8)
+    val exact = Similarity.ivfOperatingSweepExact(emb, queries, "embedding",
+        "vec_id", ks = Seq(1, 5), codebook = cb, nProbes = Seq(1, nCells))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    for (np <- Seq(1L, nCells.toLong); kk <- Seq(1L, 5L))
+      assert(g((np, rFull.toLong, kk)) == exact((np, kk)),
+        s"(np=$np,k=$kk): full-depth BQ cell != exact sweep")
+    // pin (2): full width + bounded shortlist == the e14 operating point
+    val bf5 = Similarity.bruteForceTopKExact(emb, queries, "embedding",
+        "vec_id", 5)
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e14Hits = Similarity.bqRerankTopK(emb, queries, "embedding",
+        "vec_id", k = 5, shortlist = 20, thresholds = thr)
+      .select($"query_id", $"id").collect()
+      .count(r => bf5((r.getLong(0), r.getLong(1))))
+    val (hits, nbf, rec, scn) = g((nCells.toLong, 20L, 5L))
+    assert(hits === e14Hits.toLong,
+      "full-width (r=20,k=5) cell must measure e14's operating point")
+    assert(nbf === bf5.size.toLong && rec === 1000000L * hits / nbf)
+    assert(scn === 1000000L, "probing every cell scans the full corpus")
+  }
+
+  test("ivfPqFilteredOperatingGrid3d: filtered truth, full-corpus denominator, selectivity column (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val en = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val nCells = 8
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = nCells, dim = 64, iters = 3).centroids
+    val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
+      "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
+    val rFull = 600 // > corpus size
+    val g = Similarity.ivfPqFilteredOperatingGrid3d(emb, en, queries,
+        "embedding", "vec_id", ks = Seq(5), cellCodebook = cb, m = 4,
+        pqCodebook = pqCb, rs = Seq(5, rFull), nProbes = Seq(1, nCells))
+      .collect()
+    val nFull = emb.count()
+    val nKept = emb.join(en, Seq("vec_id")).count()
+    val expSel = 1000000L * nKept / nFull
+    assert(nKept > 0 && nKept < nFull, "the predicate must actually filter")
+    // the selectivity column is the survivor fraction, constant
+    g.foreach(r => assert(r.getAs[Long]("selectivity_ppm") === expSel))
+    // scanned can never exceed the pruned flat scan's cost — probing
+    // EVERY cell touches exactly the survivors
+    g.foreach(r =>
+      assert(r.getAs[Long]("scanned_ppm") <= expSel, r.toString))
+    val full = g.find(r => r.getAs[Long]("n_probe") == nCells.toLong &&
+      r.getAs[Long]("r_shortlist") == rFull.toLong).get
+    assert(full.getAs[Long]("scanned_ppm") === expSel)
+    // the truth is the FILTERED search's truth: with every cell probed
+    // and the whole shortlist reranked, recall is exactly 1
+    assert(full.getAs[Long]("recall_ppm") === 1000000L)
+    val bfN = Similarity.bruteForceTopKExact(emb.join(en, Seq("vec_id")),
+      queries, "embedding", "vec_id", 5).count()
+    g.foreach(r => assert(r.getAs[Long]("n_bf") === bfN,
+      "denominator must be the filtered brute force"))
+  }
+
+  test("e36 filtered layout: the flat row costs the pruned scan; decision re-derives (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = graft.queries.DataQueries.e35FilteredGrid(spark, dir)
+      .collect().map(r => ("ivf_pq_filtered", r.getAs[Long]("k"),
+        r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
+        r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm"),
+        r.getAs[Long]("selectivity_ppm")))
+    val sel = cells.head._7
+    val grid = cells ++ cells.map(_._2).distinct
+      .map(k => ("flat_filtered", k, 0L, 0L, 1000000L, sel, sel))
+    val chosen = graft.queries.DataQueries.e36FilteredLayout(spark, dir)
+      .collect()
+    assert(chosen.length === 6)
+    chosen.foreach { c =>
+      val (k, target) = (c.getAs[Long]("k"), c.getAs[Long]("target_ppm"))
+      val meeting = grid.filter(g => g._2 == k && g._5 >= target)
+      assert(meeting.nonEmpty) // flat always meets
+      val expect = meeting.minBy { case (f, _, np, r, _, sc, _) =>
+        (sc, r, np, f) }
+      assert((c.getAs[String]("family"), c.getAs[Long]("n_probe"),
+        c.getAs[Long]("r_shortlist")) === ((expect._1, expect._3,
+        expect._4)), s"choice for k=$k target=$target")
+      assert(c.getAs[Long]("index_worth_it") ===
+        (if (expect._1 == "flat_filtered") 0L else 1L))
+      // honesty: an indexed winner must beat the PRUNED scan, not 10^6
+      if (c.getAs[Long]("index_worth_it") == 1L)
+        assert(c.getAs[Long]("scanned_ppm") <
+          c.getAs[Long]("selectivity_ppm"))
     }
   }
 
@@ -949,7 +1072,8 @@ class OperatorsSpec extends SparkSpec {
     val measured =
       cells(graft.queries.DataQueries.e27Grid3d(spark, dir), "ivf_pq") ++
       cells(graft.queries.DataQueries.e29SqGrid3d(spark, dir), "ivf_sq8") ++
-      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq")
+      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq") ++
+      cells(graft.queries.DataQueries.e34BqGrid3d(spark, dir), "ivf_bq")
     val grid = measured ++ measured.map(_._2).distinct
       .map(k => ("flat_exact", k, 0L, 0L, 1000000L, 1000000L))
     val chosen = graft.queries.DataQueries.e33LayoutChoice(spark, dir)
@@ -1075,8 +1199,8 @@ class OperatorsSpec extends SparkSpec {
       assert(g((1L, r, kk))._4 <= g((4L, r, kk))._4)
   }
 
-  test("e31 family choice: per (k, target) the cheapest cell across ALL THREE family grids") {
-    // re-derive the decision from the three grid relations it unions
+  test("e31 family choice: per (k, target) the cheapest cell across ALL FOUR family grids") {
+    // re-derive the decision from the four grid relations it unions
     val dir = "/root/testdata/sf0.001"
     def cells(df: org.apache.spark.sql.DataFrame, fam: String) =
       df.collect().map(r => (fam, r.getAs[Long]("k"),
@@ -1085,7 +1209,8 @@ class OperatorsSpec extends SparkSpec {
     val grid =
       cells(graft.queries.DataQueries.e27Grid3d(spark, dir), "ivf_pq") ++
       cells(graft.queries.DataQueries.e29SqGrid3d(spark, dir), "ivf_sq8") ++
-      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq")
+      cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq") ++
+      cells(graft.queries.DataQueries.e34BqGrid3d(spark, dir), "ivf_bq")
     val chosen = graft.queries.DataQueries.e31FamilyChoice(spark, dir)
       .collect()
     assert(chosen.length === 6, "one row per (k, target)")
