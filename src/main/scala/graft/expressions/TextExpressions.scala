@@ -816,9 +816,86 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Viterbi token count of ONE WORD under a unigram-LM piece model
+  * (Kudo 2018, "Subword Regularization" — the SentencePiece unigram
+  * family): pieces carry integer nano-nat COSTS (−ln p on the
+  * t11/ExactLn grid, so ≥ 0), the best segmentation minimizes total
+  * cost over pieces of length ≤ `maxPieceLen`, and a character absent
+  * from the vocab segments as a single-char token at `oovCostU` (the
+  * 1/total floor — t11's OOV convention). DETERMINISM CONTRACT, shared
+  * with the unrolled-DP oracle (DataQueries t33): positions advance
+  * left to right; at each end position j the candidate start indices i
+  * are scanned ASCENDING and a candidate replaces the incumbent only
+  * when STRICTLY cheaper — so on cost ties the smallest start (longest
+  * piece) wins, which is exactly the oracle's
+  * `row_number() OVER (ORDER BY cost, i)` rule. Integer cost sums:
+  * no float enters the comparison. Code-point indexing matches DuckDB
+  * substr semantics for non-BMP input. */
+case class UnigramCountExpr(child: Expression, costsU: Map[String, Long],
+                            oovCostU: Long, maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  require(costsU.values.forall(_ >= 0L) && oovCostU >= 0L,
+    "unigram costs are -ln p in nano-nats and must be non-negative")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_unigram_count"
+
+  @transient private lazy val lookup: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](costsU.size * 2)
+    costsU.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val cpsArr = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cpsArr.length
+    if (n == 0) return 0L
+    val chars = new Array[String](n)
+    var c = 0
+    while (c < n) {
+      chars(c) = new String(Character.toChars(cpsArr(c))); c += 1
+    }
+    val INF = Long.MaxValue
+    val best = Array.fill(n + 1)(INF)
+    val tk = new Array[Long](n + 1)
+    best(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) != INF) {
+          val sb = new java.lang.StringBuilder(j - i)
+          var p = i
+          while (p < j) { sb.append(chars(p)); p += 1 }
+          val cu = lookup.get(sb.toString)
+          val stepCost =
+            if (cu != null) cu.longValue()
+            else if (j - i == 1) oovCostU
+            else -1L
+          if (stepCost >= 0L) {
+            val cand = best(i) + stepCost
+            if (cand < best(j)) { best(j) = cand; tk(j) = tk(i) + 1 }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    tk(n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeExpr(Bridge.expression(word), merges))
+  def unigramCount(word: Column, costsU: Map[String, Long],
+                   oovCostU: Long, maxPieceLen: Int): Column =
+    Bridge.column(UnigramCountExpr(Bridge.expression(word), costsU,
+      oovCostU, maxPieceLen))
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
   def spanHashes(text: Column, k: Int): Column =

@@ -1450,6 +1450,194 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("bpe_per_ws"))
   }
 
+  // ---------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) subword tokenization — the OTHER
+  // production tokenizer family next to BPE (Kudo 2018, "Subword
+  // Regularization: Improving Neural Network Translation Models with
+  // Multiple Subword Candidates"): a piece VOCABULARY with unigram
+  // probabilities, segmentation = Viterbi argmax of the piece-likelihood
+  // product. Same delivery pattern as BPE: FIT on the deterministic md5
+  // sample to bounded driver literals, ENCODE map-only with the piece
+  // cost table baked into a compiled expression. Likelihoods live as
+  // integer nano-nat COSTS (−ln p, the t11/t14/ExactLn grid, QuantAudit-
+  // guarded), so the fit, the DP comparisons, and the oracle replay are
+  // all integer-exact.
+  // ---------------------------------------------------------------------
+
+  /** Fit a unigram-LM piece model on the deterministic md5 1/`sampleMod`
+    * document sample (the t11/t20 sample contract). Candidate seeding
+    * and EM are Kudo §3 with the bounded, fixed-iteration determinism
+    * this repo's gates require:
+    *  - seed: every substring of length 1..`pieceMaxLen` of the top
+    *    `vocabWords` sample words, weighted by word frequency; the
+    *    candidate vocab is the top `candVocab` substrings by
+    *    (count DESC, md5(piece), piece) UNION all single characters
+    *    (coverage floor — Kudo keeps all single chars for the same
+    *    reason);
+    *  - initial costs: −ln(count/total) in exact nano-nats;
+    *  - `emIters` hard-EM rounds: Viterbi-segment each vocab word under
+    *    the current costs (the [[graft.expressions.UnigramCountExpr]]
+    *    tie rule), count pieces on the best paths weighted by word
+    *    frequency, Laplace(+1) so no candidate ever reaches cost ∞,
+    *    refit costs. (Kudo's soft-EM uses forward-backward
+    *    expectations; hard EM is the standard deterministic variant and
+    *    every intermediate stage replays as SQL.)
+    * Returns (piece → cost nano-nats, OOV single-char cost = the
+    * 1/total floor of the FINAL iteration). */
+  def fitUnigramLm(docs: DataFrame, textCol: String, idCol: String,
+                   vocabWords: Int = 2000, pieceMaxLen: Int = 4,
+                   candVocab: Int = 120, emIters: Int = 2,
+                   sampleMod: Int = 20): (Map[String, Long], Long) = {
+    val sample = docs.filter(
+      pmod(md5Long(col(idCol).cast(StringType)), lit(sampleMod.toLong)) === 0L)
+    val words = sample
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, md5(col("w")), col("w"))
+      .limit(vocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    fitUnigramDriver(words, pieceMaxLen, candVocab, emIters)
+  }
+
+  /** The driver-side unigram fit over a bounded weighted word list.
+    * Exposed for the spec's hand-checked examples. */
+  private[graft] def fitUnigramDriver(words: Seq[(String, Long)],
+                                      pieceMaxLen: Int, candVocab: Int,
+                                      emIters: Int): (Map[String, Long], Long) = {
+    require(words.nonEmpty, "unigram fit needs a non-empty sample vocab")
+    def cps(w: String): Array[String] = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    // seed counts: every substring occurrence, weighted by word freq
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, f) =>
+      val a = cps(w)
+      var i = 0
+      while (i < a.length) {
+        var l = 1
+        while (l <= math.min(pieceMaxLen, a.length - i)) {
+          val p = a.slice(i, i + l).mkString
+          seed(p) = seed.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val top = seed.toSeq.sortBy { case (p, n) => (-n, md5Hex(p), p) }
+      .take(candVocab)
+    val singles = seed.toSeq.filter { case (p, _) =>
+      p.codePointCount(0, p.length) == 1 }
+    val vocabPieces: Seq[(String, Long)] =
+      (top ++ singles).distinctBy(_._1).sortBy(_._1)
+    def costsOf(counts: Seq[(String, Long)], what: String)
+        : (Map[String, Long], Long) = {
+      val total = counts.map(_._2).sum
+      require(total > 0, s"unigram $what: zero total count")
+      // replayed-oracle fit: audit every pre-floor ln against the
+      // flooring boundary (the replaying engine's libm must not flip)
+      QuantAudit.audit(what,
+        counts.map(c => math.log(total.toDouble / c._2) * 1e9 + 0.5) :+
+          (math.log(total.toDouble) * 1e9 + 0.5))
+      (counts.map { case (p, n) =>
+        p -> ExactLn.lnNanoFloor(total, n) }.toMap,
+        ExactLn.lnNanoFloor(total, 1L))
+    }
+    var (costs, oov) = costsOf(vocabPieces, "unigram-seed")
+    for (it <- 1 to emIters) {
+      // hard-EM E-step: Viterbi-count pieces on each word's best path
+      val eCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, f) =>
+        viterbiPieces(cps(w), costs, oov, pieceMaxLen).foreach { p =>
+          eCounts(p) = eCounts.getOrElse(p, 0L) + f
+        }
+      }
+      // M-step with Laplace(+1) over the FIXED candidate set
+      val sm = vocabPieces.map { case (p, _) =>
+        p -> (eCounts.getOrElse(p, 0L) + 1L) }
+      val co = costsOf(sm, s"unigram-em$it")
+      costs = co._1; oov = co._2
+    }
+    (costs, oov)
+  }
+
+  // Viterbi best-path pieces of one word — the UnigramCountExpr DP with
+  // the path kept (fit-side only; the encode needs just the count)
+  private def viterbiPieces(chars: Array[String], costs: Map[String, Long],
+                            oovCost: Long, maxPieceLen: Int): Seq[String] = {
+    val n = chars.length
+    if (n == 0) return Nil
+    val INF = Long.MaxValue
+    val best = Array.fill(n + 1)(INF)
+    val from = new Array[Int](n + 1)
+    best(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) != INF) {
+          val piece = chars.slice(i, j).mkString
+          val stepCost = costs.get(piece) match {
+            case Some(c) => c
+            case None if j - i == 1 => oovCost
+            case None => -1L
+          }
+          if (stepCost >= 0L) {
+            val cand = best(i) + stepCost
+            if (cand < best(j)) { best(j) = cand; from(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) {
+      val i = from(p)
+      out = chars.slice(i, p).mkString :: out
+      p = i
+    }
+    out
+  }
+
+  /** Per-document count of unigram-LM subword tokens, pluggable into
+    * [[tokenStats]] / [[packSequences]] / [[domainMixture]] exactly like
+    * [[bpeTokenCounter]] (VERDICT r16 next-#5's pluggable-counter bar):
+    * whitespace-pretokenize lowercased text, sum each word's Viterbi
+    * piece count under the literal cost table. */
+  def unigramTokenCounter(costsU: Map[String, Long], oovCostU: Long,
+                          pieceMaxLen: Int = 4): Column => Column =
+    text => coalesce(
+      aggregate(
+        transform(tokens(lower(text)), w =>
+          graft.expressions.TextExpressions.unigramCount(
+            w, costsU, oovCostU, pieceMaxLen)),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
+
+  /** Per-document unigram-LM accounting report (t33) — [[bpeStats]]'s
+    * shape for the second tokenizer family: whitespace vs unigram piece
+    * counts and their ratio. */
+  def unigramStats(docs: DataFrame, textCol: String, idCol: String,
+                   costsU: Map[String, Long], oovCostU: Long,
+                   pieceMaxLen: Int = 4): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(tokens(lower(col(textCol)))).cast(LongType).as("n_ws_tokens"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.unigramCount(
+          col("w"), costsU, oovCostU, pieceMaxLen).as("n"))
+      .groupBy("doc_id").agg(sum(col("n")).as("n_uni"))
+    base.join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_ws_tokens"),
+        coalesce(col("n_uni"), lit(0L)).as("n_unigram_tokens"),
+        when(col("n_ws_tokens") > 0,
+          round(coalesce(col("n_uni"), lit(0L)).cast(DoubleType) /
+            col("n_ws_tokens"), 6))
+          .otherwise(lit(0.0)).as("unigram_per_ws"))
+  }
+
   // -------------------------------------------------------------------
   // Incremental data card (the t22 release datasheet as a delta fold)
   // -------------------------------------------------------------------

@@ -3108,19 +3108,34 @@ object DataQueries {
     val docs = Catalog(s, dir).documents
     val merges = TextAnalysis.fitBpe(docs, "text", "doc_id",
       vocabWords = bpeVocab, nMerges = bpeMerges)
-    val stats = TextAnalysis.bpeStats(docs.repartition(col("doc_id")),
-      "text", "doc_id", merges)
+    fertilityRelation(s, dir,
+      TextAnalysis.bpeStats(docs.repartition(col("doc_id")),
+        "text", "doc_id", merges),
+      nTokCol = "n_bpe_tokens", outTokCol = "bpe_tokens")
+  }
+
+  /** Tokenizer-fertility over a PLUGGABLE per-doc stats relation
+    * (VERDICT r16 next-#5's pluggable-counter bar): any tokenizer
+    * family that produces (doc_id, n_ws_tokens, <n_tok>) — t20's BPE
+    * stats, t33's unigram stats, a future third family — feeds the
+    * same language join + integer-ppm fold, so the equity metric can
+    * never fork per tokenizer. */
+  private def fertilityRelation(s: SparkSession, dir: String,
+                                stats: org.apache.spark.sql.DataFrame,
+                                nTokCol: String, outTokCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Catalog(s, dir).documents
     val lang = TextAnalysis.profile(docs.repartition(col("doc_id")),
       "text", "doc_id").select(col("doc_id"), col("lang_pred"))
     stats.join(lang, Seq("doc_id"))
       .groupBy(col("lang_pred").as("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_ws_tokens")).as("ws_tokens"),
-        sum(col("n_bpe_tokens")).as("bpe_tokens"))
+        sum(col(nTokCol)).as(outTokCol))
       .withColumn("fertility_ppm", expr(
-        "CASE WHEN ws_tokens = 0 THEN 0L ELSE " +
-          "(bpe_tokens div ws_tokens) * 1000000 + " +
-          "((bpe_tokens % ws_tokens) * 1000000) div ws_tokens END"))
+        s"CASE WHEN ws_tokens = 0 THEN 0L ELSE " +
+          s"($outTokCol div ws_tokens) * 1000000 + " +
+          s"(($outTokCol % ws_tokens) * 1000000) div ws_tokens END"))
       .orderBy(col("lang"))
   }
 
@@ -3140,6 +3155,201 @@ object DataQueries {
        |      + ((bpe_tokens % ws_tokens) * 1000000) // ws_tokens
        |  END AS fertility_ppm
        |FROM g ORDER BY lang""".stripMargin
+
+  private val uniPieceLen = 4   // max piece length (chars)
+  private val uniCandVocab = 120 // candidate pieces beyond the char floor
+  private val uniEmIters = 2    // fixed hard-EM rounds
+  private val uniUnroll = 16    // max word length the oracle DP unrolls to
+
+  /** UNIGRAM-LM (SentencePiece-style) TOKENIZER FIT + PER-DOC REPORT
+    * (t33 — VERDICT r16 next-#5): the OTHER production tokenizer
+    * family next to t20's BPE (Kudo 2018) — substring candidates
+    * seeded from the 5% md5 sample, integer nano-nat costs (ExactLn,
+    * QuantAudit-guarded), two hard-EM rounds, Viterbi encode with the
+    * [[graft.expressions.UnigramCountExpr]] tie rule. The oracle
+    * replays the ENTIRE fit: seed counts, both EM rounds' Viterbi DPs
+    * (unrolled per position with the identical (cost, start) argmin),
+    * backtracked piece counts, Laplace refits, and the final per-word
+    * encode — any divergence at any DP cell of any round is a hash
+    * mismatch. Scale shape mirrors t20: the fit is bounded driver
+    * work on the sample vocab; the corpus pass is one compiled
+    * map-only expression per word with the cost table as literals. */
+  val t33UnigramTokenize: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val (costs, oov) = TextAnalysis.fitUnigramLm(docs, "text", "doc_id",
+      vocabWords = bpeVocab, pieceMaxLen = uniPieceLen,
+      candVocab = uniCandVocab, emIters = uniEmIters)
+    TextAnalysis.unigramStats(docs.repartition(col("doc_id")), "text",
+        "doc_id", costs, oov, uniPieceLen)
+      .orderBy(col("doc_id"))
+  }
+
+  /** One Viterbi DP over `wordsRel(w, ...)` under `vcbRel(piece, cu)` /
+    * `oovRel(cu)`, unrolled to [[uniUnroll]] positions — ends in
+    * `<px>tk(w, tk)` (token count per word whose length fits the
+    * unroll; a longer word goes UNMATCHED and the gate goes loudly
+    * red, never silently wrong). With `withBacktrack`, also walks the
+    * argmin chain back to `<px>pc(w, piece)` — one row per piece
+    * OCCURRENCE on the best path (the E-step's input). The argmin is
+    * `row_number() OVER (ORDER BY cost, i)`: ties go to the smallest
+    * start index, exactly [[graft.expressions.UnigramCountExpr]]'s
+    * ascending-scan strict-less rule. */
+  private def uniDpCtes(px: String, wordsRel: String, vcbRel: String,
+                        oovRel: String, withBacktrack: Boolean): String = {
+    val U = uniUnroll
+    val dps = (1 to U).map { j =>
+      val arms = (2 to math.min(uniPieceLen, j)).map { l =>
+        s"""SELECT d.w, d.cost + v.cu AS cost, d.tk + 1 AS tk, ${j - l} AS i
+           |  FROM ${px}dp${j - l} d JOIN $vcbRel v
+           |    ON v.piece = substr(d.w, ${j - l + 1}, $l)
+           |  WHERE len(d.w) >= $j""".stripMargin
+      }
+      val arm1 =
+        s"""SELECT d.w, d.cost + COALESCE(v.cu, (SELECT cu FROM $oovRel)) AS cost,
+           |    d.tk + 1 AS tk, ${j - 1} AS i
+           |  FROM ${px}dp${j - 1} d LEFT JOIN $vcbRel v
+           |    ON v.piece = substr(d.w, $j, 1)
+           |  WHERE len(d.w) >= $j""".stripMargin
+      s"""${px}cnd$j AS (${(arms :+ arm1).mkString("\nUNION ALL\n")}),
+         |${px}dp$j AS MATERIALIZED (SELECT w, cost, tk, i FROM (
+         |  SELECT w, cost, tk, i, row_number() OVER (PARTITION BY w
+         |    ORDER BY cost ASC, i ASC) AS rn FROM ${px}cnd$j) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val base =
+      s"""${px}dp0 AS (SELECT w, CAST(0 AS BIGINT) AS cost,
+         |  CAST(0 AS BIGINT) AS tk, 0 AS i FROM $wordsRel)""".stripMargin
+    val tkRel = s"${px}tk AS MATERIALIZED (\n${(1 to U).map(j =>
+      s"SELECT w, tk FROM ${px}dp$j WHERE len(w) = $j")
+        .mkString("\nUNION ALL\n")}\n)"
+    if (!withBacktrack) Seq(base, dps, tkRel).mkString(",\n")
+    else {
+      val dpall = s"${px}all AS (${(1 to U).map(j =>
+        s"SELECT w, $j AS j, i FROM ${px}dp$j").mkString("\nUNION ALL\n")})"
+      val bt0 =
+        s"""${px}bt0 AS (SELECT w, len(w) AS j,
+           |  CAST(NULL AS VARCHAR) AS piece FROM $wordsRel
+           |  WHERE len(w) > 0)""".stripMargin
+      val bts = (1 to U).map { st =>
+        s"""${px}bt$st AS MATERIALIZED (SELECT b.w, d.i AS j,
+           |  substr(b.w, d.i + 1, b.j - d.i) AS piece
+           |  FROM ${px}bt${st - 1} b JOIN ${px}all d
+           |    ON d.w = b.w AND d.j = b.j
+           |  WHERE b.j > 0)""".stripMargin
+      }.mkString(",\n")
+      val pcs =
+        s"""${px}pc AS MATERIALIZED (SELECT w, piece FROM (
+           |${(1 to U).map(j => s"SELECT w, piece FROM ${px}bt$j")
+              .mkString("\nUNION ALL\n")}
+           |) WHERE piece IS NOT NULL)""".stripMargin
+      Seq(base, dps, tkRel, dpall, bt0, bts, pcs).mkString(",\n")
+    }
+  }
+
+  // nano-nat COST table from a (piece, n) counts relation: the t11 ln
+  // replay convention (floor(ln(total/n)·1e9 + 0.5); OOV = count 1),
+  // QuantAudit-guarded on the Spark side so the replaying libm cannot
+  // flip a floor
+  private def uniCostCtes(px: String, countsRel: String): String =
+    s"""${px}tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM $countsRel),
+       |${px}vc AS MATERIALIZED (SELECT piece,
+       |  CAST(floor(ln(CAST((SELECT t FROM ${px}tt) AS DOUBLE) / n) * 1e9 + 0.5)
+       |    AS BIGINT) AS cu FROM $countsRel),
+       |${px}ov AS (SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 1e9 + 0.5)
+       |  AS BIGINT) AS cu FROM ${px}tt)""".stripMargin
+
+  /** The whole t33 oracle chain — sample vocab, seed candidates +
+    * costs, [[uniEmIters]] EM rounds (DP + backtrack + Laplace refit),
+    * final per-word encode under the last costs, per-doc sums — shared
+    * verbatim by [[t34Sql]] (the t20/t32 sharing pattern). */
+  private lazy val uniPerDocCtes: String = {
+    val em = (1 to uniEmIters).map { it =>
+      val px = s"u$it"
+      val prevVc = if (it == 1) "s0vc" else s"c${it - 1}vc"
+      val prevOv = if (it == 1) "s0ov" else s"c${it - 1}ov"
+      s"""${uniDpCtes(px, "ufw", prevVc, prevOv, withBacktrack = true)},
+         |${px}ec AS (SELECT p.piece, CAST(SUM(f.f) AS BIGINT) AS n
+         |  FROM ${px}pc p JOIN ufw f USING (w) GROUP BY 1),
+         |c${it}cn AS (SELECT v.piece, CAST(COALESCE(e.n, 0) + 1 AS BIGINT) AS n
+         |  FROM uvcb v LEFT JOIN ${px}ec e USING (piece)),
+         |${uniCostCtes(s"c$it", s"c${it}cn")}""".stripMargin
+    }.mkString(",\n")
+    s"""usmp AS MATERIALIZED (SELECT lower(text) AS text FROM documents
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
+       |uwrd AS (SELECT unnest(list_filter(
+       |  string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM usmp),
+       |ufw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM uwrd GROUP BY 1 ORDER BY f DESC, md5(w), w LIMIT $bpeVocab),
+       |usb0 AS (SELECT w, f, unnest(generate_series(1, len(w))) AS i FROM ufw),
+       |usb1 AS (SELECT w, f, i, unnest(generate_series(1, $uniPieceLen)) AS l
+       |  FROM usb0),
+       |usub AS MATERIALIZED (SELECT substr(w, i, l) AS piece,
+       |  CAST(SUM(f) AS BIGINT) AS n FROM usb1
+       |  WHERE i + l - 1 <= len(w) GROUP BY 1),
+       |ucnd AS (SELECT piece, n FROM usub
+       |  ORDER BY n DESC, md5(piece), piece LIMIT $uniCandVocab),
+       |uvcb AS MATERIALIZED (SELECT DISTINCT piece, n FROM (
+       |  SELECT * FROM ucnd
+       |  UNION ALL SELECT piece, n FROM usub WHERE len(piece) = 1)),
+       |${uniCostCtes("s0", "uvcb")},
+       |$em,
+       |udt AS MATERIALIZED (SELECT doc_id, list_filter(
+       |  string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |ubse AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens
+       |  FROM udt),
+       |uow AS (SELECT doc_id, unnest(toks) AS w FROM udt),
+       |udw AS MATERIALIZED (SELECT DISTINCT w FROM uow),
+       |${uniDpCtes("uf", "udw", s"c${uniEmIters}vc", s"c${uniEmIters}ov",
+           withBacktrack = false)},
+       |upd AS (SELECT o.doc_id, CAST(SUM(t.tk) AS BIGINT) AS n_uni
+       |  FROM uow o JOIN uftk t USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  lazy val t33Sql: String =
+    s"""WITH $uniPerDocCtes
+       |SELECT b.doc_id, b.n_ws_tokens,
+       |  CAST(COALESCE(p.n_uni, 0) AS BIGINT) AS n_unigram_tokens,
+       |  CASE WHEN b.n_ws_tokens > 0
+       |    THEN round(CAST(COALESCE(p.n_uni, 0) AS DOUBLE) / b.n_ws_tokens, 6)
+       |    ELSE 0.0 END AS unigram_per_ws
+       |FROM ubse b LEFT JOIN upd p USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** UNIGRAM-FERTILITY PER LANGUAGE (t34): t32's tokenizer-equity
+    * metric under the SECOND tokenizer family — [[fertilityRelation]]
+    * fed by the t33 unigram stats instead of the t20 BPE stats, so the
+    * per-language token-budget comparison exists for both production
+    * tokenizers and the pluggable-counter contract is exercised by two
+    * real families, not one. Oracle = the shared t33 fit chain + the
+    * t01 language CASE + the t32 integer-ppm fold. */
+  val t34UnigramFertility: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val (costs, oov) = TextAnalysis.fitUnigramLm(docs, "text", "doc_id",
+      vocabWords = bpeVocab, pieceMaxLen = uniPieceLen,
+      candVocab = uniCandVocab, emIters = uniEmIters)
+    fertilityRelation(s, dir,
+      TextAnalysis.unigramStats(docs.repartition(col("doc_id")), "text",
+        "doc_id", costs, oov, uniPieceLen),
+      nTokCol = "n_unigram_tokens", outTokCol = "uni_tokens")
+  }
+
+  lazy val t34Sql: String =
+    s"""WITH $uniPerDocCtes,
+       |${langCaseCtes("udt", "uln0", "ulng", "lang")},
+       |uj AS (SELECT ulng.lang, b.n_ws_tokens,
+       |  CAST(COALESCE(p.n_uni, 0) AS BIGINT) AS nu
+       |  FROM ubse b LEFT JOIN upd p USING (doc_id)
+       |  JOIN ulng USING (doc_id)),
+       |ug AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(nu) AS BIGINT) AS uni_tokens
+       |  FROM uj GROUP BY 1)
+       |SELECT lang, n_docs, ws_tokens, uni_tokens,
+       |  CASE WHEN ws_tokens = 0 THEN 0
+       |    ELSE (uni_tokens // ws_tokens) * 1000000
+       |      + ((uni_tokens % ws_tokens) * 1000000) // ws_tokens
+       |  END AS fertility_ppm
+       |FROM ug ORDER BY lang""".stripMargin
 
   private val nbVocab = 300
 
@@ -5548,6 +5758,8 @@ object DataQueries {
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
     "t32_fertility" -> t32Fertility,
+    "t33_unigram_tokenize" -> t33UnigramTokenize,
+    "t34_unigram_fertility" -> t34UnigramFertility,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -5662,6 +5874,8 @@ object DataQueries {
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,
     "t32_fertility" -> t32Sql,
+    "t33_unigram_tokenize" -> t33Sql,
+    "t34_unigram_fertility" -> t34Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,
