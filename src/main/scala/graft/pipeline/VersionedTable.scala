@@ -546,9 +546,12 @@ object VersionedTable {
     // a retained manifest is known even with no recorded zone (legacy)
     // — it stays unprunable rather than triggering a table-sized stats
     // scan. A manifest pruned by a concurrent cross-process GC between
-    // the listing and the read is SKIPPED: losing an inheritance
-    // source can only cost pruning on those files, and a zone map must
-    // never fail a data commit.
+    // the listing and the read is SKIPPED SILENTLY (the expected race:
+    // the file vanishes); any OTHER read failure — a transient FS
+    // error, a permission flap — is ALSO skipped (a zone map must
+    // never fail a data commit) but logged, because the pruning it
+    // silently forfeits is inherited forward by every later commit and
+    // would otherwise degrade invisibly (ADVICE r16).
     var inherited = Map.empty[String, Map[String, Zone]]
     var known = Set.empty[String]
     val todo = files.toSet
@@ -560,7 +563,17 @@ object VersionedTable {
         inherited = m.zones.view.filterKeys(f =>
           todo.contains(f) && !inherited.contains(f)).toMap ++ inherited
         known ++= m.files
-      } catch { case scala.util.control.NonFatal(_) => () /* pruned */ }
+      } catch {
+        // benign prune race: manifestLines' retention require, or the
+        // file vanishing between the exists probe and the open
+        case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
+          ()
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[versioned-table] WARN zone inheritance " +
+            s"skipped manifest v$ov of $root (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — kept files lose their zones on v$v " +
+            "(results stay exact; pruning degrades)")
+      }
     }
     val freshZones = computeZones(spark, root,
       files.filterNot(f => known.contains(f) || keptHint.contains(f)))

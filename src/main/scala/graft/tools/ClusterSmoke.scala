@@ -552,17 +552,30 @@ object ClusterSmoke {
         // read retained releases WHILE the cron JVM sweeps
         while (gc.isAlive && fail.isEmpty &&
             System.currentTimeMillis() < deadline) {
-          try PublishSet.versions(spark, reg).foreach { v =>
-            try PublishSet.resolveVersion(spark, reg, v).foreach {
-              case (t, mv) =>
-                val n = VersionedTable.readVersion(spark, t, mv).count()
-                if (n < 1) fail = Some(s"release v$v member $t@$mv empty")
-                reads += 1
-            } catch { case e: Throwable =>
-              // benign ONLY if the cron pruned v between list and read
-              if (PublishSet.versions(spark, reg).contains(v))
-                fail = Some(s"retained v$v unreadable: $e")
-              else racedPrunes += 1
+          try {
+            val listed = PublishSet.versions(spark, reg)
+            // keep-window position SNAPSHOT at listing time (ADVICE
+            // r16: the old still-listed re-check was TOCTOU — a prune
+            // landing between a genuine read failure and the re-check
+            // classified a real unreadable-retained-release bug as a
+            // benign race). A version among the newest 3 of the listing
+            // cannot legitimately be pruned during one bounded read
+            // (--keep 6 would need 4+ publisher releases mid-read), so
+            // its failure is ALWAYS real regardless of the re-check.
+            val newest = if (listed.isEmpty) 0L else listed.max
+            listed.foreach { v =>
+              try PublishSet.resolveVersion(spark, reg, v).foreach {
+                case (t, mv) =>
+                  val n = VersionedTable.readVersion(spark, t, mv).count()
+                  if (n < 1) fail = Some(s"release v$v member $t@$mv empty")
+                  reads += 1
+              } catch { case e: Throwable =>
+                val safelyRetained = v > newest - 3
+                if (safelyRetained ||
+                    PublishSet.versions(spark, reg).contains(v))
+                  fail = Some(s"retained v$v unreadable: $e")
+                else racedPrunes += 1
+              }
             }
           } catch { case e: Throwable => fail = Some(e.toString) }
         }
@@ -602,6 +615,126 @@ object ClusterSmoke {
           s"JVMs, $reads concurrent retained-release reads, " +
           s"$racedPrunes benign pruned-under-listing races, zero lost " +
           "releases, zero unreadable pins)")
+    }
+
+    // ---- PACED publisher × GcMain WITH COMPACTION (VERDICT r16
+    // next-#6): the hammering shape above deliberately omits
+    // --compact-max-files (a compactor racing a hammering publisher
+    // exhausts bounded commit retries BY DESIGN — an operator pacing
+    // decision); this shape is that operator pacing: the publisher
+    // sleeps between releases (partitioned members, every merge
+    // re-fragmenting both buckets), the cron runs the FULL maintenance
+    // including bucket compaction, and this JVM reads retained
+    // releases throughout. Invariants: every GcMain exits 0 despite
+    // racing commits; no lost releases / unreadable retained pins;
+    // fragmentation was OBSERVED while publishing (the compaction had
+    // real work) and the final cron leaves every bucket within the
+    // file budget — proof the compactor actually ran, not just parsed
+    // its flag.
+    {
+      import graft.pipeline.{PublishSet, VersionedTable}
+      val maxF = 2
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-smoke-paced").toString
+      val reg = s"$base/reg"
+      val mA = s"$base/memA"
+      val mB = s"$base/memB"
+      val spark = builder.master("local[4]").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      def seed(root: String): Long = VersionedTable.write(spark, root,
+        Seq(("p0", "seed", 0L), ("p1", "seed", 0L)).toDF("p", "k", "seq"),
+        partitionBy = Seq("p"))
+      PublishSet.publish(spark, reg, Map(mA -> seed(mA), mB -> seed(mB)),
+        note = Some("epoch 0 rows 0"))
+      // sampling probe only: a concurrent commit+sweep can prune the
+      // version between the pointer read and the manifest read — an
+      // empty sample is fine, the NEXT poll sees the fresh state
+      def bucketFiles(root: String): Map[String, Int] =
+        try VersionedTable.currentVersion(spark, root).toSeq.flatMap { v =>
+          VersionedTable.manifestFiles(spark, root, v)
+            .flatMap(_.split("/").find(_.startsWith("__pp_p=")))
+        }.groupBy(identity).map { case (b, fs) => b -> fs.size }
+        catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val nReleases = 8
+      val pub = ReleasePublisherMain.launch(reg, mA, mB, nReleases,
+        paceMs = 1500, partitioned = true)
+      var gcRuns = 0
+      var reads = 0
+      var racedPrunes = 0
+      var sawFragmentation = false
+      var fail: Option[String] = None
+      val deadline = System.currentTimeMillis() + 300 * 1000L
+      while (pub.isAlive && fail.isEmpty &&
+          System.currentTimeMillis() < deadline) {
+        val gc = VersionedWriterMain.launchJvm("graft.tools.GcMain",
+          Seq(reg, "--keep", "6", "--member-keep", "1",
+            "--compact-max-files", maxF.toString))
+        while (gc.isAlive && fail.isEmpty &&
+            System.currentTimeMillis() < deadline) {
+          if (Seq(mA, mB).exists(r => bucketFiles(r).values.exists(_ > maxF)))
+            sawFragmentation = true
+          try {
+            val listed = PublishSet.versions(spark, reg)
+            val newest = if (listed.isEmpty) 0L else listed.max
+            listed.foreach { v =>
+              try PublishSet.resolveVersion(spark, reg, v).foreach {
+                case (t, mv) =>
+                  if (VersionedTable.readVersion(spark, t, mv).count() < 1)
+                    fail = Some(s"release v$v member $t@$mv empty")
+                  reads += 1
+              } catch { case e: Throwable =>
+                if (v > newest - 3 ||
+                    PublishSet.versions(spark, reg).contains(v))
+                  fail = Some(s"retained v$v unreadable: $e")
+                else racedPrunes += 1
+              }
+            }
+          } catch { case e: Throwable => fail = Some(e.toString) }
+        }
+        if (!gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+          gc.destroyForcibly()
+          fail = fail.orElse(Some("GcMain JVM hung past its deadline"))
+        } else if (gc.exitValue != 0)
+          fail = fail.orElse(Some(s"compacting GcMain exited ${gc.exitValue}"))
+        gcRuns += 1
+      }
+      if (!pub.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        pub.destroyForcibly()
+        fail = fail.orElse(Some("paced publisher JVM hung past the deadline"))
+      }
+      // publisher quiesced: one final cron pass must leave every bucket
+      // within budget, with content intact
+      if (Seq(mA, mB).exists(r => bucketFiles(r).values.exists(_ > maxF)))
+        sawFragmentation = true
+      val finalOk = fail.isEmpty && pub.exitValue == 0 && {
+        val gc = VersionedWriterMain.launchJvm("graft.tools.GcMain",
+          Seq(reg, "--keep", "6", "--member-keep", "1",
+            "--compact-max-files", maxF.toString))
+        val gcDone = gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        if (!gcDone) gc.destroyForcibly()
+        gcDone && gc.exitValue == 0 && sawFragmentation &&
+          Seq(mA, mB).forall(r => bucketFiles(r).values.forall(_ <= maxF)) &&
+          PublishSet.versions(spark, reg).forall { v =>
+            PublishSet.resolveVersion(spark, reg, v).forall {
+              case (t, mv) =>
+                VersionedTable.readVersion(spark, t, mv).count() >= 1L
+            }
+          }
+      }
+      spark.stop()
+      if (!finalOk) {
+        println("[cluster-smoke] paced publish/compact FAIL: " +
+          fail.getOrElse(s"publisher exit=${pub.exitValue}, " +
+            s"sawFragmentation=$sawFragmentation, or final " +
+            "compaction/read-back failed"))
+        failed = true
+      } else
+        println(s"[cluster-smoke] paced publish/compact OK " +
+          s"($nReleases paced releases vs $gcRuns compacting GcMain " +
+          s"cron JVMs, $reads concurrent reads, $racedPrunes benign " +
+          s"races, fragmentation observed and compacted to <= $maxF " +
+          "files/bucket, zero lost releases)")
     }
 
     if (failed) sys.exit(1)

@@ -18,12 +18,22 @@ import org.apache.spark.sql.SparkSession
 object ReleasePublisherMain {
 
   def launch(reg: String, memberA: String, memberB: String,
-             n: Int): Process =
+             n: Int, paceMs: Int = 15,
+             partitioned: Boolean = false): Process =
     VersionedWriterMain.launchJvm("graft.tools.ReleasePublisherMain",
-      Seq(reg, memberA, memberB, n.toString))
+      Seq(reg, memberA, memberB, n.toString, paceMs.toString,
+        partitioned.toString))
 
   def main(args: Array[String]): Unit = {
-    val Array(reg, memberA, memberB, n) = args
+    // 4-arg legacy form = hammering defaults; the PACED compaction
+    // shape passes (paceMs, partitioned) explicitly
+    val (reg, memberA, memberB, n, paceMs, partitioned) = args match {
+      case Array(r, a, b, nn) => (r, a, b, nn, 15, false)
+      case Array(r, a, b, nn, p, pt) => (r, a, b, nn, p.toInt, pt.toBoolean)
+      case other => throw new IllegalArgumentException(
+        s"usage: ReleasePublisherMain <reg> <memberA> <memberB> <n> " +
+          s"[paceMs partitioned], got ${other.mkString(" ")}")
+    }
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("release-publisher")
@@ -67,16 +77,27 @@ object ReleasePublisherMain {
               }
           }
         } else {
-          val vA = VersionedTable.merge(spark, memberA,
-            Seq((s"a$i", i.toLong)).toDF("k", "seq"), uniqueKey = Seq("k"))
-          val vB = VersionedTable.merge(spark, memberB,
-            Seq((s"b$i", i.toLong)).toDF("k", "seq"), uniqueKey = Seq("k"))
+          // partitioned mode (the paced compaction shape): every merge
+          // restages both __pp_p buckets from a 3-way-repartitioned
+          // increment, so each release re-FRAGMENTS the buckets the
+          // cron's --compact-max-files pass must then shrink
+          def inc(px: String): org.apache.spark.sql.DataFrame =
+            if (partitioned)
+              Seq(("p0", s"$px$i", i.toLong), ("p1", s"$px$i", i.toLong))
+                .toDF("p", "k", "seq").repartition(3)
+            else Seq((s"$px$i", i.toLong)).toDF("k", "seq")
+          val key = if (partitioned) Seq("p", "k") else Seq("k")
+          val pby = if (partitioned) Seq("p") else Nil
+          val vA = VersionedTable.merge(spark, memberA, inc("a"),
+            uniqueKey = key, partitionBy = pby)
+          val vB = VersionedTable.merge(spark, memberB, inc("b"),
+            uniqueKey = key, partitionBy = pby)
           PublishSet.publish(spark, reg,
             Map(memberA -> vA, memberB -> vB),
             note = Some(s"epoch $i rows $i"))
         }
         published += 1
-        Thread.sleep(15) // pace: leave CAS room for the sweeping parent
+        Thread.sleep(paceMs.toLong) // pace: leave CAS room for sweepers
       }
       println(s"[release-publisher] ok published=$published " +
         s"rollbacksSkipped=$rollbacksSkipped")
