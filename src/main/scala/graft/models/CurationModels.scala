@@ -450,6 +450,81 @@ object CurationModels {
     RagGateResult(recallPpm, nq, passed, rolledBackTo)
   }
 
+  /** INDEX CARD — the published index's measured serving frontier as a
+    * bounded relation (VERDICT r16 next-#8): the exact (nProbe × k)
+    * operating sweep over the current index+codebook (e25's gated
+    * kernel) reduced to the e28-style cheapest-meeting-cell CHOICE per
+    * (k, recall target). This is the operating point a serving team
+    * reads off the release; versioned next to the release so a retrain
+    * that degrades the cost/recall frontier is a DIFFABLE event, not a
+    * silent regression. Bounded: |ks|·|targets| rows, computed from
+    * the 1-in-20 chunk sample against the stored index. */
+  def indexCard(spark: SparkSession, cfg: RunConfig,
+                ks: Seq[Int] = Seq(1, 5),
+                nProbes: Seq[Int] = Seq(1, 2, 4),
+                targetsPpm: Seq[Long] = Seq(600000L, 900000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val index = VersionedTable.read(spark, memberRoot(cfg, "RAG_CHUNK_INDEX"))
+    val cb = collectRagCodebook(
+      VersionedTable.read(spark, memberRoot(cfg, "RAG_CODEBOOK")))
+    val corpus = index.select(col("chunk_id").as("id"), col("v"))
+    val queries = index.filter(pmod(col("chunk_id"), lit(20L)) === 0)
+      .select(col("chunk_id").as("id"), col("v"))
+    val grid = Similarity.ivfOperatingSweepExact(corpus, queries, "v", "id",
+      ks = ks, codebook = cb, nProbes = nProbes)
+    import spark.implicits._
+    val targets = targetsPpm.toDF("target_ppm")
+    val cand = grid.crossJoin(broadcast(targets))
+      .withColumn("meets",
+        (col("recall_ppm") >= col("target_ppm")).cast(LongType))
+    val w = Window.partitionBy("k", "target_ppm")
+      .orderBy(col("meets").desc,
+        when(col("meets") === 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scanned_ppm").asc, col("n_probe").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("target_ppm"), col("n_probe"),
+        col("recall_ppm"), col("scanned_ppm"),
+        col("meets").as("meets_target"))
+  }
+
+  final case class IndexCardGateResult(violations: Long, passed: Boolean,
+                                       cardVersion: Option[Long])
+
+  /** FRONTIER GATE on the index card (VERDICT r16 next-#8): diff the
+    * candidate publish's card against the last ACCEPTED card with the
+    * SAME [[graft.pipeline.DataTests.cardDiff]] the data card gates
+    * through — a retrain that moves the chosen operating point (probe
+    * cost up, recall down, a target newly unmet) beyond `maxRelDelta`
+    * trips the release gate exactly like a data-card drift. On pass the
+    * card commits as its own versioned table (the INDEX_CARD sibling of
+    * the release members), so history holds one card per accepted
+    * release; on trip nothing is written and the caller skips/rolls
+    * back the publish (the [[ragRecallGate]] convention). First publish
+    * (no prior card) passes by definition. */
+  def indexCardGate(spark: SparkSession, cfg: RunConfig,
+                    maxRelDelta: Double,
+                    ks: Seq[Int] = Seq(1, 5),
+                    nProbes: Seq[Int] = Seq(1, 2, 4),
+                    targetsPpm: Seq[Long] = Seq(600000L, 900000L))
+      : IndexCardGateResult = {
+    val cardRoot = memberRoot(cfg, "INDEX_CARD")
+    val card = indexCard(spark, cfg, ks, nProbes, targetsPpm)
+    val nViol = VersionedTable.currentVersion(spark, cardRoot).fold(0L) { _ =>
+      graft.pipeline.DataTests.cardDiff(card,
+          VersionedTable.read(spark, cardRoot), maxRelDelta,
+          keys = Seq("k", "target_ppm"),
+          metrics = Seq("n_probe", "recall_ppm", "scanned_ppm",
+            "meets_target"))
+        .count()
+    }
+    if (nViol > 0) IndexCardGateResult(nViol, passed = false, None)
+    else IndexCardGateResult(0L, passed = true,
+      Some(VersionedTable.write(spark, cardRoot, card)))
+  }
+
   /** The versioned members of a curation RELEASE — everything a
     * downstream consumer must see move in lockstep: the card that
     * describes the corpus, the chunks, and the index+codebook that

@@ -463,4 +463,47 @@ class CurationPipelineSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, root("RAG_CHUNK_INDEX"), 2L)
       .count() > n1)
   }
+
+  test("index card gate: serving frontier versioned per release; a degraded retrain trips cardDiff (r17)") {
+    import graft.pipeline.VersionedTable
+    val bench = Seq((9001L, "qq zz unrelated benchmark text"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-idxcard").toString
+    val cfg = RunConfig(env = Dev, warehouseRoot = tmp)
+    def root(name: String) = s"$tmp/DEV/3_MART___CURATION/$name"
+    CurationModels.registry(spark, corpus(), bench)
+      .run(cfg, Seq("RAG_CHUNK_INDEX"))
+    // first publish: no prior card -> passes by definition, card v1
+    val g1 = CurationModels.indexCardGate(spark, cfg, maxRelDelta = 0.10)
+    assert(g1.passed && g1.violations === 0L && g1.cardVersion === Some(1L))
+    val c1 = VersionedTable.read(spark, root("INDEX_CARD")).collect()
+    assert(c1.length === 4, "|ks| x |targets| choice rows")
+    c1.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") >= 0L &&
+        r.getAs[Long]("recall_ppm") <= 1000000L)
+      assert(r.getAs[Long]("scanned_ppm") > 0L &&
+        r.getAs[Long]("scanned_ppm") <= 1000000L)
+    }
+    // degraded retrain: a collapsed codebook (every centroid identical)
+    // sends the whole corpus into one cell, so every chosen operating
+    // point's scanned fraction jumps to 10^6 — the frontier drift the
+    // gate exists to catch. Nothing may be committed on a trip.
+    val cbRoot = root("RAG_CODEBOOK")
+    val cb1 = VersionedTable.read(spark, cbRoot).orderBy("cell").collect()
+    VersionedTable.write(spark, cbRoot,
+      cb1.map(r => (r.getLong(0), cb1.head.getSeq[Double](1)))
+        .toSeq.toDF("cell", "centroid"))
+    val g2 = CurationModels.indexCardGate(spark, cfg, maxRelDelta = 0.10)
+    assert(!g2.passed && g2.violations > 0L && g2.cardVersion.isEmpty)
+    assert(VersionedTable.currentVersion(spark, root("INDEX_CARD"))
+      === Some(1L), "a tripped gate never advances the card")
+    // restore the sane codebook: the identical frontier re-passes and
+    // commits the next card version
+    VersionedTable.rollback(spark, cbRoot, 1L)
+    val g3 = CurationModels.indexCardGate(spark, cfg, maxRelDelta = 0.10)
+    assert(g3.passed && g3.cardVersion === Some(2L))
+    val c2 = VersionedTable.read(spark, root("INDEX_CARD")).collect()
+    assert(c2.map(_.toSeq).toSet === c1.map(_.toSeq).toSet,
+      "the accepted frontier is unchanged after the round trip")
+  }
 }
