@@ -1043,6 +1043,51 @@ object ScaleProbe {
           scales = scales, rs = Seq(5, 20), nProbes = Seq(1, 4))
       }
     }
+    // r17 binary-quantization family grid: the same skeleton as grid3d
+    // with XOR+popcount hamming as the candidate scorer — the cheapest
+    // scorer of the family set (no codebook decode, pure integer ops),
+    // so its ladder must track grid3d's or better.
+    stage("bq_grid3d") {
+      t(s"bq_grid3d_${replicas}x") {
+        val cellCb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+          k = 16, dim = 64, iters = 3).centroids
+        val thr = graft.operators.Similarity.bqTrain(emb,
+          "embedding", "vec_id")
+        graft.operators.Similarity.ivfBqOperatingGrid3d(embBig,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+          ks = Seq(1, 5), cellCodebook = cellCb, thresholds = thr,
+          rs = Seq(5, 20), nProbes = Seq(1, 4))
+      }
+    }
+    // r17 filtered grid: the PQ grid under a ~44% id predicate. Cost
+    // must track the SURVIVOR count (the filtered scan + truth), not
+    // the full corpus — the pre-filter cuts before anything heavy.
+    stage("filtered_grid") {
+      t(s"filtered_grid_${replicas}x") {
+        val cellCb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+          k = 16, dim = 64, iters = 3).centroids
+        val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
+          "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
+        val keep = embBig.filter(pmod(col("vec_id"), lit(16L)) < 7)
+          .select(col("vec_id"))
+        graft.operators.Similarity.ivfPqFilteredOperatingGrid3d(embBig,
+          keep, emb.filter(col("vec_id") % 100 === 0),
+          "embedding", "vec_id", ks = Seq(1, 5), cellCodebook = cellCb,
+          m = 4, pqCodebook = pqCb, rs = Seq(5, 20), nProbes = Seq(1, 4))
+      }
+    }
+    // r17 unigram-LM tokenizer: the fit is bounded by the sample vocab
+    // (driver-side EM over <= 2000 words) and the corpus pass is one
+    // compiled Viterbi expression per word — the ladder must be the
+    // map-only linear shape, like the BPE encode's.
+    stage("unigram_fit") {
+      t(s"unigram_fit_${replicas}x") {
+        val (costs, oov) = graft.operators.TextAnalysis.fitUnigramLm(
+          docs, "text", "doc_id")
+        graft.operators.TextAnalysis.unigramStats(docs, "text", "doc_id",
+          costs, oov)
+      }
+    }
     // r16 zone maps: a narrow second-column range over a table built
     // from `replicas` merged day-batches must read a BOUNDED file set
     // no matter how many versions accumulated — the kept-of-total line
