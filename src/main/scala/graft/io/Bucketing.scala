@@ -24,6 +24,22 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop a managed table AND its warehouse location. `overwrite` alone
+    * is not enough across JVMs: a fresh session's catalog has no entry
+    * for a table a PREVIOUS JVM wrote, but the managed LOCATION is
+    * still on disk and `saveAsTable` refuses to claim it
+    * (LOCATION_ALREADY_EXISTS) — so any cross-session rebuild (the
+    * driver's per-round Verify/Bench JVMs, a re-run cron) must clear
+    * both. Deleting only under the session's own warehouse dir keeps
+    * this a narrow, name-scoped cleanup. */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Join two bucketed tables on their bucket key. When both sides have
     * the same bucket count, Catalyst plans a SortMergeJoin with NO
     * Exchange on either side — and that contract is CHECKED: mismatched

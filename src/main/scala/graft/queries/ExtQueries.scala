@@ -1419,9 +1419,48 @@ object ExtQueries {
       |  AND epoch_us(o_orderdate) // 86400000000 BETWEEN 9496 AND 9677
       |ORDER BY o_orderkey""".stripMargin
 
+  /** BUCKETED ZERO-EXCHANGE JOIN inside the gate (q63 — the q62
+    * rationale applied to the OTHER storage layout this engine ships):
+    * orders and customer are written as bucketBy(8)+sortBy catalog
+    * tables on the customer key, then joined through
+    * [[graft.io.Bucketing.bucketedJoin]] — which REFUSES (throws, so
+    * the driver key goes red) if Catalyst plans an Exchange on either
+    * side, making the no-shuffle property itself part of the
+    * correctness gate, not just a spec assertion. The result is a
+    * revenue-per-segment mart whose oracle is the PLAIN join: the
+    * bucketed layout must be invisible in results by construction. At
+    * 100 TB this is the recurring-join answer — the shuffle is paid
+    * once at write time, every later run reads co-located buckets. */
+  val q63BucketedJoin: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    // cross-JVM rebuild: clear BOTH the catalog entry and the managed
+    // location (a prior JVM's table dir blocks saveAsTable otherwise)
+    graft.io.Bucketing.dropWithLocation(s, "graft_q63_orders")
+    graft.io.Bucketing.dropWithLocation(s, "graft_q63_cust")
+    graft.io.Bucketing.writeBucketed(
+      c.orders.select(col("o_custkey").as("custkey"), col("o_totalprice")),
+      "graft_q63_orders", "custkey", buckets = 8)
+    graft.io.Bucketing.writeBucketed(
+      c.customer.select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+      "graft_q63_cust", "custkey", buckets = 8)
+    graft.io.Bucketing.bucketedJoin(s, "graft_q63_orders",
+        "graft_q63_cust", "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q63Sql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q62_versioned_range" -> q62VersionedRange,
+    "q63_bucketed_join" -> q63BucketedJoin,
     "q60_hopping_window" -> q60HoppingWindow,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
@@ -1459,6 +1498,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q41_json_funcs" -> q41Sql,
     "q62_versioned_range" -> q62Sql,
+    "q63_bucketed_join" -> q63Sql,
     "q51_pagerank" -> q51Sql,
     "q52_kmv_algebra" -> q52Sql,
     "q53_bloom_join" -> q53Sql,

@@ -195,7 +195,18 @@ object ClusterSmoke {
     // rotated-corpus grid (both quantizer fits from executor partials),
     // and the cross-family / tenant-table decisions over them
     "e29_ivfsq_grid3d", "e30_opq_grid3d", "e31_family_choice",
-    "e32_tenant_choice", "e33_layout_choice")
+    "e32_tenant_choice", "e33_layout_choice",
+    // r17 storage layers answering under SEPARATE executor JVMs: the
+    // versioned/zone-mapped range read (manifest pruning + residual
+    // filter) and the bucketed catalog-table join (bucket metadata +
+    // managed-location rebuild must behave identically cross-JVM)
+    "q62_versioned_range", "q63_bucketed_join",
+    // r17 binary family grid (integer hamming partials) + the filtered
+    // grid/layout pair (filtered truth + full-corpus denominator) +
+    // the unigram-LM fit (EM over executor-partial word counts) and
+    // its fertility fold
+    "e34_bq_grid3d", "e35_filtered_grid", "e36_filtered_layout",
+    "t33_unigram_tokenize", "t34_unigram_fertility")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

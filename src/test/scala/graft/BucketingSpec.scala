@@ -40,4 +40,29 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("q63 gate shape: bucketed-join mart equals the plain join (r17)") {
+    // the layout must be invisible in results — the q63 oracle's claim,
+    // re-derived here engine-side; the no-Exchange property is enforced
+    // INSIDE bucketedJoin (a planned shuffle throws and the driver key
+    // goes red), so this spec only needs the equality
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val got = graft.queries.ExtQueries.q63BucketedJoin(spark, dir)
+        .collect().map(_.toSeq)
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val c = spark.read.parquet(s"$dir/customer.parquet")
+      val want = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.GraftFunctions.exactSum(col("o_totalprice"))
+            .as("revenue"))
+        .orderBy(col("c_mktsegment"))
+        .collect().map(_.toSeq)
+      assert(got.nonEmpty && got.toSeq === want.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q63_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_q63_cust")
+    }
+  }
 }
