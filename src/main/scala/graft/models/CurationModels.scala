@@ -463,7 +463,6 @@ object CurationModels {
                 ks: Seq[Int] = Seq(1, 5),
                 nProbes: Seq[Int] = Seq(1, 2, 4),
                 targetsPpm: Seq[Long] = Seq(600000L, 900000L)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
     val index = VersionedTable.read(spark, memberRoot(cfg, "RAG_CHUNK_INDEX"))
     val cb = collectRagCodebook(
@@ -478,13 +477,10 @@ object CurationModels {
     val cand = grid.crossJoin(broadcast(targets))
       .withColumn("meets",
         (col("recall_ppm") >= col("target_ppm")).cast(LongType))
-    val w = Window.partitionBy("k", "target_ppm")
-      .orderBy(col("meets").desc,
-        when(col("meets") === 1L, lit(0L))
-          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
-        col("scanned_ppm").asc, col("n_probe").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // the exact sweep has no shortlist/family axes, so the cost tail is
+    // probe count alone
+    Similarity.cheapestMeetingCell(cand, Seq("k", "target_ppm"),
+        Seq(col("n_probe").asc))
       .select(col("k"), col("target_ppm"), col("n_probe"),
         col("recall_ppm"), col("scanned_ppm"),
         col("meets").as("meets_target"))
@@ -496,11 +492,16 @@ object CurationModels {
   /** FRONTIER GATE on the index card (VERDICT r16 next-#8): diff the
     * candidate publish's card against the last ACCEPTED card with the
     * SAME [[graft.pipeline.DataTests.cardDiff]] the data card gates
-    * through — a retrain that moves the chosen operating point (probe
-    * cost up, recall down, a target newly unmet) beyond `maxRelDelta`
-    * trips the release gate exactly like a data-card drift. On pass the
-    * card commits as its own versioned table (the INDEX_CARD sibling of
-    * the release members), so history holds one card per accepted
+    * through. The drift semantics are the data card's — SYMMETRIC: any
+    * move of a chosen operating point beyond `maxRelDelta` (probe cost
+    * up, recall down, a target newly unmet — or a large IMPROVEMENT,
+    * which is just as much an unreviewed model change) trips the gate,
+    * and a human acknowledges it by re-running with `force = true`,
+    * which commits the new card as the accepted baseline (with the
+    * violation count still reported) so subsequent publishes diff
+    * against the acknowledged frontier instead of wedging on it. On
+    * pass (or force) the card commits as its own versioned table (the
+    * INDEX_CARD sibling of the release members), one card per accepted
     * release; on trip nothing is written and the caller skips/rolls
     * back the publish (the [[ragRecallGate]] convention). First publish
     * (no prior card) passes by definition. */
@@ -508,7 +509,8 @@ object CurationModels {
                     maxRelDelta: Double,
                     ks: Seq[Int] = Seq(1, 5),
                     nProbes: Seq[Int] = Seq(1, 2, 4),
-                    targetsPpm: Seq[Long] = Seq(600000L, 900000L))
+                    targetsPpm: Seq[Long] = Seq(600000L, 900000L),
+                    force: Boolean = false)
       : IndexCardGateResult = {
     val cardRoot = memberRoot(cfg, "INDEX_CARD")
     val card = indexCard(spark, cfg, ks, nProbes, targetsPpm)
@@ -520,8 +522,8 @@ object CurationModels {
             "meets_target"))
         .count()
     }
-    if (nViol > 0) IndexCardGateResult(nViol, passed = false, None)
-    else IndexCardGateResult(0L, passed = true,
+    if (nViol > 0 && !force) IndexCardGateResult(nViol, passed = false, None)
+    else IndexCardGateResult(nViol, passed = true,
       Some(VersionedTable.write(spark, cardRoot, card)))
   }
 

@@ -1054,6 +1054,29 @@ object Similarity {
       .withColumn("selectivity_ppm", lit(1000000L * nKept / nFull))
   }
 
+  /** The CHEAPEST-MEETING-CELL decision window shared by every serving
+    * auto-choice (e28/e31/e32/e33/e36 and the curation index card —
+    * review r17: six hand-rolled copies of this load-bearing ordering
+    * had accumulated): per partition (the (k, target) or (tenant, k)
+    * key), prefer cells meeting the target (`meets` = 1), then minimal
+    * recall deficit (the best-available fallback when nothing meets),
+    * then the lexicographic cost order — scanned corpus fraction first
+    * (the at-scale dominant cost), then the caller's remaining
+    * tiebreaks (shortlist depth, probe count, family name) as
+    * already-directed columns. `cand` must carry integer `meets`,
+    * `recall_ppm`, `scanned_ppm`. Returns the winning row per
+    * partition (the `rn` helper column dropped). */
+  def cheapestMeetingCell(cand: DataFrame, partitionCols: Seq[String],
+                          costTail: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy((Seq(col("meets").desc,
+        when(col("meets") === 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
+        col("scanned_ppm").asc) ++ costTail): _*)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** The family-generic 3-D grid skeleton: everything in the e27
     * contract EXCEPT the approximate candidate scorer, which `candOf`
     * supplies as a (query_id, id, score, prn) relation built from the

@@ -1160,15 +1160,8 @@ object DataQueries {
     val cand = grid.crossJoin(broadcast(targets))
       .withColumn("meets",
         (col("recall_ppm") >= col("target_ppm")).cast(LongType))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("k", "target_ppm")
-      .orderBy(col("meets").desc,
-        when(col("meets") === 1L, lit(0L))
-          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
-        col("scanned_ppm").asc, col("r_shortlist").asc,
-        col("n_probe").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    Similarity.cheapestMeetingCell(cand, Seq("k", "target_ppm"),
+        Seq(col("r_shortlist").asc, col("n_probe").asc))
       .select(col("k"), col("target_ppm"), col("n_probe"),
         col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
         col("meets").as("meets_target"))
@@ -1256,15 +1249,8 @@ object DataQueries {
     val cand = grids.unionByName(flat).crossJoin(broadcast(targets))
       .withColumn("meets",
         (col("recall_ppm") >= col("target_ppm")).cast(LongType))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("k", "target_ppm")
-      .orderBy(col("meets").desc,
-        when(col("meets") === 1L, lit(0L))
-          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
-        col("scanned_ppm").asc, col("r_shortlist").asc,
-        col("n_probe").asc, col("family").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    Similarity.cheapestMeetingCell(cand, Seq("k", "target_ppm"),
+        Seq(col("r_shortlist").asc, col("n_probe").asc, col("family").asc))
       .select(col("k"), col("target_ppm"), col("family"), col("n_probe"),
         col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
         (col("family") =!= "flat_exact").cast(LongType)
@@ -1324,15 +1310,8 @@ object DataQueries {
     val cand = grid.crossJoin(broadcast(tenants))
       .withColumn("meets",
         (col("recall_ppm") >= col("target_ppm")).cast(LongType))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("tenant_id", "k")
-      .orderBy(col("meets").desc,
-        when(col("meets") === 1L, lit(0L))
-          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
-        col("scanned_ppm").asc, col("r_shortlist").asc,
-        col("n_probe").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    Similarity.cheapestMeetingCell(cand, Seq("tenant_id", "k"),
+        Seq(col("r_shortlist").asc, col("n_probe").asc))
       .select(col("tenant_id"), col("k"), col("target_ppm"),
         col("n_probe"), col("r_shortlist"), col("recall_ppm"),
         col("scanned_ppm"), col("meets").as("meets_target"))
@@ -1550,9 +1529,12 @@ object DataQueries {
     * exists to surface. Cost order and fallback semantics are e33's. */
   val e36FilteredLayout: Q = (s, dir) => {
     import s.implicits._
-    val grid = filteredGridRelation(s, dir)
-      .withColumn("family", lit("ivf_pq_filtered"))
-    val flat = filteredGridRelation(s, dir).groupBy("k").agg(
+    // ONE grid computation feeds both arms: the skeleton measures
+    // eagerly, so a second filteredGridRelation call would re-run the
+    // whole filtered sweep just to derive the flat row (review r17)
+    val grid0 = filteredGridRelation(s, dir)
+    val grid = grid0.withColumn("family", lit("ivf_pq_filtered"))
+    val flat = grid0.groupBy("k").agg(
         max("n_queries").as("n_queries"), max("n_bf").as("n_bf"),
         max("selectivity_ppm").as("selectivity_ppm"))
       .select(lit(0L).as("n_probe"), lit(0L).as("r_shortlist"), col("k"),
@@ -1564,15 +1546,8 @@ object DataQueries {
     val cand = grid.unionByName(flat).crossJoin(broadcast(targets))
       .withColumn("meets",
         (col("recall_ppm") >= col("target_ppm")).cast(LongType))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("k", "target_ppm")
-      .orderBy(col("meets").desc,
-        when(col("meets") === 1L, lit(0L))
-          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
-        col("scanned_ppm").asc, col("r_shortlist").asc,
-        col("n_probe").asc, col("family").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    Similarity.cheapestMeetingCell(cand, Seq("k", "target_ppm"),
+        Seq(col("r_shortlist").asc, col("n_probe").asc, col("family").asc))
       .select(col("k"), col("target_ppm"), col("family"), col("n_probe"),
         col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
         col("selectivity_ppm"),
@@ -1632,15 +1607,8 @@ object DataQueries {
     val cand = grid.crossJoin(broadcast(targets))
       .withColumn("meets",
         (col("recall_ppm") >= col("target_ppm")).cast(LongType))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("k", "target_ppm")
-      .orderBy(col("meets").desc,
-        when(col("meets") === 1L, lit(0L))
-          .otherwise(lit(1000000L) - col("recall_ppm")).asc,
-        col("scanned_ppm").asc, col("r_shortlist").asc,
-        col("n_probe").asc, col("family").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    Similarity.cheapestMeetingCell(cand, Seq("k", "target_ppm"),
+        Seq(col("r_shortlist").asc, col("n_probe").asc, col("family").asc))
       .select(col("k"), col("target_ppm"), col("family"), col("n_probe"),
         col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
         col("meets").as("meets_target"))
@@ -3185,15 +3153,17 @@ object DataQueries {
   }
 
   /** One Viterbi DP over `wordsRel(w, ...)` under `vcbRel(piece, cu)` /
-    * `oovRel(cu)`, unrolled to [[uniUnroll]] positions — ends in
-    * `<px>tk(w, tk)` (token count per word whose length fits the
-    * unroll; a longer word goes UNMATCHED and the gate goes loudly
-    * red, never silently wrong). With `withBacktrack`, also walks the
-    * argmin chain back to `<px>pc(w, piece)` — one row per piece
-    * OCCURRENCE on the best path (the E-step's input). The argmin is
-    * `row_number() OVER (ORDER BY cost, i)`: ties go to the smallest
-    * start index, exactly [[graft.expressions.UnigramCountExpr]]'s
-    * ascending-scan strict-less rule. */
+    * `oovRel(cu)`, unrolled to [[uniUnroll]] positions. Encode mode
+    * (`withBacktrack = false`) ends in `<px>tk(w, tk)` — token count
+    * per word whose length fits the unroll; a longer word goes
+    * UNMATCHED and the gate goes loudly red, never silently wrong.
+    * E-step mode (`withBacktrack = true`) instead walks the argmin
+    * chain back to `<px>pc(w, piece)` — one row per piece OCCURRENCE
+    * on the best path (nothing consumes tk there, so it is not
+    * emitted). The argmin is `row_number() OVER (ORDER BY cost, i)`:
+    * ties go to the smallest start index, exactly
+    * [[graft.expressions.UnigramCountExpr]]'s ascending-scan
+    * strict-less rule. */
   private def uniDpCtes(px: String, wordsRel: String, vcbRel: String,
                         oovRel: String, withBacktrack: Boolean): String = {
     val U = uniUnroll
@@ -3218,7 +3188,7 @@ object DataQueries {
     val base =
       s"""${px}dp0 AS (SELECT w, CAST(0 AS BIGINT) AS cost,
          |  CAST(0 AS BIGINT) AS tk, 0 AS i FROM $wordsRel)""".stripMargin
-    val tkRel = s"${px}tk AS MATERIALIZED (\n${(1 to U).map(j =>
+    def tkRel = s"${px}tk AS MATERIALIZED (\n${(1 to U).map(j =>
       s"SELECT w, tk FROM ${px}dp$j WHERE len(w) = $j")
         .mkString("\nUNION ALL\n")}\n)"
     if (!withBacktrack) Seq(base, dps, tkRel).mkString(",\n")
@@ -3241,7 +3211,7 @@ object DataQueries {
            |${(1 to U).map(j => s"SELECT w, piece FROM ${px}bt$j")
               .mkString("\nUNION ALL\n")}
            |) WHERE piece IS NOT NULL)""".stripMargin
-      Seq(base, dps, tkRel, dpall, bt0, bts, pcs).mkString(",\n")
+      Seq(base, dps, dpall, bt0, bts, pcs).mkString(",\n")
     }
   }
 

@@ -1387,9 +1387,24 @@ object ExtQueries {
     * in the gate, per the q59/q60 contract. At 100 TB this is the
     * warehouse read path: dir pruning cuts tenants, zone maps cut
     * time, and the scan opens no footer of a skipped file. */
+  // q62's previous invocation's temp table, swept lazily at the NEXT
+  // invocation (by which point its DataFrame was materialized — the
+  // driver runs queries sequentially): temp growth stays bounded at one
+  // live copy per JVM instead of one per run (review r17)
+  private val q62PrevTmp =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private def rmrf(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(rmrf)
+    f.delete(): Unit
+  }
+
   val q62VersionedRange: Q = (s, dir) => {
-    val root = java.nio.file.Files.createTempDirectory("graft-q62-vt")
-      .toString + "/orders_vt"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q62-vt")
+      .toString
+    Option(q62PrevTmp.getAndSet(tmp))
+      .foreach(p => rmrf(new java.io.File(p)))
+    val root = tmp + "/orders_vt"
     val orders = Catalog(s, dir).orders
       .withColumn("bucket", pmod(col("o_orderkey"), lit(8L)))
       .withColumn("od_day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))

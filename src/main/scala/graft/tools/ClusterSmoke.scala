@@ -229,6 +229,47 @@ object ClusterSmoke {
     out
   }
 
+  /** Retained-release reader sweep shared by the GcMain-cron and paced
+    * shapes (review r17 — two drifting copies of subtle race
+    * classification): while the cron JVM lives, read every listed
+    * release's members. A failed read is benign ONLY when the version
+    * legitimately aged out of the keep window — the FRESH listing lacks
+    * it AND it sits at least `keep` behind the fresh newest, which is
+    * EXACT w.r.t. the prune rule (a legit prune requires `keep` newer
+    * versions at prune time, and the fresh newest can only be ≥ that) —
+    * no recency heuristic that a loaded host could false-red (ADVICE
+    * r16's TOCTOU, closed without the newest-3 margin). `onPoll` runs
+    * once per sweep iteration (the paced shape samples fragmentation).
+    * Returns (reads, benignRaces, firstFailure). */
+  private def sweepRetainedReads(spark: org.apache.spark.sql.SparkSession,
+                                 reg: String, keep: Int, gc: Process,
+                                 deadline: Long,
+                                 onPoll: () => Unit = () => ())
+      : (Int, Int, Option[String]) = {
+    import graft.pipeline.{PublishSet, VersionedTable}
+    var reads = 0
+    var raced = 0
+    var fail: Option[String] = None
+    while (gc.isAlive && fail.isEmpty &&
+        System.currentTimeMillis() < deadline) {
+      onPoll()
+      try PublishSet.versions(spark, reg).foreach { v =>
+        try PublishSet.resolveVersion(spark, reg, v).foreach {
+          case (t, mv) =>
+            if (VersionedTable.readVersion(spark, t, mv).count() < 1)
+              fail = Some(s"release v$v member $t@$mv empty")
+            reads += 1
+        } catch { case e: Throwable =>
+          val fresh = PublishSet.versions(spark, reg)
+          val newest = if (fresh.isEmpty) Long.MinValue else fresh.max
+          if (!fresh.contains(v) && v <= newest - keep) raced += 1
+          else fail = Some(s"retained v$v unreadable: $e")
+        }
+      } catch { case e: Throwable => fail = Some(e.toString) }
+    }
+    (reads, raced, fail)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     def builder = SparkSession.builder()
@@ -561,35 +602,9 @@ object ClusterSmoke {
         val gc = VersionedWriterMain.launchJvm("graft.tools.GcMain",
           Seq(reg, "--keep", "6", "--member-keep", "1"))
         // read retained releases WHILE the cron JVM sweeps
-        while (gc.isAlive && fail.isEmpty &&
-            System.currentTimeMillis() < deadline) {
-          try {
-            val listed = PublishSet.versions(spark, reg)
-            // keep-window position SNAPSHOT at listing time (ADVICE
-            // r16: the old still-listed re-check was TOCTOU — a prune
-            // landing between a genuine read failure and the re-check
-            // classified a real unreadable-retained-release bug as a
-            // benign race). A version among the newest 3 of the listing
-            // cannot legitimately be pruned during one bounded read
-            // (--keep 6 would need 4+ publisher releases mid-read), so
-            // its failure is ALWAYS real regardless of the re-check.
-            val newest = if (listed.isEmpty) 0L else listed.max
-            listed.foreach { v =>
-              try PublishSet.resolveVersion(spark, reg, v).foreach {
-                case (t, mv) =>
-                  val n = VersionedTable.readVersion(spark, t, mv).count()
-                  if (n < 1) fail = Some(s"release v$v member $t@$mv empty")
-                  reads += 1
-              } catch { case e: Throwable =>
-                val safelyRetained = v > newest - 3
-                if (safelyRetained ||
-                    PublishSet.versions(spark, reg).contains(v))
-                  fail = Some(s"retained v$v unreadable: $e")
-                else racedPrunes += 1
-              }
-            }
-          } catch { case e: Throwable => fail = Some(e.toString) }
-        }
+        val (r, rp, f) = sweepRetainedReads(spark, reg, keep = 6, gc,
+          deadline)
+        reads += r; racedPrunes += rp; fail = fail.orElse(f)
         if (!gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
           gc.destroyForcibly()
           fail = fail.orElse(Some("GcMain JVM hung past its deadline"))
@@ -681,28 +696,13 @@ object ClusterSmoke {
         val gc = VersionedWriterMain.launchJvm("graft.tools.GcMain",
           Seq(reg, "--keep", "6", "--member-keep", "1",
             "--compact-max-files", maxF.toString))
-        while (gc.isAlive && fail.isEmpty &&
-            System.currentTimeMillis() < deadline) {
-          if (Seq(mA, mB).exists(r => bucketFiles(r).values.exists(_ > maxF)))
-            sawFragmentation = true
-          try {
-            val listed = PublishSet.versions(spark, reg)
-            val newest = if (listed.isEmpty) 0L else listed.max
-            listed.foreach { v =>
-              try PublishSet.resolveVersion(spark, reg, v).foreach {
-                case (t, mv) =>
-                  if (VersionedTable.readVersion(spark, t, mv).count() < 1)
-                    fail = Some(s"release v$v member $t@$mv empty")
-                  reads += 1
-              } catch { case e: Throwable =>
-                if (v > newest - 3 ||
-                    PublishSet.versions(spark, reg).contains(v))
-                  fail = Some(s"retained v$v unreadable: $e")
-                else racedPrunes += 1
-              }
-            }
-          } catch { case e: Throwable => fail = Some(e.toString) }
-        }
+        val (r, rp, f) = sweepRetainedReads(spark, reg, keep = 6, gc,
+          deadline, onPoll = () => {
+            if (Seq(mA, mB).exists(m =>
+                bucketFiles(m).values.exists(_ > maxF)))
+              sawFragmentation = true
+          })
+        reads += r; racedPrunes += rp; fail = fail.orElse(f)
         if (!gc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
           gc.destroyForcibly()
           fail = fail.orElse(Some("GcMain JVM hung past its deadline"))

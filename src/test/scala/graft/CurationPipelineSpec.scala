@@ -505,5 +505,19 @@ class CurationPipelineSpec extends SparkSpec {
     val c2 = VersionedTable.read(spark, root("INDEX_CARD")).collect()
     assert(c2.map(_.toSeq).toSet === c1.map(_.toSeq).toSet,
       "the accepted frontier is unchanged after the round trip")
+    // the acknowledgment path: the drift semantics are SYMMETRIC (like
+    // the data card's), so a deliberate frontier move needs force=true
+    // — which commits the NEW baseline (violations still reported) so
+    // later publishes diff against the acknowledged frontier
+    VersionedTable.write(spark, cbRoot,
+      cb1.map(r => (r.getLong(0), cb1.head.getSeq[Double](1)))
+        .toSeq.toDF("cell", "centroid"))
+    assert(!CurationModels.indexCardGate(spark, cfg, 0.10).passed)
+    val g4 = CurationModels.indexCardGate(spark, cfg, maxRelDelta = 0.10,
+      force = true)
+    assert(g4.passed && g4.violations > 0L && g4.cardVersion === Some(3L))
+    // against the acknowledged baseline the same frontier now passes
+    val g5 = CurationModels.indexCardGate(spark, cfg, maxRelDelta = 0.10)
+    assert(g5.passed && g5.violations === 0L && g5.cardVersion === Some(4L))
   }
 }
