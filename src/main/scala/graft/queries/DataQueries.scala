@@ -4994,8 +4994,11 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
-  val t11Sql: String =
-    s"""WITH $toksCte,
+  /** The t11 scoring chain through a `ce(doc_id, n_tokens,
+    * cross_entropy)` relation — shared verbatim by the t35 bucket
+    * oracle so the two gates can never fork. */
+  private lazy val t11CeCtes: String =
+    s"""$toksCte,
        |lmd AS (SELECT toks FROM toks
        |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
        |cnt AS (SELECT tok, count(*) AS n
@@ -5009,13 +5012,67 @@ object DataQueries {
        |nn AS (SELECT doc_id, len(toks) AS n_tokens FROM toks),
        |tr AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
        |ps AS (SELECT tr.doc_id, SUM(COALESCE(v.lp, o.lp)) AS sum_lp
-       |  FROM tr LEFT JOIN vcb v USING (tok) CROSS JOIN oov o GROUP BY 1)
-       |SELECT nn.doc_id, CAST(nn.n_tokens AS BIGINT) AS n_tokens,
+       |  FROM tr LEFT JOIN vcb v USING (tok) CROSS JOIN oov o GROUP BY 1),
+       |ce AS (SELECT nn.doc_id, CAST(nn.n_tokens AS BIGINT) AS n_tokens,
        |  CASE WHEN nn.n_tokens > 0
        |    THEN round((-CAST(ps.sum_lp AS DOUBLE) / 1e9) / nn.n_tokens, 6)
        |    ELSE 0.0 END AS cross_entropy
-       |FROM nn LEFT JOIN ps USING (doc_id)
+       |  FROM nn LEFT JOIN ps USING (doc_id))""".stripMargin
+
+  val t11Sql: String =
+    s"""WITH $t11CeCtes
+       |SELECT doc_id, n_tokens, cross_entropy FROM ce
        |ORDER BY doc_id""".stripMargin
+
+  /** CCNet PERPLEXITY BUCKETS (t35 — Wenzek et al. 2020 §4.4): each
+    * language's corpus split head/middle/tail by LM cross-entropy RANK
+    * terciles — the bucketing CCNet publishes its corpus in, and the
+    * knob its consumers cut quality with (train on head+middle, drop
+    * tail). Composition of two gated kernels joined per doc: the t11
+    * CE scorer (integer nano-nat sums, round-6 presentation — the
+    * replay-exact sort key) and the t01 language profile; bucket
+    * boundaries are EXACT RANK terciles (rn·3 ≤ n / ≤ 2n), not value
+    * quantiles, so the split is engine-exact with no percentile
+    * interpolation in the gate. Scale shape: two map-only scoring
+    * passes plus one per-language window — at 100 TB the window's
+    * per-lang ordering is the only shuffle, keyed by the bounded lang
+    * set. */
+  val t35PplBuckets: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val isLm = pmod(md5Long(col("doc_id").cast(StringType)), lit(20L)) === 0L
+    val (lm, oov) = TextAnalysis.unigramLm(docs.filter(isLm), "text",
+      vocab = 1000)
+    val ce = TextAnalysis.lmCrossEntropy(
+      docs.repartition(col("doc_id")), "text", "doc_id", lm, oov)
+    val lang = TextAnalysis.profile(docs.repartition(col("doc_id")),
+      "text", "doc_id").select(col("doc_id"), col("lang_pred").as("lang"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("cross_entropy").asc, col("doc_id").asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    ce.join(lang, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("doc_id"), col("lang"), col("cross_entropy"),
+        when(col("rn") * 3 <= col("n"), lit("head"))
+          .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t35Sql: String =
+    s"""WITH $t11CeCtes,
+       |${langCaseCtes("toks", "tl0", "tlng", "lang")},
+       |j AS (SELECT ce.doc_id, tlng.lang, ce.cross_entropy
+       |  FROM ce JOIN tlng USING (doc_id)),
+       |r AS (SELECT doc_id, lang, cross_entropy,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY cross_entropy ASC, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n FROM j)
+       |SELECT doc_id, lang, cross_entropy,
+       |  CASE WHEN rn * 3 <= n THEN 'head'
+       |       WHEN rn * 3 <= 2 * n THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** Gopher rule battery (published thresholds) per document; see
     * [[TextAnalysis.gopherProfile]]. */
@@ -5730,6 +5787,7 @@ object DataQueries {
     "t32_fertility" -> t32Fertility,
     "t33_unigram_tokenize" -> t33UnigramTokenize,
     "t34_unigram_fertility" -> t34UnigramFertility,
+    "t35_ppl_buckets" -> t35PplBuckets,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -5846,6 +5904,7 @@ object DataQueries {
     "t32_fertility" -> t32Sql,
     "t33_unigram_tokenize" -> t33Sql,
     "t34_unigram_fertility" -> t34Sql,
+    "t35_ppl_buckets" -> t35Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

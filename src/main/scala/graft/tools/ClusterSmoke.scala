@@ -206,7 +206,10 @@ object ClusterSmoke {
     // the unigram-LM fit (EM over executor-partial word counts) and
     // its fertility fold
     "e34_bq_grid3d", "e35_filtered_grid", "e36_filtered_layout",
-    "t33_unigram_tokenize", "t34_unigram_fertility")
+    "t33_unigram_tokenize", "t34_unigram_fertility",
+    // CCNet perplexity buckets: the per-language rank-tercile window
+    // over CE scores summed from executor partials
+    "t35_ppl_buckets")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */
