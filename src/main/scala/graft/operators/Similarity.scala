@@ -1054,6 +1054,41 @@ object Similarity {
       .withColumn("selectivity_ppm", lit(1000000L * nKept / nFull))
   }
 
+  /** FILTERED MULTI-FAMILY GRIDS — [[ivfPqFilteredOperatingGrid3d]]'s
+    * pre-filter contract over [[operatingGrid3dMulti]]'s shared
+    * substrate: the PQ, SQ8, and BQ families measured UNDER the
+    * predicate with ONE filtered probe stage and ONE filtered truth
+    * job, each cell charged against the FULL corpus (so every family's
+    * cells compare to the predicate-pruned exact scan at
+    * `selectivity_ppm`). The OPQ family is deliberately absent: its
+    * rotated corpus cannot join the substrate, and a filtered serving
+    * choice wants the families that share one index storage. Output:
+    * grid columns + `family` + `selectivity_ppm`. */
+  def ivfFilteredFamilyOperatingGrids(corpus: DataFrame, keepIds: DataFrame,
+                                      queries: DataFrame, vecCol: String,
+                                      idCol: String, ks: Seq[Int],
+                                      cellCodebook: Seq[Seq[Double]], m: Int,
+                                      pqCodebook: Seq[Seq[Double]],
+                                      mins: Seq[Double], scales: Seq[Double],
+                                      bqThresholds: Seq[Double],
+                                      rs: Seq[Int], nProbes: Seq[Int])
+      : DataFrame = {
+    def cleanCount(df: DataFrame): Long =
+      df.select(toDoubleArray(col(vecCol)).as("v"))
+        .filter(nonDegenerate(col("v"))).count()
+    val nFull = cleanCount(corpus)
+    val filtered = corpus.join(keepIds, Seq(idCol))
+    val nKept = cleanCount(filtered)
+    require(nFull > 0, "filtered grids need a non-empty corpus")
+    operatingGrid3dMulti(filtered, queries, vecCol, idCol, ks,
+        cellCodebook, rs, nProbes, Seq(
+          "ivf_pq" -> pqCandOf(queries, vecCol, idCol, m, pqCodebook),
+          "ivf_sq8" -> sqCandOf(mins, scales),
+          "ivf_bq" -> bqCandOf(bqThresholds)),
+        scanDenomOverride = Some(nFull))
+      .withColumn("selectivity_ppm", lit(1000000L * nKept / nFull))
+  }
+
   /** The CHEAPEST-MEETING-CELL decision window shared by every serving
     * auto-choice (e28/e31/e32/e33/e36 and the curation index card —
     * review r17: six hand-rolled copies of this load-bearing ordering

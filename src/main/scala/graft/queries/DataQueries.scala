@@ -1128,14 +1128,32 @@ object DataQueries {
          |""".stripMargin).mkString("UNION ALL\n")
   }
 
+  /** ONE builder for every family-grid oracle body — shared sweep
+    * prefix (optionally pre-filtered), the family's candidate CTE
+    * chain, the per-probe re-rank chains, the grid blocks (+ the
+    * selectivity column in filtered mode): the (family × filtered)
+    * matrix of bodies cannot drift because there is only this text. */
+  private def familyGridBodySql(candCtes: String, src: String,
+                                score: String, filtered: Boolean = false,
+                                eDef: String = rawECtes): String = {
+    val prefix = sweepCtePrefix(grid3dNps.max, grid3dKs.max,
+      bfKeepRank = true, eDef = eDef,
+      corpusKeepRel = if (filtered) Some("en") else None)
+    val blocks =
+      if (filtered) grid3dBlocksSqlWith(
+        "CAST(1000000 * (SELECT count(*) FROM asg) " +
+          "// (SELECT nc FROM nc) AS BIGINT) AS selectivity_ppm")
+      else grid3dBlocksSql
+    s"""$prefix,
+       |$candCtes,
+       |${rkChainCtes(grid3dNps, grid3dRs.max, src = src, score = score)}
+       |$blocks""".stripMargin
+  }
+
   /** e27's unordered oracle body — shared with e28's CTE embed so the
     * ORDER BY never has to be surgically stripped (ADVICE r15). */
   private lazy val e27SqlBody: String =
-    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true)},
-       |$pqCbCtes,
-       |$pqAdcScpCtes,
-       |${rkChainCtes(grid3dNps, grid3dRs.max)}
-       |$grid3dBlocksSql""".stripMargin
+    familyGridBodySql(s"$pqCbCtes,\n$pqAdcScpCtes", "scp", "adc_d2")
 
   /** SERVING OPERATING-POINT AUTO-CHOICE (e28): the decision the
     * e25/e26/e27 grids exist to feed, as an operator — per (k, recall
@@ -1376,10 +1394,7 @@ object DataQueries {
        |  JOIN q ON q.query_id = p.query_id)""".stripMargin
 
   private lazy val e29SqlBody: String =
-    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true)},
-       |$sqCandCtes,
-       |${rkChainCtes(grid3dNps, grid3dRs.max, src = "scq", score = "sq_d2")}
-       |$grid3dBlocksSql""".stripMargin
+    familyGridBodySql(sqCandCtes, "scq", "sq_d2")
 
   lazy val e29Sql: String =
     s"$e29SqlBody\nORDER BY n_probe, r_shortlist, k"
@@ -1410,12 +1425,8 @@ object DataQueries {
   }
 
   private lazy val e30SqlBody: String =
-    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true,
-           eDef = opqRotCtesBody)},
-       |$pqCbCtes,
-       |$pqAdcScpCtes,
-       |${rkChainCtes(grid3dNps, grid3dRs.max)}
-       |$grid3dBlocksSql""".stripMargin
+    familyGridBodySql(s"$pqCbCtes,\n$pqAdcScpCtes", "scp", "adc_d2",
+      eDef = opqRotCtesBody)
 
   lazy val e30Sql: String =
     s"$e30SqlBody\nORDER BY n_probe, r_shortlist, k"
@@ -1463,10 +1474,7 @@ object DataQueries {
        |  CROSS JOIN bsl s JOIN q ON q.query_id = p.query_id)""".stripMargin
 
   private lazy val e34SqlBody: String =
-    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true)},
-       |$bqScbCtes,
-       |${rkChainCtes(grid3dNps, grid3dRs.max, src = "scb", score = "hamming")}
-       |$grid3dBlocksSql""".stripMargin
+    familyGridBodySql(bqScbCtes, "scb", "hamming")
 
   lazy val e34Sql: String =
     s"$e34SqlBody\nORDER BY n_probe, r_shortlist, k"
@@ -1504,14 +1512,8 @@ object DataQueries {
        |en AS (SELECT doc_id AS id FROM documents WHERE lang = 'en')""".stripMargin
 
   private lazy val e35SqlBody: String =
-    s"""${sweepCtePrefix(grid3dNps.max, grid3dKs.max, bfKeepRank = true,
-           eDef = filteredECtes, corpusKeepRel = Some("en"))},
-       |$pqCbCtes,
-       |$pqAdcScpCtes,
-       |${rkChainCtes(grid3dNps, grid3dRs.max)}
-       |${grid3dBlocksSqlWith(
-           "CAST(1000000 * (SELECT count(*) FROM asg) " +
-           "// (SELECT nc FROM nc) AS BIGINT) AS selectivity_ppm")}""".stripMargin
+    familyGridBodySql(s"$pqCbCtes,\n$pqAdcScpCtes", "scp", "adc_d2",
+      filtered = true, eDef = filteredECtes)
 
   lazy val e35Sql: String =
     s"$e35SqlBody\nORDER BY n_probe, r_shortlist, k"
@@ -1574,6 +1576,114 @@ object DataQueries {
        |  CASE WHEN g.recall_ppm >= tg.target_ppm
        |    THEN 1 ELSE 0 END AS meets
        |  FROM g CROSS JOIN tg),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY k, target_ppm
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN 0
+       |      ELSE 1000000 - recall_ppm END ASC,
+       |    scanned_ppm ASC, r_shortlist ASC, n_probe ASC, family ASC)
+       |    AS rn
+       |  FROM cand)
+       |SELECT k, target_ppm, family, n_probe, r_shortlist, recall_ppm,
+       |  scanned_ppm, selectivity_ppm,
+       |  CAST(CASE WHEN family <> 'flat_filtered' THEN 1 ELSE 0 END
+       |    AS BIGINT) AS index_worth_it
+       |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
+  }
+
+  /** FILTERED CROSS-FAMILY GRID (e37 — e31 × e17, the direction the
+    * e33/e36 design notes pointed): the PQ, SQ8, and BQ families
+    * measured UNDER the metadata predicate over ONE shared filtered
+    * substrate ([[Similarity.ivfFilteredFamilyOperatingGrids]] — one
+    * filtered probe stage, one filtered truth job, full-corpus scan
+    * denominator, `selectivity_ppm` on every row). OPQ is deliberately
+    * absent: its rotated corpus cannot share the substrate, and a
+    * filtered serving choice wants the families that share one index
+    * storage. Oracle: three [[familyGridBodySql]] instances in
+    * filtered mode — the SAME builder text as the unfiltered e27/e29/
+    * e34 bodies, so the (family × filtered) matrix cannot fork. */
+  val e37FilteredFamily: Q = (s, dir) =>
+    filteredFamilyRelation(s, dir)
+      .orderBy(col("family"), col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def filteredFamilyRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    val en = Catalog(s, dir).documents.filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    Similarity.ivfFilteredFamilyOperatingGrids(emb, en,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
+      pqCodebook = pqModel(s, dir), mins = mins, scales = scales,
+      bqThresholds = Similarity.bqTrain(emb, "embedding", "vec_id"),
+      rs = grid3dRs, nProbes = grid3dNps)
+  }
+
+  /** SQL twin of [[filteredFamilyRelation]], ending in `g`. */
+  private lazy val filteredFamilyCtes: String =
+    s"""fp AS ($e35SqlBody),
+       |fs AS (${familyGridBodySql(sqCandCtes, "scq", "sq_d2",
+           filtered = true, eDef = filteredECtes)}),
+       |fb AS (${familyGridBodySql(bqScbCtes, "scb", "hamming",
+           filtered = true, eDef = filteredECtes)}),
+       |g AS (SELECT 'ivf_pq' AS family, * FROM fp
+       |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM fs
+       |  UNION ALL SELECT 'ivf_bq' AS family, * FROM fb)""".stripMargin
+
+  lazy val e37Sql: String =
+    s"""WITH $filteredFamilyCtes
+       |SELECT * FROM g
+       |ORDER BY family, n_probe, r_shortlist, k""".stripMargin
+
+  /** FILTERED CROSS-FAMILY LAYOUT CHOICE (e38): e36's decision with
+    * the e37 union as the candidate set — per (k, recall target), the
+    * cheapest of {three quantizer families under the predicate} ∪
+    * {the predicate-pruned exact scan at `selectivity_ppm`}. This is
+    * the complete filtered-serving capacity decision: which index
+    * family to build for a filtered workload, or none at all. */
+  val e38FilteredChoice: Q = (s, dir) => {
+    import s.implicits._
+    val grid = filteredFamilyRelation(s, dir)
+    val flat = grid.groupBy("k").agg(
+        max("n_queries").as("n_queries"), max("n_bf").as("n_bf"),
+        max("selectivity_ppm").as("selectivity_ppm"))
+      .select(lit(0L).as("n_probe"), lit(0L).as("r_shortlist"), col("k"),
+        col("n_queries"), col("n_bf").as("n_hits"), col("n_bf"),
+        lit(1000000L).as("recall_ppm"),
+        col("selectivity_ppm").as("scanned_ppm"),
+        lit("flat_filtered").as("family"), col("selectivity_ppm"))
+    val targets = servingTargetsPpm.toDF("target_ppm")
+    val cand = grid.unionByName(flat).crossJoin(broadcast(targets))
+      .withColumn("meets",
+        (col("recall_ppm") >= col("target_ppm")).cast(LongType))
+    Similarity.cheapestMeetingCell(cand, Seq("k", "target_ppm"),
+        Seq(col("r_shortlist").asc, col("n_probe").asc, col("family").asc))
+      .select(col("k"), col("target_ppm"), col("family"), col("n_probe"),
+        col("r_shortlist"), col("recall_ppm"), col("scanned_ppm"),
+        col("selectivity_ppm"),
+        (col("family") =!= "flat_filtered").cast(LongType)
+          .as("index_worth_it"))
+      .orderBy("k", "target_ppm")
+  }
+
+  lazy val e38Sql: String = {
+    val tgVals = servingTargetsPpm
+      .map(t => s"(CAST($t AS BIGINT))").mkString(",")
+    s"""WITH $filteredFamilyCtes,
+       |gf AS (SELECT * FROM g
+       |  UNION ALL
+       |  SELECT 'flat_filtered' AS family, CAST(0 AS BIGINT) AS n_probe,
+       |    CAST(0 AS BIGINT) AS r_shortlist, k, max(n_queries),
+       |    max(n_bf) AS n_hits, max(n_bf) AS n_bf,
+       |    CAST(1000000 AS BIGINT) AS recall_ppm,
+       |    max(selectivity_ppm) AS scanned_ppm,
+       |    max(selectivity_ppm) AS selectivity_ppm
+       |  FROM g GROUP BY k),
+       |tg AS (SELECT * FROM (VALUES $tgVals) t(target_ppm)),
+       |cand AS (SELECT tg.target_ppm, gf.*,
+       |  CASE WHEN gf.recall_ppm >= tg.target_ppm
+       |    THEN 1 ELSE 0 END AS meets
+       |  FROM gf CROSS JOIN tg),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY k, target_ppm
        |  ORDER BY meets DESC,
        |    CASE WHEN meets = 1 THEN 0
@@ -5781,6 +5891,8 @@ object DataQueries {
     "e34_bq_grid3d" -> e34BqGrid3d,
     "e35_filtered_grid" -> e35FilteredGrid,
     "e36_filtered_layout" -> e36FilteredLayout,
+    "e37_filtered_family" -> e37FilteredFamily,
+    "e38_filtered_choice" -> e38FilteredChoice,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
@@ -5898,6 +6010,8 @@ object DataQueries {
     "e34_bq_grid3d" -> e34Sql,
     "e35_filtered_grid" -> e35Sql,
     "e36_filtered_layout" -> e36Sql,
+    "e37_filtered_family" -> e37Sql,
+    "e38_filtered_choice" -> e38Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,

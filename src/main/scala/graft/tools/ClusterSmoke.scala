@@ -209,7 +209,10 @@ object ClusterSmoke {
     "t33_unigram_tokenize", "t34_unigram_fertility",
     // CCNet perplexity buckets: the per-language rank-tercile window
     // over CE scores summed from executor partials
-    "t35_ppl_buckets")
+    "t35_ppl_buckets",
+    // filtered cross-family grid + choice: one filtered substrate
+    // feeding three scorer families, decided against the pruned scan
+    "e37_filtered_family", "e38_filtered_choice")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

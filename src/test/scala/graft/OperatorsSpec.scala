@@ -1063,6 +1063,74 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfFilteredFamilyOperatingGrids: shared filtered substrate equals the standalone filtered PQ grid (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val en = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val cb = graft.operators.KMeans.fit(emb, "embedding", "vec_id",
+      k = 8, dim = 64, iters = 3).centroids
+    val pqCb = graft.operators.KMeans.fitPqCodebook(emb, "embedding",
+      "vec_id", m = 4, kCent = 16, dim = 64, iters = 3)
+    val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
+    val thr = Similarity.bqTrain(emb, "embedding", "vec_id")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getAs[Long]("selectivity_ppm"))
+    val shared = Similarity.ivfFilteredFamilyOperatingGrids(emb, en,
+        queries, "embedding", "vec_id", ks = Seq(1, 5), cellCodebook = cb,
+        m = 4, pqCodebook = pqCb, mins = mins, scales = scales,
+        bqThresholds = thr, rs = Seq(5, 10), nProbes = Seq(1, 2))
+      .collect()
+    assert(shared.length === 24, "3 families x 8 cells")
+    val pqCells = shared.filter(_.getAs[String]("family") == "ivf_pq")
+      .map(key).toMap
+    val standalone = Similarity.ivfPqFilteredOperatingGrid3d(emb, en,
+        queries, "embedding", "vec_id", ks = Seq(1, 5), cellCodebook = cb,
+        m = 4, pqCodebook = pqCb, rs = Seq(5, 10), nProbes = Seq(1, 2))
+      .collect().map(key)
+    assert(standalone.length === 8)
+    standalone.foreach { case (k, v) =>
+      assert(pqCells(k) === v, s"filtered substrate cell $k diverged")
+    }
+    // every family's truth and selectivity are the substrate's — one
+    // filtered brute force, one survivor fraction
+    assert(shared.map(_.getAs[Long]("selectivity_ppm")).distinct.length === 1)
+    assert(shared.groupBy(r => r.getLong(2))
+      .forall { case (_, rows) => rows.map(_.getLong(5)).distinct.length == 1 })
+  }
+
+  test("e38 filtered choice: cheapest across three families or the pruned scan (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = graft.queries.DataQueries.e37FilteredFamily(spark, dir)
+      .collect().map(r => (r.getAs[String]("family"), r.getAs[Long]("k"),
+        r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
+        r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm"),
+        r.getAs[Long]("selectivity_ppm")))
+    val sel = cells.head._7
+    val grid = cells ++ cells.map(_._2).distinct
+      .map(k => ("flat_filtered", k, 0L, 0L, 1000000L, sel, sel))
+    val chosen = graft.queries.DataQueries.e38FilteredChoice(spark, dir)
+      .collect()
+    assert(chosen.length === 6)
+    chosen.foreach { c =>
+      val (k, target) = (c.getAs[Long]("k"), c.getAs[Long]("target_ppm"))
+      val meeting = grid.filter(g => g._2 == k && g._5 >= target)
+      assert(meeting.nonEmpty) // the pruned scan always meets
+      val expect = meeting.minBy { case (f, _, np, r, _, sc, _) =>
+        (sc, r, np, f) }
+      assert((c.getAs[String]("family"), c.getAs[Long]("n_probe"),
+        c.getAs[Long]("r_shortlist")) === ((expect._1, expect._3,
+        expect._4)), s"choice for k=$k target=$target")
+      if (c.getAs[Long]("index_worth_it") == 1L)
+        assert(c.getAs[Long]("scanned_ppm") <
+          c.getAs[Long]("selectivity_ppm"),
+          "an indexed winner must beat the pruned scan")
+    }
+  }
+
   test("e33 layout choice: flat-exact competes as the always-feasible fallback (r16)") {
     val dir = "/root/testdata/sf0.001"
     def cells(df: org.apache.spark.sql.DataFrame, fam: String) =
