@@ -555,6 +555,31 @@ object CurationModels {
     graft.pipeline.PublishSet.publishCurrent(spark, releaseRoot(cfg),
       releaseMembers.map(memberRoot(cfg, _)))
 
+  final case class GatedPublishResult(recall: RagGateResult,
+                                      card: Option[IndexCardGateResult],
+                                      releaseVersion: Option[Long])
+
+  /** BOTH release gates + the atomic publish in their required order
+    * (recall gate — which rolls a bad index back — THEN the frontier
+    * gate — which commits the accepted card — THEN the registry
+    * publish), so a caller composing them by hand is never one
+    * forgotten call away from an ungated publish. Gate ordering
+    * matters: the recall gate can ROLL BACK index+codebook, and the
+    * card must describe whatever survives it. A tripped gate publishes
+    * NOTHING and reports which gate tripped; `forceCard = true` is the
+    * index-card acknowledgment path threaded through. */
+  def publishGatedRelease(spark: SparkSession, cfg: RunConfig,
+                          recallThresholdPpm: Long,
+                          cardMaxRelDelta: Double,
+                          forceCard: Boolean = false): GatedPublishResult = {
+    val recall = ragRecallGate(spark, cfg, recallThresholdPpm)
+    if (!recall.passed) return GatedPublishResult(recall, None, None)
+    val card = indexCardGate(spark, cfg, cardMaxRelDelta, force = forceCard)
+    if (!card.passed) return GatedPublishResult(recall, Some(card), None)
+    GatedPublishResult(recall, Some(card),
+      Some(publishRelease(spark, cfg)))
+  }
+
   /** Read one member AT the current release's pinned version — the
     * consistent-snapshot read path (never the member table's own
     * current, which a concurrent run may have advanced). */

@@ -303,4 +303,36 @@ class PublishSetSpec extends SparkSpec {
     assert(CurationModels.readRelease(spark, cfg, "DATA_CARD").collect()
       .toSeq === card1.toSeq)
   }
+
+  test("publishGatedRelease: both gates then the atomic publish; a tripped gate publishes nothing (r17)") {
+    import graft.models.CurationModels
+    import graft.pipeline.Pipeline.{RunConfig, Core}
+    val wh = tmp()
+    val cfg = RunConfig(env = Core, warehouseRoot = wh)
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i body token$i filler words enough to chunk and pack end",
+        if (i % 2 == 0) "en" else "de", s"host${i % 4}.example"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((9000L, "benchmark only text never overlapping"))
+      .toDF("doc_id", "text")
+    val reg = CurationModels.registry(spark, docs, bench)
+    reg.run(cfg, Seq("DATA_CARD", "RAG_CHUNK_INDEX"))
+    // a sane candidate passes both gates and publishes release 1 with
+    // the accepted card committed
+    val g1 = CurationModels.publishGatedRelease(spark, cfg,
+      recallThresholdPpm = 1L, cardMaxRelDelta = 0.10)
+    assert(g1.recall.passed && g1.card.exists(_.passed) &&
+      g1.releaseVersion === Some(1L))
+    // a recall trip (impossible threshold) rolls back AND publishes
+    // nothing — the card gate never even runs, so the accepted card
+    // baseline stays v1
+    reg.run(cfg, Seq("DATA_CARD", "RAG_CHUNK_INDEX"))
+    val g2 = CurationModels.publishGatedRelease(spark, cfg,
+      recallThresholdPpm = 1000001L, cardMaxRelDelta = 0.10)
+    assert(!g2.recall.passed && g2.card.isEmpty &&
+      g2.releaseVersion.isEmpty)
+    assert(PublishSet.versions(spark,
+      CurationModels.releaseRoot(cfg)) === Seq(1L),
+      "a tripped gate must not advance the release registry")
+  }
 }
