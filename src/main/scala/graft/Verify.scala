@@ -143,8 +143,27 @@ object Verify {
         println(s"[verify] fingerprint $t $fp")
         s"${q(t)}: ${q(fp)}"
       }
+    // t33/t34 pre-flight: the unigram oracle's Viterbi DP unrolls to a
+    // FIXED position count — a generator drift past it would otherwise
+    // surface as an opaque hash red (the oracle also self-guards with
+    // an error() CTE; this line is the one-line diagnosis next round's
+    // diff sees first). Probe = max whitespace-token length over the
+    // lowercased corpus, exactly the oracle's `max(len(w)) FROM udw`.
+    val maxWordLen = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(max(length(col("w")))).head.getInt(0)
+    }
+    val unroll = graft.queries.DataQueries.uniUnroll
+    println(s"[verify] probe max_word_len $maxWordLen " +
+      s"(t33/t34 DP unroll $unroll" +
+      (if (maxWordLen > unroll) " — EXCEEDED, unigram oracles will error"
+       else "") + ")")
     Files.writeString(Paths.get(s"$outDir/fingerprints.json"),
-      fps.mkString("{", ",", "}"))
+      (fps :+ s"${q("probe_max_word_len")}: ${
+        q(s"$maxWordLen (unroll $unroll)")}").mkString("{", ",", "}"))
     spark.stop()
   }
 

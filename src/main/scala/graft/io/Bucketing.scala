@@ -33,9 +33,36 @@ object Bucketing {
     * both. Deleting only under the session's own warehouse dir keeps
     * this a narrow, name-scoped cleanup. */
   def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    // resolve the managed location from the CATALOG while the entry
+    // still exists — the <warehouse>/<table> convention holds only for
+    // unqualified lowercase names in the default database, so a
+    // qualified or mixed-case name would otherwise compute a wrong
+    // path and silently skip the cleanup (ADVICE r17). The convention
+    // stays as the fallback for the cross-JVM case this method exists
+    // for: a fresh session whose catalog has no entry, but whose
+    // warehouse dir still holds a previous JVM's table location.
+    val catalogLoc: Option[String] =
+      try {
+        val ident = spark.sessionState.sqlParser
+          .parseMultipartIdentifier(table)
+        val cat = spark.sessionState.catalog
+        val ti = ident match {
+          case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+          case Seq(db, t) =>
+            org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+          case _ => throw new IllegalArgumentException(
+            s"dropWithLocation: '$table' nests deeper than db.table")
+        }
+        if (cat.tableExists(ti))
+          Some(cat.getTableMetadata(ti).location.toString)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(s"$wh/$table")
+    val loc = catalogLoc.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      s"$wh/$table"
+    }
+    val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }

@@ -101,6 +101,34 @@ object VersionedTable {
   private[pipeline] def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
   private def pointerPath(root: String) = s"$root/_current"
+  private def bloomConfPath(root: String) = s"$root/_bloom"
+
+  // bloom-zone shape: 8192 bits (1 KiB -> ~171 Base64 chars per (file,
+  // column) manifest line), 5 hash rows — at ~500 distinct keys per
+  // file the fill is ~26%, false-keep ~0.1%; a denser file degrades to
+  // keeping more files, never to wrong rows (the residual filter always
+  // re-applies the predicate)
+  private val bloomBits = 8192
+  private val bloomKh = 5
+
+  /** Declare the columns whose per-file BLOOM zones every FUTURE commit
+    * records (index DDL, not a writer flag: the config travels with the
+    * table root, so any writer JVM — cron merge, compaction, rollback
+    * restage — indexes the same columns). Existing versions are not
+    * rewritten; their files simply carry no "b" zone and stay
+    * unprunable for point probes, the same absence-means-keep contract
+    * as every other zone class. */
+  def setBloomColumns(spark: SparkSession, root: String,
+                      cols: Seq[String]): Unit =
+    atomicOverwriteText(spark, bloomConfPath(root), cols.mkString("\n"))
+
+  /** The table's configured bloom columns (empty when unconfigured —
+    * and on ANY read failure: a lost config only costs pruning). */
+  def bloomColumns(spark: SparkSession, root: String): Seq[String] =
+    try readTextIfExists(spark, bloomConfPath(root))
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    catch { case scala.util.control.NonFatal(_) => Nil }
   private[pipeline] def manifestPath(root: String, v: Long) = s"$root/_manifests/v$v"
   private def dataRoot(root: String) = s"$root/data"
 
@@ -222,6 +250,22 @@ object VersionedTable {
     * entirely NULL (or a type outside these classes) records nothing
     * and is always kept — absence means "cannot prune", never
     * "empty". */
+  /** In addition to the min/max classes, tag "b" records a per-file
+    * BLOOM FILTER (VERDICT r17 next-#4 / PLANS r18 candidate): min/max
+    * zones cannot prune a POINT lookup on a high-cardinality column
+    * whose values are hash-scattered across files (every file's range
+    * spans the probe). The bloom class can: `lo` = the hash-row count
+    * kh, `hi` = Base64url of the m-bit bitset (big-endian longs), bits
+    * set by the [[graft.operators.BloomJoin]] hash family
+    * h_j(x) = md5Long(j|render(x)) % m over the column's Spark
+    * string rendering — replayed host-side via
+    * [[graft.expressions.HashExpressions.md5Long60]], the engine-
+    * deterministic md5 convention every graft sketch uses. A "b" zone
+    * prunes ONLY an exact point probe (lo == hi, integral or string);
+    * ranges keep the file. Blooms are recorded only for columns named
+    * in the table's `_bloom` config ([[setBloomColumns]]) — an 8 KiB
+    * sidecar per (file, column) is an index DDL decision, not a
+    * default. */
   private[pipeline] final case class Zone(tag: String, lo: String, hi: String) {
     def intersects(qLo: Any, qHi: Any): Boolean = tag match {
       case "i" =>
@@ -244,7 +288,36 @@ object VersionedTable {
         // wrongly skip a file containing matching rows
         val (l, h) = (utf8(qLo.toString), utf8(qHi.toString))
         utf8Leq(l, utf8(deb64(hi))) && utf8Leq(utf8(deb64(lo)), h)
+      case "b" =>
+        (canonPoint(qLo), canonPoint(qHi)) match {
+          case (Some(a), Some(b)) if a == b =>
+            val kh = lo.toInt
+            val bytes = java.util.Base64.getUrlDecoder.decode(hi)
+            val words = new Array[Long](bytes.length / 8)
+            var i = 0
+            while (i < bytes.length) {
+              words(i / 8) = (words(i / 8) << 8) | (bytes(i) & 0xffL)
+              i += 1
+            }
+            val m = words.length * 64L
+            val md = graft.expressions.HashExpressions.localMd5.get()
+            (0 until kh).forall { j =>
+              val pos = graft.expressions.HashExpressions.md5Long60(md,
+                s"$j|$a".getBytes("UTF-8")) % m
+              (words((pos / 64).toInt) >>> (pos % 64).toInt & 1L) == 1L
+            }
+          case _ => true // a range (or unsupported type) never bloom-prunes
+        }
       case _ => true // forward-compat: unknown tag never prunes
+    }
+    // the probe value's Spark-string rendering — must match the write
+    // side's cast(col as string) EXACTLY, so only types whose toString
+    // does are eligible; anything else keeps the file
+    private def canonPoint(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => Some(String.valueOf(x))
+      case _ => None
     }
     private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
     private def utf8Leq(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -296,9 +369,12 @@ object VersionedTable {
   private def deb64(s: String): String =
     new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
 
+  // zones: per file, per column, EVERY recorded zone (a column may
+  // carry both a min/max class and a bloom "b" class — r18); a file is
+  // pruned when ANY of its zones proves the probe cannot match
   private case class Manifest(files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      zones: Map[String, Map[String, Zone]] = Map.empty)
+      zones: Map[String, Map[String, Seq[Zone]]] = Map.empty)
 
   /** Raw manifest lines of a retained version — [[PublishSet]] parses
     * its own (table → version) grammar from these. */
@@ -334,15 +410,20 @@ object VersionedTable {
         z.lo.toLongOption.isDefined && z.hi.toLongOption.isDefined
       case "d" => z.lo.toDoubleOption.isDefined && z.hi.toDoubleOption.isDefined
       case "s" => scala.util.Try { deb64(z.lo); deb64(z.hi) }.isSuccess
+      case "b" => z.lo.toIntOption.exists(_ >= 1) && scala.util.Try {
+        java.util.Base64.getUrlDecoder.decode(z.hi)
+      }.toOption.exists(b => b.nonEmpty && b.length % 8 == 0)
       case _ => true // unknown tag: Zone.intersects never prunes on it
     }
     val zones = zmLines.flatMap { l =>
       l.stripPrefix("#zm=").split("\t", -1) match {
         case Array(f, c, tag, lo, hi) =>
-          Some(Zone(tag, lo, hi)).filter(wellFormed).map(z => f -> (c -> z))
+          Some(Zone(tag, lo, hi)).filter(wellFormed).map(z => (f, c, z))
         case _ => None
       }
-    }.groupBy(_._1).map { case (f, es) => f -> es.map(_._2).toMap }
+    }.groupBy(_._1).map { case (f, es) =>
+      f -> es.groupBy(_._2).map { case (c, zs) => c -> zs.map(_._3).toSeq }
+    }
     Manifest(files, schema, zones)
   }
 
@@ -411,7 +492,7 @@ object VersionedTable {
   private def zoneKeep(m: Manifest, files: Seq[String], colName: String,
                        lo: Any, hi: Any): Seq[String] =
     files.filter(f => m.zones.get(f).flatMap(_.get(colName))
-      .forall(_.intersects(lo, hi)))
+      .forall(_.forall(_.intersects(lo, hi))))
 
   /** Files of the current version a `colName BETWEEN lo AND hi` scan
     * must read, after zone-map pruning — the introspection behind
@@ -445,6 +526,16 @@ object VersionedTable {
     readFiles(spark, root, m, zoneKeep(m, m.files, colName, lo, hi))
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
+
+  /** Point-lookup read (r18): [[readRange]] with lo == hi, which is the
+    * shape the "b" BLOOM zones prune — on a high-cardinality column
+    * whose values are hash-scattered across files, every file's min/max
+    * spans the probe and only the bloom can skip (the q66 gate; the
+    * spec asserts both facts). Same residual-filter guarantee: pruning
+    * is a cost optimization, results == filtering [[read]]. */
+  def readPoint(spark: SparkSession, root: String, colName: String,
+                value: Any): DataFrame =
+    readRange(spark, root, colName, value, value)
 
   /** [[readPartitions]] composed with [[readRange]]'s zone-map skip:
     * partition-dir pruning on the bucket key, then file-level min/max
@@ -552,7 +643,7 @@ object VersionedTable {
     // never fail a data commit) but logged, because the pruning it
     // silently forfeits is inherited forward by every later commit and
     // would otherwise degrade invisibly (ADVICE r16).
-    var inherited = Map.empty[String, Map[String, Zone]]
+    var inherited = Map.empty[String, Map[String, Seq[Zone]]]
     var known = Set.empty[String]
     val todo = files.toSet
     val older = versions(spark, root).filter(_ < v).sorted.reverse.iterator
@@ -582,7 +673,8 @@ object VersionedTable {
     }
     val zmLines = for {
       (f, cz) <- zones.sortBy(_._1)
-      (c, z) <- cz.toSeq.sortBy(_._1)
+      (c, zs) <- cz.toSeq.sortBy(_._1)
+      z <- zs.sortBy(_.tag)
     } yield s"#zm=$f\t$c\t${z.tag}\t${z.lo}\t${z.hi}"
     commitText(spark, root, v,
       (schema.map(sc => s"#schema=${sc.json}").toSeq ++ zmLines ++ files)
@@ -602,7 +694,7 @@ object VersionedTable {
     * correctness. */
   private def computeZones(spark: SparkSession, root: String,
                            rels: Seq[String])
-      : Map[String, Map[String, Zone]] =
+      : Map[String, Map[String, Seq[Zone]]] =
     if (rels.isEmpty) Map.empty
     else try {
       import org.apache.spark.sql.types._
@@ -645,23 +737,72 @@ object VersionedTable {
           Seq(min(valueExpr(f)), max(valueExpr(f))))
         val rows = df.groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*).collect()
-        rows.flatMap { r =>
+        val minMax: Map[String, Map[String, Seq[Zone]]] = rows.flatMap { r =>
           relOf(r.getString(0)).map { rel =>
             rel -> cols.zipWithIndex.flatMap { case (f, i) =>
               val (lo, hi) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
               if (lo == null || hi == null) None
               else tagOf(f.dataType).map {
-                case t @ ("i" | "date" | "ts") => f.name -> Zone(t,
+                case t @ ("i" | "date" | "ts") => f.name -> Seq(Zone(t,
                   lo.asInstanceOf[Number].longValue.toString,
-                  hi.asInstanceOf[Number].longValue.toString)
-                case "d" => f.name -> Zone("d",
+                  hi.asInstanceOf[Number].longValue.toString))
+                case "d" => f.name -> Seq(Zone("d",
                   lo.asInstanceOf[Number].doubleValue.toString,
-                  hi.asInstanceOf[Number].doubleValue.toString)
-                case _ => f.name -> Zone("s", b64(lo.toString), b64(hi.toString))
+                  hi.asInstanceOf[Number].doubleValue.toString))
+                case _ =>
+                  f.name -> Seq(Zone("s", b64(lo.toString), b64(hi.toString)))
               }
             }.toMap
           }
         }.toMap
+        // BLOOM ("b") zones for the columns the table's _bloom config
+        // names (r18): one distributed bit-OR aggregation per fresh
+        // batch — positions by the BloomJoin md5 hash family over the
+        // column's string rendering, words assembled driver-side.
+        // Collected volume is bounded: |files| × |bloom cols| × m/64
+        // longs. Only integral/string classes participate (their
+        // rendering is replayable at probe time).
+        val bloomWanted = bloomColumns(spark, root).toSet
+        val bCols = cols.filter(f => bloomWanted.contains(f.name) &&
+          tagOf(f.dataType).exists(t => t == "i" || t == "s")).toSeq
+        if (bCols.isEmpty) minMax
+        else {
+          val posRows = bCols.map { f =>
+            df.filter(col(f.name).isNotNull)
+              .select(input_file_name().as("__f"), lit(f.name).as("__c"),
+                explode(array((0 until bloomKh).map(j =>
+                  pmod(graft.functions.GraftFunctions.md5Long(
+                    col(f.name).cast(StringType), j),
+                    lit(bloomBits.toLong))): _*)).as("pos"))
+          }.reduce(_ unionByName _)
+            .select(col("__f"), col("__c"), expr("pos div 64").as("w"),
+              call_function("shiftleft", lit(1L),
+                (col("pos") % 64).cast("int")).as("bit"))
+            .groupBy("__f", "__c", "w").agg(bit_or(col("bit")).as("bits"))
+            .collect()
+          val blooms = posRows.groupBy(r => (r.getString(0), r.getString(1)))
+            .flatMap { case ((uri, c), ws) =>
+              relOf(uri).map { rel =>
+                val words = new Array[Long](bloomBits / 64)
+                ws.foreach(r => words(r.getLong(2).toInt) = r.getLong(3))
+                val bytes = new Array[Byte](words.length * 8)
+                var i = 0
+                while (i < bytes.length) {
+                  bytes(i) = (words(i / 8) >>> (56 - 8 * (i % 8))).toByte
+                  i += 1
+                }
+                (rel, c, Zone("b", bloomKh.toString,
+                  java.util.Base64.getUrlEncoder.withoutPadding
+                    .encodeToString(bytes)))
+              }
+            }.toSeq
+          blooms.groupBy(_._1).foldLeft(minMax) { case (acc, (rel, bs)) =>
+            val base = acc.getOrElse(rel, Map.empty)
+            acc.updated(rel, bs.foldLeft(base) { case (cz, (_, c, z)) =>
+              cz.updated(c, cz.getOrElse(c, Nil) :+ z)
+            })
+          }
+        }
       }
     } catch { case scala.util.control.NonFatal(e) =>
       // a zone map is a pure pruning index — never let its computation

@@ -724,6 +724,197 @@ object ExtQueries {
       |JOIN region ON r_regionkey = n_regionkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Evictions mart (q64 — VERDICT r17 next-#2, the q61 census
+    * pattern): [[AuxStaging.stageEvictions]] exercised end-to-end. The
+    * reference strips the evictions data file
+    * (`ref/1_SRC___AUX_NYC_EVICTION`, `.MISSING_LARGE_BLOBS`) and
+    * ships only `dict_nyc_evictions.csv`, so the raw ALL-STRING feed
+    * (Court Index Number / Borough / Executed Date M/d/yyyy /
+    * Latitude / Longitude / Residential-Commercial / NTA — the
+    * dictionary's surface) is synthesized deterministically from
+    * `customer`, with planted violations of the dataset's own
+    * identities: an unparseable 'PENDING' Executed Date (every 7th
+    * key), an out-of-range latitude 999.0 (every 11th), a blank
+    * longitude (every 13th), and a real-world-form 'BK0101' NTA
+    * (every 17th) that the NTA<n> join-key pattern must drop. All
+    * numeric strings are built by INTEGER concatenation on both
+    * sides — no float rendering crosses the engine boundary. Staged,
+    * joined to broadcast dims, aggregated per region with date
+    * bounds from the parsed column. */
+  val q64EvictionsMart: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val k = col("c_custkey")
+    val raw = c.customer.select(
+      concat(lit("K"), k.cast(StringType)).as("Court Index Number"),
+      concat(lit("B"), pmod(col("c_nationkey"), lit(5L)).cast(StringType))
+        .as("Borough"),
+      (lit(10000L) + pmod(k, lit(200L))).cast(StringType).as("Eviction Zip"),
+      when(pmod(k, lit(7L)) === 0, lit("PENDING"))
+        .otherwise(concat((pmod(k, lit(12L)) + 1).cast(StringType), lit("/"),
+          (pmod(k, lit(28L)) + 1).cast(StringType), lit("/2023")))
+        .as("Executed Date"),
+      when(pmod(k, lit(11L)) === 0, lit("999.0"))
+        .otherwise(concat(lit("40."),
+          lpad(pmod(k, lit(500L)).cast(StringType), 3, "0"))).as("Latitude"),
+      when(pmod(k, lit(13L)) === 0, lit(""))
+        .otherwise(concat(lit("-73."),
+          lpad(pmod(k * 7, lit(1000L)).cast(StringType), 3, "0")))
+        .as("Longitude"),
+      when(pmod(k, lit(3L)) === 0, lit("Commercial"))
+        .otherwise(lit("Residential")).as("Residential/Commercial"),
+      when(pmod(k, lit(17L)) === 0, lit("BK0101"))
+        .otherwise(concat(lit("NTA"), col("c_nationkey").cast(StringType)))
+        .as("NTA"))
+    val staged = AuxStaging.stageEvictions(raw)
+      .withColumn("nta_num",
+        when(col("nta").rlike("^NTA[0-9]+$"),
+          substring(col("nta"), 4, 12).try_cast(LongType)))
+    val n = c.nation.select(col("n_nationkey"), col("n_regionkey"))
+    val r = c.region.select(col("r_regionkey"), col("r_name"))
+    staged.join(broadcast(n), staged("nta_num") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_evictions"),
+           count(when(col("residential_commercial") === "Residential", 1))
+             .as("n_residential"),
+           count(when(col("residential_commercial") === "Commercial", 1))
+             .as("n_commercial"),
+           count(when(!col("date_valid"), 1)).as("n_invalid_dates"),
+           count(when(!col("coords_valid"), 1)).as("n_invalid_coords"),
+           min(col("executed_date")).as("first_eviction"),
+           max(col("executed_date")).as("last_eviction"))
+      .withColumnRenamed("r_name", "region")
+      .orderBy(col("region"))
+  }
+
+  val q64Sql: String =
+    """WITH raw AS (SELECT c_custkey AS k, c_nationkey AS nk,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'PENDING'
+      |      ELSE CAST(c_custkey % 12 + 1 AS VARCHAR) || '/' ||
+      |           CAST(c_custkey % 28 + 1 AS VARCHAR) || '/2023' END AS d_s,
+      |    CASE WHEN c_custkey % 11 = 0 THEN '999.0'
+      |      ELSE '40.' || lpad(CAST(c_custkey % 500 AS VARCHAR), 3, '0')
+      |      END AS lat_s,
+      |    CASE WHEN c_custkey % 13 = 0 THEN ''
+      |      ELSE '-73.' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0')
+      |      END AS lng_s,
+      |    CASE WHEN c_custkey % 3 = 0 THEN 'Commercial'
+      |      ELSE 'Residential' END AS rc,
+      |    CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_nationkey END AS nta
+      |  FROM customer),
+      |staged AS (SELECT nta, rc,
+      |    CAST(try_strptime(d_s, '%-m/%-d/%Y') AS DATE) AS ed,
+      |    TRY_CAST(lat_s AS DOUBLE) AS lat, TRY_CAST(lng_s AS DOUBLE) AS lng
+      |  FROM raw),
+      |f AS (SELECT nta, rc, ed, (ed IS NOT NULL) AS dv,
+      |    (lat IS NOT NULL AND lng IS NOT NULL
+      |      AND abs(lat) <= 90 AND abs(lng) <= 180) AS cv
+      |  FROM staged)
+      |SELECT r_name AS region, count(*) AS n_evictions,
+      |  count(*) FILTER (rc = 'Residential') AS n_residential,
+      |  count(*) FILTER (rc = 'Commercial') AS n_commercial,
+      |  count(*) FILTER (NOT dv) AS n_invalid_dates,
+      |  count(*) FILTER (NOT cv) AS n_invalid_coords,
+      |  min(ed) AS first_eviction, max(ed) AS last_eviction
+      |FROM f JOIN nation ON n_nationkey = nta
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Restaurant-inspections mart (q65 — the q64/q61 contract for the
+    * OTHER stripped `ref/` dataset,
+    * `ref/1_SRC___AUX_NYC_RESTAURANT|dict_nyc_restaurant_inspections.csv`):
+    * [[AuxStaging.stageRestaurantInspections]] end-to-end. Raw feed
+    * synthesized from `orders` (CAMIS = o_custkey, several inspections
+    * per restaurant — the real feed's shape), with planted violations:
+    * an out-of-dictionary BORO code '0' every 6th key (the no-ELSE
+    * CASE decode must yield NULL, the reference's CASE idiom), an
+    * unparseable 'N/A' inspection date every 19th orderkey, an 'NA'
+    * score every 23rd, and a 'Q' grade every 5th (outside the accepted
+    * grade set -> flagged, not nulled). Scores stage through the
+    * dictionary's NUMERIC type (DECIMAL(38,9)) and are presented as
+    * exact integer sums — no decimal crosses the output boundary. */
+  val q65RestaurantMart: Q = (s, dir) => {
+    val c = Catalog(s, dir)
+    val ok = col("o_orderkey")
+    val ck = col("o_custkey")
+    val raw = c.orders.select(
+      ck.cast(StringType).as("CAMIS"),
+      concat(lit("R"), ck.cast(StringType)).as("DBA"),
+      pmod(ck, lit(6L)).cast(StringType).as("BORO"),
+      concat(lit("C"), pmod(ck, lit(20L)).cast(StringType)).as("CUISINE DESCRIPTION"),
+      when(pmod(ok, lit(19L)) === 0, lit("N/A"))
+        .otherwise(concat((pmod(ok, lit(12L)) + 1).cast(StringType), lit("/"),
+          (pmod(ok, lit(28L)) + 1).cast(StringType), lit("/2024")))
+        .as("INSPECTION DATE"),
+      when(pmod(ok, lit(23L)) === 0, lit("NA"))
+        .otherwise(pmod(ok, lit(50L)).cast(StringType)).as("SCORE"),
+      when(pmod(ok, lit(5L)) === 0, lit("Q"))
+        .when(pmod(ok, lit(3L)) === 0, lit("A"))
+        .when(pmod(ok, lit(3L)) === 1, lit("B"))
+        .otherwise(lit("C")).as("GRADE"),
+      concat(lit("40."), lpad(pmod(ok, lit(500L)).cast(StringType), 3, "0"))
+        .as("Latitude"),
+      concat(lit("-73."), lpad(pmod(ok * 3, lit(1000L)).cast(StringType), 3, "0"))
+        .as("Longitude"),
+      concat(lit("NTA"), pmod(ck, lit(25L)).cast(StringType)).as("NTA"))
+    val staged = AuxStaging.stageRestaurantInspections(raw)
+      .withColumn("nta_num",
+        when(col("nta").rlike("^NTA[0-9]+$"),
+          substring(col("nta"), 4, 12).try_cast(LongType)))
+    val n = c.nation.select(col("n_nationkey"), col("n_regionkey"))
+    val r = c.region.select(col("r_regionkey"), col("r_name"))
+    staged.join(broadcast(n), staged("nta_num") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_inspections"),
+           countDistinct(col("camis_id")).as("n_restaurants"),
+           count(when(col("borough").isNull, 1)).as("n_unknown_boro"),
+           count(when(!col("grade_valid"), 1)).as("n_invalid_grades"),
+           count(when(col("inspection_date").isNull, 1)).as("n_bad_dates"),
+           count(when(col("score").isNull, 1)).as("n_missing_scores"),
+           sum(col("score").cast(LongType)).as("sum_score"),
+           min(col("inspection_date")).as("first_inspection"),
+           max(col("inspection_date")).as("last_inspection"))
+      .withColumnRenamed("r_name", "region")
+      .orderBy(col("region"))
+  }
+
+  val q65Sql: String =
+    """WITH raw AS (SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CASE WHEN o_orderkey % 19 = 0 THEN 'N/A'
+      |      ELSE CAST(o_orderkey % 12 + 1 AS VARCHAR) || '/' ||
+      |           CAST(o_orderkey % 28 + 1 AS VARCHAR) || '/2024' END AS d_s,
+      |    CASE WHEN o_orderkey % 23 = 0 THEN 'NA'
+      |      ELSE CAST(o_orderkey % 50 AS VARCHAR) END AS sc_s,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'Q'
+      |         WHEN o_orderkey % 3 = 0 THEN 'A'
+      |         WHEN o_orderkey % 3 = 1 THEN 'B'
+      |         ELSE 'C' END AS grade,
+      |    CASE WHEN o_custkey % 6 = 0 THEN NULL
+      |         WHEN o_custkey % 6 = 1 THEN 'MANHATTAN'
+      |         WHEN o_custkey % 6 = 2 THEN 'BRONX'
+      |         WHEN o_custkey % 6 = 3 THEN 'BROOKLYN'
+      |         WHEN o_custkey % 6 = 4 THEN 'QUEENS'
+      |         ELSE 'STATEN ISLAND' END AS boro,
+      |    o_custkey % 25 AS nta
+      |  FROM orders),
+      |staged AS (SELECT ck, nta, boro, grade,
+      |    CAST(try_strptime(d_s, '%-m/%-d/%Y') AS DATE) AS idate,
+      |    CAST(TRY_CAST(sc_s AS DECIMAL(38,9)) AS BIGINT) AS score,
+      |    COALESCE(grade IN ('A','B','C','N','Z','P'), false) AS gv
+      |  FROM raw)
+      |SELECT r_name AS region, count(*) AS n_inspections,
+      |  count(DISTINCT ck) AS n_restaurants,
+      |  count(*) FILTER (boro IS NULL) AS n_unknown_boro,
+      |  count(*) FILTER (NOT gv) AS n_invalid_grades,
+      |  count(*) FILTER (idate IS NULL) AS n_bad_dates,
+      |  count(*) FILTER (score IS NULL) AS n_missing_scores,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  min(idate) AS first_inspection, max(idate) AS last_inspection
+      |FROM staged JOIN nation ON n_nationkey = nta
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hot-key salted join with REAL skew: 75% of lineitem rows map to
     * one key (the remainder spread over 97), joined to a small dim.
     * Exercises [[SkewJoin.saltedInnerJoin]]'s HOT path end-to-end —
@@ -1434,6 +1625,55 @@ object ExtQueries {
       |  AND epoch_us(o_orderdate) // 86400000000 BETWEEN 9496 AND 9677
       |ORDER BY o_orderkey""".stripMargin
 
+  /** BLOOM-ZONE POINT LOOKUP inside the gate (q66 — VERDICT r17
+    * next-#4, q62's shape for the THIRD index class): orders written
+    * as a versioned table hash-scattered on the order key (so every
+    * file's `ck_tag` min/max spans the whole customer range — min/max
+    * zones PROVABLY cannot prune this probe, pinned in
+    * VersionedTableSpec), with `ck_tag` declared a bloom column via
+    * [[VersionedTable.setBloomColumns]]; three customer point lookups
+    * then read through [[VersionedTable.readPoint]], whose file skips
+    * come ONLY from the per-file "b" bloom zones. Oracle = the direct
+    * scan with the same IN-list (the read re-applies the predicate to
+    * surviving rows, so pruning is invisible in results by
+    * construction — hash-identical means the bloom never drops a
+    * matching file). At 100 TB this is the needle-in-haystack serving
+    * read: partition dirs cut tenants, min/max cuts time, and the
+    * bloom class cuts POINT probes min/max cannot. */
+  private val q66PrevTmp =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val q66Probes = Seq(7L, 61L, 94L) // non-mod-3 keys: orders exist
+
+  val q66BloomPoint: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q66-vt")
+      .toString
+    Option(q66PrevTmp.getAndSet(tmp))
+      .foreach(p => rmrf(new java.io.File(p)))
+    val root = tmp + "/orders_bloom"
+    val orders = Catalog(s, dir).orders
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
+      .withColumn("ck_tag",
+        concat(lit("C"), col("o_custkey").cast(StringType)))
+    VersionedTable.setBloomColumns(s, root, Seq("ck_tag"))
+    // hash-scatter on the ORDER key: every file spans ~the full
+    // customer range, which is exactly the layout min/max cannot prune
+    VersionedTable.write(s, root,
+      orders.repartition(8, col("o_orderkey")), partitionBy = Seq("bucket"))
+    q66Probes.map(ck =>
+        VersionedTable.readPoint(s, root, "ck_tag", s"C$ck"))
+      .reduce(_ unionByName _)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("bucket"), col("ck_tag"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q66Sql: String =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |  o_orderkey % 4 AS bucket,
+       |  'C' || CAST(o_custkey AS VARCHAR) AS ck_tag
+       |FROM orders WHERE o_custkey IN (${q66Probes.mkString(", ")})
+       |ORDER BY o_orderkey""".stripMargin
+
   /** BUCKETED ZERO-EXCHANGE JOIN inside the gate (q63 — the q62
     * rationale applied to the OTHER storage layout this engine ships):
     * orders and customer are written as bucketBy(8)+sortBy catalog
@@ -1476,6 +1716,7 @@ object ExtQueries {
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q62_versioned_range" -> q62VersionedRange,
     "q63_bucketed_join" -> q63BucketedJoin,
+    "q66_bloom_point" -> q66BloomPoint,
     "q60_hopping_window" -> q60HoppingWindow,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
@@ -1500,6 +1741,8 @@ object ExtQueries {
     "q46_social_mart" -> q46SocialMart,
     "q47_housing_mart" -> q47HousingMart,
     "q61_census_mart" -> q61CensusMart,
+    "q64_evictions_mart" -> q64EvictionsMart,
+    "q65_restaurant_mart" -> q65RestaurantMart,
     "q48_geo_zones" -> q48GeoZones,
     "q49_radius_join" -> q49RadiusJoin,
     "q34_string_agg" -> q34StringAgg,
@@ -1514,6 +1757,7 @@ object ExtQueries {
     "q41_json_funcs" -> q41Sql,
     "q62_versioned_range" -> q62Sql,
     "q63_bucketed_join" -> q63Sql,
+    "q66_bloom_point" -> q66Sql,
     "q51_pagerank" -> q51Sql,
     "q52_kmv_algebra" -> q52Sql,
     "q53_bloom_join" -> q53Sql,
@@ -1536,6 +1780,8 @@ object ExtQueries {
     "q46_social_mart" -> q46Sql,
     "q47_housing_mart" -> q47Sql,
     "q61_census_mart" -> q61Sql,
+    "q64_evictions_mart" -> q64Sql,
+    "q65_restaurant_mart" -> q65Sql,
     "q48_geo_zones" -> q48Sql,
     "q49_radius_join" -> q49Sql,
     "q34_string_agg" -> q34Sql,

@@ -1141,6 +1141,31 @@ object ScaleProbe {
           lmIn, oovIn, lmGen, oovGen, headLt = -0.02, tailGt = 0.02)
       }
     }
+    // r18 t35 rank terciles under ONE-LANGUAGE DOMINANCE (~94% "en") —
+    // the skew shape that made the old per-lang window a single-task
+    // spill-sort (VERDICT r17's weak plan). DistributedRank's range
+    // exchange splits the dominant language across many partitions, so
+    // the ladder must stay near-linear (the exchange is the only
+    // full-data shuffle; the count pass collects |parts|·|langs| tuples).
+    stage("ppl_buckets") {
+      t(s"ppl_buckets_${replicas}x") {
+        import graft.functions.GraftFunctions.md5Long
+        import org.apache.spark.sql.types.StringType
+        val scored = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(32L)) === 0L, lit("fr"))
+            .when(pmod(col("doc_id"), lit(32L)) === 1L, lit("de"))
+            .otherwise(lit("en")).as("lang"),
+          (pmod(md5Long(col("doc_id").cast(StringType)), lit(1000003L))
+            .cast("double") / 1000.0).as("cross_entropy"))
+        graft.operators.DistributedRank.rankAndCount(scored, "lang",
+            Seq("cross_entropy", "doc_id"),
+            spark.sessionState.conf.numShufflePartitions)
+          .select(col("doc_id"), col("lang"),
+            when(col("rn") * 3 <= col("n"), lit("head"))
+              .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+              .otherwise(lit("tail")).as("ppl_bucket"))
+      }
+    }
     // m08 caption alignment: two map-only md5 embed towers + one
     // skinny (id, vec) equi-join — cost should track the corpus scan.
     stage("caption_align") {

@@ -41,6 +41,20 @@ class UnigramSpec extends SparkSpec {
     assert(countOf("aa", Map("aa" -> 101L, "a" -> 50L), oov = 1000L) === 2L)
   }
 
+  test("words past the oracle's 16-position DP unroll still count exactly") {
+    // the ORACLE unrolls its Viterbi DP to DataQueries.uniUnroll
+    // positions and error()s self-describingly past it (ADVICE r17);
+    // the SPARK expression has no such bound — pin that a word well
+    // past the unroll segments exactly (26 OOV chars -> 26 tokens;
+    // known pieces chain through a 20-char word)
+    val long = "abcdefghijklmnopqrstuvwxyz" // 26 chars, all OOV
+    assert(long.length > graft.queries.DataQueries.uniUnroll)
+    assert(countOf(long, Map("zz" -> 1L), oov = 1000L) === 26L)
+    val costs = Map("abcd" -> 10L, "a" -> 100L, "b" -> 100L, "c" -> 100L,
+      "d" -> 100L)
+    assert(countOf("abcd" * 5, costs, oov = 1000L) === 5L) // 20 chars
+  }
+
   test("fit: char coverage floor, non-negative costs, count bounds on a real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (costs, oov) = TextAnalysis.fitUnigramLm(docs, "text", "doc_id")

@@ -841,4 +841,71 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readPartitionsRange(spark, r, "bucket",
       Seq(0L, 2L, 5L), "od_day", 9496L, 9677L).count() === want.length)
   }
+
+  test("bloom zones: point lookups skip files min/max provably cannot (q66 gate shape, r18)") {
+    // values hash-scattered on id: every file's k-range spans the
+    // probe, so min/max zones keep EVERYTHING — the layout the "b"
+    // class exists for
+    val data = (1L to 4000L).map(i => (i, s"C${i % 400}", i % 4))
+      .toDF("id", "ck_tag", "bucket")
+    // control: SAME table without the bloom config — min/max only
+    val plain = root()
+    VersionedTable.write(spark, plain, data.repartition(8, col("id")),
+      partitionBy = Seq("bucket"))
+    val allPlain = VersionedTable.read(spark, plain).inputFiles.length
+    assert(VersionedTable.rangeFiles(spark, plain, "ck_tag", "C7", "C7")
+      .length === allPlain,
+      "min/max zones must NOT prune a hash-scattered point probe — " +
+        "otherwise this test proves nothing about the bloom class")
+    // indexed: bloom config declared BEFORE the write
+    val r = root()
+    VersionedTable.setBloomColumns(spark, r, Seq("ck_tag"))
+    VersionedTable.write(spark, r, data.repartition(8, col("id")),
+      partitionBy = Seq("bucket"))
+    val all = VersionedTable.read(spark, r).inputFiles.length
+    val kept = VersionedTable.rangeFiles(spark, r, "ck_tag", "C7", "C7")
+    assert(kept.length < all,
+      s"bloom zones must skip files on a point probe: kept ${kept.length} of $all")
+    // no false negatives: every point read == the filtered full read
+    Seq("C7", "C0", "C399").foreach { v =>
+      val got = VersionedTable.readPoint(spark, r, "ck_tag", v)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = VersionedTable.read(spark, r).filter(col("ck_tag") === v)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want && got.nonEmpty)
+    }
+    // an absent value prunes (near-)everything and returns zero rows
+    assert(VersionedTable.readPoint(spark, r, "ck_tag", "C9999")
+      .count() === 0L)
+    assert(VersionedTable.rangeFiles(spark, r, "ck_tag", "C9999", "C9999")
+      .length < all)
+    // a RANGE never bloom-prunes (only min/max participates)
+    assert(VersionedTable.readRange(spark, r, "ck_tag", "C0", "C9999")
+      .count() === 4000L)
+    // kept files inherit their bloom zones through a partition-scoped
+    // merge (the r16 inheritance contract, third zone class)
+    VersionedTable.merge(spark, r,
+      Seq((1L, "C1", 1L)).toDF("id", "ck_tag", "bucket"),
+      uniqueKey = Seq("id", "bucket"), partitionBy = Seq("bucket"))
+    val all2 = VersionedTable.read(spark, r).inputFiles.length
+    assert(VersionedTable.rangeFiles(spark, r, "ck_tag", "C7", "C7")
+      .length < all2, "inherited bloom zones must still prune")
+    assert(VersionedTable.readPoint(spark, r, "ck_tag", "C7")
+      .count() === 10L)
+  }
+
+  test("q66 gate shape: bloom point read matches the direct scan") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.ExtQueries.q66BloomPoint(spark, dir)
+      .collect().map(_.toSeq)
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_custkey").isin(7L, 61L, 94L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(4L)).as("bucket"),
+        concat(lit("C"), col("o_custkey").cast("string")).as("ck_tag"))
+      .orderBy(col("o_orderkey"))
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
 }

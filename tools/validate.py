@@ -62,7 +62,19 @@ def duck_class(t):
         # the old 'list<?>' fallback could never equal 'list<elem>', so
         # a genuinely-matching oracle column would fail TYPE_DIFF)
         inner = str(t)[str(t).index("(") + 1 : str(t).rindex(")")]
-        return "list<%s>" % duck_class(inner.split(",")[0].strip())
+        # element type may itself carry commas (LIST(DECIMAL(18,2))):
+        # split on the TOP-LEVEL comma only, tracking paren depth, so
+        # the recursion sees the full element type (ADVICE r17)
+        depth, top = 0, len(inner)
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                top = i
+                break
+        return "list<%s>" % duck_class(inner[:top].strip())
     if s.startswith("STRUCT") or s.startswith("MAP"):
         return "struct"
     if s == "BLOB":
