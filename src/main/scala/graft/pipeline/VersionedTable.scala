@@ -103,12 +103,13 @@ object VersionedTable {
   private def pointerPath(root: String) = s"$root/_current"
   private def bloomConfPath(root: String) = s"$root/_bloom"
 
-  // bloom-zone shape: 8192 bits (1 KiB -> ~171 Base64 chars per (file,
-  // column) manifest line), 5 hash rows — at ~500 distinct keys per
-  // file the fill is ~26%, false-keep ~0.1%; a denser file degrades to
-  // keeping more files, never to wrong rows (the residual filter always
-  // re-applies the predicate)
-  private val bloomBits = 8192
+  // bloom-zone shape: 65536 bits (8 KiB -> ~11 KB Base64 per (file,
+  // column) manifest line — the parquet-bloom-sized tradeoff: manifest
+  // bytes for file skips), 5 hash rows — at ~2500 distinct keys per
+  // file the fill is ~17%, false-keep ~0.01%; a denser file degrades
+  // to keeping more files, never to wrong rows (the residual filter
+  // always re-applies the predicate)
+  private val bloomBits = 65536
   private val bloomKh = 5
 
   /** Declare the columns whose per-file BLOOM zones every FUTURE commit

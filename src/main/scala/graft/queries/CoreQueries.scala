@@ -107,8 +107,14 @@ object CoreQueries {
     * from events, projected onto one canonical schema with typed NULL
     * padding and a non-null '' default, then unioned. Column pruning
     * reaches each feed's scan. */
-  val q04HarmonizeUnion: Q = (s, dir) => {
-    val ev = Catalog(s, dir).events
+  val q04HarmonizeUnion: Q = (s, dir) =>
+    harmonizeFeeds(Catalog(s, dir).events).orderBy(col("event_id"))
+
+  /** The q04 feed carve + canonical projection, factored so the BATCH
+    * gate (q04) and the STREAMING drain gate (s01) run the IDENTICAL
+    * transform — the shared-body rule: the two gates cannot fork. */
+  private def harmonizeFeeds(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val canon = Seq(
       CanonicalCol("event_id", LongType),
       CanonicalCol("ts_date", DateType),
@@ -134,6 +140,30 @@ object CoreQueries {
       Map("event_id" -> "event_id", "user_id" -> "user_id"),
       Map("ts_date" -> col("ts").cast(DateType), "kind" -> lit("signup")))
     unionHarmonized(canon, Seq(clicks, purchases, signups))
+  }
+
+  /** STREAMING DRAIN inside the gate (s01 — VERDICT r17 next-#6, the
+    * last spec-only major family into the hash gate): the q04
+    * harmonized union driven through a REAL Structured Streaming
+    * file-source drain — events copied to a fresh landing dir, read
+    * via [[graft.streaming.EventStreams.readEvents]] (the ts-encoding
+    * sniff), carved and projected by the SAME [[harmonizeFeeds]] body
+    * as the batch gate, drained with Trigger.AvailableNow into a
+    * memory sink, and returned as the drained table. Oracle = q04's
+    * oracle verbatim: a drain of a map-only transform must equal the
+    * batch run row-for-row — the drain == batch contract the streaming
+    * specs pin, now driver-hash-gated. The landing dir is per-JVM
+    * bounded (previous tick's dir swept on the next invocation, the
+    * q62 pattern). */
+  private val s01Tmp = new graft.io.PerJvmTemp.Slot("graft-s01-land")
+  val s01StreamHarmonize: Q = (s, dir) => {
+    val tmp = s01Tmp.fresh()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events-1.parquet"))
+    val ev = graft.streaming.EventStreams.readEvents(s, tmp.toString)
+    graft.streaming.EventStreams.runAvailableNow(s, harmonizeFeeds(ev),
+        s"s01_drain_${java.util.UUID.randomUUID.toString.take(8)}")
       .orderBy(col("event_id"))
   }
 
@@ -679,6 +709,7 @@ object CoreQueries {
     "q02_project_rename" -> q02ProjectRename,
     "q03_dim_double_join" -> q03DimDoubleJoin,
     "q04_harmonize_union" -> q04HarmonizeUnion,
+    "s01_stream_harmonize" -> s01StreamHarmonize,
     "q05_case_decode" -> q05CaseDecode,
     "q06_haversine" -> q06Haversine,
     "q07_window" -> q07Window,
@@ -710,6 +741,7 @@ object CoreQueries {
     "q02_project_rename" -> q02Sql,
     "q03_dim_double_join" -> q03Sql,
     "q04_harmonize_union" -> q04Sql,
+    "s01_stream_harmonize" -> q04Sql, // drain == batch: same oracle text
     "q05_case_decode" -> q05Sql,
     "q06_haversine" -> q06Sql,
     "q07_window" -> q07Sql,

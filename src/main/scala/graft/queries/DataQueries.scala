@@ -1590,17 +1590,58 @@ object DataQueries {
        |FROM rk WHERE rn = 1 ORDER BY k, target_ppm""".stripMargin
   }
 
+  /** FILTERED OPQ-ROTATED GRID (e39 — VERDICT r17 next-#5, closing
+    * the e37 design note): the OPQ family's operating points measured
+    * UNDER the metadata predicate — [[Similarity
+    * .ivfPqFilteredOperatingGrid3d]] applied to the [[Opq.rotate]]d
+    * corpus with the rotation-trained quantizers (e30's models),
+    * filtered by the SAME `en` id set (rotation preserves ids, and an
+    * orthogonal rotation preserves cosine, so the filtered truth and
+    * the survivor fraction are commensurate with the e35/e37 cells).
+    * The rotated corpus still cannot share the filtered SUBSTRATE —
+    * but the union in e37/e38 needs shared COLUMNS, not a shared
+    * substrate, exactly as unfiltered e31 unions e30. Oracle: the e30
+    * rotation-replay chain in the `e` slot of the filtered grid body. */
+  val e39FilteredOpqGrid: Q = (s, dir) =>
+    filteredOpqGridRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def filteredOpqGridRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rot = Opq.rotate(Catalog(s, dir).embeddings, "embedding", "vec_id",
+      opqReflectors)
+    val (cells, pqCb) = opqModel(s, dir)
+    val en = Catalog(s, dir).documents.filter(col("lang") === "en")
+      .select(col("doc_id").as("id"))
+    Similarity.ivfPqFilteredOperatingGrid3d(rot, en,
+      rot.filter(col("id") % 100 === 0), "v", "id",
+      ks = grid3dKs, cellCodebook = cells.centroids, m = 4,
+      pqCodebook = pqCb, rs = grid3dRs, nProbes = grid3dNps)
+  }
+
+  private lazy val opqFilteredECtes: String =
+    s"""$opqRotCtesBody,
+       |en AS (SELECT doc_id AS id FROM documents WHERE lang = 'en')""".stripMargin
+
+  private lazy val e39SqlBody: String =
+    familyGridBodySql(s"$pqCbCtes,\n$pqAdcScpCtes", "scp", "adc_d2",
+      filtered = true, eDef = opqFilteredECtes)
+
+  lazy val e39Sql: String =
+    s"$e39SqlBody\nORDER BY n_probe, r_shortlist, k"
+
   /** FILTERED CROSS-FAMILY GRID (e37 — e31 × e17, the direction the
-    * e33/e36 design notes pointed): the PQ, SQ8, and BQ families
-    * measured UNDER the metadata predicate over ONE shared filtered
-    * substrate ([[Similarity.ivfFilteredFamilyOperatingGrids]] — one
-    * filtered probe stage, one filtered truth job, full-corpus scan
-    * denominator, `selectivity_ppm` on every row). OPQ is deliberately
-    * absent: its rotated corpus cannot share the substrate, and a
-    * filtered serving choice wants the families that share one index
-    * storage. Oracle: three [[familyGridBodySql]] instances in
+    * e33/e36 design notes pointed): ALL FOUR quantizer families
+    * measured UNDER the metadata predicate — PQ, SQ8, and BQ over ONE
+    * shared filtered substrate ([[Similarity
+    * .ivfFilteredFamilyOperatingGrids]] — one filtered probe stage,
+    * one filtered truth job, full-corpus scan denominator,
+    * `selectivity_ppm` on every row), plus OPQ unioned in from its own
+    * rotated substrate (e39 — VERDICT r17 next-#5: the union needs
+    * shared COLUMNS, not a shared substrate, exactly as unfiltered e31
+    * unions e30). Oracle: four [[familyGridBodySql]] instances in
     * filtered mode — the SAME builder text as the unfiltered e27/e29/
-    * e34 bodies, so the (family × filtered) matrix cannot fork. */
+    * e34/e30 bodies, so the (family × filtered) matrix cannot fork. */
   val e37FilteredFamily: Q = (s, dir) =>
     filteredFamilyRelation(s, dir)
       .orderBy(col("family"), col("n_probe"), col("r_shortlist"), col("k"))
@@ -1612,11 +1653,13 @@ object DataQueries {
       .select(col("doc_id").as("vec_id"))
     val (mins, scales) = Similarity.sqTrain(emb, "embedding", "vec_id")
     Similarity.ivfFilteredFamilyOperatingGrids(emb, en,
-      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
-      ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
-      pqCodebook = pqModel(s, dir), mins = mins, scales = scales,
-      bqThresholds = Similarity.bqTrain(emb, "embedding", "vec_id"),
-      rs = grid3dRs, nProbes = grid3dNps)
+        emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+        ks = grid3dKs, cellCodebook = kmModel(s, dir).centroids, m = 4,
+        pqCodebook = pqModel(s, dir), mins = mins, scales = scales,
+        bqThresholds = Similarity.bqTrain(emb, "embedding", "vec_id"),
+        rs = grid3dRs, nProbes = grid3dNps)
+      .unionByName(filteredOpqGridRelation(s, dir)
+        .withColumn("family", lit("opq_ivf_pq")))
   }
 
   /** SQL twin of [[filteredFamilyRelation]], ending in `g`. */
@@ -1626,9 +1669,11 @@ object DataQueries {
            filtered = true, eDef = filteredECtes)}),
        |fb AS (${familyGridBodySql(bqScbCtes, "scb", "hamming",
            filtered = true, eDef = filteredECtes)}),
+       |fo AS ($e39SqlBody),
        |g AS (SELECT 'ivf_pq' AS family, * FROM fp
        |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM fs
-       |  UNION ALL SELECT 'ivf_bq' AS family, * FROM fb)""".stripMargin
+       |  UNION ALL SELECT 'ivf_bq' AS family, * FROM fb
+       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM fo)""".stripMargin
 
   lazy val e37Sql: String =
     s"""WITH $filteredFamilyCtes
@@ -1637,10 +1682,13 @@ object DataQueries {
 
   /** FILTERED CROSS-FAMILY LAYOUT CHOICE (e38): e36's decision with
     * the e37 union as the candidate set — per (k, recall target), the
-    * cheapest of {three quantizer families under the predicate} ∪
-    * {the predicate-pruned exact scan at `selectivity_ppm`}. This is
-    * the complete filtered-serving capacity decision: which index
-    * family to build for a filtered workload, or none at all. */
+    * cheapest of {all FOUR quantizer families under the predicate,
+    * OPQ included since r18} ∪ {the predicate-pruned exact scan at
+    * `selectivity_ppm`}. This is the complete filtered-serving
+    * capacity decision: which index family to build for a filtered
+    * workload, or none at all — and a workload whose best family is
+    * OPQ now gets the same answer from e38 that e31 would give
+    * unfiltered (VERDICT r17 next-#5). */
   val e38FilteredChoice: Q = (s, dir) => {
     import s.implicits._
     val grid = filteredFamilyRelation(s, dir)
@@ -5911,6 +5959,7 @@ object DataQueries {
     "e36_filtered_layout" -> e36FilteredLayout,
     "e37_filtered_family" -> e37FilteredFamily,
     "e38_filtered_choice" -> e38FilteredChoice,
+    "e39_filtered_opq_grid" -> e39FilteredOpqGrid,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
@@ -6030,6 +6079,7 @@ object DataQueries {
     "e36_filtered_layout" -> e36Sql,
     "e37_filtered_family" -> e37Sql,
     "e38_filtered_choice" -> e38Sql,
+    "e39_filtered_opq_grid" -> e39Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,

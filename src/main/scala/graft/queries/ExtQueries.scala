@@ -1578,24 +1578,12 @@ object ExtQueries {
     * in the gate, per the q59/q60 contract. At 100 TB this is the
     * warehouse read path: dir pruning cuts tenants, zone maps cut
     * time, and the scan opens no footer of a skipped file. */
-  // q62's previous invocation's temp table, swept lazily at the NEXT
-  // invocation (by which point its DataFrame was materialized — the
-  // driver runs queries sequentially): temp growth stays bounded at one
-  // live copy per JVM instead of one per run (review r17)
-  private val q62PrevTmp =
-    new java.util.concurrent.atomic.AtomicReference[String]()
-  private def rmrf(f: java.io.File): Unit = {
-    val cs = f.listFiles()
-    if (cs != null) cs.foreach(rmrf)
-    f.delete(): Unit
-  }
+  // per-invocation temp table, bounded at one live copy per JVM
+  // (graft.io.PerJvmTemp — review r17/r18)
+  private val q62Tmp = new graft.io.PerJvmTemp.Slot("graft-q62-vt")
 
   val q62VersionedRange: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q62-vt")
-      .toString
-    Option(q62PrevTmp.getAndSet(tmp))
-      .foreach(p => rmrf(new java.io.File(p)))
-    val root = tmp + "/orders_vt"
+    val root = q62Tmp.fresh().toString + "/orders_vt"
     val orders = Catalog(s, dir).orders
       .withColumn("bucket", pmod(col("o_orderkey"), lit(8L)))
       .withColumn("od_day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
@@ -1640,16 +1628,11 @@ object ExtQueries {
     * matching file). At 100 TB this is the needle-in-haystack serving
     * read: partition dirs cut tenants, min/max cuts time, and the
     * bloom class cuts POINT probes min/max cannot. */
-  private val q66PrevTmp =
-    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val q66Tmp = new graft.io.PerJvmTemp.Slot("graft-q66-vt")
   private val q66Probes = Seq(7L, 61L, 94L) // non-mod-3 keys: orders exist
 
   val q66BloomPoint: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q66-vt")
-      .toString
-    Option(q66PrevTmp.getAndSet(tmp))
-      .foreach(p => rmrf(new java.io.File(p)))
-    val root = tmp + "/orders_bloom"
+    val root = q66Tmp.fresh().toString + "/orders_bloom"
     val orders = Catalog(s, dir).orders
       .withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
       .withColumn("ck_tag",

@@ -1121,6 +1121,41 @@ object ScaleProbe {
         VersionedTable.readRange(spark, root, "ts", lo, hi)
       }
     }
+    // r18 bloom zones: a POINT lookup on a key hash-scattered across
+    // every batch (min/max zones span the probe in every file — only
+    // the "b" bloom class can skip). A needle present in ONE batch
+    // must read a near-constant file set as batches accumulate; the
+    // kept-of-total line is the index evidence, the timed read then
+    // tracks kept files, not table size.
+    stage("bloom_point") {
+      import graft.pipeline.VersionedTable
+      val root = s"/tmp/graft_scale_bloom_${replicas}x/tbl"
+      if (!VersionedTable.currentVersion(spark, root)
+          .exists(_ >= replicas)) {
+        VersionedTable.setBloomColumns(spark, root, Seq("ck_tag"))
+        (VersionedTable.currentVersion(spark, root).getOrElse(0L).toInt
+            until replicas).foreach { day =>
+          VersionedTable.merge(spark, root,
+            base.select((col("doc_id") + lit(day * 1000000L)).as("doc_id"),
+              lit(s"b$day").as("p"),
+              // high-cardinality scattered tag: every file's min/max
+              // spans the probe; the needle value lands in batch 0 only
+              concat(lit("C"), pmod(col("doc_id") + lit(day * 7919L),
+                lit(100000L)).cast("string")).as("ck_tag"),
+              col("text")),
+            uniqueKey = Seq("p", "doc_id"), partitionBy = Seq("p"))
+        }
+      }
+      val total = VersionedTable.read(spark, root).inputFiles.length
+      val probe = "C2345" // present in batch 0 for any replica count
+      val kept = VersionedTable.rangeFiles(spark, root, "ck_tag",
+        probe, probe)
+      println(s"[scale] bloom_point_${replicas}x kept ${kept.length} of " +
+        s"$total files for one point probe")
+      t(s"bloom_point_${replicas}x") {
+        VersionedTable.readPoint(spark, root, "ck_tag", probe)
+      }
+    }
     // t27 Moore-Lewis selection: two bounded LM fits (vocab-literal
     // collects over the sample/in-domain slices), then ONE map-only
     // two-expression scoring projection over the corpus.

@@ -41,6 +41,41 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("dropWithLocation clears a QUALIFIED table's real location (r18, ADVICE r17)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(col("id").as("k"), col("id").as("v"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bspec_db")
+    try {
+      df.write.mode("overwrite").format("parquet")
+        .saveAsTable("graft_bspec_db.t1")
+      // the real managed location lives under <warehouse>/<db>.db/<tbl>
+      // — the old <warehouse>/<tbl> convention computes a WRONG path
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier("t1", Some("graft_bspec_db"))).location.getPath
+      assert(new java.io.File(loc).exists())
+      Bucketing.dropWithLocation(spark, "graft_bspec_db.t1")
+      assert(!spark.catalog.tableExists("graft_bspec_db.t1"))
+      assert(!new java.io.File(loc).exists(),
+        s"qualified table's location $loc must be removed")
+      // and a rebuild under the same name succeeds (the contract the
+      // method exists for: no LOCATION_ALREADY_EXISTS on re-create)
+      df.write.format("parquet").saveAsTable("graft_bspec_db.t1")
+      assert(spark.table("graft_bspec_db.t1").count() === 10L)
+      Bucketing.dropWithLocation(spark, "graft_bspec_db.t1")
+      // cross-JVM fallback path still works for unqualified names: an
+      // orphan location with NO catalog entry is cleared by convention
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val orphan = new java.io.File(
+        new java.net.URI(wh).getPath, "graft_bspec_orphan")
+      orphan.mkdirs()
+      assert(orphan.exists())
+      Bucketing.dropWithLocation(spark, "graft_bspec_orphan")
+      assert(!orphan.exists(), "conventional fallback must clear orphans")
+    } finally
+      spark.sql("DROP DATABASE IF EXISTS graft_bspec_db CASCADE")
+  }
+
   test("q63 gate shape: bucketed-join mart equals the plain join (r17)") {
     // the layout must be invisible in results — the q63 oracle's claim,
     // re-derived here engine-side; the no-Exchange property is enforced

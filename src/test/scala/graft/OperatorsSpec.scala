@@ -1102,13 +1102,33 @@ class OperatorsSpec extends SparkSpec {
       .forall { case (_, rows) => rows.map(_.getLong(5)).distinct.length == 1 })
   }
 
-  test("e38 filtered choice: cheapest across three families or the pruned scan (r17)") {
+  test("e38 filtered choice: cheapest across FOUR families (OPQ unioned, r18) or the pruned scan") {
     val dir = "/root/testdata/sf0.001"
-    val cells = graft.queries.DataQueries.e37FilteredFamily(spark, dir)
-      .collect().map(r => (r.getAs[String]("family"), r.getAs[Long]("k"),
+    val rows = graft.queries.DataQueries.e37FilteredFamily(spark, dir)
+      .collect()
+    val cells = rows.map(r => (r.getAs[String]("family"), r.getAs[Long]("k"),
         r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
         r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm"),
         r.getAs[Long]("selectivity_ppm")))
+    // the union carries all four families — OPQ from its own rotated
+    // substrate (VERDICT r17 next-#5: shared COLUMNS, not substrate)
+    assert(cells.map(_._1).distinct.sorted.toSeq ===
+      Seq("ivf_bq", "ivf_pq", "ivf_sq8", "opq_ivf_pq"))
+    // rotation preserves ids and the predicate, so OPQ's survivor
+    // fraction must equal the shared substrate's — one selectivity
+    assert(cells.map(_._7).distinct.length === 1)
+    // the OPQ rows ARE the standalone filtered-OPQ grid's cells
+    val standalone = graft.queries.DataQueries
+      .e39FilteredOpqGrid(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
+        r.getAs[Long]("k")) -> (r.getAs[Long]("recall_ppm"),
+        r.getAs[Long]("scanned_ppm"))).toMap
+    val opqRows = cells.filter(_._1 == "opq_ivf_pq")
+    assert(opqRows.length === standalone.size)
+    opqRows.foreach { c =>
+      assert(standalone((c._3, c._4, c._2)) === ((c._5, c._6)),
+        s"e37 OPQ cell (${c._3},${c._4},${c._2}) diverged from e39")
+    }
     val sel = cells.head._7
     val grid = cells ++ cells.map(_._2).distinct
       .map(k => ("flat_filtered", k, 0L, 0L, 1000000L, sel, sel))
