@@ -149,12 +149,18 @@ object Verify {
     // an error() CTE; this line is the one-line diagnosis next round's
     // diff sees first). Probe = max whitespace-token length over the
     // lowercased corpus, exactly the oracle's `max(len(w)) FROM udw`.
+    // GraftFunctions.tokens, NOT a fresh Java \s split: Java \s also
+    // splits on \x0B where the oracle's RE2 \s does not, and the probe
+    // must see exactly the words the oracle's DP will see (review
+    // r18). coalesce(0): an empty/degenerate corpus reads as probe 0,
+    // never an NPE that kills the dump.
     val maxWordLen = {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-        .filter(col("w") =!= "")
-        .agg(max(length(col("w")))).head.getInt(0)
+        .select(explode(graft.functions.GraftFunctions
+          .tokens(lower(col("text")))).as("w"))
+        .agg(coalesce(max(length(col("w"))), lit(0)))
+        .head.getInt(0)
     }
     val unroll = graft.queries.DataQueries.uniUnroll
     println(s"[verify] probe max_word_len $maxWordLen " +

@@ -41,18 +41,22 @@ object Bucketing {
     // stays as the fallback for the cross-JVM case this method exists
     // for: a fresh session whose catalog has no entry, but whose
     // warehouse dir still holds a previous JVM's table location.
+    // arity check OUTSIDE the lookup try: a >2-part name must fail
+    // loudly (the fallback would compute a wrong path and silently
+    // skip the cleanup — review r18), while a mere lookup failure only
+    // degrades to the convention
+    val ti = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(table) match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case parts => throw new IllegalArgumentException(
+        s"dropWithLocation: '$table' (${parts.length} parts) nests " +
+          "deeper than db.table")
+    }
     val catalogLoc: Option[String] =
       try {
-        val ident = spark.sessionState.sqlParser
-          .parseMultipartIdentifier(table)
         val cat = spark.sessionState.catalog
-        val ti = ident match {
-          case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
-          case Seq(db, t) =>
-            org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
-          case _ => throw new IllegalArgumentException(
-            s"dropWithLocation: '$table' nests deeper than db.table")
-        }
         if (cat.tableExists(ti))
           Some(cat.getTableMetadata(ti).location.toString)
         else None

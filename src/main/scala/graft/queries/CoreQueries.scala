@@ -156,14 +156,24 @@ object CoreQueries {
     * bounded (previous tick's dir swept on the next invocation, the
     * q62 pattern). */
   private val s01Tmp = new graft.io.PerJvmTemp.Slot("graft-s01-land")
+  // previous invocation's memory-sink view, dropped lazily at the NEXT
+  // invocation (by which point its DataFrame was materialized — the
+  // driver runs queries sequentially): the drained copy in driver
+  // memory stays bounded at one live view per JVM, the same
+  // one-live-copy discipline PerJvmTemp gives the landing dir
+  // (review r18)
+  private val s01PrevView =
+    new java.util.concurrent.atomic.AtomicReference[String]()
   val s01StreamHarmonize: Q = (s, dir) => {
     val tmp = s01Tmp.fresh()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events-1.parquet"))
     val ev = graft.streaming.EventStreams.readEvents(s, tmp.toString)
-    graft.streaming.EventStreams.runAvailableNow(s, harmonizeFeeds(ev),
-        s"s01_drain_${java.util.UUID.randomUUID.toString.take(8)}")
+    val view = s"s01_drain_${java.util.UUID.randomUUID.toString.take(8)}"
+    Option(s01PrevView.getAndSet(view))
+      .foreach(s.catalog.dropTempView(_): Unit)
+    graft.streaming.EventStreams.runAvailableNow(s, harmonizeFeeds(ev), view)
       .orderBy(col("event_id"))
   }
 
