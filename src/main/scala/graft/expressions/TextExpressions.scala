@@ -889,7 +889,78 @@ case class UnigramCountExpr(child: Expression, costsU: Map[String, Long],
     copy(child = newChild)
 }
 
+/** WORDPIECE greedy longest-match-first segmentation of ONE word
+  * (Wu et al. 2016 / BERT's tokenizer, the third production tokenizer
+  * family next to BPE and the unigram LM): at each position take the
+  * LONGEST vocab piece — the initial form at position 0, the
+  * `##`-prefixed continuation form after — and advance; if NO piece
+  * matches at some position the WHOLE word is the single [UNK] token
+  * (BERT's all-or-nothing rule, not per-char OOV). Returns a struct
+  * `(tk, unk)`: tk = piece count (1 for an [UNK] word, 0 for an empty
+  * word), unk = 1 iff the word failed. DETERMINISM CONTRACT, shared
+  * with the unrolled greedy oracle (DataQueries t36): longest-first is
+  * scanned by DESCENDING length with no tie possible (one candidate
+  * per length), and code-point indexing matches DuckDB substr
+  * semantics for non-BMP input. Vocab pieces are stored WITH their
+  * form marker (`##x` vs `x`), so one set holds both forms. */
+case class WordpieceCountExpr(child: Expression, vocab: Set[String],
+                              maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tk",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("unk",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_wordpiece_count"
+
+  @transient private lazy val lookup: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val cpsArr = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cpsArr.length
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    val chars = new Array[String](n)
+    var c = 0
+    while (c < n) {
+      chars(c) = new String(Character.toChars(cpsArr(c))); c += 1
+    }
+    var pos = 0
+    var tk = 0L
+    while (pos < n) {
+      var l = math.min(maxPieceLen, n - pos)
+      var adv = 0
+      while (l >= 1 && adv == 0) {
+        val sb = new java.lang.StringBuilder(l + 2)
+        if (pos > 0) sb.append("##")
+        var p = pos
+        while (p < pos + l) { sb.append(chars(p)); p += 1 }
+        if (lookup.contains(sb.toString)) adv = l
+        l -= 1
+      }
+      if (adv == 0) // BERT rule: any unmatchable position -> whole-word [UNK]
+        return org.apache.spark.sql.catalyst.InternalRow(1L, 1L)
+      tk += 1L
+      pos += adv
+    }
+    org.apache.spark.sql.catalyst.InternalRow(tk, 0L)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  def wordpieceCount(word: Column, vocab: Set[String],
+                     maxPieceLen: Int): Column =
+    Bridge.column(WordpieceCountExpr(Bridge.expression(word), vocab,
+      maxPieceLen))
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeExpr(Bridge.expression(word), merges))
   def unigramCount(word: Column, costsU: Map[String, Long],

@@ -1638,6 +1638,107 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("unigram_per_ws"))
   }
 
+  /** Fit a WORDPIECE vocabulary (Wu et al. 2016 / BERT's tokenizer —
+    * the third production tokenizer family): form-tagged substring
+    * counting over the deterministic 5% sample's bounded word vocab —
+    * INITIAL pieces are substrings starting the word, CONTINUATION
+    * pieces carry the `##` marker (the two forms count separately,
+    * exactly as a BERT vocab file stores them) — then the top
+    * `candVocab` pieces by weighted frequency (md5 tie-break, the
+    * t20/t33 rule) plus the single-char coverage floor IN BOTH FORMS,
+    * so every sample word segments without [UNK]; unsampled words may
+    * legitimately fail to [UNK], BERT's semantics. Pure counting — the
+    * oracle replays the whole fit in SQL. Pieces are literal strings:
+    * a word that itself starts with `##` is keyed identically on both
+    * engines (the same accepted ambiguity a real BERT vocab has). */
+  def fitWordpieceVocab(docs: DataFrame, textCol: String, idCol: String,
+                        vocabWords: Int = 2000, pieceMaxLen: Int = 4,
+                        candVocab: Int = 120, sampleMod: Int = 20)
+      : Set[String] = {
+    val sample = docs.filter(
+      pmod(md5Long(col(idCol).cast(StringType)), lit(sampleMod.toLong)) === 0L)
+    val words = sample
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, md5(col("w")), col("w"))
+      .limit(vocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    fitWordpieceDriver(words, pieceMaxLen, candVocab)
+  }
+
+  /** Driver-side wordpiece fit over a bounded weighted word list
+    * (exposed for the spec's hand-checked examples). */
+  private[graft] def fitWordpieceDriver(words: Seq[(String, Long)],
+                                        pieceMaxLen: Int, candVocab: Int)
+      : Set[String] = {
+    require(words.nonEmpty, "wordpiece fit needs a non-empty sample vocab")
+    def cps(w: String): Array[String] = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, f) =>
+      val a = cps(w)
+      var i = 0
+      while (i < a.length) {
+        var l = 1
+        while (l <= math.min(pieceMaxLen, a.length - i)) {
+          val p = (if (i == 0) "" else "##") + a.slice(i, i + l).mkString
+          counts(p) = counts.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, md5Hex(p), p) }
+      .take(candVocab).map(_._1)
+    // single-char coverage floor, form-aware: `##x` counts its text
+    // char, a bare piece counts itself (same CASE the oracle applies)
+    val singles = counts.keys.filter { p =>
+      val text = if (p.startsWith("##")) p.substring(2) else p
+      text.nonEmpty && text.codePointCount(0, text.length) == 1
+    }
+    (top ++ singles).toSet
+  }
+
+  /** Per-document WORDPIECE accounting report (t36) — [[unigramStats]]'
+    * shape for the third tokenizer family, plus the [UNK] incidence the
+    * greedy all-or-nothing rule makes a first-class quality signal:
+    * whitespace vs wordpiece counts, failed-word count, and the ratio. */
+  def wordpieceStats(docs: DataFrame, textCol: String, idCol: String,
+                     vocab: Set[String], pieceMaxLen: Int = 4): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(tokens(lower(col(textCol)))).cast(LongType).as("n_ws_tokens"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.wordpieceCount(
+          col("w"), vocab, pieceMaxLen).as("wp"))
+      .groupBy("doc_id").agg(sum(col("wp.tk")).as("n_wp"),
+        sum(col("wp.unk")).as("n_unk"))
+    base.join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_ws_tokens"),
+        coalesce(col("n_wp"), lit(0L)).as("n_wordpiece_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk_words"),
+        when(col("n_ws_tokens") > 0,
+          round(coalesce(col("n_wp"), lit(0L)).cast(DoubleType) /
+            col("n_ws_tokens"), 6))
+          .otherwise(lit(0.0)).as("wordpiece_per_ws"))
+  }
+
+  /** Per-document wordpiece token count, pluggable into [[tokenStats]] /
+    * [[packSequences]] / [[domainMixture]] like [[bpeTokenCounter]] and
+    * [[unigramTokenCounter]] (the pluggable-counter contract's third
+    * real family). [UNK] words count their single [UNK] token. */
+  def wordpieceTokenCounter(vocab: Set[String], pieceMaxLen: Int = 4)
+      : Column => Column =
+    text => coalesce(
+      aggregate(
+        transform(tokens(lower(text)), w =>
+          graft.expressions.TextExpressions
+            .wordpieceCount(w, vocab, pieceMaxLen).getField("tk")),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
+
   // -------------------------------------------------------------------
   // Incremental data card (the t22 release datasheet as a delta fold)
   // -------------------------------------------------------------------

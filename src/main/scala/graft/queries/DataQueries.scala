@@ -3492,6 +3492,151 @@ object DataQueries {
        |  END AS fertility_ppm
        |FROM ug ORDER BY lang""".stripMargin
 
+  private val wpUnroll = 16 // max word length the greedy oracle unrolls to
+
+  /** WORDPIECE TOKENIZER FIT + PER-DOC REPORT (t36 — Wu et al. 2016 /
+    * BERT's greedy longest-match-first segmentation, the THIRD
+    * production tokenizer family next to t20's BPE and t33's unigram
+    * LM): form-tagged substring counts over the same 5% sample vocab
+    * (initial pieces vs `##`-marked continuations, counted separately
+    * exactly as a BERT vocab file stores them), top-[[uniCandVocab]]
+    * pieces by md5-tie-broken frequency plus the single-char coverage
+    * floor in both forms, then every corpus word encoded greedily —
+    * longest piece first, whole word → one [UNK] token on any
+    * unmatchable position (the all-or-nothing BERT rule, which makes
+    * [UNK] incidence a first-class per-doc quality signal). The oracle
+    * replays the ENTIRE fit and encode: the form-tagged counting, the
+    * tie-broken top-K, and [[wpUnroll]] unrolled greedy steps whose
+    * per-step longest match is a max() over the ≤[[uniPieceLen]]
+    * candidate arms — any divergence at any step of any word is a hash
+    * mismatch; a corpus word past the unroll error()s self-describingly
+    * (the t33 uglen contract). Scale shape mirrors t20/t33: bounded
+    * driver fit on the sample, ONE compiled map-only expression per
+    * word for the corpus pass. */
+  val t36WordpieceTokenize: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val vocab = TextAnalysis.fitWordpieceVocab(docs, "text", "doc_id",
+      vocabWords = bpeVocab, pieceMaxLen = uniPieceLen,
+      candVocab = uniCandVocab)
+    TextAnalysis.wordpieceStats(docs.repartition(col("doc_id")), "text",
+        "doc_id", vocab, uniPieceLen)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The whole t36 oracle chain — sample vocab, form-tagged piece
+    * counts, top-K + char floor, the unrolled greedy encode, per-doc
+    * sums — shared verbatim by [[t37Sql]] (the t33/t34 pattern). */
+  private lazy val wpPerDocCtes: String = {
+    val steps = (1 to wpUnroll).map { j =>
+      s"""wcd$j AS (SELECT s.w, l.l AS adv FROM wst${j - 1} s
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $uniPieceLen)) AS l) l
+         |  JOIN wvcb v ON v.piece = CASE WHEN s.pos = 1
+         |    THEN substr(s.w, s.pos, l.l)
+         |    ELSE '##' || substr(s.w, s.pos, l.l) END
+         |  WHERE s.unk = 0 AND s.pos <= len(s.w)
+         |    AND s.pos + l.l - 1 <= len(s.w)),
+         |wmx$j AS (SELECT w, max(adv) AS adv FROM wcd$j GROUP BY 1),
+         |wst$j AS MATERIALIZED (
+         |  SELECT s.w, s.pos + m.adv AS pos, s.tk + 1 AS tk, 0 AS unk
+         |    FROM wst${j - 1} s JOIN wmx$j m USING (w)
+         |  UNION ALL
+         |  SELECT s.w, s.pos, s.tk, 1 AS unk FROM wst${j - 1} s
+         |    WHERE s.unk = 0 AND s.pos <= len(s.w)
+         |      AND NOT EXISTS (SELECT 1 FROM wmx$j m WHERE m.w = s.w)
+         |  UNION ALL
+         |  SELECT s.w, s.pos, s.tk, s.unk FROM wst${j - 1} s
+         |    WHERE s.unk = 1 OR s.pos > len(s.w))""".stripMargin
+    }.mkString(",\n")
+    s"""wsmp AS MATERIALIZED (SELECT lower(text) AS text FROM documents
+       |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0),
+       |wwrd AS (SELECT unnest(list_filter(
+       |  string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM wsmp),
+       |wfw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM wwrd GROUP BY 1 ORDER BY f DESC, md5(w), w LIMIT $bpeVocab),
+       |wsb0 AS (SELECT w, f, unnest(generate_series(1, len(w))) AS i FROM wfw),
+       |wsb1 AS (SELECT w, f, i, unnest(generate_series(1, $uniPieceLen)) AS l
+       |  FROM wsb0),
+       |wsub AS MATERIALIZED (SELECT CASE WHEN i = 1 THEN substr(w, i, l)
+       |    ELSE '##' || substr(w, i, l) END AS piece,
+       |  CAST(SUM(f) AS BIGINT) AS n FROM wsb1
+       |  WHERE i + l - 1 <= len(w) GROUP BY 1),
+       |wcnd AS (SELECT piece FROM wsub
+       |  ORDER BY n DESC, md5(piece), piece LIMIT $uniCandVocab),
+       |wvcb AS MATERIALIZED (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM wcnd
+       |  UNION ALL SELECT piece FROM wsub
+       |  WHERE CASE WHEN piece LIKE '##%' THEN len(piece) = 3
+       |    ELSE len(piece) = 1 END)),
+       |wdt AS MATERIALIZED (SELECT doc_id, list_filter(
+       |  string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |wbse AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens
+       |  FROM wdt),
+       |wow AS (SELECT doc_id, unnest(toks) AS w FROM wdt),
+       |wdw AS MATERIALIZED (SELECT DISTINCT w FROM wow),
+       |wglen AS (SELECT CASE WHEN max(len(w)) > $wpUnroll
+       |  THEN error('t36/t37 oracle: corpus word of length ' ||
+       |    CAST(max(len(w)) AS VARCHAR) || ' exceeds the $wpUnroll-step ' ||
+       |    'greedy unroll - raise wpUnroll (graft.queries.DataQueries)')
+       |  ELSE 1 END AS ok FROM wdw),
+       |wst0 AS (SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS tk, 0 AS unk
+       |  FROM wdw),
+       |$steps,
+       |wtk AS (SELECT w,
+       |  CASE WHEN unk = 1 THEN CAST(1 AS BIGINT) ELSE tk END AS tk,
+       |  CAST(unk AS BIGINT) AS unk FROM wst$wpUnroll),
+       |wpd AS (SELECT o.doc_id, CAST(SUM(t.tk) AS BIGINT) AS n_wp,
+       |  CAST(SUM(t.unk) AS BIGINT) AS n_unk
+       |  FROM wow o JOIN wtk t USING (w)
+       |  WHERE (SELECT ok FROM wglen) = 1 GROUP BY 1)""".stripMargin
+  }
+
+  lazy val t36Sql: String =
+    s"""WITH $wpPerDocCtes
+       |SELECT b.doc_id, b.n_ws_tokens,
+       |  CAST(COALESCE(p.n_wp, 0) AS BIGINT) AS n_wordpiece_tokens,
+       |  CAST(COALESCE(p.n_unk, 0) AS BIGINT) AS n_unk_words,
+       |  CASE WHEN b.n_ws_tokens > 0
+       |    THEN round(CAST(COALESCE(p.n_wp, 0) AS DOUBLE) / b.n_ws_tokens, 6)
+       |    ELSE 0.0 END AS wordpiece_per_ws
+       |FROM wbse b LEFT JOIN wpd p USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** WORDPIECE FERTILITY PER LANGUAGE (t37): the t32/t34
+    * tokenizer-equity metric under the THIRD family — the pluggable
+    * [[fertilityRelation]] fed by t36's wordpiece stats, so the
+    * per-language token-budget comparison now exists for all three
+    * production tokenizers. Oracle = the shared t36 chain + the t01
+    * language CASE + the t32 integer-ppm fold. */
+  val t37WordpieceFertility: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val vocab = TextAnalysis.fitWordpieceVocab(docs, "text", "doc_id",
+      vocabWords = bpeVocab, pieceMaxLen = uniPieceLen,
+      candVocab = uniCandVocab)
+    fertilityRelation(s, dir,
+      TextAnalysis.wordpieceStats(docs.repartition(col("doc_id")), "text",
+        "doc_id", vocab, uniPieceLen),
+      nTokCol = "n_wordpiece_tokens", outTokCol = "wp_tokens")
+  }
+
+  lazy val t37Sql: String =
+    s"""WITH $wpPerDocCtes,
+       |${langCaseCtes("wdt", "wln0", "wlng", "lang")},
+       |wj AS (SELECT wlng.lang, b.n_ws_tokens,
+       |  CAST(COALESCE(p.n_wp, 0) AS BIGINT) AS nw
+       |  FROM wbse b LEFT JOIN wpd p USING (doc_id)
+       |  JOIN wlng USING (doc_id)),
+       |wg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(nw) AS BIGINT) AS wp_tokens
+       |  FROM wj GROUP BY 1)
+       |SELECT lang, n_docs, ws_tokens, wp_tokens,
+       |  CASE WHEN ws_tokens = 0 THEN 0
+       |    ELSE (wp_tokens // ws_tokens) * 1000000
+       |      + ((wp_tokens % ws_tokens) * 1000000) // ws_tokens
+       |  END AS fertility_ppm
+       |FROM wg ORDER BY lang""".stripMargin
+
   private val nbVocab = 300
 
   /** Literal-delivery plumbing shared by every fitted-model family
@@ -5967,6 +6112,8 @@ object DataQueries {
     "t33_unigram_tokenize" -> t33UnigramTokenize,
     "t34_unigram_fertility" -> t34UnigramFertility,
     "t35_ppl_buckets" -> t35PplBuckets,
+    "t36_wordpiece_tokenize" -> t36WordpieceTokenize,
+    "t37_wordpiece_fertility" -> t37WordpieceFertility,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -6087,6 +6234,8 @@ object DataQueries {
     "t33_unigram_tokenize" -> t33Sql,
     "t34_unigram_fertility" -> t34Sql,
     "t35_ppl_buckets" -> t35Sql,
+    "t36_wordpiece_tokenize" -> t36Sql,
+    "t37_wordpiece_fertility" -> t37Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

@@ -1088,6 +1088,18 @@ object ScaleProbe {
           costs, oov)
       }
     }
+    // r18 wordpiece tokenizer: bounded driver fit (form-tagged counting
+    // over the sample vocab, no EM) + ONE compiled greedy-match map
+    // pass — the ladder must be the map-only linear shape, like the
+    // BPE encode's and the unigram fit's.
+    stage("wordpiece_fit") {
+      t(s"wordpiece_fit_${replicas}x") {
+        val vocab = graft.operators.TextAnalysis.fitWordpieceVocab(
+          docs, "text", "doc_id")
+        graft.operators.TextAnalysis.wordpieceStats(docs, "text", "doc_id",
+          vocab)
+      }
+    }
     // r16 zone maps: a narrow second-column range over a table built
     // from `replicas` merged day-batches must read a BOUNDED file set
     // no matter how many versions accumulated — the kept-of-total line
