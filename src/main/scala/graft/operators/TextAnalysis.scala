@@ -1739,6 +1739,71 @@ object TextAnalysis {
         lit(0L), (acc, x) => acc + x),
       lit(0L))
 
+  /** DSIR hashed-feature column (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): unigrams + bigrams of
+    * the lowercased whitespace tokens — the paper's hashed-ngram
+    * feature set, ONE array per doc so the weight pass stays map-only. */
+  private def dsirFeatures(text: Column): Column = {
+    val tk = tokens(lower(text))
+    val n = greatest(size(tk) - 1, lit(0))
+    concat(tk, zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Fit the DSIR per-bucket IMPORTANCE LOG-RATIOS: features hash into
+    * `buckets` md5 buckets (engine-deterministic, like every graft
+    * sketch), the target distribution is counted over `isTarget` rows
+    * and the raw distribution over ALL rows — one constant-state
+    * map-side-combinable aggregation each, merged in one pass — then
+    * delta(b) = ln p_target(b) − ln p_raw(b) with Laplace(+1)/bucket
+    * smoothing, in integer NANO-NATS via [[ExactLn.lnNanoFloor]]
+    * (host-exact) and [[QuantAudit]]-guarded so the oracle's libm ln
+    * replay can never flip a floor. Bounded collect: `buckets` rows.
+    * At 100 TB the fit is one pass with 2·B counters of state. */
+  def fitDsirDelta(docs: DataFrame, textCol: String, isTarget: Column,
+                   buckets: Int = 1024): Seq[Long] = {
+    val rows = docs
+      .select(explode(dsirFeatures(col(textCol))).as("f"), isTarget.as("t"))
+      .select(pmod(md5Long(col("f")), lit(buckets.toLong)).as("b"), col("t"))
+      .groupBy("b").agg(count(lit(1)).as("nr"),
+        count(when(col("t"), 1)).as("nt"))
+      .collect()
+    val cntR = new Array[Long](buckets)
+    val cntT = new Array[Long](buckets)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      cntR(b) = r.getLong(1); cntT(b) = r.getLong(2)
+    }
+    val totR = cntR.sum + buckets
+    val totT = cntT.sum + buckets
+    QuantAudit.audit("dsir-buckets",
+      (0 until buckets).flatMap(b => Seq(
+        math.log(totR.toDouble / (cntR(b) + 1)) * 1e9 + 0.5,
+        math.log(totT.toDouble / (cntT(b) + 1)) * 1e9 + 0.5)))
+    // delta = cost_raw − cost_target = ln p_t − ln p_r (both −ln forms)
+    (0 until buckets).map(b =>
+      ExactLn.lnNanoFloor(totR, cntR(b) + 1) -
+        ExactLn.lnNanoFloor(totT, cntT(b) + 1))
+  }
+
+  /** Per-doc DSIR importance weight: Σ over the doc's hashed features
+    * of the broadcast-literal bucket delta — ONE map-only compiled
+    * projection (the PQ-codebook literal pattern), no shuffle, no text
+    * exchanged. Positive = more target-like. */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  delta: Seq[Long], buckets: Int = 1024): DataFrame = {
+    require(delta.length == buckets, s"delta table must have $buckets rows")
+    val lut = typedlit(delta)
+    docs.select(col(idCol).as("doc_id"),
+        dsirFeatures(col(textCol)).as("fs"))
+      .select(col("doc_id"),
+        size(col("fs")).cast(LongType).as("n_features"),
+        coalesce(aggregate(transform(col("fs"), f =>
+            element_at(lut, (pmod(md5Long(f), lit(buckets.toLong)) + 1)
+              .cast(org.apache.spark.sql.types.IntegerType))),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("dsir_weight_nano"))
+  }
+
   // -------------------------------------------------------------------
   // Incremental data card (the t22 release datasheet as a delta fold)
   // -------------------------------------------------------------------

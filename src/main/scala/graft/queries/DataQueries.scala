@@ -3637,6 +3637,75 @@ object DataQueries {
        |  END AS fertility_ppm
        |FROM wg ORDER BY lang""".stripMargin
 
+  private val dsirBuckets = 1024
+  private val dsirK = 100
+
+  /** DSIR DATA SELECTION (t38 — Xie et al. 2023, the importance-
+    * resampling method modern LLM pretraining uses to pick raw-pool
+    * documents that look like a target domain): hashed unigram+bigram
+    * features (md5 % [[dsirBuckets]]), target = the English slice, raw
+    * = the whole pool; per-bucket importance log-ratio
+    * ln p_target − ln p_raw with Laplace smoothing in integer
+    * nano-nats (ExactLn, QuantAudit-guarded), per-doc weight = Σ of
+    * its features' deltas via ONE broadcast-literal map-only
+    * projection, and the hard top-[[dsirK]] selection flag (the
+    * paper's top-k variant; the stochastic resample composes with the
+    * gated d18 A-ES kernel). The oracle replays the ENTIRE method:
+    * feature hashing, both bucket distributions, the smoothed
+    * log-ratio table, every doc's weight, and the rank cut. Scale
+    * shape: one constant-state fit pass + one map-only weight pass +
+    * a TakeOrdered top-k — no global window, no text exchanged. */
+  val t38DsirSelect: Q = (s, dir) => {
+    val docs = Catalog(s, dir).documents
+    val delta = TextAnalysis.fitDsirDelta(docs, "text",
+      col("lang") === "en", dsirBuckets)
+    val w = TextAnalysis.dsirWeights(docs.repartition(col("doc_id")),
+      "text", "doc_id", delta, dsirBuckets)
+    val top = w.orderBy(col("dsir_weight_nano").desc, col("doc_id"))
+      .limit(dsirK).select(col("doc_id")).withColumn("sel", lit(1L))
+    w.join(broadcast(top), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_features"), col("dsir_weight_nano"),
+        coalesce(col("sel"), lit(0L)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t38Sql: String =
+    s"""WITH ddt AS MATERIALIZED (SELECT doc_id, lang, list_filter(
+       |  string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |dfu AS (SELECT doc_id, lang, unnest(toks) AS f FROM ddt),
+       |dfb0 AS (SELECT doc_id, lang, toks,
+       |  unnest(generate_series(1, len(toks) - 1)) AS i
+       |  FROM ddt WHERE len(toks) >= 2),
+       |dfb AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS f
+       |  FROM dfb0),
+       |dft AS MATERIALIZED (SELECT doc_id, lang,
+       |  CAST(('0x'||substr(md5(f),1,15)) AS BIGINT) % $dsirBuckets AS b
+       |  FROM (SELECT * FROM dfu UNION ALL SELECT * FROM dfb)),
+       |dbc AS (SELECT b, CAST(count(*) AS BIGINT) AS nr,
+       |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS nt
+       |  FROM dft GROUP BY 1),
+       |dtot AS (SELECT CAST(SUM(nr) + $dsirBuckets AS BIGINT) AS totr,
+       |  CAST(SUM(nt) + $dsirBuckets AS BIGINT) AS tott FROM dbc),
+       |ddl AS MATERIALIZED (SELECT b,
+       |  CAST(floor(ln(CAST(totr AS DOUBLE) / (nr + 1)) * 1e9 + 0.5) AS BIGINT)
+       |  - CAST(floor(ln(CAST(tott AS DOUBLE) / (nt + 1)) * 1e9 + 0.5) AS BIGINT)
+       |    AS delta
+       |  FROM dbc CROSS JOIN dtot),
+       |dwt AS (SELECT t.doc_id, CAST(SUM(d.delta) AS BIGINT) AS w,
+       |  CAST(count(*) AS BIGINT) AS nf
+       |  FROM dft t JOIN ddl d USING (b) GROUP BY 1),
+       |dall AS (SELECT d.doc_id,
+       |  CAST(COALESCE(w.nf, 0) AS BIGINT) AS n_features,
+       |  CAST(COALESCE(w.w, 0) AS BIGINT) AS dsir_weight_nano
+       |  FROM (SELECT doc_id FROM documents) d
+       |  LEFT JOIN dwt w USING (doc_id)),
+       |drk AS (SELECT *, row_number() OVER
+       |  (ORDER BY dsir_weight_nano DESC, doc_id) AS rn FROM dall)
+       |SELECT doc_id, n_features, dsir_weight_nano,
+       |  CAST(CASE WHEN rn <= $dsirK THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM drk ORDER BY doc_id""".stripMargin
+
   private val nbVocab = 300
 
   /** Literal-delivery plumbing shared by every fitted-model family
@@ -6114,6 +6183,7 @@ object DataQueries {
     "t35_ppl_buckets" -> t35PplBuckets,
     "t36_wordpiece_tokenize" -> t36WordpieceTokenize,
     "t37_wordpiece_fertility" -> t37WordpieceFertility,
+    "t38_dsir_select" -> t38DsirSelect,
     "t31_epoch_mix" -> t31EpochMix,
     "t27_ce_diff" -> t27CeDiff,
     "e22_chunk_cells" -> e22ChunkCells,
@@ -6236,6 +6306,7 @@ object DataQueries {
     "t35_ppl_buckets" -> t35Sql,
     "t36_wordpiece_tokenize" -> t36Sql,
     "t37_wordpiece_fertility" -> t37Sql,
+    "t38_dsir_select" -> t38Sql,
     "t31_epoch_mix" -> t31Sql,
     "t27_ce_diff" -> t27Sql,
     "e22_chunk_cells" -> e22Sql,

@@ -1629,7 +1629,15 @@ object ExtQueries {
     * read: partition dirs cut tenants, min/max cuts time, and the
     * bloom class cuts POINT probes min/max cannot. */
   private val q66Tmp = new graft.io.PerJvmTemp.Slot("graft-q66-vt")
-  private val q66Probes = Seq(7L, 61L, 94L) // non-mod-3 keys: orders exist
+
+  // DATA-DERIVED probe keys (review r18 — a hardcoded probe list goes
+  // silently meaningless if the generator's key distribution changes):
+  // three md5-rank-sampled customer keys that provably have orders,
+  // replayed identically by the oracle's IN-subquery
+  private def q66Probes(s: SparkSession, dir: String): Seq[Long] =
+    Catalog(s, dir).orders.select(col("o_custkey")).distinct()
+      .orderBy(md5(col("o_custkey").cast(StringType)), col("o_custkey"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
 
   val q66BloomPoint: Q = (s, dir) => {
     val root = q66Tmp.fresh().toString + "/orders_bloom"
@@ -1642,7 +1650,7 @@ object ExtQueries {
     // customer range, which is exactly the layout min/max cannot prune
     VersionedTable.write(s, root,
       orders.repartition(8, col("o_orderkey")), partitionBy = Seq("bucket"))
-    q66Probes.map(ck =>
+    q66Probes(s, dir).map(ck =>
         VersionedTable.readPoint(s, root, "ck_tag", s"C$ck"))
       .reduce(_ unionByName _)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -1651,11 +1659,14 @@ object ExtQueries {
   }
 
   val q66Sql: String =
-    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-       |  o_orderkey % 4 AS bucket,
-       |  'C' || CAST(o_custkey AS VARCHAR) AS ck_tag
-       |FROM orders WHERE o_custkey IN (${q66Probes.mkString(", ")})
-       |ORDER BY o_orderkey""".stripMargin
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderkey % 4 AS bucket,
+      |  'C' || CAST(o_custkey AS VARCHAR) AS ck_tag
+      |FROM orders WHERE o_custkey IN (
+      |  SELECT o_custkey FROM (
+      |    SELECT DISTINCT o_custkey FROM orders
+      |    ORDER BY md5(CAST(o_custkey AS VARCHAR)), o_custkey LIMIT 3))
+      |ORDER BY o_orderkey""".stripMargin
 
   /** BUCKETED ZERO-EXCHANGE JOIN inside the gate (q63 — the q62
     * rationale applied to the OTHER storage layout this engine ships):

@@ -1100,6 +1100,20 @@ object ScaleProbe {
           vocab)
       }
     }
+    // r18 DSIR selection: one constant-state (2·B counters) fit pass
+    // + one broadcast-literal map-only weight pass + TakeOrdered
+    // top-k — the ladder must track the two corpus scans linearly,
+    // with zero joins or windows.
+    stage("dsir_select") {
+      t(s"dsir_select_${replicas}x") {
+        // target = a deterministic 25% id slice (the probe corpus has
+        // no lang column; the ce_diff in-domain convention)
+        val delta = graft.operators.TextAnalysis.fitDsirDelta(
+          docs, "text", pmod(col("doc_id"), lit(4L)) === 0)
+        graft.operators.TextAnalysis.dsirWeights(docs, "text", "doc_id",
+          delta)
+      }
+    }
     // r16 zone maps: a narrow second-column range over a table built
     // from `replicas` merged day-batches must read a BOUNDED file set
     // no matter how many versions accumulated — the kept-of-total line

@@ -898,8 +898,13 @@ class VersionedTableSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.ExtQueries.q66BloomPoint(spark, dir)
       .collect().map(_.toSeq)
+    // the data-derived probe set, replayed the oracle's way
+    val probes = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey")).distinct()
+      .orderBy(md5(col("o_custkey").cast("string")), col("o_custkey"))
+      .limit(3).collect().map(_.getLong(0))
     val want = spark.read.parquet(s"$dir/orders.parquet")
-      .filter(col("o_custkey").isin(7L, 61L, 94L))
+      .filter(col("o_custkey").isin(probes: _*))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"),
         pmod(col("o_orderkey"), lit(4L)).as("bucket"),
