@@ -495,6 +495,59 @@ object VersionedTable {
     files.filter(f => m.zones.get(f).flatMap(_.get(colName))
       .forall(_.forall(_.intersects(lo, hi))))
 
+  // the __pp_* partition-dir chain of a relative file path ("" for an
+  // unpartitioned file) — the grouping key of the dir-level zones
+  private[pipeline] def partChainOf(f: String): String =
+    f.split("/").filter(_.startsWith("__pp_")).mkString("/")
+
+  // PARTITION-DIR bloom pruning (r18, PLANS round-19 candidate): a
+  // pre-pass over the file list that consults the "@part/<chain>"
+  // union zones commit() records — the bit-OR of every member file's
+  // "b" bloom. One probe per DIR decides all its files at once, so a
+  // point lookup on a column correlated with the partition layout
+  // (tenant/customer shards) skips whole dirs without decoding a
+  // single per-file zone — at a million files that is P dir probes
+  // instead of F file probes, and on split-manifest stores the
+  // skipped dirs' per-file sections need not even be read. Absent or
+  // non-"b" dir zones keep everything (conservative, same contract as
+  // zoneKeep); correctness never depends on this pass because every
+  // read re-applies its predicate to surviving rows.
+  private def dirKeep(m: Manifest, files: Seq[String], colName: String,
+                      lo: Any, hi: Any): Seq[String] = {
+    val cache = scala.collection.mutable.Map.empty[String, Boolean]
+    files.filter { f =>
+      val chain = partChainOf(f)
+      chain.isEmpty || cache.getOrElseUpdate(chain,
+        m.zones.get(s"@part/$chain").flatMap(_.get(colName))
+          .forall(_.forall(_.intersects(lo, hi))))
+    }
+  }
+
+  /** Prune attribution of one range/point scan — the ops introspection
+    * behind the dir-level bloom class (and the spec hook proving the
+    * hierarchy: dir unions first, per-file zones only on survivors). */
+  final case class PruneStats(filesTotal: Int, dirsTotal: Int,
+      dirsBloomPruned: Int, filesDirPruned: Int, filesZonePruned: Int,
+      filesKept: Int)
+
+  /** [[rangeFiles]] with per-level prune attribution: how many whole
+    * partition dirs the "@part" bloom unions skipped, then how many of
+    * the surviving files the per-file zones skipped. */
+  def rangeFileStats(spark: SparkSession, root: String, colName: String,
+                     lo: Any, hi: Any): (Seq[String], PruneStats) = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table at $root"))
+    val m = manifest(spark, root, v)
+    val chains = m.files.map(partChainOf).filter(_.nonEmpty).distinct
+    val afterDir = dirKeep(m, m.files, colName, lo, hi)
+    val kept = zoneKeep(m, afterDir, colName, lo, hi)
+    val liveChains = afterDir.map(partChainOf).toSet
+    (kept, PruneStats(m.files.length, chains.length,
+      chains.count(!liveChains.contains(_)),
+      m.files.length - afterDir.length, afterDir.length - kept.length,
+      kept.length))
+  }
+
   /** Files of the current version a `colName BETWEEN lo AND hi` scan
     * must read, after zone-map pruning — the introspection behind
     * [[readRange]] (and an ops tool: "how many files does this filter
@@ -505,7 +558,7 @@ object VersionedTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val m = manifest(spark, root, v)
-    zoneKeep(m, m.files, colName, lo, hi)
+    zoneKeep(m, dirKeep(m, m.files, colName, lo, hi), colName, lo, hi)
   }
 
   /** Range read with FILE-LEVEL zone-map skipping (VERDICT r15
@@ -524,7 +577,8 @@ object VersionedTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val m = manifest(spark, root, v)
-    readFiles(spark, root, m, zoneKeep(m, m.files, colName, lo, hi))
+    readFiles(spark, root, m,
+        zoneKeep(m, dirKeep(m, m.files, colName, lo, hi), colName, lo, hi))
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
@@ -550,7 +604,8 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no versioned table at $root"))
     val m = manifest(spark, root, v)
     val pFiles = partitionFiles(m, root, "readPartitionsRange", pCol, values)
-    readFiles(spark, root, m, zoneKeep(m, pFiles, colName, lo, hi))
+    readFiles(spark, root, m,
+        zoneKeep(m, dirKeep(m, pFiles, colName, lo, hi), colName, lo, hi))
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
@@ -677,9 +732,46 @@ object VersionedTable {
       (c, zs) <- cz.toSeq.sortBy(_._1)
       z <- zs.sortBy(_.tag)
     } yield s"#zm=$f\t$c\t${z.tag}\t${z.lo}\t${z.hi}"
+    // PARTITION-LEVEL BLOOM UNION (r18): for every partition-dir chain
+    // whose member files ALL carry a "b" zone for a column (same kh,
+    // same width), record the bit-OR under the synthetic key
+    // "@part/<chain>" — the dir-level index dirKeep consults. Derived
+    // DRIVER-SIDE from the per-file zones already in hand (no data
+    // scan), and recomputed from scratch on every commit because a
+    // merge changes dir membership (a stale union would over-keep,
+    // never mis-prune, but recomputation is O(files) string work). A
+    // dir with ANY bloom-less member (legacy kept file, pre-config
+    // batch) gets NO union — that member could hold the probe value.
+    val fileZones = zones.toMap
+    val dirZmLines = files.groupBy(partChainOf).toSeq
+      .filter(_._1.nonEmpty).sortBy(_._1).flatMap { case (chain, fs) =>
+        val blooms = fs.map(f => fileZones.get(f).map(_.collect {
+          case (c, zs) => c -> zs.filter(_.tag == "b")
+        }.filter(_._2.nonEmpty)))
+        if (blooms.exists(_.isEmpty)) Nil
+        else {
+          val perFile = blooms.map(_.get)
+          perFile.map(_.keySet).reduce(_ intersect _).toSeq.sorted.flatMap { c =>
+            val zs = perFile.map(_(c).head)
+            val khs = zs.map(_.lo).distinct
+            val arrays = zs.map(z =>
+              java.util.Base64.getUrlDecoder.decode(z.hi))
+            if (khs.length != 1 || arrays.map(_.length).distinct.length != 1) None
+            else {
+              val u = new Array[Byte](arrays.head.length)
+              arrays.foreach { a =>
+                var i = 0
+                while (i < u.length) { u(i) = (u(i) | a(i)).toByte; i += 1 }
+              }
+              Some(s"#zm=@part/$chain\t$c\tb\t${khs.head}\t${
+                java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(u)}")
+            }
+          }
+        }
+      }
     commitText(spark, root, v,
-      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ zmLines ++ files)
-        .mkString("\n"))
+      (schema.map(sc => s"#schema=${sc.json}").toSeq ++ zmLines ++
+        dirZmLines ++ files).mkString("\n"))
   }
 
   /** Per-file min/max of every zone-mappable column of the FRESH batch:

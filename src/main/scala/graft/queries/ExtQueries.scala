@@ -4,7 +4,7 @@ import graft.catalog.Catalog
 import graft.functions.GraftFunctions._
 import graft.models.AuxStaging
 import graft.operators.SkewJoin
-import graft.pipeline.VersionedTable
+import graft.pipeline.{Snapshots, VersionedTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1706,11 +1706,120 @@ object ExtQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PARTITION-DIR BLOOM PRUNE inside the gate (q68 — the PLANS
+    * round-19 candidate landed: manifests now also record, per
+    * partition-dir chain, the bit-OR UNION of the member files' "b"
+    * blooms under the synthetic key `@part/<chain>`, and every
+    * range/point read consults the dir unions BEFORE any per-file
+    * zone). The layout makes the dir level the star: orders are
+    * partitioned by a CUSTOMER shard (`o_custkey % 8`) while files
+    * within each dir are scattered on the order key — so a point probe
+    * on the customer tag finds 7 of 8 dirs rejected by ONE dir-bloom
+    * test each, with zero reader knowledge of the shard function (the
+    * union rediscovers the layout correlation that partitionFiles
+    * would need to be TOLD). Probe keys are the q66 derivation (3
+    * md5-rank-sampled customers, oracle IN-subquery). Oracle = the
+    * direct scan — pruning invisible by construction;
+    * VersionedTableSpec asserts via [[VersionedTable.rangeFileStats]]
+    * that whole dirs are skipped at the DIR level and that mixed dirs
+    * (a bloom-less member) conservatively get no union. At 100 TB: P
+    * dir probes replace F ≫ P per-file probes, and on split-manifest
+    * object stores the skipped dirs' per-file sections are never even
+    * read. */
+  private val q68Tmp = new graft.io.PerJvmTemp.Slot("graft-q68-vt")
+
+  val q68BloomDir: Q = (s, dir) => {
+    val root = q68Tmp.fresh().toString + "/orders_dirbloom"
+    val orders = Catalog(s, dir).orders
+      .withColumn("shard", pmod(col("o_custkey"), lit(8L)))
+      .withColumn("ck_tag",
+        concat(lit("C"), col("o_custkey").cast(StringType)))
+    VersionedTable.setBloomColumns(s, root, Seq("ck_tag"))
+    // scatter on the ORDER key within shards: per-file min/max on
+    // ck_tag spans each dir's whole customer slice, so inside a kept
+    // dir the per-file blooms prune, and across dirs ONLY the dir
+    // union does
+    VersionedTable.write(s, root,
+      orders.repartition(8, col("o_orderkey")), partitionBy = Seq("shard"))
+    q66Probes(s, dir).map(ck =>
+        VersionedTable.readPoint(s, root, "ck_tag", s"C$ck"))
+      .reduce(_ unionByName _)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("shard"), col("ck_tag"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q68Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_custkey % 8 AS shard,
+      |  'C' || CAST(o_custkey AS VARCHAR) AS ck_tag
+      |FROM orders WHERE o_custkey IN (
+      |  SELECT o_custkey FROM (
+      |    SELECT DISTINCT o_custkey FROM orders
+      |    ORDER BY md5(CAST(o_custkey AS VARCHAR)), o_custkey LIMIT 3))
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SCD2 SNAPSHOT CHAIN inside the gate (q67 — D7 was the last
+    * query-shaped §2 row covered only by specs; the s01/q62 lesson is
+    * that surfaces outside the driver gate drift silently). Orders are
+    * recast as a mutable per-customer dimension: each order is one
+    * observed VERSION of its customer's row (version timestamp = the
+    * order key cast to an epoch-seconds instant — globally unique, so
+    * the merge's equal-timestamp tiebreak provably never fires and the
+    * whole chain is engine-independent), arriving in three merge
+    * ticks (`o_orderkey % 3`). The query runs the REAL runtime —
+    * [[graft.pipeline.Snapshots.initialize]] on an empty first state,
+    * then three [[graft.pipeline.Snapshots.merge]] ticks — and emits
+    * the full version history. The oracle replays dbt's timestamp
+    * strategy from scratch in SQL: per-batch latest per key, monotone
+    * acceptance across ticks (an incoming version NOT newer than the
+    * current one is dropped, never inserted), then the [valid_from,
+    * valid_to) chain via lead(). Timestamps travel as epoch-second
+    * BIGINTs in the gate (the q59/q62 no-calendar contract); the open
+    * version's valid_to is NULL rather than the 9999 sentinel so no
+    * timezone-parsed constant crosses engines. At 100 TB each tick is
+    * ONE full-outer hash join on the business key — O(|snapshot| +
+    * |batch|), the same merge a Delta/Iceberg MERGE INTO would run. */
+  val q67Scd2Snapshot: Q = (s, dir) => {
+    val v = Catalog(s, dir).orders.select(
+      col("o_custkey").as("k"),
+      col("o_orderkey").as("vts"),
+      col("o_totalprice").as("price"),
+      pmod(col("o_orderkey"), lit(3L)).as("batch"))
+    val empty = Snapshots.initialize(v.drop("batch").filter(lit(false)), "vts")
+    val merged = (0L to 2L).foldLeft(empty)((snap, b) =>
+      Snapshots.merge(snap, v.filter(col("batch") === b).drop("batch"),
+        "k", "vts"))
+    merged.select(col("k"), col("vts"), col("price"),
+        when(col("is_current"), lit(null).cast(LongType))
+          .otherwise(col("valid_to").cast(LongType)).as("valid_to_s"),
+        col("is_current").cast(LongType).as("is_current"))
+      .orderBy(col("k"), col("vts"))
+  }
+
+  val q67Sql: String =
+    """WITH v AS (SELECT o_custkey AS k, o_orderkey AS ts,
+      |    o_totalprice AS price, o_orderkey % 3 AS b FROM orders),
+      |pb AS (SELECT k, ts, price, b,
+      |  row_number() OVER (PARTITION BY k, b ORDER BY ts DESC) AS rn FROM v),
+      |lat AS (SELECT k, ts, price, b FROM pb WHERE rn = 1),
+      |acc AS (SELECT k, ts, price, b, max(ts) OVER (PARTITION BY k ORDER BY b
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM lat),
+      |kept AS (SELECT k, ts, price FROM acc WHERE pm IS NULL OR ts > pm),
+      |ch AS (SELECT k, ts, price,
+      |  lead(ts) OVER (PARTITION BY k ORDER BY ts) AS nts FROM kept)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(ts AS BIGINT) AS vts,
+      |  CAST(price AS DOUBLE) AS price, CAST(nts AS BIGINT) AS valid_to_s,
+      |  CAST(CASE WHEN nts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM ch ORDER BY k, vts""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_approx_percentile" -> q40ApproxPercentile,
     "q62_versioned_range" -> q62VersionedRange,
     "q63_bucketed_join" -> q63BucketedJoin,
     "q66_bloom_point" -> q66BloomPoint,
+    "q67_scd2_snapshot" -> q67Scd2Snapshot,
+    "q68_bloom_dir" -> q68BloomDir,
     "q60_hopping_window" -> q60HoppingWindow,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
@@ -1752,6 +1861,8 @@ object ExtQueries {
     "q62_versioned_range" -> q62Sql,
     "q63_bucketed_join" -> q63Sql,
     "q66_bloom_point" -> q66Sql,
+    "q67_scd2_snapshot" -> q67Sql,
+    "q68_bloom_dir" -> q68Sql,
     "q51_pagerank" -> q51Sql,
     "q52_kmv_algebra" -> q52Sql,
     "q53_bloom_join" -> q53Sql,

@@ -143,4 +143,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(visible.count() == 1,
       "NULL valid_from is -infinity, not invisible-at-every-time")
   }
+
+  test("q67 gate shape: one current per key, contiguous chain, rejection path live") {
+    val out = graft.queries.ExtQueries.q67Scd2Snapshot(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      // exactly one open version per key
+      val multiCur = out.filter(col("is_current") === 1L)
+        .groupBy("k").count().filter(col("count") =!= 1L).count()
+      assert(multiCur == 0, "every key must have exactly one current version")
+      // the chain is contiguous: each closed version's valid_to equals
+      // the NEXT version's valid_from, with no gaps or overlaps
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("vts")
+      val broken = out
+        .withColumn("nxt", lead(col("vts"), 1).over(w))
+        .filter((col("is_current") === 0L && col("valid_to_s") =!= col("nxt"))
+          || (col("is_current") === 1L && col("nxt").isNotNull))
+        .count()
+      assert(broken == 0, "closed.valid_to must chain to the next valid_from; " +
+        "the current version must be the chain's last")
+      // monotone acceptance is actually EXERCISED by this corpus: some
+      // key must have an order in a later batch with a SMALLER orderkey
+      // than an earlier batch's latest (the dropped-stale-version path) —
+      // versions out < per-(key,batch) latest count proves drops happened
+      val perBatchLatest = spark.read
+        .parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("vts"),
+          pmod(col("o_orderkey"), lit(3L)).as("b"))
+        .groupBy("k", "b").agg(max("vts")).count()
+      assert(out.count() < perBatchLatest,
+        s"corpus must exercise the stale-version rejection path " +
+          s"(versions=${out.count()} latests=$perBatchLatest)")
+    } finally out.unpersist()
+  }
 }

@@ -894,6 +894,84 @@ class VersionedTableSpec extends SparkSpec {
       .count() === 10L)
   }
 
+  test("dir-level bloom unions: whole partition dirs skip before any per-file zone (q68, r18)") {
+    // tag correlated with the PARTITION key (customer shard), files
+    // scattered on id within shards — the layout where the dir union
+    // is the star: 7 of 8 dirs reject the probe with ONE test each
+    val data = (1L to 4000L).map(i => (i, s"C${i % 400}", (i % 400) % 8))
+      .toDF("id", "ck_tag", "shard")
+    val r = root()
+    VersionedTable.setBloomColumns(spark, r, Seq("ck_tag"))
+    VersionedTable.write(spark, r, data.repartition(4, col("id")),
+      partitionBy = Seq("shard"))
+    val (kept, st) = VersionedTable.rangeFileStats(spark, r, "ck_tag", "C7", "C7")
+    assert(st.dirsTotal === 8)
+    assert(st.dirsBloomPruned >= 6,
+      s"dir unions must reject the foreign shards: $st")
+    assert(st.filesDirPruned > 0 && st.filesKept === kept.length)
+    // the hierarchy is real: files of dir-pruned chains never reach the
+    // per-file pass (counts partition exactly)
+    assert(st.filesDirPruned + st.filesZonePruned + st.filesKept === st.filesTotal)
+    // exactness: doubly-pruned point read == filtered full read
+    val got = VersionedTable.readPoint(spark, r, "ck_tag", "C7")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = VersionedTable.read(spark, r).filter(col("ck_tag") === "C7")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("dir-level bloom unions: bloom-less members keep their dir (conservative)") {
+    // v1 lands BEFORE the bloom config exists: its files (and dirs)
+    // have no blooms. A later partition-scoped merge restages shard 0
+    // under the config — only that dir earns a union. Probes must
+    // never dir-prune the legacy dirs.
+    val data = (1L to 2000L).map(i => (i, s"C${i % 200}", (i % 200) % 4))
+      .toDF("id", "ck_tag", "shard")
+    val r = root()
+    VersionedTable.write(spark, r, data.repartition(2, col("id")),
+      partitionBy = Seq("shard"))
+    VersionedTable.setBloomColumns(spark, r, Seq("ck_tag"))
+    VersionedTable.merge(spark, r,
+      data.filter(col("shard") === 0L),
+      uniqueKey = Seq("id", "shard"), partitionBy = Seq("shard"))
+    // C1 lives only in legacy shard 1: the bloom'd shard-0 dir is
+    // rejected by its union; the legacy dirs all survive (no union)
+    val (_, st) = VersionedTable.rangeFileStats(spark, r, "ck_tag", "C1", "C1")
+    assert(st.dirsBloomPruned === 1,
+      s"only the restaged dir can prove absence: $st")
+    // C0 lives only in shard 0 (the bloom'd dir): it must be KEPT —
+    // and the legacy dirs keep too (conservative), so nothing dir-prunes
+    val (_, st0) = VersionedTable.rangeFileStats(spark, r, "ck_tag", "C0", "C0")
+    assert(st0.dirsBloomPruned === 0, s"no dir may prove absence of C0: $st0")
+    // exactness through the mixed-generation table
+    Seq("C0", "C1", "C199").foreach { v =>
+      val got = VersionedTable.readPoint(spark, r, "ck_tag", v)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = VersionedTable.read(spark, r).filter(col("ck_tag") === v)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want && got.nonEmpty)
+    }
+  }
+
+  test("q68 gate shape: dir-bloom point read matches the direct scan") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.ExtQueries.q68BloomDir(spark, dir)
+      .collect().map(_.toSeq)
+    val probes = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey")).distinct()
+      .orderBy(md5(col("o_custkey").cast("string")), col("o_custkey"))
+      .limit(3).collect().map(_.getLong(0))
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_custkey").isin(probes: _*))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        pmod(col("o_custkey"), lit(8L)).as("shard"),
+        concat(lit("C"), col("o_custkey").cast("string")).as("ck_tag"))
+      .orderBy(col("o_orderkey"))
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("q66 gate shape: bloom point read matches the direct scan") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.ExtQueries.q66BloomPoint(spark, dir)
