@@ -1701,4 +1701,135 @@ object Similarity {
       .select(col("id"), col("rank_a"), col("rank_b"), col("rrf_u"),
         col("fused_rank"))
   }
+
+  // -------------------------------------------------------------------
+  // Graph-family ANN: NSW navigable-small-world build + beam search
+  // (Malkov et al., Inf. Systems 2014; the flat-graph core of HNSW,
+  // Malkov & Yashunin TPAMI 2018) — the production ANN family the
+  // cell/code families cannot stand in for: search cost scales with
+  // beam width × hops × degree, independent of any cell population.
+  // -------------------------------------------------------------------
+
+  /** The micro-unit cosine every graph stage ranks on:
+    * floor(round(cos, 6)·1e6 + 0.5) as a Long — the exact-integer key
+    * contract shared with [[mmrRerank]], so frontier selection, edge
+    * ranking and the final top-k replay bit-for-bit in SQL. */
+  private def microCos(a: Column, b: Column): Column =
+    floor(round(VectorExpressions.cosine(a, b), 6) * 1e6 + 0.5)
+      .cast(LongType)
+
+  /** Deterministic kNN-graph build, the NSW way but batch: candidate
+    * pairs from `bands` independent random-hyperplane sketches (band b
+    * uses seeds [b·nBits, (b+1)·nBits) of the [[graft.functions
+    * .GraftFunctions.hyperplane]] family — band 0 with nBits=8 IS the
+    * e03 bucket pipeline), then each node keeps its `degree` best
+    * co-bucketed neighbors by micro-unit cosine (ties to the smaller
+    * id). Multiple bands give each node candidates from several
+    * independent space cuts — the long-range links that make the walk
+    * navigable. Scale shape: the self-join is banded (bucket-bounded,
+    * never all-pairs), the per-src top-`degree` is one shuffle keyed
+    * by src, and the result is |corpus|·degree skinny edge rows.
+    * Output: (src, dst, cos_u). */
+  def nswGraph(corpus: DataFrame, vecCol: String, idCol: String,
+               nBits: Int, bands: Int, degree: Int,
+               dim: Int = 64): DataFrame = {
+    require(nBits >= 1 && bands >= 1 && degree >= 1,
+      s"need nBits/bands/degree >= 1; got $nBits/$bands/$degree")
+    val e = corpus.select(col(idCol).as("id"),
+        toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val bucketed = (0 until bands).map { b =>
+      e.withColumn("bucket", concat(lit(s"$b:"), concat_ws("",
+        (0 until nBits).map(s =>
+          hyperplaneBit(col("v"), b * nBits + s, dim)
+            .cast(StringType)): _*)))
+    }.reduce(_ unionByName _)
+    val cand = bucketed
+      .select(col("bucket"), col("id").as("src"), col("v").as("sv"))
+      .join(bucketed.select(col("bucket"), col("id").as("dst"),
+        col("v").as("dv")), Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        microCos(col("sv"), col("dv")).as("cos_u"))
+      .distinct() // a pair co-bucketed in several bands is ONE candidate
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos_u").desc, col("dst").asc)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= degree)
+      .select(col("src"), col("dst"), col("cos_u"))
+  }
+
+  /** NSW beam search over [[nswGraph]]: from ONE global entry point
+    * (the corpus id minimizing md5(id) — query-independent, so the
+    * entry is part of the index, not the query), expand `hops` rounds
+    * of the frontier's `beamWidth` best visited nodes through the edge
+    * list, then answer top-`k` of everything visited (self excluded).
+    * Fixed `hops` instead of a convergence test keeps the walk
+    * replayable as unrolled SQL stages (the t33/t36 unroll contract).
+    *
+    * Determinism: every ranking — frontier, final — orders by
+    * micro-unit cosine desc, id asc; duplicate visits of one node
+    * carry identical rows, so the distinct is order-free.
+    *
+    * Scale shape: state is |queries| × (1 + hops·beamWidth·degree)
+    * rows AT MOST — never corpus-sized; each hop is one
+    * broadcast-frontier map-side probe of the edge list plus one
+    * hash-join against the corpus for the new nodes' vectors, and the
+    * per-hop localCheckpoint cuts the iterative lineage exactly as
+    * q51's power steps do. The exact-recall audit (`hit`) is the only
+    * corpus × queries stage, and it is the e01 broadcast shape.
+    *
+    * Output: (query_id, rank 1..k, id, cos_u, hit, visited). */
+  def nswBeamSearch(corpus: DataFrame, queries: DataFrame,
+                    vecCol: String, idCol: String,
+                    nBits: Int, bands: Int, degree: Int,
+                    beamWidth: Int, hops: Int, k: Int,
+                    dim: Int = 64): DataFrame = {
+    require(beamWidth >= 1 && hops >= 1 && k >= 1,
+      s"need beamWidth/hops/k >= 1; got $beamWidth/$hops/$k")
+    val e = corpus.select(col(idCol).as("id"),
+        toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val edges = nswGraph(corpus, vecCol, idCol, nBits, bands, degree, dim)
+      .localCheckpoint(false)
+    val entry = e.orderBy(md5(col("id").cast(StringType)), col("id"))
+      .limit(1)
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("cos_u").desc, col("id").asc)
+    var state = q.crossJoin(broadcast(entry))
+      .select(col("query_id"), col("id"),
+        microCos(col("v"), col("qv")).as("cos_u"))
+      .localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val frontier = state.withColumn("__rn", row_number().over(fw))
+        .filter(col("__rn") <= beamWidth)
+        .select(col("query_id"), col("id").as("src"))
+      val expanded = broadcast(frontier)
+        .join(edges, Seq("src"))
+        .select(col("query_id"), col("dst").as("id"))
+        .distinct()
+        .join(e, Seq("id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("id"),
+          microCos(col("v"), col("qv")).as("cos_u"))
+      state = state.unionByName(expanded)
+        .distinct() // duplicate visits are identical triples
+        .localCheckpoint(false)
+    }
+    val visited = state.groupBy("query_id")
+      .agg(count(lit(1)).as("visited"))
+    val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("id"), lit(1L).as("hit"))
+    state.filter(col("id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= k)
+      .join(exact, Seq("query_id", "id"), "left")
+      .join(visited, Seq("query_id"))
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("cos_u"), coalesce(col("hit"), lit(0L)).as("hit"),
+        col("visited"))
+  }
 }

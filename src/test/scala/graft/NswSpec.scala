@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Graph-family ANN (e40): NSW build + beam search pins.
+  *
+  * The hash gate proves cross-engine replay; these pin the OPERATOR
+  * contracts the gate cannot see — structural bounds of the graph,
+  * the beam's state bound, the honesty of the `hit` recall audit, and
+  * partitioning-independence of the whole walk.
+  */
+class NswSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("nswGraph: degree bound, no self edges, deterministic under repartition") {
+    val g = Similarity.nswGraph(emb, "embedding", "vec_id",
+      nBits = 5, bands = 3, degree = 14).cache()
+    try {
+      assert(g.filter(col("src") === col("dst")).count() == 0)
+      val overDegree = g.groupBy("src").count()
+        .filter(col("count") > 14).count()
+      assert(overDegree == 0, "every node keeps at most `degree` edges")
+      // the build is a pure function of the data, not its layout
+      val g2 = Similarity.nswGraph(emb.repartition(7), "embedding", "vec_id",
+        nBits = 5, bands = 3, degree = 14)
+      assert(g.exceptAll(g2).count() == 0 && g2.exceptAll(g).count() == 0,
+        "edge list must not depend on partitioning")
+    } finally g.unpersist()
+  }
+
+  test("nswBeamSearch: state bound, rank contiguity, self exclusion, honest hit audit") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val r = Similarity.nswBeamSearch(emb, queries, "embedding", "vec_id",
+      nBits = 5, bands = 3, degree = 14, beamWidth = 16, hops = 6, k = 10)
+      .cache()
+    try {
+      // never corpus-shaped: visited is bounded by 1 + hops*W*degree
+      val maxVisited = r.agg(max("visited")).head.getLong(0)
+      assert(maxVisited <= 1 + 6 * 16 * 14,
+        s"beam state must stay bounded, saw $maxVisited")
+      // ranks are 1..n' contiguous per query
+      val badRanks = r.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+        .filter(col("mn") =!= 1L || col("mx") =!= col("n")).count()
+      assert(badRanks == 0)
+      assert(r.filter(col("id") === col("query_id")).count() == 0,
+        "a query never answers itself")
+      // the hit column IS membership in the exact top-10 — recomputed
+      // here independently of the operator's own audit join
+      val truth = Similarity.bruteForceTopK(emb, queries,
+          "embedding", "vec_id", 10)
+        .select(col("query_id"), col("id"), lit(1L).as("t"))
+      val dis = r.join(truth, Seq("query_id", "id"), "left")
+        .filter(col("hit") =!= coalesce(col("t"), lit(0L))).count()
+      assert(dis == 0, "hit must equal exact-top-k membership")
+      // the e40 operating point earns its keep (0.92 on this corpus;
+      // floor at 0.8 so a testdata regeneration doesn't flake the pin)
+      val (hits, n) = (r.agg(sum("hit")).head.getLong(0), r.count())
+      assert(hits >= (n * 8) / 10,
+        s"recall@10 degraded: $hits/$n — retune (nBits, bands, degree, W, hops)")
+    } finally r.unpersist()
+  }
+
+  test("nswBeamSearch is partitioning-independent end to end") {
+    val queries = emb.filter(col("vec_id") % 250 === 0) // 2 queries: cheap
+    val a = Similarity.nswBeamSearch(emb, queries, "embedding", "vec_id",
+      nBits = 5, bands = 3, degree = 14, beamWidth = 8, hops = 3, k = 5)
+    val b = Similarity.nswBeamSearch(emb.repartition(11), queries.repartition(3),
+      "embedding", "vec_id",
+      nBits = 5, bands = 3, degree = 14, beamWidth = 8, hops = 3, k = 5)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
