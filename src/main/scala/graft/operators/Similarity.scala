@@ -1803,22 +1803,8 @@ object Similarity {
       .select(col("query_id"), col("id"),
         microCos(col("v"), col("qv")).as("cos_u"))
       .localCheckpoint(false)
-    for (_ <- 1 to hops) {
-      val frontier = state.withColumn("__rn", row_number().over(fw))
-        .filter(col("__rn") <= beamWidth)
-        .select(col("query_id"), col("id").as("src"))
-      val expanded = broadcast(frontier)
-        .join(edges, Seq("src"))
-        .select(col("query_id"), col("dst").as("id"))
-        .distinct()
-        .join(e, Seq("id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("id"),
-          microCos(col("v"), col("qv")).as("cos_u"))
-      state = state.unionByName(expanded)
-        .distinct() // duplicate visits are identical triples
-        .localCheckpoint(false)
-    }
+    for (_ <- 1 to hops)
+      state = nswHop(state, edges, e, q, beamWidth)
     val visited = state.groupBy("query_id")
       .agg(count(lit(1)).as("visited"))
     val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k)
@@ -1831,5 +1817,123 @@ object Similarity {
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("id"), col("cos_u"), coalesce(col("hit"), lit(0L)).as("hit"),
         col("visited"))
+  }
+
+  // ONE beam hop — frontier (top-`beamWidth` visited per query), expand
+  // through the edge list, score the new nodes, dedup into the state.
+  // Shared by nswBeamSearch and nswOperatingGrid so a hop-semantics
+  // change can never fork the grid from the operator it measures. The
+  // localCheckpoint cuts the iterative lineage (q51's contract).
+  private def nswHop(state: DataFrame, edges: DataFrame, e: DataFrame,
+                     q: DataFrame, beamWidth: Int): DataFrame = {
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("cos_u").desc, col("id").asc)
+    val frontier = state.withColumn("__rn", row_number().over(fw))
+      .filter(col("__rn") <= beamWidth)
+      .select(col("query_id"), col("id").as("src"))
+    val expanded = broadcast(frontier)
+      .join(edges, Seq("src"))
+      .select(col("query_id"), col("dst").as("id"))
+      .distinct()
+      .join(e, Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        microCos(col("v"), col("qv")).as("cos_u"))
+    state.unionByName(expanded)
+      .distinct() // duplicate visits are identical triples
+      .localCheckpoint(false)
+  }
+
+  /** NSW OPERATING GRID — [[nswBeamSearch]]'s (beamWidth × hops × k)
+    * cells in the SAME row shape as the cell-family grids
+    * ([[ivfFamilyOperatingGrids]]): n_probe := beamWidth, r_shortlist
+    * := hops (the graph family's two knobs in the shared slots),
+    * recall measured against the [[bruteForceTopKExact]] truth every
+    * grid uses, and `scanned_ppm` = visited-node fraction — visited
+    * nodes get an exact distance computed, which is precisely what
+    * "scanned" charges the cell families for, so the numbers compete
+    * honestly in one decision. One graph build and ONE walk per
+    * beamWidth serve every (hops, k) cell: the chain snapshots its
+    * state at each requested hop count (a prefix walk IS the shorter
+    * walk, deterministically). Collects are bounded by
+    * |queries|·max(k) (the hit join) — never corpus-shaped.
+    * Output: (n_probe, r_shortlist, k, n_queries, n_hits, n_bf,
+    * recall_ppm, scanned_ppm). */
+  def nswOperatingGrid(corpus: DataFrame, queries: DataFrame,
+                       vecCol: String, idCol: String, ks: Seq[Int],
+                       nBits: Int, bands: Int, degree: Int,
+                       beamWidths: Seq[Int], hopsList: Seq[Int],
+                       dim: Int = 64): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
+      s"bad ks $ks")
+    require(beamWidths.nonEmpty && beamWidths.forall(_ >= 1) &&
+      beamWidths.distinct.size == beamWidths.size,
+      s"bad beamWidths $beamWidths")
+    require(hopsList.nonEmpty && hopsList.forall(_ >= 1) &&
+      hopsList.distinct.size == hopsList.size, s"bad hopsList $hopsList")
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(idCol).as("id"),
+        toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v"))).persist()
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val kMax = ks.max
+    val ksSorted = ks.sorted
+    val edges = nswGraph(corpus, vecCol, idCol, nBits, bands, degree, dim)
+      .persist()
+    val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)
+      .select(col("query_id"), col("id"), col("rank").as("bfr")).persist()
+    try {
+      val nQ = q.count()
+      val nCorpus = e.count()
+      val bfAggs = ksSorted.map(kk =>
+        coalesce(sum(when(col("bfr") <= kk, 1L).otherwise(0L)), lit(0L)))
+      val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
+      val nBfByK = ksSorted.zipWithIndex
+        .map { case (kk, i) => kk -> nBfRow.getLong(i) }.toMap
+      val entry = e.orderBy(md5(col("id").cast(StringType)), col("id"))
+        .limit(1)
+      val fw = Window.partitionBy("query_id")
+        .orderBy(col("cos_u").desc, col("id").asc)
+      val maxH = hopsList.max
+      val rows = beamWidths.sorted.flatMap { w =>
+        var state = q.crossJoin(broadcast(entry))
+          .select(col("query_id"), col("id"),
+            microCos(col("v"), col("qv")).as("cos_u"))
+          .localCheckpoint(false)
+        (1 to maxH).flatMap { h =>
+          state = nswHop(state, edges, e, q, w)
+          if (!hopsList.contains(h)) Nil
+          else {
+            val visited = state.count()
+            val scannedPpm =
+              if (nQ == 0 || nCorpus == 0) 0L
+              else (BigInt(1000000L) * visited /
+                (BigInt(nQ) * nCorpus)).toLong
+            // bounded: ≤ nQ·kMax rows
+            val joined = state.filter(col("id") =!= col("query_id"))
+              .withColumn("rank",
+                row_number().over(fw).cast(LongType))
+              .filter(col("rank") <= kMax)
+              .join(bf, Seq("query_id", "id"))
+              .select(col("rank"), col("bfr")).collect()
+            ksSorted.map { kk =>
+              val hits = joined
+                .count(r => r.getLong(0) <= kk && r.getLong(1) <= kk)
+                .toLong
+              val nbf = nBfByK(kk)
+              (w.toLong, h.toLong, kk.toLong, nQ, hits, nbf,
+                if (nbf == 0) 0L else 1000000L * hits / nbf, scannedPpm)
+            }
+          }
+        }
+      }
+      import spark.implicits._
+      rows.toDF("n_probe", "r_shortlist", "k", "n_queries", "n_hits",
+        "n_bf", "recall_ppm", "scanned_ppm")
+    } finally {
+      e.unpersist(); edges.unpersist(); bf.unpersist()
+    }
   }
 }

@@ -1220,7 +1220,8 @@ object DataQueries {
     * capacity decision: a 99%-recall SLO a trained index cannot meet
     * is served by partition-pruned exact scan, not by silently
     * under-recalling. */
-  /** The four-family measured grid union — ONE definition selected
+  /** The five-family measured grid union (r18 adds the graph family) —
+    * ONE definition selected
     * over by BOTH the e31 cross-family choice and the e33 layout
     * decision (the shared-body rule: adding a family is one edit here
     * + one in [[familyGridsCtes]], never a silent fork). PQ, SQ8, and
@@ -1241,6 +1242,12 @@ object DataQueries {
         rs = grid3dRs, nProbes = grid3dNps)
       .unionByName(opqGrid3dRelation(s, dir)
         .withColumn("family", lit("opq_ivf_pq")))
+      // the GRAPH family (r18): NSW cells compete in the same row
+      // shape — n_probe := beamWidth, r_shortlist := hops, scanned =
+      // visited-node fraction (exact distances computed, the same
+      // thing "scanned" charges the cell families for)
+      .unionByName(nswGridRelation(s, dir)
+        .withColumn("family", lit("nsw")))
   }
 
   /** SQL twin of [[familyGridsRelation]], ending in `g`. */
@@ -1249,10 +1256,12 @@ object DataQueries {
        |gs AS ($e29SqlBody),
        |go AS ($e30SqlBody),
        |gb AS ($e34SqlBody),
+       |gn AS ($e41SqlBody),
        |g AS (SELECT 'ivf_pq' AS family, * FROM gp
        |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM gs
        |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM go
-       |  UNION ALL SELECT 'ivf_bq' AS family, * FROM gb)""".stripMargin
+       |  UNION ALL SELECT 'ivf_bq' AS family, * FROM gb
+       |  UNION ALL SELECT 'nsw' AS family, * FROM gn)""".stripMargin
 
   val e33LayoutChoice: Q = (s, dir) => {
     import s.implicits._
@@ -1661,41 +1670,63 @@ object DataQueries {
   private def nswMicroSql(a: String, b: String): String =
     s"CAST(floor(round(list_cosine_similarity($a, $b), 6)*1000000 + 0.5) AS BIGINT)"
 
-  lazy val e40Sql: String = {
-    val (nBits, bands, degree, w, hops, k) = (5, 3, 14, 16, 6, 10)
-    // band b = seeds [b*nBits, (b+1)*nBits) of the e03 hyperplane family
+  // the e40/e41 graph hyperparameters — ONE definition feeds the
+  // operator calls AND the oracle builders (the shared-body rule)
+  private val nswNBits = 5
+  private val nswBands = 3
+  private val nswDegree = 14
+  private val nswBeamWidths = Seq(4, 16)
+  private val nswHopsList = Seq(2, 6)
+
+  /** The NSW graph-build CTEs over `e` — `bkt`/`cand`/`edges`/`entry`.
+    * Band b = seeds [b·nBits, (b+1)·nBits) of the e03 hyperplane
+    * family. Shared by e40 and e41 (and through e41 by e31/e33). */
+  private lazy val nswGraphCtes: String = {
     def bucketSql(b: Int): String =
       s"""'$b:' || (SELECT string_agg(CASE WHEN list_sum(list_transform(range(1, len(v)+1),
          |    i -> v[i] * ((CAST(('0x'||substr(md5(s.s::VARCHAR||'|'||(i-1)::VARCHAR),1,15)) AS BIGINT)
          |    % 2000001)/1000000.0 - 1.0))) >= 0 THEN '1' ELSE '0' END, '' ORDER BY s.s)
-         |  FROM (SELECT unnest(range(${b * nBits}, ${(b + 1) * nBits})) AS s) s)""".stripMargin
-    val bandSelects = (0 until bands).map(b =>
+         |  FROM (SELECT unnest(range(${b * nswNBits}, ${(b + 1) * nswNBits})) AS s) s)""".stripMargin
+    val bandSelects = (0 until nswBands).map(b =>
       s"SELECT id, v, ${bucketSql(b)} AS bucket FROM e").mkString("\nUNION ALL\n")
-    val hopCtes = (1 to hops).map { h =>
-      val prev = s"s${h - 1}"
-      s"""f$h AS (SELECT query_id, id FROM (SELECT query_id, id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, id) AS rn
-         |  FROM $prev) WHERE rn <= $w),
-         |x$h AS (SELECT DISTINCT f$h.query_id, ed.dst AS id
-         |  FROM f$h JOIN edges ed ON ed.src = f$h.id),
-         |n$h AS (SELECT x.query_id, x.id, ${nswMicroSql("e.v", "q.qv")} AS cos_u
-         |  FROM x$h x JOIN e ON e.id = x.id JOIN q ON q.query_id = x.query_id),
-         |s$h AS (SELECT DISTINCT query_id, id, cos_u FROM
-         |  (SELECT * FROM $prev UNION ALL SELECT * FROM n$h))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0 AND list_inner_product(v, v) < 'Infinity'::DOUBLE),
-       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
-       |bkt AS ($bandSelects),
+    s"""bkt AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.id AS src, c.id AS dst, ${nswMicroSql("a.v", "c.v")} AS cos_u
        |  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.id <> c.id),
-       |edges AS (SELECT src, dst, cos_u FROM (SELECT src, dst, cos_u,
+       |edges AS MATERIALIZED (SELECT src, dst, cos_u FROM (SELECT src, dst, cos_u,
        |  row_number() OVER (PARTITION BY src ORDER BY cos_u DESC, dst) AS rn
-       |  FROM cand) WHERE rn <= $degree),
-       |entry AS (SELECT id, v FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
-       |s0 AS (SELECT q.query_id, en.id, ${nswMicroSql("en.v", "q.qv")} AS cos_u
-       |  FROM q CROSS JOIN entry en),
-       |$hopCtes,
+       |  FROM cand) WHERE rn <= $nswDegree),
+       |entry AS (SELECT id, v FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1)""".stripMargin
+  }
+
+  /** One unrolled beam-walk chain at width `w`: `<pfx>s0..<pfx>s<maxH>`
+    * (state after each hop, MATERIALIZED — each state feeds the next
+    * hop AND the grid blocks). The t33/t36 unroll contract applied to
+    * a graph walk. */
+  private def nswChainCtes(pfx: String, w: Int, maxH: Int): String = {
+    val s0 =
+      s"""${pfx}s0 AS (SELECT q.query_id, en.id, ${nswMicroSql("en.v", "q.qv")} AS cos_u
+         |  FROM q CROSS JOIN entry en)""".stripMargin
+    val hops = (1 to maxH).map { h =>
+      val prev = s"${pfx}s${h - 1}"
+      s"""${pfx}f$h AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, id) AS rn
+         |  FROM $prev) WHERE rn <= $w),
+         |${pfx}x$h AS (SELECT DISTINCT f.query_id, ed.dst AS id
+         |  FROM ${pfx}f$h f JOIN edges ed ON ed.src = f.id),
+         |${pfx}n$h AS (SELECT x.query_id, x.id, ${nswMicroSql("e.v", "q.qv")} AS cos_u
+         |  FROM ${pfx}x$h x JOIN e ON e.id = x.id JOIN q ON q.query_id = x.query_id),
+         |${pfx}s$h AS MATERIALIZED (SELECT DISTINCT query_id, id, cos_u FROM
+         |  (SELECT * FROM $prev UNION ALL SELECT * FROM ${pfx}n$h))""".stripMargin
+    }
+    (s0 +: hops).mkString(",\n")
+  }
+
+  lazy val e40Sql: String = {
+    val (w, hops, k) = (16, 6, 10)
+    s"""WITH $rawECtes,
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+       |$nswGraphCtes,
+       |${nswChainCtes("", w, hops)},
        |vis AS (SELECT query_id, count(*) AS visited FROM s$hops GROUP BY query_id),
        |ex AS (SELECT query_id, id FROM (SELECT q.query_id, e.id,
        |  row_number() OVER (PARTITION BY q.query_id ORDER BY ${nswMicroSql("e.v", "q.qv")} DESC, e.id) AS rk
@@ -1710,6 +1741,79 @@ object DataQueries {
        |JOIN vis v ON v.query_id = r.query_id
        |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
   }
+
+  /** NSW OPERATING GRID (e41 — the graph family's e27): the
+    * (beamWidth × hops × k) cells of [[Similarity.nswOperatingGrid]]
+    * in the SHARED family-grid row shape — n_probe := beamWidth,
+    * r_shortlist := hops, recall against the same
+    * bruteForceTopKExact truth every cell-family grid uses, and
+    * scanned_ppm = visited-node fraction (visited nodes get an exact
+    * distance computed — precisely what "scanned" charges the cell
+    * families for). One walk per beamWidth serves every (hops, k)
+    * cell: a prefix of the walk IS the shorter walk. Feeds e31/e33 as
+    * the FIFTH family. */
+  val e41NswGrid: Q = (s, dir) =>
+    nswGridRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def nswGridRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    Similarity.nswOperatingGrid(emb, emb.filter(col("vec_id") % 100 === 0),
+      "embedding", "vec_id", ks = grid3dKs,
+      nBits = nswNBits, bands = nswBands, degree = nswDegree,
+      beamWidths = nswBeamWidths, hopsList = nswHopsList)
+  }
+
+  /** e41's unordered oracle body (nestable, the e27SqlBody contract):
+    * int-key truth + graph build + one chain per beamWidth + the
+    * (w × hops × k) grid blocks. */
+  private lazy val e41SqlBody: String = {
+    val kMax = grid3dKs.max
+    val chains = nswBeamWidths.sorted
+      .map(w => nswChainCtes(s"w${w}_", w, nswHopsList.max))
+      .mkString(",\n")
+    def hitsSub(w: Int, h: Int, kk: Int) =
+      s"""(SELECT CAST(count(*) AS BIGINT) FROM bf b JOIN
+         |    (SELECT query_id, id FROM (SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_u DESC, id) AS frank
+         |      FROM w${w}_s$h WHERE id <> query_id) WHERE frank <= $kk) t
+         |    ON b.query_id = t.query_id AND b.id = t.id
+         |    WHERE b.rank <= $kk)""".stripMargin
+    val blocks = (for (w <- nswBeamWidths.sorted; h <- nswHopsList.sorted;
+                       kk <- grid3dKs.sorted) yield
+      s"""SELECT CAST($w AS BIGINT) AS n_probe,
+         |  CAST($h AS BIGINT) AS r_shortlist,
+         |  CAST($kk AS BIGINT) AS k,
+         |  (SELECT nq FROM nq) AS n_queries,
+         |  ${hitsSub(w, h, kk)} AS n_hits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bf
+         |    WHERE rank <= $kk) AS n_bf,
+         |  CASE WHEN (SELECT count(*) FROM bf WHERE rank <= $kk) = 0 THEN 0
+         |    ELSE 1000000 * ${hitsSub(w, h, kk)}
+         |      // (SELECT CAST(count(*) AS BIGINT) FROM bf
+         |        WHERE rank <= $kk) END AS recall_ppm,
+         |  CAST(CAST(1000000 AS HUGEINT) * (SELECT count(*) FROM w${w}_s$h)
+         |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS BIGINT)
+         |    AS scanned_ppm
+         |""".stripMargin).mkString("UNION ALL\n")
+    s"""WITH $rawECtes,
+       |$intPairTailCtes,
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM e),
+       |${intKeyCtes("bf", "bfd")},
+       |bf AS MATERIALIZED (SELECT query_id, id, rank FROM (
+       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY key DESC, id) AS rank FROM bfkey)
+       |  WHERE rank <= $kMax),
+       |$nswGraphCtes,
+       |$chains
+       |$blocks""".stripMargin
+  }
+
+  lazy val e41Sql: String =
+    s"$e41SqlBody\nORDER BY n_probe, r_shortlist, k"
 
   /** FILTERED CROSS-FAMILY GRID (e37 — e31 × e17, the direction the
     * e33/e36 design notes pointed): ALL FOUR quantizer families
@@ -6256,6 +6360,7 @@ object DataQueries {
     "e38_filtered_choice" -> e38FilteredChoice,
     "e39_filtered_opq_grid" -> e39FilteredOpqGrid,
     "e40_nsw_beam" -> e40NswBeam,
+    "e41_nsw_grid" -> e41NswGrid,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
@@ -6380,6 +6485,7 @@ object DataQueries {
     "e38_filtered_choice" -> e38Sql,
     "e39_filtered_opq_grid" -> e39Sql,
     "e40_nsw_beam" -> e40Sql,
+    "e41_nsw_grid" -> e41Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,

@@ -64,6 +64,30 @@ class NswSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("nswOperatingGrid: prefix-walk monotonicity and family-grid row shape") {
+    val g = Similarity.nswOperatingGrid(emb,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = Seq(1, 5), nBits = 5, bands = 3, degree = 14,
+      beamWidths = Seq(4, 16), hopsList = Seq(2, 6)).collect()
+      .map(r => (r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
+        r.getAs[Long]("k")) ->
+        (r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("n_bf"))).toMap
+    assert(g.size == 8, "2 widths x 2 hop counts x 2 ks")
+    // a longer walk only ever ADDS visited nodes: recall and scanned
+    // are non-decreasing in hops at fixed width (the prefix contract)
+    for (w <- Seq(4L, 16L); kk <- Seq(1L, 5L)) {
+      assert(g((w, 2L, kk))._1 <= g((w, 6L, kk))._1,
+        s"recall must not drop with more hops (w=$w k=$kk)")
+      assert(g((w, 2L, kk))._2 <= g((w, 6L, kk))._2,
+        s"scanned must not drop with more hops (w=$w k=$kk)")
+    }
+    // hits bounded by both the answer size and the truth size
+    g.foreach { case ((_, _, kk), (_, _, hits, nbf)) =>
+      assert(hits <= nbf && nbf <= 5 * kk)
+    }
+  }
+
   test("nswBeamSearch is partitioning-independent end to end") {
     val queries = emb.filter(col("vec_id") % 250 === 0) // 2 queries: cheap
     val a = Similarity.nswBeamSearch(emb, queries, "embedding", "vec_id",

@@ -1161,7 +1161,8 @@ class OperatorsSpec extends SparkSpec {
       cells(graft.queries.DataQueries.e27Grid3d(spark, dir), "ivf_pq") ++
       cells(graft.queries.DataQueries.e29SqGrid3d(spark, dir), "ivf_sq8") ++
       cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq") ++
-      cells(graft.queries.DataQueries.e34BqGrid3d(spark, dir), "ivf_bq")
+      cells(graft.queries.DataQueries.e34BqGrid3d(spark, dir), "ivf_bq") ++
+      cells(graft.queries.DataQueries.e41NswGrid(spark, dir), "nsw")
     val grid = measured ++ measured.map(_._2).distinct
       .map(k => ("flat_exact", k, 0L, 0L, 1000000L, 1000000L))
     val chosen = graft.queries.DataQueries.e33LayoutChoice(spark, dir)
@@ -1287,8 +1288,8 @@ class OperatorsSpec extends SparkSpec {
       assert(g((1L, r, kk))._4 <= g((4L, r, kk))._4)
   }
 
-  test("e31 family choice: per (k, target) the cheapest cell across ALL FOUR family grids") {
-    // re-derive the decision from the four grid relations it unions
+  test("e31 family choice: per (k, target) the cheapest cell across ALL FIVE family grids") {
+    // re-derive the decision from the five grid relations it unions
     val dir = "/root/testdata/sf0.001"
     def cells(df: org.apache.spark.sql.DataFrame, fam: String) =
       df.collect().map(r => (fam, r.getAs[Long]("k"),
@@ -1298,7 +1299,8 @@ class OperatorsSpec extends SparkSpec {
       cells(graft.queries.DataQueries.e27Grid3d(spark, dir), "ivf_pq") ++
       cells(graft.queries.DataQueries.e29SqGrid3d(spark, dir), "ivf_sq8") ++
       cells(graft.queries.DataQueries.e30OpqGrid3d(spark, dir), "opq_ivf_pq") ++
-      cells(graft.queries.DataQueries.e34BqGrid3d(spark, dir), "ivf_bq")
+      cells(graft.queries.DataQueries.e34BqGrid3d(spark, dir), "ivf_bq") ++
+      cells(graft.queries.DataQueries.e41NswGrid(spark, dir), "nsw")
     val chosen = graft.queries.DataQueries.e31FamilyChoice(spark, dir)
       .collect()
     assert(chosen.length === 6, "one row per (k, target)")
