@@ -1863,7 +1863,37 @@ object Similarity {
                        vecCol: String, idCol: String, ks: Seq[Int],
                        nBits: Int, bands: Int, degree: Int,
                        beamWidths: Seq[Int], hopsList: Seq[Int],
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64): DataFrame =
+    nswGridCore(corpus, None, queries, vecCol, idCol, ks, nBits, bands,
+      degree, beamWidths, hopsList, dim)
+
+  /** FILTERED NSW GRID — [[nswOperatingGrid]] under a metadata
+    * predicate, with the production filtered-HNSW semantics
+    * (Qdrant/Weaviate-style): the walk NAVIGATES the full graph
+    * (non-matching nodes still route — deleting them would shatter
+    * connectivity exactly when the predicate is selective), and only
+    * the ANSWER set is restricted to the survivors. Accordingly:
+    *  - the truth is the FILTERED exact top-k (e17's contract — post-
+    *    filtering an unfiltered top-k loses recall);
+    *  - `scanned_ppm` keeps the FULL corpus denominator and charges
+    *    every visited node (non-matching visits still cost a distance
+    *    computation), so cells compare to the predicate-pruned exact
+    *    scan at `selectivity_ppm` (appended, the e35 contract). */
+  def nswFilteredOperatingGrid(corpus: DataFrame, keepIds: DataFrame,
+                               queries: DataFrame,
+                               vecCol: String, idCol: String, ks: Seq[Int],
+                               nBits: Int, bands: Int, degree: Int,
+                               beamWidths: Seq[Int], hopsList: Seq[Int],
+                               dim: Int = 64): DataFrame =
+    nswGridCore(corpus, Some(keepIds), queries, vecCol, idCol, ks, nBits,
+      bands, degree, beamWidths, hopsList, dim)
+
+  private def nswGridCore(corpus: DataFrame, keepIds: Option[DataFrame],
+                          queries: DataFrame,
+                          vecCol: String, idCol: String, ks: Seq[Int],
+                          nBits: Int, bands: Int, degree: Int,
+                          beamWidths: Seq[Int], hopsList: Seq[Int],
+                          dim: Int): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
       s"bad ks $ks")
     require(beamWidths.nonEmpty && beamWidths.forall(_ >= 1) &&
@@ -1882,11 +1912,20 @@ object Similarity {
     val ksSorted = ks.sorted
     val edges = nswGraph(corpus, vecCol, idCol, nBits, bands, degree, dim)
       .persist()
-    val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)
+    // answer-set restriction + the filtered truth (None = unfiltered)
+    val keep = keepIds.map(k =>
+      k.select(col(idCol).as("id")).distinct().persist())
+    val bfCorpus = keep.map(kp => corpus.join(
+        kp.select(col("id").as(idCol)), Seq(idCol))).getOrElse(corpus)
+    val bf = bruteForceTopKExact(bfCorpus, queries, vecCol, idCol, kMax)
       .select(col("query_id"), col("id"), col("rank").as("bfr")).persist()
     try {
       val nQ = q.count()
       val nCorpus = e.count()
+      val selectivityPpm = keep.map { kp =>
+        val nKept = e.join(kp, Seq("id")).count()
+        if (nCorpus == 0) 0L else 1000000L * nKept / nCorpus
+      }
       val bfAggs = ksSorted.map(kk =>
         coalesce(sum(when(col("bfr") <= kk, 1L).otherwise(0L)), lit(0L)))
       val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
@@ -1911,8 +1950,14 @@ object Similarity {
               if (nQ == 0 || nCorpus == 0) 0L
               else (BigInt(1000000L) * visited /
                 (BigInt(nQ) * nCorpus)).toLong
+            // answers come from the visited SURVIVORS (filtered mode);
+            // ranked AFTER the restriction, as a filtered serving
+            // endpoint would rank what it may return
+            val answerable = keep
+              .map(kp => state.join(broadcast(kp), Seq("id")))
+              .getOrElse(state)
             // bounded: ≤ nQ·kMax rows
-            val joined = state.filter(col("id") =!= col("query_id"))
+            val joined = answerable.filter(col("id") =!= col("query_id"))
               .withColumn("rank",
                 row_number().over(fw).cast(LongType))
               .filter(col("rank") <= kMax)
@@ -1930,10 +1975,13 @@ object Similarity {
         }
       }
       import spark.implicits._
-      rows.toDF("n_probe", "r_shortlist", "k", "n_queries", "n_hits",
-        "n_bf", "recall_ppm", "scanned_ppm")
+      val out = rows.toDF("n_probe", "r_shortlist", "k", "n_queries",
+        "n_hits", "n_bf", "recall_ppm", "scanned_ppm")
+      selectivityPpm.map(s => out.withColumn("selectivity_ppm", lit(s)))
+        .getOrElse(out)
     } finally {
       e.unpersist(); edges.unpersist(); bf.unpersist()
+      keep.foreach(_.unpersist())
     }
   }
 }

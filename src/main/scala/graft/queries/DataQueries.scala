@@ -1765,22 +1765,37 @@ object DataQueries {
       beamWidths = nswBeamWidths, hopsList = nswHopsList)
   }
 
-  /** e41's unordered oracle body (nestable, the e27SqlBody contract):
+  /** The NSW grid oracle body (nestable, the e27SqlBody contract):
     * int-key truth + graph build + one chain per beamWidth + the
-    * (w × hops × k) grid blocks. */
-  private lazy val e41SqlBody: String = {
+    * (w × hops × k) grid blocks. Filtered mode (e42) mirrors the
+    * filtered-HNSW semantics: full-graph walk, truth and answers cut
+    * to the `en` survivors, full-corpus scan denominator,
+    * `selectivity_ppm` appended. */
+  private def nswGridBodySql(filtered: Boolean): String = {
     val kMax = grid3dKs.max
     val chains = nswBeamWidths.sorted
       .map(w => nswChainCtes(s"w${w}_", w, nswHopsList.max))
       .mkString(",\n")
+    // filtered mode ranks the answers AFTER the survivor restriction
+    val stateSrc = (w: Int, h: Int) =>
+      if (filtered)
+        s"(SELECT s.* FROM w${w}_s$h s JOIN en ON en.id = s.id)"
+      else s"w${w}_s$h"
     def hitsSub(w: Int, h: Int, kk: Int) =
       s"""(SELECT CAST(count(*) AS BIGINT) FROM bf b JOIN
          |    (SELECT query_id, id FROM (SELECT query_id, id,
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_u DESC, id) AS frank
-         |      FROM w${w}_s$h WHERE id <> query_id) WHERE frank <= $kk) t
+         |      FROM ${stateSrc(w, h)} WHERE id <> query_id) WHERE frank <= $kk) t
          |    ON b.query_id = t.query_id AND b.id = t.id
          |    WHERE b.rank <= $kk)""".stripMargin
+    val extra =
+      if (filtered)
+        s""",
+           |  CAST(CAST(1000000 AS HUGEINT) *
+           |    (SELECT count(*) FROM e JOIN en ON e.id = en.id)
+           |    // (SELECT nc FROM nc) AS BIGINT) AS selectivity_ppm""".stripMargin
+      else ""
     val blocks = (for (w <- nswBeamWidths.sorted; h <- nswHopsList.sorted;
                        kk <- grid3dKs.sorted) yield
       s"""SELECT CAST($w AS BIGINT) AS n_probe,
@@ -1796,13 +1811,19 @@ object DataQueries {
          |        WHERE rank <= $kk) END AS recall_ppm,
          |  CAST(CAST(1000000 AS HUGEINT) * (SELECT count(*) FROM w${w}_s$h)
          |    // ((SELECT nq FROM nq) * (SELECT nc FROM nc)) AS BIGINT)
-         |    AS scanned_ppm
+         |    AS scanned_ppm$extra
          |""".stripMargin).mkString("UNION ALL\n")
-    s"""WITH $rawECtes,
+    val eDef = if (filtered) filteredECtes else rawECtes
+    val bfSrcCtes =
+      if (filtered)
+        s"""bfdk AS (SELECT bfd.* FROM bfd JOIN en ON bfd.id = en.id),
+           |${intKeyCtes("bf", "bfdk")}""".stripMargin
+      else intKeyCtes("bf", "bfd")
+    s"""WITH $eDef,
        |$intPairTailCtes,
        |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM e),
-       |${intKeyCtes("bf", "bfd")},
+       |$bfSrcCtes,
        |bf AS MATERIALIZED (SELECT query_id, id, rank FROM (
        |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
        |    ORDER BY key DESC, id) AS rank FROM bfkey)
@@ -1812,11 +1833,43 @@ object DataQueries {
        |$blocks""".stripMargin
   }
 
+  private lazy val e41SqlBody: String = nswGridBodySql(filtered = false)
+
   lazy val e41Sql: String =
     s"$e41SqlBody\nORDER BY n_probe, r_shortlist, k"
 
+  /** FILTERED NSW GRID (e42 — the graph family joins the FILTERED
+    * serving decision, completing the e39 symmetry): [[Similarity
+    * .nswFilteredOperatingGrid]] — full-graph navigation (deleting
+    * non-matching nodes would shatter connectivity exactly when the
+    * predicate is selective, so production filtered-HNSW routes
+    * through them), answers and truth cut to the `lang = 'en'`
+    * survivors, every visited node charged against the FULL corpus so
+    * cells compare to the predicate-pruned exact scan at
+    * `selectivity_ppm`. Feeds e37/e38 as their FIFTH family. */
+  val e42FilteredNswGrid: Q = (s, dir) =>
+    filteredNswGridRelation(s, dir)
+      .orderBy(col("n_probe"), col("r_shortlist"), col("k"))
+
+  private def filteredNswGridRelation(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Catalog(s, dir).embeddings
+    val en = Catalog(s, dir).documents.filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    Similarity.nswFilteredOperatingGrid(emb, en,
+      emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id",
+      ks = grid3dKs, nBits = nswNBits, bands = nswBands,
+      degree = nswDegree, beamWidths = nswBeamWidths,
+      hopsList = nswHopsList)
+  }
+
+  private lazy val e42SqlBody: String = nswGridBodySql(filtered = true)
+
+  lazy val e42Sql: String =
+    s"$e42SqlBody\nORDER BY n_probe, r_shortlist, k"
+
   /** FILTERED CROSS-FAMILY GRID (e37 — e31 × e17, the direction the
-    * e33/e36 design notes pointed): ALL FOUR quantizer families
+    * e33/e36 design notes pointed): ALL FIVE families
     * measured UNDER the metadata predicate — PQ, SQ8, and BQ over ONE
     * shared filtered substrate ([[Similarity
     * .ivfFilteredFamilyOperatingGrids]] — one filtered probe stage,
@@ -1824,9 +1877,11 @@ object DataQueries {
     * `selectivity_ppm` on every row), plus OPQ unioned in from its own
     * rotated substrate (e39 — VERDICT r17 next-#5: the union needs
     * shared COLUMNS, not a shared substrate, exactly as unfiltered e31
-    * unions e30). Oracle: four [[familyGridBodySql]] instances in
-    * filtered mode — the SAME builder text as the unfiltered e27/e29/
-    * e34/e30 bodies, so the (family × filtered) matrix cannot fork. */
+    * unions e30), and the graph family from its filtered walk (e42,
+    * r18). Oracle: the [[familyGridBodySql]] instances in
+    * filtered mode plus [[nswGridBodySql]] — the SAME builder text as
+    * the unfiltered bodies, so the (family × filtered) matrix cannot
+    * fork. */
   val e37FilteredFamily: Q = (s, dir) =>
     filteredFamilyRelation(s, dir)
       .orderBy(col("family"), col("n_probe"), col("r_shortlist"), col("k"))
@@ -1845,6 +1900,12 @@ object DataQueries {
         rs = grid3dRs, nProbes = grid3dNps)
       .unionByName(filteredOpqGridRelation(s, dir)
         .withColumn("family", lit("opq_ivf_pq")))
+      // the GRAPH family under the predicate (r18): full-graph
+      // navigation, survivor-restricted answers/truth, full-corpus
+      // scan denominator — competes with the pruned scan like every
+      // other filtered cell
+      .unionByName(filteredNswGridRelation(s, dir)
+        .withColumn("family", lit("nsw")))
   }
 
   /** SQL twin of [[filteredFamilyRelation]], ending in `g`. */
@@ -1855,10 +1916,12 @@ object DataQueries {
        |fb AS (${familyGridBodySql(bqScbCtes, "scb", "hamming",
            filtered = true, eDef = filteredECtes)}),
        |fo AS ($e39SqlBody),
+       |fn AS ($e42SqlBody),
        |g AS (SELECT 'ivf_pq' AS family, * FROM fp
        |  UNION ALL SELECT 'ivf_sq8' AS family, * FROM fs
        |  UNION ALL SELECT 'ivf_bq' AS family, * FROM fb
-       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM fo)""".stripMargin
+       |  UNION ALL SELECT 'opq_ivf_pq' AS family, * FROM fo
+       |  UNION ALL SELECT 'nsw' AS family, * FROM fn)""".stripMargin
 
   lazy val e37Sql: String =
     s"""WITH $filteredFamilyCtes
@@ -1867,8 +1930,8 @@ object DataQueries {
 
   /** FILTERED CROSS-FAMILY LAYOUT CHOICE (e38): e36's decision with
     * the e37 union as the candidate set — per (k, recall target), the
-    * cheapest of {all FOUR quantizer families under the predicate,
-    * OPQ included since r18} ∪ {the predicate-pruned exact scan at
+    * cheapest of {all FIVE families under the predicate,
+    * OPQ and the graph family included since r18} ∪ {the predicate-pruned exact scan at
     * `selectivity_ppm`}. This is the complete filtered-serving
     * capacity decision: which index family to build for a filtered
     * workload, or none at all — and a workload whose best family is
@@ -6361,6 +6424,7 @@ object DataQueries {
     "e39_filtered_opq_grid" -> e39FilteredOpqGrid,
     "e40_nsw_beam" -> e40NswBeam,
     "e41_nsw_grid" -> e41NswGrid,
+    "e42_filtered_nsw_grid" -> e42FilteredNswGrid,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
@@ -6486,6 +6550,7 @@ object DataQueries {
     "e39_filtered_opq_grid" -> e39Sql,
     "e40_nsw_beam" -> e40Sql,
     "e41_nsw_grid" -> e41Sql,
+    "e42_filtered_nsw_grid" -> e42Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,

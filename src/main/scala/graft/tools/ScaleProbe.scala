@@ -1227,6 +1227,25 @@ object ScaleProbe {
               .otherwise(lit("tail")).as("ppl_bucket"))
       }
     }
+    // e40 graph ANN: the DEPLOYMENT rule is hash bits ~ log2(corpus) —
+    // at fixed nBits the per-bucket population (and the banded
+    // self-join's pair count) grows linearly with replicas, so the
+    // probe scales bits with the corpus exactly as a real index build
+    // sizes its sketch. With that rule the build is near-linear
+    // (buckets hold ~constant population) and the WALK cost is
+    // corpus-independent by construction (beamWidth·hops·degree rows);
+    // the exact-recall audit join inside the operator is the only
+    // queries × corpus stage, kept bounded by the fixed 5-query batch.
+    stage("nsw_beam") {
+      val bits = 5 +
+        (63 - java.lang.Long.numberOfLeadingZeros(replicas.toLong)).toInt
+      t(s"nsw_beam_${replicas}x") {
+        graft.operators.Similarity.nswBeamSearch(embBig,
+          embBig.filter(col("vec_id") < 500 && col("vec_id") % 100 === 0),
+          "embedding", "vec_id", nBits = bits, bands = 3, degree = 14,
+          beamWidth = 16, hops = 6, k = 10)
+      }
+    }
     // m08 caption alignment: two map-only md5 embed towers + one
     // skinny (id, vec) equi-join — cost should track the corpus scan.
     stage("caption_align") {

@@ -1102,7 +1102,7 @@ class OperatorsSpec extends SparkSpec {
       .forall { case (_, rows) => rows.map(_.getLong(5)).distinct.length == 1 })
   }
 
-  test("e38 filtered choice: cheapest across FOUR families (OPQ unioned, r18) or the pruned scan") {
+  test("e38 filtered choice: cheapest across FIVE families (OPQ + nsw unioned, r18) or the pruned scan") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.DataQueries.e37FilteredFamily(spark, dir)
       .collect()
@@ -1110,12 +1110,13 @@ class OperatorsSpec extends SparkSpec {
         r.getAs[Long]("n_probe"), r.getAs[Long]("r_shortlist"),
         r.getAs[Long]("recall_ppm"), r.getAs[Long]("scanned_ppm"),
         r.getAs[Long]("selectivity_ppm")))
-    // the union carries all four families — OPQ from its own rotated
-    // substrate (VERDICT r17 next-#5: shared COLUMNS, not substrate)
+    // the union carries all five families — OPQ from its own rotated
+    // substrate (VERDICT r17 next-#5: shared COLUMNS, not substrate),
+    // nsw from its filtered full-graph walk (r18)
     assert(cells.map(_._1).distinct.sorted.toSeq ===
-      Seq("ivf_bq", "ivf_pq", "ivf_sq8", "opq_ivf_pq"))
-    // rotation preserves ids and the predicate, so OPQ's survivor
-    // fraction must equal the shared substrate's — one selectivity
+      Seq("ivf_bq", "ivf_pq", "ivf_sq8", "nsw", "opq_ivf_pq"))
+    // rotation preserves ids and the predicate, and the graph walk
+    // counts the same valid-survivor intersection — ONE selectivity
     assert(cells.map(_._7).distinct.length === 1)
     // the OPQ rows ARE the standalone filtered-OPQ grid's cells
     val standalone = graft.queries.DataQueries
