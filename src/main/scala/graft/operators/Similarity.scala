@@ -1784,7 +1784,18 @@ object Similarity {
                     vecCol: String, idCol: String,
                     nBits: Int, bands: Int, degree: Int,
                     beamWidth: Int, hops: Int, k: Int,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64): DataFrame =
+    nswBeamSearchWithEdges(corpus, queries, vecCol, idCol,
+      nswGraph(corpus, vecCol, idCol, nBits, bands, degree, dim),
+      beamWidth, hops, k)
+
+  /** [[nswBeamSearch]] over a CALLER-SUPPLIED edge list — the serving
+    * path for a maintained graph ([[nswUpsertEdges]]): the index is
+    * storage, the walk only reads it. */
+  def nswBeamSearchWithEdges(corpus: DataFrame, queries: DataFrame,
+                             vecCol: String, idCol: String,
+                             edgeList: DataFrame,
+                             beamWidth: Int, hops: Int, k: Int): DataFrame = {
     require(beamWidth >= 1 && hops >= 1 && k >= 1,
       s"need beamWidth/hops/k >= 1; got $beamWidth/$hops/$k")
     val e = corpus.select(col(idCol).as("id"),
@@ -1793,8 +1804,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
-    val edges = nswGraph(corpus, vecCol, idCol, nBits, bands, degree, dim)
-      .localCheckpoint(false)
+    val edges = edgeList.localCheckpoint(false)
     val entry = e.orderBy(md5(col("id").cast(StringType)), col("id"))
       .limit(1)
     val fw = Window.partitionBy("query_id")
@@ -1817,6 +1827,71 @@ object Similarity {
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("id"), col("cos_u"), coalesce(col("hit"), lit(0L)).as("hit"),
         col("visited"))
+  }
+
+  /** INCREMENTAL NSW MAINTENANCE — insert a delta batch into an
+    * existing graph WITHOUT rebuilding it: each new node takes its
+    * `degree` best co-bucketed neighbors (old or new), and every base
+    * node co-bucketed with a new node has the newcomers merged into
+    * its edge list, re-capped at `degree` (the HNSW insert rule,
+    * batch-deterministic). Under the top-degree-by-cosine rule this is
+    * EXACTLY the batch rebuild: a base candidate dropped by the base
+    * build is dominated by `degree` kept candidates and can never
+    * re-enter any top-`degree` set, so merge-and-recap loses nothing
+    * — NswSpec pins upsert ≡ [[nswGraph]] on the union, and the e43
+    * gate proves it cross-engine (the Spark side runs THIS path, the
+    * oracle replays the batch build; hash equality is the maintenance
+    * contract). Cost is O(delta × bucket population + affected base
+    * rows), never O(rebuild): only base nodes co-bucketed with a
+    * newcomer are touched. */
+  def nswUpsertEdges(base: DataFrame, delta: DataFrame,
+                     vecCol: String, idCol: String,
+                     nBits: Int, bands: Int, degree: Int,
+                     dim: Int = 64): DataFrame = {
+    val gBase = nswGraph(base, vecCol, idCol, nBits, bands, degree, dim)
+    def bucketed(df: DataFrame): DataFrame = {
+      val e = df.select(col(idCol).as("id"),
+          toDoubleArray(col(vecCol)).as("v"))
+        .filter(nonDegenerate(col("v")))
+      (0 until bands).map { b =>
+        e.withColumn("bucket", concat(lit(s"$b:"), concat_ws("",
+          (0 until nBits).map(s =>
+            hyperplaneBit(col("v"), b * nBits + s, dim)
+              .cast(StringType)): _*)))
+      }.reduce(_ unionByName _)
+    }
+    val allB = bucketed(base.unionByName(delta))
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val dB = allB.join(deltaIds, Seq("id"))
+    // pairs with a NEW endpoint, in both directions: (new -> anything)
+    // seeds the newcomers' lists, (base -> new) feeds the reverse merge
+    val touchingNew = allB
+      .select(col("bucket"), col("id").as("src"), col("v").as("sv"))
+      .join(dB.select(col("bucket"), col("id").as("dst"),
+        col("v").as("dv")), Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+    val candNew = touchingNew
+      .select(col("src"), col("dst"),
+        microCos(col("sv"), col("dv")).as("cos_u"))
+      .unionByName(touchingNew.select(col("dst").as("src"),
+        col("src").as("dst"),
+        microCos(col("sv"), col("dv")).as("cos_u")))
+      .distinct()
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos_u").desc, col("dst").asc)
+    // newcomers: rank their candidates directly; base nodes: merge the
+    // kept base list with the new candidates and re-cap
+    val newSrc = candNew.join(deltaIds.withColumnRenamed("id", "src"),
+      Seq("src"))
+    val merged = gBase
+      .unionByName(candNew.join(deltaIds.withColumnRenamed("id", "src"),
+        Seq("src"), "left_anti"))
+      .distinct()
+    newSrc.unionByName(merged)
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= degree)
+      .select(col("src"), col("dst"), col("cos_u"))
   }
 
   // ONE beam hop — frontier (top-`beamWidth` visited per query), expand

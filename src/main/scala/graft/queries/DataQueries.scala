@@ -1721,10 +1721,15 @@ object DataQueries {
     (s0 +: hops).mkString(",\n")
   }
 
-  lazy val e40Sql: String = {
+  lazy val e40Sql: String = nswSearchSql(queryMod = 100)
+
+  /** The beam-search oracle (e40, and e43 with a different query set —
+    * e43's Spark side runs the UPSERT path while this replays the
+    * batch build, so hash equality IS the maintenance contract). */
+  private def nswSearchSql(queryMod: Int): String = {
     val (w, hops, k) = (16, 6, 10)
     s"""WITH $rawECtes,
-       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % $queryMod = 0),
        |$nswGraphCtes,
        |${nswChainCtes("", w, hops)},
        |vis AS (SELECT query_id, count(*) AS visited FROM s$hops GROUP BY query_id),
@@ -1741,6 +1746,32 @@ object DataQueries {
        |JOIN vis v ON v.query_id = r.query_id
        |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
   }
+
+  /** NSW INCREMENTAL UPSERT (e43 — index MAINTENANCE for the graph
+    * family, e20's contract): the corpus splits 90/10 into a base and
+    * a delta batch; the Spark side builds the base graph, INSERTS the
+    * delta through [[Similarity.nswUpsertEdges]] (new nodes take their
+    * best co-bucketed neighbors; touched base nodes merge the
+    * newcomers into their lists and re-cap at degree — cost O(delta ×
+    * bucket population + affected rows), never O(rebuild)), then
+    * serves the e40 beam walk over the union with the UPSERTED edges.
+    * The oracle replays the BATCH build on the union — hash equality
+    * proves upsert ≡ rebuild cross-engine (the top-degree dominance
+    * argument, pinned algebraically in NswSpec). Queries include
+    * delta nodes (id % 125: two base, two delta). */
+  val e43NswUpsert: Q = (s, dir) => {
+    val emb = Catalog(s, dir).embeddings
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val edges = Similarity.nswUpsertEdges(base, delta, "embedding",
+      "vec_id", nBits = nswNBits, bands = nswBands, degree = nswDegree)
+    Similarity.nswBeamSearchWithEdges(emb,
+        emb.filter(col("vec_id") % 125 === 0), "embedding", "vec_id",
+        edges, beamWidth = 16, hops = 6, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e43Sql: String = nswSearchSql(queryMod = 125)
 
   /** NSW OPERATING GRID (e41 — the graph family's e27): the
     * (beamWidth × hops × k) cells of [[Similarity.nswOperatingGrid]]
@@ -6425,6 +6456,7 @@ object DataQueries {
     "e40_nsw_beam" -> e40NswBeam,
     "e41_nsw_grid" -> e41NswGrid,
     "e42_filtered_nsw_grid" -> e42FilteredNswGrid,
+    "e43_nsw_upsert" -> e43NswUpsert,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
@@ -6551,6 +6583,7 @@ object DataQueries {
     "e40_nsw_beam" -> e40Sql,
     "e41_nsw_grid" -> e41Sql,
     "e42_filtered_nsw_grid" -> e42Sql,
+    "e43_nsw_upsert" -> e43Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,

@@ -88,6 +88,21 @@ class NswSpec extends SparkSpec {
     }
   }
 
+  test("nswUpsertEdges: incremental insert EQUALS the batch rebuild (e43's contract)") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val upserted = Similarity.nswUpsertEdges(base, delta,
+      "embedding", "vec_id", nBits = 5, bands = 3, degree = 14)
+    val rebuilt = Similarity.nswGraph(emb, "embedding", "vec_id",
+      nBits = 5, bands = 3, degree = 14)
+    // the top-degree dominance argument, checked edge-for-edge: a base
+    // candidate the base build dropped is dominated by `degree` kept
+    // ones, so merge-and-recap reconstructs the batch list exactly
+    assert(upserted.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(upserted).count() == 0,
+      "upsert must reproduce the batch-built graph edge-for-edge")
+  }
+
   test("nswBeamSearch is partitioning-independent end to end") {
     val queries = emb.filter(col("vec_id") % 250 === 0) // 2 queries: cheap
     val a = Similarity.nswBeamSearch(emb, queries, "embedding", "vec_id",
