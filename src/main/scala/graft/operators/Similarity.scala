@@ -1897,8 +1897,17 @@ object Similarity {
   // ONE beam hop — frontier (top-`beamWidth` visited per query), expand
   // through the edge list, score the new nodes, dedup into the state.
   // Shared by nswBeamSearch and nswOperatingGrid so a hop-semantics
-  // change can never fork the grid from the operator it measures. The
-  // localCheckpoint cuts the iterative lineage (q51's contract).
+  // change can never fork the grid from the operator it measures.
+  // Duplicate expansions (two frontier nodes sharing a neighbor) ride
+  // through to the single state-level distinct — at most W·degree rows
+  // per query, cheaper than a second shuffle per hop. The state is
+  // referenced TWICE per later hop (frontier + union), so each hop
+  // MUST end in a localCheckpoint: it is the only cut that makes the
+  // state a true plan LEAF. (Measured on this tree: persist — lazy or
+  // count()-forced — does NOT get substituted for the re-analyzed
+  // subplans, so every hop recomputes the whole chain: 12 s → 70-103 s
+  // for the e41 grid at sf0.1. The checkpoint blocks live until the
+  // JVM drops the frames — the price of the leaf cut.)
   private def nswHop(state: DataFrame, edges: DataFrame, e: DataFrame,
                      q: DataFrame, beamWidth: Int): DataFrame = {
     val fw = Window.partitionBy("query_id")
@@ -1909,14 +1918,13 @@ object Similarity {
     val expanded = broadcast(frontier)
       .join(edges, Seq("src"))
       .select(col("query_id"), col("dst").as("id"))
-      .distinct()
       .join(e, Seq("id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("id"),
         microCos(col("v"), col("qv")).as("cos_u"))
-    state.unionByName(expanded)
+    val next = state.unionByName(expanded)
       .distinct() // duplicate visits are identical triples
-      .localCheckpoint(false)
+    next.localCheckpoint(false)
   }
 
   /** NSW OPERATING GRID — [[nswBeamSearch]]'s (beamWidth × hops × k)
@@ -2015,7 +2023,6 @@ object Similarity {
         var state = q.crossJoin(broadcast(entry))
           .select(col("query_id"), col("id"),
             microCos(col("v"), col("qv")).as("cos_u"))
-          .localCheckpoint(false)
         (1 to maxH).flatMap { h =>
           state = nswHop(state, edges, e, q, w)
           if (!hopsList.contains(h)) Nil

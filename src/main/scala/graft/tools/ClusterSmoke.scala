@@ -212,7 +212,20 @@ object ClusterSmoke {
     "t35_ppl_buckets",
     // filtered cross-family grid + choice: one filtered substrate
     // feeding three scorer families, decided against the pruned scan
-    "e37_filtered_family", "e38_filtered_choice")
+    "e37_filtered_family", "e38_filtered_choice",
+    // r18: per-file bloom zones (input_file_name attribution + the
+    // bit-OR aggregate from executor partials feeding a driver-side
+    // manifest write) and the dir-level union on top of them
+    "q66_bloom_point", "q68_bloom_dir",
+    // r18: the SCD2 merge chain — three full-outer joins whose
+    // closed/untouched/opened branches derive from one exchange
+    "q67_scd2_snapshot",
+    // r18: the graph-ANN walk — an iterative localCheckpoint chain
+    // whose blocks live on executor JVMs, plus the banded build
+    "e40_nsw_beam",
+    // r18 session-1 keys with executor-partial fits: WordPiece piece
+    // counts and the DSIR hashed-ngram bucket distributions
+    "t36_wordpiece_tokenize", "t38_dsir_select")
 
   /** Order-and-partitioning-independent digest: md5 the sorted-column
     * JSON of each row, sum the 60-bit prefixes in decimal space. */

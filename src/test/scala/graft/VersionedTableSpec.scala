@@ -953,6 +953,27 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("dir-level bloom unions survive compaction (fresh files earn fresh blooms)") {
+    val data = (1L to 2000L).map(i => (i, s"C${i % 200}", (i % 200) % 4))
+      .toDF("id", "ck_tag", "shard")
+    val r = root()
+    VersionedTable.setBloomColumns(spark, r, Seq("ck_tag"))
+    VersionedTable.write(spark, r, data.repartition(6, col("id")),
+      partitionBy = Seq("shard"))
+    VersionedTable.compact(spark, r)
+    // compacted files are FRESH: commit recomputes their per-file
+    // blooms from the _bloom config and rebuilds the dir unions, so
+    // the point probe still skips the foreign shards at the dir level
+    val (_, st) = VersionedTable.rangeFileStats(spark, r, "ck_tag", "C1", "C1")
+    assert(st.dirsBloomPruned === 3,
+      s"compaction must not lose the dir-level index: $st")
+    val got = VersionedTable.readPoint(spark, r, "ck_tag", "C1")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = VersionedTable.read(spark, r).filter(col("ck_tag") === "C1")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
   test("q68 gate shape: dir-bloom point read matches the direct scan") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.ExtQueries.q68BloomDir(spark, dir)
