@@ -1780,22 +1780,61 @@ object ExtQueries {
     * timezone-parsed constant crosses engines. At 100 TB each tick is
     * ONE full-outer hash join on the business key — O(|snapshot| +
     * |batch|), the same merge a Delta/Iceberg MERGE INTO would run. */
-  val q67Scd2Snapshot: Q = (s, dir) => {
+  // the q67/q69 SCD2 chain: three merge ticks over orders-as-versions
+  private def scd2Chain(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val v = Catalog(s, dir).orders.select(
       col("o_custkey").as("k"),
       col("o_orderkey").as("vts"),
       col("o_totalprice").as("price"),
       pmod(col("o_orderkey"), lit(3L)).as("batch"))
     val empty = Snapshots.initialize(v.drop("batch").filter(lit(false)), "vts")
-    val merged = (0L to 2L).foldLeft(empty)((snap, b) =>
+    (0L to 2L).foldLeft(empty)((snap, b) =>
       Snapshots.merge(snap, v.filter(col("batch") === b).drop("batch"),
         "k", "vts"))
-    merged.select(col("k"), col("vts"), col("price"),
+  }
+
+  val q67Scd2Snapshot: Q = (s, dir) =>
+    scd2Chain(s, dir).select(col("k"), col("vts"), col("price"),
         when(col("is_current"), lit(null).cast(LongType))
           .otherwise(col("valid_to").cast(LongType)).as("valid_to_s"),
         col("is_current").cast(LongType).as("is_current"))
       .orderBy(col("k"), col("vts"))
+
+  /** SCD2 POINT-IN-TIME READ (q69 — [[graft.pipeline.Snapshots.asOf]]
+    * into the gate, completing the snapshot API q67 opened): the same
+    * three-tick chain, read AS OF a DATA-DERIVED instant (epoch second
+    * `max(o_orderkey) / 2` — deterministic, replayed by the oracle's
+    * subquery, no wall-clock anywhere). Exactly the keys whose version
+    * chain had started by t appear, each with the ONE version whose
+    * [valid_from, valid_to) interval covers t — the "what did the
+    * dimension look like last quarter" read every warehouse mart
+    * eventually needs. */
+  val q69SnapshotAsof: Q = (s, dir) => {
+    val t = Catalog(s, dir).orders
+      .agg(max(col("o_orderkey"))).head.getLong(0) / 2L
+    Snapshots.asOf(scd2Chain(s, dir), new java.sql.Timestamp(t * 1000L))
+      .select(col("k"), col("vts"), col("price"))
+      .orderBy(col("k"))
   }
+
+  val q69Sql: String =
+    """WITH v AS (SELECT o_custkey AS k, o_orderkey AS ts,
+      |    o_totalprice AS price, o_orderkey % 3 AS b FROM orders),
+      |t AS (SELECT max(o_orderkey) // 2 AS t FROM orders),
+      |pb AS (SELECT k, ts, price, b,
+      |  row_number() OVER (PARTITION BY k, b ORDER BY ts DESC) AS rn FROM v),
+      |lat AS (SELECT k, ts, price, b FROM pb WHERE rn = 1),
+      |acc AS (SELECT k, ts, price, b, max(ts) OVER (PARTITION BY k ORDER BY b
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM lat),
+      |kept AS (SELECT k, ts, price FROM acc WHERE pm IS NULL OR ts > pm),
+      |ch AS (SELECT k, ts, price,
+      |  lead(ts) OVER (PARTITION BY k ORDER BY ts) AS nts FROM kept)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(ts AS BIGINT) AS vts,
+      |  CAST(price AS DOUBLE) AS price
+      |FROM ch WHERE ts <= (SELECT t FROM t)
+      |  AND (nts IS NULL OR (SELECT t FROM t) < nts)
+      |ORDER BY k""".stripMargin
 
   val q67Sql: String =
     """WITH v AS (SELECT o_custkey AS k, o_orderkey AS ts,
@@ -1820,6 +1859,7 @@ object ExtQueries {
     "q66_bloom_point" -> q66BloomPoint,
     "q67_scd2_snapshot" -> q67Scd2Snapshot,
     "q68_bloom_dir" -> q68BloomDir,
+    "q69_snapshot_asof" -> q69SnapshotAsof,
     "q60_hopping_window" -> q60HoppingWindow,
     "q56_gap_fill" -> q56GapFill,
     "q57_funnel" -> q57Funnel,
@@ -1863,6 +1903,7 @@ object ExtQueries {
     "q66_bloom_point" -> q66Sql,
     "q67_scd2_snapshot" -> q67Sql,
     "q68_bloom_dir" -> q68Sql,
+    "q69_snapshot_asof" -> q69Sql,
     "q51_pagerank" -> q51Sql,
     "q52_kmv_algebra" -> q52Sql,
     "q53_bloom_join" -> q53Sql,

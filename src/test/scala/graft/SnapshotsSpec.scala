@@ -177,4 +177,24 @@ class SnapshotsSpec extends SparkSpec {
           s"(versions=${out.count()} latests=$perBatchLatest)")
     } finally out.unpersist()
   }
+
+  test("q69 gate shape: asOf returns at most one version per key, consistent with the chain") {
+    val dir = "/root/testdata/sf0.001"
+    val asOf = graft.queries.ExtQueries.q69SnapshotAsof(spark, dir).cache()
+    try {
+      val dup = asOf.groupBy("k").count().filter(col("count") > 1L).count()
+      assert(dup == 0, "a point-in-time read sees ONE version per key")
+      // every returned (k, vts) is a version of the q67 chain whose
+      // interval covers t — cross-check against the full chain
+      val t = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(max(col("o_orderkey"))).head.getLong(0) / 2L
+      val chain = graft.queries.ExtQueries.q67Scd2Snapshot(spark, dir)
+      val want = chain.filter(col("vts") <= t &&
+          (col("valid_to_s").isNull || lit(t) < col("valid_to_s")))
+        .select("k", "vts", "price")
+      assert(asOf.exceptAll(want).count() == 0 &&
+        want.exceptAll(asOf).count() == 0)
+      assert(asOf.count() > 0)
+    } finally asOf.unpersist()
+  }
 }
