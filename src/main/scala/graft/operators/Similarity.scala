@@ -1829,6 +1829,71 @@ object Similarity {
         col("visited"))
   }
 
+  /** HIERARCHICAL NSW SEARCH — the full HNSW shape (Malkov & Yashunin,
+    * TPAMI 2018): walk a cascade of graphs coarse→fine, each level's
+    * walk seeded by the PREVIOUS level's per-query best node, the
+    * global entry fixed at the coarsest level's md5-min member. The
+    * hierarchy is what makes graph search log-hop at scale: the
+    * coarse levels cross the corpus in O(log n) cheap hops (tiny
+    * graphs, narrow beams) and the bottom level only ever refines a
+    * local neighborhood, so the flat walk's diameter-bound hop count
+    * never applies to the full graph. Levels must be NESTED (every
+    * coarse node is a member of every finer level, the standard HNSW
+    * assignment) so a seed node always exists in the next graph.
+    *
+    * `levels` runs coarse→fine as (edges, beamWidth, hops);
+    * `entryMembers` is the coarsest level's member ids (column `id`).
+    * Output: the e40 shape — (query_id, rank, id, cos_u, hit,
+    * visited), `visited` counting distinct nodes touched across ALL
+    * levels (each level's cumulative state absorbs its seed, so the
+    * union of level finals is the full visit set). */
+  def hnswSearch(corpus: DataFrame, queries: DataFrame,
+                 vecCol: String, idCol: String,
+                 entryMembers: DataFrame,
+                 levels: Seq[(DataFrame, Int, Int)], k: Int): DataFrame = {
+    require(levels.nonEmpty, "need at least one level")
+    require(k >= 1 && levels.forall { case (_, w, h) => w >= 1 && h >= 1 },
+      "beamWidth/hops/k must be >= 1")
+    val e = corpus.select(col(idCol).as("id"),
+        toDoubleArray(col(vecCol)).as("v"))
+      .filter(nonDegenerate(col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(vecCol)).as("qv"))
+      .filter(nonDegenerate(col("qv")))
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("cos_u").desc, col("id").asc)
+    val entry = e.join(entryMembers.select(col("id")), Seq("id"))
+      .orderBy(md5(col("id").cast(StringType)), col("id")).limit(1)
+    var state = q.crossJoin(broadcast(entry))
+      .select(col("query_id"), col("id"),
+        microCos(col("v"), col("qv")).as("cos_u"))
+      .localCheckpoint(false)
+    val finals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    levels.zipWithIndex.foreach { case ((edgeList, wW, hH), li) =>
+      val edges = edgeList.localCheckpoint(false)
+      if (li > 0) // descend: seed from the previous level's best
+        state = state.withColumn("__rn", row_number().over(fw))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("id"), col("cos_u"))
+          .localCheckpoint(false)
+      for (_ <- 1 to hH) state = nswHop(state, edges, e, q, wW)
+      finals += state
+    }
+    val visited = finals.map(_.select(col("query_id"), col("id")))
+      .reduce(_ unionByName _).distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("visited"))
+    val exact = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("id"), lit(1L).as("hit"))
+    finals.last.filter(col("id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= k)
+      .join(exact, Seq("query_id", "id"), "left")
+      .join(visited, Seq("query_id"))
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("cos_u"), coalesce(col("hit"), lit(0L)).as("hit"),
+        col("visited"))
+  }
+
   /** INCREMENTAL NSW MAINTENANCE — insert a delta batch into an
     * existing graph WITHOUT rebuilding it: each new node takes its
     * `degree` best co-bucketed neighbors (old or new), and every base

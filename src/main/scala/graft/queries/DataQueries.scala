@@ -1678,41 +1678,48 @@ object DataQueries {
   private val nswBeamWidths = Seq(4, 16)
   private val nswHopsList = Seq(2, 6)
 
-  /** The NSW graph-build CTEs over `e` — `bkt`/`cand`/`edges`/`entry`.
-    * Band b = seeds [b·nBits, (b+1)·nBits) of the e03 hyperplane
-    * family. Shared by e40 and e41 (and through e41 by e31/e33). */
-  private lazy val nswGraphCtes: String = {
+  /** NSW graph-build CTEs over `eRel` — `<pfx>bkt`/`<pfx>cand`/
+    * `<pfx>edges`/`<pfx>entry`. Band b = seeds [b·nBits, (b+1)·nBits)
+    * of the e03 hyperplane family. Parameterized so e44's per-level
+    * graphs come from the SAME text as e40/e41's flat one. */
+  private def nswGraphCtesFor(pfx: String, eRel: String, nBits: Int,
+                              bands: Int, degree: Int): String = {
     def bucketSql(b: Int): String =
       s"""'$b:' || (SELECT string_agg(CASE WHEN list_sum(list_transform(range(1, len(v)+1),
          |    i -> v[i] * ((CAST(('0x'||substr(md5(s.s::VARCHAR||'|'||(i-1)::VARCHAR),1,15)) AS BIGINT)
          |    % 2000001)/1000000.0 - 1.0))) >= 0 THEN '1' ELSE '0' END, '' ORDER BY s.s)
-         |  FROM (SELECT unnest(range(${b * nswNBits}, ${(b + 1) * nswNBits})) AS s) s)""".stripMargin
-    val bandSelects = (0 until nswBands).map(b =>
-      s"SELECT id, v, ${bucketSql(b)} AS bucket FROM e").mkString("\nUNION ALL\n")
-    s"""bkt AS ($bandSelects),
-       |cand AS (SELECT DISTINCT a.id AS src, c.id AS dst, ${nswMicroSql("a.v", "c.v")} AS cos_u
-       |  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.id <> c.id),
-       |edges AS MATERIALIZED (SELECT src, dst, cos_u FROM (SELECT src, dst, cos_u,
+         |  FROM (SELECT unnest(range(${b * nBits}, ${(b + 1) * nBits})) AS s) s)""".stripMargin
+    val bandSelects = (0 until bands).map(b =>
+      s"SELECT id, v, ${bucketSql(b)} AS bucket FROM $eRel")
+      .mkString("\nUNION ALL\n")
+    s"""${pfx}bkt AS ($bandSelects),
+       |${pfx}cand AS (SELECT DISTINCT a.id AS src, c.id AS dst, ${nswMicroSql("a.v", "c.v")} AS cos_u
+       |  FROM ${pfx}bkt a JOIN ${pfx}bkt c ON a.bucket = c.bucket AND a.id <> c.id),
+       |${pfx}edges AS MATERIALIZED (SELECT src, dst, cos_u FROM (SELECT src, dst, cos_u,
        |  row_number() OVER (PARTITION BY src ORDER BY cos_u DESC, dst) AS rn
-       |  FROM cand) WHERE rn <= $nswDegree),
-       |entry AS (SELECT id, v FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1)""".stripMargin
+       |  FROM ${pfx}cand) WHERE rn <= $degree),
+       |${pfx}entry AS (SELECT id, v FROM $eRel ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1)""".stripMargin
   }
+
+  private lazy val nswGraphCtes: String =
+    nswGraphCtesFor("", "e", nswNBits, nswBands, nswDegree)
 
   /** One unrolled beam-walk chain at width `w`: `<pfx>s0..<pfx>s<maxH>`
     * (state after each hop, MATERIALIZED — each state feeds the next
-    * hop AND the grid blocks). The t33/t36 unroll contract applied to
-    * a graph walk. */
-  private def nswChainCtes(pfx: String, w: Int, maxH: Int): String = {
-    val s0 =
-      s"""${pfx}s0 AS (SELECT q.query_id, en.id, ${nswMicroSql("en.v", "q.qv")} AS cos_u
-         |  FROM q CROSS JOIN entry en)""".stripMargin
+    * hop AND the grid blocks). `s0Body` seeds the walk (q × entry for
+    * a flat search; the previous level's per-query best for an HNSW
+    * descent); `edgesRel` names the level's edge list. The t33/t36
+    * unroll contract applied to a graph walk. */
+  private def nswChainCtesFor(pfx: String, w: Int, maxH: Int,
+                              edgesRel: String, s0Body: String): String = {
+    val s0 = s"${pfx}s0 AS ($s0Body)"
     val hops = (1 to maxH).map { h =>
       val prev = s"${pfx}s${h - 1}"
       s"""${pfx}f$h AS (SELECT query_id, id FROM (SELECT query_id, id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, id) AS rn
          |  FROM $prev) WHERE rn <= $w),
          |${pfx}x$h AS (SELECT DISTINCT f.query_id, ed.dst AS id
-         |  FROM ${pfx}f$h f JOIN edges ed ON ed.src = f.id),
+         |  FROM ${pfx}f$h f JOIN $edgesRel ed ON ed.src = f.id),
          |${pfx}n$h AS (SELECT x.query_id, x.id, ${nswMicroSql("e.v", "q.qv")} AS cos_u
          |  FROM ${pfx}x$h x JOIN e ON e.id = x.id JOIN q ON q.query_id = x.query_id),
          |${pfx}s$h AS MATERIALIZED (SELECT DISTINCT query_id, id, cos_u FROM
@@ -1720,6 +1727,11 @@ object DataQueries {
     }
     (s0 +: hops).mkString(",\n")
   }
+
+  private def nswChainCtes(pfx: String, w: Int, maxH: Int): String =
+    nswChainCtesFor(pfx, w, maxH, "edges",
+      s"""SELECT q.query_id, en.id, ${nswMicroSql("en.v", "q.qv")} AS cos_u
+         |  FROM q CROSS JOIN entry en""".stripMargin)
 
   lazy val e40Sql: String = nswSearchSql(queryMod = 100)
 
@@ -1772,6 +1784,80 @@ object DataQueries {
   }
 
   lazy val e43Sql: String = nswSearchSql(queryMod = 125)
+
+  /** HNSW HIERARCHICAL SEARCH (e44 — the full HNSW shape, Malkov &
+    * Yashunin TPAMI 2018, on top of e40's flat-graph core): nodes get
+    * deterministic levels from the md5 coin (seed 7: h%16=0 → level 2,
+    * h%4=0 → level 1 — the nested p=1/4 geometric assignment), each
+    * level gets its own NSW graph (coarser level → fewer hash bits,
+    * so buckets keep population as membership thins), and the search
+    * DESCENDS: two narrow hops on the ~30-node top graph, two on the
+    * ~125-node middle one, then e40's wide walk on the full graph
+    * seeded by the middle level's best — the hierarchy is what makes
+    * graph search log-hop at 100 TB (coarse levels cross the corpus,
+    * the bottom level only refines a neighborhood, so the flat walk's
+    * diameter bound never applies to the full graph). Same audited
+    * output shape as e40; `visited` counts distinct nodes across ALL
+    * levels. The oracle replays the level coin, all three graph
+    * builds, and all three chained walks — each level's s0 is the
+    * previous level's per-query argmax. */
+  val e44HnswSearch: Q = (s, dir) => {
+    import graft.functions.GraftFunctions.md5Long
+    val emb = Catalog(s, dir).embeddings
+    def members(m: Long) = emb.select(col("vec_id").as("id"))
+      .filter(pmod(md5Long(col("vec_id").cast(StringType), 7), lit(m)) === 0L)
+    def sub(ms: org.apache.spark.sql.DataFrame) =
+      emb.join(ms.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+    val (l2, l1) = (members(16L), members(4L))
+    val g2 = Similarity.nswGraph(sub(l2), "embedding", "vec_id",
+      nBits = 2, bands = 2, degree = 6)
+    val g1 = Similarity.nswGraph(sub(l1), "embedding", "vec_id",
+      nBits = 3, bands = 2, degree = 8)
+    val g0 = Similarity.nswGraph(emb, "embedding", "vec_id",
+      nBits = nswNBits, bands = nswBands, degree = nswDegree)
+    Similarity.hnswSearch(emb, emb.filter(col("vec_id") % 100 === 0),
+        "embedding", "vec_id", entryMembers = l2,
+        levels = Seq((g2, 2, 2), (g1, 2, 2), (g0, 16, 4)), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val e44Sql: String = {
+    val k = 10
+    def lvl(m: Int) = s"${h60("'7|'||CAST(id AS VARCHAR)")} % $m = 0"
+    def bestOf(rel: String) =
+      s"""SELECT query_id, id, cos_u FROM (SELECT query_id, id, cos_u,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, id) AS rn
+         |  FROM $rel) WHERE rn = 1""".stripMargin
+    s"""WITH $rawECtes,
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+       |e2 AS (SELECT id, v FROM e WHERE ${lvl(16)}),
+       |e1 AS (SELECT id, v FROM e WHERE ${lvl(4)}),
+       |${nswGraphCtesFor("l2", "e2", 2, 2, 6)},
+       |${nswGraphCtesFor("l1", "e1", 3, 2, 8)},
+       |${nswGraphCtesFor("l0", "e", nswNBits, nswBands, nswDegree)},
+       |${nswChainCtesFor("c2", 2, 2, "l2edges",
+          s"""SELECT q.query_id, en.id, ${nswMicroSql("en.v", "q.qv")} AS cos_u
+             |  FROM q CROSS JOIN l2entry en""".stripMargin)},
+       |${nswChainCtesFor("c1", 2, 2, "l1edges", bestOf("c2s2"))},
+       |${nswChainCtesFor("c0", 16, 4, "l0edges", bestOf("c1s2"))},
+       |vis AS (SELECT query_id, count(*) AS visited FROM (
+       |  SELECT DISTINCT query_id, id FROM (
+       |    SELECT query_id, id FROM c2s2
+       |    UNION ALL SELECT query_id, id FROM c1s2
+       |    UNION ALL SELECT query_id, id FROM c0s4)) GROUP BY query_id),
+       |ex AS (SELECT query_id, id FROM (SELECT q.query_id, e.id,
+       |  row_number() OVER (PARTITION BY q.query_id ORDER BY ${nswMicroSql("e.v", "q.qv")} DESC, e.id) AS rk
+       |  FROM e CROSS JOIN q WHERE e.id <> q.query_id) WHERE rk <= $k),
+       |res AS (SELECT query_id, id, cos_u,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_u DESC, id) AS rank
+       |  FROM c0s4 WHERE id <> query_id)
+       |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.id, r.cos_u,
+       |  CAST(CASE WHEN ex.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit,
+       |  v.visited
+       |FROM res r LEFT JOIN ex ON ex.query_id = r.query_id AND ex.id = r.id
+       |JOIN vis v ON v.query_id = r.query_id
+       |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
+  }
 
   /** NSW OPERATING GRID (e41 — the graph family's e27): the
     * (beamWidth × hops × k) cells of [[Similarity.nswOperatingGrid]]
@@ -6457,6 +6543,7 @@ object DataQueries {
     "e41_nsw_grid" -> e41NswGrid,
     "e42_filtered_nsw_grid" -> e42FilteredNswGrid,
     "e43_nsw_upsert" -> e43NswUpsert,
+    "e44_hnsw_search" -> e44HnswSearch,
     "e31_family_choice" -> e31FamilyChoice,
     "e32_tenant_choice" -> e32TenantChoice,
     "e33_layout_choice" -> e33LayoutChoice,
@@ -6584,6 +6671,7 @@ object DataQueries {
     "e41_nsw_grid" -> e41Sql,
     "e42_filtered_nsw_grid" -> e42Sql,
     "e43_nsw_upsert" -> e43Sql,
+    "e44_hnsw_search" -> e44Sql,
     "e31_family_choice" -> e31Sql,
     "e32_tenant_choice" -> e32Sql,
     "e33_layout_choice" -> e33Sql,

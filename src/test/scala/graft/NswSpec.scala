@@ -103,6 +103,35 @@ class NswSpec extends SparkSpec {
       "upsert must reproduce the batch-built graph edge-for-edge")
   }
 
+  test("e44 hierarchy: nested levels, honest audit, fewer hops than the flat walk") {
+    import graft.functions.GraftFunctions.md5Long
+    val ids = emb.select(col("vec_id").as("id"))
+    def members(m: Long) = ids.filter(
+      pmod(md5Long(col("id").cast("string"), 7), lit(m)) === 0L)
+    // the HNSW assignment is NESTED: every top-level node is a member
+    // of every finer level (the descent's seed always exists below)
+    assert(members(16L).exceptAll(members(4L)).count() == 0)
+    val n2 = members(16L).count(); val n1 = members(4L).count()
+    assert(n2 > 0 && n1 > n2, s"levels must thin: |L2|=$n2 |L1|=$n1")
+    val r = graft.queries.DataQueries.e44HnswSearch(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      // honest audit: hit == exact-top-10 membership, recomputed
+      val truth = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "embedding", "vec_id", 10)
+        .select(col("query_id"), col("id"), lit(1L).as("t"))
+      assert(r.join(truth, Seq("query_id", "id"), "left")
+        .filter(col("hit") =!= coalesce(col("t"), lit(0L))).count() == 0)
+      // the hierarchy's point: bounded state with a SHORTER bottom walk
+      // (4 wide hops vs e40's 6) still lands useful recall
+      assert(r.agg(max("visited")).head.getLong(0) <=
+        1 + (2 * 2 * 6) + (2 * 2 * 8) + (4 * 16 * 14))
+      val (hits, n) = (r.agg(sum("hit")).head.getLong(0), r.count())
+      assert(hits * 10 >= n * 7,
+        s"hierarchical recall@10 degraded: $hits/$n")
+    } finally r.unpersist()
+  }
+
   test("nswBeamSearch is partitioning-independent end to end") {
     val queries = emb.filter(col("vec_id") % 250 === 0) // 2 queries: cheap
     val a = Similarity.nswBeamSearch(emb, queries, "embedding", "vec_id",
