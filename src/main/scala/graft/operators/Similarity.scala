@@ -1738,6 +1738,19 @@ object Similarity {
     val e = corpus.select(col(idCol).as("id"),
         toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
+    // Build plan left in the round-17 shape DELIBERATELY (r18
+    // measured two rewrites and both lost): (a) per-band top-degree
+    // windows before the shuffle — lossless, but WindowGroupLimit's
+    // partial mode needs a SORT of every scored pair inside the join
+    // stage, and sorting the O(Σ bucket²) relation costs more than
+    // hash-deduping it (2.44 s → 4.42 s at sf0.1); (b) collapsing
+    // distinct+window into repartition(src)+dropDuplicates — loses
+    // distinct()'s map-side partial aggregation AND the window's
+    // map-side WindowGroupLimit prune, which together keep both
+    // exchanges small. The hash-distinct never sorts; the window's
+    // rank≤degree filter is pushed down map-side by Spark's
+    // WindowGroupLimit, so the src exchange only carries ~degree rows
+    // per (src, partition).
     val bucketed = (0 until bands).map { b =>
       e.withColumn("bucket", concat(lit(s"$b:"), concat_ws("",
         (0 until nBits).map(s =>
@@ -1801,9 +1814,11 @@ object Similarity {
     val e = corpus.select(col(idCol).as("id"),
         toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
+      .localCheckpoint(false) // streamed per hop — decode the source once
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
+      .localCheckpoint(false) // reused per hop — scan the source once
     val edges = edgeList.localCheckpoint(false)
     val entry = e.orderBy(md5(col("id").cast(StringType)), col("id"))
       .limit(1)
@@ -1812,6 +1827,7 @@ object Similarity {
     var state = q.crossJoin(broadcast(entry))
       .select(col("query_id"), col("id"),
         microCos(col("v"), col("qv")).as("cos_u"))
+      .repartition(col("query_id")) // hop 1's window needs no exchange
       .localCheckpoint(false)
     for (_ <- 1 to hops)
       state = nswHop(state, edges, e, q, beamWidth)
@@ -1857,9 +1873,11 @@ object Similarity {
     val e = corpus.select(col(idCol).as("id"),
         toDoubleArray(col(vecCol)).as("v"))
       .filter(nonDegenerate(col("v")))
+      .localCheckpoint(false) // streamed per hop — decode the source once
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
       .filter(nonDegenerate(col("qv")))
+      .localCheckpoint(false) // reused per hop — scan the source once
     val fw = Window.partitionBy("query_id")
       .orderBy(col("cos_u").desc, col("id").asc)
     val entry = e.join(entryMembers.select(col("id")), Seq("id"))
@@ -1867,6 +1885,7 @@ object Similarity {
     var state = q.crossJoin(broadcast(entry))
       .select(col("query_id"), col("id"),
         microCos(col("v"), col("qv")).as("cos_u"))
+      .repartition(col("query_id")) // hop 1's window needs no exchange
       .localCheckpoint(false)
     val finals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     levels.zipWithIndex.foreach { case ((edgeList, wW, hH), li) =>
@@ -1935,6 +1954,13 @@ object Similarity {
       .join(dB.select(col("bucket"), col("id").as("dst"),
         col("v").as("dv")), Seq("bucket"))
       .filter(col("src") =!= col("dst"))
+    // Plan left in the round-17 shape DELIBERATELY — the r18 rewrite
+    // attempts (per-arm pre-cap windows; collapsing the distincts into
+    // one repartition+dropDuplicates) both measured SLOWER at sf0.1
+    // (4.72 s → 5.4–7.9 s): the distincts' map-side partial
+    // aggregation plus the final window's WindowGroupLimit pushdown
+    // already keep every exchange small, and the pre-cap's sort
+    // costs more than the hash dedup it avoids (see nswGraph's note).
     val candNew = touchingNew
       .select(col("src"), col("dst"),
         microCos(col("sv"), col("dv")).as("cos_u"))
@@ -1964,7 +1990,7 @@ object Similarity {
   // Shared by nswBeamSearch and nswOperatingGrid so a hop-semantics
   // change can never fork the grid from the operator it measures.
   // Duplicate expansions (two frontier nodes sharing a neighbor) ride
-  // through to the single state-level distinct — at most W·degree rows
+  // through to the single state-level dedup — at most W·degree rows
   // per query, cheaper than a second shuffle per hop. The state is
   // referenced TWICE per later hop (frontier + union), so each hop
   // MUST end in a localCheckpoint: it is the only cut that makes the
@@ -1973,6 +1999,29 @@ object Similarity {
   // subplans, so every hop recomputes the whole chain: 12 s → 70-103 s
   // for the e41 grid at sf0.1. The checkpoint blocks live until the
   // JVM drops the frames — the price of the leaf cut.)
+  //
+  // r18 optimization (guide §2.4): the hop carries ONE shuffle
+  // exchange and zero corpus-sized broadcasts.
+  //  - The state stays hash-partitioned by query_id across hops
+  //    (checkpoint preserves outputPartitioning), so the frontier
+  //    window needs no exchange; the dedup re-keys by query_id once
+  //    per hop — HashPartitioning(query_id) satisfies
+  //    ClusteredDistribution(query_id, id), so dropDuplicates adds no
+  //    second exchange and the NEXT hop's window inherits the layout.
+  //    Duplicate visits carry identical deterministic cos_u, so
+  //    dropDuplicates(query_id, id) keeps exactly the distinct()'d
+  //    row set.
+  //  - The corpus-vector attach STREAMS `e` against a broadcast of
+  //    the bounded expansion (≤ |q|·W·degree rows) instead of
+  //    broadcasting/shuffling the corpus per hop — callers keep `e`
+  //    persisted or checkpointed, so the per-hop stream is a cached
+  //    scan. (Measured alternative: pre-joining dst vectors into the
+  //    edge list removes this probe but materializes a dim-times
+  //    wider edge checkpoint — slower for single walks, wash for
+  //    grids.)
+  //  - `q` is explicitly broadcast: it is a checkpoint/persisted leaf
+  //    whose stats the planner may not know (an unhinted plan degrades
+  //    to SMJ with two exchanges per hop — measured).
   private def nswHop(state: DataFrame, edges: DataFrame, e: DataFrame,
                      q: DataFrame, beamWidth: Int): DataFrame = {
     val fw = Window.partitionBy("query_id")
@@ -1983,13 +2032,14 @@ object Similarity {
     val expanded = broadcast(frontier)
       .join(edges, Seq("src"))
       .select(col("query_id"), col("dst").as("id"))
-      .join(e, Seq("id"))
+    val scored = e.join(broadcast(expanded), Seq("id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("id"),
         microCos(col("v"), col("qv")).as("cos_u"))
-    val next = state.unionByName(expanded)
-      .distinct() // duplicate visits are identical triples
-    next.localCheckpoint(false)
+    state.unionByName(scored)
+      .repartition(col("query_id"))
+      .dropDuplicates("query_id", "id")
+      .localCheckpoint(false)
   }
 
   /** NSW OPERATING GRID — [[nswBeamSearch]]'s (beamWidth × hops × k)
@@ -2055,7 +2105,7 @@ object Similarity {
       .filter(nonDegenerate(col("v"))).persist()
     val q = queries.select(col(idCol).as("query_id"),
         toDoubleArray(col(vecCol)).as("qv"))
-      .filter(nonDegenerate(col("qv")))
+      .filter(nonDegenerate(col("qv"))).persist()
     val kMax = ks.max
     val ksSorted = ks.sorted
     val edges = nswGraph(corpus, vecCol, idCol, nBits, bands, degree, dim)
@@ -2088,6 +2138,7 @@ object Similarity {
         var state = q.crossJoin(broadcast(entry))
           .select(col("query_id"), col("id"),
             microCos(col("v"), col("qv")).as("cos_u"))
+          .repartition(col("query_id")) // hop 1's window: no exchange
         (1 to maxH).flatMap { h =>
           state = nswHop(state, edges, e, q, w)
           if (!hopsList.contains(h)) Nil
@@ -2127,7 +2178,7 @@ object Similarity {
       selectivityPpm.map(s => out.withColumn("selectivity_ppm", lit(s)))
         .getOrElse(out)
     } finally {
-      e.unpersist(); edges.unpersist(); bf.unpersist()
+      e.unpersist(); q.unpersist(); edges.unpersist(); bf.unpersist()
       keep.foreach(_.unpersist())
     }
   }
