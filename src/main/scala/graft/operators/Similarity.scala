@@ -820,6 +820,10 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .withColumn("adc_d2", round(adcScore(m, pqCodebook.length), 6))
       .select(col("query_id"), col("id"), col("adc_d2"), col("prn"))
+      // materialize query_id-partitioned: the per-probe ADC window and
+      // the exact-key rerank then run with NO exchange (one shuffle
+      // here replaces one per probe width)
+      .repartition(col("query_id"))
       .persist()
     val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, k)
       .select(col("query_id"), col("id")).persist()
@@ -829,7 +833,25 @@ object Similarity {
     val nCorpus = assigned.count()
     val nBf = bf.count()
     try {
-      val rows = nProbes.sorted.flatMap { np =>
+      // ONE bounded aggregate for every probe width's scanned count,
+      // and ONE window pass + ONE aggregate per probe width instead of
+      // |rs| rerank windows × |rs| count jobs — the depth-r rank of a
+      // shortlist row is the RUNNING COUNT of rows with ar ≤ r in
+      // exact-key order (row_number over the ar ≤ r subset for exactly
+      // those rows). The shortlist no longer needs a checkpoint: it is
+      // consumed by one job. (Same restructure as
+      // [[operatingGrid3dMulti]]; IvfPqGridSpec pins the cells equal.)
+      val npSorted = nProbes.sorted
+      val rsSorted = rs.sorted
+      val scanAggs = npSorted.map(np => coalesce(
+        sum(when(col("prn") <= np, col("cell_n")).otherwise(0L)), lit(0L)))
+      val scanRow = probes.join(cellSizes, Seq("cell"))
+        .agg(scanAggs.head, scanAggs.tail: _*).head
+      val rows = npSorted.zipWithIndex.flatMap { case (np, npi) =>
+        val scanned = scanRow.getLong(npi)
+        val scannedPpm =
+          if (nQ == 0 || nCorpus == 0) 0L
+          else (BigInt(1000000L) * scanned / (BigInt(nQ) * nCorpus)).toLong
         val short = cand.filter(col("prn") <= np)
           .withColumn("ar", row_number().over(Window.partitionBy("query_id")
             .orderBy(col("adc_d2").asc, col("id").asc)))
@@ -841,21 +863,22 @@ object Similarity {
           .withColumn("key", VectorExpressions.intCosKey(col("v"), col("qv")))
           .filter(col("key").isNotNull)
           .select(col("query_id"), col("id"), col("ar"), col("key"))
-          .localCheckpoint(false)
-        val scanned = probes.filter(col("prn") <= np)
-          .join(cellSizes, Seq("cell"))
-          .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
-        val scannedPpm =
-          if (nQ == 0 || nCorpus == 0) 0L
-          else (BigInt(1000000L) * scanned / (BigInt(nQ) * nCorpus)).toLong
-        rs.sorted.map { r =>
-          val topk = short.filter(col("ar") <= r)
-            .withColumn("frank", row_number().over(
-              Window.partitionBy("query_id")
-                .orderBy(col("key").desc, col("id").asc)))
-            .filter(col("frank") <= k)
-            .select("query_id", "id")
-          val hits = bf.join(topk, Seq("query_id", "id"), "left_semi").count()
+        val kw = Window.partitionBy("query_id")
+          .orderBy(col("key").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = rsSorted.foldLeft(short)((df, r) =>
+          df.withColumn(s"frank_$r",
+            sum(when(col("ar") <= r, 1L).otherwise(0L)).over(kw)))
+        // bf and the shortlist are both unique per (query_id, id), so
+        // the inner join's conditional counts equal the left-semi
+        // counts the per-depth jobs produced
+        val joined = bf.join(ranked, Seq("query_id", "id"))
+        val hitAggs = rsSorted.map(r => coalesce(
+          sum(when(col("ar") <= r && col(s"frank_$r") <= k, 1L)
+            .otherwise(0L)), lit(0L)))
+        val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
+        rsSorted.zipWithIndex.map { case (r, ri) =>
+          val hits = hitRow.getLong(ri)
           (np.toLong, r.toLong, nQ, hits, nBf,
             if (nBf == 0) 0L else 1000000L * hits / nBf, scannedPpm)
         }
@@ -1182,6 +1205,10 @@ object Similarity {
     val cands = families.map { case (fam, candOf) =>
       fam -> candOf(assigned, probes, q)
         .select(col("query_id"), col("id"), col("score"), col("prn"))
+        // materialize query_id-partitioned: every downstream window
+        // (per-probe shortlist rank, exact-key rerank) then runs with
+        // NO exchange — one shuffle here replaces one per probe width
+        .repartition(col("query_id"))
         .persist()
     }
     val bf = bruteForceTopKExact(corpus, queries, vecCol, idCol, kMax)
@@ -1195,18 +1222,31 @@ object Similarity {
       coalesce(sum(when(col("bfr") <= kk, 1L).otherwise(0L)), lit(0L)))
     val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
     try {
-      val rows = nProbes.sorted.flatMap { np =>
-        val scanned = probes.filter(col("prn") <= np)
-          .join(cellSizes, Seq("cell"))
-          .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
-        val scannedPpm =
-          if (nQ == 0 || nCorpus == 0) 0L
-          else (BigInt(1000000L) * scanned / (BigInt(nQ) * nCorpus)).toLong
+      // ONE bounded aggregate for every probe width's scanned count —
+      // the per-np aggregates were identical scans of the same tiny
+      // probe relation (guide §1: fewer jobs)
+      val npSorted = nProbes.sorted
+      val rsSorted = rs.sorted
+      val scanAggs = npSorted.map(np => coalesce(
+        sum(when(col("prn") <= np, col("cell_n")).otherwise(0L)), lit(0L)))
+      val scanRow = probes.join(cellSizes, Seq("cell"))
+        .agg(scanAggs.head, scanAggs.tail: _*).head
+      val scannedPpmOf = npSorted.zipWithIndex.map { case (np, i) =>
+        np -> (if (nQ == 0 || nCorpus == 0) 0L
+          else (BigInt(1000000L) * scanRow.getLong(i) /
+            (BigInt(nQ) * nCorpus)).toLong)
+      }.toMap
+      val rows = npSorted.flatMap { np =>
+        val scannedPpm = scannedPpmOf(np)
         cands.flatMap { case (fam, cand) =>
-          // persisted (not localCheckpoint'ed) so the bounded shortlist
-          // is BOTH reused across the rs loop and RELEASED when the
-          // loop finishes — the checkpointed blocks previously outlived
-          // the call, one per (family × nProbe) (ADVICE r16)
+          // ONE window pass + ONE aggregate per (probe, family)
+          // instead of |rs| rerank windows × |rs| jobs: the depth-r
+          // rank of a shortlist row is the RUNNING COUNT of rows with
+          // ar ≤ r in exact-key order (for rows with ar ≤ r this
+          // equals row_number over the ar ≤ r subset — predecessors
+          // inclusive of self in a total order), so every (r, k) cell
+          // reads off one conditional sum. The shortlist no longer
+          // needs its own persist: it is consumed by exactly one job.
           val short = cand.filter(col("prn") <= np)
             .withColumn("ar", row_number().over(Window.partitionBy("query_id")
               .orderBy(col("score").asc, col("id").asc)))
@@ -1217,25 +1257,25 @@ object Similarity {
               VectorExpressions.intCosKey(col("v"), col("qv")))
             .filter(col("key").isNotNull)
             .select(col("query_id"), col("id"), col("ar"), col("key"))
-            .persist()
-          try rs.sorted.flatMap { r =>
-            val reranked = short.filter(col("ar") <= r)
-              .withColumn("frank", row_number().over(
-                Window.partitionBy("query_id")
-                  .orderBy(col("key").desc, col("id").asc)))
-              .filter(col("frank") <= kMax)
-              .select("query_id", "id", "frank")
-            val joined = bf.join(reranked, Seq("query_id", "id"))
-            val hitAggs = ksSorted.map(kk => coalesce(sum(
-              when(col("bfr") <= kk && col("frank") <= kk, 1L).otherwise(0L)),
-              lit(0L)))
-            val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
-            ksSorted.indices.map { i =>
-              val (h, nbf) = (hitRow.getLong(i), nBfRow.getLong(i))
-              (np.toLong, r.toLong, ksSorted(i).toLong, nQ, h, nbf,
+          val kw = Window.partitionBy("query_id")
+            .orderBy(col("key").desc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val ranked = rsSorted.foldLeft(short)((df, r) =>
+            df.withColumn(s"frank_$r",
+              sum(when(col("ar") <= r, 1L).otherwise(0L)).over(kw)))
+          val joined = bf.join(ranked, Seq("query_id", "id"))
+          val hitAggs = for (r <- rsSorted; kk <- ksSorted) yield coalesce(
+            sum(when(col("ar") <= r && col(s"frank_$r") <= kk &&
+              col("bfr") <= kk, 1L).otherwise(0L)), lit(0L))
+          val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
+          rsSorted.zipWithIndex.flatMap { case (r, ri) =>
+            ksSorted.zipWithIndex.map { case (kk, ki) =>
+              val h = hitRow.getLong(ri * ksSorted.length + ki)
+              val nbf = nBfRow.getLong(ki)
+              (np.toLong, r.toLong, kk.toLong, nQ, h, nbf,
                 if (nbf == 0) 0L else 1000000L * h / nbf, scannedPpm, fam)
             }
-          } finally short.unpersist(false)
+          }
         }
       }
       import spark.implicits._
