@@ -525,22 +525,39 @@ object Dedup {
       .select("id1", "id2")
       .localCheckpoint(false)
     val nTrue = truth.count()
-    val sweep = bandsList.sorted.map { b =>
-      val r = k / b
+    // r18: every banding configuration rides ONE tagged self-join, one
+    // dedup, and one counting aggregate — the per-config loop ran
+    // |bands| self-joins (two band-keyed exchanges each), |bands|
+    // distincts, |bands| checkpoints, and 2·|bands| count jobs over the
+    // same signature relation. Keying the join by (config, band) keeps
+    // each config's candidate set EXACTLY what its standalone join
+    // produced (configs cannot meet across the key), and the hit flag
+    // comes from one left join against the truth pairs. Guide §1/2.4:
+    // fewer passes, fewer exchanges, identical integers.
+    val cfg = bandsList.sorted.map(b => (b, k / b))
+    val bandedAll = cfg.map { case (b, r) =>
       val bandCols = (0 until b).map(bi =>
         concat(lit(s"$bi:"), concat_ws(",",
           (bi * r until (bi + 1) * r).map(i =>
             element_at(col("sig"), i + 1).cast(StringType)): _*)))
-      val banded = base.select(col("id"),
+      base.select(lit(b.toLong).as("nb"), col("id"),
         explode(array(bandCols: _*)).as("band"))
-      val cand = banded.select(col("band"), col("id").as("id1"))
-        .join(banded.select(col("band"), col("id").as("id2")), Seq("band"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-        .localCheckpoint(false)
-      val nCand = cand.count()
-      val nHits = truth.join(cand, Seq("id1", "id2"), "left_semi").count()
-      (b.toLong, r.toLong, nCand, nTrue, nHits,
+    }.reduce(_ unionByName _)
+    val cand = bandedAll.select(col("nb"), col("band"), col("id").as("id1"))
+      .join(bandedAll.select(col("nb"), col("band"), col("id").as("id2")),
+        Seq("nb", "band"))
+      .filter(col("id1") < col("id2"))
+      .select("nb", "id1", "id2").distinct()
+    val counts = cand
+      .join(truth.withColumn("__t", lit(1L)), Seq("id1", "id2"),
+        "left_outer")
+      .groupBy("nb")
+      .agg(count(lit(1)).as("nc"), coalesce(sum("__t"), lit(0L)).as("nh"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val sweep = bandsList.sorted.map { b =>
+      val (nCand, nHits) = counts.getOrElse(b.toLong, (0L, 0L))
+      (b.toLong, (k / b).toLong, nCand, nTrue, nHits,
         1000000L * nHits / math.max(1L, nTrue),
         1000000L * nHits / math.max(1L, nCand))
     }

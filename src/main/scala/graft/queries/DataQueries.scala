@@ -4026,6 +4026,9 @@ object DataQueries {
       col("lang") === "en", dsirBuckets)
     val w = TextAnalysis.dsirWeights(docs.repartition(col("doc_id")),
       "text", "doc_id", delta, dsirBuckets)
+      // referenced twice (top-k cut + final join): one doc-bounded
+      // checkpoint instead of tokenizing + hashing the corpus twice
+      .localCheckpoint(false)
     val top = w.orderBy(col("dsir_weight_nano").desc, col("doc_id"))
       .limit(dsirK).select(col("doc_id")).withColumn("sel", lit(1L))
     w.join(broadcast(top), Seq("doc_id"), "left_outer")
