@@ -409,17 +409,45 @@ object Similarity {
     // k·nq: a corpus with fewer than k non-degenerate neighbors per
     // query would otherwise bias every recall low (ADVICE r13)
     val nBf = bf.agg(count(lit(1)).as("n_bf"))
-    val sweep = nProbes.sorted.map { np =>
-      val ivfNp = cand.filter(col("prn") <= np)
-        .withColumn("rank", row_number().over(rankWindow))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("id"))
-      val hits = bf.join(ivfNp, Seq("query_id", "id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = probes.filter(col("prn") <= np)
-        .join(cellSizes, Seq("cell"))
-        .agg(coalesce(sum(col("cell_n")), lit(0L)).as("n_scanned"))
-      hits.crossJoin(scanned).crossJoin(nq).crossJoin(nCorpus).crossJoin(nBf)
+    // r18: every probe width reads off ONE ranked relation and ONE
+    // counting aggregate — the per-np branches each re-windowed and
+    // re-joined the same candidate relation. The width-np rank of a
+    // candidate is the RUNNING COUNT of rows with prn ≤ np in score
+    // order (row_number over the prn ≤ np subset for exactly those
+    // rows), so one window pass carries every width; scanned counts
+    // batch into one aggregate the same way. Output expressions are
+    // untouched (same in-plan arithmetic and types).
+    val npSorted = nProbes.sorted
+    val kw = Window.partitionBy("query_id")
+      .orderBy(col("cos_r").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = npSorted.foldLeft(cand)((df, np) =>
+      df.withColumn(s"rank_$np",
+        sum(when(col("prn") <= np, 1L).otherwise(0L)).over(kw)))
+    val hitsRow = bf.join(ranked, Seq("query_id", "id"))
+      .agg(coalesce(sum(when(col("prn") <= npSorted.head &&
+          col(s"rank_${npSorted.head}") <= k, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_hits_${npSorted.head}"),
+        npSorted.tail.map(np => coalesce(sum(when(col("prn") <= np &&
+          col(s"rank_$np") <= k, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_hits_$np")): _*)
+    val scannedRow = probes.join(cellSizes, Seq("cell"))
+      .agg(coalesce(sum(when(col("prn") <= npSorted.head, col("cell_n"))
+          .otherwise(0L)), lit(0L)).as(s"n_scanned_${npSorted.head}"),
+        npSorted.tail.map(np => coalesce(sum(when(col("prn") <= np,
+          col("cell_n")).otherwise(0L)), lit(0L))
+          .as(s"n_scanned_$np")): _*)
+    // ONE materialized stats row — the per-np union branches each
+    // reference it, and without the checkpoint every branch would
+    // re-run the aggregate subtrees it came from
+    val statsRow = hitsRow.crossJoin(scannedRow)
+      .crossJoin(nq).crossJoin(nCorpus).crossJoin(nBf)
+      .localCheckpoint(false)
+    val sweep = npSorted.map { np =>
+      statsRow
+        .select(col(s"n_hits_$np").as("n_hits"),
+          col(s"n_scanned_$np").as("n_scanned"),
+          col("nq"), col("n_corpus"), col("n_bf"))
         .select(lit(np.toLong).as("n_probe"),
           col("nq").as("n_queries"), col("n_hits"),
           expr("1000000 * n_hits div n_bf").as("recall_ppm"),
@@ -501,28 +529,40 @@ object Similarity {
       coalesce(sum(when(col("bfr") <= kk, 1L).otherwise(0L)), lit(0L)))
     val nBfRow = bf.agg(bfAggs.head, bfAggs.tail: _*).head
     try {
-      val rows = nProbes.sorted.flatMap { np =>
-        val ranked = cand.filter(col("prn") <= np)
-          .withColumn("ivfr", row_number().over(rankWindow))
-          .filter(col("ivfr") <= kMax)
-          .select("query_id", "id", "ivfr")
-        val joined = bf.join(ranked, Seq("query_id", "id"))
-        val hitAggs = ksSorted.map(kk => coalesce(sum(
-          when(col("bfr") <= kk && col("ivfr") <= kk, 1L).otherwise(0L)),
-          lit(0L)))
-        val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
-        val scanned = probes.filter(col("prn") <= np)
-          .join(cellSizes, Seq("cell"))
-          .agg(coalesce(sum(col("cell_n")), lit(0L))).head.getLong(0)
+      // r18: ONE window pass and ONE aggregate for the whole grid —
+      // the width-np rank of a candidate is the RUNNING COUNT of rows
+      // with prn ≤ np in score order (row_number over the prn ≤ np
+      // subset for exactly those rows), so every (np, k) cell reads
+      // off one conditional sum instead of |nProbes| windows and
+      // 2·|nProbes| jobs; scanned counts batch the same way.
+      val npSorted = nProbes.sorted
+      val kw = Window.partitionBy("query_id")
+        .orderBy(col("cos_r").desc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = npSorted.foldLeft(cand)((df, np) =>
+        df.withColumn(s"ivfr_$np",
+          sum(when(col("prn") <= np, 1L).otherwise(0L)).over(kw)))
+      val joined = bf.join(ranked, Seq("query_id", "id"))
+      val hitAggs = for (np <- npSorted; kk <- ksSorted) yield coalesce(
+        sum(when(col("prn") <= np && col("bfr") <= kk &&
+          col(s"ivfr_$np") <= kk, 1L).otherwise(0L)), lit(0L))
+      val hitRow = joined.agg(hitAggs.head, hitAggs.tail: _*).head
+      val scanAggs = npSorted.map(np => coalesce(
+        sum(when(col("prn") <= np, col("cell_n")).otherwise(0L)), lit(0L)))
+      val scanRow = probes.join(cellSizes, Seq("cell"))
+        .agg(scanAggs.head, scanAggs.tail: _*).head
+      val rows = npSorted.zipWithIndex.flatMap { case (np, ni) =>
+        val scanned = scanRow.getLong(ni)
         // BigInt: 1e6·scanned and nQ·nCorpus overflow a Long at the
         // corpus scale this operator documents (review r14)
         val scannedPpm =
           if (nQ == 0 || nCorpus == 0) 0L
           else (BigInt(1000000L) * scanned /
             (BigInt(nQ) * nCorpus)).toLong
-        ksSorted.indices.map { i =>
-          val (h, nbf) = (hitRow.getLong(i), nBfRow.getLong(i))
-          (np.toLong, ksSorted(i).toLong, nQ, h, nbf,
+        ksSorted.zipWithIndex.map { case (kk, ki) =>
+          val h = hitRow.getLong(ni * ksSorted.length + ki)
+          val nbf = nBfRow.getLong(ki)
+          (np.toLong, kk.toLong, nQ, h, nbf,
             if (nbf == 0) 0L else 1000000L * h / nbf, scannedPpm)
         }
       }
